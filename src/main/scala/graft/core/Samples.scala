@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The canonical sample model (reference §1.1: `(labels, t, v)` with the
+  * metric name carried as a reserved label; `pkg/appender/appender.go:194-287`).
+  *
+  * Spark schema (SURVEY §1.6):
+  * {{{
+  *   name      string               metric name
+  *   labels    map<string,string>   open label map
+  *   time      long                 unix MILLISECONDS (the reference is ms-based)
+  *   value     double               numeric sample (null for variant series)
+  *   valueStr  string               variant ("string"-typed) sample, else null
+  * }}}
+  * Derived: `series_id` (xxhash64 of name+canonical labels) and
+  * `part_start` (time partition) are added by the storage layer.
+  */
+object Samples {
+
+  val TimeCol = "time"
+
+  /** Epoch-ms column from a timestamp column. Millisecond resolution is the
+    * reference's native unit AND sidesteps the ns(DuckDB)-vs-µs(Spark)
+    * parquet precision mismatch in oracle comparisons. */
+  private def msOf(tsExpr: String): Column = expr(s"unix_micros($tsExpr) div 1000")
+
+  /** Map the driver `events` table onto numeric metric samples:
+    * name = event_type, labels = {user: user_id}, time = epoch ms, value.
+    * This is the fixture equivalent of the reference's ingest API. */
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        col("event_type").as("name"),
+        map(lit("user"), col("user_id").cast("string")).as("labels"),
+        msOf("ts").as(TimeCol),
+        col("value").as("value"),
+        lit(null).cast("string").as("valueStr"))
+
+  /** Variant (string-typed) metric view over `events.props`
+    * (reference variant encoding, `pkg/chunkenc/vartype.go`). */
+  def variantFromEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        lit("props").as("name"),
+        map(lit("user"), col("user_id").cast("string")).as("labels"),
+        msOf("ts").as(TimeCol),
+        lit(null).cast("double").as("value"),
+        col("props").as("valueStr"))
+
+  /** Samples with derived identity columns attached. */
+  def withSeriesId(df: DataFrame): DataFrame =
+    df.withColumn("series_id", Labels.seriesId(col("name"), col("labels")))
+      .withColumn("labels_str", Labels.canonical(col("labels")))
+}
