@@ -21,31 +21,35 @@ object Samples {
 
   val TimeCol = "time"
 
-  /** Epoch-ms column from a timestamp column. Millisecond resolution is the
-    * reference's native unit AND sidesteps the ns(DuckDB)-vs-µs(Spark)
-    * parquet precision mismatch in oracle comparisons. */
-  private def msOf(tsExpr: String): Column = expr(s"unix_micros($tsExpr) div 1000")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read as a
+    * timestamp; `nanosAsLong` reads it as epoch-ns long, and `div 1000000`
+    * floors to the reference's native ms unit (DuckDB oracle parity:
+    * `epoch_ns(ts) // 1000000`). */
+  private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
 
   /** Map the driver `events` table onto numeric metric samples:
     * name = event_type, labels = {user: user_id}, time = epoch ms, value.
     * This is the fixture equivalent of the reference's ingest API. */
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
+    readEvents(spark, sfDir)
       .select(
         col("event_type").as("name"),
         map(lit("user"), col("user_id").cast("string")).as("labels"),
-        msOf("ts").as(TimeCol),
+        expr("ts div 1000000").as(TimeCol),
         col("value").as("value"),
         lit(null).cast("string").as("valueStr"))
 
   /** Variant (string-typed) metric view over `events.props`
     * (reference variant encoding, `pkg/chunkenc/vartype.go`). */
   def variantFromEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
+    readEvents(spark, sfDir)
       .select(
         lit("props").as("name"),
         map(lit("user"), col("user_id").cast("string")).as("labels"),
-        msOf("ts").as(TimeCol),
+        expr("ts div 1000000").as(TimeCol),
         lit(null).cast("double").as("value"),
         col("props").as("valueStr"))
 

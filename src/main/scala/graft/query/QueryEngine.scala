@@ -1,0 +1,369 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Labels
+
+/** The TSDB query engine, Spark-first (reference `pkg/pquerier/select.go` +
+  * `collector.go` — the whole select/collector pipeline re-expressed as
+  * declarative DataFrame transformations so Catalyst does pruning, pushdown
+  * and whole-stage codegen, and the shuffle on the grouping keys replaces
+  * the reference's hash-partitioned collector goroutines, `select.go:395`).
+  *
+  * Input: a *samples* DataFrame with columns
+  * `name: string, labels: map<string,string>, time: long (unix ms),
+  *  value: double, valueStr: string` (SURVEY §1.6).
+  *
+  * Output: wide frames — grouping key columns + `t` (bucket unix ms) + one
+  * double column per requested aggregate (the reference's FrameSet,
+  * `pkg/pquerier/frames.go:646-661`); [[toSeriesSet]] melts to the long
+  * Prometheus SeriesSet shape (`pkg/pquerier/series.go:33-50`).
+  *
+  * Scale notes (100 TB): every path is a single shuffle on the grouping
+  * keys (series or labels), with map-side partial aggregation; the grid /
+  * resample paths shuffle once by series for the window functions then once
+  * more for the cross-series merge — the same two-phase plan the reference
+  * runs per-process, but distributed.
+  */
+object QueryEngine {
+
+  // ---------------------------------------------------------------- helpers
+
+  /** NaN/±Inf are "undefined" and are skipped by all aggregates
+    * (reference `pkg/utils/misc.go:31-37`, `aggregate/functions.go:85-98`);
+    * NULL gets the identical skip from Spark's aggregates. */
+  def cleanValue(v: Column): Column =
+    when(isnan(v) || v === Double.PositiveInfinity || v === Double.NegativeInfinity, lit(null).cast("double"))
+      .otherwise(v)
+
+  /** Tumbling bucket start: `from + floor((t-from)/step)*step` — the
+    * reference's `getRelativeCell(roundUp=false)` (`collector.go:383-391`)
+    * mapped back to a timestamp. Valid for `t >= from`. */
+  def bucketExpr(time: Column, from: Long, step: Long): Column =
+    (lit(from) + floor((time - lit(from)) / lit(step)).cast("long") * lit(step))
+
+  /** Apply name/filter/time predicates; add `labels_str`. Predicates are
+    * plain Catalyst filters → pushed to the source scan (reference P1-P4,
+    * `select.go:572-606`). */
+  private def prepare(samples: DataFrame, p: SelectParams, loMs: Long, hiMs: Long): DataFrame = {
+    var df = samples
+    if (p.name.nonEmpty) df = df.filter(col("name") === p.name)
+    if (p.filter.nonEmpty) df = df.filter(expr(p.filter))
+    df = df.filter(col("time").between(loMs, hiMs))
+    df.withColumn("labels_str", Labels.canonical(col("labels")))
+  }
+
+  /** Grouping key columns for the query (reference frame hash:
+    * labels | groupBy labels | 0 for cross-series — `select.go:354-371`). */
+  def groupKeys(p: SelectParams): Seq[(String, Column)] =
+    if (p.isCrossSeries) Seq("name" -> col("name"))
+    else if (p.groupByLabels.nonEmpty)
+      ("name" -> col("name")) +: p.groupByLabels.map(k => k -> col("labels").getItem(k))
+    else Seq("name" -> col("name"), "labels_str" -> col("labels_str"))
+
+  // ------------------------------------------------------------------ entry
+
+  /** Main select path (reference `QuerierV2.Select`, `pquerier/querier.go:60-137`). */
+  def select(samples: DataFrame, p: SelectParams): DataFrame = {
+    val fns = p.baseFunctions
+    if (fns.isEmpty && p.step > 0)
+      downsample(samples, p)
+    else if (fns.isEmpty)
+      raw(samples, p)
+    else if (p.windows.nonEmpty)
+      overlappingWindows(samples, p, fns)
+    else if (p.isCrossSeries)
+      crossSeries(samples, p, fns)
+    else if (p.aggregationWindow > 0)
+      slidingAggregate(samples, p, fns)
+    else
+      clientAggregate(samples, p, fns)
+  }
+
+  // ------------------------------------------------------------------- raw
+
+  /** Raw range query (reference S1, `select.go:572-606` + RawSeries):
+    * `(name, labels_str, t, v[, vstr])` time-ordered per series. */
+  def raw(samples: DataFrame, p: SelectParams): DataFrame = {
+    val df = prepare(samples, p, p.from, p.to)
+    df.select(col("name"), col("labels_str"), col("time").as("t"),
+        col("value").as("v"), col("valueStr").as("vstr"))
+      .orderBy("name", "labels_str", "t")
+  }
+
+  // ----------------------------------------------------- client aggregation
+
+  /** Tumbling-window aggregation from raw samples (reference A3
+    * `aggregateClientAggregates` + `intervalAggregation`,
+    * `collector.go:171-185,340-344`): one hash-aggregate shuffle on
+    * (series, bucket) with map-side combine — Catalyst's partial→final
+    * mirrors the reference's cell accumulation. */
+  def clientAggregate(samples: DataFrame, p: SelectParams, fns: Seq[String]): DataFrame = {
+    val step = p.effectiveStep
+    val df = prepare(samples, p, p.from, p.to)
+    val keys = groupKeys(p)
+    val bucket = bucketExpr(col("time"), p.from, step).as("t")
+    aggregateBuckets(df, keys, bucket, fns, step)
+  }
+
+  /** Shared groupBy→partials→finalize pipeline. `bucket` must evaluate to
+    * the bucket start time in ms aliased `t`. */
+  private[query] def aggregateBuckets(
+      df: DataFrame,
+      keys: Seq[(String, Column)],
+      bucket: Column,
+      fns: Seq[String],
+      step: Long): DataFrame = {
+    val v = cleanValue(col("value"))
+    val partials = Aggregates.requiredPartials(fns ++ fns.filter(_ == "rate").map(_ => "last"))
+    val keyCols = keys.map { case (n, c) => c.as(n) }
+    val grouped = df
+      .groupBy((keyCols :+ bucket): _*)
+      .agg(
+        Aggregates.partialExpr(partials.head, v, col("time")).as("__p_" + partials.head),
+        partials.tail.map(f => Aggregates.partialExpr(f, v, col("time")).as("__p_" + f)): _*)
+    finalizeAggregates(grouped, keys.map(_._1), fns, step)
+  }
+
+  /** Finalize requested aggregates from `__p_*` partial columns; `rate`
+    * needs the previous ADJACENT bucket's `last` (reference
+    * `Set.GetCellValue` aggrTypeRate, `aggregate/iterator.go:327-334`:
+    * `(last[c]-last[c-1]) / (interval/1000)`, undefined at cell 0 or when
+    * either cell's last is undefined — hence the `lag(t)==t-step` guard:
+    * absent rows ARE empty cells). */
+  private[query] def finalizeAggregates(
+      grouped: DataFrame,
+      keyNames: Seq[String],
+      fns: Seq[String],
+      step: Long): DataFrame = {
+    val partial: String => Column = n => col("__p_" + n)
+    val outCols = fns.map {
+      case "rate" =>
+        val w = Window.partitionBy(keyNames.map(col): _*).orderBy("t")
+        val prevLast = lag(partial("last"), 1).over(w)
+        val prevT = lag(col("t"), 1).over(w)
+        val stepSec = step / 1000L // Go integer division, iterator.go:334
+        when(prevT === col("t") - step && prevLast.isNotNull && partial("last").isNotNull,
+          (partial("last") - prevLast) / lit(stepSec.toDouble)).as("rate")
+      case f => Aggregates.finalExpr(f, partial).as(f)
+    }
+    grouped
+      .select((keyNames.map(col) :+ col("t")) ++ outCols: _*)
+      .orderBy(keyNames.map(col) :+ col("t"): _*)
+  }
+
+  // ------------------------------------------------- sliding window (W2)
+
+  /** Sliding-window aggregation (reference `windowAggregation`,
+    * `collector.go:345-364`): cells sit on the step grid, rounded UP; a
+    * sample at `t` feeds every cell `c` with `t <= c <= t+w`, i.e. cell `c`
+    * aggregates samples in `[c-w, c]`. Implemented by exploding each sample
+    * into its covering cells (w/step row amplification — exactly the
+    * reference's work) then one hash aggregate. */
+  def slidingAggregate(samples: DataFrame, p: SelectParams, fns: Seq[String]): DataFrame = {
+    val step = p.effectiveStep
+    val w = p.aggregationWindow
+    // samples below `from` still feed cells >= from (partition range is
+    // widened by the window — reference `querier.go:195`)
+    val df = prepare(samples, p, p.from - w, p.to)
+    val maxK = (p.to - p.from) / step
+    val kMin = ceil((col("time") - p.from) / lit(step.toDouble)).cast("long")
+    val kMax = floor((col("time") + w - p.from) / lit(step.toDouble)).cast("long")
+    val exploded = df
+      .withColumn("__k", explode(sequence(greatest(kMin, lit(0L)), least(kMax, lit(maxK)))))
+      .filter(col("__k") >= 0)
+    val keys = groupKeys(p)
+    val bucket = (lit(p.from) + col("__k") * step).as("t")
+    aggregateBuckets(exploded, keys, bucket, fns, step)
+  }
+
+  // --------------------------------------------- overlapping windows (W3)
+
+  /** Overlapping windows (reference `chunks2WindowedAggregates`,
+    * `pkg/querier/seriesset.go:186-218`): windows are MULTIPLES of step,
+    * all ending at `maxAligned = floor(to/step)*step`; window `k` covers
+    * `maxAligned - k*step < t < maxAligned` (both bounds strict) and is
+    * emitted at `t = maxAligned - k*step` (`Set.GetCellTime`,
+    * `aggregate/iterator.go:341-351`). One scan, explode into the covering
+    * windows, one aggregate. */
+  def overlappingWindows(samples: DataFrame, p: SelectParams, fns: Seq[String]): DataFrame = {
+    val step = p.effectiveStep
+    val maxAligned = (p.to / step) * step
+    val wins = p.windows.sorted
+    val df = prepare(samples, p, maxAligned - wins.max * step, maxAligned)
+      .filter(col("time") < maxAligned)
+    val winArr = array(wins.map(lit): _*)
+    val exploded = df
+      .withColumn("__win", explode(filter(winArr, w => col("time") > lit(maxAligned) - w * lit(step))))
+    val keys = groupKeys(p)
+    val bucket = (lit(maxAligned) - col("__win") * step).as("t")
+    // rate across overlapping windows is meaningless (cells are not a time
+    // series); the reference only defines it on the tumbling grid.
+    aggregateBuckets(exploded, keys :+ ("win" -> col("__win")), bucket, fns, step)
+      .select((keys.map(_._1).map(col) :+ col("win") :+ col("t")) ++ fns.map(col): _*)
+      .orderBy(keys.map(_._1).map(col) :+ col("win"): _*)
+  }
+
+  // --------------------------------------------------- downsample (W5/J3)
+
+  /** Downsample raw values onto the grid `{from + k*step}` with
+    * interpolation (reference `downsampleRawData`, `collector.go:236-281`).
+    * Per grid cell: exact sample wins; else interpolate between `prev`
+    * (last sample `< tc`) and `next` (first sample `>= tc`); no `next` →
+    * cell unset. The reference's cross-partition seam carry
+    * (`previousPartitionLastTime`) vanishes here: one table, one ordered
+    * window per series. */
+  def downsample(samples: DataFrame, p: SelectParams): DataFrame = {
+    val interp = p.requestedColumns.headOption.map(_.interpolator).getOrElse("")
+    val tol = p.requestedColumns.headOption.map(_.tolerance).filter(_ > 0)
+      .getOrElse(Interpolation.defaultTolerance(p.step))
+    val df = prepare(samples, p, p.from, p.to)
+    resample(df, Seq("name", "labels_str"), p.from, p.to, p.step,
+      if (interp.isEmpty) Interpolation.Default else interp, tol)
+      .orderBy("name", "labels_str", "t")
+  }
+
+  /** Grid resample of each series — shared by downsample (W5) and
+    * cross-series (A5). Output: keyCols + `t` + `v` (defined cells only).
+    *
+    * Mechanics: union raw points with grid markers, then two ordered
+    * window passes per series give prev/next neighbors (the as-of join of
+    * SURVEY J3). Grid rows order BEFORE same-time samples so `next`
+    * captures an exact-time match (the reference's `Seek` lands on
+    * `t == tc`, `collector.go:248`). NaN sample values flow through —
+    * they are real stored points in the reference. */
+  def resample(
+      df: DataFrame,
+      keyCols: Seq[String],
+      from: Long, to: Long, step: Long,
+      interp: String, tolMs: Long): DataFrame = {
+    val keys = keyCols.map(col)
+    val grid = df.select(keys: _*).distinct()
+      .withColumn("time", explode(sequence(lit(from), lit(to), lit(step))))
+      .withColumn("__v", lit(null).cast("double"))
+      .withColumn("__isPoint", lit(0))
+    val pts = df.select(keys :+ col("time") :+ col("value").as("__v"): _*)
+      .withColumn("__isPoint", lit(1))
+    val u = grid.unionByName(pts)
+
+    val ord = Window.partitionBy(keys: _*).orderBy(col("time"), col("__isPoint"))
+    val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // pack (t,v) so ignoreNulls tracks the sample row, not a non-null value
+    val pt = when(col("__isPoint") === 1, struct(col("time").as("t"), col("__v").as("v")))
+    val withNb = u
+      .withColumn("__prev", last(pt, ignoreNulls = true).over(prevW))
+      .withColumn("__next", first(pt, ignoreNulls = true).over(nextW))
+      .filter(col("__isPoint") === 0)
+
+    val tc = col("time")
+    val prevT = col("__prev.t"); val prevV = col("__prev.v")
+    val nextT = col("__next.t"); val nextV = col("__next.v")
+    val value = when(nextT === tc, nextV)
+      .otherwise(Interpolation.valueExpr(interp, tolMs, tc, prevT, prevV, nextT, nextV))
+    withNb
+      .select(keys :+ tc.as("t") :+ value.as("v"): _*)
+      .filter(nextT.isNotNull && col("v").isNotNull)
+  }
+
+  // ------------------------------------------------- cross-series (A5)
+
+  /** Cross-series (`_all`) aggregation (reference
+    * `aggregateClientAggregatesCrossSeries`, `collector.go:283-338`):
+    * resample EACH series to the bucket grid (same as-of/interpolation as
+    * downsample, default `next_val` tol 2*step), then merge the resampled
+    * cell values across series per bucket. Order matters — interpolate
+    * first, aggregate second (SURVEY §7.5). */
+  def crossSeries(samples: DataFrame, p: SelectParams, fns: Seq[String]): DataFrame = {
+    val step = p.effectiveStep
+    val interp = p.requestedColumns.headOption.map(_.interpolator).filter(_.nonEmpty)
+      .getOrElse(Interpolation.Default)
+    val tol = p.requestedColumns.headOption.map(_.tolerance).filter(_ > 0)
+      .getOrElse(Interpolation.defaultTolerance(step))
+    val df = prepare(samples, p, p.from, p.to)
+    val resampled = resample(df, Seq("name", "labels_str"), p.from, p.to, step, interp, tol)
+      .withColumnRenamed("t", "time").withColumnRenamed("v", "value")
+    val keys = groupKeys(p) // name only
+    aggregateBuckets(resampled, keys, col("time").as("t"), fns, step)
+  }
+
+  // --------------------------------------------- server-side rollups (A2)
+
+  /** Final aggregation from rollup partials (reference
+    * `aggregateServerAggregates`, `collector.go:187-234`): each rollup cell
+    * is re-bucketed into the step grid by its MEDIAN time
+    * (`rollup_start + rollup/2`), partials merge (count/sum/sqr add,
+    * min/max merge, last takes the latest rollup bucket's last —
+    * `aggregate.go:317-361`), then the usual finalize.
+    *
+    * `rollup`: output of [[graft.storage.Rollup]] — keys + `bucket_start`
+    * + `__p_*` partial columns. At 100 TB this is THE fast path: the scan
+    * touches `span/rollupInterval` pre-aggregated rows per series instead
+    * of every raw sample. */
+  def serverAggregate(
+      rollup: DataFrame,
+      p: SelectParams,
+      fns: Seq[String],
+      rollupIntervalMs: Long): DataFrame = {
+    val step = p.effectiveStep
+    val median = col("bucket_start") + lit(rollupIntervalMs / 2)
+    val cell = floor((median - lit(p.from)) / lit(step.toDouble)).cast("long")
+    val maxCell = (p.to - p.from) / step
+    val keys = // rollup rows carry labels_str, not the map — parse on demand
+      if (p.groupByLabels.nonEmpty)
+        ("name" -> col("name")) +: p.groupByLabels.map(k => k -> Labels.parse(col("labels_str")).getItem(k))
+      else Seq("name" -> col("name"), "labels_str" -> col("labels_str"))
+    val keyCols = keys.map { case (n, c) => c.as(n) }
+    var df = rollup
+    if (p.name.nonEmpty) df = df.filter(col("name") === p.name)
+    if (p.filter.nonEmpty) df = df.filter(expr(p.filter))
+    val partials = Aggregates.requiredPartials(fns)
+    val grouped = df
+      .withColumn("__cell", cell).filter(col("__cell").between(0, maxCell))
+      .withColumn("t", lit(p.from) + col("__cell") * step)
+      .groupBy(keyCols :+ col("t"): _*)
+      .agg(
+        Aggregates.mergeExpr(partials.head, col("__p_" + partials.head), col("bucket_start")).as("__p_" + partials.head),
+        partials.tail.map(f => Aggregates.mergeExpr(f, col("__p_" + f), col("bucket_start")).as("__p_" + f)): _*)
+    finalizeAggregates(grouped, keys.map(_._1), fns, step)
+  }
+
+  // --------------------------------------------------------- emission
+
+  /** Melt a wide aggregate frame into the long Prometheus SeriesSet shape:
+    * one row per (series, aggregate, t) with the `Aggregate` label attached
+    * (reference `pkg/pquerier/series.go:33-50`; `aggregate.AggregateLabel`). */
+  def toSeriesSet(wide: DataFrame, keyNames: Seq[String], fns: Seq[String]): DataFrame = {
+    val entries = fns.flatMap(f => Seq(lit(f), col(f)))
+    wide
+      .withColumn("__m", map(entries: _*))
+      .select(keyNames.map(col) :+ explode(col("__m")).as(Seq("aggregate", "v")) :+ col("t"): _*)
+      .filter(col("v").isNotNull)
+      .select(keyNames.map(col) ++ Seq(col("aggregate"), col("t"), col("v")): _*)
+      .orderBy(keyNames.map(col) ++ Seq(col("aggregate"), col("t")): _*)
+  }
+
+  // --------------------------------------------------------- metadata (S4/S5)
+
+  /** Distinct metric names, sorted (reference `getMetricNames`,
+    * `pquerier/querier.go:231-255`). */
+  def names(samples: DataFrame): DataFrame =
+    samples.select(col("name")).distinct().orderBy("name")
+
+  /** Distinct values of one label key (reference `getLabelValues`,
+    * `querier.go:257-317`). */
+  def labelValues(samples: DataFrame, key: String): DataFrame =
+    samples.select(col("labels").getItem(key).as("value"))
+      .filter(col("value").isNotNull).distinct().orderBy("value")
+
+  /** Distinct label sets per metric (reference `GetLabelSets`,
+    * `querier.go:320-381`). */
+  def labelSets(samples: DataFrame, metric: String = ""): DataFrame = {
+    var df = samples
+    if (metric.nonEmpty) df = df.filter(col("name") === metric)
+    df.select(col("name"), Labels.canonical(col("labels")).as("labels_str"))
+      .distinct().orderBy("name", "labels_str")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.query
+
+/** One requested output column (reference `pkg/pquerier/types.go:56-108`).
+  *
+  * @param metric        metric name ("" = inherit SelectParams.name)
+  * @param function      aggregate ("", "count", "sum", "sqr", "min", "max",
+  *                      "last", "avg", "stddev", "stdvar", "rate"; a `_all`
+  *                      suffix selects cross-series aggregation)
+  * @param alias         output column alias
+  * @param interpolator  "none"|"nan"|"prev_val"|"next_val"|"linear" ("" = default
+  *                      `next_val`, reference `interpolate.go:54`)
+  * @param tolerance     max ms gap for interpolation (0 = 2×step, reference
+  *                      `select.go:41` defaultToleranceFactor)
+  */
+case class RequestedColumn(
+    metric: String,
+    function: String = "",
+    alias: String = "",
+    interpolator: String = "",
+    tolerance: Long = 0L)
+
+/** Query parameters (reference `pkg/pquerier/querier.go:60-73` SelectParams).
+  *
+  * Times are unix MILLISECONDS. `filter` is a Spark SQL boolean expression
+  * over `name` and `labels['<key>']` (the reference's filter dialect is
+  * translated by [[graft.sql.TsdbSql]]).
+  */
+case class SelectParams(
+    name: String = "",
+    functions: String = "",
+    from: Long = 0L,
+    to: Long = 0L,
+    step: Long = 0L,
+    filter: String = "",
+    groupBy: String = "",
+    aggregationWindow: Long = 0L,
+    // overlapping-window multipliers of step (reference `Windows []int`,
+    // `querier/querier.go:65` — e.g. Seq(1,7,30) with a 1d step)
+    windows: Seq[Int] = Nil,
+    requestedColumns: Seq[RequestedColumn] = Nil,
+    usePreciseAggregations: Boolean = false) {
+
+  require(to == 0 || from <= to, s"from ($from) must be <= to ($to)")
+
+  def functionList: Seq[String] =
+    functions.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  def groupByLabels: Seq[String] =
+    groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Cross-series if any function carries the `_all` suffix (reference
+    * `aggregate.go:36`; mixing `_all` and plain is rejected,
+    * `select.go:427-443`). */
+  def isCrossSeries: Boolean = {
+    val fns = functionList ++ requestedColumns.map(_.function)
+    val all = fns.filter(_.nonEmpty).map(_.endsWith("_all"))
+    if (all.nonEmpty && all.exists(identity) && !all.forall(identity))
+      throw new IllegalArgumentException(
+        "cannot mix cross-series (_all) and per-series aggregates in one query")
+    all.nonEmpty && all.forall(identity)
+  }
+
+  /** Aggregate names with any `_all` suffix stripped. */
+  def baseFunctions: Seq[String] = functionList.map(SelectParams.stripAll)
+
+  /** Effective step: 0 with functions present means one bucket spanning the
+    * whole range (reference `select.go:82-84`). */
+  def effectiveStep: Long =
+    if (step == 0 && (functionList.nonEmpty || requestedColumns.exists(_.function.nonEmpty)))
+      math.max(to - from, 1L)
+    else step
+}
+
+object SelectParams {
+  def stripAll(fn: String): String =
+    if (fn.endsWith("_all")) fn.dropRight(4) else fn
+}
