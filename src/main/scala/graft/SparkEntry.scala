@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Samples
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.query.{QueryEngine, SelectParams}
 import graft.storage.Rollup
 
@@ -168,6 +169,140 @@ object SparkEntry {
           (lit(F) + floor((col("time") - F) / Day).cast("long") * Day).as("t"))
         .agg(max_by(col("valueStr"), col("time")).as("last_str"))
         .orderBy("name", "labels_str", "t")
+    }),
+
+    // ============================================================
+    // Relational operators Spark provides "for free" (SURVEY §2.3/O5/W6)
+    // ============================================================
+
+    // broadcast-dim join + agg + top-k (TPC-H Q3 shape)
+    "q3_topk_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      l.join(broadcast(o.filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+            .join(broadcast(c.filter(col("c_mktsegment") === "BUILDING")),
+              col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ranking window function (W6)
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ============================================================
+    // Training-data pipeline operators (north-star additions)
+    // ============================================================
+
+    // token counting: whitespace + BPE-ish regex segmentation
+    "text_tokens" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: length/punct/stopword features + composite score
+    "text_quality" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
+        .withColumn("char_len", col("char_len").cast("long"))
+        .withColumn("word_cnt", col("word_cnt").cast("long"))
+        .withColumn("punct_cnt", col("punct_cnt").cast("long"))
+        .withColumn("digit_cnt", col("digit_cnt").cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID n-gram/stopword heuristic
+    "text_langid" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprinting (normalized md5)
+    "doc_fingerprint" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // exact dedup: fingerprint groups with kept id
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // near-dup, brute-force trigram-shingle Jaccard (correctness baseline)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairsBrute(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", k = 3, threshold = 0.5)),
+
+    // near-dup, MinHash+LSH (the 100 TB path) — verified candidates must
+    // equal the brute-force result on this data (oracle is the same SQL)
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", k = 3, threshold = 0.5)),
+
+    // near-dup, SimHash Hamming-banding (no SQL twin: hash-dependent).
+    // maxDist=3 keeps the 4x16-bit banding COMPLETE (pigeonhole) so the
+    // output is the exact hamming<=3 pair set, deterministically.
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", maxDist = 3)),
+
+    // embedding-cosine near-dup pairs
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.45)),
+
+    // exact ANN baseline: brute-force cosine top-5 for 10 query vectors
+    "sim_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(e, q, k = 5)
+    }),
+
+    // IVF-bucketed ANN (scale path; approximate — rows-only check, recall
+    // asserted against the brute-force baseline in the test suite)
+    "sim_ann_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 4)
+    }),
+
+    // multimodal: opaque binary payload + typed metadata
+    "multimodal_meta" -> ((s, dir) => {
+      Multimodal.asBlobTable(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("meta.byte_len").cast("long").as("byte_len"),
+          col("meta.digest").as("digest"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal: partition-wise STUB decode → fixed-dim features
+    // (rows-only: byte-stride math has no reasonable SQL twin)
+    "multimodal_features" -> ((s, dir) => {
+      val blobs = Multimodal.asBlobTable(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      val f = Multimodal.stubDecodeFeatures(blobs)
+      f.select(col("doc_id") +:
+          (0 until Multimodal.FeatureDim).map(i =>
+            round(element_at(col("feature"), i + 1).cast("double"), 4).as(s"f$i")): _*)
+        .orderBy("doc_id")
     })
   )
 
@@ -341,6 +476,133 @@ object SparkEntry {
          |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
          |       max_by(vs, tt) AS last_str
          |FROM s WHERE tt BETWEEN $F AND $T
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q3_topk_join" ->
+      """SELECT o.o_orderkey, o.o_orderdate,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS cl,
+        |    len(string_split_regex(trim(text), '\s+')) AS wc,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dc,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','of','and','to','in','is'], x))) AS sc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(cl AS BIGINT) AS char_len,
+        |  CAST(wc AS BIGINT) AS word_cnt,
+        |  CAST(pc AS BIGINT) AS punct_cnt,
+        |  CAST(dc AS BIGINT) AS digit_cnt,
+        |  round(sc * 1.0 / wc, 6) AS stop_ratio,
+        |  round(0.4 * least(wc / 100.0, 1.0) + 0.4 * (sc * 1.0 / wc)
+        |        + 0.2 * (1.0 - pc * 1.0 / cl), 6) AS quality_score
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
+        |    len(list_filter(w, x -> list_contains(['el','la','de','los','y','que','en'], x))) AS es,
+        |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de,
+        |    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS fr
+        |  FROM c)
+        |SELECT doc_id, lang,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |       WHEN de >= fr AND de > 0 THEN 'de'
+        |       WHEN fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS pred_lang
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  count(*) AS cnt, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_ngram_jaccard" -> NgramJaccardOracle,
+    // LSH verification recomputes the true Jaccard, and the banding
+    // parameters (64 hashes / 32 bands) give P[miss] < 1e-4 at j=0.5 —
+    // the verified LSH output equals the brute-force result on this data.
+    "dedup_minhash_lsh" -> NgramJaccardOracle,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e WHERE vec_id < 10),
+        |j AS (
+        |  SELECT q.q_id, e.vec_id, list_cosine_similarity(q.q_vec, e.emb) AS sim
+        |  FROM q, e WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM j)
+        |SELECT q_id, vec_id, round(sim, 6) AS sim, rank
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared oracle for the brute-force and LSH near-dup paths (trigram
+    * shingles, Jaccard >= 0.5). */
+  private val NgramJaccardOracle =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   for i in range(1, len(w) - 1)]) AS sh
+      |  FROM d WHERE len(w) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 }

@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard brute force (the small-scale oracle-checkable baseline),
+  * MinHash+LSH (the 100 TB path), and SimHash.
+  *
+  * Scale design: exact dedup is one hash-shuffle on the fingerprint;
+  * MinHash/SimHash pair generation shuffles on (band, bucket-hash) —
+  * candidate volume is governed by the banding parameters, never O(n²).
+  * The brute-force variant exists as the correctness oracle only (it IS
+  * quadratic; don't run it at scale — that's what the LSH path is for).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact-duplicate groups by normalized-text fingerprint: one row per
+    * distinct fingerprint with the group size and the kept (min) id.
+    * Single hash aggregate — linear, shuffle on the fingerprint only. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
+      .orderBy("fp")
+
+  // ----------------------------------------------------------- shingles
+
+  /** Distinct word k-gram shingles of a text column, built by zipping the
+    * word array with its own shifted slices. Shape matters: an
+    * `element_at(w, i+d)` lambda would re-evaluate the `split` regex per
+    * ELEMENT in interpreted higher-order-function mode (profiled ~15 s for
+    * 5k docs); `zip_with` evaluates each array argument once per ROW.
+    * zip_with pads the shorter side with nulls and `concat` propagates
+    * them, so trailing partial grams drop out in the filter — docs with
+    * fewer than k words yield an empty array. */
+  def shingles(text: Column, k: Int): Column = {
+    val w = split(trim(text), "\\s+")
+    val grams = (1 until k).foldLeft(w) { (acc, d) =>
+      zip_with(acc, slice(w, d + 1, 1 << 28), (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(grams, g => g.isNotNull))
+  }
+
+  /** |A∩B| / |A∪B| over two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b)))
+
+  // ------------------------------------------------- brute-force Jaccard
+
+  /** All pairs (id_a < id_b) with shingle-Jaccard >= threshold — exact
+    * (a pair above any threshold > 0 shares >= 1 shingle, so the exploded
+    * shingle self-join loses nothing vs a full O(n²) cross join). Cost is
+    * Σ_shingle freq² rather than n² — the exact-but-unblocked baseline;
+    * [[minHashLshPairs]] is the banded scale path. */
+  def jaccardPairsBrute(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be > 0 (zero-overlap pairs are not enumerated)")
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val cand = ex.select(col("id").as("id_a"), col("s"))
+      .join(ex.select(col("id").as("id_b"), col("s")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  // ---------------------------------------------------------- MinHash+LSH
+
+  /** MinHash+LSH near-dup pairs — the scale path:
+    * shingle → 'numHashes' xxhash64 minima per doc → band the signature
+    * ('bands' bands of numHashes/bands rows) → bucket-join on
+    * (band, band-hash) → verify candidates with the TRUE Jaccard.
+    *
+    * Verification makes output exact-subset of the brute-force result;
+    * banding makes the join linear in collisions instead of O(n²). With
+    * r = numHashes/bands rows per band, P[candidate] = 1-(1-j^r)^bands —
+    * 64 hashes / 32 bands catches j >= 0.5 with P > 0.9999. */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, threshold: Double,
+                      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    // signature: per-seed min over exploded shingles (one shuffle on id)
+    val sig = sh.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id")
+      .agg(
+        min(xxhash64(lit(0), col("s"))).as("h0"),
+        (1 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j")): _*)
+
+    // bands → (id, band, bucket) rows; join within buckets
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket"))
+    }
+    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Verify candidate pairs against the TRUE shingle Jaccard via
+    * explode + hash-join intersection counting: |A∩B| = matching-shingle
+    * rows per pair, |A∪B| = |A|+|B|-|A∩B|.
+    *
+    * This shape matters: filtering on `jaccard(sh_a, sh_b)` directly makes
+    * Catalyst collapse the shingle-building ArrayTransform into the join
+    * filter, re-evaluating it INTERPRETED per candidate pair (profiled:
+    * >100x slower). Exploded hash joins + one aggregate stay inside
+    * whole-stage codegen and scale linearly in candidate volume. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val inter = cand
+      .join(ex.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(ex.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("both"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("both").cast("double") / (col("na") + col("nb") - col("both")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash fingerprint per doc: sign of the per-bit vote sum of
+    * the xxhash64 of each distinct token. One explode + one aggregate. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist, found via
+    * 4x16-bit block banding (pigeonhole: distance <= 3 guarantees a shared
+    * block; larger distances are caught best-effort — same trade the
+    * scale path always makes) then verified with bit_count. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    val sh = simHash(docs, idCol, textCol)
+    val blocks = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.blk").as("blk"), col("bb.key").as("key"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("id_a", "id_b")
+  }
+}

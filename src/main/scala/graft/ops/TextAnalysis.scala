@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star additions beyond the reference — SURVEY §7.3 step 12).
+  *
+  * Everything is pure `org.apache.spark.sql.functions` — codegen'd, no
+  * UDFs, embarrassingly parallel (no shuffle at all: each doc is scored
+  * independently, so these run at scan speed on any cluster size).
+  *
+  * Each helper has an exact DuckDB-SQL twin in SparkEntry.oracleSql; the
+  * tokenizers/regexes are chosen so Java-regex (Spark) and RE2 (DuckDB)
+  * agree.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword segmentation: letter runs | digit runs | single
+    * punctuation — the standard pre-tokenizer shape. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Language-ID stopword tables (tiny n-gram heuristic; deterministic
+    * priority en > es > de > fr on ties). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "que", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"))
+
+  private def stopCount(words: Column, stops: Seq[String]): Column =
+    size(filter(words, w => array_contains(array(stops.map(lit): _*), w)))
+
+  /** Heuristic language-ID: CJK chars → zh, else stopword-count argmax. */
+  def langId(text: Column): Column = {
+    val w = tokens(lower(text))
+    val Seq(en, es, de, fr) = Stopwords.map { case (_, s) => stopCount(w, s) }
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+  }
+
+  /** Per-class character counts via strip-and-diff (identical formula in
+    * the DuckDB twin, which needs the 'g' flag on regexp_replace). */
+  def charClassCount(text: Column, charClass: String): Column =
+    length(text) - length(regexp_replace(text, charClass, ""))
+
+  /** Quality features + a deterministic composite score in [0,1]. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val charLen = length(text).as("char_len")
+    val w = tokens(text)
+    val wordCnt = size(w).as("word_cnt")
+    val punct = charClassCount(text, "[.,;:!?]").as("punct_cnt")
+    val digits = charClassCount(text, "[0-9]").as("digit_cnt")
+    val stopCnt = stopCount(tokens(lower(text)), Stopwords.head._2)
+    val stopRatio = round(stopCnt.cast("double") / size(w), 6).as("stop_ratio")
+    val score = round(
+      lit(0.4) * least(size(w).cast("double") / 100.0, lit(1.0)) +
+        lit(0.4) * (stopCnt.cast("double") / size(w)) +
+        lit(0.2) * (lit(1.0) - charClassCount(text, "[.,;:!?]").cast("double") / length(text)),
+      6).as("quality_score")
+    Seq(charLen, wordCnt, punct, digits, stopRatio, score)
+  }
+
+  /** Canonical document fingerprint: md5 of whitespace-normalized
+    * lowercase text — the exact-dedup key (DuckDB twin: `md5(...)`). */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))).cast("binary"))
+}

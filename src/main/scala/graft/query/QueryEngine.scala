@@ -145,8 +145,13 @@ object QueryEngine {
         val prevLast = lag(partial("last"), 1).over(w)
         val prevT = lag(col("t"), 1).over(w)
         val stepSec = step / 1000L // Go integer division, iterator.go:334
+        // sub-second steps make stepSec 0 (the reference then emits ±Inf);
+        // we treat the cell as undefined instead of tripping ANSI div-by-0
+        val value =
+          if (stepSec == 0) lit(null).cast("double")
+          else (partial("last") - prevLast) / lit(stepSec.toDouble)
         when(prevT === col("t") - step && prevLast.isNotNull && partial("last").isNotNull,
-          (partial("last") - prevLast) / lit(stepSec.toDouble)).as("rate")
+          value).as("rate")
       case f => Aggregates.finalExpr(f, partial).as(f)
     }
     grouped

@@ -1,0 +1,137 @@
+package graft.sql
+
+import graft.query.{Aggregates, Interpolation, RequestedColumn, SelectParams}
+
+/** Thin translator for the reference's SQL dialect
+  * (`pkg/pquerier/sql_parser.go:33-198`) → [[SelectParams]]. Anything
+  * richer belongs in plain `spark.sql` — this exists for API parity with
+  * `tsdbctl query "select avg(cpu) from tsdb where os=='win' group by host"`.
+  *
+  * Supported SELECT items (sql_parser.go:57-150): bare metric, `func(metric)`,
+  * `interp(metric[, 'tolerance'])`, nested `func(interp(metric[, 'tol']))`,
+  * `alias` via AS, `*` wildcard. FROM one table. WHERE passed through with
+  * label refs rewritten to `labels['k']` and `__name__` → `name`
+  * (querier.go:192). GROUP BY → label list. No HAVING/ORDER/LIMIT/JOIN —
+  * same as the reference.
+  */
+object TsdbSql {
+
+  private val Select =
+    """(?is)\s*select\s+(.+?)\s+from\s+(\S+)(?:\s+where\s+(.+?))?(?:\s+group\s+by\s+(.+?))?\s*;?\s*""".r
+
+  def parse(sql: String): SelectParams = sql match {
+    case Select(cols, _, where, groupBy) =>
+      val requested = splitTop(cols).map(parseColumn)
+      validate(requested)
+      // the engine keys off name+functions; single-metric (or wildcard)
+      // select lists translate directly
+      val metrics = requested.map(_.metric).distinct
+      val name = metrics match {
+        case Seq("*") => ""
+        case Seq(m) => m
+        case _ => "" // multi-metric: no name pushdown, engine groups by name
+      }
+      SelectParams(
+        name = name,
+        requestedColumns = requested,
+        functions = requested.map(_.function).filter(_.nonEmpty).distinct.mkString(","),
+        filter = Option(where).map(translateFilter).getOrElse(""),
+        groupBy = Option(groupBy).map(_.split(",").map(_.trim).mkString(",")).getOrElse(""))
+    case _ =>
+      throw new IllegalArgumentException(s"unsupported query: $sql")
+  }
+
+  /** Split a select list on top-level commas (not inside parens). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur += c
+    }
+    out += cur.result().trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  private val FuncCall = """(?s)(\w+)\s*\((.*)\)""".r
+  private val AliasRe = """(?is)(.*?)\s+as\s+(\w+)\s*""".r
+
+  /** One select item → RequestedColumn (sql_parser.go:104-150). */
+  private[sql] def parseColumn(item: String): RequestedColumn = {
+    val (bodyStr, alias) = item match {
+      case AliasRe(b, a) => (b.trim, a)
+      case other => (other.trim, "")
+    }
+    bodyStr match {
+      case FuncCall(fn, inner) if isInterp(fn) =>
+        val (metric, tol) = parseInterpArgs(inner)
+        RequestedColumn(metric = metric, alias = alias, interpolator = fn, tolerance = tol)
+      case FuncCall(fn, inner) =>
+        requireAggregate(fn)
+        inner.trim match {
+          case FuncCall(interp, iargs) if isInterp(interp) =>
+            val (metric, tol) = parseInterpArgs(iargs)
+            RequestedColumn(metric = metric, function = fn, alias = alias,
+              interpolator = interp, tolerance = tol)
+          case metric =>
+            RequestedColumn(metric = metric.trim, function = fn, alias = alias)
+        }
+      case metric => RequestedColumn(metric = metric, alias = alias)
+    }
+  }
+
+  private def isInterp(fn: String): Boolean =
+    Interpolation.Kinds.contains(fn.toLowerCase) || fn.equalsIgnoreCase("lin")
+
+  private def requireAggregate(fn: String): Unit = {
+    val base = SelectParams.stripAll(fn.toLowerCase)
+    if (!Aggregates.All.contains(base))
+      throw new IllegalArgumentException(s"unknown aggregate function '$fn'")
+  }
+
+  private def parseInterpArgs(args: String): (String, Long) =
+    splitTop(args) match {
+      case Seq(metric) => (metric.trim, 0L)
+      case Seq(metric, tol) =>
+        (metric.trim, graft.core.TimeUtil.parseDuration(tol.trim.stripPrefix("'").stripSuffix("'")))
+      case other =>
+        throw new IllegalArgumentException(s"bad interpolator args: $args")
+    }
+
+  /** Validation per sql_parser.go:178-198: no duplicate output columns,
+    * alias must not equal another column's metric name. */
+  private def validate(cols: Seq[RequestedColumn]): Unit = {
+    val keys = cols.map(c => (c.metric, c.function.toLowerCase))
+    if (keys.distinct.size != keys.size)
+      throw new IllegalArgumentException("duplicate column in select list")
+    val metrics = cols.map(_.metric).toSet
+    cols.foreach { c =>
+      if (c.alias.nonEmpty && metrics.contains(c.alias))
+        throw new IllegalArgumentException(s"alias '${c.alias}' conflicts with a metric name")
+    }
+  }
+
+  /** Rewrite the reference filter dialect to a Spark SQL predicate over
+    * the sample schema: bare identifiers → `labels['k']`, `__name__` →
+    * `name`, `starts(x, 'p')` → `startswith(x, 'p')`. String literals are
+    * left untouched. */
+  private[sql] def translateFilter(where: String): String = {
+    val token = """'[^']*'|"[^"]*"|==|!=|<=|>=|[A-Za-z_][A-Za-z0-9_.]*|.""".r
+    val keywords = Set("and", "or", "not", "true", "false", "in", "is", "null", "like")
+    val sb = new StringBuilder
+    val toks = token.findAllIn(where).toVector
+    toks.zipWithIndex.foreach { case (t, i) =>
+      val lower = t.toLowerCase
+      val isFuncCall = i + 1 < toks.length && toks(i + 1) == "("
+      if (t == "__name__") sb ++= "name"
+      else if (t.headOption.exists(c => c.isLetter || c == '_') &&
+               !keywords.contains(lower) && !isFuncCall) {
+        sb ++= s"labels['$t']"
+      } else if (lower == "starts" && isFuncCall) sb ++= "startswith"
+      else sb ++= t
+    }
+    sb.result()
+  }
+}

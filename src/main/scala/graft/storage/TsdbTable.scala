@@ -1,0 +1,184 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Labels
+import graft.query.{Aggregates, QueryEngine, SelectParams}
+
+/** Table configuration (reference `.schema` v4, `pkg/config/config.go:209-244`
+  * + `pkg/tsdb/schema/schema.go:39-134`). Intervals in ms. */
+case class TsdbConfig(
+    partitionIntervalMs: Long = 86400000L, // 1d partitions (dir-per-partition analog)
+    rollupIntervalMs: Long = 3600000L,     // 1h rollup granularity (rollupTime)
+    aggregates: Seq[String] = Rollup.DefaultAggregates,
+    // `CanAggregate` engagement: step/rollup must EXCEED this (reference
+    // useServerAggregateCoefficient, config.go:61)
+    useServerAggregateCoefficient: Int = 3,
+    lateArrivalMs: Long = 59 * 60000L)     // maxLateArrivalInterval, store.go:42
+
+/** A TSDB table on disk: raw samples + materialized rollup + names dim.
+  *
+  * Layout (SURVEY §1.6 — replaces the reference's KV items + `_v_` arrays):
+  * {{{
+  *   <path>/raw/part_start=<ms>/     raw samples, sorted (series_id, time)
+  *   <path>/rollup/part_start=<ms>/  partial aggregates per (series, bucket)
+  *   <path>/names/                   distinct metric names
+  * }}}
+  *
+  * Scale design: `part_start` partitioning gives time-range partition
+  * pruning (reference `PartsForRange`, `partmgr.go:313-321`); sorting
+  * within partitions by (series_id, time) gives parquet min/max row-group
+  * skipping on series predicates (the reference's sharding-key scans);
+  * the rollup table is the aggregate-pushdown target (A2). On a real
+  * cluster the same layout holds with files per executor — nothing here
+  * assumes a single writer except `SaveMode.Overwrite` of names.
+  */
+class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = TsdbConfig()) {
+
+  private val rawPath = s"$path/raw"
+  private val rollupPath = s"$path/rollup"
+  private val namesPath = s"$path/names"
+
+  private def partStart(time: org.apache.spark.sql.Column) =
+    (floor(time / lit(config.partitionIntervalMs)).cast("long") * lit(config.partitionIntervalMs))
+
+  /** Append a samples batch (`name, labels, time, value[, valueStr]`):
+    * derive identity columns, time-partition, sort within partitions
+    * (reference pending-list sort O2, `store.go:124-134`), and refresh the
+    * rollup + names for the touched partitions. */
+  def append(samples: DataFrame): Unit = {
+    val enriched = samples
+      .withColumn("valueStr",
+        if (samples.columns.contains("valueStr")) col("valueStr") else lit(null).cast("string"))
+      .withColumn("labels_str", Labels.canonical(col("labels")))
+      .withColumn("series_id", Labels.seriesId(col("name"), col("labels")))
+      .withColumn("part_start", partStart(col("time")))
+      .filter(col("time").between(graft.core.TimeUtil.MinTimeMs, graft.core.TimeUtil.MaxTimeMs))
+
+    enriched
+      .repartition(col("part_start"))
+      .sortWithinPartitions("series_id", "time")
+      .write.mode(SaveMode.Append).partitionBy("part_start").parquet(rawPath)
+
+    val touched = enriched.select("part_start").distinct()
+      .collect().map(_.getLong(0))
+    refreshRollup(touched)
+    refreshNames()
+  }
+
+  /** Recompute rollup partials for the given partitions from raw — the
+    * batch analog of the reference's ingest-time `_v_*` array updates
+    * (A1); dynamic partition overwrite touches only affected partitions. */
+  def refreshRollup(partitions: Seq[Long]): Unit = {
+    if (partitions.isEmpty) return
+    val raw = spark.read.parquet(rawPath)
+      .filter(col("part_start").isin(partitions: _*))
+    val roll = Rollup.build(raw, config.rollupIntervalMs, config.aggregates)
+      .withColumn("part_start", partStart(col("bucket_start")))
+    withDynamicOverwrite {
+      roll.write.mode(SaveMode.Overwrite).partitionBy("part_start").parquet(rollupPath)
+    }
+  }
+
+  /** Names dimension (reference names directory S9, `store.go:189-202`). */
+  def refreshNames(): Unit = {
+    val names = spark.read.parquet(rawPath).select("name").distinct()
+    names.coalesce(1).write.mode(SaveMode.Overwrite).parquet(namesPath)
+  }
+
+  private def withDynamicOverwrite[A](f: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try f finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  /** Raw table pruned to the queried partitions (partition pruning is a
+    * plain Catalyst partition filter — check `.explain` PartitionFilters). */
+  def readRaw(fromMs: Long, toMs: Long): DataFrame = {
+    val pLo = (fromMs / config.partitionIntervalMs) * config.partitionIntervalMs
+    spark.read.parquet(rawPath)
+      .filter(col("part_start").between(pLo, toMs))
+  }
+
+  def readRollup(): DataFrame = spark.read.parquet(rollupPath)
+
+  def names(): DataFrame = spark.read.parquet(namesPath).orderBy("name")
+
+  def countMetrics(): Long = spark.read.parquet(rawPath).count()
+
+  /** The aggregate-pushdown planner (reference `CanAggregate`,
+    * `aggregationParams.go:67-77` + mixed-mode/precision overrides,
+    * `select.go:206-248`): serve from the materialized rollup iff the
+    * rollup is coarse enough to help (step/rollup > coefficient), aligns
+    * (step divisible), covers the requested aggregates, the window (if
+    * any) is at least one rollup cell, and the query doesn't demand
+    * raw-only semantics (cross-series resampling, downsample, precise). */
+  def canServerAggregate(p: SelectParams): Boolean = {
+    val fns = p.baseFunctions
+    val step = p.effectiveStep
+    fns.nonEmpty &&
+      !p.isCrossSeries &&
+      !p.usePreciseAggregations &&
+      p.windows.isEmpty && p.aggregationWindow == 0 &&
+      step / config.rollupIntervalMs > config.useServerAggregateCoefficient &&
+      step % config.rollupIntervalMs == 0 &&
+      fns.flatMap(Aggregates.dependencies).forall(d =>
+        ("count" +: config.aggregates).contains(d))
+  }
+
+  /** Query entry point: plan rollup-vs-raw, then run the engine. */
+  def select(p: SelectParams): DataFrame =
+    if (canServerAggregate(p))
+      QueryEngine.serverAggregate(readRollup(), p, p.baseFunctions, config.rollupIntervalMs)
+    else
+      QueryEngine.select(readRaw(p.from, p.to), p)
+
+  /** Delete by time range (+ optional metric) — reference S11
+    * (`DeletePartitionsData`, `v3iotsdb.go:272-477`): whole partitions
+    * inside the range are dropped; boundary partitions are rewritten
+    * without the deleted rows; rollups of touched partitions rebuild.
+    * (Delta/Iceberg MERGE would do this transactionally in production —
+    * plain parquet rewrite keeps the same semantics single-writer.) */
+  def delete(fromMs: Long, toMs: Long, metric: String = ""): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(rawPath)
+    if (!fs.exists(base)) return
+    val parts = fs.listStatus(base).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("part_start="))
+      .map(p => p -> p.getName.stripPrefix("part_start=").toLong)
+
+    val metricPred = if (metric.isEmpty) lit(true) else col("name") === metric
+    def dropRollupPartition(start: Long): Unit = {
+      val r = new org.apache.hadoop.fs.Path(rollupPath, s"part_start=$start")
+      if (fs.exists(r)) fs.delete(r, true)
+    }
+    parts.foreach { case (dir, start) =>
+      val end = start + config.partitionIntervalMs - 1
+      val fullyCovered = fromMs <= start && end <= toMs && metric.isEmpty
+      if (fullyCovered) {
+        fs.delete(dir, true)
+        dropRollupPartition(start) // rollup must not outlive its raw partition
+      } else if (start <= toMs && fromMs <= end) {
+        val keep = spark.read.parquet(dir.toString)
+          .filter(!(col("time").between(fromMs, toMs) && metricPred))
+          .cache()
+        val rows = keep.count() // materialize before overwriting the source
+        val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".tmp_${dir.getName}")
+        keep.sortWithinPartitions("series_id", "time")
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        keep.unpersist()
+        fs.delete(dir, true)
+        if (rows > 0) fs.rename(tmp, dir)
+        else { fs.delete(tmp, true); dropRollupPartition(start) }
+      }
+    }
+    val touched = parts.collect {
+      case (_, start) if start <= toMs && fromMs <= start + config.partitionIntervalMs - 1 => start
+    }
+    val remaining = fs.exists(base) && fs.listStatus(base).nonEmpty
+    if (remaining) { refreshRollup(touched.filter(s => fs.exists(new org.apache.hadoop.fs.Path(base, s"part_start=$s")))); refreshNames() }
+  }
+}

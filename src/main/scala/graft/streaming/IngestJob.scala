@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.storage.TsdbTable
+
+/** Structured-Streaming ingestion (reference appender path, SURVEY §3.3:
+  * `MetricsCache` + goroutine loops + KV UpdateItem batching — all replaced
+  * by micro-batches + checkpointing).
+  *
+  * Semantics mapping:
+  *  - T1 out-of-order within window → event-time processing; the raw sink
+  *    sorts within partitions on write.
+  *  - T2 late-data bound → `withWatermark(59 minutes)` (the reference's
+  *    `maxLateArrivalInterval`, `store.go:42`).
+  *  - T3 duplicate policy → `dropDuplicatesWithinWatermark(series, time)`
+  *    (the reference drops `t <= _maxtime` unless OverrideOld,
+  *    `store.go:336-352`).
+  *  - T4 restart/exactly-once-ish → checkpointed offsets + idempotent-ish
+  *    partition rewrite of the rollup (the reference replays from
+  *    `_maxtime`; Delta/Iceberg would make the raw append transactional).
+  *  - A1 ingest-time rollup → recomputed per touched partition each batch.
+  */
+object IngestJob {
+
+  /** Start the ingest stream. `stream` must be a streaming DataFrame with
+    * columns (name, labels, time-ms long, value[, valueStr]) and an
+    * event-time timestamp column derivable from `time`. */
+  def start(stream: DataFrame, table: TsdbTable, checkpointDir: String,
+            overrideOld: Boolean = false): StreamingQuery = {
+    val withEventTime = stream
+      .withColumn("__event_time", timestamp_millis(col("time")))
+      .withWatermark("__event_time", s"${table.config.lateArrivalMs / 60000} minutes")
+    val deduped =
+      if (overrideOld) withEventTime // OverrideOld: accept rewrites (config.go:146-147)
+      else withEventTime
+        .withColumn("__series", graft.core.Labels.seriesId(col("name"), col("labels")))
+        .dropDuplicatesWithinWatermark("__series", "time")
+        .drop("__series")
+    deduped
+      .drop("__event_time")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) table.append(batch)
+      }
+      .start()
+  }
+}

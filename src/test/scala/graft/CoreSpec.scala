@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Labels, TimeUtil}
+import graft.query.{Aggregates, SelectParams}
+
+/** Pure-logic units (mirrors reference layer-1 tests: `timeutils_test.go`,
+  * `labels` tests, `aggregate_test.go` planning parts). */
+class TimeUtilSpec extends AnyFunSuite {
+  test("durations: s/m/h/d and bare-number-is-hours (timeutils.go:42)") {
+    assert(TimeUtil.parseDuration("90s") == 90000L)
+    assert(TimeUtil.parseDuration("5m") == 300000L)
+    assert(TimeUtil.parseDuration("2h") == 7200000L)
+    assert(TimeUtil.parseDuration("1d") == 86400000L)
+    assert(TimeUtil.parseDuration("3") == 3 * 3600000L)
+    intercept[IllegalArgumentException](TimeUtil.parseDuration("10x"))
+    intercept[IllegalArgumentException](TimeUtil.parseDuration("-5m"))
+  }
+
+  test("times: now/now±d/unix-ms/RFC3339 (timeutils.go:80-112)") {
+    val now = 1700000000000L
+    assert(TimeUtil.parseTime("now", now) == now)
+    assert(TimeUtil.parseTime("now-2h", now) == now - 7200000L)
+    assert(TimeUtil.parseTime("now+30m", now) == now + 1800000L)
+    assert(TimeUtil.parseTime("1704067200000", now) == 1704067200000L)
+    assert(TimeUtil.parseTime("2024-01-01T00:00:00Z", now) == 1704067200000L)
+  }
+
+  test("valid sample times: 1970..2400 (appender.go:42-43)") {
+    assert(TimeUtil.isValidTime(0L))
+    assert(TimeUtil.isValidTime(1704067200000L))
+    assert(!TimeUtil.isValidTime(-1L))
+    assert(!TimeUtil.isValidTime(TimeUtil.MaxTimeMs + 1))
+  }
+}
+
+class LabelsSpec extends AnyFunSuite {
+  test("canonical serialization sorts keys (labels.go:73-95)") {
+    assert(Labels.canonicalStr(Map("z" -> "1", "a" -> "2")) == "a=2,z=1")
+    assert(Labels.canonicalStr(Map.empty) == "")
+  }
+
+  test("metric name validation (validators.go)") {
+    assert(Labels.isValidMetricName("cpu_usage:total"))
+    assert(Labels.isValidMetricName("_internal"))
+    assert(!Labels.isValidMetricName("1cpu"))
+    assert(!Labels.isValidMetricName(""))
+    assert(!Labels.isValidMetricName("cpu usage"))
+  }
+}
+
+class AggregatesSpec extends AnyFunSuite {
+  test("virtual-aggregate dependencies (select.go:447-481)") {
+    assert(Aggregates.dependencies("avg") == Seq("count", "sum"))
+    assert(Aggregates.dependencies("stddev") == Seq("count", "sum", "sqr"))
+    assert(Aggregates.dependencies("rate") == Seq("last"))
+    intercept[IllegalArgumentException](Aggregates.dependencies("median"))
+  }
+
+  test("requiredPartials always includes count (aggregate.go:151-173)") {
+    assert(Aggregates.requiredPartials(Seq("max")) == Seq("count", "max"))
+    assert(Aggregates.requiredPartials(Seq("avg")).toSet == Set("count", "sum"))
+    assert(Aggregates.requiredPartials(Seq("stdvar", "last")).toSet ==
+      Set("count", "sum", "sqr", "last"))
+  }
+}
+
+class SelectParamsSpec extends AnyFunSuite {
+  test("cross-series detection and _all/plain mixing rejection (select.go:427-443)") {
+    assert(SelectParams(functions = "sum_all,count_all").isCrossSeries)
+    assert(!SelectParams(functions = "sum,count").isCrossSeries)
+    intercept[IllegalArgumentException](
+      SelectParams(functions = "sum_all,count").isCrossSeries)
+  }
+
+  test("step=0 with functions spans the whole range (select.go:82-84)") {
+    val p = SelectParams(functions = "sum", from = 100L, to = 600L)
+    assert(p.effectiveStep == 500L)
+    assert(SelectParams(from = 1, to = 2).effectiveStep == 0L)
+  }
+}

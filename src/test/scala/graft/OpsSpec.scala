@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("shingles: k-grams, distinct, short-doc empty") {
+    val sh = docs((1L, "a b c d"), (2L, "a b"), (3L, "x x x x"))
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+    assert(sh(3L) == Seq("x x x")) // distinct
+  }
+
+  test("exact groups: same normalized text collapses, keep min id") {
+    val g = Dedup.exactGroups(
+      docs((5L, "Hello  world"), (3L, "hello world"), (9L, "different")),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(g.toSet == Set((2L, 3L), (1L, 9L))) // (cnt, keep_id)
+  }
+
+  test("brute-force and LSH find the planted near-dup; LSH == brute here") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (3L, "completely unrelated text about spark query engines and joins"))
+    val brute = Dedup.jaccardPairsBrute(d, "doc_id", "text", 3, 0.5).collect()
+    assert(brute.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(brute.head.getDouble(2) > 0.5)
+    val lsh = Dedup.minHashLshPairs(d, "doc_id", "text", 3, 0.5).collect()
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      brute.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("simhash: identical docs at distance 0, near docs close, banding finds them") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // one token off
+      (4L, "one two three four five six seven eight"))
+    val pairs = Dedup.simHashPairs(d, "doc_id", "text", maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    // with only 8 tokens a one-token change flips many vote signs — just
+    // assert every reported pair honors the distance bound
+    assert(pairs.values.forall(_ <= 16))
+    assert(pairs.get((1L, 3L)).forall(_ > 0))
+  }
+
+  test("LSH on driver documents equals brute force (planted near-dups)") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val brute = Dedup.jaccardPairsBrute(d, "doc_id", "text", 3, 0.5).collect()
+    val lsh = Dedup.minHashLshPairs(d, "doc_id", "text", 3, 0.5).collect()
+    assert(brute.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh.map(_.toSeq).toSeq == brute.map(_.toSeq).toSeq)
+  }
+}
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine: known vectors") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(df(0)) < 1e-12)
+    assert(math.abs(df(1) - 1.0) < 1e-12)
+    assert(math.abs(df(2) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: correct neighbors, self excluded, rank ordered") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = Similarity.bruteForceTopK(e, q, 4).collect()
+    assert(out.length == 12)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+      assert(!rows.map(_.getLong(1)).contains(qid)) // self excluded
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF top-k reaches reasonable recall vs brute force") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, q, 5, nCentroids = 16, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall too low even for nProbe=8/16")
+    assert(ivf.size == brute.size)
+  }
+}
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokenizers: whitespace and BPE-ish") {
+    val r = Seq(("hello world, it's 42 degrees!", 0))
+      .toDF("text", "x")
+      .select(size(TextAnalysis.tokens(col("text"))).as("ws"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
+      .collect().head
+    assert(r.getInt(0) == 5)
+    // hello|world|,|it|'|s|42|degrees|! = 9
+    assert(r.getInt(1) == 9)
+  }
+
+  test("langId: stopword argmax with deterministic tie priority") {
+    val out = Seq("the cat and the dog is here", "el gato y la casa que es",
+      "der hund und die katze ist", "xyzzy plugh")
+      .toDF("text").select(TextAnalysis.langId(col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "es", "de", "unknown"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val fps = Seq("A  b\tc", "a b c", "a b d").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(1) != fps(2))
+  }
+}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("blob table + stub decode: schema, determinism, feature range") {
+    val docs = Seq((1L, "abcdefgh" * 8), (2L, "zzzz")).toDF("doc_id", "text")
+    val blobs = Multimodal.asBlobTable(docs, "doc_id", "text")
+    assert(blobs.schema.fieldNames.toSeq == Seq("doc_id", "blob", "meta"))
+    assert(blobs.schema("blob").dataType.typeName == "binary")
+    val f1 = Multimodal.stubDecodeFeatures(blobs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1(1L).length == Multimodal.FeatureDim)
+    assert(f1(1L).forall(v => v >= 0f && v <= 1f))
+    val f2 = Multimodal.stubDecodeFeatures(blobs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f2) // deterministic
+  }
+}

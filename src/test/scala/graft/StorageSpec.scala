@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.query.SelectParams
+import graft.sql.TsdbSql
+import graft.storage.{TsdbConfig, TsdbTable}
+
+class TsdbTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Base = 1704067200000L // day-aligned
+
+  private def samples(rows: (String, String, Long, Double)*): DataFrame =
+    rows.toSeq.toDF("name", "host", "time", "value")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"),
+        col("time"), col("value"))
+
+  private def mkTable(rollupMs: Long = 3600000L): TsdbTable = {
+    val dir = Files.createTempDirectory("tsdb").toString
+    new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = rollupMs))
+  }
+
+  test("append/read roundtrip with partition pruning") {
+    val t = mkTable()
+    t.append(samples(
+      ("cpu", "a", Base + 1000, 1.0),
+      ("cpu", "a", Base + 86400000L + 1000, 2.0),      // day 2
+      ("cpu", "a", Base + 5 * 86400000L + 1000, 3.0))) // day 6
+    assert(t.countMetrics() == 3)
+    val pruned = t.readRaw(Base, Base + 86400000L)
+    assert(pruned.count() == 2)
+    // partition pruning visible in the physical plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(t.names().collect().map(_.getString(0)).toSeq == Seq("cpu"))
+  }
+
+  test("planner: server aggregate iff step/rollup > coefficient and covered (aggregationParams.go:67-77)") {
+    val t = mkTable(rollupMs = 3600000L)
+    // 1d step / 1h rollup = 24 > 3 → server
+    assert(t.canServerAggregate(SelectParams(name = "m", functions = "sum",
+      from = Base, to = Base + 86400000L, step = 86400000L)))
+    // 2h step / 1h rollup = 2 <= 3 → raw
+    assert(!t.canServerAggregate(SelectParams(name = "m", functions = "sum",
+      from = Base, to = Base + 86400000L, step = 7200000L)))
+    // cross-series forces raw (resampling semantics)
+    assert(!t.canServerAggregate(SelectParams(name = "m", functions = "sum_all",
+      from = Base, to = Base + 86400000L, step = 86400000L)))
+    // precision escape hatch (querier.go:172-175)
+    assert(!t.canServerAggregate(SelectParams(name = "m", functions = "sum",
+      from = Base, to = Base + 86400000L, step = 86400000L,
+      usePreciseAggregations = true)))
+    // raw query / downsample → raw
+    assert(!t.canServerAggregate(SelectParams(name = "m", from = Base,
+      to = Base + 86400000L, step = 86400000L)))
+  }
+
+  test("select: server path equals raw path on the same data") {
+    val t = mkTable(rollupMs = 60000L)
+    t.append(samples((1 to 50).map(i =>
+      ("cpu", if (i % 2 == 0) "a" else "b", Base + i * 60000L, i.toDouble)): _*))
+    val p = SelectParams(name = "cpu", functions = "count,sum,min,max,avg",
+      from = Base, to = Base + 3600000L, step = 600000L) // 10m step / 1m rollup
+    assert(t.canServerAggregate(p))
+    val server = t.select(p).collect().map(_.toSeq).toSet
+    val raw = graft.query.QueryEngine.select(t.readRaw(p.from, p.to), p)
+      .collect().map(_.toSeq).toSet
+    assert(server == raw && server.nonEmpty)
+  }
+
+  test("delete: whole-partition drop + boundary rewrite + rollup rebuild (v3iotsdb.go:272-477)") {
+    val t = mkTable()
+    val day = 86400000L
+    t.append(samples(
+      ("cpu", "a", Base + 1, 1.0), ("cpu", "a", Base + 2, 2.0),
+      ("cpu", "a", Base + day + 1, 3.0),
+      ("cpu", "a", Base + 2 * day + 1, 4.0)))
+    // delete day 2 fully and the first half of day 1
+    t.delete(Base + 2, Base + 2 * day - 1)
+    val left = t.readRaw(0, Long.MaxValue / 2).select("time").collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(Base + 1, Base + 2 * day + 1))
+    // rollup reflects the delete
+    val roll = t.readRollup().agg(sum("__p_count")).collect().head.getDouble(0)
+    assert(roll == 2.0)
+  }
+}
+
+class TsdbSqlSpec extends SparkSuite {
+  test("aggregate select with where and group by (sql_parser_test.go)") {
+    val p = TsdbSql.parse(
+      "select max(cpu), avg(cpu) as mean from tsdb where os=='win' group by host")
+    assert(p.name == "cpu")
+    assert(p.functions.split(",").toSet == Set("max", "avg"))
+    assert(p.filter == "labels['os']=='win'")
+    assert(p.groupBy == "host")
+    assert(p.requestedColumns.map(_.alias) == Seq("", "mean"))
+  }
+
+  test("interpolators, nested and bare, with tolerance") {
+    val p = TsdbSql.parse("select max(prev_val(cpu, '1h')) from t")
+    val c = p.requestedColumns.head
+    assert(c.function == "max" && c.interpolator == "prev_val" && c.tolerance == 3600000L)
+    val p2 = TsdbSql.parse("select next_val(cpu) from t")
+    assert(p2.requestedColumns.head.interpolator == "next_val")
+    assert(p2.functions.isEmpty)
+  }
+
+  test("wildcard, filter rewrites (__name__, starts), validation errors") {
+    assert(TsdbSql.parse("select * from t").name == "")
+    val p = TsdbSql.parse("select cpu from t where starts(__name__, 'cp') and os != 'win'")
+    assert(p.filter == "startswith(name, 'cp') and labels['os'] != 'win'")
+    intercept[IllegalArgumentException](TsdbSql.parse("select median(cpu) from t"))
+    intercept[IllegalArgumentException](TsdbSql.parse("select max(cpu), max(cpu) from t"))
+    intercept[IllegalArgumentException](TsdbSql.parse("select avg(cpu) as cpu, cpu from t"))
+  }
+
+  test("sql → engine end-to-end on a tiny table") {
+    import spark.implicits._
+    val df = Seq(("cpu", "w", 1000L, 1.0), ("cpu", "w", 2000L, 3.0), ("cpu", "l", 1500L, 9.0))
+      .toDF("name", "os", "time", "value")
+      .select(col("name"), map(lit("os"), col("os")).as("labels"), col("time"),
+        col("value"), lit(null).cast("string").as("valueStr"))
+    val p = TsdbSql.parse("select sum(cpu) from tsdb where os=='w'")
+      .copy(from = 0L, to = 10000L, step = 10000L)
+    val out = graft.query.QueryEngine.select(df, p.copy(functions = "sum")).collect()
+    assert(out.length == 1 && out.head.getDouble(3) == 4.0)
+  }
+}
+
+class IngestJobSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming ingest: micro-batches land in raw+rollup+names; dup rows deduped") {
+    val dir = Files.createTempDirectory("ingest").toString
+    val table = new TsdbTable(spark, s"$dir/table")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Long, Double)]
+    val stream = mem.toDF().toDF("name", "host", "time", "value")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"),
+        col("time"), col("value"))
+    val q = graft.streaming.IngestJob.start(stream, table, s"$dir/ckpt")
+    try {
+      val Base = 1704067200000L
+      mem.addData(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0),
+        ("cpu", "a", Base + 2000, 2.0)) // exact duplicate row
+      q.processAllAvailable()
+      mem.addData(("mem", "b", Base + 3000, 5.0))
+      q.processAllAvailable()
+      assert(table.countMetrics() == 3) // dup dropped
+      assert(table.names().collect().map(_.getString(0)).toSeq == Seq("cpu", "mem"))
+      val roll = table.readRollup()
+      assert(roll.agg(sum("__p_count")).collect().head.getDouble(0) == 3.0)
+      assert(roll.agg(sum("__p_sum")).collect().head.getDouble(0) == 8.0)
+    } finally q.stop()
+  }
+}
