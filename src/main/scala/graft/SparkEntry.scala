@@ -40,6 +40,20 @@ object SparkEntry {
   private def r6(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 6)))
 
+  /** One TsdbTable per (JVM, sfDir) built from the events samples —
+    * exercises the real storage path (append → rollup → planner). */
+  private val tables = scala.collection.concurrent.TrieMap.empty[String, Tsdb]
+  private type Tsdb = graft.storage.TsdbTable
+  private def storedTable(s: SparkSession, dir: String): Tsdb =
+    tables.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_tbl").toString
+      val t = new graft.storage.TsdbTable(s, path,
+        graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+          preAggregates = Seq(Seq("user"))))
+      t.append(Samples.fromEvents(s, dir).drop("valueStr"))
+      t
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -169,6 +183,34 @@ object SparkEntry {
           (lit(F) + floor((col("time") - F) / Day).cast("long") * Day).as("t"))
         .agg(max_by(col("valueStr"), col("time")).as("last_str"))
         .orderBy("name", "labels_str", "t")
+    }),
+
+    // ---------------------------------------------------------------- §2.11
+    // reference SQL dialect → SelectParams → engine
+    "tsdb_sql" -> ((s, dir) => {
+      val p = graft.sql.TsdbSql
+        .parse("select count(purchase), max(purchase), avg(purchase) from tsdb where user == '42'")
+        .copy(from = F, to = T, step = 7 * Day)
+      r6(QueryEngine.select(Samples.fromEvents(s, dir), p), Seq("max", "avg"))
+    }),
+
+    // -------------------------------------------------------- storage + A1/A2/A7
+    // full storage path: append → partitioned raw + rollup → planner picks
+    // the materialized rollup (CanAggregate) → partial-merge aggregation
+    "tsdb_storage_agg" -> ((s, dir) => {
+      val t = storedTable(s, dir)
+      val out = t.select(SelectParams(name = "signup", functions = "count,sum,min,max,avg",
+        from = F, to = T, step = Day))
+      r6(out, Seq("sum", "min", "max", "avg"))
+    }),
+
+    // pre-aggregate cross-label table: GroupBy matches the materialized
+    // label subset exactly (select.go:261-283)
+    "tsdb_storage_preagg" -> ((s, dir) => {
+      val t = storedTable(s, dir)
+      val out = t.select(SelectParams(functions = "count,sum", groupBy = "user",
+        from = F, to = T, step = 7 * Day))
+      r6(out, Seq("sum"))
     }),
 
     // ============================================================
@@ -475,6 +517,36 @@ object SparkEntry {
          |                  epoch_ns(ts) // 1000000 AS tt, props AS vs FROM events)
          |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
          |       max_by(vs, tt) AS last_str
+         |FROM s WHERE tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tsdb_sql" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT name, labels_str, $F + (tt - $F) // ${7 * Day} * ${7 * Day} AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(max(v), 6) AS "max",
+         |  round(sum(v) / count(v), 6) AS avg
+         |FROM s
+         |WHERE name = 'purchase' AND labels_str = 'user=42' AND tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tsdb_storage_agg" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum",
+         |  round(min(v), 6) AS "min",
+         |  round(max(v), 6) AS "max",
+         |  round(sum(v) / count(v), 6) AS avg
+         |FROM s WHERE name = 'signup' AND tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tsdb_storage_preagg" ->
+      s"""WITH s AS (SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |                  epoch_ns(ts) // 1000000 AS tt, value AS v FROM events)
+         |SELECT name, "user", $F + (tt - $F) // ${7 * Day} * ${7 * Day} AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum"
          |FROM s WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 

@@ -1,0 +1,135 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{SchemaJson, TimeUtil}
+import graft.io.Formatters
+import graft.query.{QueryEngine, SelectParams}
+import graft.sql.TsdbSql
+import graft.storage.{TsdbConfig, TsdbTable}
+
+/** tsdbctl-equivalent CLI (reference `pkg/tsdbctl/` — create/add/query/
+  * delete/info with the same flag vocabulary).
+  *
+  * {{{
+  * graft.cli.Main create -t /path [--rollup 1h] [--aggregates count,sum,...]
+  * graft.cli.Main add    -t /path <metric> [k1=v1,k2=v2] -d v1[:v2..] [-m t1[:t2..]]
+  * graft.cli.Main add    -t /path -f samples.csv
+  * graft.cli.Main query  -t /path [<sql> | -n metric -a funcs] \
+  *                       [-b from] [-e to] [-i step] [-f filter] [-o text|csv|json]
+  * graft.cli.Main delete -t /path -b from -e to [-n metric]
+  * graft.cli.Main info   -t /path
+  * }}}
+  */
+object Main {
+
+  private def flags(args: Seq[String]): (Map[String, String], Seq[String]) = {
+    val m = Map.newBuilder[String, String]
+    val pos = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("-") && a.length > 1 && !a.drop(1).forall(_.isDigit)) {
+        val v = if (i + 1 < args.length && !args(i + 1).startsWith("--")) { i += 1; args(i) } else ""
+        m += a.replaceAll("^-+", "") -> v
+      } else pos += a
+      i += 1
+    }
+    (m.result(), pos.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: <create|add|query|delete|info> -t <table> ..."); sys.exit(2) }
+    val cmd = args.head
+    val (f, pos) = flags(args.tail.toSeq)
+    val tablePath = f.getOrElse("t", sys.error("missing -t <table-path>"))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(cmd, spark, tablePath, f, pos)
+    finally spark.stop()
+  }
+
+  private def table(spark: SparkSession, path: String): TsdbTable =
+    new TsdbTable(spark, path, SchemaJson.read(path).getOrElse(TsdbConfig()))
+
+  private[graft] def run(cmd: String, spark: SparkSession, tablePath: String,
+                         f: Map[String, String], pos: Seq[String]): Unit = cmd match {
+    case "create" =>
+      val cfg = TsdbConfig(
+        rollupIntervalMs = f.get("rollup").map(TimeUtil.parseDuration).getOrElse(3600000L),
+        partitionIntervalMs = f.get("partition").map(TimeUtil.parseDuration).getOrElse(86400000L),
+        aggregates = f.get("aggregates").map(_.split(",").toSeq)
+          .getOrElse(graft.storage.Rollup.DefaultAggregates),
+        preAggregates = f.get("pre-aggregates").map(_.split(";").toSeq.map(_.split(",").toSeq))
+          .getOrElse(Nil))
+      SchemaJson.write(tablePath, cfg)
+      println(s"created table at $tablePath")
+
+    case "add" =>
+      val t = table(spark, tablePath)
+      val now = System.currentTimeMillis()
+      val df = f.get("f") match {
+        case Some(csv) => graft.ingest.CsvSource.read(spark, csv, now)
+        case None =>
+          val metric = pos.headOption.getOrElse(sys.error("missing metric name"))
+          val labels = pos.drop(1).headOption.getOrElse("")
+          import spark.implicits._
+          graft.ingest.CsvSource.fromColumns(
+            Seq((metric, labels, f.getOrElse("d", sys.error("missing -d <value>")),
+              f.getOrElse("m", ""))).toDF("name", "labels", "value", "time"), now)
+      }
+      t.append(df)
+      println(s"appended ${df.count()} samples")
+
+    case "query" =>
+      val t = table(spark, tablePath)
+      val now = System.currentTimeMillis()
+      val base = pos.headOption.filter(_.toLowerCase.startsWith("select"))
+        .map(TsdbSql.parse)
+        .getOrElse(SelectParams(name = f.getOrElse("n", ""), functions = f.getOrElse("a", "")))
+      val p = base.copy(
+        from = f.get("b").map(TimeUtil.parseTime(_, now)).getOrElse(now - TimeUtil.MillisInHour),
+        to = f.get("e").map(TimeUtil.parseTime(_, now)).getOrElse(now),
+        step = f.get("i").map(TimeUtil.parseDuration).getOrElse(base.step),
+        filter = if (base.filter.nonEmpty) base.filter else f.getOrElse("f", ""),
+        aggregationWindow = f.get("w").map(TimeUtil.parseDuration).getOrElse(0L))
+      val wide = t.select(p)
+      val fns = p.baseFunctions
+      val out =
+        if (fns.nonEmpty) {
+          val keys = wide.columns.takeWhile(c => c != "t")
+          QueryEngine.toSeriesSet(wide, keys.toSeq, fns)
+        } else wide
+      f.getOrElse("o", "text") match {
+        case "csv" => print(Formatters.csv(out))
+        case "json" => println(Formatters.json(out))
+        case _ => print(Formatters.text(out))
+      }
+
+    case "delete" =>
+      val t = table(spark, tablePath)
+      val now = System.currentTimeMillis()
+      t.delete(
+        f.get("b").map(TimeUtil.parseTime(_, now)).getOrElse(0L),
+        f.get("e").map(TimeUtil.parseTime(_, now)).getOrElse(now),
+        f.getOrElse("n", ""))
+      println("deleted")
+
+    case "info" =>
+      val t = table(spark, tablePath)
+      println(s"table: $tablePath")
+      println(s"config: ${t.config}")
+      println(s"samples: ${t.countMetrics()}")
+      println(s"metrics: ${t.names().collect().map(_.getString(0)).mkString(", ")}")
+
+    case other => sys.error(s"unknown command '$other'")
+  }
+}

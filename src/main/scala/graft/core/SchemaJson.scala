@@ -1,0 +1,60 @@
+package graft.core
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.storage.TsdbConfig
+
+/** Persisted table schema (reference `.schema` v4 JSON,
+  * `pkg/config/config.go:209-244`; created from rate/granularity by
+  * `schema.NewSchema`, `pkg/tsdb/schema/schema.go:39-134`).
+  *
+  * Minimal JSON round-trip without external deps: the config is flat. */
+object SchemaJson {
+
+  val FileName = ".schema"
+
+  def write(tablePath: String, c: TsdbConfig): Unit = {
+    val preAgg = c.preAggregates
+      .map(_.map(l => s""""$l"""").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val json =
+      s"""{
+         |  "version": 4,
+         |  "partitionIntervalMs": ${c.partitionIntervalMs},
+         |  "rollupIntervalMs": ${c.rollupIntervalMs},
+         |  "aggregates": ${c.aggregates.map(a => s""""$a"""").mkString("[", ",", "]")},
+         |  "useServerAggregateCoefficient": ${c.useServerAggregateCoefficient},
+         |  "lateArrivalMs": ${c.lateArrivalMs},
+         |  "preAggregates": $preAgg
+         |}""".stripMargin
+    Files.createDirectories(Paths.get(tablePath))
+    Files.writeString(Paths.get(tablePath, FileName), json,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  def read(tablePath: String): Option[TsdbConfig] = {
+    val p = Paths.get(tablePath, FileName)
+    if (!Files.exists(p)) return None
+    val s = Files.readString(p)
+    def long(k: String, dflt: Long): Long =
+      s"""\"$k\"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(dflt)
+    def strList(src: String): Seq[String] =
+      "\"([^\"]+)\"".r.findAllMatchIn(src).map(_.group(1)).toSeq
+    val aggs = s"""\"aggregates\"\\s*:\\s*(\\[[^\\]]*\\])""".r
+      .findFirstMatchIn(s).map(m => strList(m.group(1)))
+    val preAgg = s"""\"preAggregates\"\\s*:\\s*(\\[.*?\\]\\])""".r
+      .findFirstMatchIn(s)
+      .map(m => "\\[([^\\[\\]]*)\\]".r.findAllMatchIn(m.group(1))
+        .map(mm => strList(mm.group(1))).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val d = TsdbConfig()
+    Some(TsdbConfig(
+      partitionIntervalMs = long("partitionIntervalMs", d.partitionIntervalMs),
+      rollupIntervalMs = long("rollupIntervalMs", d.rollupIntervalMs),
+      aggregates = aggs.getOrElse(d.aggregates),
+      useServerAggregateCoefficient = long("useServerAggregateCoefficient",
+        d.useServerAggregateCoefficient).toInt,
+      lateArrivalMs = long("lateArrivalMs", d.lateArrivalMs),
+      preAggregates = preAgg))
+  }
+}

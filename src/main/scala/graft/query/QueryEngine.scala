@@ -311,17 +311,21 @@ object QueryEngine {
       rollup: DataFrame,
       p: SelectParams,
       fns: Seq[String],
-      rollupIntervalMs: Long): DataFrame = {
+      rollupIntervalMs: Long,
+      keyNames: Seq[String] = Nil): DataFrame = {
     val step = p.effectiveStep
     val median = col("bucket_start") + lit(rollupIntervalMs / 2)
     val cell = floor((median - lit(p.from)) / lit(step.toDouble)).cast("long")
     val maxCell = (p.to - p.from) / step
-    val keys = // rollup rows carry labels_str, not the map — parse on demand
-      if (p.groupByLabels.nonEmpty)
+    val keys: Seq[(String, Column)] =
+      if (keyNames.nonEmpty) keyNames.map(k => k -> col(k)) // pre-agg table: keys materialized
+      else if (p.groupByLabels.nonEmpty) // series rollup: parse labels_str on demand
         ("name" -> col("name")) +: p.groupByLabels.map(k => k -> Labels.parse(col("labels_str")).getItem(k))
       else Seq("name" -> col("name"), "labels_str" -> col("labels_str"))
     val keyCols = keys.map { case (n, c) => c.as(n) }
     var df = rollup
+    if (df.columns.contains("labels_str") && !df.columns.contains("labels"))
+      df = df.withColumn("labels", Labels.parse(col("labels_str"))) // for label filters
     if (p.name.nonEmpty) df = df.filter(col("name") === p.name)
     if (p.filter.nonEmpty) df = df.filter(expr(p.filter))
     val partials = Aggregates.requiredPartials(fns)

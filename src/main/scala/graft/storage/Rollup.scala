@@ -25,22 +25,37 @@ object Rollup {
   /** All six raw partials — what `schema.NewSchema` defaults to materializing. */
   val DefaultAggregates: Seq[String] = Aggregates.RawAggregates
 
-  /** Build the rollup table from a samples DataFrame
-    * (`name, labels, time, value, ...`). One shuffle on
-    * (series, bucket) with map-side combine. */
+  /** Build a rollup table from a samples DataFrame
+    * (`name, labels, time, value, ...`). One shuffle on (keys, bucket)
+    * with map-side combine.
+    *
+    * @param keys grouping identity; default = full series
+    *             (name, labels_str). Pre-aggregate cross-label tables (A7,
+    *             reference `config.PreAggregate` + `appender.go:219-231`)
+    *             pass name + a label SUBSET instead — the materialized
+    *             GroupBy rollup the query planner matches against.
+    */
   def build(samples: DataFrame, rollupIntervalMs: Long,
-            aggregates: Seq[String] = DefaultAggregates): DataFrame = {
+            aggregates: Seq[String] = DefaultAggregates,
+            keys: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
     val v = QueryEngine.cleanValue(col("value"))
     val bucket = (floor(col("time") / lit(rollupIntervalMs)).cast("long") * lit(rollupIntervalMs))
       .as("bucket_start")
     val withLs =
       if (samples.columns.contains("labels_str")) samples
       else samples.withColumn("labels_str", graft.core.Labels.canonical(col("labels")))
+    val keyCols =
+      if (keys.nonEmpty) keys.map { case (n, c) => c.as(n) }
+      else Seq(col("name"), col("labels_str"))
     val partials = ("count" +: aggregates).distinct
     withLs
-      .groupBy(col("name"), col("labels_str"), bucket)
+      .groupBy(keyCols :+ bucket: _*)
       .agg(
         Aggregates.partialExpr(partials.head, v, col("time")).as("__p_" + partials.head),
         partials.tail.map(f => Aggregates.partialExpr(f, v, col("time")).as("__p_" + f)): _*)
   }
+
+  /** Key spec for a pre-aggregate (cross-label) rollup over a label subset. */
+  def preAggKeys(labelSubset: Seq[String]): Seq[(String, org.apache.spark.sql.Column)] =
+    ("name" -> col("name")) +: labelSubset.map(k => k -> col("labels").getItem(k))
 }

@@ -15,7 +15,10 @@ case class TsdbConfig(
     // `CanAggregate` engagement: step/rollup must EXCEED this (reference
     // useServerAggregateCoefficient, config.go:61)
     useServerAggregateCoefficient: Int = 3,
-    lateArrivalMs: Long = 59 * 60000L)     // maxLateArrivalInterval, store.go:42
+    lateArrivalMs: Long = 59 * 60000L,     // maxLateArrivalInterval, store.go:42
+    // pre-aggregate cross-label rollups (A7, config.PreAggregate,
+    // config.go:203-207): one extra materialized rollup per label subset
+    preAggregates: Seq[Seq[String]] = Nil)
 
 /** A TSDB table on disk: raw samples + materialized rollup + names dim.
   *
@@ -67,17 +70,27 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     refreshNames()
   }
 
+  private def preAggPath(subset: Seq[String]): String =
+    s"$path/rollup_agg/${subset.mkString("_")}"
+
   /** Recompute rollup partials for the given partitions from raw — the
     * batch analog of the reference's ingest-time `_v_*` array updates
-    * (A1); dynamic partition overwrite touches only affected partitions. */
+    * (A1); dynamic partition overwrite touches only affected partitions.
+    * Also refreshes the configured pre-aggregate cross-label tables (A7). */
   def refreshRollup(partitions: Seq[Long]): Unit = {
     if (partitions.isEmpty) return
     val raw = spark.read.parquet(rawPath)
       .filter(col("part_start").isin(partitions: _*))
-    val roll = Rollup.build(raw, config.rollupIntervalMs, config.aggregates)
-      .withColumn("part_start", partStart(col("bucket_start")))
-    withDynamicOverwrite {
-      roll.write.mode(SaveMode.Overwrite).partitionBy("part_start").parquet(rollupPath)
+    def writeRollup(df: DataFrame, out: String): Unit = withDynamicOverwrite {
+      df.withColumn("part_start", partStart(col("bucket_start")))
+        .write.mode(SaveMode.Overwrite).partitionBy("part_start").parquet(out)
+    }
+    writeRollup(Rollup.build(raw, config.rollupIntervalMs, config.aggregates), rollupPath)
+    config.preAggregates.foreach { subset =>
+      writeRollup(
+        Rollup.build(raw, config.rollupIntervalMs, config.aggregates,
+          keys = Rollup.preAggKeys(subset)),
+        preAggPath(subset))
     }
   }
 
@@ -128,12 +141,27 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         ("count" +: config.aggregates).contains(d))
   }
 
-  /** Query entry point: plan rollup-vs-raw, then run the engine. */
-  def select(p: SelectParams): DataFrame =
-    if (canServerAggregate(p))
-      QueryEngine.serverAggregate(readRollup(), p, p.baseFunctions, config.rollupIntervalMs)
-    else
+  /** Pre-aggregate table usable iff the GroupBy matches a configured label
+    * subset EXACTLY (reference `select.go:261-283`) and the filter doesn't
+    * reference labels outside it (the table only materializes the subset). */
+  private def matchingPreAgg(p: SelectParams): Option[Seq[String]] =
+    config.preAggregates.find(_.toSet == p.groupByLabels.toSet)
+      .filter(_ => p.filter.isEmpty || !p.filter.contains("labels["))
+
+  /** Query entry point: plan pre-agg / rollup / raw, then run the engine. */
+  def select(p: SelectParams): DataFrame = {
+    val preAgg = if (p.groupByLabels.nonEmpty) matchingPreAgg(p) else None
+    if (canServerAggregate(p) && (p.groupByLabels.isEmpty || preAgg.isDefined)) {
+      preAgg match {
+        case Some(subset) =>
+          QueryEngine.serverAggregate(spark.read.parquet(preAggPath(subset)), p,
+            p.baseFunctions, config.rollupIntervalMs, keyNames = "name" +: subset)
+        case None =>
+          QueryEngine.serverAggregate(readRollup(), p, p.baseFunctions, config.rollupIntervalMs)
+      }
+    } else
       QueryEngine.select(readRaw(p.from, p.to), p)
+  }
 
   /** Delete by time range (+ optional metric) — reference S11
     * (`DeletePartitionsData`, `v3iotsdb.go:272-477`): whole partitions

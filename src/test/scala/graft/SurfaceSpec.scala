@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.SchemaJson
+import graft.ingest.CsvSource
+import graft.io.Formatters
+import graft.query.SelectParams
+import graft.storage.{TsdbConfig, TsdbTable}
+
+class CsvSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("csv line parsing: labels, value arrays, time dialect, variant values (add.go:200-328)") {
+    val now = 1704067200000L
+    val df = CsvSource.fromColumns(
+      Seq(
+        ("cpu", "os=win,host=a", "1.5", "1704067201000"),
+        ("cpu", "os=win,host=a", "1:2:3", "1000:2000:3000"), // value arrays via ':'
+        ("cpu", "", "7.0", "now-2h"),
+        ("note", "host=b", "hello", "now")) // non-numeric → variant
+        .toDF("name", "labels", "value", "time"), now)
+    val rows = df.collect()
+    assert(rows.length == 6) // 1 + 3 + 1 + 1
+    val arr = rows.filter(r => !r.isNullAt(2) && r.getLong(2) <= 3000)
+    assert(arr.map(r => (r.getLong(2), r.getDouble(3))).sorted.toSeq ==
+      Seq((1000L, 1.0), (2000L, 2.0), (3000L, 3.0)))
+    val rel = rows.find(r => !r.isNullAt(3) && r.getDouble(3) == 7.0).get
+    assert(rel.getLong(2) == now - 2 * 3600000L)
+    val variant = rows.find(_.getString(0) == "note").get
+    assert(variant.isNullAt(3) && variant.getString(4) == "hello")
+    assert(variant.getAs[Map[String, String]](1) == Map("host" -> "b"))
+  }
+}
+
+class FormattersSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val long = Seq(
+    ("cpu", "host=a", "sum", 1000L, 5.0),
+    ("cpu", "host=a", "sum", 2000L, 6.0),
+    ("cpu", "host=b", "sum", 1000L, 7.0))
+    .toDF("name", "labels_str", "aggregate", "t", "v")
+
+  test("csv formatter emits one line per point") {
+    val out = Formatters.csv(long)
+    assert(out.linesIterator.size == 3)
+    assert(out.contains("\"{cpu,host=a,sum}\",1000,5.0"))
+  }
+
+  test("json formatter is valid Grafana simpleJSON") {
+    val out = Formatters.json(long)
+    assert(out.startsWith("[{\"target\":"))
+    assert(out.contains("\"datapoints\":[[5.0,1000],[6.0,2000]]"))
+  }
+
+  test("text formatter groups by series") {
+    val out = Formatters.text(long)
+    assert(out.contains("Name: {cpu,host=a,sum}"))
+    assert(out.split("Name:").length == 3)
+  }
+}
+
+class SchemaJsonSpec extends SparkSuite {
+  test("schema json round-trip (config.go:209-244 analog)") {
+    val dir = Files.createTempDirectory("schema").toString
+    val cfg = TsdbConfig(partitionIntervalMs = 3600000L, rollupIntervalMs = 60000L,
+      aggregates = Seq("count", "sum", "max"), useServerAggregateCoefficient = 5,
+      lateArrivalMs = 120000L, preAggregates = Seq(Seq("host"), Seq("host", "disk")))
+    SchemaJson.write(dir, cfg)
+    assert(SchemaJson.read(dir).contains(cfg))
+    assert(SchemaJson.read(dir + "/missing").isEmpty)
+  }
+}
+
+class PreAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Base = 1704067200000L
+
+  test("pre-aggregate label table: planner matches exact GroupBy and results equal raw (select.go:261-283)") {
+    val dir = Files.createTempDirectory("preagg").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 60000L, preAggregates = Seq(Seq("host"))))
+    t.append(Seq(
+      ("cpu", "a", "1", Base + 60000L, 1.0), ("cpu", "a", "2", Base + 120000L, 2.0),
+      ("cpu", "b", "1", Base + 180000L, 4.0), ("cpu", "b", "2", Base + 240000L, 8.0))
+      .toDF("name", "host", "disk", "time", "value")
+      .select(col("name"), map(lit("host"), col("host"), lit("disk"), col("disk")).as("labels"),
+        col("time"), col("value")))
+    val p = SelectParams(name = "cpu", functions = "count,sum,max", groupBy = "host",
+      from = Base, to = Base + 3600000L, step = 600000L)
+    assert(t.canServerAggregate(p))
+    val out = t.select(p) // must route through the host pre-agg table
+    assert(out.queryExecution.analyzed.toString.contains("rollup_agg") ||
+      out.inputFiles.exists(_.contains("rollup_agg")))
+    val viaRaw = graft.query.QueryEngine.select(t.readRaw(p.from, p.to), p)
+    assert(out.collect().map(_.toSeq).toSet == viaRaw.collect().map(_.toSeq).toSet)
+    // non-matching GroupBy set falls back to raw
+    val p2 = p.copy(groupBy = "disk")
+    assert(t.select(p2).inputFiles.forall(!_.contains("rollup_agg")))
+  }
+}
+
+class CliSpec extends SparkSuite {
+  test("create → add → info → query round-trip (tsdbctl analog)") {
+    val dir = Files.createTempDirectory("cli").toString + "/tbl"
+    graft.cli.Main.run("create", spark, dir,
+      Map("rollup" -> "1m", "aggregates" -> "count,sum,min,max,last"), Nil)
+    assert(SchemaJson.read(dir).exists(_.rollupIntervalMs == 60000L))
+    graft.cli.Main.run("add", spark, dir,
+      Map("d" -> "73.2", "m" -> "1704067200000"), Seq("cpu", "os=win"))
+    graft.cli.Main.run("add", spark, dir,
+      Map("d" -> "80.0", "m" -> "1704067260000"), Seq("cpu", "os=win"))
+    val t = new TsdbTable(spark, dir, SchemaJson.read(dir).get)
+    assert(t.countMetrics() == 2)
+    val out = t.select(SelectParams(name = "cpu", functions = "sum",
+      from = 1704067200000L, to = 1704067400000L, step = 300000L))
+    assert(out.collect().head.getDouble(3) == 153.2)
+  }
+}
