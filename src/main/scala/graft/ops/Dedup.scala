@@ -60,8 +60,10 @@ object Dedup {
   def jaccardPairsBrute(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (zero-overlap pairs are not enumerated)")
+    // no size>0 filter: it would re-evaluate the whole shingle expression a
+    // second time per row (HOFs don't codegen), and empty arrays simply
+    // explode to zero rows / never become candidates
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
     val cand = ex.select(col("id").as("id_a"), col("s"))
       .join(ex.select(col("id").as("id_b"), col("s")), "s")
@@ -87,7 +89,6 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
 
     // signature: per-seed min over exploded shingles (one shuffle on id)
     val sig = sh.select(col("id"), explode(col("sh")).as("s"))

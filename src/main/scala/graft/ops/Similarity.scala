@@ -24,12 +24,20 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector by full cross join —
     * O(nq × n). Correct baseline; at 100 TB use [[ivfTopK]].
-    * `queries`: (q_id, q_vec); `data`: (vec_id, embedding). */
+    * `queries`: (q_id, q_vec); `data`: (vec_id, embedding).
+    *
+    * Norms are computed ONCE PER ROW before the join (not per pair —
+    * that would redo an O(dim) fold nq times per vector); the per-pair
+    * work is just the dot product. Same floating-point result: the
+    * division sees identical operands. */
   def bruteForceTopK(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = queries.crossJoin(data)
+    val qn = queries.withColumn("__qn", norm(col("q_vec")))
+    val dn = data.select(col("vec_id"), col("embedding"))
+      .withColumn("__dn", norm(col("embedding")))
+    val joined = qn.crossJoin(dn)
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("embedding")))
+      .withColumn("sim", dot(col("q_vec"), col("embedding")) / (col("__qn") * col("__dn")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     joined
       .withColumn("rank", row_number().over(w))
@@ -41,12 +49,14 @@ object Similarity {
 
   /** All pairs (a < b) with cosine >= threshold — embedding near-dup.
     * Brute-force baseline (oracle twin exists); LSH/IVF blocking is the
-    * scale path. */
+    * scale path. Norms precomputed per row, as above. */
   def nearDupPairs(data: DataFrame, threshold: Double): DataFrame = {
-    val a = data.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = data.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val n = data.select(col("vec_id"), col("embedding"))
+      .withColumn("__n", norm(col("embedding")))
+    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("__n").as("__na"))
+    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("__n").as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy("id_a", "id_b")
@@ -63,24 +73,28 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cents = broadcast(
       data.orderBy("vec_id").limit(nCentroids)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        .withColumn("__cn", norm(col("c_vec"))))
 
-    def assign(df: DataFrame, vec: String, outCol: String, n: Int): DataFrame = {
+    def assign(df: DataFrame, vec: String, nrm: String, outCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(df.columns.head).orderBy(col("__csim").desc, col("c_id"))
       df.crossJoin(cents)
-        .withColumn("__csim", cosine(col(vec), col("c_vec")))
+        .withColumn("__csim", dot(col(vec), col("c_vec")) / (col(nrm) * col("__cn")))
         .withColumn("__crk", row_number().over(w))
         .filter(col("__crk") <= n)
         .withColumnRenamed("c_id", outCol)
-        .drop("c_vec", "__csim", "__crk")
+        .drop("c_vec", "__cn", "__csim", "__crk")
     }
 
-    val assigned = assign(data, "embedding", "cluster", 1)
-    val probed = assign(queries, "q_vec", "cluster", nProbe)
+    val dataN = data.select(col("vec_id"), col("embedding"))
+      .withColumn("__dn", norm(col("embedding")))
+    val queriesN = queries.withColumn("__qn", norm(col("q_vec")))
+    val assigned = assign(dataN, "embedding", "__dn", "cluster", 1)
+    val probed = assign(queriesN, "q_vec", "__qn", "cluster", nProbe)
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     probed.join(assigned, "cluster")
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("embedding")))
+      .withColumn("sim", dot(col("q_vec"), col("embedding")) / (col("__qn") * col("__dn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
