@@ -185,6 +185,15 @@ object SparkEntry {
         .orderBy("name", "labels_str", "t")
     }),
 
+    // ------------------------------------------------------------------- J1
+    // multi-metric timeline alignment: one frame row per (labels, t) with a
+    // column per metric (frames.go:479-642 → groupBy+pivot)
+    "tsdb_frame_pivot" -> ((s, dir) => {
+      QueryEngine.frame(Samples.fromEvents(s, dir),
+        SelectParams(from = F, to = T),
+        Seq("click", "error", "purchase", "signup", "view"))
+    }),
+
     // ---------------------------------------------------------------- §2.11
     // reference SQL dialect → SelectParams → engine
     "tsdb_sql" -> ((s, dir) => {
@@ -519,6 +528,17 @@ object SparkEntry {
          |       max_by(vs, tt) AS last_str
          |FROM s WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tsdb_frame_pivot" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT labels_str, tt AS t,
+         |  max(CASE WHEN name = 'click' THEN v END) AS click,
+         |  max(CASE WHEN name = 'error' THEN v END) AS error,
+         |  max(CASE WHEN name = 'purchase' THEN v END) AS purchase,
+         |  max(CASE WHEN name = 'signup' THEN v END) AS signup,
+         |  max(CASE WHEN name = 'view' THEN v END) AS "view"
+         |FROM s WHERE tt BETWEEN $F AND $T
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "tsdb_sql" ->
       s"""WITH s AS ($SamplesCte)

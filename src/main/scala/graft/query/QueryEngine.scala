@@ -68,18 +68,24 @@ object QueryEngine {
   /** Main select path (reference `QuerierV2.Select`, `pquerier/querier.go:60-137`). */
   def select(samples: DataFrame, p: SelectParams): DataFrame = {
     val fns = p.baseFunctions
-    if (fns.isEmpty && p.step > 0)
-      downsample(samples, p)
-    else if (fns.isEmpty)
-      raw(samples, p)
-    else if (p.windows.nonEmpty)
-      overlappingWindows(samples, p, fns)
-    else if (p.isCrossSeries)
-      crossSeries(samples, p, fns)
-    else if (p.aggregationWindow > 0)
-      slidingAggregate(samples, p, fns)
-    else
-      clientAggregate(samples, p, fns)
+    val out =
+      if (fns.isEmpty && p.step > 0)
+        downsample(samples, p)
+      else if (fns.isEmpty)
+        raw(samples, p)
+      else if (p.windows.nonEmpty)
+        overlappingWindows(samples, p, fns)
+      else if (p.isCrossSeries)
+        crossSeries(samples, p, fns)
+      else if (p.aggregationWindow > 0)
+        slidingAggregate(samples, p, fns)
+      else
+        clientAggregate(samples, p, fns)
+    // requested-column aliases (P5, types.go:56-108)
+    p.requestedColumns
+      .filter(c => c.alias.nonEmpty && c.function.nonEmpty)
+      .foldLeft(out)((d, c) =>
+        d.withColumnRenamed(SelectParams.stripAll(c.function), c.alias))
   }
 
   // ------------------------------------------------------------------- raw
@@ -352,6 +358,23 @@ object QueryEngine {
       .filter(col("v").isNotNull)
       .select(keyNames.map(col) ++ Seq(col("aggregate"), col("t"), col("v")): _*)
       .orderBy(keyNames.map(col) ++ Seq(col("aggregate"), col("t")): _*)
+  }
+
+  // ------------------------------------------------- multi-metric frames (J1)
+
+  /** Multi-metric timeline alignment (reference J1,
+    * `dataFrame.rawSeriesToColumns`, `pkg/pquerier/frames.go:479-642`): one
+    * frame row per (label set, time) with a typed column per metric — the
+    * reference's k-way merge of N raw series onto one time index becomes a
+    * single `groupBy(labels, t).pivot(name)`; missing cells are NULL (the
+    * frame null mask). `metrics` fixes the output column set (and order)
+    * up front, which also lets Spark skip the pivot-values scan. */
+  def frame(samples: DataFrame, p: SelectParams, metrics: Seq[String]): DataFrame = {
+    val df = prepare(samples.filter(col("name").isin(metrics: _*)), p, p.from, p.to)
+    df.groupBy(col("labels_str"), col("time").as("t"))
+      .pivot("name", metrics)
+      .agg(max(col("value")))
+      .orderBy("labels_str", "t")
   }
 
   // --------------------------------------------------------- metadata (S4/S5)

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.query.{QueryEngine, SelectParams}
+import graft.storage.Rollup
+
+/** Property tests for the aggregate algebra — an improvement the reference
+  * lacks (SURVEY §5): partial→final merge must equal direct aggregation for
+  * ANY data whenever the step is a multiple of the rollup interval, and the
+  * engine must be insensitive to input row order. Uses scalacheck
+  * generators with explicit seeds (the scalatest bridge isn't on the
+  * offline classpath), so failures reproduce exactly. */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Base = 1704067200000L
+
+  private case class S(series: Int, offsetMs: Long, value: Double)
+
+  private val genCase: Gen[(List[S], Int, Int)] = for {
+    n <- Gen.choose(1, 60)
+    xs <- Gen.listOfN(n, for {
+      series <- Gen.choose(0, 3)
+      off <- Gen.choose(0L, 999L)
+      v <- Gen.oneOf(Gen.choose(-1000.0, 1000.0), Gen.const(Double.NaN))
+    } yield S(series, off, v))
+    rollupUnits <- Gen.oneOf(1, 2, 4, 5, 10)
+    stepFactor <- Gen.oneOf(2, 3, 4)
+  } yield (xs, rollupUnits, stepFactor)
+
+  private def df(xs: List[S], scaleMs: Long) =
+    xs.map(s => ("m", s"h${s.series}", Base + s.offsetMs * scaleMs, s.value))
+      .toDF("name", "host", "time", "value")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"),
+        col("time"), col("value"), lit(null).cast("string").as("valueStr"))
+
+  private def cases(n: Int): Seq[(List[S], Int, Int)] =
+    (0 until n).map(i => genCase.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("PROPERTY: rollup-merge == direct aggregation when step % rollup == 0 (aggregate.go:317-361)") {
+    cases(8).foreach { case (xs, rollupUnits, stepFactor) =>
+      val unit = 10000L // 10s grid
+      val data = df(xs, unit)
+      val rollupMs = rollupUnits * unit
+      val stepMs = rollupMs * stepFactor
+      val p = SelectParams(name = "m",
+        functions = "count,sum,sqr,min,max,avg,stddev,stdvar",
+        from = Base, to = Base + 1000L * unit, step = stepMs)
+      val direct = QueryEngine.select(data, p)
+        .collect().map(r => (r.getString(1), r.getLong(2)) -> r.toSeq.drop(3)).toMap
+      val merged = QueryEngine.serverAggregate(
+        Rollup.build(data, rollupMs), p, p.baseFunctions, rollupMs)
+        .collect().map(r => (r.getString(1), r.getLong(2)) -> r.toSeq.drop(3)).toMap
+      assert(approxEq(direct, merged),
+        s"rollup=$rollupMs step=$stepMs xs=$xs\ndirect=$direct\nmerged=$merged")
+    }
+  }
+
+  test("PROPERTY: aggregation is input-order insensitive") {
+    cases(8).foreach { case (xs, _, _) =>
+      val p = SelectParams(name = "m", functions = "count,sum,min,max,last",
+        from = Base, to = Base + 1000L * 1000L, step = 60000L)
+      // `last` ties on identical (series,time) are resolved by max_by
+      // nondeterministically — dedupe times per series to keep it defined
+      val deduped = xs.groupBy(s => (s.series, s.offsetMs)).values.map(_.head).toList
+      val a = QueryEngine.select(df(deduped, 1000L), p).collect().map(_.toSeq).toSet
+      val b = QueryEngine.select(df(deduped.reverse, 1000L), p).collect().map(_.toSeq).toSet
+      assert(a == b)
+    }
+  }
+
+  private def approxEq(a: Map[(String, Long), Seq[Any]], b: Map[(String, Long), Seq[Any]]): Boolean =
+    a.keySet == b.keySet && a.forall { case (k, va) =>
+      va.zip(b(k)).forall {
+        case (null, null) => true
+        case (x: Double, y: Double) =>
+          (x.isNaN && y.isNaN) || math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x))
+        case (x, y) => x == y
+      }
+    }
+}
