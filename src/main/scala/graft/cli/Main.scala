@@ -130,6 +130,23 @@ object Main {
       println(s"samples: ${t.countMetrics()}")
       println(s"metrics: ${t.names().collect().map(_.getString(0)).mkString(", ")}")
 
+    // item inspector (reference S13, `tsdbctl check` — check.go:116-332):
+    // dump one series' raw samples + its rollup cells
+    case "check" =>
+      val t = table(spark, tablePath)
+      val metric = pos.headOption.getOrElse(sys.error("missing metric name"))
+      val labels = pos.drop(1).headOption.getOrElse("")
+      val raw = t.readRaw(0L, Long.MaxValue / 2)
+        .filter(col("name") === metric &&
+          (if (labels.isEmpty) lit(true) else col("labels_str") === labels))
+        .orderBy("time")
+      println(s"series: $metric{$labels}  samples=${raw.count()}")
+      raw.select("time", "value", "valueStr").show(f.getOrElse("limit", "20").toInt, false)
+      t.readRollup()
+        .filter(col("name") === metric &&
+          (if (labels.isEmpty) lit(true) else col("labels_str") === labels))
+        .orderBy("bucket_start").show(20, false)
+
     case other => sys.error(s"unknown command '$other'")
   }
 }

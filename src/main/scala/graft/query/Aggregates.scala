@@ -45,27 +45,37 @@ object Aggregates {
       .filter(RawAggregates.contains)
 
   /** The Spark aggregation expression for one raw partial, over a
-    * NaN-cleaned value column and the epoch-ms time column. */
+    * NaN-cleaned value column and the epoch-ms time column. `last_t` (the
+    * time of the last defined sample) rides along with `last` so partials
+    * from the SAME bucket merge correctly (incremental rollup updates —
+    * bucket time alone can't order them). */
   def partialExpr(fn: String, value: Column, time: Column): Column = fn match {
-    case "count" => count(value).cast("double")
-    case "sum"   => sum(value)
-    case "sqr"   => sum(value * value)
-    case "min"   => min(value)
-    case "max"   => max(value)
+    case "count"  => count(value).cast("double")
+    case "sum"    => sum(value)
+    case "sqr"    => sum(value * value)
+    case "min"    => min(value)
+    case "max"    => max(value)
     // time-ordered last (functions.go:131-151) — max_by is codegen'd
-    case "last"  => max_by(value, when(value.isNotNull, time))
+    case "last"   => max_by(value, when(value.isNotNull, time))
+    case "last_t" => max(when(value.isNotNull, time))
   }
 
+  /** Partial list with the `last_t` companion injected after `last`. */
+  def withCompanions(partials: Seq[String]): Seq[String] =
+    partials.flatMap { case "last" => Seq("last", "last_t"); case f => Seq(f) }
+
   /** Merge expressions for re-aggregating partials to a coarser step
-    * (server-side A2, reference `aggregate.go:317-361`): count/sum/sqr add,
-    * min/max merge, last takes the latest bucket's last. */
-  def mergeExpr(fn: String, partial: Column, bucketTime: Column): Column = fn match {
-    case "count" => sum(partial)
-    case "sum"   => sum(partial)
-    case "sqr"   => sum(partial)
-    case "min"   => min(partial)
-    case "max"   => max(partial)
-    case "last"  => max_by(partial, when(partial.isNotNull, bucketTime))
+    * (server-side A2, reference `aggregate.go:317-361`) or merging two
+    * partial sets of the same bucket (incremental ingest): count/sum/sqr
+    * add, min/max merge, last follows the greatest `ord` (= `last_t`). */
+  def mergeExpr(fn: String, partial: Column, ord: Column): Column = fn match {
+    case "count"  => sum(partial)
+    case "sum"    => sum(partial)
+    case "sqr"    => sum(partial)
+    case "min"    => min(partial)
+    case "max"    => max(partial)
+    case "last"   => max_by(partial, when(partial.isNotNull, ord))
+    case "last_t" => max(partial)
   }
 
   /** Finalize one requested aggregate from its partial columns.

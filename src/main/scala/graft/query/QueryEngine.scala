@@ -334,14 +334,20 @@ object QueryEngine {
       df = df.withColumn("labels", Labels.parse(col("labels_str"))) // for label filters
     if (p.name.nonEmpty) df = df.filter(col("name") === p.name)
     if (p.filter.nonEmpty) df = df.filter(expr(p.filter))
-    val partials = Aggregates.requiredPartials(fns)
+    // `last` merges by the true last-sample time when the rollup carries it
+    // (within-bucket partial merges need it; legacy tables fall back to the
+    // bucket time, which is correct across distinct buckets)
+    val ord =
+      if (df.columns.contains("__p_last_t")) col("__p_last_t") else col("bucket_start")
+    val partials = Aggregates.withCompanions(Aggregates.requiredPartials(fns))
+      .filter(f => f != "last_t" || df.columns.contains("__p_last_t"))
     val grouped = df
       .withColumn("__cell", cell).filter(col("__cell").between(0, maxCell))
       .withColumn("t", lit(p.from) + col("__cell") * step)
       .groupBy(keyCols :+ col("t"): _*)
       .agg(
-        Aggregates.mergeExpr(partials.head, col("__p_" + partials.head), col("bucket_start")).as("__p_" + partials.head),
-        partials.tail.map(f => Aggregates.mergeExpr(f, col("__p_" + f), col("bucket_start")).as("__p_" + f)): _*)
+        Aggregates.mergeExpr(partials.head, col("__p_" + partials.head), ord).as("__p_" + partials.head),
+        partials.tail.map(f => Aggregates.mergeExpr(f, col("__p_" + f), ord).as("__p_" + f)): _*)
     finalizeAggregates(grouped, keys.map(_._1), fns, step)
   }
 

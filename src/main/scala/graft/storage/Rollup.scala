@@ -47,7 +47,7 @@ object Rollup {
     val keyCols =
       if (keys.nonEmpty) keys.map { case (n, c) => c.as(n) }
       else Seq(col("name"), col("labels_str"))
-    val partials = ("count" +: aggregates).distinct
+    val partials = Aggregates.withCompanions(("count" +: aggregates).distinct)
     withLs
       .groupBy(keyCols :+ bucket: _*)
       .agg(

@@ -48,9 +48,18 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   /** Append a samples batch (`name, labels, time, value[, valueStr]`):
     * derive identity columns, time-partition, sort within partitions
-    * (reference pending-list sort O2, `store.go:124-134`), and refresh the
-    * rollup + names for the touched partitions. */
-  def append(samples: DataFrame): Unit = {
+    * (reference pending-list sort O2, `store.go:124-134`), and fold the
+    * batch into the rollup + names.
+    *
+    * @param incrementalRollup merge the BATCH's partials into the existing
+    *        rollup (one pass over the batch + the touched rollup
+    *        partitions — the scale path, mirroring the reference's
+    *        ingest-time `_v_*` array updates); false recomputes touched
+    *        partitions from raw (simpler, and the repair path after
+    *        deletes). Incremental assumes batch∩existing-raw is disjoint —
+    *        exactly what the streaming dedup guarantees.
+    */
+  def append(samples: DataFrame, incrementalRollup: Boolean = false): Unit = {
     val enriched = samples
       .withColumn("valueStr",
         if (samples.columns.contains("valueStr")) col("valueStr") else lit(null).cast("string"))
@@ -66,8 +75,53 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
     val touched = enriched.select("part_start").distinct()
       .collect().map(_.getLong(0))
-    refreshRollup(touched)
+    if (incrementalRollup) mergeRollup(enriched, touched) else refreshRollup(touched)
     refreshNames()
+  }
+
+  /** Incremental rollup maintenance: union the existing partials of the
+    * touched partitions with the batch's fresh partials and re-merge with
+    * the A2 algebra (count/sum/sqr add, min/max merge, last by bucket) —
+    * never rescans raw. Output lands in a temp dir first because the
+    * existing rollup partitions are INPUTS of the same plan (parquet
+    * self-overwrite reads zero rows). */
+  private def mergeRollup(batch: DataFrame, partitions: Seq[Long]): Unit = {
+    if (partitions.isEmpty) return
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rollupPath), spark.sparkContext.hadoopConfiguration)
+    val partials = Aggregates.withCompanions(("count" +: config.aggregates).distinct)
+    val fresh = Rollup.build(batch, config.rollupIntervalMs, config.aggregates)
+    val existingDirs = partitions.filter(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(rollupPath, s"part_start=$p")))
+    // same-bucket partials order `last` by the last-sample time companion
+    val ord = if (partials.contains("last_t")) col("__p_last_t") else col("bucket_start")
+    val merged = (if (existingDirs.isEmpty) fresh else {
+      val existing = spark.read.parquet(rollupPath)
+        .filter(col("part_start").isin(existingDirs: _*))
+        .drop("part_start")
+      fresh.unionByName(existing)
+        .groupBy("name", "labels_str", "bucket_start")
+        .agg(
+          Aggregates.mergeExpr(partials.head, col("__p_" + partials.head), ord)
+            .as("__p_" + partials.head),
+          partials.tail.map(f =>
+            Aggregates.mergeExpr(f, col("__p_" + f), ord).as("__p_" + f)): _*)
+    }).withColumn("part_start", partStart(col("bucket_start")))
+
+    val tmp = s"$path/.rollup_tmp"
+    merged.write.mode(SaveMode.Overwrite).partitionBy("part_start").parquet(tmp)
+    partitions.foreach { p =>
+      val src = new org.apache.hadoop.fs.Path(tmp, s"part_start=$p")
+      val dst = new org.apache.hadoop.fs.Path(rollupPath, s"part_start=$p")
+      if (fs.exists(src)) {
+        fs.delete(dst, true)
+        fs.mkdirs(dst.getParent)
+        fs.rename(src, dst)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // pre-aggregate tables keep the recompute path (repair-style)
+    if (config.preAggregates.nonEmpty) refreshPreAgg(partitions)
   }
 
   private def preAggPath(subset: Seq[String]): String =
@@ -81,17 +135,25 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     if (partitions.isEmpty) return
     val raw = spark.read.parquet(rawPath)
       .filter(col("part_start").isin(partitions: _*))
-    def writeRollup(df: DataFrame, out: String): Unit = withDynamicOverwrite {
-      df.withColumn("part_start", partStart(col("bucket_start")))
-        .write.mode(SaveMode.Overwrite).partitionBy("part_start").parquet(out)
-    }
     writeRollup(Rollup.build(raw, config.rollupIntervalMs, config.aggregates), rollupPath)
+    refreshPreAgg(partitions)
+  }
+
+  private def refreshPreAgg(partitions: Seq[Long]): Unit = {
+    if (config.preAggregates.isEmpty || partitions.isEmpty) return
+    val raw = spark.read.parquet(rawPath)
+      .filter(col("part_start").isin(partitions: _*))
     config.preAggregates.foreach { subset =>
       writeRollup(
         Rollup.build(raw, config.rollupIntervalMs, config.aggregates,
           keys = Rollup.preAggKeys(subset)),
         preAggPath(subset))
     }
+  }
+
+  private def writeRollup(df: DataFrame, out: String): Unit = withDynamicOverwrite {
+    df.withColumn("part_start", partStart(col("bucket_start")))
+      .write.mode(SaveMode.Overwrite).partitionBy("part_start").parquet(out)
   }
 
   /** Names dimension (reference names directory S9, `store.go:189-202`). */

@@ -44,7 +44,9 @@ object IngestJob {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) table.append(batch)
+        // incremental: in-watermark dedup guarantees the batch is disjoint
+        // from already-ingested raw, so partials merge instead of rescanning
+        if (!batch.isEmpty) table.append(batch, incrementalRollup = true)
       }
       .start()
   }

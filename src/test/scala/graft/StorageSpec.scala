@@ -72,6 +72,28 @@ class TsdbTableSpec extends SparkSuite {
     assert(server == raw && server.nonEmpty)
   }
 
+  test("incremental rollup merge equals full recompute across multiple appends") {
+    val day = 86400000L
+    val a = mkTable(rollupMs = 3600000L)
+    val b = mkTable(rollupMs = 3600000L)
+    val batch1 = samples(
+      ("cpu", "a", Base + 1000, 1.0), ("cpu", "b", Base + 2000, 2.0),
+      ("cpu", "a", Base + day + 1000, 3.0))
+    val batch2 = samples(
+      ("cpu", "a", Base + 3000, 5.0), // same bucket as batch1's first point
+      ("mem", "a", Base + 7200000L, 7.0), // new metric, later bucket
+      ("cpu", "a", Base + 2 * day, 9.0)) // brand-new partition
+    a.append(batch1, incrementalRollup = true)
+    a.append(batch2, incrementalRollup = true)
+    b.append(batch1)
+    b.append(batch2)
+    val cols = Seq("name", "labels_str", "bucket_start",
+      "__p_count", "__p_sum", "__p_sqr", "__p_min", "__p_max", "__p_last")
+    val ra = a.readRollup().select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val rb = b.readRollup().select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(ra == rb && ra.nonEmpty)
+  }
+
   test("delete: whole-partition drop + boundary rewrite + rollup rebuild (v3iotsdb.go:272-477)") {
     val t = mkTable()
     val day = 86400000L
