@@ -16,6 +16,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // pre-delete so a failing query can never be masked by a stale dump
+      // from an earlier run
+      val dest = new java.io.File(s"$outDir/$name")
+      def nuke(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(nuke)
+        f.delete()
+      }
+      if (dest.exists()) nuke(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, VecDotProduct}
 
 /** Embedding similarity search: brute-force cosine top-k (the exact
   * baseline) and an IVF-style bucketed variant (the scale path).
@@ -13,12 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a codegen'd fold — no UDF. */
+  /** Σ aᵢ·bᵢ as a composable fold. Correct but INTERPRETED (higher-order
+    * functions don't codegen) — operators below use [[nativeDot]], the
+    * custom Catalyst expression with `doGenCode`; this stays as the
+    * dependency-free reference implementation (bit-identical results). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Native codegen'd dot product ([[graft.functions.VecDotProduct]]);
+    * registers the function on the session idempotently. */
+  def nativeDot(spark: SparkSession, a: Column, b: Column): Column = {
+    GraftFunctions.register(spark)
+    call_function(VecDotProduct.Name, a, b)
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def nativeNorm(spark: SparkSession, a: Column): Column =
+    sqrt(nativeDot(spark, a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -32,12 +47,13 @@ object Similarity {
     * division sees identical operands. */
   def bruteForceTopK(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qn = queries.withColumn("__qn", norm(col("q_vec")))
+    val sp = data.sparkSession
+    val qn = queries.withColumn("__qn", nativeNorm(sp, col("q_vec")))
     val dn = data.select(col("vec_id"), col("embedding"))
-      .withColumn("__dn", norm(col("embedding")))
+      .withColumn("__dn", nativeNorm(sp, col("embedding")))
     val joined = qn.crossJoin(dn)
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", dot(col("q_vec"), col("embedding")) / (col("__qn") * col("__dn")))
+      .withColumn("sim", nativeDot(sp, col("q_vec"), col("embedding")) / (col("__qn") * col("__dn")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     joined
       .withColumn("rank", row_number().over(w))
@@ -51,12 +67,13 @@ object Similarity {
     * Brute-force baseline (oracle twin exists); LSH/IVF blocking is the
     * scale path. Norms precomputed per row, as above. */
   def nearDupPairs(data: DataFrame, threshold: Double): DataFrame = {
+    val sp = data.sparkSession
     val n = data.select(col("vec_id"), col("embedding"))
-      .withColumn("__n", norm(col("embedding")))
+      .withColumn("__n", nativeNorm(sp, col("embedding")))
     val a = n.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("__n").as("__na"))
     val b = n.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("__n").as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
+      .withColumn("sim", nativeDot(sp, col("va"), col("vb")) / (col("__na") * col("__nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy("id_a", "id_b")
@@ -71,15 +88,16 @@ object Similarity {
   def ivfTopK(data: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sp = data.sparkSession
     val cents = broadcast(
       data.orderBy("vec_id").limit(nCentroids)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-        .withColumn("__cn", norm(col("c_vec"))))
+        .withColumn("__cn", nativeNorm(sp, col("c_vec"))))
 
     def assign(df: DataFrame, vec: String, nrm: String, outCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(df.columns.head).orderBy(col("__csim").desc, col("c_id"))
       df.crossJoin(cents)
-        .withColumn("__csim", dot(col(vec), col("c_vec")) / (col(nrm) * col("__cn")))
+        .withColumn("__csim", nativeDot(sp, col(vec), col("c_vec")) / (col(nrm) * col("__cn")))
         .withColumn("__crk", row_number().over(w))
         .filter(col("__crk") <= n)
         .withColumnRenamed("c_id", outCol)
@@ -87,14 +105,14 @@ object Similarity {
     }
 
     val dataN = data.select(col("vec_id"), col("embedding"))
-      .withColumn("__dn", norm(col("embedding")))
-    val queriesN = queries.withColumn("__qn", norm(col("q_vec")))
+      .withColumn("__dn", nativeNorm(sp, col("embedding")))
+    val queriesN = queries.withColumn("__qn", nativeNorm(sp, col("q_vec")))
     val assigned = assign(dataN, "embedding", "__dn", "cluster", 1)
     val probed = assign(queriesN, "q_vec", "__qn", "cluster", nProbe)
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     probed.join(assigned, "cluster")
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", dot(col("q_vec"), col("embedding")) / (col("__qn") * col("__dn")))
+      .withColumn("sim", nativeDot(sp, col("q_vec"), col("embedding")) / (col("__qn") * col("__dn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim"),

@@ -77,6 +77,20 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(df(2) + 1.0) < 1e-12)
   }
 
+  test("native dot product (codegen Expression) is bit-identical to the HOF fold") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(100)
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(500)
+    val cmp = pairs.select(
+      Similarity.dot(col("a"), col("b")).as("fold"),
+      Similarity.nativeDot(spark, col("a"), col("b")).as("native"))
+    assert(cmp.filter(col("fold") =!= col("native")).count() == 0)
+    // null input → null out
+    val n = spark.sql(s"SELECT ${graft.functions.VecDotProduct.Name}(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")
+    assert(n.collect().head.isNullAt(0))
+  }
+
   test("brute-force top-k: correct neighbors, self excluded, rank ordered") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = e.filter(col("vec_id") < 3)
