@@ -86,8 +86,12 @@ object Main {
             Seq((metric, labels, f.getOrElse("d", sys.error("missing -d <value>")),
               f.getOrElse("m", ""))).toDF("name", "labels", "value", "time"), now)
       }
+      val valid = df.filter(col("time").isNotNull &&
+        col("time").between(TimeUtil.MinTimeMs, TimeUtil.MaxTimeMs))
+      val (total, ok) = (df.count(), valid.count())
       t.append(df)
-      println(s"appended ${df.count()} samples")
+      println(s"appended $ok samples" +
+        (if (ok < total) s" (${total - ok} dropped: invalid/unparseable time)" else ""))
 
     case "query" =>
       val t = table(spark, tablePath)

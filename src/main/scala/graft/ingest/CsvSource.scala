@@ -31,15 +31,21 @@ object CsvSource {
     * (name, labels, value[, time]). */
   def fromColumns(df: DataFrame, nowMs: Long): DataFrame = {
     val withTime = if (df.columns.contains("time")) df else df.withColumn("time", lit(null))
-    // explode `v1:v2:v3` / `t1:t2:t3` arrays position-wise (add.go:300-326)
+    // explode `v1:v2:v3` / `t1:t2:t3` arrays position-wise (add.go:300-326);
+    // only a NUMERIC colon list is a time array — ISO timestamps contain
+    // colons and must stay whole
     val exploded = withTime
       .withColumn("__vs", split(col("value"), ":"))
       .withColumn("__ts",
         when(col("time").isNull || col("time") === "", array(lit(nowMs.toString)))
-          .otherwise(split(col("time"), ":")))
+          .when(col("time").rlike("^[0-9]+(:[0-9]+)+$"), split(col("time"), ":"))
+          .otherwise(array(col("time"))))
       .select(col("name"), col("labels"),
         posexplode(col("__vs")).as(Seq("__i", "__v")), col("__ts"))
-      .withColumn("__t", element_at(col("__ts"), col("__i") + 1))
+      // try_element_at: a line with more values than times must not abort
+      // the whole ingest under ANSI mode — its excess samples parse to NULL
+      // time and are surfaced by the validity filter instead
+      .withColumn("__t", expr("try_element_at(__ts, __i + 1)"))
     // try_cast: ANSI mode errors on a plain cast of non-numeric strings —
     // those are exactly the variant samples (add.go:281-287)
     val num = expr("try_cast(__v AS DOUBLE)")
@@ -60,8 +66,16 @@ object CsvSource {
     val sign = when(regexp_extract(t, "^now([+-])", 1) === "-", -1L).otherwise(1L)
     val unitMs = when(unit === "s", 1000L).when(unit === "m", 60000L)
       .when(unit === "h", 3600000L).when(unit === "d", 86400000L)
-    when(t.isNull || t === "" || t === "now", lit(nowMs))
+    // absent time is defaulted to [now] upstream; a NULL here is an array
+    // overflow (more values than times) and must STAY null, not become now
+    when(t === "now", lit(nowMs))
       .when(t.rlike("^now[+-][0-9]+[smhd]$"), lit(nowMs) + sign * dur * unitMs)
       .when(t.rlike("^[0-9]+$"), t.cast("long"))
+      // ISO-8601/RFC3339 (timeutils.go:80-112); try the string as-is and
+      // with the T/Z designators stripped (UTC session) — anything else
+      // stays NULL and is reported by the caller's validity accounting
+      .otherwise(unix_millis(coalesce(
+        try_to_timestamp(t),
+        try_to_timestamp(trim(translate(t, "TZ", "  "))))))
   }
 }

@@ -123,7 +123,7 @@ object QueryEngine {
       fns: Seq[String],
       step: Long): DataFrame = {
     val v = cleanValue(col("value"))
-    val partials = Aggregates.requiredPartials(fns ++ fns.filter(_ == "rate").map(_ => "last"))
+    val partials = Aggregates.requiredPartials(fns) // rate → last via dependencies()
     val keyCols = keys.map { case (n, c) => c.as(n) }
     val grouped = df
       .groupBy((keyCols :+ bucket): _*)
@@ -180,11 +180,15 @@ object QueryEngine {
     // widened by the window — reference `querier.go:195`)
     val df = prepare(samples, p, p.from - w, p.to)
     val maxK = (p.to - p.from) / step
-    val kMin = ceil((col("time") - p.from) / lit(step.toDouble)).cast("long")
-    val kMax = floor((col("time") + w - p.from) / lit(step.toDouble)).cast("long")
+    val kMin = greatest(ceil((col("time") - p.from) / lit(step.toDouble)).cast("long"), lit(0L))
+    val kMax = least(floor((col("time") + w - p.from) / lit(step.toDouble)).cast("long"), lit(maxK))
+    // clamped start can exceed the clamped stop (sample near `to` whose
+    // first covering cell is past the grid) — Spark's sequence would then
+    // count DOWN; emit no cells instead
     val exploded = df
-      .withColumn("__k", explode(sequence(greatest(kMin, lit(0L)), least(kMax, lit(maxK)))))
-      .filter(col("__k") >= 0)
+      .withColumn("__k",
+        explode(when(kMin <= kMax, sequence(kMin, kMax))
+          .otherwise(array().cast("array<bigint>"))))
     val keys = groupKeys(p)
     val bucket = (lit(p.from) + col("__k") * step).as("t")
     aggregateBuckets(exploded, keys, bucket, fns, step)

@@ -24,12 +24,20 @@ object TsdbSql {
       val requested = splitTop(cols).map(parseColumn)
       validate(requested)
       // the engine keys off name+functions; single-metric (or wildcard)
-      // select lists translate directly
+      // select lists translate directly. A multi-metric AGGREGATE list
+      // (count(a), sum(b)) cannot be expressed faithfully yet — the engine
+      // would apply every function to every metric — so reject it loudly
+      // rather than return silently-wrong results.
       val metrics = requested.map(_.metric).distinct
+      if (metrics.size > 1 && requested.exists(_.function.nonEmpty))
+        throw new IllegalArgumentException(
+          "multi-metric aggregate select lists are not supported " +
+            s"(metrics: ${metrics.mkString(", ")}); issue one query per metric " +
+            "or use a raw frame query")
       val name = metrics match {
         case Seq("*") => ""
         case Seq(m) => m
-        case _ => "" // multi-metric: no name pushdown, engine groups by name
+        case _ => "" // multi-metric RAW select: engine groups by name
       }
       SelectParams(
         name = name,

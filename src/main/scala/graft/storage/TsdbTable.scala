@@ -18,7 +18,14 @@ case class TsdbConfig(
     lateArrivalMs: Long = 59 * 60000L,     // maxLateArrivalInterval, store.go:42
     // pre-aggregate cross-label rollups (A7, config.PreAggregate,
     // config.go:203-207): one extra materialized rollup per label subset
-    preAggregates: Seq[Seq[String]] = Nil)
+    preAggregates: Seq[Seq[String]] = Nil) {
+  // rollup buckets must nest inside partitions or rollup rows would land in
+  // a different partition than their raw samples and be lost/corrupted by
+  // partition-scoped maintenance (the reference derives the intervals
+  // together, schema.go:136-164)
+  require(partitionIntervalMs % rollupIntervalMs == 0,
+    s"rollupIntervalMs ($rollupIntervalMs) must divide partitionIntervalMs ($partitionIntervalMs)")
+}
 
 /** A TSDB table on disk: raw samples + materialized rollup + names dim.
   *
@@ -37,6 +44,20 @@ case class TsdbConfig(
   * cluster the same layout holds with files per executor — nothing here
   * assumes a single writer except `SaveMode.Overwrite` of names.
   */
+object TsdbTable {
+  import org.apache.spark.sql.types._
+  /** Enriched raw-table schema (sample model + derived identity columns). */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("labels", MapType(StringType, StringType)),
+    StructField("time", LongType),
+    StructField("value", DoubleType),
+    StructField("valueStr", StringType),
+    StructField("labels_str", StringType),
+    StructField("series_id", LongType),
+    StructField("part_start", LongType)))
+}
+
 class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = TsdbConfig()) {
 
   private val rawPath = s"$path/raw"
@@ -67,16 +88,20 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       .withColumn("series_id", Labels.seriesId(col("name"), col("labels")))
       .withColumn("part_start", partStart(col("time")))
       .filter(col("time").between(graft.core.TimeUtil.MinTimeMs, graft.core.TimeUtil.MaxTimeMs))
+      // the batch is consumed three times (raw write, touched-partition
+      // scan, rollup build) — evaluate the upstream plan once
+      .persist()
+    try {
+      enriched
+        .repartition(col("part_start"))
+        .sortWithinPartitions("series_id", "time")
+        .write.mode(SaveMode.Append).partitionBy("part_start").parquet(rawPath)
 
-    enriched
-      .repartition(col("part_start"))
-      .sortWithinPartitions("series_id", "time")
-      .write.mode(SaveMode.Append).partitionBy("part_start").parquet(rawPath)
-
-    val touched = enriched.select("part_start").distinct()
-      .collect().map(_.getLong(0))
-    if (incrementalRollup) mergeRollup(enriched, touched) else refreshRollup(touched)
-    refreshNames()
+      val touched = enriched.select("part_start").distinct()
+        .collect().map(_.getLong(0))
+      if (incrementalRollup) mergeRollup(enriched, touched) else refreshRollup(touched)
+      refreshNames()
+    } finally enriched.unpersist()
   }
 
   /** Incremental rollup maintenance: union the existing partials of the
@@ -169,9 +194,21 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     try f finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  /** True iff the dir holds at least one data partition (a bare _SUCCESS
+    * marker would make spark.read fail with UNABLE_TO_INFER_SCHEMA). */
+  private def hasPartitions(p: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    fs.exists(hp) && fs.listStatus(hp).exists(_.getPath.getName.startsWith("part_start="))
+  }
+
   /** Raw table pruned to the queried partitions (partition pruning is a
     * plain Catalyst partition filter — check `.explain` PartitionFilters). */
   def readRaw(fromMs: Long, toMs: Long): DataFrame = {
+    if (!hasPartitions(rawPath))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TsdbTable.RawSchema)
     val pLo = (fromMs / config.partitionIntervalMs) * config.partitionIntervalMs
     spark.read.parquet(rawPath)
       .filter(col("part_start").between(pLo, toMs))
@@ -179,9 +216,15 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   def readRollup(): DataFrame = spark.read.parquet(rollupPath)
 
-  def names(): DataFrame = spark.read.parquet(namesPath).orderBy("name")
+  def names(): DataFrame =
+    if (!hasPartitions(rawPath) && !new java.io.File(new java.net.URI(s"file:$namesPath").getPath).exists())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))))
+    else spark.read.parquet(namesPath).orderBy("name")
 
-  def countMetrics(): Long = spark.read.parquet(rawPath).count()
+  def countMetrics(): Long =
+    if (!hasPartitions(rawPath)) 0L else spark.read.parquet(rawPath).count()
 
   /** The aggregate-pushdown planner (reference `CanAggregate`,
     * `aggregationParams.go:67-77` + mixed-mode/precision overrides,
@@ -214,15 +257,29 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
   def select(p: SelectParams): DataFrame = {
     val preAgg = if (p.groupByLabels.nonEmpty) matchingPreAgg(p) else None
     if (canServerAggregate(p) && (p.groupByLabels.isEmpty || preAgg.isDefined)) {
+      // partition-prune the rollup too — a 1-day query must not scan years
+      // of rollup history (widen one rollup cell below `from` for the
+      // median-time re-bucketing margin)
+      val pLo = ((p.from - config.rollupIntervalMs).max(0L) / config.partitionIntervalMs) *
+        config.partitionIntervalMs
+      def pruned(path: String) =
+        spark.read.parquet(path).filter(col("part_start").between(pLo, p.to))
       preAgg match {
         case Some(subset) =>
-          QueryEngine.serverAggregate(spark.read.parquet(preAggPath(subset)), p,
+          QueryEngine.serverAggregate(pruned(preAggPath(subset)), p,
             p.baseFunctions, config.rollupIntervalMs, keyNames = "name" +: subset)
         case None =>
-          QueryEngine.serverAggregate(readRollup(), p, p.baseFunctions, config.rollupIntervalMs)
+          QueryEngine.serverAggregate(pruned(rollupPath), p, p.baseFunctions, config.rollupIntervalMs)
       }
-    } else
-      QueryEngine.select(readRaw(p.from, p.to), p)
+    } else {
+      // sliding/overlapping windows reach BELOW `from` — widen the raw
+      // partition pruning accordingly (reference PartsForRange(From-window),
+      // querier.go:195), else boundary cells silently lose samples
+      val step = p.effectiveStep
+      val lo = p.from -
+        math.max(p.aggregationWindow, if (p.windows.nonEmpty) p.windows.max.toLong * step else 0L)
+      QueryEngine.select(readRaw(lo, p.to), p)
+    }
   }
 
   /** Delete by time range (+ optional metric) — reference S11
@@ -268,7 +325,19 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     val touched = parts.collect {
       case (_, start) if start <= toMs && fromMs <= start + config.partitionIntervalMs - 1 => start
     }
-    val remaining = fs.exists(base) && fs.listStatus(base).nonEmpty
-    if (remaining) { refreshRollup(touched.filter(s => fs.exists(new org.apache.hadoop.fs.Path(base, s"part_start=$s")))); refreshNames() }
+    // "remaining" must mean surviving DATA partitions — Spark's _SUCCESS
+    // marker alone would otherwise send refreshNames into an empty dir
+    val remaining = fs.exists(base) &&
+      fs.listStatus(base).exists(_.getPath.getName.startsWith("part_start="))
+    if (remaining) {
+      refreshRollup(touched.filter(s => fs.exists(new org.apache.hadoop.fs.Path(base, s"part_start=$s"))))
+      refreshNames()
+    } else {
+      // everything deleted: drop the derived tables too
+      Seq(rollupPath, namesPath).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      config.preAggregates.foreach(s =>
+        fs.delete(new org.apache.hadoop.fs.Path(preAggPath(s)), true))
+    }
   }
 }

@@ -132,6 +132,13 @@ class QueryEngineSpec extends SparkSuite {
         step = 10, aggregationWindow = 20))
       .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
     assert(out2(Base + 10) == 1.0 && out2(Base + 30) == 1.0 && !out2.contains(Base + 40))
+    // non-multiple range: a sample past the last grid cell must emit NO
+    // cells (a clamped sequence would otherwise count DOWN and corrupt)
+    val out3 = QueryEngine.select(samples(("m", "a", Base + 31, 1.0)),
+      SelectParams(name = "m", functions = "count", from = Base, to = Base + 31,
+        step = 10, aggregationWindow = 20))
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(out3.isEmpty, s"kMin=4 > maxK=3 must yield nothing, got $out3")
   }
 
   test("overlapping windows: strict bounds, anchored at floor(to/step)*step (seriesset.go:186-218)") {

@@ -72,6 +72,40 @@ class TsdbTableSpec extends SparkSuite {
     assert(server == raw && server.nonEmpty)
   }
 
+  test("window queries through the table widen partition pruning below `from`") {
+    val day = 86400000L
+    val t = mkTable()
+    t.append(samples(
+      ("cpu", "a", Base + day - 1000, 5.0),   // day 1, just before boundary
+      ("cpu", "a", Base + day + 1000, 7.0)))  // day 2
+    // query FROM day 2 with a 2h sliding window: the day-1 sample sits in
+    // [c-w, c] of the first cells and must be visible
+    val out = t.select(SelectParams(name = "cpu", functions = "sum",
+      from = Base + day, to = Base + 2 * day - 1, step = 3600000L,
+      aggregationWindow = 2 * 3600000L))
+    val cells = out.collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    // cell at `from` covers [from-2h, from]: only the day-1 sample
+    assert(cells(Base + day) == 5.0, "sample from the previous partition must be counted")
+    // next cell covers both samples
+    assert(cells(Base + day + 3600000L) == 12.0)
+  }
+
+  test("delete over the full range leaves a consistent empty table") {
+    val t = mkTable()
+    t.append(samples(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 86400000L, 2.0)))
+    t.delete(0L, Long.MaxValue / 4)
+    assert(t.countMetrics() == 0)
+    // derived tables are gone too; re-append works from scratch
+    t.append(samples(("mem", "b", Base + 5000, 3.0)))
+    assert(t.names().collect().map(_.getString(0)).toSeq == Seq("mem"))
+    assert(t.readRollup().agg(sum("__p_count")).collect().head.getDouble(0) == 1.0)
+  }
+
+  test("config validation: rollup must divide the partition interval") {
+    intercept[IllegalArgumentException](
+      TsdbConfig(partitionIntervalMs = 86400000L, rollupIntervalMs = 7 * 3600000L))
+  }
+
   test("incremental rollup merge equals full recompute across multiple appends") {
     val day = 86400000L
     val a = mkTable(rollupMs = 3600000L)
@@ -129,6 +163,13 @@ class TsdbSqlSpec extends SparkSuite {
     val p2 = TsdbSql.parse("select next_val(cpu) from t")
     assert(p2.requestedColumns.head.interpolator == "next_val")
     assert(p2.functions.isEmpty)
+  }
+
+  test("multi-metric aggregate select is rejected, raw multi-metric allowed") {
+    intercept[IllegalArgumentException](
+      TsdbSql.parse("select count(cpu), sum(mem) from tsdb"))
+    val p = TsdbSql.parse("select cpu, mem from tsdb")
+    assert(p.name == "" && p.functions.isEmpty)
   }
 
   test("wildcard, filter rewrites (__name__, starts), validation errors") {

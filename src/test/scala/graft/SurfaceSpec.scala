@@ -35,6 +35,23 @@ class CsvSourceSpec extends SparkSuite {
   }
 }
 
+class CsvEdgeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("csv ISO-8601 times parse; mismatched value/time arrays degrade per-sample") {
+    val now = 1704067200000L
+    val df = CsvSource.fromColumns(Seq(
+      ("cpu", "h=a", "1.5", "2024-01-01T00:00:10Z"),
+      ("cpu", "h=a", "1:2:3", "1000:2000")) // 3 values, 2 times
+      .toDF("name", "labels", "value", "time"), now)
+    val rows = df.collect()
+    assert(rows.exists(r => !r.isNullAt(2) && r.getLong(2) == now + 10000L))
+    // the third sample of the short-time line has NULL time, others survive
+    assert(rows.count(_.isNullAt(2)) == 1)
+    assert(rows.length == 4)
+  }
+}
+
 class FormattersSpec extends SparkSuite {
   import spark.implicits._
 
