@@ -185,6 +185,17 @@ object SparkEntry {
         .orderBy("name", "labels_str", "t")
     }),
 
+    // --------------------------------------------------------------- §1.5
+    // Prometheus SeriesSet emission: long format, one row per (series,
+    // aggregate, t) with the Aggregate label; undefined cells dropped
+    // (series.go:33-50)
+    "tsdb_seriesset" -> ((s, dir) => {
+      val wide = QueryEngine.select(Samples.fromEvents(s, dir),
+        SelectParams(name = "click", functions = "count,sum",
+          from = F, to = T, step = 7 * Day))
+      QueryEngine.toSeriesSet(r6(wide, Seq("sum")), Seq("name", "labels_str"), Seq("count", "sum"))
+    }),
+
     // ------------------------------------------------------------------- J1
     // multi-metric timeline alignment: one frame row per (labels, t) with a
     // column per metric (frames.go:479-642 → groupBy+pivot)
@@ -528,6 +539,18 @@ object SparkEntry {
          |       max_by(vs, tt) AS last_str
          |FROM s WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tsdb_seriesset" ->
+      s"""WITH s AS ($SamplesCte),
+         |b AS (
+         |  SELECT name, labels_str, $F + (tt - $F) // ${7 * Day} * ${7 * Day} AS t,
+         |         CAST(count(v) AS DOUBLE) AS cnt, round(sum(v), 6) AS sm
+         |  FROM s WHERE name = 'click' AND tt BETWEEN $F AND $T
+         |  GROUP BY 1, 2, 3)
+         |SELECT name, labels_str, 'count' AS aggregate, t, cnt AS v FROM b
+         |UNION ALL
+         |SELECT name, labels_str, 'sum' AS aggregate, t, sm AS v FROM b
+         |ORDER BY name, labels_str, aggregate, t""".stripMargin,
 
     "tsdb_frame_pivot" ->
       s"""WITH s AS ($SamplesCte)

@@ -83,9 +83,16 @@ object Dedup {
     * banding makes the join linear in collisions instead of O(n²). With
     * r = numHashes/bands rows per band, P[candidate] = 1-(1-j^r)^bands —
     * 64 hashes / 32 bands catches j >= 0.5 with P > 0.9999. */
+  /** @param maxBucketSize optional cap on LSH bucket membership: a bucket
+    *        with more docs than this is skipped entirely (candidate count
+    *        in a bucket is quadratic, and degenerate corpora — boilerplate,
+    *        empty docs — produce mega-buckets that dominate runtime at
+    *        scale). Trades recall inside oversized buckets; disabled by
+    *        default so small-scale results stay exact. */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, threshold: Double,
-                      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+                      numHashes: Int = 64, bands: Int = 32,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
@@ -102,8 +109,15 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket"))
     }
-    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    val allBuckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets =
+      if (maxBucketSize == Int.MaxValue) allBuckets
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        allBuckets.withColumn("__bs", count(lit(1)).over(w))
+          .filter(col("__bs") <= maxBucketSize).drop("__bs")
+      }
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

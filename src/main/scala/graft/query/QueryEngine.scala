@@ -56,11 +56,15 @@ object QueryEngine {
   }
 
   /** Grouping key columns for the query (reference frame hash:
-    * labels | groupBy labels | 0 for cross-series — `select.go:354-371`). */
+    * labels | groupBy labels | 0 for cross-series — `select.go:354-371`).
+    * A series missing a GroupBy label is an error, as in the reference
+    * (`select.go:358-363`) — surfaced at execution via raise_error. */
   def groupKeys(p: SelectParams): Seq[(String, Column)] =
     if (p.isCrossSeries) Seq("name" -> col("name"))
     else if (p.groupByLabels.nonEmpty)
-      ("name" -> col("name")) +: p.groupByLabels.map(k => k -> col("labels").getItem(k))
+      ("name" -> col("name")) +: p.groupByLabels.map(k => k ->
+        coalesce(col("labels").getItem(k),
+          raise_error(concat(lit(s"series missing groupBy label '$k': "), col("labels_str")))))
     else Seq("name" -> col("name"), "labels_str" -> col("labels_str"))
 
   // ------------------------------------------------------------------ entry

@@ -197,6 +197,15 @@ class QueryEngineSpec extends SparkSuite {
     assert(long.head.getDouble(4) == 2.0)
   }
 
+  test("GroupBy on a missing label errors, as in the reference (select.go:358-363)") {
+    val df = samples(("m", "a", Base + 1, 1.0))
+    val p = SelectParams(name = "m", functions = "sum", groupBy = "nosuch",
+      from = Base, to = Base + 9, step = 10)
+    val e = intercept[Exception](QueryEngine.select(df, p).collect())
+    assert(e.getMessage.contains("missing groupBy label") ||
+      Option(e.getCause).exists(_.getMessage.contains("missing groupBy label")))
+  }
+
   test("metadata scans: names / label values / label sets (querier.go:231-381)") {
     val df = samples(("a", "x", Base, 1.0), ("b", "y", Base, 1.0), ("a", "y", Base, 1.0))
     assert(QueryEngine.names(df).collect().map(_.getString(0)).toSeq == Seq("a", "b"))
