@@ -106,11 +106,13 @@ object Main {
         filter = if (base.filter.nonEmpty) base.filter else f.getOrElse("f", ""),
         aggregationWindow = f.get("w").map(TimeUtil.parseDuration).getOrElse(0L))
       val wide = t.select(p)
-      val fns = p.baseFunctions
       val out =
-        if (fns.nonEmpty) {
-          val keys = wide.columns.takeWhile(c => c != "t")
-          QueryEngine.toSeriesSet(wide, keys.toSeq, fns)
+        if (p.baseFunctions.nonEmpty) {
+          // melt by the ACTUAL output columns — aliases may have renamed
+          // the aggregate columns
+          val keys = wide.columns.takeWhile(_ != "t").toSeq
+          val valueCols = wide.columns.dropWhile(_ != "t").drop(1).toSeq
+          QueryEngine.toSeriesSet(wide, keys, valueCols)
         } else wide
       f.getOrElse("o", "text") match {
         case "csv" => print(Formatters.csv(out))

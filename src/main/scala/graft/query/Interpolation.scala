@@ -28,6 +28,12 @@ object Interpolation {
   /** Default tolerance = 2 x step (`select.go:41` defaultToleranceFactor). */
   def defaultTolerance(stepMs: Long): Long = 2 * stepMs
 
+  /** Case-insensitive, `lin` alias accepted (`interpolate.go:60-73`). */
+  def normalize(kind: String): String = kind.toLowerCase match {
+    case "lin" => "linear"
+    case k => k
+  }
+
   /** The interpolated value for a non-exact grid cell; NULL = leave unset.
     *
     * @param kind   none|nan|prev_val|next_val|linear ("" = next_val)
@@ -40,7 +46,7 @@ object Interpolation {
       prevT: Column, prevV: Column,
       nextT: Column, nextV: Column): Column = {
     val nan = lit(Double.NaN)
-    kind match {
+    normalize(kind) match {
       // "none" returns the next raw value unconditionally (interpolate.go:108-112)
       case "none" => nextV
       case "nan" => nan

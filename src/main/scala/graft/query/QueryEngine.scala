@@ -72,6 +72,9 @@ object QueryEngine {
   /** Main select path (reference `QuerierV2.Select`, `pquerier/querier.go:60-137`). */
   def select(samples: DataFrame, p: SelectParams): DataFrame = {
     val fns = p.baseFunctions
+    if (fns.isEmpty && (p.windows.nonEmpty || p.aggregationWindow > 0))
+      throw new IllegalArgumentException(
+        "overlapping/aggregation windows require aggregate functions")
     val out =
       if (fns.isEmpty && p.step > 0)
         downsample(samples, p)
@@ -85,11 +88,22 @@ object QueryEngine {
         slidingAggregate(samples, p, fns)
       else
         clientAggregate(samples, p, fns)
-    // requested-column aliases (P5, types.go:56-108)
-    p.requestedColumns
+    applyAliases(out, p)
+  }
+
+  /** Requested-column aliases (P5, types.go:56-108): aggregate columns
+    * rename by function; an interp-only column renames the downsample value
+    * column. Applied by every serving path (raw and rollup) so the output
+    * schema never depends on the planner's choice. */
+  def applyAliases(out: DataFrame, p: SelectParams): DataFrame = {
+    val withFn = p.requestedColumns
       .filter(c => c.alias.nonEmpty && c.function.nonEmpty)
       .foldLeft(out)((d, c) =>
-        d.withColumnRenamed(SelectParams.stripAll(c.function), c.alias))
+        d.withColumnRenamed(SelectParams.stripAll(c.function.toLowerCase), c.alias))
+    p.requestedColumns.filter(c => c.alias.nonEmpty && c.function.isEmpty) match {
+      case Seq(only) if withFn.columns.contains("v") => withFn.withColumnRenamed("v", only.alias)
+      case _ => withFn
+    }
   }
 
   // ------------------------------------------------------------------- raw
@@ -235,13 +249,32 @@ object QueryEngine {
     * (`previousPartitionLastTime`) vanishes here: one table, one ordered
     * window per series. */
   def downsample(samples: DataFrame, p: SelectParams): DataFrame = {
-    val interp = p.requestedColumns.headOption.map(_.interpolator).getOrElse("")
-    val tol = p.requestedColumns.headOption.map(_.tolerance).filter(_ > 0)
-      .getOrElse(Interpolation.defaultTolerance(p.step))
-    val df = prepare(samples, p, p.from, p.to)
-    resample(df, Seq("name", "labels_str"), p.from, p.to, p.step,
-      if (interp.isEmpty) Interpolation.Default else interp, tol)
-      .orderBy("name", "labels_str", "t")
+    // per-metric interpolator specs (a multi-metric list may mix them;
+    // applying the first column's spec to every metric would silently
+    // mis-interpolate the rest)
+    val specs: Seq[(String, (String, Long))] = p.requestedColumns
+      .map(c => c.metric -> ((
+        if (c.interpolator.isEmpty) Interpolation.Default else c.interpolator,
+        if (c.tolerance > 0) c.tolerance else Interpolation.defaultTolerance(p.step))))
+    val distinctSpecs = specs.map(_._2).distinct
+    // prev/linear interpolation may take a donor sample just before `from`
+    // (the reference's PeakBack reaches earlier samples in the loaded
+    // chunk, collector.go:257-263); donors are only relevant within the
+    // tolerance, so widen the range by the largest requested tolerance
+    val maxTol = (Interpolation.defaultTolerance(p.step) +: specs.map(_._2._2)).max
+    val df = prepare(samples, p, p.from - maxTol, p.to)
+    val out =
+      if (distinctSpecs.size <= 1) {
+        val (interp, tol) = distinctSpecs.headOption
+          .getOrElse((Interpolation.Default, Interpolation.defaultTolerance(p.step)))
+        resample(df, Seq("name", "labels_str"), p.from, p.to, p.step, interp, tol)
+      } else {
+        specs.map { case (metric, (interp, tol)) =>
+          resample(df.filter(col("name") === metric),
+            Seq("name", "labels_str"), p.from, p.to, p.step, interp, tol)
+        }.reduce(_.unionByName(_))
+      }
+    out.orderBy("name", "labels_str", "t")
   }
 
   /** Grid resample of each series — shared by downsample (W5) and
@@ -301,7 +334,8 @@ object QueryEngine {
       .getOrElse(Interpolation.Default)
     val tol = p.requestedColumns.headOption.map(_.tolerance).filter(_ > 0)
       .getOrElse(Interpolation.defaultTolerance(step))
-    val df = prepare(samples, p, p.from, p.to)
+    // widen for pre-`from` interpolation donors, as in downsample
+    val df = prepare(samples, p, p.from - tol, p.to)
     val resampled = resample(df, Seq("name", "labels_str"), p.from, p.to, step, interp, tol)
       .withColumnRenamed("t", "time").withColumnRenamed("v", "value")
     val keys = groupKeys(p) // name only
@@ -333,8 +367,12 @@ object QueryEngine {
     val maxCell = (p.to - p.from) / step
     val keys: Seq[(String, Column)] =
       if (keyNames.nonEmpty) keyNames.map(k => k -> col(k)) // pre-agg table: keys materialized
-      else if (p.groupByLabels.nonEmpty) // series rollup: parse labels_str on demand
-        ("name" -> col("name")) +: p.groupByLabels.map(k => k -> Labels.parse(col("labels_str")).getItem(k))
+      else if (p.groupByLabels.nonEmpty) // series rollup: parse labels_str on demand;
+        // missing label errors like the raw path (plan choice must not
+        // change the answer)
+        ("name" -> col("name")) +: p.groupByLabels.map(k => k ->
+          coalesce(Labels.parse(col("labels_str")).getItem(k),
+            raise_error(concat(lit(s"series missing groupBy label '$k': "), col("labels_str")))))
       else Seq("name" -> col("name"), "labels_str" -> col("labels_str"))
     val keyCols = keys.map { case (n, c) => c.as(n) }
     var df = rollup
@@ -356,7 +394,7 @@ object QueryEngine {
       .agg(
         Aggregates.mergeExpr(partials.head, col("__p_" + partials.head), ord).as("__p_" + partials.head),
         partials.tail.map(f => Aggregates.mergeExpr(f, col("__p_" + f), ord).as("__p_" + f)): _*)
-    finalizeAggregates(grouped, keys.map(_._1), fns, step)
+    applyAliases(finalizeAggregates(grouped, keys.map(_._1), fns, step), p)
   }
 
   // --------------------------------------------------------- emission

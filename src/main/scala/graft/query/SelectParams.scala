@@ -42,8 +42,12 @@ case class SelectParams(
 
   require(to == 0 || from <= to, s"from ($from) must be <= to ($to)")
 
+  /** All requested functions — the `functions` string plus any carried by
+    * requested columns — lowercased (reference SQL is case-insensitive) and
+    * deduped (a repeated name would emit duplicate output columns). */
   def functionList: Seq[String] =
-    functions.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    (functions.split(",").map(_.trim).toSeq ++ requestedColumns.map(_.function))
+      .filter(_.nonEmpty).map(_.toLowerCase).distinct
 
   def groupByLabels: Seq[String] =
     groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -52,8 +56,7 @@ case class SelectParams(
     * `aggregate.go:36`; mixing `_all` and plain is rejected,
     * `select.go:427-443`). */
   def isCrossSeries: Boolean = {
-    val fns = functionList ++ requestedColumns.map(_.function)
-    val all = fns.filter(_.nonEmpty).map(_.endsWith("_all"))
+    val all = functionList.map(_.endsWith("_all"))
     if (all.nonEmpty && all.exists(identity) && !all.forall(identity))
       throw new IllegalArgumentException(
         "cannot mix cross-series (_all) and per-series aggregates in one query")
@@ -66,8 +69,7 @@ case class SelectParams(
   /** Effective step: 0 with functions present means one bucket spanning the
     * whole range (reference `select.go:82-84`). */
   def effectiveStep: Long =
-    if (step == 0 && (functionList.nonEmpty || requestedColumns.exists(_.function.nonEmpty)))
-      math.max(to - from, 1L)
+    if (step == 0 && functionList.nonEmpty) math.max(to - from, 1L)
     else step
 }
 

@@ -197,6 +197,34 @@ class QueryEngineSpec extends SparkSuite {
     assert(long.head.getDouble(4) == 2.0)
   }
 
+  test("aggregates requested via RequestedColumn alone are computed, aliased, case-insensitive") {
+    import graft.query.RequestedColumn
+    val df = samples(("m", "a", Base + 1, 2.0), ("m", "a", Base + 2, 4.0))
+    val out = QueryEngine.select(df, SelectParams(name = "m",
+      requestedColumns = Seq(RequestedColumn(metric = "m", function = "SUM", alias = "total")),
+      from = Base, to = Base + 9, step = 10))
+    assert(out.columns.contains("total"))
+    assert(out.collect().head.getAs[Double]("total") == 6.0)
+  }
+
+  test("windows without aggregate functions are rejected loudly") {
+    val df = samples(("m", "a", Base + 1, 1.0))
+    intercept[IllegalArgumentException](QueryEngine.select(df,
+      SelectParams(name = "m", from = Base, to = Base + 9, step = 10, windows = Seq(1))))
+    intercept[IllegalArgumentException](QueryEngine.select(df,
+      SelectParams(name = "m", from = Base, to = Base + 9, step = 10, aggregationWindow = 20)))
+  }
+
+  test("prev_val interpolation reaches a donor sample just before `from` (collector.go:257-263)") {
+    import graft.query.RequestedColumn
+    val df = samples(("m", "a", Base - 5, 7.0), ("m", "a", Base + 25, 9.0))
+    val out = QueryEngine.select(df, SelectParams(name = "m", from = Base, to = Base + 29,
+      step = 10, requestedColumns = Seq(RequestedColumn(metric = "m", interpolator = "prev_val"))))
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(out(Base) == 7.0, "donor before `from` must fill the first cell")
+    assert(out(Base + 10) == 7.0) // dist 15 <= tol 20
+  }
+
   test("GroupBy on a missing label errors, as in the reference (select.go:358-363)") {
     val df = samples(("m", "a", Base + 1, 1.0))
     val p = SelectParams(name = "m", functions = "sum", groupBy = "nosuch",

@@ -181,6 +181,23 @@ class TsdbSqlSpec extends SparkSuite {
     intercept[IllegalArgumentException](TsdbSql.parse("select avg(cpu) as cpu, cpu from t"))
   }
 
+  test("aliases survive the rollup-served path (schema independent of plan choice)") {
+    import spark.implicits._
+    val Base = 1704067200000L
+    val t = {
+      val dir = Files.createTempDirectory("alias").toString
+      new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 60000L))
+    }
+    t.append(Seq(("cpu", "a", Base + 60000L, 2.0), ("cpu", "a", Base + 120000L, 4.0))
+      .toDF("name", "host", "time", "value")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"), col("time"), col("value")))
+    val p = TsdbSql.parse("select avg(cpu) as mean from tsdb")
+      .copy(from = Base, to = Base + 3600000L, step = 600000L)
+    assert(t.canServerAggregate(p))
+    val out = t.select(p)
+    assert(out.columns.contains("mean") && !out.columns.contains("avg"))
+  }
+
   test("sql → engine end-to-end on a tiny table") {
     import spark.implicits._
     val df = Seq(("cpu", "w", 1000L, 1.0), ("cpu", "w", 2000L, 3.0), ("cpu", "l", 1500L, 9.0))
