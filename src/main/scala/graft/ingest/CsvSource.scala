@@ -22,9 +22,9 @@ object CsvSource {
       .option("header", "false")
       .option("quote", "\"")
       .csv(path)
-      .toDF(Seq("name", "labels", "value", "time").take(
-        spark.read.option("header", "false").csv(path).columns.length): _*)
-    fromColumns(raw, nowMs)
+    fromColumns(
+      raw.toDF(Seq("name", "labels", "value", "time").take(raw.columns.length): _*),
+      nowMs)
   }
 
   /** Same parsing over an already-loaded DataFrame with string columns
@@ -35,7 +35,9 @@ object CsvSource {
     // only a NUMERIC colon list is a time array — ISO timestamps contain
     // colons and must stay whole
     val exploded = withTime
-      .withColumn("__vs", split(col("value"), ":"))
+      // NULL value (empty CSV field) is a variant "" sample in the
+      // reference — posexplode of a NULL array would drop the row silently
+      .withColumn("__vs", split(coalesce(col("value"), lit("")), ":"))
       .withColumn("__ts",
         when(col("time").isNull || col("time") === "", array(lit(nowMs.toString)))
           .when(col("time").rlike("^[0-9]+(:[0-9]+)+$"), split(col("time"), ":"))

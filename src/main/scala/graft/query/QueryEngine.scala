@@ -366,7 +366,13 @@ object QueryEngine {
     val cell = floor((median - lit(p.from)) / lit(step.toDouble)).cast("long")
     val maxCell = (p.to - p.from) / step
     val keys: Seq[(String, Column)] =
-      if (keyNames.nonEmpty) keyNames.map(k => k -> col(k)) // pre-agg table: keys materialized
+      if (keyNames.nonEmpty) keyNames.map { k => // pre-agg table: keys materialized;
+        // a NULL label key (series ingested without it) errors like the
+        // raw path — plan choice must not change the answer
+        if (k == "name") k -> col(k)
+        else k -> coalesce(col(k),
+          raise_error(lit(s"series missing groupBy label '$k' in pre-aggregate table")))
+      }
       else if (p.groupByLabels.nonEmpty) // series rollup: parse labels_str on demand;
         // missing label errors like the raw path (plan choice must not
         // change the answer)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Labels
-import graft.query.{Aggregates, QueryEngine, SelectParams}
+import graft.query.{Aggregates, Interpolation, QueryEngine, SelectParams}
 
 /** Table configuration (reference `.schema` v4, `pkg/config/config.go:209-244`
   * + `pkg/tsdb/schema/schema.go:39-134`). Intervals in ms. */
@@ -25,6 +25,11 @@ case class TsdbConfig(
   // together, schema.go:136-164)
   require(partitionIntervalMs % rollupIntervalMs == 0,
     s"rollupIntervalMs ($rollupIntervalMs) must divide partitionIntervalMs ($partitionIntervalMs)")
+  // only raw partials can be materialized; virtual aggregates (avg/stddev/
+  // stdvar/rate) are derived at query time from these
+  require(aggregates.forall(graft.query.Aggregates.RawAggregates.contains),
+    s"aggregates must be raw partials (${graft.query.Aggregates.RawAggregates.mkString(",")}); " +
+      s"got ${aggregates.mkString(",")}")
 }
 
 /** A TSDB table on disk: raw samples + materialized rollup + names dim.
@@ -100,8 +105,28 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       val touched = enriched.select("part_start").distinct()
         .collect().map(_.getLong(0))
       if (incrementalRollup) mergeRollup(enriched, touched) else refreshRollup(touched)
-      refreshNames()
+      // names is a tiny dimension: merge the BATCH's names driver-side
+      // instead of rescanning the whole raw table per micro-batch
+      mergeNames(enriched.select("name").distinct().collect().map(_.getString(0)).toSet)
     } finally enriched.unpersist()
+  }
+
+  /** Upsert new metric names into the names dim (reference S9, first-write
+    * PutItem — `store.go:189-202`); no-op when nothing is new. */
+  private def mergeNames(batchNames: Set[String]): Unit = {
+    import spark.implicits._
+    val existing: Set[String] =
+      try spark.read.parquet(namesPath).collect().map(_.getString(0)).toSet
+      catch { case _: Exception => Set.empty }
+    if (!batchNames.subsetOf(existing)) {
+      (existing ++ batchNames).toSeq.sorted.toDF("name")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(namesPath + ".tmp")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(namesPath), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(namesPath), true)
+      fs.rename(new org.apache.hadoop.fs.Path(namesPath + ".tmp"),
+        new org.apache.hadoop.fs.Path(namesPath))
+    }
   }
 
   /** Incremental rollup maintenance: union the existing partials of the
@@ -272,12 +297,23 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           QueryEngine.serverAggregate(pruned(rollupPath), p, p.baseFunctions, config.rollupIntervalMs)
       }
     } else {
-      // sliding/overlapping windows reach BELOW `from` — widen the raw
-      // partition pruning accordingly (reference PartsForRange(From-window),
-      // querier.go:195), else boundary cells silently lose samples
+      // the engine reaches BELOW `from` in three cases — widen the raw
+      // partition pruning to match (reference PartsForRange(From-window),
+      // querier.go:195), else boundary cells silently lose samples:
+      //  - sliding windows: cells cover [c-w, c]
+      //  - overlapping windows: anchored at maxAligned=floor(to/step)*step,
+      //    which can sit up to step-1 BELOW from, minus wins.max*step
+      //  - downsample/cross-series: prev/linear interpolation donors within
+      //    the tolerance
       val step = p.effectiveStep
-      val lo = p.from -
-        math.max(p.aggregationWindow, if (p.windows.nonEmpty) p.windows.max.toLong * step else 0L)
+      val interpTol =
+        if (p.baseFunctions.isEmpty && p.step > 0 || p.isCrossSeries)
+          (Interpolation.defaultTolerance(step) +: p.requestedColumns.map(_.tolerance)).max
+        else 0L
+      val winLo =
+        if (p.windows.nonEmpty) p.from - ((p.to / step) * step - p.windows.max.toLong * step)
+        else 0L
+      val lo = p.from - Seq(p.aggregationWindow, interpTol, winLo).max
       QueryEngine.select(readRaw(lo, p.to), p)
     }
   }
@@ -299,8 +335,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
     val metricPred = if (metric.isEmpty) lit(true) else col("name") === metric
     def dropRollupPartition(start: Long): Unit = {
-      val r = new org.apache.hadoop.fs.Path(rollupPath, s"part_start=$start")
-      if (fs.exists(r)) fs.delete(r, true)
+      val dirs = rollupPath +: config.preAggregates.map(preAggPath)
+      dirs.foreach { base =>
+        val r = new org.apache.hadoop.fs.Path(base, s"part_start=$start")
+        if (fs.exists(r)) fs.delete(r, true)
+      }
     }
     parts.foreach { case (dir, start) =>
       val end = start + config.partitionIntervalMs - 1

@@ -30,9 +30,13 @@ object IngestJob {
     * event-time timestamp column derivable from `time`. */
   def start(stream: DataFrame, table: TsdbTable, checkpointDir: String,
             overrideOld: Boolean = false): StreamingQuery = {
+    // ceil to whole seconds: integer division would TRUNCATE (a 30s config
+    // becoming "0 seconds" collapses dedup state and breaks the
+    // incremental-rollup disjointness guarantee)
+    val lateSec = (table.config.lateArrivalMs + 999) / 1000
     val withEventTime = stream
       .withColumn("__event_time", timestamp_millis(col("time")))
-      .withWatermark("__event_time", s"${table.config.lateArrivalMs / 60000} minutes")
+      .withWatermark("__event_time", s"$lateSec seconds")
     val deduped =
       if (overrideOld) withEventTime // OverrideOld: accept rewrites (config.go:146-147)
       else withEventTime
@@ -44,9 +48,10 @@ object IngestJob {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // incremental: in-watermark dedup guarantees the batch is disjoint
-        // from already-ingested raw, so partials merge instead of rescanning
-        if (!batch.isEmpty) table.append(batch, incrementalRollup = true)
+        // incremental merge requires batch ∩ existing-raw = ∅ — guaranteed
+        // by the in-watermark dedup, which overrideOld DISABLES; rewrites
+        // must recompute the touched partitions from raw instead
+        if (!batch.isEmpty) table.append(batch, incrementalRollup = !overrideOld)
       }
       .start()
   }
