@@ -58,7 +58,10 @@ object Main {
   }
 
   private def table(spark: SparkSession, path: String): TsdbTable =
-    new TsdbTable(spark, path, SchemaJson.read(path).getOrElse(TsdbConfig()))
+    new TsdbTable(spark, path, SchemaJson.read(path).getOrElse(
+      // a silent default here would let a typo'd path masquerade as a new
+      // table (the reference tsdbctl errors on a missing table)
+      sys.error(s"no table at $path (no ${SchemaJson.FileName}; run `create` first)")))
 
   private[graft] def run(cmd: String, spark: SparkSession, tablePath: String,
                          f: Map[String, String], pos: Seq[String]): Unit = cmd match {
@@ -86,12 +89,18 @@ object Main {
             Seq((metric, labels, f.getOrElse("d", sys.error("missing -d <value>")),
               f.getOrElse("m", ""))).toDF("name", "labels", "value", "time"), now)
       }
-      val valid = df.filter(col("time").isNotNull &&
-        col("time").between(TimeUtil.MinTimeMs, TimeUtil.MaxTimeMs))
-      val (total, ok) = (df.count(), valid.count())
-      t.append(df)
-      println(s"appended $ok samples" +
-        (if (ok < total) s" (${total - ok} dropped: invalid/unparseable time)" else ""))
+      // one pass for the accounting: count total + valid together
+      df.persist()
+      try {
+        val Array(total, ok) = df.agg(
+          count(lit(1)),
+          count(when(col("time").isNotNull &&
+            col("time").between(TimeUtil.MinTimeMs, TimeUtil.MaxTimeMs), 1)))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        t.append(df)
+        println(s"appended $ok samples" +
+          (if (ok < total) s" (${total - ok} dropped: invalid/unparseable time)" else ""))
+      } finally df.unpersist()
 
     case "query" =>
       val t = table(spark, tablePath)

@@ -14,8 +14,14 @@ object Formatters {
   private def seriesOf(df: DataFrame): Seq[(String, Seq[(Long, Double)])] = {
     val cols = df.columns
     val tIdx = cols.indexOf("t")
-    val vIdx = if (cols.contains("v")) cols.indexOf("v") else cols.length - 1
-    val keyIdxs = cols.indices.filterNot(i => i == tIdx || i == vIdx)
+    // value column: "v" if present, else the LAST double-typed column (an
+    // alias may have renamed it); vstr is payload, not a series key
+    val vIdx =
+      if (cols.contains("v")) cols.indexOf("v")
+      else cols.lastIndexWhere(c =>
+        df.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+    val keyIdxs = cols.indices.filterNot(i =>
+      i == tIdx || i == vIdx || cols(i) == "vstr")
     df.collect().toSeq
       .map { r =>
         val key = keyIdxs.map(i => if (r.isNullAt(i)) "" else r.get(i).toString)
@@ -44,7 +50,8 @@ object Formatters {
   def csv(df: DataFrame): String = {
     val sb = new StringBuilder
     seriesOf(df).foreach { case (key, points) =>
-      points.foreach { case (t, v) => sb.append(s"\"$key\",$t,$v\n") }
+      val quoted = "\"" + key.replace("\"", "\"\"") + "\"" // RFC-4180 escaping
+      points.foreach { case (t, v) => sb.append(s"$quoted,$t,$v\n") }
     }
     sb.result()
   }
@@ -54,7 +61,8 @@ object Formatters {
   def json(df: DataFrame): String =
     seriesOf(df).map { case (key, points) =>
       val dps = points.map { case (t, v) =>
-        val vs = if (v.isNaN) "null" else v.toString
+        // NaN AND ±Infinity are not valid JSON tokens
+        val vs = if (v.isNaN || v.isInfinite) "null" else v.toString
         s"[$vs,$t]"
       }.mkString("[", ",", "]")
       s"""{"target":${quote(key)},"datapoints":$dps}"""

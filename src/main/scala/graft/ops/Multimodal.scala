@@ -46,7 +46,8 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val feat = new Array[Float](FeatureDim)
-          if (bytes.nonEmpty) {
+          // null payload → zero feature vector, never an executor NPE
+          if (bytes != null && bytes.nonEmpty) {
             val stride = math.max(bytes.length / FeatureDim, 1)
             var d = 0
             while (d < FeatureDim) {

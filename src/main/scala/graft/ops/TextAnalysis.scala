@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of trimmed text. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens of trimmed text. Empty/whitespace-only text yields
+    * an EMPTY array — Java split of "" returns [""], a phantom token that
+    * would corrupt counts, ratios and fingerprints downstream. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), w => w =!= "")
 
   /** BPE-ish subword segmentation: letter runs | digit runs | single
     * punctuation — the standard pre-tokenizer shape. */
@@ -61,13 +64,16 @@ object TextAnalysis {
     val wordCnt = size(w).as("word_cnt")
     val punct = charClassCount(text, "[.,;:!?]").as("punct_cnt")
     val digits = charClassCount(text, "[0-9]").as("digit_cnt")
+    // empty docs: both denominators are zero — score/ratio define to 0
+    // (NULL in default mode, DIVIDE_BY_ZERO under ANSI otherwise)
     val stopCnt = stopCount(tokens(lower(text)), Stopwords.head._2)
-    val stopRatio = round(stopCnt.cast("double") / size(w), 6).as("stop_ratio")
-    val score = round(
+    val stopRatio = when(size(w) > 0,
+      round(stopCnt.cast("double") / size(w), 6)).otherwise(0.0).as("stop_ratio")
+    val score = when(size(w) > 0 && length(text) > 0, round(
       lit(0.4) * least(size(w).cast("double") / 100.0, lit(1.0)) +
         lit(0.4) * (stopCnt.cast("double") / size(w)) +
         lit(0.2) * (lit(1.0) - charClassCount(text, "[.,;:!?]").cast("double") / length(text)),
-      6).as("quality_score")
+      6)).otherwise(0.0).as("quality_score")
     Seq(charLen, wordCnt, punct, digits, stopRatio, score)
   }
 
