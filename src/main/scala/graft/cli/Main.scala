@@ -25,13 +25,17 @@ import graft.storage.{TsdbConfig, TsdbTable}
 object Main {
 
   private def flags(args: Seq[String]): (Map[String, String], Seq[String]) = {
+    def isFlag(a: String) =
+      a.startsWith("-") && a.length > 1 && !a.drop(1).forall(c => c.isDigit || c == '.')
     val m = Map.newBuilder[String, String]
     val pos = Seq.newBuilder[String]
     var i = 0
     while (i < args.length) {
       val a = args(i)
-      if (a.startsWith("-") && a.length > 1 && !a.drop(1).forall(_.isDigit)) {
-        val v = if (i + 1 < args.length && !args(i + 1).startsWith("--")) { i += 1; args(i) } else ""
+      if (isFlag(a)) {
+        // never consume another FLAG as this flag's value — `-n -a sum`
+        // would otherwise silently query a metric named "-a"
+        val v = if (i + 1 < args.length && !isFlag(args(i + 1))) { i += 1; args(i) } else ""
         m += a.replaceAll("^-+", "") -> v
       } else pos += a
       i += 1
