@@ -330,13 +330,24 @@ object QueryEngine {
     * first, aggregate second (SURVEY §7.5). */
   def crossSeries(samples: DataFrame, p: SelectParams, fns: Seq[String]): DataFrame = {
     val step = p.effectiveStep
-    val interp = p.requestedColumns.headOption.map(_.interpolator).filter(_.nonEmpty)
-      .getOrElse(Interpolation.Default)
-    val tol = p.requestedColumns.headOption.map(_.tolerance).filter(_ > 0)
-      .getOrElse(Interpolation.defaultTolerance(step))
+    // per-metric interpolator specs, like downsample — the reference
+    // resamples each metric's series with that column's interpolator
+    // before merging (collector.go:283-338)
+    val default = (Interpolation.Default, Interpolation.defaultTolerance(step))
+    val specs: Seq[(String, (String, Long))] = p.requestedColumns.map(c => c.metric -> ((
+      if (c.interpolator.isEmpty) Interpolation.Default else c.interpolator,
+      if (c.tolerance > 0) c.tolerance else Interpolation.defaultTolerance(step))))
+    val maxTol = (default._2 +: specs.map(_._2._2)).max
     // widen for pre-`from` interpolation donors, as in downsample
-    val df = prepare(samples, p, p.from - tol, p.to)
-    val resampled = resample(df, Seq("name", "labels_str"), p.from, p.to, step, interp, tol)
+    val df = prepare(samples, p, p.from - maxTol, p.to)
+    val resampled = (if (specs.map(_._2).distinct.size <= 1) {
+      val (interp, tol) = specs.headOption.map(_._2).getOrElse(default)
+      resample(df, Seq("name", "labels_str"), p.from, p.to, step, interp, tol)
+    } else
+      specs.map { case (metric, (interp, tol)) =>
+        resample(df.filter(col("name") === metric),
+          Seq("name", "labels_str"), p.from, p.to, step, interp, tol)
+      }.reduce(_.unionByName(_)))
       .withColumnRenamed("t", "time").withColumnRenamed("v", "value")
     val keys = groupKeys(p) // name only
     aggregateBuckets(resampled, keys, col("time").as("t"), fns, step)

@@ -172,6 +172,29 @@ class QueryEngineSpec extends SparkSuite {
     assert(out(Base).getDouble(3) == 2.0) // count_all counts series
   }
 
+  test("cross-series honors per-metric interpolators") {
+    import graft.query.RequestedColumn
+    // identical sample layout per metric; only the interpolator differs:
+    // prev_val fills the mid cell, nan leaves it undefined
+    val df = samples(
+      ("x", "a", Base, 1.0), ("x", "a", Base + 20, 3.0), ("x", "b", Base + 20, 10.0),
+      ("y", "a", Base, 2.0), ("y", "a", Base + 20, 6.0), ("y", "b", Base + 20, 20.0))
+    val out = QueryEngine.select(df, SelectParams(
+      functions = "sum_all",
+      requestedColumns = Seq(
+        RequestedColumn(metric = "x", function = "sum_all", interpolator = "prev_val"),
+        RequestedColumn(metric = "y", function = "sum_all", interpolator = "nan")),
+      from = Base, to = Base + 20, step = 10))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // mid cell t=10: x/a prev-filled with 1.0 (x/b has no prev → unset);
+    // y/a is a NaN cell → skipped → the whole bucket is undefined
+    assert(out(("x", Base + 10)).contains(1.0))
+    assert(out(("y", Base + 10)).isEmpty)
+    assert(out(("x", Base + 20)).contains(13.0))
+    assert(out(("y", Base + 20)).contains(26.0))
+  }
+
   test("server aggregation from rollup == direct raw aggregation (aggregate.go:317-361)") {
     val df = samples(
       ("m", "a", Base + 1, 1.0), ("m", "a", Base + 11, 2.0),
