@@ -615,17 +615,24 @@ object SparkEntry {
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
 
+    // `list_filter(..., x -> x <> '')` mirrors TextAnalysis.tokens dropping
+    // the phantom "" token Java/DuckDB split emits on empty input — without
+    // it an empty/whitespace-only doc counts 1 token here and 0 in Spark
     "text_tokens" ->
       s"""SELECT doc_id,
-         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |       x -> x <> '')) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // word count mirrors TextAnalysis.tokens (phantom-""-free); the
+    // wc=0 / cl=0 CASE guards mirror qualityColumns defining ratio/score
+    // to 0.0 on empty docs instead of NULL/div-by-zero
     "text_quality" ->
       """WITH c AS (
         |  SELECT doc_id, text,
         |    length(text) AS cl,
-        |    len(string_split_regex(trim(text), '\s+')) AS wc,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS wc,
         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc,
         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dc,
         |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -636,9 +643,11 @@ object SparkEntry {
         |  CAST(wc AS BIGINT) AS word_cnt,
         |  CAST(pc AS BIGINT) AS punct_cnt,
         |  CAST(dc AS BIGINT) AS digit_cnt,
-        |  round(sc * 1.0 / wc, 6) AS stop_ratio,
-        |  round(0.4 * least(wc / 100.0, 1.0) + 0.4 * (sc * 1.0 / wc)
-        |        + 0.2 * (1.0 - pc * 1.0 / cl), 6) AS quality_score
+        |  CASE WHEN wc > 0 THEN round(sc * 1.0 / wc, 6) ELSE 0.0 END AS stop_ratio,
+        |  CASE WHEN wc > 0 AND cl > 0 THEN
+        |    round(0.4 * least(wc / 100.0, 1.0) + 0.4 * (sc * 1.0 / wc)
+        |          + 0.2 * (1.0 - pc * 1.0 / cl), 6)
+        |  ELSE 0.0 END AS quality_score
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->

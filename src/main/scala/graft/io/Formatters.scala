@@ -20,6 +20,11 @@ object Formatters {
       if (cols.contains("v")) cols.indexOf("v")
       else cols.lastIndexWhere(c =>
         df.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+    if (tIdx < 0 || vIdx < 0)
+      throw new IllegalArgumentException(
+        s"formatter expects a long-format series frame (name, labels_str, " +
+          s"[aggregate,] t, v) with a long `t` and a double value column; " +
+          s"got columns ${cols.mkString("(", ", ", ")")}")
     val keyIdxs = cols.indices.filterNot(i =>
       i == tIdx || i == vIdx || cols(i) == "vstr")
     df.collect().toSeq

@@ -102,9 +102,30 @@ object QueryEngine {
         d.withColumnRenamed(SelectParams.stripAll(c.function.toLowerCase), c.alias))
     p.requestedColumns.filter(c => c.alias.nonEmpty && c.function.isEmpty) match {
       case Seq(only) if withFn.columns.contains("v") => withFn.withColumnRenamed("v", only.alias)
+      case many if many.size > 1 =>
+        // the long frame has a single value column `v`; silently dropping
+        // all but one alias would lie about the output schema (mirrors the
+        // TsdbSql multi-metric-aggregate rejection)
+        throw new IllegalArgumentException(
+          s"cannot alias multiple raw/interpolated columns in one query " +
+            s"(got: ${many.map(c => s"${c.metric} as ${c.alias}").mkString(", ")}); " +
+            "the long-format result has a single value column")
       case _ => withFn
     }
   }
+
+  /** Per-metric (interpolator, tolerance) specs for the resample paths.
+    *
+    * An EXPLICIT requested column with an empty interpolator means 'none'
+    * (unconditional next — reference `StrToInterpolateType("")`,
+    * `interpolate.go:62`); the `next_val`-with-tolerance default only
+    * applies to columns synthesized from the Name/Functions strings
+    * (`querier.go:90`), i.e. when `requestedColumns` is empty and the
+    * caller falls back to [[Interpolation.Default]]. */
+  private def interpSpecs(p: SelectParams, stepMs: Long): Seq[(String, (String, Long))] =
+    p.requestedColumns.map(c => c.metric -> ((
+      if (c.interpolator.isEmpty) "none" else c.interpolator,
+      if (c.tolerance > 0) c.tolerance else Interpolation.defaultTolerance(stepMs))))
 
   // ------------------------------------------------------------------- raw
 
@@ -252,10 +273,7 @@ object QueryEngine {
     // per-metric interpolator specs (a multi-metric list may mix them;
     // applying the first column's spec to every metric would silently
     // mis-interpolate the rest)
-    val specs: Seq[(String, (String, Long))] = p.requestedColumns
-      .map(c => c.metric -> ((
-        if (c.interpolator.isEmpty) Interpolation.Default else c.interpolator,
-        if (c.tolerance > 0) c.tolerance else Interpolation.defaultTolerance(p.step))))
+    val specs: Seq[(String, (String, Long))] = interpSpecs(p, p.step)
     val distinctSpecs = specs.map(_._2).distinct
     // prev/linear interpolation may take a donor sample just before `from`
     // (the reference's PeakBack reaches earlier samples in the loaded
@@ -334,9 +352,7 @@ object QueryEngine {
     // resamples each metric's series with that column's interpolator
     // before merging (collector.go:283-338)
     val default = (Interpolation.Default, Interpolation.defaultTolerance(step))
-    val specs: Seq[(String, (String, Long))] = p.requestedColumns.map(c => c.metric -> ((
-      if (c.interpolator.isEmpty) Interpolation.Default else c.interpolator,
-      if (c.tolerance > 0) c.tolerance else Interpolation.defaultTolerance(step))))
+    val specs: Seq[(String, (String, Long))] = interpSpecs(p, step)
     val maxTol = (default._2 +: specs.map(_._2._2)).max
     // widen for pre-`from` interpolation donors, as in downsample
     val df = prepare(samples, p, p.from - maxTol, p.to)

@@ -7,8 +7,13 @@ package graft.query
   *                      "last", "avg", "stddev", "stdvar", "rate"; a `_all`
   *                      suffix selects cross-series aggregation)
   * @param alias         output column alias
-  * @param interpolator  "none"|"nan"|"prev_val"|"next_val"|"linear" ("" = default
-  *                      `next_val`, reference `interpolate.go:54`)
+  * @param interpolator  "none"|"nan"|"prev_val"|"next_val"|"linear".
+  *                      "" on an EXPLICIT requested column means `none`
+  *                      (unconditional next — reference
+  *                      `StrToInterpolateType`, `interpolate.go:62`); the
+  *                      `next_val` tolerance default (`interpolate.go:54`)
+  *                      only applies to columns synthesized from the
+  *                      Name/Functions strings (`querier.go:90`)
   * @param tolerance     max ms gap for interpolation (0 = 2×step, reference
   *                      `select.go:41` defaultToleranceFactor)
   */

@@ -15,9 +15,15 @@ import graft.storage.TsdbTable
   *    sorts within partitions on write.
   *  - T2 late-data bound → `withWatermark(59 minutes)` (the reference's
   *    `maxLateArrivalInterval`, `store.go:42`).
-  *  - T3 duplicate policy → `dropDuplicatesWithinWatermark(series, time)`
-  *    (the reference drops `t <= _maxtime` unless OverrideOld,
-  *    `store.go:336-352`).
+  *  - T3 duplicate policy → `dropDuplicatesWithinWatermark(series, time)`.
+  *    DELIBERATE DEVIATION, not an equivalence: the reference drops ANY
+  *    sample with `t <= _maxtime` for its series unless OverrideOld
+  *    (`store.go:336-352`) — i.e. out-of-order samples with distinct
+  *    timestamps are discarded there but ACCEPTED here (a superset of
+  *    reference behavior; monotone-append ingest is unaffected). Accepting
+  *    in-watermark out-of-order data is what the incremental-rollup
+  *    disjointness argument below relies on: only exact (series, time)
+  *    duplicates threaten the batch ∩ existing-raw = ∅ invariant.
   *  - T4 restart/exactly-once-ish → checkpointed offsets + idempotent-ish
   *    partition rewrite of the rollup (the reference replays from
   *    `_maxtime`; Delta/Iceberg would make the raw append transactional).

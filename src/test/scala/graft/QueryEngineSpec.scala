@@ -114,6 +114,23 @@ class QueryEngineSpec extends SparkSuite {
     assert(math.abs(lin(Base + 20) - (10.0 + 10.0 * 18 / 36)) < 1e-12)
     val none = run("none")
     assert(none(Base + 10) == 20.0 && none(Base + 30) == 20.0) // unconditional next
+    // "" on an EXPLICIT requested column = 'none' (StrToInterpolateType,
+    // interpolate.go:62) — NOT the functions-path next_val+tolerance default
+    // (querier.go:90): cell Base+10's next is 28ms away (> tol 20) and must
+    // still fill
+    val empty = run("")
+    assert(empty(Base + 10) == 20.0 && empty(Base + 30) == 20.0)
+  }
+
+  test("multiple raw-column aliases are rejected loudly (not silently dropped)") {
+    import graft.query.RequestedColumn
+    val df = samples(("x", "a", Base + 2, 10.0), ("y", "a", Base + 4, 20.0))
+    val p = SelectParams(from = Base, to = Base + 39, step = 10,
+      requestedColumns = Seq(
+        RequestedColumn(metric = "x", alias = "ax"),
+        RequestedColumn(metric = "y", alias = "ay")))
+    val e = intercept[IllegalArgumentException](QueryEngine.select(df, p))
+    assert(e.getMessage.contains("alias"))
   }
 
   test("sliding window: cell covers [c-w, c], cells round UP (collector.go:345-364)") {

@@ -78,6 +78,12 @@ class FormattersSpec extends SparkSuite {
     assert(out.contains("Name: {cpu,host=a,sum}"))
     assert(out.split("Name:").length == 3)
   }
+
+  test("formatter rejects frames with no value column with a clear error") {
+    val noDouble = Seq(("cpu", 1000L)).toDF("name", "t")
+    val e = intercept[IllegalArgumentException](Formatters.csv(noDouble))
+    assert(e.getMessage.contains("long-format series frame"))
+  }
 }
 
 class SchemaJsonSpec extends SparkSuite {
