@@ -214,6 +214,17 @@ object SparkEntry {
       r6(QueryEngine.select(Samples.fromEvents(s, dir), p), Seq("max", "avg"))
     }),
 
+    // multi-metric aggregate select list (P5/J1: one column per
+    // metric×function, reference getColumnName types.go:99) — per-metric
+    // aggregation + one pivot-merge shuffle
+    "tsdb_multi_agg" -> ((s, dir) => {
+      val p = graft.sql.TsdbSql
+        .parse("select avg(click), sum(purchase), count(signup) from tsdb")
+        .copy(from = F, to = T, step = 7 * Day)
+      r6(QueryEngine.select(Samples.fromEvents(s, dir), p),
+        Seq("avg(click)", "sum(purchase)"))
+    }),
+
     // -------------------------------------------------------- storage + A1/A2/A7
     // full storage path: append → partitioned raw + rollup → planner picks
     // the materialized rollup (CanAggregate) → partial-merge aggregation
@@ -572,6 +583,18 @@ object SparkEntry {
          |FROM s
          |WHERE name = 'purchase' AND labels_str = 'user=42' AND tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // conditional aggregation is the relational equivalent of the engine's
+    // per-metric aggregate + pivot-merge: FILTER leaves NULL exactly where
+    // a metric has no samples in the (labels, bucket) cell
+    "tsdb_multi_agg" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT labels_str, $F + (tt - $F) // ${7 * Day} * ${7 * Day} AS t,
+         |  round(avg(v) FILTER (WHERE name = 'click'), 6) AS "avg(click)",
+         |  round(sum(v) FILTER (WHERE name = 'purchase'), 6) AS "sum(purchase)",
+         |  CAST(nullif(count(v) FILTER (WHERE name = 'signup'), 0) AS DOUBLE) AS "count(signup)"
+         |FROM s WHERE name IN ('click', 'purchase', 'signup') AND tt BETWEEN $F AND $T
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "tsdb_storage_agg" ->
       s"""WITH s AS ($SamplesCte)

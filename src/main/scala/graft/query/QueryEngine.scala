@@ -71,6 +71,9 @@ object QueryEngine {
 
   /** Main select path (reference `QuerierV2.Select`, `pquerier/querier.go:60-137`). */
   def select(samples: DataFrame, p: SelectParams): DataFrame = {
+    val aggCols = p.requestedColumns.filter(_.function.nonEmpty)
+    if (aggCols.map(_.metric).distinct.size > 1)
+      return multiAggregate(samples, p)
     val fns = p.baseFunctions
     if (fns.isEmpty && (p.windows.nonEmpty || p.aggregationWindow > 0))
       throw new IllegalArgumentException(
@@ -112,6 +115,62 @@ object QueryEngine {
             "the long-format result has a single value column")
       case _ => withFn
     }
+  }
+
+  /** Multi-metric aggregate select list, e.g.
+    * `select avg(cpu), sum(mem) from tsdb` — one output column per
+    * metric×function named `fn(metric)` (or the alias), aligned on the
+    * time index per label set: the reference FrameSet's multi-metric frame
+    * (`columnMeta.getColumnName`, `types.go:99`; `frames.go:255-275`).
+    *
+    * Plan shape: each metric's aggregation runs through the normal
+    * single-metric path (so the rollup planner, cross-series resampling,
+    * sliding windows and per-metric interpolators all apply), results melt
+    * to `(keys, t, column, value)` and ONE pivot shuffle on `(keys, t)`
+    * aligns them — k metrics cost k parallel aggregations + one merge, not
+    * k-1 pairwise joins. */
+  private[query] def multiAggregate(samples: DataFrame, p: SelectParams): DataFrame =
+    multiAggregateVia(p, sub => select(samples, sub))
+
+  /** [[multiAggregate]] with the per-metric sub-query pluggable:
+    * [[graft.storage.TsdbTable.select]] passes its own planner so each
+    * metric independently gets the rollup fast path when its aggregates
+    * are covered (safe to mix plans here, unlike the reference's
+    * forceRawQuery, because both paths emit the same `from + k*step` grid
+    * timestamps and exact partial algebra). */
+  def multiAggregateVia(p: SelectParams, runSub: SelectParams => DataFrame): DataFrame = {
+    val cols = p.requestedColumns
+    if (cols.exists(_.function.isEmpty))
+      throw new IllegalArgumentException(
+        "cannot mix aggregated and raw columns in a multi-metric select list")
+    if (p.windows.nonEmpty)
+      throw new IllegalArgumentException(
+        "overlapping windows do not support multi-metric select lists")
+    val cross = p.isCrossSeries // also rejects mixing _all and plain (select.go:427-443)
+    def outName(c: RequestedColumn): String =
+      if (c.alias.nonEmpty) c.alias
+      else s"${SelectParams.stripAll(c.function.toLowerCase)}(${c.metric})"
+    val outNames = cols.map(outName)
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate output columns in select list: ${outNames.mkString(", ")}")
+    val keyNames: Seq[String] =
+      if (cross) Nil
+      else if (p.groupByLabels.nonEmpty) p.groupByLabels
+      else Seq("labels_str")
+    val melted = cols.groupBy(_.metric).toSeq.map { case (metric, mcols) =>
+      val sub = p.copy(name = metric, functions = mcols.map(_.function).mkString(","),
+        requestedColumns = mcols.map(_.copy(alias = "")))
+      val entries = mcols.flatMap(c => Seq(lit(outName(c)),
+        col(SelectParams.stripAll(c.function.toLowerCase))))
+      runSub(sub)
+        .select(keyNames.map(col) :+ col("t") :+
+          explode(map(entries: _*)).as(Seq("__c", "__v")): _*)
+    }.reduce(_.unionByName(_))
+    melted
+      .groupBy(keyNames.map(col) :+ col("t"): _*)
+      .pivot("__c", outNames) // fixed value list: no pivot-values scan
+      .agg(first(col("__v")))
+      .orderBy(keyNames.map(col) :+ col("t"): _*)
   }
 
   /** Per-metric (interpolator, tolerance) specs for the resample paths.

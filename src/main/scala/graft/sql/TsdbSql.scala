@@ -23,21 +23,15 @@ object TsdbSql {
     case Select(cols, _, where, groupBy) =>
       val requested = splitTop(cols).map(parseColumn)
       validate(requested)
-      // the engine keys off name+functions; single-metric (or wildcard)
-      // select lists translate directly. A multi-metric AGGREGATE list
-      // (count(a), sum(b)) cannot be expressed faithfully yet — the engine
-      // would apply every function to every metric — so reject it loudly
-      // rather than return silently-wrong results.
+      // single-metric (or wildcard) select lists key the engine off
+      // name+functions; a multi-metric AGGREGATE list routes through
+      // QueryEngine.multiAggregate (one output column per metric×function,
+      // reference `getColumnName`, types.go:99)
       val metrics = requested.map(_.metric).distinct
-      if (metrics.size > 1 && requested.exists(_.function.nonEmpty))
-        throw new IllegalArgumentException(
-          "multi-metric aggregate select lists are not supported " +
-            s"(metrics: ${metrics.mkString(", ")}); issue one query per metric " +
-            "or use a raw frame query")
       val name = metrics match {
         case Seq("*") => ""
         case Seq(m) => m
-        case _ => "" // multi-metric RAW select: engine groups by name
+        case _ => "" // multi-metric: engine routes per metric
       }
       SelectParams(
         name = name,

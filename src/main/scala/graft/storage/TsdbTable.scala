@@ -18,7 +18,13 @@ case class TsdbConfig(
     lateArrivalMs: Long = 59 * 60000L,     // maxLateArrivalInterval, store.go:42
     // pre-aggregate cross-label rollups (A7, config.PreAggregate,
     // config.go:203-207): one extra materialized rollup per label subset
-    preAggregates: Seq[Seq[String]] = Nil) {
+    preAggregates: Seq[Seq[String]] = Nil,
+    // series shards per time partition (reference shardingBucketsCount,
+    // config.go:52): raw rows hash by series into this many shards so a
+    // single time partition is written and scanned by many tasks instead
+    // of one — essential once one partition holds billions of rows
+    shardingBuckets: Int = 8) {
+  require(shardingBuckets > 0, s"shardingBuckets must be positive, got $shardingBuckets")
   // rollup buckets must nest inside partitions or rollup rows would land in
   // a different partition than their raw samples and be lost/corrupted by
   // partition-scoped maintenance (the reference derives the intervals
@@ -98,7 +104,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       .persist()
     try {
       enriched
-        .repartition(col("part_start"))
+        // shuffle on (time partition, series shard): parallel writes into
+        // each partition dir (the reference's sharding-key scans, P2)
+        // while keeping any one (series, time) run inside one task
+        .repartition(col("part_start"),
+          pmod(col("series_id"), lit(config.shardingBuckets.toLong)))
         .sortWithinPartitions("series_id", "time")
         .write.mode(SaveMode.Append).partitionBy("part_start").parquet(rawPath)
 
@@ -180,26 +190,34 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
   /** Recompute rollup partials for the given partitions from raw — the
     * batch analog of the reference's ingest-time `_v_*` array updates
     * (A1); dynamic partition overwrite touches only affected partitions.
-    * Also refreshes the configured pre-aggregate cross-label tables (A7). */
+    * Also refreshes the configured pre-aggregate cross-label tables (A7).
+    * One cached scan of the touched raw partitions feeds the series rollup
+    * AND every pre-aggregate table (each is just a different grouping of
+    * the same rows — re-reading raw per table would multiply the scan). */
   def refreshRollup(partitions: Seq[Long]): Unit = {
     if (partitions.isEmpty) return
     val raw = spark.read.parquet(rawPath)
       .filter(col("part_start").isin(partitions: _*))
-    writeRollup(Rollup.build(raw, config.rollupIntervalMs, config.aggregates), rollupPath)
-    refreshPreAgg(partitions)
+    val src = if (config.preAggregates.nonEmpty) raw.persist() else raw
+    try {
+      writeRollup(Rollup.build(src, config.rollupIntervalMs, config.aggregates), rollupPath)
+      preAggsFrom(src)
+    } finally if (config.preAggregates.nonEmpty) src.unpersist()
   }
 
   private def refreshPreAgg(partitions: Seq[Long]): Unit = {
     if (config.preAggregates.isEmpty || partitions.isEmpty) return
-    val raw = spark.read.parquet(rawPath)
-      .filter(col("part_start").isin(partitions: _*))
+    preAggsFrom(spark.read.parquet(rawPath)
+      .filter(col("part_start").isin(partitions: _*)))
+  }
+
+  private def preAggsFrom(raw: DataFrame): Unit =
     config.preAggregates.foreach { subset =>
       writeRollup(
         Rollup.build(raw, config.rollupIntervalMs, config.aggregates,
           keys = Rollup.preAggKeys(subset)),
         preAggPath(subset))
     }
-  }
 
   private def writeRollup(df: DataFrame, out: String): Unit = withDynamicOverwrite {
     df.withColumn("part_start", partStart(col("bucket_start")))
@@ -280,6 +298,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   /** Query entry point: plan pre-agg / rollup / raw, then run the engine. */
   def select(p: SelectParams): DataFrame = {
+    val aggCols = p.requestedColumns.filter(_.function.nonEmpty)
+    if (aggCols.map(_.metric).distinct.size > 1)
+      // each metric re-enters this planner, so a metric whose aggregates
+      // the rollup covers is served from it even when a sibling falls raw
+      return QueryEngine.multiAggregateVia(p, sub => select(sub))
     val preAgg = if (p.groupByLabels.nonEmpty) matchingPreAgg(p) else None
     if (canServerAggregate(p) && (p.groupByLabels.isEmpty || preAgg.isDefined)) {
       // partition-prune the rollup too — a 1-day query must not scan years

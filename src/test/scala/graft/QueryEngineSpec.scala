@@ -122,6 +122,45 @@ class QueryEngineSpec extends SparkSuite {
     assert(empty(Base + 10) == 20.0 && empty(Base + 30) == 20.0)
   }
 
+  test("multi-metric aggregate select: fn(metric) columns aligned per (labels, t)") {
+    import graft.query.RequestedColumn
+    val df = samples(
+      ("cpu", "a", Base + 1, 10.0), ("cpu", "a", Base + 5, 20.0),
+      ("mem", "a", Base + 2, 3.0),
+      ("cpu", "b", Base + 12, 7.0)) // host=b has cpu only, in bucket 1
+    val p = SelectParams(from = Base, to = Base + 19, step = 10,
+      requestedColumns = Seq(
+        RequestedColumn(metric = "cpu", function = "sum"),
+        RequestedColumn(metric = "cpu", function = "count", alias = "n"),
+        RequestedColumn(metric = "mem", function = "max")))
+    val out = QueryEngine.select(df, p)
+    assert(out.columns.toSeq == Seq("labels_str", "t", "sum(cpu)", "n", "max(mem)"))
+    val m = out.collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val a0 = m(("host=a", Base))
+    assert(a0.getDouble(2) == 30.0 && a0.getDouble(3) == 2.0 && a0.getDouble(4) == 3.0)
+    val b1 = m(("host=b", Base + 10))
+    assert(b1.getDouble(2) == 7.0 && b1.isNullAt(4)) // no mem for host=b → null mask
+    // mixing aggregated and raw columns is rejected (no faithful frame shape)
+    val mixed = p.copy(requestedColumns =
+      p.requestedColumns :+ RequestedColumn(metric = "disk"))
+    intercept[IllegalArgumentException](QueryEngine.select(df, mixed))
+  }
+
+  test("multi-metric cross-series (_all) collapses to one row per bucket") {
+    import graft.query.RequestedColumn
+    val df = samples(
+      ("cpu", "a", Base + 1, 10.0), ("cpu", "b", Base + 2, 30.0),
+      ("mem", "a", Base + 3, 5.0))
+    val p = SelectParams(from = Base, to = Base + 9, step = 10,
+      requestedColumns = Seq(
+        RequestedColumn(metric = "cpu", function = "sum_all"),
+        RequestedColumn(metric = "mem", function = "count_all")))
+    val out = QueryEngine.select(df, p)
+    assert(out.columns.toSeq == Seq("t", "sum(cpu)", "count(mem)"))
+    val r = out.collect().head
+    assert(r.getLong(0) == Base && r.getDouble(1) == 40.0 && r.getDouble(2) == 1.0)
+  }
+
   test("multiple raw-column aliases are rejected loudly (not silently dropped)") {
     import graft.query.RequestedColumn
     val df = samples(("x", "a", Base + 2, 10.0), ("y", "a", Base + 4, 20.0))
@@ -196,20 +235,23 @@ class QueryEngineSpec extends SparkSuite {
     val df = samples(
       ("x", "a", Base, 1.0), ("x", "a", Base + 20, 3.0), ("x", "b", Base + 20, 10.0),
       ("y", "a", Base, 2.0), ("y", "a", Base + 20, 6.0), ("y", "b", Base + 20, 20.0))
-    val out = QueryEngine.select(df, SelectParams(
+    val wide = QueryEngine.select(df, SelectParams(
       functions = "sum_all",
       requestedColumns = Seq(
         RequestedColumn(metric = "x", function = "sum_all", interpolator = "prev_val"),
         RequestedColumn(metric = "y", function = "sum_all", interpolator = "nan")),
       from = Base, to = Base + 20, step = 10))
-      .collect().map(r => ((r.getString(0), r.getLong(1)),
-        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // two metrics with functions → multi-metric frame: t, sum(x), sum(y)
+    assert(wide.columns.toSeq == Seq("t", "sum(x)", "sum(y)"))
+    val out = wide.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
     // mid cell t=10: x/a prev-filled with 1.0 (x/b has no prev → unset);
-    // y/a is a NaN cell → skipped → the whole bucket is undefined
-    assert(out(("x", Base + 10)).contains(1.0))
-    assert(out(("y", Base + 10)).isEmpty)
-    assert(out(("x", Base + 20)).contains(13.0))
-    assert(out(("y", Base + 20)).contains(26.0))
+    // y/a is a NaN cell → skipped → y's whole bucket is undefined (null)
+    assert(out(Base + 10)._1.contains(1.0))
+    assert(out(Base + 10)._2.isEmpty)
+    assert(out(Base + 20)._1.contains(13.0))
+    assert(out(Base + 20)._2.contains(26.0))
   }
 
   test("server aggregation from rollup == direct raw aggregation (aggregate.go:317-361)") {

@@ -165,11 +165,31 @@ class TsdbSqlSpec extends SparkSuite {
     assert(p2.functions.isEmpty)
   }
 
-  test("multi-metric aggregate select is rejected, raw multi-metric allowed") {
-    intercept[IllegalArgumentException](
-      TsdbSql.parse("select count(cpu), sum(mem) from tsdb"))
-    val p = TsdbSql.parse("select cpu, mem from tsdb")
-    assert(p.name == "" && p.functions.isEmpty)
+  test("multi-metric aggregate SQL routes per metric through the table planner") {
+    import spark.implicits._
+    val Base = 1704067200000L
+    val dir = Files.createTempDirectory("multimetric").toString
+    // rollup materializes only count+sum: avg(cpu) is rollup-servable,
+    // stddev(mem) needs sqr and must fall back to raw — per-metric plans
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 60000L, aggregates = Seq("count", "sum")))
+    t.append(Seq(
+      ("cpu", "a", Base + 1000L, 2.0), ("cpu", "a", Base + 2000L, 4.0),
+      ("mem", "a", Base + 1000L, 10.0), ("mem", "a", Base + 2000L, 20.0))
+      .toDF("name", "host", "time", "value")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"), col("time"), col("value")))
+    val p = TsdbSql.parse("select avg(cpu), stddev(mem) from tsdb")
+      .copy(from = Base, to = Base + 3600000L, step = 600000L)
+    assert(t.canServerAggregate(p.copy(name = "cpu", functions = "avg", requestedColumns = Nil)))
+    assert(!t.canServerAggregate(p.copy(name = "mem", functions = "stddev", requestedColumns = Nil)))
+    val out = t.select(p).collect()
+    assert(t.select(p).columns.toSeq == Seq("labels_str", "t", "avg(cpu)", "stddev(mem)"))
+    assert(out.length == 1)
+    assert(out.head.getDouble(2) == 3.0) // avg from rollup partials
+    assert(math.abs(out.head.getDouble(3) - math.sqrt(50.0)) < 1e-9) // stddev from raw
+    // raw multi-metric select still parses to the frame path
+    val raw = TsdbSql.parse("select cpu, mem from tsdb")
+    assert(raw.name == "" && raw.functions.isEmpty)
   }
 
   test("wildcard, filter rewrites (__name__, starts), validation errors") {
