@@ -23,7 +23,15 @@ case class TsdbConfig(
     // config.go:52): raw rows hash by series into this many shards so a
     // single time partition is written and scanned by many tasks instead
     // of one — essential once one partition holds billions of rows
-    shardingBuckets: Int = 8) {
+    shardingBuckets: Int = 8,
+    // last-write-wins sample rewrites (reference OverrideOld,
+    // config.go:146-147): appends stamp a batch sequence and every read
+    // merges on read, keeping only the latest version of each
+    // (series, time) — the classic MOR pattern (Hudi/Delta read path;
+    // plain parquet has no MERGE). Off = duplicates are the ingest
+    // job's responsibility (the streaming dedup) and reads stay
+    // window-free.
+    overrideOld: Boolean = false) {
   require(shardingBuckets > 0, s"shardingBuckets must be positive, got $shardingBuckets")
   // rollup buckets must nest inside partitions or rollup rows would land in
   // a different partition than their raw samples and be lost/corrupted by
@@ -98,6 +106,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       .withColumn("labels_str", Labels.canonical(col("labels")))
       .withColumn("series_id", Labels.seriesId(col("name"), col("labels")))
       .withColumn("part_start", partStart(col("time")))
+      // batch sequence for last-write-wins merge-on-read (config.overrideOld);
+      // constant per batch → RLE'd to nothing in parquet. In-batch ties on
+      // (series, time) are the caller's bug, as in the reference (one
+      // UpdateItem per sample — later batches win, not later rows)
+      .withColumn("__seq", lit(System.nanoTime()))
       .filter(col("time").between(graft.core.TimeUtil.MinTimeMs, graft.core.TimeUtil.MaxTimeMs))
       // the batch is consumed three times (raw write, touched-partition
       // scan, rollup build) — evaluate the upstream plan once
@@ -114,7 +127,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
       val touched = enriched.select("part_start").distinct()
         .collect().map(_.getLong(0))
-      if (incrementalRollup) mergeRollup(enriched, touched) else refreshRollup(touched)
+      // incremental merge requires batch ∩ existing = ∅, which overrideOld
+      // rewrites violate by design — force the recompute (MOR read) path
+      if (incrementalRollup && !config.overrideOld) mergeRollup(enriched, touched)
+      else refreshRollup(touched)
       // names is a tiny dimension: merge the BATCH's names driver-side
       // instead of rescanning the whole raw table per micro-batch
       mergeNames(enriched.select("name").distinct().collect().map(_.getString(0)).toSet)
@@ -196,8 +212,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * the same rows — re-reading raw per table would multiply the scan). */
   def refreshRollup(partitions: Seq[Long]): Unit = {
     if (partitions.isEmpty) return
-    val raw = spark.read.parquet(rawPath)
-      .filter(col("part_start").isin(partitions: _*))
+    // MOR dedup before rebuilding — superseded versions must not be
+    // double-counted into the partials
+    val raw = mergeOnRead(spark.read.parquet(rawPath)
+      .filter(col("part_start").isin(partitions: _*)))
     val src = if (config.preAggregates.nonEmpty) raw.persist() else raw
     try {
       writeRollup(Rollup.build(src, config.rollupIntervalMs, config.aggregates), rollupPath)
@@ -207,8 +225,8 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   private def refreshPreAgg(partitions: Seq[Long]): Unit = {
     if (config.preAggregates.isEmpty || partitions.isEmpty) return
-    preAggsFrom(spark.read.parquet(rawPath)
-      .filter(col("part_start").isin(partitions: _*)))
+    preAggsFrom(mergeOnRead(spark.read.parquet(rawPath)
+      .filter(col("part_start").isin(partitions: _*))))
   }
 
   private def preAggsFrom(raw: DataFrame): Unit =
@@ -246,6 +264,21 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     fs.exists(hp) && fs.listStatus(hp).exists(_.getPath.getName.startsWith("part_start="))
   }
 
+  /** Last-write-wins merge-on-read: keep only the newest `__seq` version
+    * of each (series, time). Engaged only under `config.overrideOld` —
+    * the window shuffle is the price of rewrite support on plain parquet
+    * (Delta/Hudi pay the same at their merge step); partition pruning
+    * still applies upstream, and compaction = the delete path's partition
+    * rewrite. */
+  private def mergeOnRead(df: DataFrame): DataFrame =
+    if (!config.overrideOld || !df.columns.contains("__seq")) df.drop("__seq")
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("series_id", "time").orderBy(col("__seq").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "__seq")
+    }
+
   /** Raw table pruned to the queried partitions (partition pruning is a
     * plain Catalyst partition filter — check `.explain` PartitionFilters). */
   def readRaw(fromMs: Long, toMs: Long): DataFrame = {
@@ -253,8 +286,8 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TsdbTable.RawSchema)
     val pLo = (fromMs / config.partitionIntervalMs) * config.partitionIntervalMs
-    spark.read.parquet(rawPath)
-      .filter(col("part_start").between(pLo, toMs))
+    mergeOnRead(spark.read.parquet(rawPath)
+      .filter(col("part_start").between(pLo, toMs)))
   }
 
   def readRollup(): DataFrame = spark.read.parquet(rollupPath)
@@ -267,7 +300,8 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     else spark.read.parquet(namesPath).orderBy("name")
 
   def countMetrics(): Long =
-    if (!hasPartitions(rawPath)) 0L else spark.read.parquet(rawPath).count()
+    if (!hasPartitions(rawPath)) 0L
+    else mergeOnRead(spark.read.parquet(rawPath)).count()
 
   /** The aggregate-pushdown planner (reference `CanAggregate`,
     * `aggregationParams.go:67-77` + mixed-mode/precision overrides,

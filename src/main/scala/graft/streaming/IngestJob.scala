@@ -33,9 +33,12 @@ object IngestJob {
 
   /** Start the ingest stream. `stream` must be a streaming DataFrame with
     * columns (name, labels, time-ms long, value[, valueStr]) and an
-    * event-time timestamp column derivable from `time`. */
-  def start(stream: DataFrame, table: TsdbTable, checkpointDir: String,
-            overrideOld: Boolean = false): StreamingQuery = {
+    * event-time timestamp column derivable from `time`. The duplicate
+    * policy follows the TABLE's config (reference: OverrideOld is a store
+    * config, config.go:146-147): overrideOld tables skip the in-watermark
+    * dedup and rely on the table's last-write-wins merge-on-read. */
+  def start(stream: DataFrame, table: TsdbTable, checkpointDir: String): StreamingQuery = {
+    val overrideOld = table.config.overrideOld
     // ceil to whole seconds: integer division would TRUNCATE (a 30s config
     // becoming "0 seconds" collapses dedup state and breaks the
     // incremental-rollup disjointness guarantee)

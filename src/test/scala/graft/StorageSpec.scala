@@ -59,6 +59,28 @@ class TsdbTableSpec extends SparkSuite {
       to = Base + 86400000L, step = 86400000L)))
   }
 
+  test("overrideOld: last write wins via merge-on-read; rollup never double-counts (store.go:336-352, config.go:146-147)") {
+    val dir = Files.createTempDirectory("tsdb_mor").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0)))
+    t.append(samples(("cpu", "a", Base + 1000, 9.0))) // rewrite of t=+1000
+    assert(t.countMetrics() == 2) // superseded version invisible
+    val raw = t.readRaw(Base, Base + 10000).select("time", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(raw == Map((Base + 1000) -> 9.0, (Base + 2000) -> 2.0))
+    // rollup rebuilt from the merged view: count 2, sum 11
+    val roll = t.readRollup()
+      .agg(sum("__p_count"), sum("__p_sum")).collect().head
+    assert(roll.getDouble(0) == 2.0 && roll.getDouble(1) == 11.0)
+    // a non-override table keeps both versions (duplicate policy belongs
+    // to the streaming dedup there)
+    val t2 = mkTable()
+    t2.append(samples(("cpu", "a", Base + 1000, 1.0)))
+    t2.append(samples(("cpu", "a", Base + 1000, 9.0)))
+    assert(t2.countMetrics() == 2)
+  }
+
   test("select: server path equals raw path on the same data") {
     val t = mkTable(rollupMs = 60000L)
     t.append(samples((1 to 50).map(i =>
