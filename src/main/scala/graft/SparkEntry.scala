@@ -354,7 +354,7 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 4)
+      Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 4, trainIters = 3)
     }),
 
     // multimodal: opaque binary payload + typed metadata

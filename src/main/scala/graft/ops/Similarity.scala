@@ -79,20 +79,71 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** IVF-style approximate top-k: use `nCentroids` deterministic seed
-    * vectors (lowest vec_ids — a stand-in for k-means, which would be the
-    * production choice), assign every vector to its nearest centroid
+  /** Spherical k-means centroids for IVF (Lloyd's iterations with cosine
+    * assignment and normalized-mean updates — the metric must match the
+    * IVF probe metric or cluster boundaries disagree with search).
+    *
+    * Distributed shape per iteration: broadcast the (tiny) centroid set,
+    * one aggregate finds each vector's best centroid, `posexplode` +
+    * one aggregate computes per-dimension means — two shuffles of n rows
+    * and n×dim (cluster, pos) rows respectively, no driver data except
+    * the centroids themselves. Initialization is a deterministic
+    * hash-order sample (cheap k-means++ stand-in; seeds spread because
+    * xxhash64 is uniform). Empty clusters keep their previous centroid. */
+  def kMeansCentroids(data: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    val sp = data.sparkSession
+    var cents = data
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .orderBy(xxhash64(col("c_id")), col("c_id"))
+      .limit(nCentroids)
+    for (_ <- 0 until iters) {
+      val bc = broadcast(cents.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+      val assigned = data
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("__n", nativeNorm(sp, col("embedding")))
+        .crossJoin(bc)
+        .withColumn("__csim",
+          nativeDot(sp, col("embedding"), col("c_vec")) / (col("__n") * col("__cn")))
+        .groupBy("vec_id")
+        .agg(
+          // deterministic tiebreak: highest sim, then lowest centroid id
+          max_by(col("c_id"), struct(col("__csim"), -col("c_id"))).as("cluster"),
+          first(col("embedding")).as("embedding"))
+      val dims = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster").as("c_id"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("c_vec"))
+      // keep previous centroids for clusters that lost every member
+      val updated = cents.as("old")
+        .join(dims.as("new"), Seq("c_id"), "left_outer")
+        .select(col("c_id"), coalesce(col("new.c_vec"), col("old.c_vec")).as("c_vec"))
+      // each iteration's plan feeds the next — materialize the (tiny)
+      // centroid table so lineage doesn't stack k plans deep
+      cents = sp.createDataFrame(
+        java.util.Arrays.asList(updated.collect(): _*), updated.schema)
+    }
+    cents
+  }
+
+  /** IVF-style approximate top-k: partition the corpus into `nCentroids`
+    * Voronoi cells (spherical k-means when `trainIters` > 0; deterministic
+    * seed vectors otherwise), assign every vector to its nearest centroid
     * (broadcast join — centroids are tiny), then search only the
     * `nProbe` clusters nearest to each query. Cuts the scan to
     * ~nProbe/nCentroids of the data — the standard recall/cost dial. */
   def ivfTopK(data: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int, nProbe: Int): DataFrame = {
+              nCentroids: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sp = data.sparkSession
-    val cents = broadcast(
-      data.orderBy("vec_id").limit(nCentroids)
+    val centSrc =
+      if (trainIters > 0) kMeansCentroids(data, nCentroids, trainIters)
+      else data.orderBy("vec_id").limit(nCentroids)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-        .withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+    val cents = broadcast(centSrc.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
 
     def assign(df: DataFrame, vec: String, nrm: String, outCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(df.columns.head).orderBy(col("__csim").desc, col("c_id"))

@@ -117,6 +117,36 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low even for nProbe=8/16")
     assert(ivf.size == brute.size)
   }
+
+  test("spherical k-means recovers planted clusters; IVF nProbe=1 gets perfect recall on them") {
+    import spark.implicits._
+    // 3 tight clusters around orthogonal axes: cosine-separable by design
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val axes = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows = for (c <- 0 until 3; i <- 0 until 20)
+      yield ((c * 20 + i).toLong, jitter(axes(c)))
+    val e = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kMeansCentroids(e, nCentroids = 3, iters = 4).collect()
+    assert(cents.length == 3)
+    // every learned centroid points at exactly one planted axis
+    val owned = cents.map { r =>
+      val v = r.getSeq[Float](1)
+      v.indices.maxBy(v(_))
+    }.toSet
+    assert(owned == Set(0, 1, 2), s"centroids collapsed: $owned")
+    // trained IVF with a single probe finds the same neighbors as brute
+    // force — neighbors live in the query's own cluster by construction
+    val q = e.filter(col("vec_id").isin(0L, 20L, 40L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, q, 5, nCentroids = 3, nProbe = 1, trainIters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute, s"missed: ${brute -- ivf}")
+  }
 }
 
 class TextAnalysisSpec extends SparkSuite {
