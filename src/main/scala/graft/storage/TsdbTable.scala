@@ -83,6 +83,25 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
   private val rollupPath = s"$path/rollup"
   private val namesPath = s"$path/names"
 
+  /** Batch sequence for merge-on-read ordering: wall-clock ms (meaningful
+    * ACROSS restarts, unlike nanoTime whose origin is arbitrary per boot)
+    * bumped past the last issued value so same-millisecond appends from
+    * one writer still order. Multi-writer appends within the same ms tie —
+    * single-writer is this table's contract (see names overwrite). */
+  private var lastSeq = 0L
+  private def nextSeq(): Long = synchronized {
+    lastSeq = math.max(System.currentTimeMillis(), lastSeq + 1)
+    lastSeq
+  }
+
+  /** Raw-table file read. overrideOld tables merge footers so files
+    * written before `__seq` existed don't hide the column (a sampled old
+    * footer would silently disable merge-on-read); their rows read as
+    * NULL `__seq`, which orders after any stamped version under
+    * `desc` (nulls last) — old rows lose to any rewrite, as they must. */
+  private def rawFiles(): DataFrame =
+    spark.read.option("mergeSchema", config.overrideOld.toString).parquet(rawPath)
+
   private def partStart(time: org.apache.spark.sql.Column) =
     (floor(time / lit(config.partitionIntervalMs)).cast("long") * lit(config.partitionIntervalMs))
 
@@ -110,7 +129,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       // constant per batch → RLE'd to nothing in parquet. In-batch ties on
       // (series, time) are the caller's bug, as in the reference (one
       // UpdateItem per sample — later batches win, not later rows)
-      .withColumn("__seq", lit(System.nanoTime()))
+      .withColumn("__seq", lit(nextSeq()))
       .filter(col("time").between(graft.core.TimeUtil.MinTimeMs, graft.core.TimeUtil.MaxTimeMs))
       // the batch is consumed three times (raw write, touched-partition
       // scan, rollup build) — evaluate the upstream plan once
@@ -214,7 +233,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     if (partitions.isEmpty) return
     // MOR dedup before rebuilding — superseded versions must not be
     // double-counted into the partials
-    val raw = mergeOnRead(spark.read.parquet(rawPath)
+    val raw = mergeOnRead(rawFiles()
       .filter(col("part_start").isin(partitions: _*)))
     val src = if (config.preAggregates.nonEmpty) raw.persist() else raw
     try {
@@ -225,7 +244,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   private def refreshPreAgg(partitions: Seq[Long]): Unit = {
     if (config.preAggregates.isEmpty || partitions.isEmpty) return
-    preAggsFrom(mergeOnRead(spark.read.parquet(rawPath)
+    preAggsFrom(mergeOnRead(rawFiles()
       .filter(col("part_start").isin(partitions: _*))))
   }
 
@@ -244,7 +263,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   /** Names dimension (reference names directory S9, `store.go:189-202`). */
   def refreshNames(): Unit = {
-    val names = spark.read.parquet(rawPath).select("name").distinct()
+    val names = rawFiles().select("name").distinct()
     names.coalesce(1).write.mode(SaveMode.Overwrite).parquet(namesPath)
   }
 
@@ -286,7 +305,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TsdbTable.RawSchema)
     val pLo = (fromMs / config.partitionIntervalMs) * config.partitionIntervalMs
-    mergeOnRead(spark.read.parquet(rawPath)
+    mergeOnRead(rawFiles()
       .filter(col("part_start").between(pLo, toMs)))
   }
 
@@ -301,7 +320,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   def countMetrics(): Long =
     if (!hasPartitions(rawPath)) 0L
-    else mergeOnRead(spark.read.parquet(rawPath)).count()
+    else mergeOnRead(rawFiles()).count()
 
   /** The aggregate-pushdown planner (reference `CanAggregate`,
     * `aggregationParams.go:67-77` + mixed-mode/precision overrides,
@@ -332,8 +351,8 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   /** Query entry point: plan pre-agg / rollup / raw, then run the engine. */
   def select(p: SelectParams): DataFrame = {
-    val aggCols = p.requestedColumns.filter(_.function.nonEmpty)
-    if (aggCols.map(_.metric).distinct.size > 1)
+    if (p.requestedColumns.map(_.metric).distinct.size > 1 &&
+        p.requestedColumns.exists(_.function.nonEmpty))
       // each metric re-enters this planner, so a metric whose aggregates
       // the rollup covers is served from it even when a sibling falls raw
       return QueryEngine.multiAggregateVia(p, sub => select(sub))

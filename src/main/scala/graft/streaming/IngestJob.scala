@@ -57,10 +57,22 @@ object IngestJob {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // overrideOld resolves duplicates ACROSS batches by __seq, but
+        // rows replayed into the SAME micro-batch (at-least-once sources,
+        // unioned inputs) share one __seq and would tie nondeterministically
+        // in the merge-on-read — collapse them here, keeping one arbitrary
+        // row per (series, time) as the reference's per-sample UpdateItem
+        // ordering would
+        val b =
+          if (!overrideOld) batch
+          else batch
+            .withColumn("__series", graft.core.Labels.seriesId(col("name"), col("labels")))
+            .dropDuplicates("__series", "time")
+            .drop("__series")
         // incremental merge requires batch ∩ existing-raw = ∅ — guaranteed
         // by the in-watermark dedup, which overrideOld DISABLES; rewrites
         // must recompute the touched partitions from raw instead
-        if (!batch.isEmpty) table.append(batch, incrementalRollup = !overrideOld)
+        if (!b.isEmpty) table.append(b, incrementalRollup = !overrideOld)
       }
       .start()
   }

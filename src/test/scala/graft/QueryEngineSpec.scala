@@ -144,6 +144,12 @@ class QueryEngineSpec extends SparkSuite {
     val mixed = p.copy(requestedColumns =
       p.requestedColumns :+ RequestedColumn(metric = "disk"))
     intercept[IllegalArgumentException](QueryEngine.select(df, mixed))
+    // ...including with only ONE aggregated metric — `select sum(cpu), mem`
+    // must not slip into the single-metric path and aggregate every metric
+    val oneAgg = p.copy(functions = "sum", requestedColumns = Seq(
+      RequestedColumn(metric = "cpu", function = "sum"),
+      RequestedColumn(metric = "mem")))
+    intercept[IllegalArgumentException](QueryEngine.select(df, oneAgg))
   }
 
   test("multi-metric cross-series (_all) collapses to one row per bucket") {
