@@ -25,7 +25,7 @@ object Bench {
     "tsdb_sql", "tsdb_multi_agg", "tsdb_storage_agg", "tsdb_storage_preagg",
     "tsdb_frame_pivot",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_topk", "sim_ann_ivf",
+    "sim_topk", "sim_ann_ivf", "events_sessionize",
     "text_tokens", "text_quality", "text_langid", "doc_fingerprint",
     "multimodal_meta")
 

@@ -357,6 +357,16 @@ object SparkEntry {
       Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 4, trainIters = 3)
     }),
 
+    // gap-based sessionization (session windows — SURVEY T6, absent in the
+    // reference; native session_window, batch + streaming capable)
+    "events_sessionize" -> ((s, dir) => {
+      val df = Samples.fromEvents(s, dir).filter(col("time").between(F, T))
+      r6(ops.Sessions.byGap(df, col("labels")("user"), col("time"),
+          col("value"), gapMs = 30 * 60000L)
+          .withColumnRenamed("key", "user"),
+        Seq("sum_v"))
+    }),
+
     // multimodal: opaque binary payload + typed metadata
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.asBlobTable(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -692,6 +702,31 @@ object SparkEntry {
         |       WHEN fr > 0 THEN 'fr'
         |       ELSE 'unknown' END AS pred_lang
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // gap-island encoding of session_window semantics: new session exactly
+    // when tt - prev > gap (events span [t, t+gap]; touching spans merge)
+    "events_sessionize" ->
+      s"""WITH s AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS u,
+         |         epoch_ns(ts) // 1000000 AS tt, value AS v
+         |  FROM events
+         |  WHERE epoch_ns(ts) // 1000000 BETWEEN $F AND $T),
+         |m AS (
+         |  SELECT u, tt, v,
+         |    CASE WHEN lag(tt) OVER w IS NULL
+         |              OR tt - lag(tt) OVER w > ${30 * 60000L} THEN 1
+         |         ELSE 0 END AS brk
+         |  FROM s WINDOW w AS (PARTITION BY u ORDER BY tt)),
+         |g AS (
+         |  SELECT u, tt, v,
+         |    sum(brk) OVER (PARTITION BY u ORDER BY tt
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT u AS "user", min(tt) AS session_start,
+         |       max(tt) + ${30 * 60000L} AS session_end,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       round(sum(v), 6) AS sum_v
+         |FROM g GROUP BY u, sid ORDER BY 1, 2""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id,

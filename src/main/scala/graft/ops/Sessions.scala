@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — a session-window operator the reference
+  * lacks entirely (SURVEY §2.9 T6 "absent") but every event/clickstream
+  * training pipeline needs.
+  *
+  * Spark-first shape: the native `session_window` aggregate, which works
+  * identically over batch DataFrames and Structured Streaming (with a
+  * watermark) and keeps session state inside ONE mergeable aggregate —
+  * a hand-rolled lag/gap-island needs a full per-key sort window plus a
+  * second aggregate, costs an extra shuffle, and has no streaming form.
+  *
+  * Semantics (and the DuckDB oracle twin's gap-island encoding): each
+  * event spans `[t, t+gap]`; overlapping or TOUCHING spans merge, so a
+  * new session starts exactly when `t - prev_t > gap` (an event exactly
+  * `gap` after the previous one still extends the session — verified
+  * against Spark 4.1 behavior in SessionsSpec). `session_end` is
+  * `last event + gap`.
+  */
+object Sessions {
+
+  /** Sessions per key: `(key, session_start, session_end, n_events,
+    * sum_v)`, ordered. One aggregate, one shuffle on the key. */
+  def byGap(df: DataFrame, key: Column, timeMs: Column, value: Column,
+            gapMs: Long): DataFrame = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    df.groupBy(key.as("key"),
+        session_window(timestamp_millis(timeMs), s"$gapMs milliseconds").as("__w"))
+      .agg(count(lit(1)).as("n_events"), sum(value).as("sum_v"))
+      .select(col("key"),
+        unix_millis(col("__w.start")).as("session_start"),
+        unix_millis(col("__w.end")).as("session_end"),
+        col("n_events"), col("sum_v"))
+      .orderBy("key", "session_start")
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
 
 class DedupSpec extends SparkSuite {
   import spark.implicits._
@@ -146,6 +146,27 @@ class SimilaritySpec extends SparkSuite {
     val ivf = Similarity.ivfTopK(e, q, 5, nCentroids = 3, nProbe = 1, trainIters = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf == brute, s"missed: ${brute -- ivf}")
+  }
+}
+
+class SessionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("gap sessionization: merge within/at gap, split past gap, per-key state") {
+    val gap = 1000L
+    val df = Seq(
+      ("u1", 0L, 1.0), ("u1", 999L, 2.0),   // same session (999 < gap)
+      ("u1", 1999L, 4.0),                   // exactly gap after 999 → still merges
+      ("u1", 3000L, 16.0),                  // 3000-1999=1001 > gap → new session
+      ("u2", 0L, 8.0))                      // independent key
+      .toDF("user", "time", "value")
+    val out = Sessions.byGap(df, col("user"), col("time"), col("value"), gap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("u1", 0L, 2999L, 3L, 7.0),      // end = last event (1999) + gap
+      ("u1", 3000L, 4000L, 1L, 16.0),
+      ("u2", 0L, 1000L, 1L, 8.0)))
   }
 }
 
