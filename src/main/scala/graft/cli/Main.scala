@@ -136,10 +136,13 @@ object Main {
     case "delete" =>
       val t = table(spark, tablePath)
       val now = System.currentTimeMillis()
+      // -n metric[,metric...]; -f label filter in the reference dialect
+      // (tsdbctl delete flags — delete.go)
       t.delete(
         f.get("b").map(TimeUtil.parseTime(_, now)).getOrElse(0L),
         f.get("e").map(TimeUtil.parseTime(_, now)).getOrElse(now),
-        f.getOrElse("n", ""))
+        f.get("n").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        f.get("f").map(graft.sql.TsdbSql.translateFilter).getOrElse(""))
       println("deleted")
 
     case "info" =>

@@ -119,7 +119,7 @@ object TsdbSql {
     * the sample schema: bare identifiers → `labels['k']`, `__name__` →
     * `name`, `starts(x, 'p')` → `startswith(x, 'p')`. String literals are
     * left untouched. */
-  private[sql] def translateFilter(where: String): String = {
+  def translateFilter(where: String): String = {
     val token = """'[^']*'|"[^"]*"|==|!=|<=|>=|[A-Za-z_][A-Za-z0-9_.]*|.""".r
     val keywords = Set("and", "or", "not", "true", "false", "in", "is", "null", "like")
     val sb = new StringBuilder

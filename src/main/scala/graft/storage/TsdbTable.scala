@@ -16,6 +16,10 @@ case class TsdbConfig(
     // useServerAggregateCoefficient, config.go:61)
     useServerAggregateCoefficient: Int = 3,
     lateArrivalMs: Long = 59 * 60000L,     // maxLateArrivalInterval, store.go:42
+    // layer retention horizon (reference LayerRetentionTime / retentionDays,
+    // config.go:57,198-200, partmgr.go:330): 0 = keep forever; enforced by
+    // [[TsdbTable.applyRetention]] as whole-partition drops
+    retentionMs: Long = 0L,
     // pre-aggregate cross-label rollups (A7, config.PreAggregate,
     // config.go:203-207): one extra materialized rollup per label subset
     preAggregates: Seq[Seq[String]] = Nil,
@@ -394,13 +398,34 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     }
   }
 
-  /** Delete by time range (+ optional metric) — reference S11
-    * (`DeletePartitionsData`, `v3iotsdb.go:272-477`): whole partitions
-    * inside the range are dropped; boundary partitions are rewritten
-    * without the deleted rows; rollups of touched partitions rebuild.
+  /** Enforce the configured retention horizon (reference layer retention,
+    * `config.go:198-200`; partition-age deletion `partmgr.go:330,357,390`):
+    * drop every partition that ends before `now - retention`. Aligned to
+    * partition starts so this is always a METADATA-ONLY whole-partition
+    * drop — no rewrite, O(partitions) driver work, no executor scan. */
+  def applyRetention(nowMs: Long = System.currentTimeMillis()): Unit = {
+    if (config.retentionMs <= 0) return
+    val cutoff = nowMs - config.retentionMs
+    val cutPart = (cutoff / config.partitionIntervalMs) * config.partitionIntervalMs
+    if (cutPart > 0) delete(0L, cutPart - 1)
+  }
+
+  /** Delete by time range (+ optional metrics / label filter) — reference
+    * S11 (`DeleteParams{Metrics, Filter, From, To}`, `v3iotsdb.go:71-78`,
+    * `DeletePartitionsData` :272-477): whole partitions inside the range
+    * are dropped metadata-only when no row predicate narrows the delete;
+    * boundary (or predicated) partitions are rewritten without the
+    * deleted rows; rollups of touched partitions rebuild.
     * (Delta/Iceberg MERGE would do this transactionally in production —
-    * plain parquet rewrite keeps the same semantics single-writer.) */
-  def delete(fromMs: Long, toMs: Long, metric: String = ""): Unit = {
+    * plain parquet rewrite keeps the same semantics single-writer.)
+    *
+    * @param metrics restrict to these metric names (reference Metrics)
+    * @param filter  Spark SQL predicate over `name` / `labels['k']`
+    *                (reference Filter, pre-translated by
+    *                [[graft.sql.TsdbSql.translateFilter]] on the CLI path)
+    */
+  def delete(fromMs: Long, toMs: Long, metrics: Seq[String] = Nil,
+             filter: String = ""): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(rawPath)
@@ -409,7 +434,9 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       .map(_.getPath).filter(_.getName.startsWith("part_start="))
       .map(p => p -> p.getName.stripPrefix("part_start=").toLong)
 
-    val metricPred = if (metric.isEmpty) lit(true) else col("name") === metric
+    val rowPredicated = metrics.nonEmpty || filter.nonEmpty
+    val metricPred = if (metrics.isEmpty) lit(true) else col("name").isin(metrics: _*)
+    val filterPred = if (filter.isEmpty) lit(true) else expr(filter)
     def dropRollupPartition(start: Long): Unit = {
       val dirs = rollupPath +: config.preAggregates.map(preAggPath)
       dirs.foreach { base =>
@@ -419,13 +446,13 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     }
     parts.foreach { case (dir, start) =>
       val end = start + config.partitionIntervalMs - 1
-      val fullyCovered = fromMs <= start && end <= toMs && metric.isEmpty
+      val fullyCovered = fromMs <= start && end <= toMs && !rowPredicated
       if (fullyCovered) {
         fs.delete(dir, true)
         dropRollupPartition(start) // rollup must not outlive its raw partition
       } else if (start <= toMs && fromMs <= end) {
         val keep = spark.read.parquet(dir.toString)
-          .filter(!(col("time").between(fromMs, toMs) && metricPred))
+          .filter(!(col("time").between(fromMs, toMs) && metricPred && filterPred))
           .cache()
         val rows = keep.count() // materialize before overwriting the source
         val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".tmp_${dir.getName}")

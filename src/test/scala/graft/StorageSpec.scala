@@ -165,6 +165,46 @@ class TsdbTableSpec extends SparkSuite {
     val roll = t.readRollup().agg(sum("__p_count")).collect().head.getDouble(0)
     assert(roll == 2.0)
   }
+
+  test("delete by metrics list and label filter (DeleteParams.Metrics/Filter, v3iotsdb.go:71-78)") {
+    val t = mkTable()
+    t.append(samples(
+      ("cpu", "a", Base + 1, 1.0), ("cpu", "b", Base + 2, 2.0),
+      ("mem", "a", Base + 3, 3.0), ("disk", "a", Base + 4, 4.0)))
+    // filter deletes only host=a rows of the named metrics
+    t.delete(0L, Long.MaxValue / 4, metrics = Seq("cpu", "mem"),
+      filter = "labels['host'] == 'a'")
+    val left = t.readRaw(0, Long.MaxValue / 2)
+      .select("name", "labels_str").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(left == Set(("cpu", "host=b"), ("disk", "host=a")))
+    // names dim refreshed: mem is gone entirely
+    assert(t.names().collect().map(_.getString(0)).toSeq == Seq("cpu", "disk"))
+    val roll = t.readRollup().agg(sum("__p_count")).collect().head.getDouble(0)
+    assert(roll == 2.0)
+  }
+
+  test("retention drops whole partitions past the horizon (config.go:198-200)") {
+    val day = 86400000L
+    val dir = Files.createTempDirectory("tsdb_ret").toString
+    val t = new TsdbTable(spark, dir, TsdbConfig(retentionMs = 2 * day))
+    t.append(samples(
+      ("cpu", "a", Base + 1, 1.0),             // day 1 — stale
+      ("cpu", "a", Base + day + 1, 2.0),       // day 2 — partially covered, kept
+      ("cpu", "a", Base + 2 * day + 1, 3.0)))  // day 3 — fresh
+    // cutoff = Base + day + 1h: day 1 ends before it → drops; day 2 (whose
+    // range extends past the cutoff) is kept whole — retention is
+    // partition-granular, like the reference's partition-age deletion
+    t.applyRetention(nowMs = Base + 3 * day + 3600000L)
+    val left = t.readRaw(0, Long.MaxValue / 2).select("time")
+      .collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(Base + day + 1, Base + 2 * day + 1))
+    // no-op when retention is unset
+    val t2 = mkTable()
+    t2.append(samples(("cpu", "a", Base + 1, 1.0)))
+    t2.applyRetention(nowMs = Base + 100 * day)
+    assert(t2.countMetrics() == 1)
+  }
 }
 
 class TsdbSqlSpec extends SparkSuite {
