@@ -79,6 +79,38 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding near-dup at scale: block by spherical-k-means cluster,
+    * generate candidate pairs only WITHIN a cluster, verify with the true
+    * cosine. Near-duplicates (high threshold → tiny angular distance)
+    * land in the same Voronoi cell with overwhelming probability, so the
+    * quadratic pair generation runs per cluster (~(n/k)² each, linear
+    * overall with balanced clusters) instead of n² — the standard
+    * blocking trade [[nearDupPairs]] is the exact oracle for. */
+  def nearDupPairsBlocked(data: DataFrame, threshold: Double,
+                          nCentroids: Int, trainIters: Int = 2): DataFrame = {
+    val sp = data.sparkSession
+    val cents = broadcast(kMeansCentroids(data, nCentroids, trainIters)
+      .withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+    val assigned = data.select(col("vec_id"), col("embedding"))
+      .withColumn("__n", nativeNorm(sp, col("embedding")))
+      .crossJoin(cents)
+      .withColumn("__csim",
+        nativeDot(sp, col("embedding"), col("c_vec")) / (col("__n") * col("__cn")))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("__csim"), -col("c_id"))).as("cluster"),
+        first(col("embedding")).as("embedding"), first(col("__n")).as("__n"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("__n").as("__na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("__n").as("__nb"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", nativeDot(sp, col("va"), col("vb")) / (col("__na") * col("__nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .distinct() // a pair can't repeat (one cluster per vector) — cheap safety
+      .orderBy("id_a", "id_b")
+  }
+
   /** Spherical k-means centroids for IVF (Lloyd's iterations with cosine
     * assignment and normalized-mean updates — the metric must match the
     * IVF probe metric or cluster boundaries disagree with search).

@@ -147,6 +147,23 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf == brute, s"missed: ${brute -- ivf}")
   }
+
+  test("cluster-blocked embedding near-dup equals brute force on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * eps)
+    val axes = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    // 10 vectors per axis; tight jitter → high within-cluster cosine
+    val rows = for (c <- 0 until 3; i <- 0 until 10)
+      yield ((c * 10 + i).toLong, jitter(axes(c), 0.02f))
+    val e = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.nearDupPairs(e, 0.9).collect().map(_.toSeq).toSeq
+    val blocked = Similarity.nearDupPairsBlocked(e, 0.9, nCentroids = 3, trainIters = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(brute.nonEmpty)
+    assert(blocked == brute)
+  }
 }
 
 class SessionsSpec extends SparkSuite {
