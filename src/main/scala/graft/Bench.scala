@@ -22,7 +22,8 @@ object Bench {
     "tsdb_raw", "tsdb_client_agg", "tsdb_server_agg", "tsdb_rate",
     "tsdb_groupby_label", "tsdb_cross_agg", "tsdb_sliding_window",
     "tsdb_overlap_windows", "tsdb_downsample", "tsdb_variant_last",
-    "tsdb_sql", "tsdb_multi_agg", "tsdb_storage_agg", "tsdb_storage_preagg",
+    "tsdb_sql", "tsdb_multi_agg", "tsdb_storage_agg", "tsdb_sliding_server",
+    "tsdb_storage_preagg",
     "tsdb_frame_pivot",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk", "sim_ann_ivf", "events_sessionize",

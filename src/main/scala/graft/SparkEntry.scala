@@ -235,6 +235,17 @@ object SparkEntry {
       r6(out, Seq("sum", "min", "max", "avg"))
     }),
 
+    // server-side SLIDING window: rollup cells feed every covering grid
+    // cell by median time (windowAggregationWithServerAggregates,
+    // collector.go:366-381) — span/rollup rows scanned instead of samples
+    "tsdb_sliding_server" -> ((s, dir) => {
+      val t = storedTable(s, dir)
+      val p = SelectParams(name = "view", functions = "count,sum,avg",
+        from = F, to = T, step = Day, aggregationWindow = 2 * Day)
+      require(t.canServerAggregate(p), "entry must exercise the rollup path")
+      r6(t.select(p), Seq("sum", "avg"))
+    }),
+
     // pre-aggregate cross-label table: GroupBy matches the materialized
     // label subset exactly (select.go:261-283)
     "tsdb_storage_preagg" -> ((s, dir) => {
@@ -616,6 +627,26 @@ object SparkEntry {
          |  round(sum(v) / count(v), 6) AS avg
          |FROM s WHERE name = 'signup' AND tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // median re-bucket twin: rebuild the 6h rollup in SQL, then fan each
+    // rollup cell into grid cells ceil((m-F)/S)..floor((m+W-F)/S) clamped
+    // to [0, maxK] — exactly the engine's serverAggregate sliding rule
+    "tsdb_sliding_server" -> {
+      val R = 6 * Hour; val S = Day; val W = 2 * Day; val maxK = (T - F) / Day
+      s"""WITH s AS ($SamplesCte),
+         |r AS (SELECT name, labels_str, (tt // $R) * $R AS b,
+         |             count(v) AS c, sum(v) AS sm
+         |      FROM s WHERE name = 'view' GROUP BY 1, 2, 3),
+         |e AS (SELECT name, labels_str, c, sm, u.k AS k
+         |      FROM r, UNNEST(generate_series(
+         |          GREATEST(CAST(ceil((b + ${R / 2} - $F) * 1.0 / $S) AS BIGINT), 0),
+         |          LEAST(CAST(floor((b + ${R / 2} + $W - $F) * 1.0 / $S) AS BIGINT), $maxK))) AS u(k))
+         |SELECT name, labels_str, $F + k * $S AS t,
+         |  CAST(sum(c) AS DOUBLE) AS "count",
+         |  round(sum(sm), 6) AS "sum",
+         |  round(sum(sm) / sum(c), 6) AS avg
+         |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
 
     "tsdb_storage_preagg" ->
       s"""WITH s AS (SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",

@@ -441,6 +441,13 @@ object QueryEngine {
     * min/max merge, last takes the latest rollup bucket's last —
     * `aggregate.go:317-361`), then the usual finalize.
     *
+    * With `p.aggregationWindow` > 0 this is the SERVER-side sliding
+    * window (reference `windowAggregationWithServerAggregates`,
+    * `collector.go:366-381`): the median feeds every grid cell
+    * `ceil((m-from)/step) .. floor((m+w-from)/step)` — the same coverage
+    * rule as the raw path, applied to rollup cells, so a 100 TB sliding
+    * window scans `span/rollupInterval` rows instead of every sample.
+    *
     * `rollup`: output of [[graft.storage.Rollup]] — keys + `bucket_start`
     * + `__p_*` partial columns. At 100 TB this is THE fast path: the scan
     * touches `span/rollupInterval` pre-aggregated rows per series instead
@@ -483,8 +490,18 @@ object QueryEngine {
       if (df.columns.contains("__p_last_t")) col("__p_last_t") else col("bucket_start")
     val partials = Aggregates.withCompanions(Aggregates.requiredPartials(fns))
       .filter(f => f != "last_t" || df.columns.contains("__p_last_t"))
-    val grouped = df
-      .withColumn("__cell", cell).filter(col("__cell").between(0, maxCell))
+    val celled =
+      if (p.aggregationWindow > 0) {
+        // sliding: rollup cell feeds every covering grid cell (round-UP
+        // current cell, inclusive to median + window — collector.go:366-381)
+        val w = p.aggregationWindow
+        val kMin = greatest(ceil((median - p.from) / lit(step.toDouble)).cast("long"), lit(0L))
+        val kMax = least(floor((median + w - p.from) / lit(step.toDouble)).cast("long"), lit(maxCell))
+        df.withColumn("__cell",
+          explode(when(kMin <= kMax, sequence(kMin, kMax))
+            .otherwise(array().cast("array<bigint>"))))
+      } else df.withColumn("__cell", cell).filter(col("__cell").between(0, maxCell))
+    val grouped = celled
       .withColumn("t", lit(p.from) + col("__cell") * step)
       .groupBy(keyCols :+ col("t"): _*)
       .agg(

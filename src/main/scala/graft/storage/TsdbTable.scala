@@ -339,7 +339,14 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     fns.nonEmpty &&
       !p.isCrossSeries &&
       !p.usePreciseAggregations &&
-      p.windows.isEmpty && p.aggregationWindow == 0 &&
+      p.windows.isEmpty &&
+      // sliding windows serve from the rollup when the window covers at
+      // least one rollup cell (reference CanAggregate,
+      // aggregationParams.go:77) AND at least one step — below that the
+      // reference's degenerate single-cell branch applies and the raw
+      // path is both exact and cheap, so we fall back instead
+      (p.aggregationWindow == 0 ||
+        (p.aggregationWindow >= config.rollupIntervalMs && p.aggregationWindow >= step)) &&
       step / config.rollupIntervalMs > config.useServerAggregateCoefficient &&
       step % config.rollupIntervalMs == 0 &&
       fns.flatMap(Aggregates.dependencies).forall(d =>
@@ -364,9 +371,9 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     if (canServerAggregate(p) && (p.groupByLabels.isEmpty || preAgg.isDefined)) {
       // partition-prune the rollup too — a 1-day query must not scan years
       // of rollup history (widen one rollup cell below `from` for the
-      // median-time re-bucketing margin)
-      val pLo = ((p.from - config.rollupIntervalMs).max(0L) / config.partitionIntervalMs) *
-        config.partitionIntervalMs
+      // median-time re-bucketing margin, plus the sliding window reach)
+      val pLo = ((p.from - config.rollupIntervalMs - p.aggregationWindow).max(0L) /
+        config.partitionIntervalMs) * config.partitionIntervalMs
       def pruned(path: String) =
         spark.read.parquet(path).filter(col("part_start").between(pLo, p.to))
       preAgg match {

@@ -260,6 +260,21 @@ class QueryEngineSpec extends SparkSuite {
     assert(out(Base + 20)._2.contains(26.0))
   }
 
+  test("server sliding window == raw sliding when samples sit at rollup medians (collector.go:366-381)") {
+    // samples at b + rollup/2 make the median re-bucketing exact, so the
+    // approximate server path must agree with the raw path cell-for-cell
+    val rollup = 10L
+    val df = samples((0 until 40).map(i =>
+      ("m", if (i % 2 == 0) "a" else "b", Base + i * rollup + rollup / 2, i.toDouble)): _*)
+    val p = SelectParams(name = "m", functions = "count,sum,max,avg",
+      from = Base, to = Base + 399, step = 40, aggregationWindow = 80)
+    val server = QueryEngine.serverAggregate(
+        graft.storage.Rollup.build(df, rollup), p, p.baseFunctions, rollup)
+      .collect().map(_.toSeq).toSet
+    val raw = QueryEngine.select(df, p).collect().map(_.toSeq).toSet
+    assert(server == raw && server.nonEmpty)
+  }
+
   test("server aggregation from rollup == direct raw aggregation (aggregate.go:317-361)") {
     val df = samples(
       ("m", "a", Base + 1, 1.0), ("m", "a", Base + 11, 2.0),
