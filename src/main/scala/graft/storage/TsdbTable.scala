@@ -326,6 +326,47 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     if (!hasPartitions(rawPath)) 0L
     else mergeOnRead(rawFiles()).count()
 
+  private def partitionStarts(): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(rawPath)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("part_start="))
+      .map(_.stripPrefix("part_start=").toLong).sorted
+  }
+
+  /** Distinct label sets, scanning only the LAST TWO time partitions —
+    * the reference's explicit perf bound ("Because of performance issues
+    * we only want to query the last two partitions", `GetLabelSets`,
+    * `pquerier/querier.go:346-350`). Discovery answers come from recent
+    * data; an unbounded variant is [[QueryEngine.labelSets]] over
+    * [[readRaw]]. */
+  def labelSets(metric: String = ""): DataFrame = {
+    val parts = partitionStarts().takeRight(2)
+    if (parts.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("labels_str", org.apache.spark.sql.types.StringType))))
+    QueryEngine.labelSets(
+      mergeOnRead(rawFiles().filter(col("part_start").isin(parts: _*))), metric)
+  }
+
+  /** Distinct values of one label key, scanning a single partition like
+    * the reference (`getLabelValues` queries `partitionPaths[0]` only,
+    * `pquerier/querier.go:257-276`); we pick the NEWEST partition — same
+    * bounded cost, fresher answers. */
+  def labelValues(key: String): DataFrame = {
+    val parts = partitionStarts().takeRight(1)
+    if (parts.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+    QueryEngine.labelValues(
+      mergeOnRead(rawFiles().filter(col("part_start").isin(parts: _*))), key)
+  }
+
   /** The aggregate-pushdown planner (reference `CanAggregate`,
     * `aggregationParams.go:67-77` + mixed-mode/precision overrides,
     * `select.go:206-248`): serve from the materialized rollup iff the

@@ -166,6 +166,20 @@ class TsdbTableSpec extends SparkSuite {
     assert(roll == 2.0)
   }
 
+  test("labelSets/labelValues scan only the most recent partitions (querier.go:257-276,346-350)") {
+    val day = 86400000L
+    val t = mkTable()
+    t.append(samples(
+      ("cpu", "old", Base + 1, 1.0),             // day 1 — outside both bounds
+      ("cpu", "mid", Base + 5 * day + 1, 2.0),   // day 6 — in last-2 only
+      ("cpu", "new", Base + 6 * day + 1, 3.0)))  // day 7 — newest
+    val sets = t.labelSets().collect().map(_.getString(1)).toSet
+    assert(sets == Set("host=mid", "host=new")) // last 2 partitions
+    val values = t.labelValues("host").collect().map(_.getString(0)).toSet
+    assert(values == Set("new")) // newest partition only
+    assert(t.labelSets("nope").collect().isEmpty)
+  }
+
   test("delete by metrics list and label filter (DeleteParams.Metrics/Filter, v3iotsdb.go:71-78)") {
     val t = mkTable()
     t.append(samples(
