@@ -169,13 +169,22 @@ object Similarity {
     * ~nProbe/nCentroids of the data — the standard recall/cost dial. */
   def ivfTopK(data: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sp = data.sparkSession
     val centSrc =
       if (trainIters > 0) kMeansCentroids(data, nCentroids, trainIters)
       else data.orderBy("vec_id").limit(nCentroids)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    val cents = broadcast(centSrc.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+    ivfTopKWith(data, queries, k, centSrc, nProbe)
+  }
+
+  /** [[ivfTopK]] against a PRE-TRAINED centroid table `(c_id, c_vec)` —
+    * the production shape: the index (centroids) is built once per corpus
+    * version and amortized over every query batch, instead of re-running
+    * Lloyd's per call. */
+  def ivfTopKWith(data: DataFrame, queries: DataFrame, k: Int,
+                  centroids: DataFrame, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = data.sparkSession
+    val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
 
     def assign(df: DataFrame, vec: String, nrm: String, outCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(df.columns.head).orderBy(col("__csim").desc, col("c_id"))

@@ -514,15 +514,28 @@ object QueryEngine {
 
   /** Melt a wide aggregate frame into the long Prometheus SeriesSet shape:
     * one row per (series, aggregate, t) with the `Aggregate` label attached
-    * (reference `pkg/pquerier/series.go:33-50`; `aggregate.AggregateLabel`). */
-  def toSeriesSet(wide: DataFrame, keyNames: Seq[String], fns: Seq[String]): DataFrame = {
+    * (reference `pkg/pquerier/series.go:33-50`; `aggregate.AggregateLabel`).
+    *
+    * `aggregateLabel = false` is the Prometheus-compatibility emission
+    * (reference `SelectProm` sets `showAggregateLabel` off,
+    * `pquerier/querier.go:128-137`): the aggregate column is omitted, which
+    * requires a single aggregate or the rows would be ambiguous. */
+  def toSeriesSet(wide: DataFrame, keyNames: Seq[String], fns: Seq[String],
+                  aggregateLabel: Boolean = true): DataFrame = {
+    if (!aggregateLabel)
+      require(fns.size == 1,
+        s"dropping the aggregate label needs exactly one aggregate, got ${fns.mkString(",")}")
     val entries = fns.flatMap(f => Seq(lit(f), col(f)))
-    wide
+    val long = wide
       .withColumn("__m", map(entries: _*))
       .select(keyNames.map(col) :+ explode(col("__m")).as(Seq("aggregate", "v")) :+ col("t"): _*)
       .filter(col("v").isNotNull)
-      .select(keyNames.map(col) ++ Seq(col("aggregate"), col("t"), col("v")): _*)
-      .orderBy(keyNames.map(col) ++ Seq(col("aggregate"), col("t")): _*)
+    if (aggregateLabel)
+      long.select(keyNames.map(col) ++ Seq(col("aggregate"), col("t"), col("v")): _*)
+        .orderBy(keyNames.map(col) ++ Seq(col("aggregate"), col("t")): _*)
+    else
+      long.select(keyNames.map(col) ++ Seq(col("t"), col("v")): _*)
+        .orderBy(keyNames.map(col) :+ col("t"): _*)
   }
 
   // ------------------------------------------------- multi-metric frames (J1)

@@ -446,6 +446,36 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     }
   }
 
+  /** Compact an overrideOld table: rewrite each partition with the
+    * merge-on-read view materialized, dropping superseded row versions so
+    * subsequent reads skip the dedup window until the next rewrite burst —
+    * the MOR compaction step every merge-on-read system needs (Hudi
+    * compaction / Delta OPTIMIZE analog). No-op for non-override tables
+    * (their reads are window-free already). Rollups are unchanged: they
+    * are always built from the merged view. */
+  def compact(): Unit = {
+    if (!config.overrideOld) return
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
+    partitionStarts().foreach { start =>
+      val dir = new org.apache.hadoop.fs.Path(rawPath, s"part_start=$start")
+      val keep = mergeOnRead(
+          rawFiles().filter(col("part_start") === start))
+        // re-stamp so future rewrites still order after compacted rows
+        .withColumn("__seq", lit(nextSeq()))
+        .cache()
+      keep.count() // materialize before overwriting the source
+      val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".tmp_${dir.getName}")
+      keep.drop("part_start")
+        .repartition(pmod(col("series_id"), lit(config.shardingBuckets.toLong)))
+        .sortWithinPartitions("series_id", "time")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      keep.unpersist()
+      fs.delete(dir, true)
+      fs.rename(tmp, dir)
+    }
+  }
+
   /** Enforce the configured retention horizon (reference layer retention,
     * `config.go:198-200`; partition-age deletion `partmgr.go:330,357,390`):
     * drop every partition that ends before `now - retention`. Aligned to

@@ -122,6 +122,18 @@ class QueryEngineSpec extends SparkSuite {
     assert(empty(Base + 10) == 20.0 && empty(Base + 30) == 20.0)
   }
 
+  test("SeriesSet Prom emission drops the aggregate label (querier.go:128-137)") {
+    val df = samples(("m", "a", Base + 1, 2.0), ("m", "a", Base + 11, 4.0))
+    val wide = QueryEngine.select(df, SelectParams(name = "m",
+      functions = "sum", from = Base, to = Base + 19, step = 10))
+    val prom = QueryEngine.toSeriesSet(wide, Seq("name", "labels_str"), Seq("sum"),
+      aggregateLabel = false)
+    assert(prom.columns.toSeq == Seq("name", "labels_str", "t", "v"))
+    assert(prom.collect().map(_.getDouble(3)).toSeq == Seq(2.0, 4.0))
+    intercept[IllegalArgumentException](
+      QueryEngine.toSeriesSet(wide, Seq("name"), Seq("sum", "count"), aggregateLabel = false))
+  }
+
   test("multi-metric aggregate select: fn(metric) columns aligned per (labels, t)") {
     import graft.query.RequestedColumn
     val df = samples(

@@ -166,6 +166,29 @@ class TsdbTableSpec extends SparkSuite {
     assert(roll == 2.0)
   }
 
+  test("compact materializes the MOR view; later rewrites still win") {
+    val dir = Files.createTempDirectory("tsdb_compact").toString
+    val t = new TsdbTable(spark, dir, TsdbConfig(overrideOld = true))
+    t.append(samples(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0)))
+    t.append(samples(("cpu", "a", Base + 1000, 9.0)))
+    // physically 3 rows before compaction, 2 after; logical view unchanged
+    assert(spark.read.parquet(s"$dir/raw").count() == 3)
+    t.compact()
+    assert(spark.read.parquet(s"$dir/raw").count() == 2)
+    assert(t.readRaw(Base, Base + 10000).select("time", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map((Base + 1000) -> 9.0, (Base + 2000) -> 2.0))
+    // a rewrite after compaction still orders after the re-stamped rows
+    t.append(samples(("cpu", "a", Base + 2000, 7.0)))
+    assert(t.readRaw(Base, Base + 10000).filter(col("time") === Base + 2000)
+      .select("value").collect().map(_.getDouble(0)).toSeq == Seq(7.0))
+    // no-op on non-override tables
+    val t2 = mkTable()
+    t2.append(samples(("cpu", "a", Base + 1, 1.0)))
+    t2.compact()
+    assert(t2.countMetrics() == 1)
+  }
+
   test("labelSets/labelValues scan only the most recent partitions (querier.go:257-276,346-350)") {
     val day = 86400000L
     val t = mkTable()
