@@ -18,7 +18,7 @@ import graft.storage.{TsdbConfig, TsdbTable}
   * graft.cli.Main add    -t /path -f samples.csv
   * graft.cli.Main query  -t /path [<sql> | -n metric -a funcs] \
   *                       [-b from] [-e to] [-i step] [-f filter] [-o text|csv|json]
-  * graft.cli.Main delete -t /path -b from -e to [-n metric]
+  * graft.cli.Main delete -t /path -b from -e to [-n metric,metric] [-f filter]
   * graft.cli.Main info   -t /path
   * }}}
   */
