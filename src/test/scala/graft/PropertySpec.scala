@@ -72,6 +72,36 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: session_window == independent gap-island encoding") {
+    import org.apache.spark.sql.expressions.Window
+    cases(6).foreach { case (xs, rollupUnits, _) =>
+      val gap = rollupUnits * 300L
+      val data = xs.map(s => (s"u${s.series}", Base + s.offsetMs * 100L,
+          if (s.value.isNaN) 0.0 else s.value))
+        .toDF("key", "time", "value")
+      val out = graft.ops.Sessions.byGap(data, col("key"), col("time"), col("value"), gap)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      // independent derivation: lag/cumsum islands (split when t - prev > gap)
+      val w = Window.partitionBy("key").orderBy("time")
+      val prev = lag(col("time"), 1).over(w)
+      val isl = data
+        .withColumn("brk", when(prev.isNull || col("time") - prev > gap, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("key", "sid")
+        .agg(min("time").as("s"), (max("time") + gap).as("e"),
+          count(lit(1)).as("n"), sum("value").as("sv"))
+        .collect().map(r => (r.getString(0), r.getLong(2)) ->
+          (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+      assert(out.keySet == isl.keySet, s"gap=$gap xs=$xs")
+      out.foreach { case (k, (e1, n1, sv1)) =>
+        val (e2, n2, sv2) = isl(k)
+        assert(e1 == e2 && n1 == n2 && math.abs(sv1 - sv2) <= 1e-9 * math.max(1.0, math.abs(sv1)),
+          s"gap=$gap key=$k engine=($e1,$n1,$sv1) island=($e2,$n2,$sv2)")
+      }
+    }
+  }
+
   private def approxEq(a: Map[(String, Long), Seq[Any]], b: Map[(String, Long), Seq[Any]]): Boolean =
     a.keySet == b.keySet && a.forall { case (k, va) =>
       va.zip(b(k)).forall {
