@@ -44,9 +44,23 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: <create|add|query|delete|info> -t <table> ..."); sys.exit(2) }
+    if (args.isEmpty) { System.err.println("usage: <create|add|query|delete|info|check|time|version> -t <table> ..."); sys.exit(2) }
     val cmd = args.head
     val (f, pos) = flags(args.tail.toSeq)
+    // table-less commands run without a Spark session (reference tsdbctl
+    // time, time.go: RFC3339 <-> unix conversions; version, version.go)
+    cmd match {
+      case "time" =>
+        val now = System.currentTimeMillis()
+        val t = pos.headOption.map(TimeUtil.parseTime(_, now)).getOrElse(now)
+        println(s"unix-ms: $t")
+        println(s"rfc3339: ${java.time.Instant.ofEpochMilli(t)}")
+        return
+      case "version" =>
+        println("v3iotsdbspark 0.1.0")
+        return
+      case _ =>
+    }
     val tablePath = f.getOrElse("t", sys.error("missing -t <table-path>"))
 
     val spark = SparkSession.builder()

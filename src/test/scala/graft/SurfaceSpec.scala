@@ -143,4 +143,16 @@ class CliSpec extends SparkSuite {
       from = 1704067200000L, to = 1704067400000L, step = 300000L))
     assert(out.collect().head.getDouble(3) == 153.2)
   }
+
+  test("time/version commands run table-less (tsdbctl time.go/version.go)") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      graft.cli.Main.main(Array("time", "2024-01-01T00:00:00Z"))
+      graft.cli.Main.main(Array("version"))
+    }
+    val out = buf.toString
+    assert(out.contains("unix-ms: 1704067200000"))
+    assert(out.contains("rfc3339: 2024-01-01T00:00:00Z"))
+    assert(out.contains("v3iotsdbspark"))
+  }
 }
