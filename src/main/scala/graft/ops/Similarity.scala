@@ -89,26 +89,34 @@ object Similarity {
   def nearDupPairsBlocked(data: DataFrame, threshold: Double,
                           nCentroids: Int, trainIters: Int = 2): DataFrame = {
     val sp = data.sparkSession
-    val cents = broadcast(kMeansCentroids(data, nCentroids, trainIters)
-      .withColumn("__cn", nativeNorm(sp, col("c_vec"))))
-    val assigned = data.select(col("vec_id"), col("embedding"))
+    val assigned = assignClusters(data, kMeansCentroids(data, nCentroids, trainIters))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("__n").as("__na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("__n").as("__nb"))
+    // pairs can't repeat — each vector belongs to exactly one cluster
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", nativeDot(sp, col("va"), col("vb")) / (col("__na") * col("__nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Nearest-centroid assignment shared by k-means iterations and the
+    * blocked near-dup: broadcast centroids, one max_by aggregate →
+    * `(vec_id, cluster, embedding, __n)` with a deterministic tiebreak
+    * (highest cosine, then lowest centroid id). */
+  private def assignClusters(data: DataFrame, centroids: DataFrame): DataFrame = {
+    val sp = data.sparkSession
+    val bc = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+    data.select(col("vec_id"), col("embedding"))
       .withColumn("__n", nativeNorm(sp, col("embedding")))
-      .crossJoin(cents)
+      .crossJoin(bc)
       .withColumn("__csim",
         nativeDot(sp, col("embedding"), col("c_vec")) / (col("__n") * col("__cn")))
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("__csim"), -col("c_id"))).as("cluster"),
         first(col("embedding")).as("embedding"), first(col("__n")).as("__n"))
-    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("__n").as("__na"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("__n").as("__nb"))
-    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", nativeDot(sp, col("va"), col("vb")) / (col("__na") * col("__nb")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
-      .distinct() // a pair can't repeat (one cluster per vector) — cheap safety
-      .orderBy("id_a", "id_b")
   }
 
   /** Spherical k-means centroids for IVF (Lloyd's iterations with cosine
@@ -129,18 +137,7 @@ object Similarity {
       .orderBy(xxhash64(col("c_id")), col("c_id"))
       .limit(nCentroids)
     for (_ <- 0 until iters) {
-      val bc = broadcast(cents.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
-      val assigned = data
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("__n", nativeNorm(sp, col("embedding")))
-        .crossJoin(bc)
-        .withColumn("__csim",
-          nativeDot(sp, col("embedding"), col("c_vec")) / (col("__n") * col("__cn")))
-        .groupBy("vec_id")
-        .agg(
-          // deterministic tiebreak: highest sim, then lowest centroid id
-          max_by(col("c_id"), struct(col("__csim"), -col("c_id"))).as("cluster"),
-          first(col("embedding")).as("embedding"))
+      val assigned = assignClusters(data, cents)
       val dims = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")

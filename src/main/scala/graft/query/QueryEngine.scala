@@ -71,12 +71,7 @@ object QueryEngine {
 
   /** Main select path (reference `QuerierV2.Select`, `pquerier/querier.go:60-137`). */
   def select(samples: DataFrame, p: SelectParams): DataFrame = {
-    // multi-metric column list + any aggregate → per-metric routing (which
-    // also rejects raw/aggregate mixes). Keying on ALL metrics, not just
-    // aggregated ones, keeps `select sum(cpu), mem` from slipping into the
-    // single-metric path and aggregating every metric in the table.
-    if (p.requestedColumns.map(_.metric).distinct.size > 1 &&
-        p.requestedColumns.exists(_.function.nonEmpty))
+    if (p.isMultiMetricAggregate)
       return multiAggregate(samples, p)
     val fns = p.baseFunctions
     if (fns.isEmpty && (p.windows.nonEmpty || p.aggregationWindow > 0))

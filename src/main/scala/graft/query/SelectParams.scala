@@ -71,6 +71,15 @@ case class SelectParams(
   /** Aggregate names with any `_all` suffix stripped. */
   def baseFunctions: Seq[String] = functionList.map(SelectParams.stripAll)
 
+  /** A select list naming more than one metric with any aggregate must
+    * route through [[QueryEngine.multiAggregateVia]] (which also rejects
+    * raw/aggregate mixes). Keying on ALL metrics, not just aggregated
+    * ones, keeps `select sum(cpu), mem` from slipping into a
+    * single-metric path and aggregating every metric in the table. */
+  def isMultiMetricAggregate: Boolean =
+    requestedColumns.map(_.metric).distinct.size > 1 &&
+      requestedColumns.exists(_.function.nonEmpty)
+
   /** Effective step: 0 with functions present means one bucket spanning the
     * whole range (reference `select.go:82-84`). */
   def effectiveStep: Long =

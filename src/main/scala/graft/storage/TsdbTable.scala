@@ -148,15 +148,18 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         .sortWithinPartitions("series_id", "time")
         .write.mode(SaveMode.Append).partitionBy("part_start").parquet(rawPath)
 
-      val touched = enriched.select("part_start").distinct()
-        .collect().map(_.getLong(0))
+      // one driver job collects both tiny summaries of the cached batch
+      // (matters per micro-batch on the streaming path)
+      val summary = enriched
+        .agg(collect_set("part_start"), collect_set("name")).head()
+      val touched = summary.getSeq[Long](0)
       // incremental merge requires batch ∩ existing = ∅, which overrideOld
       // rewrites violate by design — force the recompute (MOR read) path
       if (incrementalRollup && !config.overrideOld) mergeRollup(enriched, touched)
       else refreshRollup(touched)
       // names is a tiny dimension: merge the BATCH's names driver-side
       // instead of rescanning the whole raw table per micro-batch
-      mergeNames(enriched.select("name").distinct().collect().map(_.getString(0)).toSet)
+      mergeNames(summary.getSeq[String](1).toSet)
     } finally enriched.unpersist()
   }
 
@@ -342,30 +345,29 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * `pquerier/querier.go:346-350`). Discovery answers come from recent
     * data; an unbounded variant is [[QueryEngine.labelSets]] over
     * [[readRaw]]. */
-  def labelSets(metric: String = ""): DataFrame = {
-    val parts = partitionStarts().takeRight(2)
-    if (parts.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("labels_str", org.apache.spark.sql.types.StringType))))
-    QueryEngine.labelSets(
-      mergeOnRead(rawFiles().filter(col("part_start").isin(parts: _*))), metric)
+  /** Empty all-string frame for discovery APIs on an empty table. */
+  private def emptyStringDf(names: String*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(names.map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
+
+  private def recentPartitions(n: Int): Option[DataFrame] = {
+    val parts = partitionStarts().takeRight(n)
+    if (parts.isEmpty) None
+    else Some(mergeOnRead(rawFiles().filter(col("part_start").isin(parts: _*))))
   }
+
+  def labelSets(metric: String = ""): DataFrame =
+    recentPartitions(2).map(QueryEngine.labelSets(_, metric))
+      .getOrElse(emptyStringDf("name", "labels_str"))
 
   /** Distinct values of one label key, scanning a single partition like
     * the reference (`getLabelValues` queries `partitionPaths[0]` only,
     * `pquerier/querier.go:257-276`); we pick the NEWEST partition — same
     * bounded cost, fresher answers. */
-  def labelValues(key: String): DataFrame = {
-    val parts = partitionStarts().takeRight(1)
-    if (parts.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
-    QueryEngine.labelValues(
-      mergeOnRead(rawFiles().filter(col("part_start").isin(parts: _*))), key)
-  }
+  def labelValues(key: String): DataFrame =
+    recentPartitions(1).map(QueryEngine.labelValues(_, key))
+      .getOrElse(emptyStringDf("value"))
 
   /** The aggregate-pushdown planner (reference `CanAggregate`,
     * `aggregationParams.go:67-77` + mixed-mode/precision overrides,
@@ -403,8 +405,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   /** Query entry point: plan pre-agg / rollup / raw, then run the engine. */
   def select(p: SelectParams): DataFrame = {
-    if (p.requestedColumns.map(_.metric).distinct.size > 1 &&
-        p.requestedColumns.exists(_.function.nonEmpty))
+    if (p.isMultiMetricAggregate)
       // each metric re-enters this planner, so a metric whose aggregates
       // the rollup covers is served from it even when a sibling falls raw
       return QueryEngine.multiAggregateVia(p, sub => select(sub))
