@@ -130,7 +130,10 @@ object Main {
         from = f.get("b").map(TimeUtil.parseTime(_, now)).getOrElse(now - TimeUtil.MillisInHour),
         to = f.get("e").map(TimeUtil.parseTime(_, now)).getOrElse(now),
         step = f.get("i").map(TimeUtil.parseDuration).getOrElse(base.step),
-        filter = if (base.filter.nonEmpty) base.filter else f.getOrElse("f", ""),
+        // -f speaks the reference filter dialect on every subcommand
+        // (delete translates too) — bare identifiers are label refs
+        filter = if (base.filter.nonEmpty) base.filter
+          else f.get("f").map(TsdbSql.translateFilter).getOrElse(""),
         aggregationWindow = f.get("w").map(TimeUtil.parseDuration).getOrElse(0L))
       val wide = t.select(p)
       val out =

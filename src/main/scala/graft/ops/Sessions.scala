@@ -23,17 +23,20 @@ import org.apache.spark.sql.functions._
 object Sessions {
 
   /** Sessions per key: `(key, session_start, session_end, n_events,
-    * sum_v)`, ordered. One aggregate, one shuffle on the key. */
+    * sum_v)`. One aggregate, one shuffle on the key. Batch output is
+    * ordered; a STREAMING input skips the sort (Spark rejects orderBy on
+    * unbounded frames outside complete mode — the aggregate itself is
+    * identical). */
   def byGap(df: DataFrame, key: Column, timeMs: Column, value: Column,
             gapMs: Long): DataFrame = {
     require(gapMs > 0, s"gapMs must be positive, got $gapMs")
-    df.groupBy(key.as("key"),
+    val sessions = df.groupBy(key.as("key"),
         session_window(timestamp_millis(timeMs), s"$gapMs milliseconds").as("__w"))
       .agg(count(lit(1)).as("n_events"), sum(value).as("sum_v"))
       .select(col("key"),
         unix_millis(col("__w.start")).as("session_start"),
         unix_millis(col("__w.end")).as("session_end"),
         col("n_events"), col("sum_v"))
-      .orderBy("key", "session_start")
+    if (df.isStreaming) sessions else sessions.orderBy("key", "session_start")
   }
 }

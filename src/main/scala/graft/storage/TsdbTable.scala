@@ -339,12 +339,6 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       .map(_.stripPrefix("part_start=").toLong).sorted
   }
 
-  /** Distinct label sets, scanning only the LAST TWO time partitions —
-    * the reference's explicit perf bound ("Because of performance issues
-    * we only want to query the last two partitions", `GetLabelSets`,
-    * `pquerier/querier.go:346-350`). Discovery answers come from recent
-    * data; an unbounded variant is [[QueryEngine.labelSets]] over
-    * [[readRaw]]. */
   /** Empty all-string frame for discovery APIs on an empty table. */
   private def emptyStringDf(names: String*): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -357,6 +351,12 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     else Some(mergeOnRead(rawFiles().filter(col("part_start").isin(parts: _*))))
   }
 
+  /** Distinct label sets, scanning only the LAST TWO time partitions —
+    * the reference's explicit perf bound ("Because of performance issues
+    * we only want to query the last two partitions", `GetLabelSets`,
+    * `pquerier/querier.go:346-350`). Discovery answers come from recent
+    * data; an unbounded variant is [[QueryEngine.labelSets]] over
+    * [[readRaw]]. */
   def labelSets(metric: String = ""): DataFrame =
     recentPartitions(2).map(QueryEngine.labelSets(_, metric))
       .getOrElse(emptyStringDf("name", "labels_str"))
@@ -460,8 +460,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
     partitionStarts().foreach { start =>
       val dir = new org.apache.hadoop.fs.Path(rawPath, s"part_start=$start")
+      // read ONE partition dir (a whole-table rawFiles() here would re-list
+      // and footer-merge every file in the table once per partition)
       val keep = mergeOnRead(
-          rawFiles().filter(col("part_start") === start))
+          spark.read.option("mergeSchema", "true").parquet(dir.toString))
         // re-stamp so future rewrites still order after compacted rows
         .withColumn("__seq", lit(nextSeq()))
         .cache()
@@ -480,8 +482,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
   /** Enforce the configured retention horizon (reference layer retention,
     * `config.go:198-200`; partition-age deletion `partmgr.go:330,357,390`):
     * drop every partition that ends before `now - retention`. Aligned to
-    * partition starts so this is always a METADATA-ONLY whole-partition
-    * drop — no rewrite, O(partitions) driver work, no executor scan. */
+    * partition starts so raw/rollup data is only ever dropped whole —
+    * no row rewrite. The names dim does rebuild afterwards (one
+    * column-pruned `name` scan of the survivors — a metric living only
+    * in expired partitions must leave the names list). */
   def applyRetention(nowMs: Long = System.currentTimeMillis()): Unit = {
     if (config.retentionMs <= 0) return
     val cutoff = nowMs - config.retentionMs
@@ -530,8 +534,13 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         fs.delete(dir, true)
         dropRollupPartition(start) // rollup must not outlive its raw partition
       } else if (start <= toMs && fromMs <= end) {
+        // three-valued logic: a row whose labels lack the filtered key makes
+        // filterPred NULL, !(… && NULL) is NULL, and filter() would DROP the
+        // row — coalesce to false so non-matching rows are kept, not deleted
+        val delPred = col("time").between(fromMs, toMs) &&
+          coalesce(metricPred, lit(false)) && coalesce(filterPred, lit(false))
         val keep = spark.read.parquet(dir.toString)
-          .filter(!(col("time").between(fromMs, toMs) && metricPred && filterPred))
+          .filter(!delPred)
           .cache()
         val rows = keep.count() // materialize before overwriting the source
         val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".tmp_${dir.getName}")

@@ -208,17 +208,21 @@ class TsdbTableSpec extends SparkSuite {
     t.append(samples(
       ("cpu", "a", Base + 1, 1.0), ("cpu", "b", Base + 2, 2.0),
       ("mem", "a", Base + 3, 3.0), ("disk", "a", Base + 4, 4.0)))
+    // a series WITHOUT the filtered label: labels['host'] is NULL there —
+    // three-valued logic must keep it, not silently delete it
+    t.append(samples(("cpu", "x", Base + 5, 5.0))
+      .withColumn("labels", map(lit("region"), lit("eu"))))
     // filter deletes only host=a rows of the named metrics
     t.delete(0L, Long.MaxValue / 4, metrics = Seq("cpu", "mem"),
       filter = "labels['host'] == 'a'")
     val left = t.readRaw(0, Long.MaxValue / 2)
       .select("name", "labels_str").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(left == Set(("cpu", "host=b"), ("disk", "host=a")))
+    assert(left == Set(("cpu", "host=b"), ("disk", "host=a"), ("cpu", "region=eu")))
     // names dim refreshed: mem is gone entirely
     assert(t.names().collect().map(_.getString(0)).toSeq == Seq("cpu", "disk"))
     val roll = t.readRollup().agg(sum("__p_count")).collect().head.getDouble(0)
-    assert(roll == 2.0)
+    assert(roll == 3.0) // three surviving samples
   }
 
   test("retention drops whole partitions past the horizon (config.go:198-200)") {
