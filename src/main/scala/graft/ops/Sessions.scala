@@ -26,12 +26,21 @@ object Sessions {
     * sum_v)`. One aggregate, one shuffle on the key. Batch output is
     * ordered; a STREAMING input skips the sort (Spark rejects orderBy on
     * unbounded frames outside complete mode — the aggregate itself is
-    * identical). */
-  def byGap(df: DataFrame, key: Column, timeMs: Column, value: Column,
+    * identical).
+    *
+    * `time` may be a unix-ms long (wrapped in `timestamp_millis`) or an
+    * existing timestamp column. Streaming inputs MUST pass the
+    * WATERMARKED timestamp column itself — a watermark attaches to a
+    * column, and wrapping the long in a fresh `timestamp_millis`
+    * expression would sever it (append mode then rejects the plan). */
+  def byGap(df: DataFrame, key: Column, time: Column, value: Column,
             gapMs: Long): DataFrame = {
     require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    val isTs = df.select(time).schema.head.dataType ==
+      org.apache.spark.sql.types.TimestampType
+    val eventTime = if (isTs) time else timestamp_millis(time)
     val sessions = df.groupBy(key.as("key"),
-        session_window(timestamp_millis(timeMs), s"$gapMs milliseconds").as("__w"))
+        session_window(eventTime, s"$gapMs milliseconds").as("__w"))
       .agg(count(lit(1)).as("n_events"), sum(value).as("sum_v"))
       .select(col("key"),
         unix_millis(col("__w.start")).as("session_start"),

@@ -187,6 +187,37 @@ class SessionsSpec extends SparkSuite {
   }
 }
 
+class SessionsStreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("byGap runs on a watermarked stream (append mode emits closed sessions)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
+    val stream = mem.toDF().toDF("user", "time", "value")
+      .withColumn("__et", timestamp_millis(col("time")))
+      .withWatermark("__et", "10 seconds")
+    // pass the WATERMARKED timestamp column itself (see byGap scaladoc)
+    val sessions = graft.ops.Sessions.byGap(stream, col("user"), col("__et"),
+      col("value"), gapMs = 1000L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    try {
+      mem.addData(("u1", 0L, 1.0), ("u1", 500L, 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past the first session so it closes
+      mem.addData(("u1", 60000L, 4.0))
+      q.processAllAvailable()
+      mem.addData(("u1", 120000L, 8.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from sessions_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+      // the first session (2 events, merged) must have been emitted closed
+      assert(rows.contains(("u1", 0L, 1500L, 2L, 3.0)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+}
+
 class TextAnalysisSpec extends SparkSuite {
   import spark.implicits._
 
