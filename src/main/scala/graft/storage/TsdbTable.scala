@@ -35,7 +35,12 @@ case class TsdbConfig(
     // plain parquet has no MERGE). Off = duplicates are the ingest
     // job's responsibility (the streaming dedup) and reads stay
     // window-free.
-    overrideOld: Boolean = false) {
+    overrideOld: Boolean = false,
+    // force aggregate serving from the rollup at rollup granularity
+    // (reference disableClientAggr: step > rollup is coerced DOWN to the
+    // rollup interval, select.go:185-187, and CanAggregate passes via the
+    // step == rollup equality escape, aggregationParams.go:74)
+    disableClientAggregation: Boolean = false) {
   require(shardingBuckets > 0, s"shardingBuckets must be positive, got $shardingBuckets")
   // rollup buckets must nest inside partitions or rollup rows would land in
   // a different partition than their raw samples and be lost/corrupted by
@@ -390,7 +395,8 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       // path is both exact and cheap, so we fall back instead
       (p.aggregationWindow == 0 ||
         (p.aggregationWindow >= config.rollupIntervalMs && p.aggregationWindow >= step)) &&
-      step / config.rollupIntervalMs > config.useServerAggregateCoefficient &&
+      (step / config.rollupIntervalMs > config.useServerAggregateCoefficient ||
+        (step == config.rollupIntervalMs && config.disableClientAggregation)) &&
       step % config.rollupIntervalMs == 0 &&
       fns.flatMap(Aggregates.dependencies).forall(d =>
         ("count" +: config.aggregates).contains(d))
@@ -404,7 +410,14 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       .filter(_ => p.filter.isEmpty || !p.filter.contains("labels["))
 
   /** Query entry point: plan pre-agg / rollup / raw, then run the engine. */
-  def select(p: SelectParams): DataFrame = {
+  def select(p0: SelectParams): DataFrame = {
+    // disableClientAggr coerces coarser steps down to rollup granularity so
+    // the rollup can always serve (reference select.go:185-187)
+    val p =
+      if (config.disableClientAggregation && p0.baseFunctions.nonEmpty &&
+          p0.effectiveStep > config.rollupIntervalMs)
+        p0.copy(step = config.rollupIntervalMs)
+      else p0
     if (p.isMultiMetricAggregate)
       // each metric re-enters this planner, so a metric whose aggregates
       // the rollup covers is served from it even when a sibling falls raw

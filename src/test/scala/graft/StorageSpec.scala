@@ -81,6 +81,23 @@ class TsdbTableSpec extends SparkSuite {
     assert(t2.countMetrics() == 2)
   }
 
+  test("disableClientAggregation: coarse steps coerce down to rollup granularity and serve from rollup (select.go:185-187, aggregationParams.go:74)") {
+    val dir = Files.createTempDirectory("tsdb_dca").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, disableClientAggregation = true))
+    t.append(samples(
+      ("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 3600000L + 1000, 2.0),
+      ("cpu", "a", Base + 2 * 3600000L + 1000, 4.0)))
+    // equality escape: step == rollup qualifies despite coefficient 3
+    assert(t.canServerAggregate(SelectParams(name = "cpu", functions = "sum",
+      from = Base, to = Base + 86400000L, step = 3600000L)))
+    // a 6h step request comes back at 1h rollup cells
+    val out = t.select(SelectParams(name = "cpu", functions = "sum",
+      from = Base, to = Base + 86400000L, step = 6 * 3600000L))
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(out == Map(Base -> 1.0, (Base + 3600000L) -> 2.0, (Base + 2 * 3600000L) -> 4.0))
+  }
+
   test("select: server path equals raw path on the same data") {
     val t = mkTable(rollupMs = 60000L)
     t.append(samples((1 to 50).map(i =>
