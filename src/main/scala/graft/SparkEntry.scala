@@ -302,10 +302,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // quality scoring: length/punct/stopword features + composite score
+    // quality scoring: length/punct/stopword features + composite score.
+    // Tokenize ONCE in a projection — interpreted HOFs re-evaluate their
+    // argument subtrees per use (see TextAnalysis scaladoc)
     "text_quality" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__w"),
+          TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+        .select(col("doc_id") +:
+          TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")): _*)
         .withColumn("char_len", col("char_len").cast("long"))
         .withColumn("word_cnt", col("word_cnt").cast("long"))
         .withColumn("punct_cnt", col("punct_cnt").cast("long"))
@@ -313,11 +319,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // language-ID n-gram/stopword heuristic
+    // language-ID n-gram/stopword heuristic (single tokenizer pass)
     "text_langid" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokens(lower(col("text"))).as("__wl"))
         .select(col("doc_id"), col("lang"),
-          TextAnalysis.langId(col("text")).as("pred_lang"))
+          TextAnalysis.langIdFrom(col("text"), col("__wl")).as("pred_lang"))
         .orderBy("doc_id")
     }),
 

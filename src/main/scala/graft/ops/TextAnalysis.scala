@@ -40,10 +40,18 @@ object TextAnalysis {
   private def stopCount(words: Column, stops: Seq[String]): Column =
     size(filter(words, w => array_contains(array(stops.map(lit): _*), w)))
 
-  /** Heuristic language-ID: CJK chars → zh, else stopword-count argmax. */
-  def langId(text: Column): Column = {
-    val w = tokens(lower(text))
-    val Seq(en, es, de, fr) = Stopwords.map { case (_, s) => stopCount(w, s) }
+  /** Heuristic language-ID: CJK chars → zh, else stopword-count argmax.
+    *
+    * Prefer [[langIdFrom]] with a PROJECTED token column in hot paths:
+    * higher-order functions are interpreted and re-evaluate argument
+    * subtrees, so the four stopword filters here re-run the
+    * split-and-filter tokenizer four times per row. */
+  def langId(text: Column): Column = langIdFrom(text, tokens(lower(text)))
+
+  /** [[langId]] over an existing lowercase-token array column (tokenize
+    * once in a projection, reference the column here). */
+  def langIdFrom(text: Column, lowerTokens: Column): Column = {
+    val Seq(en, es, de, fr) = Stopwords.map { case (_, s) => stopCount(lowerTokens, s) }
     when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
       .when(en >= es && en >= de && en >= fr && en > 0, "en")
       .when(es >= de && es >= fr && es > 0, "es")
@@ -57,16 +65,24 @@ object TextAnalysis {
   def charClassCount(text: Column, charClass: String): Column =
     length(text) - length(regexp_replace(text, charClass, ""))
 
-  /** Quality features + a deterministic composite score in [0,1]. */
-  def qualityColumns(text: Column): Seq[Column] = {
+  /** Quality features + a deterministic composite score in [0,1].
+    * Prefer [[qualityColumnsFrom]] with projected token columns in hot
+    * paths (see [[langId]] — interpreted HOFs re-evaluate per use; this
+    * convenience form runs the tokenizer ~6x per row). */
+  def qualityColumns(text: Column): Seq[Column] =
+    qualityColumnsFrom(text, tokens(text), tokens(lower(text)))
+
+  /** [[qualityColumns]] over existing token / lowercase-token array
+    * columns — each tokenizer runs once per row in the caller's
+    * projection instead of once per feature. */
+  def qualityColumnsFrom(text: Column, w: Column, lowerTokens: Column): Seq[Column] = {
     val charLen = length(text).as("char_len")
-    val w = tokens(text)
     val wordCnt = size(w).as("word_cnt")
     val punct = charClassCount(text, "[.,;:!?]").as("punct_cnt")
     val digits = charClassCount(text, "[0-9]").as("digit_cnt")
     // empty docs: both denominators are zero — score/ratio define to 0
     // (NULL in default mode, DIVIDE_BY_ZERO under ANSI otherwise)
-    val stopCnt = stopCount(tokens(lower(text)), Stopwords.head._2)
+    val stopCnt = stopCount(lowerTokens, Stopwords.head._2)
     val stopRatio = when(size(w) > 0,
       round(stopCnt.cast("double") / size(w), 6)).otherwise(0.0).as("stop_ratio")
     val score = when(size(w) > 0 && length(text) > 0, round(
