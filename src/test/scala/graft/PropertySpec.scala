@@ -102,6 +102,36 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: overrideOld merge-on-read == last-write-wins map model") {
+    import graft.storage.{TsdbConfig, TsdbTable}
+    val genBatches: Gen[List[List[S]]] = Gen.listOfN(3, Gen.listOfN(8, for {
+      series <- Gen.choose(0, 1)
+      off <- Gen.choose(0L, 5L) // tiny domain → rewrites collide often
+      v <- Gen.choose(-100.0, 100.0)
+    } yield S(series, off, v)))
+    (0 until 3).foreach { i =>
+      val batches = genBatches.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val dir = java.nio.file.Files.createTempDirectory(s"mor_prop$i").toString
+      val t = new TsdbTable(spark, dir, TsdbConfig(overrideOld = true))
+      val model = scala.collection.mutable.Map.empty[(Int, Long), Double]
+      batches.foreach { b =>
+        // within one batch the table keeps an ARBITRARY row per (series,
+        // time) — dedupe the batch in the model's favor by keeping one
+        val deduped = b.groupBy(s => (s.series, s.offsetMs)).values.map(_.head).toList
+        t.append(df(deduped, 60000L).drop("valueStr"))
+        deduped.foreach(s => model((s.series, s.offsetMs)) = s.value)
+      }
+      val got = t.readRaw(0L, Long.MaxValue / 2)
+        .select("labels_str", "time", "value").collect()
+        .map(r => (r.getString(0).stripPrefix("host=h").toInt,
+          (r.getLong(1) - Base) / 60000L) -> r.getDouble(2)).toMap
+      assert(got == model.toMap, s"case $i: got=$got model=$model")
+      // rollup agrees with the merged view: count == distinct keys
+      val cnt = t.readRollup().agg(sum("__p_count")).collect().head.getDouble(0)
+      assert(cnt == model.size.toDouble, s"case $i rollup count $cnt != ${model.size}")
+    }
+  }
+
   private def approxEq(a: Map[(String, Long), Seq[Any]], b: Map[(String, Long), Seq[Any]]): Boolean =
     a.keySet == b.keySet && a.forall { case (k, va) =>
       va.zip(b(k)).forall {
