@@ -208,6 +208,16 @@ object SparkEntry {
         Seq("click", "error", "purchase", "signup", "view"))
     }),
 
+    // mixed-type frame: a float column and a variant (string) column in
+    // ONE frame (reference sparse/string dataframe tests,
+    // dataframe_query_integration_test.go:267; frames.go:667-684)
+    "tsdb_frame_mixed" -> ((s, dir) => {
+      QueryEngine.frame(
+        Samples.fromEvents(s, dir).unionByName(Samples.variantFromEvents(s, dir)),
+        SelectParams(from = F, to = T),
+        metrics = Seq("click"), variantMetrics = Seq("props"))
+    }),
+
     // ---------------------------------------------------------------- §2.11
     // reference SQL dialect → SelectParams → engine
     "tsdb_sql" -> ((s, dir) => {
@@ -611,6 +621,23 @@ object SparkEntry {
          |  max(CASE WHEN name = 'signup' THEN v END) AS signup,
          |  max(CASE WHEN name = 'view' THEN v END) AS "view"
          |FROM s WHERE tt BETWEEN $F AND $T
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "tsdb_frame_mixed" ->
+      s"""WITH s AS (
+         |  SELECT event_type AS name,
+         |         'user=' || CAST(user_id AS VARCHAR) AS labels_str,
+         |         epoch_ns(ts) // 1000000 AS tt, value AS v,
+         |         CAST(NULL AS VARCHAR) AS vs
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'props', 'user=' || CAST(user_id AS VARCHAR),
+         |         epoch_ns(ts) // 1000000, NULL, props
+         |  FROM events)
+         |SELECT labels_str, tt AS t,
+         |  max(CASE WHEN name = 'click' THEN v END) AS click,
+         |  max(CASE WHEN name = 'props' THEN vs END) AS props
+         |FROM s WHERE name IN ('click', 'props') AND tt BETWEEN $F AND $T
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "tsdb_sql" ->

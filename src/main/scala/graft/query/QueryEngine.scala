@@ -537,16 +537,22 @@ object QueryEngine {
 
   /** Multi-metric timeline alignment (reference J1,
     * `dataFrame.rawSeriesToColumns`, `pkg/pquerier/frames.go:479-642`): one
-    * frame row per (label set, time) with a typed column per metric — the
-    * reference's k-way merge of N raw series onto one time index becomes a
-    * single `groupBy(labels, t).pivot(name)`; missing cells are NULL (the
-    * frame null mask). `metrics` fixes the output column set (and order)
-    * up front, which also lets Spark skip the pivot-values scan. */
-  def frame(samples: DataFrame, p: SelectParams, metrics: Seq[String]): DataFrame = {
-    val df = prepare(samples.filter(col("name").isin(metrics: _*)), p, p.from, p.to)
+    * frame row per (label set, time) with a TYPED column per metric —
+    * double for numeric metrics, string for variant ones (the reference's
+    * mixed float/string frames, `frames.go:667-684` and the sparse/string
+    * dataframe integration tests). The k-way merge onto one time index is
+    * a single conditional aggregation — exactly what Spark lowers
+    * `pivot(name, values)` to, generalized to per-metric value columns;
+    * missing cells are NULL (the frame null mask). `metrics` fixes the
+    * output column set and order up front (no pivot-values scan). */
+  def frame(samples: DataFrame, p: SelectParams, metrics: Seq[String],
+            variantMetrics: Seq[String] = Nil): DataFrame = {
+    val all = metrics ++ variantMetrics
+    val df = prepare(samples.filter(col("name").isin(all: _*)), p, p.from, p.to)
+    val aggs = metrics.map(m => max(when(col("name") === m, col("value"))).as(m)) ++
+      variantMetrics.map(m => max(when(col("name") === m, col("valueStr"))).as(m))
     df.groupBy(col("labels_str"), col("time").as("t"))
-      .pivot("name", metrics)
-      .agg(max(col("value")))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("labels_str", "t")
   }
 
