@@ -19,8 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  /** Idempotently register graft functions on a live session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      VecDotProduct.Name, VecDotProduct.builder, "built-in")
+  /** Idempotently register graft functions on a live session. A true
+    * existence check (not blind create-or-replace) keeps repeated calls
+    * from spamming "replaced a previously registered function" WARNs —
+    * operators call this once per query construction. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier(VecDotProduct.Name)))
+      reg.createOrReplaceTempFunction(
+        VecDotProduct.Name, VecDotProduct.builder, "built-in")
+  }
 }
