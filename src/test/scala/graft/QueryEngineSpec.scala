@@ -164,6 +164,21 @@ class QueryEngineSpec extends SparkSuite {
     intercept[IllegalArgumentException](QueryEngine.select(df, oneAgg))
   }
 
+  test("multi-metric aggregate with GroupBy labels keys the frame on the label") {
+    import graft.query.RequestedColumn
+    val df = samples(
+      ("cpu", "a", Base + 1, 10.0), ("cpu", "b", Base + 2, 20.0),
+      ("mem", "a", Base + 3, 1.0), ("mem", "b", Base + 4, 2.0))
+    val out = QueryEngine.select(df, SelectParams(
+      from = Base, to = Base + 9, step = 10, groupBy = "host",
+      requestedColumns = Seq(
+        RequestedColumn(metric = "cpu", function = "sum"),
+        RequestedColumn(metric = "mem", function = "max"))))
+    assert(out.columns.toSeq == Seq("host", "t", "sum(cpu)", "max(mem)"))
+    val m = out.collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(m == Map("a" -> ((10.0, 1.0)), "b" -> ((20.0, 2.0))))
+  }
+
   test("multi-metric cross-series (_all) collapses to one row per bucket") {
     import graft.query.RequestedColumn
     val df = samples(

@@ -81,6 +81,24 @@ class TsdbTableSpec extends SparkSuite {
     assert(t2.countMetrics() == 2)
   }
 
+  test("server sliding window serves from the pre-aggregate table under GroupBy") {
+    val dir = Files.createTempDirectory("tsdb_slidepre").toString
+    val rollup = 60000L
+    val t = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = rollup,
+      preAggregates = Seq(Seq("host"))))
+    // samples at rollup medians → median re-bucketing exact vs raw
+    t.append(samples((0 until 30).map(i =>
+      ("cpu", if (i % 2 == 0) "a" else "b", Base + i * rollup + rollup / 2, i.toDouble)): _*))
+    val p = SelectParams(name = "cpu", functions = "count,sum", groupBy = "host",
+      from = Base, to = Base + 30 * rollup - 1,
+      step = 5 * rollup, aggregationWindow = 10 * rollup)
+    assert(t.canServerAggregate(p))
+    val server = t.select(p).collect().map(_.toSeq).toSet
+    val raw = graft.query.QueryEngine.select(
+      t.readRaw(p.from - p.aggregationWindow, p.to), p).collect().map(_.toSeq).toSet
+    assert(server == raw && server.nonEmpty)
+  }
+
   test("disableClientAggregation: coarse steps coerce down to rollup granularity and serve from rollup (select.go:185-187, aggregationParams.go:74)") {
     val dir = Files.createTempDirectory("tsdb_dca").toString
     val t = new TsdbTable(spark, dir,
