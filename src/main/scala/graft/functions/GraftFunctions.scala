@@ -19,14 +19,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  /** Idempotently register graft functions on a live session. A true
-    * existence check (not blind create-or-replace) keeps repeated calls
-    * from spamming "replaced a previously registered function" WARNs —
-    * operators call this once per query construction. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(VecDotProduct.Name)))
-      reg.createOrReplaceTempFunction(
+  // sessions we have already registered on — the FIRST call per session
+  // still create-or-replaces (guaranteeing OUR builder wins over any
+  // foreign function squatting on the name), later calls no-op so
+  // per-operator registration doesn't spam replacement WARNs. Weak keys:
+  // must not pin sessions in memory.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently register graft functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         VecDotProduct.Name, VecDotProduct.builder, "built-in")
-  }
 }

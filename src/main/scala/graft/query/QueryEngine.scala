@@ -548,6 +548,7 @@ object QueryEngine {
   def frame(samples: DataFrame, p: SelectParams, metrics: Seq[String],
             variantMetrics: Seq[String] = Nil): DataFrame = {
     val all = metrics ++ variantMetrics
+    require(all.nonEmpty, "frame() needs at least one metric column")
     val df = prepare(samples.filter(col("name").isin(all: _*)), p, p.from, p.to)
     val aggs = metrics.map(m => max(when(col("name") === m, col("value"))).as(m)) ++
       variantMetrics.map(m => max(when(col("name") === m, col("valueStr"))).as(m))

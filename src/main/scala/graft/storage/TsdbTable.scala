@@ -411,17 +411,23 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   /** Query entry point: plan pre-agg / rollup / raw, then run the engine. */
   def select(p0: SelectParams): DataFrame = {
+    if (p0.isMultiMetricAggregate)
+      // route BEFORE any step coercion — each metric re-enters this
+      // planner and coerces (or not) against its own aggregate coverage
+      return QueryEngine.multiAggregateVia(p0, sub => select(sub))
     // disableClientAggr coerces coarser steps down to rollup granularity so
-    // the rollup can always serve (reference select.go:185-187)
+    // the rollup can serve (reference select.go:185-187) — but ONLY when
+    // the coerced query really is rollup-served: coercing a query that
+    // then falls to the raw path would silently change the requested
+    // output granularity (and corrupt overlapping windows, whose spans
+    // are step multiples)
     val p =
       if (config.disableClientAggregation && p0.baseFunctions.nonEmpty &&
-          p0.effectiveStep > config.rollupIntervalMs)
-        p0.copy(step = config.rollupIntervalMs)
-      else p0
-    if (p.isMultiMetricAggregate)
-      // each metric re-enters this planner, so a metric whose aggregates
-      // the rollup covers is served from it even when a sibling falls raw
-      return QueryEngine.multiAggregateVia(p, sub => select(sub))
+          p0.windows.isEmpty && p0.effectiveStep > config.rollupIntervalMs) {
+        val coerced = p0.copy(step = config.rollupIntervalMs)
+        val preOk = coerced.groupByLabels.isEmpty || matchingPreAgg(coerced).isDefined
+        if (canServerAggregate(coerced) && preOk) coerced else p0
+      } else p0
     val preAgg = if (p.groupByLabels.nonEmpty) matchingPreAgg(p) else None
     if (canServerAggregate(p) && (p.groupByLabels.isEmpty || preAgg.isDefined)) {
       // partition-prune the rollup too — a 1-day query must not scan years

@@ -114,6 +114,14 @@ class TsdbTableSpec extends SparkSuite {
       from = Base, to = Base + 86400000L, step = 6 * 3600000L))
       .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
     assert(out == Map(Base -> 1.0, (Base + 3600000L) -> 2.0, (Base + 2 * 3600000L) -> 4.0))
+    // but when the coerced query CANNOT be rollup-served (precise forces
+    // raw), the requested step must survive — coercing and then falling to
+    // the raw path would silently change the output granularity
+    val precise = t.select(SelectParams(name = "cpu", functions = "sum",
+      from = Base, to = Base + 86400000L, step = 6 * 3600000L,
+      usePreciseAggregations = true))
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(precise == Map(Base -> 7.0)) // one 6h bucket, all three samples
   }
 
   test("select: server path equals raw path on the same data") {
