@@ -17,7 +17,8 @@ import graft.storage.{TsdbConfig, TsdbTable}
   * graft.cli.Main add    -t /path <metric> [k1=v1,k2=v2] -d v1[:v2..] [-m t1[:t2..]]
   * graft.cli.Main add    -t /path -f samples.csv
   * graft.cli.Main query  -t /path [<sql> | -n metric -a funcs] \
-  *                       [-b from] [-e to] [-i step] [-f filter] [-o text|csv|json]
+  *                       [-b from] [-e to] [-l last] [-i step] [-f filter] \
+  *                       [--use-precise-aggregations] [-o text|csv|json]
   * graft.cli.Main delete -t /path -b from -e to [-n metric,metric] [-f filter]
   * graft.cli.Main info   -t /path
   * }}}
@@ -127,14 +128,19 @@ object Main {
         .map(TsdbSql.parse)
         .getOrElse(SelectParams(name = f.getOrElse("n", ""), functions = f.getOrElse("a", "")))
       val p = base.copy(
-        from = f.get("b").map(TimeUtil.parseTime(_, now)).getOrElse(now - TimeUtil.MillisInHour),
+        // -l/--last "1d" = the trailing window ending now (query.go:102);
+        // takes precedence over -b like the reference
+        from = f.get("l").map(d => now - TimeUtil.parseDuration(d))
+          .orElse(f.get("b").map(TimeUtil.parseTime(_, now)))
+          .getOrElse(now - TimeUtil.MillisInHour),
         to = f.get("e").map(TimeUtil.parseTime(_, now)).getOrElse(now),
         step = f.get("i").map(TimeUtil.parseDuration).getOrElse(base.step),
         // -f speaks the reference filter dialect on every subcommand
         // (delete translates too) — bare identifiers are label refs
         filter = if (base.filter.nonEmpty) base.filter
           else f.get("f").map(TsdbSql.translateFilter).getOrElse(""),
-        aggregationWindow = f.get("w").map(TimeUtil.parseDuration).getOrElse(0L))
+        aggregationWindow = f.get("w").map(TimeUtil.parseDuration).getOrElse(0L),
+        usePreciseAggregations = f.contains("use-precise-aggregations"))
       val wide = t.select(p)
       val out =
         if (p.baseFunctions.nonEmpty) {
