@@ -87,7 +87,12 @@ object Main {
     case "create" =>
       val cfg = TsdbConfig(
         rollupIntervalMs = f.get("rollup").map(TimeUtil.parseDuration).getOrElse(3600000L),
-        partitionIntervalMs = f.get("partition").map(TimeUtil.parseDuration).getOrElse(86400000L),
+        // -r "1/s" derives the partition interval from the declared
+        // ingestion rate (reference create -r, schema.go:136-196); an
+        // explicit --partition wins
+        partitionIntervalMs = f.get("partition").map(TimeUtil.parseDuration)
+          .orElse(f.get("r").map(graft.core.SchemaDerivation.derivePartitionIntervalMs))
+          .getOrElse(86400000L),
         aggregates = f.get("aggregates").map(_.split(",").toSeq)
           .getOrElse(graft.storage.Rollup.DefaultAggregates),
         preAggregates = f.get("pre-aggregates").map(_.split(";").toSeq.map(_.split(",").toSeq))

@@ -81,3 +81,25 @@ class SelectParamsSpec extends AnyFunSuite {
     assert(SelectParams(from = 1, to = 2).effectiveStep == 0L)
   }
 }
+
+class SchemaDerivationSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.core.SchemaDerivation._
+
+  test("rateToHours mirrors schema_test.go TestRateToHour") {
+    assert(rateToHours("1/s") == 3600)
+    assert(rateToHours("12/m") == 12 * 60)
+    assert(rateToHours("2/h") == 2)
+    Seq("1m", "1/t", "-431/t", "-1", "").foreach { bad =>
+      intercept[IllegalArgumentException](rateToHours(bad))
+    }
+  }
+
+  test("interval derivation matches the reference arithmetic (schema.go:136-164)") {
+    // 1/s = 3600 samples/h: chunk = 4096/3600 = 1h; chunk capacity
+    // 28800 B; 48 chunks (2 whole days) fit under 1.7 MB, 72 do not
+    assert(deriveIntervalsHours(3600) == ((1, 48)))
+    assert(derivePartitionIntervalMs("1/s") == 48L * 3600000L)
+    // very high rate: chunk interval collapses to zero hours
+    intercept[IllegalArgumentException](deriveIntervalsHours(5000))
+  }
+}
