@@ -221,6 +221,14 @@ class QueryEngineSpec extends SparkSuite {
         step = 10, aggregationWindow = 20))
       .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
     assert(out2(Base + 10) == 1.0 && out2(Base + 30) == 1.0 && !out2.contains(Base + 40))
+    // w < step (reference windowAggregation middle branch): the sample
+    // feeds its round-up cell only when the cell is within w of it
+    val out4 = QueryEngine.select(
+      samples(("m", "a", Base + 8, 1.0), ("m", "a", Base + 15, 2.0)),
+      SelectParams(name = "m", functions = "count", from = Base, to = Base + 29,
+        step = 10, aggregationWindow = 3))
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(out4 == Map((Base + 10) -> 1.0)) // t=8: 8+3>=10 feeds; t=15: 15+3<20 doesn't
     // non-multiple range: a sample past the last grid cell must emit NO
     // cells (a clamped sequence would otherwise count DOWN and corrupt)
     val out3 = QueryEngine.select(samples(("m", "a", Base + 31, 1.0)),
