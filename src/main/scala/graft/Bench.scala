@@ -72,28 +72,46 @@ object Bench {
     // freeze from landing on the one ingest number.
     def ingestOnce(): Double = {
       import org.apache.spark.sql.functions._
-      val dir = java.nio.file.Files.createTempDirectory("graft_ingest_bench").toString
-      val t = new graft.storage.TsdbTable(spark, dir,
+      val dir = java.nio.file.Files.createTempDirectory("graft_ingest_bench")
+      val t = new graft.storage.TsdbTable(spark, dir.toString,
         graft.storage.TsdbConfig(rollupIntervalMs = 3600000L))
       val base = 1704067200000L
       val nSeries = 150L
+      // INTEGER division throughout (Spark's `/` on columns is double
+      // division — it would smear the 150 series into 1.7M unique
+      // fractional-suffix names and double-typed 200ms timestamps)
+      def idiv(c: org.apache.spark.sql.Column, d: Long) =
+        floor(c / d).cast("long")
       val samples = spark.range(nSeries * 11520L).select(
         concat(lit("Name_"), (col("id") % 10).cast("string"),
-          lit("_"), ((col("id") / 10) % 5).cast("string")).as("name"),
-        map(lit("Label_A"), concat(lit("A_"), ((col("id") / 50) % 3).cast("string"))).as("labels"),
-        (lit(base) + (col("id") / nSeries) * 30000L).as("time"),
+          lit("_"), (idiv(col("id"), 10) % 5).cast("string")).as("name"),
+        map(lit("Label_A"),
+          concat(lit("A_"), (idiv(col("id"), 50) % 3).cast("string"))).as("labels"),
+        (lit(base) + idiv(col("id"), nSeries) * 30000L).as("time"),
         (col("id") % 997).cast("double").as("value"))
       val t0 = System.nanoTime()
-      t.append(samples)
-      (System.nanoTime() - t0) / 1e9
+      try {
+        t.append(samples)
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        // two ~1.7M-row throwaway tables per bench must not pile up in /tmp
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir.toFile)
+      }
     }
-    val ingestSec = try math.min(ingestOnce(), ingestOnce())
-      catch { case e: Throwable => System.err.println(s"[bench] tsdb_ingest: $e"); -1.0 }
+    // per-run failure handling: keep whichever runs succeeded; omit the
+    // entry entirely when none did (a -1 sentinel would poison `total`)
+    val ingestRuns = (1 to 2).flatMap { _ =>
+      try Some(ingestOnce())
+      catch { case e: Throwable => System.err.println(s"[bench] tsdb_ingest: $e"); None }
+    }
 
     val names = Headline.filter(SparkEntry.queries.contains)
     val rounds = Seq.fill(3)(names.map(n => n -> timeOnce(n)).toMap)
-    val results = names.map(n => n -> rounds.map(_(n)).min) :+
-      ("tsdb_ingest" -> ingestSec)
+    val results = names.map(n => n -> rounds.map(_(n)).min) ++
+      ingestRuns.minOption.map("tsdb_ingest" -> _)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

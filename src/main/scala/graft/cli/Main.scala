@@ -25,7 +25,20 @@ import graft.storage.{TsdbConfig, TsdbTable}
   */
 object Main {
 
-  private def flags(args: Seq[String]): (Map[String, String], Seq[String]) = {
+  /** Reference long-form flag names → our short keys (cobra exposes both;
+    * reading only the short key would silently ignore `--last 1d`). */
+  private val LongForms = Map(
+    "begin" -> "b", "end" -> "e", "last" -> "l", "filter" -> "f",
+    "output" -> "o", "aggregates" -> "a", "name" -> "n",
+    "aggregation-interval" -> "i", "aggregation-window" -> "w",
+    "ingestion-rate" -> "r", "aggregation-granularity" -> "rollup",
+    "cross-label" -> "pre-aggregates")
+
+  /** Value-less flags: must NOT consume the next token (a following
+    * positional — e.g. the SQL string — would silently become the value). */
+  private val BoolFlags = Set("use-precise-aggregations")
+
+  private[graft] def flags(args: Seq[String]): (Map[String, String], Seq[String]) = {
     def isFlag(a: String) =
       a.startsWith("-") && a.length > 1 && !a.drop(1).forall(c => c.isDigit || c == '.')
     val m = Map.newBuilder[String, String]
@@ -34,10 +47,15 @@ object Main {
     while (i < args.length) {
       val a = args(i)
       if (isFlag(a)) {
+        val name = a.replaceAll("^-+", "")
+        val key = LongForms.getOrElse(name, name)
         // never consume another FLAG as this flag's value — `-n -a sum`
         // would otherwise silently query a metric named "-a"
-        val v = if (i + 1 < args.length && !isFlag(args(i + 1))) { i += 1; args(i) } else ""
-        m += a.replaceAll("^-+", "") -> v
+        val v =
+          if (BoolFlags.contains(key)) ""
+          else if (i + 1 < args.length && !isFlag(args(i + 1))) { i += 1; args(i) }
+          else ""
+        m += key -> v
       } else pos += a
       i += 1
     }
@@ -93,7 +111,9 @@ object Main {
         partitionIntervalMs = f.get("partition").map(TimeUtil.parseDuration)
           .orElse(f.get("r").map(graft.core.SchemaDerivation.derivePartitionIntervalMs))
           .getOrElse(86400000L),
-        aggregates = f.get("aggregates").map(_.split(",").toSeq)
+        // --aggregates normalizes to "a" via LongForms; accept the raw
+        // long key too for programmatic run() callers
+        aggregates = f.get("a").orElse(f.get("aggregates")).map(_.split(",").toSeq)
           .getOrElse(graft.storage.Rollup.DefaultAggregates),
         preAggregates = f.get("pre-aggregates").map(_.split(";").toSeq.map(_.split(",").toSeq))
           .getOrElse(Nil))
@@ -132,13 +152,17 @@ object Main {
       val base = pos.headOption.filter(_.toLowerCase.startsWith("select"))
         .map(TsdbSql.parse)
         .getOrElse(SelectParams(name = f.getOrElse("n", ""), functions = f.getOrElse("a", "")))
+      // the reference rejects -l together with -b/-e (query.go:131-168);
+      // silently combining them would produce a wrong (or inverted) window
+      if (f.contains("l") && (f.contains("b") || f.contains("e")))
+        sys.error("the -l|--last flag cannot be set together with -b and/or -e")
+      val toMs = f.get("e").map(TimeUtil.parseTime(_, now)).getOrElse(now)
       val p = base.copy(
-        // -l/--last "1d" = the trailing window ending now (query.go:102);
-        // takes precedence over -b like the reference
-        from = f.get("l").map(d => now - TimeUtil.parseDuration(d))
+        // -l/--last "1d" = the trailing window ending at `to` (query.go:102)
+        from = f.get("l").map(d => toMs - TimeUtil.parseDuration(d))
           .orElse(f.get("b").map(TimeUtil.parseTime(_, now)))
-          .getOrElse(now - TimeUtil.MillisInHour),
-        to = f.get("e").map(TimeUtil.parseTime(_, now)).getOrElse(now),
+          .getOrElse(toMs - TimeUtil.MillisInHour),
+        to = toMs,
         step = f.get("i").map(TimeUtil.parseDuration).getOrElse(base.step),
         // -f speaks the reference filter dialect on every subcommand
         // (delete translates too) — bare identifiers are label refs

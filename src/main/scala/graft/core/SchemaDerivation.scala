@@ -28,12 +28,16 @@ object SchemaDerivation {
     require(rate.length >= 3 && rate(rate.length - 2) == '/', err)
     val n = rate.dropRight(2).toIntOption.getOrElse(throw new IllegalArgumentException(err))
     require(n > 0, s"invalid samples ingestion rate '$rate': sample count must be positive")
-    rate.last match {
-      case 's' => n * 3600
-      case 'm' => n * 60
-      case 'h' => n
+    // Long math: Int n*3600 can wrap to a small positive value and derive
+    // a bogus-but-accepted partition interval instead of erroring
+    val perHour: Long = rate.last match {
+      case 's' => n.toLong * 3600
+      case 'm' => n.toLong * 60
+      case 'h' => n.toLong
       case _ => throw new IllegalArgumentException(err)
     }
+    require(perHour <= Int.MaxValue, s"the samples ingestion rate ($rate) is too high")
+    perHour.toInt
   }
 
   /** `(chunkIntervalHours, partitionIntervalHours)` — the reference's

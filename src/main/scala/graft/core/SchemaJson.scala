@@ -14,6 +14,7 @@ object SchemaJson {
   val FileName = ".schema"
 
   def write(tablePath: String, c: TsdbConfig): Unit = {
+    c.validateForCreate() // creation-time-only rules (day-aligned granularity)
     val preAgg = c.preAggregates
       .map(_.map(l => s""""$l"""").mkString("[", ",", "]"))
       .mkString("[", ",", "]")

@@ -48,11 +48,16 @@ case class TsdbConfig(
   // together, schema.go:136-164)
   require(partitionIntervalMs % rollupIntervalMs == 0,
     s"rollupIntervalMs ($rollupIntervalMs) must divide partitionIntervalMs ($partitionIntervalMs)")
-  // reference validateAggregatesGranularity (schema.go:205-207): granularity
-  // must divide or be a multiple of 1 day so buckets stay day-aligned
-  require(86400000L % rollupIntervalMs == 0 || rollupIntervalMs % 86400000L == 0,
-    s"rollupIntervalMs ($rollupIntervalMs) should be a divisor or a dividend of 1 day " +
-      "(examples: 10m, 30m, 2h)")
+
+  /** Reference validateAggregatesGranularity (schema.go:205-207): the
+    * granularity must divide or be a multiple of 1 day so buckets stay
+    * day-aligned. Checked at table CREATION (SchemaJson.write), not in
+    * the constructor — a stricter constructor would lock users out of
+    * previously valid existing tables. */
+  def validateForCreate(): Unit =
+    require(86400000L % rollupIntervalMs == 0 || rollupIntervalMs % 86400000L == 0,
+      s"rollupIntervalMs ($rollupIntervalMs) should be a divisor or a dividend of 1 day " +
+        "(examples: 10m, 30m, 2h)")
   // only raw partials can be materialized; virtual aggregates (avg/stddev/
   // stdvar/rate) are derived at query time from these
   require(aggregates.forall(graft.query.Aggregates.RawAggregates.contains),

@@ -101,5 +101,7 @@ class SchemaDerivationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(derivePartitionIntervalMs("1/s") == 48L * 3600000L)
     // very high rate: chunk interval collapses to zero hours
     intercept[IllegalArgumentException](deriveIntervalsHours(5000))
+    // Int-overflow rates must error, not wrap to a small accepted value
+    intercept[IllegalArgumentException](rateToHours("1193047/s"))
   }
 }

@@ -144,6 +144,21 @@ class CliSpec extends SparkSuite {
     assert(out.collect().head.getDouble(3) == 153.2)
   }
 
+  test("flag parser: long forms normalize; boolean flags keep positionals; -l rejects -b/-e") {
+    val (f1, pos1) = graft.cli.Main.flags(Seq(
+      "--use-precise-aggregations", "select avg(cpu) from tsdb", "--last", "1d"))
+    assert(f1 == Map("use-precise-aggregations" -> "", "l" -> "1d"))
+    assert(pos1 == Seq("select avg(cpu) from tsdb")) // NOT swallowed as a value
+    val (f2, _) = graft.cli.Main.flags(Seq("--begin", "0", "--end", "5", "--aggregates", "sum"))
+    assert(f2 == Map("b" -> "0", "e" -> "5", "a" -> "sum"))
+    // -l with -b/-e is rejected like the reference (query.go:131-168)
+    val dir = Files.createTempDirectory("clil").toString + "/tbl"
+    graft.cli.Main.run("create", spark, dir, Map.empty, Nil)
+    val e = intercept[RuntimeException](graft.cli.Main.run("query", spark, dir,
+      Map("l" -> "1h", "e" -> "1704067200000", "n" -> "cpu", "a" -> "sum"), Nil))
+    assert(e.getMessage.contains("cannot be set together"))
+  }
+
   test("time/version commands run table-less (tsdbctl time.go/version.go)") {
     val buf = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(buf)) {
