@@ -103,8 +103,12 @@ object Main {
   private[graft] def run(cmd: String, spark: SparkSession, tablePath: String,
                          f: Map[String, String], pos: Seq[String]): Unit = cmd match {
     case "create" =>
+      // reference create shorthands (create.go): -i = aggregation
+      // granularity, -l = cross-label — same letters mean step/last on
+      // `query`, so resolve them per command here
       val cfg = TsdbConfig(
-        rollupIntervalMs = f.get("rollup").map(TimeUtil.parseDuration).getOrElse(3600000L),
+        rollupIntervalMs = f.get("rollup").orElse(f.get("i"))
+          .map(TimeUtil.parseDuration).getOrElse(3600000L),
         // -r "1/s" derives the partition interval from the declared
         // ingestion rate (reference create -r, schema.go:136-196); an
         // explicit --partition wins
@@ -115,7 +119,8 @@ object Main {
         // long key too for programmatic run() callers
         aggregates = f.get("a").orElse(f.get("aggregates")).map(_.split(",").toSeq)
           .getOrElse(graft.storage.Rollup.DefaultAggregates),
-        preAggregates = f.get("pre-aggregates").map(_.split(";").toSeq.map(_.split(",").toSeq))
+        preAggregates = f.get("pre-aggregates").orElse(f.get("l"))
+          .map(_.split(";").toSeq.map(_.split(",").toSeq))
           .getOrElse(Nil))
       SchemaJson.write(tablePath, cfg)
       println(s"created table at $tablePath")
