@@ -16,8 +16,10 @@ import graft.query.{Aggregates, Interpolation, RequestedColumn, SelectParams}
   */
 object TsdbSql {
 
+  // FROM is optional in the reference dialect ("select max(cpu) group by
+  // host" is valid — the configured table is implied, sql_parser_test.go)
   private val Select =
-    """(?is)\s*select\s+(.+?)\s+from\s+(\S+)(?:\s+where\s+(.+?))?(?:\s+group\s+by\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*select\s+(.+?)(?:\s+from\s+(\S+))?(?:\s+where\s+(.+?))?(?:\s+group\s+by\s+(.+?))?\s*;?\s*""".r
 
   def parse(sql: String): SelectParams = sql match {
     case Select(cols, _, where, groupBy) =>
@@ -108,6 +110,12 @@ object TsdbSql {
     val keys = cols.map(c => (c.metric, c.function.toLowerCase))
     if (keys.distinct.size != keys.size)
       throw new IllegalArgumentException("duplicate column in select list")
+    // two columns sharing one alias collide in the output schema
+    // (sql_parser_test.go negative cases)
+    val aliases = cols.map(_.alias).filter(_.nonEmpty)
+    if (aliases.distinct.size != aliases.size)
+      throw new IllegalArgumentException(
+        s"duplicate alias in select list: ${aliases.diff(aliases.distinct).distinct.mkString(",")}")
     val metrics = cols.map(_.metric).toSet
     cols.foreach { c =>
       if (c.alias.nonEmpty && metrics.contains(c.alias))

@@ -338,6 +338,17 @@ class TsdbSqlSpec extends SparkSuite {
     assert(raw.name == "" && raw.functions.isEmpty)
   }
 
+  test("FROM is optional; duplicate aliases rejected (sql_parser_test.go)") {
+    val p = TsdbSql.parse("select max(cpu) group by host")
+    assert(p.name == "cpu" && p.functions == "max" && p.groupBy == "host")
+    val p2 = TsdbSql.parse("select cpu where os == 'win'")
+    assert(p2.name == "cpu" && p2.filter == "labels['os'] == 'win'")
+    intercept[IllegalArgumentException](
+      TsdbSql.parse("select cpu as something, mem as something from t"))
+    intercept[IllegalArgumentException](
+      TsdbSql.parse("select avg(cpu) as something, mem as something from t"))
+  }
+
   test("wildcard, filter rewrites (__name__, starts), validation errors") {
     assert(TsdbSql.parse("select * from t").name == "")
     val p = TsdbSql.parse("select cpu from t where starts(__name__, 'cp') and os != 'win'")
