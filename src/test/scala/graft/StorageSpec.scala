@@ -347,6 +347,9 @@ class TsdbSqlSpec extends SparkSuite {
       TsdbSql.parse("select cpu as something, mem as something from t"))
     intercept[IllegalArgumentException](
       TsdbSql.parse("select avg(cpu) as something, mem as something from t"))
+    // wildcard inside aggregates: every metric, grouped by name
+    val pw = TsdbSql.parse("select max(*), avg(*) from my_table")
+    assert(pw.name == "" && pw.functions.split(",").toSet == Set("max", "avg"))
   }
 
   test("wildcard, filter rewrites (__name__, starts), validation errors") {
