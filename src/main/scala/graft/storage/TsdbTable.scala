@@ -101,6 +101,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
   private val rawPath = s"$path/raw"
   private val rollupPath = s"$path/rollup"
   private val namesPath = s"$path/names"
+  private val seriesEncPath = s"$path/series_enc"
 
   /** Batch sequence for merge-on-read ordering: wall-clock ms (meaningful
     * ACROSS restarts, unlike nanoTime whose origin is arbitrary per boot)
@@ -154,6 +155,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       // scan, rollup build) — evaluate the upstream plan once
       .persist()
     try {
+      enforceSeriesTypes(enriched)
       enriched
         // shuffle on (time partition, series shard): parallel writes into
         // each partition dir (the reference's sharding-key scans, P2)
@@ -176,6 +178,53 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       // instead of rescanning the whole raw table per micro-batch
       mergeNames(summary.getSeq[String](1).toSet)
     } finally enriched.unpersist()
+  }
+
+  /** Series type-safety rule (reference `appender.go:244-254`): a series is
+    * either numeric or variant ("string") — never both. The reference keeps
+    * the series' encoding on its KV item (`_enc`, `store.go:449`) and
+    * rejects a mismatched `Add`; here the per-series encoding lives in a
+    * `series_enc/` sidecar (series_id → variant flag), appended to only
+    * when NEW series arrive, and a whole batch is rejected on the first
+    * conflicting series (batch granularity instead of per-sample — the
+    * Spark-shaped equivalent). Cost: one map-side-combined pass over the
+    * cached batch plus a scan of the sidecar, whose size is the series
+    * cardinality, not the sample count. Deleted series keep their sidecar
+    * entry, so re-creating a series under the other type stays rejected
+    * (conservative vs the reference, whose in-memory cache has the same
+    * behavior until eviction). */
+  private def enforceSeriesTypes(batch: DataFrame): Unit = {
+    val batchEnc = batch
+      .groupBy("series_id")
+      .agg(first("name").as("name"),
+        max(col("valueStr").isNotNull).as("has_var"),
+        max(col("valueStr").isNull).as("has_num"))
+    val existing =
+      try Some(spark.read.parquet(seriesEncPath)
+        .select(col("series_id"), col("variant").as("old_variant")))
+      catch { case _: Exception => None }
+    val joined = existing match {
+      case Some(e) => batchEnc.join(e, Seq("series_id"), "left")
+      case None    => batchEnc.withColumn("old_variant", lit(null).cast("boolean"))
+    }
+    val flipCond = col("old_variant").isNotNull && (col("old_variant") =!= col("has_var"))
+    val s = joined.agg(
+      max(when(col("has_var") && col("has_num"), col("name"))).as("mixed"),
+      max(when(flipCond, col("name"))).as("flip"),
+      max(when(flipCond, col("has_var"))).as("flip_to_variant"),
+      coalesce(sum(when(col("old_variant").isNull, 1L)), lit(0L)).as("new_cnt")).head()
+    if (s.getString(0) != null)
+      throw new IllegalArgumentException(
+        s"series type mismatch: batch mixes numeric and string samples for metric '${s.getString(0)}'")
+    if (s.getString(1) != null) {
+      val (newT, oldT) = if (s.getBoolean(2)) ("string", "numeric") else ("numeric", "string")
+      throw new IllegalArgumentException(
+        s"Cannot append $newT type metric to $oldT type metric ('${s.getString(1)}').")
+    }
+    if (s.getLong(3) > 0)
+      joined.filter(col("old_variant").isNull)
+        .select(col("series_id"), col("has_var").as("variant"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(seriesEncPath)
   }
 
   /** Upsert new metric names into the names dim (reference S9, first-write
@@ -568,7 +617,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         // row — coalesce to false so non-matching rows are kept, not deleted
         val delPred = col("time").between(fromMs, toMs) &&
           coalesce(metricPred, lit(false)) && coalesce(filterPred, lit(false))
-        val keep = spark.read.parquet(dir.toString)
+        // same footer-merge rule as rawFiles(): an overrideOld partition can
+        // mix pre-`__seq` and stamped files — a sampled old footer would
+        // silently strip `__seq` from the rewrite and break LWW ordering
+        val keep = spark.read.option("mergeSchema", config.overrideOld.toString)
+          .parquet(dir.toString)
           .filter(!delPred)
           .cache()
         val rows = keep.count() // materialize before overwriting the source
@@ -593,7 +646,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       refreshNames()
     } else {
       // everything deleted: drop the derived tables too
-      Seq(rollupPath, namesPath).foreach(p =>
+      Seq(rollupPath, namesPath, seriesEncPath).foreach(p =>
         fs.delete(new org.apache.hadoop.fs.Path(p), true))
       config.preAggregates.foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(preAggPath(s)), true))

@@ -268,6 +268,63 @@ class TsdbTableSpec extends SparkSuite {
     assert(roll == 3.0) // three surviving samples
   }
 
+  private def variantSamples(rows: (String, String, Long, String)*): DataFrame =
+    rows.toSeq.toDF("name", "host", "time", "valueStr")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"), col("time"),
+        lit(null).cast("double").as("value"), col("valueStr"))
+
+  test("series type mismatch rejected: numeric↔string per series, in-batch and across appends (appender.go:244-254)") {
+    val dir = Files.createTempDirectory("tsdb_enc").toString
+    val t = new TsdbTable(spark, dir, TsdbConfig())
+    t.append(samples(("cpu", "a", Base + 1000, 1.0)))
+    // string sample into an existing numeric series → rejected
+    val e1 = intercept[IllegalArgumentException](
+      t.append(variantSamples(("cpu", "a", Base + 2000, "busy"))))
+    assert(e1.getMessage.contains("Cannot append string type metric to numeric type metric"))
+    // the rejected batch must not have landed
+    assert(t.countMetrics() == 1)
+    // reverse direction on a fresh variant series
+    t.append(variantSamples(("status", "a", Base + 1000, "ok")))
+    val e2 = intercept[IllegalArgumentException](
+      t.append(samples(("status", "a", Base + 2000, 2.0))))
+    assert(e2.getMessage.contains("Cannot append numeric type metric to string type metric"))
+    // in-batch mix under one series → rejected up front
+    val mixed = samples(("mem", "a", Base + 1000, 1.0))
+      .withColumn("valueStr", lit(null).cast("string"))
+      .unionByName(variantSamples(("mem", "a", Base + 2000, "x")))
+    val e3 = intercept[IllegalArgumentException](t.append(mixed))
+    assert(e3.getMessage.contains("series type mismatch"))
+    // DIFFERENT series under one name may differ in type (per-series rule,
+    // matching the reference's per-lset-hash check)
+    t.append(variantSamples(("cpu", "b", Base + 3000, "idle")))
+    // the encoding sidecar survives a table re-open (reference `_enc` attr)
+    val t2 = new TsdbTable(spark, dir, TsdbConfig())
+    val e4 = intercept[IllegalArgumentException](
+      t2.append(variantSamples(("cpu", "a", Base + 4000, "late"))))
+    assert(e4.getMessage.contains("Cannot append string type metric"))
+  }
+
+  test("delete boundary rewrite keeps __seq when an overrideOld partition mixes pre-__seq files (mergeSchema)") {
+    val dir = Files.createTempDirectory("tsdb_morlegacy").toString
+    val t = new TsdbTable(spark, dir, TsdbConfig(overrideOld = true))
+    // a file written before `__seq` existed: enriched schema minus __seq
+    samples(("cpu", "a", Base + 1000, 1.0))
+      .withColumn("valueStr", lit(null).cast("string"))
+      .withColumn("labels_str", graft.core.Labels.canonical(col("labels")))
+      .withColumn("series_id", graft.core.Labels.seriesId(col("name"), col("labels")))
+      .withColumn("part_start", lit(Base))
+      .write.mode("append").partitionBy("part_start").parquet(s"$dir/raw")
+    // a stamped rewrite of the same (series, time) — must win LWW
+    t.append(samples(("cpu", "a", Base + 1000, 9.0), ("cpu", "a", Base + 2000, 2.0)))
+    // boundary rewrite: the range intersects the partition but neither row
+    t.delete(Base + 500000, Base + 600000)
+    // rewrite must not strip __seq (a sampled legacy footer would): the
+    // stamped version still supersedes the legacy row afterwards
+    val got = t.readRaw(Base, Base + 10000).select("time", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map((Base + 1000) -> 9.0, (Base + 2000) -> 2.0))
+  }
+
   test("retention drops whole partitions past the horizon (config.go:198-200)") {
     val day = 86400000L
     val dir = Files.createTempDirectory("tsdb_ret").toString
