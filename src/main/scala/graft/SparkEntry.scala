@@ -44,9 +44,6 @@ object SparkEntry {
     * exercises the real storage path (append → rollup → planner). */
   private val tables = scala.collection.concurrent.TrieMap.empty[String, Tsdb]
   private type Tsdb = graft.storage.TsdbTable
-  /** Trained IVF centroids per (JVM, sfDir) — the "index build once,
-    * probe many" amortization (see sim_ann_ivf). */
-  private val ivfIndexes = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def storedTable(s: SparkSession, dir: String): Tsdb =
     tables.getOrElseUpdate(dir, {
       val path = java.nio.file.Files.createTempDirectory("graft_tbl").toString
@@ -199,6 +196,17 @@ object SparkEntry {
       QueryEngine.toSeriesSet(r6(wide, Seq("sum")), Seq("name", "labels_str"), Seq("count", "sum"))
     }),
 
+    // Prometheus-compatibility emission (reference SelectProm,
+    // pquerier/querier.go:128-137): the Aggregate label is DROPPED —
+    // single-aggregate only, rows stay unambiguous
+    "tsdb_seriesset_prom" -> ((s, dir) => {
+      val wide = QueryEngine.select(Samples.fromEvents(s, dir),
+        SelectParams(name = "click", functions = "sum",
+          from = F, to = T, step = 7 * Day))
+      QueryEngine.toSeriesSet(r6(wide, Seq("sum")), Seq("name", "labels_str"),
+        Seq("sum"), aggregateLabel = false)
+    }),
+
     // ------------------------------------------------------------------- J1
     // multi-metric timeline alignment: one frame row per (labels, t) with a
     // column per metric (frames.go:479-642 → groupBy+pivot)
@@ -272,14 +280,18 @@ object SparkEntry {
     // Relational operators Spark provides "for free" (SURVEY §2.3/O5/W6)
     // ============================================================
 
-    // broadcast-dim join + agg + top-k (TPC-H Q3 shape)
+    // dim-broadcast join + agg + top-k (TPC-H Q3 shape). Only the CUSTOMER
+    // dim is broadcast: the date filter keeps ~97% of orders (1992–1998
+    // span), so orders⋈lineitem must shuffle on the join key — at 100 TB a
+    // broadcast of the filtered fact side would OOM every executor. AQE
+    // picks the physical strategy for the big join at runtime.
     "q3_topk_join" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
       val o = s.read.parquet(s"$dir/orders.parquet")
       val l = s.read.parquet(s"$dir/lineitem.parquet")
-      l.join(broadcast(o.filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      l.join(o.filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
             .join(broadcast(c.filter(col("c_mktsegment") === "BUILDING")),
-              col("o_custkey") === col("c_custkey"))),
+              col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
         .groupBy("o_orderkey", "o_orderdate")
@@ -356,10 +368,14 @@ object SparkEntry {
         "doc_id", "text", k = 3, threshold = 0.5)),
 
     // near-dup, MinHash+LSH (the 100 TB path) — verified candidates must
-    // equal the brute-force result on this data (oracle is the same SQL)
+    // equal the brute-force result on this data (oracle is the same SQL).
+    // maxBucketSize=1000 is the production mega-bucket guard (degenerate
+    // boilerplate corpora at scale): this IS the benched plan, and it
+    // cannot bind on the fixtures (≤ corpus size), so the entry stays
+    // oracle-exact
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", k = 3, threshold = 0.5)),
+        "doc_id", "text", k = 3, threshold = 0.5, maxBucketSize = 1000)),
 
     // near-dup, SimHash Hamming-banding (no SQL twin: hash-dependent).
     // maxDist=3 keeps the 4x16-bit banding COMPLETE (pigeonhole) so the
@@ -386,13 +402,13 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      // index built once per (JVM, corpus) and amortized across query
-      // batches — the production IVF shape (training is Lloyd's, not free)
-      val cents = ivfIndexes.getOrElseUpdate(dir, {
-        val c = Similarity.kMeansCentroids(e, nCentroids = 16, iters = 3)
-        c.cache().count()
-        c
-      })
+      // index persisted on disk per corpus version: a COLD JVM loads the
+      // trained centroids instead of re-running Lloyd's — training is paid
+      // once per corpus, amortized across drivers (Similarity.saveIvfIndex)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val cents = Similarity.trainOrLoadIvfIndex(e, idx, version = dir,
+        nCentroids = 16, iters = 3)
       Similarity.ivfTopKWith(e, q, k = 5, cents, nProbe = 4)
     }),
 
@@ -611,6 +627,13 @@ object SparkEntry {
          |UNION ALL
          |SELECT name, labels_str, 'sum' AS aggregate, t, sm AS v FROM b
          |ORDER BY name, labels_str, aggregate, t""".stripMargin,
+
+    "tsdb_seriesset_prom" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT name, labels_str, $F + (tt - $F) // ${7 * Day} * ${7 * Day} AS t,
+         |       round(sum(v), 6) AS v
+         |FROM s WHERE name = 'click' AND tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "tsdb_frame_pivot" ->
       s"""WITH s AS ($SamplesCte)

@@ -36,7 +36,7 @@ object Main {
 
   /** Value-less flags: must NOT consume the next token (a following
     * positional — e.g. the SQL string — would silently become the value). */
-  private val BoolFlags = Set("use-precise-aggregations")
+  private val BoolFlags = Set("use-precise-aggregations", "v1-avg")
 
   private[graft] def flags(args: Seq[String]): (Map[String, String], Seq[String]) = {
     def isFlag(a: String) =
@@ -94,8 +94,11 @@ object Main {
     finally spark.stop()
   }
 
+  // readCached = the reference's mtime-checked schema reload
+  // (ReadAndUpdateSchema): repeated invocations in one JVM re-parse the
+  // .schema only when it actually changed, and DO see edits when it did
   private def table(spark: SparkSession, path: String): TsdbTable =
-    new TsdbTable(spark, path, SchemaJson.read(path).getOrElse(
+    new TsdbTable(spark, path, SchemaJson.readCached(path).getOrElse(
       // a silent default here would let a typo'd path masquerade as a new
       // table (the reference tsdbctl errors on a missing table)
       sys.error(s"no table at $path (no ${SchemaJson.FileName}; run `create` first)")))
@@ -175,9 +178,15 @@ object Main {
           else f.get("f").map(TsdbSql.translateFilter).getOrElse(""),
         aggregationWindow = f.get("w").map(TimeUtil.parseDuration).getOrElse(0L),
         usePreciseAggregations = f.contains("use-precise-aggregations"))
-      val wide = t.select(p)
+      // --v1-avg: legacy-querier sugar (querier.go:199-206) — an
+      // aggregate-less query with step >= rollup implicitly averages;
+      // the default path keeps v2 downsample semantics
+      val pv = if (f.contains("v1-avg"))
+        SelectParams.v1ImplicitAvg(p, t.config.rollupIntervalMs, t.config.aggregates)
+      else p
+      val wide = t.select(pv)
       val out =
-        if (p.baseFunctions.nonEmpty) {
+        if (pv.baseFunctions.nonEmpty) {
           // melt by the ACTUAL output columns — aliases may have renamed
           // the aggregate columns
           val keys = wide.columns.takeWhile(_ != "t").toSeq

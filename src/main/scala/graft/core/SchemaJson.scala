@@ -33,6 +33,25 @@ object SchemaJson {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Hot-reloading read (reference `ReadAndUpdateSchema`,
+    * `pkg/partmgr/partmgr.go:228-264`): the parsed config is cached per
+    * table and re-read ONLY when the `.schema` mtime changes, so a
+    * long-lived session picks up config edits between queries without
+    * re-parsing per call. A deleted schema file also drops the cache
+    * entry (the table is gone, not frozen at its last config). */
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[String, (java.nio.file.attribute.FileTime, TsdbConfig)]
+
+  def readCached(tablePath: String): Option[TsdbConfig] = {
+    val p = Paths.get(tablePath, FileName)
+    if (!Files.exists(p)) { cache.remove(tablePath); return None }
+    val mtime = Files.getLastModifiedTime(p)
+    cache.get(tablePath) match {
+      case Some((t, c)) if t == mtime => Some(c)
+      case _ => read(tablePath).map { c => cache.put(tablePath, (mtime, c)); c }
+    }
+  }
+
   def read(tablePath: String): Option[TsdbConfig] = {
     val p = Paths.get(tablePath, FileName)
     if (!Files.exists(p)) return None

@@ -158,6 +158,53 @@ object Similarity {
     cents
   }
 
+  /** Persist a trained centroid table as an on-disk IVF index:
+    * `<path>/centroids/` (parquet) + `<path>/_meta` (corpus identity) —
+    * the same sidecar pattern as the reference's `.schema` file
+    * (`partmgr.go:228-264`): a small artifact describing the layout so a
+    * NEW driver/JVM probes the existing index instead of re-running
+    * Lloyd's over the corpus. `version` is the caller's corpus identity
+    * (data path + snapshot id); load refuses a mismatch. */
+  def saveIvfIndex(centroids: DataFrame, path: String, version: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    centroids.select(col("c_id"), col("c_vec"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val sp = centroids.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_meta"), true)
+    try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load a persisted IVF index if present AND built for this `version`;
+    * None (→ caller retrains) otherwise. */
+  def loadIvfIndex(spark: SparkSession, path: String, version: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta")
+    if (!fs.exists(meta)) return None
+    val in = fs.open(meta)
+    val stored =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .collectFirst { case l if l.startsWith("version=") => l.stripPrefix("version=") }
+      finally in.close()
+    if (!stored.contains(version)) None
+    else Some(spark.read.parquet(s"$path/centroids"))
+  }
+
+  /** The production index lifecycle in one call: load the on-disk index
+    * for `version`, or train ([[kMeansCentroids]]), persist, and return
+    * it. Training cost is paid once per corpus version — across JVMs,
+    * not per driver as a memory-only cache would. */
+  def trainOrLoadIvfIndex(data: DataFrame, path: String, version: String,
+                          nCentroids: Int, iters: Int): DataFrame =
+    loadIvfIndex(data.sparkSession, path, version).getOrElse {
+      val cents = kMeansCentroids(data, nCentroids, iters)
+      saveIvfIndex(cents, path, version)
+      // serve from the persisted copy so every caller reads one plan shape
+      data.sparkSession.read.parquet(s"$path/centroids")
+    }
+
   /** IVF-style approximate top-k: partition the corpus into `nCentroids`
     * Voronoi cells (spherical k-means when `trainIters` > 0; deterministic
     * seed vectors otherwise), assign every vector to its nearest centroid

@@ -90,4 +90,23 @@ case class SelectParams(
 object SelectParams {
   def stripAll(fn: String): String =
     if (fn.endsWith("_all")) fn.dropRight(4) else fn
+
+  /** v1 (legacy Prometheus-querier) sugar — reference
+    * `querier/querier.go:199-206`: a query with NO aggregate functions and
+    * a step at least the rollup interval implicitly aggregates with `avg`,
+    * provided the table materializes avg's ingredients (count+sum —
+    * `AggrType().HasAverage()`). Kept OFF the default v2 path (the v2
+    * pquerier treats no-functions+step as downsampling); callers opt in
+    * (CLI `--v1-avg`).
+    *
+    * @param rollupIntervalMs the table's rollup granularity
+    * @param materialized     the table's materialized raw partials
+    */
+  def v1ImplicitAvg(p: SelectParams, rollupIntervalMs: Long,
+                    materialized: Seq[String]): SelectParams =
+    if (p.functionList.isEmpty && p.requestedColumns.isEmpty &&
+        p.step > 0 && p.step >= rollupIntervalMs &&
+        Seq("count", "sum").forall(materialized.contains))
+      p.copy(functions = "avg")
+    else p
 }

@@ -199,10 +199,12 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       .agg(first("name").as("name"),
         max(col("valueStr").isNotNull).as("has_var"),
         max(col("valueStr").isNull).as("has_num"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(seriesEncPath), spark.sparkContext.hadoopConfiguration)
     val existing =
-      try Some(spark.read.parquet(seriesEncPath)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(seriesEncPath))) None
+      else Some(spark.read.parquet(seriesEncPath)
         .select(col("series_id"), col("variant").as("old_variant")))
-      catch { case _: Exception => None }
     val joined = existing match {
       case Some(e) => batchEnc.join(e, Seq("series_id"), "left")
       case None    => batchEnc.withColumn("old_variant", lit(null).cast("boolean"))
@@ -231,9 +233,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * PutItem — `store.go:189-202`); no-op when nothing is new. */
   private def mergeNames(batchNames: Set[String]): Unit = {
     import spark.implicits._
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(namesPath), spark.sparkContext.hadoopConfiguration)
     val existing: Set[String] =
-      try spark.read.parquet(namesPath).collect().map(_.getString(0)).toSet
-      catch { case _: Exception => Set.empty }
+      if (!fs0.exists(new org.apache.hadoop.fs.Path(namesPath))) Set.empty
+      else spark.read.parquet(namesPath).collect().map(_.getString(0)).toSet
     if (!batchNames.subsetOf(existing)) {
       (existing ++ batchNames).toSeq.sorted.toDF("name")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(namesPath + ".tmp")

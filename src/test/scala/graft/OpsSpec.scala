@@ -118,6 +118,31 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf.size == brute.size)
   }
 
+  test("IVF index persists to disk: cold load equals training; version mismatch retrains") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    // first call trains and persists
+    val trained = Similarity.trainOrLoadIvfIndex(e, idx, version = "v1",
+      nCentroids = 8, iters = 2)
+    val trainedRows = trained.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(trainedRows.size == 8)
+    // "cold JVM": a plain load must return the SAME centroids without
+    // retraining (kMeansCentroids over a changed corpus would differ)
+    val loaded = Similarity.loadIvfIndex(spark, idx, "v1")
+    assert(loaded.isDefined)
+    val loadedRows = loaded.get.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(loadedRows == trainedRows)
+    // probing with the loaded index equals probing with the trained one
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val a = Similarity.ivfTopKWith(e, q, 5, trained, nProbe = 4).collect().map(_.toSeq)
+    val b = Similarity.ivfTopKWith(e, q, 5, loaded.get, nProbe = 4).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    // a different corpus version refuses the stale index
+    assert(Similarity.loadIvfIndex(spark, idx, "v2").isEmpty)
+    assert(Similarity.loadIvfIndex(spark, idx + "_nowhere", "v1").isEmpty)
+  }
+
   test("spherical k-means recovers planted clusters; IVF nProbe=1 gets perfect recall on them") {
     import spark.implicits._
     // 3 tight clusters around orthogonal axes: cosine-separable by design

@@ -96,6 +96,22 @@ class SchemaJsonSpec extends SparkSuite {
     assert(SchemaJson.read(dir).contains(cfg))
     assert(SchemaJson.read(dir + "/missing").isEmpty)
   }
+
+  test("readCached hot-reloads on mtime change (ReadAndUpdateSchema, partmgr.go:228-264)") {
+    val dir = Files.createTempDirectory("schema_hot").toString
+    SchemaJson.write(dir, TsdbConfig(rollupIntervalMs = 3600000L))
+    val c1 = SchemaJson.readCached(dir).get
+    assert(c1.rollupIntervalMs == 3600000L)
+    // unchanged mtime → the cached instance, no re-parse
+    assert(SchemaJson.readCached(dir).get eq c1)
+    SchemaJson.write(dir, TsdbConfig(rollupIntervalMs = 1800000L))
+    // force a distinct mtime even on coarse-granularity filesystems
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir, SchemaJson.FileName),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(SchemaJson.readCached(dir).get.rollupIntervalMs == 1800000L)
+    assert(SchemaJson.readCached(dir + "/missing").isEmpty)
+  }
 }
 
 class PreAggSpec extends SparkSuite {
@@ -157,6 +173,39 @@ class CliSpec extends SparkSuite {
     val e = intercept[RuntimeException](graft.cli.Main.run("query", spark, dir,
       Map("l" -> "1h", "e" -> "1704067200000", "n" -> "cpu", "a" -> "sum"), Nil))
     assert(e.getMessage.contains("cannot be set together"))
+  }
+
+  test("--v1-avg: aggregate-less query with step >= rollup implicitly averages (querier.go:199-206)") {
+    val dir = Files.createTempDirectory("cliv1").toString + "/tbl"
+    graft.cli.Main.run("create", spark, dir, Map("rollup" -> "1m"), Nil)
+    graft.cli.Main.run("add", spark, dir,
+      Map("d" -> "73.2", "m" -> "1704067200000"), Seq("cpu", "os=win"))
+    graft.cli.Main.run("add", spark, dir,
+      Map("d" -> "80.0", "m" -> "1704067260000"), Seq("cpu", "os=win"))
+    def q(extra: Map[String, String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) {
+        graft.cli.Main.run("query", spark, dir,
+          Map("b" -> "1704067200000", "e" -> "1704067400000",
+            "i" -> "5m", "n" -> "cpu", "o" -> "csv") ++ extra, Nil)
+      }
+      buf.toString
+    }
+    // one 5m bucket holding both samples → avg = 76.6
+    val v1 = q(Map("v1-avg" -> ""))
+    assert(v1.contains("avg") && v1.contains("76.6"), s"v1 output:\n$v1")
+    // default v2 path keeps downsample semantics — no implicit aggregate
+    val v2 = q(Map.empty)
+    assert(!v2.contains("avg"), s"v2 output:\n$v2")
+    // sugar gates: step < rollup, missing partials, explicit functions
+    val p = SelectParams(name = "cpu", from = 0L, to = 1L, step = 30000L)
+    assert(SelectParams.v1ImplicitAvg(p, 60000L, Seq("count", "sum")) == p)
+    assert(SelectParams.v1ImplicitAvg(p.copy(step = 60000L), 60000L, Seq("count"))
+      .functions.isEmpty)
+    assert(SelectParams.v1ImplicitAvg(p.copy(step = 60000L, functions = "sum"),
+      60000L, Seq("count", "sum")).functions == "sum")
+    assert(SelectParams.v1ImplicitAvg(p.copy(step = 60000L), 60000L,
+      Seq("count", "sum")).functions == "avg")
   }
 
   test("time/version commands run table-less (tsdbctl time.go/version.go)") {
