@@ -404,10 +404,17 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       // index persisted on disk per corpus version: a COLD JVM loads the
       // trained centroids instead of re-running Lloyd's — training is paid
-      // once per corpus, amortized across drivers (Similarity.saveIvfIndex)
+      // once per corpus, amortized across drivers (Similarity.saveIvfIndex).
+      // Version = path + source-file fingerprint (mtime+size), so a
+      // regenerated corpus at the same path invalidates the index; the
+      // path suffix hash disambiguates sanitization collisions
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val fp = Option(src.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName + ":" + f.lastModified + ":" + f.length).sorted.mkString(","))
+        .getOrElse(src.lastModified + ":" + src.length)
       val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf/" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val cents = Similarity.trainOrLoadIvfIndex(e, idx, version = dir,
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + (dir.hashCode & 0x7fffffff)
+      val cents = Similarity.trainOrLoadIvfIndex(e, idx, version = s"$dir@$fp",
         nCentroids = 16, iters = 3)
       Similarity.ivfTopKWith(e, q, k = 5, cents, nProbe = 4)
     }),

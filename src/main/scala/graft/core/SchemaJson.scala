@@ -40,15 +40,18 @@ object SchemaJson {
     * re-parsing per call. A deleted schema file also drops the cache
     * entry (the table is gone, not frozen at its last config). */
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[String, (java.nio.file.attribute.FileTime, TsdbConfig)]
+    .empty[String, ((java.nio.file.attribute.FileTime, Long), TsdbConfig)]
 
   def readCached(tablePath: String): Option[TsdbConfig] = {
     val p = Paths.get(tablePath, FileName)
     if (!Files.exists(p)) { cache.remove(tablePath); return None }
-    val mtime = Files.getLastModifiedTime(p)
+    // (mtime, size): size catches rewrites inside one mtime tick on
+    // coarse-granularity filesystems (same-length rewrites within one
+    // tick still slip through, as in the reference's pure-mtime check)
+    val stamp = (Files.getLastModifiedTime(p), Files.size(p))
     cache.get(tablePath) match {
-      case Some((t, c)) if t == mtime => Some(c)
-      case _ => read(tablePath).map { c => cache.put(tablePath, (mtime, c)); c }
+      case Some((s, c)) if s == stamp => Some(c)
+      case _ => read(tablePath).map { c => cache.put(tablePath, (stamp, c)); c }
     }
   }
 

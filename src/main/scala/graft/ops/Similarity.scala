@@ -167,11 +167,14 @@ object Similarity {
     * (data path + snapshot id); load refuses a mismatch. */
   def saveIvfIndex(centroids: DataFrame, path: String, version: String): Unit = {
     import org.apache.spark.sql.SaveMode
-    centroids.select(col("c_id"), col("c_vec"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     val sp = centroids.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
+    // invalidate BEFORE touching centroids: a crash mid-save must leave a
+    // missing _meta (→ retrain), never a stale _meta describing new data
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_meta"), false)
+    centroids.select(col("c_id"), col("c_vec"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     val out = fs.create(new org.apache.hadoop.fs.Path(path, "_meta"), true)
     try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
   }

@@ -106,7 +106,10 @@ object SelectParams {
                     materialized: Seq[String]): SelectParams =
     if (p.functionList.isEmpty && p.requestedColumns.isEmpty &&
         p.step > 0 && p.step >= rollupIntervalMs &&
-        Seq("count", "sum").forall(materialized.contains))
+        // count is always materialized implicitly (Rollup.build prepends
+        // it), so avg needs only `sum` listed — same dependency rule as
+        // canServerAggregate
+        materialized.contains("sum"))
       p.copy(functions = "avg")
     else p
 }

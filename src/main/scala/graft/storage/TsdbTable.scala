@@ -155,7 +155,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       // scan, rollup build) — evaluate the upstream plan once
       .persist()
     try {
-      enforceSeriesTypes(enriched)
+      val newSeriesEnc = enforceSeriesTypes(enriched)
       enriched
         // shuffle on (time partition, series shard): parallel writes into
         // each partition dir (the reference's sharding-key scans, P2)
@@ -164,6 +164,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           pmod(col("series_id"), lit(config.shardingBuckets.toLong)))
         .sortWithinPartitions("series_id", "time")
         .write.mode(SaveMode.Append).partitionBy("part_start").parquet(rawPath)
+
+      // record AFTER the raw write: a failed append must not pin types of
+      // series that never landed (next attempt re-detects them as new)
+      newSeriesEnc.foreach(recordSeriesTypes)
 
       // one driver job collects both tiny summaries of the cached batch
       // (matters per micro-batch on the streaming path)
@@ -192,8 +196,12 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * cardinality, not the sample count. Deleted series keep their sidecar
     * entry, so re-creating a series under the other type stays rejected
     * (conservative vs the reference, whose in-memory cache has the same
-    * behavior until eviction). */
-  private def enforceSeriesTypes(batch: DataFrame): Unit = {
+    * behavior until eviction).
+    *
+    * Returns the batch's NEW series encodings for the caller to record
+    * AFTER the raw write succeeds — recording first would pin the type of
+    * series whose data never landed. */
+  private def enforceSeriesTypes(batch: DataFrame): Option[DataFrame] = {
     val batchEnc = batch
       .groupBy("series_id")
       .agg(first("name").as("name"),
@@ -203,30 +211,54 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       new java.net.URI(seriesEncPath), spark.sparkContext.hadoopConfiguration)
     val existing =
       if (!fs.exists(new org.apache.hadoop.fs.Path(seriesEncPath))) None
-      else Some(spark.read.parquet(seriesEncPath)
+      // a crashed prior write can leave the dir with no readable footer —
+      // treat it as absent (self-heals on the next successful write)
+      else try Some(spark.read.parquet(seriesEncPath)
         .select(col("series_id"), col("variant").as("old_variant")))
+      catch { case _: Exception => None }
     val joined = existing match {
       case Some(e) => batchEnc.join(e, Seq("series_id"), "left")
       case None    => batchEnc.withColumn("old_variant", lit(null).cast("boolean"))
     }
     val flipCond = col("old_variant").isNotNull && (col("old_variant") =!= col("has_var"))
+    // flip name and direction must come from the SAME row (two series
+    // flipping in opposite directions would otherwise mix pairings)
     val s = joined.agg(
       max(when(col("has_var") && col("has_num"), col("name"))).as("mixed"),
-      max(when(flipCond, col("name"))).as("flip"),
-      max(when(flipCond, col("has_var"))).as("flip_to_variant"),
+      max(when(flipCond, struct(col("name"), col("has_var")))).as("flip"),
       coalesce(sum(when(col("old_variant").isNull, 1L)), lit(0L)).as("new_cnt")).head()
     if (s.getString(0) != null)
       throw new IllegalArgumentException(
         s"series type mismatch: batch mixes numeric and string samples for metric '${s.getString(0)}'")
-    if (s.getString(1) != null) {
-      val (newT, oldT) = if (s.getBoolean(2)) ("string", "numeric") else ("numeric", "string")
+    if (!s.isNullAt(1)) {
+      val flip = s.getStruct(1)
+      val (newT, oldT) =
+        if (flip.getBoolean(1)) ("string", "numeric") else ("numeric", "string")
       throw new IllegalArgumentException(
-        s"Cannot append $newT type metric to $oldT type metric ('${s.getString(1)}').")
+        s"Cannot append $newT type metric to $oldT type metric ('${flip.getString(0)}').")
     }
-    if (s.getLong(3) > 0)
-      joined.filter(col("old_variant").isNull)
-        .select(col("series_id"), col("has_var").as("variant"))
-        .coalesce(1).write.mode(SaveMode.Append).parquet(seriesEncPath)
+    if (s.getLong(2) > 0)
+      Some(joined.filter(col("old_variant").isNull)
+        .select(col("series_id"), col("has_var").as("variant")))
+    else None
+  }
+
+  /** Record new series encodings (one small appended file per batch that
+    * actually had new series) and bound the sidecar's file count: past 64
+    * files, rewrite into one via tmp+rename — amortized O(1) per batch,
+    * keeps the per-append sidecar scan from degrading on long-lived
+    * streaming tables. */
+  private def recordSeriesTypes(newRows: DataFrame): Unit = {
+    newRows.coalesce(1).write.mode(SaveMode.Append).parquet(seriesEncPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(seriesEncPath), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(seriesEncPath)
+    if (fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet")) > 64) {
+      val all = spark.read.parquet(seriesEncPath)
+      all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(seriesEncPath + ".tmp")
+      fs.delete(dir, true)
+      fs.rename(new org.apache.hadoop.fs.Path(seriesEncPath + ".tmp"), dir)
+    }
   }
 
   /** Upsert new metric names into the names dim (reference S9, first-write
@@ -237,7 +269,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       new java.net.URI(namesPath), spark.sparkContext.hadoopConfiguration)
     val existing: Set[String] =
       if (!fs0.exists(new org.apache.hadoop.fs.Path(namesPath))) Set.empty
-      else spark.read.parquet(namesPath).collect().map(_.getString(0)).toSet
+      // a crashed prior write can leave an unreadable dir — rebuild from
+      // the batch (the overwrite below self-heals it)
+      else try spark.read.parquet(namesPath).collect().map(_.getString(0)).toSet
+      catch { case _: Exception => Set.empty }
     if (!batchNames.subsetOf(existing)) {
       (existing ++ batchNames).toSeq.sorted.toDF("name")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(namesPath + ".tmp")
