@@ -377,6 +377,16 @@ object SparkEntry {
       Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", k = 3, threshold = 0.5, maxBucketSize = 1000)),
 
+    // near-dup CLUSTERING: verified LSH pairs → connected components →
+    // every member labeled with its cluster's canonical (min) doc id —
+    // the keep/drop decision step of the dedup pipeline. Oracle: recursive
+    // transitive closure over the same pair set.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
+      Dedup.nearDupClusters(pairs)
+    }),
+
     // near-dup, SimHash Hamming-banding (no SQL twin: hash-dependent).
     // maxDist=3 keeps the 4x16-bit banding COMPLETE (pigeonhole) so the
     // output is the exact hamming<=3 pair set, deterministically.
@@ -438,13 +448,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // multimodal: partition-wise STUB decode → fixed-dim features
-    // (rows-only: byte-stride math has no reasonable SQL twin)
+    // multimodal: partition-wise decode → fixed-dim features. The decoder
+    // is REAL for image payloads (JDK javax.imageio: PNG/BMP/JPEG/GIF,
+    // proven in MultimodalSpec on synthesized images); these text-byte
+    // payloads take the documented byte-stride fallback (decoded=false).
+    // Rows-only: per-pixel math has no reasonable SQL twin.
     "multimodal_features" -> ((s, dir) => {
       val blobs = Multimodal.asBlobTable(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
-      val f = Multimodal.stubDecodeFeatures(blobs)
-      f.select(col("doc_id") +:
+      val f = Multimodal.decodeImageFeatures(blobs)
+      f.select(Seq(col("doc_id"), col("decoded"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height")) ++
           (0 until Multimodal.FeatureDim).map(i =>
             round(element_at(col("feature"), i + 1).cast("double"), 4).as(s"f$i")): _*)
         .orderBy("doc_id")
@@ -849,6 +863,16 @@ object SparkEntry {
     // parameters (64 hashes / 32 bands) give P[miss] < 1e-4 at j=0.5 —
     // the verified LSH output equals the brute-force result on this data.
     "dedup_minhash_lsh" -> NgramJaccardOracle,
+    // transitive closure over the pair graph → min reachable id per member
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $NgramJaccardCtes,
+         |p AS ($NgramJaccardSelect),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT a, b FROM e
+         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
@@ -876,21 +900,26 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 
-  /** Shared oracle for the brute-force and LSH near-dup paths (trigram
-    * shingles, Jaccard >= 0.5). */
-  private val NgramJaccardOracle =
-    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-      |           FROM documents),
+  /** Trigram-shingle CTEs + Jaccard>=0.5 pair select, shared by the
+    * brute/LSH oracles and the clustering oracle's transitive closure. */
+  private val NgramJaccardCtes =
+    """d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |      FROM documents),
       |s AS (
       |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                   for i in range(1, len(w) - 1)]) AS sh
-      |  FROM d WHERE len(w) >= 3)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  FROM d WHERE len(w) >= 3)""".stripMargin
+  private val NgramJaccardSelect =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  round(len(list_intersect(a.sh, b.sh)) * 1.0
       |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""".stripMargin
+
+  /** Shared oracle for the brute-force and LSH near-dup paths (trigram
+    * shingles, Jaccard >= 0.5). */
+  private val NgramJaccardOracle =
+    s"WITH $NgramJaccardCtes\n$NgramJaccardSelect\nORDER BY id_a, id_b"
 }

@@ -82,12 +82,12 @@ object Main {
     }
     val tablePath = f.getOrElse("t", sys.error("missing -t <table-path>"))
 
-    val spark = SparkSession.builder()
+    val spark = graft.core.SparkTuning.freezeTolerant(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(cmd, spark, tablePath, f, pos)

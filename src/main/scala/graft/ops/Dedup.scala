@@ -153,6 +153,56 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------------------------------------- near-dup clustering
+
+  /** Collapse verified near-dup PAIRS into connected components, labeling
+    * every member with its component's canonical id (the minimum doc id) —
+    * the keep/drop decision step of a dedup pipeline (keep `cluster_id`,
+    * drop the rest). Input: `(id_a, id_b)` pairs; output:
+    * `(doc_id, cluster_id)`, one row per document appearing in a pair.
+    *
+    * Distributed shape: iterated min-label propagation over the pair graph
+    * (which is tiny relative to the corpus — only near-dups appear).
+    * Each round is one hash join + one aggregate shuffling on doc id;
+    * rounds needed = component diameter (near-dup clusters are small and
+    * dense, 2-3 in practice; `maxIters` caps pathological chains and a
+    * convergence check exits early). No driver-side data beyond the
+    * per-round change counter. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // eager localCheckpoint: each round's plan would otherwise embed the
+    // previous round's TWICE (via the neighbor join), doubling the logical
+    // plan per iteration — caching alone keeps the data but not the
+    // lineage, and Catalyst planning/explain blows up exponentially
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
+      .localCheckpoint(true)
+    try {
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIters) {
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("doc_id", "src"), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min("cluster_id").as("__nb"))
+        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("__nb"), col("cluster_id")))
+              .as("cluster_id"))
+          .localCheckpoint(true)
+        changed = next
+          .join(labels.withColumnRenamed("cluster_id", "__old"), "doc_id")
+          .filter(col("cluster_id") =!= col("__old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      labels.orderBy("doc_id")
+    } finally edges.unpersist()
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash fingerprint per doc: sign of the per-bit vote sum of

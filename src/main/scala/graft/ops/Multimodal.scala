@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, and run decode/feature-extraction as a
   * partition-wise batch operator.
   *
-  * The decode step is a clearly-marked STUB (this container has no
-  * image/audio codecs): `stubDecodeFeatures` derives a deterministic
-  * 8-dim feature from the raw bytes. The Spark-side plumbing — binary
-  * schema, metadata struct, `mapPartitions` batching, output schema —
-  * is real and is what a production decoder (JNI/FFI or Arrow-batched
-  * Python) would plug into.
+  * [[decodeImageFeatures]] is a REAL image decode path (JDK `javax.imageio`
+  * — PNG/BMP/JPEG/GIF, no external codecs needed) with per-image resize to
+  * a fixed luma grid; payloads no codec claims fall back to the
+  * deterministic byte-stride features of [[stubDecodeFeatures]] (flagged
+  * `decoded=false`), so one operator serves mixed binary lakehouse columns.
+  * Audio/video codecs are NOT in the JDK; those stay on the stub path —
+  * the `mapPartitions` batch shape is the plug-in point for a JNI/FFI or
+  * Arrow-batched decoder.
   */
 object Multimodal {
 
@@ -63,5 +65,91 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rows, featureSchema)
+  }
+
+  private val decodeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("decoded", BooleanType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feature", ArrayType(FloatType, containsNull = false))))
+
+  /** Byte-stride fallback feature (shared with [[stubDecodeFeatures]]). */
+  private def strideFeature(bytes: Array[Byte]): Array[Float] = {
+    val feat = new Array[Float](FeatureDim)
+    if (bytes != null && bytes.nonEmpty) {
+      val stride = math.max(bytes.length / FeatureDim, 1)
+      var d = 0
+      while (d < FeatureDim) {
+        var sum = 0L; var n = 0
+        var i = d * stride
+        val end = if (d == FeatureDim - 1) bytes.length else math.min((d + 1) * stride, bytes.length)
+        while (i < end) { sum += bytes(i) & 0xFF; n += 1; i += 1 }
+        feat(d) = if (n == 0) 0f else (sum.toFloat / n) / 255f
+        d += 1
+      }
+    }
+    feat
+  }
+
+  /** Real image decode + feature extraction, per-partition batches:
+    * decode with the JDK's `javax.imageio` (PNG/BMP/JPEG/GIF), resize to a
+    * 2×2 mean-luma grid, and emit
+    * `[meanR, meanG, meanB, stdLuma, luma00, luma01, luma10, luma11]`
+    * (all in [0,1]) plus decoded dimensions. Non-image payloads keep the
+    * byte-stride fallback with `decoded=false` — a mixed binary column
+    * never fails the job. One pass over the pixels per image; decode cost
+    * is embarrassingly parallel and partition-local (the 100 TB shape:
+    * no shuffle, scales with executor count). */
+  def decodeImageFeatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val rows = blobs.select(col("doc_id").cast("long"), col("blob")).rdd
+      .mapPartitions { it =>
+        // never spill decode scratch to disk-backed ImageIO cache files
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null } // corrupt payload → fallback
+          if (img == null)
+            Row(id, false, 0, 0, strideFeature(bytes).toSeq)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0.0; var sg = 0.0; var sb = 0.0
+            var sl = 0.0; var sl2 = 0.0
+            // 2x2 resize accumulators (mean luma per quadrant)
+            val ql = new Array[Double](4); val qn = new Array[Long](4)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val cr = (rgb >> 16) & 0xFF; val cg = (rgb >> 8) & 0xFF; val cb = rgb & 0xFF
+                val luma = 0.299 * cr + 0.587 * cg + 0.114 * cb
+                sr += cr; sg += cg; sb += cb; sl += luma; sl2 += luma * luma
+                val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+                ql(q) += luma; qn(q) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toDouble * h
+            val mean = sl / n
+            val std = math.sqrt(math.max(sl2 / n - mean * mean, 0.0))
+            val feat = Array(
+              (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+              (std / 255.0).toFloat,
+              (if (qn(0) == 0) 0.0 else ql(0) / qn(0) / 255.0).toFloat,
+              (if (qn(1) == 0) 0.0 else ql(1) / qn(1) / 255.0).toFloat,
+              (if (qn(2) == 0) 0.0 else ql(2) / qn(2) / 255.0).toFloat,
+              (if (qn(3) == 0) 0.0 else ql(3) / qn(3) / 255.0).toFloat)
+            Row(id, true, w, h, feat.toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rows, decodeSchema)
   }
 }

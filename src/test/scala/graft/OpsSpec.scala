@@ -54,6 +54,22 @@ class DedupSpec extends SparkSuite {
     assert(pairs.get((1L, 3L)).forall(_ > 0))
   }
 
+  test("near-dup clusters: connected components, min-id canonical, multi-round chains") {
+    val pairs = Seq((2L, 1L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8),
+      (20L, 21L, 0.7), (21L, 22L, 0.7), (3L, 4L, 0.6))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // a long path needs multiple propagation rounds to reach the far end
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(chain).collect().map(_.getLong(1)).distinct
+    assert(labels.toSeq == Seq(0L))
+    // empty pair set → empty (not a crash)
+    assert(Dedup.nearDupClusters(pairs.filter(col("id_a") < 0)).collect().isEmpty)
+  }
+
   test("LSH on driver documents equals brute force (planted near-dups)") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val brute = Dedup.jaccardPairsBrute(d, "doc_id", "text", 3, 0.5).collect()
@@ -287,5 +303,46 @@ class MultimodalSpec extends SparkSuite {
     val f2 = Multimodal.stubDecodeFeatures(blobs).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(f1 == f2) // deterministic
+  }
+
+  test("real image decode (javax.imageio): PNG + BMP decode, resize grid, fallback for non-images") {
+    // in-memory synthesized images: no external codecs, pure JDK
+    def png(w: Int, h: Int, paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, paint(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def bmp(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    // left half black, right half white → quadrant lumas 0,1,0,1
+    val split = png(8, 4, (x, _) => if (x < 4) 0x000000 else 0xFFFFFF)
+    val red = bmp(6, 6, 0xFF0000)
+    val junk = "not an image at all".getBytes("UTF-8")
+    val blobs = Seq((1L, split), (2L, red), (3L, junk))
+      .toDF("doc_id", "blob")
+    val out = Multimodal.decodeImageFeatures(blobs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // PNG: decoded with true dimensions; quadrant grid sees the split
+    assert(out(1L).getBoolean(1) && out(1L).getInt(2) == 8 && out(1L).getInt(3) == 4)
+    val f1 = out(1L).getSeq[Float](4)
+    assert(math.abs(f1(4) - 0f) < 1e-3 && math.abs(f1(5) - 1f) < 1e-3) // top-left, top-right
+    assert(math.abs(f1(6) - 0f) < 1e-3 && math.abs(f1(7) - 1f) < 1e-3) // bottom-left, bottom-right
+    assert(math.abs(f1(0) - 0.5f) < 1e-3) // mean R = half white
+    // BMP: solid red → meanR 1, meanG/B 0, zero luma stddev
+    assert(out(2L).getBoolean(1) && out(2L).getInt(2) == 6)
+    val f2 = out(2L).getSeq[Float](4)
+    assert(math.abs(f2(0) - 1f) < 1e-3 && f2(1) < 1e-3 && f2(2) < 1e-3 && f2(3) < 1e-3)
+    // non-image: graceful fallback, flagged undecoded, stride features
+    assert(!out(3L).getBoolean(1) && out(3L).getInt(2) == 0)
+    val stub = Multimodal.stubDecodeFeatures(blobs.filter(col("doc_id") === 3L))
+      .collect().head.getSeq[Float](1)
+    assert(out(3L).getSeq[Float](4) == stub)
   }
 }

@@ -13,12 +13,15 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSuite {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    // freezeTolerant: this VM stalls whole minutes at a time (hypervisor
+    // snapshots); default timeouts declare the local executor dead on wake
+    // and abort whichever suite is running
+    val s = graft.core.SparkTuning.freezeTolerant(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
