@@ -24,11 +24,11 @@ object Bench {
     "tsdb_overlap_windows", "tsdb_downsample", "tsdb_variant_last",
     "tsdb_sql", "tsdb_multi_agg", "tsdb_storage_agg", "tsdb_sliding_server",
     "tsdb_storage_preagg",
-    "tsdb_frame_pivot", "tsdb_frame_mixed",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset_prom",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "sim_topk", "sim_ann_ivf", "events_sessionize",
-    "text_tokens", "text_quality", "text_langid", "doc_fingerprint",
-    "multimodal_meta")
+    "text_tokens", "text_quality", "text_langid", "text_tfidf", "doc_fingerprint",
+    "multimodal_meta", "multimodal_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

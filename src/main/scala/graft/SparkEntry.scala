@@ -351,6 +351,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top-terms per document (keyword extraction). Rational idf
+    // (N+1)/(df+1): integer-derived operands + correctly-rounded IEEE
+    // ops make Spark and DuckDB agree bit-exactly, ranking included
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", k = 5)),
+
     // document fingerprinting (normalized md5)
     "doc_fingerprint" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
@@ -852,6 +859,23 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                         x -> x <> '') AS w
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        tf.tf * ((n.n + 1.0) / (df.df + 1.0)) AS score0,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf * ((n.n + 1.0) / (df.df + 1.0)) DESC, tf.term) AS rank
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, round(score0, 6) AS score, rank
+        |FROM s WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -228,8 +228,11 @@ object Main {
         .filter(col("name") === metric &&
           (if (labels.isEmpty) lit(true) else col("labels_str") === labels))
         .orderBy("time")
-      println(s"series: $metric{$labels}  samples=${raw.count()}")
-      raw.select("time", "value", "valueStr").show(f.getOrElse("limit", "20").toInt, false)
+        .cache() // count + show share one scan of the filtered series
+      try {
+        println(s"series: $metric{$labels}  samples=${raw.count()}")
+        raw.select("time", "value", "valueStr").show(f.getOrElse("limit", "20").toInt, false)
+      } finally raw.unpersist()
       t.readRollup()
         .filter(col("name") === metric &&
           (if (labels.isEmpty) lit(true) else col("labels_str") === labels))

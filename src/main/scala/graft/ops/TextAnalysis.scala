@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -97,4 +98,37 @@ object TextAnalysis {
     * lowercase text — the exact-dedup key (DuckDB twin: `md5(...)`). */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))).cast("binary"))
+
+  /** Per-document top-k terms by TF-IDF — keyword extraction / topical
+    * fingerprinting for corpus curation. Scoring uses the RATIONAL idf
+    * `(N+1)/(df+1)` (monotone in the classic `ln`-idf): every operand is
+    * integer-derived and IEEE division/multiplication are correctly
+    * rounded, so Spark and the DuckDB oracle agree BIT-EXACTLY — an `ln`
+    * would differ by libm ulps and could flip near-tie rankings.
+    *
+    * Distributed shape (the 100 TB path): one shuffle for per-doc term
+    * counts, one for document frequencies, a term-keyed join back (terms
+    * ≪ corpus; skew on ultra-common terms is bounded because df rows are
+    * unique per term), a broadcast of the single-row corpus count, and a
+    * per-doc window for top-k. No driver-side data.
+    *
+    * @param k    terms kept per document
+    * @return (doc_id, term, score, rank), rank 1..k by score desc with
+    *         term-asc tiebreak (deterministic) */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * ((col("n") + lit(1.0)) / (col("df") + lit(1.0))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
 }

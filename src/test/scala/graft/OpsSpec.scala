@@ -281,6 +281,25 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out == Seq("en", "es", "de", "unknown"))
   }
 
+  test("tf-idf top terms: rational idf, rank order, term tiebreak") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry date")).toDF("doc_id", "text")
+    // N=3; df: apple 2, banana 2, cherry 2, date 1
+    // idf = (N+1)/(df+1): common terms 4/3, date 2.0
+    val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out((1L, 1L)) == ("apple", 2.666667)) // tf 2 × 4/3
+    assert(out((1L, 2L)) == ("banana", 1.333333))
+    // doc2: banana and cherry tie at 4/3 → term-asc tiebreak
+    assert(out((2L, 1L)) == ("banana", 1.333333))
+    assert(out((2L, 2L)) == ("cherry", 1.333333))
+    // doc3: cherry (2×4/3=2.67) beats date (1×2.0)
+    assert(out((3L, 1L)) == ("cherry", 2.666667))
+    assert(out((3L, 2L)) == ("date", 2.0))
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val fps = Seq("A  b\tc", "a b c", "a b d").toDF("text")
       .select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))

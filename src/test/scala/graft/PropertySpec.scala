@@ -132,6 +132,36 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: nearDupClusters == driver-side union-find on random graphs") {
+    (0 until 6).foreach { i =>
+      val g = for {
+        n <- Gen.choose(1, 40)
+        edges <- Gen.listOfN(n, for {
+          a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L) if a != b
+        } yield (math.min(a, b), math.max(a, b)))
+      } yield edges.distinct
+      val edges = g.pureApply(Gen.Parameters.default, Seed(1000L + i))
+      if (edges.nonEmpty) {
+        // model: classic union-find, canonical = min member id
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val model = nodes.map(x => x -> find(x)).toMap
+        val got = graft.ops.Dedup.nearDupClusters(
+          edges.toDF("id_a", "id_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model, s"case $i edges=$edges\ngot=$got\nmodel=$model")
+      }
+    }
+  }
+
   private def approxEq(a: Map[(String, Long), Seq[Any]], b: Map[(String, Long), Seq[Any]]): Boolean =
     a.keySet == b.keySet && a.forall { case (k, va) =>
       va.zip(b(k)).forall {
