@@ -36,6 +36,11 @@ object Multimodal {
     StructField("doc_id", LongType),
     StructField("feature", ArrayType(FloatType, containsNull = false))))
 
+  /** Nullable id accessor shared by both decoders: a lakehouse table with
+    * a null id row must flow through (id stays NULL), never NPE a task. */
+  private def idOrNull(r: Row): java.lang.Long =
+    if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+
   /** STUB decoder: mean byte value over FeatureDim equal strides of the
     * blob, scaled to [0,1]. A real implementation decodes the codec here
     * (per-partition batch, exactly this signature). Deterministic, so
@@ -45,23 +50,7 @@ object Multimodal {
     val rows = blobs.select(col("doc_id").cast("long"), col("blob")).rdd
       .mapPartitions { it =>
         it.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val feat = new Array[Float](FeatureDim)
-          // null payload → zero feature vector, never an executor NPE
-          if (bytes != null && bytes.nonEmpty) {
-            val stride = math.max(bytes.length / FeatureDim, 1)
-            var d = 0
-            while (d < FeatureDim) {
-              var sum = 0L; var n = 0
-              var i = d * stride
-              val end = if (d == FeatureDim - 1) bytes.length else math.min((d + 1) * stride, bytes.length)
-              while (i < end) { sum += bytes(i) & 0xFF; n += 1; i += 1 }
-              feat(d) = if (n == 0) 0f else (sum.toFloat / n) / 255f
-              d += 1
-            }
-          }
-          Row(id, feat.toSeq)
+          Row(idOrNull(r), strideFeature(r.getAs[Array[Byte]](1)).toSeq)
         }
       }
     spark.createDataFrame(rows, featureSchema)
@@ -74,7 +63,8 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("feature", ArrayType(FloatType, containsNull = false))))
 
-  /** Byte-stride fallback feature (shared with [[stubDecodeFeatures]]). */
+  /** Byte-stride fallback feature (the [[stubDecodeFeatures]] math; null
+    * or empty payload → zero vector, never an executor NPE). */
   private def strideFeature(bytes: Array[Byte]): Array[Float] = {
     val feat = new Array[Float](FeatureDim)
     if (bytes != null && bytes.nonEmpty) {
@@ -108,7 +98,7 @@ object Multimodal {
         // never spill decode scratch to disk-backed ImageIO cache files
         javax.imageio.ImageIO.setUseCache(false)
         it.map { r =>
-          val id = r.getLong(0)
+          val id = idOrNull(r)
           val bytes = r.getAs[Array[Byte]](1)
           val img =
             if (bytes == null || bytes.isEmpty) null
@@ -122,11 +112,16 @@ object Multimodal {
             var sl = 0.0; var sl2 = 0.0
             // 2x2 resize accumulators (mean luma per quadrant)
             val ql = new Array[Double](4); val qn = new Array[Long](4)
+            // fetch a ROW of pixels per call — per-pixel getRGB pays a
+            // color-model conversion dispatch per pixel (several times
+            // slower on megapixel images, the dominant decode-stage cost)
+            val rowBuf = new Array[Int](w)
             var y = 0
             while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
               var x = 0
               while (x < w) {
-                val rgb = img.getRGB(x, y)
+                val rgb = rowBuf(x)
                 val cr = (rgb >> 16) & 0xFF; val cg = (rgb >> 8) & 0xFF; val cb = rgb & 0xFF
                 val luma = 0.299 * cr + 0.587 * cg + 0.114 * cb
                 sr += cr; sg += cg; sb += cb; sl += luma; sl2 += luma * luma

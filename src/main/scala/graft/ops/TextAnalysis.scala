@@ -119,7 +119,10 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    // df derived from tf — its rows are already unique per (doc, term),
+    // so this reuses tf's exchange (identical subtree → ReuseExchange)
+    // instead of tokenizing and exploding the corpus a second time
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     tf.join(df, "term")
