@@ -413,6 +413,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, q, k = 5)
     }),
 
+    // int8 embedding quantization (vector compression before ANN at
+    // scale: 4x smaller, SIMD-friendly). floor(x+0.5) not round(): IEEE
+    // floor/multiply are bit-identical across engines, round half-modes
+    // are not — see Similarity.quantizeInt8
+    "sim_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("vec_id")),
+
     // IVF-bucketed ANN (scale path; approximate — rows-only check, recall
     // asserted against the brute-force baseline in the test suite)
     "sim_ann_ivf" -> ((s, dir) => {
@@ -897,6 +905,17 @@ object SparkEntry {
          |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "sim_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |         list_max(list_transform(emb, x -> abs(x))) AS am FROM e),
+        |s AS (SELECT vec_id, emb,
+        |         CASE WHEN am > 0 THEN 127.0 / am ELSE 0.0 END AS sc FROM m)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  list_transform(emb, x ->
+        |    CAST(greatest(-127, least(127, floor(x * sc + 0.5))) AS INT)) AS qvec
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)

@@ -158,6 +158,34 @@ object Similarity {
     cents
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * vector-compression step before ANN at scale (4× smaller than float32,
+    * SIMD-friendly dot products). Per-vector scale = 127/max|xᵢ|;
+    * qᵢ = floor(xᵢ·scale + 0.5) clamped to [-127, 127].
+    *
+    * `floor(x + 0.5)` instead of `round(x)` is deliberate: floor and the
+    * multiply are correctly-rounded IEEE ops, identical in every engine,
+    * while round()'s half-mode differs (HALF_UP vs banker's) — so the
+    * DuckDB oracle matches bit-exactly. Shuffle-free: one projection, runs
+    * at scan speed. The zero vector gets scale 0 and an all-zero code. */
+  def quantizeInt8(data: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val absMax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    data
+      // scale in its OWN projection: referencing it inside the transform
+      // lambda below would otherwise re-evaluate the array_max subtree per
+      // ELEMENT (interpreted HOFs re-run argument subtrees — the O(d²)
+      // trap); a multi-referenced non-cheap projection survives
+      // CollapseProject, so this stays one pass
+      .select(col("vec_id"), col(vecCol),
+        when(absMax > 0.0, lit(127.0) / absMax).otherwise(lit(0.0)).as("__scale"))
+      .select(
+        col("vec_id"),
+        round(col("__scale"), 6).as("scale"),
+        transform(col(vecCol), x =>
+          greatest(lit(-127), least(lit(127),
+            floor(x.cast("double") * col("__scale") + lit(0.5)).cast("int")))).as("qvec"))
+  }
+
   /** Persist a trained centroid table as an on-disk IVF index:
     * `<path>/centroids/` (parquet) + `<path>/_meta` (corpus identity) —
     * the same sidecar pattern as the reference's `.schema` file

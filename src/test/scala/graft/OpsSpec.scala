@@ -134,6 +134,30 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf.size == brute.size)
   }
 
+  test("int8 quantization: scale/clamp semantics and dequantized cosine fidelity") {
+    import spark.implicits._
+    val e = Seq((0L, Array(0.5f, -1.0f, 0.25f)), (1L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(e).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    // max|x| = 1.0 → scale 127; q = floor(x·127 + 0.5) = [64, -127, 32]
+    assert(q(0L) == ((127.0, Seq(64, -127, 32))))
+    // zero vector: scale 0, all-zero code (no divide-by-zero under ANSI)
+    assert(q(1L) == ((0.0, Seq(0, 0, 0))))
+    // real embeddings: dequantized vectors stay within 1e-3 cosine of the
+    // originals (the fidelity that makes int8 ANN viable)
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(20)
+    val orig = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    Similarity.quantizeInt8(emb).collect().foreach { r =>
+      val x = orig(r.getLong(0)).map(_.toDouble)
+      val sc = r.getDouble(1)
+      val dq = r.getSeq[Int](2).map(_ / sc)
+      def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (p, s) => p * s }.sum
+      val cos = dot(x, dq) / math.sqrt(dot(x, x) * dot(dq, dq))
+      assert(cos > 0.999, s"vec ${r.getLong(0)}: dequantized cosine $cos")
+    }
+  }
+
   test("IVF index persists to disk: cold load equals training; version mismatch retrains") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
