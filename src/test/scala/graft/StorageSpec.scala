@@ -304,6 +304,31 @@ class TsdbTableSpec extends SparkSuite {
     assert(e4.getMessage.contains("Cannot append string type metric"))
   }
 
+  test("series_enc sidecar compacts past 64 files; enforcement intact after rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsdb_encfiles").toString
+    val t = new TsdbTable(spark, dir, TsdbConfig())
+    t.append(samples(("cpu", "a", Base + 1, 1.0)))
+    // simulate long streaming churn: balloon the sidecar past the 64-file
+    // bound with (distinct) dummy series rows — repartitionByRange over 70
+    // distinct keys fills every partition (round-robin repartition seeds
+    // random offsets and leaves some partitions empty → fewer files)
+    (1000L until 1070L).map(i => (i, false)).toDF("series_id", "variant")
+      .repartitionByRange(70, col("series_id"))
+      .write.mode("append").parquet(s"$dir/series_enc")
+    assert(new java.io.File(s"$dir/series_enc").listFiles
+      .count(_.getName.endsWith(".parquet")) > 64, "test setup must exceed the bound")
+    // the next append with a NEW series triggers the bounded rewrite
+    t.append(samples(("mem", "b", Base + 2, 2.0)))
+    val files = new java.io.File(s"$dir/series_enc").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 2, s"sidecar not compacted: $files files")
+    // merged sidecar still enforces the type rule for the original series
+    val e = intercept[IllegalArgumentException](
+      t.append(variantSamples(("cpu", "a", Base + 3, "x"))))
+    assert(e.getMessage.contains("Cannot append string type metric"))
+  }
+
   test("delete boundary rewrite keeps __seq when an overrideOld partition mixes pre-__seq files (mergeSchema)") {
     val dir = Files.createTempDirectory("tsdb_morlegacy").toString
     val t = new TsdbTable(spark, dir, TsdbConfig(overrideOld = true))
