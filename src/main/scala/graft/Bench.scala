@@ -27,7 +27,8 @@ object Bench {
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "sim_topk", "sim_ann_ivf", "sim_quantize", "events_sessionize",
-    "text_tokens", "text_quality", "text_langid", "text_tfidf", "doc_fingerprint",
+    "text_tokens", "text_quality", "text_langid", "text_tfidf", "text_redact",
+    "doc_fingerprint",
     "multimodal_meta", "multimodal_features")
 
   def main(args: Array[String]): Unit = {

@@ -358,6 +358,18 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", k = 5)),
 
+    // PII scrubbing: emails / IPv4s / phone-like runs → tags. The fixture
+    // text is synthetic, so the entry PLANTS deterministic PII per doc
+    // (identically in the oracle) — the redaction chain is what's tested
+    "text_redact" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com ip 10.0.0."), (col("doc_id") % 256).cast("string"),
+            lit(" tel +1 (555) 123-4567 end"))).as("clean"))
+        .orderBy("doc_id")),
+
     // document fingerprinting (normalized md5)
     "doc_fingerprint" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
@@ -392,6 +404,16 @@ object SparkEntry {
       val pairs = Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
       Dedup.nearDupClusters(pairs)
+    }),
+
+    // dedup END PRODUCT: the corpus keep-list after dropping non-canonical
+    // near-dup members (anti-join against the clustered pair graph)
+    "dedup_keep" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5, maxBucketSize = 1000)
+      Dedup.dropNearDuplicates(docs.select("doc_id"), "doc_id",
+        Dedup.nearDupClusters(pairs)).orderBy("doc_id")
     }),
 
     // near-dup, SimHash Hamming-banding (no SQL twin: hash-dependent).
@@ -868,6 +890,19 @@ object SparkEntry {
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // same planted-PII construction, same three patterns in the same order
+    // (TextAnalysis.PiiPatterns), RE2-safe (no backrefs/lookarounds)
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |         || ' tel +1 (555) 123-4567 end',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\[\]. -]{5,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -905,6 +940,19 @@ object SparkEntry {
          |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep" ->
+      s"""WITH RECURSIVE $NgramJaccardCtes,
+         |p AS ($NgramJaccardSelect),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT a, b FROM e
+         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         |c AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |      FROM r GROUP BY a)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM c WHERE doc_id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "sim_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -218,6 +218,17 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** The end product of the dedup pipeline: the corpus with every
+    * non-canonical near-dup member dropped (each cluster keeps its min-id
+    * canonical; docs in no cluster pass through). One anti-join against
+    * the non-canonical member list — tiny relative to the corpus, so
+    * Catalyst broadcasts it at any realistic dup rate. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash fingerprint per doc: sign of the per-bit vote sum of

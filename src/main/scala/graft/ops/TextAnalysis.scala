@@ -99,6 +99,26 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))).cast("binary"))
 
+  /** PII scrubbing patterns for training-corpus redaction. Ordered:
+    * emails BEFORE phone-ish digit runs (an email's digits must not be
+    * half-eaten by the phone pattern). Regexes avoid backreferences and
+    * lookarounds so Java regex (Spark) and RE2 (DuckDB oracle) agree. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    // local@domain.tld
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    // IPv4 (byte-range checks left to consumers; redaction over-matches
+    // rather than leaking)
+    ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    // phone-ish: optional +country, separators, 7+ digits total
+    ("\\+?[0-9][0-9()\\[\\]. -]{5,}[0-9]", "<PHONE>"))
+
+  /** Redact emails / IPv4s / phone-like digit runs — the standard PII
+    * scrub before corpus release. Pure codegen'd `regexp_replace` chain:
+    * shuffle-free, runs at scan speed; patterns applied in [[PiiPatterns]]
+    * order. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, tag)) => regexp_replace(c, p, tag) }
+
   /** Per-document top-k terms by TF-IDF — keyword extraction / topical
     * fingerprinting for corpus curation. Scoring uses the RATIONAL idf
     * `(N+1)/(df+1)` (monotone in the classic `ln`-idf): every operand is

@@ -70,6 +70,16 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.nearDupClusters(pairs.filter(col("id_a") < 0)).collect().isEmpty)
   }
 
+  test("dropNearDuplicates keeps canonical members and untouched docs") {
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", clusters)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 2,3 collapse into 1; 8 into 7; everything else passes through
+    assert(kept == Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L))
+  }
+
   test("LSH on driver documents equals brute force (planted near-dups)") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val brute = Dedup.jaccardPairsBrute(d, "doc_id", "text", 3, 0.5).collect()
@@ -322,6 +332,24 @@ class TextAnalysisSpec extends SparkSuite {
     // doc3: cherry (2×4/3=2.67) beats date (1×2.0)
     assert(out((3L, 1L)) == ("cherry", 2.666667))
     assert(out((3L, 2L)) == ("date", 2.0))
+  }
+
+  test("PII redaction: emails, IPv4s, phone runs; order protects email digits") {
+    val out = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "server at 192.168.001.42 port",
+      "call +44 (0)20 7946-0958 today",
+      "id 555123456@mail.example.net mixed",
+      "clean text with no pii at all")
+      .toDF("text").select(TextAnalysis.redactPii(col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "server at <IP> port")
+    assert(out(2) == "call <PHONE> today")
+    // the email pattern runs FIRST: an all-digit local part is one email
+    // token, not a phone fragment
+    assert(out(3) == "id <EMAIL> mixed")
+    assert(out(4) == "clean text with no pii at all")
   }
 
   test("fingerprint is whitespace/case insensitive") {
