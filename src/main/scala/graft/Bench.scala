@@ -29,6 +29,7 @@ object Bench {
     "sim_topk", "sim_ann_ivf", "sim_quantize", "events_sessionize",
     "text_tokens", "text_quality", "text_langid", "text_tfidf", "text_redact",
     "doc_fingerprint",
+    "corpus_sample", "corpus_pack", "corpus_topk", "corpus_curate",
     "multimodal_meta", "multimodal_features")
 
   def main(args: Array[String]): Unit = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Samples
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.query.{QueryEngine, SelectParams}
 import graft.storage.Rollup
 
@@ -499,6 +499,62 @@ object SparkEntry {
           (0 until Multimodal.FeatureDim).map(i =>
             round(element_at(col("feature"), i + 1).cast("double"), 4).as(s"f$i")): _*)
         .orderBy("doc_id")
+    }),
+
+    // ============================================================
+    // Corpus selection — the FINAL pipeline stage (what ships)
+    // ============================================================
+
+    // deterministic stratified sampling: rebalance languages by keeping
+    // 50% of 'en' (overrepresented in the fixture) and 25% of the rest.
+    // md5-prefix hash gives identical bytes in every engine (oracle-exact)
+    // and makes the sample a stable doc-id property — reproducible across
+    // runs, cluster sizes and partitionings, which df.sample() is not
+    "corpus_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.25)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // token-budget shard packing (concat-and-chunk corpus layout) via the
+    // distributed two-level prefix sum — NOT a global single-task window.
+    // blockSize=64 is tiny to force MANY blocks on the fixture, proving
+    // the block-offset join; production default is 2^20
+    "corpus_pack" -> ((s, dir) =>
+      Corpus.packShards(s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+        size(TextAnalysis.tokens(col("text"))), budget = 2048, blockSize = 64)),
+
+    // curriculum selection: top-3 docs per (lang, source) by quality
+    // score — WindowGroupLimit keeps k rows per group map-side before the
+    // shuffle, the shape that survives million-member groups
+    "corpus_topk" -> ((s, dir) => {
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__w"),
+          TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
+      Corpus.topKPerGroup(scored, Seq("lang", "source"), "quality_score", "doc_id", 3)
+        .select("lang", "source", "doc_id", "quality_score", "rank")
+    }),
+
+    // END-TO-END curation — the composition a real pipeline ships:
+    // language-ID + quality gate, then near-dup drop (LSH pairs →
+    // connected components → canonical keep). Every stage is the same
+    // oracle-exact operator benched individually above
+    "corpus_curate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val gated = docs
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__w"),
+          TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+        .select(col("doc_id"),
+          TextAnalysis.langIdFrom(col("text"), col("__wl")).as("pred_lang"),
+          TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
+        .filter(col("quality_score") >= 0.4 && col("pred_lang") =!= "unknown")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5, maxBucketSize = 1000)
+      Dedup.dropNearDuplicates(gated, "doc_id", Dedup.nearDupClusters(pairs))
+        .orderBy("doc_id")
     })
   )
 
@@ -988,7 +1044,96 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // exclusive running token sum in doc_id order; integer // division
+    // (sum(BIGINT) is HUGEINT in DuckDB — cast back before compare)
+    "corpus_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(off AS BIGINT) AS stream_offset,
+        |  CAST(off // 2048 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "corpus_topk" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source, length(text) AS cl,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS wc,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','of','and','to','in','is'], x))) AS sc
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN wc > 0 AND cl > 0 THEN
+        |      round(0.4 * least(wc / 100.0, 1.0) + 0.4 * (sc * 1.0 / wc)
+        |            + 0.2 * (1.0 - pc * 1.0 / cl), 6)
+        |    ELSE 0.0 END AS quality_score
+        |  FROM f),
+        |r AS (
+        |  SELECT lang, source, doc_id, quality_score,
+        |    CAST(row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM q)
+        |SELECT lang, source, doc_id, quality_score, rank
+        |FROM r WHERE rank <= 3 ORDER BY lang, source, rank""".stripMargin,
+
+    // quality/langid gate ∘ near-dup transitive-closure drop — stages
+    // mirror text_quality, text_langid and dedup_keep exactly
+    "corpus_curate" ->
+      s"""WITH RECURSIVE $NgramJaccardCtes,
+         |p AS ($NgramJaccardSelect),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT a, b FROM e
+         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |         FROM r GROUP BY a),
+         |f AS (
+         |  SELECT doc_id, text, length(text) AS cl,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS wc,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS w
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, text, cl, wc, pc,
+         |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
+         |    len(list_filter(w, x -> list_contains(['el','la','de','los','y','que','en'], x))) AS es,
+         |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de,
+         |    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS fr
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |         WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+         |         WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+         |         WHEN de >= fr AND de > 0 THEN 'de'
+         |         WHEN fr > 0 THEN 'fr'
+         |         ELSE 'unknown' END AS pred_lang,
+         |    CASE WHEN wc > 0 AND cl > 0 THEN
+         |      round(0.4 * least(wc / 100.0, 1.0) + 0.4 * (en * 1.0 / wc)
+         |            + 0.2 * (1.0 - pc * 1.0 / cl), 6)
+         |    ELSE 0.0 END AS quality_score
+         |  FROM n)
+         |SELECT doc_id, pred_lang, quality_score FROM q
+         |WHERE quality_score >= 0.4 AND pred_lang <> 'unknown'
+         |  AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** Trigram-shingle CTEs + Jaccard>=0.5 pair select, shared by the

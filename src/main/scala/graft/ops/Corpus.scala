@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-selection operators — the final stage of a training-data
+  * pipeline (north-star additions beyond the reference, SURVEY §7.3
+  * step 12): after scoring ([[TextAnalysis]]) and deduplication
+  * ([[Dedup]]), these pick WHICH documents ship and HOW they are laid
+  * out into training shards.
+  *
+  * Determinism is the design constraint throughout: re-running a
+  * sampling/packing job over the same corpus must produce the same
+  * byte-identical selection on any cluster size (no `rand()`, no
+  * partition-order dependence), both for reproducible training runs and
+  * for the DuckDB oracle twins.
+  */
+object Corpus {
+
+  /** Deterministic Bernoulli sampling by content-independent hash: keep a
+    * row iff the first four hex chars of `md5(id)` fall below a threshold.
+    * md5 of the decimal-string id is identical in every engine (the DuckDB
+    * twin is `substring(md5(id::VARCHAR), 1, 4) < '...'`), and the hex
+    * prefix is uniform over 0x0000-0xffff, so a threshold of `hexRate(p)`
+    * keeps fraction ~p. Shuffle-free — a filter at scan speed; the sample
+    * is a stable doc-id property, independent of partitioning, cluster
+    * size, or row order (what `df.sample` can NOT promise across runs). */
+  def hashSample(docs: DataFrame, idCol: String, rate: Double): DataFrame =
+    docs.filter(hashKey(col(idCol)) < lit(hexRate(rate)))
+
+  /** Per-stratum sampling rates — downsample overrepresented strata
+    * (the classic language/source rebalancing step). `rates` maps stratum
+    * value → keep fraction; strata not listed keep `defaultRate`. Same
+    * hash as [[hashSample]], threshold chosen per row by stratum. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit(hexRate(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(hexRate(rate))).otherwise(acc)
+    }
+    docs.filter(hashKey(col(idCol)) < threshold)
+  }
+
+  private def hashKey(id: Column): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, 4)
+
+  /** 4-hex-digit threshold for a keep fraction in [0,1]: p of the 0x10000
+    * hash space, lowercase to match both engines' hex output. The compare
+    * is LEXICOGRAPHIC on the 4-char prefix, so rate 1.0 cannot be "10000"
+    * (5 chars sort BELOW "2...") — "g" sorts after every hex digit and
+    * keeps the full space. */
+  def hexRate(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    val t = math.round(rate * 0x10000)
+    if (t >= 0x10000) "g" else f"${t.toInt}%04x"
+  }
+
+  /** Token-budget shard packing — concat-and-chunk layout: documents are
+    * laid out in deterministic `idCol` order into one conceptual token
+    * stream, and shard `i` covers stream offsets `[i*budget, (i+1)*budget)`
+    * (a document starting in shard `i` may straddle into `i+1` — exactly
+    * how LLM training pipelines chunk a tokenized corpus into fixed-size
+    * sequences). Output per doc: token count, exclusive stream offset, and
+    * the shard its first token lands in.
+    *
+    * The naive plan — one global `sum() over (order by id)` window — is a
+    * single-task sort at 100 TB. This is the distributed prefix-sum shape
+    * instead: ids are bucketed into blocks of `blockSize` id-space each
+    * (≤ blockSize rows per block by construction, sparse ids just make
+    * blocks smaller), the running sum runs per block in parallel, and
+    * block-level offsets come from a second prefix sum over the tiny
+    * per-block totals table (corpus/blockSize rows — e.g. 10⁸ docs at the
+    * default block ≈ 100 rows; that window IS single-partition, on data
+    * that fits in a page) broadcast back onto the blocks.
+    *
+    * Integer arithmetic end-to-end (`DIV`, not float division): offsets at
+    * 100 TB exceed 2^53 and must not round-trip through a double. */
+  def packShards(docs: DataFrame, idCol: String, tokenCount: Column,
+                 budget: Long, blockSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(blockSize > 0, s"blockSize must be positive: $blockSize")
+    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokenCount.cast("long").as("n_tokens"))
+      .withColumn("__blk", expr(s"doc_id DIV $blockSize"))
+    val withinBlock = Window.partitionBy("__blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val overBlocks = Window.orderBy("__blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = t.groupBy("__blk").agg(sum("n_tokens").as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(overBlocks), lit(0L)))
+      .select("__blk", "__off")
+    t.withColumn("__in", coalesce(sum("n_tokens").over(withinBlock), lit(0L)))
+      .join(broadcast(blockOffsets), "__blk")
+      .withColumn("stream_offset", col("__off") + col("__in"))
+      .select(col("doc_id"), col("n_tokens"), col("stream_offset"),
+        expr(s"stream_offset DIV $budget").as("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-k rows per group by a score column (curriculum / quality
+    * selection: "keep the best k docs per source"). Deterministic: score
+    * desc, then `idCol` asc on ties. The rank filter sits directly on
+    * `row_number` so Catalyst rewrites it to WindowGroupLimit — each
+    * group keeps k rows map-side BEFORE the window shuffle, which is what
+    * makes top-k-per-group viable when groups have millions of members. */
+  def topKPerGroup(docs: DataFrame, groupCols: Seq[String], scoreCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(groupCols.map(col) :+ col("rank"): _*)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Corpus
+
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hexRate: boundary fractions map to the 4-hex threshold") {
+    assert(Corpus.hexRate(0.0) == "0000")
+    assert(Corpus.hexRate(0.5) == "8000")
+    assert(Corpus.hexRate(0.25) == "4000")
+    assert(Corpus.hexRate(1.0) == "g") // sorts after every hex prefix: keeps all
+    intercept[IllegalArgumentException](Corpus.hexRate(1.5))
+  }
+
+  test("hashSample: deterministic, rate-proportional, id-stable across partitionings") {
+    val d = spark.range(2000).select(col("id").as("doc_id"), lit("en").as("lang"))
+    val kept = Corpus.hashSample(d, "doc_id", 0.25).collect().map(_.getLong(0)).toSet
+    // md5 prefix is uniform: 25% ± a loose band
+    assert(kept.size > 380 && kept.size < 620, s"got ${kept.size}")
+    // identical selection regardless of partitioning (a doc-id property)
+    val kept2 = Corpus.hashSample(d.repartition(7), "doc_id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == kept2)
+    // monotone: a bigger rate keeps a superset
+    val kept50 = Corpus.hashSample(d, "doc_id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(kept50))
+  }
+
+  test("stratifiedSample: per-stratum thresholds, default for unlisted strata") {
+    val d = spark.range(3000).select(col("id").as("doc_id"),
+      element_at(array(lit("en"), lit("de"), lit("fr")),
+        (col("id") % 3 + 1).cast("int")).as("lang"))
+    val kept = Corpus.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.0), defaultRate = 0.25)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") == 1000)           // rate 1.0 keeps everything
+    assert(!kept.contains("de"))         // rate 0.0 keeps nothing
+    assert(kept("fr") > 150 && kept("fr") < 350) // default 25%
+  }
+
+  test("packShards: offsets are the exclusive prefix sum in id order; straddling allowed") {
+    val d = Seq((1L, "a b c"), (2L, "d e"), (5L, "f g h i"), (9L, "j"))
+      .toDF("doc_id", "text")
+    val out = Corpus.packShards(d, "doc_id",
+        size(split(col("text"), " ")), budget = 4, blockSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // stream: doc1[0,3) doc2[3,5) doc5[5,9) doc9[9,10) — budget 4
+    assert(out.toSeq == Seq((1L, 3L, 0L, 0L), (2L, 2L, 3L, 0L),
+      (5L, 4L, 5L, 1L), (9L, 1L, 9L, 2L)))
+  }
+
+  test("packShards: block decomposition matches the single-window answer") {
+    val d = spark.range(500).select(col("id").as("doc_id"),
+      (col("id") % 37 + 1).as("tok"))
+    val blocked = Corpus.packShards(d, "doc_id", col("tok"), budget = 100, blockSize = 16)
+    val global = Corpus.packShards(d, "doc_id", col("tok"), budget = 100,
+      blockSize = Long.MaxValue) // one block == the naive global window
+    assert(blocked.collect().toSeq == global.collect().toSeq)
+  }
+
+  test("topKPerGroup: score desc with id tiebreak, k bound per group") {
+    val d = Seq(("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.1),
+      ("b", 5L, 0.7)).toDF("grp", "doc_id", "score")
+    val out = Corpus.topKPerGroup(d, Seq("grp"), "score", "doc_id", 2)
+      .select("grp", "doc_id", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 5L, 1L)))
+  }
+
+  test("topKPerGroup plan: rank filter lowers to WindowGroupLimit") {
+    // a distributed child, not a LocalRelation — InferWindowGroupLimit
+    // skips tiny local inputs where the rewrite cannot pay off
+    val d = spark.range(100).select((col("id") % 5).as("grp"),
+      col("id").as("doc_id"), (col("id") % 7).cast("double").as("score"))
+    val plan = Corpus.topKPerGroup(d, Seq("grp"), "score", "doc_id", 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+}
