@@ -98,6 +98,37 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Streaming corpus curation — the ingest-time form of the batch
+    * pipeline (same operators: [[TextAnalysis.fingerprint]] exact dedup,
+    * [[TextAnalysis.qualityColumnsFrom]] gate, [[TextAnalysis.langIdFrom]]):
+    * watermark the event-time column, drop any document whose normalized
+    * fingerprint was already admitted within the watermark
+    * (`dropDuplicatesWithinWatermark` — state is bounded by the watermark,
+    * not the corpus), then apply the stateless quality/language gate.
+    *
+    * Works identically on a batch DataFrame (watermark is a no-op and the
+    * dedup falls back to plain `dropDuplicates` on the fingerprint, which
+    * streaming mode cannot use because its state never expires).
+    * Output: the input columns + `fp`, `pred_lang`, `quality_score`,
+    * filtered to quality ≥ `minQuality` and a recognized language. */
+  def streamingCurate(docs: DataFrame, textCol: String, eventTimeCol: String,
+                      watermark: String, minQuality: Double): DataFrame = {
+    val stamped = docs.withWatermark(eventTimeCol, watermark)
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+    val deduped =
+      if (stamped.isStreaming) stamped.dropDuplicatesWithinWatermark("fp")
+      else stamped.dropDuplicates("fp")
+    deduped
+      .withColumn("__w", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__wl", TextAnalysis.tokens(lower(col(textCol))))
+      .withColumn("pred_lang",
+        TextAnalysis.langIdFrom(col(textCol), col("__wl")))
+      .withColumn("quality_score",
+        TextAnalysis.qualityColumnsFrom(col(textCol), col("__w"), col("__wl")).last)
+      .filter(col("quality_score") >= minQuality && col("pred_lang") =!= "unknown")
+      .drop("__w", "__wl")
+  }
+
   /** Top-k rows per group by a score column (curriculum / quality
     * selection: "keep the best k docs per source"). Deterministic: score
     * desc, then `idCol` asc on ties. The rank filter sits directly on

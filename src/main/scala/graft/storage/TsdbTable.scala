@@ -155,7 +155,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       // scan, rollup build) — evaluate the upstream plan once
       .persist()
     try {
-      val newSeriesEnc = enforceSeriesTypes(enriched)
+      // ONE pass over the cached batch yields the type-enforcement verdict
+      // AND the touched-partition/name summaries (they used to be two full
+      // scans — per-micro-batch cost on the streaming path)
+      val (newSeriesEnc, touched, batchNames) = enforceSeriesTypes(enriched)
       enriched
         // shuffle on (time partition, series shard): parallel writes into
         // each partition dir (the reference's sharding-key scans, P2)
@@ -169,18 +172,13 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       // series that never landed (next attempt re-detects them as new)
       newSeriesEnc.foreach(recordSeriesTypes)
 
-      // one driver job collects both tiny summaries of the cached batch
-      // (matters per micro-batch on the streaming path)
-      val summary = enriched
-        .agg(collect_set("part_start"), collect_set("name")).head()
-      val touched = summary.getSeq[Long](0)
       // incremental merge requires batch ∩ existing = ∅, which overrideOld
       // rewrites violate by design — force the recompute (MOR read) path
       if (incrementalRollup && !config.overrideOld) mergeRollup(enriched, touched)
       else refreshRollup(touched)
       // names is a tiny dimension: merge the BATCH's names driver-side
       // instead of rescanning the whole raw table per micro-batch
-      mergeNames(summary.getSeq[String](1).toSet)
+      mergeNames(batchNames)
     } finally enriched.unpersist()
   }
 
@@ -200,13 +198,17 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     *
     * Returns the batch's NEW series encodings for the caller to record
     * AFTER the raw write succeeds — recording first would pin the type of
-    * series whose data never landed. */
-  private def enforceSeriesTypes(batch: DataFrame): Option[DataFrame] = {
+    * series whose data never landed — plus the touched time partitions and
+    * metric names, which ride along in the same per-series aggregate so the
+    * append path scans the batch once, not once per summary. */
+  private def enforceSeriesTypes(
+      batch: DataFrame): (Option[DataFrame], Seq[Long], Set[String]) = {
     val batchEnc = batch
       .groupBy("series_id")
       .agg(first("name").as("name"),
         max(col("valueStr").isNotNull).as("has_var"),
-        max(col("valueStr").isNull).as("has_num"))
+        max(col("valueStr").isNull).as("has_num"),
+        collect_set("part_start").as("parts"))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(seriesEncPath), spark.sparkContext.hadoopConfiguration)
     val existing =
@@ -226,7 +228,9 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     val s = joined.agg(
       max(when(col("has_var") && col("has_num"), col("name"))).as("mixed"),
       max(when(flipCond, struct(col("name"), col("has_var")))).as("flip"),
-      coalesce(sum(when(col("old_variant").isNull, 1L)), lit(0L)).as("new_cnt")).head()
+      coalesce(sum(when(col("old_variant").isNull, 1L)), lit(0L)).as("new_cnt"),
+      array_distinct(flatten(collect_set(col("parts")))).as("touched"),
+      collect_set(col("name")).as("names")).head()
     if (s.getString(0) != null)
       throw new IllegalArgumentException(
         s"series type mismatch: batch mixes numeric and string samples for metric '${s.getString(0)}'")
@@ -237,10 +241,12 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       throw new IllegalArgumentException(
         s"Cannot append $newT type metric to $oldT type metric ('${flip.getString(0)}').")
     }
-    if (s.getLong(2) > 0)
-      Some(joined.filter(col("old_variant").isNull)
-        .select(col("series_id"), col("has_var").as("variant")))
-    else None
+    val newEnc =
+      if (s.getLong(2) > 0)
+        Some(joined.filter(col("old_variant").isNull)
+          .select(col("series_id"), col("has_var").as("variant")))
+      else None
+    (newEnc, s.getSeq[Long](3), s.getSeq[String](4).toSet)
   }
 
   /** Record new series encodings (one small appended file per batch that

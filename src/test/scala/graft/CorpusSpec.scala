@@ -71,6 +71,18 @@ class CorpusSpec extends SparkSuite {
     assert(out.toSeq == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 5L, 1L)))
   }
 
+  test("streamingCurate on a batch frame: fp-dedup + quality/lang gate") {
+    val d = Seq(
+      (1L, 1000L, "the cat and the dog is in the house of a good man"),
+      (2L, 2000L, "The cat  and the dog is in the house of a good man"), // same fp
+      (3L, 3000L, "zzz qqq"))                                            // low quality
+      .toDF("doc_id", "t", "text")
+      .withColumn("__et", timestamp_millis(col("t")))
+    val out = Corpus.streamingCurate(d, "text", "__et", "10 seconds", 0.3)
+      .select("doc_id", "pred_lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "en")))
+  }
+
   test("topKPerGroup plan: rank filter lowers to WindowGroupLimit") {
     // a distributed child, not a LocalRelation — InferWindowGroupLimit
     // skips tiny local inputs where the rewrite cannot pay off
@@ -79,5 +91,32 @@ class CorpusSpec extends SparkSuite {
     val plan = Corpus.topKPerGroup(d, Seq("grp"), "score", "doc_id", 2)
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+}
+
+class CorpusStreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streamingCurate: cross-batch fingerprint dedup within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "t", "text")
+      .withColumn("__et", timestamp_millis(col("t")))
+    val out = graft.ops.Corpus.streamingCurate(stream, "text", "__et",
+        "10 seconds", minQuality = 0.3)
+      .select("doc_id", "pred_lang", "quality_score")
+    val q = out.writeStream.format("memory")
+      .queryName("curate_out").outputMode("append").start()
+    try {
+      mem.addData((1L, 1000L, "the cat and the dog is in the house of a good man"),
+        (3L, 1500L, "zzz qqq")) // fails the quality gate
+      q.processAllAvailable()
+      // SAME normalized text in a LATER batch, inside the watermark → dropped
+      mem.addData((2L, 2000L, "The cat  and the dog is in the house of a good man"))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, pred_lang from curate_out")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "en")), s"got ${rows.toSeq}")
+    } finally q.stop()
   }
 }
