@@ -179,6 +179,9 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("doc_id"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
       .localCheckpoint(true)
+    // the frame actually holding this round's checkpointed blocks (labels
+    // may be a projection over it — unpersisting the projection is a no-op)
+    var cp = labels
     try {
       var iter = 0
       var changed = 1L
@@ -194,18 +197,20 @@ object Dedup {
         val viaLabel = labels.as("l1")
           .join(labels.as("l2"), col("l1.cluster_id") === col("l2.doc_id"))
           .select(col("l1.doc_id").as("doc_id"), col("l2.cluster_id").as("__ll"))
+        // keep the previous label in the SAME row: the convergence check
+        // is then a filter+count on the checkpointed result, not another
+        // join against the previous round
         val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
           .join(viaLabel, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("cluster_id").as("__old"),
             least(col("cluster_id"),
               least(coalesce(col("__nb"), col("cluster_id")),
                 coalesce(col("__ll"), col("cluster_id")))).as("cluster_id"))
           .localCheckpoint(true)
-        changed = next
-          .join(labels.withColumnRenamed("cluster_id", "__old"), "doc_id")
-          .filter(col("cluster_id") =!= col("__old")).count()
-        labels.unpersist()
-        labels = next
+        changed = next.filter(col("cluster_id") =!= col("__old")).count()
+        cp.unpersist()
+        cp = next
+        labels = next.select("doc_id", "cluster_id")
         iter += 1
       }
       // exiting at the cap with changes pending would SILENTLY split a
