@@ -28,7 +28,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "sim_topk", "sim_ann_ivf", "sim_quantize", "events_sessionize",
     "text_tokens", "text_quality", "text_langid", "text_tfidf", "text_redact",
-    "doc_fingerprint",
+    "text_repetition", "text_decontaminate", "doc_fingerprint",
     "corpus_sample", "corpus_pack", "corpus_topk", "corpus_curate",
     "multimodal_meta", "multimodal_features")
 

@@ -370,6 +370,26 @@ object SparkEntry {
             lit(" tel +1 (555) 123-4567 end"))).as("clean"))
         .orderBy("doc_id")),
 
+    // intra-doc repetition (Gopher/RefinedWeb-style quality rule):
+    // duplicated 3-gram ratio. Grams projected ONCE (HOF re-eval trap)
+    "text_repetition" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.wordNgrams(col("text"), 3).as("__g"))
+        .select(col("doc_id") +: TextAnalysis.repetitionColumnsFrom(col("__g")): _*)
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: training docs sharing 4-grams with the
+    // benchmark set (stand-in: every 25th doc). Broadcast of the exploded
+    // benchmark grams — the corpus side never shuffles; self-pairs are the
+    // stand-in artifact and excluded here, not in the operator
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.benchmarkOverlap(docs,
+          docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", k = 4)
+        .filter(col("doc_id") =!= col("bench_id"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // document fingerprinting (normalized md5)
     "doc_fingerprint" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
@@ -1045,6 +1065,34 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        |        THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+        |        ELSE [] END AS gr FROM d)
+        |SELECT doc_id, CAST(len(gr) AS BIGINT) AS total_grams,
+        |  CAST(len(list_distinct(gr)) AS BIGINT) AS distinct_grams,
+        |  CASE WHEN len(gr) > 0
+        |       THEN round(1.0 - len(list_distinct(gr)) * 1.0 / len(gr), 6)
+        |       ELSE 0.0 END AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]
+        |                 for i in range(1, len(w)-2)]) AS gr
+        |  FROM d WHERE len(w) >= 4),
+        |dg AS (SELECT doc_id, unnest(gr) AS g FROM g),
+        |bg AS (SELECT doc_id AS bench_id, unnest(gr) AS g FROM g
+        |       WHERE doc_id % 25 = 0)
+        |SELECT dg.doc_id, bg.bench_id, count(*) AS shared
+        |FROM dg JOIN bg USING (g)
+        |WHERE dg.doc_id <> bg.bench_id
+        |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin,
 
     "corpus_sample" ->
       """SELECT doc_id, lang FROM documents

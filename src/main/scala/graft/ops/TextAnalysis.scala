@@ -119,6 +119,60 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (p, tag)) => regexp_replace(c, p, tag) }
 
+  /** All word k-grams of a text column, duplicates INCLUDED (k ≥ 2) —
+    * built with the same single-pass zip_with-over-slices shape as
+    * [[Dedup.shingles]] (see its scaladoc for why `element_at` lambdas are
+    * a trap); trailing partial grams null out and are filtered. Docs with
+    * fewer than k words yield an empty array. */
+  def wordNgrams(text: Column, k: Int): Column = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val w = split(trim(text), "\\s+")
+    val grams = (1 until k).foldLeft(w) { (acc, d) =>
+      zip_with(acc, slice(w, d + 1, 1 << 28), (a, b) => concat(a, lit(" "), b))
+    }
+    filter(grams, g => g.isNotNull)
+  }
+
+  /** Intra-document repetition features over a PROJECTED k-gram column
+    * (project [[wordNgrams]] once — a multi-referenced non-cheap
+    * projection survives CollapseProject, so the gram build runs once per
+    * row): total grams, distinct grams, and the duplicated-gram ratio
+    * `1 - distinct/total` — the Gopher/RefinedWeb-style repetition
+    * quality rule (repetitive boilerplate → ratio near 1). Shuffle-free. */
+  def repetitionColumnsFrom(grams: Column): Seq[Column] = {
+    val total = size(grams)
+    val distinct = size(array_distinct(grams))
+    Seq(total.cast("long").as("total_grams"),
+      distinct.cast("long").as("distinct_grams"),
+      when(total > 0,
+        round(lit(1.0) - distinct.cast("double") / total, 6))
+        .otherwise(0.0).as("dup_ratio"))
+  }
+
+  /** Benchmark decontamination: all (training doc, benchmark doc) pairs
+    * sharing at least `minShared` DISTINCT word k-grams — the standard
+    * train/eval overlap check before a corpus ships (flagged docs get
+    * dropped or their benchmark hits masked).
+    *
+    * Distributed shape: the benchmark side is tiny (eval sets), so its
+    * exploded distinct grams BROADCAST — the training corpus streams
+    * through a broadcast hash join at scan speed with NO shuffle; the only
+    * shuffle is the pair-count aggregate, whose input is the hit set, not
+    * the corpus. Ultra-common grams amplify hits bounded by the benchmark
+    * side's gram count (cap k high enough — 8-grams in practice — that
+    * boilerplate grams are rare). */
+  def benchmarkOverlap(docs: DataFrame, bench: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int, minShared: Long = 1L): DataFrame = {
+    def grams(df: DataFrame, out: String) = df.select(col(idCol).as(out),
+      explode(array_distinct(wordNgrams(col(textCol), k))).as("g"))
+    grams(docs, "doc_id")
+      .join(broadcast(grams(bench, "bench_id")), "g")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Per-document top-k terms by TF-IDF — keyword extraction / topical
     * fingerprinting for corpus curation. Scoring uses the RATIONAL idf
     * `(N+1)/(df+1)` (monotone in the classic `ln`-idf): every operand is

@@ -357,6 +357,35 @@ class TextAnalysisSpec extends SparkSuite {
       .select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
     assert(fps(0) == fps(1) && fps(1) != fps(2))
   }
+
+  test("repetition: duplicated-gram ratio; short/empty docs defined to 0") {
+    val rows = Seq((1L, "a b c a b c a b c"), (2L, "all distinct words here now"),
+      (3L, "a b"), (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.wordNgrams(col("text"), 3).as("__g"))
+      .select(col("doc_id") +: TextAnalysis.repetitionColumnsFrom(col("__g")): _*)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // "a b c a b c a b c": 7 grams, 3 distinct (abc, bca, cab)
+    assert(rows(1L) == ((7L, 3L, 0.571429)))
+    assert(rows(2L) == ((3L, 3L, 0.0)))
+    assert(rows(3L) == ((0L, 0L, 0.0))) // fewer than k words
+    assert(rows(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("benchmarkOverlap: shared distinct k-grams against a benchmark side") {
+    val train = Seq((1L, "the quick brown fox jumps high"),
+      (2L, "nothing in common at all here"),
+      (3L, "quick brown fox jumps here")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox jumps story")).toDF("doc_id", "text")
+    val out = TextAnalysis.benchmarkOverlap(train, bench, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc1 shares "quick brown fox","brown fox jumps"; doc3 those same 2
+    assert(out.toSeq == Seq((1L, 100L, 2L), (3L, 100L, 2L)))
+    // minShared filters below the threshold
+    val strict = TextAnalysis.benchmarkOverlap(train, bench, "doc_id", "text",
+      k = 3, minShared = 3L).collect()
+    assert(strict.isEmpty)
+  }
 }
 
 class MultimodalSpec extends SparkSuite {
