@@ -162,6 +162,46 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: wordNgrams == sliding-window model on random token lists") {
+    (0 until 6).foreach { i =>
+      val g = for {
+        n <- Gen.choose(0, 30)
+        words <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+        k <- Gen.choose(2, 5)
+      } yield (words, k)
+      val (words, k) = g.pureApply(Gen.Parameters.default, Seed(2000L + i))
+      val text = words.mkString(" ")
+      val model = if (words.isEmpty) Nil
+                  else words.sliding(k).filter(_.size == k).map(_.mkString(" ")).toList
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(graft.ops.TextAnalysis.wordNgrams(col("text"), k))
+        .collect().head.getSeq[String](0).toList
+      assert(got == model, s"case $i k=$k words=$words\ngot=$got\nmodel=$model")
+    }
+  }
+
+  test("PROPERTY: packShards == driver cumulative-sum model on random ids/sizes") {
+    (0 until 6).foreach { i =>
+      val g = for {
+        n <- Gen.choose(1, 60)
+        rows <- Gen.listOfN(n, for {
+          id <- Gen.choose(0L, 500L); tok <- Gen.choose(0L, 99L)
+        } yield (id, tok))
+        budget <- Gen.choose(50L, 300L)
+        block <- Gen.oneOf(1L, 7L, 64L, 1L << 20)
+      } yield (rows.distinctBy(_._1), budget, block)
+      val (rows, budget, block) = g.pureApply(Gen.Parameters.default, Seed(3000L + i))
+      val sorted = rows.sortBy(_._1)
+      val offs = sorted.map(_._2).scanLeft(0L)(_ + _)
+      val model = sorted.zip(offs).map { case ((id, tok), off) =>
+        (id, tok, off, off / budget) }
+      val got = graft.ops.Corpus.packShards(
+          rows.toDF("doc_id", "tok"), "doc_id", col("tok"), budget, block)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+      assert(got == model, s"case $i budget=$budget block=$block rows=$sorted")
+    }
+  }
+
   private def approxEq(a: Map[(String, Long), Seq[Any]], b: Map[(String, Long), Seq[Any]]): Boolean =
     a.keySet == b.keySet && a.forall { case (k, va) =>
       va.zip(b(k)).forall {
