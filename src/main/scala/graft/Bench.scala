@@ -69,9 +69,8 @@ object Bench {
     // (test/benchmark/testdata/tsdb-bench-test-config-ci.yaml: 10 names ×5
     // diversity, one label ×3, 30s step, 96h span → 150 series × 11520
     // samples ≈ 1.7M): one timed append into a fresh TsdbTable (raw +
-    // rollup + names). Each run appends into a FRESH table, so min-of-2
-    // is fair (no warm-table advantage) and keeps a single ~90-200s VM
-    // freeze from landing on the one ingest number.
+    // rollup + names). Each run appends into a FRESH table, so taking the
+    // min across runs is fair (no warm-table advantage).
     def ingestOnce(): Double = {
       import org.apache.spark.sql.functions._
       val dir = java.nio.file.Files.createTempDirectory("graft_ingest_bench")
@@ -100,7 +99,7 @@ object Bench {
         t.append(samples, incrementalRollup = true)
         (System.nanoTime() - t0) / 1e9
       } finally {
-        // two ~1.7M-row throwaway tables per bench must not pile up in /tmp
+        // the ~1.7M-row throwaway tables must not pile up in /tmp
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
         }

@@ -537,11 +537,11 @@ object SparkEntry {
 
     // token-budget shard packing (concat-and-chunk corpus layout) via the
     // distributed two-level prefix sum — NOT a global single-task window.
-    // blockSize=64 is tiny to force MANY blocks on the fixture, proving
-    // the block-offset join; production default is 2^20
+    // numBlocks=16 forces MANY blocks on the fixture, proving the
+    // block-offset join; production default is 1024
     "corpus_pack" -> ((s, dir) =>
       Corpus.packShards(s.read.parquet(s"$dir/documents.parquet"), "doc_id",
-        size(TextAnalysis.tokens(col("text"))), budget = 2048, blockSize = 64)),
+        size(TextAnalysis.tokens(col("text"))), budget = 2048, numBlocks = 16)),
 
     // curriculum selection: top-3 docs per (lang, source) by quality
     // score — WindowGroupLimit keeps k rows per group map-side before the

@@ -57,32 +57,48 @@ object Corpus {
   }
 
   /** Token-budget shard packing — concat-and-chunk layout: documents are
-    * laid out in deterministic `idCol` order into one conceptual token
-    * stream, and shard `i` covers stream offsets `[i*budget, (i+1)*budget)`
-    * (a document starting in shard `i` may straddle into `i+1` — exactly
-    * how LLM training pipelines chunk a tokenized corpus into fixed-size
-    * sequences). Output per doc: token count, exclusive stream offset, and
-    * the shard its first token lands in.
+    * laid out in deterministic `idCol` order (ids must be unique) into one
+    * conceptual token stream, and shard `i` covers stream offsets
+    * `[i*budget, (i+1)*budget)` (a document starting in shard `i` may
+    * straddle into `i+1` — exactly how LLM training pipelines chunk a
+    * tokenized corpus into fixed-size sequences). Output per doc: token
+    * count, exclusive stream offset, and the shard its first token lands in.
     *
     * The naive plan — one global `sum() over (order by id)` window — is a
     * single-task sort at 100 TB. This is the distributed prefix-sum shape
-    * instead: ids are bucketed into blocks of `blockSize` id-space each
-    * (≤ blockSize rows per block by construction, sparse ids just make
-    * blocks smaller), the running sum runs per block in parallel, and
-    * block-level offsets come from a second prefix sum over the tiny
-    * per-block totals table (corpus/blockSize rows — e.g. 10⁸ docs at the
-    * default block ≈ 100 rows; that window IS single-partition, on data
-    * that fits in a page) broadcast back onto the blocks.
+    * instead: the observed id range (one cheap min/max pre-pass; parquet
+    * footer stats where available) divides into ≤ numBlocks+2 equal-width
+    * contiguous blocks, the running sum runs per block in parallel, and
+    * block-level offsets come from a second prefix sum over the
+    * numBlocks-row totals table (that window IS single-partition, on data
+    * that fits in a page) broadcast back onto the blocks. Equal-width
+    * blocks are balanced for dense ids AND uniformly-hashed 64-bit ids
+    * (the two real layouts); pathologically clumped ids degrade only
+    * balance — the totals table stays ≤ numBlocks+2 rows by construction,
+    * and output offsets depend only on the global id order (block
+    * decomposition is internal; the blocked==global property test pins
+    * it). `doc_id DIV width` block assignment is a pure function of the
+    * id — deterministic across re-computations of the plan, which a
+    * `spark_partition_id()`-after-repartitionByRange scheme is NOT (its
+    * sampled bounds can differ per materialization).
     *
     * Integer arithmetic end-to-end (`DIV`, not float division): offsets at
     * 100 TB exceed 2^53 and must not round-trip through a double. */
   def packShards(docs: DataFrame, idCol: String, tokenCount: Column,
-                 budget: Long, blockSize: Long = 1L << 20): DataFrame = {
+                 budget: Long, numBlocks: Int = 1024): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    require(blockSize > 0, s"blockSize must be positive: $blockSize")
-    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+    require(numBlocks > 0, s"numBlocks must be positive: $numBlocks")
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"),
       tokenCount.cast("long").as("n_tokens"))
-      .withColumn("__blk", expr(s"doc_id DIV $blockSize"))
+    val bounds = ids.agg(min("doc_id"), max("doc_id")).head()
+    // BigInt: hashed ids can span more than 2^63 (hi−lo overflows long);
+    // truncating DIV is monotone non-decreasing, so blocks stay contiguous
+    // id ranges without ever subtracting the (possibly negative) minimum
+    val width =
+      if (bounds.isNullAt(0)) 1L
+      else ((BigInt(bounds.getLong(1)) - BigInt(bounds.getLong(0))) / numBlocks + 1)
+        .min(BigInt(Long.MaxValue)).toLong
+    val t = ids.withColumn("__blk", expr(s"doc_id DIV $width"))
     val withinBlock = Window.partitionBy("__blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val overBlocks = Window.orderBy("__blk")
@@ -106,18 +122,26 @@ object Corpus {
     * (`dropDuplicatesWithinWatermark` — state is bounded by the watermark,
     * not the corpus), then apply the stateless quality/language gate.
     *
-    * Works identically on a batch DataFrame (watermark is a no-op and the
-    * dedup falls back to plain `dropDuplicates` on the fingerprint, which
-    * streaming mode cannot use because its state never expires).
+    * Also works on a batch DataFrame: the watermark is a no-op and the
+    * dedup keeps the (event time, `idCol`)-minimal row per fingerprint —
+    * a DETERMINISTIC keep, where the streaming path necessarily keeps the
+    * first ARRIVAL (arrival order is the stream's identity; plain
+    * `dropDuplicates` in batch would keep a partition-order-dependent row,
+    * violating this module's reproducibility contract).
     * Output: the input columns + `fp`, `pred_lang`, `quality_score`,
     * filtered to quality ≥ `minQuality` and a recognized language. */
-  def streamingCurate(docs: DataFrame, textCol: String, eventTimeCol: String,
-                      watermark: String, minQuality: Double): DataFrame = {
+  def streamingCurate(docs: DataFrame, idCol: String, textCol: String,
+                      eventTimeCol: String, watermark: String,
+                      minQuality: Double): DataFrame = {
     val stamped = docs.withWatermark(eventTimeCol, watermark)
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
     val deduped =
       if (stamped.isStreaming) stamped.dropDuplicatesWithinWatermark("fp")
-      else stamped.dropDuplicates("fp")
+      else {
+        val w = Window.partitionBy("fp").orderBy(col(eventTimeCol), col(idCol))
+        stamped.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
     deduped
       .withColumn("__w", TextAnalysis.tokens(col(textCol)))
       .withColumn("__wl", TextAnalysis.tokens(lower(col(textCol))))

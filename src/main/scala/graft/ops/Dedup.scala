@@ -29,21 +29,12 @@ object Dedup {
 
   // ----------------------------------------------------------- shingles
 
-  /** Distinct word k-gram shingles of a text column, built by zipping the
-    * word array with its own shifted slices. Shape matters: an
-    * `element_at(w, i+d)` lambda would re-evaluate the `split` regex per
-    * ELEMENT in interpreted higher-order-function mode (profiled ~15 s for
-    * 5k docs); `zip_with` evaluates each array argument once per ROW.
-    * zip_with pads the shorter side with nulls and `concat` propagates
-    * them, so trailing partial grams drop out in the filter — docs with
-    * fewer than k words yield an empty array. */
-  def shingles(text: Column, k: Int): Column = {
-    val w = split(trim(text), "\\s+")
-    val grams = (1 until k).foldLeft(w) { (acc, d) =>
-      zip_with(acc, slice(w, d + 1, 1 << 28), (a, b) => concat(a, lit(" "), b))
-    }
-    array_distinct(filter(grams, g => g.isNotNull))
-  }
+  /** Distinct word k-gram shingles of a text column — the DISTINCT view of
+    * [[TextAnalysis.wordNgrams]] (see its scaladoc for the
+    * zip_with-over-slices shape and why `element_at` lambdas are a trap);
+    * docs with fewer than k words yield an empty array. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(TextAnalysis.wordNgrams(text, k))
 
   /** |A∩B| / |A∪B| over two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column =

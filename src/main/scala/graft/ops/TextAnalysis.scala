@@ -119,14 +119,20 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (p, tag)) => regexp_replace(c, p, tag) }
 
-  /** All word k-grams of a text column, duplicates INCLUDED (k ≥ 2) —
-    * built with the same single-pass zip_with-over-slices shape as
-    * [[Dedup.shingles]] (see its scaladoc for why `element_at` lambdas are
-    * a trap); trailing partial grams null out and are filtered. Docs with
-    * fewer than k words yield an empty array. */
+  /** All word k-grams of a text column, duplicates INCLUDED (k ≥ 2),
+    * built by zipping the word array with its own shifted slices. Shape
+    * matters: an `element_at(w, i+d)` lambda would re-evaluate the `split`
+    * regex per ELEMENT in interpreted higher-order-function mode (profiled
+    * ~15 s for 5k docs); `zip_with` evaluates each array argument once per
+    * ROW. zip_with pads the shorter side with nulls and `concat` propagates
+    * them, so trailing partial grams drop out in the filter — docs with
+    * fewer than k words (or NULL text) yield an empty array.
+    * [[Dedup.shingles]] is the distinct view. */
   def wordNgrams(text: Column, k: Int): Column = {
     require(k >= 2, s"k must be >= 2: $k")
-    val w = split(trim(text), "\\s+")
+    // total on NULL text (→ empty array, like a doc below k words): a null
+    // would otherwise propagate to null sizes where the SQL twins define 0
+    val w = split(trim(coalesce(text, lit(""))), "\\s+")
     val grams = (1 until k).foldLeft(w) { (acc, d) =>
       zip_with(acc, slice(w, d + 1, 1 << 28), (a, b) => concat(a, lit(" "), b))
     }

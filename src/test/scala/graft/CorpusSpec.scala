@@ -46,7 +46,7 @@ class CorpusSpec extends SparkSuite {
     val d = Seq((1L, "a b c"), (2L, "d e"), (5L, "f g h i"), (9L, "j"))
       .toDF("doc_id", "text")
     val out = Corpus.packShards(d, "doc_id",
-        size(split(col("text"), " ")), budget = 4, blockSize = 4)
+        size(split(col("text"), " ")), budget = 4, numBlocks = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // stream: doc1[0,3) doc2[3,5) doc5[5,9) doc9[9,10) — budget 4
     assert(out.toSeq == Seq((1L, 3L, 0L, 0L), (2L, 2L, 3L, 0L),
@@ -56,9 +56,9 @@ class CorpusSpec extends SparkSuite {
   test("packShards: block decomposition matches the single-window answer") {
     val d = spark.range(500).select(col("id").as("doc_id"),
       (col("id") % 37 + 1).as("tok"))
-    val blocked = Corpus.packShards(d, "doc_id", col("tok"), budget = 100, blockSize = 16)
+    val blocked = Corpus.packShards(d, "doc_id", col("tok"), budget = 100, numBlocks = 16)
     val global = Corpus.packShards(d, "doc_id", col("tok"), budget = 100,
-      blockSize = Long.MaxValue) // one block == the naive global window
+      numBlocks = 1) // one block == the naive global window
     assert(blocked.collect().toSeq == global.collect().toSeq)
   }
 
@@ -78,9 +78,21 @@ class CorpusSpec extends SparkSuite {
       (3L, 3000L, "zzz qqq"))                                            // low quality
       .toDF("doc_id", "t", "text")
       .withColumn("__et", timestamp_millis(col("t")))
-    val out = Corpus.streamingCurate(d, "text", "__et", "10 seconds", 0.3)
+    val out = Corpus.streamingCurate(d, "doc_id", "text", "__et", "10 seconds", 0.3)
       .select("doc_id", "pred_lang").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq == Seq((1L, "en")))
+  }
+
+  test("packShards: hashed (sparse, negative) ids keep a bounded block table") {
+    val d = spark.range(300).select(xxhash64(col("id")).as("doc_id"),
+      (col("id") % 13 + 1).as("tok"))
+    val out = Corpus.packShards(d, "doc_id", col("tok"), budget = 64, numBlocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exclusive prefix sums in hashed-id order, straddle-chunk shards
+    val sorted = d.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val model = sorted.zip(sorted.map(_._2).scanLeft(0L)(_ + _))
+      .map { case ((id, tok), off) => (id, tok, off) }
+    assert(out.toSeq == model.toSeq)
   }
 
   test("topKPerGroup plan: rank filter lowers to WindowGroupLimit") {
@@ -102,7 +114,7 @@ class CorpusStreamingSpec extends SparkSuite {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
     val stream = mem.toDF().toDF("doc_id", "t", "text")
       .withColumn("__et", timestamp_millis(col("t")))
-    val out = graft.ops.Corpus.streamingCurate(stream, "text", "__et",
+    val out = graft.ops.Corpus.streamingCurate(stream, "doc_id", "text", "__et",
         "10 seconds", minQuality = 0.3)
       .select("doc_id", "pred_lang", "quality_score")
     val q = out.writeStream.format("memory")

@@ -188,17 +188,17 @@ class PropertySpec extends SparkSuite {
           id <- Gen.choose(0L, 500L); tok <- Gen.choose(0L, 99L)
         } yield (id, tok))
         budget <- Gen.choose(50L, 300L)
-        block <- Gen.oneOf(1L, 7L, 64L, 1L << 20)
-      } yield (rows.distinctBy(_._1), budget, block)
-      val (rows, budget, block) = g.pureApply(Gen.Parameters.default, Seed(3000L + i))
+        blocks <- Gen.oneOf(1, 7, 64, 1024)
+      } yield (rows.distinctBy(_._1), budget, blocks)
+      val (rows, budget, blocks) = g.pureApply(Gen.Parameters.default, Seed(3000L + i))
       val sorted = rows.sortBy(_._1)
       val offs = sorted.map(_._2).scanLeft(0L)(_ + _)
       val model = sorted.zip(offs).map { case ((id, tok), off) =>
         (id, tok, off, off / budget) }
       val got = graft.ops.Corpus.packShards(
-          rows.toDF("doc_id", "tok"), "doc_id", col("tok"), budget, block)
+          rows.toDF("doc_id", "tok"), "doc_id", col("tok"), budget, blocks)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
-      assert(got == model, s"case $i budget=$budget block=$block rows=$sorted")
+      assert(got == model, s"case $i budget=$budget blocks=$blocks rows=$sorted")
     }
   }
 
