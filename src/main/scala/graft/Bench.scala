@@ -30,7 +30,7 @@ object Bench {
     "text_tokens", "text_quality", "text_langid", "text_tfidf", "text_redact",
     "text_repetition", "text_decontaminate", "doc_fingerprint",
     "corpus_sample", "corpus_pack", "corpus_topk", "corpus_curate",
-    "multimodal_meta", "multimodal_features")
+    "multimodal_meta", "multimodal_features", "multimodal_audio")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -521,6 +521,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multimodal: REAL audio decode (JDK javax.sound.sampled, WAV PCM).
+    // No audio column in the fixtures → per-doc sine WAVs planted
+    // deterministically (the text_redact pattern); every payload must
+    // decode for real (decoded=true, correct rate/frames). Rows-only:
+    // per-sample DSP has no SQL twin.
+    "multimodal_audio" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          Row(id, Multimodal.sineWav(200.0 + (id % 20) * 20.0, 0.05, 8000))
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.decodeAudioFeatures(blobs)
+        .select(Seq(col("doc_id"), col("decoded"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("n_frames")) ++
+          (0 until Multimodal.FeatureDim).map(i =>
+            round(element_at(col("feature"), i + 1).cast("double"), 4).as(s"f$i")): _*)
+        .orderBy("doc_id")
+    }),
+
     // ============================================================
     // Corpus selection — the FINAL pipeline stage (what ships)
     // ============================================================

@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *
   * [[decodeImageFeatures]] is a REAL image decode path (JDK `javax.imageio`
   * — PNG/BMP/JPEG/GIF, no external codecs needed) with per-image resize to
-  * a fixed luma grid; payloads no codec claims fall back to the
-  * deterministic byte-stride features of [[stubDecodeFeatures]] (flagged
-  * `decoded=false`), so one operator serves mixed binary lakehouse columns.
-  * Audio/video codecs are NOT in the JDK; those stay on the stub path —
-  * the `mapPartitions` batch shape is the plug-in point for a JNI/FFI or
+  * a fixed luma grid, and [[decodeAudioFeatures]] a REAL audio decode path
+  * (JDK `javax.sound.sampled` — WAV/AU/AIFF PCM); payloads no codec claims
+  * fall back to the deterministic byte-stride features of
+  * [[stubDecodeFeatures]] (flagged `decoded=false`), so one operator serves
+  * mixed binary lakehouse columns. Compressed audio (MP3/OGG) and video
+  * codecs are NOT in the JDK; those stay on the fallback path — the
+  * `mapPartitions` batch shape is the plug-in point for a JNI/FFI or
   * Arrow-batched decoder.
   */
 object Multimodal {
@@ -146,5 +148,115 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rows, decodeSchema)
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("decoded", BooleanType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("feature", ArrayType(FloatType, containsNull = false))))
+
+  /** Real audio decode + feature extraction, per-partition batches: decode
+    * with the JDK's `javax.sound.sampled` (WAV/AU/AIFF; any PCM width —
+    * frames convert to 16-bit signed and average to mono), then one pass
+    * computes `[rms, zero_crossing_rate, peak, mean_abs, rmsQ1..rmsQ4]`
+    * (per-time-quarter RMS — the coarse energy envelope). Non-audio
+    * payloads keep the byte-stride fallback with `decoded=false`. Same
+    * 100 TB shape as the image path: no shuffle, partition-local decode. */
+  def decodeAudioFeatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val rows = blobs.select(col("doc_id").cast("long"), col("blob")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = idOrNull(r)
+          val bytes = r.getAs[Array[Byte]](1)
+          decodePcm(bytes) match {
+            case None =>
+              Row(id, false, 0, 0, 0L, strideFeature(bytes).toSeq)
+            case Some((rate, ch, mono)) =>
+              val n = mono.length
+              var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0; var zc = 0L
+              val qe = new Array[Double](4); val qn = new Array[Long](4)
+              var i = 0
+              while (i < n) {
+                val s = mono(i)
+                sumAbs += math.abs(s); sumSq += s * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                if (i > 0 && (s >= 0) != (mono(i - 1) >= 0)) zc += 1
+                val q = math.min(3, (i.toLong * 4 / math.max(n, 1)).toInt)
+                qe(q) += s * s; qn(q) += 1
+                i += 1
+              }
+              def rmsOf(e: Double, c: Long) =
+                if (c == 0) 0f else math.sqrt(e / c).toFloat
+              val feat = Array(
+                if (n == 0) 0f else math.sqrt(sumSq / n).toFloat,
+                if (n <= 1) 0f else (zc.toDouble / (n - 1)).toFloat,
+                peak.toFloat,
+                if (n == 0) 0f else (sumAbs / n).toFloat,
+                rmsOf(qe(0), qn(0)), rmsOf(qe(1), qn(1)),
+                rmsOf(qe(2), qn(2)), rmsOf(qe(3), qn(3)))
+              Row(id, true, rate, ch, n.toLong, feat.toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rows, audioSchema)
+  }
+
+  /** Decode any JDK-supported audio container to (rate, channels,
+    * mono samples in [-1,1]); None for null/corrupt/non-audio payloads. */
+  private def decodePcm(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+          fmt.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        try {
+          val data = pcm.readAllBytes()
+          val ch = target.getChannels
+          val nFrames = data.length / (2 * ch)
+          val mono = new Array[Double](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var c = 0; var acc = 0.0
+            while (c < ch) {
+              val off = (f * ch + c) * 2
+              acc += ((data(off) & 0xFF) | (data(off + 1) << 8)).toShort / 32768.0
+              c += 1
+            }
+            mono(f) = acc / ch; f += 1
+          }
+          Some((fmt.getSampleRate.toInt, ch, mono))
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case _: Exception => None } // not audio / corrupt → fallback
+  }
+
+  /** Synthesize a mono 16-bit PCM WAV sine (pure JDK) — fixture plumbing
+    * for the audio entry and tests; the testdata has no audio column, so
+    * payloads are planted deterministically (same pattern as the
+    * text_redact entry's planted PII). */
+  def sineWav(freqHz: Double, seconds: Double, sampleRate: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (seconds * sampleRate).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * freqHz * i / sampleRate) * 12000).toInt
+      pcm(i * 2) = (s & 0xFF).toByte; pcm(i * 2 + 1) = (s >> 8).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    val stream = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 }

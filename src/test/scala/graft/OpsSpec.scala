@@ -445,4 +445,32 @@ class MultimodalSpec extends SparkSuite {
       .collect().head.getSeq[Float](1)
     assert(out(3L).getSeq[Float](4) == stub)
   }
+
+  test("real audio decode (javax.sound.sampled): WAV sine features, fallback for non-audio") {
+    val rate = 8000
+    val sine = Multimodal.sineWav(freqHz = 400.0, seconds = 0.1, sampleRate = rate)
+    val silentPcm = Multimodal.sineWav(freqHz = 0.0, seconds = 0.05, sampleRate = rate)
+    val junk = "definitely not audio".getBytes("UTF-8")
+    val blobs = Seq((1L, sine), (2L, silentPcm), (3L, junk)).toDF("doc_id", "blob")
+    val out = Multimodal.decodeAudioFeatures(blobs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // sine: decoded with true rate/frames; RMS = amp/√2, ZCR = 2f/rate
+    assert(out(1L).getBoolean(1) && out(1L).getInt(2) == rate && out(1L).getInt(3) == 1)
+    assert(out(1L).getLong(4) == (0.1 * rate).toInt)
+    val f = out(1L).getSeq[Float](5)
+    val amp = 12000.0 / 32768.0
+    assert(math.abs(f(0) - amp / math.sqrt(2)) < 0.01, s"rms ${f(0)}") // rms
+    assert(math.abs(f(1) - 2.0 * 400 / rate) < 0.01, s"zcr ${f(1)}")   // zcr
+    assert(math.abs(f(2) - amp) < 0.01, s"peak ${f(2)}")               // peak
+    // energy envelope: a steady sine has equal per-quarter RMS
+    assert((4 to 7).forall(i => math.abs(f(i) - f(4)) < 0.01))
+    // silence: decoded, all-zero features
+    val f2 = out(2L).getSeq[Float](5)
+    assert(out(2L).getBoolean(1) && f2.forall(_ == 0f))
+    // non-audio: graceful fallback, flagged undecoded, stride features
+    assert(!out(3L).getBoolean(1) && out(3L).getInt(2) == 0)
+    val stub = Multimodal.stubDecodeFeatures(blobs.filter(col("doc_id") === 3L))
+      .collect().head.getSeq[Float](1)
+    assert(out(3L).getSeq[Float](5) == stub)
+  }
 }
