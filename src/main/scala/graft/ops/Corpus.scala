@@ -66,9 +66,13 @@ object Corpus {
     *
     * The naive plan — one global `sum() over (order by id)` window — is a
     * single-task sort at 100 TB. This is the distributed prefix-sum shape
-    * instead: the observed id range (one cheap min/max pre-pass; parquet
-    * footer stats where available) divides into ≤ numBlocks+2 equal-width
-    * contiguous blocks, the running sum runs per block in parallel, and
+    * instead: the id range — `idBounds` when the caller knows it (stored
+    * corpus metadata, dense 0..N ids), else one eager pre-pass that scans
+    * ONLY the pruned id column and also rejects NULL ids loudly (a null
+    * block key would silently drop the row at the offsets join while its
+    * tokens still skewed every later offset) — divides into ≤ numBlocks+2
+    * equal-width contiguous blocks, the running sum runs per block in
+    * parallel, and
     * block-level offsets come from a second prefix sum over the
     * numBlocks-row totals table (that window IS single-partition, on data
     * that fits in a page) broadcast back onto the blocks. Equal-width
@@ -85,20 +89,30 @@ object Corpus {
     * Integer arithmetic end-to-end (`DIV`, not float division): offsets at
     * 100 TB exceed 2^53 and must not round-trip through a double. */
   def packShards(docs: DataFrame, idCol: String, tokenCount: Column,
-                 budget: Long, numBlocks: Int = 1024): DataFrame = {
+                 budget: Long, numBlocks: Int = 1024,
+                 idBounds: Option[(Long, Long)] = None): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(numBlocks > 0, s"numBlocks must be positive: $numBlocks")
-    val ids = docs.select(col(idCol).cast("long").as("doc_id"),
-      tokenCount.cast("long").as("n_tokens"))
-    val bounds = ids.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = idBounds.getOrElse {
+      // column-pruned scan of the id alone (tokenCount is never computed
+      // here); same job counts null ids, which MUST fail loudly
+      val b = docs
+        .agg(min(col(idCol).cast("long")), max(col(idCol).cast("long")),
+          count(when(col(idCol).isNull, 1))).head()
+      if (b.getLong(2) > 0)
+        throw new IllegalArgumentException(
+          s"packShards: ${b.getLong(2)} rows have a NULL $idCol — " +
+            "packing needs a total order over unique non-null ids")
+      if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
+    }
     // BigInt: hashed ids can span more than 2^63 (hi−lo overflows long);
     // truncating DIV is monotone non-decreasing, so blocks stay contiguous
     // id ranges without ever subtracting the (possibly negative) minimum
     val width =
-      if (bounds.isNullAt(0)) 1L
-      else ((BigInt(bounds.getLong(1)) - BigInt(bounds.getLong(0))) / numBlocks + 1)
-        .min(BigInt(Long.MaxValue)).toLong
-    val t = ids.withColumn("__blk", expr(s"doc_id DIV $width"))
+      ((BigInt(hi) - BigInt(lo)) / numBlocks + 1).min(BigInt(Long.MaxValue)).toLong
+    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+        tokenCount.cast("long").as("n_tokens"))
+      .withColumn("__blk", expr(s"doc_id DIV $width"))
     val withinBlock = Window.partitionBy("__blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val overBlocks = Window.orderBy("__blk")

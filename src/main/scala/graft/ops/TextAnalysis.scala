@@ -119,8 +119,9 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (p, tag)) => regexp_replace(c, p, tag) }
 
-  /** All word k-grams of a text column, duplicates INCLUDED (k ≥ 2),
-    * built by zipping the word array with its own shifted slices. Shape
+  /** All word k-grams of a text column, duplicates INCLUDED (k = 1 is the
+    * raw word list, for word-level shingling), built by zipping the word
+    * array with its own shifted slices. Shape
     * matters: an `element_at(w, i+d)` lambda would re-evaluate the `split`
     * regex per ELEMENT in interpreted higher-order-function mode (profiled
     * ~15 s for 5k docs); `zip_with` evaluates each array argument once per
@@ -129,7 +130,8 @@ object TextAnalysis {
     * fewer than k words (or NULL text) yield an empty array.
     * [[Dedup.shingles]] is the distinct view. */
   def wordNgrams(text: Column, k: Int): Column = {
-    require(k >= 2, s"k must be >= 2: $k")
+    require(k >= 1, s"k must be >= 1: $k")
+    if (k == 1) return tokens(coalesce(text, lit(""))) // phantom-""-free words
     // total on NULL text (→ empty array, like a doc below k words): a null
     // would otherwise propagate to null sizes where the SQL twins define 0
     val w = split(trim(coalesce(text, lit(""))), "\\s+")
