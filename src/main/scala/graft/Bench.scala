@@ -24,7 +24,7 @@ object Bench {
     "tsdb_overlap_windows", "tsdb_downsample", "tsdb_variant_last",
     "tsdb_sql", "tsdb_multi_agg", "tsdb_storage_agg", "tsdb_sliding_server",
     "tsdb_storage_preagg",
-    "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset_prom",
+    "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "sim_topk", "sim_ann_ivf", "sim_quantize", "events_sessionize",
     "text_tokens", "text_quality", "text_langid", "text_tfidf", "text_redact",

@@ -22,7 +22,8 @@ object Explain {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("tsdb_raw", "tsdb_client_agg", "tsdb_storage_agg",
-        "tsdb_multi_agg", "q3_topk_join", "sim_topk", "events_sessionize")
+        "tsdb_multi_agg", "q3_topk_join", "sim_topk", "events_sessionize",
+        "corpus_pack", "text_decontaminate")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
