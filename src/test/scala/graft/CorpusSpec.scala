@@ -83,6 +83,23 @@ class CorpusSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, "en")))
   }
 
+  test("streamingCurate batch keep is partition-order independent") {
+    // 40 docs in 4 fingerprint groups; the kept id per group must be the
+    // (event time, id)-minimum whatever the physical layout
+    val d = spark.range(40).select(col("id").as("doc_id"),
+      (lit(1000L) - col("id") * 7 % 13).as("t"),
+      concat(lit("the common text body number "), (col("id") % 4).cast("string"))
+        .as("text"))
+      .withColumn("__et", timestamp_millis(col("t")))
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      Corpus.streamingCurate(df, "doc_id", "text", "__et", "10 seconds", 0.0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = kept(d)
+    assert(base.size == 4)
+    assert(kept(d.repartition(13)) == base)
+    assert(kept(d.orderBy(col("doc_id").desc)) == base)
+  }
+
   test("packShards: hashed (sparse, negative) ids keep a bounded block table") {
     val d = spark.range(300).select(xxhash64(col("id")).as("doc_id"),
       (col("id") % 13 + 1).as("tok"))
