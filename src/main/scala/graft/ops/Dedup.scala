@@ -86,7 +86,15 @@ object Dedup {
                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // the shingle table feeds FIVE consumers (signature, both bucket-join
+    // sides, both verification explodes) and AQE reuses none of their
+    // exchanges (each aliases differently) — without caching, the
+    // tokenize-and-fold HOF chain re-runs over the corpus per consumer
+    // (plan audit: 6 parquet scans). Lazy localCheckpoint materializes it
+    // once at first use, spilling to disk beyond memory; blocks free when
+    // the returned plan is GC'd (ContextCleaner)
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .localCheckpoint(false)
 
     // signature: per-seed min over exploded shingles (one shuffle on id)
     val sig = sh.select(col("id"), explode(col("sh")).as("s"))
