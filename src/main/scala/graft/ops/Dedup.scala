@@ -90,11 +90,13 @@ object Dedup {
     // sides, both verification explodes) and AQE reuses none of their
     // exchanges (each aliases differently) — without caching, the
     // tokenize-and-fold HOF chain re-runs over the corpus per consumer
-    // (plan audit: 6 parquet scans). Lazy localCheckpoint materializes it
-    // once at first use, spilling to disk beyond memory; blocks free when
-    // the returned plan is GC'd (ContextCleaner)
+    // (plan audit: 6 parquet scans). persist (NOT localCheckpoint: that
+    // truncates lineage, and a lost executor — routine at 1000 executors —
+    // would kill the job instead of recomputing) materializes it once at
+    // first use, spills past memory, and frees via ContextCleaner when the
+    // returned plan is GC'd
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // signature: per-seed min over exploded shingles (one shuffle on id)
     val sig = sh.select(col("id"), explode(col("sh")).as("s"))
