@@ -260,7 +260,12 @@ object Dedup {
     * scale path always makes) then verified with bit_count. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
+    // the banded self-join consumes the fingerprint table twice and its
+    // exchanges alias differently (no AQE reuse) — without caching, the
+    // whole corpus scan + 64-vote aggregate runs twice. The cached table
+    // is one long per doc
     val sh = simHash(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("blk"),
