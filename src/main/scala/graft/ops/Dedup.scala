@@ -112,13 +112,16 @@ object Dedup {
     }
     val allBuckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val buckets =
+    // cached for the same reason as `sh`: the bucket self-join's two sides
+    // would each re-run the explode + 64-way min aggregate; the bucket
+    // table is 3 longs × (docs × bands) — small
+    val buckets = (
       if (maxBucketSize == Int.MaxValue) allBuckets
       else {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
         allBuckets.withColumn("__bs", count(lit(1)).over(w))
           .filter(col("__bs") <= maxBucketSize).drop("__bs")
-      }
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

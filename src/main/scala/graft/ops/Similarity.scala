@@ -89,7 +89,10 @@ object Similarity {
   def nearDupPairsBlocked(data: DataFrame, threshold: Double,
                           nCentroids: Int, trainIters: Int = 2): DataFrame = {
     val sp = data.sparkSession
+    // the within-cluster self-join consumes the assignment twice; without
+    // caching, the broadcast-centroid scoring aggregate runs once per side
     val assigned = assignClusters(data, kMeansCentroids(data, nCentroids, trainIters))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("__n").as("__na"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
