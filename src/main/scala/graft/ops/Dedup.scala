@@ -53,8 +53,10 @@ object Dedup {
     require(threshold > 0, "threshold must be > 0 (zero-overlap pairs are not enumerated)")
     // no size>0 filter: it would re-evaluate the whole shingle expression a
     // second time per row (HOFs don't codegen), and empty arrays simply
-    // explode to zero rows / never become candidates
+    // explode to zero rows / never become candidates. Cached for the same
+    // multi-consumer reason as the LSH path
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
     val cand = ex.select(col("id").as("id_a"), col("s"))
       .join(ex.select(col("id").as("id_b"), col("s")), "s")

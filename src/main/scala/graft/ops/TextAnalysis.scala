@@ -200,10 +200,12 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(lower(col(textCol)))).as("term"))
+    // cached: df derives from tf and the score join consumes tf again —
+    // without it the corpus tokenizes+explodes once per consumer (AQE does
+    // NOT reuse the exchange across the differently-shaped subtrees;
+    // verified in the physical plan). Rows = distinct (doc, term) pairs
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df derived from tf — its rows are already unique per (doc, term),
-    // so this reuses tf's exchange (identical subtree → ReuseExchange)
-    // instead of tokenizing and exploding the corpus a second time
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
