@@ -459,8 +459,13 @@ object SparkEntry {
     // scale: 4x smaller, SIMD-friendly). floor(x+0.5) not round(): IEEE
     // floor/multiply are bit-identical across engines, round half-modes
     // are not — see Similarity.quantizeInt8
+    // the operator returns qvec as array<int>; the CORRECTNESS entry
+    // serializes it to a scalar CSV string because the driver's oracle
+    // comparer sorts on every output column and numpy arrays are
+    // unhashable there — both twins emit the same "1,-3,..." text
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))
+        .withColumn("qvec", concat_ws(",", col("qvec").cast("array<string>")))
         .orderBy("vec_id")),
 
     // IVF-bucketed ANN (scale path; approximate — rows-only check, recall
@@ -1062,8 +1067,8 @@ object SparkEntry {
         |s AS (SELECT vec_id, emb,
         |         CASE WHEN am > 0 THEN 127.0 / am ELSE 0.0 END AS sc FROM m)
         |SELECT vec_id, round(sc, 6) AS scale,
-        |  list_transform(emb, x ->
-        |    CAST(greatest(-127, least(127, floor(x * sc + 0.5))) AS INT)) AS qvec
+        |  array_to_string(list_transform(emb, x ->
+        |    CAST(greatest(-127, least(127, floor(x * sc + 0.5))) AS INT)), ',') AS qvec
         |FROM s ORDER BY vec_id""".stripMargin,
 
     "dedup_embedding" ->
