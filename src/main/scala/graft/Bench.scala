@@ -43,9 +43,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
+    def run(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.mode("overwrite").format("noop").save()
+      // ops with multi-consumer internals return a persisted handle
+      // (Caching.scoped). Release it between runs — otherwise round 2
+      // would "time" a cache read of round 1's result, not the engine
+      df.unpersist()
+    }
 
     run("q1_agg") // warm-up, untimed
     // storage-table INGEST and IVF index TRAINING are their own operations

@@ -423,7 +423,11 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
-      Dedup.nearDupClusters(pairs)
+      // nearDupClusters is eager (checkpointed label rounds) — the pairs
+      // handle can be released as soon as it returns
+      val clusters = Dedup.nearDupClusters(pairs)
+      pairs.unpersist()
+      clusters
     }),
 
     // dedup END PRODUCT: the corpus keep-list after dropping non-canonical
@@ -432,8 +436,10 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
         k = 3, threshold = 0.5, maxBucketSize = 1000)
-      Dedup.dropNearDuplicates(docs.select("doc_id"), "doc_id",
-        Dedup.nearDupClusters(pairs)).orderBy("doc_id")
+      val clusters = Dedup.nearDupClusters(pairs) // eager — see dedup_clusters
+      pairs.unpersist()
+      Dedup.dropNearDuplicates(docs.select("doc_id"), "doc_id", clusters)
+        .orderBy("doc_id")
     }),
 
     // near-dup, SimHash Hamming-banding (no SQL twin: hash-dependent).
@@ -603,7 +609,9 @@ object SparkEntry {
         .filter(col("quality_score") >= 0.4 && col("pred_lang") =!= "unknown")
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
         k = 3, threshold = 0.5, maxBucketSize = 1000)
-      Dedup.dropNearDuplicates(gated, "doc_id", Dedup.nearDupClusters(pairs))
+      val clusters = Dedup.nearDupClusters(pairs) // eager — see dedup_clusters
+      pairs.unpersist()
+      Dedup.dropNearDuplicates(gated, "doc_id", clusters)
         .orderBy("doc_id")
     })
   )

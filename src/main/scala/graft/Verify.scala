@@ -24,9 +24,14 @@ object Verify {
         f.delete()
       }
       if (dest.exists()) nuke(dest)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // ops with multi-consumer internals return a persisted handle
+        // (Caching.scoped) — release it so 50+ queries in one session
+        // don't accumulate cached results (no-op for uncached frames)
+        df.unpersist()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

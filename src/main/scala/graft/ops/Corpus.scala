@@ -73,9 +73,10 @@ object Corpus {
     * tokens still skewed every later offset) — divides into ≤ numBlocks+2
     * equal-width contiguous blocks, the running sum runs per block in
     * parallel, and
-    * block-level offsets come from a second prefix sum over the
-    * numBlocks-row totals table (that window IS single-partition, on data
-    * that fits in a page) broadcast back onto the blocks. Equal-width
+    * block-level offsets come from a second exclusive prefix sum over the
+    * numBlocks-row totals table (a triangular self-join — the table fits
+    * in a page and no plan node demands a single partition) broadcast
+    * back onto the blocks. Equal-width
     * blocks are balanced for dense ids AND uniformly-hashed 64-bit ids
     * (the two real layouts); pathologically clumped ids degrade only
     * balance — the totals table stays ≤ numBlocks+2 rows by construction,
@@ -110,16 +111,31 @@ object Corpus {
     // id ranges without ever subtracting the (possibly negative) minimum
     val width =
       ((BigInt(hi) - BigInt(lo)) / numBlocks + 1).min(BigInt(Long.MaxValue)).toLong
-    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+    // the null guard lives in the row path too, not just the bounds
+    // pre-pass: with caller-supplied idBounds a NULL id would otherwise
+    // get a NULL __blk — its tokens land in a null-key block that sorts
+    // FIRST in the totals window (skewing every real offset) while the
+    // row itself vanishes at the offsets join. Fail loudly instead.
+    val t = docs.select(
+        when(col(idCol).isNull, raise_error(lit(
+            s"packShards: NULL $idCol — packing needs a total order over " +
+              "unique non-null ids")).cast("long"))
+          .otherwise(col(idCol).cast("long")).as("doc_id"),
         tokenCount.cast("long").as("n_tokens"))
       .withColumn("__blk", expr(s"doc_id DIV $width"))
     val withinBlock = Window.partitionBy("__blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val overBlocks = Window.orderBy("__blk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val blockOffsets = t.groupBy("__blk").agg(sum("n_tokens").as("__bt"))
-      .withColumn("__off", coalesce(sum("__bt").over(overBlocks), lit(0L)))
-      .select("__blk", "__off")
+    // block-level exclusive prefix sum via a triangular self-join on the
+    // ≤ numBlocks+2-row totals table (≤ ~numBlocks²/2 joined rows — page
+    // sized) instead of an unpartitioned running-sum window: same answer,
+    // but nothing in the plan ever requires a single-partition
+    // distribution, and WindowExec's "no partition defined" warning (a
+    // real scale smell anywhere else) stays out of bench/verify logs
+    val tot = t.groupBy("__blk").agg(sum("n_tokens").as("__bt"))
+    val blockOffsets = tot.as("a")
+      .join(tot.select(col("__blk").as("__pblk"), col("__bt").as("__pbt")),
+        col("__pblk") < col("__blk"), "left")
+      .groupBy("__blk").agg(coalesce(sum("__pbt"), lit(0L)).as("__off"))
     t.withColumn("__in", coalesce(sum("n_tokens").over(withinBlock), lit(0L)))
       .join(broadcast(blockOffsets), "__blk")
       .withColumn("stream_offset", col("__off") + col("__in"))

@@ -53,16 +53,15 @@ object Dedup {
     require(threshold > 0, "threshold must be > 0 (zero-overlap pairs are not enumerated)")
     // no size>0 filter: it would re-evaluate the whole shingle expression a
     // second time per row (HOFs don't codegen), and empty arrays simply
-    // explode to zero rows / never become candidates. Cached for the same
-    // multi-consumer reason as the LSH path
+    // explode to zero rows / never become candidates. Scope-cached for the
+    // same multi-consumer reason as the LSH path (see Caching.scoped)
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
     val cand = ex.select(col("id").as("id_a"), col("s"))
       .join(ex.select(col("id").as("id_b"), col("s")), "s")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyJaccard(cand, sh, threshold)
+    Caching.scoped(sh)(verifyJaccard(cand, sh, threshold))
   }
 
   // ---------------------------------------------------------- MinHash+LSH
@@ -92,13 +91,12 @@ object Dedup {
     // sides, both verification explodes) and AQE reuses none of their
     // exchanges (each aliases differently) — without caching, the
     // tokenize-and-fold HOF chain re-runs over the corpus per consumer
-    // (plan audit: 6 parquet scans). persist (NOT localCheckpoint: that
-    // truncates lineage, and a lost executor — routine at 1000 executors —
-    // would kill the job instead of recomputing) materializes it once at
-    // first use, spills past memory, and frees via ContextCleaner when the
-    // returned plan is GC'd
+    // (plan audit: 6 parquet scans). Caching.scoped persists it (NOT
+    // localCheckpoint: that truncates lineage, and a lost executor —
+    // routine at 1000 executors — would kill the job instead of
+    // recomputing) for exactly as long as it takes to materialize the
+    // small pair output, then releases it
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // signature: per-seed min over exploded shingles (one shuffle on id)
     val sig = sh.select(col("id"), explode(col("sh")).as("s"))
@@ -114,23 +112,23 @@ object Dedup {
     }
     val allBuckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // cached for the same reason as `sh`: the bucket self-join's two sides
-    // would each re-run the explode + 64-way min aggregate; the bucket
-    // table is 3 longs × (docs × bands) — small
-    val buckets = (
+    // scope-cached for the same reason as `sh`: the bucket self-join's two
+    // sides would each re-run the explode + 64-way min aggregate; the
+    // bucket table is 3 longs × (docs × bands) — small
+    val buckets =
       if (maxBucketSize == Int.MaxValue) allBuckets
       else {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
         allBuckets.withColumn("__bs", count(lit(1)).over(w))
           .filter(col("__bs") <= maxBucketSize).drop("__bs")
-      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
-    verifyJaccard(cand, sh, threshold)
+    Caching.scoped(sh, buckets)(verifyJaccard(cand, sh, threshold))
   }
 
   /** Verify candidate pairs against the TRUE shingle Jaccard via
@@ -268,22 +266,22 @@ object Dedup {
     // the banded self-join consumes the fingerprint table twice and its
     // exchanges alias differently (no AQE reuse) — without caching, the
     // whole corpus scan + 64-vote aggregate runs twice. The cached table
-    // is one long per doc
+    // is one long per doc; scope-cached (see Caching.scoped)
     val sh = simHash(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("blk"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.blk").as("blk"), col("bb.key").as("key"))
-    blocks.as("x").join(blocks.as("y"),
-        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
-      .orderBy("id_a", "id_b")
+    Caching.scoped(sh)(
+      blocks.as("x").join(blocks.as("y"),
+          col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxDist)
+        .orderBy("id_a", "id_b"))
   }
 }

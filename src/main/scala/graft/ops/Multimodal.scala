@@ -144,7 +144,7 @@ object Multimodal {
               (if (qn(2) == 0) 0.0 else ql(2) / qn(2) / 255.0).toFloat,
               (if (qn(3) == 0) 0.0 else ql(3) / qn(3) / 255.0).toFloat)
             // decoded and fallback rows share one column — shapes must agree
-            assert(feat.length == FeatureDim)
+            require(feat.length == FeatureDim)
             Row(id, true, w, h, feat.toSeq)
           }
         }
@@ -201,7 +201,7 @@ object Multimodal {
                 rmsOf(qe(0), qn(0)), rmsOf(qe(1), qn(1)),
                 rmsOf(qe(2), qn(2)), rmsOf(qe(3), qn(3)))
               // decoded and fallback rows share one column — shapes must agree
-              assert(feat.length == FeatureDim)
+              require(feat.length == FeatureDim)
               Row(id, true, rate, ch, n.toLong, feat.toSeq)
           }
         }

@@ -90,19 +90,20 @@ object Similarity {
                           nCentroids: Int, trainIters: Int = 2): DataFrame = {
     val sp = data.sparkSession
     // the within-cluster self-join consumes the assignment twice; without
-    // caching, the broadcast-centroid scoring aggregate runs once per side
+    // caching, the broadcast-centroid scoring aggregate runs once per
+    // side. Scope-cached: released once the pair output materializes
     val assigned = assignClusters(data, kMeansCentroids(data, nCentroids, trainIters))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("__n").as("__na"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
       col("embedding").as("vb"), col("__n").as("__nb"))
     // pairs can't repeat — each vector belongs to exactly one cluster
-    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", nativeDot(sp, col("va"), col("vb")) / (col("__na") * col("__nb")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
-      .orderBy("id_a", "id_b")
+    Caching.scoped(assigned)(
+      a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+        .withColumn("sim", nativeDot(sp, col("va"), col("vb")) / (col("__na") * col("__nb")))
+        .filter(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b"))
   }
 
   /** Nearest-centroid assignment shared by k-means iterations and the

@@ -168,17 +168,27 @@ object TextAnalysis {
     * shuffle is the pair-count aggregate, whose input is the hit set, not
     * the corpus. Ultra-common grams amplify hits bounded by the benchmark
     * side's gram count (cap k high enough — 8-grams in practice — that
-    * boilerplate grams are rare). */
+    * boilerplate grams are rare). The broadcast is gated on the actual
+    * benchmark gram count (`maxBroadcastGrams`): an oversized "benchmark"
+    * side degrades to a shuffle join instead of failing on the broadcast
+    * limit or OOMing the driver. */
   def benchmarkOverlap(docs: DataFrame, bench: DataFrame,
                        idCol: String, textCol: String,
-                       k: Int, minShared: Long = 1L): DataFrame = {
+                       k: Int, minShared: Long = 1L,
+                       maxBroadcastGrams: Long = 4000000L): DataFrame = {
     def grams(df: DataFrame, out: String) = df.select(col(idCol).as(out),
       explode(array_distinct(wordNgrams(col(textCol), k))).as("g"))
-    grams(docs, "doc_id")
-      .join(broadcast(grams(bench, "bench_id")), "g")
-      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
-      .orderBy("doc_id", "bench_id")
+    val bg = grams(bench, "bench_id")
+    // bg is scope-cached, so the gating count and the join read one
+    // materialization; released once the (small) hit set materializes
+    Caching.scoped(bg) {
+      val right = if (bg.count() <= maxBroadcastGrams) broadcast(bg) else bg
+      grams(docs, "doc_id")
+        .join(right, "g")
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+        .orderBy("doc_id", "bench_id")
+    }
   }
 
   /** Per-document top-k terms by TF-IDF — keyword extraction / topical
@@ -200,22 +210,23 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(lower(col(textCol)))).as("term"))
-    // cached: df derives from tf and the score join consumes tf again —
-    // without it the corpus tokenizes+explodes once per consumer (AQE does
-    // NOT reuse the exchange across the differently-shaped subtrees;
-    // verified in the physical plan). Rows = distinct (doc, term) pairs
+    // scope-cached: df derives from tf and the score join consumes tf
+    // again — without it the corpus tokenizes+explodes once per consumer
+    // (AQE does NOT reuse the exchange across the differently-shaped
+    // subtrees; verified in the physical plan). Rows = distinct
+    // (doc, term) pairs, released once the top-k output materializes
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(df, "term")
-      .crossJoin(broadcast(n))
-      .withColumn("score",
-        col("tf").cast("double") * ((col("n") + lit(1.0)) / (col("df") + lit(1.0))))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"), col("rank"))
-      .orderBy("doc_id", "rank")
+    Caching.scoped(tf)(
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * ((col("n") + lit(1.0)) / (col("df") + lit(1.0))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("doc_id", "rank"))
   }
 }

@@ -112,6 +112,33 @@ class CorpusSpec extends SparkSuite {
     assert(out.toSeq == model.toSeq)
   }
 
+  test("packShards: NULL ids fail loudly even when idBounds skips the pre-pass") {
+    val d = Seq((Some(1L), 3L), (None, 2L), (Some(5L), 4L))
+      .toDF("doc_id", "tok")
+    val e = intercept[Exception] {
+      Corpus.packShards(d, "doc_id", col("tok"), budget = 4, numBlocks = 4,
+        idBounds = Some((1L, 5L))).collect()
+    }
+    // the raise_error surfaces wrapped in Spark's job failure
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("packShards")),
+      s"expected the packShards null-id error, got: $e")
+  }
+
+  test("packShards plan: every window carries a partition spec") {
+    val d = spark.range(100).select(col("id").as("doc_id"), lit(2L).as("tok"))
+    val specs = Corpus.packShards(d, "doc_id", col("tok"), budget = 10, numBlocks = 8)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+    // WindowExec's "No Partition Defined … single partition" warning fires
+    // on an EMPTY partition spec; the totals window avoids it with a
+    // constant key (same single-partition semantics, no scary log line)
+    assert(specs.nonEmpty && specs.forall(_.nonEmpty),
+      s"found an unpartitioned window: $specs")
+  }
+
   test("topKPerGroup plan: rank filter lowers to WindowGroupLimit") {
     // a distributed child, not a LocalRelation — InferWindowGroupLimit
     // skips tiny local inputs where the rewrite cannot pay off

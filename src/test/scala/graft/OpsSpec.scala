@@ -39,6 +39,21 @@ class DedupSpec extends SparkSuite {
       brute.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
 
+  test("cache discipline: intermediates released, result is the caller's only handle") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (3L, "completely unrelated text about spark query engines and joins"))
+    val out = Dedup.minHashLshPairs(d, "doc_id", "text", 3, 0.5)
+    // Caching.scoped: shingle/bucket caches are gone by the time the
+    // operator returns; the materialized result is the one cached plan
+    assert(out.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    out.unpersist(blocking = true)
+    assert(cm.isEmpty, "operator leaked intermediate caches into the session")
+  }
+
   test("simhash: identical docs at distance 0, near docs close, banding finds them") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
