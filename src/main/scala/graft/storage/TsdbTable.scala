@@ -40,7 +40,12 @@ case class TsdbConfig(
     // (reference disableClientAggr: step > rollup is coerced DOWN to the
     // rollup interval, select.go:185-187, and CanAggregate passes via the
     // step == rollup equality escape, aggregationParams.go:74)
-    disableClientAggregation: Boolean = false) {
+    disableClientAggregation: Boolean = false,
+    // single-writer lease horizon for the `_writer` lock file: a lock
+    // older than this is presumed abandoned by a crashed writer and is
+    // broken. Must exceed the longest single mutation (append/delete/
+    // compact) or a live writer could be fenced mid-operation.
+    writerLeaseMs: Long = 30 * 60000L) {
   require(shardingBuckets > 0, s"shardingBuckets must be positive, got $shardingBuckets")
   // rollup buckets must nest inside partitions or rollup rows would land in
   // a different partition than their raw samples and be lost/corrupted by
@@ -114,6 +119,56 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     lastSeq
   }
 
+  /** ENFORCED single-writer contract: every mutation (append / delete /
+    * retention / compact) holds the `<path>/_writer` lock file for its
+    * duration. The reference gets concurrent-appender safety from
+    * conditional KV updates (`store.go:449-465`); plain parquet has no
+    * conditional write, so interleaved mutators would corrupt the names
+    * overwrite, the `series_enc` sidecar, and `__seq` ordering — a second
+    * writer is rejected LOUDLY here instead of corrupting silently.
+    *
+    * Lease semantics: a lock older than `config.writerLeaseMs` is
+    * presumed left by a crashed writer and is broken (a dead process must
+    * not wedge the table forever). Lock creation uses the filesystem's
+    * no-overwrite create — atomic on HDFS/object stores with conditional
+    * puts; best-effort (check-then-create) on the local fs, which is fine
+    * for a contract whose violations are deployment bugs, not races to
+    * resolve. */
+  private def withWriterLock[A](op: String)(body: => A): A = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tableDir = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(tableDir)) fs.mkdirs(tableDir)
+    val lock = new org.apache.hadoop.fs.Path(path, "_writer")
+    try {
+      val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      if (age > config.writerLeaseMs) fs.delete(lock, false)
+    } catch { case _: java.io.FileNotFoundException => () }
+    val stream =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(lock)
+              try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+            } catch { case _: Exception => "unknown" }
+          throw new java.util.ConcurrentModificationException(
+            s"cannot $op: another writer holds $path/_writer ($holder). " +
+              "TsdbTable is single-writer (the reference serializes appenders via " +
+              "conditional KV updates, store.go:449-465); run one mutating job per " +
+              s"table, or wait for the ${config.writerLeaseMs} ms lease to expire " +
+              "if that writer crashed.")
+      }
+    try {
+      stream.write((s"op=$op host=${java.net.InetAddress.getLocalHost.getHostName} " +
+        s"pid=${ProcessHandle.current.pid} ts=${System.currentTimeMillis()}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally stream.close()
+    try body finally fs.delete(lock, false)
+  }
+
   /** Raw-table file read. overrideOld tables merge footers so files
     * written before `__seq` existed don't hide the column (a sampled old
     * footer would silently disable merge-on-read); their rows read as
@@ -138,7 +193,8 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     *        deletes). Incremental assumes batch∩existing-raw is disjoint —
     *        exactly what the streaming dedup guarantees.
     */
-  def append(samples: DataFrame, incrementalRollup: Boolean = false): Unit = {
+  def append(samples: DataFrame, incrementalRollup: Boolean = false): Unit =
+    withWriterLock("append") {
     val enriched = samples
       .withColumn("valueStr",
         if (samples.columns.contains("valueStr")) col("valueStr") else lit(null).cast("string"))
@@ -211,13 +267,19 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         collect_set("part_start").as("parts"))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(seriesEncPath), spark.sparkContext.hadoopConfiguration)
+    recoverSeriesEnc(fs)
+    val dirPath = new org.apache.hadoop.fs.Path(seriesEncPath)
     val existing =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(seriesEncPath))) None
-      // a crashed prior write can leave the dir with no readable footer —
-      // treat it as absent (self-heals on the next successful write)
-      else try Some(spark.read.parquet(seriesEncPath)
+      if (!fs.exists(dirPath)) None
+      // a crash during the very FIRST append can leave the dir with only
+      // uncommitted task temp files (no .parquet footer) — nothing was
+      // ever pinned, so treating it as absent is exact. But committed
+      // footers that fail to READ mean real pinned encodings are
+      // inaccessible: silently unpinning every series would be the exact
+      // failure this sidecar exists to prevent — fail the append loudly
+      else if (!fs.listStatus(dirPath).exists(_.getPath.getName.endsWith(".parquet"))) None
+      else Some(spark.read.parquet(seriesEncPath)
         .select(col("series_id"), col("variant").as("old_variant")))
-      catch { case _: Exception => None }
     val joined = existing match {
       case Some(e) => batchEnc.join(e, Seq("series_id"), "left")
       case None    => batchEnc.withColumn("old_variant", lit(null).cast("boolean"))
@@ -251,19 +313,57 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   /** Record new series encodings (one small appended file per batch that
     * actually had new series) and bound the sidecar's file count: past 64
-    * files, rewrite into one via tmp+rename — amortized O(1) per batch,
-    * keeps the per-append sidecar scan from degrading on long-lived
-    * streaming tables. */
+    * files, rewrite into one — amortized O(1) per batch, keeps the
+    * per-append sidecar scan from degrading on long-lived streaming
+    * tables.
+    *
+    * The compaction swap is CRASH-ATOMIC via two renames (write tmp →
+    * move live dir aside → move tmp in → drop the aside copy): at every
+    * crash point either the live dir still exists, or a fully-committed
+    * `.tmp` / the complete `.old` copy does — [[recoverSeriesEnc]] rolls
+    * the swap forward or back on the next table operation. The previous
+    * delete-then-rename left a window with NO sidecar at all, which a
+    * later append would read as "no pinned series" and silently re-type
+    * everything. */
   private def recordSeriesTypes(newRows: DataFrame): Unit = {
     newRows.coalesce(1).write.mode(SaveMode.Append).parquet(seriesEncPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(seriesEncPath), spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(seriesEncPath)
+    val tmp = new org.apache.hadoop.fs.Path(seriesEncPath + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(seriesEncPath + ".old")
     if (fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet")) > 64) {
       val all = spark.read.parquet(seriesEncPath)
       all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(seriesEncPath + ".tmp")
-      fs.delete(dir, true)
-      fs.rename(new org.apache.hadoop.fs.Path(seriesEncPath + ".tmp"), dir)
+      fs.delete(old, true) // stale leftover from a long-ago crash, if any
+      fs.rename(dir, old)
+      fs.rename(tmp, dir)
+      fs.delete(old, true)
+    }
+  }
+
+  /** Finish or roll back a compaction swap interrupted by a crash (see
+    * [[recordSeriesTypes]]); also reaps completed-swap leftovers. Called
+    * before every sidecar read — three cheap existence probes in the
+    * common path. */
+  private def recoverSeriesEnc(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(seriesEncPath)
+    val tmp = new org.apache.hadoop.fs.Path(seriesEncPath + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(seriesEncPath + ".old")
+    if (!fs.exists(dir)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        // crash between the two renames: tmp was fully committed before
+        // the live dir moved aside — finish the swap forward
+        fs.rename(tmp, dir)
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        // crash with an incomplete tmp: the aside copy is authoritative
+        fs.delete(tmp, true)
+        fs.rename(old, dir)
+      }
+      // neither: the table genuinely has no sidecar yet
+    } else {
+      if (fs.exists(old)) fs.delete(old, true) // swap completed, reap
     }
   }
 
@@ -578,7 +678,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * (their reads are window-free already). Rollups are unchanged: they
     * are always built from the merged view. */
   def compact(): Unit = {
-    if (!config.overrideOld) return
+    if (!config.overrideOld) return // no-op probe: don't take the lock
+    withWriterLock("compact")(compactImpl())
+  }
+
+  private def compactImpl(): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
     partitionStarts().foreach { start =>
@@ -613,7 +717,9 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     if (config.retentionMs <= 0) return
     val cutoff = nowMs - config.retentionMs
     val cutPart = (cutoff / config.partitionIntervalMs) * config.partitionIntervalMs
-    if (cutPart > 0) delete(0L, cutPart - 1)
+    // delegates to the UNLOCKED delete body under its own lease — the
+    // public delete() takes the same lock and must not self-deadlock
+    if (cutPart > 0) withWriterLock("retention")(deleteImpl(0L, cutPart - 1, Nil, ""))
   }
 
   /** Delete by time range (+ optional metrics / label filter) — reference
@@ -631,7 +737,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     *                [[graft.sql.TsdbSql.translateFilter]] on the CLI path)
     */
   def delete(fromMs: Long, toMs: Long, metrics: Seq[String] = Nil,
-             filter: String = ""): Unit = {
+             filter: String = ""): Unit =
+    withWriterLock("delete")(deleteImpl(fromMs, toMs, metrics, filter))
+
+  private def deleteImpl(fromMs: Long, toMs: Long, metrics: Seq[String],
+                         filter: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(rawPath)

@@ -329,6 +329,69 @@ class TsdbTableSpec extends SparkSuite {
     assert(e.getMessage.contains("Cannot append string type metric"))
   }
 
+  test("series_enc compaction swap is crash-recoverable: types stay pinned at every window") {
+    val dir = Files.createTempDirectory("tsdb_enccrash").toString
+    val t = new TsdbTable(spark, dir, TsdbConfig())
+    t.append(samples(("cpu", "a", Base + 1, 1.0)))
+    val enc = new java.io.File(s"$dir/series_enc")
+    val tmp = new java.io.File(s"$dir/series_enc.tmp")
+    val old = new java.io.File(s"$dir/series_enc.old")
+
+    // window 1: killed after the live dir moved aside, tmp NOT committed
+    // (no _SUCCESS) — the aside copy is authoritative and must come back.
+    // The pre-fix delete-then-rename would leave NO sidecar here and the
+    // next append would silently re-type every series
+    assert(enc.renameTo(old))
+    tmp.mkdirs()
+    val e1 = intercept[IllegalArgumentException](
+      t.append(variantSamples(("cpu", "a", Base + 2, "x"))))
+    assert(e1.getMessage.contains("Cannot append string type metric"))
+    assert(enc.exists && !old.exists && !tmp.exists)
+
+    // window 2: killed between the two renames with tmp fully committed
+    // (a real parquet dir carries _SUCCESS) — recovery finishes forward
+    assert(enc.renameTo(tmp))
+    val e2 = intercept[IllegalArgumentException](
+      t.append(variantSamples(("cpu", "a", Base + 3, "y"))))
+    assert(e2.getMessage.contains("Cannot append string type metric"))
+    assert(enc.exists && !tmp.exists)
+
+    // window 3: killed after the swap, aside copy left behind — reaped
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(old.toString))
+    val e3 = intercept[IllegalArgumentException](
+      t.append(variantSamples(("cpu", "a", Base + 4, "z"))))
+    assert(e3.getMessage.contains("Cannot append string type metric"))
+    assert(enc.exists && !old.exists)
+
+    // and a well-typed append still lands after all that recovery churn
+    t.append(samples(("cpu", "a", Base + 5, 5.0)))
+    assert(t.readRaw(0, Long.MaxValue / 2).count() == 2)
+  }
+
+  test("single-writer contract: a held _writer lock rejects mutations; stale leases break (store.go:449-465)") {
+    val dir = Files.createTempDirectory("tsdb_lock").toString
+    val t = new TsdbTable(spark, dir, TsdbConfig())
+    t.append(samples(("cpu", "a", Base + 1, 1.0)))
+    val lock = new java.io.File(dir, "_writer")
+    // the lock is held only for the mutation's duration
+    assert(!lock.exists)
+    // a concurrent writer's live lock → loud rejection, nothing lands
+    assert(lock.createNewFile())
+    val e = intercept[java.util.ConcurrentModificationException](
+      t.append(samples(("cpu", "a", Base + 2, 2.0))))
+    assert(e.getMessage.contains("_writer"))
+    assert(t.readRaw(0, Long.MaxValue / 2).count() == 1)
+    val e2 = intercept[java.util.ConcurrentModificationException](t.delete(0L, Base))
+    assert(e2.getMessage.contains("single-writer"))
+    // a crashed writer's stale lock (older than the lease) is broken
+    assert(lock.setLastModified(System.currentTimeMillis() - 31 * 60000L))
+    t.append(samples(("cpu", "a", Base + 3, 3.0)))
+    assert(t.readRaw(0, Long.MaxValue / 2).count() == 2)
+    assert(!lock.exists)
+  }
+
   test("delete boundary rewrite keeps __seq when an overrideOld partition mixes pre-__seq files (mergeSchema)") {
     val dir = Files.createTempDirectory("tsdb_morlegacy").toString
     val t = new TsdbTable(spark, dir, TsdbConfig(overrideOld = true))
