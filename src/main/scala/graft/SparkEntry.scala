@@ -557,6 +557,61 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ORACLE-EXACT image decode: constant-color 16x16 PNGs whose color is
+    // a pure function of doc_id run through the REAL javax.imageio decode
+    // path; a constant image has closed-form features (mean channel =
+    // c/255, stdLuma = 0, every quadrant luma = (.299r+.587g+.114b)/255)
+    // which the DuckDB twin emits directly. Both twins collapse to
+    // float32 BEFORE rounding so accumulation-order ulps cannot flip the
+    // hash — this converts the decode path from rows-only to hash-checked
+    "multimodal_features_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          Row(id, Multimodal.constantPng(16, 16,
+            (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt))
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.decodeImageFeatures(blobs)
+        .select(Seq(col("doc_id"), col("decoded"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height")) ++
+          (0 until Multimodal.FeatureDim).map(i =>
+            round(element_at(col("feature"), i + 1).cast("double"), 6).as(s"f$i")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // ORACLE-EXACT audio decode: 0.1 s square waves at amplitude
+    // 16384/32768 = 0.5 (every sample a dyadic rational — EXACT through
+    // 16-bit quantization, where a sine's features drift per sample)
+    // through the REAL javax.sound.sampled decode; rms/peak/mean-abs and
+    // all four quarter-RMS features are exactly 0.5, and the
+    // zero-crossing rate is floor((n-1)/(P/2))/(n-1) with the period P a
+    // pure function of doc_id — all emitted by the DuckDB twin
+    "multimodal_audio_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          Row(id, Multimodal.squareWav(8 * (1 + (id % 4)).toInt, 800, 8000))
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.decodeAudioFeatures(blobs)
+        .select(Seq(col("doc_id"), col("decoded"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("n_frames")) ++
+          (0 until Multimodal.FeatureDim).map(i =>
+            round(element_at(col("feature"), i + 1).cast("double"), 6).as(s"f$i")): _*)
+        .orderBy("doc_id")
+    }),
+
     // ============================================================
     // Corpus selection — the FINAL pipeline stage (what ships)
     // ============================================================
@@ -1102,6 +1157,38 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form features of a constant-color image (color is a pure
+    // function of doc_id — mirrors the entry's fixture synthesis); the
+    // luma expression keeps the decoder's exact operation order, and the
+    // REAL cast collapses to float32 exactly like the decoder's .toFloat
+    "multimodal_features_exact" ->
+      """WITH c AS (SELECT doc_id, doc_id % 256 AS r, (doc_id*7) % 256 AS g,
+        |                  (doc_id*13) % 256 AS b FROM documents),
+        |l AS (SELECT *, 0.299*r + 0.587*g + 0.114*b AS luma FROM c)
+        |SELECT doc_id, true AS decoded, 16::BIGINT AS width, 16::BIGINT AS height,
+        |  round(CAST(r/255.0 AS REAL)::DOUBLE, 6) AS f0,
+        |  round(CAST(g/255.0 AS REAL)::DOUBLE, 6) AS f1,
+        |  round(CAST(b/255.0 AS REAL)::DOUBLE, 6) AS f2,
+        |  0.0::DOUBLE AS f3,
+        |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f4,
+        |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f5,
+        |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f6,
+        |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f7
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    // closed-form features of a +-0.5 square wave (period a pure function
+    // of doc_id): every sample is exactly 0.5 in magnitude, so rms, peak,
+    // mean-abs and all quarter-RMS are exactly 0.5; the zero-crossing
+    // rate is the integer formula floor((n-1)/(P/2)) / (n-1)
+    "multimodal_audio_exact" ->
+      """SELECT doc_id, true AS decoded, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS channels, 800::BIGINT AS n_frames,
+        |  0.5::DOUBLE AS f0,
+        |  round(CAST((799 // (4 * (1 + doc_id % 4)))::DOUBLE / 799 AS REAL)::DOUBLE, 6) AS f1,
+        |  0.5::DOUBLE AS f2, 0.5::DOUBLE AS f3, 0.5::DOUBLE AS f4,
+        |  0.5::DOUBLE AS f5, 0.5::DOUBLE AS f6, 0.5::DOUBLE AS f7
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->

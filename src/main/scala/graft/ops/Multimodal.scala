@@ -243,6 +243,48 @@ object Multimodal {
     } catch { case _: Exception => None } // not audio / corrupt → fallback
   }
 
+  /** Synthesize a constant-color PNG (pure JDK) — fixture plumbing for
+    * the ORACLE-EXACT image entry: a constant image has closed-form
+    * features (mean channel = c/255, stdLuma = 0, every quadrant luma =
+    * (0.299r+0.587g+0.114b)/255) that a SQL twin can emit directly,
+    * converting the decode path from rows-only to hash-checked. */
+  def constantPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Synthesize a mono 16-bit PCM WAV square wave (pure JDK) — fixture
+    * plumbing for the ORACLE-EXACT audio entry. A square wave at
+    * amplitude 16384/32768 = 0.5 survives 16-bit quantization EXACTLY
+    * (every sample is ±0.5, a dyadic rational), so rms/peak/mean-abs and
+    * all four quarter-RMS features are exactly 0.5 and the zero-crossing
+    * rate is the exact integer formula floor((n-1)/(P/2))/(n-1) — all
+    * closed forms a SQL twin can emit (a sine's features are poisoned by
+    * per-sample quantization error; a square's are not). */
+  def squareWav(periodSamples: Int, n: Int, sampleRate: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(periodSamples >= 2 && periodSamples % 2 == 0,
+      s"period must be even and >= 2: $periodSamples")
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if (i % periodSamples < periodSamples / 2) 16384 else -16384
+      pcm(i * 2) = (s & 0xFF).toByte; pcm(i * 2 + 1) = (s >> 8).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    val stream = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Synthesize a mono 16-bit PCM WAV sine (pure JDK) — fixture plumbing
     * for the audio entry and tests; the testdata has no audio column, so
     * payloads are planted deterministically (same pattern as the

@@ -488,4 +488,29 @@ class MultimodalSpec extends SparkSuite {
       .collect().head.getSeq[Float](1)
     assert(out(3L).getSeq[Float](5) == stub)
   }
+
+  test("exact-oracle fixtures: constant PNG and ±0.5 square WAV hit their closed forms BIT-exactly") {
+    // these are the closed forms the multimodal_*_exact DuckDB twins emit;
+    // the decode path must land on them exactly, not approximately
+    val png = Multimodal.constantPng(16, 16, 200, 100, 50)
+    val img = Multimodal.decodeImageFeatures(Seq((1L, png)).toDF("doc_id", "blob"))
+      .collect().head
+    assert(img.getBoolean(1) && img.getInt(2) == 16 && img.getInt(3) == 16)
+    val fi = img.getSeq[Float](4)
+    assert(fi(0) == (200 / 255.0).toFloat && fi(1) == (100 / 255.0).toFloat &&
+      fi(2) == (50 / 255.0).toFloat)
+    assert(math.abs(fi(3)) < 5e-7) // constant image: stdLuma rounds to 0 at 6dp
+    val luma = ((0.299 * 200 + 0.587 * 100 + 0.114 * 50) / 255.0).toFloat
+    assert((4 to 7).forall(i => fi(i) == luma), s"quadrants ${fi.drop(4)} != $luma")
+
+    val wav = Multimodal.squareWav(periodSamples = 16, n = 800, sampleRate = 8000)
+    val aud = Multimodal.decodeAudioFeatures(Seq((1L, wav)).toDF("doc_id", "blob"))
+      .collect().head
+    assert(aud.getBoolean(1) && aud.getInt(2) == 8000 && aud.getLong(4) == 800L)
+    val fa = aud.getSeq[Float](5)
+    // ±0.5 is dyadic: rms/peak/mean-abs/quarter-RMS are EXACTLY 0.5
+    assert(fa(0) == 0.5f && fa(2) == 0.5f && fa(3) == 0.5f)
+    assert((4 to 7).forall(i => fa(i) == 0.5f))
+    assert(fa(1) == ((799 / 8).toDouble / 799).toFloat) // zcr = floor((n-1)/(P/2))/(n-1)
+  }
 }
