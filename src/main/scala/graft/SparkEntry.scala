@@ -449,6 +449,19 @@ object SparkEntry {
       Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", maxDist = 3)),
 
+    // ORACLE-CHECKABLE SimHash: the identical vote/banding/hamming
+    // pipeline with an md5-derived 60-bit token hash (computable in
+    // DuckDB, unlike xxhash64) — Spark's conv(hex,16,10) and DuckDB's
+    // '0x…'::UBIGINT parse the same 15-hex-char md5 prefix, so the
+    // fingerprints and therefore the pair set match hash-exactly.
+    // dedup_simhash above (xxhash64, codegen'd) stays the production path
+    "dedup_simhash_md5" -> ((s, dir) =>
+      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", maxDist = 3,
+          tokenHash = w => conv(substring(md5(w.cast("binary")), 1, 15),
+            16, 10).cast("long"))
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+
     // embedding-cosine near-dup pairs
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.45)),
@@ -1133,6 +1146,33 @@ object SparkEntry {
         |  array_to_string(list_transform(emb, x ->
         |    CAST(greatest(-127, least(127, floor(x * sc + 0.5))) AS INT)), ',') AS qvec
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // full SimHash twin: distinct whitespace tokens (split of "" keeps the
+    // "" token — mirroring Spark's split+array_distinct exactly), 60-bit
+    // md5-prefix hash, 64 per-bit votes, sign fingerprint, 4x16-bit
+    // banding, bit_count hamming <= 3. Bits 60..63 of the 60-bit hash are
+    // always 0 → vote -n → never set, identically in both engines
+    "dedup_simhash_md5" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substring(md5(w), 1, 15))::UBIGINT::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, i,
+        |           sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |         FROM h CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+        |fp AS (SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |blk AS (SELECT doc_id, simhash, b, (simhash >> (b*16)) & 65535 AS key
+        |        FROM fp CROSS JOIN range(4) rb(b)),
+        |p AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |        bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+        |      FROM blk x JOIN blk y
+        |        ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)

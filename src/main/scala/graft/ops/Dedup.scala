@@ -241,12 +241,20 @@ object Dedup {
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash fingerprint per doc: sign of the per-bit vote sum of
-    * the xxhash64 of each distinct token. One explode + one aggregate. */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * the hash of each distinct token. One explode + one aggregate.
+    *
+    * @param tokenHash per-token 64-bit hash. Default xxhash64 (codegen'd,
+    *        the production path). The `dedup_simhash_md5` oracle entry
+    *        passes an md5-derived hash instead — md5 is computable in the
+    *        DuckDB twin, which makes the whole vote/banding/hamming
+    *        pipeline hash-checkable end-to-end (xxhash64 itself has no
+    *        SQL twin, so the production entry stays rows-only). */
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = docs
       .select(col(idCol).as("id"),
         explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", tokenHash(col("w")))
     val votes = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
@@ -262,12 +270,13 @@ object Dedup {
     * block; larger distances are caught best-effort — same trade the
     * scale path always makes) then verified with bit_count. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     // the banded self-join consumes the fingerprint table twice and its
     // exchanges alias differently (no AQE reuse) — without caching, the
     // whole corpus scan + 64-vote aggregate runs twice. The cached table
     // is one long per doc; scope-cached (see Caching.scoped)
-    val sh = simHash(docs, idCol, textCol)
+    val sh = simHash(docs, idCol, textCol, tokenHash)
     val blocks = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("blk"),
