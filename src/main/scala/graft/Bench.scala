@@ -25,12 +25,15 @@ object Bench {
     "tsdb_sql", "tsdb_multi_agg", "tsdb_storage_agg", "tsdb_sliding_server",
     "tsdb_storage_preagg",
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_md5",
+    "dedup_clusters",
     "sim_topk", "sim_ann_ivf", "sim_quantize", "events_sessionize",
     "text_tokens", "text_quality", "text_langid", "text_tfidf", "text_redact",
     "text_repetition", "text_decontaminate", "doc_fingerprint",
     "corpus_sample", "corpus_pack", "corpus_topk", "corpus_curate",
-    "multimodal_meta", "multimodal_features", "multimodal_audio")
+    "corpus_curate_stream",
+    "multimodal_meta", "multimodal_features", "multimodal_audio",
+    "multimodal_features_exact", "multimodal_audio_exact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

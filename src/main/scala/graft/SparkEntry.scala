@@ -661,6 +661,23 @@ object SparkEntry {
         .select("lang", "source", "doc_id", "quality_score", "rank")
     }),
 
+    // STREAMING curation in its batch mode — the same operator
+    // CorpusStreamingSpec drives on a MemoryStream (watermarked
+    // fingerprint dedup + stateless quality/language gate), applied to
+    // the batch frame where its keep rule is the deterministic
+    // (event time, doc_id)-minimum per fingerprint. Event time is
+    // planted as a NON-monotone function of doc_id so the keep rule is
+    // genuinely exercised, not equivalent to doc_id order
+    "corpus_curate_stream" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("__et",
+          timestamp_millis((col("doc_id") * 37 % 1000) * 1000))
+      ops.Corpus.streamingCurate(docs, "doc_id", "text", "__et",
+          "10 minutes", minQuality = 0.4)
+        .select(col("doc_id"), col("fp"), col("pred_lang"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
     // END-TO-END curation — the composition a real pipeline ships:
     // language-ID + quality gate, then near-dup drop (LSH pairs →
     // connected components → canonical keep). Every stage is the same
@@ -1308,6 +1325,48 @@ object SparkEntry {
 
     // quality/langid gate ∘ near-dup transitive-closure drop — stages
     // mirror text_quality, text_langid and dedup_keep exactly
+    // the batch semantics of streamingCurate: (event time, id)-minimal
+    // row per fingerprint, then the same quality/langid gate as
+    // corpus_curate; event time = (doc_id*37) % 1000 mirrors the entry
+    "corpus_curate_stream" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |    (doc_id * 37) % 1000 AS et
+        |  FROM documents),
+        |k AS (SELECT doc_id, text, fp,
+        |        row_number() OVER (PARTITION BY fp ORDER BY et, doc_id) AS rn
+        |      FROM d),
+        |f AS (
+        |  SELECT doc_id, text, fp, length(text) AS cl,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS wc,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM k WHERE rn = 1),
+        |n AS (
+        |  SELECT doc_id, text, fp, cl, wc, pc,
+        |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
+        |    len(list_filter(w, x -> list_contains(['el','la','de','los','y','que','en'], x))) AS es,
+        |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de,
+        |    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS fr
+        |  FROM f),
+        |q AS (
+        |  SELECT doc_id, fp,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |         WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |         WHEN de >= fr AND de > 0 THEN 'de'
+        |         WHEN fr > 0 THEN 'fr'
+        |         ELSE 'unknown' END AS pred_lang,
+        |    CASE WHEN wc > 0 AND cl > 0 THEN
+        |      round(0.4 * least(wc / 100.0, 1.0) + 0.4 * (en * 1.0 / wc)
+        |            + 0.2 * (1.0 - pc * 1.0 / cl), 6)
+        |    ELSE 0.0 END AS quality_score
+        |  FROM n)
+        |SELECT doc_id, fp, pred_lang, quality_score FROM q
+        |WHERE quality_score >= 0.4 AND pred_lang <> 'unknown'
+        |ORDER BY doc_id""".stripMargin,
+
     "corpus_curate" ->
       s"""WITH RECURSIVE $NgramJaccardCtes,
          |p AS ($NgramJaccardSelect),
