@@ -46,14 +46,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.write.mode("overwrite").format("noop").save()
+    def run(name: String): Unit =
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
       // ops with multi-consumer internals return a persisted handle
-      // (Caching.scoped). Release it between runs — otherwise round 2
-      // would "time" a cache read of round 1's result, not the engine
-      df.unpersist()
-    }
+      // (Caching.scoped), and several entries wrap it in a projection —
+      // df.unpersist() on the wrapper would be a no-op and round 2 would
+      // "time" a cache read of round 1's result. clearCache drops every
+      // cached plan (nothing outside the ops caches across queries; the
+      // tsdb table and IVF index are on DISK, unaffected), and the
+      // finally still clears when a run throws
+      finally spark.sharedState.cacheManager.clearCache()
 
     run("q1_agg") // warm-up, untimed
     // storage-table INGEST and IVF index TRAINING are their own operations

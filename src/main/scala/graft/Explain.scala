@@ -19,6 +19,9 @@ object Explain {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // print the operators' real plans, not InMemoryTableScans over the
+    // eagerly-materialized caches Caching.scoped would otherwise build
+    graft.ops.Caching.planOnly = true
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("tsdb_raw", "tsdb_client_agg", "tsdb_storage_agg",

@@ -24,16 +24,17 @@ object Verify {
         f.delete()
       }
       if (dest.exists()) nuke(dest)
-      try {
-        val df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        // ops with multi-consumer internals return a persisted handle
-        // (Caching.scoped) — release it so 50+ queries in one session
-        // don't accumulate cached results (no-op for uncached frames)
-        df.unpersist()
-      } catch { case e: Throwable =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // ops with multi-consumer internals return a persisted handle
+      // (Caching.scoped), often wrapped by the entry in a projection that
+      // unpersist() would no-op on — drop ALL cached plans so 50+ queries
+      // in one session don't accumulate results (also runs when the entry
+      // failed; nothing caches across queries by design)
+      finally spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

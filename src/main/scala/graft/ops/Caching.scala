@@ -17,6 +17,13 @@ import org.apache.spark.storage.StorageLevel
   */
 private[graft] object Caching {
 
+  /** Plan-audit escape hatch (graft.Explain): when set, [[scoped]] builds
+    * the result plan with NO caching or materialization, so explain shows
+    * the operator's REAL plan (pushed filters, broadcast joins, codegen
+    * spans) instead of an InMemoryTableScan over an eagerly-built cache —
+    * and the audit tool never executes the operator it is only printing. */
+  @volatile var planOnly: Boolean = false
+
   /** Persist `df` at MEMORY_AND_DISK unless some equivalent plan is
     * already cached (re-persisting an already-cached plan is a no-op that
     * logs a CacheManager warning — e.g. the brute-force Jaccard baseline
@@ -44,6 +51,7 @@ private[graft] object Caching {
     * it — that single small handle is the only cache that outlives the
     * operator. */
   def scoped(intermediates: DataFrame*)(result: => DataFrame): DataFrame = {
+    if (planOnly) return result
     // by-name result: intermediates are cached BEFORE the body builds (or
     // probes — see benchmarkOverlap's broadcast gate) the result plan
     val owned = intermediates.filter(cacheIfNeeded)

@@ -142,7 +142,16 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     val lock = new org.apache.hadoop.fs.Path(path, "_writer")
     try {
       val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-      if (age > config.writerLeaseMs) fs.delete(lock, false)
+      // break an expired lease by CLAIMING it first (rename to a unique
+      // name, then delete the claimed file): two waiters deleting the
+      // stale path directly could each delete-then-create and BOTH
+      // acquire — rename is the atomic arbiter, only its winner proceeds
+      // past this point with the stale lock gone
+      if (age > config.writerLeaseMs) {
+        val claimed = new org.apache.hadoop.fs.Path(path,
+          s"_writer.stale.${ProcessHandle.current.pid}.${System.nanoTime()}")
+        if (fs.rename(lock, claimed)) fs.delete(claimed, false)
+      }
     } catch { case _: java.io.FileNotFoundException => () }
     val stream =
       try fs.create(lock, false)
@@ -161,12 +170,17 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
               s"table, or wait for the ${config.writerLeaseMs} ms lease to expire " +
               "if that writer crashed.")
       }
+    // once the lock exists WE own releasing it: the holder-info write and
+    // the body both run inside the same finally, so a failed write cannot
+    // leave the table wedged for a full lease
     try {
-      stream.write((s"op=$op host=${java.net.InetAddress.getLocalHost.getHostName} " +
-        s"pid=${ProcessHandle.current.pid} ts=${System.currentTimeMillis()}")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally stream.close()
-    try body finally fs.delete(lock, false)
+      try {
+        stream.write((s"op=$op host=${java.net.InetAddress.getLocalHost.getHostName} " +
+          s"pid=${ProcessHandle.current.pid} ts=${System.currentTimeMillis()}")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } finally stream.close()
+      body
+    } finally fs.delete(lock, false)
   }
 
   /** Raw-table file read. overrideOld tables merge footers so files
@@ -363,7 +377,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       }
       // neither: the table genuinely has no sidecar yet
     } else {
-      if (fs.exists(old)) fs.delete(old, true) // swap completed, reap
+      // the live dir is authoritative whenever it exists: reap BOTH
+      // leftovers (a committed .tmp from a crash before the first rename
+      // would otherwise linger and resurrect stale pins after a full wipe)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
     }
   }
 
@@ -800,8 +818,13 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       refreshRollup(touched.filter(s => fs.exists(new org.apache.hadoop.fs.Path(base, s"part_start=$s"))))
       refreshNames()
     } else {
-      // everything deleted: drop the derived tables too
-      Seq(rollupPath, namesPath, seriesEncPath).foreach(p =>
+      // everything deleted: drop the derived tables too — INCLUDING the
+      // sidecar swap leftovers, or recoverSeriesEnc would resurrect the
+      // wiped type pins from a stale .tmp/.old on the next append. The
+      // leftovers go FIRST: a crash mid-wipe then leaves the live dir
+      // (harmless — the wipe re-runs), never a resurrectable orphan .tmp
+      Seq(seriesEncPath + ".tmp", seriesEncPath + ".old",
+          rollupPath, namesPath, seriesEncPath).foreach(p =>
         fs.delete(new org.apache.hadoop.fs.Path(p), true))
       config.preAggregates.foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(preAggPath(s)), true))
