@@ -502,7 +502,7 @@ object SparkEntry {
       val src = new java.io.File(s"$dir/embeddings.parquet")
       val fp = Option(src.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
           .map(f => f.getName + ":" + f.lastModified + ":" + f.length).sorted.mkString(","))
-        .getOrElse(src.lastModified + ":" + src.length)
+        .getOrElse(s"${src.lastModified}:${src.length}")
       val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf/" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + (dir.hashCode & 0x7fffffff)
       val cents = Similarity.trainOrLoadIvfIndex(e, idx, version = s"$dir@$fp",
