@@ -661,6 +661,20 @@ object SparkEntry {
         .select("lang", "source", "doc_id", "quality_score", "rank")
     }),
 
+    // fixed-size token chunking with overlap — how documents become
+    // training sequences (context-window packing / retrieval indexing):
+    // 64-token chunks starting every 48 tokens. Shuffle-free
+    "corpus_chunk" -> ((s, dir) =>
+      ops.Corpus.chunkByTokens(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16)),
+
+    // corpus vocabulary: top-500 terms by total frequency among terms in
+    // >= 2 docs — the tokenizer-training / vocab-pruning step. Global
+    // top-V lowers to TakeOrderedAndProject (no single-partition stage)
+    "text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", minDf = 2, topV = 500)),
+
     // STREAMING curation in its batch mode — the same operator
     // CorpusStreamingSpec drives on a MemoryStream (watermarked
     // fingerprint dedup + stateless quality/language gate), applied to
@@ -1325,6 +1339,29 @@ object SparkEntry {
 
     // quality/langid gate ∘ near-dup transitive-closure drop — stages
     // mirror text_quality, text_langid and dedup_keep exactly
+    // sliding-window chunking twin: DuckDB range(0, len, stride) is
+    // exactly the non-empty start list; list slice clamps like Spark's
+    "corpus_chunk" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS st FROM d)
+        |SELECT doc_id, (st // 48)::BIGINT AS chunk_id,
+        |  array_to_string(w[st+1 : st+64], ' ') AS chunk_text,
+        |  least(len(w) - st, 64)::BIGINT AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_vocab" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                       x -> x <> '')) AS term
+        |  FROM documents),
+        |g AS (SELECT term, doc_id, count(*) AS c FROM t GROUP BY term, doc_id),
+        |v AS (SELECT term, sum(c)::BIGINT AS tf, count(*)::BIGINT AS df
+        |      FROM g GROUP BY term)
+        |SELECT term, tf, df FROM v WHERE df >= 2
+        |ORDER BY tf DESC, term LIMIT 500""".stripMargin,
+
     // the batch semantics of streamingCurate: (event time, id)-minimal
     // row per fingerprint, then the same quality/langid gate as
     // corpus_curate; event time = (doc_id*37) % 1000 mirrors the entry

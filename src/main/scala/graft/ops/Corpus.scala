@@ -183,6 +183,41 @@ object Corpus {
       .drop("__w", "__wl")
   }
 
+  /** Fixed-size token chunking with overlap — how documents become
+    * training sequences: each doc's whitespace tokens split into windows
+    * of `chunkTokens` starting every `chunkTokens - overlapTokens` tokens
+    * (the standard sliding-window chunking for context-window packing and
+    * retrieval indexing). Output `(doc_id, chunk_id, chunk_text,
+    * n_tokens)`; the final chunk may be short; docs with no tokens yield
+    * no chunks.
+    *
+    * Shuffle-free — tokenize + explode at scan speed. The token array is
+    * projected ONCE and every consumer references the attribute (building
+    * it inline would re-run the interpreted tokenizer HOF per consumer);
+    * empty docs are dropped by exploding an EMPTY start list instead of a
+    * row filter on `size(tokens)` — a filter would be pushed into the
+    * projection and re-evaluate the tokenizer a second time per row. */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val starts = filter(
+      sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)), lit(stride)),
+      x => x < size(col("__w")))
+    docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), col("__w"), explode(starts).as("__start"))
+      .select(col("doc_id"),
+        expr(s"__start DIV $stride").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__w"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(size(col("__w")) - col("__start"), lit(chunkTokens))
+          .cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Top-k rows per group by a score column (curriculum / quality
     * selection: "keep the best k docs per source"). Deterministic: score
     * desc, then `idCol` asc on ties. The rank filter sits directly on

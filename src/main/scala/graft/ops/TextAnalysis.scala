@@ -191,6 +191,27 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus vocabulary: the top-V terms by total frequency (term-asc
+    * tiebreak) among terms appearing in at least `minDf` documents — the
+    * tokenizer-training / vocabulary-pruning step of a data pipeline.
+    * Output `(term, tf, df)` ordered by (tf desc, term).
+    *
+    * Distributed shape: one shuffle on (term, doc) for per-doc counts
+    * (map-side combined), one on term for the totals, then the global
+    * top-V lowers to TakeOrderedAndProject — each task keeps its own V
+    * candidates and only those reach the driver-side merge, so the full
+    * term table never gathers anywhere. No single-partition window. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Long, topV: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    toks.groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("term").agg(sum("c").as("tf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("tf").desc, col("term"))
+      .limit(topV)
+  }
+
   /** Per-document top-k terms by TF-IDF — keyword extraction / topical
     * fingerprinting for corpus curation. Scoring uses the RATIONAL idf
     * `(N+1)/(df+1)` (monotone in the classic `ln`-idf): every operand is

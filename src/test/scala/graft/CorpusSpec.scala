@@ -62,6 +62,24 @@ class CorpusSpec extends SparkSuite {
     assert(blocked.collect().toSeq == global.collect().toSeq)
   }
 
+  test("chunkByTokens: sliding windows with overlap, short tail, empty docs drop") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // shorter than one chunk
+      (3L, "   "),                 // no tokens → no chunks
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkByTokens(d, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // stride 3: starts 0,3,6,9 — last chunk is the single trailing token
+    assert(out.toSeq == Seq(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "d e f g", 4L),
+      (1L, 2L, "g h i j", 4L), (1L, 3L, "j", 1L),
+      (2L, 0L, "x y", 2L)))
+    intercept[IllegalArgumentException](
+      Corpus.chunkByTokens(d, "doc_id", "text", chunkTokens = 4, overlapTokens = 4))
+  }
+
   test("topKPerGroup: score desc with id tiebreak, k bound per group") {
     val d = Seq(("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.1),
       ("b", 5L, 0.7)).toDF("grp", "doc_id", "score")

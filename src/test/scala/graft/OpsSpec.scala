@@ -349,6 +349,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out((3L, 2L)) == ("date", 2.0))
   }
 
+  test("vocabulary: tf/df counts, minDf prune, tf-desc term-asc order, top-V bound") {
+    val d = Seq(
+      (1L, "the cat the dog"),
+      (2L, "the cat"),
+      (3L, "cat zebra zebra zebra"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(d, "doc_id", "text", minDf = 2, topV = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // zebra (tf 3, df 1) is pruned by minDf; top-2 of the rest by tf
+    assert(out.toSeq == Seq(("cat", 3L, 3L), ("the", 3L, 2L)))
+    // global top-V lowers to TakeOrderedAndProject — no global sort/window
+    val plan = TextAnalysis.vocabulary(d, "doc_id", "text", 1, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+  }
+
   test("PII redaction: emails, IPv4s, phone runs; order protects email digits") {
     val out = Seq(
       "mail bob.smith+x@corp.example.org now",
