@@ -202,6 +202,58 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: chunkByTokens == sliding-window model; overlap-stripped concat rebuilds the doc") {
+    (0 until 6).foreach { i =>
+      val g = for {
+        n <- Gen.choose(0, 50)
+        words <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+        chunk <- Gen.choose(2, 8)
+        overlap <- Gen.choose(0, chunk - 1)
+      } yield (words, chunk, overlap)
+      val (words, chunk, overlap) = g.pureApply(Gen.Parameters.default, Seed(4000L + i))
+      val stride = chunk - overlap
+      val model = (0 until words.size by stride).zipWithIndex.map { case (st, ci) =>
+        val sl = words.slice(st, st + chunk)
+        (1L, ci.toLong, sl.mkString(" "), sl.size.toLong)
+      }
+      val got = graft.ops.Corpus.chunkByTokens(
+          Seq((1L, words.mkString(" "))).toDF("doc_id", "text"),
+          "doc_id", "text", chunk, overlap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toList
+      assert(got == model.toList, s"case $i chunk=$chunk overlap=$overlap words=$words")
+      // lossless: dropping each successor chunk's overlap prefix rebuilds the doc
+      val rebuilt = got.map(_._3.split(" ").filter(_.nonEmpty).toList) match {
+        case Nil => Nil
+        case h :: t => h ++ t.flatMap(_.drop(overlap))
+      }
+      assert(rebuilt == words, s"case $i reconstruction failed")
+    }
+  }
+
+  test("PROPERTY: vocabulary == driver tf/df model on random corpora") {
+    (0 until 6).foreach { i =>
+      val g = for {
+        n <- Gen.choose(1, 30)
+        docs <- Gen.listOfN(n, Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")))
+        minDf <- Gen.choose(1, 3)
+      } yield (docs, minDf)
+      val (docs, minDf) = g.pureApply(Gen.Parameters.default, Seed(5000L + i))
+      val model = docs.zipWithIndex
+        .flatMap { case (ws, id) => ws.map(w => (w, id)) }
+        .groupBy(_._1)
+        .map { case (w, occ) => (w, occ.size.toLong, occ.map(_._2).distinct.size.toLong) }
+        .filter(_._3 >= minDf)
+        .toList.sortBy { case (w, tf, _) => (-tf, w) }
+        .take(4)
+      val got = graft.ops.TextAnalysis.vocabulary(
+          docs.zipWithIndex.map { case (ws, id) => (id.toLong, ws.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          "doc_id", "text", minDf, topV = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+      assert(got == model, s"case $i minDf=$minDf docs=$docs\ngot=$got\nmodel=$model")
+    }
+  }
+
   private def approxEq(a: Map[(String, Long), Seq[Any]], b: Map[(String, Long), Seq[Any]]): Boolean =
     a.keySet == b.keySet && a.forall { case (k, va) =>
       va.zip(b(k)).forall {
