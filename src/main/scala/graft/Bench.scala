@@ -27,7 +27,8 @@ object Bench {
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_md5",
     "dedup_clusters",
-    "sim_topk", "sim_ann_ivf", "sim_quantize", "events_sessionize",
+    "sim_topk", "sim_ann_ivf", "sim_quantize", "dedup_embedding_srp",
+    "events_sessionize",
     "text_tokens", "text_quality", "text_langid", "text_tfidf", "text_redact",
     "text_repetition", "text_decontaminate", "doc_fingerprint",
     "corpus_sample", "corpus_pack", "corpus_topk", "corpus_curate",

@@ -466,6 +466,16 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.45)),
 
+    // embedding near-dup via SRP-LSH (sign-random-projection — the
+    // LSH-bucketed embedding scale path next to k-means blocking and
+    // IVF): deterministic seeded hyperplanes, banded signatures,
+    // true-cosine verification. Oracle = the brute-force pair SQL; on
+    // this corpus the 2-bit banding catches every >=0.45 pair, so the
+    // verified output EQUALS brute force (the same subset-equality
+    // discipline as dedup_minhash_lsh)
+    "dedup_embedding_srp" -> ((s, dir) =>
+      Similarity.nearDupPairsSrp(s.read.parquet(s"$dir/embeddings.parquet"), 0.45)),
+
     // exact ANN baseline: brute-force cosine top-5 for 10 query vectors
     "sim_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1206,6 +1216,17 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the SRP-LSH path verifies candidates with the true cosine, so its
+    // output must EQUAL the brute-force pair set here (banding recall
+    // covers every fixture pair) — same oracle as dedup_embedding
+    "dedup_embedding_srp" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.emb, b.emb), 6) AS sim

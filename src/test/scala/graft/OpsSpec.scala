@@ -253,6 +253,11 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(_.toSeq).toSeq
     assert(brute.nonEmpty)
     assert(blocked == brute)
+    // SRP-LSH: verified candidates are an exact SUBSET of brute force by
+    // construction, and on this clustered data the banding catches every
+    // high-cosine pair → equality (deterministic: seeded hyperplanes)
+    val srp = Similarity.nearDupPairsSrp(e, 0.9).collect().map(_.toSeq).toSeq
+    assert(srp == brute)
   }
 }
 
