@@ -1358,10 +1358,10 @@ object SparkEntry {
         |SELECT lang, source, doc_id, quality_score, rank
         |FROM r WHERE rank <= 3 ORDER BY lang, source, rank""".stripMargin,
 
-    // quality/langid gate ∘ near-dup transitive-closure drop — stages
-    // mirror text_quality, text_langid and dedup_keep exactly
-    // sliding-window chunking twin: DuckDB range(0, len, stride) is
-    // exactly the non-empty start list; list slice clamps like Spark's
+    // sliding-window chunking twin: DuckDB range(0, len, stride) is the
+    // non-empty start list; the WHERE mirrors the redundant-tail rule
+    // (a start s>0 with s+overlap >= len is contained in the previous
+    // chunk); list slice clamps like Spark's
     "corpus_chunk" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
@@ -1370,7 +1370,8 @@ object SparkEntry {
         |SELECT doc_id, (st // 48)::BIGINT AS chunk_id,
         |  array_to_string(w[st+1 : st+64], ' ') AS chunk_text,
         |  least(len(w) - st, 64)::BIGINT AS n_tokens
-        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+        |FROM s WHERE st = 0 OR st + 16 < len(w)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "text_vocab" ->
       """WITH t AS (SELECT doc_id,
@@ -1425,6 +1426,8 @@ object SparkEntry {
         |WHERE quality_score >= 0.4 AND pred_lang <> 'unknown'
         |ORDER BY doc_id""".stripMargin,
 
+    // quality/langid gate ∘ near-dup transitive-closure drop — stages
+    // mirror text_quality, text_langid and dedup_keep exactly
     "corpus_curate" ->
       s"""WITH RECURSIVE $NgramJaccardCtes,
          |p AS ($NgramJaccardSelect),

@@ -188,8 +188,12 @@ object Corpus {
     * of `chunkTokens` starting every `chunkTokens - overlapTokens` tokens
     * (the standard sliding-window chunking for context-window packing and
     * retrieval indexing). Output `(doc_id, chunk_id, chunk_text,
-    * n_tokens)`; the final chunk may be short; docs with no tokens yield
-    * no chunks.
+    * n_tokens)`, unordered (order it downstream if needed — a global sort
+    * over every chunk of a training corpus is never free); the final
+    * chunk may be short; docs with no tokens yield no chunks. A trailing
+    * start within `overlapTokens` of the doc end is suppressed: its chunk
+    * would be a strict subset of the previous chunk (which already
+    * reached the end), double-counting tail tokens in the packed corpus.
     *
     * Shuffle-free — tokenize + explode at scan speed. The token array is
     * projected ONCE and every consumer references the attribute (building
@@ -203,9 +207,13 @@ object Corpus {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlap must be in [0, chunkTokens): $overlapTokens")
     val stride = chunkTokens - overlapTokens
+    // keep a start when it's in range AND not a redundant tail: for s>0
+    // the immediately-previous chunk ends at s+overlap, so s+overlap>=len
+    // means that chunk already covers everything from s on
     val starts = filter(
       sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)), lit(stride)),
-      x => x < size(col("__w")))
+      x => x < size(col("__w")) &&
+        (x === 0 || x + lit(overlapTokens) < size(col("__w"))))
     docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__w"))
       .select(col("doc_id"), col("__w"), explode(starts).as("__start"))
@@ -215,7 +223,6 @@ object Corpus {
           .as("chunk_text"),
         least(size(col("__w")) - col("__start"), lit(chunkTokens))
           .cast("long").as("n_tokens"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Top-k rows per group by a score column (curriculum / quality

@@ -202,15 +202,23 @@ object TextAnalysis {
     * candidates and only those reach the driver-side merge, so the full
     * term table never gathers anywhere. No single-partition window. */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String,
-                 minDf: Long, topV: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
-    toks.groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
-      .groupBy("term").agg(sum("c").as("tf"), count(lit(1)).as("df"))
+                 minDf: Long, topV: Int): DataFrame =
+    termDocCounts(docs, idCol, textCol)
+      .groupBy("term").agg(sum("tf").as("tf"), count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .orderBy(col("tf").desc, col("term"))
       .limit(topV)
-  }
+
+  /** Distinct-(doc, term) counts shared by [[vocabulary]] and
+    * [[tfIdfTopTerms]]: tokenize + lower + explode once, then ONE
+    * map-side-combined shuffle on (doc_id, term) → `(doc_id, term, tf)`.
+    * Per-term document frequency (row count per term) and corpus term
+    * frequency (sum of tf per term) both derive from this table, so a
+    * tokenizer or null-handling change lands in every consumer at once. */
+  private def termDocCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** Per-document top-k terms by TF-IDF — keyword extraction / topical
     * fingerprinting for corpus curation. Scoring uses the RATIONAL idf
@@ -229,14 +237,12 @@ object TextAnalysis {
     * @return (doc_id, term, score, rank), rank 1..k by score desc with
     *         term-asc tiebreak (deterministic) */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
     // scope-cached: df derives from tf and the score join consumes tf
     // again — without it the corpus tokenizes+explodes once per consumer
     // (AQE does NOT reuse the exchange across the differently-shaped
     // subtrees; verified in the physical plan). Rows = distinct
     // (doc, term) pairs, released once the top-k output materializes
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = termDocCounts(docs, idCol, textCol)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))

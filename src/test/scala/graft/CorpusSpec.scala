@@ -70,11 +70,13 @@ class CorpusSpec extends SparkSuite {
       (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val out = Corpus.chunkByTokens(d, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-    // stride 3: starts 0,3,6,9 — last chunk is the single trailing token
+    // stride 3: starts 0,3,6,9 — start 9 is suppressed because its
+    // chunk ("j") is a strict subset of "g h i j", which reaches the end
     assert(out.toSeq == Seq(
       (1L, 0L, "a b c d", 4L), (1L, 1L, "d e f g", 4L),
-      (1L, 2L, "g h i j", 4L), (1L, 3L, "j", 1L),
+      (1L, 2L, "g h i j", 4L),
       (2L, 0L, "x y", 2L)))
     intercept[IllegalArgumentException](
       Corpus.chunkByTokens(d, "doc_id", "text", chunkTokens = 4, overlapTokens = 4))

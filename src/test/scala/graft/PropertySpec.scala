@@ -212,13 +212,18 @@ class PropertySpec extends SparkSuite {
       } yield (words, chunk, overlap)
       val (words, chunk, overlap) = g.pureApply(Gen.Parameters.default, Seed(4000L + i))
       val stride = chunk - overlap
-      val model = (0 until words.size by stride).zipWithIndex.map { case (st, ci) =>
-        val sl = words.slice(st, st + chunk)
-        (1L, ci.toLong, sl.mkString(" "), sl.size.toLong)
-      }
+      // redundant-tail rule: a start s>0 with s+overlap >= len is dropped
+      // (its chunk is contained in the previous one, which reached the end)
+      val model = (0 until words.size by stride)
+        .filter(st => st == 0 || st + overlap < words.size)
+        .zipWithIndex.map { case (st, ci) =>
+          val sl = words.slice(st, st + chunk)
+          (1L, ci.toLong, sl.mkString(" "), sl.size.toLong)
+        }
       val got = graft.ops.Corpus.chunkByTokens(
           Seq((1L, words.mkString(" "))).toDF("doc_id", "text"),
           "doc_id", "text", chunk, overlap)
+        .orderBy("doc_id", "chunk_id")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toList
       assert(got == model.toList, s"case $i chunk=$chunk overlap=$overlap words=$words")
       // lossless: dropping each successor chunk's overlap prefix rebuilds the doc
