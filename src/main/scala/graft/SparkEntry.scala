@@ -468,13 +468,26 @@ object SparkEntry {
 
     // embedding near-dup via SRP-LSH (sign-random-projection — the
     // LSH-bucketed embedding scale path next to k-means blocking and
-    // IVF): deterministic seeded hyperplanes, banded signatures,
-    // true-cosine verification. Oracle = the brute-force pair SQL; on
-    // this corpus the 2-bit banding catches every >=0.45 pair, so the
-    // verified output EQUALS brute force (the same subset-equality
-    // discipline as dedup_minhash_lsh)
-    "dedup_embedding_srp" -> ((s, dir) =>
-      Similarity.nearDupPairsSrp(s.read.parquet(s"$dir/embeddings.parquet"), 0.45)),
+    // IVF) in its HONEST regime: SRP banding only beats brute force at
+    // high thresholds (ρ ≈ 0.22 at cosine 0.9 vs 0.63 at 0.45 — see the
+    // operator docstring), and the fixture's max organic pair sits at
+    // cosine 0.513, so near-dups are PLANTED — each vec_id < 40 gets a
+    // copy shifted by +0.02 per component (the vectors are unit-norm, so
+    // planted cosines land at ≈ 0.987-0.989 — above threshold with
+    // margin, yet far from the trivial 1.0; organic pairs stay far below
+    // 0.9). The DuckDB twin replicates the
+    // same construction (the text_redact discipline), and the verified
+    // output EQUALS its brute-force pair set under the production
+    // defaults (256 bits / 32 bands)
+    "dedup_embedding_srp" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val planted = base.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") + lit(0.02)).cast("float")).as("embedding"))
+      Similarity.nearDupPairsSrp(base.unionByName(planted), 0.9)
+    }),
 
     // exact ANN baseline: brute-force cosine top-5 for 10 query vectors
     "sim_topk" -> ((s, dir) => {
@@ -1224,14 +1237,22 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // the SRP-LSH path verifies candidates with the true cosine, so its
-    // output must EQUAL the brute-force pair set here (banding recall
-    // covers every fixture pair) — same oracle as dedup_embedding
+    // output must EQUAL brute force over the SAME planted-near-dup table
+    // the entry builds: vec_id < 40 duplicated at +1000000 with every
+    // component shifted +0.02 (float math mirrored exactly — double add,
+    // then round-to-nearest float cast, identical in both engines)
     "dedup_embedding_srp" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+      """WITH b AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 1000000 AS vec_id,
+        |        list_transform(embedding,
+        |          x -> CAST(CAST(x AS DOUBLE) + 0.02 AS FLOAT)) AS embedding
+        |      FROM b WHERE vec_id < 40),
+        |u AS (SELECT * FROM b UNION ALL SELECT * FROM p),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM u)
+        |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.emb, b2.emb), 6) AS sim
+        |FROM e a JOIN e b2 ON a.vec_id < b2.vec_id
+        |WHERE list_cosine_similarity(a.emb, b2.emb) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
     "sim_topk" ->

@@ -13,9 +13,12 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   *    session works).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(VecDotProduct.Name),
       VecDotProduct.info, VecDotProduct.builder))
+    ext.injectFunction((FunctionIdentifier(SrpBandBuckets.Name),
+      SrpBandBuckets.info, SrpBandBuckets.builder))
+  }
 }
 
 object GraftFunctions {
@@ -29,7 +32,10 @@ object GraftFunctions {
 
   /** Idempotently register graft functions on a live session. */
   def register(spark: SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null)
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         VecDotProduct.Name, VecDotProduct.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        SrpBandBuckets.Name, SrpBandBuckets.builder, "built-in")
+    }
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, VecDotProduct}
+import graft.functions.{GraftFunctions, SrpBandBuckets, VecDotProduct}
 
 /** Embedding similarity search: brute-force cosine top-k (the exact
   * baseline) and an IVF-style bucketed variant (the scale path).
@@ -108,42 +108,36 @@ object Similarity {
 
   /** Embedding near-dup at scale, path 2: sign-random-projection (SRP)
     * LSH. Bit j of a vector's `bits`-bit signature is the sign of its dot
-    * product with hyperplane j; hyperplane components are Rademacher ±1
-    * derived from a seeded hash — deterministic, nothing stored, and
-    * P[bits agree] = 1 − θ/π, the classic SRP collision guarantee (±1
-    * components share the sign-collision geometry of Gaussian planes).
-    * Signatures band like MinHash-LSH; candidates verify with the true
-    * cosine, so the output is an exact SUBSET of [[nearDupPairs]] with
-    * recall governed by (bits, bands).
+    * product with hyperplane j ([[graft.functions.SrpBandBuckets]] — a
+    * codegen'd expression that folds each plane sum in array index order,
+    * so signatures are bit-reproducible across runs and partitionings);
+    * hyperplane components are Rademacher ±1 from a seeded hash —
+    * deterministic, nothing stored, P[bits agree] = 1 − θ/π, the classic
+    * SRP collision guarantee. Signatures band like MinHash-LSH;
+    * candidates verify with the true cosine, so the output is an exact
+    * SUBSET of [[nearDupPairs]] with recall governed by (bits, bands).
     *
-    * Shuffles: one on vec_id (the signature aggregate over posexploded
-    * dims — all `bits` plane sums in ONE map-side-combined pass, the
-    * MinHash shape), one on (band, bucket), plus the verify joins —
-    * never O(n²) when the banding matches the threshold. Tune rows-per-
-    * band to the threshold: the defaults (32 bits / 16 bands = 2-bit
-    * bands) give >0.999 recall down to cosine ≈ 0.45 for moderate
-    * corpora; production near-dup at 0.9+ wants finer buckets (e.g. 256
-    * bits / 32 bands = 8-bit bands, recall 0.99998 at 0.9) or candidate
-    * volume degrades toward quadratic. */
+    * Shuffles: ONE on (band, bucket) for the candidate self-join plus the
+    * verify joins — signatures materialize at scan speed (no per-dim
+    * explode, no aggregate). The defaults (256 bits / 32 bands = 8-bit
+    * buckets, 256 per band) target PRODUCTION near-dup thresholds,
+    * cosine ≥ 0.85: recall 0.99998 at 0.9 with random-pair band
+    * collisions at ~2⁻⁸. Know the regime before trusting the banding —
+    * with per-bit agreement p₁ = 1 − θ/π for true pairs and p₀ ≈ ½ for
+    * random ones, candidate volume scales ~n^(1+ρ), ρ =
+    * ln(1/p₁)/ln(1/p₀): ρ ≈ 0.22 at cosine 0.9 but ≈ 0.63 at 0.45, so
+    * below ≈ 0.6 the per-bit gap over random collapses and NO banding
+    * avoids near-quadratic candidates — use [[nearDupPairsBlocked]]
+    * (k-means blocking) for moderate-threshold near-dup instead. */
   def nearDupPairsSrp(data: DataFrame, threshold: Double,
-                      bits: Int = 32, bands: Int = 16): DataFrame = {
-    require(bits % bands == 0, "bands must divide bits")
-    val rows = bits / bands
+                      bits: Int = 256, bands: Int = 32): DataFrame = {
+    require(bits % bands == 0 && bits / bands <= 63,
+      s"bands ($bands) must divide bits ($bits) with <= 63 rows per band")
     val sp = data.sparkSession
-    val dims = data.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("d", "x")))
-    val planes = (0 until bits).map { j =>
-      sum(col("x").cast("double") *
-        (xxhash64(lit(j), col("d")).bitwiseAND(1L) * 2L - 1L)).as(s"p$j")
-    }
-    val sig = dims.groupBy("vec_id").agg(planes.head, planes.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until rows).map(r =>
-          (col(s"p${b * rows + r}") >= 0).cast("long")): _*).as("bucket"))
-    }
-    val buckets = sig.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    GraftFunctions.register(sp)
+    val buckets = data.select(col("vec_id"),
+      posexplode(call_function(SrpBandBuckets.Name,
+        col("embedding"), lit(bits), lit(bands))).as(Seq("band", "bucket")))
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -258,6 +258,12 @@ class SimilaritySpec extends SparkSuite {
     // high-cosine pair → equality (deterministic: seeded hyperplanes)
     val srp = Similarity.nearDupPairsSrp(e, 0.9).collect().map(_.toSeq).toSeq
     assert(srp == brute)
+    // bucket determinism: a different physical partitioning yields the
+    // exact same pair set — plane sums fold per row in array index
+    // order, so no shuffle-order-dependent float accumulation exists
+    val srpRepart = Similarity.nearDupPairsSrp(e.repartition(7), 0.9)
+      .collect().map(_.toSeq).toSeq
+    assert(srpRepart == srp)
   }
 }
 
