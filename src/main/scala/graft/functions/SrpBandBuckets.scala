@@ -99,6 +99,9 @@ object SrpBandBuckets {
         case other => throw new IllegalArgumentException(
           s"$Name expects integer literal (bits, bands), got $other")
       }
+    case Seq(_, b1, b2) => throw new IllegalArgumentException(
+      s"$Name requires bits and bands to be foldable integer literals " +
+        s"(they parameterize the generated code), got (${b1.sql}, ${b2.sql})")
     case other => throw new IllegalArgumentException(
       s"$Name expects (vec, bits literal, bands literal), got ${other.size} args")
   }

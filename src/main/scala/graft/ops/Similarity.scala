@@ -131,8 +131,8 @@ object Similarity {
     * (k-means blocking) for moderate-threshold near-dup instead. */
   def nearDupPairsSrp(data: DataFrame, threshold: Double,
                       bits: Int = 256, bands: Int = 32): DataFrame = {
-    require(bits % bands == 0 && bits / bands <= 63,
-      s"bands ($bands) must divide bits ($bits) with <= 63 rows per band")
+    require(bands > 0 && bits % bands == 0 && bits / bands <= 63,
+      s"bands ($bands) must be positive, divide bits ($bits), with <= 63 rows per band")
     val sp = data.sparkSession
     GraftFunctions.register(sp)
     val buckets = data.select(col("vec_id"),
