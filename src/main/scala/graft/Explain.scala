@@ -26,7 +26,7 @@ object Explain {
       if (args.nonEmpty) args.toSeq
       else Seq("tsdb_raw", "tsdb_client_agg", "tsdb_storage_agg",
         "tsdb_multi_agg", "q3_topk_join", "sim_topk", "events_sessionize",
-        "corpus_pack", "text_decontaminate", "corpus_chunk", "text_vocab",
+        "corpus_pack", "text_decontaminate", "corpus_chunk", "corpus_chunk_pack", "text_vocab",
         "dedup_embedding_srp")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -691,6 +691,25 @@ object SparkEntry {
       ops.Corpus.chunkByTokens(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", chunkTokens = 64, overlapTokens = 16)),
 
+    // END-TO-END training-data layout: documents → overlapping token
+    // chunks → token-budget shards, the full "docs to training
+    // sequences" flow (chunkByTokens ∘ packShards). Each chunk gets the
+    // unique key doc_id*100000 + chunk_id (chunk_id < ~len/48 ≪ 100000),
+    // so key order = (doc, chunk) order — the natural corpus layout —
+    // and the distributed prefix sum assigns stream offsets and shards
+    // without any global single-task window
+    "corpus_chunk_pack" -> ((s, dir) => {
+      val chunks = ops.Corpus.chunkByTokens(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)
+      Corpus.packShards(
+          chunks.select((col("doc_id") * 100000L + col("chunk_id")).as("chunk_key"),
+            col("n_tokens")),
+          "chunk_key", col("n_tokens"), budget = 256, numBlocks = 16)
+        .select(col("doc_id").as("chunk_key"), col("n_tokens"),
+          col("stream_offset"), col("shard_id"))
+    }),
+
     // corpus vocabulary: top-500 terms by total frequency among terms in
     // >= 2 docs — the tokenizer-training / vocab-pruning step. Global
     // top-V lowers to TakeOrderedAndProject (no single-partition stage)
@@ -1393,6 +1412,25 @@ object SparkEntry {
         |  least(len(w) - st, 64)::BIGINT AS n_tokens
         |FROM s WHERE st = 0 OR st + 16 < len(w)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the chunk twin's start list + tail rule feeding the corpus_pack
+    // running-sum twin, keyed by doc_id*100000 + chunk_id
+    "corpus_chunk_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS st FROM d),
+        |ch AS (SELECT doc_id * 100000 + (st // 48) AS chunk_key,
+        |         least(len(w) - st, 64)::BIGINT AS n_tokens
+        |       FROM s WHERE st = 0 OR st + 16 < len(w)),
+        |c AS (SELECT chunk_key, n_tokens,
+        |        COALESCE(sum(n_tokens) OVER (ORDER BY chunk_key
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM ch)
+        |SELECT chunk_key, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(off AS BIGINT) AS stream_offset,
+        |  CAST(off // 256 AS BIGINT) AS shard_id
+        |FROM c ORDER BY chunk_key""".stripMargin,
 
     "text_vocab" ->
       """WITH t AS (SELECT doc_id,
