@@ -118,6 +118,32 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(df(2) + 1.0) < 1e-12)
   }
 
+  test("SrpBandBuckets: interpreted eval equals the codegen path; buckets fit rows bits") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // values chosen to exercise sign flips, zeros and negatives
+    val vecs = Seq(Array(0.3f, -1.2f, 0.05f), Array(-0.7f, 0.0f, 2.2f),
+      Array(0.0f, 0.0f, 0.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    graft.functions.GraftFunctions.register(spark)
+    // DataFrame path runs the generated Java (whole-stage codegen)
+    val fromDf = df.orderBy("vec_id")
+      .select(call_function("graft_srp_bands", col("embedding"), lit(64), lit(8)))
+      .collect().map(_.getSeq[Long](0).toList).toList
+    // direct interpreted path: same expression, nullSafeEval
+    val expr = graft.functions.SrpBandBuckets(
+      BoundReference(0, ArrayType(FloatType), nullable = true), 64, 8)
+    val interp = vecs.map { v =>
+      expr.nullSafeEval(new GenericArrayData(v)).asInstanceOf[ArrayData]
+        .toLongArray().toList
+    }.toList
+    assert(fromDf == interp, s"codegen $fromDf != interpreted $interp")
+    // 64 bits / 8 bands = 8-bit buckets: every bucket key in [0, 256)
+    assert(interp.flatten.forall(b => b >= 0 && b < 256))
+  }
+
   test("native dot product (codegen Expression) is bit-identical to the HOF fold") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(100)
     val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
