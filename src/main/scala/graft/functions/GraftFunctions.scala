@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       VecDotProduct.info, VecDotProduct.builder))
     ext.injectFunction((FunctionIdentifier(SrpBandBuckets.Name),
       SrpBandBuckets.info, SrpBandBuckets.builder))
+    ext.injectFunction((FunctionIdentifier(SeededXxHash64Long.Name),
+      SeededXxHash64Long.info, SeededXxHash64Long.builder))
   }
 }
 
@@ -37,5 +39,7 @@ object GraftFunctions {
         VecDotProduct.Name, VecDotProduct.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         SrpBandBuckets.Name, SrpBandBuckets.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        SeededXxHash64Long.Name, SeededXxHash64Long.builder, "built-in")
     }
 }

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{GraftFunctions, SeededXxHash64Long}
+
 /** Deduplication operators for training-data pipelines: exact,
   * n-gram-Jaccard brute force (the small-scale oracle-checkable baseline),
   * MinHash+LSH (the 100 TB path), and SimHash.
@@ -104,13 +106,22 @@ object Dedup {
     // the string k times — measured ~1.5x faster on the signature stage,
     // and seeded rehashing of a uniform base is as valid a permutation
     // family as seeded string hashing (verification keeps the output an
-    // exact subset of brute force regardless of the hash family)
+    // exact subset of brute force regardless of the hash family).
+    // graft_xxhash64_seeded(h, j) == xxhash64(lit(j), h) bit-for-bit
+    // ([[graft.functions.SeededXxHash64Long]]) but precomputes the j-th
+    // seed at plan time — one hashLong per permutation per row instead of
+    // two, and the k-wide aggregate input projection stays a flat run of
+    // static calls inside whole-stage codegen (the min aggregates keep
+    // HashAggregateExec's primitive-buffer fast path; an array-valued
+    // signature aggregate would force object/sort aggregation)
+    GraftFunctions.register(docs.sparkSession)
     val sig = sh.select(col("id"), explode(col("sh")).as("s"))
       .withColumn("__h", xxhash64(col("s")))
       .groupBy("id")
       .agg(
-        min(xxhash64(lit(0), col("__h"))).as("h0"),
-        (1 until numHashes).map(j => min(xxhash64(lit(j), col("__h"))).as(s"h$j")): _*)
+        min(call_function(SeededXxHash64Long.Name, col("__h"), lit(0))).as("h0"),
+        (1 until numHashes).map(j =>
+          min(call_function(SeededXxHash64Long.Name, col("__h"), lit(j))).as(s"h$j")): _*)
 
     // bands → (id, band, bucket) rows; join within buckets
     val bandCols = (0 until bands).map { b =>

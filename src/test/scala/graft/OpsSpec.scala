@@ -144,6 +144,37 @@ class SimilaritySpec extends SparkSuite {
     assert(interp.flatten.forall(b => b >= 0 && b < 256))
   }
 
+  test("SeededXxHash64Long equals builtin xxhash64(lit(j), h); interpreted equals codegen") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    graft.functions.GraftFunctions.register(spark)
+    val hs = Seq(0L, -1L, 42L, Long.MaxValue, Long.MinValue, 987654321012345L)
+    val df = hs.toDF("h")
+    (0 until 8) :+ 63 foreach { j =>
+      // codegen path vs the builtin it replaces — must be bit-identical,
+      // or every historical MinHash bucket assignment silently changes
+      val cmp = df.select(
+        call_function(graft.functions.SeededXxHash64Long.Name, col("h"), lit(j)).as("s"),
+        xxhash64(lit(j), col("h")).as("b"))
+      assert(cmp.filter(col("s") =!= col("b")).count() == 0, s"j=$j diverges from builtin")
+      // interpreted path
+      val expr = graft.functions.SeededXxHash64Long(
+        BoundReference(0, LongType, nullable = true),
+        graft.functions.SeededXxHash64Long.seedFor(j))
+      val interp = hs.map(h => expr.nullSafeEval(h).asInstanceOf[Long])
+      val fromDf = df.select(
+        call_function(graft.functions.SeededXxHash64Long.Name, col("h"), lit(j)))
+        .collect().map(_.getLong(0)).toSeq
+      assert(fromDf == interp, s"j=$j codegen != interpreted")
+    }
+    // null in → null out; non-literal index rejected
+    assert(spark.sql(s"SELECT ${graft.functions.SeededXxHash64Long.Name}(CAST(NULL AS BIGINT), 3)")
+      .collect().head.isNullAt(0))
+    intercept[Exception] {
+      spark.sql(s"SELECT ${graft.functions.SeededXxHash64Long.Name}(1, id) FROM range(1)").collect()
+    }
+  }
+
   test("native dot product (codegen Expression) is bit-identical to the HOF fold") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(100)
     val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
