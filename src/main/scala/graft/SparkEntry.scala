@@ -533,6 +533,31 @@ object SparkEntry {
       Similarity.ivfTopKWith(e, q, k = 5, cents, nProbe = 4)
     }),
 
+    // IVF RECALL, hash-checkable: per-query |IVF top-5 ∩ brute top-5| as
+    // an integer. trainIters=0 pins the centroids to the first 16 vectors
+    // by vec_id (no Lloyd's, no Spark-hash-order dependence), so the
+    // ENTIRE approximate pipeline — nearest-centroid assignment, nProbe=4
+    // probing, within-cell ranking — is replicated exactly by the DuckDB
+    // twin and the recall integers must match hash-exactly. This proves
+    // the IVF machinery (not just its row count): any mis-assignment,
+    // probe-ordering bug or ranking drift changes some query's hit count.
+    // (sim_ann_ivf above keeps the PRODUCTION shape: trained centroids +
+    // on-disk index; its recall is asserted vs brute force in OpsSpec.)
+    "sim_ann_ivf_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val ivf = Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 4,
+        trainIters = 0)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      brute.select(col("q_id"), col("vec_id"))
+        .join(ivf.select(col("q_id"), col("vec_id"), lit(1).as("__m")),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(col("__m")).as("hits"))
+        .orderBy("q_id")
+    }),
+
     // gap-based sessionization (session windows — SURVEY T6, absent in the
     // reference; native session_window, batch + streaming capable)
     "events_sessionize" -> ((s, dir) => {
@@ -1284,6 +1309,47 @@ object SparkEntry {
         |        ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM j)
         |SELECT q_id, vec_id, round(sim, 6) AS sim, rank
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // full replica of the deterministic-centroid IVF pipeline: seed
+    // centroids = first 16 vectors by vec_id, data assigned to its
+    // nearest centroid (cosine desc, c_id asc tiebreak), queries probe
+    // their 4 nearest cells, candidates ranked within the probed cells,
+    // then per-query overlap with exact brute-force top-5 — integer
+    // counts, so float formatting can't smudge the compare
+    "sim_ann_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, emb AS c_vec FROM e ORDER BY vec_id LIMIT 16),
+        |da AS (SELECT vec_id, c_id AS cluster FROM (
+        |  SELECT e.vec_id, c.c_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.emb, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM e, c) WHERE rk = 1),
+        |qa AS (SELECT q_id, c_id AS cluster FROM (
+        |  SELECT q.q_id, c.c_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM q, c) WHERE rk <= 4),
+        |cand AS (
+        |  SELECT qa.q_id, da.vec_id,
+        |         list_cosine_similarity(q.q_vec, e.emb) AS sim
+        |  FROM qa JOIN da ON qa.cluster = da.cluster
+        |  JOIN q ON q.q_id = qa.q_id
+        |  JOIN e ON e.vec_id = da.vec_id
+        |  WHERE qa.q_id <> da.vec_id),
+        |ivf AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+        |  FROM cand) WHERE rk <= 5),
+        |brute AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, e.emb) DESC, e.vec_id) AS rk
+        |  FROM q, e WHERE e.vec_id <> q.q_id) WHERE rk <= 5)
+        |SELECT b.q_id, CAST(count(i.vec_id) AS BIGINT) AS hits
+        |FROM brute b LEFT JOIN ivf i
+        |  ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+        |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,
