@@ -421,23 +421,26 @@ object SparkEntry {
     // the keep/drop decision step of the dedup pipeline. Oracle: recursive
     // transitive closure over the same pair set.
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+      // deferred pairs: nearDupClusters' eager edge checkpoint is the
+      // single action that materializes the LSH pipeline — no separate
+      // count pass; intermediates and the pairs cache released once it
+      // returns (nearDupClusters is eager, so the handles are done)
+      val (pairs, release) = Dedup.minHashLshPairsDeferred(
+        s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
-      // nearDupClusters is eager (checkpointed label rounds) — the pairs
-      // handle can be released as soon as it returns
-      val clusters = Dedup.nearDupClusters(pairs)
-      pairs.unpersist()
-      clusters
+      try Dedup.nearDupClusters(pairs)
+      finally { release(); pairs.unpersist() }
     }),
 
     // dedup END PRODUCT: the corpus keep-list after dropping non-canonical
     // near-dup members (anti-join against the clustered pair graph)
     "dedup_keep" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-        k = 3, threshold = 0.5, maxBucketSize = 1000)
-      val clusters = Dedup.nearDupClusters(pairs) // eager — see dedup_clusters
-      pairs.unpersist()
+      val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
+        "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
+      val clusters = // eager — see dedup_clusters
+        try Dedup.nearDupClusters(pairs)
+        finally { release(); pairs.unpersist() }
       Dedup.dropNearDuplicates(docs.select("doc_id"), "doc_id", clusters)
         .orderBy("doc_id")
     }),
@@ -773,10 +776,11 @@ object SparkEntry {
           TextAnalysis.langIdFrom(col("text"), col("__wl")).as("pred_lang"),
           TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
         .filter(col("quality_score") >= 0.4 && col("pred_lang") =!= "unknown")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-        k = 3, threshold = 0.5, maxBucketSize = 1000)
-      val clusters = Dedup.nearDupClusters(pairs) // eager — see dedup_clusters
-      pairs.unpersist()
+      val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
+        "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
+      val clusters = // eager — see dedup_clusters
+        try Dedup.nearDupClusters(pairs)
+        finally { release(); pairs.unpersist() }
       Dedup.dropNearDuplicates(gated, "doc_id", clusters)
         .orderBy("doc_id")
     })

@@ -52,13 +52,32 @@ private[graft] object Caching {
     * operator. */
   def scoped(intermediates: DataFrame*)(result: => DataFrame): DataFrame = {
     if (planOnly) return result
+    val (out, release) = scopedDeferred(intermediates: _*)(result)
+    try { out.count(); out } finally release()
+  }
+
+  /** [[scoped]] WITHOUT the eager materialization — for callers that
+    * perform EXACTLY ONE materializing action on the returned frame
+    * (an eager checkpoint, a single write) and would otherwise pay the
+    * `count()` as a second full pass over the operator.
+    *
+    * Contract: the returned frame IS persisted (its plan reads the
+    * intermediates multiple times — e.g. both sides of a self-join —
+    * so the caller's one action must populate a cache, not recompute
+    * the subtree per consumer); the caller runs its action, THEN calls
+    * `release()` (dropping the intermediates — releasing before the
+    * action would make it recompute them uncached, once per consumer),
+    * and finally unpersists the returned frame when done with it.
+    * `release()` is idempotent and must also run on the failure path. */
+  def scopedDeferred(intermediates: DataFrame*)(result: => DataFrame): (DataFrame, () => Unit) = {
+    if (planOnly) return (result, () => ())
     // by-name result: intermediates are cached BEFORE the body builds (or
     // probes — see benchmarkOverlap's broadcast gate) the result plan
     val owned = intermediates.filter(cacheIfNeeded)
-    try {
-      val out = result.persist(StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      out
-    } finally owned.foreach(_.unpersist(blocking = false))
+    try (result.persist(StorageLevel.MEMORY_AND_DISK),
+      () => owned.foreach(_.unpersist(blocking = false)))
+    catch { case e: Throwable =>
+      owned.foreach(_.unpersist(blocking = false)); throw e
+    }
   }
 }

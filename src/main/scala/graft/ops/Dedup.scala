@@ -87,6 +87,20 @@ object Dedup {
                       k: Int, threshold: Double,
                       numHashes: Int = 64, bands: Int = 32,
                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val (pairs, release) = minHashLshPairsDeferred(docs, idCol, textCol,
+      k, threshold, numHashes, bands, maxBucketSize)
+    try { pairs.count(); pairs } finally release()
+  }
+
+  /** [[minHashLshPairs]] for single-action consumers (clustering's eager
+    * checkpoint, a lone write): skips the eager pair materialization —
+    * see [[Caching.scopedDeferred]] for the release/unpersist contract.
+    * Saves one full pass over the LSH pipeline when the caller's next
+    * step materializes the pairs anyway. */
+  def minHashLshPairsDeferred(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int, threshold: Double,
+                              numHashes: Int = 64, bands: Int = 32,
+                              maxBucketSize: Int = Int.MaxValue): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // the shingle table feeds FIVE consumers (signature, both bucket-join
@@ -146,7 +160,7 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
-    Caching.scoped(sh, buckets)(verifyJaccard(cand, sh, threshold))
+    Caching.scopedDeferred(sh, buckets)(verifyJaccard(cand, sh, threshold))
   }
 
   /** Verify candidate pairs against the TRUE shingle Jaccard via

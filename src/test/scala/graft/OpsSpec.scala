@@ -54,6 +54,25 @@ class DedupSpec extends SparkSuite {
     assert(cm.isEmpty, "operator leaked intermediate caches into the session")
   }
 
+  test("deferred cache discipline: intermediates live until release, result matches eager path") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (3L, "completely unrelated text about spark query engines and joins"))
+    val (pairs, release) = Dedup.minHashLshPairsDeferred(d, "doc_id", "text", 3, 0.5)
+    // not yet materialized, but the handle is persisted and the shingle /
+    // bucket intermediates are cached for the caller's single action
+    assert(pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    assert(!cm.isEmpty, "intermediates must stay cached until release()")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    release(); release() // idempotent
+    pairs.unpersist(blocking = true)
+    assert(cm.isEmpty, "release()+unpersist must leave no session caches")
+    assert(got == Seq((1L, 2L)))
+  }
+
   test("simhash: identical docs at distance 0, near docs close, banding finds them") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
