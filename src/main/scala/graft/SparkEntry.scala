@@ -267,6 +267,36 @@ object SparkEntry {
       r6(t.select(p), Seq("sum", "avg"))
     }),
 
+    // STREAMING ingest, oracle-checked end-to-end: the events samples are
+    // staged as 3 time-ranged parquet files, read back as a FILE STREAM
+    // (maxFilesPerTrigger=1 → 3 micro-batches through the real
+    // IngestJob.start path: watermark + in-watermark dedup +
+    // foreachBatch append with INCREMENTAL rollup merges), then an
+    // aggregate select is served from the streamed table through the
+    // rollup planner. lateArrivalMs is raised to cover the whole span so
+    // the watermark can never drop a row on batch-boundary timing — the
+    // final table state is then micro-batch-assignment independent
+    // (events has no duplicate (series, time) keys and the incremental
+    // rollup merge is commutative), which is what makes a streaming path
+    // hash-comparable at all. IngestJobSpec covers the 59-min default
+    // late-drop and restart semantics that can't be deterministic here.
+    "tsdb_ingest_stream" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_stream")
+      val staged = s"$tmp/staged"
+      samples.repartitionByRange(3, col("time")).write.parquet(staged)
+      val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+        graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+          lateArrivalMs = T - F + Day))
+      val st = s.readStream.schema(samples.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val q = graft.streaming.IngestJob.start(st, t, s"$tmp/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val out = t.select(SelectParams(name = "signup",
+        functions = "count,sum,min,max", from = F, to = T, step = Day))
+      r6(out, Seq("sum", "min", "max"))
+    }),
+
     // pre-aggregate cross-label table: GroupBy matches the materialized
     // label subset exactly (select.go:261-283)
     "tsdb_storage_preagg" -> ((s, dir) => {
@@ -1035,6 +1065,20 @@ object SparkEntry {
          |  round(min(v), 6) AS "min",
          |  round(max(v), 6) AS "max",
          |  round(sum(v) / count(v), 6) AS avg
+         |FROM s WHERE name = 'signup' AND tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the stream-ingested table must serve the exact same aggregates as a
+    // batch-built one: events has no duplicate (series, time) keys, so
+    // the in-watermark dedup admits every sample and the micro-batched
+    // incremental rollup must converge to the batch rollup
+    "tsdb_ingest_stream" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum",
+         |  round(min(v), 6) AS "min",
+         |  round(max(v), 6) AS "max"
          |FROM s WHERE name = 'signup' AND tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
