@@ -38,7 +38,8 @@ object Bench {
     "dedup_clusters",
     "sim_topk", "sim_ann_ivf", "sim_quantize", "dedup_embedding_srp",
     "events_sessionize",
-    "text_tokens", "text_quality", "text_langid", "text_tfidf", "text_redact",
+    "text_tokens", "text_tokens_bpe", "text_quality", "text_langid",
+    "text_tfidf", "text_redact",
     "text_repetition", "text_decontaminate", "doc_fingerprint",
     "corpus_sample", "corpus_pack", "corpus_topk", "corpus_curate",
     "corpus_curate_stream", "corpus_chunk", "corpus_chunk_pack", "text_vocab",

@@ -354,6 +354,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL BPE token counting (GPT-2-style merges, codegen'd expression)
+    // next to the regex approximation — the divergence column is the
+    // point: shard budgets sized by the regex count mis-size by exactly
+    // that delta. Rows-only by declared design: the merge loop is
+    // iterative with no SQL twin; OpsSpec cross-checks the expression
+    // against an independent rank-sequential reference implementation
+    // (the well-ordered merge table makes the two provably equivalent)
+    "text_tokens_bpe" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCountReal(s, col("text")).as("bpe_tokens_real"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens_regex"))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring: length/punct/stopword features + composite score.
     // Tokenize ONCE in a projection — interpreted HOFs re-evaluate their
     // argument subtrees per use (see TextAnalysis scaladoc)

@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SrpBandBuckets.info, SrpBandBuckets.builder))
     ext.injectFunction((FunctionIdentifier(SeededXxHash64Long.Name),
       SeededXxHash64Long.info, SeededXxHash64Long.builder))
+    ext.injectFunction((FunctionIdentifier(BpeTokenCount.Name),
+      BpeTokenCount.info, BpeTokenCount.builder))
+    ext.injectFunction((FunctionIdentifier(BpeTokens.Name),
+      BpeTokens.info, BpeTokens.builder))
   }
 }
 
@@ -41,5 +45,9 @@ object GraftFunctions {
         SrpBandBuckets.Name, SrpBandBuckets.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         SeededXxHash64Long.Name, SeededXxHash64Long.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        BpeTokenCount.Name, BpeTokenCount.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        BpeTokens.Name, BpeTokens.builder, "built-in")
     }
 }

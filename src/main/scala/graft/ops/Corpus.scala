@@ -202,7 +202,27 @@ object Corpus {
     * row filter on `size(tokens)` — a filter would be pushed into the
     * projection and re-evaluate the tokenizer a second time per row. */
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
-                    chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+                    chunkTokens: Int, overlapTokens: Int = 0): DataFrame =
+    chunkCore(docs, idCol, chunkTokens, overlapTokens,
+      TextAnalysis.tokens(col(textCol)),
+      w => concat_ws(" ", w))
+
+  /** [[chunkByTokens]] over REAL BPE tokens ([[TextAnalysis
+    * .bpeTokensReal]]): windows count actual merge-table tokens, so
+    * chunk sizes track what an LLM context window sees instead of
+    * whitespace words. BPE tokens carry their own spacing and
+    * concatenate back to the exact source text, so `chunk_text` joins
+    * with the empty separator and adjacent chunks (at overlap 0)
+    * reconstruct the document byte-for-byte — pinned in CorpusSpec. */
+  def chunkByBpe(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int, overlapTokens: Int = 0): DataFrame =
+    chunkCore(docs, idCol, chunkTokens, overlapTokens,
+      TextAnalysis.bpeTokensReal(docs.sparkSession, col(textCol)),
+      w => array_join(w, ""))
+
+  private def chunkCore(docs: DataFrame, idCol: String,
+                        chunkTokens: Int, overlapTokens: Int,
+                        tokens: Column, join: Column => Column): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlap must be in [0, chunkTokens): $overlapTokens")
@@ -215,11 +235,11 @@ object Corpus {
       x => x < size(col("__w")) &&
         (x === 0 || x + lit(overlapTokens) < size(col("__w"))))
     docs
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(col(idCol).as("doc_id"), tokens.as("__w"))
       .select(col("doc_id"), col("__w"), explode(starts).as("__start"))
       .select(col("doc_id"),
         expr(s"__start DIV $stride").cast("long").as("chunk_id"),
-        concat_ws(" ", slice(col("__w"), col("__start") + 1, lit(chunkTokens)))
+        join(slice(col("__w"), col("__start") + 1, lit(chunkTokens)))
           .as("chunk_text"),
         least(size(col("__w")) - col("__start"), lit(chunkTokens))
           .cast("long").as("n_tokens"))

@@ -24,11 +24,35 @@ object TextAnalysis {
     filter(split(trim(text), "\\s+"), w => w =!= "")
 
   /** BPE-ish subword segmentation: letter runs | digit runs | single
-    * punctuation — the standard pre-tokenizer shape. */
+    * punctuation — the standard pre-tokenizer shape. APPROXIMATION: no
+    * merges are applied, so counts diverge 20-40% from a trained
+    * tokenizer's; use [[bpeTokenCountReal]] when shard budgets / chunk
+    * windows must track actual LLM token counts. Kept as the
+    * regex-only, oracle-expressible twin (DuckDB shares the regex). */
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** REAL byte-pair-encoding token count ([[graft.functions.Bpe]]:
+    * GPT-2-style pre-tokenizer + ranked greedy merges, codegen'd
+    * expression, shuffle-free). No SQL twin exists (the merge loop is
+    * iterative) — verified instead by OpsSpec's cross-check against an
+    * independent rank-sequential reference implementation, which the
+    * well-ordered merge table makes provably equivalent. */
+  def bpeTokenCountReal(spark: org.apache.spark.sql.SparkSession,
+                        text: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function(graft.functions.BpeTokenCount.Name, text)
+  }
+
+  /** REAL BPE token array — tokens concatenate back to the exact input
+    * text (see [[graft.functions.BpeTokens]]). */
+  def bpeTokensReal(spark: org.apache.spark.sql.SparkSession,
+                    text: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function(graft.functions.BpeTokens.Name, text)
+  }
 
   /** Language-ID stopword tables (tiny n-gram heuristic; deterministic
     * priority en > es > de > fr on ties). */

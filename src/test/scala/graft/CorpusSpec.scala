@@ -82,6 +82,51 @@ class CorpusSpec extends SparkSuite {
       Corpus.chunkByTokens(d, "doc_id", "text", chunkTokens = 4, overlapTokens = 4))
   }
 
+  test("chunkByBpe: windows over real BPE tokens reconstruct the text; budgets use real counts") {
+    val d = Seq(
+      (1L, "the cat and the dog sat on the mat with a hat"),
+      (2L, "hi"),
+      (3L, "   "),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkByBpe(d, "doc_id", "text", chunkTokens = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // overlap 0: chunks of a doc concatenate back to the document exactly
+    // (BPE tokens carry their own spacing — the partition property)
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).mkString).toMap
+    assert(byDoc(1L) == "the cat and the dog sat on the mat with a hat")
+    assert(byDoc(2L) == "hi")
+    // whitespace-only is ONE real token (GPT-2 pre-tokenizer: \s+ runs
+    // are tokens — an LLM context window spends budget on them), unlike
+    // the whitespace word tokenizer which drops it; null text chunks to
+    // nothing on both paths
+    assert(byDoc(3L) == "   ")
+    assert(!byDoc.contains(4L))
+    // n_tokens over the doc sums to the real BPE count
+    graft.functions.GraftFunctions.register(spark)
+    val total = ops.TextAnalysis.bpeTokenCountReal(spark, lit(
+      "the cat and the dog sat on the mat with a hat"))
+    val n = spark.range(1).select(total.as("n")).collect().head.getLong(0)
+    assert(out.filter(_._1 == 1L).map(_._4).sum == n)
+    // packShards budgets by the real count: n_tokens is the BPE count and
+    // stream offsets are its exclusive running sum in doc_id order (docs
+    // may straddle shard boundaries by design — offsets are the contract)
+    val src = d.filter(col("text").isNotNull && trim(col("text")) =!= "")
+    val packed = Corpus.packShards(src, "doc_id",
+        ops.TextAnalysis.bpeTokenCountReal(spark, col("text")),
+        budget = 8, numBlocks = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = src.select(col("doc_id"),
+        ops.TextAnalysis.bpeTokenCountReal(spark, col("text")).as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(packed.map(p => (p._1, p._2)).toSeq == counts.toSeq)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init
+    assert(packed.map(_._3).toSeq == offsets.toSeq)
+    assert(packed.map(_._4).toSeq == offsets.map(_ / 8).toSeq)
+  }
+
   test("topKPerGroup: score desc with id tiebreak, k bound per group") {
     val d = Seq(("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.1),
       ("b", 5L, 0.7)).toDF("grp", "doc_id", "score")

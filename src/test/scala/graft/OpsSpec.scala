@@ -409,6 +409,99 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r.getInt(1) == 9)
   }
 
+  test("real BPE: expression equals an independent rank-sequential reference on real docs") {
+    import graft.functions.Bpe
+    // independent reference implementation: apply each merge IN RANK
+    // ORDER as a full left-to-right sweep (vs production's repeated
+    // global-min-rank loop). The well-ordered merge table makes the two
+    // provably equivalent — empirically pinned here on the real corpus.
+    def refEncodeWord(word: String): List[String] = {
+      var syms = word.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp)))
+      for ((a, b) <- Bpe.DefaultMerges) {
+        var changed = true
+        while (changed) {
+          val next = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = syms
+          changed = false
+          while (rest.nonEmpty) rest match {
+            case x :: y :: t if x == a && y == b =>
+              next += (a + b); rest = t; changed = true
+            case x :: t => next += x; rest = t
+            case Nil => ()
+          }
+          syms = next.toList
+        }
+      }
+      syms
+    }
+    val pre = java.util.regex.Pattern.compile(
+      """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    def refCount(text: String): Long = {
+      val m = pre.matcher(text); var n = 0L
+      while (m.find()) n += refEncodeWord(m.group()).length
+      n
+    }
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    graft.functions.GraftFunctions.register(spark)
+    val fromExpr = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenCountReal(spark, col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, text) =>
+      assert(fromExpr(id) == refCount(text), s"doc $id diverges from reference impl")
+    }
+    // the real count must differ from the regex approximation somewhere —
+    // otherwise the "real" path proves nothing
+    val regex = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(docs.exists { case (id, _) => fromExpr(id) != regex(id) })
+  }
+
+  test("real BPE: tokens partition the text exactly; edge cases; interpreted equals codegen") {
+    import graft.functions.{Bpe, BpeOps}
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq(
+      "the quick brown fox, it's 42 degrees!",
+      "",            // empty → zero tokens
+      "   ",         // whitespace-only
+      "naïve café — résumé",  // non-ASCII code points stay atomic
+      "aaaa",        // overlapping-pair greedy (no (a,a) merge, but pins the loop)
+      "this is the standard test of the embedded merge table")
+    val df = texts.toDF("text")
+    val rows = df.select(
+      TextAnalysis.bpeTokensReal(spark, col("text")).as("toks"),
+      TextAnalysis.bpeTokenCountReal(spark, col("text")).as("n"),
+      col("text")).collect()
+    rows.foreach { r =>
+      val toks = r.getSeq[String](0)
+      // partition property: concatenation reproduces the input exactly
+      assert(toks.mkString == r.getString(2))
+      assert(toks.size.toLong == r.getLong(1))
+      assert(toks.forall(_.nonEmpty))
+    }
+    // interpreted path equals the DataFrame (codegen) path
+    texts.foreach { t =>
+      val viaOps = BpeOps.count(UTF8String.fromString(t))
+      assert(viaOps == Bpe.Default.count(t))
+    }
+    // common words actually merge (the table does real work)
+    assert(Bpe.Default.count("the") == 1)
+    assert(Bpe.Default.encode(" the").toSeq == Seq(" the"))
+    assert(Bpe.Default.count("xqzv") == 4) // no merges apply
+    // null in → null out through the expression
+    assert(spark.sql(s"SELECT ${graft.functions.BpeTokenCount.Name}(CAST(NULL AS STRING))")
+      .collect().head.isNullAt(0))
+    // mis-ordered merge tables are rejected loudly (the equivalence
+    // guarantee the reference cross-check rests on)
+    intercept[IllegalArgumentException] {
+      graft.functions.Bpe.vocab(Seq("x yz", "y z"))
+    }
+  }
+
   test("langId: stopword argmax with deterministic tie priority") {
     val out = Seq("the cat and the dog is here", "el gato y la casa que es",
       "der hund und die katze ist", "xyzzy plugh")
