@@ -392,6 +392,65 @@ class TsdbTableSpec extends SparkSuite {
     assert(!lock.exists)
   }
 
+  test("lease break race: the rename arbiter admits exactly one of two concurrent breakers") {
+    val dir = Files.createTempDirectory("tsdb_lockrace").toString
+    // the property the lease-break path rests on (TsdbTable.withWriterLock:
+    // claim-by-rename before delete): when two waiters race to claim the
+    // SAME stale lock, hadoop rename is the atomic arbiter — exactly one
+    // rename succeeds, so exactly one breaker deletes the stale file and
+    // the loser falls through to the create-contention path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    (1 to 10).foreach { round =>
+      val lock = new org.apache.hadoop.fs.Path(dir, "_writer")
+      fs.create(lock, false).close()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 2).map { i =>
+        new Thread(() => {
+          val claimed = new org.apache.hadoop.fs.Path(dir, s"_writer.stale.$round.$i")
+          barrier.await()
+          if (fs.rename(lock, claimed)) { wins.incrementAndGet(); fs.delete(claimed, false) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert(wins.get() == 1, s"round $round: ${wins.get()} breakers won the rename")
+      assert(!fs.exists(lock))
+    }
+
+    // end-to-end: a stale lock + two concurrent mutating writers on the
+    // same table path. Every interleaving must satisfy: no deadlock, at
+    // most one loud single-writer rejection (zero when the loser arrives
+    // after the winner released), all ADMITTED appends landed, and the
+    // lock is released afterwards
+    val t1 = new TsdbTable(spark, dir, TsdbConfig())
+    t1.append(samples(("cpu", "a", Base + 1, 1.0)))
+    val lockFile = new java.io.File(dir, "_writer")
+    assert(lockFile.createNewFile())
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 31 * 60000L))
+    val t2 = new TsdbTable(spark, dir, TsdbConfig())
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val rejected = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val ts = Seq((t1, Base + 2, 2.0), (t2, Base + 3, 3.0)).map { case (t, tm, v) =>
+      new Thread(() => {
+        barrier.await()
+        try t.append(samples(("cpu", "a", tm, v)))
+        catch {
+          case _: java.util.ConcurrentModificationException => rejected.incrementAndGet()
+          case e: Throwable => failed.set(e)
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(ts.forall(!_.isAlive), "a writer deadlocked on the broken lease")
+    assert(failed.get() == null, s"unexpected failure: ${failed.get()}")
+    assert(rejected.get() <= 1, "both writers rejected — the stale lease wedged the table")
+    val landed = t1.readRaw(0, Long.MaxValue / 2).count()
+    assert(landed == 1 + (2 - rejected.get()), s"rejected=${rejected.get()} landed=$landed")
+    assert(!lockFile.exists)
+  }
+
   test("delete boundary rewrite keeps __seq when an overrideOld partition mixes pre-__seq files (mergeSchema)") {
     val dir = Files.createTempDirectory("tsdb_morlegacy").toString
     val t = new TsdbTable(spark, dir, TsdbConfig(overrideOld = true))
