@@ -283,18 +283,32 @@ object SparkEntry {
     "tsdb_ingest_stream" -> ((s, dir) => {
       val samples = Samples.fromEvents(s, dir).drop("valueStr")
       val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_stream")
-      val staged = s"$tmp/staged"
-      samples.repartitionByRange(3, col("time")).write.parquet(staged)
-      val t = new graft.storage.TsdbTable(s, s"$tmp/table",
-        graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
-          lateArrivalMs = T - F + Day))
-      val st = s.readStream.schema(samples.schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged)
-      val q = graft.streaming.IngestJob.start(st, t, s"$tmp/ckpt")
-      try q.processAllAvailable() finally q.stop()
-      val out = t.select(SelectParams(name = "signup",
-        functions = "count,sum,min,max", from = F, to = T, step = Day))
-      r6(out, Seq("sum", "min", "max"))
+      // materialize the (small, per-day) aggregate and rm the staged
+      // copy of the corpus + table + checkpoint before returning — the
+      // entry runs every verify/bench round, and a leaked
+      // multi-hundred-MB tree per invocation would fill /tmp on
+      // long-lived sessions (same rule as Bench.ingestOnce)
+      try {
+        val staged = s"$tmp/staged"
+        samples.repartitionByRange(3, col("time")).write.parquet(staged)
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            lateArrivalMs = T - F + Day))
+        val st = s.readStream.schema(samples.schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+        val q = graft.streaming.IngestJob.start(st, t, s"$tmp/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        val out = t.select(SelectParams(name = "signup",
+          functions = "count,sum,min,max", from = F, to = T, step = Day))
+        val res = r6(out, Seq("sum", "min", "max"))
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(tmp.toFile)
+      }
     }),
 
     // pre-aggregate cross-label table: GroupBy matches the materialized

@@ -21,8 +21,9 @@ import java.util.regex.Pattern
   *    English merges), not a trained 50k merge table: the ALGORITHM and
   *    the seam are production-real, the embedded ranks are demo-scale.
   *    Production loads a trained merges file via [[Bpe.vocab]]
-  *    (one "left right" pair per line, rank = line order — the standard
-  *    merges.txt format).
+  *    (one "left right" pair per line, rank = line order, symbols in
+  *    GPT-2's public byte-level encoding — decoded to this alphabet on
+  *    load, so space-boundary merges written as 'Ġx' fire correctly).
   *
   * The merge loop is the standard one: repeatedly find the
   * lowest-ranked adjacent symbol pair in the word and fuse its
@@ -162,15 +163,60 @@ object Bpe {
     * from generated code). */
   lazy val Default: Vocab = new Vocab(DefaultMerges)
 
-  /** Build a vocab from standard merges lines ("left right" per line,
-    * '#' comments and blanks skipped) — the production path for trained
-    * tables. */
+  /** Inverse of GPT-2's public byte↔unicode table (encoder.py's
+    * `bytes_to_unicode`): printable-latin bytes map to themselves, the
+    * 68 others (control, space, DEL, 0x80-0xA0, 0xAD) shift to
+    * U+0100+n in increasing byte order — so merges.txt writes a space
+    * prefix as 'Ġ' (U+0120). */
+  private val ByteOfChar: Map[Char, Char] = {
+    val self = (('!'.toInt to '~'.toInt) ++ ('¡'.toInt to '¬'.toInt) ++
+      ('®'.toInt to 'ÿ'.toInt)).toSet
+    val direct = self.toSeq.map(b => b.toChar -> b.toChar)
+    val shifted = (0 until 256).filterNot(self).zipWithIndex
+      .map { case (b, n) => (256 + n).toChar -> b.toChar }
+    (direct ++ shifted).toMap
+  }
+
+  /** Decode one merges.txt symbol to this engine's code-point alphabet.
+    * Per-CHAR (each mapped byte becomes the latin-1 char of that byte),
+    * never re-parsed as UTF-8: decode(a) + decode(b) == decode(a ++ b)
+    * must hold or a trained table's later merges would fail the
+    * well-ordering check. Cost: a multi-byte UTF-8 sequence's byte
+    * merges decode to latin-1 chars that the code-point pre-tokenizer
+    * never emits, so they simply never fire — the documented non-ASCII
+    * deviation. ASCII and space-boundary merges (the bulk of a trained
+    * English table) decode exactly. */
+  private def decodeSymbol(line: String, s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      ByteOfChar.get(c) match {
+        case Some(byteChar) => b.append(byteChar)
+        case None => throw new IllegalArgumentException(
+          s"merges line '$line': char U+${c.toInt.toHexString} is not in " +
+            "the GPT-2 byte-level alphabet — expected a standard " +
+            "byte-level-encoded merges.txt (spaces appear as 'Ġ')")
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  /** Build a vocab from a standard GPT-2 `merges.txt` (one
+    * "left right" pair per line, rank = line order, symbols in the
+    * public byte-level encoding — space prefixes appear as 'Ġ'). The
+    * "#version" header and blank lines are skipped; symbols are decoded
+    * to this engine's code-point alphabet via [[decodeSymbol]]. This is
+    * the production path for trained tables. */
   def vocab(mergesLines: Iterable[String]): Vocab =
     new Vocab(mergesLines.iterator
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.stripLineEnd.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
       .map { l =>
-        val sp = l.lastIndexOf(' ')
-        require(sp > 0, s"bad merges line: '$l'")
-        (l.substring(0, sp), l.substring(sp + 1))
+        val parts = l.split(' ')
+        require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+          s"bad merges line: '$l' (expected exactly 'left right')")
+        (decodeSymbol(l, parts(0)), decodeSymbol(l, parts(1)))
       }.toSeq)
 }

@@ -36,9 +36,14 @@ object GraftFunctions {
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** Idempotently register graft functions on a live session. */
-  def register(spark: SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+  /** Idempotently register graft functions on a live session. Holds the
+    * map's own monitor across the whole registration so a concurrent
+    * caller can't observe "already registered" and proceed to analysis
+    * before the names actually resolve — the put happens only AFTER the
+    * last name is in the registry, and losers block on the same monitor
+    * until then. */
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.containsKey(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         VecDotProduct.Name, VecDotProduct.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -49,5 +54,7 @@ object GraftFunctions {
         BpeTokenCount.Name, BpeTokenCount.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         BpeTokens.Name, BpeTokens.builder, "built-in")
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
+  }
 }

@@ -56,14 +56,20 @@ object SeededXxHash64Long {
     * so the builtin mixes it with `hashInt`, not `hashLong`). */
   def seedFor(j: Int): Long = XXH64.hashInt(j, 42L)
 
+  /** Seed for a BIGINT literal index — the builtin folds a LongType
+    * child with `hashLong`, a DIFFERENT value than `hashInt` of the same
+    * number, so the two widths must derive different seeds to keep the
+    * documented `xxhash64(j, h)` equivalence type-faithful. */
+  def seedForLong(j: Long): Long = XXH64.hashLong(j, 42L)
+
   /** SQL surface: `graft_xxhash64_seeded(h, j)` with a foldable integer
     * permutation index — it parameterizes the generated code, so it must
-    * be a literal, not data. Equals `xxhash64(j, h)`. */
+    * be a literal, not data. Equals `xxhash64(j, h)` at j's own type. */
   val builder: Seq[Expression] => Expression = {
     case Seq(c, jExpr) if jExpr.foldable =>
       jExpr.eval() match {
         case j: java.lang.Integer => SeededXxHash64Long(c, seedFor(j.intValue()))
-        case j: java.lang.Long => SeededXxHash64Long(c, seedFor(j.intValue()))
+        case j: java.lang.Long => SeededXxHash64Long(c, seedForLong(j.longValue()))
         case other => throw new IllegalArgumentException(
           s"$Name expects an integer literal permutation index, got $other")
       }

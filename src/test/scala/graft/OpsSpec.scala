@@ -192,6 +192,42 @@ class SimilaritySpec extends SparkSuite {
     intercept[Exception] {
       spark.sql(s"SELECT ${graft.functions.SeededXxHash64Long.Name}(1, id) FROM range(1)").collect()
     }
+    // BIGINT literal index: the builtin folds a LongType child with
+    // hashLong (≠ hashInt of the same number), so the builder must derive
+    // the seed at the literal's own width — including beyond Int range,
+    // where truncation would silently alias two permutations
+    for (j <- Seq(5L, 4294967297L)) {
+      val cmpL = df.select(
+        call_function(graft.functions.SeededXxHash64Long.Name, col("h"), lit(j)).as("s"),
+        xxhash64(lit(j), col("h")).as("b"))
+      assert(cmpL.filter(col("s") =!= col("b")).count() == 0,
+        s"bigint j=$j diverges from builtin")
+    }
+    assert(graft.functions.SeededXxHash64Long.seedForLong(4294967297L)
+      != graft.functions.SeededXxHash64Long.seedFor(1),
+      "2^32+1 must not alias permutation 1")
+  }
+
+  test("GraftFunctions.register: concurrent first registrations all resolve") {
+    // the check-then-register must be atomic per session: a losing
+    // thread may not analyze call_function(...) before the winner has
+    // finished registering the names
+    val fresh = spark.newSession()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            graft.functions.GraftFunctions.register(fresh)
+            fresh.sql(
+              s"SELECT ${graft.functions.SeededXxHash64Long.Name}(CAST(7 AS BIGINT), 3)")
+              .collect().head.getLong(0)
+          }
+        })
+      }
+      val vals = tasks.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(vals.distinct.size == 1)
+    } finally pool.shutdownNow()
   }
 
   test("native dot product (codegen Expression) is bit-identical to the HOF fold") {
@@ -500,6 +536,36 @@ class TextAnalysisSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       graft.functions.Bpe.vocab(Seq("x yz", "y z"))
     }
+  }
+
+  test("Bpe.vocab loads GPT-2 byte-level merges.txt: Ġ→space fires, header skipped, foreign chars loud") {
+    // a tiny table in the STANDARD byte-level encoding: a trained
+    // merges.txt writes the space prefix as 'Ġ' (U+0120) and newline as
+    // 'Ċ' (U+010A) — exactly these lines. Pre-fix, the space-boundary
+    // merges (the bulk of a trained English table) could never fire.
+    val v = graft.functions.Bpe.vocab(Seq(
+      "#version: 0.2",
+      "",
+      "Ġ t",    // (" ", "t")
+      "h e",    // ("h", "e")
+      "t he",   // ("t", "he")
+      "Ġt he")) // (" t", "he")
+    assert(v.encode(" the").toSeq == Seq(" the"),
+      "space-boundary merges must decode and fire")
+    assert(v.count("the") == 1)
+    assert(v.count(" the the") == 2)
+    // newline's byte-level char decodes too (0x0A is the 11th shifted byte)
+    val vn = graft.functions.Bpe.vocab(Seq("Ċ Ċ"))
+    assert(vn.encode("\n\n").toSeq == Seq("\n\n"))
+    // a symbol with a char outside the public byte-level alphabet fails
+    // loudly instead of silently mis-tokenizing
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Bpe.vocab(Seq("日 本"))
+    }
+    assert(e.getMessage.contains("byte-level alphabet"))
+    // malformed shapes fail loudly
+    intercept[IllegalArgumentException] { graft.functions.Bpe.vocab(Seq("abc")) }
+    intercept[IllegalArgumentException] { graft.functions.Bpe.vocab(Seq("a b c")) }
   }
 
   test("langId: stopword argmax with deterministic tie priority") {

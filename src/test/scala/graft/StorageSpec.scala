@@ -410,10 +410,19 @@ class TsdbTableSpec extends SparkSuite {
         new Thread(() => {
           val claimed = new org.apache.hadoop.fs.Path(dir, s"_writer.stale.$round.$i")
           barrier.await()
-          if (fs.rename(lock, claimed)) { wins.incrementAndGet(); fs.delete(claimed, false) }
+          // production (TsdbTable.withWriterLock) treats an IOException
+          // from the claim-rename as a loss: on the local fs the loser's
+          // rename falls back to FileUtil.copy, which throws
+          // FileNotFoundException because the winner already moved the
+          // source — mirror that here, or the loser thread dies uncaught
+          try {
+            if (fs.rename(lock, claimed)) { wins.incrementAndGet(); fs.delete(claimed, false) }
+          } catch { case _: java.io.IOException => () }
         })
       }
-      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(threads.forall(!_.isAlive), s"round $round: breaker thread still running")
       assert(wins.get() == 1, s"round $round: ${wins.get()} breakers won the rename")
       assert(!fs.exists(lock))
     }
