@@ -130,11 +130,13 @@ object Bench {
     }
     // per-run failure handling: keep whichever runs succeeded; omit the
     // entry entirely when none did (a -1 sentinel would poison `total`).
-    // THREE runs: isolated solo-JVM min-of-3 puts the intrinsic cost near
-    // ~19.5 s (round-4 adjudication), while this VM's external freeze
-    // windows (90-200 s, all threads parked) land inside a window that
-    // long often enough that min-of-2 still reported 38-48 s across two
-    // rounds — a third draw makes an unpoisoned run likely
+    // THREE runs: warm intrinsic cost is ~2.1-2.6 s (solo min-of-3, runs
+    // published in the "runs" array; a fresh JVM's first run pays ~7 s of
+    // one-time codegen/classload warm-up), while this VM's external
+    // freeze windows (90-200 s, all threads parked) hit single runs often
+    // enough that every adjudication to date has seen at least one
+    // poisoned draw — a third attempt makes an unpoisoned minimum likely,
+    // and the per-run array lets a reader tell poison from regression
     val ingestRuns = (1 to 3).flatMap { _ =>
       try Some(ingestOnce())
       catch { case e: Throwable => System.err.println(s"[bench] tsdb_ingest: $e"); None }
