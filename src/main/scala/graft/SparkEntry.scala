@@ -383,6 +383,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL BPE through planted fixtures with closed-form counts (the
+    // multimodal `_exact` pattern): each component word's merged length
+    // under Bpe.DefaultMerges is a constant — " the"→1 (merges 0,1,7),
+    // " and"→1 (merges 3,26,33), " qux"→3 (only "qu" fires), and a
+    // digit run has no merges so " <id>"→1+len(id). The REAL codegen'd
+    // merge loop runs on the Spark side; the DuckDB twin computes the
+    // same counts arithmetically — hash-exact proof of the BPE path
+    "text_tokens_bpe_exact" -> ((s, dir) => {
+      val txt = concat(
+        repeat(lit(" the"), (col("doc_id") % 7).cast("int")),
+        repeat(lit(" and"), (col("doc_id") % 5).cast("int")),
+        repeat(lit(" qux"), (col("doc_id") % 3).cast("int")),
+        lit(" "), col("doc_id").cast("string"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCountReal(s, txt).as("bpe_tokens_real"))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring: length/punct/stopword features + composite score.
     // Tokenize ONCE in a projection — interpreted HOFs re-evaluate their
     // argument subtrees per use (see TextAnalysis scaladoc)
@@ -1171,6 +1190,15 @@ object SparkEntry {
          |       x -> x <> '')) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form counts of the planted fixture words (constants derived
+    // from Bpe.DefaultMerges; validated against the real encoder for
+    // ids 0..600 — see the entry's comment)
+    "text_tokens_bpe_exact" ->
+      """SELECT doc_id,
+        |  (doc_id % 7) + (doc_id % 5) + 3 * (doc_id % 3)
+        |    + 1 + length(CAST(doc_id AS VARCHAR)) AS bpe_tokens_real
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // word count mirrors TextAnalysis.tokens (phantom-""-free); the
     // wc=0 / cl=0 CASE guards mirror qualityColumns defining ratio/score
