@@ -41,7 +41,8 @@ object Bench {
     "text_tokens", "text_tokens_bpe", "text_quality", "text_langid",
     "text_tfidf", "text_redact",
     "text_repetition", "text_decontaminate", "doc_fingerprint",
-    "corpus_sample", "corpus_pack", "corpus_topk", "corpus_curate",
+    "corpus_sample", "corpus_mix", "text_dedup_lines",
+    "corpus_pack", "corpus_topk", "corpus_curate",
     "corpus_curate_stream", "corpus_chunk", "corpus_chunk_pack", "text_vocab",
     "multimodal_meta", "multimodal_features", "multimodal_audio",
     "multimodal_features_exact", "multimodal_audio_exact")

@@ -768,6 +768,35 @@ object SparkEntry {
           "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.25)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // weighted multi-source mixture sampling: target composition 1:2:4
+    // over the 20 fixture sources (weight = 2^(idx%3)); binding sources
+    // keep 100%, the rest downsample via the same deterministic
+    // md5-prefix hash as corpus_sample. Weights are powers of two, so
+    // the derived per-source rates are exact dyadic doubles and the
+    // twin's in-SQL threshold derivation (same IEEE expression, same
+    // %04x formatting) is bit-identical
+    "corpus_mix" -> ((s, dir) => {
+      val weights = (0 until 20).map(i => s"src$i" -> math.pow(2.0, i % 3)).toMap
+      Corpus.mixSources(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "source", weights)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    // corpus-level exact line dedup (CCNet-style boilerplate removal):
+    // planted 5-variant nav header (~n/5 docs each) and a universal
+    // footer cross the minDocs=20 threshold and drop from every doc;
+    // the 97-variant section line (~n/97 docs at sf0.01) and the unique
+    // body line stay. Same planted construction in the DuckDB twin
+    "text_dedup_lines" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          lit("nav menu "), (col("doc_id") % 5).cast("string"), lit("\n"),
+          lit("section "), (col("doc_id") % 97).cast("string"), lit("\n"),
+          col("text"), lit("\n"),
+          lit("copyright footer")).as("text"))
+      Dedup.dedupLines(planted, "doc_id", "text", minDocs = 20)
+    }),
+
     // token-budget shard packing (concat-and-chunk corpus layout) via the
     // distributed two-level prefix sum — NOT a global single-task window.
     // numBlocks=16 forces MANY blocks on the fixture, proving the
@@ -1527,6 +1556,55 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END
         |ORDER BY doc_id""".stripMargin,
+
+    // per-source counts -> K = min(n/w) -> rate = K*w/n, then the same
+    // %04x threshold derivation Corpus.hexRate performs (round half-up
+    // matches DuckDB round for positives; rate >= 1.0 -> 'g' keeps all)
+    "corpus_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n,
+        |    power(2, CAST(substr(source, 4) AS INT) % 3) AS w
+        |  FROM documents GROUP BY source),
+        |k AS (SELECT min(n / w) AS k FROM c),
+        |r AS (SELECT source,
+        |    least(CAST(1.0 AS DOUBLE), k.k * w / n) AS rate FROM c, k),
+        |t AS (SELECT source,
+        |    CASE WHEN rate >= 1.0 THEN 'g'
+        |         ELSE printf('%04x', CAST(round(rate * 65536) AS INT)) END AS th
+        |  FROM r)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN t USING (source)
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th
+        |ORDER BY doc_id""".stripMargin,
+
+    // planted boilerplate construction shared with the Spark side; pos is
+    // 1-based here vs posexplode's 0-based — internal only, ordering is
+    // identical. string_agg skips the NULLs the CASE leaves for dropped
+    // lines but keeps genuinely empty kept lines; a doc whose every line
+    // dropped gets '' via COALESCE (matching array_join over [])
+    "text_dedup_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'nav menu ' || (doc_id % 5) || chr(10) ||
+        |    'section ' || (doc_id % 97) || chr(10) ||
+        |    text || chr(10) || 'copyright footer' AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM d),
+        |n AS (SELECT doc_id, pos, line, trim(line) AS nrm FROM l),
+        |b AS (
+        |  SELECT nrm FROM (SELECT DISTINCT doc_id, nrm FROM n WHERE nrm <> '')
+        |  GROUP BY nrm HAVING count(*) >= 20)
+        |SELECT n.doc_id,
+        |  COALESCE(string_agg(CASE WHEN b.nrm IS NULL THEN n.line END,
+        |    chr(10) ORDER BY n.pos), '') AS text_clean,
+        |  CAST(count(*) FILTER (WHERE b.nrm IS NULL) AS BIGINT) AS lines_kept,
+        |  CAST(count(*) FILTER (WHERE b.nrm IS NOT NULL) AS BIGINT) AS lines_dropped
+        |FROM n LEFT JOIN b ON n.nrm = b.nrm
+        |GROUP BY n.doc_id ORDER BY doc_id""".stripMargin,
 
     // exclusive running token sum in doc_id order; integer // division
     // (sum(BIGINT) is HUGEINT in DuckDB — cast back before compare)

@@ -45,6 +45,53 @@ object Corpus {
   private def hashKey(id: Column): Column =
     substring(md5(id.cast("string").cast("binary")), 1, 4)
 
+  /** Weighted multi-source mixture sampling — "50% web, 30% books, 20%
+    * code": downsample each source so the OUTPUT composition matches
+    * `weights` (normalized over the listed sources) while keeping as much
+    * data as possible. The binding source — the one that runs out first,
+    * `argmin(n_s / w_s)` — keeps 100%; every other source keeps
+    * `rate_s = K * w_s / n_s` with `K = min(n_s / w_s)`. Sources not in
+    * `weights` are dropped (weight 0).
+    *
+    * Plan shape at 100 TB: one column-pruned count per source (a
+    * #sources-row aggregate — the only shuffle), rates derived from that
+    * page-sized table, then [[stratifiedSample]]'s deterministic
+    * md5-threshold filter at scan speed. The per-source counts are
+    * collected to the driver like packShards' 3-value bounds row — a
+    * bounded #sources-row table, not data.
+    *
+    * Rate arithmetic is plain IEEE double (`K * w / n`) — the DuckDB
+    * twin reproduces the identical expression, so the derived thresholds
+    * are bit-identical cross-engine. */
+  def mixSources(docs: DataFrame, idCol: String, sourceCol: String,
+                 weights: Map[String, Double]): DataFrame = {
+    val rates = mixRates(docs, sourceCol, weights)
+    stratifiedSample(docs.filter(col(sourceCol).isin(weights.keys.toSeq: _*)),
+      idCol, sourceCol, rates, defaultRate = 0.0)
+  }
+
+  /** The per-source keep rates [[mixSources]] applies — exposed so a
+    * pipeline can log its mixture receipts (and the oracle twin can be
+    * read against them). */
+  def mixRates(docs: DataFrame, sourceCol: String,
+               weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.nonEmpty, "mixSources: empty weights")
+    weights.foreach { case (s, w) =>
+      require(w > 0.0, s"mixSources: weight for '$s' must be positive: $w")
+    }
+    val counts = docs
+      .filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty,
+      s"mixSources: no rows match any of the ${weights.size} weighted sources")
+    // K = the largest total stream each source can supply its share of
+    val k = counts.map { case (s, n) => n.toDouble / weights(s) }.min
+    counts.map { case (s, n) =>
+      s -> math.min(1.0, k * weights(s) / n.toDouble)
+    }
+  }
+
   /** 4-hex-digit threshold for a keep fraction in [0,1]: p of the 0x10000
     * hash space, lowercase to match both engines' hex output. The compare
     * is LEXICOGRAPHIC on the 4-char prefix, so rate 1.0 cannot be "10000"

@@ -325,4 +325,53 @@ object Dedup {
         .filter(col("hamming") <= maxDist)
         .orderBy("id_a", "id_b"))
   }
+
+  // --------------------------------------------------- line-level dedup
+
+  /** Corpus-level exact LINE deduplication — boilerplate removal (the
+    * CCNet/RefinedWeb step that strips nav menus, cookie banners, and
+    * copyright footers BEFORE document-level dedup sees them): a trimmed
+    * non-empty line occurring in at least `minDocs` DISTINCT documents is
+    * boilerplate, and every occurrence is removed from every document.
+    * Whitespace-only lines are never boilerplate (they carry layout, and
+    * a corpus-wide "" group would be a guaranteed mega-group). Output:
+    * `doc_id`, `text_clean` (surviving lines joined with '\n' in original
+    * order; "" when everything dropped — the doc row itself is KEPT so
+    * the caller can see what boilerplate-only docs existed), `lines_kept`,
+    * `lines_dropped`.
+    *
+    * Scale shape: one shuffle on the trimmed line for the distinct-doc
+    * counts (two-phase: partial (line, doc) dedup map-side first, so a
+    * footer repeated across a partition contributes once, not n times),
+    * one join of the lines table against the (small — only lines above
+    * the threshold) boilerplate set, left to AQE to broadcast, and one
+    * groupBy doc to reassemble. Reassembly sorts each doc's OWN lines by
+    * position (`sort_array` on per-doc arrays) — no global sort, no
+    * window. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("__norm", trim(col("line")))
+    val boiler = lines.filter(col("__norm") =!= "")
+      .select(col("doc_id"), col("__norm")).distinct()
+      .groupBy("__norm").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__norm"), lit(true).as("__boiler"))
+    lines.join(boiler, Seq("__norm"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(  // when() without otherwise → null →
+          when(col("__boiler").isNull,  // collect_list skips dropped lines
+            struct(col("pos"), col("line"))))).as("__kept"),
+        count(lit(1)).as("__total"))
+      .select(col("doc_id"),
+        array_join(transform(col("__kept"), _.getField("line")), "\n")
+          .as("text_clean"),
+        size(col("__kept")).cast("long").as("lines_kept"),
+        (col("__total") - size(col("__kept"))).cast("long").as("lines_dropped"))
+      .orderBy("doc_id")
+  }
 }

@@ -29,6 +29,44 @@ class CorpusSpec extends SparkSuite {
     assert(kept.subsetOf(kept50))
   }
 
+  test("mixSources: rates hit the target composition, binding source keeps all") {
+    // 900 'web' / 300 'books' / 300 'code', target weights 1:1:4.
+    // K = min(900/1, 300/1, 300/4) = 75 -> rates 75/900, 75/300, 1.0
+    val d = spark.range(1500).select(col("id").as("doc_id"),
+      element_at(array(lit("web"), lit("web"), lit("web"), lit("books"), lit("code")),
+        (col("id") % 5 + 1).cast("int")).as("source"))
+    val w = Map("web" -> 1.0, "books" -> 1.0, "code" -> 4.0)
+    val rates = Corpus.mixRates(d, "source", w)
+    assert(rates("code") == 1.0, "binding source must keep 100%")
+    assert(math.abs(rates("web") - 75.0 / 900) < 1e-12)
+    assert(math.abs(rates("books") - 75.0 / 300) < 1e-12)
+    val out = Corpus.mixSources(d, "doc_id", "source", w)
+    val bys = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bys("code") == 300)
+    // hash sampling is binomial around the target 75: loose band
+    assert(bys("web") > 40 && bys("web") < 115, s"web=${bys("web")}")
+    assert(bys("books") > 40 && bys("books") < 115, s"books=${bys("books")}")
+    // deterministic: same selection on a different partitioning
+    val again = Corpus.mixSources(d.repartition(7), "doc_id", "source", w)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("mixSources: unlisted sources drop; bad weights fail loudly") {
+    val d = spark.range(100).select(col("id").as("doc_id"),
+      when(col("id") < 50, "keep").otherwise("other").as("source"))
+    val out = Corpus.mixSources(d, "doc_id", "source", Map("keep" -> 1.0))
+    assert(out.count() == 50)
+    assert(out.filter(col("source") === "other").count() == 0)
+    intercept[IllegalArgumentException](
+      Corpus.mixRates(d, "source", Map.empty))
+    intercept[IllegalArgumentException](
+      Corpus.mixRates(d, "source", Map("keep" -> 0.0)))
+    intercept[IllegalArgumentException](
+      Corpus.mixRates(d, "source", Map("absent" -> 1.0)))
+  }
+
   test("stratifiedSample: per-stratum thresholds, default for unlisted strata") {
     val d = spark.range(3000).select(col("id").as("doc_id"),
       element_at(array(lit("en"), lit("de"), lit("fr")),

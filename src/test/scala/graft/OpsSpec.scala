@@ -26,6 +26,28 @@ class DedupSpec extends SparkSuite {
     assert(g.toSet == Set((2L, 3L), (1L, 9L))) // (cnt, keep_id)
   }
 
+  test("dedupLines: corpus-wide boilerplate drops, order/empties survive, all-boiler docs stay") {
+    val d = docs(
+      (1L, "FOOTER\nunique one\n\nbody A"),
+      (2L, "body B\nFOOTER\nunique two"),
+      (3L, "  FOOTER  \nbody C"), // trim-normalized match still drops
+      (4L, "FOOTER"),             // boilerplate-only doc
+      (5L, "twice\ntwice\nbody D")) // same line 2x in ONE doc: df=1, kept
+    val out = Dedup.dedupLines(d, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // FOOTER appears in docs 1,2,3,4 (df=4 >= 3) -> dropped everywhere;
+    // the raw (untrimmed) line is removed but non-boiler lines keep
+    // their original bytes and order, including the empty line in doc 1
+    assert(out(1L) == (("unique one\n\nbody A", 3L, 1L)))
+    assert(out(2L) == (("body B\nunique two", 2L, 1L)))
+    assert(out(3L) == (("body C", 1L, 1L)))
+    assert(out(4L) == (("", 0L, 1L)))
+    assert(out(5L) == (("twice\ntwice\nbody D", 3L, 0L)))
+    intercept[IllegalArgumentException](
+      Dedup.dedupLines(d, "doc_id", "text", minDocs = 1))
+  }
+
   test("brute-force and LSH find the planted near-dup; LSH == brute here") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
