@@ -468,6 +468,13 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // exact duplicated-substring spans: 8-token windows occurring
+    // verbatim in >= 2 distinct docs, merged into maximal per-doc spans
+    // (the exact-substring dedup step document-level dedup can't see)
+    "text_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", k = 8)),
+
     // document fingerprinting (normalized md5)
     "doc_fingerprint" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
@@ -1550,6 +1557,28 @@ object SparkEntry {
         |FROM dg JOIN bg USING (g)
         |WHERE dg.doc_id <> bg.bench_id
         |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin,
+
+    // parallel unnests zip: pos (0-based, matching posexplode) pairs with
+    // its 8-gram; islands via the same pos - row_number() grouping
+    "text_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest([i - 1 for i in range(1, len(w) - 6)]) AS pos,
+        |  unnest([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |          ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+        |          for i in range(1, len(w) - 6)]) AS gram
+        |  FROM d WHERE len(w) >= 8),
+        |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |        GROUP BY gram HAVING count(*) >= 2),
+        |h AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |i AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM h)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_len_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
     "corpus_sample" ->
       """SELECT doc_id, lang FROM documents

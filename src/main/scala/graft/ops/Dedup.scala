@@ -374,4 +374,46 @@ object Dedup {
         (col("__total") - size(col("__kept"))).cast("long").as("lines_dropped"))
       .orderBy("doc_id")
   }
+
+  /** Exact duplicated-substring SPANS — the token-window form of exact
+    * substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": training corpora repeat long verbatim
+    * passages inside otherwise-distinct documents, which document-level
+    * dedup never sees): every k-token window whose exact text occurs in
+    * at least `minDocs` DISTINCT documents is flagged, and per document
+    * the flagged window starts merge into MAXIMAL spans (consecutive
+    * starts = one span — the gaps-and-islands `pos - row_number` trick
+    * under a per-doc window, never a global sort). Output per span:
+    * `doc_id`, `span_start` (0-based token index), `span_len_tokens`
+    * (union of its windows: n_windows + k - 1), `n_windows`. Callers
+    * cut or down-weight the spans; the windows themselves stay exact —
+    * no rolling-hash collisions to adjudicate.
+    *
+    * Scale shape: the k-gram explode is k× token amplification (the
+    * standard price of window dedup); distinct-doc counts aggregate
+    * two-phase on the gram; the duplicated-gram set — tiny unless the
+    * corpus is pathologically repetitive — comes back via a semi join
+    * AQE can broadcast; island merging shuffles flagged windows only,
+    * partitioned by doc. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               k: Int, minDocs: Long = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val grams = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.wordNgrams(col(textCol), k)).as(Seq("pos", "gram")))
+    val dup = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs).select("gram")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    grams.join(dup, Seq("gram"), "left_semi")
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "__grp")
+      .agg(min("pos").as("__start"), count(lit(1)).as("__n"))
+      .select(col("doc_id"),
+        col("__start").cast("long").as("span_start"),
+        (col("__n") + lit(k) - 1).cast("long").as("span_len_tokens"),
+        col("__n").cast("long").as("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
 }

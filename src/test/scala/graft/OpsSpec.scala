@@ -48,6 +48,24 @@ class DedupSpec extends SparkSuite {
       Dedup.dedupLines(d, "doc_id", "text", minDocs = 1))
   }
 
+  test("dupSpans: cross-doc windows merge into maximal islands; within-doc repeats alone don't flag") {
+    val d = docs(
+      (1L, "p q r s t u v w"),  // shares [p q r s] and [u v w] with doc 2
+      (2L, "p q r s x u v w"),
+      (3L, "z z z z z"),        // zzz 3x but one doc -> df=1 alone
+      (4L, "z z z"))            // second doc makes zzz corpus-duplicated
+    val out = Dedup.dupSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, 2L), (1L, 5L, 3L, 1L),   // two separate islands
+      (2L, 0L, 4L, 2L), (2L, 5L, 3L, 1L),
+      (3L, 0L, 5L, 3L),                     // 3 consecutive windows = 1 span
+      (4L, 0L, 3L, 1L)))
+    intercept[IllegalArgumentException](Dedup.dupSpans(d, "doc_id", "text", k = 1))
+    intercept[IllegalArgumentException](
+      Dedup.dupSpans(d, "doc_id", "text", k = 3, minDocs = 1))
+  }
+
   test("brute-force and LSH find the planted near-dup; LSH == brute here") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
