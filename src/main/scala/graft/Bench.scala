@@ -41,7 +41,7 @@ object Bench {
     "text_tokens", "text_tokens_bpe", "text_quality", "text_langid",
     "text_tfidf", "text_redact",
     "text_repetition", "text_decontaminate", "text_dup_spans", "doc_fingerprint",
-    "corpus_sample", "corpus_mix", "text_dedup_lines",
+    "corpus_sample", "corpus_mix", "corpus_stats", "text_dedup_lines",
     "corpus_pack", "corpus_topk", "corpus_curate",
     "corpus_curate_stream", "corpus_chunk", "corpus_chunk_pack", "text_vocab",
     "multimodal_meta", "multimodal_features", "multimodal_audio",

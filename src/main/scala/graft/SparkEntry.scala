@@ -775,6 +775,13 @@ object SparkEntry {
           "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.25)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // per-source profiling: the volume/length receipts a curation run is
+    // judged by (exact quantiles — DuckDB quantile_cont matches
+    // percentile's interpolation on integer inputs)
+    "corpus_stats" -> ((s, dir) =>
+      Corpus.sourceStats(s.read.parquet(s"$dir/documents.parquet"),
+        "source", "text")),
+
     // weighted multi-source mixture sampling: target composition 1:2:4
     // over the 20 fixture sources (weight = 2^(idx%3)); binding sources
     // keep 100%, the rest downsample via the same deterministic
@@ -1585,6 +1592,15 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> ''))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  round(quantile_cont(length(text), 0.5), 6) AS p50_chars,
+        |  round(quantile_cont(length(text), 0.9), 6) AS p90_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // per-source counts -> K = min(n/w) -> rate = K*w/n, then the same
     // %04x threshold derivation Corpus.hexRate performs (round half-up

@@ -103,6 +103,26 @@ object Corpus {
     if (t >= 0x10000) "g" else f"${t.toInt}%04x"
   }
 
+  /** Per-source corpus profiling — the receipts a mixture/curation run
+    * is judged by: doc counts, token and char volume, and length
+    * quantiles per source. Quantiles are EXACT (`percentile`, matching
+    * DuckDB's `quantile_cont` interpolation bit-for-bit on integer
+    * inputs after round(6)) — safe here because the aggregation buffer
+    * holds per-DISTINCT-VALUE counts and a length column's domain is
+    * bounded (thousands of distinct values, not rows), so a 50 TB
+    * source costs the same buffer as a 50 MB one. For unbounded-domain
+    * metrics swap in `approx_percentile`, which trades the oracle for a
+    * fixed-size sketch. One shuffle on the group key, partials map-side. */
+  def sourceStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col(textCol)))).cast("long").as("total_tokens"),
+        sum(length(col(textCol))).cast("long").as("total_chars"),
+        round(expr(s"percentile(length($textCol), 0.5)"), 6).as("p50_chars"),
+        round(expr(s"percentile(length($textCol), 0.9)"), 6).as("p90_chars"))
+      .orderBy(groupCol)
+
   /** Token-budget shard packing — concat-and-chunk layout: documents are
     * laid out in deterministic `idCol` order (ids must be unique) into one
     * conceptual token stream, and shard `i` covers stream offsets
