@@ -129,11 +129,16 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     *
     * Lease semantics: a lock older than `config.writerLeaseMs` is
     * presumed left by a crashed writer and is broken (a dead process must
-    * not wedge the table forever). Lock creation uses the filesystem's
-    * no-overwrite create — atomic on HDFS/object stores with conditional
-    * puts; best-effort (check-then-create) on the local fs, which is fine
-    * for a contract whose violations are deployment bugs, not races to
-    * resolve. */
+    * not wedge the table forever) via claim-by-rename with an mtime
+    * compare-and-swap — only the file actually judged stale is deleted; a
+    * live lock stolen in the stat-to-rename window is restored. Lock
+    * creation is atomic: O_CREAT|O_EXCL on the local fs, the filesystem's
+    * no-overwrite create on HDFS/object stores (namenode serialization /
+    * conditional put). Residual: 3+ writers breaking the same stale lease
+    * simultaneously can still interleave a create into another breaker's
+    * claim-restore gap — full closure needs a conditional-put KV (the
+    * reference's CAS, store.go:449-465); single-writer remains the
+    * supported deployment, the lock exists to make violations LOUD. */
   private def withWriterLock[A](op: String)(body: => A): A = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -141,21 +146,51 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     if (!fs.exists(tableDir)) fs.mkdirs(tableDir)
     val lock = new org.apache.hadoop.fs.Path(path, "_writer")
     try {
-      val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      val stale = fs.getFileStatus(lock).getModificationTime
       // break an expired lease by CLAIMING it first (rename to a unique
       // name, then delete the claimed file): two waiters deleting the
       // stale path directly could each delete-then-create and BOTH
       // acquire — rename is the atomic arbiter, only its winner proceeds
       // past this point with the stale lock gone
-      if (age > config.writerLeaseMs) {
+      if (System.currentTimeMillis() - stale > config.writerLeaseMs) {
         val claimed = new org.apache.hadoop.fs.Path(path,
           s"_writer.stale.${ProcessHandle.current.pid}.${System.nanoTime()}")
-        if (fs.rename(lock, claimed)) fs.delete(claimed, false)
+        if (fs.rename(lock, claimed)) {
+          // compare-and-swap on mtime: between our stat and our rename
+          // another breaker may have broken the stale lock AND created
+          // its own FRESH one at the same path — the rename then stole a
+          // LIVE lock (both writers would append concurrently; caught as
+          // corrupt concurrent parquet writes by the race spec). Only an
+          // mtime identical to the one we judged stale is ours to break;
+          // otherwise restore the live lock and fall through to the
+          // create-contention rejection below. Residual window: with 3+
+          // simultaneous breakers a third writer can create into the
+          // claim-restore gap — resolving THAT needs a conditional-put
+          // store (the reference's KV CAS, store.go:449-465), which is
+          // where multi-writer deployments should live anyway.
+          if (fs.getFileStatus(claimed).getModificationTime == stale)
+            fs.delete(claimed, false)
+          else if (!fs.rename(claimed, lock))
+            fs.delete(claimed, false) // lock path reoccupied: drop the claim
+        }
       }
     } catch { case _: java.io.FileNotFoundException => () }
     val stream =
-      try fs.create(lock, false)
-      catch {
+      try {
+        // the local fs's create(overwrite=false) is check-then-create,
+        // NOT atomic — two writers who both found no lock (e.g. after a
+        // broken lease) can both pass the check. java.io.File
+        // .createNewFile IS atomic (O_CREAT|O_EXCL), so local locks are
+        // claimed with it first and the hadoop stream then reopens OUR
+        // file for the holder-info write. HDFS/object stores keep the
+        // plain create — atomic there (namenode serialization /
+        // conditional put), per the scaladoc above.
+        if (fs.getScheme == "file") {
+          if (!new java.io.File(lock.toUri.getPath).createNewFile())
+            throw new java.io.IOException(s"$lock exists")
+          fs.create(lock, true)
+        } else fs.create(lock, false)
+      } catch {
         case _: java.io.IOException =>
           val holder =
             try {

@@ -434,30 +434,40 @@ class TsdbTableSpec extends SparkSuite {
     // lock is released afterwards
     val t1 = new TsdbTable(spark, dir, TsdbConfig())
     t1.append(samples(("cpu", "a", Base + 1, 1.0)))
-    val lockFile = new java.io.File(dir, "_writer")
-    assert(lockFile.createNewFile())
-    assert(lockFile.setLastModified(System.currentTimeMillis() - 31 * 60000L))
     val t2 = new TsdbTable(spark, dir, TsdbConfig())
-    val barrier = new java.util.concurrent.CyclicBarrier(2)
-    val rejected = new java.util.concurrent.atomic.AtomicInteger(0)
-    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    val ts = Seq((t1, Base + 2, 2.0), (t2, Base + 3, 3.0)).map { case (t, tm, v) =>
-      new Thread(() => {
-        barrier.await()
-        try t.append(samples(("cpu", "a", tm, v)))
-        catch {
-          case _: java.util.ConcurrentModificationException => rejected.incrementAndGet()
-          case e: Throwable => failed.set(e)
+    val lockFile = new java.io.File(dir, "_writer")
+    var expected = 1L
+    // several rounds: the steal-a-fresh-lock TOCTOU this pins (mtime CAS
+    // in withWriterLock) only manifests on some interleavings — one
+    // sample proved too weak to catch it before the fix
+    (1 to 3).foreach { round =>
+      assert(lockFile.createNewFile())
+      assert(lockFile.setLastModified(System.currentTimeMillis() - 31 * 60000L))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val rejected = new java.util.concurrent.atomic.AtomicInteger(0)
+      val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val ts = Seq((t1, Base + 10 * round, 2.0), (t2, Base + 10 * round + 1, 3.0))
+        .map { case (t, tm, v) =>
+          new Thread(() => {
+            barrier.await()
+            try t.append(samples(("cpu", "a", tm, v)))
+            catch {
+              case _: java.util.ConcurrentModificationException => rejected.incrementAndGet()
+              case e: Throwable => failed.set(e)
+            }
+          })
         }
-      })
+      ts.foreach(_.start()); ts.foreach(_.join(120000))
+      assert(ts.forall(!_.isAlive), s"round $round: a writer deadlocked on the broken lease")
+      assert(failed.get() == null, s"round $round: unexpected failure: ${failed.get()}")
+      assert(rejected.get() <= 1,
+        s"round $round: both writers rejected — the stale lease wedged the table")
+      expected += 2 - rejected.get()
+      val landed = t1.readRaw(0, Long.MaxValue / 2).count()
+      assert(landed == expected,
+        s"round $round: rejected=${rejected.get()} landed=$landed expected=$expected")
+      assert(!lockFile.exists)
     }
-    ts.foreach(_.start()); ts.foreach(_.join(120000))
-    assert(ts.forall(!_.isAlive), "a writer deadlocked on the broken lease")
-    assert(failed.get() == null, s"unexpected failure: ${failed.get()}")
-    assert(rejected.get() <= 1, "both writers rejected — the stale lease wedged the table")
-    val landed = t1.readRaw(0, Long.MaxValue / 2).count()
-    assert(landed == 1 + (2 - rejected.get()), s"rejected=${rejected.get()} landed=$landed")
-    assert(!lockFile.exists)
   }
 
   test("delete boundary rewrite keeps __seq when an overrideOld partition mixes pre-__seq files (mergeSchema)") {
