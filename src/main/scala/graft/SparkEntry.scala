@@ -847,6 +847,20 @@ object SparkEntry {
     // so key order = (doc, chunk) order — the natural corpus layout —
     // and the distributed prefix sum assigns stream offsets and shards
     // without any global single-task window
+    // BPE-token chunking through planted fixtures with closed-form
+    // output: a doc of `a` " the" repeats is exactly `a` BPE tokens
+    // under the default table (validated in the Bpe specs), so every
+    // chunk's text (repeat of " the"), token count, and the
+    // tail-suppression rule are arithmetic in the twin — hash-exact
+    // proof of the real-BPE chunk composition
+    "corpus_chunk_bpe_exact" -> ((s, dir) => {
+      val fix = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          repeat(lit(" the"), (col("doc_id") % 7 + 1).cast("int")).as("text"))
+      Corpus.chunkByBpe(fix, "doc_id", "text", chunkTokens = 3, overlapTokens = 1)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     "corpus_chunk_pack" -> ((s, dir) => {
       val chunks = ops.Corpus.chunkByTokens(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
@@ -1709,6 +1723,18 @@ object SparkEntry {
 
     // the chunk twin's start list + tail rule feeding the corpus_pack
     // running-sum twin, keyed by doc_id*100000 + chunk_id
+    // stride 2, window 3 over a = doc_id%7+1 one-token (" the") words:
+    // starts 0,2,4,... kept while in range and not a redundant tail
+    // (st=0 or st+overlap < a); chunk text is a repeat of the token
+    "corpus_chunk_bpe_exact" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 7 + 1) AS a FROM documents),
+        |s AS (SELECT doc_id, a, unnest(range(0, a, 2)) AS st FROM d)
+        |SELECT doc_id, CAST(st // 2 AS BIGINT) AS chunk_id,
+        |  repeat(' the', CAST(least(3, a - st) AS INT)) AS chunk_text,
+        |  CAST(least(3, a - st) AS BIGINT) AS n_tokens
+        |FROM s WHERE st = 0 OR st + 1 < a
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     "corpus_chunk_pack" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
