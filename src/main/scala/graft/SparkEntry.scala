@@ -1593,11 +1593,16 @@ object SparkEntry {
         |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
         |        GROUP BY gram HAVING count(*) >= 2),
         |h AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |nf AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |             THEN 0 ELSE 1 END AS brk
+        |       FROM h),
         |i AS (SELECT doc_id, pos,
-        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |      FROM h)
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM nf)
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |  CAST(count(*) + 7 AS BIGINT) AS span_len_tokens,
+        |  CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len_tokens,
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
@@ -1628,7 +1633,7 @@ object SparkEntry {
         |r AS (SELECT source,
         |    least(CAST(1.0 AS DOUBLE), k.k * w / n) AS rate FROM c, k),
         |t AS (SELECT source,
-        |    CASE WHEN rate >= 1.0 THEN 'g'
+        |    CASE WHEN CAST(round(rate * 65536) AS INT) >= 65536 THEN 'g'
         |         ELSE printf('%04x', CAST(round(rate * 65536) AS INT)) END AS th
         |  FROM r)
         |SELECT d.doc_id, d.source FROM documents d

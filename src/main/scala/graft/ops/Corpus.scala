@@ -83,8 +83,14 @@ object Corpus {
       .filter(col(sourceCol).isin(weights.keys.toSeq: _*))
       .groupBy(sourceCol).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty,
-      s"mixSources: no rows match any of the ${weights.size} weighted sources")
+    // every weighted source must exist: a zero-row source would silently
+    // drop out of K = min(n/w) and the output composition would no longer
+    // be the requested one (fail-loud, like packShards' NULL-id guard)
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"mixSources: weighted sources have no rows: ${missing.toSeq.sorted.mkString(", ")} — " +
+        "a mixture over them cannot hit the requested composition; drop them " +
+        "from the weights or fix the corpus")
     // K = the largest total stream each source can supply its share of
     val k = counts.map { case (s, n) => n.toDouble / weights(s) }.min
     counts.map { case (s, n) =>
@@ -119,8 +125,8 @@ object Corpus {
         count(lit(1)).as("n_docs"),
         sum(size(TextAnalysis.tokens(col(textCol)))).cast("long").as("total_tokens"),
         sum(length(col(textCol))).cast("long").as("total_chars"),
-        round(expr(s"percentile(length($textCol), 0.5)"), 6).as("p50_chars"),
-        round(expr(s"percentile(length($textCol), 0.9)"), 6).as("p90_chars"))
+        round(percentile(length(col(textCol)), lit(0.5)), 6).as("p50_chars"),
+        round(percentile(length(col(textCol)), lit(0.9)), 6).as("p90_chars"))
       .orderBy(groupCol)
 
   /** Token-budget shard packing — concat-and-chunk layout: documents are

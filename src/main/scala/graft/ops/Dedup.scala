@@ -351,9 +351,14 @@ object Dedup {
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  minDocs: Long): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    // NULL text behaves as "" (one empty kept line, like wordNgrams'
+    // total-on-NULL convention) — posexplode(NULL) would otherwise emit
+    // no rows and the doc would VANISH from the output, breaking the
+    // "doc rows are always kept" contract below
     val lines = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("pos", "line")))
       .withColumn("__norm", trim(col("line")))
     val boiler = lines.filter(col("__norm") =!= "")
       .select(col("doc_id"), col("__norm")).distinct()
@@ -381,13 +386,16 @@ object Dedup {
     * passages inside otherwise-distinct documents, which document-level
     * dedup never sees): every k-token window whose exact text occurs in
     * at least `minDocs` DISTINCT documents is flagged, and per document
-    * the flagged window starts merge into MAXIMAL spans (consecutive
-    * starts = one span — the gaps-and-islands `pos - row_number` trick
-    * under a per-doc window, never a global sort). Output per span:
-    * `doc_id`, `span_start` (0-based token index), `span_len_tokens`
-    * (union of its windows: n_windows + k - 1), `n_windows`. Callers
-    * cut or down-weight the spans; the windows themselves stay exact —
-    * no rolling-hash collisions to adjudicate.
+    * the flagged windows merge into MAXIMAL spans: windows whose token
+    * ranges overlap or touch (start gap <= k) join one span, so spans
+    * never overlap and their union is exactly the flagged token set —
+    * what a caller that cuts or down-weights the spans needs (two
+    * overlapping "spans" would cut shared tokens twice). Islands via
+    * lag + running sum under a per-doc window, never a global sort.
+    * Output per span: `doc_id`, `span_start` (0-based token index),
+    * `span_len_tokens` (last window start − first + k), `n_windows`.
+    * The windows themselves stay exact strings — no rolling-hash
+    * collisions to adjudicate.
     *
     * Scale shape: the k-gram explode is k× token amplification (the
     * standard price of window dedup); distinct-doc counts aggregate
@@ -407,12 +415,20 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     grams.join(dup, Seq("gram"), "left_semi")
-      .withColumn("__grp", col("pos") - row_number().over(w))
+      // island break where this window's range neither overlaps nor
+      // touches the previous one (gap > k); lag is NULL on the first row
+      // and the comparison's NULL falls to otherwise(1) — a new island
+      .withColumn("__new",
+        when(col("pos") - lag("pos", 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("__grp",
+        sum("__new").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "__grp")
-      .agg(min("pos").as("__start"), count(lit(1)).as("__n"))
+      .agg(min("pos").as("__start"), max("pos").as("__end"),
+        count(lit(1)).as("__n"))
       .select(col("doc_id"),
         col("__start").cast("long").as("span_start"),
-        (col("__n") + lit(k) - 1).cast("long").as("span_len_tokens"),
+        (col("__end") - col("__start") + lit(k)).cast("long").as("span_len_tokens"),
         col("__n").cast("long").as("n_windows"))
       .orderBy("doc_id", "span_start")
   }

@@ -129,16 +129,18 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     *
     * Lease semantics: a lock older than `config.writerLeaseMs` is
     * presumed left by a crashed writer and is broken (a dead process must
-    * not wedge the table forever) via claim-by-rename with an mtime
-    * compare-and-swap — only the file actually judged stale is deleted; a
-    * live lock stolen in the stat-to-rename window is restored. Lock
-    * creation is atomic: O_CREAT|O_EXCL on the local fs, the filesystem's
+    * not wedge the table forever) via claim-by-rename, with an mtime
+    * compare-and-swap on mtime-preserving filesystems (local, HDFS):
+    * only the file actually judged stale is deleted, and a live lock
+    * stolen in the stat-to-rename window is restored. Object-store
+    * renames restamp mtime, so there the break stays unconditional and
+    * atomicity comes from a conditional-put layer. Lock creation is
+    * atomic: O_CREAT|O_EXCL on the local fs, the filesystem's
     * no-overwrite create on HDFS/object stores (namenode serialization /
-    * conditional put). Residual: 3+ writers breaking the same stale lease
-    * simultaneously can still interleave a create into another breaker's
-    * claim-restore gap — full closure needs a conditional-put KV (the
-    * reference's CAS, store.go:449-465); single-writer remains the
-    * supported deployment, the lock exists to make violations LOUD. */
+    * conditional put). Residual races are documented at the CAS site —
+    * full closure needs a conditional-put KV (the reference's CAS,
+    * store.go:449-465); single-writer remains the supported deployment,
+    * the lock exists to make violations LOUD. */
   private def withWriterLock[A](op: String)(body: => A): A = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -163,14 +165,28 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           // corrupt concurrent parquet writes by the race spec). Only an
           // mtime identical to the one we judged stale is ours to break;
           // otherwise restore the live lock and fall through to the
-          // create-contention rejection below. Residual window: with 3+
-          // simultaneous breakers a third writer can create into the
-          // claim-restore gap — resolving THAT needs a conditional-put
-          // store (the reference's KV CAS, store.go:449-465), which is
-          // where multi-writer deployments should live anyway.
-          if (fs.getFileStatus(claimed).getModificationTime == stale)
+          // create-contention rejection below. The CAS is scoped to
+          // filesystems whose rename PRESERVES mtime (local, HDFS): an
+          // object store's copy+delete "rename" restamps it, so the CAS
+          // would never match and every break attempt would re-arm the
+          // lease — a permanently wedged table. There the break stays
+          // unconditional (those deployments get their atomicity from a
+          // conditional-put layer, per the scaladoc). Residual windows,
+          // documented honestly: (a) a breaker that steals a live lock
+          // and restores it AFTER the owner released leaves an orphan
+          // lock that rejects writers loudly for one lease period; (b)
+          // with 3+ simultaneous breakers a create can land inside the
+          // claim-restore gap (and the local-fs restore below would
+          // replace it — POSIX rename clobbers an existing destination,
+          // hence the exists guard, itself check-then-rename). Full
+          // closure needs a conditional-put KV (the reference's CAS,
+          // store.go:449-465); single-writer remains the supported
+          // deployment — the lock exists to make violations LOUD.
+          val casCapable = fs.getScheme == "file" || fs.getScheme == "hdfs"
+          if (!casCapable ||
+              fs.getFileStatus(claimed).getModificationTime == stale)
             fs.delete(claimed, false)
-          else if (!fs.rename(claimed, lock))
+          else if (fs.exists(lock) || !fs.rename(claimed, lock))
             fs.delete(claimed, false) // lock path reoccupied: drop the claim
         }
       }

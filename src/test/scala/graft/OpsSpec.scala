@@ -32,7 +32,8 @@ class DedupSpec extends SparkSuite {
       (2L, "body B\nFOOTER\nunique two"),
       (3L, "  FOOTER  \nbody C"), // trim-normalized match still drops
       (4L, "FOOTER"),             // boilerplate-only doc
-      (5L, "twice\ntwice\nbody D")) // same line 2x in ONE doc: df=1, kept
+      (5L, "twice\ntwice\nbody D"), // same line 2x in ONE doc: df=1, kept
+      (6L, null: String))           // NULL text: kept as "" — never vanishes
     val out = Dedup.dedupLines(d, "doc_id", "text", minDocs = 3)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
@@ -44,23 +45,36 @@ class DedupSpec extends SparkSuite {
     assert(out(3L) == (("body C", 1L, 1L)))
     assert(out(4L) == (("", 0L, 1L)))
     assert(out(5L) == (("twice\ntwice\nbody D", 3L, 0L)))
+    assert(out(6L) == (("", 1L, 0L)))
     intercept[IllegalArgumentException](
       Dedup.dedupLines(d, "doc_id", "text", minDocs = 1))
   }
 
-  test("dupSpans: cross-doc windows merge into maximal islands; within-doc repeats alone don't flag") {
+  test("dupSpans: overlapping/touching windows merge into non-overlapping maximal spans") {
     val d = docs(
       (1L, "p q r s t u v w"),  // shares [p q r s] and [u v w] with doc 2
       (2L, "p q r s x u v w"),
       (3L, "z z z z z"),        // zzz 3x but one doc -> df=1 alone
-      (4L, "z z z"))            // second doc makes zzz corpus-duplicated
+      (4L, "z z z"),            // second doc makes zzz corpus-duplicated
+      (5L, "a b c d e"),        // abc + cde flagged, bcd not: gap 2 <= k
+      (6L, "a b c q c d e"))    //   -> ONE span in doc 5, two in doc 6
     val out = Dedup.dupSpans(d, "doc_id", "text", k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(
-      (1L, 0L, 4L, 2L), (1L, 5L, 3L, 1L),   // two separate islands
+      (1L, 0L, 4L, 2L), (1L, 5L, 3L, 1L),   // gap 4 > k: two islands
       (2L, 0L, 4L, 2L), (2L, 5L, 3L, 1L),
       (3L, 0L, 5L, 3L),                     // 3 consecutive windows = 1 span
-      (4L, 0L, 3L, 1L)))
+      (4L, 0L, 3L, 1L),
+      (5L, 0L, 5L, 2L),     // starts 0,2 overlap as ranges: merged, len 5
+      (6L, 0L, 3L, 1L), (6L, 4L, 3L, 1L)))  // starts 0,4: disjoint ranges
+    // spans within a doc never overlap: start+len <= next start
+    val byDoc = out.groupBy(_._1).values
+    byDoc.foreach { spans =>
+      spans.sortBy(_._2).toSeq.sliding(2).foreach {
+        case Seq((_, s1, l1, _), (_, s2, _, _)) => assert(s1 + l1 <= s2)
+        case _ => ()
+      }
+    }
     intercept[IllegalArgumentException](Dedup.dupSpans(d, "doc_id", "text", k = 1))
     intercept[IllegalArgumentException](
       Dedup.dupSpans(d, "doc_id", "text", k = 3, minDocs = 1))
