@@ -50,6 +50,23 @@ class DedupSpec extends SparkSuite {
       Dedup.dedupLines(d, "doc_id", "text", minDocs = 1))
   }
 
+  test("dedupLines: identity round-trip when nothing crosses the threshold") {
+    // split + per-doc reassembly must reproduce the text byte-for-byte
+    // for every line shape: blank lines, whitespace-only lines, no
+    // newline, trailing newline (split keeps the trailing empty)
+    val weird = docs(
+      (1L, "a\n\nb \n  \nc"),
+      (2L, ""),
+      (3L, "no newline at all"),
+      (4L, " leading \nand trailing \n"))
+    val out = Dedup.dedupLines(weird, "doc_id", "text", minDocs = 99)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    val originals = weird.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    originals.foreach { case (id, text) =>
+      assert(out(id) == ((text, 0L)), s"doc $id not reconstructed")
+    }
+  }
+
   test("dupSpans: overlapping/touching windows merge into non-overlapping maximal spans") {
     val d = docs(
       (1L, "p q r s t u v w"),  // shares [p q r s] and [u v w] with doc 2
@@ -260,6 +277,36 @@ class SimilaritySpec extends SparkSuite {
     assert(graft.functions.SeededXxHash64Long.seedForLong(4294967297L)
       != graft.functions.SeededXxHash64Long.seedFor(1),
       "2^32+1 must not alias permutation 1")
+  }
+
+  test("GraftExtensions: spark.sql.extensions-style injection resolves every function without imperative register") {
+    // a genuinely fresh session so the builder actually applies the
+    // extensions (getOrCreate reuses — and skips extensions — while a
+    // default session exists); the shared SparkContext is reused and the
+    // suite session is restored afterwards
+    val orig = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne orig, "needed a fresh session for extension application")
+      val dot = s2.sql(
+        s"SELECT ${graft.functions.VecDotProduct.Name}(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT), CAST(4 AS FLOAT)))")
+        .collect().head.getDouble(0)
+      assert(dot == 11.0)
+      assert(s2.sql(s"SELECT ${graft.functions.BpeTokenCount.Name}(' the the')")
+        .collect().head.getLong(0) == 2L)
+      assert(s2.sql(s"SELECT ${graft.functions.SeededXxHash64Long.Name}(CAST(7 AS BIGINT), 3)")
+        .collect().head.getLong(0) ==
+        s2.sql("SELECT xxhash64(3, CAST(7 AS BIGINT))").collect().head.getLong(0))
+      for (n <- Seq(graft.functions.SrpBandBuckets.Name, graft.functions.BpeTokens.Name))
+        assert(s2.catalog.functionExists(n), s"$n missing from the injected session")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+    }
   }
 
   test("GraftFunctions.register: concurrent first registrations all resolve") {
