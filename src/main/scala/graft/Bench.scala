@@ -38,7 +38,7 @@ object Bench {
     "dedup_clusters",
     "sim_topk", "sim_ann_ivf", "sim_quantize", "dedup_embedding_srp",
     "events_sessionize",
-    "text_tokens", "text_tokens_bpe", "text_quality", "text_langid",
+    "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",
     "text_tfidf", "text_redact",
     "text_repetition", "text_decontaminate", "text_dup_spans", "doc_fingerprint",
     "corpus_sample", "corpus_mix", "corpus_stats", "text_dedup_lines",

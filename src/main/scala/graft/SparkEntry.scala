@@ -402,6 +402,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer TRAINING end-to-end: learn a merge table from a
+    // planted corpus (histogram: "the"×n_docs + " the"×Σ(doc_id%7) →
+    // the derivable table (h,e),(t,he),(" ","the") — pair frequencies
+    // and the lexicographic tie-break force it), then count fixture
+    // text with the LEARNED table at scan speed. " the" merges to one
+    // token, digit runs never merge, so counts are arithmetic in the
+    // twin — a hash-exact proof of train → merges.txt round-trip →
+    // vocab-parameterized counting
+    "text_bpe_train" -> ((s, dir) => {
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("the"),
+            repeat(lit(" the"), (col("doc_id") % 7).cast("int"))).as("text"))
+      val lines = graft.functions.Bpe.toMergesLines(
+        TextAnalysis.bpeTrain(corpus, "text", nMerges = 3))
+      val fixture = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          repeat(lit(" the"), (col("doc_id") % 7 + 1).cast("int")),
+          lit(" "), col("doc_id").cast("string")).as("text"))
+      fixture.select(col("doc_id"),
+          TextAnalysis.bpeTokenCountWith(s, col("text"), lines).as("learned_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring: length/punct/stopword features + composite score.
     // Tokenize ONCE in a projection — interpreted HOFs re-evaluate their
     // argument subtrees per use (see TextAnalysis scaladoc)
@@ -1247,6 +1271,13 @@ object SparkEntry {
          |       x -> x <> '')) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the learned table merges " the" to one token and leaves digit runs
+    // unmerged: a + 1 + len(id) per doc, like the _exact fixture
+    "text_bpe_train" ->
+      """SELECT doc_id,
+        |  (doc_id % 7 + 1) + 1 + length(CAST(doc_id AS VARCHAR)) AS learned_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // closed-form counts of the planted fixture words (constants derived
     // from Bpe.DefaultMerges; validated against the real encoder for

@@ -36,9 +36,13 @@ object Bpe {
   /** The standard GPT-2 pre-tokenization pattern (public; contractions,
     * optionally-space-prefixed letter/digit/punct runs, whitespace) —
     * matches partition the input, so BPE tokens concatenate back to the
-    * exact original text. */
-  private val PreTokenizer: Pattern = Pattern.compile(
-    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    * exact original text. Exposed as a string so the TRAINING scan can
+    * run the identical segmentation inside Spark's `regexp_extract_all`
+    * (same java.util.regex semantics, lookahead included). */
+  val PreTokenizerPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  private val PreTokenizer: Pattern = Pattern.compile(PreTokenizerPattern)
 
   /** Embedded demo merge ranks (rank = position). WELL-ORDERED: each
     * side of a merge is a single code point or the product of an earlier
@@ -177,6 +181,10 @@ object Bpe {
     (direct ++ shifted).toMap
   }
 
+  /** Forward direction of the same table: engine-alphabet char → the
+    * byte-level char merges.txt writes (space → 'Ġ'). */
+  private val CharOfByte: Map[Char, Char] = ByteOfChar.map(_.swap)
+
   /** Decode one merges.txt symbol to this engine's code-point alphabet.
     * Per-CHAR (each mapped byte becomes the latin-1 char of that byte),
     * never re-parsed as UTF-8: decode(a) + decode(b) == decode(a ++ b)
@@ -219,4 +227,71 @@ object Bpe {
           s"bad merges line: '$l' (expected exactly 'left right')")
         (decodeSymbol(l, parts(0)), decodeSymbol(l, parts(1)))
       }.toSeq)
+
+  /** Serialize learned merges to standard byte-level merges.txt lines —
+    * the inverse of [[vocab]] (space prefixes become 'Ġ'), so a trained
+    * table round-trips through the public format and interoperates with
+    * any GPT-2-style tokenizer loader. Latin-1 symbols only (the same
+    * boundary as the decode side); anything else fails loudly. */
+  def toMergesLines(merges: Seq[(String, String)]): Seq[String] = {
+    def enc(s: String): String = s.map { c =>
+      CharOfByte.getOrElse(c, throw new IllegalArgumentException(
+        s"merge symbol '$s': char U+${c.toInt.toHexString} is outside the " +
+          "byte-level alphabet — only latin-1 symbols serialize to merges.txt"))
+    }.mkString
+    merges.map { case (a, b) => s"${enc(a)} ${enc(b)}" }
+  }
+
+  /** Exact BPE merge learning over a WORD HISTOGRAM — the classic fast
+    * trainer shape: the corpus is reduced to (distinct pre-token, count)
+    * once (one Spark scan, [[graft.ops.TextAnalysis.bpeTrain]]), and the
+    * quadratic-ish merge loop runs driver-side over the histogram —
+    * vocabulary-sized work per merge, independent of corpus size, and
+    * bit-identical on every rerun. Each round counts adjacent symbol
+    * pairs weighted by word count (all positions, the standard
+    * `get_stats`), picks the most frequent — ties break to the
+    * lexicographically smallest pair, making training deterministic —
+    * and fuses its left-to-right non-overlapping occurrences (exactly
+    * [[Vocab.encodeWord]]'s rule, so applying the learned table
+    * reproduces the training segmentation). Stops early when no pair
+    * repeats. */
+  def train(wordCounts: Iterable[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 0, s"nMerges must be >= 0: $nMerges")
+    def codePoints(w: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + n); i += n
+      }
+      b.result()
+    }
+    var words = wordCounts.iterator
+      .map { case (w, c) => (codePoints(w), c) }.filter(_._1.length >= 2).toArray
+    val out = Seq.newBuilder[(String, String)]
+    var done = false
+    var m = 0
+    while (m < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += best
+        words = words.map { case (syms, c) =>
+          val fused = Array.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+              fused += (best._1 + best._2); j += 2
+            } else { fused += syms(j); j += 1 }
+          }
+          (fused.result(), c)
+        }.filter(_._1.length >= 2)
+        m += 1
+      }
+    }
+    out.result()
+  }
 }

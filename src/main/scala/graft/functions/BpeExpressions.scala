@@ -85,3 +85,48 @@ object BpeTokens {
       s"$Name expects (text), got ${other.size} args")
   }
 }
+
+/** [[BpeTokenCount]] under a CALLER-SUPPLIED merge table — how a table
+  * learned by [[Bpe.train]] (or any standard merges.txt) is applied at
+  * scan speed. The merges arrive as a foldable newline-joined string of
+  * byte-level merges.txt lines (the [[SeededXxHash64Long]] pattern: a
+  * literal that parameterizes the plan, not data); the builder compiles
+  * it to a [[Bpe.Vocab]] ONCE at plan time, and generated code reaches
+  * the vocab through a plan reference object — per-row work is the same
+  * merge loop as the default-table expression. */
+case class BpeTokenCountVocab(child: Expression, vocab: Bpe.Vocab)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = BpeTokenCountVocab.Name
+
+  override def nullSafeEval(v: Any): Any =
+    vocab.count(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBpeVocab", vocab, classOf[Bpe.Vocab].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.count($c.toString());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeTokenCountVocab {
+  val Name = "graft_bpe_count_vocab"
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[BpeTokenCountVocab].getName, Name)
+  val builder: Seq[Expression] => Expression = {
+    case Seq(c, m) if m.foldable && m.dataType == StringType =>
+      val lines = Option(m.eval()).map(_.toString).getOrElse(
+        throw new IllegalArgumentException(s"$Name: merges literal is NULL"))
+      BpeTokenCountVocab(c, Bpe.vocab(lines.split('\n').toSeq))
+    case other => throw new IllegalArgumentException(
+      s"$Name expects (text, mergesLines literal), got " +
+        other.map(_.dataType.simpleString).mkString(", "))
+  }
+}

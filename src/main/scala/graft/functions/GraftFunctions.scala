@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BpeTokenCount.info, BpeTokenCount.builder))
     ext.injectFunction((FunctionIdentifier(BpeTokens.Name),
       BpeTokens.info, BpeTokens.builder))
+    ext.injectFunction((FunctionIdentifier(BpeTokenCountVocab.Name),
+      BpeTokenCountVocab.info, BpeTokenCountVocab.builder))
   }
 }
 
@@ -54,6 +56,8 @@ object GraftFunctions {
         BpeTokenCount.Name, BpeTokenCount.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         BpeTokens.Name, BpeTokens.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        BpeTokenCountVocab.Name, BpeTokenCountVocab.builder, "built-in")
       registered.put(spark, java.lang.Boolean.TRUE)
     }
   }

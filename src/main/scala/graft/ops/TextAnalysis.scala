@@ -54,6 +54,43 @@ object TextAnalysis {
     call_function(graft.functions.BpeTokens.Name, text)
   }
 
+  /** TRAIN a BPE merge table on a corpus: ONE scan reduces it to a
+    * (distinct pre-token, count) histogram — the same GPT-2
+    * pre-tokenizer regex the encoder uses, one shuffle on the word —
+    * and the exact merge loop then runs driver-side over the histogram
+    * ([[graft.functions.Bpe.train]]): vocabulary-sized work per merge,
+    * independent of corpus size, deterministic. `minCount`/`maxWords`
+    * bound the driver histogram on open-vocabulary corpora (rare-word
+    * pruning — standard trainer practice; the cap picks the most
+    * frequent words, ties on the word for determinism). Serialize the
+    * result with [[graft.functions.Bpe.toMergesLines]] and apply it at
+    * scan speed via [[bpeTokenCountWith]]. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               nMerges: Int, minCount: Long = 1,
+               maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    val words = docs
+      .select(explode(regexp_extract_all(
+        coalesce(col(textCol), lit("")),
+        lit(graft.functions.Bpe.PreTokenizerPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    graft.functions.Bpe.train(words, nMerges)
+  }
+
+  /** [[bpeTokenCountReal]] under a caller-supplied merge table (standard
+    * byte-level merges.txt lines, e.g. from [[bpeTrain]] +
+    * `Bpe.toMergesLines`) — the lines travel as a plan literal, compiled
+    * to a vocab once at plan time. */
+  def bpeTokenCountWith(spark: org.apache.spark.sql.SparkSession,
+                        text: Column, mergesLines: Seq[String]): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function(graft.functions.BpeTokenCountVocab.Name, text,
+      lit(mergesLines.mkString("\n")))
+  }
+
   /** Language-ID stopword tables (tiny n-gram heuristic; deterministic
     * priority en > es > de > fr on ties). */
   val Stopwords: Seq[(String, Seq[String])] = Seq(

@@ -639,6 +639,45 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("Bpe.train: histogram merge learning — frequency order, lexicographic ties, early stop") {
+    // pairs: (t,h)=20, (h,e)=20, (" ",t)=15 — the tie breaks to the
+    // lexicographically smaller ("h","e"); then (t,he)=20 beats
+    // (" ",t)=15; then only (" ","the") remains; then nothing
+    val m = graft.functions.Bpe.train(Seq("the" -> 5L, " the" -> 15L), 10)
+    assert(m == Seq(("h", "e"), ("t", "he"), (" ", "the")),
+      s"got $m")
+    // well-ordered by construction: the learned table loads as a vocab
+    // through the STANDARD merges.txt round-trip (space -> 'Ġ')
+    val lines = graft.functions.Bpe.toMergesLines(m)
+    assert(lines == Seq("h e", "t he", "Ġ the"))
+    val v = graft.functions.Bpe.vocab(lines)
+    assert(v.count(" the the") == 2)
+    assert(v.encode(" the").toSeq == Seq(" the"))
+    // deterministic: same input, same table
+    assert(graft.functions.Bpe.train(Seq("the" -> 5L, " the" -> 15L), 10) == m)
+    assert(graft.functions.Bpe.train(Seq("ab" -> 1L), 0).isEmpty)
+    intercept[IllegalArgumentException](graft.functions.Bpe.train(Nil, -1))
+  }
+
+  test("bpeTrain + bpeTokenCountWith: corpus scan to learned table to scan-speed counting") {
+    val d = Seq.tabulate(40)(i => (i.toLong, "the" + " the" * (i % 3)))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(d, "text", nMerges = 3)
+    assert(merges == Seq(("h", "e"), ("t", "he"), (" ", "the")))
+    val lines = graft.functions.Bpe.toMergesLines(merges)
+    val counted = d.select(col("doc_id"),
+        TextAnalysis.bpeTokenCountWith(spark, col("text"), lines).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "the" (never space-prefixed at doc start) merges to [the] via
+    // (h,e)+(t,he); each " the" to one token via all three merges
+    counted.foreach { case (id, n) => assert(n == 1 + id % 3, s"doc $id") }
+    // minCount prunes the rare word out of the histogram entirely
+    val pruned = TextAnalysis.bpeTrain(
+      Seq((1L, "aa aa aa aa"), (2L, "zq")).toDF("doc_id", "text"),
+      "text", nMerges = 5, minCount = 2)
+    assert(pruned.forall { case (a, b) => !(a + b).contains("zq") })
+  }
+
   test("Bpe.vocab loads GPT-2 byte-level merges.txt: Ġ→space fires, header skipped, foreign chars loud") {
     // a tiny table in the STANDARD byte-level encoding: a trained
     // merges.txt writes the space prefix as 'Ġ' (U+0120) and newline as
