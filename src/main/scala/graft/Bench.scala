@@ -40,7 +40,8 @@ object Bench {
     "events_sessionize",
     "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",
     "text_tfidf", "text_redact",
-    "text_repetition", "text_decontaminate", "text_dup_spans", "doc_fingerprint",
+    "text_repetition", "text_decontaminate", "text_decontaminate_fuzzy",
+    "text_bm25", "text_lm_score", "text_dup_spans", "doc_fingerprint",
     "corpus_sample", "corpus_mix", "corpus_stats", "text_dedup_lines",
     "corpus_pack", "corpus_topk", "corpus_curate",
     "corpus_curate_stream", "corpus_chunk", "corpus_chunk_pack", "text_vocab",

@@ -492,6 +492,44 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // FUZZY decontamination: cross-dataset MinHash-LSH — corpus docs
+    // near-duplicating a benchmark doc (trigram Jaccard >= 0.5) without
+    // a corpus self-join or a corpus x benchmark cross product. Same
+    // every-10TH-doc benchmark stand-in (wider than the exact entry's
+    // every-25th so the fuzzy pair set is non-degenerate); self-pairs are
+    // the stand-in artifact and excluded here, not in the operator.
+    // Oracle: the brute-force corpus x benchmark Jaccard (verification
+    // makes the LSH output an exact subset; banding makes a miss at 0.5
+    // ~5e-10)
+    "text_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.crossMinHashLshPairs(docs,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          k = 3, threshold = 0.5, maxBucketSize = 1000)
+        .filter(col("doc_id") =!= col("bench_id"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // BM25 keyword retrieval: top-20 docs for a 3-term query (one rare
+    // term — df 25/500 — plus two common ones, so idf spread is real).
+    // Scores sum in a FIXED per-term column order and rank on the
+    // ROUNDED score, so the DuckDB twin replays the identical IEEE
+    // expression tree and a libm-ulp ln difference cannot flip the top-K
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", Seq("dup", "join", "window"), topK = 20)),
+
+    // bigram-LM perplexity scoring (CCNet-style model-based quality
+    // filter), self-trained: every doc scored by its average smoothed
+    // bigram log-probability under the corpus's own statistics. Short
+    // docs (<2 tokens) keep a NULL-score row. The per-doc total folds a
+    // position-sorted array, so the float sum never depends on
+    // partitioning and the twin replays the identical ordered fold
+    "text_lm_score" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.lmScore(docs, docs, "doc_id", "text")
+    }),
+
     // exact duplicated-substring spans: 8-token windows occurring
     // verbatim in >= 2 distinct docs, merged into maximal per-doc spans
     // (the exact-substring dedup step document-level dedup can't see)
@@ -1609,6 +1647,83 @@ object SparkEntry {
         |FROM dg JOIN bg USING (g)
         |WHERE dg.doc_id <> bg.bench_id
         |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin,
+
+    // brute-force corpus x benchmark Jaccard over the same trigram
+    // shingles — the LSH entry's verified output equals this exactly
+    "text_decontaminate_fuzzy" ->
+      s"""WITH $NgramJaccardCtes
+         |SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+         |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM s a JOIN s b ON b.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // the identical BM25 expression tree, constant-by-constant (no
+    // hand-folded literals: both engines fold 1.2+1.0 in IEEE double);
+    // per-term pivot columns summed in the same fixed order
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS w FROM documents),
+        |l AS (SELECT doc_id, len(w) AS dl, w FROM d),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM l),
+        |t AS (SELECT doc_id, dl, unnest(w) AS t FROM l),
+        |hits AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+        |         FROM t WHERE t IN ('dup', 'join', 'window') GROUP BY 1, 2, 3),
+        |dfs AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY 1),
+        |sc AS (SELECT doc_id, t,
+        |    ln(1.0::DOUBLE + (CAST(n AS DOUBLE) - df + 0.5::DOUBLE)
+        |                     / (df + 0.5::DOUBLE))
+        |    * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+        |    / (tf + 1.2::DOUBLE
+        |            * (1.0::DOUBLE - 0.75::DOUBLE
+        |               + (0.75::DOUBLE * CAST(dl AS DOUBLE))
+        |                 / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))) AS s
+        |  FROM hits JOIN dfs USING (t) CROSS JOIN stats),
+        |p AS (SELECT doc_id,
+        |    max(CASE WHEN t = 'dup' THEN s END) AS s0,
+        |    max(CASE WHEN t = 'join' THEN s END) AS s1,
+        |    max(CASE WHEN t = 'window' THEN s END) AS s2
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id,
+        |  round(coalesce(s0, 0.0::DOUBLE) + coalesce(s1, 0.0::DOUBLE)
+        |        + coalesce(s2, 0.0::DOUBLE), 6) AS score
+        |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // same smoothed-bigram model arithmetic; parallel unnests zip pos
+    // with its bigram and context; the ordered-list sum replays Spark's
+    // position-sorted left fold
+    "text_lm_score" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS w1 FROM d),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |bgx AS (SELECT unnest([w[i] || ' ' || w[i+1]
+        |                      for i in range(1, len(w))]) AS g FROM d),
+        |c12 AS (SELECT g, count(*) AS c12 FROM bgx GROUP BY 1),
+        |p AS (SELECT doc_id,
+        |    unnest([i - 1 for i in range(1, len(w))]) AS pos,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g,
+        |    unnest([w[i] for i in range(1, len(w))]) AS w1
+        |  FROM d WHERE len(w) >= 2),
+        |lp AS (SELECT doc_id, pos,
+        |    ln((CAST(coalesce(c12, 0) AS DOUBLE) + 0.5::DOUBLE)
+        |       / (CAST(coalesce(c1, 0) AS DOUBLE)
+        |          + 0.5::DOUBLE * CAST(v AS DOUBLE))) AS lp
+        |  FROM p LEFT JOIN c12 USING (g) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v),
+        |t AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    list_aggregate(list(lp ORDER BY pos), 'sum') AS total
+        |  FROM lp GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  round(t.total / t.n_bigrams, 6) AS avg_logprob,
+        |  round(exp(-(t.total / t.n_bigrams)), 6) AS perplexity
+        |FROM d LEFT JOIN t ON d.doc_id = t.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // parallel unnests zip: pos (0-based, matching posexplode) pairs with
     // its 8-gram; islands via the same pos - row_number() grouping

@@ -114,36 +114,7 @@ object Dedup {
     // small pair output, then releases it
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
 
-    // signature: per-seed min over exploded shingles (one shuffle on id).
-    // Each shingle STRING hashes once; the k per-seed values rehash that
-    // 64-bit base (fixed 12 bytes through xxhash64) instead of re-walking
-    // the string k times — measured ~1.5x faster on the signature stage,
-    // and seeded rehashing of a uniform base is as valid a permutation
-    // family as seeded string hashing (verification keeps the output an
-    // exact subset of brute force regardless of the hash family).
-    // graft_xxhash64_seeded(h, j) == xxhash64(lit(j), h) bit-for-bit
-    // ([[graft.functions.SeededXxHash64Long]]) but precomputes the j-th
-    // seed at plan time — one hashLong per permutation per row instead of
-    // two, and the k-wide aggregate input projection stays a flat run of
-    // static calls inside whole-stage codegen (the min aggregates keep
-    // HashAggregateExec's primitive-buffer fast path; an array-valued
-    // signature aggregate would force object/sort aggregation)
-    GraftFunctions.register(docs.sparkSession)
-    val sig = sh.select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("__h", xxhash64(col("s")))
-      .groupBy("id")
-      .agg(
-        min(call_function(SeededXxHash64Long.Name, col("__h"), lit(0))).as("h0"),
-        (1 until numHashes).map(j =>
-          min(call_function(SeededXxHash64Long.Name, col("__h"), lit(j))).as(s"h$j")): _*)
-
-    // bands → (id, band, bucket) rows; join within buckets
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket"))
-    }
-    val allBuckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val allBuckets = bandBucketRows(minHashSignatures(sh, numHashes), numHashes, bands)
     // scope-cached for the same reason as `sh`: the bucket self-join's two
     // sides would each re-run the explode + 64-way min aggregate; the
     // bucket table is 3 longs × (docs × bands) — small
@@ -163,6 +134,94 @@ object Dedup {
     Caching.scopedDeferred(sh, buckets)(verifyJaccard(cand, sh, threshold))
   }
 
+  /** Per-id MinHash signatures over a `(id, sh)` shingle table (one
+    * shuffle on id). Each shingle STRING hashes once; the k per-seed
+    * values rehash that 64-bit base (fixed 12 bytes through xxhash64)
+    * instead of re-walking the string k times — measured ~1.5x faster on
+    * the signature stage, and seeded rehashing of a uniform base is as
+    * valid a permutation family as seeded string hashing (verification
+    * keeps the output an exact subset of brute force regardless of the
+    * hash family). graft_xxhash64_seeded(h, j) == xxhash64(lit(j), h)
+    * bit-for-bit ([[graft.functions.SeededXxHash64Long]]) but precomputes
+    * the j-th seed at plan time — one hashLong per permutation per row
+    * instead of two, and the k-wide aggregate input projection stays a
+    * flat run of static calls inside whole-stage codegen (the min
+    * aggregates keep HashAggregateExec's primitive-buffer fast path; an
+    * array-valued signature aggregate would force object/sort
+    * aggregation). */
+  private def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    GraftFunctions.register(sh.sparkSession)
+    sh.select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("__h", xxhash64(col("s")))
+      .groupBy("id")
+      .agg(
+        min(call_function(SeededXxHash64Long.Name, col("__h"), lit(0))).as("h0"),
+        (1 until numHashes).map(j =>
+          min(call_function(SeededXxHash64Long.Name, col("__h"), lit(j))).as(s"h$j")): _*)
+  }
+
+  /** Signature rows → `(id, band, bucket)` rows: hash each band's run of
+    * `numHashes/bands` signature values into one bucket key and explode. */
+  private def bandBucketRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Fuzzy (near-duplicate) benchmark decontamination: MinHash-LSH
+    * between TWO datasets — corpus documents whose shingle Jaccard vs
+    * some benchmark document clears `threshold`, found without ever
+    * comparing the corpus to itself or crossing it with the full
+    * benchmark. [[graft.ops.TextAnalysis.benchmarkOverlap]] is the EXACT
+    * k-gram-overlap variant (any shared gram); this is the fuzzy one —
+    * paraphrased or lightly-edited contamination that exact grams miss
+    * but high Jaccard still exposes.
+    *
+    * Output `(doc_id, bench_id, jaccard)` — every verified pair, ordered.
+    * Verification computes TRUE Jaccard on the candidates, so the result
+    * is an exact subset of the brute-force cross product; the banding
+    * parameters make a miss at `threshold` astronomically unlikely
+    * (P[miss] = (1-J^r)^bands ≈ 5e-10 at J=0.5 with 64/32), which is why
+    * the entry can hold a full equality oracle against brute force.
+    *
+    * Distributed shape (the 100 TB path): each side's signatures are one
+    * scan + one shuffle on id; the ONLY cross-dataset contact is the
+    * (band, bucket) equi-join — the benchmark side is benchmark-sized ×
+    * bands rows, which AQE broadcasts, so the corpus never shuffles for
+    * the join; candidate volume is governed by banding, never |corpus| ×
+    * |bench|. `maxBucketSize` drops degenerate corpus-side mega-buckets
+    * (boilerplate shingle sets) exactly as in [[minHashLshPairs]]. */
+  def crossMinHashLshPairs(docs: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int, threshold: Double,
+                           numHashes: Int = 64, bands: Int = 32,
+                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val shd = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val shb = bench.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    // both shingle tables feed a signature build + two verification
+    // consumers (explode, sizes) — scope-cached like the self-join path
+    val bd0 = bandBucketRows(minHashSignatures(shd, numHashes), numHashes, bands)
+    val bd =
+      if (maxBucketSize == Int.MaxValue) bd0
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        bd0.withColumn("__bs", count(lit(1)).over(w))
+          .filter(col("__bs") <= maxBucketSize).drop("__bs")
+      }
+    val bb = bandBucketRows(minHashSignatures(shb, numHashes), numHashes, bands)
+    val cand = bd.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("doc_id"), col("y.id").as("bench_id"))
+      .distinct()
+    Caching.scoped(shd, shb)(
+      verifyJaccardBetween(cand, shd, shb, "doc_id", "bench_id", threshold))
+  }
+
   /** Verify candidate pairs against the TRUE shingle Jaccard via
     * explode + hash-join intersection counting: |A∩B| = matching-shingle
     * rows per pair, |A∪B| = |A|+|B|-|A∩B|.
@@ -172,21 +231,28 @@ object Dedup {
     * filter, re-evaluating it INTERPRETED per candidate pair (profiled:
     * >100x slower). Exploded hash joins + one aggregate stay inside
     * whole-stage codegen and scale linearly in candidate volume. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardBetween(cand, sh, sh, "id_a", "id_b", threshold)
+
+  /** [[verifyJaccard]] generalized to candidates drawn from two distinct
+    * shingle tables (`shA` keyed by `aCol`, `shB` by `bCol`) — the
+    * cross-dataset (decontamination) case collapses to the self-join case
+    * when both sides are the same table. */
+  private def verifyJaccardBetween(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+                                   aCol: String, bCol: String,
+                                   threshold: Double): DataFrame = {
     val inter = cand
-      .join(ex.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(ex.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("both"))
+      .join(shA.select(col("id").as(aCol), explode(col("sh")).as("s")), aCol)
+      .join(shB.select(col("id").as(bCol), explode(col("sh")).as("s")), Seq(bCol, "s"))
+      .groupBy(aCol, bCol).agg(count(lit(1)).as("both"))
     inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .join(shA.select(col("id").as(aCol), size(col("sh")).as("na")), aCol)
+      .join(shB.select(col("id").as(bCol), size(col("sh")).as("nb")), bCol)
       .withColumn("jaccard",
         col("both").cast("double") / (col("na") + col("nb") - col("both")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
+      .select(col(aCol), col(bCol), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(aCol, bCol)
   }
 
   // ------------------------------------------------- near-dup clustering

@@ -317,4 +317,122 @@ object TextAnalysis {
         .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"), col("rank"))
         .orderBy("doc_id", "rank"))
   }
+
+  /** Bigram language-model scoring: train add-k-smoothed bigram
+    * statistics on `train`, score every `target` document by its average
+    * per-bigram log-probability and perplexity — the CCNet-style
+    * "perplexity under a reference LM" quality filter (score the crawl
+    * against a trusted-corpus model; low-probability docs are gibberish,
+    * high-probability docs are boilerplate — both tails get reviewed).
+    *
+    * Model: P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V), V = train vocab
+    * size; unseen contexts/bigrams coalesce to 0 and still smooth. Docs
+    * with fewer than 2 tokens keep a row with NULL scores (`n_bigrams`
+    * 0) — dropping them silently would misread as "filtered by quality".
+    *
+    * Determinism: each position's log-probability is one `ln` of an
+    * integer-derived rational (bit-stable mod libm ulps, absorbed by the
+    * 6-dp round of the AVERAGE); the per-doc total folds a
+    * position-SORTED array left-to-right, so float summation order never
+    * depends on partitioning — the DuckDB twin replays the same ordered
+    * fold. Collecting a doc's bigram list is bounded by the doc itself
+    * (the text column was already in one row).
+    *
+    * Distributed shape (the 100 TB path): count tables are one shuffle
+    * each over the train corpus (map-side combined); the score path joins
+    * target positions to the bigram/context tables on their keys — count
+    * tables are vocab-bounded, far smaller than the corpus, and AQE
+    * broadcasts them when they fit (`minCount` prunes the bigram tail at
+    * scale: pruned bigrams score as unseen, the standard trade). One
+    * final shuffle on doc id for the fold. */
+  def lmScore(train: DataFrame, target: DataFrame, idCol: String,
+              textCol: String, addK: Double = 0.5,
+              minCount: Long = 1L): DataFrame = {
+    require(addK > 0, s"addK must be > 0: $addK")
+    val uni = train
+      .select(explode(tokens(lower(col(textCol)))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = train
+      .select(explode(wordNgrams(lower(col(textCol)), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val pos = target.select(col(idCol).as("doc_id"),
+        posexplode(wordNgrams(lower(col(textCol)), 2)).as(Seq("pos", "g")))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+    val lp = pos
+      .join(big, Seq("g"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log(
+        (coalesce(col("c12"), lit(0L)).cast("double") + lit(addK)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            lit(addK) * col("v").cast("double"))))
+    val perDoc = lp.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      aggregate(sort_array(collect_list(struct(col("pos"), col("lp")))),
+        lit(0.0), (acc, x) => acc + x.getField("lp")).as("__total"))
+    target.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__total") / col("n_bigrams"), 6).as("avg_logprob"),
+        round(exp(-(col("__total") / col("n_bigrams"))), 6).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 keyword retrieval: top-`topK` documents for a bag-of-terms
+    * query under Okapi BM25 (Lucene's `ln(1 + (N-df+0.5)/(df+0.5))` idf,
+    * `k1`/`b` length normalization) — the eval-set mining / targeted-
+    * inspection primitive of a curation pipeline ("show me the docs that
+    * look most like this benchmark prompt").
+    *
+    * Only documents containing at least one query term are scored
+    * (retrieval semantics; absent terms contribute 0 via the missing
+    * pivot cell). Scores are summed over a FIXED per-term column order —
+    * one conditional-aggregation column per query term — not a float
+    * `sum()` over shuffled rows, so the total is bit-deterministic and
+    * the DuckDB twin can replay the identical expression tree. Ranking
+    * uses the ROUNDED score (6 dp) with doc-id tiebreak so a libm-ulp
+    * `ln` difference can never flip the top-K boundary between engines.
+    *
+    * Distributed shape (the 100 TB path): tokenize at scan speed, filter
+    * the exploded stream to the (tiny, plan-literal) query set BEFORE any
+    * shuffle — the only shuffled volume is corpus occurrences of query
+    * terms. Corpus stats are one two-value aggregate (`sum` of long
+    * lengths — exact, order-independent), document frequencies a
+    * #query-terms-row table; both broadcast. Top-K lowers to
+    * TakeOrderedAndProject: each task keeps K candidates, only those
+    * reach the driver merge. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25TopK: empty query")
+    val terms = query.map(_.toLowerCase).distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("w"))
+    val withLen = toks.select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    // N and total token count: longs, so the aggregate is exact and
+    // avgdl = sdl/N is the same IEEE division on both engines
+    val stats = withLen.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val hits = withLen
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = hits.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val scored = hits.join(broadcast(dfs), "t").crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("t") === t, col("s"))).as(s"__s$i")
+    }
+    val pivoted = scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+    val total = terms.indices.map(i => coalesce(col(s"__s$i"), lit(0.0))).reduce(_ + _)
+    pivoted.select(col("doc_id"), round(total, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+  }
 }

@@ -110,6 +110,33 @@ class DedupSpec extends SparkSuite {
       brute.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
 
+  test("crossMinHashLshPairs: cross-dataset near-dup equals brute cross Jaccard") {
+    spark.sharedState.cacheManager.clearCache()
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely unrelated text about spark query engines and joins"),
+      (3L, "another separate document on parquet partition pruning work"))
+    val bench = docs(
+      (100L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (101L, "benchmark prompt with no corpus counterpart whatsoever listed"))
+    val out = Dedup.crossMinHashLshPairs(corpus, bench, "doc_id", "text",
+      k = 3, threshold = 0.5)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // brute cross product over the same trigram shingles
+    val sh = (df: org.apache.spark.sql.DataFrame, id: String) =>
+      df.select(col("doc_id").as(id), Dedup.shingles(col("text"), 3).as(s"sh_$id"))
+    val brute = sh(corpus, "a").crossJoin(sh(bench, "b"))
+      .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.5)
+      .select(col("a"), col("b"), round(col("j"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == brute)
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 100L)))
+    out.unpersist(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cross-LSH leaked intermediate caches into the session")
+  }
+
   test("cache discipline: intermediates released, result is the caller's only handle") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()
@@ -802,6 +829,57 @@ class TextAnalysisSpec extends SparkSuite {
     val strict = TextAnalysis.benchmarkOverlap(train, bench, "doc_id", "text",
       k = 3, minShared = 3L).collect()
     assert(strict.isEmpty)
+  }
+
+  test("lmScore: add-k bigram model matches hand counts; OOV smooths; short docs keep NULL rows") {
+    val train = Seq(
+      (1L, "a b a"), (2L, "b b"), (3L, "c")).toDF("doc_id", "text")
+    // train stats: c1 = {a:2, b:3, c:1}, V=3; c12 = {"a b":1, "b a":1, "b b":1}
+    val target = Seq(
+      (1L, "a b a"),   // ln(1.5/3.5), ln(1.5/4.5)
+      (3L, "c"),       // no bigrams → NULL scores
+      (4L, "z a")).toDF("doc_id", "text") // fully unseen: ln(0.5/1.5)
+    val out = TextAnalysis.lmScore(train, target, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = (math.log(1.5 / 3.5) + math.log(1.5 / 4.5)) / 2
+    val d4 = math.log(0.5 / 1.5)
+    assert(out == Seq(
+      (1L, 2L, r6(d1), r6(math.exp(-d1))),
+      (3L, 0L, null, null),
+      (4L, 1L, r6(d4), r6(math.exp(-d4)))))
+    intercept[IllegalArgumentException](
+      TextAnalysis.lmScore(train, target, "doc_id", "text", addK = 0.0))
+  }
+
+  test("bm25TopK: scores match the closed-form Okapi formula, ranked and bounded") {
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, "doc_id", "text",
+        Seq("apple", "cherry"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // independent plain-Scala computation of the same formula:
+    // N=3, avgdl=3; df(apple)=1, df(cherry)=2
+    def idf(df: Double) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def s(tf: Double, dl: Double, df: Double) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 3.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(
+      1L -> r6(s(2, 3, 1)), // apple twice, the rare term → top
+      3L -> r6(s(3, 4, 2)),
+      2L -> r6(s(1, 2, 2)))
+    assert(out == expected)
+    assert(expected.map(_._2) == expected.map(_._2).sorted.reverse)
+    // topK bounds the result; docs with no query term never appear
+    val k1 = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("apple"), topK = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(k1 == Seq(1L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25TopK(d, "doc_id", "text", Nil, topK = 1))
   }
 }
 
