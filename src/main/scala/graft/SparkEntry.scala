@@ -639,6 +639,30 @@ object SparkEntry {
       Similarity.nearDupPairsSrp(base.unionByName(planted), 0.9)
     }),
 
+    // SemDeDup end product: embedding-space near-dup components collapsed
+    // to their min-id canonical member — semantic dedup over the SRP-LSH
+    // scale path. Planted construction extends dedup_embedding_srp's with
+    // a SECOND copy layer (vec_id < 20 shifted +0.04 at +2000000): copy2
+    // sits at cosine ≈0.988 to copy1 but farther from the source, so
+    // components of size 3 form partly through TRANSITIVE edges — the
+    // closure step is load-bearing, not decorative. Expected keep-list:
+    // exactly the base ids (every planted copy collapses into its
+    // source's component); the oracle derives that from scratch via
+    // brute-force pairs + recursive closure + anti-join
+    "sim_semdedup" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      def shifted(ids: Long, offset: Long, delta: Double) =
+        base.filter(col("vec_id") < ids)
+          .select((col("vec_id") + offset).as("vec_id"),
+            transform(col("embedding"),
+              x => (x.cast("double") + lit(delta)).cast("float")).as("embedding"))
+      val all = base
+        .unionByName(shifted(40, 1000000L, 0.02))
+        .unionByName(shifted(20, 2000000L, 0.04))
+      Similarity.semDedupKeep(all, 0.9).orderBy("vec_id")
+    }),
+
     // exact ANN baseline: brute-force cosine top-5 for 10 query vectors
     "sim_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -836,6 +860,17 @@ object SparkEntry {
       Corpus.stratifiedSample(s.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.25)
         .select("doc_id", "lang").orderBy("doc_id")),
+
+    // deterministic 80/10/10 train/val/test assignment: contiguous
+    // md5-prefix bands (cumulative thresholds 0xcccd, 0xe666 — the same
+    // hash as corpus_sample), so a doc's split is a stable id property —
+    // growing the corpus never migrates an existing doc across splits,
+    // unlike randomSplit. Last split takes the remainder band
+    "corpus_split" -> ((s, dir) =>
+      Corpus.assignSplits(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "split",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
 
     // per-source profiling: the volume/length receipts a curation run is
     // judged by (exact quantiles — DuckDB quantile_cont matches
@@ -1530,6 +1565,35 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.emb, b2.emb) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // same planted two-layer construction as the entry, then brute-force
+    // pairs at 0.9 → recursive transitive closure → anti-join keep-list —
+    // the dedup_keep oracle shape over embedding-space components
+    "sim_semdedup" ->
+      """WITH RECURSIVE b AS (SELECT vec_id, embedding FROM embeddings),
+        |p1 AS (SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(CAST(x AS DOUBLE) + 0.02 AS FLOAT)) AS embedding
+        |       FROM b WHERE vec_id < 40),
+        |p2 AS (SELECT vec_id + 2000000 AS vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(CAST(x AS DOUBLE) + 0.04 AS FLOAT)) AS embedding
+        |       FROM b WHERE vec_id < 20),
+        |u AS (SELECT * FROM b UNION ALL SELECT * FROM p1
+        |      UNION ALL SELECT * FROM p2),
+        |ee AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM u),
+        |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+        |      FROM ee a JOIN ee b2 ON a.vec_id < b2.vec_id
+        |      WHERE list_cosine_similarity(a.emb, b2.emb) >= 0.9),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT a, b FROM e
+        |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |c AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+        |      FROM r GROUP BY a)
+        |SELECT vec_id FROM u
+        |WHERE vec_id NOT IN (SELECT vec_id FROM c WHERE vec_id <> cluster_id)
+        |ORDER BY vec_id""".stripMargin,
+
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e WHERE vec_id < 10),
@@ -1757,6 +1821,17 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END
         |ORDER BY doc_id""".stripMargin,
+
+    // cumulative hexRate bands: round(0.8*65536)=52429=0xcccd,
+    // round(0.9*65536)=58982=0xe666; test takes the remainder band
+    "corpus_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "corpus_stats" ->
       """SELECT source, count(*) AS n_docs,

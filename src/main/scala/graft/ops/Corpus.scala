@@ -45,6 +45,36 @@ object Corpus {
   private def hashKey(id: Column): Column =
     substring(md5(id.cast("string").cast("binary")), 1, 4)
 
+  /** Deterministic train/val/test split assignment — the same
+    * content-independent md5-prefix hash as [[hashSample]] carves the
+    * 0x0000-0xffff space into contiguous bands, one per split, by
+    * cumulative fraction. A document's split is a stable property of its
+    * id: re-running over a grown corpus never moves an existing doc
+    * between splits (the eval-set-contamination failure mode of
+    * `randomSplit`, which reshuffles every run AND with partitioning).
+    * The LAST split takes the remainder band, so hexRate rounding can
+    * never orphan an id. Shuffle-free — a projection at scan speed. */
+  def assignSplits(docs: DataFrame, idCol: String, splitCol: String,
+                   fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.size >= 2, "assignSplits: need at least two splits")
+    fractions.foreach { case (n, f) =>
+      require(f > 0.0, s"assignSplits: fraction for '$n' must be positive: $f")
+    }
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"assignSplits: fractions must sum to 1.0: $total")
+    val key = hashKey(col(idCol))
+    // cumulative upper bound of each split's band, in declaration order;
+    // the last split is the otherwise-branch (remainder band)
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = fractions.init.zip(cums.init)
+      .foldRight(lit(fractions.last._1): Column) {
+        case (((name, _), cum), rest) =>
+          when(key < lit(hexRate(cum)), lit(name)).otherwise(rest)
+      }
+    docs.withColumn(splitCol, assigned)
+  }
+
   /** Weighted multi-source mixture sampling — "50% web, 30% books, 20%
     * code": downsample each source so the OUTPUT composition matches
     * `weights` (normalized over the listed sources) while keeping as much

@@ -160,6 +160,31 @@ object Similarity {
         .orderBy("id_a", "id_b"))
   }
 
+  /** Semantic deduplication end product (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): collapse embedding-space near-duplicates into
+    * components and keep one canonical document per component — the
+    * "templated page / boilerplate variant" pruning step that exact and
+    * MinHash dedup miss because the texts differ while the MEANING
+    * repeats. Pipeline: candidate pairs above `threshold` from `pairsFn`
+    * (default [[nearDupPairsSrp]], the high-threshold LSH scale path;
+    * pass `nearDupPairsBlocked(_, _, k)` for moderate thresholds or
+    * [[nearDupPairs]] as the exact oracle baseline), transitive closure
+    * via [[Dedup.nearDupClusters]]'s pointer-doubling label propagation,
+    * then [[Dedup.dropNearDuplicates]]'s broadcast anti-join. Canonical
+    * choice is the deterministic min id (the paper keeps the member
+    * farthest from its centroid; min-id is reproducible run-over-run and
+    * engine-independent, which the oracle twin requires).
+    *
+    * Plan shape at 100 TB: pair generation dominates (see `pairsFn`'s own
+    * scaling notes); closure runs over the pair graph only — near-dups,
+    * not the corpus — and the final anti-join broadcasts the drop list. */
+  def semDedupKeep(data: DataFrame, threshold: Double,
+                   pairsFn: (DataFrame, Double) => DataFrame = nearDupPairsSrp(_, _)): DataFrame = {
+    val pairs = pairsFn(data, threshold)
+    val clusters = Dedup.nearDupClusters(pairs.select("id_a", "id_b"))
+    Dedup.dropNearDuplicates(data.select("vec_id"), "vec_id", clusters)
+  }
+
   /** Nearest-centroid assignment shared by k-means iterations and the
     * blocked near-dup: broadcast centroids, one max_by aggregate →
     * `(vec_id, cluster, embedding, __n)` with a deterministic tiebreak

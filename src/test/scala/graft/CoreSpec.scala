@@ -105,3 +105,20 @@ class SchemaDerivationSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException](rateToHours("1193047/s"))
   }
 }
+
+/** Driver-contract wiring: every benched name must be a real entry, and
+  * every entry needs either a DuckDB twin or a documented no-oracle
+  * declaration — a typo in one of these lists silently drops a query
+  * from the round artifacts instead of failing. */
+class ContractWiringSpec extends AnyFunSuite {
+  test("Bench.Headline names are all SparkEntry.queries keys") {
+    val unknown = Bench.Headline.toSet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"headline names with no entry: $unknown")
+    assert(Bench.Headline.distinct.size == Bench.Headline.size,
+      "duplicate headline names")
+  }
+  test("every oracleSql key is a queries key") {
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle SQL with no entry: $orphaned")
+  }
+}

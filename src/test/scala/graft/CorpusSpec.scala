@@ -53,6 +53,39 @@ class CorpusSpec extends SparkSuite {
     assert(again == out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("assignSplits: exhaustive, id-stable, hash-space-consistent, validated") {
+    val d = spark.range(3000).select(col("id").as("doc_id"))
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Corpus.assignSplits(d, "doc_id", "split", fracs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc lands in exactly one split, proportions near the targets
+    assert(out.size == 3000)
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 2250 && counts("train") < 2550, s"$counts")
+    assert(counts("val") > 180 && counts("val") < 420, s"$counts")
+    assert(counts("test") > 180 && counts("test") < 420, s"$counts")
+    // a doc-id property: identical assignment on any partitioning
+    val out2 = Corpus.assignSplits(d.repartition(7), "doc_id", "split", fracs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == out2)
+    // same hash space as hashSample: the train band IS the 0.8 sample
+    val kept = Corpus.hashSample(d, "doc_id", 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == out.collect { case (id, "train") => id }.toSet)
+    // growing train only ADDS docs (contiguous cumulative bands)
+    val wider = Corpus.assignSplits(d, "doc_id", "split",
+        Seq("train" -> 0.9, "rest" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.collect { case (id, "train") => id }.toSet
+      .subsetOf(wider.collect { case (id, "train") => id }.toSet))
+    intercept[IllegalArgumentException](
+      Corpus.assignSplits(d, "doc_id", "s", Seq("only" -> 1.0)))
+    intercept[IllegalArgumentException](
+      Corpus.assignSplits(d, "doc_id", "s", Seq("a" -> 0.5, "b" -> 0.6)))
+    intercept[IllegalArgumentException](
+      Corpus.assignSplits(d, "doc_id", "s", Seq("a" -> 1.1, "b" -> -0.1)))
+  }
+
   test("mixSources: unlisted sources drop; bad weights fail loudly") {
     val d = spark.range(100).select(col("id").as("doc_id"),
       when(col("id") < 50, "keep").otherwise("other").as("source"))

@@ -202,6 +202,25 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.nearDupClusters(pairs.filter(col("id_a") < 0)).collect().isEmpty)
   }
 
+  test("semDedupKeep: transitive components collapse to min id; singletons pass") {
+    // a 3-chain in one plane: cos(1,2)=cos(2,3)=cos(18°)≈0.951 ≥ 0.9 but
+    // cos(1,3)=cos(36°)≈0.809 < 0.9 — {1,2,3} joins only through the
+    // CLOSURE, not direct pairs; plus an exact-dup pair and a singleton
+    def unit(theta: Double) = Array(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f)
+    val vecs = Seq(
+      1L -> unit(0.0), 2L -> unit(math.Pi / 10), 3L -> unit(math.Pi / 5),
+      10L -> Array(0f, 0f, 1f, 0f), 11L -> Array(0f, 0f, 1f, 0f),
+      20L -> Array(0f, 0f, 0f, 1f)).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupKeep(vecs, 0.9, Similarity.nearDupPairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L))
+    // default SRP pair path: exact duplicates agree on EVERY signature bit,
+    // so the LSH collision is certain, not probabilistic
+    val keptSrp = Similarity.semDedupKeep(vecs.filter(col("vec_id") >= 10), 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptSrp == Set(10L, 20L))
+  }
+
   test("dropNearDuplicates keeps canonical members and untouched docs") {
     val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
