@@ -47,7 +47,8 @@ object Bench {
     "corpus_pack", "corpus_topk", "corpus_curate",
     "corpus_curate_stream", "corpus_chunk", "corpus_chunk_pack", "text_vocab",
     "multimodal_meta", "multimodal_features", "multimodal_audio",
-    "multimodal_features_exact", "multimodal_audio_exact")
+    "multimodal_features_exact", "multimodal_audio_exact",
+    "dedup_image_dhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

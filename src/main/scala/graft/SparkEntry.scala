@@ -820,6 +820,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // IMAGE near-dup end-to-end: pattern-encoded 9x8 gray PNGs through
+    // the REAL decode + dHash path, then Hamming banding — the multimodal
+    // counterpart of dedup_simhash. Each doc's dHash is forced to its
+    // 60-bit md5(doc_id) prefix by construction (dhashPng's ±12 gray
+    // walk), docs < 40 get a planted near-dup copy with bits 0 and 2
+    // flipped (hamming 2 ≤ maxDist 3, found by pigeonhole banding with
+    // certainty); random md5 pairs sit ~30 bits apart, so the twin —
+    // which derives the same fingerprints arithmetically and re-runs the
+    // banding in SQL — checks the whole decode→hash→band→verify pipeline
+    // hash-exactly
+    "dedup_image_dhash" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      def pat(id: Long): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.flatMap { r =>
+          val id = r.getLong(0)
+          val q = pat(id)
+          val base = Row(id, Multimodal.dhashPng(q))
+          if (id < 40) Seq(base, Row(id + 1000000L, Multimodal.dhashPng(q ^ 5L)))
+          else Seq(base)
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Dedup.hammingPairs(Multimodal.decodeImageDHash(blobs),
+          "doc_id", "dhash", maxDist = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+    }),
+
     // ORACLE-EXACT audio decode: 0.1 s square waves at amplitude
     // 16384/32768 = 0.5 (every sample a dyadic rational — EXACT through
     // 16-bit quantization, where a sine's features drift per sample)
@@ -1670,6 +1706,30 @@ object SparkEntry {
         |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f6,
         |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f7
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    // the entry FORCES each image's dHash to the 60-bit md5(doc_id)
+    // prefix (dhashPng construction), so the twin derives the same
+    // fingerprints arithmetically — same UBIGINT parse as
+    // dedup_simhash_md5 — plants the same 40 xor-5 copies, and re-runs
+    // the 4x16-bit banding + bit_count verify in SQL
+    "dedup_image_dhash" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::UBIGINT::BIGINT AS fp
+        |  FROM documents),
+        |u AS (SELECT doc_id, fp FROM f
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, xor(fp, 5::BIGINT) FROM f
+        |      WHERE doc_id < 40),
+        |blk AS (SELECT doc_id, fp, b, (fp >> (b*16)) & 65535 AS key
+        |        FROM u CROSS JOIN range(4) rb(b)),
+        |p AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |        bit_count(xor(x.fp, y.fp))::BIGINT AS hamming
+        |      FROM blk x JOIN blk y
+        |        ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // closed-form features of a +-0.5 square wave (period a pure function
     // of doc_id): every sample is exactly 0.5 in magnitude, so rms, peak,

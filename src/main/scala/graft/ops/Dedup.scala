@@ -369,24 +369,36 @@ object Dedup {
     * scale path always makes) then verified with bit_count. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int,
-                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    hammingPairs(simHash(docs, idCol, textCol, tokenHash), "id", "simhash", maxDist)
+
+  /** Near-dup pairs over ANY 64-bit fingerprint table `(id, fp)` —
+    * Hamming distance <= maxDist via 4x16-bit block banding + bit_count
+    * verify. Shared by [[simHashPairs]] (text fingerprints) and
+    * [[Multimodal.decodeImageDHash]]'s perceptual image hashes: once a
+    * modality is reduced to a 64-bit fingerprint, near-dup detection is
+    * the same one-shuffle banded self-join. NULL fingerprints (e.g.
+    * undecodable payloads) are excluded, never joined as a mega-group. */
+  def hammingPairs(fps: DataFrame, idCol: String, fpCol: String,
+                   maxDist: Int): DataFrame = {
     // the banded self-join consumes the fingerprint table twice and its
     // exchanges alias differently (no AQE reuse) — without caching, the
-    // whole corpus scan + 64-vote aggregate runs twice. The cached table
-    // is one long per doc; scope-cached (see Caching.scoped)
-    val sh = simHash(docs, idCol, textCol, tokenHash)
-    val blocks = sh.select(col("id"), col("simhash"),
+    // whole upstream scan (or 64-vote aggregate) runs twice. The cached
+    // table is one long per doc; scope-cached (see Caching.scoped)
+    val sh = fps.select(col(idCol).as("id"), col(fpCol).as("__fp"))
+      .filter(col("__fp").isNotNull)
+    val blocks = sh.select(col("id"), col("__fp"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("blk"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+          shiftright(col("__fp"), b * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("bb"))
-      .select(col("id"), col("simhash"), col("bb.blk").as("blk"), col("bb.key").as("key"))
+      .select(col("id"), col("__fp"), col("bb.blk").as("blk"), col("bb.key").as("key"))
     Caching.scoped(sh)(
       blocks.as("x").join(blocks.as("y"),
           col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
             col("x.id") < col("y.id"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+          bit_count(col("x.__fp").bitwiseXOR(col("y.__fp"))).as("hamming"))
         .distinct()
         .filter(col("hamming") <= maxDist)
         .orderBy("id_a", "id_b"))

@@ -152,6 +152,79 @@ object Multimodal {
     spark.createDataFrame(rows, decodeSchema)
   }
 
+  private val dhashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("decoded", BooleanType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** Perceptual difference-hash (dHash) per image — the 64-bit fingerprint
+    * that makes IMAGE near-dup detection a [[Dedup.hammingPairs]] problem:
+    * decode (same `javax.imageio` path as [[decodeImageFeatures]]), mean-
+    * luma-downsample to a 9x8 grid, and set bit `r*8+c` iff
+    * `grid(r,c) > grid(r,c+1)` — brightness GRADIENTS, not absolute
+    * values, so re-encoding, uniform brightness shifts, and mild resizes
+    * keep the hash stable (the classic dHash robustness argument).
+    * Undecodable payloads emit a NULL dhash with `decoded=false` — a
+    * byte-stride hash of compressed bytes would pair-match nothing
+    * meaningfully, so non-images are excluded from banding rather than
+    * hashed wrongly. Partition-local decode, no shuffle; tiny images
+    * (w<9 or h<8) leave empty grid cells at 0.0 — deterministic, and
+    * their hashes only ever band-match equally-degenerate images. */
+  def decodeImageDHash(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val rows = blobs.select(col("doc_id").cast("long"), col("blob")).rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val id = idOrNull(r)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null)
+            Row(id, false, 0, 0, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val sum = Array.ofDim[Double](8, 9)
+            val cnt = Array.ofDim[Long](8, 9)
+            val rowBuf = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
+              val gr = (y.toLong * 8 / h).toInt
+              var x = 0
+              while (x < w) {
+                val rgb = rowBuf(x)
+                val luma = 0.299 * ((rgb >> 16) & 0xFF) +
+                  0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                val gc = (x.toLong * 9 / w).toInt
+                sum(gr)(gc) += luma; cnt(gr)(gc) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var gr = 0
+            while (gr < 8) {
+              var gc = 0
+              while (gc < 8) {
+                val a = if (cnt(gr)(gc) == 0) 0.0 else sum(gr)(gc) / cnt(gr)(gc)
+                val b = if (cnt(gr)(gc + 1) == 0) 0.0 else sum(gr)(gc + 1) / cnt(gr)(gc + 1)
+                if (a > b) hash |= 1L << (gr * 8 + gc)
+                gc += 1
+              }
+              gr += 1
+            }
+            Row(id, true, w, h, java.lang.Long.valueOf(hash))
+          }
+        }
+      }
+    spark.createDataFrame(rows, dhashSchema)
+  }
+
   private val audioSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("decoded", BooleanType),
@@ -254,6 +327,49 @@ object Multimodal {
     val rgb = (r << 16) | (g << 8) | b
     var y = 0
     while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Synthesize a grayscale PNG whose [[decodeImageDHash]] fingerprint is
+    * EXACTLY `pattern` — fixture plumbing for the ORACLE-EXACT image
+    * near-dup entry. Each dHash grid row walks gray values from `base`
+    * in ±12 steps: step DOWN iff the corresponding pattern bit is set,
+    * so `grid(r,c) > grid(r,c+1)` ⟺ bit `r*8+c` — with one cell per
+    * pixel (9x8 at scale 1) the mean-luma grid IS the pixel grid, and a
+    * gray pixel's luma is its value (0.299+0.587+0.114 = 1), so the
+    * comparisons sit on exact ±12 gaps, far above float noise. `base`
+    * shifts overall brightness (the walk spans base±96, so base in
+    * [97, 158] stays in gamut) and `scale` grows each cell to a
+    * scale×scale block — both must leave the hash INVARIANT, which is
+    * the dHash robustness claim the spec pins. */
+  def dhashPng(pattern: Long, base: Int = 128, scale: Int = 1): Array[Byte] = {
+    require(base - 96 >= 0 && base + 96 <= 255, s"base walks out of gamut: $base")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val img = new java.awt.image.BufferedImage(9 * scale, 8 * scale,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def fill(gr: Int, gc: Int, v: Int): Unit = {
+      val rgb = (v << 16) | (v << 8) | v
+      var y = gr * scale
+      while (y < (gr + 1) * scale) {
+        var x = gc * scale
+        while (x < (gc + 1) * scale) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+    }
+    var r = 0
+    while (r < 8) {
+      var v = base
+      fill(r, 0, v)
+      var c = 0
+      while (c < 8) {
+        v = if (((pattern >> (r * 8 + c)) & 1L) == 1L) v - 12 else v + 12
+        fill(r, c + 1, v)
+        c += 1
+      }
+      r += 1
+    }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray

@@ -919,6 +919,38 @@ class MultimodalSpec extends SparkSuite {
     assert(f1 == f2) // deterministic
   }
 
+  test("image dHash: pattern round-trip; brightness/scale invariant; hammingPairs finds planted flips") {
+    val p1 = 0x0123456789ABCDEFL
+    val p2 = -1L // all 64 bits — exercises every row's full down-walk
+    val blobs = Seq(
+      1L -> Multimodal.dhashPng(p1),
+      2L -> Multimodal.dhashPng(p1, base = 148), // brighter, same gradients
+      3L -> Multimodal.dhashPng(p1, scale = 3),  // 27x24, grid-mean resize
+      4L -> Multimodal.dhashPng(p1 ^ 3L),        // 2 bits flipped
+      5L -> Multimodal.dhashPng(p2),
+      6L -> "not an image".getBytes("UTF-8")
+    ).toDF("doc_id", "blob")
+    val out = Multimodal.decodeImageDHash(blobs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the construction pins the hash to the pattern exactly
+    assert(out(1L).getBoolean(1) && out(1L).getLong(4) == p1)
+    assert(out(5L).getLong(4) == p2)
+    // dHash is a gradient hash: brightness shift and uniform upscale are
+    // invariant (the robustness property that makes it a near-dup key)
+    assert(out(2L).getLong(4) == p1)
+    assert(out(3L).getLong(4) == p1 && out(3L).getInt(2) == 27)
+    // undecodable → NULL hash, flagged, never banded
+    assert(!out(6L).getBoolean(1) && out(6L).isNullAt(4))
+    val pairs = Dedup.hammingPairs(Multimodal.decodeImageDHash(blobs),
+        "doc_id", "dhash", maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // {1,2,3} identical (hamming 0), 4 at hamming 2 from each; 5 and the
+    // undecodable 6 pair with nothing
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 4L), (2L, 4L), (3L, 4L)))
+    assert(pairs((1L, 2L)) == 0 && pairs((1L, 4L)) == 2)
+  }
+
   test("real image decode (javax.imageio): PNG + BMP decode, resize grid, fallback for non-images") {
     // in-memory synthesized images: no external codecs, pure JDK
     def png(w: Int, h: Int, paint: (Int, Int) => Int): Array[Byte] = {
