@@ -472,6 +472,44 @@ object SparkEntry {
             lit(" tel +1 (555) 123-4567 end"))).as("clean"))
         .orderBy("doc_id")),
 
+    // URL → lowercased-host extraction (C4-style curation signal). The
+    // fixture text carries no URLs, so the entry PLANTS them (mixed-case
+    // host proves the lowercasing; ~2/7 of docs get a second, spammy
+    // link) — identically in the oracle, the text_redact discipline
+    "text_url_domains" -> ((s, dir) =>
+      TextAnalysis.extractDomains(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), concat(
+            col("text"),
+            lit(" see http://Site"), (col("doc_id") % 50).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string"),
+            when(col("doc_id") % 7 === 0 || col("doc_id") % 7 === 3,
+              concat(lit(" and https://www.spam"),
+                (col("doc_id") % 7).cast("string"), lit(".bad/x?q=1")))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text").orderBy("doc_id", "domain")),
+
+    // domain-blocklist filtering with SUFFIX matching: blocking spam0.bad
+    // drops the docs linking www.spam0.bad (suffix-explode + equi-join,
+    // never a non-equi endswith join); example.org in the blocklist
+    // matches nothing planted — proving suffixes don't overreach across
+    // registrable domains (example.com stays)
+    "text_url_filter" -> ((s, dir) => {
+      import s.implicits._
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          col("text"),
+          lit(" see http://Site"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 7 === 0 || col("doc_id") % 7 === 3,
+            concat(lit(" and https://www.spam"),
+              (col("doc_id") % 7).cast("string"), lit(".bad/x?q=1")))
+            .otherwise(lit(""))).as("text"))
+      val blocked = Seq("spam0.bad", "spam3.bad", "example.org").toDF("domain")
+      TextAnalysis.dropBlockedDomains(planted, "doc_id", "text", blocked)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // intra-doc repetition (Gopher/RefinedWeb-style quality rule):
     // duplicated 3-gram ratio. Grams projected ONCE (HOF re-eval trap)
     "text_repetition" -> ((s, dir) =>
@@ -1484,6 +1522,58 @@ object SparkEntry {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+?[0-9][0-9()\[\]. -]{5,}[0-9]', '<PHONE>', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same planted construction; RE2 and Java regex agree on the
+    // backreference-free URL pattern
+    "text_url_domains" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' see http://Site' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 7 IN (0, 3)
+        |            THEN ' and https://www.spam' || CAST(doc_id % 7 AS VARCHAR)
+        |                 || '.bad/x?q=1'
+        |            ELSE '' END AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(text,
+        |          'https?://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+')) AS url
+        |      FROM d)
+        |SELECT DISTINCT doc_id,
+        |  lower(regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1)) AS domain
+        |FROM u WHERE regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) <> ''
+        |ORDER BY doc_id, domain""".stripMargin,
+
+    // suffix set via list_slice over the label array (1-based, same
+    // enumeration as the Spark side's transform/slice)
+    "text_url_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' see http://Site' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 7 IN (0, 3)
+        |            THEN ' and https://www.spam' || CAST(doc_id % 7 AS VARCHAR)
+        |                 || '.bad/x?q=1'
+        |            ELSE '' END AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(text,
+        |          'https?://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+')) AS url
+        |      FROM d),
+        |doms AS (SELECT DISTINCT doc_id,
+        |           lower(regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1)) AS domain
+        |         FROM u
+        |         WHERE regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) <> ''),
+        |lab AS (SELECT doc_id, string_split(domain, '.') AS labels FROM doms),
+        |sfx AS (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(labels) + 1),
+        |            i -> array_to_string(list_slice(labels, i, len(labels)), '.')))
+        |            AS domain
+        |        FROM lab),
+        |blk AS (SELECT * FROM (VALUES ('spam0.bad'), ('spam3.bad'),
+        |                              ('example.org')) b(domain)),
+        |bad AS (SELECT DISTINCT doc_id FROM sfx JOIN blk USING (domain))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id,

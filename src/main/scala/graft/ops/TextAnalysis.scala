@@ -180,6 +180,56 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (p, tag)) => regexp_replace(c, p, tag) }
 
+  // ------------------------------------------------ URL / domain filtering
+
+  /** URL pattern shared by extraction and the DuckDB twin. No
+    * backreferences/lookarounds (Java regex and RE2 agree), no quote or
+    * bracket chars (dialect-neutral escaping — the rare URLs containing
+    * them lose a suffix, never a prefix, so the extracted DOMAIN is
+    * unaffected). */
+  val UrlPattern = "https?://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+"
+
+  /** Host capture: a dot-separated run of hostname label chars ONLY —
+    * adjacent punctuation the URL pattern over-grabs ("http://a.com,"
+    * in running text) never lands in the domain, and a trailing dot
+    * cannot occur by construction (each dot must be followed by a
+    * label). */
+  val HostPattern = "https?://([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)"
+
+  /** Distinct (id, domain) per document: every URL's lowercased host —
+    * the C4/RefinedWeb curation signal (domain blocklists, per-domain
+    * caps, provenance stats). Scan-speed extraction; one shuffle for the
+    * per-doc distinct. */
+  def extractDomains(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("__url"))
+      .select(col(idCol),
+        lower(regexp_extract(col("__url"), HostPattern, 1)).as("domain"))
+      .filter(col("domain") =!= "")
+      .distinct()
+
+  /** Drop documents that link to a blocked domain, with SUFFIX matching
+    * (blocking `spam.bad` also blocks `www.spam.bad`) — the semantics
+    * every real blocklist assumes. A naive `endswith` join is non-equi
+    * (nested-loop at scale); instead each extracted domain explodes into
+    * its dot-suffixes (≤ label count, a handful) and equi-joins the
+    * blocklist — broadcast by AQE at any realistic blocklist size. The
+    * label array is PROJECTED before the suffix lambda so the split runs
+    * once per domain, not once per suffix (interpreted-HOF re-eval trap).
+    * `blocked`: one `domain` column. */
+  def dropBlockedDomains(docs: DataFrame, idCol: String, textCol: String,
+                         blocked: DataFrame): DataFrame = {
+    val suffixes = extractDomains(docs, idCol, textCol)
+      .select(col(idCol), split(col("domain"), "\\.").as("__labels"))
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("__labels")) - 1),
+          i => array_join(slice(col("__labels"), i + 1, size(col("__labels")) - i), "."))
+      ).as("domain"))
+    val bad = suffixes.join(blocked.select(col("domain")), Seq("domain"))
+      .select(col(idCol)).distinct()
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** All word k-grams of a text column, duplicates INCLUDED (k = 1 is the
     * raw word list, for word-level shingling), built by zipping the word
     * array with its own shifted slices. Shape

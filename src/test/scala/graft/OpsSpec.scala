@@ -581,6 +581,29 @@ class SessionsStreamingSpec extends SparkSuite {
 class TextAnalysisSpec extends SparkSuite {
   import spark.implicits._
 
+  test("URL domain extraction + suffix blocklist: lowercase, dedup, no overreach") {
+    val docs = Seq(
+      (1L, "visit https://WWW.Spam.bad/x?q=1 and http://ok.example.com/page."),
+      (2L, "no urls here"),
+      (3L, "see http://sub.a.ok.org, twice http://sub.a.ok.org/y"),
+      (4L, "bare http://spam.bad end")).toDF("doc_id", "text")
+    val doms = TextAnalysis.extractDomains(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(doms == Set((1L, "www.spam.bad"), (1L, "ok.example.com"),
+      (3L, "sub.a.ok.org"), (4L, "spam.bad")))
+    // suffix match: spam.bad blocks www.spam.bad (1) and itself (4);
+    // ok.org would block sub.a.ok.org but is NOT listed — 3 survives,
+    // and "bad" alone is not a listed suffix either
+    val blocked = Seq("spam.bad").toDF("domain")
+    val kept = TextAnalysis.dropBlockedDomains(docs, "doc_id", "text", blocked)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // an unrelated blocklist drops nothing
+    val keptAll = TextAnalysis.dropBlockedDomains(docs, "doc_id", "text",
+      Seq("elsewhere.net").toDF("domain")).collect().map(_.getLong(0)).toSet
+    assert(keptAll == Set(1L, 2L, 3L, 4L))
+  }
+
   test("tokenizers: whitespace and BPE-ish") {
     val r = Seq(("hello world, it's 42 degrees!", 0))
       .toDF("text", "x")
