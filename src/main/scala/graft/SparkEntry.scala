@@ -894,6 +894,33 @@ object SparkEntry {
           col("hamming").cast("long").as("hamming"))
     }),
 
+    // video frame sampling over the GFV1 deterministic fake codec (the
+    // JDK has no video decoder — the stub discipline: fake codec, REAL
+    // Spark plumbing). Every 2nd frame of a 3-to-7-frame clip per doc;
+    // constant-gray frames make mean_luma the closed form
+    // ((doc_id*31 + k*7) % 256) / 255 the twin emits directly
+    "multimodal_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          Row(id, Multimodal.gfvVideo(4, 4, (3 + id % 5).toInt,
+            k => ((id * 31 + k * 7) % 256).toInt))
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.sampleFrames(blobs, everyN = 2)
+        .select(col("doc_id"), col("decoded"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ORACLE-EXACT audio decode: 0.1 s square waves at amplitude
     // 16384/32768 = 0.5 (every sample a dyadic rational — EXACT through
     // 16-bit quantization, where a sine's features drift per sample)
@@ -1796,6 +1823,18 @@ object SparkEntry {
         |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f6,
         |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f7
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    // closed form of the entry's constant-gray GFV1 clips: frames
+    // k = 0, 2, 4, 6 of n = 3 + doc_id % 5, mean luma = fill/255 exactly
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+        |f AS (SELECT doc_id, n, unnest(range(0, n::INT)) AS k FROM d)
+        |SELECT doc_id, true AS decoded, CAST(k AS BIGINT) AS frame_idx,
+        |  CAST(n AS BIGINT) AS n_frames, 4::BIGINT AS width,
+        |  4::BIGINT AS height,
+        |  round(((doc_id * 31 + k * 7) % 256) / 255.0, 6) AS mean_luma
+        |FROM f WHERE k % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // the entry FORCES each image's dHash to the 60-bit md5(doc_id)
     // prefix (dhashPng construction), so the twin derives the same

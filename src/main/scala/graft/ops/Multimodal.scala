@@ -225,6 +225,74 @@ object Multimodal {
     spark.createDataFrame(rows, dhashSchema)
   }
 
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("decoded", BooleanType),
+    StructField("frame_idx", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_luma", DoubleType),
+    StructField("frame", BinaryType)))
+
+  /** Video frame sampling — every `everyN`-th frame of a video column,
+    * with per-frame grayscale stats and the raw frame bytes for
+    * downstream feature extraction. The JDK ships NO video codec, so the
+    * container here is GFV1, a documented DETERMINISTIC FAKE (the brief's
+    * stub discipline: fake the codec, make the Spark plumbing real):
+    * `"GFV1" | int32 n | int32 w | int32 h | n × (w·h gray bytes)`,
+    * big-endian. A real H.264/VP9 decoder drops into exactly this
+    * `mapPartitions` seam (JNI/FFI or Arrow batches) with the same
+    * output shape. Malformed payloads emit ONE flagged row
+    * (`decoded=false`, NULL frame fields) — a mixed binary column never
+    * fails the job, and the flag is visible downstream. One output row
+    * per SAMPLED frame (⌈n/everyN⌉ per video), so the operator's output
+    * — not the decode — bounds memory; partition-local, no shuffle. */
+  def sampleFrames(blobs: DataFrame, everyN: Int): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1: $everyN")
+    val spark = blobs.sparkSession
+    val rows = blobs.select(col("doc_id").cast("long"), col("blob")).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = idOrNull(r)
+          val bytes = r.getAs[Array[Byte]](1)
+          val bad = Seq(Row(id, false, null, null, null, null, null, null))
+          if (bytes == null || bytes.length < 16 ||
+              bytes(0) != 'G' || bytes(1) != 'F' || bytes(2) != 'V' || bytes(3) != '1') bad
+          else {
+            val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
+            val n = bb.getInt; val w = bb.getInt; val h = bb.getInt
+            val frameLen = w.toLong * h
+            if (n < 0 || w <= 0 || h <= 0 ||
+                bytes.length.toLong != 16L + n * frameLen) bad
+            else (0 until n by everyN).map { k =>
+              val off = 16 + k * frameLen.toInt
+              val frame = java.util.Arrays.copyOfRange(bytes, off, off + frameLen.toInt)
+              var s = 0L; var i = 0
+              while (i < frame.length) { s += frame(i) & 0xFF; i += 1 }
+              Row(id, true, k, n, w, h, s.toDouble / frame.length / 255.0, frame)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, frameSchema)
+  }
+
+  /** Synthesize a GFV1 clip of `n` constant-gray frames (frame k filled
+    * with `fill(k)`) — fixture plumbing for the ORACLE-EXACT frame
+    * sampling entry: a constant frame's mean luma is exactly
+    * `fill(k)/255`, a closed form the SQL twin emits. */
+  def gfvVideo(w: Int, h: Int, n: Int, fill: Int => Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(16 + n * w * h)
+    out.put("GFV1".getBytes("US-ASCII")).putInt(n).putInt(w).putInt(h)
+    (0 until n).foreach { k =>
+      val v = fill(k)
+      require(v >= 0 && v <= 255, s"gray fill out of range: $v")
+      (0 until w * h).foreach(_ => out.put(v.toByte))
+    }
+    out.array()
+  }
+
   private val audioSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("decoded", BooleanType),

@@ -974,6 +974,31 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs((1L, 2L)) == 0 && pairs((1L, 4L)) == 2)
   }
 
+  test("frame sampling: GFV1 parse, stride, stats, malformed flagged") {
+    val clip = Multimodal.gfvVideo(3, 2, 5, k => 10 * k) // frames 0..4, fill 0,10,20,30,40
+    val truncated = clip.dropRight(1)
+    val blobs = Seq(1L -> clip, 2L -> truncated,
+      3L -> "GARBAGE".getBytes("UTF-8")).toDF("doc_id", "blob")
+    val every2 = Multimodal.sampleFrames(blobs, everyN = 2).collect()
+      .groupBy(_.getLong(0))
+    // doc 1: frames 0, 2, 4 with exact constant-frame stats + raw bytes
+    val f1 = every2(1L).sortBy(_.getInt(2))
+    assert(f1.map(_.getInt(2)).toSeq == Seq(0, 2, 4))
+    assert(f1.forall(r => r.getBoolean(1) && r.getInt(3) == 5 &&
+      r.getInt(4) == 3 && r.getInt(5) == 2))
+    assert(f1.map(_.getDouble(6)).toSeq == Seq(0.0, 20 / 255.0, 40 / 255.0))
+    assert(f1(1).getAs[Array[Byte]](7).toSeq == Seq.fill(6)(20.toByte))
+    // everyN = 1 yields every frame
+    assert(Multimodal.sampleFrames(blobs.filter(col("doc_id") === 1L), 1)
+      .count() == 5)
+    // truncated payload and wrong magic: one flagged row each, no frames
+    for (id <- Seq(2L, 3L)) {
+      val bad = every2(id)
+      assert(bad.length == 1 && !bad.head.getBoolean(1) && bad.head.isNullAt(2))
+    }
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(blobs, 0))
+  }
+
   test("real image decode (javax.imageio): PNG + BMP decode, resize grid, fallback for non-images") {
     // in-memory synthesized images: no external codecs, pure JDK
     def png(w: Int, h: Int, paint: (Int, Int) => Int): Array[Byte] = {
