@@ -181,7 +181,14 @@ object Similarity {
   def semDedupKeep(data: DataFrame, threshold: Double,
                    pairsFn: (DataFrame, Double) => DataFrame = nearDupPairsSrp(_, _)): DataFrame = {
     val pairs = pairsFn(data, threshold)
-    val clusters = Dedup.nearDupClusters(pairs.select("id_a", "id_b"))
+    // nearDupClusters is EAGER (iterated local checkpoints), so the
+    // persisted pair handle the LSH paths return (Caching.scoped
+    // contract) is fully consumed when it returns — release it here,
+    // not at session teardown; the keep-list plan reads only the
+    // checkpointed labels
+    val clusters =
+      try Dedup.nearDupClusters(pairs.select("id_a", "id_b"))
+      finally pairs.unpersist(blocking = false)
     Dedup.dropNearDuplicates(data.select("vec_id"), "vec_id", clusters)
   }
 
