@@ -1563,11 +1563,11 @@ object SparkEntry {
         |  FROM documents),
         |u AS (SELECT doc_id,
         |        unnest(regexp_extract_all(text,
-        |          'https?://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+')) AS url
+        |          '(?i:https?)://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+')) AS url
         |      FROM d)
         |SELECT DISTINCT doc_id,
-        |  lower(regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1)) AS domain
-        |FROM u WHERE regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) <> ''
+        |  lower(regexp_extract(url, '(?i:https?)://(?:[A-Za-z0-9._%+:-]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1)) AS domain
+        |FROM u WHERE regexp_extract(url, '(?i:https?)://(?:[A-Za-z0-9._%+:-]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) <> ''
         |ORDER BY doc_id, domain""".stripMargin,
 
     // suffix set via list_slice over the label array (1-based, same
@@ -1583,12 +1583,12 @@ object SparkEntry {
         |  FROM documents),
         |u AS (SELECT doc_id,
         |        unnest(regexp_extract_all(text,
-        |          'https?://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+')) AS url
+        |          '(?i:https?)://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+')) AS url
         |      FROM d),
         |doms AS (SELECT DISTINCT doc_id,
-        |           lower(regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1)) AS domain
+        |           lower(regexp_extract(url, '(?i:https?)://(?:[A-Za-z0-9._%+:-]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1)) AS domain
         |         FROM u
-        |         WHERE regexp_extract(url, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) <> ''),
+        |         WHERE regexp_extract(url, '(?i:https?)://(?:[A-Za-z0-9._%+:-]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) <> ''),
         |lab AS (SELECT doc_id, string_split(domain, '.') AS labels FROM doms),
         |sfx AS (SELECT doc_id,
         |          unnest(list_transform(range(1, len(labels) + 1),

@@ -66,7 +66,10 @@ object Corpus {
     val key = hashKey(col(idCol))
     // cumulative upper bound of each split's band, in declaration order;
     // the last split is the otherwise-branch (remainder band)
+    // clamp: the 1e-9 sum tolerance can push a cumulative bound to
+    // 1.0+eps, which hexRate would reject with a misleading message
     val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(math.min(_, 1.0))
     val assigned = fractions.init.zip(cums.init)
       .foldRight(lit(fractions.last._1): Column) {
         case (((name, _), cum), rest) =>

@@ -93,6 +93,15 @@ object Multimodal {
     * never fails the job. One pass over the pixels per image; decode cost
     * is embarrassingly parallel and partition-local (the 100 TB shape:
     * no shuffle, scales with executor count). */
+  /** Shared decode prologue for the image operators: bytes →
+    * BufferedImage via `javax.imageio`, null for null/empty/corrupt/
+    * non-image payloads (callers take their fallback row). Call once per
+    * partition AFTER `ImageIO.setUseCache(false)`. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null || bytes.isEmpty) null
+    else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: Exception => null } // corrupt payload → fallback
+
   def decodeImageFeatures(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
     val rows = blobs.select(col("doc_id").cast("long"), col("blob")).rdd
@@ -102,10 +111,7 @@ object Multimodal {
         it.map { r =>
           val id = idOrNull(r)
           val bytes = r.getAs[Array[Byte]](1)
-          val img =
-            if (bytes == null || bytes.isEmpty) null
-            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null } // corrupt payload → fallback
+          val img = readImage(bytes)
           if (img == null)
             Row(id, false, 0, 0, strideFeature(bytes).toSeq)
           else {
@@ -179,11 +185,7 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         it.map { r =>
           val id = idOrNull(r)
-          val bytes = r.getAs[Array[Byte]](1)
-          val img =
-            if (bytes == null || bytes.isEmpty) null
-            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = readImage(r.getAs[Array[Byte]](1))
           if (img == null)
             Row(id, false, 0, 0, null)
           else {
@@ -245,9 +247,12 @@ object Multimodal {
     * `mapPartitions` seam (JNI/FFI or Arrow batches) with the same
     * output shape. Malformed payloads emit ONE flagged row
     * (`decoded=false`, NULL frame fields) — a mixed binary column never
-    * fails the job, and the flag is visible downstream. One output row
-    * per SAMPLED frame (⌈n/everyN⌉ per video), so the operator's output
-    * — not the decode — bounds memory; partition-local, no shuffle. */
+    * fails the job, and the flag is visible downstream; a VALID empty
+    * clip (n=0) likewise emits one `decoded=true` row with NULL frame
+    * fields, so every input doc stays visible to per-doc accounting.
+    * One output row per SAMPLED frame (⌈n/everyN⌉ per video), so the
+    * operator's output — not the decode — bounds memory; partition-local,
+    * no shuffle. */
   def sampleFrames(blobs: DataFrame, everyN: Int): DataFrame = {
     require(everyN >= 1, s"everyN must be >= 1: $everyN")
     val spark = blobs.sparkSession
@@ -263,8 +268,17 @@ object Multimodal {
             val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
             val n = bb.getInt; val w = bb.getInt; val h = bb.getInt
             val frameLen = w.toLong * h
+            val payload = bytes.length - 16L
+            // overflow-safe: frameLen <= payload/n first, so n*frameLen
+            // can't wrap around Long and fake a matching length (a
+            // crafted n=16/w=2^30/h=2^30 header would otherwise pass)
             if (n < 0 || w <= 0 || h <= 0 ||
-                bytes.length.toLong != 16L + n * frameLen) bad
+                (n == 0 && payload != 0L) ||
+                (n > 0 && (frameLen > payload / n || payload != n * frameLen))) bad
+            else if (n == 0)
+              // a VALID empty clip: one decoded row with no frame fields,
+              // so per-doc accounting never silently loses the doc
+              Seq(Row(id, true, null, 0, w, h, null, null))
             else (0 until n by everyN).map { k =>
               val off = 16 + k * frameLen.toInt
               val frame = java.util.Arrays.copyOfRange(bytes, off, off + frameLen.toInt)

@@ -182,19 +182,24 @@ object TextAnalysis {
 
   // ------------------------------------------------ URL / domain filtering
 
-  /** URL pattern shared by extraction and the DuckDB twin. No
-    * backreferences/lookarounds (Java regex and RE2 agree), no quote or
-    * bracket chars (dialect-neutral escaping — the rare URLs containing
-    * them lose a suffix, never a prefix, so the extracted DOMAIN is
-    * unaffected). */
-  val UrlPattern = "https?://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+"
+  /** URL pattern shared by extraction and the DuckDB twin. The scheme is
+    * case-insensitive ((?i:…) — RFC 3986; 'HTTP://SPAM.BAD' must not slip
+    * past a blocklist on casing). No backreferences/lookarounds (Java
+    * regex and RE2 agree), no quote or bracket chars (dialect-neutral
+    * escaping — the rare URLs containing them lose a suffix, never a
+    * prefix, so the extracted DOMAIN is unaffected). */
+  val UrlPattern = "(?i:https?)://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+"
 
-  /** Host capture: a dot-separated run of hostname label chars ONLY —
-    * adjacent punctuation the URL pattern over-grabs ("http://a.com,"
-    * in running text) never lands in the domain, and a trailing dot
-    * cannot occur by construction (each dot must be followed by a
-    * label). */
-  val HostPattern = "https?://([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)"
+  /** Host capture: skip optional userinfo ('http://evil@spam.bad' must
+    * yield spam.bad, not evil — the classic blocklist-evasion form), then
+    * capture a dot-separated run of hostname label chars ONLY — adjacent
+    * punctuation the URL pattern over-grabs ("http://a.com," in running
+    * text) never lands in the domain, and a trailing dot cannot occur by
+    * construction (each dot must be followed by a label). The userinfo
+    * class excludes '/', so a path '@' never back-extends the skip (and
+    * it sticks to SQL-quote-safe chars so the twins embed it verbatim). */
+  val HostPattern =
+    "(?i:https?)://(?:[A-Za-z0-9._%+:-]*@)?([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)"
 
   /** Distinct (id, domain) per document: every URL's lowercased host —
     * the C4/RefinedWeb curation signal (domain blocklists, per-domain
