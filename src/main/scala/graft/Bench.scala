@@ -43,7 +43,8 @@ object Bench {
     "text_repetition", "text_decontaminate", "text_decontaminate_fuzzy",
     "text_bm25", "text_lm_score", "text_dup_spans", "doc_fingerprint",
     "text_url_domains", "text_url_filter",
-    "corpus_sample", "corpus_split", "corpus_mix", "corpus_stats", "text_dedup_lines",
+    "corpus_sample", "corpus_split", "corpus_mix", "corpus_stats", "corpus_cube",
+    "text_dedup_lines",
     "sim_semdedup",
     "corpus_pack", "corpus_topk", "corpus_curate",
     "corpus_curate_stream", "corpus_chunk", "corpus_chunk_pack", "text_vocab",

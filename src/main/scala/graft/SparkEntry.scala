@@ -980,6 +980,21 @@ object SparkEntry {
       Corpus.sourceStats(s.read.parquet(s"$dir/documents.parquet"),
         "source", "text")),
 
+    // multi-dimensional corpus receipts via native cube() (SURVEY §2 A9 —
+    // Spark's Expand-based grouping sets, one pass over the corpus for
+    // all 4 (lang, source) rollup combinations; the reference has no
+    // grouping-sets analog). grouping() flags disambiguate rolled-up
+    // NULLs from genuine ones, identically in DuckDB's GROUP BY CUBE
+    "corpus_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("__chars"))
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__chars")).as("total_chars"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"))
+        .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))),
+
     // weighted multi-source mixture sampling: target composition 1:2:4
     // over the 20 fixture sources (weight = 2^(idx%3)); binding sources
     // keep 100%, the rest downsample via the same deterministic
@@ -2021,6 +2036,14 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_cube" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+        |  CAST(grouping(source) AS BIGINT) AS g_source
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
 
     "corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
