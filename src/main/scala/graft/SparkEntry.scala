@@ -894,6 +894,41 @@ object SparkEntry {
           col("hamming").cast("long").as("hamming"))
     }),
 
+    // IMAGE dedup end product: dHash pairs → connected components →
+    // min-id canonical keep-list (the same closure + broadcast anti-join
+    // end product as dedup_keep/sim_semdedup, over the image modality).
+    // Same planted construction as dedup_image_dhash: the 40 xor-5
+    // copies collapse into their sources, so the keep-list is exactly
+    // the base ids — derived from scratch by the twin
+    "dedup_image_keep" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      def pat(id: Long): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.flatMap { r =>
+          val id = r.getLong(0)
+          val q = pat(id)
+          val base = Row(id, Multimodal.dhashPng(q))
+          if (id < 40) Seq(base, Row(id + 1000000L, Multimodal.dhashPng(q ^ 5L)))
+          else Seq(base)
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      val pairs = Dedup.hammingPairs(Multimodal.decodeImageDHash(blobs),
+        "doc_id", "dhash", maxDist = 3)
+      val clusters =
+        try Dedup.nearDupClusters(pairs.select("id_a", "id_b"))
+        finally pairs.unpersist(blocking = false)
+      Dedup.dropNearDuplicates(blobs.select("doc_id"), "doc_id", clusters)
+        .orderBy("doc_id")
+    }),
+
     // video frame sampling over the GFV1 deterministic fake codec (the
     // JDK has no video decoder — the stub discipline: fake codec, REAL
     // Spark plumbing). Every 2nd frame of a 3-to-7-frame clip per doc;
@@ -1874,6 +1909,34 @@ object SparkEntry {
         |        ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the dedup_image_dhash pair derivation + the dedup_keep closure
+    // shape: components collapse to min id, non-canonical members drop
+    "dedup_image_keep" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::UBIGINT::BIGINT AS fp
+        |  FROM documents),
+        |u AS (SELECT doc_id, fp FROM f
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, xor(fp, 5::BIGINT) FROM f
+        |      WHERE doc_id < 40),
+        |blk AS (SELECT doc_id, fp, b, (fp >> (b*16)) & 65535 AS key
+        |        FROM u CROSS JOIN range(4) rb(b)),
+        |p AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |      FROM blk x JOIN blk y
+        |        ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+        |      WHERE bit_count(xor(x.fp, y.fp)) <= 3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT a, b FROM e
+        |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |c AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |      FROM r GROUP BY a)
+        |SELECT doc_id FROM u
+        |WHERE doc_id NOT IN (SELECT doc_id FROM c WHERE doc_id <> cluster_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // closed-form features of a +-0.5 square wave (period a pure function
     // of doc_id): every sample is exactly 0.5 in magnitude, so rms, peak,
