@@ -162,6 +162,33 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: hammingPairs == brute-force Hamming on random fingerprints (maxDist <= 3)") {
+    // pigeonhole completeness: at maxDist <= 3 a shared 16-bit block is
+    // GUARANTEED, so the banded output must equal brute force exactly.
+    // Fingerprints mix clusters of near-identical values (few flipped
+    // bits) with uniform randoms, so both dense and empty bands occur
+    (0 until 4).foreach { i =>
+      val g = for {
+        n <- Gen.choose(2, 30)
+        base <- Gen.listOfN(n, Gen.long)
+        flips <- Gen.listOfN(n, Gen.choose(0, 4))
+      } yield base.zip(flips)
+      val cases = g.pureApply(Gen.Parameters.default, Seed(3000L + i))
+      val fps = cases.zipWithIndex.flatMap { case ((b, fl), idx) =>
+        // idx: the original; idx+1000: a copy with `fl` low bits flipped
+        Seq((idx.toLong, b), (idx + 1000L, b ^ ((1L << fl) - 1)))
+      }
+      val model = (for {
+        (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+        d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+      } yield (ia, ib) -> d).toMap
+      val got = graft.ops.Dedup.hammingPairs(
+          fps.toDF("id", "fp"), "id", "fp", maxDist = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got == model, s"case $i\ngot=$got\nmodel=$model")
+    }
+  }
+
   test("PROPERTY: wordNgrams == sliding-window model on random token lists") {
     (0 until 6).foreach { i =>
       val g = for {
