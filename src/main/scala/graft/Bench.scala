@@ -46,7 +46,7 @@ object Bench {
     "corpus_sample", "corpus_split", "corpus_mix", "corpus_stats", "corpus_cube",
     "text_dedup_lines",
     "sim_semdedup",
-    "corpus_pack", "corpus_topk", "corpus_curate",
+    "corpus_pack", "corpus_topk", "corpus_curate", "corpus_pipeline",
     "corpus_curate_stream", "corpus_chunk", "corpus_chunk_pack", "text_vocab",
     "multimodal_meta", "multimodal_features", "multimodal_audio",
     "multimodal_features_exact", "multimodal_audio_exact",

@@ -1166,6 +1166,37 @@ object SparkEntry {
         finally { release(); pairs.unpersist() }
       Dedup.dropNearDuplicates(gated, "doc_id", clusters)
         .orderBy("doc_id")
+    }),
+
+    // the FULL pipeline in one entry — quality/langid gate ∘ LSH near-dup
+    // drop ∘ deterministic split assignment ∘ per-split receipts: the
+    // "switch your whole curation job to this engine" composition. The
+    // receipts are integer-exact (count/min/max/sum of doc ids), so the
+    // oracle binds the exact post-pipeline membership of every split,
+    // not just sizes
+    "corpus_pipeline" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val gated = docs
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__w"),
+          TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+        .select(col("doc_id"),
+          TextAnalysis.langIdFrom(col("text"), col("__wl")).as("pred_lang"),
+          TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
+        .filter(col("quality_score") >= 0.4 && col("pred_lang") =!= "unknown")
+      val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
+        "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
+      val clusters = // eager — see dedup_clusters
+        try Dedup.nearDupClusters(pairs)
+        finally { release(); pairs.unpersist() }
+      val kept = Dedup.dropNearDuplicates(gated, "doc_id", clusters)
+      Corpus.assignSplits(kept, "doc_id", "split",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy("split")
     })
   )
 
@@ -2346,7 +2377,60 @@ object SparkEntry {
          |SELECT doc_id, pred_lang, quality_score FROM q
          |WHERE quality_score >= 0.4 AND pred_lang <> 'unknown'
          |  AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // corpus_curate's gate + closure, then corpus_split's bands, then
+    // integer-exact per-split receipts
+    "corpus_pipeline" ->
+      s"""WITH RECURSIVE $NgramJaccardCtes,
+         |p AS ($NgramJaccardSelect),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT a, b FROM e
+         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |         FROM r GROUP BY a),
+         |f AS (
+         |  SELECT doc_id, text, length(text) AS cl,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS wc,
+         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS w
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, text, cl, wc, pc,
+         |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
+         |    len(list_filter(w, x -> list_contains(['el','la','de','los','y','que','en'], x))) AS es,
+         |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de,
+         |    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS fr
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |         WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+         |         WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+         |         WHEN de >= fr AND de > 0 THEN 'de'
+         |         WHEN fr > 0 THEN 'fr'
+         |         ELSE 'unknown' END AS pred_lang,
+         |    CASE WHEN wc > 0 AND cl > 0 THEN
+         |      round(0.4 * least(wc / 100.0, 1.0) + 0.4 * (en * 1.0 / wc)
+         |            + 0.2 * (1.0 - pc * 1.0 / cl), 6)
+         |    ELSE 0.0 END AS quality_score
+         |  FROM n),
+         |kept AS (
+         |  SELECT doc_id FROM q
+         |  WHERE quality_score >= 0.4 AND pred_lang <> 'unknown'
+         |    AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+         |           THEN 'train'
+         |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM kept)
+         |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id,
+         |  max(doc_id) AS max_id, CAST(sum(doc_id) AS BIGINT) AS sum_id
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin
   )
 
   /** Trigram-shingle CTEs + Jaccard>=0.5 pair select, shared by the
