@@ -54,6 +54,57 @@ object SparkEntry {
       t
     })
 
+  /** The curation pipeline shared by `corpus_curate` and
+    * `corpus_pipeline`: quality/langid gate ∘ LSH near-dup drop. ONE
+    * definition so the two entries can never silently diverge on gate
+    * thresholds or dedup parameters; returns the kept
+    * (doc_id, pred_lang, quality_score) rows. */
+  private def curatedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val gated = docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("__w"),
+        TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+      .select(col("doc_id"),
+        TextAnalysis.langIdFrom(col("text"), col("__wl")).as("pred_lang"),
+        TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
+      .filter(col("quality_score") >= 0.4 && col("pred_lang") =!= "unknown")
+    val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
+      "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
+    val clusters = // eager — see dedup_clusters
+      try Dedup.nearDupClusters(pairs)
+      finally { release(); pairs.unpersist() }
+    Dedup.dropNearDuplicates(gated, "doc_id", clusters)
+  }
+
+  /** The planted image-blob table shared by `dedup_image_dhash` and
+    * `dedup_image_keep`: every doc's PNG encodes the 60-bit md5(doc_id)
+    * prefix as its dHash ([[graft.ops.Multimodal.dhashPng]]); docs < 40
+    * get a near-dup copy at +1000000 with bits 0 and 2 flipped. ONE
+    * definition so the pair entry and the keep entry assert the same
+    * planting by construction. */
+  private def plantedDHashBlobs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def pat(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+    s.createDataFrame(
+      ids.rdd.flatMap { r =>
+        val id = r.getLong(0)
+        val q = pat(id)
+        val base = Row(id, Multimodal.dhashPng(q))
+        if (id < 40) Seq(base, Row(id + 1000000L, Multimodal.dhashPng(q ^ 5L)))
+        else Seq(base)
+      },
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("blob", BinaryType))))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -868,31 +919,11 @@ object SparkEntry {
     // which derives the same fingerprints arithmetically and re-runs the
     // banding in SQL — checks the whole decode→hash→band→verify pipeline
     // hash-exactly
-    "dedup_image_dhash" -> ((s, dir) => {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      def pat(id: Long): Long = {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(id.toString.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.substring(0, 15)
-        java.lang.Long.parseLong(hex, 16)
-      }
-      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
-      val blobs = s.createDataFrame(
-        ids.rdd.flatMap { r =>
-          val id = r.getLong(0)
-          val q = pat(id)
-          val base = Row(id, Multimodal.dhashPng(q))
-          if (id < 40) Seq(base, Row(id + 1000000L, Multimodal.dhashPng(q ^ 5L)))
-          else Seq(base)
-        },
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("blob", BinaryType))))
-      Dedup.hammingPairs(Multimodal.decodeImageDHash(blobs),
+    "dedup_image_dhash" -> ((s, dir) =>
+      Dedup.hammingPairs(Multimodal.decodeImageDHash(plantedDHashBlobs(s, dir)),
           "doc_id", "dhash", maxDist = 3)
         .select(col("id_a"), col("id_b"),
-          col("hamming").cast("long").as("hamming"))
-    }),
+          col("hamming").cast("long").as("hamming"))),
 
     // IMAGE dedup end product: dHash pairs → connected components →
     // min-id canonical keep-list (the same closure + broadcast anti-join
@@ -901,32 +932,19 @@ object SparkEntry {
     // copies collapse into their sources, so the keep-list is exactly
     // the base ids — derived from scratch by the twin
     "dedup_image_keep" -> ((s, dir) => {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      def pat(id: Long): Long = {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(id.toString.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.substring(0, 15)
-        java.lang.Long.parseLong(hex, 16)
-      }
-      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
-      val blobs = s.createDataFrame(
-        ids.rdd.flatMap { r =>
-          val id = r.getLong(0)
-          val q = pat(id)
-          val base = Row(id, Multimodal.dhashPng(q))
-          if (id < 40) Seq(base, Row(id + 1000000L, Multimodal.dhashPng(q ^ 5L)))
-          else Seq(base)
-        },
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("blob", BinaryType))))
-      val pairs = Dedup.hammingPairs(Multimodal.decodeImageDHash(blobs),
+      val pairs = Dedup.hammingPairs(
+        Multimodal.decodeImageDHash(plantedDHashBlobs(s, dir)),
         "doc_id", "dhash", maxDist = 3)
       val clusters =
         try Dedup.nearDupClusters(pairs.select("id_a", "id_b"))
         finally pairs.unpersist(blocking = false)
-      Dedup.dropNearDuplicates(blobs.select("doc_id"), "doc_id", clusters)
-        .orderBy("doc_id")
+      // the id universe is pure arithmetic (base ids ∪ planted ids) —
+      // enumerating it through the blob table would re-run every PNG
+      // encode a second time just to produce the id column
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val all = ids.unionByName(ids.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 1000000L).as("doc_id")))
+      Dedup.dropNearDuplicates(all, "doc_id", clusters).orderBy("doc_id")
     }),
 
     // video frame sampling over the GFV1 deterministic fake codec (the
@@ -1149,55 +1167,27 @@ object SparkEntry {
     // language-ID + quality gate, then near-dup drop (LSH pairs →
     // connected components → canonical keep). Every stage is the same
     // oracle-exact operator benched individually above
-    "corpus_curate" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val gated = docs
-        .select(col("doc_id"), col("text"),
-          TextAnalysis.tokens(col("text")).as("__w"),
-          TextAnalysis.tokens(lower(col("text"))).as("__wl"))
-        .select(col("doc_id"),
-          TextAnalysis.langIdFrom(col("text"), col("__wl")).as("pred_lang"),
-          TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
-        .filter(col("quality_score") >= 0.4 && col("pred_lang") =!= "unknown")
-      val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
-        "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
-      val clusters = // eager — see dedup_clusters
-        try Dedup.nearDupClusters(pairs)
-        finally { release(); pairs.unpersist() }
-      Dedup.dropNearDuplicates(gated, "doc_id", clusters)
-        .orderBy("doc_id")
-    }),
+    "corpus_curate" -> ((s, dir) => curatedDocs(s, dir).orderBy("doc_id")),
 
     // the FULL pipeline in one entry — quality/langid gate ∘ LSH near-dup
-    // drop ∘ deterministic split assignment ∘ per-split receipts: the
-    // "switch your whole curation job to this engine" composition. The
-    // receipts are integer-exact (count/min/max/sum of doc ids), so the
-    // oracle binds the exact post-pipeline membership of every split,
-    // not just sizes
-    "corpus_pipeline" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val gated = docs
-        .select(col("doc_id"), col("text"),
-          TextAnalysis.tokens(col("text")).as("__w"),
-          TextAnalysis.tokens(lower(col("text"))).as("__wl"))
-        .select(col("doc_id"),
-          TextAnalysis.langIdFrom(col("text"), col("__wl")).as("pred_lang"),
-          TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
-        .filter(col("quality_score") >= 0.4 && col("pred_lang") =!= "unknown")
-      val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
-        "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
-      val clusters = // eager — see dedup_clusters
-        try Dedup.nearDupClusters(pairs)
-        finally { release(); pairs.unpersist() }
-      val kept = Dedup.dropNearDuplicates(gated, "doc_id", clusters)
-      Corpus.assignSplits(kept, "doc_id", "split",
+    // drop (curatedDocs — the same definition corpus_curate verifies) ∘
+    // deterministic split assignment ∘ per-split receipts. Receipts are
+    // integer-exact (count/min/max/sum) plus an order-independent XOR of
+    // per-doc md5-derived fingerprints — a genuine membership bind (two
+    // different id sets can share count/min/max/sum, but not the
+    // fingerprint XOR short of an md5-prefix collision chain)
+    "corpus_pipeline" -> ((s, dir) =>
+      Corpus.assignSplits(curatedDocs(s, dir), "doc_id", "split",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .withColumn("__fp", conv(substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
-          sum(col("doc_id")).as("sum_id"))
-        .orderBy("split")
-    })
+          sum(col("doc_id")).as("sum_id"),
+          bit_xor(col("__fp")).as("xor_fp"))
+        .orderBy("split"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2299,43 +2289,18 @@ object SparkEntry {
     // row per fingerprint, then the same quality/langid gate as
     // corpus_curate; event time = (doc_id*37) % 1000 mirrors the entry
     "corpus_curate_stream" ->
-      """WITH d AS (
-        |  SELECT doc_id, text,
-        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
-        |    (doc_id * 37) % 1000 AS et
-        |  FROM documents),
-        |k AS (SELECT doc_id, text, fp,
-        |        row_number() OVER (PARTITION BY fp ORDER BY et, doc_id) AS rn
-        |      FROM d),
-        |f AS (
-        |  SELECT doc_id, text, fp, length(text) AS cl,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS wc,
-        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc,
-        |    string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM k WHERE rn = 1),
-        |n AS (
-        |  SELECT doc_id, text, fp, cl, wc, pc,
-        |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
-        |    len(list_filter(w, x -> list_contains(['el','la','de','los','y','que','en'], x))) AS es,
-        |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de,
-        |    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS fr
-        |  FROM f),
-        |q AS (
-        |  SELECT doc_id, fp,
-        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |         WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
-        |         WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
-        |         WHEN de >= fr AND de > 0 THEN 'de'
-        |         WHEN fr > 0 THEN 'fr'
-        |         ELSE 'unknown' END AS pred_lang,
-        |    CASE WHEN wc > 0 AND cl > 0 THEN
-        |      round(0.4 * least(wc / 100.0, 1.0) + 0.4 * (en * 1.0 / wc)
-        |            + 0.2 * (1.0 - pc * 1.0 / cl), 6)
-        |    ELSE 0.0 END AS quality_score
-        |  FROM n)
-        |SELECT doc_id, fp, pred_lang, quality_score FROM q
-        |WHERE quality_score >= 0.4 AND pred_lang <> 'unknown'
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |    (doc_id * 37) % 1000 AS et
+         |  FROM documents),
+         |k AS (SELECT doc_id, text, fp,
+         |        row_number() OVER (PARTITION BY fp ORDER BY et, doc_id) AS rn
+         |      FROM d),
+         |${gateCtes("k WHERE rn = 1", ", fp")}
+         |SELECT doc_id, fp, pred_lang, quality_score FROM q
+         |WHERE quality_score >= 0.4 AND pred_lang <> 'unknown'
+         |ORDER BY doc_id""".stripMargin,
 
     // quality/langid gate ∘ near-dup transitive-closure drop — stages
     // mirror text_quality, text_langid and dedup_keep exactly
@@ -2348,32 +2313,7 @@ object SparkEntry {
          |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
          |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |         FROM r GROUP BY a),
-         |f AS (
-         |  SELECT doc_id, text, length(text) AS cl,
-         |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS wc,
-         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc,
-         |    string_split_regex(trim(lower(text)), '\\s+') AS w
-         |  FROM documents),
-         |n AS (
-         |  SELECT doc_id, text, cl, wc, pc,
-         |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
-         |    len(list_filter(w, x -> list_contains(['el','la','de','los','y','que','en'], x))) AS es,
-         |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de,
-         |    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS fr
-         |  FROM f),
-         |q AS (
-         |  SELECT doc_id,
-         |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-         |         WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
-         |         WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
-         |         WHEN de >= fr AND de > 0 THEN 'de'
-         |         WHEN fr > 0 THEN 'fr'
-         |         ELSE 'unknown' END AS pred_lang,
-         |    CASE WHEN wc > 0 AND cl > 0 THEN
-         |      round(0.4 * least(wc / 100.0, 1.0) + 0.4 * (en * 1.0 / wc)
-         |            + 0.2 * (1.0 - pc * 1.0 / cl), 6)
-         |    ELSE 0.0 END AS quality_score
-         |  FROM n)
+         |${gateCtes("documents")}
          |SELECT doc_id, pred_lang, quality_score FROM q
          |WHERE quality_score >= 0.4 AND pred_lang <> 'unknown'
          |  AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
@@ -2390,38 +2330,15 @@ object SparkEntry {
          |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
          |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |         FROM r GROUP BY a),
-         |f AS (
-         |  SELECT doc_id, text, length(text) AS cl,
-         |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS wc,
-         |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc,
-         |    string_split_regex(trim(lower(text)), '\\s+') AS w
-         |  FROM documents),
-         |n AS (
-         |  SELECT doc_id, text, cl, wc, pc,
-         |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
-         |    len(list_filter(w, x -> list_contains(['el','la','de','los','y','que','en'], x))) AS es,
-         |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de,
-         |    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS fr
-         |  FROM f),
-         |q AS (
-         |  SELECT doc_id,
-         |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-         |         WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
-         |         WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
-         |         WHEN de >= fr AND de > 0 THEN 'de'
-         |         WHEN fr > 0 THEN 'fr'
-         |         ELSE 'unknown' END AS pred_lang,
-         |    CASE WHEN wc > 0 AND cl > 0 THEN
-         |      round(0.4 * least(wc / 100.0, 1.0) + 0.4 * (en * 1.0 / wc)
-         |            + 0.2 * (1.0 - pc * 1.0 / cl), 6)
-         |    ELSE 0.0 END AS quality_score
-         |  FROM n),
+         |${gateCtes("documents")},
          |kept AS (
          |  SELECT doc_id FROM q
          |  WHERE quality_score >= 0.4 AND pred_lang <> 'unknown'
          |    AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)),
          |sp AS (
          |  SELECT doc_id,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |      ::UBIGINT::BIGINT AS fp,
          |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
          |           THEN 'train'
          |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
@@ -2429,9 +2346,43 @@ object SparkEntry {
          |         ELSE 'test' END AS split
          |  FROM kept)
          |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id,
-         |  max(doc_id) AS max_id, CAST(sum(doc_id) AS BIGINT) AS sum_id
+         |  max(doc_id) AS max_id, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+         |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp
          |FROM sp GROUP BY split ORDER BY split""".stripMargin
   )
+
+  /** The quality/langid gate CTE chain (f/n/q) shared by the
+    * curate-family twins — ONE definition of the stopword lists and the
+    * score formula, so no twin can silently assert a different gate.
+    * `src`: the FROM clause the gate reads; `carry`: extra columns to
+    * thread through (e.g. ", fp"). */
+  private def gateCtes(src: String, carry: String = ""): String =
+    s"""f AS (
+       |  SELECT doc_id$carry, text, length(text) AS cl,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS wc,
+       |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM $src),
+       |n AS (
+       |  SELECT doc_id$carry, text, cl, wc, pc,
+       |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
+       |    len(list_filter(w, x -> list_contains(['el','la','de','los','y','que','en'], x))) AS es,
+       |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS de,
+       |    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS fr
+       |  FROM f),
+       |q AS (
+       |  SELECT doc_id$carry,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+       |         WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+       |         WHEN de >= fr AND de > 0 THEN 'de'
+       |         WHEN fr > 0 THEN 'fr'
+       |         ELSE 'unknown' END AS pred_lang,
+       |    CASE WHEN wc > 0 AND cl > 0 THEN
+       |      round(0.4 * least(wc / 100.0, 1.0) + 0.4 * (en * 1.0 / wc)
+       |            + 0.2 * (1.0 - pc * 1.0 / cl), 6)
+       |    ELSE 0.0 END AS quality_score
+       |  FROM n)""".stripMargin
 
   /** Trigram-shingle CTEs + Jaccard>=0.5 pair select, shared by the
     * brute/LSH oracles and the clustering oracle's transitive closure. */

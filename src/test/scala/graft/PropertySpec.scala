@@ -182,9 +182,13 @@ class PropertySpec extends SparkSuite {
         (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
         d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
       } yield (ia, ib) -> d).toMap
-      val got = graft.ops.Dedup.hammingPairs(
-          fps.toDF("id", "fp"), "id", "fp", maxDist = 3).collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      // hammingPairs returns a persisted handle (Caching.scoped contract)
+      // — release it per case, not at suite teardown
+      val pairs = graft.ops.Dedup.hammingPairs(
+        fps.toDF("id", "fp"), "id", "fp", maxDist = 3)
+      val got =
+        try pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+        finally pairs.unpersist(blocking = false)
       assert(got == model, s"case $i\ngot=$got\nmodel=$model")
     }
   }
