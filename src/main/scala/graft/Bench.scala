@@ -20,6 +20,11 @@ import org.apache.spark.sql.SparkSession
   *    tsdb_ingest_stream is also excluded: it re-ingests the events table
   *    per run, and ingest throughput is already measured by the dedicated
   *    tsdb_ingest benchmark below (fresh table, reference CI-bench shape).
+  *    Entries that re-run the identical LSH+closure plan dedup_clusters
+  *    already times (dedup_keep, dedup_keep_best, dedup_report,
+  *    corpus_split_safe) are excluded for the same
+  *    no-duplicate-measurement reason; dedup_incremental IS benched — its
+  *    cross-dataset band join is a distinct plan shape.
   *  - Every individual run's time is emitted under `"runs"` so a run
   *    poisoned by this VM's external freeze windows is visible in the
   *    artifact itself; `"queries"` carries the per-query min.
@@ -35,7 +40,7 @@ object Bench {
     "tsdb_storage_preagg",
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_clusters",
+    "dedup_clusters", "dedup_incremental",
     "sim_topk", "sim_ann_ivf", "sim_quantize", "dedup_embedding_srp",
     "events_sessionize",
     "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",

@@ -681,6 +681,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // quality-aware dedup keep-list: each near-dup cluster keeps its
+    // LONGEST member (whitespace-token count; ties -> min id) instead of
+    // the arbitrary min-id canonical — the keep policy production
+    // curation actually wants. Integer score, so the keep decision is
+    // bit-stable cross-engine
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
+        "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
+      val clusters = // eager — see dedup_clusters
+        try Dedup.nearDupClusters(pairs)
+        finally { release(); pairs.unpersist() }
+      Dedup.dropNearDuplicatesKeepBest(docs.select("doc_id", "text"),
+          "doc_id", clusters,
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // incremental dedup (the daily-crawl shape): docs with id >= 400 are
+    // the "new batch", the rest the existing corpus; a batch doc survives
+    // only if it is no near-dup of ANY existing doc. Cross-LSH pairs with
+    // the big side mega-bucket-guarded; oracle = brute cross Jaccard
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.incrementalDedupKeep(
+          docs.filter(col("doc_id") >= 400).select("doc_id", "text"),
+          docs.filter(col("doc_id") < 400),
+          "doc_id", "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // dedup receipts: near-dup cluster-size histogram — how many clusters
+    // of each size, docs covered, docs a keep-one policy drops
+    "dedup_report" -> ((s, dir) => {
+      val (pairs, release) = Dedup.minHashLshPairsDeferred(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
+      val clusters = // eager — see dedup_clusters
+        try Dedup.nearDupClusters(pairs)
+        finally { release(); pairs.unpersist() }
+      Dedup.clusterSizeHistogram(clusters)
+    }),
+
     // near-dup, SimHash Hamming-banding (no SQL twin: hash-dependent).
     // maxDist=3 keeps the 4x16-bit banding COMPLETE (pigeonhole) so the
     // output is the exact hamming<=3 pair set, deterministically.
@@ -1025,6 +1068,22 @@ object SparkEntry {
           "doc_id", "split",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
+
+    // LEAKAGE-SAFE split assignment: same 80/10/10 bands, but keyed on the
+    // near-dup cluster canonical id where one exists — every member of a
+    // cluster lands in the same split, so a test doc can never have a
+    // train near-twin (the eval contamination id-keyed splits cannot see)
+    "corpus_split_safe" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
+        "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
+      val clusters = // eager — see dedup_clusters
+        try Dedup.nearDupClusters(pairs)
+        finally { release(); pairs.unpersist() }
+      Corpus.assignSplitsLeakageSafe(docs.select("doc_id"), "doc_id", "split",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), clusters)
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
 
     // per-source profiling: the volume/length receipts a curation run is
     // judged by (exact quantiles — DuckDB quantile_cont matches
@@ -1724,6 +1783,50 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT doc_id FROM c WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // closure, then per-cluster ranking by whitespace-token count desc /
+    // id asc — the keep-best policy's loser list, anti-joined back
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $NgramJaccardCtes,
+         |$NearDupClosureCtes,
+         |sc AS (
+         |  SELECT c.doc_id, c.cluster_id,
+         |    len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+         |        x -> x <> '')) AS score
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+         |l AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+         |  FROM sc)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM l WHERE rn > 1)
+         |ORDER BY doc_id""".stripMargin,
+
+    // brute cross Jaccard: batch docs (id >= 400) near-dup of ANY
+    // existing doc (id < 400) are dropped; short docs (< 3 words) have no
+    // shingles and always survive — mirroring the Spark side exactly
+    "dedup_incremental" ->
+      s"""WITH $NgramJaccardCtes,
+         |m AS (
+         |  SELECT b.doc_id AS bid FROM s a JOIN s b
+         |  ON a.doc_id < 400 AND b.doc_id >= 400
+         |  AND len(list_intersect(a.sh, b.sh)) * 1.0
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT bid FROM m)
+         |ORDER BY doc_id""".stripMargin,
+
+    // closure → per-cluster size → size histogram with docs-covered and
+    // docs-dropped receipts
+    "dedup_report" ->
+      s"""WITH RECURSIVE $NgramJaccardCtes,
+         |$NearDupClosureCtes,
+         |cs AS (SELECT cluster_id, count(*) AS cluster_size
+         |       FROM comp GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
     "sim_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |m AS (SELECT vec_id, emb,
@@ -2121,6 +2224,22 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // corpus_split's bands keyed on coalesce(near-dup canonical, own id):
+    // cluster members share the key, so they share the split
+    "corpus_split_safe" ->
+      s"""WITH RECURSIVE $NgramJaccardCtes,
+         |$NearDupClosureCtes,
+         |k AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS sk
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN substring(md5(CAST(sk AS VARCHAR)), 1, 4) < 'cccd'
+         |         THEN 'train'
+         |       WHEN substring(md5(CAST(sk AS VARCHAR)), 1, 4) < 'e666'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin,
+
     "corpus_cube" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
@@ -2406,4 +2525,18 @@ object SparkEntry {
     * shingles, Jaccard >= 0.5). */
   private val NgramJaccardOracle =
     s"WITH $NgramJaccardCtes\n$NgramJaccardSelect\nORDER BY id_a, id_b"
+
+  /** Transitive closure of the near-dup pair graph →
+    * `comp(doc_id, cluster_id)` — the twin of
+    * [[graft.ops.Dedup.nearDupClusters]], shared by every
+    * cluster-consuming oracle. Must appear after `NgramJaccardCtes`
+    * inside a `WITH RECURSIVE`. */
+  private val NearDupClosureCtes =
+    s"""p AS ($NgramJaccardSelect),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |      UNION SELECT id_b, id_a FROM p),
+       |r AS (SELECT a, b FROM e
+       |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |         FROM r GROUP BY a)""".stripMargin
 }

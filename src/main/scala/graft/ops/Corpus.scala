@@ -78,6 +78,32 @@ object Corpus {
     docs.withColumn(splitCol, assigned)
   }
 
+  /** Leakage-safe [[assignSplits]]: near-duplicate documents must never
+    * straddle train and test (a test doc with a train near-twin inflates
+    * eval — the contamination that id-keyed splitting cannot see). The
+    * split key is the near-dup cluster CANONICAL id where one exists
+    * (`clusters` as produced by [[graft.ops.Dedup.nearDupClusters]]:
+    * `(doc_id, cluster_id)`) and the doc's own id otherwise, so every
+    * member of a cluster hashes into the same band — same split — by
+    * construction.
+    *
+    * Scale shape: one join against the near-dup member table (tiny vs the
+    * corpus — AQE broadcasts it), then [[assignSplits]]'s shuffle-free
+    * band projection. Band fractions hold approximately: a cluster counts
+    * once per member, but near-dup mass is a small corpus fraction by the
+    * time splits are assigned (dedup normally runs first — this operator
+    * covers the keep-everything-but-split-safely pipeline variant). */
+  def assignSplitsLeakageSafe(docs: DataFrame, idCol: String, splitCol: String,
+                              fractions: Seq[(String, Double)],
+                              clusters: DataFrame): DataFrame =
+    assignSplits(
+      docs.join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+          Seq(idCol), "left")
+        .withColumn("__split_key", coalesce(col("cluster_id"), col(idCol)))
+        .drop("cluster_id"),
+      "__split_key", splitCol, fractions)
+      .drop("__split_key")
+
   /** Weighted multi-source mixture sampling — "50% web, 30% books, 20%
     * code": downsample each source so the OUTPUT composition matches
     * `weights` (normalized over the listed sources) while keeping as much

@@ -336,6 +336,67 @@ object Dedup {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Quality-aware variant of [[dropNearDuplicates]]: each near-dup
+    * cluster keeps its BEST member by `score` (ties broken by min doc id)
+    * instead of the arbitrary min-id canonical — the policy production
+    * curation actually wants ("of these 5 near-identical pages, keep the
+    * longest / highest-quality one").
+    *
+    * `score` must be deterministic (an integer or an exactly-reproducible
+    * expression) for the keep decision to be stable across runs/engines.
+    *
+    * Distributed shape: the ranking window partitions by `cluster_id`
+    * over the MEMBER table only (near-dup-sized, tiny vs the corpus —
+    * never a corpus-wide window), and the loser list comes back as a
+    * broadcast anti-join exactly like [[dropNearDuplicates]]. */
+  def dropNearDuplicatesKeepBest(docs: DataFrame, idCol: String,
+                                 clusters: DataFrame, score: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("__score").desc, col(idCol).asc)
+    val losers = docs
+      .select(col(idCol), score.as("__score"))
+      .join(clusters.select(col("doc_id").as(idCol), col("cluster_id")), idCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental dedup — the daily-crawl shape: keep only the new-batch
+    * docs that are NOT near-dups of the existing corpus. Pair generation
+    * is [[crossMinHashLshPairs]] with the EXISTING corpus on the big
+    * (mega-bucket-guarded) side and the batch on the broadcast side, so
+    * growing history never reshuffles more than its own signatures; the
+    * batch keep-list is one anti-join on the verified matches. Within-
+    * batch duplicates are a separate concern — compose with
+    * [[dropNearDuplicates]] over the batch's own pair graph for that. */
+  def incrementalDedupKeep(batch: DataFrame, existing: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int, threshold: Double,
+                           numHashes: Int = 64, bands: Int = 32,
+                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val pairs = crossMinHashLshPairs(existing, batch, idCol, textCol,
+      k, threshold, numHashes, bands, maxBucketSize)
+    batch.join(pairs.select(col("bench_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Dedup receipts: the cluster-size histogram a curation run is judged
+    * by — one row per observed near-dup cluster size with how many
+    * clusters have that size, how many docs they cover, and how many the
+    * min-id (or keep-best) policy drops. Two bounded aggregates over the
+    * member table (near-dup-sized), shuffling on cluster id then size. */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+      .orderBy("cluster_size")
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash fingerprint per doc: sign of the per-bit vote sum of

@@ -86,6 +86,27 @@ class CorpusSpec extends SparkSuite {
       Corpus.assignSplits(d, "doc_id", "s", Seq("a" -> 1.1, "b" -> -0.1)))
   }
 
+  test("assignSplitsLeakageSafe: cluster members share a split; others unchanged") {
+    val d = spark.range(3000).select(col("id").as("doc_id"))
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // clusters spanning ids whose OWN bands differ (any md5 spread will do)
+    val clusters = Seq((5L, 5L), (100L, 5L), (2999L, 5L),
+      (7L, 7L), (8L, 7L)).toDF("doc_id", "cluster_id")
+    val out = Corpus.assignSplitsLeakageSafe(d, "doc_id", "split", fracs, clusters)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 3000)
+    // every cluster member gets the CANONICAL's split
+    val plain = Corpus.assignSplits(d, "doc_id", "split", fracs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Seq(5L, 100L, 2999L).map(out).distinct.size == 1)
+    assert(out(100L) == plain(5L) && out(2999L) == plain(5L))
+    assert(out(8L) == plain(7L))
+    // unclustered docs keep their id-keyed assignment
+    val clustered = Set(5L, 100L, 2999L, 7L, 8L)
+    assert(out.filterNot(kv => clustered(kv._1)) ==
+      plain.filterNot(kv => clustered(kv._1)))
+  }
+
   test("mixSources: unlisted sources drop; bad weights fail loudly") {
     val d = spark.range(100).select(col("id").as("doc_id"),
       when(col("id") < 50, "keep").otherwise("other").as("source"))

@@ -231,6 +231,44 @@ class DedupSpec extends SparkSuite {
     assert(kept == Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L))
   }
 
+  test("dropNearDuplicatesKeepBest keeps the highest score, min id on ties") {
+    val docs = Seq(
+      1L -> "a b", 2L -> "a b c d e", 3L -> "a b c",     // cluster 1: 2 wins
+      4L -> "x", 5L -> "y", 6L -> "z",                   // unclustered
+      7L -> "p q r", 8L -> "s t u"                       // cluster 7: tie → 7
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.dropNearDuplicatesKeepBest(docs, "doc_id", clusters,
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L, 5L, 6L, 7L))
+  }
+
+  test("clusterSizeHistogram: sizes, coverage, and dropped counts") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L),
+      (9L, 9L), (10L, 9L)).toDF("doc_id", "cluster_id")
+    val rows = Dedup.clusterSizeHistogram(clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((2L, 2L, 4L, 2L), (3L, 1L, 3L, 2L)))
+  }
+
+  test("incrementalDedupKeep drops batch docs matching the existing corpus only") {
+    val existing = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "completely different historical content here entirely").toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog today", // dup of 1
+      11L -> "novel fresh unseen writing with new words only",    // novel
+      12L -> "too short",                                         // <3 words: no shingles
+      13L -> "novel fresh unseen writing with new words only"     // dup of 11 — WITHIN batch: kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedupKeep(batch, existing, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(11L, 12L, 13L))
+  }
+
   test("LSH on driver documents equals brute force (planted near-dups)") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val brute = Dedup.jaccardPairsBrute(d, "doc_id", "text", 3, 0.5).collect()
