@@ -59,6 +59,22 @@ object SparkEntry {
     * definition so the two entries can never silently diverge on gate
     * thresholds or dedup parameters; returns the kept
     * (doc_id, pred_lang, quality_score) rows. */
+  /** The ONE near-dup clustering pipeline every cluster-consuming entry
+    * shares: deferred LSH pairs (k=3, threshold=0.5, production
+    * maxBucketSize=1000) → connected components. A single definition so
+    * `dedup_clusters`, `dedup_keep`, `dedup_keep_best`, `dedup_report`,
+    * `corpus_split_safe` and the curation pipeline can never silently
+    * diverge on the dedup parameters — which is also what licenses
+    * Bench's "identical plan already timed" headline exclusions.
+    * `nearDupClusters` is eager, so intermediates and the pair cache are
+    * released before this returns. */
+  private def docClusters(docs: DataFrame): DataFrame = {
+    val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
+      "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
+    try Dedup.nearDupClusters(pairs)
+    finally { release(); pairs.unpersist() }
+  }
+
   private def curatedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val gated = docs
@@ -69,12 +85,7 @@ object SparkEntry {
         TextAnalysis.langIdFrom(col("text"), col("__wl")).as("pred_lang"),
         TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
       .filter(col("quality_score") >= 0.4 && col("pred_lang") =!= "unknown")
-    val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
-      "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
-    val clusters = // eager — see dedup_clusters
-      try Dedup.nearDupClusters(pairs)
-      finally { release(); pairs.unpersist() }
-    Dedup.dropNearDuplicates(gated, "doc_id", clusters)
+    Dedup.dropNearDuplicates(gated, "doc_id", docClusters(docs))
   }
 
   /** The planted image-blob table shared by `dedup_image_dhash` and
@@ -656,28 +667,19 @@ object SparkEntry {
     // every member labeled with its cluster's canonical (min) doc id —
     // the keep/drop decision step of the dedup pipeline. Oracle: recursive
     // transitive closure over the same pair set.
-    "dedup_clusters" -> ((s, dir) => {
-      // deferred pairs: nearDupClusters' eager edge checkpoint is the
-      // single action that materializes the LSH pipeline — no separate
-      // count pass; intermediates and the pairs cache released once it
-      // returns (nearDupClusters is eager, so the handles are done)
-      val (pairs, release) = Dedup.minHashLshPairsDeferred(
-        s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
-      try Dedup.nearDupClusters(pairs)
-      finally { release(); pairs.unpersist() }
-    }),
+    // deferred pairs inside docClusters: nearDupClusters' eager edge
+    // checkpoint is the single action that materializes the LSH pipeline —
+    // no separate count pass; intermediates and the pairs cache released
+    // once it returns
+    "dedup_clusters" -> ((s, dir) =>
+      docClusters(s.read.parquet(s"$dir/documents.parquet"))),
 
     // dedup END PRODUCT: the corpus keep-list after dropping non-canonical
     // near-dup members (anti-join against the clustered pair graph)
     "dedup_keep" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
-        "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
-      val clusters = // eager — see dedup_clusters
-        try Dedup.nearDupClusters(pairs)
-        finally { release(); pairs.unpersist() }
-      Dedup.dropNearDuplicates(docs.select("doc_id"), "doc_id", clusters)
+      Dedup.dropNearDuplicates(docs.select("doc_id"), "doc_id",
+          docClusters(docs))
         .orderBy("doc_id")
     }),
 
@@ -688,13 +690,8 @@ object SparkEntry {
     // bit-stable cross-engine
     "dedup_keep_best" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
-        "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
-      val clusters = // eager — see dedup_clusters
-        try Dedup.nearDupClusters(pairs)
-        finally { release(); pairs.unpersist() }
       Dedup.dropNearDuplicatesKeepBest(docs.select("doc_id", "text"),
-          "doc_id", clusters,
+          "doc_id", docClusters(docs),
           size(TextAnalysis.tokens(col("text"))).cast("long"))
         .select("doc_id").orderBy("doc_id")
     }),
@@ -714,15 +711,9 @@ object SparkEntry {
 
     // dedup receipts: near-dup cluster-size histogram — how many clusters
     // of each size, docs covered, docs a keep-one policy drops
-    "dedup_report" -> ((s, dir) => {
-      val (pairs, release) = Dedup.minHashLshPairsDeferred(
-        s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
-      val clusters = // eager — see dedup_clusters
-        try Dedup.nearDupClusters(pairs)
-        finally { release(); pairs.unpersist() }
-      Dedup.clusterSizeHistogram(clusters)
-    }),
+    "dedup_report" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(
+        docClusters(s.read.parquet(s"$dir/documents.parquet")))),
 
     // near-dup, SimHash Hamming-banding (no SQL twin: hash-dependent).
     // maxDist=3 keeps the 4x16-bit banding COMPLETE (pigeonhole) so the
@@ -1075,13 +1066,8 @@ object SparkEntry {
     // train near-twin (the eval contamination id-keyed splits cannot see)
     "corpus_split_safe" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val (pairs, release) = Dedup.minHashLshPairsDeferred(docs, "doc_id",
-        "text", k = 3, threshold = 0.5, maxBucketSize = 1000)
-      val clusters = // eager — see dedup_clusters
-        try Dedup.nearDupClusters(pairs)
-        finally { release(); pairs.unpersist() }
       Corpus.assignSplitsLeakageSafe(docs.select("doc_id"), "doc_id", "split",
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), clusters)
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), docClusters(docs))
         .select("doc_id", "split").orderBy("doc_id")
     }),
 
@@ -1762,25 +1748,14 @@ object SparkEntry {
     // transitive closure over the pair graph → min reachable id per member
     "dedup_clusters" ->
       s"""WITH RECURSIVE $NgramJaccardCtes,
-         |p AS ($NgramJaccardSelect),
-         |e AS (SELECT id_a AS a, id_b AS b FROM p
-         |      UNION SELECT id_b, id_a FROM p),
-         |r AS (SELECT a, b FROM e
-         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
-         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+         |$NearDupClosureCtes
+         |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin,
 
     "dedup_keep" ->
       s"""WITH RECURSIVE $NgramJaccardCtes,
-         |p AS ($NgramJaccardSelect),
-         |e AS (SELECT id_a AS a, id_b AS b FROM p
-         |      UNION SELECT id_b, id_a FROM p),
-         |r AS (SELECT a, b FROM e
-         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-         |c AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |      FROM r GROUP BY a)
+         |$NearDupClosureCtes
          |SELECT doc_id FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_id FROM c WHERE doc_id <> cluster_id)
+         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
 
     // closure, then per-cluster ranking by whitespace-token count desc /
@@ -2425,13 +2400,7 @@ object SparkEntry {
     // mirror text_quality, text_langid and dedup_keep exactly
     "corpus_curate" ->
       s"""WITH RECURSIVE $NgramJaccardCtes,
-         |p AS ($NgramJaccardSelect),
-         |e AS (SELECT id_a AS a, id_b AS b FROM p
-         |      UNION SELECT id_b, id_a FROM p),
-         |r AS (SELECT a, b FROM e
-         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |         FROM r GROUP BY a),
+         |$NearDupClosureCtes,
          |${gateCtes("documents")}
          |SELECT doc_id, pred_lang, quality_score FROM q
          |WHERE quality_score >= 0.4 AND pred_lang <> 'unknown'
@@ -2442,13 +2411,7 @@ object SparkEntry {
     // integer-exact per-split receipts
     "corpus_pipeline" ->
       s"""WITH RECURSIVE $NgramJaccardCtes,
-         |p AS ($NgramJaccardSelect),
-         |e AS (SELECT id_a AS a, id_b AS b FROM p
-         |      UNION SELECT id_b, id_a FROM p),
-         |r AS (SELECT a, b FROM e
-         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |         FROM r GROUP BY a),
+         |$NearDupClosureCtes,
          |${gateCtes("documents")},
          |kept AS (
          |  SELECT doc_id FROM q

@@ -95,14 +95,19 @@ object Corpus {
     * covers the keep-everything-but-split-safely pipeline variant). */
   def assignSplitsLeakageSafe(docs: DataFrame, idCol: String, splitCol: String,
                               fractions: Seq[(String, Double)],
-                              clusters: DataFrame): DataFrame =
+                              clusters: DataFrame): DataFrame = {
+    // project the clusters side to reserved names BEFORE the join: docs in
+    // a dedup pipeline often already carry a cluster_id column, which
+    // would otherwise make the coalesce reference ambiguous
+    val canon = clusters.select(col("doc_id").as(idCol),
+      col("cluster_id").as("__canon_id"))
     assignSplits(
-      docs.join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
-          Seq(idCol), "left")
-        .withColumn("__split_key", coalesce(col("cluster_id"), col(idCol)))
-        .drop("cluster_id"),
+      docs.join(canon, Seq(idCol), "left")
+        .withColumn("__split_key", coalesce(col("__canon_id"), col(idCol)))
+        .drop("__canon_id"),
       "__split_key", splitCol, fractions)
       .drop("__split_key")
+  }
 
   /** Weighted multi-source mixture sampling — "50% web, 30% books, 20%
     * code": downsample each source so the OUTPUT composition matches

@@ -377,8 +377,8 @@ object Dedup {
                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val pairs = crossMinHashLshPairs(existing, batch, idCol, textCol,
       k, threshold, numHashes, bands, maxBucketSize)
-    batch.join(pairs.select(col("bench_id").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+    // no distinct: left_anti is insensitive to duplicate right-side keys
+    batch.join(pairs.select(col("bench_id").as(idCol)), Seq(idCol), "left_anti")
   }
 
   /** Dedup receipts: the cluster-size histogram a curation run is judged
