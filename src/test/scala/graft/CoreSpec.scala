@@ -106,6 +106,31 @@ class SchemaDerivationSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Driver testdata snapshots have flipped events.ts between
+  * TIMESTAMP(NANOS) and TIMESTAMP(MICROS); pin that [[graft.core.Samples]]
+  * normalizes BOTH layouts to identical epoch-ms (committed fixtures carry
+  * the same three logical instants in each precision). */
+class SamplesTimestampSpec extends SparkSuite {
+  private def fromFixture(name: String): Seq[(String, Long, Double)] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    val src = getClass.getResourceAsStream(s"/$name.parquet")
+    try java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    finally src.close()
+    graft.core.Samples.fromEvents(spark, dir)
+      .select("name", "time", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._2).toSeq
+  }
+
+  test("fromEvents: nanos-long and micros-timestamp layouts agree on epoch ms") {
+    val nanos = fromFixture("events_nanos")
+    val micros = fromFixture("events_micros")
+    assert(nanos == micros)
+    // absolute values: sub-ms precision floors — the reference's native
+    // ms unit
+    assert(micros.map(_._2) == Seq(1704067201500L, 1704070800123L, 1706659199999L))
+  }
+}
+
 /** Driver-contract wiring: every benched name must be a real entry, and
   * every entry needs either a DuckDB twin or a documented no-oracle
   * declaration — a typo in one of these lists silently drops a query
