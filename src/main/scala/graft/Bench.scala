@@ -46,9 +46,11 @@ object Bench {
     "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",
     "text_tfidf", "text_redact",
     "text_repetition", "text_decontaminate", "text_decontaminate_fuzzy",
-    "text_bm25", "text_lm_score", "text_dup_spans", "doc_fingerprint",
+    "text_bm25", "text_lm_score", "text_ppl_buckets", "text_dup_spans",
+    "doc_fingerprint",
     "text_url_domains", "text_url_filter",
-    "corpus_sample", "corpus_split", "corpus_mix", "corpus_stats", "corpus_cube",
+    "corpus_sample", "corpus_split", "corpus_shuffle", "corpus_mix",
+    "corpus_stats", "corpus_cube",
     "text_dedup_lines",
     "sim_semdedup",
     "corpus_pack", "corpus_topk", "corpus_curate", "corpus_pipeline",

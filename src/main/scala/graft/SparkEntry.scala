@@ -630,6 +630,16 @@ object SparkEntry {
       TextAnalysis.lmScore(docs, docs, "doc_id", "text")
     }),
 
+    // CCNet head/middle/tail: lm_score's perplexity stream stratified at
+    // the exact tertiles (integer micro-unit thresholds broadcast back —
+    // no corpus-wide sort/ntile). Short docs keep an 'na'-bucket row
+    "text_ppl_buckets" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.perplexityBuckets(
+          TextAnalysis.lmScore(docs, docs, "doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
     // exact duplicated-substring spans: 8-token windows occurring
     // verbatim in >= 2 distinct docs, merged into maximal per-doc spans
     // (the exact-substring dedup step document-level dedup can't see)
@@ -1059,6 +1069,13 @@ object SparkEntry {
           "doc_id", "split",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
+
+    // deterministic training-order shuffle: seed-keyed md5 shard + rank
+    // within shard only (partitioned window — no corpus-wide sort)
+    "corpus_shuffle" -> ((s, dir) =>
+      Corpus.shuffleAssign(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", seed = 42L, nShards = 8)
+        .orderBy("doc_id")),
 
     // LEAKAGE-SAFE split assignment: same 80/10/10 bands, but keyed on the
     // near-dup cluster canonical id where one exists — every member of a
@@ -2126,34 +2143,26 @@ object SparkEntry {
     // with its bigram and context; the ordered-list sum replays Spark's
     // position-sorted left fold
     "text_lm_score" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |                x -> x <> '') AS w FROM documents),
-        |uni AS (SELECT unnest(w) AS w1 FROM d),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
-        |v AS (SELECT count(*) AS v FROM c1),
-        |bgx AS (SELECT unnest([w[i] || ' ' || w[i+1]
-        |                      for i in range(1, len(w))]) AS g FROM d),
-        |c12 AS (SELECT g, count(*) AS c12 FROM bgx GROUP BY 1),
-        |p AS (SELECT doc_id,
-        |    unnest([i - 1 for i in range(1, len(w))]) AS pos,
-        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g,
-        |    unnest([w[i] for i in range(1, len(w))]) AS w1
-        |  FROM d WHERE len(w) >= 2),
-        |lp AS (SELECT doc_id, pos,
-        |    ln((CAST(coalesce(c12, 0) AS DOUBLE) + 0.5::DOUBLE)
-        |       / (CAST(coalesce(c1, 0) AS DOUBLE)
-        |          + 0.5::DOUBLE * CAST(v AS DOUBLE))) AS lp
-        |  FROM p LEFT JOIN c12 USING (g) LEFT JOIN c1 USING (w1)
-        |  CROSS JOIN v),
-        |t AS (SELECT doc_id, count(*) AS n_bigrams,
-        |    list_aggregate(list(lp ORDER BY pos), 'sum') AS total
-        |  FROM lp GROUP BY 1)
-        |SELECT d.doc_id, CAST(coalesce(t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  round(t.total / t.n_bigrams, 6) AS avg_logprob,
-        |  round(exp(-(t.total / t.n_bigrams)), 6) AS perplexity
-        |FROM d LEFT JOIN t ON d.doc_id = t.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $LmScoreCtes
+         |SELECT doc_id, n_bigrams, avg_logprob, perplexity FROM sc
+         |ORDER BY doc_id""".stripMargin,
+
+    // lm_score's model replay, then tertile thresholds over perplexity in
+    // integer micro-units (quantile_cont == percentile on integer inputs)
+    // broadcast back as head/middle/tail; NULL scores land in 'na'
+    "text_ppl_buckets" ->
+      s"""WITH $LmScoreCtes,
+         |si AS (SELECT sc.*,
+         |         CAST(round(perplexity * 1e6) AS BIGINT) AS ppl_int
+         |       FROM sc),
+         |th AS (SELECT quantile_cont(ppl_int, [1.0/3, 2.0/3]) AS t
+         |       FROM si WHERE ppl_int IS NOT NULL)
+         |SELECT doc_id, n_bigrams, avg_logprob, perplexity,
+         |  CASE WHEN ppl_int IS NULL THEN 'na'
+         |       WHEN ppl_int <= t[1] THEN 'head'
+         |       WHEN ppl_int <= t[2] THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM si CROSS JOIN th ORDER BY doc_id""".stripMargin,
 
     // parallel unnests zip: pos (0-based, matching posexplode) pairs with
     // its 8-gram; islands via the same pos - row_number() grouping
@@ -2198,6 +2207,18 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same 60-bit md5-prefix parse as the simhash twin; % on the nonneg
+    // 60-bit key == Spark's pmod
+    "corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    ('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::UBIGINT::BIGINT AS key
+        |  FROM documents)
+        |SELECT doc_id, key % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // corpus_split's bands keyed on coalesce(near-dup canonical, own id):
     // cluster members share the key, so they share the split
@@ -2488,6 +2509,41 @@ object SparkEntry {
     * shingles, Jaccard >= 0.5). */
   private val NgramJaccardOracle =
     s"WITH $NgramJaccardCtes\n$NgramJaccardSelect\nORDER BY id_a, id_b"
+
+  /** DuckDB replay of [[graft.ops.TextAnalysis.lmScore]] self-trained on
+    * `documents` — ends in `sc(doc_id, n_bigrams, avg_logprob,
+    * perplexity)`; shared by `text_lm_score` and `text_ppl_buckets`.
+    * Parallel unnests zip pos with its bigram and context; the
+    * ordered-list sum replays Spark's position-sorted left fold. */
+  private val LmScoreCtes =
+    """d AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                x -> x <> '') AS w FROM documents),
+      |uni AS (SELECT unnest(w) AS w1 FROM d),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM c1),
+      |bgx AS (SELECT unnest([w[i] || ' ' || w[i+1]
+      |                      for i in range(1, len(w))]) AS g FROM d),
+      |c12 AS (SELECT g, count(*) AS c12 FROM bgx GROUP BY 1),
+      |p AS (SELECT doc_id,
+      |    unnest([i - 1 for i in range(1, len(w))]) AS pos,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g,
+      |    unnest([w[i] for i in range(1, len(w))]) AS w1
+      |  FROM d WHERE len(w) >= 2),
+      |lp AS (SELECT doc_id, pos,
+      |    ln((CAST(coalesce(c12, 0) AS DOUBLE) + 0.5::DOUBLE)
+      |       / (CAST(coalesce(c1, 0) AS DOUBLE)
+      |          + 0.5::DOUBLE * CAST(v AS DOUBLE))) AS lp
+      |  FROM p LEFT JOIN c12 USING (g) LEFT JOIN c1 USING (w1)
+      |  CROSS JOIN v),
+      |t AS (SELECT doc_id, count(*) AS n_bigrams,
+      |    list_aggregate(list(lp ORDER BY pos), 'sum') AS total
+      |  FROM lp GROUP BY 1),
+      |sc AS (SELECT d.doc_id,
+      |    CAST(coalesce(t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |    round(t.total / t.n_bigrams, 6) AS avg_logprob,
+      |    round(exp(-(t.total / t.n_bigrams)), 6) AS perplexity
+      |  FROM d LEFT JOIN t ON d.doc_id = t.doc_id)""".stripMargin
 
   /** Transitive closure of the near-dup pair graph →
     * `comp(doc_id, cluster_id)` — the twin of

@@ -109,6 +109,33 @@ object Corpus {
       .drop("__split_key")
   }
 
+  /** Deterministic training-order shuffle WITHOUT a global sort — the
+    * 100 TB answer to "randomize the corpus before training": every doc
+    * gets a seed-keyed md5 shuffle key, its shard is a 60-bit band of
+    * that key mod `nShards`, and its position is a rank within the shard
+    * only (partitioned window — each shard sorts independently, nothing
+    * corpus-wide). Same seed → identical layout on any partitioning or
+    * corpus growth history; a new seed is a full reshuffle. Keyed on id,
+    * not content, so identical docs land independently.
+    *
+    * Output: `(idCol, shard, pos)` — consumers write shard files in
+    * `pos` order for a reproducible epoch-0 data order. */
+  def shuffleAssign(docs: DataFrame, idCol: String, seed: Long,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, s"shuffleAssign: nShards must be positive: $nShards")
+    // 60-bit md5 prefix (the conv/UBIGINT idiom the DuckDB twins share):
+    // mod-nShards bias is ~nShards/2^60 — negligible for any real count
+    val key = conv(substring(md5(
+        concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__key"), col(idCol))
+    docs.select(col(idCol), key.as("__key"))
+      .withColumn("shard", pmod(col("__key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
   /** Weighted multi-source mixture sampling — "50% web, 30% books, 20%
     * code": downsample each source so the OUTPUT composition matches
     * `weights` (normalized over the listed sources) while keeping as much

@@ -436,6 +436,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style head/middle/tail perplexity bucketing over [[lmScore]]
+    * output — the quality-stratification step that routes "head" (most
+    * fluent) data to training and "tail" to inspection/drop. Tertile
+    * thresholds are computed over perplexity in integer MICRO-UNITS:
+    * perplexity is already 6-dp rounded, so `*1e6` round-trips exactly,
+    * and integer inputs are what makes exact `percentile`'s interpolation
+    * bit-identical cross-engine (same rationale as [[Corpus.sourceStats]]).
+    * Docs with no score (< 2 tokens) land in an `na` bucket.
+    *
+    * Distributed shape: one bounded percentile aggregate (buffer is
+    * per-distinct-value) → a 1-row threshold table broadcast back onto
+    * the scored stream — no corpus-wide sort, no global window, which is
+    * exactly why thresholds-from-percentile beats `ntile(3)` at 100 TB. */
+  def perplexityBuckets(scored: DataFrame): DataFrame = {
+    val s = scored.withColumn("__ppl_int",
+      round(col("perplexity") * 1e6).cast("long"))
+    val th = s.filter(col("__ppl_int").isNotNull)
+      .agg(expr("percentile(__ppl_int, array(1D/3, 2D/3))").as("__t"))
+      .select(col("__t").getItem(0).as("__t1"), col("__t").getItem(1).as("__t2"))
+    s.crossJoin(broadcast(th))
+      .withColumn("ppl_bucket",
+        when(col("__ppl_int").isNull, lit("na"))
+          .when(col("__ppl_int") <= col("__t1"), lit("head"))
+          .when(col("__ppl_int") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__ppl_int", "__t1", "__t2")
+  }
+
   /** BM25 keyword retrieval: top-`topK` documents for a bag-of-terms
     * query under Okapi BM25 (Lucene's `ln(1 + (N-df+0.5)/(df+0.5))` idf,
     * `k1`/`b` length normalization) — the eval-set mining / targeted-

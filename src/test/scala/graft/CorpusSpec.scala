@@ -86,6 +86,28 @@ class CorpusSpec extends SparkSuite {
       Corpus.assignSplits(d, "doc_id", "s", Seq("a" -> 1.1, "b" -> -0.1)))
   }
 
+  test("shuffleAssign: dense per-shard ranks, partition-independent, seed-sensitive") {
+    val d = spark.range(1000).select(col("id").as("doc_id"))
+    val out = Corpus.shuffleAssign(d, "doc_id", seed = 42L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 1000 && out.forall(x => x._2 >= 0 && x._2 < 8))
+    // positions are a dense 1..n_shard rank within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // a doc-id property: identical layout on any partitioning
+    val again = Corpus.shuffleAssign(d.repartition(7), "doc_id", 42L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a new seed is a full reshuffle (same shard AND pos for all 1000
+    // docs would need astronomical luck)
+    val reseeded = Corpus.shuffleAssign(d, "doc_id", 43L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(reseeded.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException](
+      Corpus.shuffleAssign(d, "doc_id", 42L, 0))
+  }
+
   test("assignSplitsLeakageSafe: cluster members share a split; others unchanged") {
     val d = spark.range(3000).select(col("id").as("doc_id"))
     val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

@@ -949,6 +949,21 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.lmScore(train, target, "doc_id", "text", addK = 0.0))
   }
 
+  test("perplexityBuckets: exact tertile thresholds, interpolated; NULL → na") {
+    val scored = Seq(
+      (1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0), (6L, 60.0))
+      .toDF("doc_id", "perplexity")
+      .unionByName(Seq(7L).toDF("doc_id")
+        .withColumn("perplexity", lit(null).cast("double")))
+    val out = TextAnalysis.perplexityBuckets(scored)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // n=6: t1 at pos (6-1)/3 = 1.667 → 20M + 2/3·10M = 26.67M micro-units,
+    // t2 at pos 10/3 = 3.333 → 43.33M; so {10,20}=head, {30,40}=middle,
+    // {50,60}=tail — interpolation between ranks, not nearest-rank
+    assert(out == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail", 7L -> "na"))
+  }
+
   test("bm25TopK: scores match the closed-form Okapi formula, ranked and bounded") {
     val d = Seq(
       (1L, "apple banana apple"),
