@@ -22,9 +22,11 @@ import org.apache.spark.sql.SparkSession
   *    tsdb_ingest benchmark below (fresh table, reference CI-bench shape).
   *    Entries that re-run the identical LSH+closure plan dedup_clusters
   *    already times (dedup_keep, dedup_keep_best, dedup_report,
-  *    corpus_split_safe) are excluded for the same
-  *    no-duplicate-measurement reason; dedup_incremental IS benched — its
-  *    cross-dataset band join is a distinct plan shape.
+  *    corpus_split_safe), and text_ppl_buckets_lang (the lm_score +
+  *    threshold plan text_ppl_buckets times, plus one broadcast join),
+  *    are excluded for the same no-duplicate-measurement reason;
+  *    dedup_incremental IS benched — its cross-dataset band join is a
+  *    distinct plan shape.
   *  - Every individual run's time is emitted under `"runs"` so a run
   *    poisoned by this VM's external freeze windows is visible in the
   *    artifact itself; `"queries"` carries the per-query min.

@@ -640,6 +640,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet proper stratifies PER LANGUAGE — tertile thresholds from a
+    // per-lang percentile aggregate, broadcast-joined back
+    "text_ppl_buckets_lang" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scored = TextAnalysis.lmScore(docs, docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      TextAnalysis.perplexityBucketsBy(scored, "lang")
+        .select("doc_id", "lang", "n_bigrams", "avg_logprob", "perplexity",
+          "ppl_bucket")
+        .orderBy("doc_id")
+    }),
+
     // exact duplicated-substring spans: 8-token windows occurring
     // verbatim in >= 2 distinct docs, merged into maximal per-doc spans
     // (the exact-substring dedup step document-level dedup can't see)
@@ -2219,6 +2231,23 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
         |       AS BIGINT) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // per-language tertiles: same replay, thresholds GROUP BY lang; a doc
+    // with a score always has a threshold row for its lang (it IS a
+    // scored member), so the left join only leaves 'na' docs unmatched
+    "text_ppl_buckets_lang" ->
+      s"""WITH $LmScoreCtes,
+         |si AS (SELECT sc.*, d2.lang,
+         |         CAST(round(perplexity * 1e6) AS BIGINT) AS ppl_int
+         |       FROM sc JOIN documents d2 USING (doc_id)),
+         |th AS (SELECT lang, quantile_cont(ppl_int, [1.0/3, 2.0/3]) AS t
+         |       FROM si WHERE ppl_int IS NOT NULL GROUP BY lang)
+         |SELECT doc_id, lang, n_bigrams, avg_logprob, perplexity,
+         |  CASE WHEN ppl_int IS NULL THEN 'na'
+         |       WHEN ppl_int <= t[1] THEN 'head'
+         |       WHEN ppl_int <= t[2] THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM si LEFT JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
 
     // corpus_split's bands keyed on coalesce(near-dup canonical, own id):
     // cluster members share the key, so they share the split

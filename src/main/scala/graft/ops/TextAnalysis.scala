@@ -464,6 +464,29 @@ object TextAnalysis {
       .drop("__ppl_int", "__t1", "__t2")
   }
 
+  /** [[perplexityBuckets]] with per-GROUP thresholds — CCNet proper
+    * buckets per language, and quality gates calibrate per source, so the
+    * tertile boundaries come from a `groupBy(groupCol)` percentile
+    * aggregate (one bounded shuffle, #groups rows) joined back onto the
+    * stream (broadcast at any realistic group count). Docs whose group
+    * has no scored member, like all-NULL groups, still land in `na`. */
+  def perplexityBucketsBy(scored: DataFrame, groupCol: String): DataFrame = {
+    val s = scored.withColumn("__ppl_int",
+      round(col("perplexity") * 1e6).cast("long"))
+    val th = s.filter(col("__ppl_int").isNotNull)
+      .groupBy(groupCol)
+      .agg(expr("percentile(__ppl_int, array(1D/3, 2D/3))").as("__t"))
+      .select(col(groupCol), col("__t").getItem(0).as("__t1"),
+        col("__t").getItem(1).as("__t2"))
+    s.join(broadcast(th), Seq(groupCol), "left")
+      .withColumn("ppl_bucket",
+        when(col("__ppl_int").isNull, lit("na"))
+          .when(col("__ppl_int") <= col("__t1"), lit("head"))
+          .when(col("__ppl_int") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__ppl_int", "__t1", "__t2")
+  }
+
   /** BM25 keyword retrieval: top-`topK` documents for a bag-of-terms
     * query under Okapi BM25 (Lucene's `ln(1 + (N-df+0.5)/(df+0.5))` idf,
     * `k1`/`b` length normalization) — the eval-set mining / targeted-

@@ -964,6 +964,25 @@ class TextAnalysisSpec extends SparkSuite {
       4L -> "middle", 5L -> "tail", 6L -> "tail", 7L -> "na"))
   }
 
+  test("perplexityBucketsBy: thresholds are per-group, not global") {
+    // group b's values are 100x group a's: under GLOBAL tertiles all of a
+    // would be head and all of b tail; per-group each splits 2/2/2
+    val scored = (Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "a", 40.0), (5L, "a", 50.0), (6L, "a", 60.0)) ++
+      Seq(11L -> 1000.0, 12L -> 2000.0, 13L -> 3000.0,
+        14L -> 4000.0, 15L -> 5000.0, 16L -> 6000.0)
+        .map { case (id, p) => (id, "b", p) })
+      .toDF("doc_id", "grp", "perplexity")
+    val out = TextAnalysis.perplexityBucketsBy(scored, "grp")
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(out == Map(
+      1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "middle",
+      5L -> "tail", 6L -> "tail",
+      11L -> "head", 12L -> "head", 13L -> "middle", 14L -> "middle",
+      15L -> "tail", 16L -> "tail"))
+  }
+
   test("bm25TopK: scores match the closed-form Okapi formula, ranked and bounded") {
     val d = Seq(
       (1L, "apple banana apple"),
