@@ -318,6 +318,18 @@ class CorpusSpec extends SparkSuite {
       s"found an unpartitioned window: $specs")
   }
 
+  test("shuffleAssign plan: the rank window is partitioned by shard") {
+    val d = spark.range(100).select(col("id").as("doc_id"))
+    val specs = Corpus.shuffleAssign(d, "doc_id", 42L, 8)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+    // the whole point of shard-then-rank: no corpus-wide sort, so every
+    // window must carry a (shard) partition spec
+    assert(specs.nonEmpty && specs.forall(_.nonEmpty),
+      s"found an unpartitioned window: $specs")
+  }
+
   test("topKPerGroup plan: rank filter lowers to WindowGroupLimit") {
     // a distributed child, not a LocalRelation — InferWindowGroupLimit
     // skips tiny local inputs where the rewrite cannot pay off

@@ -253,6 +253,20 @@ class DedupSpec extends SparkSuite {
     assert(rows == Seq((2L, 2L, 4L, 2L), (3L, 1L, 3L, 2L)))
   }
 
+  test("dropNearDuplicatesKeepBest plan: ranking window partitioned by cluster") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"))
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val specs = Dedup.dropNearDuplicatesKeepBest(docs, "doc_id", clusters,
+        length(col("text")).cast("long"))
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+      }
+    // the rank runs over the member table per cluster — never corpus-wide
+    assert(specs.nonEmpty && specs.forall(_.nonEmpty),
+      s"found an unpartitioned window: $specs")
+  }
+
   test("incrementalDedupKeep drops batch docs matching the existing corpus only") {
     val existing = Seq(
       1L -> "the quick brown fox jumps over the lazy dog today",
@@ -981,6 +995,21 @@ class TextAnalysisSpec extends SparkSuite {
       5L -> "tail", 6L -> "tail",
       11L -> "head", 12L -> "head", 13L -> "middle", 14L -> "middle",
       15L -> "tail", 16L -> "tail"))
+  }
+
+  test("perplexityBuckets plan: broadcast thresholds, no window (ntile) anywhere") {
+    val scored = spark.range(100).select(col("id").as("doc_id"),
+      (col("id") + 1).cast("double").as("perplexity"))
+    val qe = TextAnalysis.perplexityBuckets(scored).queryExecution
+    // stratify-by-threshold, not ntile: a window would mean a corpus-wide
+    // (or per-group-total) sort at scale
+    assert(qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "bucketing must not use a window")
+    // the 1-row threshold table joins back as a broadcast
+    assert(qe.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, s"threshold join is not broadcast:\n${qe.sparkPlan}")
   }
 
   test("bm25TopK: scores match the closed-form Okapi formula, ranked and bounded") {
