@@ -635,9 +635,11 @@ object SparkEntry {
     // no corpus-wide sort/ntile). Short docs keep an 'na'-bucket row
     "text_ppl_buckets" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      TextAnalysis.perplexityBuckets(
-          TextAnalysis.lmScore(docs, docs, "doc_id", "text"))
-        .orderBy("doc_id")
+      // scoped: the scored stream feeds the threshold aggregate AND the
+      // output — caching it runs the lmScore pipeline once, not twice
+      val scored = TextAnalysis.lmScore(docs, docs, "doc_id", "text")
+      ops.Caching.scoped(scored)(
+        TextAnalysis.perplexityBuckets(scored).orderBy("doc_id"))
     }),
 
     // CCNet proper stratifies PER LANGUAGE — tertile thresholds from a
@@ -646,10 +648,11 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val scored = TextAnalysis.lmScore(docs, docs, "doc_id", "text")
         .join(docs.select("doc_id", "lang"), "doc_id")
-      TextAnalysis.perplexityBucketsBy(scored, "lang")
-        .select("doc_id", "lang", "n_bigrams", "avg_logprob", "perplexity",
-          "ppl_bucket")
-        .orderBy("doc_id")
+      ops.Caching.scoped(scored)(
+        TextAnalysis.perplexityBucketsBy(scored, "lang")
+          .select("doc_id", "lang", "n_bigrams", "avg_logprob", "perplexity",
+            "ppl_bucket")
+          .orderBy("doc_id"))
     }),
 
     // exact duplicated-substring spans: 8-token windows occurring
@@ -2232,9 +2235,9 @@ object SparkEntry {
         |       AS BIGINT) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
 
-    // per-language tertiles: same replay, thresholds GROUP BY lang; a doc
-    // with a score always has a threshold row for its lang (it IS a
-    // scored member), so the left join only leaves 'na' docs unmatched
+    // per-language tertiles: same replay, thresholds GROUP BY lang.
+    // Docs without a threshold row — NULL score, or a NULL lang the
+    // equi-join can never match — are 'na', mirroring the operator
     "text_ppl_buckets_lang" ->
       s"""WITH $LmScoreCtes,
          |si AS (SELECT sc.*, d2.lang,
@@ -2243,7 +2246,7 @@ object SparkEntry {
          |th AS (SELECT lang, quantile_cont(ppl_int, [1.0/3, 2.0/3]) AS t
          |       FROM si WHERE ppl_int IS NOT NULL GROUP BY lang)
          |SELECT doc_id, lang, n_bigrams, avg_logprob, perplexity,
-         |  CASE WHEN ppl_int IS NULL THEN 'na'
+         |  CASE WHEN ppl_int IS NULL OR t[1] IS NULL THEN 'na'
          |       WHEN ppl_int <= t[1] THEN 'head'
          |       WHEN ppl_int <= t[2] THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket

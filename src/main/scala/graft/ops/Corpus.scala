@@ -128,8 +128,7 @@ object Corpus {
     val key = conv(substring(md5(
         concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))
           .cast("binary")), 1, 15), 16, 10).cast("long")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(col("__key"), col(idCol))
+    val w = Window.partitionBy("shard").orderBy(col("__key"), col(idCol))
     docs.select(col(idCol), key.as("__key"))
       .withColumn("shard", pmod(col("__key"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))

@@ -445,10 +445,24 @@ object TextAnalysis {
     * bit-identical cross-engine (same rationale as [[Corpus.sourceStats]]).
     * Docs with no score (< 2 tokens) land in an `na` bucket.
     *
-    * Distributed shape: one bounded percentile aggregate (buffer is
-    * per-distinct-value) → a 1-row threshold table broadcast back onto
-    * the scored stream — no corpus-wide sort, no global window, which is
-    * exactly why thresholds-from-percentile beats `ntile(3)` at 100 TB. */
+    * Distributed shape: one percentile aggregate → a 1-row threshold
+    * table broadcast back onto the scored stream — no corpus-wide sort,
+    * no global window, which is exactly why thresholds-from-percentile
+    * beats `ntile(3)` at 100 TB. Two caveats the caller owns: (a) `scored`
+    * feeds BOTH the threshold aggregate and the output stream — persist
+    * it (the driver entries wrap it in `Caching.scoped`) or the upstream
+    * scoring plan runs twice; (b) exact `percentile`'s buffer is one
+    * counter per distinct micro-unit value on a single reducer — fine
+    * while scores cluster (they do: 6-dp perplexities of same-language
+    * text repeat heavily), but for a genuinely unbounded score domain
+    * swap in `approx_percentile`, trading the oracle for a bounded
+    * sketch (the same trade [[Corpus.sourceStats]] documents).
+    *
+    * Interpolated thresholds stay bit-identical cross-engine on integer
+    * inputs: Spark's `percentile` and DuckDB's `quantile_cont` both
+    * evaluate `lower*(1-g) + higher*g` (verified empirically on
+    * ulp-distinguishing inputs — the `lower+(higher-lower)*g` form
+    * differs in the last bit and is used by NEITHER engine). */
   def perplexityBuckets(scored: DataFrame): DataFrame = {
     val s = scored.withColumn("__ppl_int",
       round(col("perplexity") * 1e6).cast("long"))
@@ -468,8 +482,12 @@ object TextAnalysis {
     * buckets per language, and quality gates calibrate per source, so the
     * tertile boundaries come from a `groupBy(groupCol)` percentile
     * aggregate (one bounded shuffle, #groups rows) joined back onto the
-    * stream (broadcast at any realistic group count). Docs whose group
-    * has no scored member, like all-NULL groups, still land in `na`. */
+    * stream (broadcast at any realistic group count). Docs without a
+    * threshold row land in `na`: the unscored (NULL-perplexity) ones, and
+    * scored docs whose GROUP key is NULL — the equi-join never matches a
+    * NULL key, and classifying them into `tail` (the drop pile) with no
+    * thresholds at all would be silent data loss. Same double-consumption
+    * caveat as [[perplexityBuckets]]: persist `scored`. */
   def perplexityBucketsBy(scored: DataFrame, groupCol: String): DataFrame = {
     val s = scored.withColumn("__ppl_int",
       round(col("perplexity") * 1e6).cast("long"))
@@ -480,7 +498,7 @@ object TextAnalysis {
         col("__t").getItem(1).as("__t2"))
     s.join(broadcast(th), Seq(groupCol), "left")
       .withColumn("ppl_bucket",
-        when(col("__ppl_int").isNull, lit("na"))
+        when(col("__ppl_int").isNull || col("__t1").isNull, lit("na"))
           .when(col("__ppl_int") <= col("__t1"), lit("head"))
           .when(col("__ppl_int") <= col("__t2"), lit("middle"))
           .otherwise(lit("tail")))

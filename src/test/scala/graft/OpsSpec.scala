@@ -988,13 +988,18 @@ class TextAnalysisSpec extends SparkSuite {
         14L -> 4000.0, 15L -> 5000.0, 16L -> 6000.0)
         .map { case (id, p) => (id, "b", p) })
       .toDF("doc_id", "grp", "perplexity")
+      // a scored doc with a NULL group: no threshold row can ever match,
+      // so it must land in 'na', never silently in the 'tail' drop pile
+      .unionByName(Seq(21L -> 30.0).toDF("doc_id", "perplexity")
+        .withColumn("grp", lit(null).cast("string"))
+        .select("doc_id", "grp", "perplexity"))
     val out = TextAnalysis.perplexityBucketsBy(scored, "grp")
       .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
     assert(out == Map(
       1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "middle",
       5L -> "tail", 6L -> "tail",
       11L -> "head", 12L -> "head", 13L -> "middle", 14L -> "middle",
-      15L -> "tail", 16L -> "tail"))
+      15L -> "tail", 16L -> "tail", 21L -> "na"))
   }
 
   test("perplexityBuckets plan: broadcast thresholds, no window (ntile) anywhere") {
