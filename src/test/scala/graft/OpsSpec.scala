@@ -283,6 +283,18 @@ class DedupSpec extends SparkSuite {
     assert(kept == Seq(11L, 12L, 13L))
   }
 
+  test("incrementalDedupKeep: empty batch and empty history edge cases") {
+    val docs = Seq(1L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val none = docs.filter(col("doc_id") < 0)
+    // empty batch → empty keep-list, not a crash in the LSH machinery
+    assert(Dedup.incrementalDedupKeep(none, docs, "doc_id", "text",
+      k = 3, threshold = 0.5).collect().isEmpty)
+    // empty history → the whole batch survives
+    assert(Dedup.incrementalDedupKeep(docs, none, "doc_id", "text",
+      k = 3, threshold = 0.5).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("LSH on driver documents equals brute force (planted near-dups)") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val brute = Dedup.jaccardPairsBrute(d, "doc_id", "text", 3, 0.5).collect()
