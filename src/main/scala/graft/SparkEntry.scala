@@ -1085,6 +1085,22 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // per-source calibrated quality gate: drop each source's bottom 20%
+    // by quality_score — thresholds from one per-source percentile
+    // aggregate broadcast back, then a scan-speed filter (no sort/window)
+    "corpus_quality_gate" -> ((s, dir) => {
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__w"),
+          TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
+      Corpus.quantileGate(scored,
+          round(col("quality_score") * 1e6).cast("long"), "source",
+          dropFrac = 0.2)
+        .select("doc_id", "source", "quality_score").orderBy("doc_id")
+    }),
+
     // deterministic training-order shuffle: seed-keyed md5 shard + rank
     // within shard only (partitioned window — no corpus-wide sort)
     "corpus_shuffle" -> ((s, dir) =>
@@ -2222,6 +2238,19 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the shared quality-score replay carrying source, then per-source
+    // quantile_cont(score, 0.2) thresholds and the >= filter
+    "corpus_quality_gate" ->
+      s"""WITH ${gateCtes("documents", ", source")},
+         |sc2 AS (SELECT doc_id, source, quality_score,
+         |          CAST(round(quality_score * 1e6) AS BIGINT) AS sc_int
+         |        FROM q),
+         |th AS (SELECT source, quantile_cont(sc_int, 0.2) AS t
+         |       FROM sc2 WHERE sc_int IS NOT NULL GROUP BY source)
+         |SELECT doc_id, source, quality_score
+         |FROM sc2 JOIN th USING (source)
+         |WHERE sc_int >= t ORDER BY doc_id""".stripMargin,
 
     // same 60-bit md5-prefix parse as the simhash twin; % on the nonneg
     // 60-bit key == Spark's pmod

@@ -109,6 +109,36 @@ object Corpus {
       .drop("__split_key")
   }
 
+  /** Per-group calibrated quality gate — "drop each source's bottom 20%
+    * by quality": keeps rows whose integer score is >= the group's
+    * `dropFrac` percentile. Per-GROUP thresholds are the point: a fixed
+    * global cutoff either guts low-scoring-but-wanted sources or lets
+    * high-scoring sources dilute — calibrating within each source is the
+    * standard curation move.
+    *
+    * `scoreInt` must be integer-valued and deterministic (scale a 6-dp
+    * score by 1e6) — integer inputs make exact `percentile` ==
+    * `quantile_cont` bit-identical cross-engine (interpolation formula
+    * verified, see [[TextAnalysis.perplexityBuckets]]). Rows with a NULL
+    * score, or a NULL group key no threshold row can match, fail the
+    * gate (a filter has no `na` lane; unscorable rows don't pass).
+    *
+    * Distributed shape: one `groupBy(groupCol)` percentile aggregate
+    * (#groups rows, broadcast back) then a scan-speed filter — no sort,
+    * no window, same shape as [[TextAnalysis.perplexityBucketsBy]]. */
+  def quantileGate(docs: DataFrame, scoreInt: Column, groupCol: String,
+                   dropFrac: Double): DataFrame = {
+    require(dropFrac > 0.0 && dropFrac < 1.0,
+      s"quantileGate: dropFrac must be in (0, 1): $dropFrac")
+    val s = docs.withColumn("__score", scoreInt)
+    val th = s.filter(col("__score").isNotNull)
+      .groupBy(groupCol)
+      .agg(percentile(col("__score"), lit(dropFrac)).as("__t"))
+    s.join(broadcast(th), Seq(groupCol), "left")
+      .filter(col("__score") >= col("__t"))
+      .drop("__score", "__t")
+  }
+
   /** Deterministic training-order shuffle WITHOUT a global sort — the
     * 100 TB answer to "randomize the corpus before training": every doc
     * gets a seed-keyed md5 shuffle key, its shard is a 60-bit band of

@@ -86,6 +86,26 @@ class CorpusSpec extends SparkSuite {
       Corpus.assignSplits(d, "doc_id", "s", Seq("a" -> 1.1, "b" -> -0.1)))
   }
 
+  test("quantileGate: per-group thresholds keep each group's top fraction") {
+    // group a: scores 1..10 → p20 threshold = 2·0.2 + 3·0.8 = 2.8 →
+    // keep 3..10; group b: 100x the scale, same structure — a global
+    // threshold would keep ALL of b and almost none of a
+    val d = ((1L to 10L).map(i => (i, "a", i * 1000000L)) ++
+      (1L to 10L).map(i => (i + 100L, "b", i * 100000000L)))
+      .toDF("doc_id", "src", "score")
+      .unionByName(Seq((200L, "a")).toDF("doc_id", "src")
+        .withColumn("score", lit(null).cast("long")))
+      .unionByName(Seq(201L).toDF("doc_id")
+        .withColumn("src", lit(null).cast("string"))
+        .withColumn("score", lit(999L * 1000000L)))
+    val kept = Corpus.quantileGate(d, col("score"), "src", dropFrac = 0.2)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    // NULL score (200) and NULL group (201, even with a top score) fail
+    assert(kept == ((3L to 10L) ++ (103L to 110L)).sorted)
+    intercept[IllegalArgumentException](
+      Corpus.quantileGate(d, col("score"), "src", dropFrac = 0.0))
+  }
+
   test("shuffleAssign: dense per-shard ranks, partition-independent, seed-sensitive") {
     val d = spark.range(1000).select(col("id").as("doc_id"))
     val out = Corpus.shuffleAssign(d, "doc_id", seed = 42L, nShards = 8)
