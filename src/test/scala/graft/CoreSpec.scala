@@ -146,4 +146,17 @@ class ContractWiringSpec extends AnyFunSuite {
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracle SQL with no entry: $orphaned")
   }
+  test("every entry has a DuckDB twin or a declared rows-only exemption") {
+    // the closed list of entries that are rows-only BY DESIGN — each has a
+    // hash-exact proxy twin (see SURVEY §8); anything else without an
+    // oracle is a forgotten twin, which the driver would silently record
+    // as a weaker rows-only check
+    val rowsOnly = Set("dedup_simhash", "multimodal_audio",
+      "multimodal_features", "sim_ann_ivf", "text_tokens_bpe")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing = noOracle -- rowsOnly
+    assert(missing.isEmpty, s"entries with no oracle and no exemption: $missing")
+    val stale = rowsOnly -- noOracle
+    assert(stale.isEmpty, s"exemptions that are no longer oracle-less: $stale")
+  }
 }
