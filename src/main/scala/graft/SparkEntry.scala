@@ -515,6 +515,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus text normalization (NFC composition via the codegen'd
+    // graft_nfc expression + CRLF/control/whitespace cleanup — the
+    // ingest-first step every curation pipeline runs). The fixture text
+    // is clean ASCII, so the entry PLANTS a combining-accent sequence
+    // (e + U+0301 → é under NFC), CRLF / lone-CR line endings, a BEL
+    // control char and tab/space runs — identically in the oracle, whose
+    // nfc_normalize is DuckDB's own Unicode composition
+    "text_normalize" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" cafe\u0301 line1\r\nline2\rend\u0007 a \t b  ")).as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.normalizeText(s, col("text")).as("norm_text"))
+        .withColumn("norm_len", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top-terms per document (keyword extraction). Rational idf
     // (N+1)/(df+1): integer-derived operands + correctly-rounded IEEE
     // ops make Spark and DuckDB agree bit-exactly, ranking included
@@ -1669,6 +1686,26 @@ object SparkEntry {
         |       WHEN de >= fr AND de > 0 THEN 'de'
         |       WHEN fr > 0 THEN 'fr'
         |       ELSE 'unknown' END AS pred_lang
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // same planted mess (decomposed e+U+0301, CRLF/CR, BEL, tab/space
+    // runs); nfc_normalize is DuckDB's Unicode composition — both engines
+    // implement the same canonical algorithm, so bytes match exactly
+    "text_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' line1' || chr(13) || chr(10) ||
+        |      'line2' || chr(13) || 'end' || chr(7) || ' a ' || chr(9) || ' b  ' AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      nfc_normalize(t),
+        |      '\r\n?', chr(10), 'g'),
+        |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |      '[ \t]+', ' ', 'g')) AS norm_text
+        |  FROM p)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_len
         |FROM n ORDER BY doc_id""".stripMargin,
 
     // gap-island encoding of session_window semantics: new session exactly

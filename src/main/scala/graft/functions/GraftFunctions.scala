@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BpeTokens.info, BpeTokens.builder))
     ext.injectFunction((FunctionIdentifier(BpeTokenCountVocab.Name),
       BpeTokenCountVocab.info, BpeTokenCountVocab.builder))
+    ext.injectFunction((FunctionIdentifier(NfcNormalize.Name),
+      NfcNormalize.info, NfcNormalize.builder))
   }
 }
 
@@ -58,6 +60,8 @@ object GraftFunctions {
         BpeTokens.Name, BpeTokens.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         BpeTokenCountVocab.Name, BpeTokenCountVocab.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        NfcNormalize.Name, NfcNormalize.builder, "built-in")
       registered.put(spark, java.lang.Boolean.TRUE)
     }
   }

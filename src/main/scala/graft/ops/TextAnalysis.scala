@@ -91,6 +91,34 @@ object TextAnalysis {
       lit(mergesLines.mkString("\n")))
   }
 
+  /** Unicode NFC composition of a text column ([[graft.functions.NfcNormalize]]
+    * — codegen'd; ASCII/already-normalized rows cost one scan, no copy).
+    * Use before hashing/shingling so visually-identical text dedups
+    * identically regardless of the crawler's Unicode form. */
+  def nfc(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function(graft.functions.NfcNormalize.Name, text)
+  }
+
+  /** Full text normalization for corpus ingest — the step every curation
+    * pipeline runs FIRST so downstream fingerprints/shingles/token counts
+    * see one canonical form:
+    *   1. Unicode NFC composition ([[nfc]]);
+    *   2. line-ending normalization (CRLF / lone CR → LF);
+    *   3. strip remaining C0/DEL control chars (tab and LF survive);
+    *   4. collapse space/tab runs to a single space;
+    *   5. trim outer whitespace.
+    * Pure codegen'd expression chain — shuffle-free, scan speed. Patterns
+    * avoid backreferences/lookarounds so Java regex (Spark) and RE2
+    * (DuckDB twin: `nfc_normalize` + the same `regexp_replace` chain)
+    * agree byte-for-byte. */
+  def normalizeText(spark: org.apache.spark.sql.SparkSession, text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(nfc(spark, text), "\\r\\n?", "\n"),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /** Language-ID stopword tables (tiny n-gram heuristic; deterministic
     * priority en > es > de > fr on ties). */
   val Stopwords: Seq[(String, Seq[String])] = Seq(

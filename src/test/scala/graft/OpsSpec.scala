@@ -411,6 +411,8 @@ class SimilaritySpec extends SparkSuite {
       assert(s2.sql(s"SELECT ${graft.functions.SeededXxHash64Long.Name}(CAST(7 AS BIGINT), 3)")
         .collect().head.getLong(0) ==
         s2.sql("SELECT xxhash64(3, CAST(7 AS BIGINT))").collect().head.getLong(0))
+      assert(s2.sql(s"SELECT ${graft.functions.NfcNormalize.Name}('cafe\u0301')")
+        .collect().head.getString(0) == "caf\u00e9")
       for (n <- Seq(graft.functions.SrpBandBuckets.Name, graft.functions.BpeTokens.Name))
         assert(s2.catalog.functionExists(n), s"$n missing from the injected session")
     } finally {
@@ -644,6 +646,43 @@ class SessionsStreamingSpec extends SparkSuite {
 
 class TextAnalysisSpec extends SparkSuite {
   import spark.implicits._
+
+  test("normalizeText: NFC composition, CRLF/control/whitespace cleanup; interpreted equals codegen") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val raw = Seq(
+      (1L, "cafe\u0301 du parc"),         // decomposed -> composed
+      (2L, "caf\u00e9 du parc"),          // already NFC: identical out
+      (3L, "a\r\nb\rc\nd"),                  // CRLF + lone CR -> LF
+      (4L, "x\u0007y\u0000z"),            // C0 controls stripped
+      (5L, "  a \t b\t\tc  "),               // runs collapse, outer trim
+      (6L, null: String))
+    val out = raw.toDF("id", "t")
+      .select(col("id"), TextAnalysis.normalizeText(spark, col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "caf\u00e9 du parc")
+    assert(out(1L) == out(2L))
+    assert(out(3L) == "a\nb\nc\nd")
+    assert(out(4L) == "xyz")
+    assert(out(5L) == "a b c")
+    assert(out(6L) == null)
+    // interpreted nullSafeEval path must equal the DataFrame (codegen) path
+    val expr = graft.functions.NfcNormalize(
+      BoundReference(0, StringType, nullable = true))
+    for ((_, s) <- raw if s != null) {
+      val interp = expr.nullSafeEval(UTF8String.fromString(s)).toString
+      val viaDf = Seq(s).toDF("t")
+        .select(TextAnalysis.nfc(spark, col("t"))).collect().head.getString(0)
+      assert(interp == viaDf, s"interpreted != codegen for ${s.getBytes("UTF-8").toList}")
+    }
+    // idempotence: normalize(normalize(x)) == normalize(x)
+    val twice = raw.filter(_._2 != null).toDF("id", "t")
+      .select(col("id"), TextAnalysis.normalizeText(spark,
+        TextAnalysis.normalizeText(spark, col("t"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == out.filter(_._2 != null))
+  }
 
   test("URL domain extraction + suffix blocklist: lowercase, dedup, no overreach") {
     val docs = Seq(
