@@ -532,6 +532,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // full Gopher rule suite (named per-rule verdicts, not just a score).
+    // Every flag is an INTEGER comparison — bit-exact cross-engine by
+    // construction. The fixture text is uniform prose, so the entry
+    // PLANTS rule-triggering shapes (bullet lists, ellipsis line ends,
+    // symbol runs) on deterministic doc_id strata — identically in the
+    // oracle
+    "text_gopher_rules" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\n- bullet one\n- bullet two\n* bullet three")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\ntrailing thought...\nanother one...")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\n## ## ## ## ##")).otherwise(lit(""))).as("text"))
+      planted
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__w"),
+          TextAnalysis.tokens(lower(col("text"))).as("__wl"),
+          split(col("text"), "\n").as("__lines"))
+        .select(col("doc_id") +: TextAnalysis.gopherColumnsFrom(
+          col("text"), col("__w"), col("__wl"), col("__lines")): _*)
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top-terms per document (keyword extraction). Rational idf
     // (N+1)/(df+1): integer-derived operands + correctly-rounded IEEE
     // ops make Spark and DuckDB agree bit-exactly, ranking included
@@ -1707,6 +1732,67 @@ object SparkEntry {
         |  FROM p)
         |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_len
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // same planted strata; every rule flag re-derived as the identical
+    // integer comparison (ratios are 6-dp display values only)
+    "text_gopher_rules" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet one' || chr(10)
+        |      || '- bullet two' || chr(10) || '* bullet three' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'trailing thought...'
+        |      || chr(10) || 'another one...' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || '## ## ## ## ##' ELSE '' END AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split_regex(trim(t), '\s+'), x -> x <> '') AS w,
+        |    list_filter(string_split_regex(trim(lower(t)), '\s+'), x -> x <> '') AS lw,
+        |    string_split(t, chr(10)) AS lines
+        |  FROM p),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS wc,
+        |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT) AS sum_len,
+        |    CAST(length(t) - length(regexp_replace(t, '#', '', 'g'))
+        |      + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3
+        |      AS BIGINT) AS sym_cnt,
+        |    CAST(len(lines) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+        |      OR starts_with(ltrim(l), '* '))) AS BIGINT) AS bl,
+        |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS el,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS aw,
+        |    CAST((CASE WHEN list_contains(lw, 'the') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(lw, 'be') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(lw, 'to') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(lw, 'of') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(lw, 'and') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(lw, 'that') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(lw, 'have') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(lw, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS rq
+        |  FROM f),
+        |g AS (
+        |  SELECT doc_id, wc, sum_len, sym_cnt, nl, bl, el, aw, rq,
+        |    (wc >= 50 AND wc <= 100000) AS g1,
+        |    (sum_len >= 3 * wc AND sum_len <= 10 * wc AND wc > 0) AS g2,
+        |    (sym_cnt * 10 < wc) AS g3,
+        |    (bl * 10 < nl * 9) AS g4,
+        |    (el * 10 < nl * 3) AS g5,
+        |    (aw * 5 > wc * 4) AS g6,
+        |    (rq >= 2) AS g7
+        |  FROM m)
+        |SELECT doc_id, wc AS word_cnt,
+        |  CASE WHEN wc > 0 THEN round(sum_len * 1.0 / wc, 6) ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN wc > 0 THEN round(sym_cnt * 1.0 / wc, 6) ELSE 0.0 END AS symbol_ratio,
+        |  CASE WHEN nl > 0 THEN round(bl * 1.0 / nl, 6) ELSE 0.0 END AS bullet_line_ratio,
+        |  CASE WHEN nl > 0 THEN round(el * 1.0 / nl, 6) ELSE 0.0 END AS ellipsis_line_ratio,
+        |  CASE WHEN wc > 0 THEN round(aw * 1.0 / wc, 6) ELSE 0.0 END AS alpha_word_ratio,
+        |  rq AS req_word_cnt,
+        |  g1 AS g1_word_count, g2 AS g2_mean_word_len, g3 AS g3_symbol_ratio,
+        |  g4 AS g4_bullet_lines, g5 AS g5_ellipsis_lines, g6 AS g6_alpha_words,
+        |  g7 AS g7_required_words,
+        |  (g1 AND g2 AND g3 AND g4 AND g5 AND g6 AND g7) AS gopher_keep
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // gap-island encoding of session_window semantics: new session exactly
     // when tt - prev > gap (events span [t, t+gap]; touching spans merge)

@@ -183,6 +183,80 @@ object TextAnalysis {
     Seq(charLen, wordCnt, punct, digits, stopRatio, score)
   }
 
+  /** The eight English words Gopher's rule G7 requires at least two of —
+    * a crude but effective "is this actually English prose" signal
+    * (Rae et al. 2021, §A1.1.2, public). */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher document-quality rule suite (Rae et al. 2021 §A1.1.2
+    * — the public heuristic filter stack MassiveText/RefinedWeb-style
+    * pipelines run): per-document features plus one boolean per rule and
+    * the combined `keep`. Complements [[qualityColumnsFrom]] (a composite
+    * score) with the named-rule verdicts a curation report needs.
+    *
+    * Rules (defaults = the paper's):
+    *   G1 50 ≤ word count ≤ 100 000
+    *   G2 3 ≤ mean word length ≤ 10
+    *   G3 symbol-to-word ratio < 0.1  (symbols: '#' chars + '...' runs)
+    *   G4 < 90% of lines start with a bullet ('-' or '*')
+    *   G5 < 30% of lines end with an ellipsis ('...')
+    *   G6 > 80% of words contain at least one alphabetic character
+    *   G7 ≥ 2 distinct [[GopherRequiredWords]] present
+    *
+    * Every rule evaluates as an INTEGER comparison (e.g. G3 as
+    * `symbol_cnt * 10 < word_cnt`), so the flags are bit-exact
+    * cross-engine by construction — no float threshold can drift; the
+    * reported ratio columns are 6-dp display values only. Shuffle-free:
+    * one projection at scan speed over PROJECTED token/line arrays
+    * (tokenize/split once — the interpreted-HOF re-eval trap).
+    *
+    * @param text  raw text column
+    * @param w     [[tokens]](text) projected once
+    * @param lw    [[tokens]](lower(text)) projected once
+    * @param lines `split(text, "\n")` projected once */
+  def gopherColumnsFrom(text: Column, w: Column, lw: Column, lines: Column): Seq[Column] = {
+    val wc = size(w).cast("long")
+    // Σ word lengths == chars left after stripping ALL whitespace — an
+    // exact identity that avoids an interpreted per-word length fold
+    val sumLen = (length(text) - charClassCount(text, "\\s")).cast("long")
+    val hashCnt = charClassCount(text, "#").cast("long")
+    val ellCnt = ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val symCnt = (hashCnt + ellCnt).as("symbol_cnt")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines,
+      l => ltrim(l).startsWith("- ") || ltrim(l).startsWith("* "))).cast("long")
+    val ellLines = size(filter(lines, l => rtrim(l).endsWith("..."))).cast("long")
+    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val reqCnt = GopherRequiredWords
+      .map(s => when(array_contains(lw, s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val g1 = wc >= 50L && wc <= 100000L
+    val g2 = sumLen >= lit(3L) * wc && sumLen <= lit(10L) * wc && wc > 0L
+    val g3 = symCnt * 10L < wc
+    val g4 = bulletLines * 10L < nLines * 9L
+    val g5 = ellLines * 10L < nLines * 3L
+    val g6 = alphaWords * 5L > wc * 4L
+    val g7 = reqCnt >= 2L
+    Seq(
+      wc.as("word_cnt"),
+      when(wc > 0L, round(sumLen.cast("double") / wc, 6)).otherwise(0.0)
+        .as("mean_word_len"),
+      when(wc > 0L, round(symCnt.cast("double") / wc, 6)).otherwise(0.0)
+        .as("symbol_ratio"),
+      when(nLines > 0L, round(bulletLines.cast("double") / nLines, 6)).otherwise(0.0)
+        .as("bullet_line_ratio"),
+      when(nLines > 0L, round(ellLines.cast("double") / nLines, 6)).otherwise(0.0)
+        .as("ellipsis_line_ratio"),
+      when(wc > 0L, round(alphaWords.cast("double") / wc, 6)).otherwise(0.0)
+        .as("alpha_word_ratio"),
+      reqCnt.as("req_word_cnt"),
+      g1.as("g1_word_count"), g2.as("g2_mean_word_len"), g3.as("g3_symbol_ratio"),
+      g4.as("g4_bullet_lines"), g5.as("g5_ellipsis_lines"), g6.as("g6_alpha_words"),
+      g7.as("g7_required_words"),
+      (g1 && g2 && g3 && g4 && g5 && g6 && g7).as("gopher_keep"))
+  }
+
   /** Canonical document fingerprint: md5 of whitespace-normalized
     * lowercase text — the exact-dedup key (DuckDB twin: `md5(...)`). */
   def fingerprint(text: Column): Column =

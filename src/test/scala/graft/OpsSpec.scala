@@ -684,6 +684,52 @@ class TextAnalysisSpec extends SparkSuite {
     assert(twice == out.filter(_._2 != null))
   }
 
+  test("gopherColumnsFrom: each rule trips on its own failure shape") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      // healthy English prose: every rule passes
+      (1L, s"the cat and the dog of the house have fun with all $fifty"),
+      // G1: too short
+      (2L, "the of and tiny"),
+      // G4: all lines bulleted
+      (3L, (1 to 10).map(i => s"- the item $i of and").mkString("\n")),
+      // G3: symbol-heavy
+      (4L, s"the of and ${Seq.fill(20)("##").mkString(" ")} $fifty"),
+      // G6: numeric soup
+      (5L, s"the of and ${(1 to 60).map(_.toString * 3).mkString(" ")}"),
+      // G7: no required words
+      (6L, fifty),
+      // G2: mean word length < 3
+      (7L, s"the of and ${Seq.fill(60)("aa").mkString(" ")}"),
+      // G5: most lines end with ellipsis
+      (8L, s"the of and $fifty...\nmore...\nagain...")
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("__w"),
+        TextAnalysis.tokens(lower(col("text"))).as("__wl"),
+        split(col("text"), "\n").as("__lines"))
+      .select(col("doc_id") +: TextAnalysis.gopherColumnsFrom(
+        col("text"), col("__w"), col("__wl"), col("__lines")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(name))
+    assert(flag(1L, "gopher_keep"), "healthy doc must pass all rules")
+    assert(!flag(2L, "g1_word_count") && !flag(2L, "gopher_keep"))
+    assert(!flag(3L, "g4_bullet_lines") && flag(3L, "g1_word_count"))
+    assert(!flag(4L, "g3_symbol_ratio") && flag(4L, "g1_word_count"))
+    assert(!flag(5L, "g6_alpha_words"))
+    assert(!flag(6L, "g7_required_words") && flag(6L, "g6_alpha_words"))
+    assert(!flag(7L, "g2_mean_word_len"))
+    assert(!flag(8L, "g5_ellipsis_lines"))
+    // ratio display columns agree with the flags' integer math
+    val r4 = out(4L)
+    assert(r4.getDouble(r4.fieldIndex("symbol_ratio")) >= 0.1)
+    val r1 = out(1L)
+    assert(r1.getDouble(r1.fieldIndex("mean_word_len")) >= 3.0
+      && r1.getDouble(r1.fieldIndex("mean_word_len")) <= 10.0)
+  }
+
   test("URL domain extraction + suffix blocklist: lowercase, dedup, no overreach") {
     val docs = Seq(
       (1L, "visit https://WWW.Spam.bad/x?q=1 and http://ok.example.com/page."),
