@@ -52,6 +52,7 @@ object Bench {
     "doc_fingerprint",
     "text_url_domains", "text_url_filter",
     "corpus_sample", "corpus_split", "corpus_shuffle", "corpus_mix",
+    "corpus_epochs",
     "corpus_stats", "corpus_cube", "corpus_quality_gate",
     "text_dedup_lines",
     "sim_semdedup",

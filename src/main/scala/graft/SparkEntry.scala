@@ -1197,6 +1197,19 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // epoch-based source upsampling (the "books x3.25" side of a data
+    // recipe): floor epochs replicate every doc, the fractional epoch is
+    // a deterministic md5 hash band. Epoch targets are dyadic
+    // (0.5/1.25/2.0/2.75 by source index mod 4) so frac*65536 is an
+    // exact integer and the twin hardcodes the same 4-hex thresholds
+    "corpus_epochs" -> ((s, dir) => {
+      val epochs = (0 until 20).map(i => s"src$i" -> (0.5 + (i % 4) * 0.75)).toMap
+      Corpus.upsampleEpochs(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source"),
+          "doc_id", "source", epochs)
+        .orderBy("doc_id", "epoch")
+    }),
+
     // corpus-level exact line dedup (CCNet-style boilerplate removal):
     // planted 5-variant nav header (~n/5 docs each) and a universal
     // footer cross the minDocs=20 threshold and drop from every doc;
@@ -2456,6 +2469,26 @@ object SparkEntry {
         |JOIN t USING (source)
         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th
         |ORDER BY doc_id""".stripMargin,
+
+    // epochs by source index mod 4: 0.5 / 1.25 / 2.0 / 2.75 — floor
+    // copies plus a hardcoded dyadic hash-band threshold for the partial
+    // epoch (8000/4000/0000/c000 = frac * 0x10000 exactly)
+    "corpus_epochs" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, CAST(substr(source, 4) AS INT) % 4 AS m,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source,
+        |    (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END)
+        |    + (CASE WHEN h < (CASE m WHEN 0 THEN '8000' WHEN 1 THEN '4000'
+        |                           WHEN 2 THEN '0000' ELSE 'c000' END)
+        |       THEN 1 ELSE 0 END) AS cnt
+        |  FROM s)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, cnt - 1)) AS BIGINT) AS epoch
+        |FROM n
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // planted boilerplate construction shared with the Spark side; pos is
     // 1-based here vs posexplode's 0-based — internal only, ordering is

@@ -190,6 +190,48 @@ object Corpus {
       idCol, sourceCol, rates, defaultRate = 0.0)
   }
 
+  /** Epoch-based source upsampling — the OTHER half of mixture control:
+    * [[mixSources]] downsamples to a composition at max volume, this
+    * REPEATS high-value sources a fractional number of epochs ("books
+    * 3.25 epochs, web 1, code 0.5" — the published practice for LLM data
+    * recipes, where small trusted sources are worth multiple passes).
+    *
+    * Every doc of source s is emitted `floor(e_s)` times (epoch
+    * 0..floor-1) plus once more at epoch `floor(e_s)` iff its
+    * [[hashSample]]-style md5 prefix falls below `hexRate(frac(e_s))` —
+    * so the partial epoch is a deterministic hash-band SUBSET of the
+    * source (stable under corpus growth and re-runs, and the SAME subset
+    * every partial epoch, which is what makes the draw auditable).
+    * e_s < 1 degrades to plain downsampling; sources not in the map drop.
+    *
+    * Distributed shape: zero shuffles — the epoch count is a plan-literal
+    * case-when over the source column and the repeat is a `sequence`
+    * explode at scan speed; row amplification IS the requested output.
+    * Downstream training order comes from [[shuffleAssign]] over
+    * (id, epoch). */
+  def upsampleEpochs(docs: DataFrame, idCol: String, sourceCol: String,
+                     epochs: Map[String, Double]): DataFrame = {
+    require(epochs.nonEmpty, "upsampleEpochs: empty epochs map")
+    epochs.foreach { case (s, e) =>
+      require(e > 0.0 && e <= 1000.0,
+        s"upsampleEpochs: epochs for '$s' must be in (0,1000]: $e")
+    }
+    val full = epochs.foldLeft(lit(0)) { case (acc, (s, e)) =>
+      when(col(sourceCol) === s, lit(math.floor(e).toInt)).otherwise(acc)
+    }
+    val fracTh = epochs.foldLeft(lit("0000")) { case (acc, (s, e)) =>
+      when(col(sourceCol) === s, lit(hexRate(e - math.floor(e)))).otherwise(acc)
+    }
+    docs.filter(col(sourceCol).isin(epochs.keys.toSeq: _*))
+      .withColumn("__n",
+        full + when(hashKey(col(idCol)) < fracTh, 1).otherwise(0))
+      // sequence(0, -1) would emit [0, -1] (negative default step), not
+      // an empty range — zero-copy docs must leave before the explode
+      .filter(col("__n") > 0)
+      .select(docs.columns.map(col) :+
+        explode(sequence(lit(0L), col("__n").cast("long") - 1L)).as("epoch"): _*)
+  }
+
   /** The per-source keep rates [[mixSources]] applies — exposed so a
     * pipeline can log its mixture receipts (and the oracle twin can be
     * read against them). */

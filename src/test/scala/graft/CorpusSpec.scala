@@ -149,6 +149,47 @@ class CorpusSpec extends SparkSuite {
       plain.filterNot(kv => clustered(kv._1)))
   }
 
+  test("upsampleEpochs: floor copies + hash-band partial epoch; subsample degrades to hashSample") {
+    val d = spark.range(400).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 2).cast("string")).as("source"),
+      lit("x").as("text"))
+    val out = Corpus.upsampleEpochs(d, "doc_id", "source",
+      Map("s0" -> 2.5, "s1" -> 0.5))
+    assert(out.columns.toSeq == Seq("doc_id", "source", "text", "epoch"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    // s0 docs appear 2 or 3 times with dense epochs 0..n-1
+    for ((id, rs) <- byDoc if rs.head._2 == "s0") {
+      assert(rs.length == 2 || rs.length == 3, s"doc $id: ${rs.length} copies")
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    // s1 docs appear at most once, at epoch 0
+    for ((id, rs) <- byDoc if rs.head._2 == "s1") {
+      assert(rs.length == 1 && rs.head._3 == 0L, s"doc $id")
+    }
+    // the s1 subset IS hashSample at the same rate (one shared hash band)
+    val viaSample = Corpus.hashSample(d.filter(col("source") === "s1"),
+      "doc_id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(byDoc.collect { case (id, rs) if rs.head._2 == "s1" => id }.toSet
+      == viaSample)
+    // partial-epoch membership for s0 uses the SAME band: docs with 3
+    // copies are exactly the 0.5-band members
+    val threeCopy = byDoc.collect { case (id, rs) if rs.length == 3 => id }.toSet
+    val band = Corpus.hashSample(d.filter(col("source") === "s0"),
+      "doc_id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(threeCopy == band)
+    // deterministic under repartitioning
+    val again = Corpus.upsampleEpochs(d.repartition(7), "doc_id", "source",
+      Map("s0" -> 2.5, "s1" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sorted
+    assert(again.toSeq == rows.sorted.toSeq)
+    // sources missing from the map drop; bad epochs fail loudly
+    assert(Corpus.upsampleEpochs(d, "doc_id", "source", Map("s0" -> 1.0))
+      .select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("s0"))
+    intercept[IllegalArgumentException](
+      Corpus.upsampleEpochs(d, "doc_id", "source", Map("s0" -> 0.0)))
+  }
+
   test("mixSources: unlisted sources drop; bad weights fail loudly") {
     val d = spark.range(100).select(col("id").as("doc_id"),
       when(col("id") < 50, "keep").otherwise("other").as("source"))
