@@ -861,6 +861,25 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, q, k = 5)
     }),
 
+    // the full k-NN graph (top-3 neighbors for EVERY vector — the
+    // structure semantic dedup / retrieval analysis builds on). Exact
+    // self-join baseline; the IVF-blocked entry below is the scale path
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 3)),
+
+    // k-NN graph via IVF multi-probe blocking (candidates = members of
+    // each vector's 4 nearest of 16 cells — ~n²/4 of the brute pair
+    // volume here, n²·nProbe/nCentroids in general). trainIters=0 pins
+    // the centroids to the first 16 vectors, so the whole approximate
+    // graph is deterministic and the DuckDB twin replicates assignment,
+    // probing and ranking exactly — hash-exact, same discipline as
+    // sim_ann_ivf_recall
+    "sim_knn_graph_ivf" -> ((s, dir) =>
+      Similarity.knnGraphIvf(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 3,
+        nCentroids = 16, nProbe = 4, trainIters = 0)),
+
     // int8 embedding quantization (vector compression before ANN at
     // scale: 4x smaller, SIMD-friendly). floor(x+0.5) not round(): IEEE
     // floor/multiply are bit-identical across engines, round half-modes
@@ -2097,6 +2116,46 @@ object SparkEntry {
     // their 4 nearest cells, candidates ranked within the probed cells,
     // then per-query overlap with exact brute-force top-5 — integer
     // counts, so float formatting can't smudge the compare
+    "sim_knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |j AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id,
+        |         list_cosine_similarity(q.emb, e.emb) AS sim
+        |  FROM e q, e WHERE e.vec_id <> q.vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM j)
+        |SELECT q_id, vec_id, round(sim, 6) AS sim, rank
+        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // deterministic IVF graph: first-16 centroids, home-cell assignment,
+    // 4-probe candidates, rank within candidates — replicated step for
+    // step from the Spark plan
+    "sim_knn_graph_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, emb AS c_vec FROM e ORDER BY vec_id LIMIT 16),
+        |da AS (SELECT vec_id, c_id AS cluster FROM (
+        |  SELECT e.vec_id, c.c_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.emb, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM e, c) WHERE rk = 1),
+        |qa AS (SELECT vec_id AS q_id, c_id AS cluster FROM (
+        |  SELECT e.vec_id, c.c_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.emb, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM e, c) WHERE rk <= 4),
+        |cand AS (
+        |  SELECT qa.q_id, da.vec_id,
+        |         list_cosine_similarity(q.emb, e.emb) AS sim
+        |  FROM qa JOIN da ON qa.cluster = da.cluster
+        |  JOIN e q ON q.vec_id = qa.q_id
+        |  JOIN e ON e.vec_id = da.vec_id
+        |  WHERE qa.q_id <> da.vec_id),
+        |r AS (SELECT q_id, vec_id, sim, CAST(row_number() OVER (
+        |        PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+        |  FROM cand)
+        |SELECT q_id, vec_id, round(sim, 6) AS sim, rank
+        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
     "sim_ann_ivf_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e WHERE vec_id < 10),

@@ -63,6 +63,32 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** The full k-NN GRAPH: every vector's top-k cosine neighbors within
+    * the corpus itself (self excluded) — the structure SemDeDup-style
+    * semantic analysis, kNN-LM retrieval and graph-based curation are
+    * built on. Exact O(n²) self-join: the oracle baseline, and the right
+    * tool up to ~10⁵ vectors per partition-pair; at corpus scale use
+    * [[knnGraphIvf]], whose candidate volume is ~n·nProbe/nCentroids of
+    * the quadratic. Output (q_id, vec_id, sim, rank), rank 1..k. */
+  def knnGraph(data: DataFrame, k: Int): DataFrame =
+    bruteForceTopK(data,
+      data.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")), k)
+
+  /** [[knnGraph]] at scale: IVF blocking with multi-probe. Each vector's
+    * candidates are the members of its `nProbe` nearest Voronoi cells
+    * (home-cell membership via one broadcast-centroid assignment), so the
+    * pair volume drops from n² to ~n²·nProbe/nCentroids with balanced
+    * cells — the standard recall/cost dial, and boundary vectors keep
+    * their cross-cell neighbors as long as a probed cell holds them.
+    * Approximate: recall vs [[knnGraph]] is asserted in the test suite;
+    * with `trainIters=0` the centroids (first nCentroids by vec_id) and
+    * therefore the whole graph are deterministic and oracle-expressible. */
+  def knnGraphIvf(data: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
+                  trainIters: Int = 0): DataFrame =
+    ivfTopK(data,
+      data.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      k, nCentroids, nProbe, trainIters)
+
   /** All pairs (a < b) with cosine >= threshold — embedding near-dup.
     * Brute-force baseline (oracle twin exists); LSH/IVF blocking is the
     * scale path. Norms precomputed per row, as above. */

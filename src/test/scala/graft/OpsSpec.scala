@@ -484,6 +484,25 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf.size == brute.size)
   }
 
+  test("knnGraph: exact graph properties; IVF-blocked graph reaches recall on it") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val n = e.count()
+    val exact = Similarity.knnGraph(e, 3).collect()
+    assert(exact.length == n * 3, "every vector gets exactly k neighbors")
+    exact.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(!rows.map(_.getLong(1)).contains(qid), s"self in $qid's neighbors")
+    }
+    // kNN is not symmetric, but every edge endpoint must exist
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.forall(r => ids(r.getLong(1))))
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnGraphIvf(e, 3, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactSet intersect ivf).size.toDouble / exactSet.size
+    assert(recall >= 0.5, s"IVF graph recall $recall too low for nProbe=4/8")
+  }
+
   test("int8 quantization: scale/clamp semantics and dequantized cosine fidelity") {
     import spark.implicits._
     val e = Seq((0L, Array(0.5f, -1.0f, 0.25f)), (1L, Array(0f, 0f, 0f)))
