@@ -557,6 +557,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // character-entropy gibberish scoring (binary junk / padding → low,
+    // random noise → near-uniform max, prose → narrow band). Integer
+    // char counts folded in SORTED order so the float sum is
+    // partition-independent and twin-replayable
+    "text_entropy" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.chars(col("text")).as("__cs"))
+        .select(col("doc_id") +:
+          TextAnalysis.charEntropyColumnsFrom(col("__cs")): _*)
+        .orderBy("doc_id")),
+
     // TF-IDF top-terms per document (keyword extraction). Rational idf
     // (N+1)/(df+1): integer-derived operands + correctly-rounded IEEE
     // ops make Spark and DuckDB agree bit-exactly, ranking included
@@ -1764,6 +1775,25 @@ object SparkEntry {
         |  FROM p)
         |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_len
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // identical sorted-count fold: list_sort ASC == sort_array ASC on
+    // integers, so the float summation order matches exactly
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ''), x -> x <> '') AS cs
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(cs) AS n, len(list_distinct(cs)) AS dc,
+        |    list_sort(list_transform(list_distinct(cs),
+        |      ch -> len(list_filter(cs, x -> x = ch)))) AS cnts
+        |  FROM c)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  CAST(dc AS BIGINT) AS distinct_chars,
+        |  CASE WHEN n > 0 THEN round(ln(n) - list_aggregate(
+        |    list_transform(cnts, x -> x * ln(x)), 'sum') / n, 6)
+        |  ELSE 0.0 END AS char_entropy
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // same planted strata; every rule flag re-derived as the identical
     // integer comparison (ratios are 6-dp display values only)

@@ -257,6 +257,39 @@ object TextAnalysis {
       (g1 && g2 && g3 && g4 && g5 && g6 && g7).as("gopher_keep"))
   }
 
+  /** Character array of a text column with phantom empties removed: Java
+    * split("") keeps a trailing "" (limit -1) and DuckDB's char split
+    * emits [''] for empty text — filtering both sides to non-empty makes
+    * the engines agree element-for-element. Project ONCE (the
+    * interpreted-HOF re-eval trap). */
+  def chars(text: Column): Column =
+    filter(split(text, ""), c => c =!= "")
+
+  /** Character-distribution features over a PROJECTED [[chars]] column —
+    * the entropy gibberish/compression filter (binary junk and repeated
+    * padding score low-entropy, base64/random noise scores near the
+    * uniform maximum; prose sits in a narrow band): total chars, distinct
+    * chars, and the Shannon entropy `ln N − (Σ n_c·ln n_c)/N` in nats.
+    *
+    * Determinism: per-char counts are integers; the float fold runs over
+    * the count list sorted ASCENDING, so summation order never depends on
+    * char-encounter order or partitioning, and the DuckDB twin replays
+    * the identical sorted fold (libm-ulp `ln` drift absorbed by the 6-dp
+    * round — the [[lmScore]] discipline). Shuffle-free scan-speed
+    * projection; per-row cost is O(distinct·len) interpreted-HOF compares
+    * — bounded by the alphabet, not the corpus. */
+  def charEntropyColumnsFrom(cs: Column): Seq[Column] = {
+    val n = size(cs)
+    val dc = array_distinct(cs)
+    val counts = sort_array(transform(dc, c => size(filter(cs, x => x === c))))
+    val s = aggregate(counts, lit(0.0),
+      (acc, cnt) => acc + cnt.cast("double") * log(cnt.cast("double")))
+    Seq(n.cast("long").as("n_chars"),
+      size(dc).cast("long").as("distinct_chars"),
+      when(n > 0, round(log(n.cast("double")) - s / n, 6))
+        .otherwise(0.0).as("char_entropy"))
+  }
+
   /** Canonical document fingerprint: md5 of whitespace-normalized
     * lowercase text — the exact-dedup key (DuckDB twin: `md5(...)`). */
   def fingerprint(text: Column): Column =

@@ -703,6 +703,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(twice == out.filter(_._2 != null))
   }
 
+  test("charEntropyColumnsFrom: closed-form entropies, empty text, partition independence") {
+    val docs = Seq(
+      (1L, "aabb"),   // H = ln 2
+      (2L, "abcd"),   // uniform: H = ln 4
+      (3L, "aaaa"),   // constant: H = 0
+      (4L, ""),       // empty: defined 0, no phantom char
+      (5L, "aab")     // H = ln 3 - (2 ln 2)/3
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), TextAnalysis.chars(col("text")).as("__cs"))
+      .select(col("doc_id") +: TextAnalysis.charEntropyColumnsFrom(col("__cs")): _*)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val out = run(docs)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(out(1L)._1 == 4 && out(1L)._2 == 2 && close(out(1L)._3, math.log(2)))
+    assert(close(out(2L)._3, math.log(4)))
+    assert(out(3L) == ((4L, 1L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    assert(close(out(5L)._3, math.log(3) - 2 * math.log(2) / 3))
+    assert(run(docs.repartition(3)) == out)
+  }
+
   test("gopherColumnsFrom: each rule trips on its own failure shape") {
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
     val docs = Seq(
