@@ -48,7 +48,7 @@ object Bench {
     "events_sessionize",
     "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",
     "text_tfidf", "text_redact", "text_normalize", "text_gopher_rules",
-    "text_entropy",
+    "text_entropy", "text_strip_html",
     "text_repetition", "text_decontaminate", "text_decontaminate_fuzzy",
     "text_bm25", "text_lm_score", "text_ppl_buckets", "text_dup_spans",
     "doc_fingerprint",

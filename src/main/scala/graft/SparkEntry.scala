@@ -557,6 +557,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML → text extraction (crawl preprocessing). The fixture is plain
+    // text, so the entry WRAPS it in an HTML page with script/style
+    // payloads, entities (incl. the &amp;lt; double-decode trap) and a
+    // comment — identically in the oracle
+    "text_strip_html" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          lit("<html><head><style>body { color: red; }</style>"),
+          lit("<script type=\"text/javascript\">var x = 1 < 2 && y > 0;</script></head>"),
+          lit("<body><h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+          col("text"),
+          lit(" &amp; more&nbsp;&lt;tags&gt; &quot;q&quot; it&#39;s"),
+          lit(" literal &amp;lt; stays</p><!-- hidden --></body></html>")).as("html"))
+      planted.select(col("doc_id"),
+          TextAnalysis.stripHtml(col("html")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // character-entropy gibberish scoring (binary junk / padding → low,
     // random noise → near-uniform max, prose → narrow band). Integer
     // char counts folded in SORTED order so the float sum is
@@ -1775,6 +1793,37 @@ object SparkEntry {
         |  FROM p)
         |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_len
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // identical wrap + the identical strip/decode chain (entity decode
+    // after tag strip, &amp; last)
+    "text_strip_html" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>body { color: red; }</style>'
+        |    || '<script type="text/javascript">var x = 1 < 2 && y > 0;</script></head>'
+        |    || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+        |    || text
+        |    || ' &amp; more&nbsp;&lt;tags&gt; &quot;q&quot; it&#39;s'
+        |    || ' literal &amp;lt; stays</p><!-- hidden --></body></html>' AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      h,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // identical sorted-count fold: list_sort ASC == sort_array ASC on
     // integers, so the float summation order matches exactly

@@ -257,6 +257,32 @@ object TextAnalysis {
       (g1 && g2 && g3 && g4 && g5 && g6 && g7).as("gopher_keep"))
   }
 
+  /** HTML → text extraction (regex-grade, the C4/CCNet preprocessing
+    * step for crawl corpora): drop script/style payloads and comments,
+    * strip tags (→ space, so adjacent words don't fuse), decode the six
+    * ubiquitous entities, collapse whitespace. Entity decode runs AFTER
+    * tag stripping with `&amp;` LAST — so `&lt;script&gt;` decodes to
+    * visible text instead of becoming a strippable tag, and `&amp;lt;`
+    * yields the literal `&lt;` (no double decode). Pure codegen'd
+    * regexp/replace chain — shuffle-free, scan speed; patterns are
+    * backreference-free with non-greedy bodies under `(?is)`, which Java
+    * regex and RE2 (DuckDB twin) evaluate identically. Not a DOM parser
+    * by design: malformed HTML degrades to extra stripped spans, never an
+    * error — the right trade for billions of crawled pages. */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = Seq("script", "style").foldLeft(text) { (c, tag) =>
+      regexp_replace(c, s"(?is)<$tag[^>]*>.*?</$tag>", " ")
+    }
+    val noTags = regexp_replace(
+      regexp_replace(noBlocks, "(?s)<!--.*?-->", " "),
+      "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Character array of a text column with phantom empties removed: Java
     * split("") keeps a trailing "" (limit -1) and DuckDB's char split
     * emits [''] for empty text — filtering both sides to non-empty makes

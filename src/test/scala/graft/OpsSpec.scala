@@ -703,6 +703,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(twice == out.filter(_._2 != null))
   }
 
+  test("stripHtml: tags/blocks/comments out, entities decoded once, malformed degrades") {
+    val docs = Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "<script>if (a < b && c > d) alert('x');</script>after"),
+      (3L, "<style type=\"text/css\">p { margin: 0; }</style>kept"),
+      (4L, "A &amp; B &lt;tag&gt; &quot;q&quot; it&#39;s &nbsp;done"),
+      (5L, "&amp;lt; stays literal"),        // no double decode
+      (6L, "<!-- secret -->visible"),
+      (7L, "broken <tag never closes"),      // malformed: tagless rest survives
+      (8L, "a<br/>b<BR>c")                   // tags fuse to spaces, not to "abc"
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextAnalysis.stripHtml(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Hello world")
+    assert(out(2L) == "after")
+    assert(out(3L) == "kept")
+    assert(out(4L) == "A & B <tag> \"q\" it's done")
+    assert(out(5L) == "&lt; stays literal")
+    assert(out(6L) == "visible")
+    assert(out(7L) == "broken <tag never closes")
+    assert(out(8L) == "a b c")
+  }
+
   test("charEntropyColumnsFrom: closed-form entropies, empty text, partition independence") {
     val docs = Seq(
       (1L, "aabb"),   // H = ln 2
