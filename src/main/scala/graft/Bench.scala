@@ -52,7 +52,7 @@ object Bench {
     "text_repetition", "text_decontaminate", "text_decontaminate_fuzzy",
     "text_bm25", "text_lm_score", "text_ppl_buckets", "text_dup_spans",
     "doc_fingerprint",
-    "text_url_domains", "text_url_filter",
+    "text_url_domains", "text_url_filter", "corpus_domain_cap",
     "corpus_sample", "corpus_split", "corpus_shuffle", "corpus_mix",
     "corpus_epochs",
     "corpus_stats", "corpus_cube", "corpus_quality_gate",

@@ -643,6 +643,24 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // per-domain volume cap (C4's anti-mirror rule): same planted URLs
+    // as text_url_domains — 50 example.com hosts with ~10 docs each and
+    // 2 spam hosts with ~71 each; cap 5 bites every domain, docs keep
+    // their 5 smallest ids per primary (lexicographically-min) host
+    "corpus_domain_cap" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          col("text"),
+          lit(" see http://Site"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 7 === 0 || col("doc_id") % 7 === 3,
+            concat(lit(" and https://www.spam"),
+              (col("doc_id") % 7).cast("string"), lit(".bad/x?q=1")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.capPerDomain(planted, "doc_id", "text", maxPerDomain = 5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // intra-doc repetition (Gopher/RefinedWeb-style quality rule):
     // duplicated 3-gram ratio. Grams projected ONCE (HOF re-eval trap)
     "text_repetition" -> ((s, dir) =>
@@ -1967,6 +1985,33 @@ object SparkEntry {
         |  lower(regexp_extract(url, '(?i:https?)://(?:[A-Za-z0-9._%+:-]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1)) AS domain
         |FROM u WHERE regexp_extract(url, '(?i:https?)://(?:[A-Za-z0-9._%+:-]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) <> ''
         |ORDER BY doc_id, domain""".stripMargin,
+
+    // identical planting/extraction, then: primary = min(domain) per doc,
+    // rank by doc_id within primary, cap at 5, anti-join losers
+    "corpus_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' see http://Site' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 7 IN (0, 3)
+        |            THEN ' and https://www.spam' || CAST(doc_id % 7 AS VARCHAR)
+        |                 || '.bad/x?q=1'
+        |            ELSE '' END AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(text,
+        |          '(?i:https?)://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+')) AS url
+        |      FROM d),
+        |doms AS (SELECT DISTINCT doc_id,
+        |    lower(regexp_extract(url, '(?i:https?)://(?:[A-Za-z0-9._%+:-]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1)) AS domain
+        |  FROM u
+        |  WHERE regexp_extract(url, '(?i:https?)://(?:[A-Za-z0-9._%+:-]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1) <> ''),
+        |prim AS (SELECT doc_id, min(domain) AS p FROM doms GROUP BY doc_id),
+        |ranked AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY p ORDER BY doc_id) AS rk
+        |  FROM prim)
+        |SELECT doc_id FROM d
+        |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 5)
+        |ORDER BY doc_id""".stripMargin,
 
     // suffix set via list_slice over the label array (1-based, same
     // enumeration as the Spark side's transform/slice)

@@ -396,6 +396,32 @@ object TextAnalysis {
     docs.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** C4-style per-domain document cap: keep at most `maxPerDomain` docs
+    * per linked domain — the anti-SEO-farm / anti-mirror volume control
+    * every crawl pipeline runs (unchecked, one boilerplate-heavy host can
+    * dominate a source). A doc's PRIMARY domain is its lexicographically
+    * smallest extracted host (deterministic for multi-link docs); within
+    * a domain the `maxPerDomain` smallest doc ids survive. Docs with no
+    * URL are never capped.
+    *
+    * Distributed shape: the (doc, primary-domain) table is ≪ corpus
+    * (docs-with-URLs rows); the rank window partitions by domain (skew =
+    * the biggest single host's doc count — exactly what the cap
+    * removes); the loser list anti-joins back. The corpus itself is
+    * scanned once for extraction and once for the anti-join. */
+  def capPerDomain(docs: DataFrame, idCol: String, textCol: String,
+                   maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1: $maxPerDomain")
+    val primary = extractDomains(docs, idCol, textCol)
+      .groupBy(idCol).agg(min("domain").as("__primary"))
+    val w = Window.partitionBy("__primary").orderBy(col(idCol))
+    val losers = primary
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > maxPerDomain)
+      .select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** All word k-grams of a text column, duplicates INCLUDED (k = 1 is the
     * raw word list, for word-level shingling), built by zipping the word
     * array with its own shifted slices. Shape

@@ -703,6 +703,23 @@ class TextAnalysisSpec extends SparkSuite {
     assert(twice == out.filter(_._2 != null))
   }
 
+  test("capPerDomain: per-primary-domain cap, URL-less docs immune, multi-link min rule") {
+    val docs = Seq(
+      (1L, "x http://a.com/1"), (2L, "x http://a.com/2"),
+      (3L, "x http://a.com/3"), // a.com ends with 4 docs (0,1,2,3): cap 2 drops 2,3
+      (4L, "x http://b.com/1"),
+      (5L, "no urls at all"),   // never capped
+      // primary = min(a.com, b.com) = a.com → counts against a.com,
+      // but doc 0 sorts first so it survives and doc 3 still drops
+      (0L, "x http://b.com/0 http://a.com/0")
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.capPerDomain(docs, "doc_id", "text", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 4L, 5L), s"got $kept")
+    intercept[IllegalArgumentException](
+      TextAnalysis.capPerDomain(docs, "doc_id", "text", 0))
+  }
+
   test("stripHtml: tags/blocks/comments out, entities decoded once, malformed degrades") {
     val docs = Seq(
       (1L, "<p>Hello <b>world</b></p>"),
