@@ -155,15 +155,23 @@ object Bench {
     // enough that every adjudication to date has seen at least one
     // poisoned draw — a third attempt makes an unpoisoned minimum likely,
     // and the per-run array lets a reader tell poison from regression
-    val ingestRuns = (1 to 3).flatMap { _ =>
-      try Some(ingestOnce())
-      catch { case e: Throwable => System.err.println(s"[bench] tsdb_ingest: $e"); None }
-    }
-
+    // SPARK_GRAFT_ONLY (comma-separated names): isolated re-measurement of
+    // a suspect subset — local adjudication only, the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ingestRuns =
+      if (!only.forall(_("tsdb_ingest"))) Seq.empty[Double]
+      else (1 to 3).flatMap { _ =>
+        try Some(ingestOnce())
+        catch { case e: Throwable => System.err.println(s"[bench] tsdb_ingest: $e"); None }
+      }
     val names = Headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_(n)))
     val rounds = Seq.fill(3)(names.map(n => n -> timeOnce(n)).toMap)
     val allRuns: Seq[(String, Seq[Double])] =
-      names.map(n => n -> rounds.map(_(n))) :+ ("tsdb_ingest" -> ingestRuns)
+      names.map(n => n -> rounds.map(_(n))) ++
+        (if (only.forall(_("tsdb_ingest"))) Seq("tsdb_ingest" -> ingestRuns)
+         else Nil)
     val results = allRuns.flatMap { case (n, rs) => rs.minOption.map(n -> _) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -27,7 +27,8 @@ object Explain {
       else Seq("tsdb_raw", "tsdb_client_agg", "tsdb_storage_agg",
         "tsdb_multi_agg", "q3_topk_join", "sim_topk", "events_sessionize",
         "corpus_pack", "text_decontaminate", "corpus_chunk", "corpus_chunk_pack", "text_vocab",
-        "dedup_embedding_srp")
+        "dedup_embedding_srp",
+        "text_normalize", "corpus_epochs", "corpus_domain_cap", "sim_knn_graph_ivf")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -581,9 +581,10 @@ object SparkEntry {
     // partition-independent and twin-replayable
     "text_entropy" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), TextAnalysis.chars(col("text")).as("__cs"))
+        .select(col("doc_id"),
+          TextAnalysis.charEntropyStats(s, col("text")).as("__st"))
         .select(col("doc_id") +:
-          TextAnalysis.charEntropyColumnsFrom(col("__cs")): _*)
+          TextAnalysis.charEntropyColumnsFromStats(col("__st")): _*)
         .orderBy("doc_id")),
 
     // TF-IDF top-terms per document (keyword extraction). Rational idf

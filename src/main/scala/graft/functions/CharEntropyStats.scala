@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass character-distribution statistics for entropy scoring:
+  * `struct(n_chars, distinct_chars, sum_nlogn)` where `sum_nlogn` is
+  * Σ n_c·ln(n_c) over per-code-point counts.
+  *
+  * Why a custom expression (SURVEY §7.4): the composable formulation —
+  * per-char counts via `transform(array_distinct(cs), c -> size(filter(
+  * cs, _ == c)))` — is O(distinct·len) in INTERPRETED higher-order
+  * functions (no codegen, per-element lambda dispatch); profiled at ~5.5 s
+  * for the sf0.1 corpus. This kernel is one O(len + distinct·log distinct)
+  * pass per row inside whole-stage codegen (~10× on the same corpus).
+  *
+  * Bit-compatibility contract with the HOF/DuckDB formulation: counts are
+  * folded in ASCENDING numeric order (equal addends commute), each term is
+  * `(double) n * Math.log((double) n)` — the same `java.lang.Math.log`
+  * Spark's `log` function evaluates — so the result is bit-identical to
+  * `aggregate(sort_array(counts), 0d, (a, n) -> a + n*ln(n))` and the
+  * DuckDB twin's `list_sort` + ordered `list_aggregate` fold. Iteration is
+  * by CODE POINT (surrogate pairs count once), matching both engines'
+  * char-split semantics. */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = CharEntropyStats.Schema
+  override def prettyName: String = CharEntropyStats.Name
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropyStats.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharEntropyStats.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropyStats {
+  val Name = "graft_char_entropy"
+
+  val Schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("distinct_chars", LongType, nullable = false),
+    StructField("sum_nlogn", DoubleType, nullable = false)))
+
+  /** Static kernel shared by interpreted eval and codegen. */
+  def stats(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Integer]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      counts.merge(cp, 1, (a, b) => a + b)
+    }
+    val arr = new Array[Int](counts.size)
+    val it = counts.values().iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(arr)
+    var sum = 0.0
+    j = 0
+    while (j < arr.length) {
+      val c = arr(j).toDouble
+      sum += c * java.lang.Math.log(c)
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](n, counts.size.toLong, sum))
+  }
+
+  val info: ExpressionInfo = new ExpressionInfo(classOf[CharEntropyStats].getName, Name)
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(c) => CharEntropyStats(c)
+    case other => throw new IllegalArgumentException(
+      s"$Name expects 1 argument, got ${other.size}")
+  }
+}

@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BpeTokenCountVocab.info, BpeTokenCountVocab.builder))
     ext.injectFunction((FunctionIdentifier(NfcNormalize.Name),
       NfcNormalize.info, NfcNormalize.builder))
+    ext.injectFunction((FunctionIdentifier(CharEntropyStats.Name),
+      CharEntropyStats.info, CharEntropyStats.builder))
   }
 }
 
@@ -62,6 +64,8 @@ object GraftFunctions {
         BpeTokenCountVocab.Name, BpeTokenCountVocab.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         NfcNormalize.Name, NfcNormalize.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        CharEntropyStats.Name, CharEntropyStats.builder, "built-in")
       registered.put(spark, java.lang.Boolean.TRUE)
     }
   }

@@ -316,6 +316,27 @@ object TextAnalysis {
         .otherwise(0.0).as("char_entropy"))
   }
 
+  /** [[charEntropyColumnsFrom]] over a PROJECTED
+    * [[graft.functions.CharEntropyStats]] struct column — the codegen'd
+    * one-pass kernel (~10× the interpreted HOF formulation, which stays
+    * above as the dependency-free reference; OpsSpec pins both paths
+    * bit-identical). Project `charEntropyStats(...)` once and pass the
+    * column here. */
+  def charEntropyStats(spark: org.apache.spark.sql.SparkSession,
+                       text: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function(graft.functions.CharEntropyStats.Name, text)
+  }
+
+  def charEntropyColumnsFromStats(st: Column): Seq[Column] = {
+    val n = st.getField("n_chars")
+    val s = st.getField("sum_nlogn")
+    Seq(n.as("n_chars"),
+      st.getField("distinct_chars").as("distinct_chars"),
+      when(n > 0, round(log(n.cast("double")) - s / n, 6))
+        .otherwise(0.0).as("char_entropy"))
+  }
+
   /** Canonical document fingerprint: md5 of whitespace-normalized
     * lowercase text — the exact-dedup key (DuckDB twin: `md5(...)`). */
   def fingerprint(text: Column): Column =

@@ -764,6 +764,18 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(4L) == ((0L, 0L, 0.0)))
     assert(close(out(5L)._3, math.log(3) - 2 * math.log(2) / 3))
     assert(run(docs.repartition(3)) == out)
+    // the codegen'd one-pass kernel must be BIT-identical to the HOF
+    // reference formulation (same ascending-count fold, same Math.log) —
+    // on multi-byte text too (code-point iteration)
+    val tricky = docs.union(Seq((9L, "héllo wörld héé"),
+      (10L, "aáb́́")).toDF("doc_id", "text"))
+    val native = tricky
+      .select(col("doc_id"), TextAnalysis.charEntropyStats(spark, col("text")).as("__st"))
+      .select(col("doc_id") +: TextAnalysis.charEntropyColumnsFromStats(col("__st")): _*)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val hof = run(tricky)
+    assert(native == hof, s"native $native != HOF $hof")
   }
 
   test("gopherColumnsFrom: each rule trips on its own failure shape") {
