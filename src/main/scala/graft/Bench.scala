@@ -42,7 +42,7 @@ object Bench {
     "tsdb_storage_preagg",
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_clusters", "dedup_incremental",
+    "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",
     "sim_topk", "sim_ann_ivf", "sim_quantize", "dedup_embedding_srp",
     "sim_knn_graph", "sim_knn_graph_ivf",
     "events_sessionize",

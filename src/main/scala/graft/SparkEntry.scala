@@ -826,6 +826,30 @@ object SparkEntry {
 
     // dedup receipts: near-dup cluster-size histogram — how many clusters
     // of each size, docs covered, docs a keep-one policy drops
+    // incremental dedup against a PERSISTED index (the daily-crawl loop
+    // at scale: per-batch compute is the batch's own signatures, history
+    // streams from the on-disk shingle/bucket store). Index built once
+    // per corpus version (the IVF-index lifecycle); output must equal
+    // the recompute-everything dedup_incremental, and the twin IS that
+    // entry's brute cross-Jaccard
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val hist = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val fp = Option(src.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName + ":" + f.lastModified + ":" + f.length).sorted.mkString(","))
+        .getOrElse(s"${src.lastModified}:${src.length}")
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_dedup_idx/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + (dir.hashCode & 0x7fffffff)
+      val version = s"$dir@$fp#k3h64b32"
+      if (!Dedup.readDedupIndexMeta(s, idx).exists(_._1 == version))
+        Dedup.saveDedupIndex(hist, "doc_id", "text", idx, version, k = 3)
+      Dedup.incrementalDedupKeepIndexed(
+          docs.filter(col("doc_id") >= 400).select("doc_id", "text"),
+          "doc_id", "text", idx, threshold = 0.5, maxBucketSize = 1000)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "dedup_report" -> ((s, dir) =>
       Dedup.clusterSizeHistogram(
         docClusters(s.read.parquet(s"$dir/documents.parquet")))),
@@ -2108,6 +2132,19 @@ object SparkEntry {
     // existing doc (id < 400) are dropped; short docs (< 3 words) have no
     // shingles and always survive — mirroring the Spark side exactly
     "dedup_incremental" ->
+      s"""WITH $NgramJaccardCtes,
+         |m AS (
+         |  SELECT b.doc_id AS bid FROM s a JOIN s b
+         |  ON a.doc_id < 400 AND b.doc_id >= 400
+         |  AND len(list_intersect(a.sh, b.sh)) * 1.0
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT bid FROM m)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the indexed path must reproduce the recompute-everything result —
+    // same brute cross-Jaccard twin as dedup_incremental
+    "dedup_incremental_indexed" ->
       s"""WITH $NgramJaccardCtes,
          |m AS (
          |  SELECT b.doc_id AS bid FROM s a JOIN s b

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, SeededXxHash64Long}
@@ -378,6 +378,122 @@ object Dedup {
     val pairs = crossMinHashLshPairs(existing, batch, idCol, textCol,
       k, threshold, numHashes, bands, maxBucketSize)
     // no distinct: left_anti is insensitive to duplicate right-side keys
+    batch.join(pairs.select(col("bench_id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------ persisted dedup index
+
+  /** Build and persist the MinHash dedup index of a corpus under `path`:
+    * the shingle table (`shingles/`: id, sh) and the banded bucket table
+    * (`buckets/`: id, band, bucket) as parquet, plus a `_meta` sidecar
+    * recording the signature parameters and the caller's corpus `version`
+    * — the [[graft.ops.Similarity.saveIvfIndex]] lifecycle applied to
+    * dedup. The point at scale: a daily-crawl loop that calls
+    * [[incrementalDedupKeep]] re-shingles and re-signs the ENTIRE history
+    * every batch (O(history) compute per day); with the index persisted,
+    * each batch pays its own signature build plus disk-backed joins —
+    * O(batch) compute against O(history) I/O.
+    *
+    * `_meta` invalidates first (crash mid-build → retrain, never a stale
+    * meta over new tables). The shingle table is scope-persisted across
+    * its two writes. */
+  def saveDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, version: String, k: Int,
+                     numHashes: Int = 64, bands: Int = 32): Unit = {
+    import org.apache.spark.sql.SaveMode
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sp = docs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_meta"), false)
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
+      bandBucketRows(minHashSignatures(sh, numHashes), numHashes, bands)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/buckets")
+    } finally sh.unpersist()
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_meta"), true)
+    try out.write(
+      s"version=$version\nk=$k\nnumHashes=$numHashes\nbands=$bands\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The `_meta` of a persisted dedup index: (version, k, numHashes,
+    * bands); None if absent (→ caller rebuilds). */
+  def readDedupIndexMeta(spark: SparkSession,
+                         path: String): Option[(String, Int, Int, Int)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(path, "_meta")
+    if (!fs.exists(meta)) return None
+    val in = fs.open(meta)
+    val kv =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap { l => l.split("=", 2) match {
+          case Array(a, b) => Some(a -> b); case _ => None } }.toMap
+      finally in.close()
+    for {
+      v <- kv.get("version"); k <- kv.get("k")
+      nh <- kv.get("numHashes"); b <- kv.get("bands")
+    } yield (v, k.toInt, nh.toInt, b.toInt)
+  }
+
+  /** Append a (kept) batch to a persisted dedup index — the tail of the
+    * daily loop: dedup the batch against the index, then index the
+    * survivors so tomorrow's batch sees them. Parameters come from the
+    * index's own `_meta` (a drifted k/hash setup would silently miss
+    * duplicates — fail-loud instead). */
+  def appendDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                       path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val sp = docs.sparkSession
+    val (_, k, numHashes, bands) = readDedupIndexMeta(sp, path).getOrElse(
+      throw new IllegalStateException(
+        s"appendDedupIndex: no index _meta at $path — build with saveDedupIndex first"))
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.write.mode(SaveMode.Append).parquet(s"$path/shingles")
+      bandBucketRows(minHashSignatures(sh, numHashes), numHashes, bands)
+        .write.mode(SaveMode.Append).parquet(s"$path/buckets")
+    } finally sh.unpersist()
+  }
+
+  /** [[incrementalDedupKeep]] against a PERSISTED index: history shingles
+    * and buckets stream from disk, so the per-batch compute is the
+    * batch's own signature build — not a re-shingle of the whole history.
+    * The candidate join and Jaccard verification read the stored tables
+    * (the bucket table column-pruned for the join; the shingle table
+    * twice in verification — disk-backed scans, no recompute).
+    * `maxBucketSize` guards the HISTORY side exactly as
+    * [[crossMinHashLshPairs]] does. Output: the batch keep-list. */
+  def incrementalDedupKeepIndexed(batch: DataFrame, idCol: String,
+                                  textCol: String, path: String,
+                                  threshold: Double,
+                                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val sp = batch.sparkSession
+    val (_, k, numHashes, bands) = readDedupIndexMeta(sp, path).getOrElse(
+      throw new IllegalStateException(
+        s"incrementalDedupKeepIndexed: no index _meta at $path"))
+    val histSh = sp.read.parquet(s"$path/shingles")
+    val histBk0 = sp.read.parquet(s"$path/buckets")
+    val histBk =
+      if (maxBucketSize == Int.MaxValue) histBk0
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        histBk0.withColumn("__bs", count(lit(1)).over(w))
+          .filter(col("__bs") <= maxBucketSize).drop("__bs")
+      }
+    val shb = batch.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val bb = bandBucketRows(minHashSignatures(shb, numHashes), numHashes, bands)
+    val cand = histBk.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("doc_id"), col("y.id").as("bench_id"))
+      .distinct()
+    val pairs = Caching.scoped(shb)(
+      verifyJaccardBetween(cand, histSh, shb, "doc_id", "bench_id", threshold))
     batch.join(pairs.select(col("bench_id").as(idCol)), Seq(idCol), "left_anti")
   }
 

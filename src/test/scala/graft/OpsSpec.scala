@@ -283,6 +283,36 @@ class DedupSpec extends SparkSuite {
     assert(kept == Seq(11L, 12L, 13L))
   }
 
+  test("persisted dedup index: indexed keep == recompute keep; append extends history; meta guards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    val existing = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "completely different historical content here entirely").toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog today",
+      11L -> "novel fresh unseen writing with new words only",
+      12L -> "too short").toDF("doc_id", "text")
+    Dedup.saveDedupIndex(existing, "doc_id", "text", dir, version = "v1", k = 3)
+    assert(Dedup.readDedupIndexMeta(spark, dir).contains(("v1", 3, 64, 32)))
+    val indexed = Dedup.incrementalDedupKeepIndexed(batch, "doc_id", "text",
+      dir, threshold = 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    val recompute = Dedup.incrementalDedupKeep(batch, existing, "doc_id", "text",
+      k = 3, threshold = 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(indexed == recompute && indexed == Seq(11L, 12L))
+    // append the kept docs; tomorrow's repeat of doc 11 must now drop
+    Dedup.appendDedupIndex(
+      batch.filter(col("doc_id").isin(indexed: _*)), "doc_id", "text", dir)
+    val day2 = Seq(20L -> "novel fresh unseen writing with new words only",
+      21L -> "yet another totally original composition for sure").toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalDedupKeepIndexed(day2, "doc_id", "text",
+      dir, threshold = 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept2 == Seq(21L), s"appended history not seen: $kept2")
+    // a missing index fails loudly, never silently keeps everything
+    intercept[IllegalStateException](
+      Dedup.incrementalDedupKeepIndexed(batch, "doc_id", "text",
+        dir + "_nope", threshold = 0.5))
+  }
+
   test("incrementalDedupKeep: empty batch and empty history edge cases") {
     val docs = Seq(1L -> "the quick brown fox jumps over the lazy dog")
       .toDF("doc_id", "text")
