@@ -156,11 +156,21 @@ object Bench {
     // poisoned draw — a third attempt makes an unpoisoned minimum likely,
     // and the per-run array lets a reader tell poison from regression
     // SPARK_GRAFT_ONLY (comma-separated names): isolated re-measurement of
-    // a suspect subset — local adjudication only, the driver never sets it
+    // a suspect subset — local adjudication only, the driver never sets it.
+    // An empty value is no-filter; an unknown name fails loudly (a typo'd
+    // subset would otherwise emit a plausible-looking empty artifact)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val known = Headline.toSet + "tsdb_ingest"
+      val bad = names -- known
+      require(bad.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in Headline: ${bad.toSeq.sorted.mkString(", ")}")
+    }
+    val benchIngest = only.forall(_("tsdb_ingest"))
     val ingestRuns =
-      if (!only.forall(_("tsdb_ingest"))) Seq.empty[Double]
+      if (!benchIngest) Seq.empty[Double]
       else (1 to 3).flatMap { _ =>
         try Some(ingestOnce())
         catch { case e: Throwable => System.err.println(s"[bench] tsdb_ingest: $e"); None }
@@ -170,8 +180,7 @@ object Bench {
     val rounds = Seq.fill(3)(names.map(n => n -> timeOnce(n)).toMap)
     val allRuns: Seq[(String, Seq[Double])] =
       names.map(n => n -> rounds.map(_(n))) ++
-        (if (only.forall(_("tsdb_ingest"))) Seq("tsdb_ingest" -> ingestRuns)
-         else Nil)
+        (if (benchIngest) Seq("tsdb_ingest" -> ingestRuns) else Nil)
     val results = allRuns.flatMap { case (n, rs) => rs.minOption.map(n -> _) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -644,16 +644,21 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
-    // per-domain volume cap (C4's anti-mirror rule): same planted URLs
-    // as text_url_domains — 50 example.com hosts with ~10 docs each and
-    // 2 spam hosts with ~71 each; cap 5 bites every domain, docs keep
-    // their 5 smallest ids per primary (lexicographically-min) host
+    // per-domain volume cap (C4's anti-mirror rule). Planting covers both
+    // primary shapes: docs with doc_id%7==3 link ONLY the spam host (so
+    // www.spam3.bad IS their primary — ~1/7 of the corpus on one host,
+    // capped to 5), every other doc links siteN.example.com (50 hosts,
+    // ~10 docs each, capped to 5), and %7==0 docs ALSO link spam0.bad —
+    // which loses the lexicographic-min primary race to example.com,
+    // exercising the multi-link rule
     "corpus_domain_cap" -> ((s, dir) => {
       val planted = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), concat(
           col("text"),
-          lit(" see http://Site"), (col("doc_id") % 50).cast("string"),
-          lit(".example.com/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 7 =!= 3,
+            concat(lit(" see http://Site"), (col("doc_id") % 50).cast("string"),
+              lit(".example.com/p/"), col("doc_id").cast("string")))
+            .otherwise(lit("")),
           when(col("doc_id") % 7 === 0 || col("doc_id") % 7 === 3,
             concat(lit(" and https://www.spam"),
               (col("doc_id") % 7).cast("string"), lit(".bad/x?q=1")))
@@ -2015,8 +2020,11 @@ object SparkEntry {
     // rank by doc_id within primary, cap at 5, anti-join losers
     "corpus_domain_cap" ->
       """WITH d AS (
-        |  SELECT doc_id, text || ' see http://Site' || CAST(doc_id % 50 AS VARCHAR)
-        |    || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 <> 3
+        |            THEN ' see http://Site' || CAST(doc_id % 50 AS VARCHAR)
+        |                 || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |            ELSE '' END
         |    || CASE WHEN doc_id % 7 IN (0, 3)
         |            THEN ' and https://www.spam' || CAST(doc_id % 7 AS VARCHAR)
         |                 || '.bad/x?q=1'

@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * cs, _ == c)))` — is O(distinct·len) in INTERPRETED higher-order
   * functions (no codegen, per-element lambda dispatch); profiled at ~5.5 s
   * for the sf0.1 corpus. This kernel is one O(len + distinct·log distinct)
-  * pass per row inside whole-stage codegen (~10× on the same corpus).
+  * pass per row inside whole-stage codegen — isolated min-of-3 on the
+  * same corpus: 5.54 s → 0.26 s (~21×).
   *
   * Bit-compatibility contract with the HOF/DuckDB formulation: counts are
   * folded in ASCENDING numeric order (equal addends commute), each term is

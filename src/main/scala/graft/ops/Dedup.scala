@@ -206,20 +206,47 @@ object Dedup {
     // both shingle tables feed a signature build + two verification
     // consumers (explode, sizes) — scope-cached like the self-join path
     val bd0 = bandBucketRows(minHashSignatures(shd, numHashes), numHashes, bands)
-    val bd =
-      if (maxBucketSize == Int.MaxValue) bd0
+    val bb = bandBucketRows(minHashSignatures(shb, numHashes), numHashes, bands)
+    crossVerifiedPairs(bd0, shd, bb, shb, threshold, maxBucketSize,
+      scopeCache = Seq(shd, shb))
+  }
+
+  /** The cross-dataset candidate + verification pipeline shared by
+    * [[crossMinHashLshPairs]] (both sides computed) and
+    * [[incrementalDedupKeepIndexed]] (history from the persisted store) —
+    * ONE definition so the mega-bucket rule and candidate semantics can
+    * never drift between the recompute and indexed paths.
+    *
+    * History buckets are first restricted to the buckets the batch
+    * actually TOUCHES, via a broadcast semi-join on the batch's
+    * (band, bucket) keys (batch-sized × bands rows — the standing
+    * bench-side-is-small contract). Untouched buckets generate no
+    * candidates, and every history row of a touched bucket survives the
+    * join, so bucket sizes — and therefore the `maxBucketSize` guard and
+    * the candidate set — are IDENTICAL to guarding the full table; but
+    * the guard's window now runs over a candidate-sized table and the
+    * history side is scanned, never shuffled (the O(batch)-per-day
+    * contract of the indexed path). */
+  private def crossVerifiedPairs(histBk: DataFrame, histSh: DataFrame,
+                                 bb: DataFrame, shb: DataFrame,
+                                 threshold: Double, maxBucketSize: Int,
+                                 scopeCache: Seq[DataFrame]): DataFrame = {
+    val touched = histBk.join(
+      broadcast(bb.select(col("band"), col("bucket")).distinct()),
+      Seq("band", "bucket"))
+    val guarded =
+      if (maxBucketSize == Int.MaxValue) touched
       else {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-        bd0.withColumn("__bs", count(lit(1)).over(w))
+        touched.withColumn("__bs", count(lit(1)).over(w))
           .filter(col("__bs") <= maxBucketSize).drop("__bs")
       }
-    val bb = bandBucketRows(minHashSignatures(shb, numHashes), numHashes, bands)
-    val cand = bd.as("x").join(bb.as("y"),
+    val cand = guarded.as("x").join(bb.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.id").as("doc_id"), col("y.id").as("bench_id"))
       .distinct()
-    Caching.scoped(shd, shb)(
-      verifyJaccardBetween(cand, shd, shb, "doc_id", "bench_id", threshold))
+    Caching.scoped(scopeCache: _*)(
+      verifyJaccardBetween(cand, histSh, shb, "doc_id", "bench_id", threshold))
   }
 
   /** Verify candidate pairs against the TRUE shingle Jaccard via
@@ -444,14 +471,26 @@ object Dedup {
     * daily loop: dedup the batch against the index, then index the
     * survivors so tomorrow's batch sees them. Parameters come from the
     * index's own `_meta` (a drifted k/hash setup would silently miss
-    * duplicates — fail-loud instead). */
+    * duplicates — fail-loud instead); the caller supplies the NEW corpus
+    * `version` the grown index describes.
+    *
+    * Crash discipline (the [[saveDedupIndex]] contract): `_meta` is
+    * deleted BEFORE the appends and rewritten only after both tables
+    * land. A crash mid-append — or a blind retry of a half-applied
+    * append, which would double-count intersection shingles in every
+    * later verification — leaves the index meta-less, so readers fail
+    * loudly and the operator rebuilds; the index can never silently
+    * serve partial or duplicated batch rows. */
   def appendDedupIndex(docs: DataFrame, idCol: String, textCol: String,
-                       path: String): Unit = {
+                       path: String, version: String): Unit = {
     import org.apache.spark.sql.SaveMode
     val sp = docs.sparkSession
     val (_, k, numHashes, bands) = readDedupIndexMeta(sp, path).getOrElse(
       throw new IllegalStateException(
         s"appendDedupIndex: no index _meta at $path — build with saveDedupIndex first"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_meta"), false)
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
     sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -459,16 +498,23 @@ object Dedup {
       bandBucketRows(minHashSignatures(sh, numHashes), numHashes, bands)
         .write.mode(SaveMode.Append).parquet(s"$path/buckets")
     } finally sh.unpersist()
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_meta"), true)
+    try out.write(
+      s"version=$version\nk=$k\nnumHashes=$numHashes\nbands=$bands\n"
+        .getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** [[incrementalDedupKeep]] against a PERSISTED index: history shingles
     * and buckets stream from disk, so the per-batch compute is the
     * batch's own signature build — not a re-shingle of the whole history.
-    * The candidate join and Jaccard verification read the stored tables
-    * (the bucket table column-pruned for the join; the shingle table
-    * twice in verification — disk-backed scans, no recompute).
-    * `maxBucketSize` guards the HISTORY side exactly as
-    * [[crossMinHashLshPairs]] does. Output: the batch keep-list. */
+    * The stored bucket table is SCANNED (column-pruned) and restricted to
+    * batch-touched buckets by the shared [[crossVerifiedPairs]] broadcast
+    * semi-join before any shuffle or guard window — history is never
+    * shuffled; the shingle store is read twice by verification
+    * (disk-backed scans, no recompute). `maxBucketSize` guards the
+    * history side with semantics identical to [[crossMinHashLshPairs]].
+    * Output: the batch keep-list. */
   def incrementalDedupKeepIndexed(batch: DataFrame, idCol: String,
                                   textCol: String, path: String,
                                   threshold: Double,
@@ -478,22 +524,11 @@ object Dedup {
       throw new IllegalStateException(
         s"incrementalDedupKeepIndexed: no index _meta at $path"))
     val histSh = sp.read.parquet(s"$path/shingles")
-    val histBk0 = sp.read.parquet(s"$path/buckets")
-    val histBk =
-      if (maxBucketSize == Int.MaxValue) histBk0
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-        histBk0.withColumn("__bs", count(lit(1)).over(w))
-          .filter(col("__bs") <= maxBucketSize).drop("__bs")
-      }
+    val histBk = sp.read.parquet(s"$path/buckets")
     val shb = batch.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
     val bb = bandBucketRows(minHashSignatures(shb, numHashes), numHashes, bands)
-    val cand = histBk.as("x").join(bb.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-      .select(col("x.id").as("doc_id"), col("y.id").as("bench_id"))
-      .distinct()
-    val pairs = Caching.scoped(shb)(
-      verifyJaccardBetween(cand, histSh, shb, "doc_id", "bench_id", threshold))
+    val pairs = crossVerifiedPairs(histBk, histSh, bb, shb, threshold,
+      maxBucketSize, scopeCache = Seq(shb))
     batch.join(pairs.select(col("bench_id").as(idCol)), Seq(idCol), "left_anti")
   }
 

@@ -318,7 +318,7 @@ object TextAnalysis {
 
   /** [[charEntropyColumnsFrom]] over a PROJECTED
     * [[graft.functions.CharEntropyStats]] struct column — the codegen'd
-    * one-pass kernel (~10× the interpreted HOF formulation, which stays
+    * one-pass kernel (~21× the interpreted HOF formulation, which stays
     * above as the dependency-free reference; OpsSpec pins both paths
     * bit-identical). Project `charEntropyStats(...)` once and pass the
     * column here. */

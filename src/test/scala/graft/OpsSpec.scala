@@ -301,7 +301,9 @@ class DedupSpec extends SparkSuite {
     assert(indexed == recompute && indexed == Seq(11L, 12L))
     // append the kept docs; tomorrow's repeat of doc 11 must now drop
     Dedup.appendDedupIndex(
-      batch.filter(col("doc_id").isin(indexed: _*)), "doc_id", "text", dir)
+      batch.filter(col("doc_id").isin(indexed: _*)), "doc_id", "text", dir,
+      version = "v2")
+    assert(Dedup.readDedupIndexMeta(spark, dir).contains(("v2", 3, 64, 32)))
     val day2 = Seq(20L -> "novel fresh unseen writing with new words only",
       21L -> "yet another totally original composition for sure").toDF("doc_id", "text")
     val kept2 = Dedup.incrementalDedupKeepIndexed(day2, "doc_id", "text",
