@@ -162,6 +162,44 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: indexed incremental dedup == recompute on random corpora") {
+    // the touched-bucket broadcast restriction in crossVerifiedPairs must
+    // be invisible in the output for ANY batch/history, including under a
+    // binding maxBucketSize — the key invariant of the O(batch) refactor
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    (0 until 3).foreach { i =>
+      val g = for {
+        nh <- Gen.choose(3, 12)
+        nb <- Gen.choose(3, 12)
+        mk = (id: Long) => for {
+          len <- Gen.choose(3, 8)
+          ws <- Gen.listOfN(len, Gen.oneOf(words))
+        } yield id -> ws.mkString(" ")
+        hist <- Gen.sequence[List[(Long, String)], (Long, String)](
+          (0 until nh).map(j => mk(j.toLong)))
+        batch <- Gen.sequence[List[(Long, String)], (Long, String)](
+          (0 until nb).map(j => mk(100L + j)))
+      } yield (hist, batch)
+      val (hist, batch) = g.pureApply(Gen.Parameters.default, Seed(7000L + i))
+      val hd = hist.toDF("doc_id", "text")
+      val bd = batch.toDF("doc_id", "text")
+      for (maxBucket <- Seq(Int.MaxValue, 2)) {
+        val recompute = graft.ops.Dedup.incrementalDedupKeep(bd, hd,
+            "doc_id", "text", k = 3, threshold = 0.5,
+            maxBucketSize = maxBucket)
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+        graft.ops.Dedup.saveDedupIndex(hd, "doc_id", "text", dir, s"v$i", k = 3)
+        val indexed = graft.ops.Dedup.incrementalDedupKeepIndexed(bd,
+            "doc_id", "text", dir, threshold = 0.5, maxBucketSize = maxBucket)
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(indexed == recompute,
+          s"case $i maxBucket=$maxBucket\nindexed=$indexed\nrecompute=$recompute")
+      }
+    }
+  }
+
   test("PROPERTY: hammingPairs == brute-force Hamming on random fingerprints (maxDist <= 3)") {
     // pigeonhole completeness: at maxDist <= 3 a shared 16-bit block is
     // GUARANTEED, so the banded output must equal brute force exactly.
