@@ -1293,6 +1293,32 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // JSONL corpus round-trip with corrupt-line quarantine (the
+    // training-data source format): documents serialize to JSONL with two
+    // planted broken lines, read back under an explicit schema via the
+    // text + from_json path. Output binds CONTENT (md5 of each
+    // round-tripped text) plus a -1 receipts row carrying the quarantine
+    // count — the twin derives both from the parquet table directly
+    "corpus_jsonl" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      docs.toJSON
+        .union(Seq("{broken json", "\"not\" an object").toDS)
+        .coalesce(1).write.mode("overwrite").text(s"$tmp/data")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType)))
+      val (good, bad) = graft.ingest.JsonlSource.readSplit(s, s"$tmp/data", schema)
+      good.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("receipt"))
+        .unionByName(bad.agg(count(lit(1)).cast("string").as("receipt"))
+          .select(lit(-1L).as("doc_id"), col("receipt")))
+        .orderBy("doc_id")
+    }),
+
     // epoch-based source upsampling (the "books x3.25" side of a data
     // recipe): floor epochs replicate every doc, the fractional epoch is
     // a deterministic md5 hash band. Epoch targets are dyadic
@@ -2697,6 +2723,13 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d
         |JOIN t USING (source)
         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th
+        |ORDER BY doc_id""".stripMargin,
+
+    // round-trip identity: good rows = the documents table verbatim
+    // (md5-bound), quarantine count = the 2 planted broken lines
+    "corpus_jsonl" ->
+      """SELECT doc_id, md5(text) AS receipt FROM documents
+        |UNION ALL SELECT -1, '2'
         |ORDER BY doc_id""".stripMargin,
 
     // epochs by source index mod 4: 0.5 / 1.25 / 2.0 / 2.75 — floor

@@ -245,7 +245,11 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.id").as("doc_id"), col("y.id").as("bench_id"))
       .distinct()
-    Caching.scoped(scopeCache: _*)(
+    // bb joins the scope caches: it feeds TWO consumers (the broadcast
+    // key set and the candidate join) — uncached, the batch signature
+    // aggregate would run twice (measured ~0.9 s at sf0.1); the table is
+    // (batch × bands) rows and is released with the rest of the scope
+    Caching.scoped(scopeCache :+ bb: _*)(
       verifyJaccardBetween(cand, histSh, shb, "doc_id", "bench_id", threshold))
   }
 

@@ -35,6 +35,30 @@ class CsvSourceSpec extends SparkSuite {
   }
 }
 
+class JsonlSourceSpec extends SparkSuite {
+  import org.apache.spark.sql.types._
+
+  test("jsonl split: good rows unwrap, corrupt lines quarantine verbatim, missing fields are NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_spec")
+    java.nio.file.Files.writeString(dir.resolve("part.jsonl"),
+      Seq(
+        """{"doc_id": 1, "text": "hello"}""",
+        """{"doc_id": 2}""",                       // missing field: NULL, not corrupt
+        """{broken""",                             // corrupt
+        """"just a string"""",                     // valid JSON, not an object: corrupt
+        """{"doc_id": 3, "text": "line\nbreak"}""" // escaped newline round-trips
+      ).mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (good, bad) = graft.ingest.JsonlSource.readSplit(spark, dir.toString, schema)
+    val g = good.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).sortBy(_._1)
+    assert(g.toSeq == Seq((1L, "hello"), (2L, null), (3L, "line\nbreak")))
+    val b = bad.collect().map(_.getString(0)).sorted
+    assert(b.toSeq == Seq("\"just a string\"", "{broken"))
+  }
+}
+
 class CsvEdgeSpec extends SparkSuite {
   import spark.implicits._
 
