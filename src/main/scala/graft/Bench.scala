@@ -44,7 +44,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",
     "sim_topk", "sim_ann_ivf", "sim_quantize", "dedup_embedding_srp",
-    "sim_knn_graph", "sim_knn_graph_ivf",
+    "sim_knn_graph", "sim_knn_graph_ivf", "sim_embed_stats",
     "events_sessionize",
     "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",
     "text_tfidf", "text_redact", "text_normalize", "text_gopher_rules",

@@ -957,6 +957,12 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), k = 3,
         nCentroids = 16, nProbe = 4, trainIters = 0)),
 
+    // per-dimension embedding profile (normalization/whitening receipts,
+    // drift monitoring). Integer-scaled decimal sums make the float
+    // aggregation order-independent and twin-exact — see dimStats
+    "sim_embed_stats" -> ((s, dir) =>
+      Similarity.dimStats(s.read.parquet(s"$dir/embeddings.parquet"))),
+
     // int8 embedding quantization (vector compression before ANN at
     // scale: 4x smaller, SIMD-friendly). floor(x+0.5) not round(): IEEE
     // floor/multiply are bit-identical across engines, round half-modes
@@ -2312,6 +2318,28 @@ object SparkEntry {
     // their 4 nearest cells, candidates ranked within the probed cells,
     // then per-query overlap with exact brute-force top-5 — integer
     // counts, so float formatting can't smudge the compare
+    // identical integer scaling (floor(v*2^k + 0.5)) and exact HUGEINT
+    // sums; generate_series zip-unnest gives the 1-based dim
+    "sim_embed_stats" ->
+      """WITH x AS (
+        |  SELECT unnest(embedding::DOUBLE[]) AS v,
+        |         unnest(generate_series(1, len(embedding))) AS dim
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT dim, count(*) AS n,
+        |    sum(CAST(floor(v * 16777216 + 0.5) AS BIGINT)) AS sv,
+        |    sum(CAST(floor(v * 4096 + 0.5) AS BIGINT)
+        |        * CAST(floor(v * 4096 + 0.5) AS BIGINT)) AS sv2,
+        |    min(v) AS mn, max(v) AS mx
+        |  FROM x GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+        |  round(CAST(sv AS DOUBLE) / 16777216 / n, 6) AS mean,
+        |  round(sqrt(greatest(0.0,
+        |    CAST(sv2 AS DOUBLE) / (4096.0 * 4096.0) / n
+        |    - (CAST(sv AS DOUBLE) / 16777216 / n) * (CAST(sv AS DOUBLE) / 16777216 / n))), 6) AS std,
+        |  round(mn, 6) AS min_v, round(mx, 6) AS max_v
+        |FROM s ORDER BY dim""".stripMargin,
+
     "sim_knn_graph" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |j AS (

@@ -274,6 +274,48 @@ object Similarity {
     cents
   }
 
+  /** Per-dimension embedding profile — the receipts that normalization /
+    * whitening and embedding-drift monitoring read: count, mean,
+    * population std, min and max per dimension, one row per dim
+    * (1-based).
+    *
+    * Determinism contract (the [[quantizeInt8]] discipline, applied to
+    * aggregation): float sums over shuffled rows are order-dependent, so
+    * values are first scaled to INTEGERS — `floor(v·2^24 + 0.5)` for the
+    * first moment, `floor(v·2^12 + 0.5)` for the second (the coarser
+    * scale keeps Σiv² exactly representable in double after the exact
+    * DECIMAL sum; σ quantization error ≤ ~3e-4, a receipts-grade trade) —
+    * and summed as decimals, which are exact and order-independent; the
+    * DuckDB twin's HUGEINT sums see the identical integers (floor and
+    * power-of-two multiplies are engine-independent, no round()
+    * half-mode). One shuffle on the dim key (map-side combined, #dims
+    * output rows); min/max are exact float comparisons. */
+  def dimStats(data: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val s1 = (1L << 24).toDouble
+    val s2 = (1L << 12).toDouble
+    val x = data
+      .select(posexplode(col(vecCol)).as(Seq("dim0", "vf")))
+      .select((col("dim0") + 1).cast("long").as("dim"),
+        col("vf").cast("double").as("v"))
+      .select(col("dim"), col("v"),
+        floor(col("v") * s1 + lit(0.5)).cast("long").as("iv1"),
+        floor(col("v") * s2 + lit(0.5)).cast("long").as("iv2"))
+    val g = x.groupBy("dim").agg(
+      count(lit(1)).as("n"),
+      sum(col("iv1").cast("decimal(38,0)")).as("sv"),
+      sum((col("iv2") * col("iv2")).cast("decimal(38,0)")).as("sv2"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val mean = g("sv").cast("double") / s1 / g("n")
+    val ex2 = g("sv2").cast("double") / (s2 * s2) / g("n")
+    val m2 = g("sv").cast("double") / s1 / g("n")
+    g.select(col("dim"), col("n"),
+        round(mean, 6).as("mean"),
+        round(sqrt(greatest(lit(0.0), ex2 - m2 * m2)), 6).as("std"),
+        round(col("mn"), 6).as("min_v"),
+        round(col("mx"), 6).as("max_v"))
+      .orderBy("dim")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * vector-compression step before ANN at scale (4× smaller than float32,
     * SIMD-friendly dot products). Per-vector scale = 127/max|xᵢ|;

@@ -535,6 +535,27 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF graph recall $recall too low for nProbe=4/8")
   }
 
+  test("dimStats: closed-form per-dim stats, quantized determinism, partition independence") {
+    import spark.implicits._
+    val e = Seq((0L, Array(1f, 3f, 0.1f)), (1L, Array(3f, 5f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.dimStats(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    val out = run(e)
+    // dim 1: values 1,3 -> mean 2, population std 1; dim 2: 3,5 -> 4, 1
+    assert(out(1L) == ((2L, 2.0, 1.0, 1.0, 3.0)))
+    assert(out(2L) == ((2L, 4.0, 1.0, 3.0, 5.0)))
+    // dim 3: fractional floats — mean within first-moment quantization
+    // (2^-24), std within the documented coarse-scale bound (~3e-4)
+    val (_, m3, s3, mn3, mx3) = out(3L)
+    assert(math.abs(m3 - 0.2) < 1e-5, s"mean $m3")
+    assert(math.abs(s3 - 0.1) < 5e-4, s"std $s3")
+    assert(math.abs(mn3 - 0.1) < 1e-6 && math.abs(mx3 - 0.3) < 1e-6)
+    assert(run(e.repartition(5)) == out, "stats must not depend on partitioning")
+  }
+
   test("int8 quantization: scale/clamp semantics and dequantized cosine fidelity") {
     import spark.implicits._
     val e = Seq((0L, Array(0.5f, -1.0f, 0.25f)), (1L, Array(0f, 0f, 0f)))
