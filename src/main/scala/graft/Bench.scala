@@ -43,6 +43,7 @@ object Bench {
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",
+    "corpus_dedup_stream",
     "sim_topk", "sim_ann_ivf", "sim_quantize", "dedup_embedding_srp",
     "sim_knn_graph", "sim_knn_graph_ivf", "sim_embed_stats",
     "events_sessionize",

@@ -855,6 +855,47 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // the streaming daily-crawl loop end-to-end: two file-source
+    // micro-batches (history then batch, mtime-ordered) through the REAL
+    // streamingDedup foreachBatch — bootstrap index, dedup batch 2
+    // against batch 1's survivors, append. Kept set must equal "all of
+    // batch 1 + batch 2 minus cross-matches", i.e. the dedup_incremental
+    // oracle plus the history — proving the loop's ordering discipline
+    // (materialize-before-append) end-to-end
+    "corpus_dedup_stream" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dstream")
+      try {
+        val staged = new java.io.File(s"$tmp/staged"); staged.mkdirs()
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val d = s"$tmp/w_$name"
+          df.coalesce(1).write.parquet(d)
+          val part = new java.io.File(d).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dest = new java.io.File(staged, s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(mtime)
+        }
+        val t0 = System.currentTimeMillis() - 600000
+        stage(docs.filter(col("doc_id") < 400), "0_hist", t0)
+        stage(docs.filter(col("doc_id") >= 400), "1_batch", t0 + 120000)
+        val st = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        val q = Dedup.streamingDedup(st, "doc_id", "text",
+          s"$tmp/idx", s"$tmp/kept", s"$tmp/ckpt",
+          k = 3, threshold = 0.5, maxBucketSize = 1000)
+        try q.processAllAvailable() finally q.stop()
+        val res = s.read.parquet(s"$tmp/kept").select("doc_id").orderBy("doc_id")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(tmp.toFile)
+      }
+    }),
+
     "dedup_report" -> ((s, dir) =>
       Dedup.clusterSizeHistogram(
         docClusters(s.read.parquet(s"$dir/documents.parquet")))),
@@ -2178,6 +2219,21 @@ object SparkEntry {
          |  ON a.doc_id < 400 AND b.doc_id >= 400
          |  AND len(list_intersect(a.sh, b.sh)) * 1.0
          |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT bid FROM m)
+         |ORDER BY doc_id""".stripMargin,
+
+    // kept = ALL of the history batch + the new batch minus cross-matches
+    // (the dedup_incremental oracle with the history union'd back)
+    "corpus_dedup_stream" ->
+      s"""WITH $NgramJaccardCtes,
+         |m AS (
+         |  SELECT b.doc_id AS bid FROM s a JOIN s b
+         |  ON a.doc_id < 400 AND b.doc_id >= 400
+         |  AND len(list_intersect(a.sh, b.sh)) * 1.0
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+         |SELECT doc_id FROM documents WHERE doc_id < 400
+         |UNION ALL
          |SELECT doc_id FROM documents
          |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT bid FROM m)
          |ORDER BY doc_id""".stripMargin,

@@ -518,7 +518,12 @@ object Dedup {
     * shuffled; the shingle store is read twice by verification
     * (disk-backed scans, no recompute). `maxBucketSize` guards the
     * history side with semantics identical to [[crossMinHashLshPairs]].
-    * Output: the batch keep-list. */
+    * Output: the batch keep-list — LAZY, and its plan reads the index:
+    * materialize it (write it to its destination) BEFORE growing the
+    * index with [[appendDedupIndex]]. A write action re-resolves parquet
+    * sources, so an append-first order makes the keep plan re-list the
+    * grown index and drop every batch doc as its own duplicate —
+    * [[streamingDedup]] pins the safe order. */
   def incrementalDedupKeepIndexed(batch: DataFrame, idCol: String,
                                   textCol: String, path: String,
                                   threshold: Double,
@@ -535,6 +540,55 @@ object Dedup {
       maxBucketSize, scopeCache = Seq(shb))
     batch.join(pairs.select(col("bench_id").as(idCol)), Seq(idCol), "left_anti")
   }
+
+  /** The daily-crawl dedup loop as a STREAM: each micro-batch dedups
+    * against the persisted index ([[incrementalDedupKeepIndexed]]),
+    * appends its SURVIVORS to both the kept-corpus sink at `outPath` and
+    * the index ([[appendDedupIndex]]), so later batches see them. The
+    * first batch bootstraps the index (nothing to dedup against).
+    *
+    * Ordering inside the batch matters and is pinned here: the keep-list
+    * is written to its per-batch sink directory `outPath/batch=<id>`
+    * BEFORE the index grows, and the index append reads that on-disk
+    * copy — whose lineage is a plain file scan with no dependence on the
+    * index. The naive order (append, then write the lazy keep plan) is a
+    * trap this module hit in testing: a write action RE-RESOLVES its
+    * parquet sources, so the keep plan re-lists the grown index and
+    * drops every doc as its own duplicate. Caching does not close the
+    * hole (command execution bypasses it); the disk round-trip does.
+    *
+    * Delivery: foreachBatch is at-least-once on restart. The per-batch
+    * sink directory is OVERWRITTEN on replay (sink idempotent); the
+    * index append is not idempotent, but the `_meta`-first crash
+    * discipline in save/append turns a half-applied append into a loud
+    * missing-meta failure (operator rebuilds) instead of silent
+    * double-counted signatures. */
+  def streamingDedup(stream: DataFrame, idCol: String, textCol: String,
+                     indexPath: String, outPath: String, checkpoint: String,
+                     k: Int, threshold: Double,
+                     numHashes: Int = 64, bands: Int = 32,
+                     maxBucketSize: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.SaveMode
+        val sp = batch.sparkSession
+        val dest = s"$outPath/batch=$batchId"
+        readDedupIndexMeta(sp, indexPath) match {
+          case None =>
+            batch.write.mode(SaveMode.Overwrite).parquet(dest)
+            saveDedupIndex(sp.read.parquet(dest), idCol, textCol, indexPath,
+              version = s"batch-$batchId", k, numHashes, bands)
+          case Some(_) =>
+            incrementalDedupKeepIndexed(batch, idCol, textCol,
+                indexPath, threshold, maxBucketSize)
+              .write.mode(SaveMode.Overwrite).parquet(dest)
+            appendDedupIndex(sp.read.parquet(dest), idCol, textCol, indexPath,
+              version = s"batch-$batchId")
+        }
+      }
+      .start()
 
   /** Dedup receipts: the cluster-size histogram a curation run is judged
     * by — one row per observed near-dup cluster size with how many

@@ -405,6 +405,36 @@ class CorpusSpec extends SparkSuite {
 class CorpusStreamingSpec extends SparkSuite {
   import spark.implicits._
 
+  test("streamingDedup: bootstrap, cross-batch keep, index growth, survivors-only appended") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdtest").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = graft.ops.Dedup.streamingDedup(stream, "doc_id", "text",
+      s"$tmp/idx", s"$tmp/kept", s"$tmp/ckpt", k = 3, threshold = 0.5)
+    try {
+      // batch 0: bootstrap — everything kept, index built
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "completely different historical content here entirely"))
+      q.processAllAvailable()
+      assert(graft.ops.Dedup.readDedupIndexMeta(spark, s"$tmp/idx")
+        .exists(_._1 == "batch-0"))
+      // batch 1: 10 dups batch 0's doc 1 → dropped; 11 is novel → kept
+      mem.addData((10L, "the quick brown fox jumps over the lazy dog today"),
+        (11L, "novel fresh unseen writing with new words only"))
+      q.processAllAvailable()
+      // batch 2: 20 dups the doc APPENDED in batch 1 → dropped
+      mem.addData((20L, "novel fresh unseen writing with new words only"),
+        (21L, "yet another original piece of text altogether now"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$tmp/kept")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 2L, 11L, 21L), s"got $kept")
+      assert(graft.ops.Dedup.readDedupIndexMeta(spark, s"$tmp/idx")
+        .exists(_._1 == "batch-2"))
+    } finally q.stop()
+  }
+
   test("streamingCurate: cross-batch fingerprint dedup within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
