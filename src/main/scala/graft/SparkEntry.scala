@@ -40,6 +40,14 @@ object SparkEntry {
   private def r6(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 6)))
 
+  /** Recursive delete for the self-staging entries' temp trees — these
+    * run every verify/bench round, and a leaked corpus-sized directory
+    * per invocation would fill /tmp on long-lived sessions. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
   /** One TsdbTable per (JVM, sfDir) built from the events samples —
     * exercises the real storage path (append → rollup → planner). */
   private val tables = scala.collection.concurrent.TrieMap.empty[String, Tsdb]
@@ -365,12 +373,7 @@ object SparkEntry {
         val res = r6(out, Seq("sum", "min", "max"))
         val rows = res.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(tmp.toFile)
-      }
+      } finally rmTree(tmp.toFile)
     }),
 
     // pre-aggregate cross-label table: GroupBy matches the materialized
@@ -888,12 +891,7 @@ object SparkEntry {
         val res = s.read.parquet(s"$tmp/kept").select("doc_id").orderBy("doc_id")
         val rows = res.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(tmp.toFile)
-      }
+      } finally rmTree(tmp.toFile)
     }),
 
     "dedup_report" -> ((s, dir) =>
@@ -1358,12 +1356,17 @@ object SparkEntry {
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType)))
-      val (good, bad) = graft.ingest.JsonlSource.readSplit(s, s"$tmp/data", schema)
-      good.select(col("doc_id"),
-          md5(col("text").cast("binary")).as("receipt"))
-        .unionByName(bad.agg(count(lit(1)).cast("string").as("receipt"))
-          .select(lit(-1L).as("doc_id"), col("receipt")))
-        .orderBy("doc_id")
+      try {
+        val (good, bad) = graft.ingest.JsonlSource.readSplit(s, s"$tmp/data", schema)
+        val res = good.select(col("doc_id"),
+            md5(col("text").cast("binary")).as("receipt"))
+          .unionByName(bad.agg(count(lit(1)).cast("string").as("receipt"))
+            .select(lit(-1L).as("doc_id"), col("receipt")))
+          .orderBy("doc_id")
+        // detach from the temp files before they are removed
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(new java.io.File(tmp))
     }),
 
     // epoch-based source upsampling (the "books x3.25" side of a data

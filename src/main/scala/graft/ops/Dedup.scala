@@ -557,12 +557,17 @@ object Dedup {
     * drops every doc as its own duplicate. Caching does not close the
     * hole (command execution bypasses it); the disk round-trip does.
     *
-    * Delivery: foreachBatch is at-least-once on restart. The per-batch
-    * sink directory is OVERWRITTEN on replay (sink idempotent); the
-    * index append is not idempotent, but the `_meta`-first crash
-    * discipline in save/append turns a half-applied append into a loud
-    * missing-meta failure (operator rebuilds) instead of silent
-    * double-counted signatures. */
+    * Delivery: foreachBatch is at-least-once on restart, and every
+    * replay window is handled explicitly: a replay of a FULLY-applied
+    * batch (its append committed `_meta` as `batch-<id>`) is detected by
+    * that version and becomes a no-op — re-running it would dedup the
+    * batch against its own appended signatures and empty the sink; a
+    * crash BEFORE the append replays cleanly (same index → same
+    * keep-list → same sink overwrite); a crash MID-append leaves the
+    * index meta-less over existing tables, which the restart refuses
+    * loudly (bootstrap is only legal on a genuinely fresh path) — the
+    * operator rebuilds the index from the kept corpus. Caller signature
+    * parameters are checked against the index's `_meta` on every batch. */
   def streamingDedup(stream: DataFrame, idCol: String, textCol: String,
                      indexPath: String, outPath: String, checkpoint: String,
                      k: Int, threshold: Double,
@@ -576,11 +581,35 @@ object Dedup {
         val sp = batch.sparkSession
         val dest = s"$outPath/batch=$batchId"
         readDedupIndexMeta(sp, indexPath) match {
+          // this exact batch already ran to completion (its append
+          // committed the meta) and only the stream checkpoint was lost:
+          // a full replay would dedup the batch against its OWN appended
+          // signatures and overwrite the sink with an empty keep-list —
+          // the committed version makes the replay a no-op instead
+          case Some((v, _, _, _)) if v == s"batch-$batchId" => ()
           case None =>
+            // bootstrap ONLY on a genuinely fresh path: a missing _meta
+            // over existing tables is a half-applied append — rebuilding
+            // from this batch alone would silently discard the whole
+            // accumulated history index
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              new java.net.URI(indexPath), sp.sparkContext.hadoopConfiguration)
+            if (fs.exists(new org.apache.hadoop.fs.Path(indexPath, "shingles")))
+              throw new IllegalStateException(
+                s"streamingDedup: index at $indexPath has tables but no _meta " +
+                  "— a crashed append left it inconsistent; rebuild with " +
+                  "saveDedupIndex over the full kept corpus before restarting")
             batch.write.mode(SaveMode.Overwrite).parquet(dest)
             saveDedupIndex(sp.read.parquet(dest), idCol, textCol, indexPath,
               version = s"batch-$batchId", k, numHashes, bands)
-          case Some(_) =>
+          case Some((_, mk, mh, mb)) =>
+            // the caller's signature parameters must match the index's —
+            // silently deduping under different ones is the drift the
+            // _meta exists to prevent
+            require(mk == k && mh == numHashes && mb == bands,
+              s"streamingDedup: index at $indexPath was built with " +
+                s"(k=$mk, numHashes=$mh, bands=$mb), caller passed " +
+                s"(k=$k, numHashes=$numHashes, bands=$bands)")
             incrementalDedupKeepIndexed(batch, idCol, textCol,
                 indexPath, threshold, maxBucketSize)
               .write.mode(SaveMode.Overwrite).parquet(dest)

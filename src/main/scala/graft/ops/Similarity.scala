@@ -298,19 +298,23 @@ object Similarity {
       .select((col("dim0") + 1).cast("long").as("dim"),
         col("vf").cast("double").as("v"))
       .select(col("dim"), col("v"),
-        floor(col("v") * s1 + lit(0.5)).cast("long").as("iv1"),
-        floor(col("v") * s2 + lit(0.5)).cast("long").as("iv2"))
+        // straight to decimal: a Long square would overflow SILENTLY for
+        // |v| ≳ 7e5 (wrong std exactly on the pathological input drift
+        // receipts exist to catch) while the DuckDB twin errors; decimal
+        // keeps sane magnitudes exact and makes absurd ones fail loudly
+        // on BOTH engines
+        floor(col("v") * s1 + lit(0.5)).cast("decimal(38,0)").as("iv1"),
+        floor(col("v") * s2 + lit(0.5)).cast("decimal(38,0)").as("iv2"))
     val g = x.groupBy("dim").agg(
       count(lit(1)).as("n"),
-      sum(col("iv1").cast("decimal(38,0)")).as("sv"),
-      sum((col("iv2") * col("iv2")).cast("decimal(38,0)")).as("sv2"),
+      sum(col("iv1")).as("sv"),
+      sum(col("iv2") * col("iv2")).as("sv2"),
       min(col("v")).as("mn"), max(col("v")).as("mx"))
     val mean = g("sv").cast("double") / s1 / g("n")
     val ex2 = g("sv2").cast("double") / (s2 * s2) / g("n")
-    val m2 = g("sv").cast("double") / s1 / g("n")
     g.select(col("dim"), col("n"),
         round(mean, 6).as("mean"),
-        round(sqrt(greatest(lit(0.0), ex2 - m2 * m2)), 6).as("std"),
+        round(sqrt(greatest(lit(0.0), ex2 - mean * mean)), 6).as("std"),
         round(col("mn"), 6).as("min_v"),
         round(col("mx"), 6).as("max_v"))
       .orderBy("dim")

@@ -435,6 +435,41 @@ class CorpusStreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup: meta-less index with tables refuses loudly; parameter drift refuses") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdguard").toString
+    val hist = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.saveDedupIndex(hist, "doc_id", "text", s"$tmp/idx", "v0", k = 3)
+    // half-applied append: tables exist, _meta gone — bootstrap must NOT
+    // silently rebuild from the batch and discard history
+    new java.io.File(s"$tmp/idx/_meta").delete()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.ops.Dedup.streamingDedup(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp/idx", s"$tmp/kept", s"$tmp/ckpt",
+      k = 3, threshold = 0.5)
+    try {
+      mem.addData((10L, "anything at all here"))
+      val e = intercept[Exception](q.processAllAvailable())
+      assert(e.getMessage.contains("no _meta") ||
+        Option(e.getCause).exists(_.getMessage.contains("no _meta")) ||
+        e.toString.contains("inconsistent"), s"unexpected: $e")
+    } finally q.stop()
+    // drifted parameters against a healthy index refuse per-batch
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_sdguard2").toString
+    graft.ops.Dedup.saveDedupIndex(hist, "doc_id", "text", s"$tmp2/idx", "v0", k = 3)
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q2 = graft.ops.Dedup.streamingDedup(mem2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp2/idx", s"$tmp2/kept", s"$tmp2/ckpt",
+      k = 5, threshold = 0.5)
+    try {
+      mem2.addData((10L, "anything at all here"))
+      val e2 = intercept[Exception](q2.processAllAvailable())
+      assert(e2.toString.contains("built with") ||
+        Option(e2.getCause).exists(_.getMessage.contains("built with")), s"unexpected: $e2")
+    } finally q2.stop()
+  }
+
   test("streamingCurate: cross-batch fingerprint dedup within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
