@@ -1369,6 +1369,21 @@ object SparkEntry {
       } finally rmTree(new java.io.File(tmp))
     }),
 
+    // corpus snapshot diff (crawl-refresh receipts): new version = old
+    // with ids % 10 == 7 edited, ids >= 450 dropped, and 20 fresh docs
+    // appended at +10000 — the per-doc added/removed/changed/unchanged
+    // report, derived identically in the twin
+    "corpus_diff" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val newV = docs.filter(col("doc_id") < 450)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 7, concat(col("text"), lit(" edited v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Corpus.snapshotDiff(docs, newV, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // epoch-based source upsampling (the "books x3.25" side of a data
     // recipe): floor epochs replicate every doc, the fractional epoch is
     // a deterministic md5 hash band. Epoch targets are dyadic
@@ -2817,6 +2832,30 @@ object SparkEntry {
     "corpus_jsonl" ->
       """SELECT doc_id, md5(text) AS receipt FROM documents
         |UNION ALL SELECT -1, '2'
+        |ORDER BY doc_id""".stripMargin,
+
+    // same construction: edits flip the normalized-text md5, removals
+    // and additions fall out of the full outer join
+    "corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(
+        |      CASE WHEN doc_id % 10 = 7 THEN text || ' edited v2' ELSE text END,
+        |      '\s+', ' ', 'g')))) AS f
+        |  FROM documents WHERE doc_id < 450
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.f <> n.f THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // epochs by source index mod 4: 0.5 / 1.25 / 2.0 / 2.75 — floor

@@ -232,6 +232,31 @@ object Corpus {
         explode(sequence(lit(0L), col("__n").cast("long") - 1L)).as("epoch"): _*)
   }
 
+  /** Corpus snapshot diff — the crawl-refresh receipts: per doc id,
+    * whether it was `added`, `removed`, `changed` (same id, different
+    * normalized content fingerprint — [[TextAnalysis.fingerprint]]) or
+    * `unchanged` between two corpus versions. The report every
+    * incremental retrain decision reads ("what actually moved since the
+    * last snapshot?"), and the input to targeted re-embedding /
+    * re-dedup of only the changed slice.
+    *
+    * Distributed shape: fingerprints at scan speed on each side, ONE
+    * full-outer hash join on id — no corpus-wide sort; filter
+    * `status != 'unchanged'` before materializing if only the delta
+    * matters (the common case — predicate sits above the join, Spark
+    * pushes nothing extra). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, out: String) = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as(out))
+    fp(oldDocs, "__fo").join(fp(newDocs, "__fn"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__fo").isNull, "added")
+          .when(col("__fn").isNull, "removed")
+          .when(col("__fo") =!= col("__fn"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** The per-source keep rates [[mixSources]] applies — exposed so a
     * pipeline can log its mixture receipts (and the oracle twin can be
     * read against them). */

@@ -190,6 +190,19 @@ class CorpusSpec extends SparkSuite {
       Corpus.upsampleEpochs(d, "doc_id", "source", Map("s0" -> 0.0)))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged; whitespace-normalized compare") {
+    val oldV = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
+      .toDF("doc_id", "text")
+    val newV = Seq(
+      (1L, "  Alpha   text "), // normalizes to the same fingerprint
+      (2L, "beta text CHANGED"),
+      (4L, "delta text")).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.snapshotDiff(oldV, newV, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"got $out")
+  }
+
   test("mixSources: unlisted sources drop; bad weights fail loudly") {
     val d = spark.range(100).select(col("id").as("doc_id"),
       when(col("id") < 50, "keep").otherwise("other").as("source"))
