@@ -89,9 +89,11 @@ object SparkEntry {
       .select(col("doc_id"), col("text"),
         TextAnalysis.tokens(col("text")).as("__w"),
         TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+      .select(col("doc_id"), col("text"), col("__w"),
+        TextAnalysis.stopwordCounts(s, col("__wl")).as("__sc"))
       .select(col("doc_id"),
-        TextAnalysis.langIdFrom(col("text"), col("__wl")).as("pred_lang"),
-        TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
+        TextAnalysis.langIdFromCounts(col("text"), col("__sc")).as("pred_lang"),
+        TextAnalysis.qualityColumnsFromCounts(col("text"), col("__w"), col("__sc")).last)
       .filter(col("quality_score") >= 0.4 && col("pred_lang") =!= "unknown")
     Dedup.dropNearDuplicates(gated, "doc_id", docClusters(docs))
   }
@@ -499,8 +501,10 @@ object SparkEntry {
         .select(col("doc_id"), col("text"),
           TextAnalysis.tokens(col("text")).as("__w"),
           TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+        .select(col("doc_id"), col("text"), col("__w"),
+          TextAnalysis.stopwordCounts(s, col("__wl")).as("__sc"))
         .select(col("doc_id") +:
-          TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")): _*)
+          TextAnalysis.qualityColumnsFromCounts(col("text"), col("__w"), col("__sc")): _*)
         .withColumn("char_len", col("char_len").cast("long"))
         .withColumn("word_cnt", col("word_cnt").cast("long"))
         .withColumn("punct_cnt", col("punct_cnt").cast("long"))
@@ -513,8 +517,10 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"), col("text"),
           TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.stopwordCounts(s, col("__wl")).as("__sc"))
         .select(col("doc_id"), col("lang"),
-          TextAnalysis.langIdFrom(col("text"), col("__wl")).as("pred_lang"))
+          TextAnalysis.langIdFromCounts(col("text"), col("__sc")).as("pred_lang"))
         .orderBy("doc_id")
     }),
 
@@ -1276,8 +1282,10 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("text"),
           TextAnalysis.tokens(col("text")).as("__w"),
           TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+        .select(col("doc_id"), col("source"), col("text"), col("__w"),
+          TextAnalysis.stopwordCounts(s, col("__wl")).as("__sc"))
         .select(col("doc_id"), col("source"),
-          TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
+          TextAnalysis.qualityColumnsFromCounts(col("text"), col("__w"), col("__sc")).last)
       Corpus.quantileGate(scored,
           round(col("quality_score") * 1e6).cast("long"), "source",
           dropFrac = 0.2)
@@ -1428,8 +1436,10 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("text"),
           TextAnalysis.tokens(col("text")).as("__w"),
           TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+        .select(col("doc_id"), col("lang"), col("source"), col("text"), col("__w"),
+          TextAnalysis.stopwordCounts(s, col("__wl")).as("__sc"))
         .select(col("doc_id"), col("lang"), col("source"),
-          TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
+          TextAnalysis.qualityColumnsFromCounts(col("text"), col("__w"), col("__sc")).last)
       Corpus.topKPerGroup(scored, Seq("lang", "source"), "quality_score", "doc_id", 3)
         .select("lang", "source", "doc_id", "quality_score", "rank")
     }),

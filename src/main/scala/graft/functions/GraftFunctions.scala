@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NfcNormalize.info, NfcNormalize.builder))
     ext.injectFunction((FunctionIdentifier(CharEntropyStats.Name),
       CharEntropyStats.info, CharEntropyStats.builder))
+    ext.injectFunction((FunctionIdentifier(StopwordSetCounts.Name),
+      StopwordSetCounts.info, StopwordSetCounts.builder))
   }
 }
 
@@ -66,6 +68,8 @@ object GraftFunctions {
         NfcNormalize.Name, NfcNormalize.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         CharEntropyStats.Name, CharEntropyStats.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        StopwordSetCounts.Name, StopwordSetCounts.builder, "built-in")
       registered.put(spark, java.lang.Boolean.TRUE)
     }
   }

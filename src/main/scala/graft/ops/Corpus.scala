@@ -434,13 +434,14 @@ object Corpus {
       }
     deduped
       .withColumn("__w", TextAnalysis.tokens(col(textCol)))
-      .withColumn("__wl", TextAnalysis.tokens(lower(col(textCol))))
+      .withColumn("__sc", TextAnalysis.stopwordCounts(docs.sparkSession,
+        TextAnalysis.tokens(lower(col(textCol)))))
       .withColumn("pred_lang",
-        TextAnalysis.langIdFrom(col(textCol), col("__wl")))
+        TextAnalysis.langIdFromCounts(col(textCol), col("__sc")))
       .withColumn("quality_score",
-        TextAnalysis.qualityColumnsFrom(col(textCol), col("__w"), col("__wl")).last)
+        TextAnalysis.qualityColumnsFromCounts(col(textCol), col("__w"), col("__sc")).last)
       .filter(col("quality_score") >= minQuality && col("pred_lang") =!= "unknown")
-      .drop("__w", "__wl")
+      .drop("__w", "__sc")
   }
 
   /** Fixed-size token chunking with overlap — how documents become

@@ -130,6 +130,50 @@ object TextAnalysis {
   private def stopCount(words: Column, stops: Seq[String]): Column =
     size(filter(words, w => array_contains(array(stops.map(lit): _*), w)))
 
+  /** All four [[Stopwords]] set counts of a PROJECTED lowercase-token
+    * column in ONE codegen'd pass ([[graft.functions.StopwordSetCounts]]
+    * — word → membership-bitmask hash probe per token, vs one interpreted
+    * HOF `filter` walk per set). Order matches [[Stopwords]]; feed the
+    * projected result to [[langIdFromCounts]] / [[qualityColumnsFromCounts]]
+    * on hot paths (the curation gate runs both). Bit-equal to the HOF
+    * formulation — spec-pinned. */
+  def stopwordCounts(spark: org.apache.spark.sql.SparkSession,
+                     lowerTokens: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function(graft.functions.StopwordSetCounts.Name, lowerTokens,
+      lit(Stopwords.map(_._2.mkString(",")).mkString("|")))
+  }
+
+  /** [[langIdFrom]] over a projected [[stopwordCounts]] column. */
+  def langIdFromCounts(text: Column, counts: Column): Column = {
+    val Seq(en, es, de, fr) = Stopwords.indices.map(i => counts.getItem(i))
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+  }
+
+  /** [[qualityColumnsFrom]] over projected token arrays AND a projected
+    * [[stopwordCounts]] column (the English count is `counts[0]`) —
+    * no interpreted stopword filter left in the row path. */
+  def qualityColumnsFromCounts(text: Column, w: Column, counts: Column): Seq[Column] = {
+    val charLen = length(text).as("char_len")
+    val wordCnt = size(w).as("word_cnt")
+    val punct = charClassCount(text, "[.,;:!?]").as("punct_cnt")
+    val digits = charClassCount(text, "[0-9]").as("digit_cnt")
+    val stopCnt = counts.getItem(0)
+    val stopRatio = when(size(w) > 0,
+      round(stopCnt.cast("double") / size(w), 6)).otherwise(0.0).as("stop_ratio")
+    val score = when(size(w) > 0 && length(text) > 0, round(
+      lit(0.4) * least(size(w).cast("double") / 100.0, lit(1.0)) +
+        lit(0.4) * (stopCnt.cast("double") / size(w)) +
+        lit(0.2) * (lit(1.0) - charClassCount(text, "[.,;:!?]").cast("double") / length(text)),
+      6)).otherwise(0.0).as("quality_score")
+    Seq(charLen, wordCnt, punct, digits, stopRatio, score)
+  }
+
   /** Heuristic language-ID: CJK chars → zh, else stopword-count argmax.
     *
     * Prefer [[langIdFrom]] with a PROJECTED token column in hot paths:

@@ -831,6 +831,53 @@ class TextAnalysisSpec extends SparkSuite {
     assert(native == hof, s"native $native != HOF $hof")
   }
 
+  test("stopwordCounts kernel == HOF langId/quality formulation, interpreted == codegen") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house is here"),
+      (2L, "el perro de la casa y el gato que en"),
+      (3L, "der hund und die katze ist ein nicht"),
+      (4L, "le chat est dans les jardins et une"),
+      (5L, "no stop words whatsoever xyz"),
+      (6L, ""),
+      (7L, "la la la"), // 'la' is in BOTH es and fr sets: bitmask multi-set hit
+      (8L, "mixed the el der le und and y et")
+    ).toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.tokens(col("text")).as("__w"),
+      TextAnalysis.tokens(lower(col("text"))).as("__wl"))
+    val viaHof = base.select(col("doc_id"),
+        TextAnalysis.langIdFrom(col("text"), col("__wl")).as("lang"),
+        TextAnalysis.qualityColumnsFrom(col("text"), col("__w"), col("__wl")).last)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val viaKernel = base
+      .select(col("doc_id"), col("text"), col("__w"),
+        TextAnalysis.stopwordCounts(spark, col("__wl")).as("__sc"))
+      .select(col("doc_id"),
+        TextAnalysis.langIdFromCounts(col("text"), col("__sc")).as("lang"),
+        TextAnalysis.qualityColumnsFromCounts(col("text"), col("__w"), col("__sc")).last)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(viaKernel == viaHof, s"kernel $viaKernel != HOF $viaHof")
+    assert(viaKernel(7L)._1 == "es") // es priority over fr on the tie
+    // interpreted path equals the DataFrame (codegen) path
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.StopwordSetCounts(
+      BoundReference(0, ArrayType(StringType), nullable = true),
+      graft.functions.StopwordSetCounts.parse(
+        TextAnalysis.Stopwords.map(_._2.mkString(",")).mkString("|")))
+    val words = Array("la", "the", "zzz", "und").map(UTF8String.fromString)
+    val interp = expr.nullSafeEval(new GenericArrayData(words.toArray[Any]))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    import spark.implicits._
+    val fromDf = Seq(Seq("la", "the", "zzz", "und")).toDF("w")
+      .select(TextAnalysis.stopwordCounts(spark, col("w")))
+      .collect().head.getSeq[Long](0)
+    assert(interp == fromDf, s"interpreted $interp != codegen $fromDf")
+    assert(interp == Seq(1L, 1L, 1L, 1L)) // 'la' counts for es AND fr
+  }
+
   test("gopherColumnsFrom: each rule trips on its own failure shape") {
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
     val docs = Seq(
