@@ -680,7 +680,7 @@ object SparkEntry {
     // duplicated 3-gram ratio. Grams projected ONCE (HOF re-eval trap)
     "text_repetition" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), TextAnalysis.wordNgrams(col("text"), 3).as("__g"))
+        .select(col("doc_id"), TextAnalysis.wordNgramsFast(col("text"), 3).as("__g"))
         .select(col("doc_id") +: TextAnalysis.repetitionColumnsFrom(col("__g")): _*)
         .orderBy("doc_id")),
 

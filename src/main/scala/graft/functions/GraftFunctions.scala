@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CharEntropyStats.info, CharEntropyStats.builder))
     ext.injectFunction((FunctionIdentifier(StopwordSetCounts.Name),
       StopwordSetCounts.info, StopwordSetCounts.builder))
+    ext.injectFunction((FunctionIdentifier(WordNgrams.Name),
+      WordNgrams.info, WordNgrams.builder))
   }
 }
 
@@ -70,6 +72,8 @@ object GraftFunctions {
         CharEntropyStats.Name, CharEntropyStats.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         StopwordSetCounts.Name, StopwordSetCounts.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        WordNgrams.Name, WordNgrams.builder, "built-in")
       registered.put(spark, java.lang.Boolean.TRUE)
     }
   }

@@ -36,7 +36,7 @@ object Dedup {
     * zip_with-over-slices shape and why `element_at` lambdas are a trap);
     * docs with fewer than k words yield an empty array. */
   def shingles(text: Column, k: Int): Column =
-    array_distinct(TextAnalysis.wordNgrams(text, k))
+    array_distinct(TextAnalysis.wordNgramsFast(text, k))
 
   /** |A∩B| / |A∪B| over two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -785,7 +785,7 @@ object Dedup {
     require(k >= 2, s"k must be >= 2: $k")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val grams = docs.select(col(idCol).as("doc_id"),
-      posexplode(TextAnalysis.wordNgrams(col(textCol), k)).as(Seq("pos", "gram")))
+      posexplode(TextAnalysis.wordNgramsFast(col(textCol), k)).as(Seq("pos", "gram")))
     val dup = grams.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs).select("gram")

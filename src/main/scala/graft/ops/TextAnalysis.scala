@@ -509,6 +509,23 @@ object TextAnalysis {
     filter(grams, g => g.isNotNull)
   }
 
+  /** [[wordNgrams]] through the codegen'd one-pass kernel
+    * ([[graft.functions.WordNgrams]] — splits once with the same
+    * compiled `\s+` pattern the SQL `split` uses, then StringBuilder
+    * gram assembly; bit-identical output, property-pinned). Registers on
+    * the ACTIVE session; on a thread without one (never the case in
+    * normal driver code) it falls back to the HOF reference — same
+    * result, interpreted speed. Prefer this in every hot path; the HOF
+    * stays as the dependency-free reference implementation. */
+  def wordNgramsFast(text: Column, k: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(sp) =>
+        graft.functions.GraftFunctions.register(sp)
+        call_function(graft.functions.WordNgrams.Name,
+          coalesce(text, lit("")), lit(k))
+      case None => wordNgrams(text, k)
+    }
+
   /** Intra-document repetition features over a PROJECTED k-gram column
     * (project [[wordNgrams]] once — a multi-referenced non-cheap
     * projection survives CollapseProject, so the gram build runs once per
@@ -545,7 +562,7 @@ object TextAnalysis {
                        k: Int, minShared: Long = 1L,
                        maxBroadcastGrams: Long = 4000000L): DataFrame = {
     def grams(df: DataFrame, out: String) = df.select(col(idCol).as(out),
-      explode(array_distinct(wordNgrams(col(textCol), k))).as("g"))
+      explode(array_distinct(wordNgramsFast(col(textCol), k))).as("g"))
     val bg = grams(bench, "bench_id")
     // bg is scope-cached, so the gating count and the join read one
     // materialization; released once the (small) hit set materializes
@@ -661,11 +678,11 @@ object TextAnalysis {
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = train
-      .select(explode(wordNgrams(lower(col(textCol)), 2)).as("g"))
+      .select(explode(wordNgramsFast(lower(col(textCol)), 2)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)
     val pos = target.select(col(idCol).as("doc_id"),
-        posexplode(wordNgrams(lower(col(textCol)), 2)).as(Seq("pos", "g")))
+        posexplode(wordNgramsFast(lower(col(textCol)), 2)).as(Seq("pos", "g")))
       .withColumn("w1", split(col("g"), " ").getItem(0))
     val lp = pos
       .join(big, Seq("g"), "left")

@@ -246,6 +246,24 @@ class PropertySpec extends SparkSuite {
         .select(graft.ops.TextAnalysis.wordNgrams(col("text"), k))
         .collect().head.getSeq[String](0).toList
       assert(got == model, s"case $i k=$k words=$words\ngot=$got\nmodel=$model")
+      // the codegen'd kernel must match the HOF formulation element-for-
+      // element — including on whitespace-quirk inputs the model skips
+      val fast = Seq(Tuple1(text)).toDF("text")
+        .select(graft.ops.TextAnalysis.wordNgramsFast(col("text"), k))
+        .collect().head.getSeq[String](0).toList
+      assert(fast == model, s"case $i kernel diverges: $fast vs $model")
+    }
+    // quirk inputs: non-space outer whitespace (phantom tokens), empty,
+    // NULL, k=1 filtering — kernel == HOF on every one
+    val quirks = Seq("\tfoo bar", "foo bar\n", "  a  b  ", "", " ", "\t",
+      "a", "one two three four", null)
+    for (k <- 1 to 4; t <- quirks) {
+      val df = Seq(Tuple1(t)).toDF("text")
+      val hof = df.select(graft.ops.TextAnalysis.wordNgrams(col("text"), k))
+        .collect().head.getSeq[String](0)
+      val fast = df.select(graft.ops.TextAnalysis.wordNgramsFast(col("text"), k))
+        .collect().head.getSeq[String](0)
+      assert(fast == hof, s"k=$k text=${Option(t).map(_.replace("\t", "\\t").replace("\n", "\\n"))}: kernel $fast != HOF $hof")
     }
   }
 
