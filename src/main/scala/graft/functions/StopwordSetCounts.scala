@@ -85,9 +85,10 @@ object StopwordSetCounts {
 
   /** `'the,a|el,la'` → Sets; the serialization [[graft.ops.TextAnalysis]]
     * uses ('|' between sets, ',' between words — neither occurs in
-    * whitespace-tokenized words). */
+    * whitespace-tokenized words). Limit -1 keeps trailing EMPTY sets —
+    * a discarded group would silently shift every later set's index. */
   def parse(literal: String): Sets =
-    new Sets(literal.split('|').toSeq.map(_.split(',').toSeq.filter(_.nonEmpty)))
+    new Sets(literal.split("\\|", -1).toSeq.map(_.split(',').toSeq.filter(_.nonEmpty)))
 
   val info: ExpressionInfo = new ExpressionInfo(classOf[StopwordSetCounts].getName, Name)
 

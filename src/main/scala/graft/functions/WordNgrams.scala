@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
@@ -12,8 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.ops.TextAnalysis.wordNgrams]]'s zip_with-over-slices
   * formulation (spec- and property-pinned), including its edge quirks:
   * k=1 is the empty-filtered word list; k≥2 keeps the phantom empty
-  * tokens Java's split emits around non-space outer whitespace, and a
-  * doc with fewer than k words yields an empty array.
+  * tokens Java's split emits around non-space outer whitespace; fewer
+  * than k words — and NULL text, which the builder coalesces to "" so
+  * the SQL surface honors the wordNgrams contract — yield an empty
+  * array.
   *
   * Why a custom expression (SURVEY §7.4): the HOF chain (k−1 zip_with
   * passes + filter) evaluates INTERPRETED with per-element lambda
@@ -23,10 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * very same compiled `\s+` pattern Spark's `split` uses (semantics
   * identical by construction, not by reimplementation) and assembles
   * grams with a StringBuilder inside whole-stage codegen. */
-case class WordNgrams(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression {
+case class WordNgrams(child: Expression, k: Int) extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects (string, int literal), got ${other.simpleString}")
@@ -34,16 +35,15 @@ case class WordNgrams(left: Expression, right: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = WordNgrams.Name
 
-  override def nullSafeEval(t: Any, unused: Any): Any =
+  override def nullSafeEval(t: Any): Any =
     WordNgrams.ngrams(t.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (t, _) =>
+    nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.functions.WordNgrams.ngrams($t, $k);")
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object WordNgrams {
@@ -100,7 +100,9 @@ object WordNgrams {
       val k = Option(ke.eval()).map(_.asInstanceOf[Int]).getOrElse(
         throw new IllegalArgumentException(s"$Name: k literal is NULL"))
       require(k >= 1, s"$Name: k must be >= 1: $k")
-      WordNgrams(t, ke, k)
+      // NULL text behaves as "" (→ empty gram array) at the SQL surface
+      // too, matching the wordNgrams contract — not a NULL result
+      WordNgrams(Coalesce(Seq(t, Literal(UTF8String.fromString(""), StringType))), k)
     case other => throw new IllegalArgumentException(
       s"$Name expects (text, k int literal), got " +
         other.map(_.dataType.simpleString).mkString(", "))

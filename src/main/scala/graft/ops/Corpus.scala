@@ -247,13 +247,20 @@ object Corpus {
     * pushes nothing extra). */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
-    def fp(df: DataFrame, out: String) = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.fingerprint(col(textCol)).as(out))
-    fp(oldDocs, "__fo").join(fp(newDocs, "__fn"), Seq("doc_id"), "full_outer")
+    // presence comes from EXPLICIT markers, never from fingerprint
+    // nullness: a NULL-text doc (JsonlSource parses missing fields as
+    // NULL) has a NULL fingerprint but is still PRESENT — keying on the
+    // fingerprint would misreport it as added/removed; the null-safe
+    // fingerprint compare makes two NULL-text versions "unchanged"
+    def fp(df: DataFrame, f: String, p: String) = df.select(
+      col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as(f), lit(true).as(p))
+    fp(oldDocs, "__fo", "__po")
+      .join(fp(newDocs, "__fn", "__pn"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("__fo").isNull, "added")
-          .when(col("__fn").isNull, "removed")
-          .when(col("__fo") =!= col("__fn"), "changed")
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(!(col("__fo") <=> col("__fn")), "changed")
           .otherwise("unchanged").as("status"))
   }
 
@@ -406,7 +413,7 @@ object Corpus {
 
   /** Streaming corpus curation — the ingest-time form of the batch
     * pipeline (same operators: [[TextAnalysis.fingerprint]] exact dedup,
-    * [[TextAnalysis.qualityColumnsFrom]] gate, [[TextAnalysis.langIdFrom]]):
+    * [[TextAnalysis.qualityColumnsFromCounts]] gate, [[TextAnalysis.langIdFromCounts]] over one [[TextAnalysis.stopwordCounts]] kernel pass):
     * watermark the event-time column, drop any document whose normalized
     * fingerprint was already admitted within the watermark
     * (`dropDuplicatesWithinWatermark` — state is bounded by the watermark,

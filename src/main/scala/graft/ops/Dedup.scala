@@ -53,6 +53,9 @@ object Dedup {
   def jaccardPairsBrute(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (zero-overlap pairs are not enumerated)")
+    // the shingle column uses graft_word_ngrams: register on the frame's
+    // OWN session (the active one may differ in multi-session apps)
+    GraftFunctions.register(docs.sparkSession)
     // no size>0 filter: it would re-evaluate the whole shingle expression a
     // second time per row (HOFs don't codegen), and empty arrays simply
     // explode to zero rows / never become candidates. Scope-cached for the
@@ -434,6 +437,7 @@ object Dedup {
     import org.apache.spark.sql.SaveMode
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sp = docs.sparkSession
+    GraftFunctions.register(sp) // shingles analyze before the signature build registers
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path, "_meta"), false)
@@ -492,6 +496,7 @@ object Dedup {
     val (_, k, numHashes, bands) = readDedupIndexMeta(sp, path).getOrElse(
       throw new IllegalStateException(
         s"appendDedupIndex: no index _meta at $path — build with saveDedupIndex first"))
+    GraftFunctions.register(sp) // shingles analyze before the signature build registers
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path, "_meta"), false)
@@ -782,6 +787,7 @@ object Dedup {
     * partitioned by doc. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                k: Int, minDocs: Long = 2): DataFrame = {
+    GraftFunctions.register(docs.sparkSession) // grams use graft_word_ngrams
     require(k >= 2, s"k must be >= 2: $k")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val grams = docs.select(col(idCol).as("doc_id"),

@@ -145,34 +145,15 @@ object TextAnalysis {
   }
 
   /** [[langIdFrom]] over a projected [[stopwordCounts]] column. */
-  def langIdFromCounts(text: Column, counts: Column): Column = {
-    val Seq(en, es, de, fr) = Stopwords.indices.map(i => counts.getItem(i))
-    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
-      .when(en >= es && en >= de && en >= fr && en > 0, "en")
-      .when(es >= de && es >= fr && es > 0, "es")
-      .when(de >= fr && de > 0, "de")
-      .when(fr > 0, "fr")
-      .otherwise("unknown")
-  }
+  def langIdFromCounts(text: Column, counts: Column): Column =
+    langIdCore(text, Stopwords.indices.map(i => counts.getItem(i)))
 
   /** [[qualityColumnsFrom]] over projected token arrays AND a projected
     * [[stopwordCounts]] column (the English count is `counts[0]`) —
     * no interpreted stopword filter left in the row path. */
-  def qualityColumnsFromCounts(text: Column, w: Column, counts: Column): Seq[Column] = {
-    val charLen = length(text).as("char_len")
-    val wordCnt = size(w).as("word_cnt")
-    val punct = charClassCount(text, "[.,;:!?]").as("punct_cnt")
-    val digits = charClassCount(text, "[0-9]").as("digit_cnt")
-    val stopCnt = counts.getItem(0)
-    val stopRatio = when(size(w) > 0,
-      round(stopCnt.cast("double") / size(w), 6)).otherwise(0.0).as("stop_ratio")
-    val score = when(size(w) > 0 && length(text) > 0, round(
-      lit(0.4) * least(size(w).cast("double") / 100.0, lit(1.0)) +
-        lit(0.4) * (stopCnt.cast("double") / size(w)) +
-        lit(0.2) * (lit(1.0) - charClassCount(text, "[.,;:!?]").cast("double") / length(text)),
-      6)).otherwise(0.0).as("quality_score")
-    Seq(charLen, wordCnt, punct, digits, stopRatio, score)
-  }
+  def qualityColumnsFromCounts(text: Column, w: Column, counts: Column): Seq[Column] =
+    qualityColumnsCore(text, w, counts.getItem(0))
+
 
   /** Heuristic language-ID: CJK chars → zh, else stopword-count argmax.
     *
@@ -184,8 +165,14 @@ object TextAnalysis {
 
   /** [[langId]] over an existing lowercase-token array column (tokenize
     * once in a projection, reference the column here). */
-  def langIdFrom(text: Column, lowerTokens: Column): Column = {
-    val Seq(en, es, de, fr) = Stopwords.map { case (_, s) => stopCount(lowerTokens, s) }
+  def langIdFrom(text: Column, lowerTokens: Column): Column =
+    langIdCore(text, Stopwords.map { case (_, s) => stopCount(lowerTokens, s) })
+
+  /** The ONE language-decision chain both the HOF and counts-kernel
+    * variants share — the tie-break order can never drift between them.
+    * `cs` follows [[Stopwords]] order. */
+  private def langIdCore(text: Column, cs: Seq[Column]): Column = {
+    val Seq(en, es, de, fr) = cs
     when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
       .when(en >= es && en >= de && en >= fr && en > 0, "en")
       .when(es >= de && es >= fr && es > 0, "es")
@@ -209,14 +196,21 @@ object TextAnalysis {
   /** [[qualityColumns]] over existing token / lowercase-token array
     * columns — each tokenizer runs once per row in the caller's
     * projection instead of once per feature. */
-  def qualityColumnsFrom(text: Column, w: Column, lowerTokens: Column): Seq[Column] = {
+  def qualityColumnsFrom(text: Column, w: Column, lowerTokens: Column): Seq[Column] =
+    qualityColumnsCore(text, w, stopCount(lowerTokens, Stopwords.head._2))
+
+  /** The ONE feature/score definition both quality variants share — the
+    * 0.4/0.4/0.2 weights, rounding and zero-denominator guards (empty
+    * docs: score/ratio define to 0 — NULL in default mode,
+    * DIVIDE_BY_ZERO under ANSI otherwise) can never drift between the
+    * HOF and counts-kernel paths. The duplicated punct subtree inside
+    * the score is eliminated by whole-stage codegen's common-
+    * subexpression elimination. */
+  private def qualityColumnsCore(text: Column, w: Column, stopCnt: Column): Seq[Column] = {
     val charLen = length(text).as("char_len")
     val wordCnt = size(w).as("word_cnt")
     val punct = charClassCount(text, "[.,;:!?]").as("punct_cnt")
     val digits = charClassCount(text, "[0-9]").as("digit_cnt")
-    // empty docs: both denominators are zero — score/ratio define to 0
-    // (NULL in default mode, DIVIDE_BY_ZERO under ANSI otherwise)
-    val stopCnt = stopCount(lowerTokens, Stopwords.head._2)
     val stopRatio = when(size(w) > 0,
       round(stopCnt.cast("double") / size(w), 6)).otherwise(0.0).as("stop_ratio")
     val score = when(size(w) > 0 && length(text) > 0, round(
@@ -561,6 +555,7 @@ object TextAnalysis {
                        idCol: String, textCol: String,
                        k: Int, minShared: Long = 1L,
                        maxBroadcastGrams: Long = 4000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession) // grams use graft_word_ngrams
     def grams(df: DataFrame, out: String) = df.select(col(idCol).as(out),
       explode(array_distinct(wordNgramsFast(col(textCol), k))).as("g"))
     val bg = grams(bench, "bench_id")
@@ -673,6 +668,7 @@ object TextAnalysis {
               textCol: String, addK: Double = 0.5,
               minCount: Long = 1L): DataFrame = {
     require(addK > 0, s"addK must be > 0: $addK")
+    graft.functions.GraftFunctions.register(train.sparkSession) // bigrams use graft_word_ngrams
     val uni = train
       .select(explode(tokens(lower(col(textCol)))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
