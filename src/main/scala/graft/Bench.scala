@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   *  - One untimed warm-up query absorbs JVM/codegen/classloading cost so
   *    the numbers measure the engine, not first-query startup.
   *  - The brute-force O(n²) baselines (dedup_ngram_jaccard,
-  *    dedup_embedding) are deliberately NOT headline queries: their whole
-  *    point is to oracle-check the LSH/banded scale paths, which ARE
-  *    benched. The same policy excludes the oracle-parity twins
+  *    dedup_embedding, sim_knn_graph — the exact ≤10⁵-vector k-NN graph
+  *    whose scale path sim_knn_graph_ivf IS benched) are deliberately NOT
+  *    headline queries: their whole point is to oracle-check the
+  *    LSH/banded/IVF scale paths, which ARE benched. The same policy excludes the oracle-parity twins
   *    (dedup_simhash_md5 — the identical pipeline under a slower
   *    oracle-computable hash). The multimodal `_exact` twins stay: they
   *    are the only entries exercising the REAL codec paths.
@@ -48,7 +49,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",
     "sim_topk", "sim_ann_ivf", "sim_quantize", "dedup_embedding_srp",
-    "sim_knn_graph", "sim_knn_graph_ivf", "sim_embed_stats",
+    "sim_knn_graph_ivf", "sim_embed_stats",
     "events_sessionize",
     "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",
     "text_tfidf", "text_redact", "text_normalize", "text_gopher_rules",
@@ -175,12 +176,27 @@ object Bench {
     val benchIngest = only.forall(_("tsdb_ingest"))
     val ingestRuns =
       if (!benchIngest) Seq.empty[Double]
-      else (1 to 3).flatMap { _ =>
-        try Some(ingestOnce())
-        catch { case e: Throwable => System.err.println(s"[bench] tsdb_ingest: $e"); None }
+      else {
+        // untimed warm-up append: the appender's codegen/classload is
+        // one-per-JVM, not part of ingest throughput
+        try ingestOnce()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup tsdb_ingest: $e") }
+        (1 to 3).flatMap { _ =>
+          try Some(ingestOnce())
+          catch { case e: Throwable => System.err.println(s"[bench] tsdb_ingest: $e"); None }
+        }
       }
     val names = Headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_(n)))
+    // One full UNTIMED round first: each query's first execution pays
+    // one-off codegen/classload for its own plan shapes (observed as a
+    // 13 s first-run spike on tsdb_downsample in r5), which min-of-3
+    // neutralizes but still pollutes the per-run arrays — warm every
+    // query once so the three timed rounds measure only the engine.
+    names.foreach { n =>
+      try run(n)
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $n: $e") }
+    }
     val rounds = Seq.fill(3)(names.map(n => n -> timeOnce(n)).toMap)
     val allRuns: Seq[(String, Seq[Double])] =
       names.map(n => n -> rounds.map(_(n))) ++
@@ -192,7 +208,14 @@ object Bench {
       "\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the artifact to a file: the driver captures only a
+    // bounded stdout tail, which truncated (and lost) the r5 JSON line —
+    // the on-disk copy can never depend on tail length.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_out.json: $e") }
     spark.stop()
   }
 }

@@ -853,11 +853,36 @@ object SparkEntry {
       val fp = Option(src.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
           .map(f => f.getName + ":" + f.lastModified + ":" + f.length).sorted.mkString(","))
         .getOrElse(s"${src.lastModified}:${src.length}")
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_dedup_idx/" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + (dir.hashCode & 0x7fffffff)
       val version = s"$dir@$fp#k3h64b32"
-      if (!Dedup.readDedupIndexMeta(s, idx).exists(_._1 == version))
-        Dedup.saveDedupIndex(hist, "doc_id", "text", idx, version, k = 3)
+      // Path is keyed by the VERSION fingerprint, not just the fixture
+      // dir: saveDedupIndex deletes _meta first, so two concurrent JVMs
+      // sharing one path could observe the meta-less window. Each build
+      // goes to a private temp tree and is atomically renamed into the
+      // versioned path — the loser of the race discards its build and
+      // reuses the winner's. Superseded fingerprints for this fixture
+      // are swept afterwards so /tmp doesn't accumulate stale indexes.
+      val base = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_dedup_idx")
+      val dirSlug = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + (dir.hashCode & 0x7fffffff)
+      val vslug = java.security.MessageDigest.getInstance("MD5")
+        .digest(version.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val idxFile = new java.io.File(base, s"${dirSlug}__$vslug")
+      val idx = idxFile.toString
+      if (!Dedup.readDedupIndexMeta(s, idx).exists(_._1 == version)) {
+        val tmpIdx = new java.io.File(base, s".build_${vslug}_${java.util.UUID.randomUUID}")
+        Dedup.saveDedupIndex(hist, "doc_id", "text", tmpIdx.toString, version, k = 3)
+        try java.nio.file.Files.move(tmpIdx.toPath, idxFile.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case e: java.io.IOException =>
+          rmTree(tmpIdx)
+          if (!Dedup.readDedupIndexMeta(s, idx).exists(_._1 == version)) throw e
+        }
+      }
+      Option(base.listFiles()).foreach(_.foreach { f =>
+        val stale = f.getName.startsWith(s"${dirSlug}__") && f.getName != idxFile.getName
+        val deadBuild = f.getName.startsWith(".build_") &&
+          f.lastModified < System.currentTimeMillis() - 6 * 3600 * 1000L
+        if (stale || deadBuild) rmTree(f)
+      })
       Dedup.incrementalDedupKeepIndexed(
           docs.filter(col("doc_id") >= 400).select("doc_id", "text"),
           "doc_id", "text", idx, threshold = 0.5, maxBucketSize = 1000)

@@ -26,8 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark's `log` function evaluates — so the result is bit-identical to
   * `aggregate(sort_array(counts), 0d, (a, n) -> a + n*ln(n))` and the
   * DuckDB twin's `list_sort` + ordered `list_aggregate` fold. Iteration is
-  * by CODE POINT (surrogate pairs count once), matching both engines'
-  * char-split semantics. */
+  * by CODE POINT (surrogate pairs count once), matching DuckDB's
+  * `string_split(text, '')` and the code-point `TextAnalysis.chars`
+  * reference path (OpsSpec pins kernel == HOF including astral chars). */
 case class CharEntropyStats(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -29,9 +29,16 @@ object JsonlSource {
   /** Parse `path` as JSONL under `schema`: one row per line with the raw
     * text and the parsed struct, whose [[CorruptField]] is non-NULL iff
     * the line failed to parse. Building block for [[readSplit]]. */
+  /** All reserved names: [[CorruptField]] lives inside the parsed struct;
+    * `raw_line` and `__parsed` are the output columns of [[read]] — a
+    * caller schema reusing either would shadow them and turn downstream
+    * selects ambiguous, so reject loudly up front. */
+  val ReservedColumns: Set[String] = Set(CorruptField, "raw_line", "__parsed")
+
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    require(!schema.fieldNames.contains(CorruptField),
-      s"schema may not contain the reserved column $CorruptField")
+    val clash = schema.fieldNames.filter(ReservedColumns.contains)
+    require(clash.isEmpty,
+      s"schema may not contain the reserved column(s) ${clash.mkString(", ")}")
     val withCorrupt = StructType(schema.fields :+ StructField(CorruptField, StringType))
     spark.read.text(path)
       .select(col("value").as("raw_line"),

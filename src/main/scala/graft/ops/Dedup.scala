@@ -204,6 +204,12 @@ object Dedup {
                            numHashes: Int = 64, bands: Int = 32,
                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // register on the FRAMES' session: shingles analyze eagerly in the
+    // selects below, and wordNgramsFast registers only on the active
+    // session — a multi-session app would otherwise hit an unresolved
+    // graft_word_ngrams here (same per-frame rule as jaccardPairsBrute)
+    GraftFunctions.register(docs.sparkSession)
+    GraftFunctions.register(bench.sparkSession)
     val shd = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
     val shb = bench.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
     // both shingle tables feed a signature build + two verification
@@ -534,6 +540,7 @@ object Dedup {
                                   threshold: Double,
                                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sp = batch.sparkSession
+    GraftFunctions.register(sp) // shingles below analyze on the batch's session
     val (_, k, numHashes, bands) = readDedupIndexMeta(sp, path).getOrElse(
       throw new IllegalStateException(
         s"incrementalDedupKeepIndexed: no index _meta at $path"))

@@ -321,13 +321,19 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  /** Character array of a text column with phantom empties removed: Java
-    * split("") keeps a trailing "" (limit -1) and DuckDB's char split
-    * emits [''] for empty text — filtering both sides to non-empty makes
-    * the engines agree element-for-element. Project ONCE (the
+  /** Character array of a text column, split by CODE POINT. Java regex
+    * `.` matches one code point (a surrogate pair is ONE match of length
+    * 2; verified: "x𝄞y" yields 3 matches), which agrees with
+    * DuckDB's `string_split(text, '')` on valid UTF-8 and with the
+    * [[graft.functions.CharEntropyStats]] kernel's codePointAt walk.
+    * NOT `split(text, "")`: that splits by UTF-16 code unit, counting
+    * each surrogate half separately — on astral text (emoji, U+1D11E) it
+    * diverges from both the kernel and the DuckDB twin. `(?s)` keeps
+    * newlines matchable; empty text → empty array (`.` never matches
+    * empty, so no phantom-'' filter is needed). Project ONCE (the
     * interpreted-HOF re-eval trap). */
   def chars(text: Column): Column =
-    filter(split(text, ""), c => c =!= "")
+    regexp_extract_all(text, lit("(?s)."), lit(0))
 
   /** Character-distribution features over a PROJECTED [[chars]] column —
     * the entropy gibberish/compression filter (binary junk and repeated

@@ -821,7 +821,11 @@ class TextAnalysisSpec extends SparkSuite {
     // reference formulation (same ascending-count fold, same Math.log) —
     // on multi-byte text too (code-point iteration)
     val tricky = docs.union(Seq((9L, "héllo wörld héé"),
-      (10L, "aáb́́")).toDF("doc_id", "text"))
+      (10L, "aáb́́"),
+      // astral (non-BMP) chars: surrogate PAIRS must count as one code
+      // point on both paths (chars() is code-point regex, NOT split(""))
+      (11L, "a" + new String(Character.toChars(0x1D11E)) * 2 + new String(Character.toChars(0x1F600)) + "b")
+    ).toDF("doc_id", "text"))
     val native = tricky
       .select(col("doc_id"), TextAnalysis.charEntropyStats(spark, col("text")).as("__st"))
       .select(col("doc_id") +: TextAnalysis.charEntropyColumnsFromStats(col("__st")): _*)
