@@ -44,7 +44,7 @@ object Bench {
     "tsdb_groupby_label", "tsdb_cross_agg", "tsdb_sliding_window",
     "tsdb_overlap_windows", "tsdb_downsample", "tsdb_variant_last",
     "tsdb_sql", "tsdb_multi_agg", "tsdb_storage_agg", "tsdb_sliding_server",
-    "tsdb_storage_preagg",
+    "tsdb_storage_preagg", "tsdb_delete", "tsdb_retention", "tsdb_csv_roundtrip",
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",
@@ -52,6 +52,7 @@ object Bench {
     "sim_knn_graph_ivf", "sim_embed_stats",
     "events_sessionize",
     "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",
+    "text_langid_model",
     "text_tfidf", "text_redact", "text_normalize", "text_gopher_rules",
     "text_entropy", "text_strip_html",
     "text_repetition", "text_decontaminate", "text_decontaminate_fuzzy",

@@ -40,6 +40,22 @@ object SparkEntry {
   private def r6(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 6)))
 
+  /** (lang, train sentence, score sentence) for `text_langid_model` —
+    * the score sentence is a word PERMUTATION of the train sentence, so
+    * classifying it right requires the character statistics, not string
+    * identity. Indexed by doc_id % 5 in entry and oracle alike. */
+  private val LangIdFixture: Seq[(String, String, String)] = Seq(
+    ("de", "der schnelle braune fuchs springt über den faulen hund schön",
+      "über den faulen hund springt der schnelle braune fuchs schön"),
+    ("en", "the quick brown fox jumps over the lazy dog with their things",
+      "their lazy dog jumps over the quick brown fox with the things"),
+    ("es", "el rápido zorro marrón salta sobre el perro perezoso señor",
+      "sobre el perro perezoso salta el rápido zorro marrón señor"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux déjà",
+      "par dessus le chien paresseux saute le renard brun rapide déjà"),
+    ("zh", "这是一个用于测试语言识别模型的中文句子",
+      "中文句子用于测试这个语言识别模型"))
+
   /** Recursive delete for the self-staging entries' temp trees — these
     * run every verify/bench round, and a leaked corpus-sized directory
     * per invocation would fill /tmp on long-lived sessions. */
@@ -387,6 +403,97 @@ object SparkEntry {
       r6(out, Seq("sum"))
     }),
 
+    // DELETE (S11, DeletePartitionsData v3iotsdb.go:272-477),
+    // oracle-checked end-to-end: stage a private table, run THREE
+    // deletes that together exercise every deleteImpl path — (a) an
+    // unpredicated range crossing two partition boundaries (interior
+    // partitions drop whole, metadata-only; both boundary partitions
+    // rewrite without the in-range rows), (b) a metric-predicated
+    // delete (row-rewrite path), (c) a label-filter delete (the
+    // three-valued-logic path: series without the filtered label keep
+    // their rows). The final aggregate is served from the REBUILT
+    // rollup (step=1d over a 6h rollup passes canServerAggregate), so a
+    // hash match proves refreshRollup's post-delete rebuild as well as
+    // the raw survivors. The DuckDB twin applies the same three delete
+    // predicates to the events CTE.
+    "tsdb_delete" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_delete")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour))
+        t.append(samples)
+        t.delete(F + 10 * Day + 6 * Hour, F + 13 * Day + 6 * Hour)
+        t.delete(F + 5 * Day, F + 6 * Day - 1, metrics = Seq("click"))
+        t.delete(F + 20 * Day, F + 22 * Day - 1, filter = "labels['user'] = '42'")
+        val p = SelectParams(functions = "count,sum,min,max",
+          from = F, to = T, step = Day)
+        require(t.canServerAggregate(p), "entry must exercise the rebuilt rollup")
+        val res = r6(t.select(p), Seq("sum", "min", "max"))
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
+    // RETENTION (S11, reference retentionDays config.go:198-200 +
+    // partition-age deletion partmgr.go:330,357,390): a 10-day horizon
+    // enforced at now=T drops partitions 0..19 whole (the horizon is
+    // partition-aligned — no row rewrite) and rebuilds names from the
+    // survivors. The select must return ONLY the kept tail; the twin
+    // keeps tt >= F+20d.
+    "tsdb_retention" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_retention")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            retentionMs = 10 * Day))
+        t.append(samples)
+        t.applyRetention(nowMs = T)
+        val res = r6(t.select(SelectParams(functions = "count,sum",
+          from = F, to = T, step = Day)), Seq("sum"))
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
+    // CSV ROUND-TRIP (S6 source + S9 names sink semantics through the
+    // real table): the events samples are FORMATTED as reference CSV
+    // lines (`name,"labels",value,time` — tsdbctl add -f,
+    // add.go:200-328), plus planted lines exercising the parser's
+    // multi-sample `v1:v2:v3`/`t1:t2:t3` arrays (add.go:300-326), the
+    // ISO-8601 and `now-2h` time dialects (timeutils.go:80-112, nowMs
+    // pinned to T for determinism), then parsed back by CsvSource,
+    // appended, and aggregate-selected. Value fidelity: Spark's
+    // double→string is shortest-round-trip, so parse-back is bit-exact
+    // and the twin can aggregate the original events directly (planted
+    // rows are closed-form constants in the twin).
+    "tsdb_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+      try {
+        val ev = Samples.fromEvents(s, dir)
+        val lines = ev.select(concat(
+          col("name"), lit(",\"user="), col("labels").getItem("user"),
+          lit("\","), col("value").cast("string"), lit(","),
+          col("time").cast("string")).as("value"))
+        val planted = Seq(
+          s"planted,\"user=0\",1.5:2.5:3.5,${F + Hour}:${F + 2 * Hour}:${F + 3 * Hour}",
+          s"planted,\"user=1\",7.25,${F + Hour}",
+          "planted,\"user=2\",9.0,2024-01-02 00:00:00",
+          "planted,\"user=3\",4.5,now-2h")
+        import s.implicits._
+        val staged = s"$tmp/staged"
+        lines.union(planted.toDF("value")).coalesce(4).write.text(staged)
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour))
+        t.append(graft.ingest.CsvSource.read(s, staged, nowMs = T).drop("valueStr"))
+        val res = r6(t.select(SelectParams(functions = "count,sum",
+          from = F, to = T, step = Day)), Seq("sum"))
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // ============================================================
     // Relational operators Spark provides "for free" (SURVEY §2.3/O5/W6)
     // ============================================================
@@ -521,6 +628,36 @@ object SparkEntry {
           TextAnalysis.stopwordCounts(s, col("__wl")).as("__sc"))
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langIdFromCounts(col("text"), col("__sc")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // TRAINED character-bigram language-ID (the fastText/CCNet-shaped
+    // model path behind the stopword heuristic above): per-language
+    // bigram LMs trained in one scan on a LABELED planted split, argmax
+    // add-k log-likelihood scoring on the held-out split. The fixture
+    // plants one sentence per language keyed by doc_id % 5 (en/es/de/fr
+    // + CJK zh) — train and score sentences are DIFFERENT word
+    // permutations of the same vocabulary, so a hash match proves the
+    // model generalizes to unseen strings of each language, with margins
+    // set by character statistics (accents, digraphs, CJK code points),
+    // not by string identity. Oracle: the closed-form planted winner.
+    "text_langid_model" -> ((s, dir) => {
+      def pick(m: Seq[String]) =
+        LangIdFixture.indices.foldRight(lit(null).cast("string")) { (i, e) =>
+          when((col("doc_id") % 5).cast("int") === i, lit(m(i))).otherwise(e) }
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      def planted(sents: Seq[String]) = docs.select(col("doc_id"),
+        pick(LangIdFixture.map(_._1)).as("lang"),
+        concat(repeat(concat(pick(sents), lit(" ")),
+            (col("doc_id") % 3 + 1).cast("int")),
+          col("doc_id").cast("string")).as("text"))
+      val model = TextAnalysis.langIdModelTrain(
+        planted(LangIdFixture.map(_._2)).filter(col("doc_id") % 2 === 0),
+        "text", "lang")
+      TextAnalysis.langIdModelScore(model,
+          planted(LangIdFixture.map(_._3)).filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .select("doc_id", "pred_lang")
         .orderBy("doc_id")
     }),
 
@@ -1855,6 +1992,53 @@ object SparkEntry {
          |FROM s WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    // relational DELETE is the twin of the engine's three staged deletes:
+    // same inclusive time bounds, same metric/label predicates
+    "tsdb_delete" ->
+      s"""WITH s AS ($SamplesCte),
+         |d AS (SELECT * FROM s
+         |      WHERE NOT (tt BETWEEN ${F + 10 * Day + 6 * Hour} AND ${F + 13 * Day + 6 * Hour})
+         |        AND NOT (name = 'click' AND tt BETWEEN ${F + 5 * Day} AND ${F + 6 * Day - 1})
+         |        AND NOT (labels_str = 'user=42' AND tt BETWEEN ${F + 20 * Day} AND ${F + 22 * Day - 1}))
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum",
+         |  round(min(v), 6) AS "min",
+         |  round(max(v), 6) AS "max"
+         |FROM d WHERE tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // a 10-day horizon at now=T keeps exactly the last 10 partition days
+    "tsdb_retention" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum"
+         |FROM s WHERE tt BETWEEN ${F + 20 * Day} AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the staged CSV parses back to the original events samples
+    // (double→string→double is shortest-round-trip exact) plus the six
+    // planted samples, here as closed-form constants: the `:`-array line
+    // explodes to three position-paired samples, the ISO line lands on
+    // 2024-01-02, the now-2h line at T-2h under the pinned nowMs=T
+    "tsdb_csv_roundtrip" ->
+      s"""WITH s AS ($SamplesCte),
+         |p (name, labels_str, tt, v) AS (VALUES
+         |  ('planted', 'user=0', ${F + Hour}, 1.5),
+         |  ('planted', 'user=0', ${F + 2 * Hour}, 2.5),
+         |  ('planted', 'user=0', ${F + 3 * Hour}, 3.5),
+         |  ('planted', 'user=1', ${F + Hour}, 7.25),
+         |  ('planted', 'user=2', ${F + Day}, 9.0),
+         |  ('planted', 'user=3', ${T - 2 * Hour}, 4.5)),
+         |u AS (SELECT name, labels_str, tt, v FROM s
+         |      UNION ALL SELECT name, labels_str, tt, v FROM p)
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum"
+         |FROM u WHERE tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "q3_topk_join" ->
       """SELECT o.o_orderkey, o.o_orderdate,
         |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
@@ -1947,6 +2131,16 @@ object SparkEntry {
         |       WHEN fr > 0 THEN 'fr'
         |       ELSE 'unknown' END AS pred_lang
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // closed-form planted winner: the model must recover each held-out
+    // doc's language from character statistics alone (the score strings
+    // are unseen permutations of the training vocabulary)
+    "text_langid_model" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |       WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+        |       WHEN 3 THEN 'fr' ELSE 'zh' END AS pred_lang
+        |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
 
     // same planted mess (decomposed e+U+0301, CRLF/CR, BEL, tab/space
     // runs); nfc_normalize is DuckDB's Unicode composition — both engines

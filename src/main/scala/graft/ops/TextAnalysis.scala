@@ -776,6 +776,78 @@ object TextAnalysis {
       .drop("__ppl_int", "__t1", "__t2")
   }
 
+  /** Overlapping character bigrams from a PROJECTED [[chars]] array
+    * column (project the char array once, then call this on the
+    * attribute — the interpreted-HOF re-eval trap). Single-pass
+    * `zip_with` over two shifted slices, never element_at-in-lambda.
+    * Code-point grams (via [[chars]]), so CJK text grams correctly. */
+  def charBigramsFrom(chArr: Column): Column =
+    when(size(chArr) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(chArr, lit(1), size(chArr) - 1),
+        slice(chArr, lit(2), size(chArr) - 1),
+        (x, y) => concat(x, y)))
+
+  /** Train a character-bigram language-ID model: per-(language, bigram)
+    * counts from a LABELED corpus, in ONE scan + one vocab-bounded
+    * shuffle. This is the public fastText/CCNet-shaped upgrade over the
+    * 4-language stopword heuristic [[langId]]: character n-gram
+    * statistics distinguish any language pair given labeled training
+    * text (accented letters, CJK ranges, orthographic digraphs), so the
+    * curation gate can stratify beyond the stopword list's languages.
+    * Model size is vocab-bounded (≤ #langs × #distinct-bigrams rows) —
+    * broadcastable at any corpus scale. */
+  def langIdModelTrain(train: DataFrame, textCol: String,
+                       langCol: String): DataFrame =
+    train
+      .select(col(langCol).as("lang"), chars(lower(col(textCol))).as("__ch"))
+      .select(col("lang"), explode(charBigramsFrom(col("__ch"))).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+
+  /** Score documents against a [[langIdModelTrain]] model: predicted
+    * language = argmax over languages of the add-k-smoothed bigram
+    * log-likelihood `Σ cnt(g)·ln((c(lang,g)+k)/(tot(lang)+k·V))`.
+    *
+    * Determinism: the per-(doc, lang) total folds a gram-SORTED list
+    * left-to-right (the [[lmScore]] discipline), so float summation
+    * order never depends on partitioning; the argmax breaks exact score
+    * ties by language name via struct ordering. Docs with < 2 chars have
+    * no grams and predict `unknown`.
+    *
+    * Distributed shape (the 100 TB path): gram extraction at scan speed;
+    * one shuffle on (doc, gram) to dedupe counts; the model, per-language
+    * totals and vocabulary size are all vocab-bounded broadcasts; then
+    * two doc-sized shuffles (doc×lang fold, argmax). Nothing rescans the
+    * corpus per language — #langs multiplies only the post-dedup gram
+    * rows. */
+  def langIdModelScore(model: DataFrame, target: DataFrame, idCol: String,
+                       textCol: String, addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be > 0: $addK")
+    val langTot = model.groupBy("lang").agg(sum("c").as("tot"))
+    val vocab = model.agg(count_distinct(col("gram")).as("v"))
+    val tg = target
+      .select(col(idCol).as("doc_id"), chars(lower(col(textCol))).as("__ch"))
+      .select(col("doc_id"), explode(charBigramsFrom(col("__ch"))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    val perLang = tg
+      .crossJoin(broadcast(langTot))
+      .join(broadcast(model), Seq("lang", "gram"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", col("cnt").cast("double") * log(
+        (coalesce(col("c"), lit(0L)).cast("double") + lit(addK)) /
+          (col("tot").cast("double") + lit(addK) * col("v").cast("double"))))
+      .groupBy("doc_id", "lang")
+      .agg(aggregate(sort_array(collect_list(struct(col("gram"), col("__lp")))),
+        lit(0.0), (a, x) => a + x.getField("__lp")).as("score"))
+    val best = perLang.groupBy("doc_id")
+      .agg(max(struct(col("score"), col("lang"))).as("__m"))
+    target.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__m").getField("lang"), lit("unknown")).as("pred_lang"),
+        round(col("__m").getField("score"), 6).as("score"))
+  }
+
   /** BM25 keyword retrieval: top-`topK` documents for a bag-of-terms
     * query under Okapi BM25 (Lucene's `ln(1 + (N-df+0.5)/(df+0.5))` idf,
     * `k1`/`b` length normalization) — the eval-set mining / targeted-

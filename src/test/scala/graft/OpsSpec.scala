@@ -1147,6 +1147,36 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out == Seq("en", "es", "de", "unknown"))
   }
 
+  test("langIdModel: trained char-bigram model classifies held-out text; short docs → unknown") {
+    // bigram extraction: code-point grams (CJK pairs once), < 2 chars → none
+    val grams = Seq("abc", "好的吗", "x", "").toDF("text")
+      .select(TextAnalysis.charBigramsFrom(TextAnalysis.chars(col("text"))))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(grams == Seq(Seq("ab", "bc"), Seq("好的", "的吗"), Seq(), Seq()))
+
+    val train = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("en", "all their things were with the other dogs"),
+      ("de", "der schnelle braune fuchs springt über den faulen hund"),
+      ("de", "alle ihre sachen waren bei den anderen hunden"),
+      ("zh", "这是一个用于测试的中文句子")).toDF("lang", "text")
+    val model = TextAnalysis.langIdModelTrain(train, "text", "lang")
+    // model rows are per-(lang, bigram) counts: " t" appears in both en rows
+    val mt = model.filter(col("lang") === "en" && col("gram") === "e ")
+      .collect()
+    assert(mt.length == 1 && mt.head.getLong(2) >= 3)
+    val target = Seq(
+      (1L, "a quick brown dog jumps over things"), // unseen en string
+      (2L, "über die schnellen braunen hunde"),    // unseen de string
+      (3L, "测试这个中文句子"),                      // unseen zh string
+      (4L, "x"),                                   // 1 char → no grams
+      (5L, "")).toDF("doc_id", "text")             // empty → no grams
+    val out = TextAnalysis.langIdModelScore(model, target, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "zh",
+      4L -> "unknown", 5L -> "unknown"))
+  }
+
   test("tf-idf top terms: rational idf, rank order, term tiebreak") {
     val docs = Seq(
       (1L, "apple banana apple"),

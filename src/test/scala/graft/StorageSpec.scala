@@ -614,6 +614,21 @@ class TsdbSqlSpec extends SparkSuite {
   }
 }
 
+/** Evaluation gate for the delete-vs-streaming-appender race spec: the
+  * FIRST evaluation (IngestJob's pre-lock `isEmpty` probe) passes
+  * through; every later evaluation — the first of which is `append`'s
+  * first action, running UNDER the writer lock — blocks until released.
+  * Top-level object so the closure serializes into local tasks. */
+object IngestGateFixture {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var release: java.util.concurrent.CountDownLatch = _
+  def pass(@annotation.unused t: Long): Boolean = {
+    if (calls.incrementAndGet() > 1)
+      release.await(120, java.util.concurrent.TimeUnit.SECONDS)
+    true
+  }
+}
+
 class IngestJobSpec extends SparkSuite {
   import spark.implicits._
 
@@ -639,5 +654,53 @@ class IngestJobSpec extends SparkSuite {
       assert(roll.agg(sum("__p_count")).collect().head.getDouble(0) == 3.0)
       assert(roll.agg(sum("__p_sum")).collect().head.getDouble(0) == 8.0)
     } finally q.stop()
+  }
+
+  test("delete during an ACTIVE streaming append is rejected loudly; succeeds after the stream quiesces") {
+    // the multi-writer scenario the CAS-hardened lock exists for,
+    // exercised END-TO-END through the real IngestJob sink: a mutating
+    // delete racing a micro-batch append must fail with the single-writer
+    // rejection, never corrupt the table or deadlock
+    val dir = Files.createTempDirectory("ingest_lock").toString
+    val table = new TsdbTable(spark, s"$dir/table")
+    implicit val sqlCtx = spark.sqlContext
+    IngestGateFixture.calls.set(0)
+    IngestGateFixture.release = new java.util.concurrent.CountDownLatch(1)
+    val gate = udf(IngestGateFixture.pass _)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Long, Double)]
+    val Base = 1704067200000L
+    val stream = mem.toDF().toDF("name", "host", "time", "value")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"),
+        col("time"), col("value"))
+      .filter(gate(col("time")))
+    val q = graft.streaming.IngestJob.start(stream, table, s"$dir/ckpt")
+    try {
+      mem.addData(("cpu", "a", Base + 1000, 1.0))
+      // wait until the appender PROVABLY holds the lock: the lock file
+      // exists and the batch action is parked on the gate — append cannot
+      // release until the gate opens, so the window below is deterministic
+      val lock = new java.io.File(s"$dir/table", "_writer")
+      val deadline = System.currentTimeMillis() + 120000
+      while (!lock.exists() && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(lock.exists(), "appender never took the writer lock")
+      val e = intercept[java.util.ConcurrentModificationException](
+        table.delete(0L, Base + 86400000L))
+      // holder info may not have flushed yet (the poll can win the race
+      // between the lock's O_EXCL create and the info write) — assert the
+      // rejection itself, not the holder string
+      assert(e.getMessage.contains("cannot delete") &&
+        e.getMessage.contains("_writer"), e.getMessage)
+      // the rejected delete must not have touched the in-flight append
+      IngestGateFixture.release.countDown()
+      q.processAllAvailable()
+      assert(table.countMetrics() == 1)
+    } finally {
+      IngestGateFixture.release.countDown()
+      q.stop()
+    }
+    // with the stream stopped the same delete is admitted and applied
+    table.delete(0L, Base + 86400000L)
+    assert(table.countMetrics() == 0)
   }
 }
