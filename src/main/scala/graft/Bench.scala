@@ -45,6 +45,7 @@ object Bench {
     "tsdb_overlap_windows", "tsdb_downsample", "tsdb_variant_last",
     "tsdb_sql", "tsdb_multi_agg", "tsdb_storage_agg", "tsdb_sliding_server",
     "tsdb_storage_preagg", "tsdb_delete", "tsdb_retention", "tsdb_csv_roundtrip",
+    "tsdb_compact",
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",

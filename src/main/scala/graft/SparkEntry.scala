@@ -457,6 +457,40 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // COMPACTION (S11/§1.2 MOR maintenance): an overrideOld table takes a
+    // base append plus a LAST-WRITE-WINS rewrite (+100 on every click
+    // sample in days 3..6), then compact() physically rewrites each
+    // partition with the merge materialized. The require pins that
+    // compaction really dropped the superseded versions (physical parquet
+    // row count == logical merged count — before compaction it exceeds it
+    // by the override batch); the aggregate select then proves the
+    // surviving contents are exactly the LWW view. Twin: CASE the same
+    // +100 onto the events CTE.
+    "tsdb_compact" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            overrideOld = true))
+        t.append(samples)
+        t.append(samples
+          .filter(col("name") === "click" &&
+            col("time").between(F + 3 * Day, F + 6 * Day - 1))
+          .withColumn("value", col("value") + 100))
+        t.compact()
+        val physical = s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/table/raw").count()
+        val logical = t.countMetrics()
+        require(physical == logical,
+          s"compaction left superseded rows: $physical physical vs $logical logical")
+        val res = r6(t.select(SelectParams(functions = "count,sum",
+          from = F, to = T, step = Day)), Seq("sum"))
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // CSV ROUND-TRIP (S6 source + S9 names sink semantics through the
     // real table): the events samples are FORMATTED as reference CSV
     // lines (`name,"labels",value,time` — tsdbctl add -f,
@@ -2015,6 +2049,20 @@ object SparkEntry {
          |  CAST(count(v) AS DOUBLE) AS "count",
          |  round(sum(v), 6) AS "sum"
          |FROM s WHERE tt BETWEEN ${F + 20 * Day} AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // LWW view after the override batch: click samples in days 3..6 carry
+    // +100; counts unchanged (overrides rewrite, never duplicate)
+    "tsdb_compact" ->
+      s"""WITH s AS ($SamplesCte),
+         |m AS (SELECT name, labels_str, tt,
+         |        CASE WHEN name = 'click' AND tt BETWEEN ${F + 3 * Day} AND ${F + 6 * Day - 1}
+         |             THEN v + 100 ELSE v END AS v
+         |      FROM s)
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum"
+         |FROM m WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // the staged CSV parses back to the original events samples

@@ -28,12 +28,16 @@ object ScaleGen {
   def replicateDocuments(docs: DataFrame, factor: Int): DataFrame = {
     val copies = docs.sparkSession.range(factor.toLong).toDF("k")
     docs.crossJoin(copies)
+      // the marker must use the SHIFTED id (unique per (doc, copy));
+      // compute it explicitly rather than via the select's lateral
+      // column alias, which would resolve the same way but implicitly
+      .withColumn("__sid", col("doc_id") + col("k") * 1000000000L)
       .select(
-        (col("doc_id") + col("k") * 1000000000L).as("doc_id"),
+        col("__sid").as("doc_id"),
         when(col("k") === 0, col("text")).otherwise(
           concat_ws(" ", transform(split(col("text"), "\\s+"),
             (w, i) => when(i % 4 === col("k") % 4,
-                concat(lit("cpy"), col("k"), lit("x"), col("doc_id")))
+                concat(lit("cpy"), col("k"), lit("x"), col("__sid")))
               .otherwise(w)))).as("text"),
         col("lang"), col("source"), col("n_chars"))
   }
