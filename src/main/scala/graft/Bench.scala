@@ -31,7 +31,12 @@ import org.apache.spark.sql.SparkSession
   *    tsdb_ingest_stream rule: it re-stages the corpus and rebuilds the
   *    index per run, and its real compute (indexed incremental dedup) is
   *    already timed by dedup_incremental_indexed — correctness-gated,
-  *    not headline.
+  *    not headline. The r6 staged maintenance entries (tsdb_delete,
+  *    tsdb_retention, tsdb_compact, tsdb_csv_roundtrip) follow the same
+  *    rule: each re-appends the events corpus per run, so their headline
+  *    number would measure staging, not the maintenance path under test
+  *    (measured at 6-17 s/run, >70% of it the append tsdb_ingest already
+  *    times) — correctness-gated only.
   *  - Every individual run's time is emitted under `"runs"` so a run
   *    poisoned by this VM's external freeze windows is visible in the
   *    artifact itself; `"queries"` carries the per-query min.
@@ -44,8 +49,7 @@ object Bench {
     "tsdb_groupby_label", "tsdb_cross_agg", "tsdb_sliding_window",
     "tsdb_overlap_windows", "tsdb_downsample", "tsdb_variant_last",
     "tsdb_sql", "tsdb_multi_agg", "tsdb_storage_agg", "tsdb_sliding_server",
-    "tsdb_storage_preagg", "tsdb_delete", "tsdb_retention", "tsdb_csv_roundtrip",
-    "tsdb_compact",
+    "tsdb_storage_preagg",
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",

@@ -26,15 +26,15 @@ object JsonlSource {
     * the raw text exactly when parsing failed. */
   val CorruptField = "__corrupt"
 
-  /** Parse `path` as JSONL under `schema`: one row per line with the raw
-    * text and the parsed struct, whose [[CorruptField]] is non-NULL iff
-    * the line failed to parse. Building block for [[readSplit]]. */
   /** All reserved names: [[CorruptField]] lives inside the parsed struct;
     * `raw_line` and `__parsed` are the output columns of [[read]] — a
     * caller schema reusing either would shadow them and turn downstream
     * selects ambiguous, so reject loudly up front. */
   val ReservedColumns: Set[String] = Set(CorruptField, "raw_line", "__parsed")
 
+  /** Parse `path` as JSONL under `schema`: one row per line with the raw
+    * text and the parsed struct, whose [[CorruptField]] is non-NULL iff
+    * the line failed to parse. Building block for [[readSplit]]. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val clash = schema.fieldNames.filter(ReservedColumns.contains)
     require(clash.isEmpty,

@@ -47,16 +47,25 @@ object ScaleGen {
     emb.crossJoin(copies)
       .select(
         (col("vec_id") + col("k") * 1000000000L).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          (x + (col("k") * 31 + i) % 7 * lit(0.003f) - lit(0.009f)).cast("float"))
-          .as("embedding"),
+        // copy 0 verbatim (the scaled corpus is a superset of the source);
+        // later copies get a per-(k, dim) offset that is INJECTIVE in k —
+        // the k-proportional term guarantees no two copies share a vector
+        // even where the %7 phase repeats (k and k+7)
+        when(col("k") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            (x + col("k") * lit(0.0007f) +
+              (col("k") * 31 + i) % 7 * lit(0.003f) - lit(0.009f))
+              .cast("float"))).as("embedding"),
         col("label"))
   }
 
   def replicateEvents(ev: DataFrame, factor: Int): DataFrame = {
     val copies = ev.sparkSession.range(factor.toLong).toDF("k")
     ev.crossJoin(copies)
-      .withColumn("user_id", col("user_id") + col("k") * 1000)
+      // stride far above any realistic user-id range: sf0.1 uses
+      // 0..1499, and colliding copies would merge series (2× density)
+      // instead of multiplying the series count
+      .withColumn("user_id", col("user_id") + col("k") * 1000000L)
       .drop("k")
   }
 
