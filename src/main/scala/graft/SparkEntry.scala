@@ -917,6 +917,21 @@ object SparkEntry {
         TextAnalysis.perplexityBuckets(scored).orderBy("doc_id"))
     }),
 
+    // DSIR importance resampling (Xie et al. 2023, public): every doc is
+    // scored under an en-domain bigram LM and the all-docs background LM;
+    // the 6-dp log-likelihood ratio is the importance weight and the top
+    // 25% by an exact integer-micro-unit percentile cut are selected —
+    // threshold-broadcast, no global sort (ties admit every tied doc).
+    // The twin replays BOTH LMs with the lm_score CTE discipline and the
+    // same quantile cut.
+    "corpus_dsir" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val w = TextAnalysis.dsirWeights(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text")
+      ops.Caching.scoped(w)(
+        TextAnalysis.dsirSelect(w, keepFraction = 0.25).orderBy("doc_id"))
+    }),
+
     // CCNet proper stratifies PER LANGUAGE — tertile thresholds from a
     // per-lang percentile aggregate, broadcast-joined back
     "text_ppl_buckets_lang" -> ((s, dir) => {
@@ -2964,6 +2979,65 @@ object SparkEntry {
          |       WHEN ppl_int <= t[2] THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket
          |FROM si CROSS JOIN th ORDER BY doc_id""".stripMargin,
+
+    // both DSIR models replayed: target counts from the en docs, raw
+    // counts from all docs, one shared position stream, the same ordered
+    // folds / 6-dp rounds as lm_score, then the 0.75 quantile cut on
+    // integer micro-unit weights
+    "corpus_dsir" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS w FROM documents),
+        |tc1 AS (SELECT w1, count(*) AS c1 FROM
+        |        (SELECT unnest(w) AS w1 FROM d WHERE lang = 'en') GROUP BY 1),
+        |tv AS (SELECT count(*) AS v FROM tc1),
+        |tc12 AS (SELECT g, count(*) AS c12 FROM
+        |        (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+        |         FROM d WHERE lang = 'en') GROUP BY 1),
+        |rc1 AS (SELECT w1, count(*) AS c1 FROM
+        |        (SELECT unnest(w) AS w1 FROM d) GROUP BY 1),
+        |rv AS (SELECT count(*) AS v FROM rc1),
+        |rc12 AS (SELECT g, count(*) AS c12 FROM
+        |        (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+        |         FROM d) GROUP BY 1),
+        |p AS (SELECT doc_id,
+        |    unnest([i - 1 for i in range(1, len(w))]) AS pos,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g,
+        |    unnest([w[i] for i in range(1, len(w))]) AS w1
+        |  FROM d WHERE len(w) >= 2),
+        |tlp AS (SELECT doc_id, pos,
+        |    ln((CAST(coalesce(c12, 0) AS DOUBLE) + 0.5::DOUBLE)
+        |       / (CAST(coalesce(c1, 0) AS DOUBLE)
+        |          + 0.5::DOUBLE * CAST(v AS DOUBLE))) AS lp
+        |  FROM p LEFT JOIN tc12 USING (g) LEFT JOIN tc1 USING (w1)
+        |  CROSS JOIN tv),
+        |tt AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    list_aggregate(list(lp ORDER BY pos), 'sum') AS total
+        |  FROM tlp GROUP BY 1),
+        |rlp AS (SELECT doc_id, pos,
+        |    ln((CAST(coalesce(c12, 0) AS DOUBLE) + 0.5::DOUBLE)
+        |       / (CAST(coalesce(c1, 0) AS DOUBLE)
+        |          + 0.5::DOUBLE * CAST(v AS DOUBLE))) AS lp
+        |  FROM p LEFT JOIN rc12 USING (g) LEFT JOIN rc1 USING (w1)
+        |  CROSS JOIN rv),
+        |rt AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    list_aggregate(list(lp ORDER BY pos), 'sum') AS total
+        |  FROM rlp GROUP BY 1),
+        |sc AS (SELECT d.doc_id,
+        |    CAST(coalesce(tt.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |    round(tt.total / tt.n_bigrams, 6) AS target_lp,
+        |    round(rt.total / rt.n_bigrams, 6) AS raw_lp,
+        |    round(round(tt.total / tt.n_bigrams, 6)
+        |          - round(rt.total / rt.n_bigrams, 6), 6) AS dsir_weight
+        |  FROM d LEFT JOIN tt ON d.doc_id = tt.doc_id
+        |         LEFT JOIN rt ON d.doc_id = rt.doc_id),
+        |wi AS (SELECT sc.*,
+        |    CAST(round(dsir_weight * 1e6) AS BIGINT) AS w_int FROM sc),
+        |th AS (SELECT quantile_cont(w_int, 0.75) AS t FROM wi
+        |       WHERE w_int IS NOT NULL)
+        |SELECT doc_id, n_bigrams, target_lp, raw_lp, dsir_weight,
+        |  (w_int IS NOT NULL AND w_int >= t) AS selected
+        |FROM wi CROSS JOIN th ORDER BY doc_id""".stripMargin,
 
     // parallel unnests zip: pos (0-based, matching posexplode) pairs with
     // its 8-gram; islands via the same pos - row_number() grouping

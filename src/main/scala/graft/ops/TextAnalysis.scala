@@ -776,6 +776,60 @@ object TextAnalysis {
       .drop("__ppl_int", "__t1", "__t2")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling" — public): per-document log importance weight
+    * `avg-logprob under a TARGET-domain LM − avg-logprob under the
+    * RAW-corpus LM`. Docs that look more like the target domain than like
+    * the background corpus get positive weights; sampling/thresholding on
+    * the weight steers the corpus mix toward the domain. Both models are
+    * the [[lmScore]] add-k bigram LM (the paper uses hashed n-gram
+    * features; a bigram LM is the same estimator family without the
+    * hashing approximation), so every determinism property of
+    * [[lmScore]] — ordered folds, 6-dp rounding — carries over, and the
+    * weight (a difference of two 6-dp values, re-rounded) is bit-stable
+    * cross-engine. Short docs (< 2 tokens) have NULL scores and NULL
+    * weight.
+    *
+    * Distributed shape: two vocab-bounded count-table builds (one scan
+    * of target, one of raw) + the [[lmScore]] scoring joins run twice
+    * over the raw stream. At 100 TB the count tables still broadcast;
+    * nothing new shuffles. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, addK: Double = 0.5): DataFrame = {
+    val t = lmScore(target, raw, idCol, textCol, addK)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("avg_logprob").as("target_lp"))
+    val r = lmScore(raw, raw, idCol, textCol, addK)
+      .select(col("doc_id"), col("avg_logprob").as("raw_lp"))
+    t.join(r, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("target_lp"),
+        col("raw_lp"),
+        round(col("target_lp") - col("raw_lp"), 6).as("dsir_weight"))
+  }
+
+  /** Select the top `keepFraction` of documents by [[dsirWeights]]: the
+    * cut is an exact percentile of the weight in integer MICRO-UNITS
+    * (6-dp weights × 1e6 round-trip exactly; integer inputs make the
+    * interpolated percentile bit-identical cross-engine — the
+    * [[perplexityBuckets]] rationale), broadcast back onto the stream.
+    * No global sort/row_number: at 100 TB a threshold-broadcast is the
+    * only shape that scales, and a boundary TIE admits every tied doc
+    * rather than an arbitrary partition-order subset. NULL-weight docs
+    * (short texts) are never selected. */
+  def dsirSelect(weights: DataFrame, keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction < 1,
+      s"keepFraction must be in (0,1): $keepFraction")
+    val wi = weights.withColumn("__w_int",
+      round(col("dsir_weight") * 1e6).cast("long"))
+    val th = wi.filter(col("__w_int").isNotNull)
+      .agg(expr(s"percentile(__w_int, CAST(${1 - keepFraction} AS DOUBLE))")
+        .as("__th"))
+    wi.crossJoin(broadcast(th))
+      .withColumn("selected",
+        col("__w_int").isNotNull && col("__w_int") >= col("__th"))
+      .drop("__w_int", "__th")
+  }
+
   /** Overlapping character bigrams from a PROJECTED [[chars]] array
     * column (project the char array once, then call this on the
     * attribute — the interpreted-HOF re-eval trap). Single-pass

@@ -1303,6 +1303,34 @@ class TextAnalysisSpec extends SparkSuite {
       4L -> "middle", 5L -> "tail", 6L -> "tail", 7L -> "na"))
   }
 
+  test("dsirWeights/dsirSelect: domain-like docs outrank background; short docs NULL and never selected") {
+    // target domain: fruit vocabulary; background adds machinery vocab
+    val raw = Seq(
+      (1L, "apple banana apple banana cherry"),   // pure target-domain text
+      (2L, "gear piston gear piston valve"),      // pure background text
+      (3L, "apple banana gear piston valve"),     // mixed
+      (4L, "x")).toDF("doc_id", "text")           // < 2 tokens → NULL weight
+    val target = Seq(
+      (10L, "apple banana cherry apple banana"),
+      (11L, "banana apple apple cherry banana")).toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(w(4L).isEmpty)
+    // importance ordering: the pure target-vocab doc must outrank BOTH
+    // others. (No claim that mixed > background: DSIR is a distribution
+    // RATIO, and the raw LM fits doc 2's repeated bigrams well, which
+    // can legitimately lift its ratio above the mixed doc's — that is
+    // the estimator working, not a bug.)
+    assert(w(1L).get > w(2L).get && w(1L).get > w(3L).get)
+    // keep the top third of the 3 scored docs → only doc 1 passes the
+    // percentile cut; the short doc 4 is never selected
+    val sel = TextAnalysis.dsirSelect(
+        TextAnalysis.dsirWeights(raw, target, "doc_id", "text"), 1.0 / 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(sel(1L) && !sel(2L) && !sel(3L) && !sel(4L))
+  }
+
   test("perplexityBucketsBy: thresholds are per-group, not global") {
     // group b's values are 100x group a's: under GLOBAL tertiles all of a
     // would be head and all of b tail; per-group each splits 2/2/2
