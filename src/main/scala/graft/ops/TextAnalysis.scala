@@ -790,21 +790,58 @@ object TextAnalysis {
     * cross-engine. Short docs (< 2 tokens) have NULL scores and NULL
     * weight.
     *
-    * Distributed shape: two vocab-bounded count-table builds (one scan
-    * of target, one of raw) + the [[lmScore]] scoring joins run twice
-    * over the raw stream. At 100 TB the count tables still broadcast;
-    * nothing new shuffles. */
+    * Distributed shape: one vocab-bounded count-table build per model
+    * (one scan of target, one of raw), then ONE position stream over the
+    * raw corpus scored under BOTH models in the same joins — not two
+    * independent [[lmScore]] passes, which would tokenize and shuffle the
+    * raw corpus twice for byte-identical results (the fused fold adds the
+    * two lp columns in the same position order as two separate
+    * gram-sorted folds, so the outputs are bit-equal by construction). At
+    * 100 TB the count tables still broadcast; the only corpus-sized
+    * shuffle is the per-doc fold. */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
                   textCol: String, addK: Double = 0.5): DataFrame = {
-    val t = lmScore(target, raw, idCol, textCol, addK)
-      .select(col("doc_id"), col("n_bigrams"),
-        col("avg_logprob").as("target_lp"))
-    val r = lmScore(raw, raw, idCol, textCol, addK)
-      .select(col("doc_id"), col("avg_logprob").as("raw_lp"))
-    t.join(r, Seq("doc_id"))
-      .select(col("doc_id"), col("n_bigrams"), col("target_lp"),
-        col("raw_lp"),
-        round(col("target_lp") - col("raw_lp"), 6).as("dsir_weight"))
+    require(addK > 0, s"addK must be > 0: $addK")
+    graft.functions.GraftFunctions.register(raw.sparkSession)
+    graft.functions.GraftFunctions.register(target.sparkSession)
+    def model(train: DataFrame, p: String) = {
+      val uni = train.select(explode(tokens(lower(col(textCol)))).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as(p + "c1"))
+      val big = train
+        .select(explode(wordNgramsFast(lower(col(textCol)), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as(p + "c12"))
+      (uni, big, uni.agg(count(lit(1)).as(p + "v")))
+    }
+    val (tUni, tBig, tVocab) = model(target, "t")
+    val (rUni, rBig, rVocab) = model(raw, "r")
+    def lp(p: String) = log(
+      (coalesce(col(p + "c12"), lit(0L)).cast("double") + lit(addK)) /
+        (coalesce(col(p + "c1"), lit(0L)).cast("double") +
+          lit(addK) * col(p + "v").cast("double")))
+    val scoredPos = raw
+      .select(col(idCol).as("doc_id"),
+        posexplode(wordNgramsFast(lower(col(textCol)), 2)).as(Seq("pos", "g")))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .join(tBig, Seq("g"), "left").join(tUni, Seq("w1"), "left")
+      .join(rBig, Seq("g"), "left").join(rUni, Seq("w1"), "left")
+      .crossJoin(broadcast(tVocab)).crossJoin(broadcast(rVocab))
+      .withColumn("__tlp", lp("t")).withColumn("__rlp", lp("r"))
+    val perDoc = scoredPos.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      aggregate(
+        sort_array(collect_list(struct(col("pos"), col("__tlp"), col("__rlp")))),
+        struct(lit(0.0).as("t"), lit(0.0).as("r")),
+        (a, x) => struct(
+          (a.getField("t") + x.getField("__tlp")).as("t"),
+          (a.getField("r") + x.getField("__rlp")).as("r"))).as("__tot"))
+    val tAvg = round(col("__tot").getField("t") / col("n_bigrams"), 6)
+    val rAvg = round(col("__tot").getField("r") / col("n_bigrams"), 6)
+    raw.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        tAvg.as("target_lp"), rAvg.as("raw_lp"),
+        round(tAvg - rAvg, 6).as("dsir_weight"))
   }
 
   /** Select the top `keepFraction` of documents by [[dsirWeights]]: the

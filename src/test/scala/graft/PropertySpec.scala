@@ -102,6 +102,60 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: delete == relational anti-filter for ANY range/metric/label predicate; rollup and names rebuild to the survivors (v3iotsdb.go:272-477)") {
+    import graft.storage.{TsdbConfig, TsdbTable}
+    val HourMs = 3600000L
+    // offsets span ~8 one-day partitions, so random ranges hit every
+    // deleteImpl path: whole-partition metadata drops, boundary rewrites,
+    // predicated rewrites, empty-partition cleanup, delete-everything
+    val gen: Gen[(List[S], Long, Long, Boolean, Boolean)] = for {
+      n <- Gen.choose(5, 40)
+      xs <- Gen.listOfN(n, for {
+        series <- Gen.choose(0, 2)
+        off <- Gen.choose(0L, 199L)
+        v <- Gen.choose(-100.0, 100.0)
+      } yield S(series, off, v))
+      fromOff <- Gen.choose(0L, 199L)
+      len <- Gen.choose(0L, 220L) // can run past the data → full-tail drop
+      byMetric <- Gen.oneOf(true, false)
+      byLabel <- Gen.oneOf(true, false)
+    } yield (xs, fromOff, fromOff + len, byMetric, byLabel)
+    (0 until 6).foreach { i =>
+      val (xs, f, t0, byMetric, byLabel) =
+        gen.pureApply(Gen.Parameters.default, Seed(99L + i))
+      val dir = java.nio.file.Files.createTempDirectory(s"del_prop$i").toString
+      val tbl = new TsdbTable(spark, dir, TsdbConfig())
+      val rows = xs.map(d =>
+        (s"m${d.series % 2}", s"h${d.series}", Base + d.offsetMs * HourMs, d.value))
+      tbl.append(rows.toDF("name", "host", "time", "value")
+        .select(col("name"), map(lit("host"), col("host")).as("labels"),
+          col("time"), col("value")))
+      val (fromMs, toMs) = (Base + f * HourMs, Base + t0 * HourMs)
+      tbl.delete(fromMs, toMs,
+        metrics = if (byMetric) Seq("m0") else Nil,
+        filter = if (byLabel) "labels['host'] = 'h1'" else "")
+      def hit(r: (String, String, Long, Double)) =
+        r._3 >= fromMs && r._3 <= toMs &&
+          (!byMetric || r._1 == "m0") && (!byLabel || r._2 == "h1")
+      // multiset compare: random (series, time) collisions keep BOTH rows
+      val model = rows.filterNot(hit).groupBy(identity).view.mapValues(_.size).toMap
+      val got = tbl.readRaw(0, Long.MaxValue / 2)
+        .select("name", "labels_str", "time", "value").collect()
+        .map(r => (r.getString(0), r.getString(1).stripPrefix("host="),
+          r.getLong(2), r.getDouble(3)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == model.toMap,
+        s"case $i from=$f to=$t0 metric=$byMetric label=$byLabel")
+      if (model.nonEmpty) {
+        val cnt = tbl.readRollup().agg(sum("__p_count")).collect().head.getDouble(0)
+        assert(cnt == model.values.sum.toDouble,
+          s"case $i: rollup count $cnt != survivors ${model.values.sum}")
+        assert(tbl.names().collect().map(_.getString(0)).toSet ==
+          model.keySet.map(_._1), s"case $i: names dim not rebuilt")
+      } else assert(tbl.countMetrics() == 0L, s"case $i: table should be empty")
+    }
+  }
+
   test("PROPERTY: overrideOld merge-on-read == last-write-wins map model") {
     import graft.storage.{TsdbConfig, TsdbTable}
     val genBatches: Gen[List[List[S]]] = Gen.listOfN(3, Gen.listOfN(8, for {
