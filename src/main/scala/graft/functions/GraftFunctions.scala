@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       StopwordSetCounts.info, StopwordSetCounts.builder))
     ext.injectFunction((FunctionIdentifier(WordNgrams.Name),
       WordNgrams.info, WordNgrams.builder))
+    ext.injectFunction((FunctionIdentifier(CharNgrams.Name),
+      CharNgrams.info, CharNgrams.builder))
   }
 }
 
@@ -74,6 +76,8 @@ object GraftFunctions {
         StopwordSetCounts.Name, StopwordSetCounts.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         WordNgrams.Name, WordNgrams.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        CharNgrams.Name, CharNgrams.builder, "built-in")
       registered.put(spark, java.lang.Boolean.TRUE)
     }
   }

@@ -879,6 +879,21 @@ object TextAnalysis {
         slice(chArr, lit(2), size(chArr) - 1),
         (x, y) => concat(x, y)))
 
+  /** Character bigrams of a TEXT column through the codegen'd one-pass
+    * kernel ([[graft.functions.CharNgrams]], `graft_char_ngrams`) — the
+    * langid-model hot path; bit-identical to
+    * `charBigramsFrom(chars(text))` (OpsSpec pins kernel == HOF incl.
+    * astral chars). Falls back to the HOF formulation when no session is
+    * active to register on. */
+  def charBigramsFast(text: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(sp) =>
+        graft.functions.GraftFunctions.register(sp)
+        call_function(graft.functions.CharNgrams.Name,
+          coalesce(text, lit("")), lit(2))
+      case None => charBigramsFrom(chars(coalesce(text, lit(""))))
+    }
+
   /** Train a character-bigram language-ID model: per-(language, bigram)
     * counts from a LABELED corpus, in ONE scan + one vocab-bounded
     * shuffle. This is the public fastText/CCNet-shaped upgrade over the
@@ -889,11 +904,13 @@ object TextAnalysis {
     * Model size is vocab-bounded (≤ #langs × #distinct-bigrams rows) —
     * broadcastable at any corpus scale. */
   def langIdModelTrain(train: DataFrame, textCol: String,
-                       langCol: String): DataFrame =
+                       langCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
     train
-      .select(col(langCol).as("lang"), chars(lower(col(textCol))).as("__ch"))
-      .select(col("lang"), explode(charBigramsFrom(col("__ch"))).as("gram"))
+      .select(col(langCol).as("lang"),
+        explode(charBigramsFast(lower(col(textCol)))).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+  }
 
   /** Score documents against a [[langIdModelTrain]] model: predicted
     * language = argmax over languages of the add-k-smoothed bigram
@@ -916,9 +933,10 @@ object TextAnalysis {
     require(addK > 0, s"addK must be > 0: $addK")
     val langTot = model.groupBy("lang").agg(sum("c").as("tot"))
     val vocab = model.agg(count_distinct(col("gram")).as("v"))
+    graft.functions.GraftFunctions.register(target.sparkSession)
     val tg = target
-      .select(col(idCol).as("doc_id"), chars(lower(col(textCol))).as("__ch"))
-      .select(col("doc_id"), explode(charBigramsFrom(col("__ch"))).as("gram"))
+      .select(col(idCol).as("doc_id"),
+        explode(charBigramsFast(lower(col(textCol)))).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
     val perLang = tg
       .crossJoin(broadcast(langTot))

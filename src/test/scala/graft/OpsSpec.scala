@@ -445,6 +445,8 @@ class SimilaritySpec extends SparkSuite {
         s2.sql("SELECT xxhash64(3, CAST(7 AS BIGINT))").collect().head.getLong(0))
       assert(s2.sql(s"SELECT ${graft.functions.NfcNormalize.Name}('cafe\u0301')")
         .collect().head.getString(0) == "caf\u00e9")
+      assert(s2.sql(s"SELECT ${graft.functions.CharNgrams.Name}('abc', 2)")
+        .collect().head.getSeq[String](0) == Seq("ab", "bc"))
       for (n <- Seq(graft.functions.SrpBandBuckets.Name, graft.functions.BpeTokens.Name))
         assert(s2.catalog.functionExists(n), s"$n missing from the injected session")
     } finally {
@@ -1153,6 +1155,19 @@ class TextAnalysisSpec extends SparkSuite {
       .select(TextAnalysis.charBigramsFrom(TextAnalysis.chars(col("text"))))
       .collect().map(_.getSeq[String](0).toSeq).toSeq
     assert(grams == Seq(Seq("ab", "bc"), Seq("好的", "的吗"), Seq(), Seq()))
+
+    // the codegen'd graft_char_ngrams kernel == the HOF formulation on
+    // every shape that can diverge: BMP, CJK, astral surrogate PAIRS,
+    // a LONE unpaired surrogate, combining marks, short/empty
+    val tricky = Seq("abc", "好的吗", "x", "", "a" + new String(Character.toChars(0x1D11E)) +
+        "b" + new String(Character.toChars(0x1F600)), "x\uD834y", "aéb")
+      .toDF("text")
+    val kern = tricky.select(TextAnalysis.charBigramsFast(col("text")))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val hof = tricky
+      .select(TextAnalysis.charBigramsFrom(TextAnalysis.chars(col("text"))))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(kern == hof, s"kernel $kern != HOF $hof")
 
     val train = Seq(
       ("en", "the quick brown fox jumps over the lazy dog"),
