@@ -48,23 +48,26 @@ object CharNgrams {
 
   def ngrams(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
-    // code-point boundaries (code-UNIT offsets); bounds(i) = start of the
-    // i-th code point, final element = str.length
-    val bounds = new java.util.ArrayList[Integer](str.length + 1)
+    // code-point boundaries (code-UNIT offsets) in one primitive int
+    // array — this is the per-row hot path, no boxed Integers. At most
+    // length+1 boundaries; bounds(i) = start of the i-th code point,
+    // bounds(cp) = str.length
+    val bounds = new Array[Int](str.length + 1)
+    var cp = 0
     var i = 0
     while (i < str.length) {
-      bounds.add(i)
+      bounds(cp) = i
+      cp += 1
       i += Character.charCount(str.codePointAt(i))
     }
-    bounds.add(str.length)
-    val m = bounds.size - 1 - n + 1 // #code-points − n + 1
+    bounds(cp) = str.length
+    val m = cp - n + 1 // #code-points − n + 1
     if (m <= 0) new GenericArrayData(Array.empty[Any])
     else {
       val out = new Array[Any](m)
       var j = 0
       while (j < m) {
-        out(j) = UTF8String.fromString(
-          str.substring(bounds.get(j), bounds.get(j + n)))
+        out(j) = UTF8String.fromString(str.substring(bounds(j), bounds(j + n)))
         j += 1
       }
       new GenericArrayData(out)

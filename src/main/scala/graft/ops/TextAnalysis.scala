@@ -674,15 +674,7 @@ object TextAnalysis {
               textCol: String, addK: Double = 0.5,
               minCount: Long = 1L): DataFrame = {
     require(addK > 0, s"addK must be > 0: $addK")
-    graft.functions.GraftFunctions.register(train.sparkSession) // bigrams use graft_word_ngrams
-    val uni = train
-      .select(explode(tokens(lower(col(textCol)))).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
-    val big = train
-      .select(explode(wordNgramsFast(lower(col(textCol)), 2)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= minCount)
+    val (uni, big, vocab) = bigramModel(train, textCol, "", minCount)
     val pos = target.select(col(idCol).as("doc_id"),
         posexplode(wordNgramsFast(lower(col(textCol)), 2)).as(Seq("pos", "g")))
       .withColumn("w1", split(col("g"), " ").getItem(0))
@@ -690,10 +682,7 @@ object TextAnalysis {
       .join(big, Seq("g"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .withColumn("lp", log(
-        (coalesce(col("c12"), lit(0L)).cast("double") + lit(addK)) /
-          (coalesce(col("c1"), lit(0L)).cast("double") +
-            lit(addK) * col("v").cast("double"))))
+      .withColumn("lp", addKLogProb("", addK))
     val perDoc = lp.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
       aggregate(sort_array(collect_list(struct(col("pos"), col("lp")))),
@@ -776,6 +765,34 @@ object TextAnalysis {
       .drop("__ppl_int", "__t1", "__t2")
   }
 
+  /** The ONE add-k bigram LM estimator shared by [[lmScore]] and
+    * [[dsirWeights]]: unigram context counts (`<p>c1`), bigram counts
+    * pruned at `minCount` (`<p>c12` — the knob that keeps the bigram
+    * table broadcastable at corpus scale: pruned bigrams score as
+    * unseen, the standard trade), and the vocabulary size (`<p>v`).
+    * Shared CODE, not convention — a change to tokenization, counting or
+    * pruning here moves both operators together, which is what pins the
+    * DSIR scaladoc's "every determinism property of lmScore carries
+    * over". */
+  private def bigramModel(train: DataFrame, textCol: String, p: String,
+                          minCount: Long): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val uni = train.select(explode(tokens(lower(col(textCol)))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as(p + "c1"))
+    val big = train
+      .select(explode(wordNgramsFast(lower(col(textCol)), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as(p + "c12"))
+      .filter(col(p + "c12") >= minCount)
+    (uni, big, uni.agg(count(lit(1)).as(p + "v")))
+  }
+
+  /** The shared add-k log-probability over a joined [[bigramModel]] row:
+    * `ln((c12 + k) / (c1 + k·V))` with absent counts as 0. */
+  private def addKLogProb(p: String, addK: Double): Column = log(
+    (coalesce(col(p + "c12"), lit(0L)).cast("double") + lit(addK)) /
+      (coalesce(col(p + "c1"), lit(0L)).cast("double") +
+        lit(addK) * col(p + "v").cast("double")))
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
     * Importance Resampling" — public): per-document log importance weight
     * `avg-logprob under a TARGET-domain LM − avg-logprob under the
@@ -800,24 +817,13 @@ object TextAnalysis {
     * 100 TB the count tables still broadcast; the only corpus-sized
     * shuffle is the per-doc fold. */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                  textCol: String, addK: Double = 0.5): DataFrame = {
+                  textCol: String, addK: Double = 0.5,
+                  minCount: Long = 1L): DataFrame = {
     require(addK > 0, s"addK must be > 0: $addK")
     graft.functions.GraftFunctions.register(raw.sparkSession)
-    graft.functions.GraftFunctions.register(target.sparkSession)
-    def model(train: DataFrame, p: String) = {
-      val uni = train.select(explode(tokens(lower(col(textCol)))).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as(p + "c1"))
-      val big = train
-        .select(explode(wordNgramsFast(lower(col(textCol)), 2)).as("g"))
-        .groupBy("g").agg(count(lit(1)).as(p + "c12"))
-      (uni, big, uni.agg(count(lit(1)).as(p + "v")))
-    }
-    val (tUni, tBig, tVocab) = model(target, "t")
-    val (rUni, rBig, rVocab) = model(raw, "r")
-    def lp(p: String) = log(
-      (coalesce(col(p + "c12"), lit(0L)).cast("double") + lit(addK)) /
-        (coalesce(col(p + "c1"), lit(0L)).cast("double") +
-          lit(addK) * col(p + "v").cast("double")))
+    val (tUni, tBig, tVocab) = bigramModel(target, textCol, "t", minCount)
+    val (rUni, rBig, rVocab) = bigramModel(raw, textCol, "r", minCount)
+    def lp(p: String) = addKLogProb(p, addK)
     val scoredPos = raw
       .select(col(idCol).as("doc_id"),
         posexplode(wordNgramsFast(lower(col(textCol)), 2)).as(Seq("pos", "g")))
@@ -852,7 +858,12 @@ object TextAnalysis {
     * No global sort/row_number: at 100 TB a threshold-broadcast is the
     * only shape that scales, and a boundary TIE admits every tied doc
     * rather than an arbitrary partition-order subset. NULL-weight docs
-    * (short texts) are never selected. */
+    * (short texts) are never selected.
+    *
+    * Caveat (the [[perplexityBuckets]] one): `weights` feeds BOTH the
+    * threshold aggregate and the output stream — persist it (the driver
+    * entry wraps it in `Caching.scoped`) or the whole two-model DSIR
+    * scoring pipeline runs twice. */
   def dsirSelect(weights: DataFrame, keepFraction: Double): DataFrame = {
     require(keepFraction > 0 && keepFraction < 1,
       s"keepFraction must be in (0,1): $keepFraction")

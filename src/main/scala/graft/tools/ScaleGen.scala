@@ -5,22 +5,27 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic corpus replicator for scale receipts (SCALE.md): builds a
   * `factor`× copy of a testdata directory so the §8.1 linearity claims can
-  * be MEASURED instead of argued. Copies are id-shifted and content-
-  * perturbed so they do not collapse into degenerate duplicate clusters:
+  * be MEASURED instead of argued. Copy 0 is the source verbatim (the
+  * scaled corpus is a superset); later copies are id-shifted and
+  * content-perturbed so they do not collapse into degenerate duplicate
+  * clusters:
   *
-  *  - documents: copy k of doc i gets doc_id i + k·10⁹ and every 4th word
-  *    replaced by a copy-specific marker token — ~3/4 of its 3-shingles
-  *    differ from the original AND from every other copy, so MinHash/LSH
-  *    sees a corpus 10× the size, not 10 near-identical replicas of the
-  *    same corpus (which would grow candidate PAIRS quadratically in the
-  *    copy count and fake a super-linear blowup the real crawl doesn't
-  *    have).
-  *  - embeddings: copy k of vector v gets a small deterministic per-(k,
-  *    dim) offset — preserves the overall geometry while keeping copies
-  *    from being exact duplicates (identical vectors would put the whole
-  *    corpus at cosine 1.0).
-  *  - events: copy k shifts user_id by k·1000 — 10× the series count over
-  *    the same time span, which is exactly how a metrics corpus grows.
+  *  - documents: copy k of doc i gets doc_id i + k·10⁹ and every 3rd word
+  *    replaced by a copy-specific marker token. Stride THREE is
+  *    load-bearing: the dedup entries shingle at k=3, and a 3-word window
+  *    over a stride-3 marking always contains a marker, so NO two copies
+  *    (nor a copy and its original) share any shingle — each copy is a
+  *    genuinely distinct document. A wider stride aliases: with stride 4,
+  *    copies in the same k%4 phase share the 1/4 of shingles that dodge
+  *    the marked residue (pairwise J≈0.14), and at factor 100 those
+  *    same-phase pairs are a sub-threshold LSH candidate BOMB (measured:
+  *    37× runtime at 100× data) that real crawl growth does not have.
+  *  - embeddings: copy k ≥ 1 of vector v gets a small deterministic
+  *    per-(k, dim) offset, injective in k — preserves the geometry with
+  *    no two copies sharing a vector.
+  *  - events: copy k shifts user_id by k·10⁶ (far above any realistic id
+  *    range) — factor× the series count over the same time span, which is
+  *    exactly how a metrics corpus grows.
   *
   * Usage: `runMain graft.tools.ScaleGen <srcSfDir> <outDir> [factor]`. */
 object ScaleGen {
@@ -36,7 +41,7 @@ object ScaleGen {
         col("__sid").as("doc_id"),
         when(col("k") === 0, col("text")).otherwise(
           concat_ws(" ", transform(split(col("text"), "\\s+"),
-            (w, i) => when(i % 4 === col("k") % 4,
+            (w, i) => when(i % 3 === col("k") % 3,
                 concat(lit("cpy"), col("k"), lit("x"), col("__sid")))
               .otherwise(w)))).as("text"),
         col("lang"), col("source"), col("n_chars"))
