@@ -62,7 +62,7 @@ object Bench {
     "text_entropy", "text_strip_html",
     "text_repetition", "text_decontaminate", "text_decontaminate_fuzzy",
     "text_bm25", "text_lm_score", "text_ppl_buckets", "text_dup_spans",
-    "corpus_dsir",
+    "text_dup_spans_drop", "corpus_dsir",
     "doc_fingerprint",
     "text_url_domains", "text_url_filter", "corpus_domain_cap",
     "corpus_sample", "corpus_split", "corpus_shuffle", "corpus_mix",

@@ -952,6 +952,14 @@ object SparkEntry {
       Dedup.dupSpans(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", k = 8)),
 
+    // the SURGERY half of text_dup_spans (Lee et al. 2022): duplicated
+    // spans are cut everywhere except the owner doc (min doc id holding
+    // the span's first 8-gram); untouched docs keep their text verbatim.
+    // The twin replays islands + ownership + anti-join rebuild in SQL
+    "text_dup_spans_drop" -> ((s, dir) =>
+      Dedup.removeDupSpans(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", k = 8).orderBy("doc_id")),
+
     // document fingerprinting (normalized md5)
     "doc_fingerprint" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
@@ -3065,6 +3073,56 @@ object SparkEntry {
         |  CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len_tokens,
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    // same islands, then ownership (min doc id on the island's first
+    // gram), exploded drop positions, word anti-join, ordered rebuild
+    "text_dup_spans_drop" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest([i - 1 for i in range(1, len(w) - 6)]) AS pos,
+        |  unnest([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |          ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+        |          for i in range(1, len(w) - 6)]) AS gram
+        |  FROM d WHERE len(w) >= 8),
+        |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |        GROUP BY gram HAVING count(*) >= 2),
+        |h AS (SELECT doc_id, pos, gram FROM g
+        |      WHERE gram IN (SELECT gram FROM dup)),
+        |nf AS (SELECT doc_id, pos, gram,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |             THEN 0 ELSE 1 END AS brk
+        |       FROM h),
+        |i AS (SELECT doc_id, pos, gram,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM nf),
+        |isl AS (SELECT doc_id, grp, min(pos) AS s, max(pos) AS e,
+        |          arg_min(gram, pos) AS fg
+        |        FROM i GROUP BY 1, 2),
+        |own AS (SELECT gram, min(doc_id) AS owner FROM h GROUP BY 1),
+        |dr AS (SELECT isl.doc_id, unnest(generate_series(s, e + 7)) AS pos
+        |       FROM isl JOIN own ON isl.fg = own.gram
+        |       WHERE isl.doc_id <> own.owner),
+        |tch AS (SELECT DISTINCT doc_id FROM dr),
+        |wp AS (SELECT d.doc_id,
+        |         unnest([i - 1 for i in range(1, len(w) + 1)]) AS pos,
+        |         unnest(w) AS word
+        |       FROM d JOIN tch ON d.doc_id = tch.doc_id),
+        |tot AS (SELECT doc_id, count(*) AS total FROM wp GROUP BY 1),
+        |kp AS (SELECT wp.doc_id, count(*) AS kept,
+        |         string_agg(word, ' ' ORDER BY pos) AS clean
+        |       FROM wp ANTI JOIN dr
+        |         ON wp.doc_id = dr.doc_id AND wp.pos = dr.pos
+        |       GROUP BY 1),
+        |rb AS (SELECT tch.doc_id, coalesce(kp.clean, '') AS clean,
+        |         tot.total - coalesce(kp.kept, 0) AS removed
+        |       FROM tch JOIN tot USING (doc_id) LEFT JOIN kp USING (doc_id))
+        |SELECT documents.doc_id, coalesce(rb.clean, documents.text) AS text,
+        |  CAST(coalesce(rb.removed, 0) AS BIGINT) AS removed_tokens
+        |FROM documents LEFT JOIN rb ON documents.doc_id = rb.doc_id
+        |ORDER BY documents.doc_id""".stripMargin,
 
     "corpus_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -793,7 +793,19 @@ object Dedup {
     * AQE can broadcast; island merging shuffles flagged windows only,
     * partitioned by doc. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-               k: Int, minDocs: Long = 2): DataFrame = {
+               k: Int, minDocs: Long = 2): DataFrame =
+    dupIslands(dupGramHits(docs, idCol, textCol, k, minDocs), k)
+      .select(col("doc_id"),
+        col("__start").cast("long").as("span_start"),
+        (col("__end") - col("__start") + lit(k)).cast("long").as("span_len_tokens"),
+        col("__n").cast("long").as("n_windows"))
+      .orderBy("doc_id", "span_start")
+
+  /** (doc_id, pos, gram) for every k-gram window whose gram occurs in
+    * ≥ `minDocs` distinct documents — the shared first stage of
+    * [[dupSpans]] and [[removeDupSpans]] (one gram shuffle, df filter). */
+  private def dupGramHits(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, minDocs: Long): DataFrame = {
     GraftFunctions.register(docs.sparkSession) // grams use graft_word_ngrams
     require(k >= 2, s"k must be >= 2: $k")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
@@ -802,9 +814,15 @@ object Dedup {
     val dup = grams.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs).select("gram")
+    grams.join(dup, Seq("gram"), "left_semi")
+  }
+
+  /** Merge overlapping/touching hit windows into per-doc maximal islands:
+    * (doc_id, __grp, __start, __end, __n, __first_gram). */
+  private def dupIslands(hits: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    grams.join(dup, Seq("gram"), "left_semi")
+    hits
       // island break where this window's range neither overlaps nor
       // touches the previous one (gap > k); lag is NULL on the first row
       // and the comparison's NULL falls to otherwise(1) — a new island
@@ -815,11 +833,67 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "__grp")
       .agg(min("pos").as("__start"), max("pos").as("__end"),
-        count(lit(1)).as("__n"))
+        count(lit(1)).as("__n"),
+        min_by(col("gram"), col("pos")).as("__first_gram"))
+  }
+
+  /** Exact duplicated-substring REMOVAL — the surgery half of
+    * [[dupSpans]] (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", which removes all but one occurrence of
+    * each duplicated substring): every merged duplicated span is cut
+    * from its document UNLESS the doc is the span's OWNER, defined as
+    * the minimum doc id among documents containing the span's FIRST
+    * k-gram — a deterministic island-granular stand-in for the paper's
+    * per-substring keep-one (an island's later grams may have other
+    * owners; the first gram arbitrates). Rebuilt text joins surviving
+    * words with single spaces; untouched documents keep their original
+    * text VERBATIM (no whitespace normalization).
+    *
+    * Distributed shape (the 100 TB path): [[dupGramHits]] is one gram
+    * shuffle; islands are a per-doc window over hits only; owners are a
+    * #dup-grams-row aggregate; the surgery then runs ONLY on touched
+    * docs — word positions anti-joined against the exploded drop spans
+    * (bounded by duplicated-span volume, not corpus volume) and one
+    * per-doc sorted fold. Untouched docs are never retokenized.
+    *
+    * @return (doc_id, text, removed_tokens) for EVERY input doc */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, minDocs: Long = 2): DataFrame = {
+    val hits = dupGramHits(docs, idCol, textCol, k, minDocs)
+    val islands = dupIslands(hits, k)
+    val owners = hits.groupBy("gram").agg(min("doc_id").as("__owner"))
+    val drops = islands
+      .join(owners, islands("__first_gram") === owners("gram"))
+      .filter(col("doc_id") =!= col("__owner"))
+      // a window at __end covers words __end .. __end + k - 1; merged
+      // islands never touch (gap > k), so positions never duplicate
       .select(col("doc_id"),
-        col("__start").cast("long").as("span_start"),
-        (col("__end") - col("__start") + lit(k)).cast("long").as("span_len_tokens"),
-        col("__n").cast("long").as("n_windows"))
-      .orderBy("doc_id", "span_start")
+        explode(sequence(col("__start"), col("__end") + lit(k - 1))).as("pos"))
+    val touched = drops.select("doc_id").distinct()
+    // the SAME word indexing the gram positions came from: split of the
+    // 0x20-trimmed text with phantom empties kept (the WordNgrams kernel
+    // contract) — any other tokenization would mis-align the spans
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .join(touched, Seq("doc_id"), "left_semi")
+    val totals = words.groupBy("doc_id").agg(count(lit(1)).as("__total"))
+    val keptAgg = words.join(drops, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("__clean"))
+    val rebuilt = touched
+      .join(totals, Seq("doc_id"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__clean"), lit("")).as("__clean"),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).as("__removed"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__clean"), col("text")).as("text"),
+        coalesce(col("__removed"), lit(0L)).as("removed_tokens"))
   }
 }

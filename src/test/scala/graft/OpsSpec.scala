@@ -97,6 +97,21 @@ class DedupSpec extends SparkSuite {
       Dedup.dupSpans(d, "doc_id", "text", k = 3, minDocs = 1))
   }
 
+  test("removeDupSpans: owner doc keeps its span, every other occurrence is cut; untouched docs verbatim") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d = docs(
+      (1L, s"p1 p2 $shared q1"),   // owner (min doc id on the first gram)
+      (2L, s"r1 $shared t1 t2"),   // loses the span
+      (3L, "u1 u2  u3"),           // untouched — double space stays VERBATIM
+      (4L, shared))                // the whole doc is the span → emptied
+    val out = Dedup.removeDupSpans(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (s"p1 p2 $shared q1", 0L)) // owner untouched, verbatim
+    assert(out(2L) == ("r1 t1 t2", 8L))
+    assert(out(3L) == ("u1 u2  u3", 0L))         // original whitespace kept
+    assert(out(4L) == ("", 8L))
+  }
+
   test("brute-force and LSH find the planted near-dup; LSH == brute here") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
