@@ -1647,6 +1647,32 @@ object SparkEntry {
       Corpus.packShards(s.read.parquet(s"$dir/documents.parquet"), "doc_id",
         size(TextAnalysis.tokens(col("text"))), budget = 2048, numBlocks = 16)),
 
+    // the shard layout MATERIALIZED: packShards' assignment written as a
+    // parquet tree partitioned by shard (one directory per training
+    // shard — the physical layout a dataloader consumes), read back, and
+    // receipted per shard. A hash match proves the partitioned write
+    // round-trips the assignment losslessly; the twin aggregates the
+    // same prefix-sum layout directly
+    "corpus_shards_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shards")
+      try {
+        Corpus.packShards(s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", size(TextAnalysis.tokens(col("text"))),
+            budget = 2048, numBlocks = 16)
+          .write.partitionBy("shard_id").parquet(s"$tmp/shards")
+        val res = s.read.parquet(s"$tmp/shards")
+          .groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("shard_tokens"),
+            min("stream_offset").as("first_offset"))
+          .select(col("shard_id").cast("long").as("shard_id"),
+            col("n_docs"), col("shard_tokens"), col("first_offset"))
+          .orderBy("shard_id")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // curriculum selection: top-3 docs per (lang, source) by quality
     // score — WindowGroupLimit keeps k rows per group map-side before the
     // shuffle, the shape that survives million-member groups
@@ -3333,6 +3359,24 @@ object SparkEntry {
         |  CAST(off AS BIGINT) AS stream_offset,
         |  CAST(off // 2048 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // per-shard receipts over the same prefix-sum layout corpus_pack pins
+    "corpus_shards_roundtrip" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT CAST(off // 2048 AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  CAST(min(off) AS BIGINT) AS first_offset
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_topk" ->
       """WITH f AS (
