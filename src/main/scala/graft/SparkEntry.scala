@@ -3100,8 +3100,9 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
-    // same islands, then ownership (min doc id on the island's first
-    // gram), exploded drop positions, word anti-join, ordered rebuild
+    // per-gram ownership (min doc id per duplicated gram): a position
+    // drops iff covered by a non-owned window and by NO owned window —
+    // then word anti-join and ordered rebuild
     "text_dup_spans_drop" ->
       """WITH d AS (SELECT doc_id, text,
         |             string_split_regex(trim(text), '\s+') AS w
@@ -3116,35 +3117,27 @@ object SparkEntry {
         |        GROUP BY gram HAVING count(*) >= 2),
         |h AS (SELECT doc_id, pos, gram FROM g
         |      WHERE gram IN (SELECT gram FROM dup)),
-        |nf AS (SELECT doc_id, pos, gram,
-        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-        |             THEN 0 ELSE 1 END AS brk
-        |       FROM h),
-        |i AS (SELECT doc_id, pos, gram,
-        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-        |                       ROWS UNBOUNDED PRECEDING) AS grp
-        |      FROM nf),
-        |isl AS (SELECT doc_id, grp, min(pos) AS s, max(pos) AS e,
-        |          arg_min(gram, pos) AS fg
-        |        FROM i GROUP BY 1, 2),
         |own AS (SELECT gram, min(doc_id) AS owner FROM h GROUP BY 1),
-        |dr AS (SELECT isl.doc_id, unnest(generate_series(s, e + 7)) AS pos
-        |       FROM isl JOIN own ON isl.fg = own.gram
-        |       WHERE isl.doc_id <> own.owner),
+        |cv AS (SELECT h.doc_id, (h.doc_id = own.owner) AS owned,
+        |         unnest(generate_series(h.pos, h.pos + 7)) AS pos
+        |       FROM h JOIN own USING (gram)),
+        |no AS (SELECT DISTINCT doc_id, pos FROM cv WHERE NOT owned),
+        |ow AS (SELECT DISTINCT doc_id, pos FROM cv WHERE owned),
+        |dr AS (SELECT no.doc_id, no.pos FROM no
+        |       ANTI JOIN ow ON no.doc_id = ow.doc_id AND no.pos = ow.pos),
         |tch AS (SELECT DISTINCT doc_id FROM dr),
         |wp AS (SELECT d.doc_id,
         |         unnest([i - 1 for i in range(1, len(w) + 1)]) AS pos,
         |         unnest(w) AS word
         |       FROM d JOIN tch ON d.doc_id = tch.doc_id),
-        |tot AS (SELECT doc_id, count(*) AS total FROM wp GROUP BY 1),
-        |kp AS (SELECT wp.doc_id, count(*) AS kept,
+        |kp AS (SELECT wp.doc_id,
         |         string_agg(word, ' ' ORDER BY pos) AS clean
         |       FROM wp ANTI JOIN dr
         |         ON wp.doc_id = dr.doc_id AND wp.pos = dr.pos
         |       GROUP BY 1),
-        |rb AS (SELECT tch.doc_id, coalesce(kp.clean, '') AS clean,
-        |         tot.total - coalesce(kp.kept, 0) AS removed
-        |       FROM tch JOIN tot USING (doc_id) LEFT JOIN kp USING (doc_id))
+        |rm AS (SELECT doc_id, count(*) AS removed FROM dr GROUP BY 1),
+        |rb AS (SELECT rm.doc_id, coalesce(kp.clean, '') AS clean, rm.removed
+        |       FROM rm LEFT JOIN kp USING (doc_id))
         |SELECT documents.doc_id, coalesce(rb.clean, documents.text) AS text,
         |  CAST(coalesce(rb.removed, 0) AS BIGINT) AS removed_tokens
         |FROM documents LEFT JOIN rb ON documents.doc_id = rb.doc_id

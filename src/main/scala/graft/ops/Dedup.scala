@@ -818,7 +818,7 @@ object Dedup {
   }
 
   /** Merge overlapping/touching hit windows into per-doc maximal islands:
-    * (doc_id, __grp, __start, __end, __n, __first_gram). */
+    * (doc_id, __grp, __start, __end, __n). */
   private def dupIslands(hits: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -833,67 +833,74 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "__grp")
       .agg(min("pos").as("__start"), max("pos").as("__end"),
-        count(lit(1)).as("__n"),
-        min_by(col("gram"), col("pos")).as("__first_gram"))
+        count(lit(1)).as("__n"))
   }
 
   /** Exact duplicated-substring REMOVAL — the surgery half of
     * [[dupSpans]] (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better", which removes all but one occurrence of
-    * each duplicated substring): every merged duplicated span is cut
-    * from its document UNLESS the doc is the span's OWNER, defined as
-    * the minimum doc id among documents containing the span's FIRST
-    * k-gram — a deterministic island-granular stand-in for the paper's
-    * per-substring keep-one (an island's later grams may have other
-    * owners; the first gram arbitrates). Rebuilt text joins surviving
-    * words with single spaces; untouched documents keep their original
-    * text VERBATIM (no whitespace normalization).
+    * each duplicated substring). Keep-one is arbitrated PER GRAM: each
+    * duplicated k-gram's OWNER is the minimum doc id containing it, and
+    * a word position is cut iff it is covered by at least one NON-owned
+    * duplicated window and by NO owned window. This guarantees every
+    * duplicated gram's full window survives in its owner document — an
+    * island-granular arbitration (first gram owns the whole merged span)
+    * would let adjacent spans with different owners delete EVERY copy of
+    * a passage corpus-wide, the data-loss case the review caught and the
+    * spec now pins. Rebuilt text joins surviving words with single
+    * spaces; untouched documents keep their original text VERBATIM (no
+    * whitespace normalization).
     *
     * Distributed shape (the 100 TB path): [[dupGramHits]] is one gram
-    * shuffle; islands are a per-doc window over hits only; owners are a
-    * #dup-grams-row aggregate; the surgery then runs ONLY on touched
-    * docs — word positions anti-joined against the exploded drop spans
-    * (bounded by duplicated-span volume, not corpus volume) and one
-    * per-doc sorted fold. Untouched docs are never retokenized.
+    * shuffle; owners are a #dup-grams-row aggregate; covered positions
+    * explode k× the HIT volume (duplicated windows only, not the
+    * corpus); the surgery then runs ONLY on touched docs — word
+    * positions anti-joined against the drop set and one per-doc sorted
+    * fold. Untouched docs are never retokenized. `hits` and `drops` each
+    * feed multiple consumers — scoped-cached for the single
+    * materialization, released before return.
     *
-    * @return (doc_id, text, removed_tokens) for EVERY input doc */
+    * @return (doc_id, text, removed_tokens) for EVERY input doc;
+    *         eagerly materialized (the [[Caching.scoped]] contract) —
+    *         long-lived callers should unpersist it when done */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int, minDocs: Long = 2): DataFrame = {
     val hits = dupGramHits(docs, idCol, textCol, k, minDocs)
-    val islands = dupIslands(hits, k)
     val owners = hits.groupBy("gram").agg(min("doc_id").as("__owner"))
-    val drops = islands
-      .join(owners, islands("__first_gram") === owners("gram"))
-      .filter(col("doc_id") =!= col("__owner"))
-      // a window at __end covers words __end .. __end + k - 1; merged
-      // islands never touch (gap > k), so positions never duplicate
+    val covered = hits.join(owners, Seq("gram"))
       .select(col("doc_id"),
-        explode(sequence(col("__start"), col("__end") + lit(k - 1))).as("pos"))
-    val touched = drops.select("doc_id").distinct()
-    // the SAME word indexing the gram positions came from: split of the
-    // 0x20-trimmed text with phantom empties kept (the WordNgrams kernel
-    // contract) — any other tokenization would mis-align the spans
-    val words = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
-      .join(touched, Seq("doc_id"), "left_semi")
-    val totals = words.groupBy("doc_id").agg(count(lit(1)).as("__total"))
-    val keptAgg = words.join(drops, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("__kept"),
-        array_join(transform(
+        (col("doc_id") === col("__owner")).as("__own"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+    val drops = covered.filter(!col("__own")).select("doc_id", "pos").distinct()
+      .join(covered.filter(col("__own")).select("doc_id", "pos").distinct(),
+        Seq("doc_id", "pos"), "left_anti")
+    Caching.scoped(hits, drops) {
+      val touched = drops.select("doc_id").distinct()
+      // the SAME word indexing the gram positions came from: split of the
+      // 0x20-trimmed text with phantom empties kept (the WordNgrams kernel
+      // contract) — any other tokenization would mis-align the spans
+      val words = docs
+        .select(col(idCol).as("doc_id"),
+          posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+        .join(touched, Seq("doc_id"), "left_semi")
+      val keptAgg = words.join(drops, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("w")))),
           x => x.getField("w")), " ").as("__clean"))
-    val rebuilt = touched
-      .join(totals, Seq("doc_id"))
-      .join(keptAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("__clean"), lit("")).as("__clean"),
-        (col("__total") - coalesce(col("__kept"), lit(0L))).as("__removed"))
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("__clean"), col("text")).as("text"),
-        coalesce(col("__removed"), lit(0L)).as("removed_tokens"))
+      // every drop position is an in-bounds word index and the drop set is
+      // position-distinct, so |drops per doc| IS the removed-token count —
+      // no second corpus-wide word scan for totals
+      val removed = drops.groupBy("doc_id").agg(count(lit(1)).as("__removed"))
+      val rebuilt = removed
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__clean"), lit("")).as("__clean"), col("__removed"))
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__clean"), col("text")).as("text"),
+          coalesce(col("__removed"), lit(0L)).as("removed_tokens"))
+    }
   }
 }

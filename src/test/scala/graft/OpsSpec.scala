@@ -110,6 +110,20 @@ class DedupSpec extends SparkSuite {
     assert(out(2L) == ("r1 t1 t2", 8L))
     assert(out(3L) == ("u1 u2  u3", 0L))         // original whitespace kept
     assert(out(4L) == ("", 8L))
+
+    // the data-loss regression the review caught: two ADJACENT duplicated
+    // passages with DIFFERENT owners. Island-granular ownership (first
+    // gram owns the merged span) would cut doc 11's G-passage — whose
+    // owner IS doc 11 — leaving G surviving in no document. Per-gram
+    // ownership must keep G in doc 11 and F in doc 10.
+    val f = (1 to 8).map(i => s"f$i").mkString(" ")
+    val g = (1 to 8).map(i => s"g$i").mkString(" ")
+    val d2 = docs((10L, f), (11L, s"$f $g"), (12L, s"x1 $g"))
+    val out2 = Dedup.removeDupSpans(d2, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out2(10L) == (f, 0L))   // owner of F
+    assert(out2(11L) == (g, 8L))   // loses F, KEEPS its owned G
+    assert(out2(12L) == ("x1", 8L))
   }
 
   test("brute-force and LSH find the planted near-dup; LSH == brute here") {
