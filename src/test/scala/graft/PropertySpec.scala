@@ -285,6 +285,47 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: removeDupSpans keep-one — every duplicated gram survives contiguously in its owner doc; token accounting exact") {
+    import graft.ops.Dedup
+    // tiny vocabulary → dense duplication, adjacent spans with different
+    // owners arise naturally (the island-ownership data-loss class)
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(4, 10)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 14)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val k = 3
+    (0 until 6).foreach { i =>
+      val corpus = genCorpus.pureApply(Gen.Parameters.default, Seed(555L + i))
+      val d = corpus.toDF("doc_id", "text")
+      val out = Dedup.removeDupSpans(d, "doc_id", "text", k = k)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      def words(t: String) =
+        t.trim.split("\\s+", -1).toSeq.filterNot(_ => t.trim.isEmpty)
+      def grams(t: String) = words(t).sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
+      val byDoc = corpus.toMap
+      // duplicated grams (>= 2 distinct docs) and their owners
+      val docGrams = corpus.map { case (id, t) => id -> grams(t) }
+      val dupGrams = docGrams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+        .view.mapValues(_.map(_._2).min).toMap
+      dupGrams.foreach { case (g, owner) =>
+        val cleaned = words(out(owner)._1).sliding(k).map(_.mkString(" ")).toSeq
+        assert(cleaned.contains(g),
+          s"case $i: duplicated gram '$g' lost from owner doc $owner " +
+            s"('${byDoc(owner)}' -> '${out(owner)._1}')")
+      }
+      // token accounting: removed == original word count − cleaned count
+      corpus.foreach { case (id, t) =>
+        val (clean, removed) = out(id)
+        assert(removed == words(t).size - words(clean).size,
+          s"case $i doc $id: removed=$removed orig='${t}' clean='$clean'")
+      }
+    }
+  }
+
   test("PROPERTY: wordNgrams == sliding-window model on random token lists") {
     (0 until 6).foreach { i =>
       val g = for {
