@@ -74,7 +74,8 @@ object Bench {
     "corpus_curate_stream", "corpus_chunk", "corpus_chunk_pack", "text_vocab",
     "multimodal_meta", "multimodal_features", "multimodal_audio",
     "multimodal_features_exact", "multimodal_audio_exact",
-    "dedup_image_dhash", "dedup_image_keep", "multimodal_frames")
+    "dedup_image_dhash", "dedup_image_keep", "multimodal_frames",
+    "dedup_video_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

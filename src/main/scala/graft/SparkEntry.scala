@@ -1441,6 +1441,35 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // VIDEO near-dup by positional frame-signature voting, end-to-end
+    // through the REAL GFV1 decode: every doc gets a 5-frame clip with
+    // arithmetic per-frame fills; docs < 40 get a near-copy at +1000000
+    // with frame 0 perturbed (+1), so copies match their source on 4 of
+    // 5 frames (>= minVotes 3). The fill arithmetic also produces exact
+    // full matches between docs 256 apart (the k-dependence cancels mod
+    // 256) — the twin derives EVERY pair, planted and arithmetic alike,
+    // from the same closed-form fills
+    "dedup_video_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      def fill(id: Long, k: Int): Int = ((id * (k + 3) * 13 + k) % 256).toInt
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.flatMap { r =>
+          val id = r.getLong(0)
+          val base = Row(id, Multimodal.gfvVideo(4, 4, 5, k => fill(id, k)))
+          if (id < 40)
+            Seq(base, Row(id + 1000000L, Multimodal.gfvVideo(4, 4, 5,
+              k => if (k == 0) (fill(id, 0) + 1) % 256 else fill(id, k))))
+          else Seq(base)
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.videoNearDupPairs(
+          Multimodal.sampleFrames(blobs, everyN = 1), minVotes = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ORACLE-EXACT audio decode: 0.1 s square waves at amplitude
     // 16384/32768 = 0.5 (every sample a dyadic rational — EXACT through
     // 16-bit quantization, where a sine's features drift per sample)
@@ -2851,6 +2880,25 @@ object SparkEntry {
         |  round(((doc_id * 31 + k * 7) % 256) / 255.0, 6) AS mean_luma
         |FROM f WHERE k % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // every (clip, frame) fill replayed arithmetically — base clips plus
+    // the 40 frame-0-perturbed copies — then the same positional voting
+    // join and the >= 3 cut
+    "dedup_video_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |f0 AS (SELECT doc_id, u.k AS k,
+        |         (doc_id * (u.k + 3) * 13 + u.k) % 256 AS l
+        |       FROM ids, UNNEST(generate_series(0, 4)) AS u(k)),
+        |fc AS (SELECT doc_id + 1000000 AS doc_id, k,
+        |         CASE WHEN k = 0 THEN (l + 1) % 256 ELSE l END AS l
+        |       FROM f0 WHERE doc_id < 40),
+        |af AS (SELECT * FROM f0 UNION ALL SELECT * FROM fc)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS votes
+        |FROM af a JOIN af b ON a.k = b.k AND a.l = b.l
+        |                   AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
 
     // the entry FORCES each image's dHash to the 60-bit md5(doc_id)
     // prefix (dhashPng construction), so the twin derives the same

@@ -503,4 +503,39 @@ object Multimodal {
     AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
+
+  /** VIDEO near-duplicate pairs by positional frame-signature voting over
+    * a [[sampleFrames]] output: two clips are near-dups when at least
+    * `minVotes` of their sampled frames carry the same signature at the
+    * same frame index — the re-upload/re-encode video dedup shape (most
+    * frames survive identically, a few differ at trims/overlays).
+    *
+    * The per-frame signature here is the quantized mean luma (an exact
+    * integer — demo-grade but oracle-provable); a production pipeline
+    * swaps a per-frame perceptual hash (e.g. [[decodeImageDHash]]'s
+    * dHash over the frame bytes) into the SAME (frame_idx, signature)
+    * join — the signature column is the seam, the voting join is the
+    * operator. Contact between clips happens only through equal
+    * (frame_idx, signature) keys — the LSH-banding join shape, one
+    * bucket shuffle, never an all-pairs compare. Caveat at scale: a
+    * degenerate constant signature (black frames) mega-buckets exactly
+    * like an LSH hot bucket — production signatures (dHash) spread it;
+    * undecodable or empty clips carry NULL frame fields and never vote.
+    *
+    * @return (id_a, id_b, votes) with id_a < id_b, votes >= minVotes */
+  def videoNearDupPairs(frames: DataFrame, minVotes: Int): DataFrame = {
+    require(minVotes >= 1, s"minVotes must be >= 1: $minVotes")
+    // mean_luma = s/(w*h)/255 with integer s: ×255 recovers the mean to
+    // within an ulp and round() lands the exact integer when frames are
+    // constant-gray; patterned frames quantize deterministically too
+    val sig = frames
+      .filter(col("decoded") && col("frame_idx").isNotNull)
+      .select(col("doc_id"), col("frame_idx").as("k"),
+        round(col("mean_luma") * 255).cast("int").as("sig"))
+    sig.toDF("id_a", "k", "sig")
+      .join(sig.toDF("id_b", "k", "sig"), Seq("k", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= minVotes)
+  }
 }

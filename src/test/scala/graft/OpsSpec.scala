@@ -1460,6 +1460,24 @@ class MultimodalSpec extends SparkSuite {
     assert(f1 == f2) // deterministic
   }
 
+  test("videoNearDupPairs: positional voting finds the one-frame-perturbed copy; undecodable clips never vote") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val clips = Seq(
+      1L -> Multimodal.gfvVideo(4, 4, 5, k => 10 + 20 * k),
+      2L -> Multimodal.gfvVideo(4, 4, 5, k => if (k == 0) 99 else 10 + 20 * k),
+      3L -> Multimodal.gfvVideo(4, 4, 5, k => 200 - k), // unrelated
+      4L -> Array[Byte](1, 2, 3))                       // undecodable
+    val blobs = spark.createDataFrame(
+      java.util.Arrays.asList(clips.map { case (id, b) => Row(id, b) }: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("blob", BinaryType))))
+    val out = Multimodal.videoNearDupPairs(
+        Multimodal.sampleFrames(blobs, everyN = 1), minVotes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 4L)) // 4 of 5 frames agree; 3 and 4 never pair
+  }
+
   test("image dHash: pattern round-trip; brightness/scale invariant; hammingPairs finds planted flips") {
     val p1 = 0x0123456789ABCDEFL
     val p2 = -1L // all 64 bits — exercises every row's full down-walk
