@@ -532,10 +532,15 @@ object Multimodal {
       .filter(col("decoded") && col("frame_idx").isNotNull)
       .select(col("doc_id"), col("frame_idx").as("k"),
         round(col("mean_luma") * 255).cast("int").as("sig"))
-    sig.toDF("id_a", "k", "sig")
-      .join(sig.toDF("id_b", "k", "sig"), Seq("k", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("votes"))
-      .filter(col("votes") >= minVotes)
+    // scoped cache: BOTH self-join sides read `sig`, and without it the
+    // upstream decode (the dominant cost under a real codec) runs twice
+    // — the hammingPairs house pattern
+    graft.ops.Caching.scoped(sig) {
+      sig.toDF("id_a", "k", "sig")
+        .join(sig.toDF("id_b", "k", "sig"), Seq("k", "sig"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("votes"))
+        .filter(col("votes") >= minVotes)
+    }
   }
 }

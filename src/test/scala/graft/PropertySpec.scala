@@ -303,7 +303,7 @@ class PropertySpec extends SparkSuite {
       val out = Dedup.removeDupSpans(d, "doc_id", "text", k = k)
         .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
       def words(t: String) =
-        t.trim.split("\\s+", -1).toSeq.filterNot(_ => t.trim.isEmpty)
+        if (t.trim.isEmpty) Seq.empty[String] else t.trim.split("\\s+").toSeq
       def grams(t: String) = words(t).sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
       val byDoc = corpus.toMap
       // duplicated grams (>= 2 distinct docs) and their owners
