@@ -285,6 +285,38 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: CSV multi-sample lines == position-wise model for random value/time arrays (add.go:300-326)") {
+    // each line: k values (numeric or variant word, mixed freely) paired
+    // with k epoch-ms times — the reference's `v1:v2:v3` explode
+    case class L(name: String, user: Int, vs: List[Either[Double, String]], ts: List[Long])
+    val genLines: Gen[List[L]] = Gen.listOfN(12, for {
+      name <- Gen.oneOf("m0", "m1")
+      user <- Gen.choose(0, 3)
+      k <- Gen.choose(1, 4)
+      vs <- Gen.listOfN(k, Gen.oneOf(
+        Gen.choose(-1e6, 1e6).map(Left(_)),
+        Gen.oneOf("up", "down", "degraded").map(Right(_))))
+      ts <- Gen.listOfN(k, Gen.choose(Base, Base + 86400000L))
+    } yield L(name, user, vs, ts))
+    (0 until 5).foreach { i =>
+      val lines = genLines.pureApply(Gen.Parameters.default, Seed(321L + i))
+      val df = lines.map(l => (l.name, s"user=${l.user}",
+          l.vs.map(_.fold(_.toString, identity)).mkString(":"),
+          l.ts.mkString(":")))
+        .toDF("name", "labels", "value", "time")
+      val got = graft.ingest.CsvSource.fromColumns(df, nowMs = Base)
+        .collect().map(r => (r.getString(0), r.getMap[String, String](1)("user"),
+          r.getLong(2), Option(if (r.isNullAt(3)) null else r.getDouble(3)),
+          Option(r.getString(4))))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val model = lines.flatMap(l => l.vs.zip(l.ts).map { case (v, t) =>
+        (l.name, l.user.toString, t,
+          v.left.toOption, v.toOption)
+      }).groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == model.toMap, s"case $i")
+    }
+  }
+
   test("PROPERTY: removeDupSpans keep-one — every duplicated gram survives contiguously in its owner doc; token accounting exact") {
     import graft.ops.Dedup
     // tiny vocabulary → dense duplication, adjacent spans with different
