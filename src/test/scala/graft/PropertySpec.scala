@@ -285,6 +285,62 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: langIdModel classifies disjoint-alphabet languages perfectly on held-out strings") {
+    import graft.ops.TextAnalysis
+    // three synthetic "languages" over DISJOINT letter groups: every
+    // cross-language bigram is unseen, so the add-k penalty makes the
+    // true language's likelihood dominate by construction — any
+    // misclassification is an estimator bug, not a fixture accident
+    val alphabets = Seq(Seq("ab", "cd", "ef"), Seq("gh", "ij", "kl"), Seq("mn", "op", "qr"))
+    val genDocs: Gen[List[(Long, Int, String)]] = Gen.listOfN(24, for {
+      lang <- Gen.choose(0, 2)
+      words <- Gen.listOfN(6, Gen.oneOf(alphabets(lang)))
+    } yield (lang, words.mkString(" "))).map(_.zipWithIndex.map {
+      case ((l, t), i) => (i.toLong, l, t)
+    })
+    (0 until 3).foreach { i =>
+      val rows = genDocs.pureApply(Gen.Parameters.default, Seed(777L + i))
+      val df = rows.map { case (id, l, t) => (id, s"L$l", t) }
+        .toDF("doc_id", "lang", "text")
+      val model = TextAnalysis.langIdModelTrain(
+        df.filter(col("doc_id") % 2 === 0), "text", "lang")
+      val pred = TextAnalysis.langIdModelScore(model,
+          df.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      rows.filter(_._1 % 2 == 1).foreach { case (id, l, t) =>
+        assert(pred(id) == s"L$l", s"case $i: doc $id '$t' predicted ${pred(id)}, is L$l")
+      }
+    }
+  }
+
+  test("PROPERTY: dsirSelect is monotone in weight — no selected doc outranked by an unselected one; NULLs never selected") {
+    import graft.ops.TextAnalysis
+    val vocab = Seq("apple", "banana", "cherry", "gear", "piston", "valve", "motor")
+    val genDocs: Gen[List[(Long, String)]] = Gen.listOfN(20, for {
+      k <- Gen.choose(0, 8)
+      ws <- Gen.listOfN(k, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    (0 until 3).foreach { i =>
+      val raw = genDocs.pureApply(Gen.Parameters.default, Seed(888L + i)).toDF("doc_id", "text")
+      val target = Seq((100L, "apple banana cherry apple"),
+        (101L, "banana cherry apple banana")).toDF("doc_id", "text")
+      val sel = TextAnalysis.dsirSelect(
+          TextAnalysis.dsirWeights(raw, target, "doc_id", "text"), 0.3)
+        .collect().map(r => (if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))
+      assert(sel.count(_._2) >= 1, s"case $i: nothing selected")
+      sel.filter(_._1.isEmpty).foreach { case (_, s) =>
+        assert(!s, s"case $i: NULL-weight doc selected") }
+      val selectedMin = sel.collect { case (Some(w), true) => w }.minOption
+      val unselectedMax = sel.collect { case (Some(w), false) => w }.maxOption
+      (selectedMin, unselectedMax) match {
+        case (Some(lo), Some(hi)) =>
+          assert(lo >= hi, s"case $i: selected min $lo < unselected max $hi")
+        case _ => ()
+      }
+    }
+  }
+
   test("PROPERTY: CSV multi-sample lines == position-wise model for random value/time arrays (add.go:300-326)") {
     // each line: k values (numeric or variant word, mixed freely) paired
     // with k epoch-ms times — the reference's `v1:v2:v3` explode
