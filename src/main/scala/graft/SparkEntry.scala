@@ -1607,7 +1607,7 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source")
       val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
       docs.toJSON
-        .union(Seq("{broken json", "\"not\" an object").toDS)
+        .union(Seq("{broken json", "\"not\" an object").toDS())
         .coalesce(1).write.mode("overwrite").text(s"$tmp/data")
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),

@@ -60,7 +60,7 @@ object JsonlSource {
       col("__parsed").getField(CorruptField).isNotNull ||
       !col("raw_line").rlike("^\\s*\\{")
     (parsed.filter(!corrupt)
-        .select(schema.fieldNames.map(f => col("__parsed").getField(f).as(f)): _*),
+        .select(schema.fieldNames.toIndexedSeq.map(f => col("__parsed").getField(f).as(f)): _*),
       parsed.filter(corrupt).select(col("raw_line")))
   }
 }

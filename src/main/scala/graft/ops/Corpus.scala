@@ -228,7 +228,7 @@ object Corpus {
       // sequence(0, -1) would emit [0, -1] (negative default step), not
       // an empty range — zero-copy docs must leave before the explode
       .filter(col("__n") > 0)
-      .select(docs.columns.map(col) :+
+      .select(docs.columns.toIndexedSeq.map(col) :+
         explode(sequence(lit(0L), col("__n").cast("long") - 1L)).as("epoch"): _*)
   }
 
