@@ -1702,6 +1702,16 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // WFQ training-order interleaving: per-source rates (1 + n%3) →
+    // stride-scheduling virtual times; reading ordered by (vt, source,
+    // src_rank) interleaves sources at their rates with no runs. The
+    // twin replays rank + one exact IEEE division per row
+    "corpus_interleave" -> ((s, dir) => {
+      val weights = (0 until 20).map(n => s"src$n" -> (1.0 + n % 3)).toMap
+      Corpus.interleaveByWeight(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "source", weights).orderBy("doc_id")
+    }),
+
     // curriculum selection: top-3 docs per (lang, source) by quality
     // score — WindowGroupLimit keeps k rows per group map-side before the
     // shuffle, the shape that survives million-member groups
@@ -3400,6 +3410,17 @@ object SparkEntry {
         |  CAST(off AS BIGINT) AS stream_offset,
         |  CAST(off // 2048 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // per-source rank + one exact IEEE division per row — the same
+    // stride-scheduling virtual time the engine emits
+    "corpus_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank,
+        |    1.0 + CAST(substr(source, 4) AS INT) % 3 AS w
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+        |  round(src_rank / w, 6) AS vt
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // per-shard receipts over the same prefix-sum layout corpus_pack pins
     "corpus_shards_roundtrip" ->

@@ -165,6 +165,42 @@ object Corpus {
       .drop("__key")
   }
 
+  /** Weighted-fair INTERLEAVING — the training-order scheduler: given a
+    * consumption rate per source, assign every doc the WFQ virtual
+    * finishing time `vt = src_rank / weight` (stride scheduling — a
+    * weight-2 source lands a doc every 0.5 virtual ticks, a weight-1
+    * source every 1.0). Reading the corpus ordered by `(vt, source,
+    * src_rank)` interleaves sources at their configured rates with no
+    * runs — the read-time complement of [[mixSources]] (which sets
+    * VOLUME composition) and the deterministic analog of a dataloader's
+    * per-step source sampler. Like [[shuffleAssign]], this EMITS the
+    * ordering key; nothing here globally sorts — the dataloader's
+    * ordered read (or a range-partitioned write) materializes the order.
+    *
+    * `vt` is one IEEE division of exact integers per row — bit-identical
+    * cross-engine, no summation-order concerns. Plan shape: one shuffle
+    * on source for the per-source rank window (skew bounded by the
+    * largest source; for billion-doc sources swap in the
+    * [[shuffleAssign]] md5-banded rank). Sources missing from `weights`
+    * fail loudly — silently dropping or defaulting a source would skew
+    * the mix without a trace. */
+  def interleaveByWeight(docs: DataFrame, idCol: String, sourceCol: String,
+                         weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"interleaveByWeight: weights must be positive: $weights")
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val wExpr = weights.foldLeft(lit(null).cast("double")) {
+      case (e, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(e)
+    }
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("__w", coalesce(wExpr,
+        raise_error(concat(lit("interleaveByWeight: source without a weight: "),
+          col(sourceCol)))))
+      .withColumn("vt", round(col("src_rank").cast("double") / col("__w"), 6))
+      .drop("__w")
+  }
+
   /** Weighted multi-source mixture sampling — "50% web, 30% books, 20%
     * code": downsample each source so the OUTPUT composition matches
     * `weights` (normalized over the listed sources) while keeping as much

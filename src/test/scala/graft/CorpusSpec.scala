@@ -106,6 +106,23 @@ class CorpusSpec extends SparkSuite {
       Corpus.quantileGate(d, col("score"), "src", dropFrac = 0.0))
   }
 
+  test("interleaveByWeight: WFQ order interleaves sources at their rates; unknown source fails loudly") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b")).toDF("doc_id", "source")
+    val out = Corpus.interleaveByWeight(docs, "doc_id", "source",
+        Map("a" -> 2.0, "b" -> 1.0))
+      .orderBy(col("vt"), col("source"), col("src_rank"))
+      .collect().map(_.getString(1)).toSeq
+    // a lands every 0.5 ticks, b every 1.0: vt = a:.5,1,1.5,2  b:1,2 —
+    // ties (a,b) at 1 and 2 break by source name
+    assert(out == Seq("a", "a", "b", "a", "a", "b"))
+    val e = intercept[Exception](
+      Corpus.interleaveByWeight(docs, "doc_id", "source", Map("a" -> 2.0))
+        .collect())
+    assert(e.getMessage.contains("source without a weight"))
+  }
+
   test("shuffleAssign: dense per-shard ranks, partition-independent, seed-sensitive") {
     val d = spark.range(1000).select(col("id").as("doc_id"))
     val out = Corpus.shuffleAssign(d, "doc_id", seed = 42L, nShards = 8)
