@@ -34,13 +34,21 @@ object Corpus {
     * value → keep fraction; strata not listed keep `defaultRate`. Same
     * hash as [[hashSample]], threshold chosen per row by stratum. */
   def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
-                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val threshold = rates.foldLeft(lit(hexRate(defaultRate))) {
-      case (acc, (stratum, rate)) =>
-        when(col(stratumCol) === stratum, lit(hexRate(rate))).otherwise(acc)
+                       rates: Map[String, Double], defaultRate: Double): DataFrame =
+    docs.filter(hashKey(col(idCol)) <
+      caseOverMap(col(stratumCol), rates, lit(hexRate(defaultRate)))(r =>
+        lit(hexRate(r))))
+
+  /** Per-key literal dispatch over a Map — the ONE when-chain builder the
+    * stratum/source-keyed operators share ([[stratifiedSample]],
+    * [[upsampleEpochs]], [[interleaveByWeight]]): `keyCol == k →
+    * value(k)`, falling through to `default`. Branch predicates are
+    * disjoint, so Map iteration order never affects semantics. */
+  private def caseOverMap[A](keyCol: Column, m: Map[String, A],
+                             default: Column)(value: A => Column): Column =
+    m.foldLeft(default) { case (acc, (k, v)) =>
+      when(keyCol === k, value(v)).otherwise(acc)
     }
-    docs.filter(hashKey(col(idCol)) < threshold)
-  }
 
   private def hashKey(id: Column): Column =
     substring(md5(id.cast("string").cast("binary")), 1, 4)
@@ -170,8 +178,11 @@ object Corpus {
     * finishing time `vt = src_rank / weight` (stride scheduling — a
     * weight-2 source lands a doc every 0.5 virtual ticks, a weight-1
     * source every 1.0). Reading the corpus ordered by `(vt, source,
-    * src_rank)` interleaves sources at their configured rates with no
-    * runs — the read-time complement of [[mixSources]] (which sets
+    * src_rank)` interleaves sources at their configured rates (a
+    * weight-w source appears w times per virtual tick; ties at shared
+    * ticks break by source name, and a source with weight ratio > 1
+    * necessarily places its extra docs back-to-back within a tick) —
+    * the read-time complement of [[mixSources]] (which sets
     * VOLUME composition) and the deterministic analog of a dataloader's
     * per-step source sampler. Like [[shuffleAssign]], this EMITS the
     * ordering key; nothing here globally sorts — the dataloader's
@@ -189,14 +200,15 @@ object Corpus {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"interleaveByWeight: weights must be positive: $weights")
     val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
-    val wExpr = weights.foldLeft(lit(null).cast("double")) {
-      case (e, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(e)
-    }
+    val wExpr = caseOverMap(col(sourceCol), weights,
+      lit(null).cast("double"))(wt => lit(wt))
     docs.select(col(idCol), col(sourceCol))
       .withColumn("src_rank", row_number().over(w).cast("long"))
+      // coalesce the source into the message too: concat null-propagates,
+      // and a NULL source would otherwise abort with a message-less error
       .withColumn("__w", coalesce(wExpr,
         raise_error(concat(lit("interleaveByWeight: source without a weight: "),
-          col(sourceCol)))))
+          coalesce(col(sourceCol), lit("<NULL>"))))))
       .withColumn("vt", round(col("src_rank").cast("double") / col("__w"), 6))
       .drop("__w")
   }
@@ -252,12 +264,10 @@ object Corpus {
       require(e > 0.0 && e <= 1000.0,
         s"upsampleEpochs: epochs for '$s' must be in (0,1000]: $e")
     }
-    val full = epochs.foldLeft(lit(0)) { case (acc, (s, e)) =>
-      when(col(sourceCol) === s, lit(math.floor(e).toInt)).otherwise(acc)
-    }
-    val fracTh = epochs.foldLeft(lit("0000")) { case (acc, (s, e)) =>
-      when(col(sourceCol) === s, lit(hexRate(e - math.floor(e)))).otherwise(acc)
-    }
+    val full = caseOverMap(col(sourceCol), epochs, lit(0))(e =>
+      lit(math.floor(e).toInt))
+    val fracTh = caseOverMap(col(sourceCol), epochs, lit("0000"))(e =>
+      lit(hexRate(e - math.floor(e))))
     docs.filter(col(sourceCol).isin(epochs.keys.toSeq: _*))
       .withColumn("__n",
         full + when(hashKey(col(idCol)) < fracTh, 1).otherwise(0))
