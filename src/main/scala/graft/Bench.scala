@@ -76,7 +76,7 @@ object Bench {
     "multimodal_meta", "multimodal_features", "multimodal_audio",
     "multimodal_features_exact", "multimodal_audio_exact",
     "dedup_image_dhash", "dedup_image_keep", "multimodal_frames",
-    "dedup_video_frames")
+    "dedup_video_frames", "dedup_video_dhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -226,5 +226,10 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_out.json: $e") }
     spark.stop()
+    // LAST stdout line, after spark.stop(): a COMPACT summary with no
+    // per-query maps. The full line above exceeded the driver's bounded
+    // stdout-tail capture two rounds running (r5/r6 "parsed": null); this
+    // one always fits, so the driver-side signal stands without the file.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
   }
 }

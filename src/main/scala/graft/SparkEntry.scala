@@ -40,21 +40,29 @@ object SparkEntry {
   private def r6(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 6)))
 
-  /** (lang, train sentence, score sentence) for `text_langid_model` —
-    * the score sentence is a word PERMUTATION of the train sentence, so
-    * classifying it right requires the character statistics, not string
-    * identity. Indexed by doc_id % 5 in entry and oracle alike. */
-  private val LangIdFixture: Seq[(String, String, String)] = Seq(
+  /** (lang, train sentence, score sentence, SHORT score phrase) for
+    * `text_langid_model` — the score sentence is a word PERMUTATION of
+    * the train sentence, so classifying it right requires the character
+    * statistics, not string identity; the short phrase (≤ 3 words,
+    * r7) is the held-out SHORT-document case the bigram+trigram backoff
+    * model must also get right. Indexed by doc_id % 5 in entry and
+    * oracle alike. */
+  private val LangIdFixture: Seq[(String, String, String, String)] = Seq(
     ("de", "der schnelle braune fuchs springt über den faulen hund schön",
-      "über den faulen hund springt der schnelle braune fuchs schön"),
+      "über den faulen hund springt der schnelle braune fuchs schön",
+      "über den faulen"),
     ("en", "the quick brown fox jumps over the lazy dog with their things",
-      "their lazy dog jumps over the quick brown fox with the things"),
+      "their lazy dog jumps over the quick brown fox with the things",
+      "their lazy dog"),
     ("es", "el rápido zorro marrón salta sobre el perro perezoso señor",
-      "sobre el perro perezoso salta el rápido zorro marrón señor"),
+      "sobre el perro perezoso salta el rápido zorro marrón señor",
+      "el perro perezoso"),
     ("fr", "le renard brun rapide saute par dessus le chien paresseux déjà",
-      "par dessus le chien paresseux saute le renard brun rapide déjà"),
+      "par dessus le chien paresseux saute le renard brun rapide déjà",
+      "le chien paresseux"),
     ("zh", "这是一个用于测试语言识别模型的中文句子",
-      "中文句子用于测试这个语言识别模型"))
+      "中文句子用于测试这个语言识别模型",
+      "中文句子"))
 
   /** Recursive delete for the self-staging entries' temp trees — these
     * run every verify/bench round, and a leaked corpus-sized directory
@@ -506,8 +514,14 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
       try {
         val ev = Samples.fromEvents(s, dir)
+        // a missing 'user' label would NULL the whole concat and surface as
+        // an opaque null-text write failure far from the cause — fail here
+        // with the offending series name instead (fixture-schema drift guard)
+        val user = coalesce(col("labels").getItem("user"),
+          raise_error(concat(lit("tsdb_csv_roundtrip: events sample for name="),
+            col("name"), lit(" lacks the 'user' label"))).cast("string"))
         val lines = ev.select(concat(
-          col("name"), lit(",\"user="), col("labels").getItem("user"),
+          col("name"), lit(",\"user="), user,
           lit("\","), col("value").cast("string"), lit(","),
           col("time").cast("string")).as("value"))
         val planted = Seq(
@@ -665,31 +679,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // TRAINED character-bigram language-ID (the fastText/CCNet-shaped
+    // TRAINED character-n-gram language-ID (the fastText/CCNet-shaped
     // model path behind the stopword heuristic above): per-language
-    // bigram LMs trained in one scan on a LABELED planted split, argmax
-    // add-k log-likelihood scoring on the held-out split. The fixture
-    // plants one sentence per language keyed by doc_id % 5 (en/es/de/fr
-    // + CJK zh) — train and score sentences are DIFFERENT word
-    // permutations of the same vocabulary, so a hash match proves the
-    // model generalizes to unseen strings of each language, with margins
-    // set by character statistics (accents, digraphs, CJK code points),
-    // not by string identity. Oracle: the closed-form planted winner.
+    // bigram + trigram LMs (r7 backoff) trained in one scan per gram
+    // size on a LABELED planted split, argmax interpolated add-k
+    // log-likelihood scoring on the held-out split. The fixture plants
+    // one sentence per language keyed by doc_id % 5 (en/es/de/fr + CJK
+    // zh) — train and score sentences are DIFFERENT word permutations of
+    // the same vocabulary, so a hash match proves the model generalizes
+    // to unseen strings of each language, with margins set by character
+    // statistics (accents, digraphs, CJK code points), not by string
+    // identity. Held-out docs with doc_id % 7 == 0 get only the SHORT
+    // (≤ 3 words) phrase — the short-document case the trigram backoff
+    // must also classify. Oracle: the closed-form planted winner.
     "text_langid_model" -> ((s, dir) => {
       def pick(m: Seq[String]) =
         LangIdFixture.indices.foldRight(lit(null).cast("string")) { (i, e) =>
           when((col("doc_id") % 5).cast("int") === i, lit(m(i))).otherwise(e) }
       val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
-      def planted(sents: Seq[String]) = docs.select(col("doc_id"),
-        pick(LangIdFixture.map(_._1)).as("lang"),
-        concat(repeat(concat(pick(sents), lit(" ")),
-            (col("doc_id") % 3 + 1).cast("int")),
-          col("doc_id").cast("string")).as("text"))
+      def planted(sents: Seq[String], shorts: Option[Seq[String]] = None) =
+        docs.select(col("doc_id"),
+          pick(LangIdFixture.map(_._1)).as("lang"), {
+            val long = concat(repeat(concat(pick(sents), lit(" ")),
+                (col("doc_id") % 3 + 1).cast("int")),
+              col("doc_id").cast("string"))
+            shorts.fold(long)(sh => when(col("doc_id") % 7 === 0,
+              concat(pick(sh), lit(" "), col("doc_id").cast("string")))
+              .otherwise(long))
+          }.as("text"))
       val model = TextAnalysis.langIdModelTrain(
         planted(LangIdFixture.map(_._2)).filter(col("doc_id") % 2 === 0),
         "text", "lang")
       TextAnalysis.langIdModelScore(model,
-          planted(LangIdFixture.map(_._3)).filter(col("doc_id") % 2 === 1),
+          planted(LangIdFixture.map(_._3), Some(LangIdFixture.map(_._4)))
+            .filter(col("doc_id") % 2 === 1),
           "doc_id", "text")
         .select("doc_id", "pred_lang")
         .orderBy("doc_id")
@@ -1072,9 +1095,14 @@ object SparkEntry {
         }
       }
       Option(base.listFiles()).foreach(_.foreach { f =>
-        val stale = f.getName.startsWith(s"${dirSlug}__") && f.getName != idxFile.getName
-        val deadBuild = f.getName.startsWith(".build_") &&
-          f.lastModified < System.currentTimeMillis() - 6 * 3600 * 1000L
+        // superseded-version sweep is age-gated like .build_ dirs: a
+        // concurrent JVM that resolved an OLDER fixture fingerprint
+        // (fixture regenerated between launches) may still be reading its
+        // index — deleting it immediately would fail that run mid-read
+        val old = f.lastModified < System.currentTimeMillis() - 6 * 3600 * 1000L
+        val stale = f.getName.startsWith(s"${dirSlug}__") &&
+          f.getName != idxFile.getName && old
+        val deadBuild = f.getName.startsWith(".build_") && old
         if (stale || deadBuild) rmTree(f)
       })
       Dedup.incrementalDedupKeepIndexed(
@@ -1467,6 +1495,44 @@ object SparkEntry {
           StructField("blob", BinaryType))))
       Multimodal.videoNearDupPairs(
           Multimodal.sampleFrames(blobs, everyN = 1), minVotes = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // PRODUCTION video near-dup: per-frame perceptual dHash + HAMMING-
+    // TOLERANT positional voting (the swap-in dedup_video_frames's
+    // scaladoc promised). Every doc gets a 5-frame clip whose frame
+    // dHashes are FORCED to the 60-bit md5(doc_id*5+k) prefixes
+    // (gfvDHashVideo walk); docs < 40 get a near-copy at +1000000 with
+    // frame 0's hash xor-5-perturbed (hamming 2 <= maxDist 3 — still
+    // votes, the tolerance under test) and frame 1's hash REPLACED by an
+    // independent md5 (~30 bits away — never votes), so copies score
+    // exactly 4 of 5 votes. The twin replays every fingerprint
+    // arithmetically and re-runs the per-frame-index banding + bit_count
+    // verify + vote count in SQL
+    "dedup_video_dhash" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      def md5p(key: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.flatMap { r =>
+          val id = r.getLong(0)
+          val ps = (0 until 5).map(k => md5p((id * 5 + k).toString))
+          val base = Row(id, Multimodal.gfvDHashVideo(ps))
+          if (id < 40)
+            Seq(base, Row(id + 1000000L, Multimodal.gfvDHashVideo(
+              Seq(ps(0) ^ 5L, md5p((id * 5 + 1).toString + "x"), ps(2), ps(3), ps(4)))))
+          else Seq(base)
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.videoNearDupDHash(
+          Multimodal.sampleFrames(blobs, everyN = 1), minVotes = 3, maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -2908,6 +2974,39 @@ object SparkEntry {
         |FROM af a JOIN af b ON a.k = b.k AND a.l = b.l
         |                   AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    // every per-frame dHash replayed arithmetically (the entry forces
+    // frame k of clip id to the 60-bit md5(id*5+k) prefix; copies get
+    // frame 0 xor 5 and frame 1 independently re-hashed), then the same
+    // per-frame-index 4x16 banding, bit_count <= 3 verify, DISTINCT
+    // matched (pair, frame) votes, and the >= 3 cut. f0's doc_id keeps
+    // its table prefix in fc: DuckDB lateral aliases would otherwise
+    // resolve doc_id to the ALREADY-shifted +1000000 value
+    "dedup_video_dhash" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |f0 AS (SELECT doc_id, u.k AS k,
+        |         ('0x' || substring(md5(CAST(doc_id*5 + u.k AS VARCHAR)), 1, 15))
+        |           ::UBIGINT::BIGINT AS fp
+        |       FROM ids, UNNEST(generate_series(0, 4)) AS u(k)),
+        |fc AS (SELECT f0.doc_id + 1000000 AS cid, k,
+        |         CASE WHEN k = 0 THEN xor(fp, 5::BIGINT)
+        |              WHEN k = 1 THEN
+        |                ('0x' || substring(md5(CAST(f0.doc_id*5 + 1 AS VARCHAR) || 'x'), 1, 15))
+        |                  ::UBIGINT::BIGINT
+        |              ELSE fp END AS fp
+        |       FROM f0 WHERE f0.doc_id < 40),
+        |af AS (SELECT doc_id, k, fp FROM f0
+        |       UNION ALL SELECT cid, k, fp FROM fc),
+        |blk AS (SELECT doc_id, k, fp, b, (fp >> (b*16)) & 65535 AS key
+        |        FROM af CROSS JOIN range(4) rb(b)),
+        |v AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.k AS k
+        |      FROM blk x JOIN blk y
+        |        ON x.k = y.k AND x.b = y.b AND x.key = y.key
+        |           AND x.doc_id < y.doc_id
+        |      WHERE bit_count(xor(x.fp, y.fp)) <= 3)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS votes
+        |FROM v GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY 1, 2""".stripMargin,
 
     // the entry FORCES each image's dHash to the 60-bit md5(doc_id)

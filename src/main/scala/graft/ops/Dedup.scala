@@ -692,27 +692,58 @@ object Dedup {
     * undecodable payloads) are excluded, never joined as a mega-group. */
   def hammingPairs(fps: DataFrame, idCol: String, fpCol: String,
                    maxDist: Int): DataFrame = {
+    val (sh, pairs) = hammingPairsPlan(fps, idCol, fpCol, Nil, maxDist)
+    Caching.scoped(sh)(pairs)
+  }
+
+  /** [[hammingPairs]] restricted to equal `byCols` groups: banding happens
+    * WITHIN each group key, so two fingerprints only ever meet when their
+    * group keys match (e.g. a video's frame index — positional frame
+    * voting, [[Multimodal.videoNearDupDHash]]). Output:
+    * `(byCols..., id_a, id_b, hamming)`, one row per matched group key
+    * per pair. Same 4x16 banding (recall guaranteed for maxDist <= 3). */
+  def hammingPairsBy(fps: DataFrame, idCol: String, fpCol: String,
+                     byCols: Seq[String], maxDist: Int): DataFrame = {
+    val (sh, pairs) = hammingPairsPlan(fps, idCol, fpCol, byCols, maxDist)
+    Caching.scoped(sh)(pairs)
+  }
+
+  /** The shared banded-self-join plan behind [[hammingPairs]] /
+    * [[hammingPairsBy]], UNSCOPED: returns `(fingerprints, pairsPlan)` so
+    * a caller that stacks more operators on the pairs (e.g. the vote
+    * aggregate in [[Multimodal.videoNearDupDHash]]) can scope-cache the
+    * fingerprint intermediate around its OWN final frame instead of
+    * double-caching an already-persisted handle. The pairs plan consumes
+    * `fingerprints` twice — callers must wrap their final frame in
+    * `Caching.scoped(fingerprints)(...)`. */
+  private[ops] def hammingPairsPlan(fps: DataFrame, idCol: String, fpCol: String,
+                                    byCols: Seq[String], maxDist: Int): (DataFrame, DataFrame) = {
     // the banded self-join consumes the fingerprint table twice and its
     // exchanges alias differently (no AQE reuse) — without caching, the
     // whole upstream scan (or 64-vote aggregate) runs twice. The cached
-    // table is one long per doc; scope-cached (see Caching.scoped)
-    val sh = fps.select(col(idCol).as("id"), col(fpCol).as("__fp"))
+    // table is one long (plus group keys) per doc; scope-cached by the
+    // public wrappers (see Caching.scoped)
+    val by = byCols.map(col)
+    val sh = fps.select(by :+ col(idCol).as("id") :+ col(fpCol).as("__fp"): _*)
       .filter(col("__fp").isNotNull)
-    val blocks = sh.select(col("id"), col("__fp"),
+    val blocks = sh.select(by :+ col("id") :+ col("__fp") :+
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("blk"),
           shiftright(col("__fp"), b * 16).bitwiseAND(0xFFFFL).as("key"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("__fp"), col("bb.blk").as("blk"), col("bb.key").as("key"))
-    Caching.scoped(sh)(
-      blocks.as("x").join(blocks.as("y"),
-          col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
-            col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-          bit_count(col("x.__fp").bitwiseXOR(col("y.__fp"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= maxDist)
-        .orderBy("id_a", "id_b"))
+      }: _*)).as("bb"): _*)
+      .select(by :+ col("id") :+ col("__fp") :+
+        col("bb.blk").as("blk") :+ col("bb.key").as("key"): _*)
+    val joinCond = (byCols.map(c => col(s"x.$c") === col(s"y.$c")) ++ Seq(
+      col("x.blk") === col("y.blk"), col("x.key") === col("y.key"),
+      col("x.id") < col("y.id"))).reduce(_ && _)
+    val pairs = blocks.as("x").join(blocks.as("y"), joinCond)
+      .select(byCols.map(c => col(s"x.$c").as(c)) ++ Seq(
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.__fp").bitwiseXOR(col("y.__fp"))).as("hamming")): _*)
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy(by ++ Seq(col("id_a"), col("id_b")): _*)
+    (sh, pairs)
   }
 
   // --------------------------------------------------- line-level dedup

@@ -543,4 +543,143 @@ object Multimodal {
         .filter(col("votes") >= minVotes)
     }
   }
+
+  /** dHash of a raw GRAYSCALE plane (a [[sampleFrames]] `frame` payload):
+    * the gray bytes ARE the luma plane, so [[decodeImageDHash]]'s 9x8
+    * mean-downsample grid applies directly — and with INTEGER sums the
+    * column-mean comparison can run on cross-multiplied longs, exact for
+    * every frame size (the image path's double division is exact only on
+    * the fixture geometry). Empty grid cells (w < 9 or h < 8) behave as
+    * mean 0, matching the image path's convention. */
+  private[graft] def grayDHash(gray: Array[Byte], w: Int, h: Int): Long = {
+    val sum = Array.ofDim[Long](8, 9)
+    val cnt = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val gr = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val gc = (x.toLong * 9 / w).toInt
+        sum(gr)(gc) += (gray(y * w + x) & 0xFF)
+        cnt(gr)(gc) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gr = 0
+    while (gr < 8) {
+      var gc = 0
+      while (gc < 8) {
+        val sa = sum(gr)(gc); val ca = cnt(gr)(gc)
+        val sb = sum(gr)(gc + 1); val cb = cnt(gr)(gc + 1)
+        // mean(a) > mean(b) with empty cells as 0; cross-multiplication
+        // keeps it exact (sums <= 255 * pixels, nowhere near Long range)
+        val gt =
+          if (ca == 0L) false
+          else if (cb == 0L) sa > 0L
+          else sa * cb > sb * ca
+        if (gt) hash |= 1L << (gr * 8 + gc)
+        gc += 1
+      }
+      gr += 1
+    }
+    hash
+  }
+
+  private val frameDHashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("decoded", BooleanType),
+    StructField("frame_idx", IntegerType),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** Per-frame perceptual dHash over a [[sampleFrames]] output — the
+    * production video signature ([[videoNearDupPairs]]'s scaladoc names
+    * this exact swap-in): each sampled frame's gray plane reduced to the
+    * same 64-bit gradient fingerprint [[decodeImageDHash]] emits for
+    * images, so re-encoding artifacts, brightness shifts, and mild
+    * resizes keep per-frame signatures stable instead of mega-bucketing
+    * like quantized luma. Undecodable payloads and valid-empty clips
+    * carry a NULL dhash (`decoded` preserved) — visible to accounting,
+    * excluded from banding. Partition-local, no shuffle. */
+  def frameDHash(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    val rows = frames.select(col("doc_id"), col("decoded"), col("frame_idx"),
+        col("width"), col("height"), col("frame")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = idOrNull(r)
+          val dec = !r.isNullAt(1) && r.getBoolean(1)
+          val k: java.lang.Integer =
+            if (r.isNullAt(2)) null else Integer.valueOf(r.getInt(2))
+          if (!dec || r.isNullAt(5)) Row(id, dec, k, null)
+          else {
+            val w = r.getInt(3); val h = r.getInt(4)
+            val frame = r.getAs[Array[Byte]](5)
+            Row(id, true, k, java.lang.Long.valueOf(grayDHash(frame, w, h)))
+          }
+        }
+      }
+    spark.createDataFrame(rows, frameDHashSchema)
+  }
+
+  /** Synthesize a GFV1 clip (9x8 frames) whose [[frameDHash]] fingerprints
+    * are EXACTLY `patterns` — the video twin of [[dhashPng]]: each frame's
+    * grid row walks gray values from `base` in ±12 steps, stepping DOWN
+    * iff the pattern bit is set, and with one pixel per grid cell the
+    * mean-luma grid IS the pixel grid, so every comparison sits on an
+    * exact ±12 gap. Fixture plumbing for the ORACLE-EXACT video near-dup
+    * entry. */
+  def gfvDHashVideo(patterns: Seq[Long], base: Int = 128): Array[Byte] = {
+    require(base - 96 >= 0 && base + 96 <= 255, s"base walks out of gamut: $base")
+    val w = 9; val h = 8
+    val out = java.nio.ByteBuffer.allocate(16 + patterns.length * w * h)
+    out.put("GFV1".getBytes("US-ASCII")).putInt(patterns.length).putInt(w).putInt(h)
+    patterns.foreach { pattern =>
+      val frame = new Array[Byte](w * h)
+      var r = 0
+      while (r < 8) {
+        var v = base
+        frame(r * w) = v.toByte
+        var c = 0
+        while (c < 8) {
+          v = if (((pattern >> (r * 8 + c)) & 1L) == 1L) v - 12 else v + 12
+          frame(r * w + c + 1) = v.toByte
+          c += 1
+        }
+        r += 1
+      }
+      out.put(frame)
+    }
+    out.array()
+  }
+
+  /** PRODUCTION-shape video near-dup: positional frame voting like
+    * [[videoNearDupPairs]], but with each frame's perceptual dHash
+    * ([[frameDHash]]) as the signature and a HAMMING-TOLERANT match —
+    * frame `k` of clip A votes for (A, B) when clip B's frame `k` sits
+    * within `maxDist` bits, found via [[Dedup.hammingPairsBy]]'s 4x16
+    * banding WITHIN each frame index (recall guaranteed for
+    * maxDist <= 3). This is the re-upload/re-encode shape with the
+    * mega-bucket caveat of the quantized-luma demo CLOSED: gradient
+    * hashes spread constant-luma collisions, and a re-encoded frame that
+    * drifts a few gradient bits still votes. Contact between clips still
+    * happens only through equal (frame_idx, band) keys — one bucket
+    * shuffle, never an all-pairs compare.
+    *
+    * @return (id_a, id_b, votes) with id_a < id_b, votes >= minVotes */
+  def videoNearDupDHash(frames: DataFrame, minVotes: Int, maxDist: Int): DataFrame = {
+    require(minVotes >= 1, s"minVotes must be >= 1: $minVotes")
+    val sig = frameDHash(frames)
+      .filter(col("dhash").isNotNull)
+      .select(col("doc_id"), col("frame_idx").as("k"), col("dhash"))
+    // unscoped plan + one scope around the FINAL frame: the public
+    // hammingPairsBy would hand back an already-persisted pairs handle
+    // that the vote aggregate on top would leave cached with no owner
+    val (sh, pairs) =
+      graft.ops.Dedup.hammingPairsPlan(sig, "doc_id", "dhash", Seq("k"), maxDist)
+    graft.ops.Caching.scoped(sh)(
+      pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("votes"))
+        .filter(col("votes") >= minVotes))
+  }
 }

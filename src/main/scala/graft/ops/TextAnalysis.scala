@@ -878,94 +878,126 @@ object TextAnalysis {
       .drop("__w_int", "__th")
   }
 
-  /** Overlapping character bigrams from a PROJECTED [[chars]] array
+  /** Overlapping character n-grams from a PROJECTED [[chars]] array
     * column (project the char array once, then call this on the
-    * attribute — the interpreted-HOF re-eval trap). Single-pass
-    * `zip_with` over two shifted slices, never element_at-in-lambda.
-    * Code-point grams (via [[chars]]), so CJK text grams correctly. */
-  def charBigramsFrom(chArr: Column): Column =
-    when(size(chArr) < 2, array().cast("array<string>"))
-      .otherwise(zip_with(
-        slice(chArr, lit(1), size(chArr) - 1),
-        slice(chArr, lit(2), size(chArr) - 1),
-        (x, y) => concat(x, y)))
+    * attribute — the interpreted-HOF re-eval trap). A chain of
+    * single-pass `zip_with`s over n shifted slices, never
+    * element_at-in-lambda. Code-point grams (via [[chars]]), so CJK
+    * text grams correctly. */
+  def charNgramsFrom(chArr: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1: $n")
+    when(size(chArr) < n, array().cast("array<string>"))
+      .otherwise((1 until n).foldLeft(slice(chArr, lit(1), size(chArr) - (n - 1))) {
+        (acc, j) => zip_with(acc,
+          slice(chArr, lit(1 + j), size(chArr) - (n - 1)),
+          (x, y) => concat(x, y))
+      })
+  }
 
-  /** Character bigrams of a TEXT column through the codegen'd one-pass
+  /** Overlapping character bigrams — [[charNgramsFrom]] at n = 2. */
+  def charBigramsFrom(chArr: Column): Column = charNgramsFrom(chArr, 2)
+
+  /** Character n-grams of a TEXT column through the codegen'd one-pass
     * kernel ([[graft.functions.CharNgrams]], `graft_char_ngrams`) — the
     * langid-model hot path; bit-identical to
-    * `charBigramsFrom(chars(text))` (OpsSpec pins kernel == HOF incl.
+    * `charNgramsFrom(chars(text), n)` (OpsSpec pins kernel == HOF incl.
     * astral chars). Falls back to the HOF formulation when no session is
     * active to register on. */
-  def charBigramsFast(text: Column): Column =
+  def charNgramsFast(text: Column, n: Int): Column =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(sp) =>
         graft.functions.GraftFunctions.register(sp)
         call_function(graft.functions.CharNgrams.Name,
-          coalesce(text, lit("")), lit(2))
-      case None => charBigramsFrom(chars(coalesce(text, lit(""))))
+          coalesce(text, lit("")), lit(n))
+      case None => charNgramsFrom(chars(coalesce(text, lit(""))), n)
     }
 
-  /** Train a character-bigram language-ID model: per-(language, bigram)
-    * counts from a LABELED corpus, in ONE scan + one vocab-bounded
-    * shuffle. This is the public fastText/CCNet-shaped upgrade over the
-    * 4-language stopword heuristic [[langId]]: character n-gram
-    * statistics distinguish any language pair given labeled training
-    * text (accented letters, CJK ranges, orthographic digraphs), so the
-    * curation gate can stratify beyond the stopword list's languages.
-    * Model size is vocab-bounded (≤ #langs × #distinct-bigrams rows) —
+  /** Character bigrams of a TEXT column — [[charNgramsFast]] at n = 2. */
+  def charBigramsFast(text: Column): Column = charNgramsFast(text, 2)
+
+  /** Train a character-n-gram language-ID model: per-(language, n, gram)
+    * counts from a LABELED corpus, one scan per gram size + one
+    * vocab-bounded shuffle. This is the public fastText/CCNet-shaped
+    * upgrade over the 4-language stopword heuristic [[langId]]:
+    * character n-gram statistics distinguish any language pair given
+    * labeled training text (accented letters, CJK ranges, orthographic
+    * digraphs), so the curation gate can stratify beyond the stopword
+    * list's languages. The default `ns = Seq(2, 3)` trains bigram AND
+    * trigram LMs (fastText proper uses subword 2-5-grams): trigrams are
+    * far more discriminative on short and mixed-script docs, while the
+    * bigram LM keeps contributing evidence when a doc is too short to
+    * gram at 3 — the backoff [[langIdModelScore]] interpolates. Model
+    * size is vocab-bounded (≤ #langs × Σ #distinct-n-grams rows) —
     * broadcastable at any corpus scale. */
   def langIdModelTrain(train: DataFrame, textCol: String,
-                       langCol: String): DataFrame = {
+                       langCol: String, ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
+      s"ns must be non-empty, distinct, >= 1: $ns")
     graft.functions.GraftFunctions.register(train.sparkSession)
-    train
-      .select(col(langCol).as("lang"),
-        explode(charBigramsFast(lower(col(textCol)))).as("gram"))
-      .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+    ns.map { n =>
+      train.select(col(langCol).as("lang"), lit(n).as("n"),
+        explode(charNgramsFast(lower(col(textCol)), n)).as("gram"))
+    }.reduce(_ unionByName _)
+      .groupBy("lang", "n", "gram").agg(count(lit(1)).as("c"))
   }
 
   /** Score documents against a [[langIdModelTrain]] model: predicted
-    * language = argmax over languages of the add-k-smoothed bigram
-    * log-likelihood `Σ cnt(g)·ln((c(lang,g)+k)/(tot(lang)+k·V))`.
+    * language = argmax over languages of the SUMMED add-k-smoothed
+    * log-likelihoods across the model's gram sizes,
+    * `Σ_n Σ_g cnt(g)·ln((c(lang,n,g)+k)/(tot(lang,n)+k·V_n))` — equal-
+    * weight log-linear interpolation: a doc too short to gram at the
+    * larger n simply contributes no terms there and is judged on the
+    * smaller-n evidence (the backoff that stops very short docs from
+    * flipping), while docs long enough get the sharper trigram margins
+    * on top.
     *
-    * Determinism: the per-(doc, lang) total folds a gram-SORTED list
-    * left-to-right (the [[lmScore]] discipline), so float summation
+    * Determinism: the per-(doc, lang) total folds an (n, gram)-SORTED
+    * list left-to-right (the [[lmScore]] discipline), so float summation
     * order never depends on partitioning; the argmax breaks exact score
-    * ties by language name via struct ordering. Docs with < 2 chars have
-    * no grams and predict `unknown`.
+    * ties by language name via struct ordering. Docs with no grams at
+    * any trained size predict `unknown`.
     *
-    * Distributed shape (the 100 TB path): gram extraction at scan speed;
-    * one shuffle on (doc, gram) to dedupe counts; the model, per-language
-    * totals and vocabulary size are all vocab-bounded broadcasts; then
-    * two doc-sized shuffles (doc×lang fold, argmax). Nothing rescans the
-    * corpus per language — #langs multiplies only the post-dedup gram
-    * rows. */
+    * Distributed shape (the 100 TB path): the vocab-bounded model is
+    * scope-cached ONCE — per-language totals, per-n vocabulary sizes and
+    * the trained sizes all derive from the cache, so the training corpus
+    * is never rescanned per derived table; gram extraction at scan
+    * speed; one shuffle on (doc, n, gram) to dedupe counts; then two
+    * doc-sized shuffles (doc×lang fold, argmax). Nothing rescans the
+    * target per language — #langs multiplies only the post-dedup gram
+    * rows. Returns a persisted handle (Caching.scoped contract). */
   def langIdModelScore(model: DataFrame, target: DataFrame, idCol: String,
                        textCol: String, addK: Double = 0.5): DataFrame = {
     require(addK > 0, s"addK must be > 0: $addK")
-    val langTot = model.groupBy("lang").agg(sum("c").as("tot"))
-    val vocab = model.agg(count_distinct(col("gram")).as("v"))
     graft.functions.GraftFunctions.register(target.sparkSession)
-    val tg = target
-      .select(col(idCol).as("doc_id"),
-        explode(charBigramsFast(lower(col(textCol)))).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-    val perLang = tg
-      .crossJoin(broadcast(langTot))
-      .join(broadcast(model), Seq("lang", "gram"), "left")
-      .crossJoin(broadcast(vocab))
-      .withColumn("__lp", col("cnt").cast("double") * log(
-        (coalesce(col("c"), lit(0L)).cast("double") + lit(addK)) /
-          (col("tot").cast("double") + lit(addK) * col("v").cast("double"))))
-      .groupBy("doc_id", "lang")
-      .agg(aggregate(sort_array(collect_list(struct(col("gram"), col("__lp")))),
-        lit(0.0), (a, x) => a + x.getField("__lp")).as("score"))
-    val best = perLang.groupBy("doc_id")
-      .agg(max(struct(col("score"), col("lang"))).as("__m"))
-    target.select(col(idCol).as("doc_id"))
-      .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("__m").getField("lang"), lit("unknown")).as("pred_lang"),
-        round(col("__m").getField("score"), 6).as("score"))
+    Caching.scoped(model) {
+      val ns = model.select("n").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      require(ns.nonEmpty, "langIdModelScore: model has no gram sizes (empty model)")
+      val langTot = model.groupBy("lang", "n").agg(sum("c").as("tot"))
+      val vocab = model.groupBy("n").agg(count_distinct(col("gram")).as("v"))
+      val tg = ns.map { n =>
+        target.select(col(idCol).as("doc_id"), lit(n).as("n"),
+          explode(charNgramsFast(lower(col(textCol)), n)).as("gram"))
+      }.reduce(_ unionByName _)
+        .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      val perLang = tg
+        .join(broadcast(langTot), Seq("n"))
+        .join(broadcast(model), Seq("lang", "n", "gram"), "left")
+        .join(broadcast(vocab), Seq("n"))
+        .withColumn("__lp", col("cnt").cast("double") * log(
+          (coalesce(col("c"), lit(0L)).cast("double") + lit(addK)) /
+            (col("tot").cast("double") + lit(addK) * col("v").cast("double"))))
+        .groupBy("doc_id", "lang")
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("n"), col("gram"), col("__lp")))),
+          lit(0.0), (a, x) => a + x.getField("__lp")).as("score"))
+      val best = perLang.groupBy("doc_id")
+        .agg(max(struct(col("score"), col("lang"))).as("__m"))
+      target.select(col(idCol).as("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__m").getField("lang"), lit("unknown")).as("pred_lang"),
+          round(col("__m").getField("score"), 6).as("score"))
+    }
   }
 
   /** BM25 keyword retrieval: top-`topK` documents for a bag-of-terms

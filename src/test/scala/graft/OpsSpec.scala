@@ -1178,7 +1178,7 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out == Seq("en", "es", "de", "unknown"))
   }
 
-  test("langIdModel: trained char-bigram model classifies held-out text; short docs → unknown") {
+  test("langIdModel: trained bigram+trigram model classifies held-out and SHORT text; gramless docs → unknown") {
     // bigram extraction: code-point grams (CJK pairs once), < 2 chars → none
     val grams = Seq("abc", "好的吗", "x", "").toDF("text")
       .select(TextAnalysis.charBigramsFrom(TextAnalysis.chars(col("text"))))
@@ -1205,20 +1205,34 @@ class TextAnalysisSpec extends SparkSuite {
       ("de", "alle ihre sachen waren bei den anderen hunden"),
       ("zh", "这是一个用于测试的中文句子")).toDF("lang", "text")
     val model = TextAnalysis.langIdModelTrain(train, "text", "lang")
-    // model rows are per-(lang, bigram) counts: " t" appears in both en rows
-    val mt = model.filter(col("lang") === "en" && col("gram") === "e ")
-      .collect()
-    assert(mt.length == 1 && mt.head.getLong(2) >= 3)
+    // model rows are per-(lang, n, gram) counts — bigram AND trigram LMs
+    // by default; "e " appears in both en rows
+    val mt = model.filter(col("lang") === "en" && col("n") === 2 &&
+        col("gram") === "e ").collect()
+    assert(mt.length == 1 && mt.head.getLong(3) >= 3)
+    assert(model.filter(col("n") === 3 && col("lang") === "zh").count() > 0)
     val target = Seq(
       (1L, "a quick brown dog jumps over things"), // unseen en string
       (2L, "über die schnellen braunen hunde"),    // unseen de string
       (3L, "测试这个中文句子"),                      // unseen zh string
-      (4L, "x"),                                   // 1 char → no grams
-      (5L, "")).toDF("doc_id", "text")             // empty → no grams
-    val out = TextAnalysis.langIdModelScore(model, target, "doc_id", "text")
-      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      (4L, "x"),                                   // 1 char → no grams at any n
+      (5L, ""),                                    // empty → no grams
+      (6L, "den hunden"),                          // SHORT de (r7 backoff case)
+      (7L, "lazy dogs"),                           // SHORT en
+      (8L, "中文")).toDF("doc_id", "text")          // 2 CJK chars → bigram only
+    val scored = TextAnalysis.langIdModelScore(model, target, "doc_id", "text")
+    val out = scored.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    scored.unpersist(blocking = false)
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "zh",
-      4L -> "unknown", 5L -> "unknown"))
+      4L -> "unknown", 5L -> "unknown",
+      6L -> "de", 7L -> "en", 8L -> "zh"))
+    // a doc gramm-able at 2 but not 3 (doc 8) is judged on bigram
+    // evidence alone — the backoff contract, not an accident of defaults
+    val bi = TextAnalysis.langIdModelTrain(train, "text", "lang", ns = Seq(2))
+    assert(bi.select("n").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+    intercept[IllegalArgumentException](
+      TextAnalysis.langIdModelTrain(train, "text", "lang", ns = Nil))
   }
 
   test("tf-idf top terms: rational idf, rank order, term tiebreak") {
@@ -1508,6 +1522,56 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L),
       (1L, 4L), (2L, 4L), (3L, 4L)))
     assert(pairs((1L, 2L)) == 0 && pairs((1L, 4L)) == 2)
+  }
+
+  test("video dHash: per-frame pattern round-trip; Hamming-tolerant positional voting; undecodable/empty never vote") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ps = Seq(0x0123456789ABCDEFL, -1L, 0L, 0x000FFFFF00000L, 0x5555AAAA5555AAAAL)
+    val clips = Seq(
+      1L -> Multimodal.gfvDHashVideo(ps),
+      // frame 0 within Hamming tolerance (2 flipped bits — must still
+      // vote), frame 1 replaced wholesale (must not)
+      2L -> Multimodal.gfvDHashVideo(
+        Seq(ps(0) ^ 3L, 0x1122334455667788L) ++ ps.drop(2)),
+      3L -> Multimodal.gfvDHashVideo(ps.map(p => ~p)), // 64 bits away per frame
+      4L -> "junk".getBytes("UTF-8"),                  // undecodable
+      5L -> Multimodal.gfvVideo(4, 4, 0, _ => 0),      // valid empty clip
+      6L -> Multimodal.gfvVideo(9, 8, 3, _ => 7),      // constant full-grid frames
+      7L -> Multimodal.gfvVideo(4, 4, 3, _ => 7))      // constant SMALL frames
+    val blobs = spark.createDataFrame(
+      java.util.Arrays.asList(clips.map { case (id, b) => Row(id, b) }: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("blob", BinaryType))))
+    val frames = Multimodal.sampleFrames(blobs, everyN = 1)
+    val fd = Multimodal.frameDHash(frames).collect()
+      .groupBy(_.getLong(0))
+    // the gfvDHashVideo construction pins every frame's hash exactly
+    assert(fd(1L).sortBy(_.getInt(2)).map(_.getLong(3)).toSeq == ps)
+    // undecodable → flagged, NULL hash; valid empty clip → decoded, NULL
+    // hash; both carry no bandable fingerprint
+    assert(fd(4L).head.isNullAt(3) && !fd(4L).head.getBoolean(1))
+    assert(fd(5L).head.isNullAt(3) && fd(5L).head.getBoolean(1))
+    // a constant full-grid frame has no gradients: hash 0. A SMALL
+    // (4x4) constant frame leaves empty grid cells whose mean-0
+    // convention DOES create gradients — deterministic, identical
+    // across frames, and only ever matching equally-degenerate frames
+    assert(fd(6L).forall(r => r.getLong(3) == 0L))
+    assert(fd(7L).map(_.getLong(3)).distinct.length == 1 &&
+      fd(7L).head.getLong(3) != 0L)
+    val out = Multimodal.videoNearDupDHash(frames, minVotes = 3, maxDist = 3)
+    val votes = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.unpersist(blocking = false)
+    // 4 of 5 frames vote (frame 0 via tolerance, frame 1 lost); doc 3 is
+    // 64 bits away everywhere; 4/5/6 have nothing to band
+    assert(votes == Map((1L, 2L) -> 4L))
+    // raising minVotes past the agreement drops the pair
+    val strict = Multimodal.videoNearDupDHash(frames, minVotes = 5, maxDist = 3)
+    assert(strict.count() == 0L)
+    strict.unpersist(blocking = false)
+    intercept[IllegalArgumentException](
+      Multimodal.videoNearDupDHash(frames, minVotes = 0, maxDist = 3))
   }
 
   test("frame sampling: GFV1 parse, stride, stats, malformed flagged") {

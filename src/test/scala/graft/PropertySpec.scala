@@ -310,6 +310,19 @@ class PropertySpec extends SparkSuite {
       rows.filter(_._1 % 2 == 1).foreach { case (id, l, t) =>
         assert(pred(id) == s"L$l", s"case $i: doc $id '$t' predicted ${pred(id)}, is L$l")
       }
+      // SHORT-doc backoff (r7): a single 2-char word has one bigram and
+      // NO trigrams — the interpolated score must still classify it from
+      // bigram evidence alone, for every word of every language
+      val shorts = alphabets.zipWithIndex.flatMap { case (ws, l) =>
+        ws.zipWithIndex.map { case (w, j) => (1000L + l * 10 + j, l, w) }
+      }
+      val sPred = TextAnalysis.langIdModelScore(model,
+          shorts.map { case (id, _, w) => (id, w) }.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      shorts.foreach { case (id, l, w) =>
+        assert(sPred(id) == s"L$l", s"case $i: short doc '$w' predicted ${sPred(id)}, is L$l")
+      }
     }
   }
 
