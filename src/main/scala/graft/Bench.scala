@@ -53,7 +53,7 @@ object Bench {
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",
-    "sim_topk", "sim_ann_ivf", "sim_quantize", "dedup_embedding_srp",
+    "sim_topk", "sim_ann_ivf", "sim_ann_ivfpq", "sim_quantize", "dedup_embedding_srp",
     "sim_knn_graph_ivf", "sim_embed_stats",
     "events_sessionize",
     "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",

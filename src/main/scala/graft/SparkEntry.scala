@@ -1316,6 +1316,51 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // IVF-PQ production shape (rows-only; sim_ann_ivfpq_recall below is
+    // its hash-exact proxy through the same ivfPqTopKWith code path):
+    // the SAME trained on-disk centroid index sim_ann_ivf serves, with
+    // the probe scan running over int8 codes and only the top-10
+    // shortlist fetching float vectors for the exact top-5 re-rank
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val fp = Option(src.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName + ":" + f.lastModified + ":" + f.length).sorted.mkString(","))
+        .getOrElse(s"${src.lastModified}:${src.length}")
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + (dir.hashCode & 0x7fffffff)
+      val cents = Similarity.trainOrLoadIvfIndex(e, idx, version = s"$dir@$fp",
+        nCentroids = 16, iters = 3)
+      Similarity.ivfPqTopKWith(e, q, k = 5, cents, nProbe = 4, refine = 10)
+    }),
+
+    // IVF-PQ RECALL, hash-checkable: the billion-vector memory shape —
+    // int8 codes ranked by ASYMMETRIC quantized cosine on the probe
+    // scan (the per-vector scale cancels in the ratio), float vectors
+    // fetched only for the top-10 shortlist re-rank to top-5. Same
+    // pinned first-16 centroids as sim_ann_ivf_recall, so the ENTIRE
+    // pipeline — assignment, probing, quantization (the sim_quantize
+    // floor(x·scale+0.5) formula), approx ranking, shortlist, exact
+    // re-rank — is replayed arithmetically by the DuckDB twin, and the
+    // per-query |PQ top-5 ∩ brute top-5| integers must match
+    // hash-exactly
+    "sim_ann_ivfpq_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val pq = Similarity.ivfPqTopK(e, q, k = 5, nCentroids = 16, nProbe = 4,
+        refine = 10, trainIters = 0)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      brute.select(col("q_id"), col("vec_id"))
+        .join(pq.select(col("q_id"), col("vec_id"), lit(1).as("__m")),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(col("__m")).as("hits"))
+        .orderBy("q_id")
+    }),
+
     // gap-based sessionization (session windows — SURVEY T6, absent in the
     // reference; native session_window, batch + streaming capable)
     "events_sessionize" -> ((s, dir) => {
@@ -2917,6 +2962,59 @@ object SparkEntry {
         |  FROM q, e WHERE e.vec_id <> q.q_id) WHERE rk <= 5)
         |SELECT b.q_id, CAST(count(i.vec_id) AS BIGINT) AS hits
         |FROM brute b LEFT JOIN ivf i
+        |  ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+        |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
+
+    // the sim_ann_ivf_recall replay EXTENDED with the quantized scan:
+    // per-vector int8 codes (the sim_quantize formula), approx ranking
+    // by cosine against the code (scale-free — the per-vector scale
+    // cancels), top-10 shortlist, exact float re-rank to top-5, then
+    // the same brute-force overlap integers
+    "sim_ann_ivfpq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, emb AS c_vec FROM e ORDER BY vec_id LIMIT 16),
+        |da AS (SELECT vec_id, c_id AS cluster FROM (
+        |  SELECT e.vec_id, c.c_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.emb, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM e, c) WHERE rk = 1),
+        |qz AS (SELECT vec_id, CASE WHEN am > 0 THEN 127.0 / am ELSE 0.0 END AS sc
+        |       FROM (SELECT vec_id,
+        |               list_max(list_transform(emb, x -> abs(x))) AS am FROM e)),
+        |codes AS (SELECT e.vec_id,
+        |    list_transform(e.emb, x ->
+        |      CAST(greatest(-127, least(127, floor(x * qz.sc + 0.5))) AS DOUBLE)) AS code
+        |  FROM e JOIN qz ON e.vec_id = qz.vec_id),
+        |qa AS (SELECT q_id, c_id AS cluster FROM (
+        |  SELECT q.q_id, c.c_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM q, c) WHERE rk <= 4),
+        |cand AS (
+        |  SELECT qa.q_id, da.vec_id,
+        |         list_cosine_similarity(q.q_vec, codes.code) AS asim
+        |  FROM qa JOIN da ON qa.cluster = da.cluster
+        |  JOIN q ON q.q_id = qa.q_id
+        |  JOIN codes ON codes.vec_id = da.vec_id
+        |  WHERE qa.q_id <> da.vec_id),
+        |short AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, vec_id) AS rk
+        |  FROM cand) WHERE rk <= 10),
+        |pq AS (SELECT q_id, vec_id FROM (
+        |  SELECT s.q_id, s.vec_id,
+        |    row_number() OVER (PARTITION BY s.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, e.emb) DESC, s.vec_id) AS rk
+        |  FROM short s JOIN q ON q.q_id = s.q_id
+        |  JOIN e ON e.vec_id = s.vec_id) WHERE rk <= 5),
+        |brute AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, e.emb) DESC, e.vec_id) AS rk
+        |  FROM q, e WHERE e.vec_id <> q.q_id) WHERE rk <= 5)
+        |SELECT b.q_id, CAST(count(i.vec_id) AS BIGINT) AS hits
+        |FROM brute b LEFT JOIN pq i
         |  ON b.q_id = i.q_id AND b.vec_id = i.vec_id
         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
 

@@ -239,21 +239,24 @@ object Multimodal {
 
   /** Video frame sampling — every `everyN`-th frame of a video column,
     * with per-frame grayscale stats and the raw frame bytes for
-    * downstream feature extraction. The JDK ships NO video codec, so the
-    * container here is GFV1, a documented DETERMINISTIC FAKE (the brief's
-    * stub discipline: fake the codec, make the Spark plumbing real):
-    * `"GFV1" | int32 n | int32 w | int32 h | n × (w·h gray bytes)`,
-    * big-endian. A real H.264/VP9 decoder drops into exactly this
-    * `mapPartitions` seam (JNI/FFI or Arrow batches) with the same
-    * output shape. Malformed payloads emit ONE flagged row
+    * downstream feature extraction. The `decoder` is the PLUGGABLE
+    * compressed-codec seam ([[Codecs.VideoDecoder]]): the default is
+    * GFV1, the documented deterministic fake container (the brief's stub
+    * discipline — the JDK ships NO video codec), and a real H.264/VP9
+    * decoder (JCodec/FFmpeg/JNI) drops into the same parameter with the
+    * operator untouched. Undecodable payloads emit ONE flagged row
     * (`decoded=false`, NULL frame fields) — a mixed binary column never
     * fails the job, and the flag is visible downstream; a VALID empty
-    * clip (n=0) likewise emits one `decoded=true` row with NULL frame
-    * fields, so every input doc stays visible to per-doc accounting.
-    * One output row per SAMPLED frame (⌈n/everyN⌉ per video), so the
-    * operator's output — not the decode — bounds memory; partition-local,
-    * no shuffle. */
-  def sampleFrames(blobs: DataFrame, everyN: Int): DataFrame = {
+    * clip (`nFrames == 0`) likewise emits one `decoded=true` row with
+    * NULL frame fields, so every input doc stays visible to per-doc
+    * accounting. One output row per SAMPLED frame (⌈n/everyN⌉ per
+    * video), and `VideoClip.frame(k)` is fetched on demand, so the
+    * operator's output — not the decode — bounds memory;
+    * partition-local, no shuffle. A decoder that violates its own
+    * geometry (frame length ≠ width·height) fails loudly — that is a
+    * broken DECODER, not a corrupt payload. */
+  def sampleFrames(blobs: DataFrame, everyN: Int,
+                   decoder: Codecs.VideoDecoder = Codecs.Gfv1Decoder): DataFrame = {
     require(everyN >= 1, s"everyN must be >= 1: $everyN")
     val spark = blobs.sparkSession
     val rows = blobs.select(col("doc_id").cast("long"), col("blob")).rdd
@@ -261,31 +264,25 @@ object Multimodal {
         it.flatMap { r =>
           val id = idOrNull(r)
           val bytes = r.getAs[Array[Byte]](1)
-          val bad = Seq(Row(id, false, null, null, null, null, null, null))
-          if (bytes == null || bytes.length < 16 ||
-              bytes(0) != 'G' || bytes(1) != 'F' || bytes(2) != 'V' || bytes(3) != '1') bad
-          else {
-            val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
-            val n = bb.getInt; val w = bb.getInt; val h = bb.getInt
-            val frameLen = w.toLong * h
-            val payload = bytes.length - 16L
-            // overflow-safe: frameLen <= payload/n first, so n*frameLen
-            // can't wrap around Long and fake a matching length (a
-            // crafted n=16/w=2^30/h=2^30 header would otherwise pass)
-            if (n < 0 || w <= 0 || h <= 0 ||
-                (n == 0 && payload != 0L) ||
-                (n > 0 && (frameLen > payload / n || payload != n * frameLen))) bad
-            else if (n == 0)
+          decoder.decode(bytes) match {
+            case None =>
+              Seq(Row(id, false, null, null, null, null, null, null))
+            case Some(clip) if clip.nFrames == 0 =>
               // a VALID empty clip: one decoded row with no frame fields,
               // so per-doc accounting never silently loses the doc
-              Seq(Row(id, true, null, 0, w, h, null, null))
-            else (0 until n by everyN).map { k =>
-              val off = 16 + k * frameLen.toInt
-              val frame = java.util.Arrays.copyOfRange(bytes, off, off + frameLen.toInt)
-              var s = 0L; var i = 0
-              while (i < frame.length) { s += frame(i) & 0xFF; i += 1 }
-              Row(id, true, k, n, w, h, s.toDouble / frame.length / 255.0, frame)
-            }
+              Seq(Row(id, true, null, 0, clip.width, clip.height, null, null))
+            case Some(clip) =>
+              (0 until clip.nFrames by everyN).map { k =>
+                val frame = clip.frame(k)
+                require(frame != null && frame.length == clip.width * clip.height,
+                  s"decoder contract violation: frame $k of doc $id has " +
+                    s"${if (frame == null) "null" else frame.length.toString} bytes, " +
+                    s"expected ${clip.width}x${clip.height}")
+                var s = 0L; var i = 0
+                while (i < frame.length) { s += frame(i) & 0xFF; i += 1 }
+                Row(id, true, k, clip.nFrames, clip.width, clip.height,
+                  s.toDouble / frame.length / 255.0, frame)
+              }
           }
         }
       }
@@ -315,21 +312,26 @@ object Multimodal {
     StructField("n_frames", LongType),
     StructField("feature", ArrayType(FloatType, containsNull = false))))
 
-  /** Real audio decode + feature extraction, per-partition batches: decode
-    * with the JDK's `javax.sound.sampled` (WAV/AU/AIFF; any PCM width —
-    * frames convert to 16-bit signed and average to mono), then one pass
-    * computes `[rms, zero_crossing_rate, peak, mean_abs, rmsQ1..rmsQ4]`
-    * (per-time-quarter RMS — the coarse energy envelope). Non-audio
-    * payloads keep the byte-stride fallback with `decoded=false`. Same
-    * 100 TB shape as the image path: no shuffle, partition-local decode. */
-  def decodeAudioFeatures(blobs: DataFrame): DataFrame = {
+  /** Real audio decode + feature extraction, per-partition batches. The
+    * `decoder` is the PLUGGABLE compressed-codec seam
+    * ([[Codecs.AudioDecoder]]): the default is the JDK's
+    * `javax.sound.sampled` (WAV/AU/AIFF; any PCM width — frames convert
+    * to 16-bit signed and average to mono), and an FFmpeg-backed MP3/OGG
+    * decoder drops into the same parameter with the operator untouched.
+    * One pass computes `[rms, zero_crossing_rate, peak, mean_abs,
+    * rmsQ1..rmsQ4]` (per-time-quarter RMS — the coarse energy envelope).
+    * Undecodable payloads keep the byte-stride fallback with
+    * `decoded=false`. Same 100 TB shape as the image path: no shuffle,
+    * partition-local decode. */
+  def decodeAudioFeatures(blobs: DataFrame,
+                          decoder: Codecs.AudioDecoder = Codecs.JdkPcmDecoder): DataFrame = {
     val spark = blobs.sparkSession
     val rows = blobs.select(col("doc_id").cast("long"), col("blob")).rdd
       .mapPartitions { it =>
         it.map { r =>
           val id = idOrNull(r)
           val bytes = r.getAs[Array[Byte]](1)
-          decodePcm(bytes) match {
+          decoder.decode(bytes).map(p => (p.sampleRate, p.channels, p.mono)) match {
             case None =>
               Row(id, false, 0, 0, 0L, strideFeature(bytes).toSeq)
             case Some((rate, ch, mono)) =>
@@ -362,40 +364,6 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rows, audioSchema)
-  }
-
-  /** Decode any JDK-supported audio container to (rate, channels,
-    * mono samples in [-1,1]); None for null/corrupt/non-audio payloads. */
-  private def decodePcm(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
-    if (bytes == null || bytes.isEmpty) return None
-    try {
-      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
-      try {
-        val fmt = in.getFormat
-        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
-          fmt.getSampleRate, false)
-        val pcm = AudioSystem.getAudioInputStream(target, in)
-        try {
-          val data = pcm.readAllBytes()
-          val ch = target.getChannels
-          val nFrames = data.length / (2 * ch)
-          val mono = new Array[Double](nFrames)
-          var f = 0
-          while (f < nFrames) {
-            var c = 0; var acc = 0.0
-            while (c < ch) {
-              val off = (f * ch + c) * 2
-              acc += ((data(off) & 0xFF) | (data(off + 1) << 8)).toShort / 32768.0
-              c += 1
-            }
-            mono(f) = acc / ch; f += 1
-          }
-          Some((fmt.getSampleRate.toInt, ch, mono))
-        } finally pcm.close()
-      } finally in.close()
-    } catch { case _: Exception => None } // not audio / corrupt → fallback
   }
 
   /** Synthesize a constant-color PNG (pure JDK) — fixture plumbing for

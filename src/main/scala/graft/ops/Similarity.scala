@@ -422,25 +422,97 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val sp = data.sparkSession
     val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
-
-    def assign(df: DataFrame, vec: String, nrm: String, outCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(df.columns.head).orderBy(col("__csim").desc, col("c_id"))
-      df.crossJoin(cents)
-        .withColumn("__csim", nativeDot(sp, col(vec), col("c_vec")) / (col(nrm) * col("__cn")))
-        .withColumn("__crk", row_number().over(w))
-        .filter(col("__crk") <= n)
-        .withColumnRenamed("c_id", outCol)
-        .drop("c_vec", "__cn", "__csim", "__crk")
-    }
-
     val dataN = data.select(col("vec_id"), col("embedding"))
       .withColumn("__dn", nativeNorm(sp, col("embedding")))
     val queriesN = queries.withColumn("__qn", nativeNorm(sp, col("q_vec")))
-    val assigned = assign(dataN, "embedding", "__dn", "cluster", 1)
-    val probed = assign(queriesN, "q_vec", "__qn", "cluster", nProbe)
+    val assigned = assignTopN(sp, cents, dataN, "embedding", "__dn", "cluster", 1)
+    val probed = assignTopN(sp, cents, queriesN, "q_vec", "__qn", "cluster", nProbe)
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     probed.join(assigned, "cluster")
       .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", nativeDot(sp, col("q_vec"), col("embedding")) / (col("__qn") * col("__dn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Top-`n` nearest centroids per row of `df` (cosine desc, c_id
+    * tiebreak) — the assignment step shared by [[ivfTopKWith]] (home
+    * cell + query probes) and [[ivfPqTopKWith]]. `cents` must already be
+    * broadcast and carry `__cn`. */
+  private def assignTopN(sp: SparkSession, cents: DataFrame, df: DataFrame,
+                         vec: String, nrm: String, outCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(df.columns.head).orderBy(col("__csim").desc, col("c_id"))
+    df.crossJoin(cents)
+      .withColumn("__csim", nativeDot(sp, col(vec), col("c_vec")) / (col(nrm) * col("__cn")))
+      .withColumn("__crk", row_number().over(w))
+      .filter(col("__crk") <= n)
+      .withColumnRenamed("c_id", outCol)
+      .drop("c_vec", "__cn", "__csim", "__crk")
+  }
+
+  /** IVF-PQ-shaped quantized ANN ([[ivfTopK]] with pinned first-N
+    * centroids; see [[ivfPqTopKWith]] for the mechanism). */
+  def ivfPqTopK(data: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int, nProbe: Int, refine: Int,
+                trainIters: Int = 0): DataFrame = {
+    val centSrc =
+      if (trainIters > 0) kMeansCentroids(data, nCentroids, trainIters)
+      else data.orderBy("vec_id").limit(nCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    ivfPqTopKWith(data, queries, k, centSrc, nProbe, refine)
+  }
+
+  /** IVF-PQ-shaped quantized ANN: the memory shape a billion-vector
+    * index needs. The INDEX holds each vector's home cell plus its int8
+    * code ([[quantizeInt8]] — 4× smaller than float32) and the code's
+    * norm; the probe scan ranks candidates by the ASYMMETRIC quantized
+    * similarity — cosine between the float query and the int8 code,
+    * which equals cosine against the dequantized vector because the
+    * per-vector scale cancels in the ratio (so no division and no
+    * zero-scale hazard) — and only the top `refine` candidates per query
+    * fetch their FLOAT vectors for exact re-ranking to top `k`. Float
+    * I/O is refine·#queries rows instead of the whole probed volume;
+    * the bulk scan reads codes only.
+    *
+    * Distributed shape: centroids broadcast; one shuffle to co-locate
+    * probes with cells; per-query top-refine and top-k are window ranks
+    * over candidate-sized frames; the float re-rank join is
+    * shortlist-sized (AQE broadcasts it at any realistic refine). */
+  def ivfPqTopKWith(data: DataFrame, queries: DataFrame, k: Int,
+                    centroids: DataFrame, nProbe: Int, refine: Int): DataFrame = {
+    require(refine >= k, s"refine must be >= k: refine=$refine, k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val sp = data.sparkSession
+    val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+    val dataN = data.select(col("vec_id"), col("embedding"))
+      .withColumn("__dn", nativeNorm(sp, col("embedding")))
+    // index build: home cell + int8 code + code norm (code cast to float
+    // for the codegen'd kernels — int8 values are float-exact)
+    val codes = quantizeInt8(data)
+      .select(col("vec_id"), col("qvec").cast("array<float>").as("__code"))
+      .withColumn("__an", nativeNorm(sp, col("__code")))
+    val index = assignTopN(sp, cents, dataN, "embedding", "__dn", "cluster", 1)
+      .select("vec_id", "cluster").join(codes, "vec_id")
+    val queriesN = queries.withColumn("__qn", nativeNorm(sp, col("q_vec")))
+    val probed = assignTopN(sp, cents, queriesN, "q_vec", "__qn", "cluster", nProbe)
+    // quantized scan: approx cosine over codes, keep top `refine`
+    val wa = Window.partitionBy("q_id").orderBy(col("__asim").desc, col("vec_id"))
+    val shortlist = probed.join(index, "cluster")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("__asim",
+        nativeDot(sp, col("q_vec"), col("__code")) / (col("__qn") * col("__an")))
+      .withColumn("__ark", row_number().over(wa))
+      .filter(col("__ark") <= refine)
+      .select("q_id", "vec_id")
+    // exact float re-rank of the shortlist only
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    shortlist
+      .join(queriesN.select(col("q_id"), col("q_vec"), col("__qn")), "q_id")
+      .join(dataN, "vec_id")
       .withColumn("sim", nativeDot(sp, col("q_vec"), col("embedding")) / (col("__qn") * col("__dn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -152,7 +152,7 @@ class ContractWiringSpec extends AnyFunSuite {
     // oracle is a forgotten twin, which the driver would silently record
     // as a weaker rows-only check
     val rowsOnly = Set("dedup_simhash", "multimodal_audio",
-      "multimodal_features", "sim_ann_ivf", "text_tokens_bpe")
+      "multimodal_features", "sim_ann_ivf", "sim_ann_ivfpq", "text_tokens_bpe")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val missing = noOracle -- rowsOnly
     assert(missing.isEmpty, s"entries with no oracle and no exemption: $missing")

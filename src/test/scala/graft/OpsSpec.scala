@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+import graft.ops.{Codecs, Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
 
 class DedupSpec extends SparkSuite {
   import spark.implicits._
@@ -545,6 +545,32 @@ class SimilaritySpec extends SparkSuite {
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.3, s"IVF recall $recall too low even for nProbe=8/16")
     assert(ivf.size == brute.size)
+  }
+
+  test("IVF-PQ: exhaustive probe + full refine == brute force; narrow probe keeps recall; refine < k rejected") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probe EVERY cell and refine a wide shortlist: the quantized scan
+    // only pre-ranks, the float re-rank decides — result must equal
+    // brute force exactly (int8 error is confined to shortlist ORDER,
+    // and a 4x-k shortlist absorbs it on this corpus)
+    val full = Similarity.ivfPqTopK(e, q, 5, nCentroids = 16, nProbe = 16,
+        refine = 20).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, s"missed: ${brute -- full}, extra: ${full -- brute}")
+    // production narrow probe still reaches recall, and ranks are 1..k
+    val pq = Similarity.ivfPqTopK(e, q, 5, nCentroids = 16, nProbe = 8,
+      refine = 10).collect()
+    pq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val pqSet = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pqSet).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall too low for nProbe=8/16")
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopK(e, q, 5, nCentroids = 16, nProbe = 4, refine = 4))
   }
 
   test("knnGraph: exact graph properties; IVF-blocked graph reaches recall on it") {
@@ -1522,6 +1548,83 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L),
       (1L, 4L), (2L, 4L), (3L, 4L)))
     assert(pairs((1L, 2L)) == 0 && pairs((1L, 4L)) == 2)
+  }
+
+  test("pluggable codec seam: custom video/audio decoders slot in; fallback flag and output shape preserved") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a stub "real codec": RAW2 = "RAW2" | w*h*n gray bytes at fixed
+    // 2x2 geometry — different container, SAME operator
+    object Raw2Decoder extends Codecs.VideoDecoder {
+      def decode(bytes: Array[Byte]): Option[Codecs.VideoClip] = {
+        if (bytes == null || bytes.length < 4 ||
+            new String(bytes, 0, 4, "US-ASCII") != "RAW2") None
+        else if ((bytes.length - 4) % 4 != 0) None
+        else Some(Codecs.VideoClip(2, 2, (bytes.length - 4) / 4, k =>
+          java.util.Arrays.copyOfRange(bytes, 4 + k * 4, 8 + k * 4)))
+      }
+    }
+    val raw2 = "RAW2".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](12)(i => (10 * (i / 4)).toByte) // 3 frames: 0,10,20
+    val gfv = Multimodal.gfvVideo(4, 4, 2, k => 7)
+    val blobs = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, raw2), Row(2L, gfv),
+        Row(3L, "RAW2".getBytes("US-ASCII") :+ 9.toByte)), // bad length
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("blob", BinaryType))))
+    val out = Multimodal.sampleFrames(blobs, everyN = 1, Raw2Decoder)
+      .collect().groupBy(_.getLong(0))
+    // RAW2 payload decodes through the custom decoder: same schema,
+    // exact constant-frame stats
+    val f1 = out(1L).sortBy(_.getInt(2))
+    assert(f1.map(_.getInt(2)).toSeq == Seq(0, 1, 2) &&
+      f1.forall(r => r.getBoolean(1) && r.getInt(4) == 2 && r.getInt(5) == 2))
+    assert(f1.map(_.getDouble(6)).toSeq == Seq(0.0, 10 / 255.0, 20 / 255.0))
+    // a GFV1 payload is NOT Raw2Decoder's format → flagged fallback row,
+    // never an error — and under the DEFAULT decoder it still decodes
+    for (id <- Seq(2L, 3L))
+      assert(out(id).length == 1 && !out(id).head.getBoolean(1))
+    assert(Multimodal.sampleFrames(blobs, 1).collect()
+      .filter(_.getLong(0) == 2L).forall(_.getBoolean(1)))
+    // a decoder violating its own geometry contract fails LOUDLY
+    object Broken extends Codecs.VideoDecoder {
+      def decode(bytes: Array[Byte]) =
+        Some(Codecs.VideoClip(2, 2, 1, _ => Array[Byte](1)))
+    }
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.sampleFrames(blobs, 1, Broken).collect())
+    assert(e.getMessage.contains("decoder contract violation") ||
+      Option(e.getCause).exists(_.getMessage.contains("decoder contract violation")))
+
+    // audio: a stub decoder for a fake compressed format returns fixed
+    // PCM — the feature math and fallback flag are the operator's, not
+    // the decoder's
+    object FakeMp3 extends Codecs.AudioDecoder {
+      def decode(bytes: Array[Byte]): Option[Codecs.AudioPcm] = {
+        if (bytes == null || bytes.length < 3 ||
+            new String(bytes, 0, 3, "US-ASCII") != "ID3") None
+        else Some(Codecs.AudioPcm(44100, 2,
+          Array.fill(8)(0.5))) // constant 0.5 → rms/peak/mean_abs all 0.5
+      }
+    }
+    val ablobs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "ID3fakepayload".getBytes("US-ASCII")),
+        Row(2L, "not audio".getBytes("US-ASCII"))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("blob", BinaryType))))
+    val af = Multimodal.decodeAudioFeatures(ablobs, FakeMp3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(af(1L).getBoolean(1) && af(1L).getInt(2) == 44100 &&
+      af(1L).getInt(3) == 2 && af(1L).getLong(4) == 8L)
+    val feats = af(1L).getSeq[Float](5)
+    assert(feats.length == Multimodal.FeatureDim)
+    assert(feats(0) == 0.5f && feats(2) == 0.5f && feats(3) == 0.5f)
+    assert(feats(1) == 0f) // constant-sign signal: zero crossings
+    // undecodable under the custom decoder → the SAME flagged
+    // byte-stride fallback shape as the default path
+    assert(!af(2L).getBoolean(1) &&
+      af(2L).getSeq[Float](5).length == Multimodal.FeatureDim)
   }
 
   test("video dHash: per-frame pattern round-trip; Hamming-tolerant positional voting; undecodable/empty never vote") {
