@@ -234,13 +234,69 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     } finally fs.delete(lock, false)
   }
 
-  /** Raw-table file read. overrideOld tables merge footers so files
-    * written before `__seq` existed don't hide the column (a sampled old
-    * footer would silently disable merge-on-read); their rows read as
-    * NULL `__seq`, which orders after any stamped version under
-    * `desc` (nulls last) — old rows lose to any rewrite, as they must. */
-  private def rawFiles(): DataFrame =
-    spark.read.option("mergeSchema", config.overrideOld.toString).parquet(rawPath)
+  // ------------------------------------------------- reader atomicity
+  // A `_commits` watermark makes batches visible to readers ATOMICALLY:
+  // append stamps every row with its batch `__seq`, and readers admit
+  // only rows with `__seq <= watermark` (or NULL — pre-watermark
+  // legacy files). The watermark is a single tiny file replaced by
+  // atomic rename AFTER the batch's raw write completes, so a reader
+  // racing an in-flight append sees the ENTIRE batch or none of it —
+  // never the torn prefix that Spark's one-file-at-a-time job commit
+  // would otherwise expose through a mid-commit listing. Parquet prunes
+  // whole files: `__seq` is constant per file, so the row-group stats
+  // exclude uncommitted files without reading them.
+
+  private val commitsFile = "_commits"
+
+  /** Publish `seq` as the committed watermark (single-writer: callers
+    * hold the writer lock). Local fs gets a true atomic replace; other
+    * stores take a delete+rename whose empty window readers survive via
+    * the all-visible fallback in [[committedSeq]]. */
+  private def commitSeq(seq: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path, s".$commitsFile.tmp")
+    val dst = new org.apache.hadoop.fs.Path(path, commitsFile)
+    val out = fs.create(tmp, true)
+    try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.getScheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else { fs.delete(dst, false); fs.rename(tmp, dst) }
+  }
+
+  /** The committed watermark; None = no watermark file (legacy table,
+    * corrupt file, or the non-local replace window) → everything
+    * visible, i.e. the pre-watermark behavior, never an empty table. */
+  private def committedSeq(): Option[Long] =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(path, commitsFile))
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Raw-table file read, admitting COMMITTED batches only (see the
+    * reader-atomicity note above). overrideOld tables merge footers so
+    * files written before `__seq` existed don't hide the column (a
+    * sampled old footer would silently disable merge-on-read); their
+    * rows read as NULL `__seq`, which orders after any stamped version
+    * under `desc` (nulls last) — old rows lose to any rewrite, as they
+    * must. The watermark is read ONCE at frame construction and frozen
+    * as a plan literal, so one query holds one consistent snapshot even
+    * as later actions re-resolve the file listing. */
+  private def rawFiles(): DataFrame = {
+    val df = spark.read.option("mergeSchema", config.overrideOld.toString).parquet(rawPath)
+    committedSeq() match {
+      case Some(wm) if df.columns.contains("__seq") =>
+        df.filter(col("__seq").isNull || col("__seq") <= wm)
+      case _ => df
+    }
+  }
 
   private def partStart(time: org.apache.spark.sql.Column) =
     (floor(time / lit(config.partitionIntervalMs)).cast("long") * lit(config.partitionIntervalMs))
@@ -260,17 +316,20 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     */
   def append(samples: DataFrame, incrementalRollup: Boolean = false): Unit =
     withWriterLock("append") {
+    val seq = nextSeq()
     val enriched = samples
       .withColumn("valueStr",
         if (samples.columns.contains("valueStr")) col("valueStr") else lit(null).cast("string"))
       .withColumn("labels_str", Labels.canonical(col("labels")))
       .withColumn("series_id", Labels.seriesId(col("name"), col("labels")))
       .withColumn("part_start", partStart(col("time")))
-      // batch sequence for last-write-wins merge-on-read (config.overrideOld);
-      // constant per batch → RLE'd to nothing in parquet. In-batch ties on
-      // (series, time) are the caller's bug, as in the reference (one
-      // UpdateItem per sample — later batches win, not later rows)
-      .withColumn("__seq", lit(nextSeq()))
+      // batch sequence for last-write-wins merge-on-read (config.overrideOld)
+      // AND reader-atomic visibility (committed-watermark filter in
+      // rawFiles); constant per batch → RLE'd to nothing in parquet.
+      // In-batch ties on (series, time) are the caller's bug, as in the
+      // reference (one UpdateItem per sample — later batches win, not
+      // later rows)
+      .withColumn("__seq", lit(seq))
       .filter(col("time").between(graft.core.TimeUtil.MinTimeMs, graft.core.TimeUtil.MaxTimeMs))
       // the batch is consumed three times (raw write, touched-partition
       // scan, rollup build) — evaluate the upstream plan once
@@ -288,6 +347,14 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           pmod(col("series_id"), lit(config.shardingBuckets.toLong)))
         .sortWithinPartitions("series_id", "time")
         .write.mode(SaveMode.Append).partitionBy("part_start").parquet(rawPath)
+
+      // the batch becomes reader-visible HERE, atomically: before this
+      // point its files carry an uncommitted __seq and every reader's
+      // watermark filter excludes them (a crashed append leaves only
+      // invisible garbage, purged by the next compaction); after it the
+      // whole batch is in. Committed before the rollup refresh so the
+      // refresh's own raw read sees the rows it is rolling up.
+      commitSeq(seq)
 
       // record AFTER the raw write: a failed append must not pin types of
       // series that never landed (next attempt re-detects them as new)
@@ -751,27 +818,62 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     withWriterLock("compact")(compactImpl())
   }
 
+  /** Compaction commit protocol, reader-atomic (r7): the old
+    * delete-dir-then-rename swap exposed a window where the partition
+    * was MISSING from a racing reader's listing. Instead the compacted
+    * generation lands ALONGSIDE the old files (staged to a dot-dir, then
+    * per-file renames into the partition — dot-prefixed while moving, so
+    * half-moved files stay invisible to Spark's listing), becomes
+    * visible atomically via the `_commits` watermark, and only then are
+    * the superseded files deleted. A racing reader therefore sees: old
+    * files only (pre view), or old + committed new (merge-on-read keeps
+    * the newest version of every row — the post view, content-identical),
+    * never a missing partition or a half batch. Crash windows: before
+    * commit → invisible garbage (purged by the next compaction, whose
+    * visibility-filtered read drops it); after commit before the deletes
+    * → duplicates that LWW dedups and the next compaction removes. The
+    * residual reader hazard is a reader that RESOLVED old file names
+    * just before their deletion and opens them after — a read ERROR on
+    * local fs (retry succeeds), never wrong data; object stores with
+    * delayed deletes don't even see that. */
   private def compactImpl(): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
     partitionStarts().foreach { start =>
       val dir = new org.apache.hadoop.fs.Path(rawPath, s"part_start=$start")
+      def dataFiles() = fs.listStatus(dir).toSeq.map(_.getPath).filter { p =>
+        val n = p.getName; !n.startsWith("_") && !n.startsWith(".")
+      }
+      val old = dataFiles()
+      val seq = nextSeq()
       // read ONE partition dir (a whole-table rawFiles() here would re-list
-      // and footer-merge every file in the table once per partition)
+      // and footer-merge every file in the table once per partition),
+      // admitting committed rows only — an aborted append's invisible
+      // garbage must not be resurrected under a fresh committed seq
+      val visible = committedSeq() match {
+        case Some(wm) => col("__seq").isNull || col("__seq") <= wm
+        case None => lit(true)
+      }
       val keep = mergeOnRead(
-          spark.read.option("mergeSchema", "true").parquet(dir.toString))
-        // re-stamp so future rewrites still order after compacted rows
-        .withColumn("__seq", lit(nextSeq()))
+          spark.read.option("mergeSchema", "true").parquet(dir.toString)
+            .filter(visible))
+        // re-stamp so the compacted generation supersedes every old file
+        // under LWW, and future rewrites still order after it
+        .withColumn("__seq", lit(seq))
         .cache()
-      keep.count() // materialize before overwriting the source
-      val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".tmp_${dir.getName}")
+      keep.count() // materialize before touching the source files
+      val stage = new org.apache.hadoop.fs.Path(dir, ".compact_stage")
       keep.drop("part_start")
         .repartition(pmod(col("series_id"), lit(config.shardingBuckets.toLong)))
         .sortWithinPartitions("series_id", "time")
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        .write.mode(SaveMode.Overwrite).parquet(stage.toString)
       keep.unpersist()
-      fs.delete(dir, true)
-      fs.rename(tmp, dir)
+      fs.listStatus(stage).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
+      fs.delete(stage, true)
+      commitSeq(seq) // the compacted generation becomes visible HERE
+      old.foreach(p => fs.delete(p, false))
     }
   }
 

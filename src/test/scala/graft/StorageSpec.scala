@@ -512,6 +512,84 @@ class TsdbTableSpec extends SparkSuite {
     t2.applyRetention(nowMs = Base + 100 * day)
     assert(t2.countMetrics() == 1)
   }
+
+  test("reader atomicity: a select racing an append sees the pre- or post-batch view, never a torn read") {
+    // DETERMINISTIC pin of the mechanism: rows beyond the committed
+    // watermark are invisible AS A WHOLE BATCH. Rolling `_commits` back
+    // reproduces exactly what a reader sees mid-append (files on disk,
+    // commit not yet published) without having to catch a microsecond
+    // window: the in-flight batch must vanish entirely, not partially.
+    val dir = Files.createTempDirectory("tsdb_atomic").toString
+    val t = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
+    t.append(samples(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0)))
+    val commits = new java.io.File(dir, "_commits")
+    assert(commits.exists, "append must publish a commit watermark")
+    val wm1 = java.nio.file.Files.readAllBytes(commits.toPath)
+    t.append(samples(("cpu", "a", Base + 3000, 3.0), ("cpu", "a", Base + 4000, 4.0)))
+    assert(t.countMetrics() == 4)
+    java.nio.file.Files.write(commits.toPath, wm1) // batch 2 "in flight"
+    assert(t.countMetrics() == 2, "an uncommitted batch must be invisible in full")
+    assert(t.readRaw(Base, Base + 10000).agg(max("time"))
+      .collect().head.getLong(0) == Base + 2000)
+    // no watermark file at all (legacy table) → everything visible
+    assert(commits.delete())
+    assert(t.countMetrics() == 4)
+    t.append(samples(("cpu", "a", Base + 5000, 5.0))) // restore a fresh watermark
+    assert(t.countMetrics() == 5)
+
+    // LIVE race: a bigger append from another thread while this thread
+    // polls — every observed count is the pre- or the post-batch
+    // cardinality, never in between
+    val big = spark.range(2000).select(lit("mem").as("name"),
+      map(lit("host"), lit("b")).as("labels"),
+      (lit(Base) + col("id") * 1000L).as("time"),
+      col("id").cast("double").as("value"))
+    val pre = t.countMetrics()
+    val appender = new Thread(() => t.append(big))
+    appender.start()
+    val seen = scala.collection.mutable.Set[Long]()
+    while (appender.isAlive) seen += t.countMetrics()
+    appender.join()
+    seen += t.countMetrics()
+    assert(seen.subsetOf(Set(pre, pre + 2000)),
+      s"torn read: observed counts $seen, expected only $pre or ${pre + 2000}")
+    assert(seen.contains(pre + 2000))
+  }
+
+  test("reader atomicity: a select racing compaction sees a constant view (append-alongside + LWW commit)") {
+    val dir = Files.createTempDirectory("tsdb_atomic_c").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples((0 until 500).map(i =>
+      ("cpu", "a", Base + i * 1000L, i.toDouble)): _*))
+    // rewrite half the keys so compaction has versions to drop
+    t.append(samples((0 until 250).map(i =>
+      ("cpu", "a", Base + i * 1000L, i + 0.5)): _*))
+    val expect = t.readRaw(Base, Base + 600000000L)
+      .agg(count(lit(1)), sum("value")).collect().head
+    val (n0, s0) = (expect.getLong(0), expect.getDouble(1))
+    val compactor = new Thread(() => t.compact())
+    compactor.start()
+    var errs = 0
+    while (compactor.isAlive) {
+      // the one documented residual hazard: a reader that resolved old
+      // file names just before their post-commit deletion can hit a
+      // retryable read ERROR — never wrong data. Tolerate the error,
+      // assert the values.
+      try {
+        val r = t.readRaw(Base, Base + 600000000L)
+          .agg(count(lit(1)), sum("value")).collect().head
+        assert(r.getLong(0) == n0 && r.getDouble(1) == s0,
+          s"torn compaction view: ${r.getLong(0)} rows / sum ${r.getDouble(1)}, expected $n0 / $s0")
+      } catch { case _: org.apache.spark.SparkException => errs += 1 }
+    }
+    compactor.join()
+    val after = t.readRaw(Base, Base + 600000000L)
+      .agg(count(lit(1)), sum("value")).collect().head
+    assert(after.getLong(0) == n0 && after.getDouble(1) == s0)
+    // compaction physically dropped the superseded versions
+    assert(spark.read.parquet(s"$dir/raw").count() == n0)
+  }
 }
 
 class TsdbSqlSpec extends SparkSuite {
