@@ -122,6 +122,27 @@ object SparkEntry {
     Dedup.dropNearDuplicates(gated, "doc_id", docClusters(docs))
   }
 
+  /** Source-file fingerprint of `<dir>/<table>` (part-file names +
+    * mtimes + sizes): the corpus-identity half of every on-disk index
+    * version string, so a regenerated fixture at the same path
+    * invalidates the index. ONE definition — the IVF entries and the
+    * dedup index previously each carried a verbatim copy, and a scheme
+    * change missed in one would silently desynchronize the shared
+    * index. */
+  private def sourceFingerprint(dir: String, table: String): String = {
+    val src = new java.io.File(s"$dir/$table")
+    Option(src.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.lastModified + ":" + f.length).sorted.mkString(","))
+      .getOrElse(s"${src.lastModified}:${src.length}")
+  }
+
+  /** The per-fixture on-disk IVF index path shared by `sim_ann_ivf` and
+    * `sim_ann_ivfpq` (the path suffix hash disambiguates sanitization
+    * collisions). */
+  private def ivfIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + (dir.hashCode & 0x7fffffff)
+
   /** The planted image-blob table shared by `dedup_image_dhash` and
     * `dedup_image_keep`: every doc's PNG encodes the 60-bit md5(doc_id)
     * prefix as its dHash ([[graft.ops.Multimodal.dhashPng]]); docs < 40
@@ -1066,11 +1087,7 @@ object SparkEntry {
     "dedup_incremental_indexed" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val hist = docs.filter(col("doc_id") < 400).select("doc_id", "text")
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val fp = Option(src.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
-          .map(f => f.getName + ":" + f.lastModified + ":" + f.length).sorted.mkString(","))
-        .getOrElse(s"${src.lastModified}:${src.length}")
-      val version = s"$dir@$fp#k3h64b32"
+      val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#k3h64b32"
       // Path is keyed by the VERSION fingerprint, not just the fixture
       // dir: saveDedupIndex deletes _meta first, so two concurrent JVMs
       // sharing one path could observe the meta-less window. Each build
@@ -1277,16 +1294,10 @@ object SparkEntry {
       // index persisted on disk per corpus version: a COLD JVM loads the
       // trained centroids instead of re-running Lloyd's — training is paid
       // once per corpus, amortized across drivers (Similarity.saveIvfIndex).
-      // Version = path + source-file fingerprint (mtime+size), so a
-      // regenerated corpus at the same path invalidates the index; the
-      // path suffix hash disambiguates sanitization collisions
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val fp = Option(src.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
-          .map(f => f.getName + ":" + f.lastModified + ":" + f.length).sorted.mkString(","))
-        .getOrElse(s"${src.lastModified}:${src.length}")
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf/" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + (dir.hashCode & 0x7fffffff)
-      val cents = Similarity.trainOrLoadIvfIndex(e, idx, version = s"$dir@$fp",
+      // Version = path + source fingerprint, so a regenerated corpus at
+      // the same path invalidates the index
+      val cents = Similarity.trainOrLoadIvfIndex(e, ivfIndexPath(dir),
+        version = s"$dir@${sourceFingerprint(dir, "embeddings.parquet")}",
         nCentroids = 16, iters = 3)
       Similarity.ivfTopKWith(e, q, k = 5, cents, nProbe = 4)
     }),
@@ -1317,23 +1328,21 @@ object SparkEntry {
     }),
 
     // IVF-PQ production shape (rows-only; sim_ann_ivfpq_recall below is
-    // its hash-exact proxy through the same ivfPqTopKWith code path):
-    // the SAME trained on-disk centroid index sim_ann_ivf serves, with
-    // the probe scan running over int8 codes and only the top-10
-    // shortlist fetching float vectors for the exact top-5 re-rank
+    // its hash-exact proxy through the same serving code path): the SAME
+    // trained on-disk centroid index sim_ann_ivf serves, the int8 codes
+    // PERSIST beside it (quantization paid once per corpus version, not
+    // per query batch — the 100× receipt in SCALE.md motivated this),
+    // the probe scan reads codes only, and the top-10 shortlist alone
+    // fetches float vectors for the exact top-5 re-rank
     "sim_ann_ivfpq" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val fp = Option(src.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
-          .map(f => f.getName + ":" + f.lastModified + ":" + f.length).sorted.mkString(","))
-        .getOrElse(s"${src.lastModified}:${src.length}")
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf/" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + (dir.hashCode & 0x7fffffff)
-      val cents = Similarity.trainOrLoadIvfIndex(e, idx, version = s"$dir@$fp",
+      val (cents, codes) = Similarity.trainOrLoadPqIndex(e, ivfIndexPath(dir),
+        version = s"$dir@${sourceFingerprint(dir, "embeddings.parquet")}",
         nCentroids = 16, iters = 3)
-      Similarity.ivfPqTopKWith(e, q, k = 5, cents, nProbe = 4, refine = 10)
+      Similarity.ivfPqTopKWithCodes(e, q, k = 5, cents, codes,
+        nProbe = 4, refine = 10)
     }),
 
     // IVF-PQ RECALL, hash-checkable: the billion-vector memory shape —

@@ -718,6 +718,14 @@ object Dedup {
     * `Caching.scoped(fingerprints)(...)`. */
   private[ops] def hammingPairsPlan(fps: DataFrame, idCol: String, fpCol: String,
                                     byCols: Seq[String], maxDist: Int): (DataFrame, DataFrame) = {
+    // group keys must not shadow the plan's internals — a byCol named
+    // "key" would bind the join condition to the BANDING key and band
+    // across groups silently (or throw an ambiguity error, if lucky)
+    val reserved = Set("id", "__fp", "bb", "blk", "key", "id_a", "id_b", "hamming")
+    val clash = byCols.filter(reserved)
+    require(clash.isEmpty,
+      s"byCols collide with hammingPairs internal column names: ${clash.mkString(", ")} " +
+        s"(reserved: ${reserved.toSeq.sorted.mkString(", ")})")
     // the banded self-join consumes the fingerprint table twice and its
     // exchanges alias differently (no AQE reuse) — without caching, the
     // whole upstream scan (or 64-vote aggregate) runs twice. The cached

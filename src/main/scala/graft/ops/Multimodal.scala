@@ -272,6 +272,11 @@ object Multimodal {
               // so per-doc accounting never silently loses the doc
               Seq(Row(id, true, null, 0, clip.width, clip.height, null, null))
             case Some(clip) =>
+              // same class of contract violation as the geometry check
+              // below: a negative count would make the sample range empty
+              // and the doc would VANISH from per-doc accounting silently
+              require(clip.nFrames >= 0,
+                s"decoder contract violation: negative nFrames ${clip.nFrames} for doc $id")
               (0 until clip.nFrames by everyN).map { k =>
                 val frame = clip.frame(k)
                 require(frame != null && frame.length == clip.width * clip.height,

@@ -483,20 +483,99 @@ object Similarity {
     * over candidate-sized frames; the float re-rank join is
     * shortlist-sized (AQE broadcasts it at any realistic refine). */
   def ivfPqTopKWith(data: DataFrame, queries: DataFrame, k: Int,
-                    centroids: DataFrame, nProbe: Int, refine: Int): DataFrame = {
+                    centroids: DataFrame, nProbe: Int, refine: Int): DataFrame =
+    ivfPqTopKWithCodes(data, queries, k, centroids,
+      buildPqCodes(data, centroids), nProbe, refine)
+
+  /** The quantized half of an IVF-PQ index, built inline: home cell +
+    * int8 code ([[quantizeInt8]]) + code norm per vector. Schema
+    * `(vec_id, cluster, qvec: array<int>, qnorm: double)` — exactly what
+    * [[saveIvfPqCodes]] persists, so the build-inline and load-from-disk
+    * serving paths are the same code. */
+  def buildPqCodes(data: DataFrame, centroids: DataFrame): DataFrame = {
+    val sp = data.sparkSession
+    val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+    val dataN = data.select(col("vec_id"), col("embedding"))
+      .withColumn("__dn", nativeNorm(sp, col("embedding")))
+    // code norm computed over the float-cast code — int8 values are
+    // float-exact, so this equals the norm the probe scan recomputes
+    val codes = quantizeInt8(data)
+      .select(col("vec_id"), col("qvec"))
+      .withColumn("qnorm", nativeNorm(sp, col("qvec").cast("array<float>")))
+    assignTopN(sp, cents, dataN, "embedding", "__dn", "cluster", 1)
+      .select("vec_id", "cluster").join(codes, "vec_id")
+  }
+
+  /** Persist the quantized half of an IVF-PQ index alongside a saved
+    * centroid index: `<path>/codes/` + `<path>/_codes_meta` (same
+    * invalidate-meta-first crash discipline as [[saveIvfIndex]]). The
+    * codes table is the 4×-smaller artifact the billion-vector probe
+    * scan reads INSTEAD of the float vectors — persisting it moves
+    * quantization from per-query-batch to once-per-corpus-version. */
+  def saveIvfPqCodes(codes: DataFrame, path: String, version: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val sp = codes.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_codes_meta"), false)
+    codes.select(col("vec_id"), col("cluster"), col("qvec"), col("qnorm"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_codes_meta"), true)
+    try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load persisted IVF-PQ codes if present AND built for this
+    * `version`; None (→ caller rebuilds) otherwise. */
+  def loadIvfPqCodes(spark: SparkSession, path: String,
+                     version: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(path, "_codes_meta")
+    if (!fs.exists(meta)) return None
+    val in = fs.open(meta)
+    val stored =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .collectFirst { case l if l.startsWith("version=") => l.stripPrefix("version=") }
+      finally in.close()
+    if (!stored.contains(version)) None
+    else Some(spark.read.parquet(s"$path/codes"))
+  }
+
+  /** The full IVF-PQ index lifecycle: centroids via
+    * [[trainOrLoadIvfIndex]] (shared with the plain-IVF serving path —
+    * one training per corpus version covers both), codes loaded from the
+    * same index directory or built once ([[buildPqCodes]]) and
+    * persisted. Returns (centroids, codes) ready for
+    * [[ivfPqTopKWithCodes]]. */
+  def trainOrLoadPqIndex(data: DataFrame, path: String, version: String,
+                         nCentroids: Int, iters: Int): (DataFrame, DataFrame) = {
+    val cents = trainOrLoadIvfIndex(data, path, version, nCentroids, iters)
+    val codes = loadIvfPqCodes(data.sparkSession, path, version).getOrElse {
+      saveIvfPqCodes(buildPqCodes(data, cents), path, version)
+      // serve from the persisted copy so every caller reads one plan shape
+      data.sparkSession.read.parquet(s"$path/codes")
+    }
+    (cents, codes)
+  }
+
+  /** [[ivfPqTopKWith]] against a PRE-BUILT codes table (persisted via
+    * [[saveIvfPqCodes]] or inline via [[buildPqCodes]]) — the production
+    * shape: the probe scan reads int8 codes straight off the index, no
+    * per-query-batch quantization pass; `data` supplies float vectors
+    * only for the shortlist re-rank. */
+  def ivfPqTopKWithCodes(data: DataFrame, queries: DataFrame, k: Int,
+                         centroids: DataFrame, codes: DataFrame,
+                         nProbe: Int, refine: Int): DataFrame = {
     require(refine >= k, s"refine must be >= k: refine=$refine, k=$k")
     import org.apache.spark.sql.expressions.Window
     val sp = data.sparkSession
     val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
     val dataN = data.select(col("vec_id"), col("embedding"))
       .withColumn("__dn", nativeNorm(sp, col("embedding")))
-    // index build: home cell + int8 code + code norm (code cast to float
-    // for the codegen'd kernels — int8 values are float-exact)
-    val codes = quantizeInt8(data)
-      .select(col("vec_id"), col("qvec").cast("array<float>").as("__code"))
-      .withColumn("__an", nativeNorm(sp, col("__code")))
-    val index = assignTopN(sp, cents, dataN, "embedding", "__dn", "cluster", 1)
-      .select("vec_id", "cluster").join(codes, "vec_id")
+    // probe-scan view of the codes: float-cast for the codegen'd kernels
+    // (int8 values are float-exact)
+    val index = codes.select(col("vec_id"), col("cluster"),
+      col("qvec").cast("array<float>").as("__code"), col("qnorm").as("__an"))
     val queriesN = queries.withColumn("__qn", nativeNorm(sp, col("q_vec")))
     val probed = assignTopN(sp, cents, queriesN, "q_vec", "__qn", "cluster", nProbe)
     // quantized scan: approx cosine over codes, keep top `refine`

@@ -972,7 +972,17 @@ object TextAnalysis {
     Caching.scoped(model) {
       val ns = model.select("n").distinct().collect().map(_.getInt(0)).sorted.toSeq
       require(ns.nonEmpty, "langIdModelScore: model has no gram sizes (empty model)")
-      val langTot = model.groupBy("lang", "n").agg(sum("c").as("tot"))
+      // COMPLETE the (lang, n) grid: a language with no training rows at
+      // some gram size (e.g. trained only on 2-char docs → no trigrams)
+      // must still pay the smoothed penalty cnt·ln(addK/(0 + addK·V_n)) =
+      // cnt·ln(1/V_n) for that size — an inner join on its actual totals
+      // would silently skip those (all-negative) terms and hand the
+      // gram-poor language an argmax win purely for being under-trained
+      val langTot = model.select("lang").distinct()
+        .crossJoin(model.select("n").distinct())
+        .join(model.groupBy("lang", "n").agg(sum("c").as("tot")),
+          Seq("lang", "n"), "left")
+        .withColumn("tot", coalesce(col("tot"), lit(0L)))
       val vocab = model.groupBy("n").agg(count_distinct(col("gram")).as("v"))
       val tg = ns.map { n =>
         target.select(col(idCol).as("doc_id"), lit(n).as("n"),

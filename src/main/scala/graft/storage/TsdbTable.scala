@@ -115,6 +115,12 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * single-writer is this table's contract (see names overwrite). */
   private var lastSeq = 0L
   private def nextSeq(): Long = synchronized {
+    // seed from the stored watermark on first use: a writer restart
+    // after a wall-clock step-back (or on another host with a slow
+    // clock) must never issue a seq at or below already-committed ones —
+    // LWW would prefer old rows over new rewrites, and commitSeq's
+    // max() would leave the new batch above the watermark, invisible
+    if (lastSeq == 0L) lastSeq = committedSeq().getOrElse(0L)
     lastSeq = math.max(System.currentTimeMillis(), lastSeq + 1)
     lastSeq
   }
@@ -257,15 +263,29 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path, s".$commitsFile.tmp")
     val dst = new org.apache.hadoop.fs.Path(path, commitsFile)
+    // monotone publish: never regress a watermark some other instance
+    // (or an earlier life of this one) already published — regression
+    // would turn committed batches invisible and let the next
+    // compaction purge them as garbage
+    val wm = math.max(committedSeq().getOrElse(0L), seq)
     val out = fs.create(tmp, true)
-    try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
     if (fs.getScheme == "file")
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
         java.nio.file.Paths.get(dst.toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else { fs.delete(dst, false); fs.rename(tmp, dst) }
+    else {
+      // delete's boolean is "did it exist"; the RENAME must not fail
+      // silently — a lost watermark would flip every reader to the
+      // all-visible fallback, exposing any crashed append's partial
+      // batch as live data
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"failed to publish commit watermark $wm to $dst")
+    }
   }
 
   /** The committed watermark; None = no watermark file (legacy table,
@@ -290,10 +310,17 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * as a plan literal, so one query holds one consistent snapshot even
     * as later actions re-resolve the file listing. */
   private def rawFiles(): DataFrame = {
+    // watermark BEFORE the file listing (spark.read.parquet lists
+    // eagerly): listing first would let a mid-commit listing capture a
+    // torn file prefix that a watermark read moments later then admits —
+    // the exact race this mechanism closes. Read-watermark-then-list
+    // means any batch the watermark admits was fully on disk before its
+    // commit was published.
+    val wm = committedSeq()
     val df = spark.read.option("mergeSchema", config.overrideOld.toString).parquet(rawPath)
-    committedSeq() match {
-      case Some(wm) if df.columns.contains("__seq") =>
-        df.filter(col("__seq").isNull || col("__seq") <= wm)
+    wm match {
+      case Some(w) if df.columns.contains("__seq") =>
+        df.filter(col("__seq").isNull || col("__seq") <= w)
       case _ => df
     }
   }
@@ -955,9 +982,20 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         keep.sortWithinPartitions("series_id", "time")
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         keep.unpersist()
-        fs.delete(dir, true)
+        // DELETION cannot use compaction's append-alongside + LWW commit:
+        // removed rows exist only in the old files and are superseded by
+        // nothing, so the old generation must leave the listing. The swap
+        // is two metadata-only renames (old dir parked at a dot-name,
+        // rewrite renamed in) — a racing reader can still catch the
+        // one-rename-wide missing-partition window; delete/retention are
+        // maintenance operations and documented as such (append and
+        // compaction, the steady-state paths, ARE reader-atomic).
+        val parked = new org.apache.hadoop.fs.Path(dir.getParent,
+          s".old_${dir.getName}_${System.nanoTime()}")
+        fs.rename(dir, parked)
         if (rows > 0) fs.rename(tmp, dir)
         else { fs.delete(tmp, true); dropRollupPartition(start) }
+        fs.delete(parked, true)
       }
     }
     val touched = parts.collect {

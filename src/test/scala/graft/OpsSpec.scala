@@ -660,6 +660,22 @@ class SimilaritySpec extends SparkSuite {
     // a different corpus version refuses the stale index
     assert(Similarity.loadIvfIndex(spark, idx, "v2").isEmpty)
     assert(Similarity.loadIvfIndex(spark, idx + "_nowhere", "v1").isEmpty)
+
+    // the PQ codes persist beside the centroids: first call builds +
+    // saves, second call loads, and serving from loaded codes equals
+    // serving from an inline build bit-for-bit
+    val (c1, k1) = Similarity.trainOrLoadPqIndex(e, idx, "v1",
+      nCentroids = 8, iters = 2)
+    assert(Similarity.loadIvfPqCodes(spark, idx, "v1").isDefined)
+    val (c2, k2) = Similarity.trainOrLoadPqIndex(e, idx, "v1",
+      nCentroids = 8, iters = 2) // pure load this time
+    val viaLoaded = Similarity.ivfPqTopKWithCodes(e, q, 5, c2, k2,
+      nProbe = 4, refine = 10).collect().map(_.toSeq)
+    val viaInline = Similarity.ivfPqTopKWith(e, q, 5, c1,
+      nProbe = 4, refine = 10).collect().map(_.toSeq)
+    assert(viaLoaded.toSeq == viaInline.toSeq && viaLoaded.nonEmpty)
+    // codes of a different corpus version refuse the stale artifact
+    assert(Similarity.loadIvfPqCodes(spark, idx, "v2").isEmpty)
   }
 
   test("spherical k-means recovers planted clusters; IVF nProbe=1 gets perfect recall on them") {
@@ -1259,6 +1275,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(bi.select("n").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
     intercept[IllegalArgumentException](
       TextAnalysis.langIdModelTrain(train, "text", "lang", ns = Nil))
+    // a language trained ONLY on 2-char docs has no trigram rows; it must
+    // still pay the smoothed trigram penalty (ln 1/V3 per gram) when
+    // scoring longer docs — the inner-join formulation skipped those
+    // all-negative terms and the gram-poor language won argmax purely for
+    // being under-trained (review-caught inflation bug)
+    val skewTrain = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("en", "all their things were with the other dogs"),
+      ("xx", "ab"), ("xx", "cd")).toDF("lang", "text")
+    val skewModel = TextAnalysis.langIdModelTrain(skewTrain, "text", "lang")
+    assert(skewModel.filter(col("lang") === "xx" && col("n") === 3).count() == 0)
+    val skewOut = TextAnalysis.langIdModelScore(skewModel,
+        Seq((1L, "the quick brown dog jumps with things")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    val skewPred = skewOut.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    skewOut.unpersist(blocking = false)
+    assert(skewPred(1L) == "en",
+      s"gram-poor language inflated past the real one: $skewPred")
   }
 
   test("tf-idf top terms: rational idf, rank order, term tiebreak") {
@@ -1595,6 +1629,16 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.sampleFrames(blobs, 1, Broken).collect())
     assert(e.getMessage.contains("decoder contract violation") ||
       Option(e.getCause).exists(_.getMessage.contains("decoder contract violation")))
+    // ...and so does a negative frame count — an empty sample range would
+    // otherwise silently drop the doc from per-doc accounting
+    object Negative extends Codecs.VideoDecoder {
+      def decode(bytes: Array[Byte]) =
+        Some(Codecs.VideoClip(2, 2, -1, _ => Array[Byte](1, 2, 3, 4)))
+    }
+    val en = intercept[org.apache.spark.SparkException](
+      Multimodal.sampleFrames(blobs, 1, Negative).collect())
+    assert(en.getMessage.contains("negative nFrames") ||
+      Option(en.getCause).exists(_.getMessage.contains("negative nFrames")))
 
     // audio: a stub decoder for a fake compressed format returns fixed
     // PCM — the feature math and fallback flag are the operator's, not
@@ -1675,6 +1719,13 @@ class MultimodalSpec extends SparkSuite {
     strict.unpersist(blocking = false)
     intercept[IllegalArgumentException](
       Multimodal.videoNearDupDHash(frames, minVotes = 0, maxDist = 3))
+    // group keys shadowing hammingPairs internals are rejected loudly —
+    // a byCol named "key" would otherwise bind the join to the BANDING
+    // key and band across groups silently
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      Dedup.hammingPairsBy(Seq((1L, 0, 1L)).toDF("doc_id", "key", "fp"),
+        "doc_id", "fp", Seq("key"), maxDist = 3))
   }
 
   test("frame sampling: GFV1 parse, stride, stats, malformed flagged") {

@@ -537,6 +537,19 @@ class TsdbTableSpec extends SparkSuite {
     t.append(samples(("cpu", "a", Base + 5000, 5.0))) // restore a fresh watermark
     assert(t.countMetrics() == 5)
 
+    // clock-skew safety: plant a FAR-FUTURE watermark (as a fast-clocked
+    // writer life would), then append through a FRESH table instance
+    // (lastSeq = 0, like a restarted process on a slower clock). The
+    // instance must seed its seq from the stored watermark — otherwise
+    // its batch commits below the watermark's max() and is permanently
+    // invisible, and under LWW its rewrites would lose to older rows
+    val future = (System.currentTimeMillis() + 10_000_000_000L).toString
+    java.nio.file.Files.write(commits.toPath, future.getBytes("UTF-8"))
+    val t2i = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
+    t2i.append(samples(("cpu", "a", Base + 6000, 6.0)))
+    assert(t2i.countMetrics() == 6,
+      "a restarted writer's batch must commit above a future watermark")
+
     // LIVE race: a bigger append from another thread while this thread
     // polls — every observed count is the pre- or the post-batch
     // cardinality, never in between
