@@ -54,7 +54,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",
     "sim_topk", "sim_ann_ivf", "sim_ann_ivfpq", "sim_quantize", "dedup_embedding_srp",
-    "sim_knn_graph_ivf", "sim_embed_stats",
+    "sim_knn_graph_ivf", "sim_embed_stats", "sim_decontaminate",
     "events_sessionize",
     "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",
     "text_langid_model",

@@ -1239,6 +1239,26 @@ object SparkEntry {
       Similarity.semDedupKeep(all, 0.9).orderBy("vec_id")
     }),
 
+    // SEMANTIC decontamination over the IVF path: the eval set is 40
+    // PLANTED paraphrase embeddings (+0.02-shifted copies of vec_id < 40,
+    // the dedup_embedding_srp construction — cosine ≈ 0.987-0.989 to
+    // their sources, organic pairs max ≈ 0.513), so the kept list must
+    // drop exactly the contaminated sources the probing FINDS. Pinned
+    // first-16 centroids make assignment + probing deterministic: the
+    // twin replays the whole pipeline (including any probe-recall
+    // misses) and the kept ids match hash-exactly
+    "sim_decontaminate" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val evals = e.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 1000000L).as("e_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") + lit(0.02)).cast("float")).as("e_vec"))
+      val cents = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.semanticDecontaminate(e, evals, threshold = 0.9, cents, nProbe = 4)
+    }),
+
     // exact ANN baseline: brute-force cosine top-5 for 10 query vectors
     "sim_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -2817,6 +2837,36 @@ object SparkEntry {
     // the entry builds: vec_id < 40 duplicated at +1000000 with every
     // component shifted +0.02 (float math mirrored exactly — double add,
     // then round-to-nearest float cast, identical in both engines)
+    // the full IVF decontamination replay: planted eval paraphrases
+    // (same float32 shift as dedup_embedding_srp), first-16 centroids,
+    // home-cell assignment, 4-probe eval probing, cosine >= 0.9 contact
+    // only through shared cells, anti-join to the kept ids
+    "sim_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |ev AS (SELECT vec_id + 1000000 AS e_id,
+        |         list_transform(embedding,
+        |           x -> CAST(CAST(CAST(x AS DOUBLE) + 0.02 AS FLOAT) AS DOUBLE)) AS e_vec
+        |       FROM embeddings WHERE vec_id < 40),
+        |c AS (SELECT vec_id AS c_id, emb AS c_vec FROM e ORDER BY vec_id LIMIT 16),
+        |da AS (SELECT vec_id, c_id AS cluster FROM (
+        |  SELECT e.vec_id, c.c_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.emb, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM e, c) WHERE rk = 1),
+        |qa AS (SELECT e_id, c_id AS cluster FROM (
+        |  SELECT ev.e_id, c.c_id,
+        |    row_number() OVER (PARTITION BY ev.e_id
+        |      ORDER BY list_cosine_similarity(ev.e_vec, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM ev, c) WHERE rk <= 4),
+        |bad AS (SELECT DISTINCT da.vec_id
+        |  FROM qa JOIN da ON qa.cluster = da.cluster
+        |  JOIN ev ON ev.e_id = qa.e_id
+        |  JOIN e ON e.vec_id = da.vec_id
+        |  WHERE list_cosine_similarity(ev.e_vec, e.emb) >= 0.9)
+        |SELECT vec_id FROM e
+        |WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+        |ORDER BY vec_id""".stripMargin,
+
     "dedup_embedding_srp" ->
       """WITH b AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT vec_id + 1000000 AS vec_id,

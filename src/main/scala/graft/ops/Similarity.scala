@@ -454,6 +454,40 @@ object Similarity {
       .drop("c_vec", "__cn", "__csim", "__crk")
   }
 
+  /** SEMANTIC eval-set decontamination: drop every corpus vector whose
+    * embedding sits within cosine `threshold` of ANY eval-set embedding —
+    * the embedding-space complement of the n-gram paths
+    * ([[TextAnalysis.benchmarkOverlap]] exact, fuzzy cross-LSH): a
+    * paraphrased benchmark prompt shares no 8-gram but keeps its
+    * embedding neighborhood. Contact between corpus and eval happens
+    * ONLY through shared IVF cells (`evals` probe their `nProbe` nearest
+    * of the `centroids` cells; corpus vectors sit in their home cell) —
+    * the candidate volume is the probed-cell fraction of the corpus
+    * times the (tiny) eval set, never the full cross product. Approx in
+    * the same sense as [[ivfTopKWith]]: a contaminated vector whose home
+    * cell escapes all of its eval's probes survives; raise `nProbe` for
+    * recall. `evals` schema: `(e_id, e_vec)`. Returns the KEPT corpus
+    * `vec_id`s, ordered. */
+  def semanticDecontaminate(data: DataFrame, evals: DataFrame, threshold: Double,
+                            centroids: DataFrame, nProbe: Int): DataFrame = {
+    val sp = data.sparkSession
+    val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+    val dataN = data.select(col("vec_id"), col("embedding"))
+      .withColumn("__dn", nativeNorm(sp, col("embedding")))
+    val evalsN = evals.select(col("e_id"), col("e_vec"))
+      .withColumn("__en", nativeNorm(sp, col("e_vec")))
+    val assigned = assignTopN(sp, cents, dataN, "embedding", "__dn", "cluster", 1)
+    val probed = assignTopN(sp, cents, evalsN, "e_vec", "__en", "cluster", nProbe)
+    val contaminated = probed.join(assigned, "cluster")
+      .withColumn("__sim",
+        nativeDot(sp, col("e_vec"), col("embedding")) / (col("__en") * col("__dn")))
+      .filter(col("__sim") >= threshold)
+      .select("vec_id").distinct()
+    // the eval side is benchmark-sized: AQE broadcasts the anti-join
+    data.select("vec_id").join(contaminated, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** IVF-PQ-shaped quantized ANN ([[ivfTopK]] with pinned first-N
     * centroids; see [[ivfPqTopKWith]] for the mechanism). */
   def ivfPqTopK(data: DataFrame, queries: DataFrame, k: Int,

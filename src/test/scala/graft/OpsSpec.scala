@@ -547,6 +547,27 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf.size == brute.size)
   }
 
+  test("semanticDecontaminate: planted paraphrases drop their sources; approximation only ever keeps extra, never drops clean docs") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val evals = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("e_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(0.02)).cast("float")).as("e_vec"))
+    val cents = e.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    // exhaustive probe == exact: exactly the 10 contaminated sources drop
+    val full = Similarity.semanticDecontaminate(e, evals, 0.9, cents, nProbe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == all -- (0L until 10L))
+    // narrow probe: an IVF miss can only KEEP a contaminated doc, never
+    // drop a clean one — kept set is always a superset of the exact one
+    val narrow = Similarity.semanticDecontaminate(e, evals, 0.9, cents, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(full.subsetOf(narrow) && narrow.subsetOf(all))
+  }
+
   test("IVF-PQ: exhaustive probe + full refine == brute force; narrow probe keeps recall; refine < k rejected") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
