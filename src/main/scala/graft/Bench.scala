@@ -57,7 +57,7 @@ object Bench {
     "sim_knn_graph_ivf", "sim_embed_stats", "sim_decontaminate",
     "events_sessionize",
     "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",
-    "text_langid_model",
+    "text_langid_model", "text_quality_model",
     "text_tfidf", "text_redact", "text_normalize", "text_gopher_rules",
     "text_entropy", "text_strip_html",
     "text_repetition", "text_decontaminate", "text_decontaminate_fuzzy",

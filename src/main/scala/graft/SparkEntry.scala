@@ -739,6 +739,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // fastText-style SUPERVISED quality classifier (the DCLM/CCNet
+    // model-based filtering step) — the langid-model machinery trained
+    // on quality labels: planted good (English prose) vs bad (consonant
+    // junk) docs by doc_id parity, trained on doc_id % 4 < 2, scored on
+    // held-out WORD-PERMUTED strings of each class. A hash match proves
+    // the gate recovers the planted class from character statistics on
+    // unseen strings. Oracle: the closed-form parity winner.
+    "text_quality_model" -> ((s, dir) => {
+      val goodTrain = "the quick brown fox jumps over the lazy dog with their things"
+      val goodScore = "their lazy dog jumps over the quick brown fox with the things"
+      val badTrain = "zq wx vk jq bz qx kz xv jw qz vx zk qj wv xq"
+      val badScore = "vx zk qj wv xq zq wx vk jq bz qx kz xv jw qz"
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      def pick(a: String, b: String) =
+        when(col("doc_id") % 2 === 0, lit(a)).otherwise(lit(b))
+      def planted(g: String, b: String) = docs.select(col("doc_id"),
+        pick("good", "bad").as("label"),
+        concat(repeat(concat(pick(g, b), lit(" ")),
+            (col("doc_id") % 3 + 1).cast("int")),
+          col("doc_id").cast("string")).as("text"))
+      val model = TextAnalysis.qualityModelTrain(
+        planted(goodTrain, badTrain).filter(col("doc_id") % 4 < 2),
+        "text", "label")
+      TextAnalysis.qualityModelScore(model,
+          planted(goodScore, badScore).filter(col("doc_id") % 4 >= 2),
+          "doc_id", "text")
+        .select("doc_id", "pred_label")
+        .orderBy("doc_id")
+    }),
+
     // corpus text normalization (NFC composition via the codegen'd
     // graft_nfc expression + CRLF/control/whitespace cleanup — the
     // ingest-first step every curation pipeline runs). The fixture text
@@ -2417,6 +2447,13 @@ object SparkEntry {
         |       WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
         |       WHEN 3 THEN 'fr' ELSE 'zh' END AS pred_lang
         |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
+
+    // closed-form planted parity winner: the supervised quality gate
+    // must recover each held-out doc's class from character statistics
+    "text_quality_model" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'good' ELSE 'bad' END AS pred_label
+        |FROM documents WHERE doc_id % 4 >= 2 ORDER BY doc_id""".stripMargin,
 
     // same planted mess (decomposed e+U+0301, CRLF/CR, BEL, tab/space
     // runs); nfc_normalize is DuckDB's Unicode composition — both engines

@@ -1010,6 +1010,29 @@ object TextAnalysis {
     }
   }
 
+  /** fastText-style supervised QUALITY classifier — the DCLM / CCNet
+    * "model-based quality filtering" step (train on known-good vs
+    * known-bad text, gate the crawl on the prediction): the SAME
+    * char-n-gram LM machinery as [[langIdModelTrain]], trained on
+    * quality labels instead of language labels — one estimator, two
+    * gates, which is exactly how fastText is used in public pipelines
+    * (lid.176 for language, a supervised quality head for filtering).
+    * `labelCol` holds arbitrary class labels ("good"/"bad"/"adult"/...);
+    * everything about scale, smoothing, and backoff carries over. */
+  def qualityModelTrain(train: DataFrame, textCol: String, labelCol: String,
+                        ns: Seq[Int] = Seq(2, 3)): DataFrame =
+    langIdModelTrain(train, textCol, labelCol, ns)
+
+  /** Score documents against a [[qualityModelTrain]] model — argmax
+    * interpolated add-k log-likelihood over the label set, exactly
+    * [[langIdModelScore]] with the prediction column named for its
+    * meaning. Returns `(doc_id, pred_label, score)`; a persisted handle
+    * (Caching.scoped contract). */
+  def qualityModelScore(model: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, addK: Double = 0.5): DataFrame =
+    langIdModelScore(model, target, idCol, textCol, addK)
+      .withColumnRenamed("pred_lang", "pred_label")
+
   /** BM25 keyword retrieval: top-`topK` documents for a bag-of-terms
     * query under Okapi BM25 (Lucene's `ln(1 + (N-df+0.5)/(df+0.5))` idf,
     * `k1`/`b` length normalization) — the eval-set mining / targeted-

@@ -1316,6 +1316,24 @@ class TextAnalysisSpec extends SparkSuite {
       s"gram-poor language inflated past the real one: $skewPred")
   }
 
+  test("qualityModel: the supervised fastText-style gate classifies held-out good/bad text; column named for its meaning") {
+    val train = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog"),
+      ("good", "all their things were with the other dogs"),
+      ("bad", "zq wx vk jq bz qx kz xv jw"),
+      ("bad", "qz vx zk qj wv xq zq wx vk")).toDF("label", "text")
+    val model = TextAnalysis.qualityModelTrain(train, "text", "label")
+    val out = TextAnalysis.qualityModelScore(model,
+        Seq((1L, "a quick brown dog with things"),   // unseen good-like
+          (2L, "jq bz qx kz xv"),                     // unseen bad-like
+          (3L, "")).toDF("doc_id", "text"),           // gramless
+        "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "pred_label", "score"))
+    val preds = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.unpersist(blocking = false)
+    assert(preds == Map(1L -> "good", 2L -> "bad", 3L -> "unknown"))
+  }
+
   test("tf-idf top terms: rational idf, rank order, term tiebreak") {
     val docs = Seq(
       (1L, "apple banana apple"),
