@@ -575,6 +575,35 @@ object Similarity {
     else Some(spark.read.parquet(s"$path/codes"))
   }
 
+  /** Incrementally append a NEW embedding batch to a persisted IVF-PQ
+    * index — the daily-crawl loop for ANN (the
+    * `Dedup.appendDedupIndex` discipline applied to vectors): assign
+    * and quantize ONLY the batch against the EXISTING centroids (no
+    * retraining, no re-quantization of history), append its codes, and
+    * stamp the index's new corpus `version`. Meta is invalidated FIRST
+    * and restamped LAST, so a crash mid-append leaves a meta-less codes
+    * dir that loaders refuse (→ rebuild) — the index can never silently
+    * serve a partial batch. Centroids age as the distribution drifts;
+    * retraining cadence is the caller's policy (rebuild via
+    * [[trainOrLoadPqIndex]] under a fresh version). */
+  def appendPqCodes(batch: DataFrame, path: String, version: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val sp = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
+    // the centroid artifact is what we append AGAINST; a meta-less index
+    // is mid-build (or crashed) and must not be extended
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_meta")))
+      throw new IllegalStateException(
+        s"appendPqCodes: no centroid _meta at $path — build with trainOrLoadPqIndex first")
+    val cents = sp.read.parquet(s"$path/centroids")
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_codes_meta"), false)
+    buildPqCodes(batch, cents)
+      .write.mode(SaveMode.Append).parquet(s"$path/codes")
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_codes_meta"), true)
+    try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
+  }
+
   /** The full IVF-PQ index lifecycle: centroids via
     * [[trainOrLoadIvfIndex]] (shared with the plain-IVF serving path —
     * one training per corpus version covers both), codes loaded from the

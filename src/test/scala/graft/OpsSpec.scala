@@ -697,6 +697,26 @@ class SimilaritySpec extends SparkSuite {
     assert(viaLoaded.toSeq == viaInline.toSeq && viaLoaded.nonEmpty)
     // codes of a different corpus version refuse the stale artifact
     assert(Similarity.loadIvfPqCodes(spark, idx, "v2").isEmpty)
+
+    // incremental code append (the daily-crawl loop): new vectors join
+    // the index WITHOUT retraining or re-quantizing history — serving
+    // with appended codes equals serving with codes built from scratch
+    // over the union
+    val batch = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    Similarity.appendPqCodes(batch, idx, "v1+day2")
+    val k3 = Similarity.loadIvfPqCodes(spark, idx, "v1+day2").get
+    assert(Similarity.loadIvfPqCodes(spark, idx, "v1").isEmpty) // version moved on
+    val union = e.select("vec_id", "embedding").unionByName(batch)
+    val viaAppended = Similarity.ivfPqTopKWithCodes(union, q, 5, c2, k3,
+      nProbe = 4, refine = 10).collect().map(_.toSeq)
+    val viaScratch = Similarity.ivfPqTopKWithCodes(union, q, 5, c2,
+      Similarity.buildPqCodes(union, c2), nProbe = 4, refine = 10)
+      .collect().map(_.toSeq)
+    assert(viaAppended.toSeq == viaScratch.toSeq && viaAppended.nonEmpty)
+    // an index with no centroid meta refuses the append loudly
+    intercept[IllegalStateException](
+      Similarity.appendPqCodes(batch, idx + "_nowhere", "v9"))
   }
 
   test("spherical k-means recovers planted clusters; IVF nProbe=1 gets perfect recall on them") {
