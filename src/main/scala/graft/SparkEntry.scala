@@ -2869,11 +2869,6 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // the SRP-LSH path verifies candidates with the true cosine, so its
-    // output must EQUAL brute force over the SAME planted-near-dup table
-    // the entry builds: vec_id < 40 duplicated at +1000000 with every
-    // component shifted +0.02 (float math mirrored exactly — double add,
-    // then round-to-nearest float cast, identical in both engines)
     // the full IVF decontamination replay: planted eval paraphrases
     // (same float32 shift as dedup_embedding_srp), first-16 centroids,
     // home-cell assignment, 4-probe eval probing, cosine >= 0.9 contact
@@ -2904,6 +2899,11 @@ object SparkEntry {
         |WHERE vec_id NOT IN (SELECT vec_id FROM bad)
         |ORDER BY vec_id""".stripMargin,
 
+    // the SRP-LSH path verifies candidates with the true cosine, so its
+    // output must EQUAL brute force over the SAME planted-near-dup table
+    // the entry builds: vec_id < 40 duplicated at +1000000 with every
+    // component shifted +0.02 (float math mirrored exactly — double add,
+    // then round-to-nearest float cast, identical in both engines)
     "dedup_embedding_srp" ->
       """WITH b AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT vec_id + 1000000 AS vec_id,

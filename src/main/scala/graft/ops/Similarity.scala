@@ -591,17 +591,34 @@ object Similarity {
     val sp = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
-    // the centroid artifact is what we append AGAINST; a meta-less index
-    // is mid-build (or crashed) and must not be extended
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_meta")))
-      throw new IllegalStateException(
-        s"appendPqCodes: no centroid _meta at $path — build with trainOrLoadPqIndex first")
+    // BOTH halves must be whole before extending: a meta-less centroid
+    // index is mid-build/crashed, and a meta-less CODES dir means either
+    // no code base exists yet (appending would stamp a batch-only index
+    // that silently misses the base corpus) or a prior append crashed
+    // mid-write (appending again would duplicate the retried batch's
+    // rows — duplicate vec_ids occupy two shortlist ranks and displace
+    // true neighbors). Refuse loudly; rebuild via trainOrLoadPqIndex.
+    for ((m, what) <- Seq("_meta" -> "centroid index", "_codes_meta" -> "codes base"))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, m)))
+        throw new IllegalStateException(
+          s"appendPqCodes: no $m at $path ($what missing or torn) — " +
+            "build with trainOrLoadPqIndex first")
     val cents = sp.read.parquet(s"$path/centroids")
-    fs.delete(new org.apache.hadoop.fs.Path(path, "_codes_meta"), false)
+    // crash discipline: invalidate BOTH metas first (a crash mid-append
+    // leaves a fully-refused index → rebuild), restamp BOTH with the NEW
+    // version last — restamping only _codes_meta would desync the
+    // halves: a later trainOrLoadPqIndex at the new version would
+    // RETRAIN centroids (stale _meta fails its check) yet accept the
+    // appended codes, whose cluster ids were assigned under the OLD
+    // centroids — silently wrong ANN results
+    Seq("_codes_meta", "_meta").foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, m), false))
     buildPqCodes(batch, cents)
       .write.mode(SaveMode.Append).parquet(s"$path/codes")
-    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_codes_meta"), true)
-    try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
+    for (m <- Seq("_meta", "_codes_meta")) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(path, m), true)
+      try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** The full IVF-PQ index lifecycle: centroids via

@@ -966,7 +966,16 @@ object TextAnalysis {
     * target per language — #langs multiplies only the post-dedup gram
     * rows. Returns a persisted handle (Caching.scoped contract). */
   def langIdModelScore(model: DataFrame, target: DataFrame, idCol: String,
-                       textCol: String, addK: Double = 0.5): DataFrame = {
+                       textCol: String, addK: Double = 0.5): DataFrame =
+    modelScore(model, target, idCol, textCol, addK, outCol = "pred_lang")
+
+  /** Shared scorer behind [[langIdModelScore]] / [[qualityModelScore]]:
+    * the prediction column is named INSIDE the scoped block, so the
+    * returned persisted handle is the plan the caller unpersists — a
+    * rename wrapper on top would make the caller's `unpersist()` a
+    * silent no-op and leak the cached score table per call. */
+  private def modelScore(model: DataFrame, target: DataFrame, idCol: String,
+                         textCol: String, addK: Double, outCol: String): DataFrame = {
     require(addK > 0, s"addK must be > 0: $addK")
     graft.functions.GraftFunctions.register(target.sparkSession)
     Caching.scoped(model) {
@@ -1005,7 +1014,7 @@ object TextAnalysis {
       target.select(col(idCol).as("doc_id"))
         .join(best, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("__m").getField("lang"), lit("unknown")).as("pred_lang"),
+          coalesce(col("__m").getField("lang"), lit("unknown")).as(outCol),
           round(col("__m").getField("score"), 6).as("score"))
     }
   }
@@ -1030,8 +1039,7 @@ object TextAnalysis {
     * (Caching.scoped contract). */
   def qualityModelScore(model: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, addK: Double = 0.5): DataFrame =
-    langIdModelScore(model, target, idCol, textCol, addK)
-      .withColumnRenamed("pred_lang", "pred_label")
+    modelScore(model, target, idCol, textCol, addK, outCol = "pred_label")
 
   /** BM25 keyword retrieval: top-`topK` documents for a bag-of-terms
     * query under Okapi BM25 (Lucene's `ln(1 + (N-df+0.5)/(df+0.5))` idf,

@@ -707,6 +707,12 @@ class SimilaritySpec extends SparkSuite {
     Similarity.appendPqCodes(batch, idx, "v1+day2")
     val k3 = Similarity.loadIvfPqCodes(spark, idx, "v1+day2").get
     assert(Similarity.loadIvfPqCodes(spark, idx, "v1").isEmpty) // version moved on
+    // BOTH halves carry the new version: a stale centroid _meta would
+    // make trainOrLoadPqIndex retrain centroids while accepting codes
+    // whose cluster ids were assigned under the OLD ones (review-caught
+    // desync) — the centroid half must load at the appended version
+    assert(Similarity.loadIvfIndex(spark, idx, "v1+day2").isDefined)
+    assert(Similarity.loadIvfIndex(spark, idx, "v1").isEmpty)
     val union = e.select("vec_id", "embedding").unionByName(batch)
     val viaAppended = Similarity.ivfPqTopKWithCodes(union, q, 5, c2, k3,
       nProbe = 4, refine = 10).collect().map(_.toSeq)
@@ -714,9 +720,15 @@ class SimilaritySpec extends SparkSuite {
       Similarity.buildPqCodes(union, c2), nProbe = 4, refine = 10)
       .collect().map(_.toSeq)
     assert(viaAppended.toSeq == viaScratch.toSeq && viaAppended.nonEmpty)
-    // an index with no centroid meta refuses the append loudly
+    // an index with no centroid meta refuses the append loudly; so does
+    // a centroid-only index (no codes base — appending would stamp a
+    // batch-only codes table that silently misses the base corpus)
     intercept[IllegalStateException](
       Similarity.appendPqCodes(batch, idx + "_nowhere", "v9"))
+    val centOnly = java.nio.file.Files.createTempDirectory("graft_ivf_co").toString + "/index"
+    Similarity.trainOrLoadIvfIndex(e, centOnly, "c1", nCentroids = 4, iters = 1)
+    intercept[IllegalStateException](
+      Similarity.appendPqCodes(batch, centOnly, "c2"))
   }
 
   test("spherical k-means recovers planted clusters; IVF nProbe=1 gets perfect recall on them") {
