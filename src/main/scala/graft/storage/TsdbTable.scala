@@ -640,9 +640,12 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       .write.mode(SaveMode.Overwrite).partitionBy("part_start").parquet(out)
   }
 
-  /** Names dimension (reference names directory S9, `store.go:189-202`). */
+  /** Names dimension (reference names directory S9, `store.go:189-202`).
+    * Rebuilt from the MERGED view: under MOR a tombstone-deleted metric
+    * still has physical rows until compaction, and a raw-file scan would
+    * resurrect it into the names list. */
   def refreshNames(): Unit = {
-    val names = rawFiles().select("name").distinct()
+    val names = mergeOnRead(rawFiles()).select("name").distinct()
     names.coalesce(1).write.mode(SaveMode.Overwrite).parquet(namesPath)
   }
 
@@ -669,12 +672,22 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * still applies upstream, and compaction = the delete path's partition
     * rewrite. */
   private def mergeOnRead(df: DataFrame): DataFrame =
-    if (!config.overrideOld || !df.columns.contains("__seq")) df.drop("__seq")
+    if (!config.overrideOld || !df.columns.contains("__seq")) df.drop("__seq", "__del")
     else {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("series_id", "time").orderBy(col("__seq").desc)
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn", "__seq")
+      val ranked = df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      // a DELETE tombstone (r7) is just the newest version of its row
+      // with `__del` set: it wins LWW like any rewrite, then drops here —
+      // and a LATER append of the same (series, time) out-seqs the
+      // tombstone, so re-adding deleted keys works by the same rule.
+      // Files written before tombstones existed read NULL __del.
+      val live =
+        if (df.columns.contains("__del"))
+          ranked.filter(!coalesce(col("__del"), lit(false)))
+        else ranked
+      live.drop("__rn", "__seq", "__del")
     }
 
   /** Raw table pruned to the queried partitions (partition pruning is a
@@ -962,7 +975,14 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       val end = start + config.partitionIntervalMs - 1
       val fullyCovered = fromMs <= start && end <= toMs && !rowPredicated
       if (fullyCovered) {
-        fs.delete(dir, true)
+        // atomic disappearance: ONE rename parks the partition (an
+        // in-place recursive delete lets a racing listing catch a
+        // half-deleted partition), then the parked dot-dir — invisible
+        // to Spark listings — is removed
+        val parked = new org.apache.hadoop.fs.Path(dir.getParent,
+          s".old_${dir.getName}_${System.nanoTime()}")
+        fs.rename(dir, parked)
+        fs.delete(parked, true)
         dropRollupPartition(start) // rollup must not outlive its raw partition
       } else if (start <= toMs && fromMs <= end) {
         // three-valued logic: a row whose labels lack the filtered key makes
@@ -970,32 +990,69 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         // row — coalesce to false so non-matching rows are kept, not deleted
         val delPred = col("time").between(fromMs, toMs) &&
           coalesce(metricPred, lit(false)) && coalesce(filterPred, lit(false))
-        // same footer-merge rule as rawFiles(): an overrideOld partition can
-        // mix pre-`__seq` and stamped files — a sampled old footer would
-        // silently strip `__seq` from the rewrite and break LWW ordering
-        val keep = spark.read.option("mergeSchema", config.overrideOld.toString)
-          .parquet(dir.toString)
-          .filter(!delPred)
-          .cache()
-        val rows = keep.count() // materialize before overwriting the source
-        val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".tmp_${dir.getName}")
-        keep.sortWithinPartitions("series_id", "time")
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        keep.unpersist()
-        // DELETION cannot use compaction's append-alongside + LWW commit:
-        // removed rows exist only in the old files and are superseded by
-        // nothing, so the old generation must leave the listing. The swap
-        // is two metadata-only renames (old dir parked at a dot-name,
-        // rewrite renamed in) — a racing reader can still catch the
-        // one-rename-wide missing-partition window; delete/retention are
-        // maintenance operations and documented as such (append and
-        // compaction, the steady-state paths, ARE reader-atomic).
-        val parked = new org.apache.hadoop.fs.Path(dir.getParent,
-          s".old_${dir.getName}_${System.nanoTime()}")
-        fs.rename(dir, parked)
-        if (rows > 0) fs.rename(tmp, dir)
-        else { fs.delete(tmp, true); dropRollupPartition(start) }
-        fs.delete(parked, true)
+        if (config.overrideOld) {
+          // READER-ATOMIC delete (r7), the MOR path: emit TOMBSTONES for
+          // the live matched rows instead of rewriting the partition — a
+          // tombstone is the newest LWW version of its (series, time)
+          // and mergeOnRead drops it, so the delete becomes visible
+          // exactly when the watermark commits (the append/compaction
+          // discipline, now covering deletes); no dir swap, no
+          // missing-partition window. Physical space reclaims at the
+          // next compaction, whose MOR read drops tombstones and the
+          // rows they shadow. Generated from the VISIBLE live view only:
+          // uncommitted garbage must not be resurrected as tombstones,
+          // and superseded versions need no tombstone of their own.
+          val seq = nextSeq()
+          val visible = committedSeq() match {
+            case Some(wm) => col("__seq").isNull || col("__seq") <= wm
+            case None => lit(true)
+          }
+          val tomb = mergeOnRead(
+              spark.read.option("mergeSchema", "true").parquet(dir.toString)
+                .filter(visible))
+            .filter(delPred)
+            .withColumn("__seq", lit(seq))
+            .withColumn("__del", lit(true))
+          if (tomb.count() > 0) {
+            val stage = new org.apache.hadoop.fs.Path(dir, ".del_stage")
+            tomb.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+            fs.listStatus(stage).map(_.getPath)
+              .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+              .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
+            fs.delete(stage, true)
+            commitSeq(seq) // the delete becomes reader-visible HERE
+            // an emptied partition's rollup must not outlive its data —
+            // dynamic overwrite can't clear a partition it writes no
+            // rows for
+            if (mergeOnRead(spark.read.option("mergeSchema", "true")
+                .parquet(dir.toString)).isEmpty) dropRollupPartition(start)
+          }
+        } else {
+          // non-MOR tables have no version column to tombstone through:
+          // physical rewrite + swap. Same footer-merge rule as
+          // rawFiles(); the swap is two metadata-only renames (old dir
+          // parked at a dot-name, rewrite renamed in) — a racing reader
+          // can still catch the one-rename-wide missing-partition
+          // window; delete/retention on non-MOR tables are maintenance
+          // operations and documented as such (append and compaction,
+          // the steady-state paths, ARE reader-atomic — and so are MOR
+          // deletes, above).
+          val keep = spark.read.option("mergeSchema", "false")
+            .parquet(dir.toString)
+            .filter(!delPred)
+            .cache()
+          val rows = keep.count() // materialize before overwriting the source
+          val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".tmp_${dir.getName}")
+          keep.sortWithinPartitions("series_id", "time")
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          keep.unpersist()
+          val parked = new org.apache.hadoop.fs.Path(dir.getParent,
+            s".old_${dir.getName}_${System.nanoTime()}")
+          fs.rename(dir, parked)
+          if (rows > 0) fs.rename(tmp, dir)
+          else { fs.delete(tmp, true); dropRollupPartition(start) }
+          fs.delete(parked, true)
+        }
       }
     }
     val touched = parts.collect {

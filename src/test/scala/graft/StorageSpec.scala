@@ -470,7 +470,69 @@ class TsdbTableSpec extends SparkSuite {
     }
   }
 
-  test("delete boundary rewrite keeps __seq when an overrideOld partition mixes pre-__seq files (mergeSchema)") {
+  test("MOR tombstone delete: predicate == anti-filter; re-add out-seqs the tombstone; compaction purges physically; names stay clean") {
+    val dir = Files.createTempDirectory("tsdb_tomb").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples(
+      ("cpu", "a", Base + 1000, 1.0), ("cpu", "b", Base + 2000, 2.0),
+      ("mem", "a", Base + 3000, 3.0), ("cpu", "a", Base + 4000, 4.0),
+      ("tmp", "a", Base + 5000, 5.0)))
+    // predicated delete → tombstones, no dir swap: cpu rows of host a
+    // in [0, +3500] drop; everything else stays
+    t.delete(Base, Base + 3500, metrics = Seq("cpu"),
+      filter = "labels['host'] = 'a'")
+    val live = t.readRaw(Base, Base + 10000)
+      .select("name", "time", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(live == Map(("cpu", Base + 2000) -> 2.0, ("mem", Base + 3000) -> 3.0,
+      ("cpu", Base + 4000) -> 4.0, ("tmp", Base + 5000) -> 5.0))
+    // rollup rebuilt from the merged view — the deleted row is gone there too
+    assert(t.readRollup().agg(sum("__p_sum")).collect().head.getDouble(0) == 14.0)
+    // a metric deleted IN FULL leaves the names list even though its
+    // tombstoned rows still exist physically until compaction
+    t.delete(Base, Base + 10000, metrics = Seq("tmp"))
+    assert(t.names().collect().map(_.getString(0)).toSeq == Seq("cpu", "mem"))
+    // re-adding a deleted key out-seqs its tombstone (LWW resurrection)
+    t.append(samples(("cpu", "a", Base + 1000, 7.0)))
+    assert(t.readRaw(Base, Base + 1500).filter(col("time") === Base + 1000)
+      .select("value").collect().map(_.getDouble(0)).toSeq == Seq(7.0))
+    // physical rows exceed logical (tombstones + shadowed versions) until
+    // compaction purges both and physical == logical again
+    val logical = t.countMetrics()
+    assert(spark.read.parquet(s"$dir/raw").count() > logical)
+    t.compact()
+    assert(spark.read.parquet(s"$dir/raw").count() == logical)
+    assert(t.countMetrics() == logical)
+  }
+
+  test("reader atomicity: a select racing a MOR delete sees the pre- or post-delete view, never a torn one") {
+    val dir = Files.createTempDirectory("tsdb_tombrace").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples((0 until 600).map(i =>
+      ("cpu", if (i % 2 == 0) "a" else "b", Base + i * 1000L, i.toDouble)): _*))
+    def view() = {
+      val r = t.readRaw(Base, Base + 700000000L)
+        .agg(count(lit(1)), round(sum("value"), 3)).collect().head
+      (r.getLong(0), r.getDouble(1))
+    }
+    val pre = view()
+    // post view computed relationally: host-a rows in the first half drop
+    val post = (pre._1 - 150, pre._2 - (0 until 300 by 2).map(_.toDouble).sum)
+    val deleter = new Thread(() =>
+      t.delete(Base, Base + 299000, filter = "labels['host'] = 'a'"))
+    deleter.start()
+    val seen = scala.collection.mutable.Set[(Long, Double)]()
+    while (deleter.isAlive) seen += view()
+    deleter.join()
+    seen += view()
+    assert(seen.subsetOf(Set(pre, post)),
+      s"torn delete view: observed $seen, expected only $pre or $post")
+    assert(seen.contains(post))
+  }
+
+  test("delete with a legacy pre-__seq file in an overrideOld partition: stamped rewrites keep winning (mergeSchema)") {
     val dir = Files.createTempDirectory("tsdb_morlegacy").toString
     val t = new TsdbTable(spark, dir, TsdbConfig(overrideOld = true))
     // a file written before `__seq` existed: enriched schema minus __seq
