@@ -464,6 +464,41 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // TOMBSTONE delete (late r7 — the reader-atomic MOR path): the same
+    // staged-delete discipline as tsdb_delete, on an overrideOld table
+    // where predicated deletes emit tombstones instead of rewriting
+    // partitions. Two requires pin the MECHANISM, not just the result:
+    // after the deletes the raw table is physically LARGER than before
+    // (tombstones are additive), and after compact() physical == logical
+    // (tombstones and the rows they shadow purged). The aggregate select
+    // is served from the post-delete rollup rebuild; the twin applies
+    // the same two delete predicates to the events CTE.
+    "tsdb_delete_mor" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_delete_mor")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            overrideOld = true))
+        t.append(samples)
+        val physBefore = s.read.parquet(s"$tmp/table/raw").count()
+        t.delete(F + 10 * Day + 6 * Hour, F + 13 * Day + 6 * Hour,
+          metrics = Seq("click"))
+        t.delete(F + 20 * Day, F + 22 * Day - 1, filter = "labels['user'] = '42'")
+        require(s.read.parquet(s"$tmp/table/raw").count() > physBefore,
+          "MOR delete must be tombstone-additive, not a rewrite")
+        val logical = t.countMetrics()
+        t.compact()
+        require(s.read.parquet(s"$tmp/table/raw").count() == logical,
+          "compaction must purge tombstones and the rows they shadow")
+        val p = SelectParams(functions = "count,sum", from = F, to = T, step = Day)
+        require(t.canServerAggregate(p), "entry must exercise the rebuilt rollup")
+        val res = r6(t.select(p), Seq("sum"))
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // RETENTION (S11, reference retentionDays config.go:198-200 +
     // partition-age deletion partmgr.go:330,357,390): a 10-day horizon
     // enforced at now=T drops partitions 0..19 whole (the horizon is
@@ -2297,6 +2332,20 @@ object SparkEntry {
          |  round(sum(v), 6) AS "sum",
          |  round(min(v), 6) AS "min",
          |  round(max(v), 6) AS "max"
+         |FROM d WHERE tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the tombstone-path deletes are the same relational anti-filter —
+    // the mechanism differs (tombstones + compaction), the semantics
+    // must not
+    "tsdb_delete_mor" ->
+      s"""WITH s AS ($SamplesCte),
+         |d AS (SELECT * FROM s
+         |      WHERE NOT (name = 'click' AND tt BETWEEN ${F + 10 * Day + 6 * Hour} AND ${F + 13 * Day + 6 * Hour})
+         |        AND NOT (labels_str = 'user=42' AND tt BETWEEN ${F + 20 * Day} AND ${F + 22 * Day - 1}))
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum"
          |FROM d WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
