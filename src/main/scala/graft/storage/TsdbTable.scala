@@ -120,7 +120,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     // clock) must never issue a seq at or below already-committed ones —
     // LWW would prefer old rows over new rewrites, and commitSeq's
     // max() would leave the new batch above the watermark, invisible
-    if (lastSeq == 0L) lastSeq = committedSeq().getOrElse(0L)
+    if (lastSeq == 0L) lastSeq = readCommits().map(_.max).getOrElse(0L)
     lastSeq = math.max(System.currentTimeMillis(), lastSeq + 1)
     lastSeq
   }
@@ -241,35 +241,71 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
   }
 
   // ------------------------------------------------- reader atomicity
-  // A `_commits` watermark makes batches visible to readers ATOMICALLY:
-  // append stamps every row with its batch `__seq`, and readers admit
-  // only rows with `__seq <= watermark` (or NULL — pre-watermark
-  // legacy files). The watermark is a single tiny file replaced by
-  // atomic rename AFTER the batch's raw write completes, so a reader
-  // racing an in-flight append sees the ENTIRE batch or none of it —
-  // never the torn prefix that Spark's one-file-at-a-time job commit
-  // would otherwise expose through a mid-commit listing. Parquet prunes
-  // whole files: `__seq` is constant per file, so the row-group stats
-  // exclude uncommitted files without reading them.
+  // A `_commits` manifest makes batches visible to readers ATOMICALLY:
+  // every mutation stamps its rows with a batch `__seq`, and readers
+  // admit only rows whose seq is COMMITTED — seq <= floor, or seq in
+  // the explicit committed set (NULL = pre-manifest legacy files). The
+  // manifest is one tiny file replaced by atomic rename AFTER the
+  // batch's files are fully in place, so a reader racing an in-flight
+  // mutation sees the ENTIRE batch or none of it — never the torn
+  // prefix Spark's one-file-at-a-time job commit would expose through a
+  // mid-commit listing. The EXACT-SET admission (not a high watermark)
+  // is load-bearing for crash safety: a crashed mutation's orphan files
+  // carry a seq that was never added to the set, so later commits can
+  // never retroactively admit them — under a plain watermark, the next
+  // commit's higher mark would resurrect every orphan below it.
+  // Compaction purges orphans physically and then advances `floor` to
+  // its own max seq (every live file at or below it is provably
+  // committed), collapsing the set so the manifest never grows beyond
+  // the mutations since the last compaction. Parquet prunes whole
+  // files: `__seq` is constant per file, so row-group stats exclude
+  // uncommitted files without reading them.
 
   private val commitsFile = "_commits"
 
-  /** Publish `seq` as the committed watermark (single-writer: callers
-    * hold the writer lock). Local fs gets a true atomic replace; other
-    * stores take a delete+rename whose empty window readers survive via
-    * the all-visible fallback in [[committedSeq]]. */
-  private def commitSeq(seq: Long): Unit = {
+  /** The parsed `_commits` manifest: `seq` is visible iff
+    * `seq <= floor` or `seqs(seq)`. */
+  private case class Commits(floor: Long, seqs: Set[Long]) {
+    def max: Long = if (seqs.isEmpty) floor else math.max(floor, seqs.max)
+  }
+
+  /** None = no manifest (legacy table, corrupt file, or the non-local
+    * replace window) → everything visible, i.e. the pre-manifest
+    * behavior, never an empty table. A bare-number file (the earlier
+    * watermark format) parses as a floor. */
+  private def readCommits(): Option[Commits] =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(path, commitsFile))
+      val lines =
+        try new String(in.readAllBytes(), "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty)
+        finally in.close()
+      val floor = lines.collectFirst {
+        case l if l.startsWith("floor=") => l.stripPrefix("floor=").toLong
+      }.getOrElse(0L)
+      val bare = lines.filterNot(_.startsWith("floor=")).map(_.toLong)
+      // legacy single-number file = a floor
+      if (floor == 0L && bare.length == 1 && lines.length == 1)
+        Some(Commits(bare.head, Set.empty))
+      else Some(Commits(floor, bare.toSet))
+    } catch { case _: Exception => None }
+
+  /** Atomically replace the manifest (single-writer: callers hold the
+    * writer lock). Local fs gets a true atomic replace; other stores
+    * take a delete+rename whose empty window readers survive via the
+    * all-visible fallback in [[readCommits]] — and the rename must not
+    * fail silently (a lost manifest would expose crashed mutations'
+    * orphans as live data through that fallback). */
+  private def publishCommits(c: Commits): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path, s".$commitsFile.tmp")
     val dst = new org.apache.hadoop.fs.Path(path, commitsFile)
-    // monotone publish: never regress a watermark some other instance
-    // (or an earlier life of this one) already published — regression
-    // would turn committed batches invisible and let the next
-    // compaction purge them as garbage
-    val wm = math.max(committedSeq().getOrElse(0L), seq)
+    val body = (s"floor=${c.floor}" +: c.seqs.toSeq.sorted.map(_.toString))
+      .mkString("", "\n", "\n")
     val out = fs.create(tmp, true)
-    try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     if (fs.getScheme == "file")
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
@@ -277,28 +313,51 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     else {
-      // delete's boolean is "did it exist"; the RENAME must not fail
-      // silently — a lost watermark would flip every reader to the
-      // all-visible fallback, exposing any crashed append's partial
-      // batch as live data
       fs.delete(dst, false)
       if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(
-          s"failed to publish commit watermark $wm to $dst")
+        throw new java.io.IOException(s"failed to publish commit manifest to $dst")
     }
   }
 
-  /** The committed watermark; None = no watermark file (legacy table,
-    * corrupt file, or the non-local replace window) → everything
-    * visible, i.e. the pre-watermark behavior, never an empty table. */
-  private def committedSeq(): Option[Long] =
-    try {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(new org.apache.hadoop.fs.Path(path, commitsFile))
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
-    } catch { case _: Exception => None }
+  /** Commit `seq`: add it to the manifest's explicit set. A MISSING
+    * manifest (legacy table, or one whose manifest was lost) starts at
+    * `floor = seq - 1`: the table was in the all-visible fallback state,
+    * so pre-manifest stamped rows are GRANDFATHERED rather than silently
+    * hidden by the exact-set admission — that preserves the status quo
+    * exactly (anything visible before the first commit stays visible,
+    * including any pre-manifest orphans the fallback already exposed);
+    * only mutations from this commit on get the exact-set crash
+    * safety. */
+  private def commitSeq(seq: Long): Unit = {
+    val cur = readCommits().getOrElse(Commits(math.max(0L, seq - 1), Set.empty))
+    publishCommits(cur.copy(seqs = cur.seqs + seq))
+  }
+
+  /** Compaction's floor advance: every live file with seq <= `floor` is
+    * provably committed once compaction has rewritten every partition
+    * (its visibility-filtered reads dropped the orphans and its deletes
+    * removed their files), so the explicit set collapses. */
+  private def advanceCommitsFloor(floor: Long): Unit = {
+    val cur = readCommits().getOrElse(Commits(0L, Set.empty))
+    val f = math.max(cur.floor, floor)
+    publishCommits(Commits(f, cur.seqs.filter(_ > f)))
+  }
+
+  /** The visibility predicate for `cm` over a frame that CARRIES
+    * `__seq`. */
+  private def visibleSeqCond(c: Commits): org.apache.spark.sql.Column = {
+    val base = col("__seq").isNull || col("__seq") <= c.floor
+    if (c.seqs.isEmpty) base
+    else base || col("__seq").isin(c.seqs.toSeq: _*)
+  }
+
+  /** Apply committed-only visibility to a raw read; a frame without
+    * `__seq` (all-legacy partition) passes through untouched. */
+  private def applyVisibility(df: DataFrame, cm: Option[Commits]): DataFrame =
+    cm match {
+      case Some(c) if df.columns.contains("__seq") => df.filter(visibleSeqCond(c))
+      case _ => df
+    }
 
   /** Raw-table file read, admitting COMMITTED batches only (see the
     * reader-atomicity note above). overrideOld tables merge footers so
@@ -306,23 +365,19 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * sampled old footer would silently disable merge-on-read); their
     * rows read as NULL `__seq`, which orders after any stamped version
     * under `desc` (nulls last) — old rows lose to any rewrite, as they
-    * must. The watermark is read ONCE at frame construction and frozen
-    * as a plan literal, so one query holds one consistent snapshot even
-    * as later actions re-resolve the file listing. */
+    * must. The manifest is read BEFORE the file listing
+    * (spark.read.parquet lists eagerly): listing first would let a
+    * mid-commit listing capture a torn file prefix that a manifest read
+    * moments later then admits — the exact race this mechanism closes.
+    * Read-manifest-then-list means any batch the manifest admits was
+    * fully on disk before its commit was published; the manifest is
+    * frozen into the plan as literals, so one query holds one
+    * consistent snapshot even as later actions re-resolve the file
+    * listing. */
   private def rawFiles(): DataFrame = {
-    // watermark BEFORE the file listing (spark.read.parquet lists
-    // eagerly): listing first would let a mid-commit listing capture a
-    // torn file prefix that a watermark read moments later then admits —
-    // the exact race this mechanism closes. Read-watermark-then-list
-    // means any batch the watermark admits was fully on disk before its
-    // commit was published.
-    val wm = committedSeq()
-    val df = spark.read.option("mergeSchema", config.overrideOld.toString).parquet(rawPath)
-    wm match {
-      case Some(w) if df.columns.contains("__seq") =>
-        df.filter(col("__seq").isNull || col("__seq") <= w)
-      case _ => df
-    }
+    val cm = readCommits()
+    applyVisibility(
+      spark.read.option("mergeSchema", config.overrideOld.toString).parquet(rawPath), cm)
   }
 
   private def partStart(time: org.apache.spark.sql.Column) =
@@ -876,45 +931,67 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * just before their deletion and opens them after — a read ERROR on
     * local fs (retry succeeds), never wrong data; object stores with
     * delayed deletes don't even see that. */
+  /** Committed-only read of ONE partition dir (a whole-table rawFiles()
+    * inside a per-partition maintenance loop would re-list and
+    * footer-merge every file in the table once per partition). Manifest
+    * read BEFORE the listing, like [[rawFiles]]; an all-legacy partition
+    * (no `__seq` column) passes through [[applyVisibility]] untouched. */
+  private def visibleDir(dir: org.apache.hadoop.fs.Path): DataFrame = {
+    val cm = readCommits()
+    applyVisibility(
+      spark.read.option("mergeSchema", "true").parquet(dir.toString), cm)
+  }
+
+  /** Land `df`'s rows INSIDE `dir` alongside its existing files: write
+    * to a dot-stage (invisible to Spark listings), then per-file rename
+    * into the partition. The rows stay reader-invisible until the caller
+    * commits their `__seq` — the append-alongside half of the
+    * reader-atomic commit protocol, shared by compaction and MOR
+    * deletes. */
+  private def stageIntoDir(df: DataFrame, dir: org.apache.hadoop.fs.Path,
+                           stageName: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(dir, stageName)
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    fs.listStatus(stage).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
+    fs.delete(stage, true)
+  }
+
   private def compactImpl(): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
+    var maxSeq = 0L
     partitionStarts().foreach { start =>
       val dir = new org.apache.hadoop.fs.Path(rawPath, s"part_start=$start")
-      def dataFiles() = fs.listStatus(dir).toSeq.map(_.getPath).filter { p =>
+      val old = fs.listStatus(dir).toSeq.map(_.getPath).filter { p =>
         val n = p.getName; !n.startsWith("_") && !n.startsWith(".")
       }
-      val old = dataFiles()
       val seq = nextSeq()
-      // read ONE partition dir (a whole-table rawFiles() here would re-list
-      // and footer-merge every file in the table once per partition),
-      // admitting committed rows only — an aborted append's invisible
-      // garbage must not be resurrected under a fresh committed seq
-      val visible = committedSeq() match {
-        case Some(wm) => col("__seq").isNull || col("__seq") <= wm
-        case None => lit(true)
-      }
-      val keep = mergeOnRead(
-          spark.read.option("mergeSchema", "true").parquet(dir.toString)
-            .filter(visible))
+      maxSeq = math.max(maxSeq, seq)
+      // committed rows only — an aborted mutation's invisible garbage
+      // must not be resurrected under a fresh committed seq
+      val keep = mergeOnRead(visibleDir(dir))
         // re-stamp so the compacted generation supersedes every old file
         // under LWW, and future rewrites still order after it
         .withColumn("__seq", lit(seq))
         .cache()
       keep.count() // materialize before touching the source files
-      val stage = new org.apache.hadoop.fs.Path(dir, ".compact_stage")
-      keep.drop("part_start")
-        .repartition(pmod(col("series_id"), lit(config.shardingBuckets.toLong)))
-        .sortWithinPartitions("series_id", "time")
-        .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      stageIntoDir(keep.drop("part_start")
+          .repartition(pmod(col("series_id"), lit(config.shardingBuckets.toLong)))
+          .sortWithinPartitions("series_id", "time"),
+        dir, ".compact_stage")
       keep.unpersist()
-      fs.listStatus(stage).map(_.getPath)
-        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-        .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
-      fs.delete(stage, true)
       commitSeq(seq) // the compacted generation becomes visible HERE
       old.foreach(p => fs.delete(p, false))
     }
+    // every partition is rewritten and its orphans are physically gone,
+    // so every live file at or below this compaction's max seq is
+    // provably committed — advance the floor and collapse the manifest's
+    // explicit set (bounds manifest growth to mutations-per-compaction)
+    if (maxSeq > 0L) advanceCommitsFloor(maxSeq)
   }
 
   /** Enforce the configured retention horizon (reference layer retention,
@@ -971,6 +1048,17 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         if (fs.exists(r)) fs.delete(r, true)
       }
     }
+    // three-valued logic: a row whose labels lack the filtered key makes
+    // filterPred NULL, !(… && NULL) is NULL, and filter() would DROP the
+    // row — coalesce to false so non-matching rows are kept, not deleted
+    val delPred = col("time").between(fromMs, toMs) &&
+      coalesce(metricPred, lit(false)) && coalesce(filterPred, lit(false))
+    // ONE seq + ONE commit for the WHOLE predicated MOR delete: a
+    // per-partition commit would expose a torn cross-partition view (day
+    // 10's rows deleted, day 13's still visible) between loop iterations
+    val morSeq = if (config.overrideOld) nextSeq() else 0L
+    var wroteTombstones = false
+    val emptied = scala.collection.mutable.ListBuffer.empty[Long]
     parts.foreach { case (dir, start) =>
       val end = start + config.partitionIntervalMs - 1
       val fullyCovered = fromMs <= start && end <= toMs && !rowPredicated
@@ -978,65 +1066,55 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         // atomic disappearance: ONE rename parks the partition (an
         // in-place recursive delete lets a racing listing catch a
         // half-deleted partition), then the parked dot-dir — invisible
-        // to Spark listings — is removed
+        // to Spark listings — is removed. Multi-partition drops are
+        // atomic PER PARTITION (one metadata op each); the cross-
+        // partition window is rename-sized.
         val parked = new org.apache.hadoop.fs.Path(dir.getParent,
           s".old_${dir.getName}_${System.nanoTime()}")
         fs.rename(dir, parked)
         fs.delete(parked, true)
         dropRollupPartition(start) // rollup must not outlive its raw partition
       } else if (start <= toMs && fromMs <= end) {
-        // three-valued logic: a row whose labels lack the filtered key makes
-        // filterPred NULL, !(… && NULL) is NULL, and filter() would DROP the
-        // row — coalesce to false so non-matching rows are kept, not deleted
-        val delPred = col("time").between(fromMs, toMs) &&
-          coalesce(metricPred, lit(false)) && coalesce(filterPred, lit(false))
         if (config.overrideOld) {
           // READER-ATOMIC delete (r7), the MOR path: emit TOMBSTONES for
           // the live matched rows instead of rewriting the partition — a
           // tombstone is the newest LWW version of its (series, time)
-          // and mergeOnRead drops it, so the delete becomes visible
-          // exactly when the watermark commits (the append/compaction
-          // discipline, now covering deletes); no dir swap, no
+          // and mergeOnRead drops it, so the WHOLE delete (across every
+          // touched partition) becomes visible exactly when the shared
+          // seq commits after this loop; no dir swap, no
           // missing-partition window. Physical space reclaims at the
           // next compaction, whose MOR read drops tombstones and the
           // rows they shadow. Generated from the VISIBLE live view only:
           // uncommitted garbage must not be resurrected as tombstones,
-          // and superseded versions need no tombstone of their own.
-          val seq = nextSeq()
-          val visible = committedSeq() match {
-            case Some(wm) => col("__seq").isNull || col("__seq") <= wm
-            case None => lit(true)
-          }
-          val tomb = mergeOnRead(
-              spark.read.option("mergeSchema", "true").parquet(dir.toString)
-                .filter(visible))
-            .filter(delPred)
-            .withColumn("__seq", lit(seq))
-            .withColumn("__del", lit(true))
-          if (tomb.count() > 0) {
-            val stage = new org.apache.hadoop.fs.Path(dir, ".del_stage")
-            tomb.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-            fs.listStatus(stage).map(_.getPath)
-              .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-              .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
-            fs.delete(stage, true)
-            commitSeq(seq) // the delete becomes reader-visible HERE
-            // an emptied partition's rollup must not outlive its data —
-            // dynamic overwrite can't clear a partition it writes no
-            // rows for
-            if (mergeOnRead(spark.read.option("mergeSchema", "true")
-                .parquet(dir.toString)).isEmpty) dropRollupPartition(start)
-          }
+          // and superseded versions need no tombstone of their own. The
+          // live view is cached: it serves the live count, the matched
+          // count and (through recompute at write time — the cache only
+          // spares the extra jobs) the tombstone rows.
+          val live = mergeOnRead(visibleDir(dir)).cache()
+          try {
+            val liveCount = live.count()
+            val tomb = live.filter(delPred)
+              .withColumn("__seq", lit(morSeq))
+              .withColumn("__del", lit(true))
+            val matched = tomb.count()
+            if (matched > 0) {
+              stageIntoDir(tomb, dir, ".del_stage")
+              wroteTombstones = true
+              // an emptied partition's rollup must not outlive its data —
+              // dynamic overwrite can't clear a partition it writes no
+              // rows for
+              if (matched == liveCount) emptied += start
+            }
+          } finally live.unpersist()
         } else {
           // non-MOR tables have no version column to tombstone through:
-          // physical rewrite + swap. Same footer-merge rule as
-          // rawFiles(); the swap is two metadata-only renames (old dir
-          // parked at a dot-name, rewrite renamed in) — a racing reader
-          // can still catch the one-rename-wide missing-partition
-          // window; delete/retention on non-MOR tables are maintenance
-          // operations and documented as such (append and compaction,
-          // the steady-state paths, ARE reader-atomic — and so are MOR
-          // deletes, above).
+          // physical rewrite + swap. The swap is two metadata-only
+          // renames (old dir parked at a dot-name, rewrite renamed in) —
+          // a racing reader can still catch the one-rename-wide
+          // missing-partition window; delete/retention on non-MOR tables
+          // are maintenance operations and documented as such (append
+          // and compaction, the steady-state paths, ARE reader-atomic —
+          // and so are MOR deletes, above).
           val keep = spark.read.option("mergeSchema", "false")
             .parquet(dir.toString)
             .filter(!delPred)
@@ -1054,6 +1132,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           fs.delete(parked, true)
         }
       }
+    }
+    if (wroteTombstones) {
+      commitSeq(morSeq) // the delete becomes reader-visible HERE, in full
+      emptied.foreach(dropRollupPartition)
     }
     val touched = parts.collect {
       case (_, start) if start <= toMs && fromMs <= start + config.partitionIntervalMs - 1 => start

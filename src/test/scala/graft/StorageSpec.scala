@@ -532,7 +532,7 @@ class TsdbTableSpec extends SparkSuite {
     assert(seen.contains(post))
   }
 
-  test("delete with a legacy pre-__seq file in an overrideOld partition: stamped rewrites keep winning (mergeSchema)") {
+  test("tombstone delete over a MIXED legacy/stamped partition: staging keeps mergeSchema, legacy LWW intact (pre-__seq files)") {
     val dir = Files.createTempDirectory("tsdb_morlegacy").toString
     val t = new TsdbTable(spark, dir, TsdbConfig(overrideOld = true))
     // a file written before `__seq` existed: enriched schema minus __seq
@@ -544,13 +544,17 @@ class TsdbTableSpec extends SparkSuite {
       .write.mode("append").partitionBy("part_start").parquet(s"$dir/raw")
     // a stamped rewrite of the same (series, time) — must win LWW
     t.append(samples(("cpu", "a", Base + 1000, 9.0), ("cpu", "a", Base + 2000, 2.0)))
-    // boundary rewrite: the range intersects the partition but neither row
-    t.delete(Base + 500000, Base + 600000)
-    // rewrite must not strip __seq (a sampled legacy footer would): the
-    // stamped version still supersedes the legacy row afterwards
+    // a delete matching only Base+2000 goes through the TOMBSTONE path
+    // over the mixed-schema partition: the staged read must mergeSchema
+    // (a sampled legacy footer would strip __seq and break ordering)
+    t.delete(Base + 1500, Base + 2500)
     val got = t.readRaw(Base, Base + 10000).select("time", "value")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(got == Map((Base + 1000) -> 9.0, (Base + 2000) -> 2.0))
+    // deleted row gone; the stamped version still supersedes the legacy
+    assert(got == Map((Base + 1000) -> 9.0))
+    // a no-match delete is a clean no-op on the same mixed partition
+    t.delete(Base + 500000, Base + 600000)
+    assert(t.readRaw(Base, Base + 10000).count() == 1)
   }
 
   test("retention drops whole partitions past the horizon (config.go:198-200)") {
@@ -629,6 +633,38 @@ class TsdbTableSpec extends SparkSuite {
     assert(seen.subsetOf(Set(pre, pre + 2000)),
       s"torn read: observed counts $seen, expected only $pre or ${pre + 2000}")
     assert(seen.contains(pre + 2000))
+  }
+
+  test("exact-set admission: a crashed mutation's orphans stay invisible across later commits; compaction purges them and collapses the manifest") {
+    val dir = Files.createTempDirectory("tsdb_orphan").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0)))
+    val commits = java.nio.file.Paths.get(dir, "_commits")
+    val beforeB2 = java.nio.file.Files.readAllBytes(commits)
+    t.append(samples(("cpu", "a", Base + 3000, 3.0), ("cpu", "a", Base + 4000, 4.0),
+      ("cpu", "a", Base + 5000, 5.0)))
+    assert(t.countMetrics() == 5)
+    // simulate batch 2 CRASHING before its commit: its files are on disk
+    // but its seq never entered the manifest
+    java.nio.file.Files.write(commits, beforeB2)
+    assert(t.countMetrics() == 2)
+    // a LATER commit must NOT resurrect the orphans — under the earlier
+    // high-watermark design, batch 3's higher mark re-admitted every
+    // orphan seq below it (review-caught); exact-set admission doesn't
+    t.append(samples(("cpu", "a", Base + 6000, 6.0)))
+    assert(t.countMetrics() == 3,
+      "a later commit resurrected a crashed mutation's orphan batch")
+    // compaction physically purges the orphans (its reads are
+    // visibility-filtered) and advances the floor, collapsing the
+    // manifest's explicit set
+    t.compact()
+    assert(t.countMetrics() == 3)
+    assert(spark.read.parquet(s"$dir/raw").count() == 3)
+    val manifest = new String(java.nio.file.Files.readAllBytes(commits), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty)
+    assert(manifest.head.startsWith("floor=") && manifest.length == 1,
+      s"manifest set not collapsed after compaction: ${manifest.toSeq}")
   }
 
   test("reader atomicity: a select racing compaction sees a constant view (append-alongside + LWW commit)") {
