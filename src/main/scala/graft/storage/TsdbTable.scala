@@ -89,6 +89,13 @@ case class TsdbConfig(
   */
 object TsdbTable {
   import org.apache.spark.sql.types._
+
+  /** Commit-manifest set size that triggers a vacuum (orphan sweep +
+    * floor collapse) on the next commit — bounds manifest growth and
+    * reader-filter size for tables that never compact (non-MOR
+    * streaming ingest commits one seq per micro-batch). */
+  val VacuumSetThreshold: Int = 256
+
   /** Enriched raw-table schema (sample model + derived identity columns). */
   val RawSchema: StructType = StructType(Seq(
     StructField("name", StringType),
@@ -115,15 +122,32 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * single-writer is this table's contract (see names overwrite). */
   private var lastSeq = 0L
   private def nextSeq(): Long = synchronized {
-    // seed from the stored watermark on first use: a writer restart
-    // after a wall-clock step-back (or on another host with a slow
-    // clock) must never issue a seq at or below already-committed ones —
-    // LWW would prefer old rows over new rewrites, and commitSeq's
-    // max() would leave the new batch above the watermark, invisible
-    if (lastSeq == 0L) lastSeq = readCommits().map(_.max).getOrElse(0L)
+    // seed on first use from BOTH the manifest's committed max AND the
+    // max seq actually STAMPED in live files (one cheap scan of the
+    // RLE'd constant-per-file column, once per writer life): a writer
+    // restart after a wall-clock step-back must never issue a seq at or
+    // below already-committed ones (LWW would prefer old rows over new
+    // rewrites and the new batch's exact-set commit wouldn't cover
+    // them), and must never RE-ISSUE a crashed mutation's orphan seq —
+    // the manifest alone doesn't know orphan seqs, and re-issuing one
+    // would commit the orphan's files along with the new batch
+    if (lastSeq == 0L)
+      lastSeq = math.max(readCommits().map(_.max).getOrElse(0L), maxStampedSeq())
     lastSeq = math.max(System.currentTimeMillis(), lastSeq + 1)
     lastSeq
   }
+
+  /** Max `__seq` present in live raw files (0 when empty/legacy) — the
+    * orphan-aware half of [[nextSeq]]'s seeding. */
+  private def maxStampedSeq(): Long =
+    if (!hasPartitions(rawPath)) 0L
+    else {
+      val df = spark.read.option("mergeSchema", config.overrideOld.toString)
+        .parquet(rawPath)
+      if (!df.columns.contains("__seq")) 0L
+      else Option(df.agg(max("__seq")).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
 
   /** ENFORCED single-writer contract: every mutation (append / delete /
     * retention / compact) holds the `<path>/_writer` lock file for its
@@ -269,11 +293,18 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     def max: Long = if (seqs.isEmpty) floor else math.max(floor, seqs.max)
   }
 
-  /** None = no manifest (legacy table, corrupt file, or the non-local
-    * replace window) → everything visible, i.e. the pre-manifest
-    * behavior, never an empty table. A bare-number file (the earlier
-    * watermark format) parses as a floor. */
-  private def readCommits(): Option[Commits] =
+  /** None = no manifest (legacy table, or the non-local replace
+    * window) → everything visible, i.e. the pre-manifest behavior,
+    * never an empty table. A bare-number file (the earlier watermark
+    * format) parses as a floor; an EMPTY file is corruption, not a
+    * manifest (parsing it as floor=0 would silently hide every stamped
+    * row). `strict` callers — the WRITE path — rethrow read/parse
+    * errors instead of degrading: a commit that misreads a transient
+    * error as "no manifest" would grandfather every extant orphan
+    * through the floor = seq-1 fallback, re-opening the resurrection
+    * hole this design closes. Readers stay LENIENT (None on any error —
+    * availability over precision, the documented fallback). */
+  private def readCommits(strict: Boolean = false): Option[Commits] =
     try {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -281,6 +312,8 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       val lines =
         try new String(in.readAllBytes(), "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty)
         finally in.close()
+      if (lines.isEmpty)
+        throw new java.io.IOException(s"empty commit manifest $path/$commitsFile")
       val floor = lines.collectFirst {
         case l if l.startsWith("floor=") => l.stripPrefix("floor=").toLong
       }.getOrElse(0L)
@@ -289,7 +322,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       if (floor == 0L && bare.length == 1 && lines.length == 1)
         Some(Commits(bare.head, Set.empty))
       else Some(Commits(floor, bare.toSet))
-    } catch { case _: Exception => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None // genuinely no manifest
+      case e: Exception => if (strict) throw e else None
+    }
 
   /** Atomically replace the manifest (single-writer: callers hold the
     * writer lock). Local fs gets a true atomic replace; other stores
@@ -326,11 +362,56 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * hidden by the exact-set admission — that preserves the status quo
     * exactly (anything visible before the first commit stays visible,
     * including any pre-manifest orphans the fallback already exposed);
-    * only mutations from this commit on get the exact-set crash
-    * safety. */
+    * only mutations from this commit on get the exact-set crash safety.
+    * When the explicit set outgrows [[VacuumSetThreshold]] (a table that
+    * never compacts — e.g. non-MOR streaming ingest — would otherwise
+    * grow it by one seq per batch forever, bloating every reader's
+    * isin() literal list), the manifest is VACUUMED: orphan files are
+    * physically deleted and the set collapses into the floor. */
   private def commitSeq(seq: Long): Unit = {
-    val cur = readCommits().getOrElse(Commits(math.max(0L, seq - 1), Set.empty))
-    publishCommits(cur.copy(seqs = cur.seqs + seq))
+    val cur = readCommits(strict = true)
+      .getOrElse(Commits(math.max(0L, seq - 1), Set.empty))
+    val merged = cur.copy(seqs = cur.seqs + seq)
+    publishCommits(merged)
+    if (merged.seqs.size > TsdbTable.VacuumSetThreshold) vacuumCommits(merged)
+  }
+
+  /** Collapse the manifest by removing what keeps it from collapsing:
+    * every live file whose seq is NOT committed is a crashed mutation's
+    * orphan — find them with one cheap scan of the (RLE'd,
+    * constant-per-file) `__seq` column keyed by `input_file_name`,
+    * delete them, and publish `floor = max committed` with an empty set
+    * (every surviving stamped seq is committed and <= that max by
+    * definition). Callers hold the writer lock; a reader that resolved
+    * an orphan's file name just before its deletion can hit the same
+    * retryable read error documented at the compaction deletes — and
+    * orphans were never visible to it anyway. */
+  private def vacuumCommits(cm: Commits): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
+    if (hasPartitions(rawPath)) {
+      val df = spark.read.option("mergeSchema", config.overrideOld.toString)
+        .parquet(rawPath)
+      if (df.columns.contains("__seq")) {
+        val fileSeqs = df.select(input_file_name().as("f"), col("__seq").as("s"))
+          .distinct().collect()
+        fileSeqs.filter { r =>
+          !r.isNullAt(1) && {
+            val s = r.getLong(1); s > cm.floor && !cm.seqs(s)
+          }
+        }.foreach(r => fs.delete(new org.apache.hadoop.fs.Path(r.getString(0)), false))
+      }
+    }
+    publishCommits(Commits(cm.max, Set.empty))
+  }
+
+  /** Manifest maintenance, callable directly (the same sweep
+    * [[commitSeq]] auto-triggers past [[TsdbTable.VacuumSetThreshold]]):
+    * physically delete crashed mutations' orphan files and collapse the
+    * commit manifest to a bare floor. No-op on a manifest-less legacy
+    * table. */
+  def vacuum(): Unit = withWriterLock("vacuum") {
+    readCommits(strict = true).foreach(vacuumCommits)
   }
 
   /** Compaction's floor advance: every live file with seq <= `floor` is
@@ -338,7 +419,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * (its visibility-filtered reads dropped the orphans and its deletes
     * removed their files), so the explicit set collapses. */
   private def advanceCommitsFloor(floor: Long): Unit = {
-    val cur = readCommits().getOrElse(Commits(0L, Set.empty))
+    val cur = readCommits(strict = true).getOrElse(Commits(0L, Set.empty))
     val f = math.max(cur.floor, floor)
     publishCommits(Commits(f, cur.seqs.filter(_ > f)))
   }

@@ -667,6 +667,42 @@ class TsdbTableSpec extends SparkSuite {
       s"manifest set not collapsed after compaction: ${manifest.toSeq}")
   }
 
+  test("orphan seqs are never re-issued by a writer restart; vacuum() sweeps orphans and collapses the manifest") {
+    val dir = Files.createTempDirectory("tsdb_seqreuse").toString
+    val commits = java.nio.file.Paths.get(dir, "_commits")
+    val t1 = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
+    t1.append(samples(("cpu", "a", Base + 1000, 1.0)))
+    // drive the table's seqs AHEAD of the wall clock (a fast-clocked
+    // writer life), so a restarted writer would re-issue them if it
+    // seeded from the manifest alone
+    val future = (System.currentTimeMillis() + 10_000_000_000L).toString
+    java.nio.file.Files.write(commits, ("floor=" + future).getBytes("UTF-8"))
+    val preOrphan = java.nio.file.Files.readAllBytes(commits)
+    val t2 = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
+    t2.append(samples(("cpu", "a", Base + 2000, 2.0))) // seq = future+1
+    // simulate that append CRASHING before its commit
+    java.nio.file.Files.write(commits, preOrphan)
+    assert(t2.countMetrics() == 1)
+    // a THIRD writer life must seed past the orphan's STAMPED seq (the
+    // manifest max is only `future`): if it re-issued future+1, this
+    // commit would resurrect the orphan row alongside its own
+    val t3 = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
+    t3.append(samples(("cpu", "a", Base + 3000, 3.0)))
+    val live = t3.readRaw(Base, Base + 10000).select("time").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(live == Seq(Base + 1000, Base + 3000),
+      s"orphan seq re-issued and resurrected: $live")
+    // vacuum physically sweeps the orphan file and collapses the manifest
+    val physBefore = spark.read.parquet(s"$dir/raw").count()
+    assert(physBefore == 3) // orphan still on disk, just invisible
+    t3.vacuum()
+    assert(spark.read.parquet(s"$dir/raw").count() == 2)
+    assert(t3.countMetrics() == 2)
+    val manifest = new String(java.nio.file.Files.readAllBytes(commits), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty)
+    assert(manifest.length == 1 && manifest.head.startsWith("floor="))
+  }
+
   test("reader atomicity: a select racing compaction sees a constant view (append-alongside + LWW commit)") {
     val dir = Files.createTempDirectory("tsdb_atomic_c").toString
     val t = new TsdbTable(spark, dir,
