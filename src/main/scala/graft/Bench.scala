@@ -36,7 +36,10 @@ import org.apache.spark.sql.SparkSession
   *    rule: each re-appends the events corpus per run, so their headline
   *    number would measure staging, not the maintenance path under test
   *    (measured at 6-17 s/run, >70% of it the append tsdb_ingest already
-  *    times) — correctness-gated only.
+  *    times) — correctness-gated only. The r7 tsdb_delete_mor and the r8
+  *    tsdb_time_travel / tsdb_changes staged entries follow the same
+  *    rule (snapshot and CDC reads are manifest-filter variants of the
+  *    raw scan tsdb_raw already times; their staging dominates).
   *  - Every individual run's time is emitted under `"runs"` so a run
   *    poisoned by this VM's external freeze windows is visible in the
   *    artifact itself; `"queries"` carries the per-query min.
@@ -55,6 +58,7 @@ object Bench {
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",
     "sim_topk", "sim_ann_ivf", "sim_ann_ivfpq", "sim_quantize", "dedup_embedding_srp",
     "sim_knn_graph_ivf", "sim_embed_stats", "sim_decontaminate",
+    "sim_cluster_sample",
     "events_sessionize",
     "text_tokens", "text_tokens_bpe", "text_bpe_train", "text_quality", "text_langid",
     "text_langid_model", "text_quality_model",

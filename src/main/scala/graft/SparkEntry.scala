@@ -499,6 +499,75 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // TIME TRAVEL (r8 — the Delta `VERSION AS OF` / Iceberg snapshot-read
+    // shape on the `_commits` exact-set manifest): stage an overrideOld
+    // table, take a snapshot handle, then mutate twice — a +100 LWW
+    // override of clicks in days 3..6 and a metric-predicated tombstone
+    // delete of days 10..12. selectAsOf at the saved handle must
+    // reproduce the ORIGINAL aggregate: the twin is the plain
+    // untouched-events SQL, so a hash match proves no later batch leaked
+    // into the snapshot, and the require pins that the CURRENT view
+    // really did change (time travel is not the identity). Snapshot
+    // queries run precise-from-raw — the rollup is rebuilt in place and
+    // carries no version history.
+    "tsdb_time_travel" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tt")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            overrideOld = true))
+        t.append(samples)
+        val snap = t.currentSeq()
+        t.append(samples
+          .filter(col("name") === "click" &&
+            col("time").between(F + 3 * Day, F + 7 * Day - 1))
+          .withColumn("value", col("value") + 100))
+        t.delete(F + 10 * Day, F + 13 * Day - 1, metrics = Seq("click"))
+        val p = SelectParams(functions = "count,sum", from = F, to = T, step = Day)
+        val nowSum = t.select(p).agg(sum("sum")).collect()(0).getDouble(0)
+        val res = r6(t.selectAsOf(p, snap), Seq("sum"))
+        val snapSum = res.agg(sum("sum")).collect()(0).getDouble(0)
+        require(math.abs(nowSum - snapSum) > 1.0,
+          "the staged mutations must have changed the current view")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
+    // CDC (r8 — the Delta CDF / Hudi incremental-query shape): from the
+    // same staged mutations, `changes(snap)` must return exactly the NET
+    // row-level delta — post-image `update`s for the +100 click
+    // override, `insert`s for the planted 'probe' rows, pre-image
+    // `delete`s for the tombstoned clicks — and nothing else. The twin
+    // builds the three closed-form change sets from events directly.
+    "tsdb_changes" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            overrideOld = true))
+        t.append(samples)
+        val snap = t.currentSeq()
+        val clicks = samples.filter(col("name") === "click")
+        t.append(
+          clicks.filter(col("time").between(F + 3 * Day, F + 7 * Day - 1))
+            .withColumn("value", col("value") + 100)
+            .unionByName(
+              clicks.filter(col("time") < F + 2 * Day)
+                .withColumn("name", lit("probe"))
+                .withColumn("value", col("value") * 2)))
+        t.delete(F + 10 * Day, F + 13 * Day - 1, metrics = Seq("click"))
+        val res = t.changes(snap)
+          .select(col("name"), col("labels_str"), col("time"),
+            round(col("value"), 6).as("value"), col("_change_type"))
+          .orderBy("name", "labels_str", "time")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // RETENTION (S11, reference retentionDays config.go:198-200 +
     // partition-age deletion partmgr.go:330,357,390): a 10-day horizon
     // enforced at now=T drops partitions 0..19 whole (the horizon is
@@ -1356,6 +1425,21 @@ object SparkEntry {
     // aggregation order-independent and twin-exact — see dimStats
     "sim_embed_stats" -> ((s, dir) =>
       Similarity.dimStats(s.read.parquet(s"$dir/embeddings.parquet"))),
+
+    // cluster-balanced diversity sampling (r8 — the per-cluster quota
+    // step between semantic clustering and the training mix): pinned
+    // first-16 centroids → nearest-cell assignment → deterministic
+    // md5-rank quota of 25 per cluster. Same pinned-centroid discipline
+    // as sim_knn_graph_ivf, so the twin replays assignment and ranking
+    // exactly; the two-phase salted top-k (the head-cluster skew guard)
+    // must be invisible in the result
+    "sim_cluster_sample" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.clusterSample(e, cents, perCluster = 25)
+        .orderBy("cluster", "rank")
+    }),
 
     // int8 embedding quantization (vector compression before ANN at
     // scale: 4x smaller, SIMD-friendly). floor(x+0.5) not round(): IEEE
@@ -2349,6 +2433,33 @@ object SparkEntry {
          |FROM d WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    // snapshot == the untouched corpus: any later-batch leak (the +100
+    // override or the tombstones) breaks the hash
+    "tsdb_time_travel" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum"
+         |FROM s WHERE tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the three closed-form change sets the staged mutations produce:
+    // updates carry the post-image (+100), inserts are the planted probe
+    // rows, deletes carry the pre-image the tombstones shadow
+    "tsdb_changes" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT * FROM (
+         |  SELECT name, labels_str, tt AS time, round(v + 100, 6) AS value,
+         |         'update' AS _change_type
+         |  FROM s WHERE name = 'click' AND tt BETWEEN ${F + 3 * Day} AND ${F + 7 * Day - 1}
+         |  UNION ALL
+         |  SELECT 'probe', labels_str, tt, round(v * 2, 6), 'insert'
+         |  FROM s WHERE name = 'click' AND tt < ${F + 2 * Day}
+         |  UNION ALL
+         |  SELECT name, labels_str, tt, round(v, 6), 'delete'
+         |  FROM s WHERE name = 'click' AND tt BETWEEN ${F + 10 * Day} AND ${F + 13 * Day - 1})
+         |ORDER BY name, labels_str, time""".stripMargin,
+
     // a 10-day horizon at now=T keeps exactly the last 10 partition days
     "tsdb_retention" ->
       s"""WITH s AS ($SamplesCte)
@@ -3074,6 +3185,23 @@ object SparkEntry {
         |  FROM cand)
         |SELECT q_id, vec_id, round(sim, 6) AS sim, rank
         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // same pinned-first-16 assignment as sim_knn_graph_ivf, then the
+    // md5-order per-cluster quota replayed exactly
+    "sim_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, emb AS c_vec FROM e ORDER BY vec_id LIMIT 16),
+        |da AS (SELECT vec_id, c_id AS cluster FROM (
+        |  SELECT e.vec_id, c.c_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.emb, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM e, c) WHERE rk = 1),
+        |r AS (SELECT vec_id, cluster, CAST(row_number() OVER (
+        |        PARTITION BY cluster
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rank
+        |      FROM da)
+        |SELECT vec_id, cluster, rank FROM r WHERE rank <= 25
+        |ORDER BY cluster, rank""".stripMargin,
 
     "sim_ann_ivf_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -218,6 +218,44 @@ object Similarity {
     Dedup.dropNearDuplicates(data.select("vec_id"), "vec_id", clusters)
   }
 
+  /** Cluster-balanced (diversity) sampling — the per-cluster quota step
+    * public curation pipelines run between semantic clustering and the
+    * training mix (the DataComp / SemDeDup-adjacent shape: cap each
+    * embedding cluster at `perCluster` members so boilerplate-dense head
+    * clusters stop dominating the sample while tail clusters survive
+    * whole). Members rank inside their cluster by md5 of their id —
+    * deterministic, corpus-order-free, the same band-hash discipline as
+    * `Corpus.sampleFraction` — and the first `perCluster` survive.
+    *
+    * Distributed shape (the 100 TB path): nearest-centroid assignment is
+    * a broadcast aggregate ([[assignClusters]] — no shuffle beyond the
+    * grouped argmax), and the per-cluster top-k is TWO-PHASE: a first
+    * row_number over (cluster, salt) buckets bounds survivors to
+    * `salts × perCluster` per cluster before the exact per-cluster rank,
+    * so a head cluster holding a billion members never sorts them in one
+    * task — any row in the true per-cluster top-k is also in its salted
+    * bucket's top-k, so the pre-filter is lossless. Returns
+    * `(vec_id, cluster, rank)`, rank 1-based in hash order. */
+  def clusterSample(data: DataFrame, centroids: DataFrame, perCluster: Int,
+                    salts: Int = 32): DataFrame = {
+    require(perCluster > 0, s"perCluster must be > 0: $perCluster")
+    require(salts > 0, s"salts must be > 0: $salts")
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignClusters(data, centroids)
+      .select(col("vec_id"), col("cluster"),
+        md5(col("vec_id").cast("string")).as("__h"))
+    val pre = Window.partitionBy(col("cluster"),
+        pmod(xxhash64(col("vec_id")), lit(salts.toLong)))
+      .orderBy(col("__h"), col("vec_id"))
+    val fin = Window.partitionBy("cluster").orderBy(col("__h"), col("vec_id"))
+    assigned
+      .withColumn("__pr", row_number().over(pre))
+      .filter(col("__pr") <= perCluster)
+      .withColumn("rank", row_number().over(fin).cast("long"))
+      .filter(col("rank") <= perCluster)
+      .select(col("vec_id"), col("cluster"), col("rank"))
+  }
+
   /** Nearest-centroid assignment shared by k-means iterations and the
     * blocked near-dup: broadcast centroids, one max_by aggregate →
     * `(vec_id, cluster, embedding, __n)` with a deterministic tiebreak

@@ -951,11 +951,16 @@ object TextAnalysis {
     * flipping), while docs long enough get the sharper trigram margins
     * on top.
     *
-    * Determinism: the per-(doc, lang) total folds an (n, gram)-SORTED
-    * list left-to-right (the [[lmScore]] discipline), so float summation
-    * order never depends on partitioning; the argmax breaks exact score
-    * ties by language name via struct ordering. Docs with no grams at
-    * any trained size predict `unknown`.
+    * Determinism: each per-(doc, lang, n, gram) log-likelihood term is
+    * rounded to INTEGER MICRO-UNITS and the per-(doc, lang) total is a
+    * long sum — integer addition is order-independent, so the score (and
+    * the argmax) never depends on partitioning, with no per-group list
+    * materialization (the [[dsirSelect]] discipline; r8 — replaces the
+    * earlier sorted-collect_list fold, which built an O(#grams) array
+    * per (doc, lang) group and evaluated its sum interpreted). The
+    * argmax breaks exact micro-unit ties by language name via struct
+    * ordering. Docs with no grams at any trained size predict
+    * `unknown`.
     *
     * Distributed shape (the 100 TB path): the vocab-bounded model is
     * scope-cached ONCE — per-language totals, per-n vocabulary sizes and
@@ -1002,20 +1007,20 @@ object TextAnalysis {
         .join(broadcast(langTot), Seq("n"))
         .join(broadcast(model), Seq("lang", "n", "gram"), "left")
         .join(broadcast(vocab), Seq("n"))
-        .withColumn("__lp", col("cnt").cast("double") * log(
-          (coalesce(col("c"), lit(0L)).cast("double") + lit(addK)) /
-            (col("tot").cast("double") + lit(addK) * col("v").cast("double"))))
+        .withColumn("__lp_micro", round(lit(1e6) *
+          col("cnt").cast("double") * log(
+            (coalesce(col("c"), lit(0L)).cast("double") + lit(addK)) /
+              (col("tot").cast("double") + lit(addK) * col("v").cast("double"))))
+          .cast("long"))
         .groupBy("doc_id", "lang")
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("n"), col("gram"), col("__lp")))),
-          lit(0.0), (a, x) => a + x.getField("__lp")).as("score"))
+        .agg(sum("__lp_micro").as("__micro"))
       val best = perLang.groupBy("doc_id")
-        .agg(max(struct(col("score"), col("lang"))).as("__m"))
+        .agg(max(struct(col("__micro"), col("lang"))).as("__m"))
       target.select(col(idCol).as("doc_id"))
         .join(best, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("__m").getField("lang"), lit("unknown")).as(outCol),
-          round(col("__m").getField("score"), 6).as("score"))
+          round(col("__m").getField("__micro") / 1e6, 6).as("score"))
     }
   }
 

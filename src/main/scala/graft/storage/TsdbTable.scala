@@ -288,8 +288,16 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
   private val commitsFile = "_commits"
 
   /** The parsed `_commits` manifest: `seq` is visible iff
-    * `seq <= floor` or `seqs(seq)`. */
-  private case class Commits(floor: Long, seqs: Set[Long]) {
+    * `seq <= floor` or `seqs(seq)`. `horizon` (r8) is the history-rewrite
+    * fence for time travel: physical rewrites (compaction, partition-drop
+    * deletes, retention, non-MOR row rewrites) destroy the old file
+    * generations that snapshot reads below their seq would need, so they
+    * raise `horizon` and [[readRawAsOf]]/[[changes]] refuse snapshots
+    * below it LOUDLY instead of silently serving an empty or torn view.
+    * MOR mutations (append, tombstone delete) keep every superseded
+    * version on disk and never move the horizon — the Delta/Iceberg
+    * shape, where VACUUM/OPTIMIZE bound time travel, not writes. */
+  private case class Commits(floor: Long, seqs: Set[Long], horizon: Long = 0L) {
     def max: Long = if (seqs.isEmpty) floor else math.max(floor, seqs.max)
   }
 
@@ -317,11 +325,14 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       val floor = lines.collectFirst {
         case l if l.startsWith("floor=") => l.stripPrefix("floor=").toLong
       }.getOrElse(0L)
-      val bare = lines.filterNot(_.startsWith("floor=")).map(_.toLong)
+      val horizon = lines.collectFirst {
+        case l if l.startsWith("horizon=") => l.stripPrefix("horizon=").toLong
+      }.getOrElse(0L)
+      val bare = lines.filterNot(_.contains("=")).map(_.toLong)
       // legacy single-number file = a floor
       if (floor == 0L && bare.length == 1 && lines.length == 1)
         Some(Commits(bare.head, Set.empty))
-      else Some(Commits(floor, bare.toSet))
+      else Some(Commits(floor, bare.toSet, horizon))
     } catch {
       case _: java.io.FileNotFoundException => None // genuinely no manifest
       case e: Exception => if (strict) throw e else None
@@ -338,7 +349,8 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path, s".$commitsFile.tmp")
     val dst = new org.apache.hadoop.fs.Path(path, commitsFile)
-    val body = (s"floor=${c.floor}" +: c.seqs.toSeq.sorted.map(_.toString))
+    val body = (Seq(s"floor=${c.floor}", s"horizon=${c.horizon}") ++
+      c.seqs.toSeq.sorted.map(_.toString))
       .mkString("", "\n", "\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -368,12 +380,22 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * grow it by one seq per batch forever, bloating every reader's
     * isin() literal list), the manifest is VACUUMED: orphan files are
     * physically deleted and the set collapses into the floor. */
-  private def commitSeq(seq: Long): Unit = {
+  private def commitSeq(seq: Long, horizonTo: Long = 0L): Unit = {
     val cur = readCommits(strict = true)
       .getOrElse(Commits(math.max(0L, seq - 1), Set.empty))
-    val merged = cur.copy(seqs = cur.seqs + seq)
+    val merged = cur.copy(seqs = cur.seqs + seq,
+      horizon = math.max(cur.horizon, horizonTo))
     publishCommits(merged)
     if (merged.seqs.size > TsdbTable.VacuumSetThreshold) vacuumCommits(merged)
+  }
+
+  /** Raise the time-travel fence to `h` (monotone): physical rewrites
+    * call this the moment superseded file generations stop being
+    * readable, so a snapshot read below `h` fails loudly instead of
+    * reconstructing a torn or empty view from the survivors. */
+  private def advanceHorizon(h: Long): Unit = {
+    val cur = readCommits(strict = true).getOrElse(Commits(0L, Set.empty))
+    if (h > cur.horizon) publishCommits(cur.copy(horizon = h))
   }
 
   /** Collapse the manifest by removing what keeps it from collapsing:
@@ -402,7 +424,9 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         }.foreach(r => fs.delete(new org.apache.hadoop.fs.Path(r.getString(0)), false))
       }
     }
-    publishCommits(Commits(cm.max, Set.empty))
+    // orphans were never reader-visible at ANY seq, so vacuum moves no
+    // history fence — committed generations (and their snapshots) survive
+    publishCommits(Commits(cm.max, Set.empty, cm.horizon))
   }
 
   /** Manifest maintenance, callable directly (the same sweep
@@ -421,7 +445,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
   private def advanceCommitsFloor(floor: Long): Unit = {
     val cur = readCommits(strict = true).getOrElse(Commits(0L, Set.empty))
     val f = math.max(cur.floor, floor)
-    publishCommits(Commits(f, cur.seqs.filter(_ > f)))
+    publishCommits(Commits(f, cur.seqs.filter(_ > f), cur.horizon))
   }
 
   /** The visibility predicate for `cm` over a frame that CARRIES
@@ -455,10 +479,34 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * frozen into the plan as literals, so one query holds one
     * consistent snapshot even as later actions re-resolve the file
     * listing. */
-  private def rawFiles(): DataFrame = {
-    val cm = readCommits()
-    applyVisibility(
+  private def rawFiles(asOf: Option[Long] = None,
+                       strict: Boolean = false): DataFrame = {
+    // snapshot and CDC reads take the STRICT manifest read: the lenient
+    // all-visible fallback is right for current-view availability, but
+    // under asOf it would let the bare `__seq <= asOf` filter admit
+    // crashed mutations' orphans below the snapshot seq (and a CDC
+    // window would report them as phantom changes) — a transient
+    // manifest-read error must fail the snapshot, not corrupt it
+    // (FileNotFound still means a genuinely manifest-less legacy table)
+    val cm = readCommits(strict = strict || asOf.nonEmpty)
+    asOf.foreach { s =>
+      val h = cm.map(_.horizon).getOrElse(0L)
+      if (s < h) throw new IllegalArgumentException(
+        s"snapshot seq=$s predates the history-rewrite horizon=$h of $path: " +
+          "compaction / retention / a partition-drop or non-MOR delete has " +
+          "physically removed the file generations this snapshot needs. " +
+          "Time travel reaches back only to the most recent rewrite.")
+    }
+    val df = applyVisibility(
       spark.read.option("mergeSchema", config.overrideOld.toString).parquet(rawPath), cm)
+    asOf match {
+      // committed-AND-at-most-asOf: later batches drop out, crashed
+      // mutations' orphans stay out (exact-set admission), legacy NULL
+      // rows predate every seq and stay in — the state as of `asOf`
+      case Some(s) if df.columns.contains("__seq") =>
+        df.filter(col("__seq").isNull || col("__seq") <= s)
+      case _ => df
+    }
   }
 
   private def partStart(time: org.apache.spark.sql.Column) =
@@ -828,14 +876,38 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   /** Raw table pruned to the queried partitions (partition pruning is a
     * plain Catalyst partition filter — check `.explain` PartitionFilters). */
-  def readRaw(fromMs: Long, toMs: Long): DataFrame = {
+  def readRaw(fromMs: Long, toMs: Long): DataFrame =
+    readRawImpl(fromMs, toMs, None)
+
+  /** SNAPSHOT read (r8 time travel): the raw table exactly as it stood
+    * when `asOfSeq` was the newest committed batch — admit committed
+    * batches with `__seq <= asOfSeq` only, then merge-on-read, so LWW
+    * resolves to the version live AT that seq and tombstones written
+    * later fall away (deleted rows reappear in older snapshots, as they
+    * must). Batch seqs are wall-clock milliseconds ([[nextSeq]]), so a
+    * snapshot handle doubles as an approximate wall-clock time; take one
+    * with [[currentSeq]]. Reaches back to the `horizon` fence only —
+    * physical rewrites (compaction / retention / partition-drop deletes)
+    * destroy older generations and snapshot reads below the fence throw
+    * rather than serve a torn view. Delta `VERSION AS OF` / Iceberg
+    * snapshot-id reads are the production analogs. */
+  def readRawAsOf(fromMs: Long, toMs: Long, asOfSeq: Long): DataFrame =
+    readRawImpl(fromMs, toMs, Some(asOfSeq))
+
+  private def readRawImpl(fromMs: Long, toMs: Long, asOf: Option[Long]): DataFrame = {
     if (!hasPartitions(rawPath))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TsdbTable.RawSchema)
     val pLo = (fromMs / config.partitionIntervalMs) * config.partitionIntervalMs
-    mergeOnRead(rawFiles()
+    mergeOnRead(rawFiles(asOf)
       .filter(col("part_start").between(pLo, toMs)))
   }
+
+  /** The newest committed batch seq — the snapshot handle for
+    * [[readRawAsOf]]/[[selectAsOf]]/[[changes]]. 0 on a table with no
+    * commit manifest (legacy/external data): such tables carry no
+    * version history, and `asOf` reads degrade to the current view. */
+  def currentSeq(): Long = readCommits().map(_.max).getOrElse(0L)
 
   def readRollup(): DataFrame = spark.read.parquet(rollupPath)
 
@@ -969,17 +1041,104 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       //    which can sit up to step-1 BELOW from, minus wins.max*step
       //  - downsample/cross-series: prev/linear interpolation donors within
       //    the tolerance
-      val step = p.effectiveStep
-      val interpTol =
-        if (p.baseFunctions.isEmpty && p.step > 0 || p.isCrossSeries)
-          (Interpolation.defaultTolerance(step) +: p.requestedColumns.map(_.tolerance)).max
-        else 0L
-      val winLo =
-        if (p.windows.nonEmpty) p.from - ((p.to / step) * step - p.windows.max.toLong * step)
-        else 0L
-      val lo = p.from - Seq(p.aggregationWindow, interpTol, winLo).max
-      QueryEngine.select(readRaw(lo, p.to), p)
+      QueryEngine.select(readRaw(rawSelectLo(p), p.to), p)
     }
+  }
+
+  /** The raw-path scan lower bound for `p` — how far BELOW `from` the
+    * engine reaches (sliding windows, overlapping-window anchoring,
+    * interpolation donors); shared by [[select]]'s raw branch and
+    * [[selectAsOf]]. */
+  private def rawSelectLo(p: SelectParams): Long = {
+    val step = p.effectiveStep
+    val interpTol =
+      if (p.baseFunctions.isEmpty && p.step > 0 || p.isCrossSeries)
+        (Interpolation.defaultTolerance(step) +: p.requestedColumns.map(_.tolerance)).max
+      else 0L
+    val winLo =
+      if (p.windows.nonEmpty) p.from - ((p.to / step) * step - p.windows.max.toLong * step)
+      else 0L
+    p.from - Seq(p.aggregationWindow, interpTol, winLo).max
+  }
+
+  /** Time-travel [[select]]: the query served from the
+    * [[readRawAsOf]] snapshot. Always the PRECISE raw path — the rollup
+    * and pre-aggregate tables are rebuilt in place and carry no version
+    * history, so snapshot queries must not be planned onto them; raw
+    * client aggregation is exact at every step, the
+    * `usePreciseAggregations` semantics (reference select.go:206-218).
+    * Multi-metric aggregates route per-metric like [[select]], each
+    * sub-query pinned to the same snapshot. */
+  def selectAsOf(p0: SelectParams, asOfSeq: Long): DataFrame = {
+    if (p0.isMultiMetricAggregate)
+      return QueryEngine.multiAggregateVia(p0, sub => selectAsOf(sub, asOfSeq))
+    QueryEngine.select(readRawAsOf(rawSelectLo(p0), p0.to, asOfSeq), p0)
+  }
+
+  /** CDC read (r8): the net row-level changes committed in
+    * `(sinceSeq, untilSeq]` — the incremental-consumer feed (downstream
+    * rollup refresh, replication, cache invalidation) that turns the
+    * commit manifest into a change log, Delta CDF / Hudi incremental
+    * query shaped. Returns raw-schema rows plus `_change_type`:
+    *
+    *  - `insert`: key had no live version at `sinceSeq`
+    *  - `update`: key existed live at `sinceSeq`, newest window version
+    *    is a rewrite (post-image values)
+    *  - `delete`: key existed live at `sinceSeq`, newest window version
+    *    is a tombstone (pre-image values — tombstones carry the last
+    *    live row they shadow)
+    *
+    * A key inserted AND deleted inside the window nets to nothing and is
+    * omitted. Non-MOR tables never rewrite, so every window row is an
+    * `insert` (no LWW collapse needed). Scale shape: the window scan
+    * prunes to files whose constant-per-file `__seq` row-group stats
+    * intersect the window (changed data only, never the table); the
+    * existed-at-since probe joins on (series, time) against the snapshot
+    * read pruned to the PARTITIONS the window touched. Requires
+    * `sinceSeq >= horizon` — below the history fence the pre-images are
+    * physically gone ([[readRawAsOf]]). */
+  def changes(sinceSeq: Long, untilSeq: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withType = (df: DataFrame, t: org.apache.spark.sql.Column) =>
+      df.withColumn("_change_type", t)
+    if (!hasPartitions(rawPath))
+      return withType(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TsdbTable.RawSchema),
+        lit("insert")).filter(lit(false))
+    readCommits().map(_.horizon).filter(_ > sinceSeq).foreach { h =>
+      throw new IllegalArgumentException(
+        s"changes(sinceSeq=$sinceSeq) predates the history-rewrite horizon=$h " +
+          s"of $path: pre-images below the fence are physically gone — " +
+          "re-seed the consumer from a full snapshot instead.")
+    }
+    val all = rawFiles(strict = true)
+    if (!all.columns.contains("__seq"))
+      return withType(all, lit("insert")).filter(lit(false)) // legacy: no change tracking
+    val win = all.filter(col("__seq") > sinceSeq && col("__seq") <= untilSeq)
+    if (!config.overrideOld)
+      return withType(win.drop("__seq"), lit("insert"))
+    // MOR: collapse the window to each key's NEWEST version (the net
+    // post-image), then classify against the live keys at `sinceSeq`
+    val w = Window.partitionBy("series_id", "time").orderBy(col("__seq").desc)
+    val post = win.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__seq")
+    val touched = win.select("part_start").distinct()
+    val preKeys = readRawImpl(0L, Long.MaxValue, Some(sinceSeq))
+      .join(touched, Seq("part_start"), "left_semi")
+      .select(col("series_id"), col("time")).distinct()
+      .withColumn("__existed", lit(true))
+    val del =
+      if (post.columns.contains("__del")) coalesce(col("__del"), lit(false))
+      else lit(false)
+    val existed = coalesce(col("__existed"), lit(false))
+    post.join(preKeys, Seq("series_id", "time"), "left")
+      .withColumn("_change_type",
+        when(del && existed, lit("delete"))
+          .when(del, lit(null).cast("string")) // insert+delete in-window: net no-op
+          .when(existed, lit("update"))
+          .otherwise(lit("insert")))
+      .filter(col("_change_type").isNotNull)
+      .drop("__del", "__existed")
   }
 
   /** Compact an overrideOld table: rewrite each partition with the
@@ -1065,7 +1224,12 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           .sortWithinPartitions("series_id", "time"),
         dir, ".compact_stage")
       keep.unpersist()
-      commitSeq(seq) // the compacted generation becomes visible HERE
+      // the compacted generation becomes visible HERE — and the same
+      // manifest write raises the time-travel horizon to this partition's
+      // seq BEFORE the superseded files are deleted: a snapshot read that
+      // would need them now fails loudly instead of finding the partition
+      // silently empty (the VACUUM-bounds-time-travel contract)
+      commitSeq(seq, horizonTo = seq)
       old.foreach(p => fs.delete(p, false))
     }
     // every partition is rewritten and its orphans are physically gone,
@@ -1139,6 +1303,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     // 10's rows deleted, day 13's still visible) between loop iterations
     val morSeq = if (config.overrideOld) nextSeq() else 0L
     var wroteTombstones = false
+    // partition drops and non-MOR rewrites physically destroy older file
+    // generations — they must raise the time-travel horizon (MOR
+    // tombstones don't: every superseded version stays on disk)
+    var rewroteHistory = false
     val emptied = scala.collection.mutable.ListBuffer.empty[Long]
     parts.foreach { case (dir, start) =>
       val end = start + config.partitionIntervalMs - 1
@@ -1154,6 +1322,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           s".old_${dir.getName}_${System.nanoTime()}")
         fs.rename(dir, parked)
         fs.delete(parked, true)
+        rewroteHistory = true
         dropRollupPartition(start) // rollup must not outlive its raw partition
       } else if (start <= toMs && fromMs <= end) {
         if (config.overrideOld) {
@@ -1211,6 +1380,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           if (rows > 0) fs.rename(tmp, dir)
           else { fs.delete(tmp, true); dropRollupPartition(start) }
           fs.delete(parked, true)
+          rewroteHistory = true
         }
       }
     }
@@ -1218,6 +1388,9 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       commitSeq(morSeq) // the delete becomes reader-visible HERE, in full
       emptied.foreach(dropRollupPartition)
     }
+    // fence AFTER the destructive work: every generation at or below a
+    // fresh seq may now be partially gone, so snapshots below it refuse
+    if (rewroteHistory) advanceHorizon(nextSeq())
     val touched = parts.collect {
       case (_, start) if start <= toMs && fromMs <= start + config.partitionIntervalMs - 1 => start
     }

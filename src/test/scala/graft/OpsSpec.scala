@@ -761,6 +761,46 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf == brute, s"missed: ${brute -- ivf}")
   }
 
+  test("clusterSample: per-cluster quota by md5 rank; two-phase salted top-k is lossless; determinism under repartition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val axes = Seq(
+      Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    // skewed clusters: 40 / 10 / 3 members — the head cluster must be
+    // capped, the sub-quota tail cluster must survive whole
+    val sizes = Seq(40, 10, 3)
+    val rows = for (c <- 0 until 3; i <- 0 until sizes(c))
+      yield ((c * 100 + i).toLong, jitter(axes(c)))
+    val e = rows.toDF("vec_id", "embedding")
+    val cents = axes.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("c_id", "c_vec")
+    val out = Similarity.clusterSample(e, cents, perCluster = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCluster == Map(0L -> 5, 1L -> 5, 2L -> 3), s"quotas: $byCluster")
+    // ranks are 1..k per cluster
+    assert(out.groupBy(_._2).forall { case (_, m) =>
+      m.map(_._3).sorted.toSeq == (1 to m.length).map(_.toLong) })
+    // two-phase == single-phase oracle: global md5 order within cluster
+    val oracle = out.map(_._2).distinct.flatMap { c =>
+      val members = rows.filter(_._1 / 100 == c).map(_._1)
+      members.sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id))
+        .take(5).zipWithIndex.map { case (id, i) => (id, c, i + 1L) }
+    }.toSet
+    assert(out.toSet == oracle, s"two-phase diverged from the exact rank")
+    // salts=1 (pure single-phase) and a different physical layout agree
+    val salted1 = Similarity.clusterSample(e.repartition(7), cents,
+      perCluster = 5, salts = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted1 == out.toSet)
+    intercept[IllegalArgumentException](
+      Similarity.clusterSample(e, cents, perCluster = 0))
+  }
+
   test("cluster-blocked embedding near-dup equals brute force on clustered data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

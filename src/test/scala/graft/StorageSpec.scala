@@ -663,7 +663,8 @@ class TsdbTableSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/raw").count() == 3)
     val manifest = new String(java.nio.file.Files.readAllBytes(commits), "UTF-8")
       .split("\n").map(_.trim).filter(_.nonEmpty)
-    assert(manifest.head.startsWith("floor=") && manifest.length == 1,
+    assert(manifest.head.startsWith("floor=") &&
+      manifest.forall(l => l.startsWith("floor=") || l.startsWith("horizon=")),
       s"manifest set not collapsed after compaction: ${manifest.toSeq}")
   }
 
@@ -700,7 +701,8 @@ class TsdbTableSpec extends SparkSuite {
     assert(t3.countMetrics() == 2)
     val manifest = new String(java.nio.file.Files.readAllBytes(commits), "UTF-8")
       .split("\n").map(_.trim).filter(_.nonEmpty)
-    assert(manifest.length == 1 && manifest.head.startsWith("floor="))
+    assert(manifest.head.startsWith("floor=") &&
+      manifest.forall(l => l.startsWith("floor=") || l.startsWith("horizon=")))
   }
 
   test("reader atomicity: a select racing compaction sees a constant view (append-alongside + LWW commit)") {
@@ -736,6 +738,110 @@ class TsdbTableSpec extends SparkSuite {
     assert(after.getLong(0) == n0 && after.getDouble(1) == s0)
     // compaction physically dropped the superseded versions
     assert(spark.read.parquet(s"$dir/raw").count() == n0)
+  }
+
+  test("time travel: readRawAsOf/selectAsOf reproduce earlier states; compaction fences older snapshots") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsdb_tt").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0)))
+    val s1 = t.currentSeq()
+    t.append(samples(("cpu", "a", Base + 1000, 9.0), ("cpu", "a", Base + 3000, 3.0)))
+    val s2 = t.currentSeq()
+    t.delete(Base, Base + 2500) // tombstones t=+1000, t=+2000
+    assert(t.readRaw(Base, Base + 10000).select("value").as[Double]
+      .collect().toSeq == Seq(3.0))
+    // snapshot s1: the original rows, pre-override, pre-delete
+    val v1 = t.readRawAsOf(Base, Base + 10000, s1)
+      .select("time", "value").as[(Long, Double)].collect().toMap
+    assert(v1 == Map(Base + 1000 -> 1.0, Base + 2000 -> 2.0))
+    // snapshot s2: the override won, the later delete hasn't happened
+    val v2 = t.readRawAsOf(Base, Base + 10000, s2)
+      .select("time", "value").as[(Long, Double)].collect().toMap
+    assert(v2 == Map(Base + 1000 -> 9.0, Base + 2000 -> 2.0, Base + 3000 -> 3.0))
+    // snapshot queries run precise-from-raw (rollup has no history)
+    val day = 86400000L
+    val sel = t.selectAsOf(SelectParams(name = "cpu", functions = "sum",
+      from = Base, to = Base + day - 1, step = day), s1)
+    assert(sel.select("sum").as[Double].collect().toSeq == Seq(3.0))
+    // compaction destroys superseded generations → snapshots below refuse
+    t.compact()
+    val e = intercept[IllegalArgumentException](
+      t.readRawAsOf(Base, Base + 10000, s1).collect())
+    assert(e.getMessage.contains("horizon"))
+    assert(t.readRaw(Base, Base + 10000).select("value").as[Double]
+      .collect().toSeq == Seq(3.0), "compaction must not change the current view")
+    // a fresh snapshot taken after compaction works
+    assert(t.readRawAsOf(Base, Base + 10000, t.currentSeq()).count() == 1)
+  }
+
+  test("changes: CDC window nets insert/update/delete; in-window insert+delete nets out") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsdb_cdc").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0)))
+    val s1 = t.currentSeq()
+    t.append(samples(("cpu", "a", Base + 1000, 9.0), // rewrite of a live key
+      ("cpu", "a", Base + 3000, 3.0),                // new key
+      ("cpu", "a", Base + 4000, 4.0)))               // new key, deleted below
+    val s2 = t.currentSeq()
+    t.delete(Base + 3500, Base + 4500) // in-window insert+delete → net no-op
+    t.delete(Base + 1500, Base + 2500) // pre-existing key → delete
+    val ch = t.changes(s1).select("time", "value", "_change_type")
+      .as[(Long, Double, String)].collect().toSet
+    assert(ch == Set((Base + 1000, 9.0, "update"),
+      (Base + 3000, 3.0, "insert"),
+      (Base + 2000, 2.0, "delete")))
+    // untilSeq bounds the window: at s2 the deletes haven't happened
+    val chBounded = t.changes(s1, s2).select("time", "value", "_change_type")
+      .as[(Long, Double, String)].collect().toSet
+    assert(chBounded == Set((Base + 1000, 9.0, "update"),
+      (Base + 3000, 3.0, "insert"), (Base + 4000, 4.0, "insert")))
+    // from the beginning: only what's net-live (or net-deleted-from-prior);
+    // keys born AND killed inside the window are absent
+    val ch0 = t.changes(0L).select("time", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(ch0 == Set((Base + 1000, "insert"), (Base + 3000, "insert")))
+    // tombstone deletes preserve history: snapshots and CDC both still work
+    assert(t.readRawAsOf(Base, Base + 10000, s1).count() == 2)
+    // after compaction the pre-images are gone → changes below refuses
+    t.compact()
+    val e = intercept[IllegalArgumentException](t.changes(s1).collect())
+    assert(e.getMessage.contains("horizon"))
+    assert(t.changes(t.currentSeq()).count() == 0)
+  }
+
+  test("changes on an append-only table: every window row is an insert") {
+    import spark.implicits._
+    val t = mkTable()
+    t.append(samples(("cpu", "a", Base + 1000, 1.0)))
+    val s1 = t.currentSeq()
+    t.append(samples(("cpu", "a", Base + 2000, 2.0), ("mem", "b", Base + 3000, 5.0)))
+    val ch = t.changes(s1).select("time", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(ch == Set((Base + 2000, "insert"), (Base + 3000, "insert")))
+    assert(t.changes(0L).count() == 3)
+  }
+
+  test("horizon: partition-drop delete fences history, MOR tombstone delete does not") {
+    val day = 86400000L
+    val dir = Files.createTempDirectory("tsdb_hz").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples(("cpu", "a", Base + 1000, 1.0),
+      ("cpu", "a", Base + day + 1000, 2.0),
+      ("cpu", "a", Base + 2 * day + 1000, 3.0)))
+    val s1 = t.currentSeq()
+    // predicated range inside a partition → tombstone path, history kept
+    t.delete(Base + 2 * day + 500, Base + 2 * day + 1500)
+    assert(t.readRawAsOf(Base, Base + 3 * day, s1).count() == 3)
+    // whole-partition drop → generations physically gone, fence rises
+    t.delete(Base, Base + day - 1)
+    val e = intercept[IllegalArgumentException](
+      t.readRawAsOf(Base, Base + 3 * day, s1).collect())
+    assert(e.getMessage.contains("horizon"))
   }
 }
 
@@ -837,6 +943,7 @@ class TsdbSqlSpec extends SparkSuite {
     val out = graft.query.QueryEngine.select(df, p.copy(functions = "sum")).collect()
     assert(out.length == 1 && out.head.getDouble(3) == 4.0)
   }
+
 }
 
 /** Evaluation gate for the delete-vs-streaming-appender race spec: the
