@@ -538,9 +538,11 @@ object SparkEntry {
     // CDC (r8 — the Delta CDF / Hudi incremental-query shape): from the
     // same staged mutations, `changes(snap)` must return exactly the NET
     // row-level delta — post-image `update`s for the +100 click
-    // override, `insert`s for the planted 'probe' rows, pre-image
-    // `delete`s for the tombstoned clicks — and nothing else. The twin
-    // builds the three closed-form change sets from events directly.
+    // override paired with their `update_preimage` rows (preImages=true,
+    // the CDF half an exact incremental maintainer subtracts), `insert`s
+    // for the planted 'probe' rows, pre-image `delete`s for the
+    // tombstoned clicks — and nothing else. The twin builds the four
+    // closed-form change sets from events directly.
     "tsdb_changes" -> ((s, dir) => {
       val samples = Samples.fromEvents(s, dir).drop("valueStr")
       val tmp = java.nio.file.Files.createTempDirectory("graft_cdc")
@@ -559,10 +561,10 @@ object SparkEntry {
                 .withColumn("name", lit("probe"))
                 .withColumn("value", col("value") * 2)))
         t.delete(F + 10 * Day, F + 13 * Day - 1, metrics = Seq("click"))
-        val res = t.changes(snap)
+        val res = t.changes(snap, preImages = true)
           .select(col("name"), col("labels_str"), col("time"),
             round(col("value"), 6).as("value"), col("_change_type"))
-          .orderBy("name", "labels_str", "time")
+          .orderBy("name", "labels_str", "time", "_change_type")
         val rows = res.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       } finally rmTree(tmp.toFile)
@@ -2443,9 +2445,10 @@ object SparkEntry {
          |FROM s WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
-    // the three closed-form change sets the staged mutations produce:
-    // updates carry the post-image (+100), inserts are the planted probe
-    // rows, deletes carry the pre-image the tombstones shadow
+    // the four closed-form change sets the staged mutations produce:
+    // updates carry the post-image (+100) paired with their pre-image
+    // rows (original v), inserts are the planted probe rows, deletes
+    // carry the pre-image the tombstones shadow
     "tsdb_changes" ->
       s"""WITH s AS ($SamplesCte)
          |SELECT * FROM (
@@ -2453,12 +2456,15 @@ object SparkEntry {
          |         'update' AS _change_type
          |  FROM s WHERE name = 'click' AND tt BETWEEN ${F + 3 * Day} AND ${F + 7 * Day - 1}
          |  UNION ALL
+         |  SELECT name, labels_str, tt, round(v, 6), 'update_preimage'
+         |  FROM s WHERE name = 'click' AND tt BETWEEN ${F + 3 * Day} AND ${F + 7 * Day - 1}
+         |  UNION ALL
          |  SELECT 'probe', labels_str, tt, round(v * 2, 6), 'insert'
          |  FROM s WHERE name = 'click' AND tt < ${F + 2 * Day}
          |  UNION ALL
          |  SELECT name, labels_str, tt, round(v, 6), 'delete'
          |  FROM s WHERE name = 'click' AND tt BETWEEN ${F + 10 * Day} AND ${F + 13 * Day - 1})
-         |ORDER BY name, labels_str, time""".stripMargin,
+         |ORDER BY name, labels_str, time, _change_type""".stripMargin,
 
     // a 10-day horizon at now=T keeps exactly the last 10 partition days
     "tsdb_retention" ->

@@ -1090,14 +1090,19 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     *
     * A key inserted AND deleted inside the window nets to nothing and is
     * omitted. Non-MOR tables never rewrite, so every window row is an
-    * `insert` (no LWW collapse needed). Scale shape: the window scan
+    * `insert` (no LWW collapse needed). With `preImages` (Delta CDF's
+    * `update_preimage` half) each `update` is accompanied by an
+    * `update_preimage` row carrying the version live at `sinceSeq` — the
+    * pair a downstream incremental maintainer needs to subtract-then-add
+    * exactly. Scale shape: the window scan
     * prunes to files whose constant-per-file `__seq` row-group stats
     * intersect the window (changed data only, never the table); the
     * existed-at-since probe joins on (series, time) against the snapshot
     * read pruned to the PARTITIONS the window touched. Requires
     * `sinceSeq >= horizon` — below the history fence the pre-images are
     * physically gone ([[readRawAsOf]]). */
-  def changes(sinceSeq: Long, untilSeq: Long = Long.MaxValue): DataFrame = {
+  def changes(sinceSeq: Long, untilSeq: Long = Long.MaxValue,
+              preImages: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withType = (df: DataFrame, t: org.apache.spark.sql.Column) =>
       df.withColumn("_change_type", t)
@@ -1123,15 +1128,16 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     val post = win.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__seq")
     val touched = win.select("part_start").distinct()
-    val preKeys = readRawImpl(0L, Long.MaxValue, Some(sinceSeq))
+    val preLive = readRawImpl(0L, Long.MaxValue, Some(sinceSeq))
       .join(touched, Seq("part_start"), "left_semi")
+    val preKeys = preLive
       .select(col("series_id"), col("time")).distinct()
       .withColumn("__existed", lit(true))
     val del =
       if (post.columns.contains("__del")) coalesce(col("__del"), lit(false))
       else lit(false)
     val existed = coalesce(col("__existed"), lit(false))
-    post.join(preKeys, Seq("series_id", "time"), "left")
+    val typed = post.join(preKeys, Seq("series_id", "time"), "left")
       .withColumn("_change_type",
         when(del && existed, lit("delete"))
           .when(del, lit(null).cast("string")) // insert+delete in-window: net no-op
@@ -1139,6 +1145,13 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           .otherwise(lit("insert")))
       .filter(col("_change_type").isNotNull)
       .drop("__del", "__existed")
+    if (!preImages) typed
+    else typed.unionByName(
+      preLive.join(
+        typed.filter(col("_change_type") === "update")
+          .select(col("series_id"), col("time")),
+        Seq("series_id", "time"), "left_semi")
+        .withColumn("_change_type", lit("update_preimage")))
   }
 
   /** Compact an overrideOld table: rewrite each partition with the

@@ -804,6 +804,12 @@ class TsdbTableSpec extends SparkSuite {
     val ch0 = t.changes(0L).select("time", "_change_type")
       .as[(Long, String)].collect().toSet
     assert(ch0 == Set((Base + 1000, "insert"), (Base + 3000, "insert")))
+    // preImages: each update gains its since-snapshot pre-image row (the
+    // Delta CDF update_preimage half) — inserts and deletes don't
+    val chPre = t.changes(s1, preImages = true)
+      .select("time", "value", "_change_type")
+      .as[(Long, Double, String)].collect().toSet
+    assert(chPre == ch + ((Base + 1000, 1.0, "update_preimage")))
     // tombstone deletes preserve history: snapshots and CDC both still work
     assert(t.readRawAsOf(Base, Base + 10000, s1).count() == 2)
     // after compaction the pre-images are gone → changes below refuses
@@ -823,6 +829,12 @@ class TsdbTableSpec extends SparkSuite {
       .as[(Long, String)].collect().toSet
     assert(ch == Set((Base + 2000, "insert"), (Base + 3000, "insert")))
     assert(t.changes(0L).count() == 3)
+    // the scale contract: the CDC window filter reaches the parquet scan
+    // as a __seq predicate, so row-group stats (constant __seq per file)
+    // exclude unchanged files without reading them
+    val plan = t.changes(s1).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("__seq"),
+      s"__seq window not pushed to the scan:\n$plan")
   }
 
   test("horizon: partition-drop delete fences history, MOR tombstone delete does not") {
