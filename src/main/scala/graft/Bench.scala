@@ -56,7 +56,8 @@ object Bench {
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",
-    "sim_topk", "sim_ann_ivf", "sim_ann_ivfpq", "sim_quantize", "dedup_embedding_srp",
+    "sim_topk", "sim_ann_ivf", "sim_ann_ivfpq", "sim_ann_pq", "sim_quantize",
+    "dedup_embedding_srp",
     "sim_knn_graph_ivf", "sim_embed_stats", "sim_decontaminate",
     "sim_cluster_sample",
     "events_sessionize",

@@ -1498,6 +1498,50 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // TRUE product quantization (r8 — Jégou et al. 2011, the FAISS IVFPQ
+    // memory shape: m bytes per vector, 32× at dim 64 / m 8, vs the int8
+    // path's 4×): 8 subspaces × 16-codeword codebooks pinned to the
+    // first-16 vectors' subvectors (iters=0), IVF cells pinned first-16,
+    // probe scan ranked by ADC through the codegen'd graft_pq_adc LUT
+    // kernel, float re-rank of the top-10 shortlist. Recall vs brute
+    // top-5 as hash-exact integers; the twin replays subvector argmin
+    // encoding (the engine's exact 2·x·c − ||c||² score), reconstruction
+    // norms, probing, the LUT sum and both rankings arithmetically.
+    "sim_ann_pq_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cents = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val cbs = Similarity.pqCodebooks(e, m = 8, ksub = 16, iters = 0)
+      val codes = Similarity.pqBuildIndex(e, cents, cbs)
+      val pq = Similarity.ivfPqAdcTopKWith(e, q, k = 5, cents, cbs, codes,
+        nProbe = 4, refine = 10)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      brute.select(col("q_id"), col("vec_id"))
+        .join(pq.select(col("q_id"), col("vec_id"), lit(1).as("__m")),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(col("__m")).as("hits"))
+        .orderBy("q_id")
+    }),
+
+    // the PQ SERVING path alone (headline-benched; sim_ann_pq_recall
+    // above pins the same pipeline against brute force): pinned
+    // codebooks/cells, ADC probe scan, float re-rank — output is the
+    // served top-5 itself, hash-exact via the same arithmetic twin
+    "sim_ann_pq" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cents = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val cbs = Similarity.pqCodebooks(e, m = 8, ksub = 16, iters = 0)
+      val codes = Similarity.pqBuildIndex(e, cents, cbs)
+      Similarity.ivfPqAdcTopKWith(e, q, k = 5, cents, cbs, codes,
+        nProbe = 4, refine = 10)
+    }),
+
     // IVF-PQ production shape (rows-only; sim_ann_ivfpq_recall below is
     // its hash-exact proxy through the same serving code path): the SAME
     // trained on-disk centroid index sim_ann_ivf serves, the int8 codes
@@ -3249,6 +3293,127 @@ object SparkEntry {
     // by cosine against the code (scale-free — the per-vector scale
     // cancels), top-10 shortlist, exact float re-rank to top-5, then
     // the same brute-force overlap integers
+    // the full PQ pipeline replayed: per-subspace codebooks from the
+    // first-16 vectors, L2-argmin encoding via the engine's exact
+    // 2·x·c − ||c||² score, reconstruction norms, first-16 cell
+    // assignment, the ADC numerator as the per-(query, candidate) sum of
+    // chosen-codeword partial dots, shortlist, exact re-rank, recall
+    "sim_ann_pq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, emb AS c_vec FROM e ORDER BY vec_id LIMIT 16),
+        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code_id,
+        |                emb FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+        |cbq AS (SELECT u.sub, s.code_id, s.emb[u.sub*8+1 : u.sub*8+8] AS cw,
+        |          list_dot_product(s.emb[u.sub*8+1 : u.sub*8+8],
+        |                           s.emb[u.sub*8+1 : u.sub*8+8]) AS cw_sq
+        |        FROM seed s, UNNEST(generate_series(0, 7)) AS u(sub)),
+        |sv AS (SELECT e.vec_id, u.sub, e.emb[u.sub*8+1 : u.sub*8+8] AS sv
+        |       FROM e, UNNEST(generate_series(0, 7)) AS u(sub)),
+        |enc AS (SELECT vec_id, sub, code_id, cw_sq FROM (
+        |  SELECT sv.vec_id, sv.sub, cbq.code_id, cbq.cw_sq,
+        |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+        |      ORDER BY 2*list_dot_product(sv.sv, cbq.cw) - cbq.cw_sq DESC,
+        |               cbq.code_id) AS rk
+        |  FROM sv JOIN cbq ON sv.sub = cbq.sub) WHERE rk = 1),
+        |pn AS (SELECT vec_id, sqrt(sum(cw_sq)) AS pq_norm FROM enc GROUP BY vec_id),
+        |da AS (SELECT vec_id, c_id AS cluster FROM (
+        |  SELECT e.vec_id, c.c_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.emb, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM e, c) WHERE rk = 1),
+        |qa AS (SELECT q_id, c_id AS cluster FROM (
+        |  SELECT q.q_id, c.c_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM q, c) WHERE rk <= 4),
+        |qn AS (SELECT q_id, sqrt(list_dot_product(q_vec, q_vec)) AS qn FROM q),
+        |adc AS (SELECT qa.q_id, en.vec_id,
+        |          sum(list_dot_product(q.q_vec[en.sub*8+1 : en.sub*8+8], cbq.cw)) AS num
+        |        FROM qa JOIN da ON qa.cluster = da.cluster
+        |        JOIN enc en ON en.vec_id = da.vec_id
+        |        JOIN cbq ON cbq.sub = en.sub AND cbq.code_id = en.code_id
+        |        JOIN q ON q.q_id = qa.q_id
+        |        WHERE qa.q_id <> da.vec_id
+        |        GROUP BY qa.q_id, en.vec_id),
+        |short AS (SELECT q_id, vec_id FROM (
+        |  SELECT adc.q_id, adc.vec_id,
+        |    row_number() OVER (PARTITION BY adc.q_id
+        |      ORDER BY adc.num / (qn.qn * pn.pq_norm) DESC, adc.vec_id) AS rk
+        |  FROM adc JOIN qn ON qn.q_id = adc.q_id
+        |  JOIN pn ON pn.vec_id = adc.vec_id) WHERE rk <= 10),
+        |pq AS (SELECT q_id, vec_id FROM (
+        |  SELECT s.q_id, s.vec_id,
+        |    row_number() OVER (PARTITION BY s.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, e.emb) DESC, s.vec_id) AS rk
+        |  FROM short s JOIN q ON q.q_id = s.q_id
+        |  JOIN e ON e.vec_id = s.vec_id) WHERE rk <= 5),
+        |brute AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, e.emb) DESC, e.vec_id) AS rk
+        |  FROM q, e WHERE e.vec_id <> q.q_id) WHERE rk <= 5)
+        |SELECT b.q_id, CAST(count(i.vec_id) AS BIGINT) AS hits
+        |FROM brute b LEFT JOIN pq i
+        |  ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+        |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
+
+    // the serving half of sim_ann_pq_recall's twin: same CTE chain, the
+    // final SELECT emits the served top-5 (sim, rank) instead of recall
+    "sim_ann_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, emb AS c_vec FROM e ORDER BY vec_id LIMIT 16),
+        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code_id,
+        |                emb FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+        |cbq AS (SELECT u.sub, s.code_id, s.emb[u.sub*8+1 : u.sub*8+8] AS cw,
+        |          list_dot_product(s.emb[u.sub*8+1 : u.sub*8+8],
+        |                           s.emb[u.sub*8+1 : u.sub*8+8]) AS cw_sq
+        |        FROM seed s, UNNEST(generate_series(0, 7)) AS u(sub)),
+        |sv AS (SELECT e.vec_id, u.sub, e.emb[u.sub*8+1 : u.sub*8+8] AS sv
+        |       FROM e, UNNEST(generate_series(0, 7)) AS u(sub)),
+        |enc AS (SELECT vec_id, sub, code_id, cw_sq FROM (
+        |  SELECT sv.vec_id, sv.sub, cbq.code_id, cbq.cw_sq,
+        |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+        |      ORDER BY 2*list_dot_product(sv.sv, cbq.cw) - cbq.cw_sq DESC,
+        |               cbq.code_id) AS rk
+        |  FROM sv JOIN cbq ON sv.sub = cbq.sub) WHERE rk = 1),
+        |pn AS (SELECT vec_id, sqrt(sum(cw_sq)) AS pq_norm FROM enc GROUP BY vec_id),
+        |da AS (SELECT vec_id, c_id AS cluster FROM (
+        |  SELECT e.vec_id, c.c_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.emb, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM e, c) WHERE rk = 1),
+        |qa AS (SELECT q_id, c_id AS cluster FROM (
+        |  SELECT q.q_id, c.c_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM q, c) WHERE rk <= 4),
+        |qn AS (SELECT q_id, sqrt(list_dot_product(q_vec, q_vec)) AS qn FROM q),
+        |adc AS (SELECT qa.q_id, en.vec_id,
+        |          sum(list_dot_product(q.q_vec[en.sub*8+1 : en.sub*8+8], cbq.cw)) AS num
+        |        FROM qa JOIN da ON qa.cluster = da.cluster
+        |        JOIN enc en ON en.vec_id = da.vec_id
+        |        JOIN cbq ON cbq.sub = en.sub AND cbq.code_id = en.code_id
+        |        JOIN q ON q.q_id = qa.q_id
+        |        WHERE qa.q_id <> da.vec_id
+        |        GROUP BY qa.q_id, en.vec_id),
+        |short AS (SELECT q_id, vec_id FROM (
+        |  SELECT adc.q_id, adc.vec_id,
+        |    row_number() OVER (PARTITION BY adc.q_id
+        |      ORDER BY adc.num / (qn.qn * pn.pq_norm) DESC, adc.vec_id) AS rk
+        |  FROM adc JOIN qn ON qn.q_id = adc.q_id
+        |  JOIN pn ON pn.vec_id = adc.vec_id) WHERE rk <= 10),
+        |pqr AS (
+        |  SELECT s.q_id, s.vec_id,
+        |    list_cosine_similarity(q.q_vec, e.emb) AS sim,
+        |    CAST(row_number() OVER (PARTITION BY s.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, e.emb) DESC, s.vec_id) AS BIGINT) AS rank
+        |  FROM short s JOIN q ON q.q_id = s.q_id
+        |  JOIN e ON e.vec_id = s.vec_id)
+        |SELECT q_id, vec_id, round(sim, 6) AS sim, rank
+        |FROM pqr WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
     "sim_ann_ivfpq_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e WHERE vec_id < 10),

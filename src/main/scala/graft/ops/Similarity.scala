@@ -676,6 +676,182 @@ object Similarity {
     (cents, codes)
   }
 
+  // ------------------------------------------ true product quantization
+
+  /** Per-subspace codebooks for TRUE product quantization (Jégou et al.
+    * 2011, "Product Quantization for Nearest Neighbor Search"): the
+    * embedding splits into `m` contiguous subspaces of dim/m dims, each
+    * with its own `ksub`-codeword codebook; a vector's code is then m
+    * SMALL ids (one byte each at ksub ≤ 256) instead of dim floats —
+    * dim·4 bytes → m bytes, 32× at (dim 64, m 8) vs the int8 path's 4×.
+    * That is the memory shape that makes a billion-vector index
+    * RAM-resident, which is why PQ (not scalar quantization) is what
+    * FAISS-style systems ship.
+    *
+    * `iters = 0` pins each subspace's codebook to the first `ksub`
+    * vectors' subvectors (deterministic, oracle-replayable — the
+    * trainIters=0 discipline of [[ivfTopK]]); `iters > 0` runs
+    * per-subspace Lloyd's with L2 assignment (the PQ metric), ALL
+    * subspaces in one loop keyed by (sub, code) — m codebooks cost one
+    * pass per iteration, not m passes.
+    *
+    * Schema: `(sub, code_id, cw: array<float>, cw_sq: double)` —
+    * code_id dense 0..ksub-1 within each sub (the LUT index), cw_sq =
+    * ||cw||² (the encode-time norm ingredient). */
+  def pqCodebooks(data: DataFrame, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val sp = data.sparkSession
+    val dim = data.select(size(col("embedding"))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub > 0, s"ksub must be > 0: $ksub")
+    val dsub = dim / m
+    val subs = subVectors(data, m, dsub)
+    // seed: the first ksub vectors' subvectors, code_id = rank by vec_id
+    val seedIds = data.select("vec_id").orderBy("vec_id").limit(ksub)
+      .collect().map(_.getLong(0)).zipWithIndex
+    import sp.implicits._
+    val seedMap = broadcast(seedIds.toSeq.toDF("vec_id", "code_id"))
+    var cbs = subs.join(seedMap, "vec_id")
+      .select(col("sub"), col("code_id"), col("sv").as("cw"))
+      .withColumn("cw_sq", nativeDot(sp, col("cw"), col("cw")))
+    for (_ <- 0 until iters) {
+      val bc = broadcast(cbs)
+      // L2 argmin via argmax(2·x·c − ||c||²) — ||x||² is constant per
+      // (vector, sub) and drops out; ties break to the lowest code_id
+      val assigned = subs.join(bc, Seq("sub"))
+        .withColumn("__score",
+          lit(2.0) * nativeDot(sp, col("sv"), col("cw")) - col("cw_sq"))
+        .groupBy("vec_id", "sub")
+        .agg(max_by(col("code_id"), struct(col("__score"), -col("code_id"))).as("code_id"),
+          first(col("sv")).as("sv"))
+      val upd = assigned
+        .select(col("sub"), col("code_id"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "code_id", "pos").agg(avg(col("v")).as("mv"))
+        .groupBy("sub", "code_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("sub"), col("code_id"),
+          transform(col("pm"), e => e.getField("mv").cast("float")).as("cw"))
+      // empty codes keep their previous codeword (the kMeansCentroids rule)
+      val merged = cbs.as("old").join(upd.as("new"), Seq("sub", "code_id"), "left_outer")
+        .select(col("sub"), col("code_id"),
+          coalesce(col("new.cw"), col("old.cw")).as("cw"))
+        .withColumn("cw_sq", nativeDot(sp, col("cw"), col("cw")))
+      // materialize the (m·ksub-row) table so lineage doesn't stack
+      cbs = sp.createDataFrame(
+        java.util.Arrays.asList(merged.collect(): _*), merged.schema)
+    }
+    cbs
+  }
+
+  /** `(vec_id, sub, sv)`: the m contiguous subvectors of each row. */
+  private def subVectors(data: DataFrame, m: Int, dsub: Int): DataFrame =
+    data.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .withColumn("sv", slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)))
+      .select("vec_id", "sub", "sv")
+
+  /** PQ-encode a corpus against trained [[pqCodebooks]]: each vector's m
+    * sub-quantizer code ids (L2-nearest codeword per subspace, ties to
+    * the lowest id) plus the reconstruction's norm √Σ_m ||cw_chosen||²
+    * — the ADC cosine denominator, stored at encode time so the probe
+    * scan never touches floats. Schema `(vec_id, pq_code: array<int>,
+    * pq_norm: double)`. Codebooks broadcast; one grouped argmin per
+    * (vector, sub); output is the m-byte-per-vector index artifact. */
+  def pqEncode(data: DataFrame, codebooks: DataFrame): DataFrame = {
+    val sp = data.sparkSession
+    val m = codebooks.agg(max("sub")).head().getInt(0) + 1
+    val dsub = codebooks.select(size(col("cw"))).head().getInt(0)
+    val bc = broadcast(codebooks)
+    subVectors(data, m, dsub).join(bc, Seq("sub"))
+      .withColumn("__score",
+        lit(2.0) * nativeDot(sp, col("sv"), col("cw")) - col("cw_sq"))
+      .groupBy("vec_id", "sub")
+      .agg(max_by(struct(col("code_id"), col("cw_sq")),
+        struct(col("__score"), -col("code_id"))).as("__b"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("__b")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), e => e.getField("__b").getField("code_id")).as("pq_code"),
+        sqrt(aggregate(
+          transform(col("sc"), e => e.getField("__b").getField("cw_sq")),
+          lit(0.0), (a, x) => a + x)).as("pq_norm"))
+  }
+
+  /** The PQ index: home IVF cell + PQ code per vector —
+    * `(vec_id, cluster, pq_code, pq_norm)`, the [[buildPqCodes]] shape
+    * with m-byte codes instead of dim int8s. */
+  def pqBuildIndex(data: DataFrame, centroids: DataFrame,
+                   codebooks: DataFrame): DataFrame = {
+    val sp = data.sparkSession
+    val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+    val dataN = data.select(col("vec_id"), col("embedding"))
+      .withColumn("__dn", nativeNorm(sp, col("embedding")))
+    assignTopN(sp, cents, dataN, "embedding", "__dn", "cluster", 1)
+      .select("vec_id", "cluster").join(pqEncode(data, codebooks), "vec_id")
+  }
+
+  /** IVF + true-PQ serving (the FAISS IVFPQ probe shape): probe the
+    * query's `nProbe` nearest cells, rank every candidate by ADC —
+    * asymmetric distance via the query's precomputed M×ksub lookup
+    * table of subspace partial dot products, summed per candidate by
+    * the codegen'd [[graft.functions.PqAdc]] kernel (the hottest loop
+    * of the scan reads m ints + m table lookups per candidate, no float
+    * vectors) — then fetch float vectors for the top `refine` shortlist
+    * only and re-rank exactly to top `k`. The ADC cosine divides by the
+    * encode-time reconstruction norm, so ranking equals cosine against
+    * the reconstructed vector with no per-candidate norm computation.
+    *
+    * Distributed shape: codebooks and per-query LUTs broadcast (LUT
+    * volume = #queries × m×ksub doubles); one shuffle co-locates probes
+    * with cells; the float re-rank join is shortlist-sized. */
+  def ivfPqAdcTopKWith(data: DataFrame, queries: DataFrame, k: Int,
+                       centroids: DataFrame, codebooks: DataFrame,
+                       codes: DataFrame, nProbe: Int, refine: Int): DataFrame = {
+    require(refine >= k, s"refine must be >= k: refine=$refine, k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val sp = data.sparkSession
+    graft.functions.GraftFunctions.register(sp)
+    val m = codebooks.agg(max("sub")).head().getInt(0) + 1
+    val ksub = codebooks.agg(max("code_id")).head().getInt(0) + 1
+    val dsub = codebooks.select(size(col("cw"))).head().getInt(0)
+    val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+    val queriesN = queries.withColumn("__qn", nativeNorm(sp, col("q_vec")))
+    // the query's LUT: partial dot per (sub, code), flattened row-major
+    val lut = queriesN.select(col("q_id"), col("q_vec"))
+      .crossJoin(broadcast(codebooks))
+      .withColumn("__p", nativeDot(sp,
+        slice(col("q_vec"), col("sub") * dsub + 1, lit(dsub)), col("cw")))
+      .groupBy("q_id")
+      .agg(array_sort(collect_list(
+        struct(col("sub"), col("code_id"), col("__p")))).as("__e"))
+      .select(col("q_id"),
+        transform(col("__e"), x => x.getField("__p")).as("__lut"))
+    val probed = assignTopN(sp, cents, queriesN, "q_vec", "__qn", "cluster", nProbe)
+    val wa = Window.partitionBy("q_id").orderBy(col("__asim").desc, col("vec_id"))
+    val shortlist = probed.join(codes, "cluster")
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(lut), "q_id")
+      .withColumn("__asim",
+        call_function(graft.functions.PqAdc.Name,
+          col("pq_code"), col("__lut"), lit(ksub)) /
+          (col("__qn") * col("pq_norm")))
+      .withColumn("__ark", row_number().over(wa))
+      .filter(col("__ark") <= refine)
+      .select("q_id", "vec_id")
+    val dataN = data.select(col("vec_id"), col("embedding"))
+      .withColumn("__dn", nativeNorm(sp, col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    shortlist
+      .join(queriesN.select(col("q_id"), col("q_vec"), col("__qn")), "q_id")
+      .join(dataN, "vec_id")
+      .withColumn("sim",
+        nativeDot(sp, col("q_vec"), col("embedding")) / (col("__qn") * col("__dn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** [[ivfPqTopKWith]] against a PRE-BUILT codes table (persisted via
     * [[saveIvfPqCodes]] or inline via [[buildPqCodes]]) — the production
     * shape: the probe scan reads int8 codes straight off the index, no

@@ -761,6 +761,65 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf == brute, s"missed: ${brute -- ivf}")
   }
 
+  test("true PQ: codebooks train per subspace, ADC recall equals brute on clustered data, kernel == HOF") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    // dim 8 = 4 subspaces × 2; three tight clusters on axes
+    val axes = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val rows = for (c <- 0 until 3; i <- 0 until 20)
+      yield ((c * 20 + i).toLong, jitter(axes(c)))
+    val e = rows.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(e, m = 4, ksub = 8, iters = 3)
+    assert(cbs.count() == 4 * 8)
+    val enc = Similarity.pqEncode(e, cbs)
+    val one = enc.filter(col("vec_id") === 0L).collect().head
+    assert(one.getSeq[Int](1).length == 4 &&
+      one.getSeq[Int](1).forall(c => c >= 0 && c < 8) &&
+      one.getDouble(2) > 0)
+    // IVF cells trained on the same clusters; with the shortlist covering
+    // the whole probed cell (refine ≥ cell size) the exact float re-rank
+    // must equal brute — ADC decides only WHICH candidates survive to the
+    // shortlist, and here all of them do, so any disagreement would mean
+    // the ADC/probe plumbing dropped or duplicated a candidate. (ADC
+    // cannot fine-rank near-identical same-cluster vectors — quantization
+    // distortion within a tight cluster exceeds the jitter-sized true
+    // margins — which is exactly why PQ serving always re-ranks a float
+    // shortlist.)
+    val cents = Similarity.kMeansCentroids(e, nCentroids = 3, iters = 4)
+    val codes = Similarity.pqBuildIndex(e, cents, cbs)
+    val q = e.filter(col("vec_id").isin(0L, 20L, 40L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val pq = Similarity.ivfPqAdcTopKWith(e, q, k = 5, cents, cbs, codes,
+      nProbe = 1, refine = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == brute, s"missed: ${brute -- pq}")
+    // the codegen'd ADC kernel == the interpreted HOF formulation
+    graft.functions.GraftFunctions.register(spark)
+    val fx = Seq((Seq(1, 0, 2), Seq(10.0, 11.0, 12.0, 20.0, 21.0, 22.0, 30.0, 31.0, 32.0)))
+      .toDF("codes", "lut")
+    val hof = fx.select(aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(2)), (c, m) =>
+        element_at(col("lut"), (m * 3 + c + 1).cast("int"))),
+      lit(0.0), (a, x) => a + x)).collect().head.getDouble(0)
+    val native = fx.select(call_function(graft.functions.PqAdc.Name,
+      col("codes"), col("lut"), lit(3))).collect().head.getDouble(0)
+    assert(hof == native && native == 11.0 + 20.0 + 32.0)
+    // out-of-range code or mis-sized lut → NULL, never a partial sum
+    val bad = Seq((Seq(5, 0, 0), Seq(1.0, 2.0, 3.0))).toDF("codes", "lut")
+    assert(bad.select(call_function(graft.functions.PqAdc.Name,
+      col("codes"), col("lut"), lit(3))).collect().head.isNullAt(0))
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqAdcTopKWith(e, q, k = 5, cents, cbs, codes,
+        nProbe = 1, refine = 3))
+  }
+
   test("clusterSample: per-cluster quota by md5 rank; two-phase salted top-k is lossless; determinism under repartition") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
