@@ -852,6 +852,65 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Persist a trained true-PQ index half beside the centroid index:
+    * `<path>/pq_codebooks` + `<path>/pq_codes` + `_pq_meta`, the
+    * [[saveIvfPqCodes]] crash discipline (meta invalidated FIRST,
+    * restamped LAST — a crash mid-write leaves a meta-less dir loaders
+    * refuse). Codebooks and codes travel together: codes are
+    * meaningless under different codebooks, so one meta stamps both. */
+  def saveAdcIndex(codebooks: DataFrame, codes: DataFrame,
+                   path: String, version: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val sp = codebooks.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_pq_meta"), false)
+    codebooks.select(col("sub"), col("code_id"), col("cw"), col("cw_sq"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_codebooks")
+    codes.select(col("vec_id"), col("cluster"), col("pq_code"), col("pq_norm"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_codes")
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_pq_meta"), true)
+    try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load a persisted true-PQ half if present AND built for this
+    * `version`; None (→ caller rebuilds) otherwise. */
+  def loadAdcIndex(spark: SparkSession, path: String,
+                   version: String): Option[(DataFrame, DataFrame)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(path, "_pq_meta")
+    if (!fs.exists(meta)) return None
+    val in = fs.open(meta)
+    val stored =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .collectFirst { case l if l.startsWith("version=") => l.stripPrefix("version=") }
+      finally in.close()
+    if (!stored.contains(version)) None
+    else Some((spark.read.parquet(s"$path/pq_codebooks"),
+      spark.read.parquet(s"$path/pq_codes")))
+  }
+
+  /** The full true-PQ index lifecycle: centroids via
+    * [[trainOrLoadIvfIndex]] (shared with the plain-IVF and int8 paths —
+    * one centroid training per corpus version serves all three),
+    * codebooks + codes loaded from disk or trained/encoded once and
+    * persisted. Returns (centroids, codebooks, codes) ready for
+    * [[ivfPqAdcTopKWith]]. */
+  def trainOrLoadAdcIndex(data: DataFrame, path: String, version: String,
+                          nCentroids: Int, iters: Int,
+                          m: Int, ksub: Int, pqIters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val cents = trainOrLoadIvfIndex(data, path, version, nCentroids, iters)
+    val (cbs, codes) = loadAdcIndex(data.sparkSession, path, version).getOrElse {
+      val cb = pqCodebooks(data, m, ksub, pqIters)
+      saveAdcIndex(cb, pqBuildIndex(data, cents, cb), path, version)
+      // serve from the persisted copy so every caller reads one plan shape
+      (data.sparkSession.read.parquet(s"$path/pq_codebooks"),
+        data.sparkSession.read.parquet(s"$path/pq_codes"))
+    }
+    (cents, cbs, codes)
+  }
+
   /** [[ivfPqTopKWith]] against a PRE-BUILT codes table (persisted via
     * [[saveIvfPqCodes]] or inline via [[buildPqCodes]]) — the production
     * shape: the probe scan reads int8 codes straight off the index, no

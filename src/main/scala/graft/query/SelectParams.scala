@@ -43,7 +43,11 @@ case class SelectParams(
     // `querier/querier.go:65` — e.g. Seq(1,7,30) with a 1d step)
     windows: Seq[Int] = Nil,
     requestedColumns: Seq[RequestedColumn] = Nil,
-    usePreciseAggregations: Boolean = false) {
+    usePreciseAggregations: Boolean = false,
+    // time-travel snapshot handle (r8): > 0 routes the query through
+    // TsdbTable.selectAsOf at this committed batch seq (SQL `ASOF n`);
+    // 0 = the current view
+    asOfSeq: Long = 0L) {
 
   require(to == 0 || from <= to, s"from ($from) must be <= to ($to)")
 

@@ -17,12 +17,15 @@ import graft.query.{Aggregates, Interpolation, RequestedColumn, SelectParams}
 object TsdbSql {
 
   // FROM is optional in the reference dialect ("select max(cpu) group by
-  // host" is valid — the configured table is implied, sql_parser_test.go)
+  // host" is valid — the configured table is implied, sql_parser_test.go).
+  // `ASOF <seq>` after FROM is a graft extension (r8 time travel — the
+  // Delta `VERSION AS OF` shape): the query serves from the table
+  // snapshot at that committed batch seq.
   private val Select =
-    """(?is)\s*select\s+(.+?)(?:\s+from\s+(\S+))?(?:\s+where\s+(.+?))?(?:\s+group\s+by\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*select\s+(.+?)(?:\s+from\s+(\S+))?(?:\s+asof\s+(\d+))?(?:\s+where\s+(.+?))?(?:\s+group\s+by\s+(.+?))?\s*;?\s*""".r
 
   def parse(sql: String): SelectParams = sql match {
-    case Select(cols, _, where, groupBy) =>
+    case Select(cols, _, asof, where, groupBy) =>
       val requested = splitTop(cols).map(parseColumn)
       validate(requested)
       // single-metric (or wildcard) select lists key the engine off
@@ -40,7 +43,8 @@ object TsdbSql {
         requestedColumns = requested,
         functions = requested.map(_.function).filter(_.nonEmpty).distinct.mkString(","),
         filter = Option(where).map(translateFilter).getOrElse(""),
-        groupBy = Option(groupBy).map(_.split(",").map(_.trim).mkString(",")).getOrElse(""))
+        groupBy = Option(groupBy).map(_.split(",").map(_.trim).mkString(",")).getOrElse(""),
+        asOfSeq = Option(asof).map(_.toLong).getOrElse(0L))
     case _ =>
       throw new IllegalArgumentException(s"unsupported query: $sql")
   }

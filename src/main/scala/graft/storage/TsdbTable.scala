@@ -389,14 +389,6 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     if (merged.seqs.size > TsdbTable.VacuumSetThreshold) vacuumCommits(merged)
   }
 
-  /** Raise the time-travel fence to `h` (monotone): physical rewrites
-    * call this the moment superseded file generations stop being
-    * readable, so a snapshot read below `h` fails loudly instead of
-    * reconstructing a torn or empty view from the survivors. */
-  private def advanceHorizon(h: Long): Unit = {
-    val cur = readCommits(strict = true).getOrElse(Commits(0L, Set.empty))
-    if (h > cur.horizon) publishCommits(cur.copy(horizon = h))
-  }
 
   /** Collapse the manifest by removing what keeps it from collapsing:
     * every live file whose seq is NOT committed is a crashed mutation's
@@ -999,6 +991,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
 
   /** Query entry point: plan pre-agg / rollup / raw, then run the engine. */
   def select(p0: SelectParams): DataFrame = {
+    // SQL `ASOF n` (r8): route to the snapshot path before any planning —
+    // rollup/pre-agg tables carry no history
+    if (p0.asOfSeq > 0)
+      return selectAsOf(p0.copy(asOfSeq = 0L), p0.asOfSeq)
     if (p0.isMultiMetricAggregate)
       // route BEFORE any step coercion — each metric re-enters this
       // planner and coerces (or not) against its own aggregate coverage
@@ -1401,9 +1397,18 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       commitSeq(morSeq) // the delete becomes reader-visible HERE, in full
       emptied.foreach(dropRollupPartition)
     }
-    // fence AFTER the destructive work: every generation at or below a
-    // fresh seq may now be partially gone, so snapshots below it refuse
-    if (rewroteHistory) advanceHorizon(nextSeq())
+    // fence AFTER the destructive work, and COMMIT the fence seq: the
+    // drop/rewrite changed table state without writing stamped rows, so
+    // the post-delete state needs its own snapshot handle — committing
+    // the fresh seq makes currentSeq() == horizon (the current view
+    // stays snapshot-readable), while every pre-delete handle falls
+    // below the fence and refuses instead of silently losing the
+    // dropped partitions (review-caught: a bare horizon advance left
+    // even currentSeq() below the fence until the next mutation)
+    if (rewroteHistory) {
+      val fence = nextSeq()
+      commitSeq(fence, horizonTo = fence)
+    }
     val touched = parts.collect {
       case (_, start) if start <= toMs && fromMs <= start + config.partitionIntervalMs - 1 => start
     }

@@ -729,6 +729,26 @@ class SimilaritySpec extends SparkSuite {
     Similarity.trainOrLoadIvfIndex(e, centOnly, "c1", nCentroids = 4, iters = 1)
     intercept[IllegalStateException](
       Similarity.appendPqCodes(batch, centOnly, "c2"))
+
+    // the TRUE-PQ half (codebooks + m-byte codes) persists under the
+    // same meta discipline: first call trains + saves, second loads, and
+    // serving from the loaded index equals inline serving bit-for-bit
+    val adcIdx = java.nio.file.Files.createTempDirectory("graft_adc").toString + "/index"
+    val (ac1, acb1, ak1) = Similarity.trainOrLoadAdcIndex(e, adcIdx, "a1",
+      nCentroids = 8, iters = 2, m = 8, ksub = 8, pqIters = 2)
+    assert(Similarity.loadAdcIndex(spark, adcIdx, "a1").isDefined)
+    val (ac2, acb2, ak2) = Similarity.trainOrLoadAdcIndex(e, adcIdx, "a1",
+      nCentroids = 8, iters = 2, m = 8, ksub = 8, pqIters = 2) // pure load
+    // (comparing against a RETRAIN would be flaky: Lloyd's avg() sums
+    // floats in shuffle order, so a retrained codebook can differ in the
+    // last ulp — the persisted artifact is the source of truth, exactly
+    // why it persists)
+    val adcLoaded = Similarity.ivfPqAdcTopKWith(e, q, 5, ac2, acb2, ak2,
+      nProbe = 4, refine = 10).collect().map(_.toSeq)
+    val adcFirst = Similarity.ivfPqAdcTopKWith(e, q, 5, ac1, acb1, ak1,
+      nProbe = 4, refine = 10).collect().map(_.toSeq)
+    assert(adcLoaded.toSeq == adcFirst.toSeq && adcLoaded.nonEmpty)
+    assert(Similarity.loadAdcIndex(spark, adcIdx, "a2").isEmpty)
   }
 
   test("spherical k-means recovers planted clusters; IVF nProbe=1 gets perfect recall on them") {

@@ -776,6 +776,29 @@ class TsdbTableSpec extends SparkSuite {
     assert(t.readRawAsOf(Base, Base + 10000, t.currentSeq()).count() == 1)
   }
 
+  test("SQL ASOF: time travel from the dialect routes select() to the snapshot path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsdb_asof_sql").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0)))
+    val snap = t.currentSeq()
+    t.append(samples(("cpu", "a", Base + 1000, 9.0)))
+    val day = 86400000L
+    val p = TsdbSql.parse(s"select sum(cpu) from tsdb asof $snap")
+      .copy(from = Base, to = Base + day - 1, step = day)
+    assert(p.asOfSeq == snap)
+    assert(t.select(p).select("sum").as[Double].collect().toSeq == Seq(3.0))
+    // without ASOF the override is visible
+    val now = TsdbSql.parse("select sum(cpu) from tsdb")
+      .copy(from = Base, to = Base + day - 1, step = day)
+    assert(t.select(now).select("sum").as[Double].collect().toSeq == Seq(11.0))
+    // ASOF composes with WHERE and GROUP BY clauses
+    val p2 = TsdbSql.parse(s"select sum(cpu) from tsdb asof $snap where host=='a' group by host")
+    assert(p2.asOfSeq == snap && p2.filter.contains("labels['host']") &&
+      p2.groupBy == "host")
+  }
+
   test("changes: CDC window nets insert/update/delete; in-window insert+delete nets out") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tsdb_cdc").toString
@@ -854,6 +877,13 @@ class TsdbTableSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       t.readRawAsOf(Base, Base + 3 * day, s1).collect())
     assert(e.getMessage.contains("horizon"))
+    // the POST-delete state still has a snapshot handle: the drop
+    // commits its fence seq, so currentSeq() serves the current view
+    // (a bare horizon advance would leave even fresh handles refused
+    // until the next mutation)
+    assert(t.currentSeq() >= 0)
+    assert(t.readRawAsOf(Base, Base + 3 * day, t.currentSeq()).count() ==
+      t.readRaw(Base, Base + 3 * day).count())
   }
 }
 
