@@ -1929,6 +1929,22 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // DoReMi domain reweighting (r8 — Xie et al. 2023, the one-step
+    // multiplicative-weights form): planted per-domain excess losses
+    // (a closed-form function of the source index) → exponential
+    // temperature-0.5 weights → the mixSources composition. The twin
+    // recomputes exp-weights and the full rate arithmetic in SQL — a
+    // hash match proves the weight math AND the deterministic sampler
+    "corpus_doremi" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val losses = docs.select(col("source")).distinct()
+        .withColumn("excess_loss",
+          (expr("CAST(substr(source, 4, 8) AS INT)") % 5).cast("double") * lit(0.2))
+      Corpus.doremiMix(docs, "doc_id", "source", losses, "excess_loss",
+          temperature = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // JSONL corpus round-trip with corrupt-line quarantine (the
     // training-data source format): documents serialize to JSONL with two
     // planted broken lines, read back under an explicit schema via the
@@ -3941,6 +3957,25 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT source, count(*) AS n,
         |    power(2, CAST(substr(source, 4) AS INT) % 3) AS w
+        |  FROM documents GROUP BY source),
+        |k AS (SELECT min(n / w) AS k FROM c),
+        |r AS (SELECT source,
+        |    least(CAST(1.0 AS DOUBLE), k.k * w / n) AS rate FROM c, k),
+        |t AS (SELECT source,
+        |    CASE WHEN CAST(round(rate * 65536) AS INT) >= 65536 THEN 'g'
+        |         ELSE printf('%04x', CAST(round(rate * 65536) AS INT)) END AS th
+        |  FROM r)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN t USING (source)
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th
+        |ORDER BY doc_id""".stripMargin,
+
+    // exp-weights from the planted losses, then the same scale-invariant
+    // rate arithmetic and md5-threshold sampler as corpus_mix
+    "corpus_doremi" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n,
+        |    exp(((CAST(substr(source, 4) AS INT) % 5) * 0.2) / 0.5) AS w
         |  FROM documents GROUP BY source),
         |k AS (SELECT min(n / w) AS k FROM c),
         |r AS (SELECT source,

@@ -238,6 +238,52 @@ object Corpus {
       idCol, sourceCol, rates, defaultRate = 0.0)
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429
+    * — the one-step multiplicative-weights form): domains whose proxy
+    * model shows HIGH excess loss (hard, underfit — more learning
+    * headroom) get exponentially more weight,
+    * `w_s ∝ exp(excess_s / temperature)` normalized over domains. The
+    * full algorithm iterates this update inside proxy-model training;
+    * the published per-domain weights are what production runs reuse,
+    * and this computes them from a measured excess-loss table.
+    *
+    * `losses` is a #domains-row table `(sourceCol, lossCol)` — collected
+    * driver-side like [[mixSources]]' per-source counts (bounded by the
+    * domain count, never data). Duplicate domain rows fail loudly (two
+    * losses for one domain is an upstream bug, and silently keeping one
+    * would skew the mixture). Returns the normalized weight map for
+    * reporting; [[doremiMix]] composes the RAW exp weights with
+    * [[mixSources]] — normalization is mathematically scale-invariant
+    * there (K = min(n/w) rescales) but NOT bit-invariant: dividing by a
+    * float-summed Z perturbs the derived sampling thresholds by ulps,
+    * and the raw weights are what the oracle twin can reproduce as
+    * closed-form expressions. */
+  def doremiWeights(losses: DataFrame, sourceCol: String, lossCol: String,
+                    temperature: Double,
+                    normalize: Boolean = true): Map[String, Double] = {
+    require(temperature > 0, s"temperature must be > 0: $temperature")
+    val rows = losses
+      .select(col(sourceCol).cast("string"), col(lossCol).cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    require(rows.nonEmpty, "doremiWeights: empty losses table")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"doremiWeights: duplicate domain rows in losses " +
+        s"(${rows.map(_._1).diff(rows.map(_._1).distinct).distinct.mkString(",")})")
+    val ws = rows.map { case (s, l) => s -> math.exp(l / temperature) }
+    if (!normalize) return ws.toMap
+    val z = ws.map(_._2).sum
+    ws.map { case (s, w) => s -> w / z }.toMap
+  }
+
+  /** [[doremiWeights]] ∘ [[mixSources]]: downsample the corpus to the
+    * DoReMi composition (raw exp weights — see [[doremiWeights]] on why
+    * not the normalized map). */
+  def doremiMix(docs: DataFrame, idCol: String, sourceCol: String,
+                losses: DataFrame, lossCol: String,
+                temperature: Double): DataFrame =
+    mixSources(docs, idCol, sourceCol,
+      doremiWeights(losses, sourceCol, lossCol, temperature, normalize = false))
+
   /** Epoch-based source upsampling — the OTHER half of mixture control:
     * [[mixSources]] downsamples to a composition at max volume, this
     * REPEATS high-value sources a fractional number of epochs ("books

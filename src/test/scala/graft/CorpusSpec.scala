@@ -220,6 +220,37 @@ class CorpusSpec extends SparkSuite {
       3L -> "removed", 4L -> "added"), s"got $out")
   }
 
+  test("doremiWeights: exponential in excess loss, normalized, monotone; doremiMix == mixSources on the raw map") {
+    import spark.implicits._
+    val losses = Seq(("a", 0.0), ("b", 0.5), ("c", 1.0)).toDF("source", "excess_loss")
+    val w = Corpus.doremiWeights(losses, "source", "excess_loss", temperature = 0.5)
+    assert(math.abs(w.values.sum - 1.0) < 1e-12)
+    assert(w("c") > w("b") && w("b") > w("a"))
+    // exact exponential ratio: exp(1.0/0.5)/exp(0.5/0.5) = e
+    assert(math.abs(w("c") / w("b") - math.exp(1.0)) < 1e-12)
+    // high temperature → uniform (the update vanishes)
+    val flat = Corpus.doremiWeights(losses, "source", "excess_loss", temperature = 1e9)
+    assert(flat.values.forall(v => math.abs(v - 1.0 / 3) < 1e-9))
+    intercept[IllegalArgumentException](Corpus.doremiWeights(
+      losses.unionAll(losses), "source", "excess_loss", 1.0))
+    intercept[IllegalArgumentException](Corpus.doremiWeights(
+      losses, "source", "excess_loss", 0.0))
+    // the composition is exactly mixSources under the raw exp map
+    val docs = (0 until 300).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val l2 = Seq(("s0", 0.0), ("s1", 0.4), ("s2", 0.8)).toDF("source", "excess_loss")
+    val viaDoremi = Corpus.doremiMix(docs, "doc_id", "source", l2, "excess_loss",
+      temperature = 0.4).collect().map(_.getLong(0)).toSet
+    val raw = Corpus.doremiWeights(l2, "source", "excess_loss", 0.4, normalize = false)
+    val viaMix = Corpus.mixSources(docs, "doc_id", "source", raw)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaDoremi == viaMix && viaDoremi.nonEmpty)
+    // the hardest domain binds (keeps 100%): its n/w is smallest here
+    val kept = Corpus.doremiMix(docs, "doc_id", "source", l2, "excess_loss", 0.4)
+      .filter(col("source") === "s2").count()
+    assert(kept == 100L, s"binding hardest domain kept $kept of 100")
+  }
+
   test("mixSources: unlisted sources drop; bad weights fail loudly") {
     val d = spark.range(100).select(col("id").as("doc_id"),
       when(col("id") < 50, "keep").otherwise("other").as("source"))
