@@ -54,6 +54,9 @@ case class PqAdc(codes: Expression, lut: Expression, ksub: Expression)
     var s = 0.0
     var i = 0
     while (i < m) {
+      // a NULL slot would read as getInt == 0 — lut[sub*ksub] summed
+      // silently, the partial-sum hazard the contract forbids
+      if (cs.isNullAt(i)) return null
       val code = cs.getInt(i)
       if (code < 0 || code >= ks) return null
       s += lu.getDouble(i * ks + code)
@@ -75,9 +78,12 @@ case class PqAdc(codes: Expression, lut: Expression, ksub: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $m && !${ev.isNull}; $i++) {
-         |    int $code = $c.getInt($i);
-         |    if ($code < 0 || $code >= $k) { ${ev.isNull} = true; }
-         |    else { $s += $l.getDouble($i * $k + $code); }
+         |    if ($c.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else {
+         |      int $code = $c.getInt($i);
+         |      if ($code < 0 || $code >= $k) { ${ev.isNull} = true; }
+         |      else { $s += $l.getDouble($i * $k + $code); }
+         |    }
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}

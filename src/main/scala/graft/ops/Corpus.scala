@@ -277,12 +277,23 @@ object Corpus {
 
   /** [[doremiWeights]] ∘ [[mixSources]]: downsample the corpus to the
     * DoReMi composition (raw exp weights — see [[doremiWeights]] on why
-    * not the normalized map). */
+    * not the normalized map). Every corpus domain must have a loss row:
+    * mixSources drops unlisted sources at weight 0, which here would
+    * silently remove whole domains from the training mix (e.g. a crawl
+    * source added after the proxy run) — that fails loudly instead
+    * (one column-pruned distinct, the same bounded cost as mixSources'
+    * own per-source counts). */
   def doremiMix(docs: DataFrame, idCol: String, sourceCol: String,
                 losses: DataFrame, lossCol: String,
-                temperature: Double): DataFrame =
-    mixSources(docs, idCol, sourceCol,
-      doremiWeights(losses, sourceCol, lossCol, temperature, normalize = false))
+                temperature: Double): DataFrame = {
+    val weights =
+      doremiWeights(losses, sourceCol, lossCol, temperature, normalize = false)
+    val missing = docs.select(col(sourceCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).filterNot(weights.keySet)
+    require(missing.isEmpty,
+      s"doremiMix: corpus domains with no loss row: ${missing.sorted.mkString(",")}")
+    mixSources(docs, idCol, sourceCol, weights)
+  }
 
   /** Epoch-based source upsampling — the OTHER half of mixture control:
     * [[mixSources]] downsamples to a composition at max volume, this

@@ -810,7 +810,6 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val sp = data.sparkSession
     graft.functions.GraftFunctions.register(sp)
-    val m = codebooks.agg(max("sub")).head().getInt(0) + 1
     val ksub = codebooks.agg(max("code_id")).head().getInt(0) + 1
     val dsub = codebooks.select(size(col("cw"))).head().getInt(0)
     val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
@@ -830,10 +829,19 @@ object Similarity {
     val shortlist = probed.join(codes, "cluster")
       .filter(col("q_id") =!= col("vec_id"))
       .join(broadcast(lut), "q_id")
+      // zero-reconstruction (or zero-norm-query) candidates rank LAST,
+      // not first: the bare division yields NaN, which Spark's
+      // descending sort orders ABOVE every real similarity — a handful
+      // of degenerate vectors would otherwise flood every query's
+      // shortlist (review-caught; the r7 int8 path dodged this because
+      // int8 codes of a nonzero vector can't all round to zero, but a
+      // PQ reconstruction can)
       .withColumn("__asim",
-        call_function(graft.functions.PqAdc.Name,
-          col("pq_code"), col("__lut"), lit(ksub)) /
-          (col("__qn") * col("pq_norm")))
+        when(col("pq_norm") > 0 && col("__qn") > 0,
+          call_function(graft.functions.PqAdc.Name,
+            col("pq_code"), col("__lut"), lit(ksub)) /
+            (col("__qn") * col("pq_norm")))
+          .otherwise(lit(Double.NegativeInfinity)))
       .withColumn("__ark", row_number().over(wa))
       .filter(col("__ark") <= refine)
       .select("q_id", "vec_id")

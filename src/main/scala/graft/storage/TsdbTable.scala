@@ -328,7 +328,14 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       val horizon = lines.collectFirst {
         case l if l.startsWith("horizon=") => l.stripPrefix("horizon=").toLong
       }.getOrElse(0L)
-      val bare = lines.filterNot(_.contains("=")).map(_.toLong)
+      // only the KNOWN key=value lines are metadata; anything else must
+      // parse as a seq or the manifest is corrupt — silently dropping a
+      // mangled committed-seq line would make that batch invisible (and
+      // vacuum-deletable), the exact loss the strict write path exists
+      // to refuse (review-caught: a filterNot(contains "=") swallowed it)
+      val bare = lines
+        .filterNot(l => l.startsWith("floor=") || l.startsWith("horizon="))
+        .map(_.toLong)
       // legacy single-number file = a floor
       if (floor == 0L && bare.length == 1 && lines.length == 1)
         Some(Commits(bare.head, Set.empty))
@@ -883,8 +890,14 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * destroy older generations and snapshot reads below the fence throw
     * rather than serve a torn view. Delta `VERSION AS OF` / Iceberg
     * snapshot-id reads are the production analogs. */
-  def readRawAsOf(fromMs: Long, toMs: Long, asOfSeq: Long): DataFrame =
+  def readRawAsOf(fromMs: Long, toMs: Long, asOfSeq: Long): DataFrame = {
+    require(asOfSeq > 0,
+      s"asOfSeq=$asOfSeq is not a snapshot handle: take one with " +
+        "currentSeq() on a table with a commit manifest (seqs are " +
+        "wall-clock ms — always positive); a manifest-less legacy table " +
+        "has no version history to travel to")
     readRawImpl(fromMs, toMs, Some(asOfSeq))
+  }
 
   private def readRawImpl(fromMs: Long, toMs: Long, asOf: Option[Long]): DataFrame = {
     if (!hasPartitions(rawPath))
@@ -896,10 +909,14 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
   }
 
   /** The newest committed batch seq — the snapshot handle for
-    * [[readRawAsOf]]/[[selectAsOf]]/[[changes]]. 0 on a table with no
-    * commit manifest (legacy/external data): such tables carry no
-    * version history, and `asOf` reads degrade to the current view. */
-  def currentSeq(): Long = readCommits().map(_.max).getOrElse(0L)
+    * [[readRawAsOf]]/[[selectAsOf]]/[[changes]]. STRICT manifest read
+    * (review-caught): the lenient fallback would return 0 on a
+    * transient read error, and a later `asOf` read at handle 0 would
+    * silently serve an EMPTY snapshot — a handle must be real or the
+    * call must fail. 0 only on a genuinely manifest-less table
+    * (legacy/external data — no version history; snapshot reads reject
+    * the 0 handle loudly). */
+  def currentSeq(): Long = readCommits(strict = true).map(_.max).getOrElse(0L)
 
   def readRollup(): DataFrame = spark.read.parquet(rollupPath)
 
@@ -1081,8 +1098,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     *  - `update`: key existed live at `sinceSeq`, newest window version
     *    is a rewrite (post-image values)
     *  - `delete`: key existed live at `sinceSeq`, newest window version
-    *    is a tombstone (pre-image values — tombstones carry the last
-    *    live row they shadow)
+    *    is a tombstone; the row carries the AT-`sinceSeq` pre-image (not
+    *    the tombstone's copy — an in-window update-then-delete tombstone
+    *    holds the mid-window value, and exact incremental maintenance
+    *    must subtract the since-state)
     *
     * A key inserted AND deleted inside the window nets to nothing and is
     * omitted. Non-MOR tables never rewrite, so every window row is an
@@ -1093,8 +1112,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * exactly. Scale shape: the window scan
     * prunes to files whose constant-per-file `__seq` row-group stats
     * intersect the window (changed data only, never the table); the
-    * existed-at-since probe joins on (series, time) against the snapshot
-    * read pruned to the PARTITIONS the window touched. Requires
+    * existed-at-since probe PARTITION-PRUNES the snapshot read to the
+    * partitions the window touched (the touched list is collected —
+    * bounded by the partition-directory count, like partitionStarts —
+    * and planted as an isin partition filter BELOW the LWW window, so
+    * the probe never shuffles untouched history). Requires
     * `sinceSeq >= horizon` — below the history fence the pre-images are
     * physically gone ([[readRawAsOf]]). */
   def changes(sinceSeq: Long, untilSeq: Long = Long.MaxValue,
@@ -1106,7 +1128,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       return withType(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TsdbTable.RawSchema),
         lit("insert")).filter(lit(false))
-    readCommits().map(_.horizon).filter(_ > sinceSeq).foreach { h =>
+    // STRICT fence check (review-caught): a transient manifest-read
+    // error must fail the CDC call, not skip the horizon and serve
+    // phantom changes below it
+    readCommits(strict = true).map(_.horizon).filter(_ > sinceSeq).foreach { h =>
       throw new IllegalArgumentException(
         s"changes(sinceSeq=$sinceSeq) predates the history-rewrite horizon=$h " +
           s"of $path: pre-images below the fence are physically gone — " +
@@ -1123,9 +1148,14 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     val w = Window.partitionBy("series_id", "time").orderBy(col("__seq").desc)
     val post = win.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__seq")
-    val touched = win.select("part_start").distinct()
-    val preLive = readRawImpl(0L, Long.MaxValue, Some(sinceSeq))
-      .join(touched, Seq("part_start"), "left_semi")
+    // touched partitions as PLAN LITERALS: a semi-join alone cannot push
+    // below the LWW window, so the whole table would shuffle per CDC
+    // poll (review-caught) — the list is bounded by the partition count
+    val touchedParts = win.select("part_start").distinct()
+      .collect().map(_.getLong(0))
+    val preLive = mergeOnRead(rawFiles(Some(sinceSeq)).filter(
+      if (touchedParts.isEmpty) lit(false)
+      else col("part_start").isin(touchedParts: _*)))
     val preKeys = preLive
       .select(col("series_id"), col("time")).distinct()
       .withColumn("__existed", lit(true))
@@ -1141,10 +1171,20 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           .otherwise(lit("insert")))
       .filter(col("_change_type").isNotNull)
       .drop("__del", "__existed")
-    if (!preImages) typed
-    else typed.unionByName(
+    // delete rows re-source their values from the at-since snapshot —
+    // the true pre-image (the tombstone's copy is whatever was live at
+    // DELETE time, which an in-window update already moved)
+    val nonDel = typed.filter(col("_change_type") =!= "delete")
+    val delRows = preLive.join(
+        typed.filter(col("_change_type") === "delete")
+          .select(col("series_id"), col("time")),
+        Seq("series_id", "time"), "left_semi")
+      .withColumn("_change_type", lit("delete"))
+    val out = nonDel.unionByName(delRows)
+    if (!preImages) out
+    else out.unionByName(
       preLive.join(
-        typed.filter(col("_change_type") === "update")
+        nonDel.filter(col("_change_type") === "update")
           .select(col("series_id"), col("time")),
         Seq("series_id", "time"), "left_semi")
         .withColumn("_change_type", lit("update_preimage")))
@@ -1374,8 +1414,14 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           // are maintenance operations and documented as such (append
           // and compaction, the steady-state paths, ARE reader-atomic —
           // and so are MOR deletes, above).
-          val keep = spark.read.option("mergeSchema", "false")
-            .parquet(dir.toString)
+          // COMMITTED rows only (review-caught): an unfiltered read
+          // would resurrect a crashed mutation's orphan rows into the
+          // rewritten file — whose mixed seqs vacuum() would then match
+          // on the orphan seq and delete WHOLE, committed survivors
+          // included
+          val keep = applyVisibility(
+              spark.read.option("mergeSchema", "false").parquet(dir.toString),
+              readCommits(strict = true))
             .filter(!delPred)
             .cache()
           val rows = keep.count() // materialize before overwriting the source

@@ -249,6 +249,12 @@ class CorpusSpec extends SparkSuite {
     val kept = Corpus.doremiMix(docs, "doc_id", "source", l2, "excess_loss", 0.4)
       .filter(col("source") === "s2").count()
     assert(kept == 100L, s"binding hardest domain kept $kept of 100")
+    // a corpus domain with no loss row fails loudly — mixSources would
+    // silently drop it at weight 0 (review-caught)
+    val partial = Seq(("s0", 0.0), ("s1", 0.4)).toDF("source", "excess_loss")
+    val e = intercept[IllegalArgumentException](
+      Corpus.doremiMix(docs, "doc_id", "source", partial, "excess_loss", 0.4))
+    assert(e.getMessage.contains("s2"))
   }
 
   test("mixSources: unlisted sources drop; bad weights fail loudly") {

@@ -835,6 +835,13 @@ class SimilaritySpec extends SparkSuite {
     val bad = Seq((Seq(5, 0, 0), Seq(1.0, 2.0, 3.0))).toDF("codes", "lut")
     assert(bad.select(call_function(graft.functions.PqAdc.Name,
       col("codes"), col("lut"), lit(3))).collect().head.isNullAt(0))
+    // a NULL slot inside the code array → NULL too (ArrayData would
+    // read it as code 0 and silently add lut[sub*ksub])
+    val badNull = Seq((Seq[java.lang.Integer](1, null, 2),
+      Seq(10.0, 11.0, 12.0, 20.0, 21.0, 22.0, 30.0, 31.0, 32.0)))
+      .toDF("codes", "lut")
+    assert(badNull.select(call_function(graft.functions.PqAdc.Name,
+      col("codes"), col("lut"), lit(3))).collect().head.isNullAt(0))
     intercept[IllegalArgumentException](
       Similarity.ivfPqAdcTopKWith(e, q, k = 5, cents, cbs, codes,
         nProbe = 1, refine = 3))

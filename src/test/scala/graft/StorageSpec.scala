@@ -842,6 +842,25 @@ class TsdbTableSpec extends SparkSuite {
     assert(t.changes(t.currentSeq()).count() == 0)
   }
 
+  test("changes: update-then-delete in one window emits the AT-SINCE pre-image, not the tombstone's mid-window copy") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsdb_cdc_pre").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples(("cpu", "a", Base + 1000, 1.0)))
+    val s1 = t.currentSeq()
+    t.append(samples(("cpu", "a", Base + 1000, 9.0))) // in-window update...
+    t.delete(Base + 500, Base + 1500)                 // ...then delete
+    val ch = t.changes(s1).select("value", "_change_type")
+      .as[(Double, String)].collect().toSet
+    // net effect since s1: the key is gone; the delete row must carry
+    // the value live AT s1 (1.0) — an exact maintainer subtracts it —
+    // not the tombstone's copy of the mid-window 9.0
+    assert(ch == Set((1.0, "delete")), s"got $ch")
+    // asOf handle 0 is never valid (legacy tables have no history)
+    intercept[IllegalArgumentException](t.readRawAsOf(Base, Base + 9999, 0L))
+  }
+
   test("changes on an append-only table: every window row is an insert") {
     import spark.implicits._
     val t = mkTable()
