@@ -918,6 +918,24 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * the 0 handle loudly). */
   def currentSeq(): Long = readCommits(strict = true).map(_.max).getOrElse(0L)
 
+  /** The commit log as a small DataFrame — the `DESCRIBE HISTORY`
+    * analog, bounded by what the exact-set manifest retains: one
+    * `commit` row per retained committed seq (compaction/vacuum collapse
+    * older seqs into `floor`, summarized by its row), plus the
+    * time-travel `horizon` fence. Seqs are wall-clock ms, so the log
+    * doubles as rough mutation timestamps. Strict manifest read — a
+    * listing must be real or fail; empty on a manifest-less legacy
+    * table. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    readCommits(strict = true) match {
+      case None => Seq.empty[(String, Long)].toDF("kind", "seq")
+      case Some(c) =>
+        (Seq("floor" -> c.floor, "horizon" -> c.horizon) ++
+          c.seqs.toSeq.sorted.map("commit" -> _)).toDF("kind", "seq")
+    }
+  }
+
   def readRollup(): DataFrame = spark.read.parquet(rollupPath)
 
   def names(): DataFrame =

@@ -542,6 +542,91 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: every snapshot reproduces its recorded state; CDC replay transforms state i into state j") {
+    import graft.storage.{TsdbConfig, TsdbTable}
+    val HourMs = 3600000L
+    sealed trait Mut
+    case class App(rows: List[S]) extends Mut
+    case class Del(fromOff: Long, toOff: Long) extends Mut
+    val genMut: Gen[Mut] = Gen.frequency(
+      3 -> (for {
+        n <- Gen.choose(1, 10)
+        xs <- Gen.listOfN(n, for {
+          series <- Gen.choose(0, 2)
+          off <- Gen.choose(0L, 47L) // 2 day-partitions; collisions rewrite
+          v <- Gen.choose(-100.0, 100.0)
+        } yield S(series, off, v))
+      } yield App(xs)),
+      1 -> (for {
+        f <- Gen.choose(0L, 47L); l <- Gen.choose(0L, 12L)
+      } yield Del(f, f + l)))
+    val genScript: Gen[List[Mut]] = Gen.choose(4, 6).flatMap(Gen.listOfN(_, genMut))
+    (0 until 2).foreach { i =>
+      val script = genScript.pureApply(Gen.Parameters.default, Seed(2024L + i))
+      val dir = java.nio.file.Files.createTempDirectory(s"tt_prop$i").toString
+      val t = new TsdbTable(spark, dir, TsdbConfig(overrideOld = true))
+      type Key = (String, String, Long)
+      var state = Map.empty[Key, Double]
+      val hist = scala.collection.mutable.ListBuffer.empty[(Long, Map[Key, Double])]
+      script.foreach {
+        case App(rows) =>
+          // one row per key per batch (in-batch key ties are the
+          // caller's bug, as in the reference — later BATCHES override)
+          val dd = rows.groupBy(s => (s.series, s.offsetMs)).values.map(_.head).toList
+          t.append(dd.map(s =>
+              (s"m${s.series % 2}", s"h${s.series}", Base + s.offsetMs * HourMs, s.value))
+            .toDF("name", "host", "time", "value")
+            .select(col("name"), map(lit("host"), col("host")).as("labels"),
+              col("time"), col("value")))
+          dd.foreach { s =>
+            state += ((s"m${s.series % 2}", s"h${s.series}", Base + s.offsetMs * HourMs) -> s.value)
+          }
+          hist += ((t.currentSeq(), state))
+        case Del(f, to) =>
+          // metric-predicated → always the tombstone path (no partition
+          // drops, so the horizon never fences these snapshots)
+          val (fromMs, toMs) = (Base + f * HourMs, Base + to * HourMs)
+          t.delete(fromMs, toMs, metrics = Seq("m0", "m1"))
+          state = state.filterNot { case ((_, _, tm), _) => tm >= fromMs && tm <= toMs }
+          hist += ((t.currentSeq(), state))
+      }
+      def read(seq: Long): Map[Key, Double] =
+        t.readRawAsOf(0L, Long.MaxValue / 2, seq)
+          .select("name", "labels_str", "time", "value").collect()
+          .map(r => (r.getString(0), r.getString(1).stripPrefix("host="),
+            r.getLong(2)) -> r.getDouble(3)).toMap
+      // 1) every snapshot handle reproduces the state recorded at mint time
+      hist.foreach { case (seq, st) =>
+        assert(read(seq) == st, s"case $i: snapshot $seq diverged")
+      }
+      // 2) CDC replay: state_i + changes(s_i, s_j) == state_j, for every
+      // consecutive pair and the full span; pre-images match state_i
+      val pairs = hist.toList.sliding(2).collect { case List(a, b) => (a, b) }.toList ++
+        (if (hist.size > 1) List((hist.head, hist.last)) else Nil)
+      pairs.foreach { case ((si, sti), (sj, stj)) =>
+        val ch = t.changes(si, sj, preImages = true)
+          .select("name", "labels_str", "time", "value", "_change_type").collect()
+          .map(r => ((r.getString(0), r.getString(1).stripPrefix("host="),
+            r.getLong(2)), r.getDouble(3), r.getString(4)))
+        var replay = sti
+        ch.foreach {
+          case (k, v, "insert") =>
+            assert(!sti.contains(k), s"case $i: insert of pre-existing $k"); replay += k -> v
+          case (k, v, "update") => replay += k -> v
+          case (k, v, "delete") =>
+            assert(sti.get(k).contains(v),
+              s"case $i: delete pre-image $v != since-state ${sti.get(k)}")
+            replay -= k
+          case (k, v, "update_preimage") =>
+            assert(sti.get(k).contains(v),
+              s"case $i: update pre-image $v != since-state ${sti.get(k)}")
+          case (k, _, ct) => fail(s"case $i: unknown change type $ct for $k")
+        }
+        assert(replay == stj, s"case $i: replay(s=$si → $sj) diverged")
+      }
+    }
+  }
+
   private def approxEq(a: Map[(String, Long), Seq[Any]], b: Map[(String, Long), Seq[Any]]): Boolean =
     a.keySet == b.keySet && a.forall { case (k, va) =>
       va.zip(b(k)).forall {

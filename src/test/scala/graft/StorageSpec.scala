@@ -774,6 +774,11 @@ class TsdbTableSpec extends SparkSuite {
       .collect().toSeq == Seq(3.0), "compaction must not change the current view")
     // a fresh snapshot taken after compaction works
     assert(t.readRawAsOf(Base, Base + 10000, t.currentSeq()).count() == 1)
+    // the commit log reflects the collapse: retained commits + floor +
+    // the raised horizon (DESCRIBE HISTORY analog)
+    val hist = t.history().collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(hist.exists { case (k, v) => k == "horizon" && v > 0 })
+    assert(hist.exists { case (k, v) => k == "floor" && v > 0 })
   }
 
   test("SQL ASOF: time travel from the dialect routes select() to the snapshot path") {
@@ -1095,5 +1100,31 @@ class IngestJobSpec extends SparkSuite {
     // with the stream stopped the same delete is admitted and applied
     table.delete(0L, Base + 86400000L)
     assert(table.countMetrics() == 0)
+  }
+
+  test("streaming micro-batches mint snapshot handles: selectAsOf/changes work across batch boundaries") {
+    val dir = Files.createTempDirectory("ingest_tt").toString
+    val table = new TsdbTable(spark, s"$dir/table")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Long, Double)]
+    val stream = mem.toDF().toDF("name", "host", "time", "value")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"),
+        col("time"), col("value"))
+    val q = graft.streaming.IngestJob.start(stream, table, s"$dir/ckpt")
+    try {
+      val Base = 1704067200000L
+      mem.addData(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0))
+      q.processAllAvailable()
+      val snap = table.currentSeq()
+      assert(snap > 0, "a streamed micro-batch must mint a commit")
+      mem.addData(("cpu", "a", Base + 3000, 3.0))
+      q.processAllAvailable()
+      // the snapshot excludes the later micro-batch; CDC reports it
+      assert(table.readRawAsOf(Base, Base + 10000, snap).count() == 2)
+      assert(table.readRaw(Base, Base + 10000).count() == 3)
+      val ch = table.changes(snap).select("time", "_change_type").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(ch == Set((Base + 3000) -> "insert"))
+    } finally q.stop()
   }
 }
