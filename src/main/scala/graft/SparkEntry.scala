@@ -1526,6 +1526,34 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // RESIDUAL-encoded IVF-PQ (r8 — the FAISS IVFPQ default: codebooks
+    // quantize x − c(home cell), whose near-zero spread makes the same
+    // ksub codewords far finer): pinned first-16 cells, residual
+    // codebooks seeded from the first-16 vectors' residuals (iters=0),
+    // the index stores full reconstruction norms ‖c + recon‖, and the
+    // ADC numerator gains the per-probe dot(q, c_cell) term. Recall vs
+    // brute as hash-exact integers; the twin replays residual
+    // computation, codebook seeding, argmin encoding, the cross-table
+    // norm, probing, the centroid + LUT numerator and both rankings.
+    "sim_ann_pqr_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cents = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val cbs = Similarity.pqCodebooksResidual(e, cents, m = 8, ksub = 16, iters = 0)
+      val codes = Similarity.pqBuildIndexResidual(e, cents, cbs)
+      val pq = Similarity.ivfPqResidualTopKWith(e, q, k = 5, cents, cbs, codes,
+        nProbe = 4, refine = 10)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      brute.select(col("q_id"), col("vec_id"))
+        .join(pq.select(col("q_id"), col("vec_id"), lit(1).as("__m")),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(col("__m")).as("hits"))
+        .orderBy("q_id")
+    }),
+
     // the PQ SERVING path alone (headline-benched; sim_ann_pq_recall
     // above pins the same pipeline against brute force): pinned
     // codebooks/cells, ADC probe scan, float re-rank — output is the
@@ -3351,6 +3379,91 @@ object SparkEntry {
         |        JOIN cbq ON cbq.sub = en.sub AND cbq.code_id = en.code_id
         |        JOIN q ON q.q_id = qa.q_id
         |        WHERE qa.q_id <> da.vec_id
+        |        GROUP BY qa.q_id, en.vec_id),
+        |short AS (SELECT q_id, vec_id FROM (
+        |  SELECT adc.q_id, adc.vec_id,
+        |    row_number() OVER (PARTITION BY adc.q_id
+        |      ORDER BY adc.num / (qn.qn * pn.pq_norm) DESC, adc.vec_id) AS rk
+        |  FROM adc JOIN qn ON qn.q_id = adc.q_id
+        |  JOIN pn ON pn.vec_id = adc.vec_id) WHERE rk <= 10),
+        |pq AS (SELECT q_id, vec_id FROM (
+        |  SELECT s.q_id, s.vec_id,
+        |    row_number() OVER (PARTITION BY s.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, e.emb) DESC, s.vec_id) AS rk
+        |  FROM short s JOIN q ON q.q_id = s.q_id
+        |  JOIN e ON e.vec_id = s.vec_id) WHERE rk <= 5),
+        |brute AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, e.emb) DESC, e.vec_id) AS rk
+        |  FROM q, e WHERE e.vec_id <> q.q_id) WHERE rk <= 5)
+        |SELECT b.q_id, CAST(count(i.vec_id) AS BIGINT) AS hits
+        |FROM brute b LEFT JOIN pq i
+        |  ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+        |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
+
+    // the residual pipeline replayed end-to-end: home cells, residuals,
+    // residual-seed codebooks, argmin codes, the cross-table
+    // ‖c + recon‖ norm, probing, the dot(q, c_cell) + LUT numerator,
+    // shortlist, exact re-rank, recall
+    "sim_ann_pqr_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, emb AS c_vec FROM e ORDER BY vec_id LIMIT 16),
+        |da AS (SELECT vec_id, c_id AS cluster FROM (
+        |  SELECT e.vec_id, c.c_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.emb, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM e, c) WHERE rk = 1),
+        |res AS (SELECT e.vec_id, da.cluster,
+        |          list_transform(generate_series(1, 64),
+        |            j -> e.emb[j] - cv.c_vec[j]) AS r
+        |        FROM e JOIN da ON da.vec_id = e.vec_id
+        |        JOIN c cv ON cv.c_id = da.cluster),
+        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code_id,
+        |                r FROM (SELECT * FROM res ORDER BY vec_id LIMIT 16)),
+        |cbq AS (SELECT u.sub, s.code_id, s.r[u.sub*8+1 : u.sub*8+8] AS cw,
+        |          list_dot_product(s.r[u.sub*8+1 : u.sub*8+8],
+        |                           s.r[u.sub*8+1 : u.sub*8+8]) AS cw_sq
+        |        FROM seed s, UNNEST(generate_series(0, 7)) AS u(sub)),
+        |sv AS (SELECT res.vec_id, res.cluster, u.sub,
+        |              res.r[u.sub*8+1 : u.sub*8+8] AS sv
+        |       FROM res, UNNEST(generate_series(0, 7)) AS u(sub)),
+        |enc AS (SELECT vec_id, cluster, sub, code_id, cw_sq FROM (
+        |  SELECT sv.vec_id, sv.cluster, sv.sub, cbq.code_id, cbq.cw_sq,
+        |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+        |      ORDER BY 2*list_dot_product(sv.sv, cbq.cw) - cbq.cw_sq DESC,
+        |               cbq.code_id) AS rk
+        |  FROM sv JOIN cbq ON sv.sub = cbq.sub) WHERE rk = 1),
+        |cc AS (SELECT cl.c_id AS cluster, cb.sub, cb.code_id,
+        |         list_dot_product(cl.c_vec[cb.sub*8+1 : cb.sub*8+8], cb.cw) AS ccw
+        |       FROM c cl, cbq cb),
+        |csq AS (SELECT c_id AS cluster, list_dot_product(c_vec, c_vec) AS c_sq FROM c),
+        |pn AS (SELECT enc.vec_id,
+        |         sqrt(greatest(0, any_value(csq.c_sq) + sum(2*cc.ccw + enc.cw_sq))) AS pq_norm
+        |       FROM enc
+        |       JOIN cc ON cc.cluster = enc.cluster AND cc.sub = enc.sub
+        |              AND cc.code_id = enc.code_id
+        |       JOIN csq ON csq.cluster = enc.cluster
+        |       GROUP BY enc.vec_id),
+        |qa AS (SELECT q_id, c_id AS cluster FROM (
+        |  SELECT q.q_id, c.c_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC, c.c_id) AS rk
+        |  FROM q, c) WHERE rk <= 4),
+        |qn AS (SELECT q_id, sqrt(list_dot_product(q_vec, q_vec)) AS qn FROM q),
+        |qc AS (SELECT qa.q_id, qa.cluster,
+        |         list_dot_product(q.q_vec, cl.c_vec) AS qcv
+        |       FROM qa JOIN q ON q.q_id = qa.q_id
+        |       JOIN c cl ON cl.c_id = qa.cluster),
+        |adc AS (SELECT qa.q_id, en.vec_id,
+        |          any_value(qc.qcv) +
+        |          sum(list_dot_product(q.q_vec[en.sub*8+1 : en.sub*8+8], cbq.cw)) AS num
+        |        FROM qa JOIN enc en ON en.cluster = qa.cluster
+        |        JOIN qc ON qc.q_id = qa.q_id AND qc.cluster = qa.cluster
+        |        JOIN cbq ON cbq.sub = en.sub AND cbq.code_id = en.code_id
+        |        JOIN q ON q.q_id = qa.q_id
+        |        WHERE qa.q_id <> en.vec_id
         |        GROUP BY qa.q_id, en.vec_id),
         |short AS (SELECT q_id, vec_id FROM (
         |  SELECT adc.q_id, adc.vec_id,

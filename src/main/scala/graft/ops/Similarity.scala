@@ -814,16 +814,7 @@ object Similarity {
     val dsub = codebooks.select(size(col("cw"))).head().getInt(0)
     val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
     val queriesN = queries.withColumn("__qn", nativeNorm(sp, col("q_vec")))
-    // the query's LUT: partial dot per (sub, code), flattened row-major
-    val lut = queriesN.select(col("q_id"), col("q_vec"))
-      .crossJoin(broadcast(codebooks))
-      .withColumn("__p", nativeDot(sp,
-        slice(col("q_vec"), col("sub") * dsub + 1, lit(dsub)), col("cw")))
-      .groupBy("q_id")
-      .agg(array_sort(collect_list(
-        struct(col("sub"), col("code_id"), col("__p")))).as("__e"))
-      .select(col("q_id"),
-        transform(col("__e"), x => x.getField("__p")).as("__lut"))
+    val lut = adcLut(sp, queriesN, codebooks, dsub)
     val probed = assignTopN(sp, cents, queriesN, "q_vec", "__qn", "cluster", nProbe)
     val wa = Window.partitionBy("q_id").orderBy(col("__asim").desc, col("vec_id"))
     val shortlist = probed.join(codes, "cluster")
@@ -845,6 +836,142 @@ object Similarity {
       .withColumn("__ark", row_number().over(wa))
       .filter(col("__ark") <= refine)
       .select("q_id", "vec_id")
+    floatReRank(sp, shortlist, data, queriesN, k)
+  }
+
+  /** Residuals x − c(home cell): `(vec_id, cluster, residual)` — what
+    * residual-PQ codebooks train on and encode. Residuals concentrate
+    * near zero with far smaller spread than raw vectors, so the same
+    * ksub codewords quantize much finer (the FAISS IVFPQ default uses
+    * residual encoding for exactly this reason). */
+  def pqResiduals(data: DataFrame, centroids: DataFrame): DataFrame = {
+    val sp = data.sparkSession
+    val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+    val dataN = data.select(col("vec_id"), col("embedding"))
+      .withColumn("__dn", nativeNorm(sp, col("embedding")))
+    assignTopN(sp, cents, dataN, "embedding", "__dn", "cluster", 1)
+      .join(broadcast(centroids.select(col("c_id").as("cluster"), col("c_vec"))), "cluster")
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("embedding"), col("c_vec"),
+          (x, c) => (x - c).cast("float")).as("residual"))
+  }
+
+  /** [[pqCodebooks]] trained on RESIDUALS (x − home cell) instead of
+    * raw vectors — the codebook half of residual IVF-PQ. Same pinning
+    * discipline: `iters = 0` seeds from the first `ksub` vectors'
+    * residual subvectors. */
+  def pqCodebooksResidual(data: DataFrame, centroids: DataFrame,
+                          m: Int, ksub: Int, iters: Int): DataFrame =
+    pqCodebooks(pqResiduals(data, centroids)
+      .select(col("vec_id"), col("residual").as("embedding")), m, ksub, iters)
+
+  /** The residual-PQ index: home cell + m residual codes + the FULL
+    * reconstruction norm ‖c + recon‖ per vector, precomputed at encode
+    * time from the (cell, sub, code) cross table of centroid-subvector ×
+    * codeword dots (nCentroids·m·ksub rows, broadcast) — serving then
+    * needs no per-candidate norm work, exactly like [[pqBuildIndex]].
+    * The per-vector norm folds its m terms in sub order (the
+    * [[pqEncode]] determinism discipline); ‖c+recon‖² is clamped at 0
+    * before the sqrt (float cancellation near c ≈ −recon). */
+  def pqBuildIndexResidual(data: DataFrame, centroids: DataFrame,
+                           codebooks: DataFrame): DataFrame = {
+    val sp = data.sparkSession
+    val m = codebooks.agg(max("sub")).head().getInt(0) + 1
+    val dsub = codebooks.select(size(col("cw"))).head().getInt(0)
+    val bc = broadcast(codebooks)
+    val cross = broadcast(centroids
+      .select(col("c_id").as("cluster"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("c_vec"))
+      .withColumn("csv", slice(col("c_vec"), col("sub") * dsub + 1, lit(dsub)))
+      .join(bc, Seq("sub"))
+      .select(col("cluster"), col("sub"), col("code_id"),
+        nativeDot(sp, col("csv"), col("cw")).as("ccw")))
+    val cSq = broadcast(centroids.select(col("c_id").as("cluster"),
+      nativeDot(sp, col("c_vec"), col("c_vec")).as("c_sq")))
+    val res = pqResiduals(data, centroids)
+    val subs = res
+      .select(col("vec_id"), col("cluster"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("residual"))
+      .withColumn("sv", slice(col("residual"), col("sub") * dsub + 1, lit(dsub)))
+      .select("vec_id", "cluster", "sub", "sv")
+    subs.join(bc, Seq("sub"))
+      .withColumn("__score",
+        lit(2.0) * nativeDot(sp, col("sv"), col("cw")) - col("cw_sq"))
+      .groupBy("vec_id", "cluster", "sub")
+      .agg(max_by(struct(col("code_id"), col("cw_sq")),
+        struct(col("__score"), -col("code_id"))).as("__b"))
+      .select(col("vec_id"), col("cluster"), col("sub"),
+        col("__b").getField("code_id").as("code_id"),
+        col("__b").getField("cw_sq").as("cw_sq"))
+      .join(cross, Seq("cluster", "sub", "code_id"))
+      .groupBy("vec_id", "cluster")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code_id"),
+        col("ccw"), col("cw_sq")))).as("sc"))
+      .join(cSq, "cluster")
+      .select(col("vec_id"), col("cluster"),
+        transform(col("sc"), e => e.getField("code_id")).as("pq_code"),
+        sqrt(greatest(lit(0.0), col("c_sq") + aggregate(col("sc"), lit(0.0),
+          (a, e) => a + lit(2.0) * e.getField("ccw") + e.getField("cw_sq"))))
+          .as("pq_norm"))
+  }
+
+  /** Residual-PQ serving: identical to [[ivfPqAdcTopKWith]] except the
+    * ADC numerator gains the centroid term —
+    * `dot(q, c + recon) = dot(q, c_cell) + ADC(residual LUT)` — with
+    * `dot(q, c_cell)` already per-probe-pair work (nProbe rows per
+    * query), and the denominator uses the stored full reconstruction
+    * norm. Same zero-norm guard, shortlist and float re-rank. */
+  def ivfPqResidualTopKWith(data: DataFrame, queries: DataFrame, k: Int,
+                            centroids: DataFrame, codebooks: DataFrame,
+                            codes: DataFrame, nProbe: Int, refine: Int): DataFrame = {
+    require(refine >= k, s"refine must be >= k: refine=$refine, k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val sp = data.sparkSession
+    graft.functions.GraftFunctions.register(sp)
+    val ksub = codebooks.agg(max("code_id")).head().getInt(0) + 1
+    val dsub = codebooks.select(size(col("cw"))).head().getInt(0)
+    val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
+    val queriesN = queries.withColumn("__qn", nativeNorm(sp, col("q_vec")))
+    val lut = adcLut(sp, queriesN, codebooks, dsub)
+    val probed = assignTopN(sp, cents, queriesN, "q_vec", "__qn", "cluster", nProbe)
+      .join(broadcast(centroids.select(col("c_id").as("cluster"), col("c_vec"))), "cluster")
+      .withColumn("__qc", nativeDot(sp, col("q_vec"), col("c_vec")))
+      .drop("c_vec")
+    val wa = Window.partitionBy("q_id").orderBy(col("__asim").desc, col("vec_id"))
+    val shortlist = probed.join(codes, "cluster")
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(lut), "q_id")
+      .withColumn("__asim",
+        when(col("pq_norm") > 0 && col("__qn") > 0,
+          (col("__qc") + call_function(graft.functions.PqAdc.Name,
+            col("pq_code"), col("__lut"), lit(ksub))) /
+            (col("__qn") * col("pq_norm")))
+          .otherwise(lit(Double.NegativeInfinity)))
+      .withColumn("__ark", row_number().over(wa))
+      .filter(col("__ark") <= refine)
+      .select("q_id", "vec_id")
+    floatReRank(sp, shortlist, data, queriesN, k)
+  }
+
+  /** The per-query M×ksub ADC lookup table, flattened row-major by
+    * (sub, code) — shared by the plain and residual PQ serving paths. */
+  private def adcLut(sp: SparkSession, queriesN: DataFrame,
+                     codebooks: DataFrame, dsub: Int): DataFrame =
+    queriesN.select(col("q_id"), col("q_vec"))
+      .crossJoin(broadcast(codebooks))
+      .withColumn("__p", nativeDot(sp,
+        slice(col("q_vec"), col("sub") * dsub + 1, lit(dsub)), col("cw")))
+      .groupBy("q_id")
+      .agg(array_sort(collect_list(
+        struct(col("sub"), col("code_id"), col("__p")))).as("__e"))
+      .select(col("q_id"),
+        transform(col("__e"), x => x.getField("__p")).as("__lut"))
+
+  /** Exact float re-rank of a (q_id, vec_id) shortlist to top `k` —
+    * the tail shared by every quantized serving path. */
+  private def floatReRank(sp: SparkSession, shortlist: DataFrame,
+                          data: DataFrame, queriesN: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dataN = data.select(col("vec_id"), col("embedding"))
       .withColumn("__dn", nativeNorm(sp, col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))

@@ -847,6 +847,64 @@ class SimilaritySpec extends SparkSuite {
         nProbe = 1, refine = 3))
   }
 
+  test("residual PQ: trained-codebook reconstruction error far below plain PQ; full-cell shortlist serving equals brute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val axes = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val rows = for (c <- 0 until 3; i <- 0 until 20)
+      yield ((c * 20 + i).toLong, jitter(axes(c)))
+    val e = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kMeansCentroids(e, nCentroids = 3, iters = 4)
+    val cbsP = Similarity.pqCodebooks(e, m = 4, ksub = 8, iters = 3)
+    val encP = Similarity.pqEncode(e, cbsP)
+    val cbsR = Similarity.pqCodebooksResidual(e, cents, m = 4, ksub = 8, iters = 3)
+    val codesR = Similarity.pqBuildIndexResidual(e, cents, cbsR)
+    // driver-side reconstruction MSE: residual encoding reconstructs
+    // x ≈ c(home) + recon(residual codes); plain reconstructs x ≈ recon.
+    // On clustered data the residual spread is jitter-sized while the
+    // raw spread spans the cluster positions — same ksub codewords must
+    // quantize the residuals far finer (the reason FAISS defaults to
+    // residual encoding)
+    def cb(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+    val (mP, mR) = (cb(cbsP.select("sub", "code_id", "cw")),
+      cb(cbsR.select("sub", "code_id", "cw")))
+    val cMap = cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val emb = rows.toMap
+    def recon(codes: Seq[Int], m: Map[(Int, Int), Array[Float]]): Array[Float] =
+      codes.zipWithIndex.flatMap { case (code, sub) => m((sub, code)) }.toArray
+    def mse(err: Iterable[Double]): Double = err.sum / err.size
+    val pErr = encP.select("vec_id", "pq_code").collect().map { r =>
+      val x = emb(r.getLong(0)); val y = recon(r.getSeq[Int](1), mP)
+      x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble
+    }
+    val rErr = codesR.select("vec_id", "cluster", "pq_code").collect().map { r =>
+      val x = emb(r.getLong(0)); val c = cMap(r.getLong(1))
+      val y = recon(r.getSeq[Int](2), mR).zip(c).map { case (a, b) => a + b }
+      x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble
+    }
+    assert(mse(rErr) < mse(pErr) * 0.5,
+      s"residual MSE ${mse(rErr)} not well below plain ${mse(pErr)}")
+    // plumbing: with the shortlist covering the whole probed cell the
+    // exact re-rank must equal brute force (the clusterSample/PQ rule)
+    val q = e.filter(col("vec_id").isin(0L, 20L, 40L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val pqr = Similarity.ivfPqResidualTopKWith(e, q, k = 5, cents, cbsR, codesR,
+      nProbe = 1, refine = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pqr == brute, s"missed: ${brute -- pqr}")
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqResidualTopKWith(e, q, k = 5, cents, cbsR, codesR,
+        nProbe = 1, refine = 3))
+  }
+
   test("clusterSample: per-cluster quota by md5 rank; two-phase salted top-k is lossless; determinism under repartition") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
