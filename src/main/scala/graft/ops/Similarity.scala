@@ -994,8 +994,10 @@ object Similarity {
     * refuse). Codebooks and codes travel together: codes are
     * meaningless under different codebooks, so one meta stamps both. */
   def saveAdcIndex(codebooks: DataFrame, codes: DataFrame,
-                   path: String, version: String): Unit = {
+                   path: String, version: String,
+                   kind: String = "raw"): Unit = {
     import org.apache.spark.sql.SaveMode
+    require(kind == "raw" || kind == "residual", s"unknown PQ kind: $kind")
     val sp = codebooks.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
@@ -1005,7 +1007,12 @@ object Similarity {
     codes.select(col("vec_id"), col("cluster"), col("pq_code"), col("pq_norm"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_codes")
     val out = fs.create(new org.apache.hadoop.fs.Path(path, "_pq_meta"), true)
-    try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
+    // the meta records WHICH encoder produced the codes: appending
+    // residually-encoded codes to a raw-codebook base (or vice versa)
+    // would serve silently wrong ADC ranks — the encode variant is part
+    // of the index identity, not a serving-time choice
+    try out.write(s"version=$version\nkind=$kind\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Load a persisted true-PQ half if present AND built for this
@@ -1026,6 +1033,51 @@ object Similarity {
       spark.read.parquet(s"$path/pq_codes")))
   }
 
+  /** Incrementally append a NEW embedding batch to a persisted true-PQ
+    * index — [[appendPqCodes]] for the ADC path: encode ONLY the batch
+    * against the EXISTING centroids and codebooks (no retraining, no
+    * re-encoding of history), append its codes, restamp ALL THREE metas
+    * (centroids, int8 codes if present are untouched, `_pq_meta`)
+    * together under the new `version`. Meta invalidated FIRST and
+    * restamped LAST — the appendPqCodes crash discipline: a crash
+    * mid-append leaves a refused index (→ rebuild), never a silently
+    * partial batch, and the centroid half must carry the same version
+    * or a later load would retrain centroids while accepting codes
+    * assigned under the old ones. */
+  def appendAdcCodes(batch: DataFrame, path: String, version: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val sp = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), sp.sparkContext.hadoopConfiguration)
+    for ((m, what) <- Seq("_meta" -> "centroid index", "_pq_meta" -> "PQ base"))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, m)))
+        throw new IllegalStateException(
+          s"appendAdcCodes: no $m at $path ($what missing or torn) — " +
+            "build with trainOrLoadAdcIndex first")
+    // the encode variant comes from the index, never the caller — a
+    // mismatched encoder would append silently wrong codes
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_pq_meta")
+    val in = fs.open(metaPath)
+    val kind =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .collectFirst { case l if l.startsWith("kind=") => l.stripPrefix("kind=") }
+        .getOrElse("raw")
+      finally in.close()
+    val cents = sp.read.parquet(s"$path/centroids")
+    val cbs = sp.read.parquet(s"$path/pq_codebooks")
+    Seq("_pq_meta", "_meta").foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, m), false))
+    val enc =
+      if (kind == "residual") pqBuildIndexResidual(batch, cents, cbs)
+      else pqBuildIndex(batch, cents, cbs)
+    enc.write.mode(SaveMode.Append).parquet(s"$path/pq_codes")
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_meta"), true)
+    try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
+    val out2 = fs.create(metaPath, true)
+    try out2.write(s"version=$version\nkind=$kind\n".getBytes("UTF-8"))
+    finally out2.close()
+  }
+
   /** The full true-PQ index lifecycle: centroids via
     * [[trainOrLoadIvfIndex]] (shared with the plain-IVF and int8 paths —
     * one centroid training per corpus version serves all three),
@@ -1034,11 +1086,18 @@ object Similarity {
     * [[ivfPqAdcTopKWith]]. */
   def trainOrLoadAdcIndex(data: DataFrame, path: String, version: String,
                           nCentroids: Int, iters: Int,
-                          m: Int, ksub: Int, pqIters: Int): (DataFrame, DataFrame, DataFrame) = {
+                          m: Int, ksub: Int, pqIters: Int,
+                          residual: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     val cents = trainOrLoadIvfIndex(data, path, version, nCentroids, iters)
     val (cbs, codes) = loadAdcIndex(data.sparkSession, path, version).getOrElse {
-      val cb = pqCodebooks(data, m, ksub, pqIters)
-      saveAdcIndex(cb, pqBuildIndex(data, cents, cb), path, version)
+      val cb =
+        if (residual) pqCodebooksResidual(data, cents, m, ksub, pqIters)
+        else pqCodebooks(data, m, ksub, pqIters)
+      val built =
+        if (residual) pqBuildIndexResidual(data, cents, cb)
+        else pqBuildIndex(data, cents, cb)
+      saveAdcIndex(cb, built, path, version,
+        kind = if (residual) "residual" else "raw")
       // serve from the persisted copy so every caller reads one plan shape
       (data.sparkSession.read.parquet(s"$path/pq_codebooks"),
         data.sparkSession.read.parquet(s"$path/pq_codes"))

@@ -749,6 +749,27 @@ class SimilaritySpec extends SparkSuite {
       nProbe = 4, refine = 10).collect().map(_.toSeq)
     assert(adcLoaded.toSeq == adcFirst.toSeq && adcLoaded.nonEmpty)
     assert(Similarity.loadAdcIndex(spark, adcIdx, "a2").isEmpty)
+
+    // incremental ADC append, RESIDUAL kind: the batch encodes against
+    // the EXISTING centroids + codebooks (the kind comes from the meta,
+    // never the caller), serving with appended codes == built from
+    // scratch over the union, and both metas carry the new version
+    val adcR = java.nio.file.Files.createTempDirectory("graft_adc_r").toString + "/index"
+    val (rc1, _, _) = Similarity.trainOrLoadAdcIndex(e, adcR, "r1",
+      nCentroids = 8, iters = 2, m = 8, ksub = 8, pqIters = 2, residual = true)
+    Similarity.appendAdcCodes(batch, adcR, "r1+day2")
+    assert(Similarity.loadAdcIndex(spark, adcR, "r1").isEmpty)
+    assert(Similarity.loadIvfIndex(spark, adcR, "r1+day2").isDefined)
+    val (rcb2, rk2) = Similarity.loadAdcIndex(spark, adcR, "r1+day2").get
+    val union2 = e.select("vec_id", "embedding").unionByName(batch)
+    val viaApp = Similarity.ivfPqResidualTopKWith(union2, q, 5, rc1, rcb2, rk2,
+      nProbe = 4, refine = 10).collect().map(_.toSeq)
+    val viaScratch2 = Similarity.ivfPqResidualTopKWith(union2, q, 5, rc1, rcb2,
+      Similarity.pqBuildIndexResidual(union2, rc1, rcb2),
+      nProbe = 4, refine = 10).collect().map(_.toSeq)
+    assert(viaApp.toSeq == viaScratch2.toSeq && viaApp.nonEmpty)
+    intercept[IllegalStateException](
+      Similarity.appendAdcCodes(batch, adcR + "_nowhere", "x"))
   }
 
   test("spherical k-means recovers planted clusters; IVF nProbe=1 gets perfect recall on them") {
