@@ -627,6 +627,108 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PROPERTY: physical rewrites fence exactly the pre-rewrite snapshots; later handles keep working") {
+    import graft.storage.{TsdbConfig, TsdbTable}
+    val HourMs = 3600000L
+    val DayMs = 86400000L
+    sealed trait Mut
+    case class App(rows: List[S]) extends Mut
+    case class Del(fromOff: Long, toOff: Long) extends Mut
+    case object Compact extends Mut
+    case class DropDay(day: Int) extends Mut
+    val genMut: Gen[Mut] = Gen.frequency(
+      4 -> (for {
+        n <- Gen.choose(1, 8)
+        xs <- Gen.listOfN(n, for {
+          series <- Gen.choose(0, 2)
+          off <- Gen.choose(0L, 71L) // 3 day-partitions
+          v <- Gen.choose(-100.0, 100.0)
+        } yield S(series, off, v))
+      } yield App(xs)),
+      2 -> (for { f <- Gen.choose(0L, 71L); l <- Gen.choose(0L, 10L) } yield Del(f, f + l)),
+      1 -> Gen.const(Compact),
+      1 -> Gen.choose(0, 2).map(DropDay(_)))
+    val genScript: Gen[List[Mut]] = Gen.choose(5, 7).flatMap(Gen.listOfN(_, genMut))
+    (0 until 2).foreach { i =>
+      // always start with data on disk: handles only exist post-commit
+      val script = App(List(S(0, 1L, 1.0), S(1, 30L, 2.0), S(2, 60L, 3.0))) +:
+        genScript.pureApply(Gen.Parameters.default, Seed(4096L + i))
+      val dir = java.nio.file.Files.createTempDirectory(s"hz_prop$i").toString
+      val t = new TsdbTable(spark, dir, TsdbConfig(overrideOld = true))
+      type Key = (String, String, Long)
+      var state = Map.empty[Key, Double]
+      def horizon(): Long = t.history().collect()
+        .collectFirst { case r if r.getString(0) == "horizon" => r.getLong(1) }
+        .getOrElse(0L)
+      val hist = scala.collection.mutable.ListBuffer.empty[(Long, Map[Key, Double])]
+      var fencedBelow = 0
+      def afterMutation(): Unit = {
+        hist += ((t.currentSeq(), state))
+      }
+      script.foreach {
+        case App(rows) =>
+          val dd = rows.groupBy(s => (s.series, s.offsetMs)).values.map(_.head).toList
+          t.append(dd.map(s =>
+              (s"m${s.series % 2}", s"h${s.series}", Base + s.offsetMs * HourMs, s.value))
+            .toDF("name", "host", "time", "value")
+            .select(col("name"), map(lit("host"), col("host")).as("labels"),
+              col("time"), col("value")))
+          dd.foreach { s =>
+            state += ((s"m${s.series % 2}", s"h${s.series}", Base + s.offsetMs * HourMs) -> s.value)
+          }
+          afterMutation()
+        case Del(f, to) =>
+          val (fromMs, toMs) = (Base + f * HourMs, Base + to * HourMs)
+          t.delete(fromMs, toMs, metrics = Seq("m0", "m1")) // tombstones only
+          state = state.filterNot { case ((_, _, tm), _) => tm >= fromMs && tm <= toMs }
+          afterMutation()
+        case Compact =>
+          val h0 = horizon()
+          t.compact()
+          if (horizon() > h0) fencedBelow = hist.length
+          afterMutation()
+        case DropDay(d) =>
+          val h0 = horizon()
+          val s0 = Base + d.toLong * DayMs
+          t.delete(s0, s0 + DayMs - 1) // unpredicated full partition → drop
+          state = state.filterNot { case ((_, _, tm), _) => tm >= s0 && tm <= s0 + DayMs - 1 }
+          if (horizon() > h0) fencedBelow = hist.length
+          afterMutation()
+      }
+      def read(seq: Long): Map[Key, Double] =
+        t.readRawAsOf(0L, Long.MaxValue / 2, seq)
+          .select("name", "labels_str", "time", "value").collect()
+          .map(r => (r.getString(0), r.getString(1).stripPrefix("host="),
+            r.getLong(2)) -> r.getDouble(3)).toMap
+      hist.zipWithIndex.foreach { case ((seq, st), idx) =>
+        if (idx < fencedBelow) {
+          val e = intercept[IllegalArgumentException](read(seq))
+          assert(e.getMessage.contains("horizon"),
+            s"case $i idx=$idx: wrong refusal: ${e.getMessage}")
+        } else {
+          assert(read(seq) == st, s"case $i idx=$idx seq=$seq: snapshot diverged")
+        }
+      }
+      // CDC from a fenced since refuses; from the newest fence-or-later
+      // handle it replays to the final state
+      if (fencedBelow > 0)
+        intercept[IllegalArgumentException](t.changes(hist(0)._1).collect())
+      val (okSeq, okState) = hist(fencedBelow)
+      val ch = t.changes(okSeq)
+        .select("name", "labels_str", "time", "value", "_change_type").collect()
+        .map(r => ((r.getString(0), r.getString(1).stripPrefix("host="),
+          r.getLong(2)), r.getDouble(3), r.getString(4)))
+      var replay = okState
+      ch.foreach {
+        case (k, v, "insert") => replay += k -> v
+        case (k, v, "update") => replay += k -> v
+        case (k, _, "delete") => replay -= k
+        case (k, _, ct) => fail(s"case $i: unexpected change type $ct for $k")
+      }
+      assert(replay == state, s"case $i: CDC replay from idx=$fencedBelow diverged")
+    }
+  }
+
   private def approxEq(a: Map[(String, Long), Seq[Any]], b: Map[(String, Long), Seq[Any]]): Boolean =
     a.keySet == b.keySet && a.forall { case (k, va) =>
       va.zip(b(k)).forall {
