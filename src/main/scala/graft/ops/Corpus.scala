@@ -288,8 +288,11 @@ object Corpus {
                 temperature: Double): DataFrame = {
     val weights =
       doremiWeights(losses, sourceCol, lossCol, temperature, normalize = false)
+    // NULL sources label as "<NULL>" (the interleaveByWeight convention)
+    // so the diagnostic stays readable instead of NPE-ing in the sort
     val missing = docs.select(col(sourceCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).filterNot(weights.keySet)
+      .collect().map(r => Option(r.getString(0)).getOrElse("<NULL>"))
+      .filterNot(weights.keySet)
     require(missing.isEmpty,
       s"doremiMix: corpus domains with no loss row: ${missing.sorted.mkString(",")}")
     mixSources(docs, idCol, sourceCol, weights)

@@ -642,20 +642,44 @@ object Similarity {
           s"appendPqCodes: no $m at $path ($what missing or torn) — " +
             "build with trainOrLoadPqIndex first")
     val cents = sp.read.parquet(s"$path/centroids")
-    // crash discipline: invalidate BOTH metas first (a crash mid-append
-    // leaves a fully-refused index → rebuild), restamp BOTH with the NEW
-    // version last — restamping only _codes_meta would desync the
-    // halves: a later trainOrLoadPqIndex at the new version would
-    // RETRAIN centroids (stale _meta fails its check) yet accept the
-    // appended codes, whose cluster ids were assigned under the OLD
-    // centroids — silently wrong ANN results
-    Seq("_codes_meta", "_meta").foreach(m =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, m), false))
+    // crash discipline: invalidate EVERY present meta first (a crash
+    // mid-append leaves a fully-refused index → rebuild), restamp all
+    // with the NEW version last — restamping only _codes_meta would
+    // desync the halves: a later trainOrLoadPqIndex at the new version
+    // would RETRAIN centroids (stale _meta fails its check) yet accept
+    // the appended codes, whose cluster ids were assigned under the OLD
+    // centroids — silently wrong ANN results. A co-located true-PQ half
+    // (_pq_meta) extends under the same rule, encoded per its own kind
+    // stamp (the cross-half desync, review-caught in r8).
+    val pqMetaPath = new org.apache.hadoop.fs.Path(path, "_pq_meta")
+    val adcKind: Option[String] =
+      if (!fs.exists(pqMetaPath)) None
+      else {
+        val in = fs.open(pqMetaPath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .collectFirst { case l if l.startsWith("kind=") => l.stripPrefix("kind=") }
+          .getOrElse("raw"))
+        finally in.close()
+      }
+    (Seq("_codes_meta", "_meta") ++ adcKind.map(_ => "_pq_meta").toSeq)
+      .foreach(m => fs.delete(new org.apache.hadoop.fs.Path(path, m), false))
     buildPqCodes(batch, cents)
       .write.mode(SaveMode.Append).parquet(s"$path/codes")
+    adcKind.foreach { kind =>
+      val cbs = sp.read.parquet(s"$path/pq_codebooks")
+      val enc =
+        if (kind == "residual") pqBuildIndexResidual(batch, cents, cbs)
+        else pqBuildIndex(batch, cents, cbs)
+      enc.write.mode(SaveMode.Append).parquet(s"$path/pq_codes")
+    }
     for (m <- Seq("_meta", "_codes_meta")) {
       val out = fs.create(new org.apache.hadoop.fs.Path(path, m), true)
       try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
+    }
+    adcKind.foreach { kind =>
+      val out = fs.create(pqMetaPath, true)
+      try out.write(s"version=$version\nkind=$kind\n".getBytes("UTF-8"))
+      finally out.close()
     }
   }
 
@@ -816,27 +840,36 @@ object Similarity {
     val queriesN = queries.withColumn("__qn", nativeNorm(sp, col("q_vec")))
     val lut = adcLut(sp, queriesN, codebooks, dsub)
     val probed = assignTopN(sp, cents, queriesN, "q_vec", "__qn", "cluster", nProbe)
+    floatReRank(sp, adcShortlist(probed, codes, lut, ksub, lit(0.0), refine),
+      data, queriesN, k)
+  }
+
+  /** The ADC probe-scan shortlist shared by the plain and residual
+    * serving paths — they differ ONLY in `numeratorExtra` (0 for plain;
+    * the per-probe dot(q, c_cell) term for residual). Zero-reconstruction
+    * (or zero-norm-query) candidates rank LAST, not first: the bare
+    * division yields NaN, which Spark's descending sort orders ABOVE
+    * every real similarity — a handful of degenerate vectors would
+    * otherwise flood every query's shortlist (review-caught; the r7
+    * int8 path dodged this because int8 codes of a nonzero vector can't
+    * all round to zero, but a PQ reconstruction can). */
+  private def adcShortlist(probed: DataFrame, codes: DataFrame, lut: DataFrame,
+                           ksub: Int, numeratorExtra: Column,
+                           refine: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wa = Window.partitionBy("q_id").orderBy(col("__asim").desc, col("vec_id"))
-    val shortlist = probed.join(codes, "cluster")
+    probed.join(codes, "cluster")
       .filter(col("q_id") =!= col("vec_id"))
       .join(broadcast(lut), "q_id")
-      // zero-reconstruction (or zero-norm-query) candidates rank LAST,
-      // not first: the bare division yields NaN, which Spark's
-      // descending sort orders ABOVE every real similarity — a handful
-      // of degenerate vectors would otherwise flood every query's
-      // shortlist (review-caught; the r7 int8 path dodged this because
-      // int8 codes of a nonzero vector can't all round to zero, but a
-      // PQ reconstruction can)
       .withColumn("__asim",
         when(col("pq_norm") > 0 && col("__qn") > 0,
-          call_function(graft.functions.PqAdc.Name,
-            col("pq_code"), col("__lut"), lit(ksub)) /
+          (numeratorExtra + call_function(graft.functions.PqAdc.Name,
+            col("pq_code"), col("__lut"), lit(ksub))) /
             (col("__qn") * col("pq_norm")))
           .otherwise(lit(Double.NegativeInfinity)))
       .withColumn("__ark", row_number().over(wa))
       .filter(col("__ark") <= refine)
       .select("q_id", "vec_id")
-    floatReRank(sp, shortlist, data, queriesN, k)
   }
 
   /** Residuals x − c(home cell): `(vec_id, cluster, residual)` — what
@@ -874,7 +907,8 @@ object Similarity {
     * [[pqEncode]] determinism discipline); ‖c+recon‖² is clamped at 0
     * before the sqrt (float cancellation near c ≈ −recon). */
   def pqBuildIndexResidual(data: DataFrame, centroids: DataFrame,
-                           codebooks: DataFrame): DataFrame = {
+                           codebooks: DataFrame,
+                           residuals: Option[DataFrame] = None): DataFrame = {
     val sp = data.sparkSession
     val m = codebooks.agg(max("sub")).head().getInt(0) + 1
     val dsub = codebooks.select(size(col("cw"))).head().getInt(0)
@@ -888,7 +922,10 @@ object Similarity {
         nativeDot(sp, col("csv"), col("cw")).as("ccw")))
     val cSq = broadcast(centroids.select(col("c_id").as("cluster"),
       nativeDot(sp, col("c_vec"), col("c_vec")).as("c_sq")))
-    val res = pqResiduals(data, centroids)
+    // callers that also trained codebooks on the residuals pass the
+    // shared (usually cached) frame so the corpus-to-centroid
+    // assignment runs once, not once per half
+    val res = residuals.getOrElse(pqResiduals(data, centroids))
     val subs = res
       .select(col("vec_id"), col("cluster"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("residual"))
@@ -937,20 +974,8 @@ object Similarity {
       .join(broadcast(centroids.select(col("c_id").as("cluster"), col("c_vec"))), "cluster")
       .withColumn("__qc", nativeDot(sp, col("q_vec"), col("c_vec")))
       .drop("c_vec")
-    val wa = Window.partitionBy("q_id").orderBy(col("__asim").desc, col("vec_id"))
-    val shortlist = probed.join(codes, "cluster")
-      .filter(col("q_id") =!= col("vec_id"))
-      .join(broadcast(lut), "q_id")
-      .withColumn("__asim",
-        when(col("pq_norm") > 0 && col("__qn") > 0,
-          (col("__qc") + call_function(graft.functions.PqAdc.Name,
-            col("pq_code"), col("__lut"), lit(ksub))) /
-            (col("__qn") * col("pq_norm")))
-          .otherwise(lit(Double.NegativeInfinity)))
-      .withColumn("__ark", row_number().over(wa))
-      .filter(col("__ark") <= refine)
-      .select("q_id", "vec_id")
-    floatReRank(sp, shortlist, data, queriesN, k)
+    floatReRank(sp, adcShortlist(probed, codes, lut, ksub, col("__qc"), refine),
+      data, queriesN, k)
   }
 
   /** The per-query M×ksub ADC lookup table, flattened row-major by
@@ -1016,21 +1041,39 @@ object Similarity {
   }
 
   /** Load a persisted true-PQ half if present AND built for this
-    * `version`; None (→ caller rebuilds) otherwise. */
-  def loadAdcIndex(spark: SparkSession, path: String,
-                   version: String): Option[(DataFrame, DataFrame)] = {
+    * `version`; None (→ caller rebuilds) otherwise. `expectKind`, when
+    * given, ENFORCES the encode variant: a version match under the
+    * wrong kind throws loudly — serving raw codes through the residual
+    * path (or vice versa) skews every ADC rank with no error, the
+    * hazard the kind stamp exists for (review-caught: the stamp was
+    * written but never read back). */
+  def loadAdcIndex(spark: SparkSession, path: String, version: String,
+                   expectKind: Option[String] = None): Option[(DataFrame, DataFrame)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val meta = new org.apache.hadoop.fs.Path(path, "_pq_meta")
     if (!fs.exists(meta)) return None
     val in = fs.open(meta)
-    val stored =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .collectFirst { case l if l.startsWith("version=") => l.stripPrefix("version=") }
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
+    val stored = lines.collectFirst {
+      case l if l.startsWith("version=") => l.stripPrefix("version=")
+    }
+    val kind = lines.collectFirst {
+      case l if l.startsWith("kind=") => l.stripPrefix("kind=")
+    }.getOrElse("raw")
     if (!stored.contains(version)) None
-    else Some((spark.read.parquet(s"$path/pq_codebooks"),
-      spark.read.parquet(s"$path/pq_codes")))
+    else {
+      expectKind.filter(_ != kind).foreach { want =>
+        throw new IllegalStateException(
+          s"PQ index at $path (version $version) was encoded kind=$kind " +
+            s"but the caller expects kind=$want — the encode variant is " +
+            "part of the index identity; rebuild under a new version")
+      }
+      Some((spark.read.parquet(s"$path/pq_codebooks"),
+        spark.read.parquet(s"$path/pq_codes")))
+    }
   }
 
   /** Incrementally append a NEW embedding batch to a persisted true-PQ
@@ -1063,16 +1106,29 @@ object Similarity {
         .collectFirst { case l if l.startsWith("kind=") => l.stripPrefix("kind=") }
         .getOrElse("raw")
       finally in.close()
+    // a SHARED index directory may also hold the int8 half
+    // (_codes_meta): every present half must extend together under the
+    // new version, or a consumer at the stale half's version would
+    // retrain the shared centroids while accepting codes assigned under
+    // the old ones — the appendPqCodes desync, review-caught here in
+    // the cross-half direction
+    val hasInt8 = fs.exists(new org.apache.hadoop.fs.Path(path, "_codes_meta"))
     val cents = sp.read.parquet(s"$path/centroids")
     val cbs = sp.read.parquet(s"$path/pq_codebooks")
-    Seq("_pq_meta", "_meta").foreach(m =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, m), false))
+    (Seq("_pq_meta", "_meta") ++ (if (hasInt8) Seq("_codes_meta") else Nil))
+      .foreach(m => fs.delete(new org.apache.hadoop.fs.Path(path, m), false))
     val enc =
       if (kind == "residual") pqBuildIndexResidual(batch, cents, cbs)
       else pqBuildIndex(batch, cents, cbs)
     enc.write.mode(SaveMode.Append).parquet(s"$path/pq_codes")
+    if (hasInt8)
+      buildPqCodes(batch, cents).write.mode(SaveMode.Append).parquet(s"$path/codes")
     val out = fs.create(new org.apache.hadoop.fs.Path(path, "_meta"), true)
     try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
+    if (hasInt8) {
+      val o = fs.create(new org.apache.hadoop.fs.Path(path, "_codes_meta"), true)
+      try o.write(s"version=$version\n".getBytes("UTF-8")) finally o.close()
+    }
     val out2 = fs.create(metaPath, true)
     try out2.write(s"version=$version\nkind=$kind\n".getBytes("UTF-8"))
     finally out2.close()
@@ -1088,16 +1144,29 @@ object Similarity {
                           nCentroids: Int, iters: Int,
                           m: Int, ksub: Int, pqIters: Int,
                           residual: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    val kind = if (residual) "residual" else "raw"
     val cents = trainOrLoadIvfIndex(data, path, version, nCentroids, iters)
-    val (cbs, codes) = loadAdcIndex(data.sparkSession, path, version).getOrElse {
-      val cb =
-        if (residual) pqCodebooksResidual(data, cents, m, ksub, pqIters)
-        else pqCodebooks(data, m, ksub, pqIters)
-      val built =
-        if (residual) pqBuildIndexResidual(data, cents, cb)
-        else pqBuildIndex(data, cents, cb)
-      saveAdcIndex(cb, built, path, version,
-        kind = if (residual) "residual" else "raw")
+    val (cbs, codes) = loadAdcIndex(data.sparkSession, path, version,
+      expectKind = Some(kind)).getOrElse {
+      if (residual) {
+        // ONE corpus-to-centroid assignment feeds both halves: the
+        // residual frame is scope-cached across codebook training and
+        // index encoding (review-caught: two assignTopN cross joins over
+        // the whole corpus where one suffices — the most expensive build
+        // stage doubled)
+        val res = pqResiduals(data, cents)
+        val owned = Caching.cacheIfNeeded(res)
+        try {
+          val cb = pqCodebooks(
+            res.select(col("vec_id"), col("residual").as("embedding")),
+            m, ksub, pqIters)
+          saveAdcIndex(cb, pqBuildIndexResidual(data, cents, cb, Some(res)),
+            path, version, kind = kind)
+        } finally if (owned) res.unpersist(blocking = false)
+      } else {
+        val cb = pqCodebooks(data, m, ksub, pqIters)
+        saveAdcIndex(cb, pqBuildIndex(data, cents, cb), path, version, kind = kind)
+      }
       // serve from the persisted copy so every caller reads one plan shape
       (data.sparkSession.read.parquet(s"$path/pq_codebooks"),
         data.sparkSession.read.parquet(s"$path/pq_codes"))

@@ -770,6 +770,38 @@ class SimilaritySpec extends SparkSuite {
     assert(viaApp.toSeq == viaScratch2.toSeq && viaApp.nonEmpty)
     intercept[IllegalStateException](
       Similarity.appendAdcCodes(batch, adcR + "_nowhere", "x"))
+    // the kind stamp is ENFORCED on load: asking for the other encode
+    // variant at the same version fails loudly instead of serving
+    // silently skewed ranks (review-caught: the stamp was written but
+    // never read back)
+    intercept[IllegalStateException](
+      Similarity.trainOrLoadAdcIndex(e, adcR, "r1+day2",
+        nCentroids = 8, iters = 2, m = 8, ksub = 8, pqIters = 2,
+        residual = false))
+    intercept[IllegalStateException](
+      Similarity.loadAdcIndex(spark, adcR, "r1+day2", expectKind = Some("raw")))
+
+    // CROSS-HALF consistency on a SHARED index dir: with both the int8
+    // and ADC halves present, appendPqCodes must extend BOTH under the
+    // new version (a stale co-located half would let a consumer retrain
+    // the shared centroids while accepting old codes — review-caught)
+    val both = java.nio.file.Files.createTempDirectory("graft_both").toString + "/index"
+    val (bc1, _) = Similarity.trainOrLoadPqIndex(e, both, "b1",
+      nCentroids = 8, iters = 2)
+    Similarity.trainOrLoadAdcIndex(e, both, "b1",
+      nCentroids = 8, iters = 2, m = 8, ksub = 8, pqIters = 2)
+    Similarity.appendPqCodes(batch, both, "b2")
+    // both halves moved to b2 and both include the appended batch
+    val k8 = Similarity.loadIvfPqCodes(spark, both, "b2").get
+    val (bcb, bk) = Similarity.loadAdcIndex(spark, both, "b2",
+      expectKind = Some("raw")).get
+    assert(k8.filter(col("vec_id") >= 5000L).count() == 10)
+    assert(bk.filter(col("vec_id") >= 5000L).count() == 10)
+    val viaInt8 = Similarity.ivfPqTopKWithCodes(union, q, 5, bc1, k8,
+      nProbe = 4, refine = 10).collect().map(_.toSeq)
+    val viaAdc2 = Similarity.ivfPqAdcTopKWith(union, q, 5, bc1, bcb, bk,
+      nProbe = 4, refine = 10).collect().map(_.toSeq)
+    assert(viaInt8.nonEmpty && viaAdc2.nonEmpty)
   }
 
   test("spherical k-means recovers planted clusters; IVF nProbe=1 gets perfect recall on them") {
