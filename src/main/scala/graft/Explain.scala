@@ -28,7 +28,11 @@ object Explain {
         "tsdb_multi_agg", "q3_topk_join", "sim_topk", "events_sessionize",
         "corpus_pack", "text_decontaminate", "corpus_chunk", "corpus_chunk_pack", "text_vocab",
         "dedup_embedding_srp",
-        "text_normalize", "corpus_epochs", "corpus_domain_cap", "sim_knn_graph_ivf")
+        "text_normalize", "corpus_epochs", "corpus_domain_cap", "sim_knn_graph_ivf",
+        // r8: PQ ADC probe scan (graft_pq_adc inside codegen, broadcast
+        // LUT), cluster-quota sampling (two-phase salted windows),
+        // DoReMi mixer (scan-speed md5 threshold)
+        "sim_ann_pq", "sim_cluster_sample", "corpus_doremi")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

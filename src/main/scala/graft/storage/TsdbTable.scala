@@ -918,6 +918,22 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * the 0 handle loudly). */
   def currentSeq(): Long = readCommits(strict = true).map(_.max).getOrElse(0L)
 
+  /** Materialize the table AS OF `seq` into a brand-new table at
+    * `destPath` — the reproducible-snapshot EXPORT (training runs pin a
+    * corpus state against later mutation and compaction; the deep-CLONE
+    * analog of Delta's CLONE VERSION AS OF): one snapshot read appended
+    * into a fresh table that builds its own manifest, rollup and names —
+    * fully independent of this table's future, including the rewrites
+    * that will eventually fence `seq` here. Rollup/pre-agg config of the
+    * clone defaults to this table's. */
+  def cloneAt(seq: Long, destPath: String,
+              destConfig: TsdbConfig = config): TsdbTable = {
+    val dest = new TsdbTable(spark, destPath, destConfig)
+    dest.append(readRawAsOf(0L, Long.MaxValue / 2, seq)
+      .select("name", "labels", "time", "value", "valueStr"))
+    dest
+  }
+
   /** The commit log as a small DataFrame — the `DESCRIBE HISTORY`
     * analog, bounded by what the exact-set manifest retains: one
     * `commit` row per retained committed seq (compaction/vacuum collapse

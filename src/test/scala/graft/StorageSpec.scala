@@ -847,6 +847,32 @@ class TsdbTableSpec extends SparkSuite {
     assert(t.changes(t.currentSeq()).count() == 0)
   }
 
+  test("cloneAt: a snapshot export is independent of the source's later mutations and compactions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsdb_clone").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0)))
+    val snap = t.currentSeq()
+    t.append(samples(("cpu", "a", Base + 1000, 9.0)))
+    val clone = t.cloneAt(snap, s"$dir-clone")
+    val view = (x: TsdbTable) => x.readRaw(Base, Base + 10000)
+      .select("time", "value").as[(Long, Double)].collect().toMap
+    assert(view(clone) == Map(Base + 1000 -> 1.0, Base + 2000 -> 2.0))
+    // the source moves on — including a compaction that fences `snap`
+    // there — while the clone keeps serving the exported state through
+    // its own rollup and names
+    t.delete(Base, Base + 1500)
+    t.compact()
+    intercept[IllegalArgumentException](t.readRawAsOf(Base, Base + 10000, snap))
+    assert(view(clone) == Map(Base + 1000 -> 1.0, Base + 2000 -> 2.0))
+    assert(clone.names().collect().map(_.getString(0)).toSeq == Seq("cpu"))
+    assert(clone.readRollup().agg(sum("__p_sum")).collect().head.getDouble(0) == 3.0)
+    // and the clone has its own history: one commit, no horizon
+    val kinds = clone.history().collect().map(r => r.getString(0))
+    assert(kinds.count(_ == "commit") == 1)
+  }
+
   test("changes: update-then-delete in one window emits the AT-SINCE pre-image, not the tombstone's mid-window copy") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tsdb_cdc_pre").toString
