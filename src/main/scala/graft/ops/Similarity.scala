@@ -651,16 +651,9 @@ object Similarity {
     // centroids — silently wrong ANN results. A co-located true-PQ half
     // (_pq_meta) extends under the same rule, encoded per its own kind
     // stamp (the cross-half desync, review-caught in r8).
-    val pqMetaPath = new org.apache.hadoop.fs.Path(path, "_pq_meta")
+    val pqMeta = readMeta(fs, path, "_pq_meta")
     val adcKind: Option[String] =
-      if (!fs.exists(pqMetaPath)) None
-      else {
-        val in = fs.open(pqMetaPath)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .collectFirst { case l if l.startsWith("kind=") => l.stripPrefix("kind=") }
-          .getOrElse("raw"))
-        finally in.close()
-      }
+      if (pqMeta.isEmpty) None else Some(pqMeta.getOrElse("kind", "raw"))
     (Seq("_codes_meta", "_meta") ++ adcKind.map(_ => "_pq_meta").toSeq)
       .foreach(m => fs.delete(new org.apache.hadoop.fs.Path(path, m), false))
     buildPqCodes(batch, cents)
@@ -672,15 +665,9 @@ object Similarity {
         else pqBuildIndex(batch, cents, cbs)
       enc.write.mode(SaveMode.Append).parquet(s"$path/pq_codes")
     }
-    for (m <- Seq("_meta", "_codes_meta")) {
-      val out = fs.create(new org.apache.hadoop.fs.Path(path, m), true)
-      try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
-    }
-    adcKind.foreach { kind =>
-      val out = fs.create(pqMetaPath, true)
-      try out.write(s"version=$version\nkind=$kind\n".getBytes("UTF-8"))
-      finally out.close()
-    }
+    Seq("_meta", "_codes_meta").foreach(writeMeta(fs, path, _, "version" -> version))
+    adcKind.foreach(kind =>
+      writeMeta(fs, path, "_pq_meta", "version" -> version, "kind" -> kind))
   }
 
   /** The full IVF-PQ index lifecycle: centroids via
@@ -831,7 +818,6 @@ object Similarity {
                        centroids: DataFrame, codebooks: DataFrame,
                        codes: DataFrame, nProbe: Int, refine: Int): DataFrame = {
     require(refine >= k, s"refine must be >= k: refine=$refine, k=$k")
-    import org.apache.spark.sql.expressions.Window
     val sp = data.sparkSession
     graft.functions.GraftFunctions.register(sp)
     val ksub = codebooks.agg(max("code_id")).head().getInt(0) + 1
@@ -962,7 +948,6 @@ object Similarity {
                             centroids: DataFrame, codebooks: DataFrame,
                             codes: DataFrame, nProbe: Int, refine: Int): DataFrame = {
     require(refine >= k, s"refine must be >= k: refine=$refine, k=$k")
-    import org.apache.spark.sql.expressions.Window
     val sp = data.sparkSession
     graft.functions.GraftFunctions.register(sp)
     val ksub = codebooks.agg(max("code_id")).head().getInt(0) + 1
@@ -1012,6 +997,31 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Key=value meta-file read shared by the index-lifecycle paths
+    * (empty map when the file is absent). */
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+                       path: String, name: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+    finally in.close()
+  }
+
+  /** Atomic-enough meta stamp (tiny single file, full overwrite). */
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                        name: String, entries: (String, String)*): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, name), true)
+    try out.write(entries.map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Persist a trained true-PQ index half beside the centroid index:
     * `<path>/pq_codebooks` + `<path>/pq_codes` + `_pq_meta`, the
     * [[saveIvfPqCodes]] crash discipline (meta invalidated FIRST,
@@ -1031,13 +1041,11 @@ object Similarity {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_codebooks")
     codes.select(col("vec_id"), col("cluster"), col("pq_code"), col("pq_norm"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_codes")
-    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_pq_meta"), true)
     // the meta records WHICH encoder produced the codes: appending
     // residually-encoded codes to a raw-codebook base (or vice versa)
     // would serve silently wrong ADC ranks — the encode variant is part
     // of the index identity, not a serving-time choice
-    try out.write(s"version=$version\nkind=$kind\n".getBytes("UTF-8"))
-    finally out.close()
+    writeMeta(fs, path, "_pq_meta", "version" -> version, "kind" -> kind)
   }
 
   /** Load a persisted true-PQ half if present AND built for this
@@ -1051,19 +1059,10 @@ object Similarity {
                    expectKind: Option[String] = None): Option[(DataFrame, DataFrame)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val meta = new org.apache.hadoop.fs.Path(path, "_pq_meta")
-    if (!fs.exists(meta)) return None
-    val in = fs.open(meta)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    val stored = lines.collectFirst {
-      case l if l.startsWith("version=") => l.stripPrefix("version=")
-    }
-    val kind = lines.collectFirst {
-      case l if l.startsWith("kind=") => l.stripPrefix("kind=")
-    }.getOrElse("raw")
-    if (!stored.contains(version)) None
+    val meta = readMeta(fs, path, "_pq_meta")
+    if (meta.isEmpty) return None
+    val kind = meta.getOrElse("kind", "raw")
+    if (!meta.get("version").contains(version)) None
     else {
       expectKind.filter(_ != kind).foreach { want =>
         throw new IllegalStateException(
@@ -1099,13 +1098,7 @@ object Similarity {
             "build with trainOrLoadAdcIndex first")
     // the encode variant comes from the index, never the caller — a
     // mismatched encoder would append silently wrong codes
-    val metaPath = new org.apache.hadoop.fs.Path(path, "_pq_meta")
-    val in = fs.open(metaPath)
-    val kind =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .collectFirst { case l if l.startsWith("kind=") => l.stripPrefix("kind=") }
-        .getOrElse("raw")
-      finally in.close()
+    val kind = readMeta(fs, path, "_pq_meta").getOrElse("kind", "raw")
     // a SHARED index directory may also hold the int8 half
     // (_codes_meta): every present half must extend together under the
     // new version, or a consumer at the stale half's version would
@@ -1123,15 +1116,9 @@ object Similarity {
     enc.write.mode(SaveMode.Append).parquet(s"$path/pq_codes")
     if (hasInt8)
       buildPqCodes(batch, cents).write.mode(SaveMode.Append).parquet(s"$path/codes")
-    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_meta"), true)
-    try out.write(s"version=$version\n".getBytes("UTF-8")) finally out.close()
-    if (hasInt8) {
-      val o = fs.create(new org.apache.hadoop.fs.Path(path, "_codes_meta"), true)
-      try o.write(s"version=$version\n".getBytes("UTF-8")) finally o.close()
-    }
-    val out2 = fs.create(metaPath, true)
-    try out2.write(s"version=$version\nkind=$kind\n".getBytes("UTF-8"))
-    finally out2.close()
+    writeMeta(fs, path, "_meta", "version" -> version)
+    if (hasInt8) writeMeta(fs, path, "_codes_meta", "version" -> version)
+    writeMeta(fs, path, "_pq_meta", "version" -> version, "kind" -> kind)
   }
 
   /** The full true-PQ index lifecycle: centroids via
