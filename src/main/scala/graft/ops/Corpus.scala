@@ -270,6 +270,18 @@ object Corpus {
       s"doremiWeights: duplicate domain rows in losses " +
         s"(${rows.map(_._1).diff(rows.map(_._1).distinct).distinct.mkString(",")})")
     val ws = rows.map { case (s, l) => s -> math.exp(l / temperature) }
+    // a large excess-loss / small-temperature combination overflows
+    // exp() to Infinity; downstream mixSources would then derive
+    // K = min(n/w) = 0 and a 0·Inf = NaN rate — the mix silently
+    // empties. Fail loudly instead (the raw weights stay bit-exact
+    // for the oracle twin; log-space normalization would perturb them).
+    ws.filter(w => !java.lang.Double.isFinite(w._2)) match {
+      case bad if bad.nonEmpty => throw new IllegalArgumentException(
+        s"doremiWeights: non-finite exp weight for domain(s) " +
+          s"${bad.map(_._1).mkString(",")} — loss/temperature too large " +
+          s"(temperature=$temperature); rescale losses or raise temperature")
+      case _ =>
+    }
     if (!normalize) return ws.toMap
     val z = ws.map(_._2).sum
     ws.map { case (s, w) => s -> w / z }.toMap

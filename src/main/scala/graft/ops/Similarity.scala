@@ -654,6 +654,8 @@ object Similarity {
     val pqMeta = readMeta(fs, path, "_pq_meta")
     val adcKind: Option[String] =
       if (pqMeta.isEmpty) None else Some(pqMeta.getOrElse("kind", "raw"))
+    requireConsistentMetaVersions(fs, path,
+      Seq("_meta", "_codes_meta", "_pq_meta"), "appendPqCodes")
     (Seq("_codes_meta", "_meta") ++ adcKind.map(_ => "_pq_meta").toSeq)
       .foreach(m => fs.delete(new org.apache.hadoop.fs.Path(path, m), false))
     buildPqCodes(batch, cents)
@@ -1014,6 +1016,31 @@ object Similarity {
     finally in.close()
   }
 
+  /** Require every PRESENT meta among `names` to carry the SAME stamped
+    * version before an append restamps them all to a new one. Divergent
+    * halves mean some other lifecycle path re-versioned one half alone
+    * (e.g. the int8 codes via [[trainOrLoadPqIndex]] while `_pq_meta`
+    * stayed at the old version) — an append would then encode the batch
+    * against the NEW centroids, append it onto historical codes assigned
+    * under the OLD ones, and promote that mixed index wholesale: loaders
+    * would serve silently wrong ANN results, exactly the desync the
+    * version stamps exist to prevent. Refuse loudly → rebuild under a
+    * fresh version. */
+  private def requireConsistentMetaVersions(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      names: Seq[String], caller: String): Unit = {
+    val present = names.flatMap { n =>
+      val m = readMeta(fs, path, n)
+      m.get("version").map(n -> _)
+    }
+    if (present.map(_._2).distinct.size > 1)
+      throw new IllegalStateException(
+        s"$caller: index halves at $path carry divergent versions " +
+          s"(${present.map { case (n, v) => s"$n=$v" }.mkString(", ")}) — " +
+          "appending would mix codes encoded under different centroid " +
+          "generations; rebuild the index under a fresh version")
+  }
+
   /** Atomic-enough meta stamp (tiny single file, full overwrite). */
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, path: String,
                         name: String, entries: (String, String)*): Unit = {
@@ -1106,6 +1133,8 @@ object Similarity {
     // the old ones — the appendPqCodes desync, review-caught here in
     // the cross-half direction
     val hasInt8 = fs.exists(new org.apache.hadoop.fs.Path(path, "_codes_meta"))
+    requireConsistentMetaVersions(fs, path,
+      Seq("_meta", "_pq_meta", "_codes_meta"), "appendAdcCodes")
     val cents = sp.read.parquet(s"$path/centroids")
     val cbs = sp.read.parquet(s"$path/pq_codebooks")
     (Seq("_pq_meta", "_meta") ++ (if (hasInt8) Seq("_codes_meta") else Nil))

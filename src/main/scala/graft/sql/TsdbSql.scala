@@ -44,7 +44,17 @@ object TsdbSql {
         functions = requested.map(_.function).filter(_.nonEmpty).distinct.mkString(","),
         filter = Option(where).map(translateFilter).getOrElse(""),
         groupBy = Option(groupBy).map(_.split(",").map(_.trim).mkString(",")).getOrElse(""),
-        asOfSeq = Option(asof).map(_.toLong).getOrElse(0L))
+        asOfSeq = Option(asof).map { a =>
+          val seq = a.toLong
+          // `ASOF 0` would silently alias to "no snapshot" (select() treats
+          // asOfSeq=0 as the current view) — reject it at parse time like
+          // readRawAsOf rejects the 0 handle, so a currentSeq()==0 taken
+          // from a manifest-less table fails loudly instead of serving the
+          // current view under a snapshot-looking query
+          if (seq <= 0) throw new IllegalArgumentException(
+            s"ASOF $seq is not a valid snapshot handle (committed seqs start at 1)")
+          seq
+        }.getOrElse(0L))
     case _ =>
       throw new IllegalArgumentException(s"unsupported query: $sql")
   }

@@ -235,6 +235,11 @@ class CorpusSpec extends SparkSuite {
       losses.unionAll(losses), "source", "excess_loss", 1.0))
     intercept[IllegalArgumentException](Corpus.doremiWeights(
       losses, "source", "excess_loss", 0.0))
+    // exp overflow to Infinity fails loudly instead of feeding mixSources
+    // a 0·Inf = NaN rate that silently empties the mix (advisor-caught)
+    val overflow = intercept[IllegalArgumentException](Corpus.doremiWeights(
+      losses, "source", "excess_loss", temperature = 1e-4))
+    assert(overflow.getMessage.contains("non-finite"))
     // the composition is exactly mixSources under the raw exp map
     val docs = (0 until 300).map(i => (i.toLong, s"s${i % 3}"))
       .toDF("doc_id", "source")

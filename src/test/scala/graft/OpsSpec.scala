@@ -802,6 +802,22 @@ class SimilaritySpec extends SparkSuite {
     val viaAdc2 = Similarity.ivfPqAdcTopKWith(union, q, 5, bc1, bcb, bk,
       nProbe = 4, refine = 10).collect().map(_.toSeq)
     assert(viaInt8.nonEmpty && viaAdc2.nonEmpty)
+
+    // DIVERGENT halves refuse the append: hand-restamp one half alone
+    // (the stale-half state some other lifecycle path would leave) so
+    // the dir's metas disagree — appending would encode the batch under
+    // one centroid generation and splice it onto codes from another,
+    // then promote the mixed index; both append paths must throw
+    // instead (advisor-caught)
+    val bothFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(both), spark.sparkContext.hadoopConfiguration)
+    val staleMeta = bothFs.create(
+      new org.apache.hadoop.fs.Path(both, "_codes_meta"), true)
+    try staleMeta.write("version=b3\n".getBytes("UTF-8")) finally staleMeta.close()
+    intercept[IllegalStateException](
+      Similarity.appendPqCodes(batch, both, "b4"))
+    intercept[IllegalStateException](
+      Similarity.appendAdcCodes(batch, both, "b4"))
   }
 
   test("spherical k-means recovers planted clusters; IVF nProbe=1 gets perfect recall on them") {

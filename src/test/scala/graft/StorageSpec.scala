@@ -802,6 +802,11 @@ class TsdbTableSpec extends SparkSuite {
     val p2 = TsdbSql.parse(s"select sum(cpu) from tsdb asof $snap where host=='a' group by host")
     assert(p2.asOfSeq == snap && p2.filter.contains("labels['host']") &&
       p2.groupBy == "host")
+    // `ASOF 0` is rejected at parse time, matching readRawAsOf's handle
+    // validation — select() would silently treat it as "current view"
+    // (advisor-caught)
+    intercept[IllegalArgumentException](
+      TsdbSql.parse("select sum(cpu) from tsdb asof 0"))
   }
 
   test("changes: CDC window nets insert/update/delete; in-window insert+delete nets out") {
