@@ -39,7 +39,9 @@ import org.apache.spark.sql.SparkSession
   *    times) — correctness-gated only. The r7 tsdb_delete_mor and the r8
   *    tsdb_time_travel / tsdb_changes staged entries follow the same
   *    rule (snapshot and CDC reads are manifest-filter variants of the
-  *    raw scan tsdb_raw already times; their staging dominates).
+  *    raw scan tsdb_raw already times; their staging dominates), as does
+  *    the r9 tsdb_asof_rollup (its serving plan is the rollup scan
+  *    tsdb_storage_agg already times plus a pruned raw rebuild).
   *  - Every individual run's time is emitted under `"runs"` so a run
   *    poisoned by this VM's external freeze windows is visible in the
   *    artifact itself; `"queries"` carries the per-query min.
@@ -56,7 +58,8 @@ object Bench {
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",
-    "sim_topk", "sim_ann_ivf", "sim_ann_ivfpq", "sim_ann_pq", "sim_quantize",
+    "sim_topk", "sim_ann_ivf", "sim_ann_ivfpq", "sim_ann_pq",
+    "sim_ann_pq_served", "sim_quantize",
     "dedup_embedding_srp",
     "sim_knn_graph_ivf", "sim_embed_stats", "sim_decontaminate",
     "sim_cluster_sample",
@@ -113,6 +116,11 @@ object Bench {
     // round 1 measures the serving path, not one-off construction
     run("tsdb_storage_agg")
     run("sim_ann_ivf")
+    // first sim_ann_pq_served call per corpus version BUILDS + persists
+    // the pinned ADC index — untimed, so its timed rounds measure the
+    // cold-load serving path (probe + LUT + re-rank) the entry exists
+    // to report
+    run("sim_ann_pq_served")
 
     // Three timed rounds, keep the per-query MIN: this environment shows
     // occasional external ~90-200s whole-VM stalls (all threads parked, no

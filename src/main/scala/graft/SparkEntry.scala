@@ -507,9 +507,11 @@ object SparkEntry {
     // reproduce the ORIGINAL aggregate: the twin is the plain
     // untouched-events SQL, so a hash match proves no later batch leaked
     // into the snapshot, and the require pins that the CURRENT view
-    // really did change (time travel is not the identity). Snapshot
-    // queries run precise-from-raw — the rollup is rebuilt in place and
-    // carries no version history.
+    // really did change (time travel is not the identity). Since r9 this
+    // aggregate is served through the ROLLUP-AT-SNAPSHOT fast path
+    // (step=1d over a 6h rollup passes canServerAggregate): untouched
+    // partitions read the live rollup, touched ones rebuild partials
+    // from the snapshot — tsdb_asof_rollup below pins that mechanism.
     "tsdb_time_travel" -> ((s, dir) => {
       val samples = Samples.fromEvents(s, dir).drop("valueStr")
       val tmp = java.nio.file.Files.createTempDirectory("graft_tt")
@@ -530,6 +532,46 @@ object SparkEntry {
         val snapSum = res.agg(sum("sum")).collect()(0).getDouble(0)
         require(math.abs(nowSum - snapSum) > 1.0,
           "the staged mutations must have changed the current view")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
+    // ROLLUP-AT-SNAPSHOT (r9 — the r8 verdict's #1 ask): an ASOF
+    // aggregate query keeps the server-aggregate fast path instead of
+    // paying a full raw scan (reference CanAggregate,
+    // aggregationParams.go:67-77 — the central optimization time travel
+    // previously forfeited). The staged mutations touch only days 3..6
+    // (+100 click override) and 10..12 (tombstone delete), so the plan
+    // must serve every OTHER partition from the live rollup and rebuild
+    // partials from the raw snapshot for the touched ones only — both
+    // pinned by plan-receipt requires. The twin is the untouched-corpus
+    // aggregate: a hash match proves the mixed rollup+rebuilt plan is
+    // exactly the snapshot, cell for cell.
+    "tsdb_asof_rollup" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_asof_rollup")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            overrideOld = true))
+        t.append(samples)
+        val snap = t.currentSeq()
+        t.append(samples
+          .filter(col("name") === "click" &&
+            col("time").between(F + 3 * Day, F + 7 * Day - 1))
+          .withColumn("value", col("value") + 100))
+        t.delete(F + 10 * Day, F + 13 * Day - 1, metrics = Seq("click"))
+        val p = SelectParams(functions = "count,sum,min,max",
+          from = F, to = T, step = Day)
+        require(t.canServerAggregate(p), "entry must engage the rollup planner")
+        val out = t.selectAsOf(p, snap)
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("/rollup"),
+          "untouched partitions must serve from the live rollup")
+        require(plan.contains("/raw"),
+          "touched partitions must rebuild from the raw snapshot")
+        val res = r6(out, Seq("sum", "min", "max"))
         val rows = res.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       } finally rmTree(tmp.toFile)
@@ -1570,6 +1612,47 @@ object SparkEntry {
         nProbe = 4, refine = 10)
     }),
 
+    // COLD-SERVING true PQ (r9 — the r8 verdict's #2 ask): the same
+    // pinned arithmetic as sim_ann_pq, but through the PERSISTED ADC
+    // index lifecycle. The first call per corpus version builds the
+    // pinned cells + codebooks + codes and saves them
+    // (Similarity.saveIvfIndex / saveAdcIndex, kind-stamped); every
+    // later call — including every timed bench round — COLD-LOADS the
+    // index and pays probe + ADC LUT + float re-rank only: no codebook
+    // training, no corpus encode. This is the production true-PQ
+    // serving cost the headline bench now reports (sim_ann_pq keeps the
+    // inline-build shape and is benched beside it, so the artifact
+    // separates build-dominated from serving-only cost). Hash-exact:
+    // parquet roundtrips the float artifacts bit-exactly, so the served
+    // top-5 equals the inline pipeline and SHARES its arithmetic twin.
+    "sim_ann_pq_served" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // dedicated dir: the pinned version must not re-version the
+      // TRAINED halves sim_ann_ivf/sim_ann_ivfpq share (the divergent-
+      // half hazard appendAdcCodes now refuses)
+      val idx = ivfIndexPath(dir) + "_pqsrv"
+      val version = s"$dir@${sourceFingerprint(dir, "embeddings.parquet")}"
+      val (cents, cbs, codes) =
+        (Similarity.loadIvfIndex(s, idx, version),
+          Similarity.loadAdcIndex(s, idx, version, expectKind = Some("raw"))) match {
+          case (Some(c), Some((b, k))) => (c, b, k)
+          case _ =>
+            val pinned = e.orderBy("vec_id").limit(16)
+              .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+            val cb = Similarity.pqCodebooks(e, m = 8, ksub = 16, iters = 0)
+            Similarity.saveIvfIndex(pinned, idx, version)
+            Similarity.saveAdcIndex(cb, Similarity.pqBuildIndex(e, pinned, cb),
+              idx, version)
+            (s.read.parquet(s"$idx/centroids"),
+              s.read.parquet(s"$idx/pq_codebooks"),
+              s.read.parquet(s"$idx/pq_codes"))
+        }
+      Similarity.ivfPqAdcTopKWith(e, q, k = 5, cents, cbs, codes,
+        nProbe = 4, refine = 10)
+    }),
+
     // IVF-PQ production shape (rows-only; sim_ann_ivfpq_recall below is
     // its hash-exact proxy through the same serving code path): the SAME
     // trained on-disk centroid index sim_ann_ivf serves, the int8 codes
@@ -2200,7 +2283,18 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    // sim_ann_pq_served computes the IDENTICAL pinned arithmetic through
+    // the persisted ADC index (parquet roundtrips the float artifacts
+    // bit-exactly), so one arithmetic twin serves both entries — a
+    // divergence between them means the index lifecycle corrupted the
+    // artifacts, which is exactly what the shared twin would catch
+    oracleSqlBase + ("sim_ann_pq_served" -> oracleSqlBase("sim_ann_pq"))
+
+  // lazy: the twin CTE vals this map interpolates are defined BELOW it
+  // in the object body — a strict val would capture them as null at
+  // object-init time
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -2530,6 +2624,19 @@ object SparkEntry {
          |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
          |  CAST(count(v) AS DOUBLE) AS "count",
          |  round(sum(v), 6) AS "sum"
+         |FROM s WHERE tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the snapshot aggregate == the untouched corpus, served through the
+    // mixed rollup+rebuilt plan — any live-rollup leak from the touched
+    // partitions (or any later-batch leak at all) breaks the hash
+    "tsdb_asof_rollup" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum",
+         |  round(min(v), 6) AS "min",
+         |  round(max(v), 6) AS "max"
          |FROM s WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 

@@ -1050,26 +1050,13 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       // route BEFORE any step coercion — each metric re-enters this
       // planner and coerces (or not) against its own aggregate coverage
       return QueryEngine.multiAggregateVia(p0, sub => select(sub))
-    // disableClientAggr coerces coarser steps down to rollup granularity so
-    // the rollup can serve (reference select.go:185-187) — but ONLY when
-    // the coerced query really is rollup-served: coercing a query that
-    // then falls to the raw path would silently change the requested
-    // output granularity (and corrupt overlapping windows, whose spans
-    // are step multiples)
-    val p =
-      if (config.disableClientAggregation && p0.baseFunctions.nonEmpty &&
-          p0.windows.isEmpty && p0.effectiveStep > config.rollupIntervalMs) {
-        val coerced = p0.copy(step = config.rollupIntervalMs)
-        val preOk = coerced.groupByLabels.isEmpty || matchingPreAgg(coerced).isDefined
-        if (canServerAggregate(coerced) && preOk) coerced else p0
-      } else p0
+    val p = coerceForRollup(p0)
     val preAgg = if (p.groupByLabels.nonEmpty) matchingPreAgg(p) else None
     if (canServerAggregate(p) && (p.groupByLabels.isEmpty || preAgg.isDefined)) {
       // partition-prune the rollup too — a 1-day query must not scan years
       // of rollup history (widen one rollup cell below `from` for the
       // median-time re-bucketing margin, plus the sliding window reach)
-      val pLo = ((p.from - config.rollupIntervalMs - p.aggregationWindow).max(0L) /
-        config.partitionIntervalMs) * config.partitionIntervalMs
+      val pLo = rollupSelectLo(p)
       def pruned(path: String) =
         spark.read.parquet(path).filter(col("part_start").between(pLo, p.to))
       preAgg match {
@@ -1092,6 +1079,29 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     }
   }
 
+  /** disableClientAggr coerces coarser steps down to rollup granularity
+    * so the rollup can serve (reference select.go:185-187) — but ONLY
+    * when the coerced query really is rollup-served: coercing a query
+    * that then falls to the raw path would silently change the requested
+    * output granularity (and corrupt overlapping windows, whose spans
+    * are step multiples). Shared by [[select]] and [[selectAsOf]] — the
+    * planner's granularity contract must not depend on whether a
+    * snapshot handle is present. */
+  private def coerceForRollup(p0: SelectParams): SelectParams =
+    if (config.disableClientAggregation && p0.baseFunctions.nonEmpty &&
+        p0.windows.isEmpty && p0.effectiveStep > config.rollupIntervalMs) {
+      val coerced = p0.copy(step = config.rollupIntervalMs)
+      val preOk = coerced.groupByLabels.isEmpty || matchingPreAgg(coerced).isDefined
+      if (canServerAggregate(coerced) && preOk) coerced else p0
+    } else p0
+
+  /** The rollup-path partition-pruning lower bound for `p`: one rollup
+    * cell below `from` for the median-time re-bucketing margin, plus the
+    * sliding-window reach. */
+  private def rollupSelectLo(p: SelectParams): Long =
+    ((p.from - config.rollupIntervalMs - p.aggregationWindow).max(0L) /
+      config.partitionIntervalMs) * config.partitionIntervalMs
+
   /** The raw-path scan lower bound for `p` — how far BELOW `from` the
     * engine reaches (sliding windows, overlapping-window anchoring,
     * interpolation donors); shared by [[select]]'s raw branch and
@@ -1108,18 +1118,93 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     p.from - Seq(p.aggregationWindow, interpTol, winLo).max
   }
 
-  /** Time-travel [[select]]: the query served from the
-    * [[readRawAsOf]] snapshot. Always the PRECISE raw path — the rollup
-    * and pre-aggregate tables are rebuilt in place and carry no version
-    * history, so snapshot queries must not be planned onto them; raw
-    * client aggregation is exact at every step, the
-    * `usePreciseAggregations` semantics (reference select.go:206-218).
-    * Multi-metric aggregates route per-metric like [[select]], each
-    * sub-query pinned to the same snapshot. */
+  /** Time-travel [[select]]: the query planned EXACTLY like the current
+    * view — rollup-served when `CanAggregate` holds (reference
+    * `aggregationParams.go:67-77`, the central optimization: wide
+    * aggregate queries read `span/rollupInterval` rows per series, not
+    * every sample), precise-from-raw otherwise (select.go:206-218
+    * semantics). The rollup and pre-aggregate tables are rebuilt in
+    * place and carry no version history, so the fast path splits the
+    * scan by mutation recency instead (see
+    * [[serverAggregateAtSnapshot]]): partitions UNTOUCHED since the
+    * snapshot handle serve from the live rollup unchanged (their merged
+    * view — and hence their partials — provably equals the snapshot's:
+    * MOR mutations always stamp a newer `__seq` into the partition they
+    * touch, and physical rewrites fence themselves out via `horizon`);
+    * only the touched partitions rebuild their partials from the
+    * [[readRawAsOf]] snapshot. Multi-metric aggregates route per-metric
+    * like [[select]], each sub-query pinned to the same snapshot. */
   def selectAsOf(p0: SelectParams, asOfSeq: Long): DataFrame = {
     if (p0.isMultiMetricAggregate)
       return QueryEngine.multiAggregateVia(p0, sub => selectAsOf(sub, asOfSeq))
-    QueryEngine.select(readRawAsOf(rawSelectLo(p0), p0.to, asOfSeq), p0)
+    val p = coerceForRollup(p0)
+    val preAgg = if (p.groupByLabels.nonEmpty) matchingPreAgg(p) else None
+    val fast =
+      if (canServerAggregate(p) && (p.groupByLabels.isEmpty || preAgg.isDefined) &&
+          hasPartitions(rawPath))
+        serverAggregateAtSnapshot(p, asOfSeq, preAgg)
+      else None
+    fast.getOrElse(
+      QueryEngine.select(readRawAsOf(rawSelectLo(p), p.to, asOfSeq), p))
+  }
+
+  /** The rollup-served snapshot plan: live rollup partials for
+    * partitions with no committed batch newer than `asOfSeq`, partials
+    * rebuilt from the snapshot raw view for the (few) partitions that
+    * DO carry newer batches. None on a legacy un-stamped table (no
+    * `__seq` → no way to prove untouched-ness → precise-from-raw).
+    *
+    * Scale shape: the touched-partition probe prunes to the queried
+    * partition range and pushes `__seq > asOfSeq` to the parquet scan —
+    * `__seq` is constant per file, so row-group stats skip every
+    * unchanged file wholesale (the [[changes]] discipline) and the
+    * collect is bounded by the partition-directory count. The common
+    * case — a snapshot a few batches old on a years-deep table — scans
+    * the live rollup plus the handful of recently-written raw files,
+    * never deep history.
+    *
+    * Concurrency: the manifest is frozen into the plan as literals
+    * (both reads), so later commits can't leak rows into either half; a
+    * concurrent [[mergeRollup]] partition REPLACE during execution
+    * surfaces as the documented retryable FileNotFound (rename swaps
+    * the dir), never as silently torn cells. */
+  private def serverAggregateAtSnapshot(
+      p: SelectParams, asOfSeq: Long,
+      preAgg: Option[Seq[String]]): Option[DataFrame] = {
+    require(asOfSeq > 0,
+      s"asOfSeq=$asOfSeq is not a snapshot handle: take one with currentSeq()")
+    // history fence up front (STRICT — the raw path's check in rawFiles
+    // must also govern the rollup path: below the fence the live rollup
+    // has physically lost the dropped/rewritten generations)
+    readCommits(strict = true).map(_.horizon).filter(_ > asOfSeq).foreach { h =>
+      throw new IllegalArgumentException(
+        s"snapshot seq=$asOfSeq predates the history-rewrite horizon=$h of $path: " +
+          "compaction / retention / a partition-drop or non-MOR delete has " +
+          "physically removed the file generations this snapshot needs. " +
+          "Time travel reaches back only to the most recent rewrite.")
+    }
+    val cur = rawFiles(strict = true)
+    if (!cur.columns.contains("__seq")) return None
+    val pLo = rollupSelectLo(p)
+    val touched = cur
+      .filter(col("part_start").between(pLo, p.to) && col("__seq") > asOfSeq)
+      .select("part_start").distinct().collect().map(_.getLong(0)).toSeq
+    val live = spark.read.parquet(preAgg.map(preAggPath).getOrElse(rollupPath))
+      .filter(col("part_start").between(pLo, p.to))
+    val view =
+      if (touched.isEmpty) live
+      else {
+        val snapRaw = mergeOnRead(rawFiles(Some(asOfSeq))
+          .filter(col("part_start").isin(touched: _*)))
+        val rebuilt = Rollup.build(snapRaw, config.rollupIntervalMs,
+            config.aggregates,
+            keys = preAgg.map(Rollup.preAggKeys).getOrElse(Nil))
+          .withColumn("part_start", partStart(col("bucket_start")))
+        live.filter(!col("part_start").isin(touched: _*)).unionByName(rebuilt)
+      }
+    Some(QueryEngine.serverAggregate(view, p, p.baseFunctions,
+      config.rollupIntervalMs,
+      keyNames = preAgg.map("name" +: _).getOrElse(Nil)))
   }
 
   /** CDC read (r8): the net row-level changes committed in

@@ -820,6 +820,28 @@ class SimilaritySpec extends SparkSuite {
       Similarity.appendAdcCodes(batch, both, "b4"))
   }
 
+  test("sim_ann_pq_served: first call builds the pinned ADC index, later calls cold-load and serve exactly the inline pipeline") {
+    import spark.implicits._
+    // stage a tiny embeddings fixture in a fresh dir: the entry's index
+    // path derives from the dir, so the first call provably builds and
+    // the second provably cold-loads
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqsrv").toString
+    val rnd = new scala.util.Random(11)
+    (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val first = SparkEntry.queries("sim_ann_pq_served")(spark, dir)
+      .collect().map(_.toSeq)
+    val loaded = SparkEntry.queries("sim_ann_pq_served")(spark, dir)
+      .collect().map(_.toSeq)
+    val inline = SparkEntry.queries("sim_ann_pq")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(first.nonEmpty && first.toSeq == inline.toSeq,
+      "persisted-index serving must equal the inline pinned pipeline")
+    assert(loaded.toSeq == inline.toSeq,
+      "cold-loaded serving must equal the inline pinned pipeline")
+  }
+
   test("spherical k-means recovers planted clusters; IVF nProbe=1 gets perfect recall on them") {
     import spark.implicits._
     // 3 tight clusters around orthogonal axes: cosine-separable by design

@@ -809,6 +809,83 @@ class TsdbTableSpec extends SparkSuite {
       TsdbSql.parse("select sum(cpu) from tsdb asof 0"))
   }
 
+  test("selectAsOf: server-aggregate fast path — untouched partitions serve from the live rollup, touched ones rebuild from the snapshot") {
+    import spark.implicits._
+    val day = 86400000L
+    val dir = Files.createTempDirectory("tsdb_asof_rollup").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    // two day-partitions; step 4h / rollup 1h ⇒ CanAggregate holds
+    t.append(samples(
+      ("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 7200000, 2.0),
+      ("cpu", "a", Base + day + 1000, 3.0), ("cpu", "a", Base + day + 7200000, 4.0)))
+    val p = SelectParams(name = "cpu", functions = "count,sum,max",
+      from = Base, to = Base + 2 * day - 1, step = 4 * 3600000L)
+    assert(t.canServerAggregate(p), "fixture must engage the rollup planner")
+    val before = t.select(p).orderBy("t").collect().map(_.toSeq).toSeq
+    val snap = t.currentSeq()
+    // mutate ONLY day 1: an LWW override and a later tombstone delete
+    t.append(samples(("cpu", "a", Base + day + 1000, 30.0)))
+    t.delete(Base + day + 7000000, Base + day + 7400000)
+    val res = t.selectAsOf(p, snap)
+    assert(res.orderBy("t").collect().map(_.toSeq).toSeq == before,
+      "snapshot aggregate must equal the pre-mutation result")
+    // and the current view really changed (day-1 cells differ)
+    assert(t.select(p).orderBy("t").collect().map(_.toSeq).toSeq != before)
+    // plan receipts: the snapshot plan scans the LIVE ROLLUP (for the
+    // untouched day-0 partition) and the raw table only for the touched
+    // day-1 partition's rebuild
+    val mixedPlan = res.queryExecution.executedPlan.toString
+    assert(mixedPlan.contains("/rollup"), "untouched partitions must serve from the rollup")
+    assert(mixedPlan.contains("/raw"), "touched partitions must rebuild from the raw snapshot")
+    // a snapshot at the CURRENT seq has no touched partitions: pure
+    // rollup scan, identical to the live fast path — no raw scan at all
+    val nowRes = t.selectAsOf(p, t.currentSeq())
+    val purePlan = nowRes.queryExecution.executedPlan.toString
+    assert(purePlan.contains("/rollup") && !purePlan.contains("/raw"),
+      s"no-touch snapshot must be a pure rollup scan, got:\n$purePlan")
+    assert(nowRes.orderBy("t").collect().map(_.toSeq).toSeq ==
+      t.select(p).orderBy("t").collect().map(_.toSeq).toSeq)
+    // precise semantics are untouched: a step below the CanAggregate
+    // coefficient falls back to raw and still matches the snapshot
+    val fine = p.copy(step = 3600000L)
+    assert(!t.canServerAggregate(fine))
+    val fineSnap = t.selectAsOf(fine, snap).orderBy("t").collect().map(_.toSeq)
+    assert(fineSnap.nonEmpty &&
+      !t.selectAsOf(fine, snap).queryExecution.executedPlan.toString.contains("/rollup"))
+    // usePreciseAggregations opts OUT of the fast path under ASOF too
+    val precise = p.copy(usePreciseAggregations = true)
+    assert(!t.selectAsOf(precise, snap).queryExecution.executedPlan
+      .toString.contains("/rollup"))
+    assert(t.selectAsOf(precise, snap).orderBy("t").collect().map(_.toSeq).toSeq == before)
+    // the horizon fence governs the rollup path like the raw path:
+    // compaction rewrites history, old snapshots are refused loudly
+    t.compact()
+    intercept[IllegalArgumentException](t.selectAsOf(p, snap).collect())
+  }
+
+  test("selectAsOf: pre-aggregate fast path serves a groupBy snapshot; touched partitions rebuild per label subset") {
+    import spark.implicits._
+    val day = 86400000L
+    val dir = Files.createTempDirectory("tsdb_asof_preagg").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true,
+        preAggregates = Seq(Seq("host"))))
+    t.append(samples(
+      ("cpu", "a", Base + 1000, 1.0), ("cpu", "b", Base + 7200000, 2.0),
+      ("cpu", "a", Base + day + 1000, 3.0), ("cpu", "b", Base + day + 7200000, 4.0)))
+    val p = SelectParams(name = "cpu", functions = "count,sum",
+      groupBy = "host", from = Base, to = Base + 2 * day - 1, step = 4 * 3600000L)
+    val before = t.select(p).orderBy("host", "t").collect().map(_.toSeq).toSeq
+    val snap = t.currentSeq()
+    t.append(samples(("cpu", "a", Base + day + 1000, 30.0)))
+    val res = t.selectAsOf(p, snap)
+    assert(res.orderBy("host", "t").collect().map(_.toSeq).toSeq == before)
+    assert(t.select(p).orderBy("host", "t").collect().map(_.toSeq).toSeq != before)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("rollup_agg"), "untouched partitions must serve from the pre-aggregate table")
+  }
+
   test("changes: CDC window nets insert/update/delete; in-window insert+delete nets out") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tsdb_cdc").toString
