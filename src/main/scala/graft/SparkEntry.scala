@@ -612,6 +612,39 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // SQL CHANGES (r9 — the r8 verdict's #4 ask): the identical staged
+    // CDC feed, reached through the SQL dialect (`CHANGES SINCE n WITH
+    // PREIMAGES` → TsdbSql.parseChanges → TsdbTable.sql → changes) —
+    // the Delta-CDF-shaped feed without the Scala API. Same staged
+    // mutations and twin as tsdb_changes; a hash match proves the SQL
+    // surface routes to exactly the programmatic feed.
+    "tsdb_changes_sql" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_sql")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            overrideOld = true))
+        t.append(samples)
+        val snap = t.currentSeq()
+        val clicks = samples.filter(col("name") === "click")
+        t.append(
+          clicks.filter(col("time").between(F + 3 * Day, F + 7 * Day - 1))
+            .withColumn("value", col("value") + 100)
+            .unionByName(
+              clicks.filter(col("time") < F + 2 * Day)
+                .withColumn("name", lit("probe"))
+                .withColumn("value", col("value") * 2)))
+        t.delete(F + 10 * Day, F + 13 * Day - 1, metrics = Seq("click"))
+        val res = t.sql(s"changes since $snap with preimages")
+          .select(col("name"), col("labels_str"), col("time"),
+            round(col("value"), 6).as("value"), col("_change_type"))
+          .orderBy("name", "labels_str", "time", "_change_type")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // RETENTION (S11, reference retentionDays config.go:198-200 +
     // partition-age deletion partmgr.go:330,357,390): a 10-day horizon
     // enforced at now=T drops partitions 0..19 whole (the horizon is
@@ -2289,7 +2322,11 @@ object SparkEntry {
     // bit-exactly), so one arithmetic twin serves both entries — a
     // divergence between them means the index lifecycle corrupted the
     // artifacts, which is exactly what the shared twin would catch
-    oracleSqlBase + ("sim_ann_pq_served" -> oracleSqlBase("sim_ann_pq"))
+    oracleSqlBase +
+      ("sim_ann_pq_served" -> oracleSqlBase("sim_ann_pq")) +
+      // the SQL CHANGES surface must produce the IDENTICAL feed as the
+      // programmatic changes() — same staged mutations, same twin
+      ("tsdb_changes_sql" -> oracleSqlBase("tsdb_changes"))
 
   // lazy: the twin CTE vals this map interpolates are defined BELOW it
   // in the object body — a strict val would capture them as null at

@@ -154,6 +154,24 @@ object Main {
           (if (ok < total) s" (${total - ok} dropped: invalid/unparseable time)" else ""))
       } finally df.unpersist()
 
+    // CDC statement (r9): `changes since <seq> [until <seq>] [with
+    // preimages]` emits the change feed through the chosen formatter and
+    // takes none of the SELECT-path time flags (its window is commit
+    // seqs, not sample time)
+    case "query" if pos.headOption.exists(_.trim.toLowerCase.startsWith("changes")) =>
+      val t = table(spark, tablePath)
+      val c = TsdbSql.parseChanges(pos.head).getOrElse(
+        sys.error(s"unsupported CHANGES statement: ${pos.head}"))
+      val feed = t.changes(c.sinceSeq, c.untilSeq, c.preImages)
+        .select(col("name"), col("labels_str"), col("time"), col("value"),
+          col("_change_type"))
+        .orderBy("name", "labels_str", "time", "_change_type")
+      f.getOrElse("o", "text") match {
+        case "csv" => print(Formatters.csv(feed))
+        case "json" => println(Formatters.json(feed))
+        case _ => print(Formatters.text(feed))
+      }
+
     case "query" =>
       val t = table(spark, tablePath)
       val now = System.currentTimeMillis()

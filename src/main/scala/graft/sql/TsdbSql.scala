@@ -2,6 +2,14 @@ package graft.sql
 
 import graft.query.{Aggregates, Interpolation, RequestedColumn, SelectParams}
 
+/** Parsed `CHANGES SINCE n [UNTIL m] [WITH PREIMAGES]` statement (r9 —
+  * the SQL surface for the CDC feed [[graft.storage.TsdbTable.changes]]
+  * exposes; Delta's `table_changes(...)` analog in this dialect's
+  * shape). `sinceSeq = 0` means "from the beginning", like the Scala
+  * API. */
+case class ChangesSpec(sinceSeq: Long, untilSeq: Long = Long.MaxValue,
+                       preImages: Boolean = false)
+
 /** Thin translator for the reference's SQL dialect
   * (`pkg/pquerier/sql_parser.go:33-198`) → [[SelectParams]]. Anything
   * richer belongs in plain `spark.sql` — this exists for API parity with
@@ -57,6 +65,26 @@ object TsdbSql {
         }.getOrElse(0L))
     case _ =>
       throw new IllegalArgumentException(s"unsupported query: $sql")
+  }
+
+  // `CHANGES SINCE <seq> [UNTIL <seq>] [WITH PREIMAGES]` — the CDC
+  // statement (graft extension; the ASOF discipline applied to the
+  // change feed so it is reachable without the Scala API)
+  private val Changes =
+    """(?is)\s*changes\s+since\s+(\d+)(?:\s+until\s+(\d+))?(\s+with\s+preimages)?\s*;?\s*""".r
+
+  /** Parse a CHANGES statement; None when `sql` is not one (→ try
+    * [[parse]]). An inverted window is a user error worth failing at
+    * parse time — the engine would just return an empty feed, which a
+    * CDC consumer reads as "no changes" and silently falls behind. */
+  def parseChanges(sql: String): Option[ChangesSpec] = sql match {
+    case Changes(since, until, pre) =>
+      val s = since.toLong
+      val u = Option(until).map(_.toLong).getOrElse(Long.MaxValue)
+      if (u <= s) throw new IllegalArgumentException(
+        s"CHANGES SINCE $s UNTIL $u is an empty/inverted window (UNTIL must exceed SINCE)")
+      Some(ChangesSpec(s, u, pre != null))
+    case _ => None
   }
 
   /** Split a select list on top-level commas (not inside parens). */

@@ -1309,6 +1309,21 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         .withColumn("_change_type", lit("update_preimage")))
   }
 
+  /** One SQL entry point for the dialect (r9): `SELECT ... [ASOF n]`
+    * routes through [[select]] (an aggregate-less time range defaults to
+    * the full table — the programmatic caller has no CLI `-b/-e` flags
+    * to compose); `CHANGES SINCE n [UNTIL m] [WITH PREIMAGES]` through
+    * [[changes]] — the CDC feed reachable as SQL text, Delta
+    * `table_changes` shaped. */
+  def sql(query: String): DataFrame =
+    graft.sql.TsdbSql.parseChanges(query) match {
+      case Some(c) => changes(c.sinceSeq, c.untilSeq, c.preImages)
+      case None =>
+        val p = graft.sql.TsdbSql.parse(query)
+        select(if (p.to > 0) p
+          else p.copy(from = 0L, to = graft.core.TimeUtil.MaxTimeMs))
+    }
+
   /** Compact an overrideOld table: rewrite each partition with the
     * merge-on-read view materialized, dropping superseded row versions so
     * subsequent reads skip the dedup window until the next rewrite burst —

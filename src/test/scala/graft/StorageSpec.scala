@@ -920,6 +920,19 @@ class TsdbTableSpec extends SparkSuite {
       .select("time", "value", "_change_type")
       .as[(Long, Double, String)].collect().toSet
     assert(chPre == ch + ((Base + 1000, 1.0, "update_preimage")))
+    // the SQL surface (r9) routes to the identical feed: CHANGES SINCE,
+    // with UNTIL and WITH PREIMAGES, and an inverted window is rejected
+    // at parse time (an empty feed would read as "no changes" to a CDC
+    // consumer, silently falling behind)
+    assert(t.sql(s"changes since $s1").collect().map(_.toSeq).toSet ==
+      t.changes(s1).collect().map(_.toSeq).toSet)
+    assert(t.sql(s"CHANGES SINCE $s1 UNTIL $s2 WITH PREIMAGES")
+      .collect().map(_.toSeq).toSet ==
+      t.changes(s1, s2, preImages = true).collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException](t.sql(s"changes since $s2 until $s1"))
+    // and a SELECT through the same entry point still selects (full
+    // range default when the caller supplies no window)
+    assert(t.sql("select cpu from tsdb").count() > 0)
     // tombstone deletes preserve history: snapshots and CDC both still work
     assert(t.readRawAsOf(Base, Base + 10000, s1).count() == 2)
     // after compaction the pre-images are gone → changes below refuses
@@ -1020,6 +1033,19 @@ class TsdbTableSpec extends SparkSuite {
 }
 
 class TsdbSqlSpec extends SparkSuite {
+  test("CHANGES statement: SINCE/UNTIL/WITH PREIMAGES parse; inverted window rejected; SELECT is not a CHANGES") {
+    import graft.sql.ChangesSpec
+    assert(TsdbSql.parseChanges("changes since 7").contains(ChangesSpec(7)))
+    assert(TsdbSql.parseChanges("CHANGES SINCE 7 UNTIL 9 WITH PREIMAGES")
+      .contains(ChangesSpec(7, 9, preImages = true)))
+    // since 0 = from the beginning, the Scala-API convention
+    assert(TsdbSql.parseChanges("changes since 0 until 3")
+      .contains(ChangesSpec(0, 3)))
+    assert(TsdbSql.parseChanges("select avg(cpu) from t").isEmpty)
+    intercept[IllegalArgumentException](TsdbSql.parseChanges("changes since 9 until 3"))
+    intercept[IllegalArgumentException](TsdbSql.parseChanges("changes since 9 until 9"))
+  }
+
   test("aggregate select with where and group by (sql_parser_test.go)") {
     val p = TsdbSql.parse(
       "select max(cpu), avg(cpu) as mean from tsdb where os=='win' group by host")
