@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Samples
-import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Codecs, Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.query.{QueryEngine, SelectParams}
 import graft.storage.Rollup
 
@@ -1873,6 +1873,36 @@ object SparkEntry {
         StructType(Seq(StructField("doc_id", LongType),
           StructField("blob", BinaryType))))
       Multimodal.sampleFrames(blobs, everyN = 2)
+        .select(col("doc_id"), col("decoded"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // REAL compressed video through the same operator: MJPEG-in-AVI
+    // (RIFF container walk + per-frame javax.imageio JPEG decode — zero
+    // new dependencies). Constant-gray frames encode as DC-only blocks
+    // at JPEG quality 1.0 (all-ones quantization tables), so decode is
+    // bit-exact and mean_luma keeps the closed form
+    // ((doc_id*37 + k*11) % 256) / 255 the twin emits directly; every
+    // 2nd frame of a 2-to-5-frame clip per doc
+    "multimodal_frames_avi" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          Row(id, Multimodal.mjpegAviVideo(8, 8, (2 + id % 4).toInt,
+            k => ((id * 37 + k * 11) % 256).toInt))
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.sampleFrames(blobs, everyN = 2,
+          decoder = Codecs.MjpegAviDecoder)
         .select(col("doc_id"), col("decoded"),
           col("frame_idx").cast("long").as("frame_idx"),
           col("n_frames").cast("long").as("n_frames"),
@@ -3769,6 +3799,19 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_frames, 4::BIGINT AS width,
         |  4::BIGINT AS height,
         |  round(((doc_id * 31 + k * 7) % 256) / 255.0, 6) AS mean_luma
+        |FROM f WHERE k % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // closed form of the entry's constant-gray MJPEG-AVI clips: JPEG
+    // quality 1.0 makes the constant frames decode bit-exactly, so the
+    // twin is pure arithmetic — frames k = 0, 2, 4 of n = 2 + doc_id % 4
+    "multimodal_frames_avi" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents),
+        |f AS (SELECT doc_id, n, unnest(range(0, n::INT)) AS k FROM d)
+        |SELECT doc_id, true AS decoded, CAST(k AS BIGINT) AS frame_idx,
+        |  CAST(n AS BIGINT) AS n_frames, 8::BIGINT AS width,
+        |  8::BIGINT AS height,
+        |  round(((doc_id * 37 + k * 11) % 256) / 255.0, 6) AS mean_luma
         |FROM f WHERE k % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 

@@ -64,6 +64,157 @@ object Codecs {
     }
   }
 
+  /** MJPEG-in-AVI (r9) — the one REAL compressed video format this
+    * container can decode with zero new dependencies: a RIFF/AVI
+    * container walk (pure byte parsing) locating the `##dc`/`##db`
+    * video chunks inside `LIST movi`, plus per-frame `javax.imageio`
+    * JPEG decode. Frame OFFSETS and geometry are validated eagerly
+    * (chunk walk + JPEG SOF marker scan — header bytes only, no pixel
+    * work), so a non-JPEG stream or mixed-geometry container returns
+    * None up front; PIXEL decode stays per-frame lazy per the
+    * [[VideoClip]] contract, so stride sampling never decodes skipped
+    * frames. Single-component (grayscale) JPEGs read their raster
+    * directly — bit-exact, no gray→sRGB round trip; color frames reduce
+    * via the same Rec.601 luma as the image operators. An AVI with ZERO
+    * video chunks is a valid empty clip (geometry from `avih`). */
+  object MjpegAviDecoder extends VideoDecoder {
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** (offset, length) of every video-stream chunk inside LIST movi
+      * (recursing through `rec ` groups), or None on a structurally
+      * corrupt container. */
+    private def frameChunks(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+      val out = Vector.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int, inMovi: Boolean): Boolean = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = fourcc(b, p); val len = le32(b, p + 4)
+          if (len < 0 || p + 8 + len > end) return false
+          if (id == "LIST" && len >= 4) {
+            val lt = fourcc(b, p + 8)
+            if (!walk(p + 12, p + 8 + len, inMovi || lt == "movi" || lt == "rec "))
+              return false
+          } else if (inMovi && (id.endsWith("dc") || id.endsWith("db")) && len > 0)
+            out += ((p + 8, len))
+          p += 8 + len + (len & 1) // RIFF chunks pad to even
+        }
+        true
+      }
+      if (walk(12, b.length, inMovi = false)) Some(out.result()) else None
+    }
+
+    /** `avih` main-header (width, height) — the empty-clip geometry. */
+    private def avihDims(b: Array[Byte]): Option[(Int, Int)] = {
+      def find(start: Int, end: Int): Option[(Int, Int)] = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = fourcc(b, p); val len = le32(b, p + 4)
+          if (len < 0 || p + 8 + len > end) return None
+          if (id == "avih" && len >= 40)
+            return Some((le32(b, p + 8 + 32), le32(b, p + 8 + 36)))
+          if (id == "LIST" && len >= 4)
+            find(p + 12, p + 8 + len).foreach(d => return Some(d))
+          p += 8 + len + (len & 1)
+        }
+        None
+      }
+      find(12, b.length)
+    }
+
+    /** JPEG (width, height) from the SOF marker — no pixel decode.
+      * None = not a baseline/progressive JPEG stream. */
+    private def jpegDims(b: Array[Byte], off: Int, len: Int): Option[(Int, Int)] = {
+      if (len < 4 || (b(off) & 0xFF) != 0xFF || (b(off + 1) & 0xFF) != 0xD8)
+        return None
+      var p = off + 2; val end = off + len
+      while (p + 2 <= end && (b(p) & 0xFF) == 0xFF) {
+        val marker = b(p + 1) & 0xFF
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) p += 2
+        else if (marker == 0xDA) return None // scan data before any SOF
+        else {
+          if (p + 4 > end) return None
+          val segLen = ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) {
+            if (p + 9 > end) return None
+            val h = ((b(p + 5) & 0xFF) << 8) | (b(p + 6) & 0xFF)
+            val w = ((b(p + 7) & 0xFF) << 8) | (b(p + 8) & 0xFF)
+            return Some((w, h))
+          }
+          p += 2 + segLen
+        }
+      }
+      None
+    }
+
+    /** Decoded image → grayscale plane. TYPE_BYTE_GRAY rasters copy
+      * bit-exactly (getRGB would detour through the gray→sRGB color
+      * model and gamma-shift every value); anything else reduces via
+      * Rec.601 luma, the image operators' formula. */
+    private def grayPlane(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+        val out = new Array[Byte](w * h)
+        img.getRaster.getDataElements(0, 0, w, h, out)
+        out
+      } else {
+        val out = new Array[Byte](w * h)
+        val rowBuf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = rowBuf(x)
+            val luma = 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            out(y * w + x) =
+              math.min(255, math.max(0, math.floor(luma + 0.5).toInt)).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+
+    def decode(bytes: Array[Byte]): Option[VideoClip] =
+      try {
+        if (bytes == null || bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+            fourcc(bytes, 8) != "AVI ") return None
+        frameChunks(bytes).flatMap { chunks =>
+          if (chunks.isEmpty)
+            avihDims(bytes).collect { case (w, h) if w > 0 && h > 0 =>
+              VideoClip(w, h, 0, _ => Array.emptyByteArray)
+            }
+          else {
+            // every frame must be a JPEG of one shared geometry — checked
+            // from header bytes before any pixel work
+            val dims = chunks.map { case (o, l) => jpegDims(bytes, o, l) }
+            if (dims.exists(_.isEmpty) || dims.flatten.distinct.size != 1) None
+            else {
+              val (w, h) = dims.head.get
+              Some(VideoClip(w, h, chunks.size, { k =>
+                val (o, l) = chunks(k)
+                javax.imageio.ImageIO.setUseCache(false)
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, o, l))
+                // geometry was pre-validated; a null here is a torn
+                // stream the SOF scan couldn't see — surfaces through
+                // sampleFrames' loud contract require, never silently
+                if (img == null) null else grayPlane(img)
+              }))
+            }
+          }
+        }
+      } catch { case _: Exception => None } // corrupt container → fallback
+  }
+
   /** Decoded audio: MONO samples in [-1, 1] (multi-channel inputs are
     * averaged by the decoder), plus the source's rate and channel count
     * for accounting. */

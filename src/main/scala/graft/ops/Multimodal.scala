@@ -309,6 +309,83 @@ object Multimodal {
     out.array()
   }
 
+  /** Encode one image as JPEG at compression quality 1.0 — all-ones
+    * quantization tables, so a CONSTANT-gray frame (DC-only blocks)
+    * round-trips bit-exactly through encode+decode (MultimodalSpec pins
+    * this for every fill value 0..255). Fixture plumbing only; output
+    * bytes never appear in an oracle (twins use the closed-form fills). */
+  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Synthesize an MJPEG-in-AVI clip of `n` constant-GRAY frames (frame
+    * k filled with `fill(k)`) — fixture plumbing for the REAL
+    * compressed-video path ([[Codecs.MjpegAviDecoder]]): a full RIFF/AVI
+    * container (`hdrl` with `avih` + `strl`, `LIST movi` with `00dc`
+    * JPEG chunks, even-byte padding) whose single-component quality-1.0
+    * JPEG frames decode bit-exactly, so mean luma keeps the closed form
+    * `fill(k)/255` the SQL twin emits. `n == 0` is the valid empty clip
+    * (geometry carried by `avih` alone). */
+  def mjpegAviVideo(w: Int, h: Int, n: Int, fill: Int => Int): Array[Byte] = {
+    val frames = (0 until n).map { k =>
+      val v = fill(k)
+      require(v >= 0 && v <= 255, s"gray fill out of range: $v")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val plane = Array.fill[Byte](w * h)(v.toByte)
+      img.getRaster.setDataElements(0, 0, w, h, plane)
+      jpegBytes(img)
+    }
+    aviContainer(w, h, frames)
+  }
+
+  /** Wrap pre-encoded JPEG frames in a RIFF/AVI container. Exposed
+    * separately so specs can build mixed/corrupt containers. */
+  def aviContainer(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if ((payload.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    // avih: 56-byte main header; width at offset 32, height at 36
+    val avih = chunk("avih",
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(frames.size) ++
+        le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+        Array.fill[Byte](16)(0))
+    // strh 'vids'/'MJPG' + strf BITMAPINFOHEADER — present for container
+    // realism; the decoder keys on the movi chunks and avih geometry
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(30) ++ le32(0) ++
+        le32(frames.size) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+        le32(0) ++ le32((h << 16) | (w & 0xFFFF)))
+    val strf = chunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++ le32((24 << 16) | 1) ++
+        "MJPG".getBytes("US-ASCII") ++ le32(w * h * 3) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(body.length))
+    bos.write(body)
+    bos.toByteArray
+  }
+
   private val audioSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("decoded", BooleanType),

@@ -2112,6 +2112,82 @@ class MultimodalSpec extends SparkSuite {
     assert(edge(11L).length == 1 && !edge(11L).head.getBoolean(1))
   }
 
+  test("MJPEG-in-AVI: bit-exact constant-gray round-trip, stride, empty clip, corrupt/mixed/non-JPEG flagged") {
+    import graft.ops.Codecs
+    // quality-1.0 JPEG of a constant gray frame is DC-only with all-ones
+    // quantization tables: EVERY fill value 0..255 must round-trip
+    // bit-exactly (this is what makes the oracle twin's closed form valid)
+    val all = Codecs.MjpegAviDecoder.decode(
+      Multimodal.mjpegAviVideo(4, 4, 256, k => k))
+    assert(all.nonEmpty && all.get.nFrames == 256 &&
+      all.get.width == 4 && all.get.height == 4)
+    for (k <- 0 until 256)
+      assert(all.get.frame(k).toSeq == Seq.fill(16)(k.toByte),
+        s"fill $k did not round-trip bit-exactly")
+
+    // through the operator: stride sampling + exact constant-frame stats
+    val clip = Multimodal.mjpegAviVideo(8, 8, 5, k => 10 * k + 3)
+    val empty = Multimodal.mjpegAviVideo(6, 4, 0, _ => 0)
+    val blobs = Seq(1L -> clip, 2L -> clip.dropRight(9),
+      3L -> "NOT AN AVI..".getBytes("UTF-8"), 4L -> empty)
+      .toDF("doc_id", "blob")
+    val out = Multimodal.sampleFrames(blobs, everyN = 2,
+      decoder = Codecs.MjpegAviDecoder).collect().groupBy(_.getLong(0))
+    val f1 = out(1L).sortBy(_.getInt(2))
+    assert(f1.map(_.getInt(2)).toSeq == Seq(0, 2, 4))
+    assert(f1.forall(r => r.getBoolean(1) && r.getInt(3) == 5 &&
+      r.getInt(4) == 8 && r.getInt(5) == 8))
+    assert(f1.map(_.getDouble(6)).toSeq ==
+      Seq(3 / 255.0, 23 / 255.0, 43 / 255.0))
+    // truncated container and non-RIFF bytes: one flagged row each
+    for (id <- Seq(2L, 3L))
+      assert(out(id).length == 1 && !out(id).head.getBoolean(1) &&
+        out(id).head.isNullAt(2))
+    // valid EMPTY clip: decoded row, geometry from avih, no frame fields
+    assert(out(4L).length == 1 && out(4L).head.getBoolean(1) &&
+      out(4L).head.getInt(3) == 0 && out(4L).head.getInt(4) == 6 &&
+      out(4L).head.getInt(5) == 4 && out(4L).head.isNullAt(2))
+
+    // mixed-geometry container (frames of two sizes) rejects up front
+    def oneJpeg(w: Int, h: Int): Array[Byte] = {
+      val full = Multimodal.mjpegAviVideo(w, h, 1, _ => 50)
+      val c = Codecs.MjpegAviDecoder.decode(full)
+      assert(c.nonEmpty && c.get.nFrames == 1)
+      // re-extract the raw JPEG chunk: movi chunk payload starts after
+      // the '00dc'+len header — find the JPEG SOI inside the container
+      val i = full.indexOfSlice(Seq(0xFF.toByte, 0xD8.toByte))
+      // chunk length sits 8 bytes before the payload (little-endian)
+      val len = (full(i - 4) & 0xFF) | ((full(i - 3) & 0xFF) << 8) |
+        ((full(i - 2) & 0xFF) << 16) | ((full(i - 1) & 0xFF) << 24)
+      full.slice(i, i + len)
+    }
+    val mixed = Multimodal.aviContainer(4, 4, Seq(oneJpeg(4, 4), oneJpeg(8, 8)))
+    assert(Codecs.MjpegAviDecoder.decode(mixed).isEmpty)
+    // a non-JPEG video chunk rejects the container (flagged, not a crash)
+    val nonJpeg = Multimodal.aviContainer(4, 4,
+      Seq(oneJpeg(4, 4), Array.fill[Byte](20)(7)))
+    assert(Codecs.MjpegAviDecoder.decode(nonJpeg).isEmpty)
+    // GFV1 payloads are not AVIs and vice versa: the decoders are
+    // disjoint, so a mixed binary column routes each format correctly
+    assert(Codecs.MjpegAviDecoder.decode(
+      Multimodal.gfvVideo(4, 4, 2, _ => 9)).isEmpty)
+    assert(Codecs.Gfv1Decoder.decode(clip).isEmpty)
+
+    // COLOR JPEG frames take the Rec.601 luma path (lossy: tolerance,
+    // not exactness — the oracle entry uses grayscale frames only)
+    val rgbImg = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) rgbImg.setRGB(x, y, 0x6090C0)
+    val rgbBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgbImg, "jpeg", rgbBos)
+    val colorClip = Codecs.MjpegAviDecoder.decode(
+      Multimodal.aviContainer(8, 8, Seq(rgbBos.toByteArray)))
+    assert(colorClip.nonEmpty && colorClip.get.nFrames == 1)
+    val luma = 0.299 * 0x60 + 0.587 * 0x90 + 0.114 * 0xC0
+    val plane = colorClip.get.frame(0)
+    assert(plane.forall(b => math.abs((b & 0xFF) - luma) <= 3.0))
+  }
+
   test("real image decode (javax.imageio): PNG + BMP decode, resize grid, fallback for non-images") {
     // in-memory synthesized images: no external codecs, pure JDK
     def png(w: Int, h: Int, paint: (Int, Int) => Int): Array[Byte] = {
