@@ -414,13 +414,19 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       val df = spark.read.option("mergeSchema", config.overrideOld.toString)
         .parquet(rawPath)
       if (df.columns.contains("__seq")) {
-        val fileSeqs = df.select(input_file_name().as("f"), col("__seq").as("s"))
-          .distinct().collect()
-        fileSeqs.filter { r =>
-          !r.isNullAt(1) && {
-            val s = r.getLong(1); s > cm.floor && !cm.seqs(s)
-          }
-        }.foreach(r => fs.delete(new org.apache.hadoop.fs.Path(r.getString(0)), false))
+        // the orphan predicate runs on the EXECUTORS (the committed set
+        // is manifest-bounded, <= VacuumSetThreshold+1 literals), so the
+        // driver materializes only the orphan file names — usually none —
+        // instead of one row per live file (a never-compacted
+        // multi-million-file table would otherwise make vacuum the one
+        // maintenance step with driver-proportional memory)
+        val committed = cm.seqs.toSeq
+        val orphanFiles = df
+          .filter(col("__seq").isNotNull && col("__seq") > lit(cm.floor) &&
+            (if (committed.isEmpty) lit(true) else !col("__seq").isin(committed: _*)))
+          .select(input_file_name().as("f")).distinct().collect()
+        orphanFiles.foreach(r =>
+          fs.delete(new org.apache.hadoop.fs.Path(r.getString(0)), false))
       }
     }
     // orphans were never reader-visible at ANY seq, so vacuum moves no

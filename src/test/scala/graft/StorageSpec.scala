@@ -705,6 +705,38 @@ class TsdbTableSpec extends SparkSuite {
       manifest.forall(l => l.startsWith("floor=") || l.startsWith("horizon=")))
   }
 
+  test("vacuum on a many-file table: executor-side sweep deletes exactly the orphans, all committed files survive") {
+    val dir = Files.createTempDirectory("tsdb_vacuum_many").toString
+    val commits = java.nio.file.Paths.get(dir, "_commits")
+    val t = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
+    // many committed generations -> many live files (one+ per append)
+    for (i <- 0 until 12)
+      t.append(samples(("cpu", "a", Base + i * 1000L, i.toDouble)))
+    val committedFiles = spark.read.parquet(s"$dir/raw").count()
+    assert(committedFiles >= 12)
+    // TWO independent crashed appends (commit manifest rolled back after
+    // each write), interleaved with one more committed generation
+    val snap1 = java.nio.file.Files.readAllBytes(commits)
+    t.append(samples(("cpu", "a", Base + 100000L, 100.0)))
+    java.nio.file.Files.write(commits, snap1)
+    t.append(samples(("cpu", "a", Base + 12000L, 12.0))) // committed
+    val snap2 = java.nio.file.Files.readAllBytes(commits)
+    t.append(samples(("cpu", "a", Base + 200000L, 200.0)))
+    java.nio.file.Files.write(commits, snap2)
+    assert(spark.read.parquet(s"$dir/raw").count() == committedFiles + 3)
+    assert(t.countMetrics() == 13) // both orphans invisible
+    t.vacuum()
+    // exactly the two orphan rows' files are gone; every committed row
+    // (including the one committed BETWEEN the crashes) survives
+    assert(spark.read.parquet(s"$dir/raw").count() == committedFiles + 1)
+    val live = t.readRaw(Base, Base + 600000000L).select("time").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(live == (0 to 12).map(i => Base + i * 1000L))
+    val manifest = new String(java.nio.file.Files.readAllBytes(commits), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty)
+    assert(manifest.forall(l => l.startsWith("floor=") || l.startsWith("horizon=")))
+  }
+
   test("reader atomicity: a select racing compaction sees a constant view (append-alongside + LWW commit)") {
     val dir = Files.createTempDirectory("tsdb_atomic_c").toString
     val t = new TsdbTable(spark, dir,
