@@ -167,10 +167,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } finally {
         // the ~1.7M-row throwaway tables must not pile up in /tmp
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(dir.toFile)
+        graft.core.Fs.rmTree(dir.toFile)
       }
     }
     // per-run failure handling: keep whichever runs succeeded; omit the

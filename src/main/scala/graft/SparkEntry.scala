@@ -64,13 +64,9 @@ object SparkEntry {
       "中文句子用于测试这个语言识别模型",
       "中文句子"))
 
-  /** Recursive delete for the self-staging entries' temp trees — these
-    * run every verify/bench round, and a leaked corpus-sized directory
-    * per invocation would fill /tmp on long-lived sessions. */
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(rmTree))
-    f.delete()
-  }
+  /** Recursive delete for the self-staging entries' temp trees (the
+    * shared [[graft.core.Fs.rmTree]]). */
+  private def rmTree(f: java.io.File): Unit = graft.core.Fs.rmTree(f)
 
   /** One TsdbTable per (JVM, sfDir) built from the events samples —
     * exercises the real storage path (append → rollup → planner). */

@@ -31,6 +31,15 @@ object Codecs {
   final case class VideoClip(width: Int, height: Int, nFrames: Int,
                              frame: Int => Array[Byte])
 
+  /** Payload corruption a decoder could only discover AFTER `decode()`
+    * returned `Some` — e.g. a JPEG whose headers parsed but whose
+    * entropy-coded data is torn. `VideoClip.frame(k)` throws this and
+    * the operator demotes the whole doc to its flagged `decoded=false`
+    * row (the same outcome as an up-front `None`), keeping the
+    * never-fail-the-job contract even for lazily-decoded formats. Any
+    * OTHER exception from `frame` is a broken DECODER and stays loud. */
+  final class CorruptPayload(msg: String) extends RuntimeException(msg)
+
   /** bytes → [[VideoClip]]; None = undecodable. `Some` with
     * `nFrames == 0` is a VALID empty clip (the operator keeps the doc
     * visible with a `decoded=true` row and no frame fields). */
@@ -202,12 +211,22 @@ object Codecs {
               Some(VideoClip(w, h, chunks.size, { k =>
                 val (o, l) = chunks(k)
                 javax.imageio.ImageIO.setUseCache(false)
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(bytes, o, l))
-                // geometry was pre-validated; a null here is a torn
-                // stream the SOF scan couldn't see — surfaces through
-                // sampleFrames' loud contract require, never silently
-                if (img == null) null else grayPlane(img)
+                // the SOF scan can't see entropy-coded corruption (torn
+                // scan data, missing DHT tables — standard for camera
+                // MJPEG): a per-frame decode failure is CORRUPT PAYLOAD,
+                // not a broken decoder — throw the typed signal so the
+                // operator demotes the doc to its flagged row instead of
+                // failing the job
+                val img =
+                  try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes, o, l))
+                  catch { case e: Exception =>
+                    throw new CorruptPayload(s"frame $k: ${e.getMessage}") }
+                if (img == null || img.getWidth != w || img.getHeight != h)
+                  throw new CorruptPayload(
+                    s"frame $k decoded to ${if (img == null) "null"
+                      else s"${img.getWidth}x${img.getHeight}"}, expected ${w}x$h")
+                grayPlane(img)
               }))
             }
           }

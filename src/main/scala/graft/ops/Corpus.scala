@@ -284,6 +284,12 @@ object Corpus {
     }
     if (!normalize) return ws.toMap
     val z = ws.map(_._2).sum
+    // the mirror of the Infinity guard: every exp UNDERFLOWING to 0.0
+    // passes isFinite, then 0.0/0.0 normalizes to NaN for every domain
+    // and the mix silently empties the same way
+    if (z == 0.0) throw new IllegalArgumentException(
+      "doremiWeights: every exp weight underflowed to 0 — losses too " +
+        s"negative for temperature=$temperature; rescale losses or raise temperature")
     ws.map { case (s, w) => s -> w / z }.toMap
   }
 

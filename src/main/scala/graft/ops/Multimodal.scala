@@ -254,7 +254,9 @@ object Multimodal {
     * operator's output — not the decode — bounds memory;
     * partition-local, no shuffle. A decoder that violates its own
     * geometry (frame length ≠ width·height) fails loudly — that is a
-    * broken DECODER, not a corrupt payload. */
+    * broken DECODER, not a corrupt payload; corruption a LAZY decoder
+    * only discovers at `frame(k)` ([[Codecs.CorruptPayload]]) demotes
+    * the doc to the flagged row like an up-front None. */
   def sampleFrames(blobs: DataFrame, everyN: Int,
                    decoder: Codecs.VideoDecoder = Codecs.Gfv1Decoder): DataFrame = {
     require(everyN >= 1, s"everyN must be >= 1: $everyN")
@@ -277,7 +279,13 @@ object Multimodal {
               // and the doc would VANISH from per-doc accounting silently
               require(clip.nFrames >= 0,
                 s"decoder contract violation: negative nFrames ${clip.nFrames} for doc $id")
-              (0 until clip.nFrames by everyN).map { k =>
+              // corruption a lazy decoder discovers only at frame(k) —
+              // torn entropy-coded data behind valid headers — demotes
+              // the WHOLE doc to its flagged row (same as an up-front
+              // None; partially-emitted frames would make the flag
+              // unreadable downstream). Any other exception is a broken
+              // DECODER and stays loud per the contract above.
+              try (0 until clip.nFrames by everyN).map { k =>
                 val frame = clip.frame(k)
                 require(frame != null && frame.length == clip.width * clip.height,
                   s"decoder contract violation: frame $k of doc $id has " +
@@ -287,6 +295,9 @@ object Multimodal {
                 while (i < frame.length) { s += frame(i) & 0xFF; i += 1 }
                 Row(id, true, k, clip.nFrames, clip.width, clip.height,
                   s.toDouble / frame.length / 255.0, frame)
+              } catch {
+                case _: Codecs.CorruptPayload =>
+                  Seq(Row(id, false, null, null, null, null, null, null))
               }
           }
         }

@@ -53,7 +53,11 @@ object TsdbSql {
         filter = Option(where).map(translateFilter).getOrElse(""),
         groupBy = Option(groupBy).map(_.split(",").map(_.trim).mkString(",")).getOrElse(""),
         asOfSeq = Option(asof).map { a =>
-          val seq = a.toLong
+          val seq =
+            try a.toLong catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"ASOF $a: sequence literal exceeds Long range")
+            }
           // `ASOF 0` would silently alias to "no snapshot" (select() treats
           // asOfSeq=0 as the current view) — reject it at parse time like
           // readRawAsOf rejects the 0 handle, so a currentSeq()==0 taken
@@ -79,8 +83,16 @@ object TsdbSql {
     * CDC consumer reads as "no changes" and silently falls behind. */
   def parseChanges(sql: String): Option[ChangesSpec] = sql match {
     case Changes(since, until, pre) =>
-      val s = since.toLong
-      val u = Option(until).map(_.toLong).getOrElse(Long.MaxValue)
+      // (\d+) admits literals beyond Long range — surface them as the
+      // same parse-time error class as the window checks, not a raw
+      // NumberFormatException with no statement context
+      def seqLit(d: String, what: String): Long =
+        try d.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"CHANGES $what $d: sequence literal exceeds Long range")
+        }
+      val s = seqLit(since, "SINCE")
+      val u = Option(until).map(seqLit(_, "UNTIL")).getOrElse(Long.MaxValue)
       if (u <= s) throw new IllegalArgumentException(
         s"CHANGES SINCE $s UNTIL $u is an empty/inverted window (UNTIL must exceed SINCE)")
       Some(ChangesSpec(s, u, pre != null))

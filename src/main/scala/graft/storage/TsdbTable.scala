@@ -1150,8 +1150,38 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           hasPartitions(rawPath))
         serverAggregateAtSnapshot(p, asOfSeq, preAgg)
       else None
+    // fallback serves the ORIGINAL params: coerceForRollup's contract is
+    // that the step rewrite happens only when the query really is
+    // rollup-served — a legacy un-stamped table falling back to raw with
+    // the coerced step would return the wrong output granularity
+    // (review finding r9)
     fast.getOrElse(
-      QueryEngine.select(readRawAsOf(rawSelectLo(p), p.to, asOfSeq), p))
+      QueryEngine.select(readRawAsOf(rawSelectLo(p0), p0.to, asOfSeq), p0))
+  }
+
+  /** Enumerate the data files under `base` RIGHT NOW and build a reader
+    * over exactly that list (`basePath` keeps the `part_start` partition
+    * column). Freezing the file list into the plan is what keeps a
+    * concurrent commit's rollup refresh from leaking post-snapshot
+    * partials into [[serverAggregateAtSnapshot]]'s "untouched" half at
+    * execution time: Spark's normal directory scan re-lists files when
+    * the ACTION runs, which can be long after the touched-partition
+    * classification. A later partition swap over a frozen file surfaces
+    * as the documented retryable FileNotFound — never silently wrong
+    * data. None = no data files (serve precise-from-raw). */
+  private def frozenParquet(base: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val it = fs.listFiles(p, true)
+    val files = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .map(_.getPath.toString)
+      .filter { f =>
+        val n = f.substring(f.lastIndexOf('/') + 1)
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", base).parquet(files: _*))
   }
 
   /** The rollup-served snapshot plan: live rollup partials for
@@ -1169,16 +1199,27 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * the live rollup plus the handful of recently-written raw files,
     * never deep history.
     *
-    * Concurrency: the manifest is frozen into the plan as literals
-    * (both reads), so later commits can't leak rows into either half; a
-    * concurrent [[mergeRollup]] partition REPLACE during execution
-    * surfaces as the documented retryable FileNotFound (rename swaps
-    * the dir), never as silently torn cells. */
+    * Concurrency: the raw halves freeze the manifest into the plan as
+    * literals, and the live-rollup half freezes its FILE LIST
+    * ([[frozenParquet]]) BEFORE the touched-partition probe reads the
+    * manifest — so a commit racing this planner either refreshed the
+    * rollup before the listing (then the probe's newer manifest
+    * classifies its partition touched, which rebuilds from the
+    * seq-fenced raw snapshot and drops the frozen partials) or after it
+    * (then the frozen list still serves the pre-commit partials, which
+    * equal the snapshot's); in NEITHER order can post-snapshot partials
+    * leak into the untouched half (review finding r9). A concurrent
+    * [[mergeRollup]] partition REPLACE during execution surfaces as the
+    * documented retryable FileNotFound (rename swaps the dir), never as
+    * silently torn cells. */
   private def serverAggregateAtSnapshot(
       p: SelectParams, asOfSeq: Long,
       preAgg: Option[Seq[String]]): Option[DataFrame] = {
     require(asOfSeq > 0,
       s"asOfSeq=$asOfSeq is not a snapshot handle: take one with currentSeq()")
+    // ORDER IS LOAD-BEARING: rollup file list first, manifest reads after
+    val liveOpt = frozenParquet(preAgg.map(preAggPath).getOrElse(rollupPath))
+    if (liveOpt.isEmpty) return None
     // history fence up front (STRICT — the raw path's check in rawFiles
     // must also govern the rollup path: below the fence the live rollup
     // has physically lost the dropped/rewritten generations)
@@ -1195,8 +1236,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     val touched = cur
       .filter(col("part_start").between(pLo, p.to) && col("__seq") > asOfSeq)
       .select("part_start").distinct().collect().map(_.getLong(0)).toSeq
-    val live = spark.read.parquet(preAgg.map(preAggPath).getOrElse(rollupPath))
-      .filter(col("part_start").between(pLo, p.to))
+    val live = liveOpt.get.filter(col("part_start").between(pLo, p.to))
     val view =
       if (touched.isEmpty) live
       else {

@@ -94,11 +94,6 @@ object VersionScale {
       println(s"""{"tool":"version_scale","tag":"$tag","rows":$nRows,""" +
         s""""stage_sec":$stageSec,${j("cdc_tip", cdcTip)},""" +
         s"""${j("snap_raw", snapRaw)},${j("asof_agg", asofAgg)}}""")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(dir.toFile)
-    }
+    } finally graft.core.Fs.rmTree(dir.toFile)
   }
 }

@@ -240,6 +240,13 @@ class CorpusSpec extends SparkSuite {
     val overflow = intercept[IllegalArgumentException](Corpus.doremiWeights(
       losses, "source", "excess_loss", temperature = 1e-4))
     assert(overflow.getMessage.contains("non-finite"))
+    // the mirror case: every exp UNDERFLOWS to 0.0 (finite!), and
+    // normalization would turn 0/0 into NaN weights — fail loudly too
+    // (review-caught; only bites normalize=true, the default)
+    val negLosses = Seq(("a", -500.0), ("b", -600.0)).toDF("source", "excess_loss")
+    val underflow = intercept[IllegalArgumentException](Corpus.doremiWeights(
+      negLosses, "source", "excess_loss", temperature = 0.5))
+    assert(underflow.getMessage.contains("underflowed"))
     // the composition is exactly mixSources under the raw exp map
     val docs = (0 until 300).map(i => (i.toLong, s"s${i % 3}"))
       .toDF("doc_id", "source")

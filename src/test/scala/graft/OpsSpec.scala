@@ -2173,6 +2173,45 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.gfvVideo(4, 4, 2, _ => 9)).isEmpty)
     assert(Codecs.Gfv1Decoder.decode(clip).isEmpty)
 
+    // corruption the header scan CANNOT see — torn entropy-coded scan
+    // data behind a valid SOF — must demote the doc to its flagged row
+    // (CorruptPayload channel), never fail the job: one poisoned blob in
+    // a crawl must not kill the pipeline
+    // a header-only JPEG: valid SOI + SOF0 (8x8 grayscale) + EOI, but NO
+    // tables or scan — the SOF validator accepts it, ImageIO cannot
+    // decode it, exactly the headers-fine/payload-torn shape
+    val headerOnly = Array[Int](
+      0xFF, 0xD8, // SOI
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x08, 0x00, 0x08, 0x01,
+      0x01, 0x11, 0x00, // SOF0: 8x8, 1 component
+      0xFF, 0xD9 // EOI
+    ).map(_.toByte)
+    val torn = Multimodal.aviContainer(8, 8, Seq(headerOnly))
+    // the container walk + SOF scan still accept it...
+    assert(Codecs.MjpegAviDecoder.decode(torn).nonEmpty)
+    // ...and frame(0) signals CORRUPT PAYLOAD, not a broken decoder
+    intercept[Codecs.CorruptPayload](
+      Codecs.MjpegAviDecoder.decode(torn).get.frame(0))
+    // through the operator: ONE flagged row, healthy neighbors unharmed
+    val mixedBatch = Multimodal.sampleFrames(
+      Seq(21L -> clip, 22L -> torn).toDF("doc_id", "blob"),
+      everyN = 1, decoder = Codecs.MjpegAviDecoder)
+      .collect().groupBy(_.getLong(0))
+    assert(mixedBatch(21L).length == 5 && mixedBatch(21L).forall(_.getBoolean(1)))
+    assert(mixedBatch(22L).length == 1 && !mixedBatch(22L).head.getBoolean(1) &&
+      mixedBatch(22L).head.isNullAt(2))
+    // any decoder discovering corruption lazily gets the same demotion;
+    // a BROKEN decoder (null/short frame) still fails loudly
+    object LateCorrupt extends Codecs.VideoDecoder {
+      def decode(b: Array[Byte]) = Some(Codecs.VideoClip(2, 2, 3, k =>
+        if (k == 1) throw new Codecs.CorruptPayload("torn mid-clip")
+        else Array.fill(4)(9.toByte)))
+    }
+    val late = Multimodal.sampleFrames(
+      Seq(31L -> Array[Byte](1)).toDF("doc_id", "blob"),
+      everyN = 1, decoder = LateCorrupt).collect()
+    assert(late.length == 1 && !late.head.getBoolean(1) && late.head.isNullAt(2))
+
     // COLOR JPEG frames take the Rec.601 luma path (lossy: tolerance,
     // not exactness — the oracle entry uses grayscale frames only)
     val rgbImg = new java.awt.image.BufferedImage(8, 8,

@@ -737,6 +737,74 @@ class TsdbTableSpec extends SparkSuite {
     assert(manifest.forall(l => l.startsWith("floor=") || l.startsWith("horizon=")))
   }
 
+  test("rollup-at-snapshot freezes the rollup file list: a commit landing after planning cannot alter the snapshot result") {
+    val dir = Files.createTempDirectory("tsdb_asof_freeze").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    t.append(samples((0 until 12).map(h =>
+      ("cpu", "a", Base + h * 3600000L + 500, h.toDouble)): _*))
+    t.append(samples((0 until 12).map(h =>
+      ("cpu", "a", Base + 86400000L + h * 3600000L + 500, 100.0 + h)): _*))
+    val snap = t.currentSeq()
+    val p = SelectParams(functions = "count,sum",
+      from = Base, to = Base + 10 * 86400000L, step = 86400000L)
+    assert(t.canServerAggregate(p))
+    def collectSorted(df: org.apache.spark.sql.DataFrame) =
+      df.select("t", "count", "sum").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val expected = collectSorted(t.selectAsOf(p, snap))
+    assert(expected.map(_._1) == Seq(Base, Base + 86400000L))
+    // plan FIRST, commit a new partition into the query range SECOND,
+    // execute the stale plan THIRD: the frozen rollup file list (listed
+    // before the touched-partition probe) must keep the day-5 partials
+    // out — the invariant the r9 review fix guarantees by construction
+    // rather than by InMemoryFileIndex listing internals
+    val stale = t.selectAsOf(p, snap)
+    t.append(samples((0 until 6).map(h =>
+      ("cpu", "a", Base + 5 * 86400000L + h * 3600000L + 500, 999.0)): _*))
+    assert(collectSorted(stale) == expected,
+      "post-plan commit leaked into the frozen snapshot plan")
+    // a FRESH plan after the commit classifies day 5 as touched, rebuilds
+    // it from the seq-fenced raw snapshot (empty at snap), and still
+    // serves the exact snapshot
+    assert(collectSorted(t.selectAsOf(p, snap)) == expected)
+    // the CURRENT view does see the new day
+    assert(collectSorted(t.select(p)).map(_._1).contains(Base + 5 * 86400000L))
+  }
+
+  test("selectAsOf raw fallback on a legacy un-stamped table keeps the REQUESTED step (no leaked coercion)") {
+    val dir = Files.createTempDirectory("tsdb_asof_legacy").toString
+    val t = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, disableClientAggregation = true))
+    t.append(samples((0 until 30).map(h =>
+      ("cpu", "a", Base + h * 3600000L + 500, h.toDouble)): _*))
+    // age the table into a LEGACY one: strip __seq from raw and drop the
+    // commit manifest (the pre-version-store on-disk shape)
+    val rawDir = s"$dir/raw"
+    val stripped = spark.read.parquet(rawDir).drop("__seq")
+    stripped.write.mode("overwrite").partitionBy("part_start")
+      .parquet(s"$dir/raw_legacy")
+    graft.core.Fs.rmTree(new java.io.File(rawDir))
+    assert(new java.io.File(s"$dir/raw_legacy").renameTo(new java.io.File(rawDir)))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "_commits"))
+    val t2 = new TsdbTable(spark, dir,
+      TsdbConfig(rollupIntervalMs = 3600000L, disableClientAggregation = true))
+    // step=1d > rollup=1h: disableClientAggr coerces the LIVE query down
+    // to 1h (rollup-served); the SNAPSHOT query cannot rollup-serve here
+    // (no __seq -> no untouched proof) and must fall back to raw at the
+    // ORIGINAL day step — pre-fix it leaked the coerced 1h step and
+    // returned 30 cells instead of 2
+    val p = SelectParams(functions = "sum",
+      from = Base, to = Base + 2 * 86400000L, step = 86400000L)
+    val snapRows = t2.selectAsOf(p, 1L).select("t", "sum").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(snapRows.map(_._1) == Seq(Base, Base + 86400000L),
+      s"fallback served the wrong granularity: ${snapRows.map(_._1)}")
+    assert(snapRows.map(_._2) == Seq((0 until 24).sum.toDouble, (24 until 30).sum.toDouble))
+    // the LIVE view still coerces and rollup-serves at 1h granularity
+    assert(t2.select(p).count() == 30)
+  }
+
   test("reader atomicity: a select racing compaction sees a constant view (append-alongside + LWW commit)") {
     val dir = Files.createTempDirectory("tsdb_atomic_c").toString
     val t = new TsdbTable(spark, dir,
@@ -1076,6 +1144,15 @@ class TsdbSqlSpec extends SparkSuite {
     assert(TsdbSql.parseChanges("select avg(cpu) from t").isEmpty)
     intercept[IllegalArgumentException](TsdbSql.parseChanges("changes since 9 until 3"))
     intercept[IllegalArgumentException](TsdbSql.parseChanges("changes since 9 until 9"))
+    // (\d+) admits >Long literals: parse-time error, not a raw
+    // NumberFormatException with no statement context (same for ASOF)
+    val big = "99999999999999999999"
+    assert(intercept[IllegalArgumentException](
+      TsdbSql.parseChanges(s"changes since $big")).getMessage.contains("Long range"))
+    assert(intercept[IllegalArgumentException](
+      TsdbSql.parseChanges(s"changes since 1 until $big")).getMessage.contains("Long range"))
+    assert(intercept[IllegalArgumentException](
+      TsdbSql.parse(s"select avg(cpu) from t asof $big")).getMessage.contains("Long range"))
   }
 
   test("aggregate select with where and group by (sql_parser_test.go)") {
