@@ -2002,6 +2002,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL compressed audio (r9): IMA ADPCM (WAV tag 0x11, 4 bits per
+    // sample — a format javax.sound.sampled CANNOT decode), decoded by
+    // the from-spec Codecs.ImaAdpcmDecoder behind the orElse chain (the
+    // PCM decoder passes on it, proving the mixed-column routing). The
+    // per-doc block headers and nibble stream are pure functions of
+    // doc_id, and the decode state machine is pure INTEGER arithmetic —
+    // so the DuckDB twin replays the whole decoder in a recursive CTE
+    // and the features are hash-exact (samples are dyadic rationals:
+    // the double sums are order-independent-exact)
+    "multimodal_audio_adpcm" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val blocks = (0 until 2).map { b =>
+            Seq(((((id * 131 + b * 17) % 2048) - 1024).toInt,
+              ((id + b * 7) % 89).toInt,
+              (0 until 8).map(j => ((id * 7 + b * 5 + j * 3) % 16).toInt)))
+          }
+          Row(id, Multimodal.imaAdpcmWav(8000, blocks))
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.decodeAudioFeatures(blobs,
+          decoder = Codecs.JdkPcmDecoder.orElse(Codecs.ImaAdpcmDecoder))
+        .select(Seq(col("doc_id"), col("decoded"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("n_frames")) ++
+          (0 until Multimodal.FeatureDim).map(i =>
+            round(element_at(col("feature"), i + 1).cast("double"), 6).as(s"f$i")): _*)
+        .orderBy("doc_id")
+    }),
+
     // ============================================================
     // Corpus selection — the FINAL pipeline stage (what ships)
     // ============================================================
@@ -3927,6 +3962,76 @@ object SparkEntry {
         |  0.5::DOUBLE AS f2, 0.5::DOUBLE AS f3, 0.5::DOUBLE AS f4,
         |  0.5::DOUBLE AS f5, 0.5::DOUBLE AS f6, 0.5::DOUBLE AS f7
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the ENTIRE IMA ADPCM decoder replayed in SQL: the per-doc block
+    // headers/nibbles are closed forms of doc_id, and a recursive CTE
+    // advances (predictor, stepIndex) through the integer state machine
+    // (step table as a list literal, diff = step>>3 + conditional
+    // step/step>>1/step>>2, int16 + [0,88] clamps) — then the identical
+    // feature math over the decoded dyadic-rational samples
+    "multimodal_audio_adpcm" ->
+      """WITH RECURSIVE
+        |blocks AS (SELECT doc_id, b FROM documents, UNNEST([0, 1]) AS t(b)),
+        |dec AS (
+        |  SELECT doc_id, b, 0 AS j,
+        |    CAST((doc_id*131 + b*17) % 2048 - 1024 AS INT) AS pred,
+        |    CAST((doc_id + b*7) % 89 AS INT) AS idx
+        |  FROM blocks
+        |  UNION ALL
+        |  SELECT doc_id, b, j,
+        |    greatest(-32768, least(32767,
+        |      CASE WHEN n & 8 <> 0 THEN pred - d ELSE pred + d END)) AS pred,
+        |    greatest(0, least(88, idx + [-1,-1,-1,-1,2,4,6,8][(n % 8) + 1])) AS idx
+        |  FROM (
+        |    SELECT doc_id, b, j + 1 AS j, pred, idx, n,
+        |      (step >> 3)
+        |      + CASE WHEN n & 4 <> 0 THEN step ELSE 0 END
+        |      + CASE WHEN n & 2 <> 0 THEN step >> 1 ELSE 0 END
+        |      + CASE WHEN n & 1 <> 0 THEN step >> 2 ELSE 0 END AS d
+        |    FROM (
+        |      SELECT doc_id, b, j, pred, idx,
+        |        CAST((doc_id*7 + b*5 + j*3) % 16 AS INT) AS n,
+        |        [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+        |         50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        |         230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+        |         876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+        |         2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+        |         7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+        |         20350,22385,24623,27086,29794,32767][idx + 1] AS step
+        |      FROM dec WHERE j < 8
+        |    )
+        |  )
+        |),
+        |samp AS (SELECT doc_id, b*9 + j AS i, pred / 32768.0 AS s FROM dec),
+        |sl AS (SELECT doc_id, i, s,
+        |         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS sp,
+        |         least(3, (i*4) // 18) AS q FROM samp),
+        |f AS (SELECT doc_id,
+        |    sqrt(sum(s*s) / 18) AS rms,
+        |    sum(CASE WHEN i > 0 AND ((s >= 0) <> (sp >= 0))
+        |        THEN 1 ELSE 0 END) / 17.0 AS zcr,
+        |    max(abs(s)) AS peak,
+        |    sum(abs(s)) / 18 AS meanabs,
+        |    sqrt(sum(CASE WHEN q = 0 THEN s*s END)
+        |         / sum(CASE WHEN q = 0 THEN 1 END)) AS r0,
+        |    sqrt(sum(CASE WHEN q = 1 THEN s*s END)
+        |         / sum(CASE WHEN q = 1 THEN 1 END)) AS r1,
+        |    sqrt(sum(CASE WHEN q = 2 THEN s*s END)
+        |         / sum(CASE WHEN q = 2 THEN 1 END)) AS r2,
+        |    sqrt(sum(CASE WHEN q = 3 THEN s*s END)
+        |         / sum(CASE WHEN q = 3 THEN 1 END)) AS r3
+        |  FROM sl GROUP BY doc_id)
+        |SELECT doc_id, true AS decoded, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS channels, 18::BIGINT AS n_frames,
+        |  round(CAST(rms AS REAL)::DOUBLE, 6) AS f0,
+        |  round(CAST(zcr AS REAL)::DOUBLE, 6) AS f1,
+        |  round(CAST(peak AS REAL)::DOUBLE, 6) AS f2,
+        |  round(CAST(meanabs AS REAL)::DOUBLE, 6) AS f3,
+        |  round(CAST(r0 AS REAL)::DOUBLE, 6) AS f4,
+        |  round(CAST(r1 AS REAL)::DOUBLE, 6) AS f5,
+        |  round(CAST(r2 AS REAL)::DOUBLE, 6) AS f6,
+        |  round(CAST(r3 AS REAL)::DOUBLE, 6) AS f7
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

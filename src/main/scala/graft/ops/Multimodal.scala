@@ -565,6 +565,82 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Synthesize an IMA ADPCM WAV (format tag 0x11) from EXPLICIT block
+    * contents — fixture plumbing for the ORACLE-EXACT compressed-audio
+    * entry: `blocks(b)(c) = (headerPredictor, headerStepIndex, nibbles)`
+    * (outer = block, inner = channel; nibble counts equal across
+    * channels and multiples of 8). With the nibble stream a pure
+    * function of doc_id, the DuckDB twin replays the integer decode
+    * state machine in a recursive CTE — a REAL lossy codec with a
+    * hash-exact oracle. */
+  def imaAdpcmWav(sampleRate: Int,
+                  blocks: Seq[Seq[(Int, Int, Seq[Int])]]): Array[Byte] = {
+    require(blocks.nonEmpty && blocks.forall(_.nonEmpty), "need >= 1 block/channel")
+    val channels = blocks.head.size
+    val nNib = blocks.head.head._3.size
+    require(nNib % 8 == 0, s"nibble count per block must be a multiple of 8: $nNib")
+    require(blocks.forall(b => b.size == channels && b.forall(_._3.size == nNib)),
+      "all blocks must carry the same channel count and nibble count")
+    val blockAlign = channels * (4 + nNib / 2)
+    val samplesPerBlock = nNib + 1
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    val dataLen = blocks.size * blockAlign
+    out.write("RIFF".getBytes("US-ASCII")); w32(4 + 8 + 20 + 8 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(20)
+    w16(0x11); w16(channels); w32(sampleRate)
+    w32(sampleRate * blockAlign / samplesPerBlock) // nominal byte rate
+    w16(blockAlign); w16(4); w16(2); w16(samplesPerBlock)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    blocks.foreach { chs =>
+      chs.foreach { case (pred, idx, _) =>
+        require(pred >= -32768 && pred <= 32767 && idx >= 0 && idx <= 88,
+          s"header out of range: pred=$pred idx=$idx")
+        w16(pred & 0xFFFF); out.write(idx); out.write(0)
+      }
+      // 4-byte nibble groups interleaved per channel, LOW nibble first
+      for (g <- 0 until nNib / 8; ch <- chs; b <- 0 until 4) {
+        val ns = ch._3
+        require(ns.forall(n => n >= 0 && n <= 15), "nibbles must be 0..15")
+        out.write((ns(g * 8 + b * 2) & 0xF) | ((ns(g * 8 + b * 2 + 1) & 0xF) << 4))
+      }
+    }
+    out.toByteArray
+  }
+
+  /** A real mono IMA ADPCM ENCODER (greedy nibble quantization, step
+    * index carried across blocks — the standard layout) — fixture for
+    * the round-trip spec: encode 16-bit samples, decode with
+    * [[Codecs.ImaAdpcmDecoder]], bound the reconstruction error. */
+  def imaAdpcmEncode(samples: Array[Int], sampleRate: Int,
+                     samplesPerBlock: Int): Array[Byte] = {
+    require(samplesPerBlock >= 9 && (samplesPerBlock - 1) % 8 == 0,
+      s"samplesPerBlock must be 8k+1: $samplesPerBlock")
+    require(samples.length % samplesPerBlock == 0,
+      s"sample count ${samples.length} must fill whole blocks of $samplesPerBlock")
+    var idx = 0
+    val blocks = samples.grouped(samplesPerBlock).map { blk =>
+      val pred0 = math.max(-32768, math.min(32767, blk(0)))
+      var pred = pred0
+      val headIdx = idx
+      val nibbles = blk.drop(1).map { s =>
+        val step = Codecs.ImaAdpcmDecoder.StepTable(idx)
+        var d = s - pred
+        var n = if (d < 0) { d = -d; 8 } else 0
+        if (d >= step) { n |= 4; d -= step }
+        if (d >= (step >> 1)) { n |= 2; d -= step >> 1 }
+        if (d >= (step >> 2)) n |= 1
+        val (np, ni) = Codecs.ImaAdpcmDecoder.stepState(pred, idx, n)
+        pred = np; idx = ni
+        n
+      }
+      Seq((pred0, headIdx, nibbles.toSeq))
+    }.toSeq
+    imaAdpcmWav(sampleRate, blocks)
+  }
+
   /** VIDEO near-duplicate pairs by positional frame-signature voting over
     * a [[sampleFrames]] output: two clips are near-dups when at least
     * `minVotes` of their sampled frames carry the same signature at the
