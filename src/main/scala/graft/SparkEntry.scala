@@ -641,6 +641,47 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // HISTORY SQL (r9): the commit manifest surfaced as rows (Delta
+    // DESCRIBE HISTORY shaped), completing the SQL dialect's version-ops
+    // surface — handles for ASOF / CHANGES SINCE are discoverable
+    // without the Scala API. Seqs are wall-clock-derived (deliberately
+    // not 1,2,3 — restart-safe monotonicity), so the entry normalizes
+    // commits to their RANK for the twin and pins the absolute
+    // invariants with requires: exactly 3 committed mutations, the
+    // grandfathering floor = first commit - 1, and MOR mutations never
+    // advancing the rewrite horizon.
+    "tsdb_history_sql" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hist_sql")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            overrideOld = true))
+        t.append(samples)
+        t.append(samples
+          .filter(col("name") === "click" &&
+            col("time").between(F + 3 * Day, F + 7 * Day - 1))
+          .withColumn("value", col("value") + 100))
+        t.delete(F + 10 * Day, F + 13 * Day - 1, metrics = Seq("click"))
+        val rows = t.sql("history").collect()
+        val commits = rows.filter(_.getString(0) == "commit")
+          .map(_.getLong(1)).sorted
+        val floor = rows.find(_.getString(0) == "floor").get.getLong(1)
+        val horizon = rows.find(_.getString(0) == "horizon").get.getLong(1)
+        require(commits.length == 3,
+          s"expected 3 committed mutations, got ${commits.length}")
+        require(floor == commits.head - 1,
+          s"floor must grandfather to first commit - 1: $floor vs ${commits.head}")
+        require(horizon == 0L, "MOR mutations must not advance the horizon")
+        import s.implicits._
+        rows.map(r => (r.getString(0),
+            if (r.getString(0) == "commit")
+              (commits.indexOf(r.getLong(1)) + 1).toLong
+            else 0L)).toSeq
+          .toDF("kind", "ord").orderBy("kind", "ord")
+      } finally rmTree(tmp.toFile)
+    }),
+
     // RETENTION (S11, reference retentionDays config.go:198-200 +
     // partition-age deletion partmgr.go:330,357,390): a 10-day horizon
     // enforced at now=T drops partitions 0..19 whole (the horizon is
@@ -2387,7 +2428,16 @@ object SparkEntry {
       ("sim_ann_pq_served" -> oracleSqlBase("sim_ann_pq")) +
       // the SQL CHANGES surface must produce the IDENTICAL feed as the
       // programmatic changes() — same staged mutations, same twin
-      ("tsdb_changes_sql" -> oracleSqlBase("tsdb_changes"))
+      ("tsdb_changes_sql" -> oracleSqlBase("tsdb_changes")) +
+      // HISTORY after 3 staged mutations: rank-normalized closed form
+      // (absolute seqs are wall-clock; the entry requires pin the
+      // floor/horizon invariants on the raw values)
+      ("tsdb_history_sql" ->
+        """SELECT * FROM (VALUES
+          |  ('commit', CAST(1 AS BIGINT)), ('commit', CAST(2 AS BIGINT)),
+          |  ('commit', CAST(3 AS BIGINT)), ('floor', CAST(0 AS BIGINT)),
+          |  ('horizon', CAST(0 AS BIGINT))) AS t(kind, ord)
+          |ORDER BY kind, ord""".stripMargin)
 
   // lazy: the twin CTE vals this map interpolates are defined BELOW it
   // in the object body — a strict val would capture them as null at

@@ -77,6 +77,16 @@ object TsdbSql {
   private val Changes =
     """(?is)\s*changes\s+since\s+(\d+)(?:\s+until\s+(\d+))?(\s+with\s+preimages)?\s*;?\s*""".r
 
+  /** `HISTORY` — the version-store introspection statement (graft
+    * extension, Delta `DESCRIBE HISTORY` shaped): the commit manifest as
+    * rows, so snapshot handles for `ASOF` / `CHANGES SINCE` are
+    * discoverable without the Scala API. */
+  private val History = """(?is)\s*history\s*;?\s*""".r
+
+  /** True iff `sql` is the HISTORY statement (→ route to
+    * [[graft.storage.TsdbTable.history]]). */
+  def parseHistory(sql: String): Boolean = History.matches(sql)
+
   /** Parse a CHANGES statement; None when `sql` is not one (→ try
     * [[parse]]). An inverted window is a user error worth failing at
     * parse time — the engine would just return an empty feed, which a

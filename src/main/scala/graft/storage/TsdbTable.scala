@@ -1360,9 +1360,12 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * the full table — the programmatic caller has no CLI `-b/-e` flags
     * to compose); `CHANGES SINCE n [UNTIL m] [WITH PREIMAGES]` through
     * [[changes]] — the CDC feed reachable as SQL text, Delta
-    * `table_changes` shaped. */
+    * `table_changes` shaped; `HISTORY` through [[history]] — the commit
+    * manifest as rows, so ASOF/CHANGES handles are discoverable without
+    * the Scala API (Delta `DESCRIBE HISTORY` shaped). */
   def sql(query: String): DataFrame =
-    graft.sql.TsdbSql.parseChanges(query) match {
+    if (graft.sql.TsdbSql.parseHistory(query)) history()
+    else graft.sql.TsdbSql.parseChanges(query) match {
       case Some(c) => changes(c.sinceSeq, c.untilSeq, c.preImages)
       case None =>
         val p = graft.sql.TsdbSql.parse(query)

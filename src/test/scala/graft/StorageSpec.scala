@@ -1155,6 +1155,30 @@ class TsdbSqlSpec extends SparkSuite {
       TsdbSql.parse(s"select avg(cpu) from t asof $big")).getMessage.contains("Long range"))
   }
 
+  test("HISTORY statement: parse + route to the commit manifest rows") {
+    assert(TsdbSql.parseHistory("history"))
+    assert(TsdbSql.parseHistory("  HISTORY ; "))
+    assert(!TsdbSql.parseHistory("history of x"))
+    assert(!TsdbSql.parseHistory("select avg(cpu) from t"))
+    val Base = 1704067200000L
+    val dir = Files.createTempDirectory("hist_sql").toString
+    val t = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 60000L))
+    import spark.implicits._
+    def batch(ts: Long) = Seq(("cpu", "a", ts, 1.0))
+      .toDF("name", "host", "time", "value")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"),
+        col("time"), col("value"))
+    t.append(batch(Base + 60000L)); t.append(batch(Base + 120000L))
+    val rows = t.sql("HISTORY").collect()
+    assert(rows.count(_.getString(0) == "commit") == 2)
+    assert(rows.count(_.getString(0) == "floor") == 1)
+    // empty/manifest-less table: empty frame, same schema
+    val t2 = new TsdbTable(spark,
+      Files.createTempDirectory("hist_sql2").toString,
+      TsdbConfig(rollupIntervalMs = 60000L))
+    assert(t2.sql("history").collect().isEmpty)
+  }
+
   test("aggregate select with where and group by (sql_parser_test.go)") {
     val p = TsdbSql.parse(
       "select max(cpu), avg(cpu) as mean from tsdb where os=='win' group by host")
