@@ -154,6 +154,21 @@ object Main {
           (if (ok < total) s" (${total - ok} dropped: invalid/unparseable time)" else ""))
       } finally df.unpersist()
 
+    // version-store introspection (r9): `history` prints the commit
+    // manifest rows — where the handles ASOF / CHANGES SINCE consume
+    // come from, so the whole time-travel loop closes inside the CLI
+    case "query" if pos.headOption.exists(TsdbSql.parseHistory) =>
+      val t = table(spark, tablePath)
+      // not a series frame (the formatters' shape) — print the manifest
+      // rows directly; bounded by the vacuum threshold, display-sized
+      val rows = t.history().orderBy("kind", "seq").collect()
+      f.getOrElse("o", "text") match {
+        case "json" => println(rows.map(r =>
+          s"""{"kind":"${r.getString(0)}","seq":${r.getLong(1)}}""")
+          .mkString("[", ",", "]"))
+        case _ => rows.foreach(r => println(s"${r.getString(0)},${r.getLong(1)}"))
+      }
+
     // CDC statement (r9): `changes since <seq> [until <seq>] [with
     // preimages]` emits the change feed through the chosen formatter and
     // takes none of the SELECT-path time flags (its window is commit

@@ -184,6 +184,22 @@ class CliSpec extends SparkSuite {
     assert(out.collect().head.getDouble(3) == 153.2)
   }
 
+  test("query history: the commit manifest prints through the CLI (the ASOF/CHANGES handle source)") {
+    val dir = Files.createTempDirectory("clihist").toString + "/tbl"
+    graft.cli.Main.run("create", spark, dir, Map("rollup" -> "1m"), Nil)
+    graft.cli.Main.run("add", spark, dir,
+      Map("d" -> "1.0", "m" -> "1704067200000"), Seq("cpu", "os=win"))
+    graft.cli.Main.run("add", spark, dir,
+      Map("d" -> "2.0", "m" -> "1704067260000"), Seq("cpu", "os=win"))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      graft.cli.Main.run("query", spark, dir, Map("o" -> "csv"), Seq("history"))
+    }
+    val lines = buf.toString("UTF-8").split("\n").filter(_.nonEmpty)
+    assert(lines.count(_.startsWith("commit,")) == 2, buf.toString)
+    assert(lines.exists(_.startsWith("floor,")))
+  }
+
   test("flag parser: long forms normalize; boolean flags keep positionals; -l rejects -b/-e") {
     val (f1, pos1) = graft.cli.Main.flags(Seq(
       "--use-precise-aggregations", "select avg(cpu) from tsdb", "--last", "1d"))
