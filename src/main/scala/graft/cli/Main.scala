@@ -160,13 +160,18 @@ object Main {
     case "query" if pos.headOption.exists(TsdbSql.parseHistory) =>
       val t = table(spark, tablePath)
       // not a series frame (the formatters' shape) — print the manifest
-      // rows directly; bounded by the vacuum threshold, display-sized
+      // rows directly, matching each -o mode's conventions (csv with a
+      // header row, text aligned); bounded by the vacuum threshold
       val rows = t.history().orderBy("kind", "seq").collect()
       f.getOrElse("o", "text") match {
         case "json" => println(rows.map(r =>
           s"""{"kind":"${r.getString(0)}","seq":${r.getLong(1)}}""")
           .mkString("[", ",", "]"))
-        case _ => rows.foreach(r => println(s"${r.getString(0)},${r.getLong(1)}"))
+        case "csv" =>
+          println("kind,seq")
+          rows.foreach(r => println(s"${r.getString(0)},${r.getLong(1)}"))
+        case _ =>
+          rows.foreach(r => println(f"${r.getString(0)}%-8s ${r.getLong(1)}"))
       }
 
     // CDC statement (r9): `changes since <seq> [until <seq>] [with

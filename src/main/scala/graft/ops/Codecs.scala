@@ -22,6 +22,15 @@ package graft.ops
   */
 object Codecs {
 
+  /** Little-endian byte readers shared by the RIFF-walking decoders
+    * (one definition — the [[graft.core.Fs]] consolidation argument). */
+  private[ops] object LE {
+    def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def i32(b: Array[Byte], o: Int): Int =
+      u16(b, o) | (u16(b, o + 2) << 16)
+  }
+
   /** A decoded clip. `frame(k)` returns the k-th GRAYSCALE plane
     * (exactly `width*height` bytes) ON DEMAND, so a stride-sampling
     * consumer (`everyN` > 1) never materializes the frames it skips —
@@ -87,9 +96,7 @@ object Codecs {
     * via the same Rec.601 luma as the image operators. An AVI with ZERO
     * video chunks is a valid empty clip (geometry from `avih`). */
   object MjpegAviDecoder extends VideoDecoder {
-    private def le32(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
-        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def le32(b: Array[Byte], off: Int): Int = LE.i32(b, off)
     private def fourcc(b: Array[Byte], off: Int): String =
       new String(b, off, 4, "US-ASCII")
 
@@ -285,22 +292,22 @@ object Codecs {
       15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
     private[graft] val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
-    /** One nibble through the state machine: (predictor', stepIndex'). */
-    private[graft] def stepState(pred: Int, idx: Int, n: Int): (Int, Int) = {
+    /** One nibble through the state machine, packed allocation-free as
+      * `(predictor' << 16) | stepIndex'` (this runs twice per payload
+      * byte on the corpus hot path — a tuple would box both ints).
+      * Unpack: `(s >> 16).toInt` / `(s & 0xFFFF).toInt`. */
+    private[graft] def stepState(pred: Int, idx: Int, n: Int): Long = {
       val step = StepTable(idx)
       var diff = step >> 3
       if ((n & 4) != 0) diff += step
       if ((n & 2) != 0) diff += step >> 1
       if ((n & 1) != 0) diff += step >> 2
       val p = if ((n & 8) != 0) pred - diff else pred + diff
-      (math.max(-32768, math.min(32767, p)),
-        math.max(0, math.min(88, idx + IndexTable(n & 7))))
+      (math.max(-32768, math.min(32767, p)).toLong << 16) |
+        math.max(0, math.min(88, idx + IndexTable(n & 7)))
     }
 
-    private def le16(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-    private def le32(b: Array[Byte], o: Int): Int =
-      le16(b, o) | (le16(b, o + 2) << 16)
+    import LE.{u16 => le16, i32 => le32}
 
     def decode(bytes: Array[Byte]): Option[AudioPcm] = try {
       if (bytes == null || bytes.length < 12 ||
@@ -339,21 +346,41 @@ object Codecs {
           if (idx(c) > 88) return None // corrupt header
         }
         // header predictors ARE output frame 0 of the block
-        monoBuf += pred.map(_ / 32768.0).sum / channels
+        var acc = 0.0
+        var c = 0
+        while (c < channels) { acc += pred(c) / 32768.0; c += 1 }
+        monoBuf += acc / channels
         // 4-byte nibble groups, channel-interleaved: each group is 8
-        // samples of ONE channel; emit frames once all channels have them
+        // samples of ONE channel; emit frames once all channels have
+        // them. Allocation-free while loops — this is the per-byte hot
+        // path of the 100 TB corpus shape (millions of blobs/executor)
         var g = blk + 4 * channels
         val frame = Array.ofDim[Double](channels, 8)
         while (g + 4 * channels <= end) {
-          for (c <- 0 until channels; b <- 0 until 4) {
-            val byte = bytes(g + 4 * c + b) & 0xFF
-            for ((n, h) <- Seq((byte & 0xF, 0), (byte >> 4, 1))) {
-              val (np, ni) = stepState(pred(c), idx(c), n)
-              pred(c) = np; idx(c) = ni
-              frame(c)(b * 2 + h) = np / 32768.0
+          c = 0
+          while (c < channels) {
+            var b = 0
+            while (b < 4) {
+              val byte = bytes(g + 4 * c + b) & 0xFF
+              var h = 0
+              while (h < 2) {
+                val n = if (h == 0) byte & 0xF else byte >> 4
+                val st = stepState(pred(c), idx(c), n)
+                pred(c) = (st >> 16).toInt; idx(c) = (st & 0xFFFF).toInt
+                frame(c)(b * 2 + h) = pred(c) / 32768.0
+                h += 1
+              }
+              b += 1
             }
+            c += 1
           }
-          for (s <- 0 until 8) monoBuf += (0 until channels).map(frame(_)(s)).sum / channels
+          var s = 0
+          while (s < 8) {
+            var sum = 0.0; c = 0
+            while (c < channels) { sum += frame(c)(s); c += 1 }
+            monoBuf += sum / channels
+            s += 1
+          }
           g += 4 * channels
         }
         blk += blockAlign

@@ -595,15 +595,15 @@ object Multimodal {
     w16(blockAlign); w16(4); w16(2); w16(samplesPerBlock)
     out.write("data".getBytes("US-ASCII")); w32(dataLen)
     blocks.foreach { chs =>
-      chs.foreach { case (pred, idx, _) =>
+      chs.foreach { case (pred, idx, ns) =>
         require(pred >= -32768 && pred <= 32767 && idx >= 0 && idx <= 88,
           s"header out of range: pred=$pred idx=$idx")
+        require(ns.forall(n => n >= 0 && n <= 15), "nibbles must be 0..15")
         w16(pred & 0xFFFF); out.write(idx); out.write(0)
       }
       // 4-byte nibble groups interleaved per channel, LOW nibble first
       for (g <- 0 until nNib / 8; ch <- chs; b <- 0 until 4) {
         val ns = ch._3
-        require(ns.forall(n => n >= 0 && n <= 15), "nibbles must be 0..15")
         out.write((ns(g * 8 + b * 2) & 0xF) | ((ns(g * 8 + b * 2 + 1) & 0xF) << 4))
       }
     }
@@ -632,8 +632,8 @@ object Multimodal {
         if (d >= step) { n |= 4; d -= step }
         if (d >= (step >> 1)) { n |= 2; d -= step >> 1 }
         if (d >= (step >> 2)) n |= 1
-        val (np, ni) = Codecs.ImaAdpcmDecoder.stepState(pred, idx, n)
-        pred = np; idx = ni
+        val st = Codecs.ImaAdpcmDecoder.stepState(pred, idx, n)
+        pred = (st >> 16).toInt; idx = (st & 0xFFFF).toInt
         n
       }
       Seq((pred0, headIdx, nibbles.toSeq))

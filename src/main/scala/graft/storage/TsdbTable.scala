@@ -1174,11 +1174,19 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val it = fs.listFiles(p, true)
+    val baseUri = fs.makeQualified(p).toString.stripSuffix("/") + "/"
     val files = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-      .map(_.getPath.toString)
+      .map(f => fs.makeQualified(f.getPath).toString)
       .filter { f =>
-        val n = f.substring(f.lastIndexOf('/') + 1)
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        // EVERY path segment below base must be visible, not just the
+        // leaf: Spark's own directory listing skips hidden ANCESTOR dirs
+        // too, and a refreshRollup crashed mid-job leaves its
+        // .spark-staging-*/ partials under this base forever — freezing
+        // those into the plan would double-count partials in the
+        // snapshot aggregate (review finding r9, pass 2)
+        f.startsWith(baseUri) && f.endsWith(".parquet") &&
+          f.stripPrefix(baseUri).split('/')
+            .forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
       }.toSeq
     if (files.isEmpty) None
     else Some(spark.read.option("basePath", base).parquet(files: _*))

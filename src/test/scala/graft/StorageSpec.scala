@@ -770,6 +770,20 @@ class TsdbTableSpec extends SparkSuite {
     assert(collectSorted(t.selectAsOf(p, snap)) == expected)
     // the CURRENT view does see the new day
     assert(collectSorted(t.select(p)).map(_._1).contains(Base + 5 * 86400000L))
+    // a refreshRollup crashed mid-job leaves .spark-staging-*/ partials
+    // under the rollup base FOREVER — the frozen file list must skip
+    // hidden path SEGMENTS (not just hidden leaves), or the snapshot
+    // aggregate double-counts day-0's partials (review finding r9 pass 2)
+    val day0 = new java.io.File(s"$dir/rollup/part_start=$Base")
+    val staged = new java.io.File(
+      s"$dir/rollup/.spark-staging-test/part_start=$Base")
+    staged.mkdirs()
+    day0.listFiles.filter(_.getName.endsWith(".parquet")).foreach { src =>
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(staged, src.getName).toPath)
+    }
+    assert(collectSorted(t.selectAsOf(p, snap)) == expected,
+      "crashed-job staging partials leaked into the frozen snapshot plan")
   }
 
   test("selectAsOf raw fallback on a legacy un-stamped table keeps the REQUESTED step (no leaked coercion)") {

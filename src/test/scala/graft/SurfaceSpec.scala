@@ -196,6 +196,7 @@ class CliSpec extends SparkSuite {
       graft.cli.Main.run("query", spark, dir, Map("o" -> "csv"), Seq("history"))
     }
     val lines = buf.toString("UTF-8").split("\n").filter(_.nonEmpty)
+    assert(lines.head == "kind,seq", buf.toString) // csv convention: header row
     assert(lines.count(_.startsWith("commit,")) == 2, buf.toString)
     assert(lines.exists(_.startsWith("floor,")))
   }
