@@ -45,6 +45,12 @@ import org.apache.spark.sql.SparkSession
   *  - Every individual run's time is emitted under `"runs"` so a run
   *    poisoned by this VM's external freeze windows is visible in the
   *    artifact itself; `"queries"` carries the per-query min.
+  *  - `"calib"` (r9) is a fixed code-independent VM-speed probe (one
+  *    Spark sum over a constant range, min-of-3): it moves with the
+  *    sandbox's documented drift windows and NOT with this repo's code,
+  *    so cross-round comparisons can separate drift (query ratio tracks
+  *    the calib ratio) from regression (query ratio exceeds it). Not
+  *    part of `total`.
   */
 object Bench {
 
@@ -207,6 +213,22 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] tsdb_ingest: $e"); None }
         }
       }
+    // VM-speed CALIBRATION (r9): a fixed, code-independent probe — one
+    // Spark aggregate over a constant range — timed with the same
+    // min-of-3 discipline. The sandbox's VM windows have drifted up to
+    // ~10% between (and within) rounds on identical code, which poisons
+    // cross-round per-query comparisons; `calib` moves with the VM and
+    // NOT with this repo's code, so an artifact reader can normalize:
+    // a query ratio tracking the calib ratio is drift, one exceeding it
+    // is a real regression. Kept out of `queries`/`total` (it is not an
+    // engine cost).
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // untimed warm-up
+    val calibRuns = Seq.fill(3)(calibOnce())
     val names = Headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_(n)))
     // One full UNTIMED round first: each query's first execution pays
@@ -229,7 +251,8 @@ object Bench {
       "\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+    val calibJson = s""""calib":{"min":${calibRuns.min},"runs":[${calibRuns.mkString(",")}]}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$calibJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the artifact to a file: the driver captures only a
     // bounded stdout tail, which truncated (and lost) the r5 JSON line —
