@@ -21,6 +21,12 @@ import org.apache.spark.sql.SparkSession
   *    tsdb_ingest_stream is also excluded: it re-ingests the events table
   *    per run, and ingest throughput is already measured by the dedicated
   *    tsdb_ingest benchmark below (fresh table, reference CI-bench shape).
+  *    multimodal_frames_gif follows the staging rule too: its timed body
+  *    is dominated by the inline ImageIO GIF ENCODE of 15k fixture
+  *    frames (7.4 s vs frames_avi's 1.6 s through the same sampleFrames
+  *    operator), so the headline number would measure fixture synthesis;
+  *    the video decode path's bench coverage is multimodal_frames +
+  *    multimodal_frames_avi — correctness-gated only.
   *    Entries that re-run the identical LSH+closure plan dedup_clusters
   *    already times (dedup_keep, dedup_keep_best, dedup_report,
   *    corpus_split_safe), and text_ppl_buckets_lang (the lm_score +

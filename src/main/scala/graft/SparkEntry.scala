@@ -1949,6 +1949,35 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ANIMATED GIF through the same operator (r9): the JDK's native GIF
+    // reader behind the full-compositing Codecs.GifDecoder — the one
+    // decoder here that serves REAL crawl payloads as-is. GIF is
+    // palette-lossless, so constant-gray full frames keep the closed
+    // form ((doc_id*41 + k*13) % 256) / 255 exactly; every 2nd frame of
+    // a 2-to-4-frame clip per doc
+    "multimodal_frames_gif" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          Row(id, Multimodal.gifVideo(6, 6, (2 + id % 3).toInt,
+            k => ((id * 41 + k * 13) % 256).toInt))
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.sampleFrames(blobs, everyN = 2,
+          decoder = Codecs.GifDecoder)
+        .select(col("doc_id"), col("decoded"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // VIDEO near-dup by positional frame-signature voting, end-to-end
     // through the REAL GFV1 decode: every doc gets a 5-frame clip with
     // arithmetic per-frame fills; docs < 40 get a near-copy at +1000000
@@ -3893,6 +3922,18 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_frames, 8::BIGINT AS width,
         |  8::BIGINT AS height,
         |  round(((doc_id * 37 + k * 11) % 256) / 255.0, 6) AS mean_luma
+        |FROM f WHERE k % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // closed form of the constant-gray GIF clips (palette-lossless →
+    // luma exactly the fill): frames k = 0, 2 of n = 2 + doc_id % 3
+    "multimodal_frames_gif" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
+        |f AS (SELECT doc_id, n, unnest(range(0, n::INT)) AS k FROM d)
+        |SELECT doc_id, true AS decoded, CAST(k AS BIGINT) AS frame_idx,
+        |  CAST(n AS BIGINT) AS n_frames, 6::BIGINT AS width,
+        |  6::BIGINT AS height,
+        |  round(((doc_id * 41 + k * 13) % 256) / 255.0, 6) AS mean_luma
         |FROM f WHERE k % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 

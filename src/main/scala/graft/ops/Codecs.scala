@@ -241,6 +241,116 @@ object Codecs {
       } catch { case _: Exception => None } // corrupt container → fallback
   }
 
+  /** Animated GIF (r9) — the THIRD real compressed format through this
+    * seam, and the one the JDK decodes natively (LZW + palette), so
+    * this decoder is production-usable on real crawl payloads with zero
+    * new dependencies. Full frame COMPOSITING per the GIF89a spec:
+    * frames are sub-rectangles drawn onto the logical-screen canvas at
+    * (left, top) honoring each frame's disposal method (`none` /
+    * `doNotDispose` keep the canvas, `restoreToBackgroundColor` clears
+    * the frame's rect, `restoreToPrevious` restores the pre-draw
+    * canvas) and palette transparency — naive per-frame `ImageIO.read`
+    * would return bare sub-rects and mis-decode most real animations.
+    * GIF frames chain (each composite depends on the last), so decode
+    * materializes the planes sequentially up front — the buffered-codec
+    * option the [[VideoClip]] contract documents; GIF payloads are
+    * small, and `frame(k)` then serves from the buffer. The canvas
+    * starts black (per-pixel luma of an untouched pixel is 0). */
+  object GifDecoder extends VideoDecoder {
+    def decode(bytes: Array[Byte]): Option[VideoClip] = {
+      if (bytes == null || bytes.length < 6) return None
+      val magic = new String(bytes, 0, 6, "US-ASCII")
+      if (magic != "GIF87a" && magic != "GIF89a") return None
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        val stream = reader.getStreamMetadata
+          .getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val lsd = stream.getElementsByTagName("LogicalScreenDescriptor").item(0)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val w = lsd.getAttribute("logicalScreenWidth").toInt
+        val h = lsd.getAttribute("logicalScreenHeight").toInt
+        if (w <= 0 || h <= 0) return None
+        // unlike AVI (where avih makes a zero-chunk container a valid
+        // empty clip), a GIF with no image blocks is truncated garbage
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        val canvas = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        val planes = Vector.newBuilder[Array[Byte]]
+        var k = 0
+        while (k < n) {
+          // eager decode: a torn frame surfaces HERE, inside decode(),
+          // so the catch below returns None (the up-front corrupt-payload
+          // path) — no CorruptPayload needed, nothing is lazy
+          val img = reader.read(k)
+          val tree = reader.getImageMetadata(k)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val left = desc.getAttribute("imageLeftPosition").toInt
+          val top = desc.getAttribute("imageTopPosition").toInt
+          val gceN = tree.getElementsByTagName("GraphicControlExtension")
+          val disposal =
+            if (gceN.getLength == 0) "none"
+            else gceN.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              .getAttribute("disposalMethod")
+          val prev =
+            if (disposal == "restoreToPrevious") {
+              val c = new java.awt.image.BufferedImage(w, h, canvas.getType)
+              c.createGraphics().drawImage(canvas, 0, 0, null)
+              Some(c)
+            } else None
+          g.drawImage(img, left, top, null) // honors palette transparency
+          planes += lumaPlane(canvas)
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              val save = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Src)
+              g.setColor(java.awt.Color.BLACK)
+              g.fillRect(left, top, img.getWidth, img.getHeight)
+              g.setComposite(save)
+            case "restoreToPrevious" =>
+              g.drawImage(prev.get, 0, 0, null)
+            case _ => // none / doNotDispose: canvas persists
+          }
+          k += 1
+        }
+        val out = planes.result()
+        Some(VideoClip(w, h, n, out(_)))
+      } catch {
+        case _: Exception => None // corrupt container/frame → flagged fallback
+      } finally reader.dispose()
+    }
+
+    /** Rec.601 luma of the full canvas (the image operators' formula). */
+    private def lumaPlane(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      val rowBuf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = rowBuf(x)
+          val luma = 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          out(y * w + x) =
+            math.min(255, math.max(0, math.floor(luma + 0.5).toInt)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   /** Decoded audio: MONO samples in [-1, 1] (multi-channel inputs are
     * averaged by the decoder), plus the source's rate and channel count
     * for accounting. */

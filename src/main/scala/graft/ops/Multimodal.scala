@@ -565,6 +565,73 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Synthesize an animated GIF of `n` constant-gray FULL frames —
+    * fixture for the ORACLE-EXACT GIF entry: GIF is palette-based
+    * LOSSLESS, so a constant gray `v` round-trips to luma exactly `v`
+    * (spec-pinned for all 256 fills) and mean luma keeps the closed
+    * form `fill(k)/255`. */
+  def gifVideo(w: Int, h: Int, n: Int, fill: Int => Int): Array[Byte] =
+    gifAnimation((0 until n).map { k =>
+      val v = fill(k)
+      require(v >= 0 && v <= 255, s"gray fill out of range: $v")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, Array.fill[Byte](w * h)(v.toByte))
+      (img, 0, 0, "none")
+    })
+
+  /** Animated-GIF writer with explicit per-frame (left, top, disposal)
+    * — the compositing shapes ([[Codecs.GifDecoder]]'s whole job) are
+    * only testable with sub-rect frames and disposal methods, which the
+    * plain `ImageIO.write` cannot express. First frame must be the full
+    * canvas (it defines the logical screen). */
+  def gifAnimation(
+      frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)]): Array[Byte] = {
+    require(frames.nonEmpty, "need >= 1 frame")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null) // logical screen = first frame
+      frames.foreach { case (img, left, top, disposal) =>
+        val param = writer.getDefaultWriteParam
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        // the JDK writer defaults to interlaced frames, and its own
+        // reader mis-rounds the interlace passes on tiny images (bottom
+        // rows come back unfilled) — plain scan order is also what real
+        // animation encoders emit
+        desc.setAttribute("interlaceFlag", "FALSE")
+        val gces = tree.getElementsByTagName("GraphicControlExtension")
+        val gce =
+          if (gces.getLength > 0)
+            gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val node = new javax.imageio.metadata.IIOMetadataNode(
+              "GraphicControlExtension")
+            tree.appendChild(node); node
+          }
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        meta.setFromTree(fmt, tree)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
   /** Synthesize an IMA ADPCM WAV (format tag 0x11) from EXPLICIT block
     * contents — fixture plumbing for the ORACLE-EXACT compressed-audio
     * entry: `blocks(b)(c) = (headerPredictor, headerStepIndex, nibbles)`

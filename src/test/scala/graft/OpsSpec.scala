@@ -2227,6 +2227,68 @@ class MultimodalSpec extends SparkSuite {
     assert(plane.forall(b => math.abs((b & 0xFF) - luma) <= 3.0))
   }
 
+  test("animated GIF: lossless round-trip, sub-rect compositing + disposal methods, corrupt flagged") {
+    import graft.ops.Codecs
+    // palette-lossless: EVERY gray 0..255 round-trips exactly through
+    // encode + LZW decode + Rec.601 luma of an (v,v,v) pixel
+    val all = Codecs.GifDecoder.decode(Multimodal.gifVideo(4, 4, 256, k => k))
+    assert(all.nonEmpty && all.get.nFrames == 256 &&
+      all.get.width == 4 && all.get.height == 4)
+    for (k <- 0 until 256)
+      assert(all.get.frame(k).toSeq == Seq.fill(16)(k.toByte),
+        s"gray $k did not round-trip losslessly")
+
+    // COMPOSITING — the decoder's whole job: a sub-rect frame draws onto
+    // the persisting canvas at (left, top); restoreToBackgroundColor
+    // clears the frame's rect after its snapshot
+    def gray(w: Int, h: Int, v: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, Array.fill[Byte](w * h)(v.toByte))
+      img
+    }
+    val anim = Multimodal.gifAnimation(Seq(
+      (gray(8, 8, 100), 0, 0, "none"),                    // full canvas
+      (gray(3, 3, 200), 2, 1, "restoreToBackgroundColor"),// overlay, then clear
+      (gray(1, 1, 50), 0, 0, "none")))                    // 1x1 after the clear
+    val clip = Codecs.GifDecoder.decode(anim).get
+    assert(clip.nFrames == 3 && clip.width == 8 && clip.height == 8)
+    def at(p: Array[Byte], x: Int, y: Int) = p(y * 8 + x) & 0xFF
+    assert(clip.frame(0).forall(b => (b & 0xFF) == 100))
+    // frame 1 = base with the 3x3 overlay at (2,1)
+    val f1 = clip.frame(1)
+    assert(at(f1, 2, 1) == 200 && at(f1, 4, 3) == 200 && at(f1, 1, 1) == 100 &&
+      at(f1, 5, 1) == 100 && at(f1, 2, 4) == 100)
+    // frame 2: the overlay rect was CLEARED to black by the disposal,
+    // the rest of the canvas persists, and the new 1x1 draws at (0,0)
+    val f2 = clip.frame(2)
+    assert(at(f2, 0, 0) == 50 && at(f2, 2, 1) == 0 && at(f2, 4, 3) == 0 &&
+      at(f2, 1, 1) == 100 && at(f2, 7, 7) == 100)
+
+    // restoreToPrevious: the canvas rolls back to BEFORE the frame drew
+    val rp = Codecs.GifDecoder.decode(Multimodal.gifAnimation(Seq(
+      (gray(4, 4, 10), 0, 0, "none"),
+      (gray(2, 2, 250), 1, 1, "restoreToPrevious"),
+      (gray(1, 1, 77), 3, 3, "none")))).get
+    val r2 = rp.frame(2)
+    assert((r2(1 * 4 + 1) & 0xFF) == 10, "restoreToPrevious failed to roll back")
+    assert((r2(3 * 4 + 3) & 0xFF) == 77)
+
+    // through the operator, mixed with corrupt payloads: a GIF magic on
+    // garbage bytes flags, a real clip samples; other decoders disjoint
+    val garbage = "GIF89a then nothing real".getBytes("UTF-8")
+    val out = Multimodal.sampleFrames(
+      Seq(1L -> anim, 2L -> garbage).toDF("doc_id", "blob"),
+      everyN = 1, decoder = Codecs.GifDecoder)
+      .collect().groupBy(_.getLong(0))
+    assert(out(1L).length == 3 && out(1L).forall(_.getBoolean(1)))
+    assert(out(2L).length == 1 && !out(2L).head.getBoolean(1))
+    assert(Codecs.GifDecoder.decode(
+      Multimodal.mjpegAviVideo(4, 4, 1, _ => 9)).isEmpty)
+    assert(Codecs.MjpegAviDecoder.decode(
+      Multimodal.gifVideo(4, 4, 1, _ => 9)).isEmpty)
+  }
+
   test("IMA ADPCM: known-vector decode, encoder round-trip, stereo averaging, orElse routing") {
     import graft.ops.Codecs
     // known vector hand-stepped through the public IMA state machine
