@@ -2098,7 +2098,7 @@ object SparkEntry {
         StructType(Seq(StructField("doc_id", LongType),
           StructField("blob", BinaryType))))
       Multimodal.decodeAudioFeatures(blobs,
-          decoder = Codecs.JdkPcmDecoder.orElse(Codecs.ImaAdpcmDecoder))
+          decoder = Codecs.ImaAdpcmDecoder.orElse(Codecs.JdkPcmDecoder))
         .select(Seq(col("doc_id"), col("decoded"),
           col("sample_rate").cast("long").as("sample_rate"),
           col("channels").cast("long").as("channels"), col("n_frames")) ++

@@ -526,8 +526,25 @@ object Multimodal {
     * rate is the exact integer formula floor((n-1)/(P/2))/(n-1) — all
     * closed forms a SQL twin can emit (a sine's features are poisoned by
     * per-sample quantization error; a square's are not). */
+  /** Hand-built mono 16-bit PCM RIFF/WAVE container. The fixtures
+    * previously wrote through `AudioSystem.write`, whose provider
+    * registry is GLOBALLY locked like the read side (see
+    * [[Codecs.JdkPcmDecoder]]'s scale note) — 50 k fixture writes
+    * serialized all 32 executor threads; byte-building is lock-free. */
+  private def pcm16Wav(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + pcm.length)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(1); w16(1); w32(sampleRate); w32(sampleRate * 2); w16(2); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(pcm.length)
+    out.write(pcm)
+    out.toByteArray
+  }
+
   def squareWav(periodSamples: Int, n: Int, sampleRate: Int): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     require(periodSamples >= 2 && periodSamples % 2 == 0,
       s"period must be even and >= 2: $periodSamples")
     val pcm = new Array[Byte](n * 2)
@@ -537,11 +554,7 @@ object Multimodal {
       pcm(i * 2) = (s & 0xFF).toByte; pcm(i * 2 + 1) = (s >> 8).toByte
       i += 1
     }
-    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-    val out = new java.io.ByteArrayOutputStream()
-    val stream = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    pcm16Wav(pcm, sampleRate)
   }
 
   /** Synthesize a mono 16-bit PCM WAV sine (pure JDK) — fixture plumbing
@@ -549,7 +562,6 @@ object Multimodal {
     * payloads are planted deterministically (same pattern as the
     * text_redact entry's planted PII). */
   def sineWav(freqHz: Double, seconds: Double, sampleRate: Int): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val n = (seconds * sampleRate).toInt
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -558,11 +570,7 @@ object Multimodal {
       pcm(i * 2) = (s & 0xFF).toByte; pcm(i * 2 + 1) = (s >> 8).toByte
       i += 1
     }
-    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-    val out = new java.io.ByteArrayOutputStream()
-    val stream = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    pcm16Wav(pcm, sampleRate)
   }
 
   /** Synthesize an animated GIF of `n` constant-gray FULL frames —
