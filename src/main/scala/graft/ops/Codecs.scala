@@ -96,6 +96,13 @@ object Codecs {
     * via the same Rec.601 luma as the image operators. An AVI with ZERO
     * video chunks is a valid empty clip (geometry from `avih`). */
   object MjpegAviDecoder extends VideoDecoder {
+    // JPEG reader SPI hoisted once per JVM — ImageIO.read's per-call
+    // registry scan is the per-row JDK-registry class SCALE.md's r9
+    // audio finding warns about; createReaderInstance is registry-free
+    @transient private lazy val jpegSpi = {
+      val r = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      try r.getOriginatingProvider finally r.dispose()
+    }
     private def le32(b: Array[Byte], off: Int): Int = LE.i32(b, off)
     private def fourcc(b: Array[Byte], off: Int): String =
       new String(b, off, 4, "US-ASCII")
@@ -217,18 +224,23 @@ object Codecs {
               val (w, h) = dims.head.get
               Some(VideoClip(w, h, chunks.size, { k =>
                 val (o, l) = chunks(k)
-                javax.imageio.ImageIO.setUseCache(false)
                 // the SOF scan can't see entropy-coded corruption (torn
                 // scan data, missing DHT tables — standard for camera
                 // MJPEG): a per-frame decode failure is CORRUPT PAYLOAD,
                 // not a broken decoder — throw the typed signal so the
                 // operator demotes the doc to its flagged row instead of
                 // failing the job
-                val img =
-                  try javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(bytes, o, l))
-                  catch { case e: Exception =>
-                    throw new CorruptPayload(s"frame $k: ${e.getMessage}") }
+                val img = {
+                  val reader = jpegSpi.createReaderInstance()
+                  try {
+                    reader.setInput(
+                      new javax.imageio.stream.MemoryCacheImageInputStream(
+                        new java.io.ByteArrayInputStream(bytes, o, l)))
+                    reader.read(0)
+                  } catch { case e: Exception =>
+                    throw new CorruptPayload(s"frame $k: ${e.getMessage}")
+                  } finally reader.dispose()
+                }
                 if (img == null || img.getWidth != w || img.getHeight != h)
                   throw new CorruptPayload(
                     s"frame $k decoded to ${if (img == null) "null"
@@ -257,14 +269,30 @@ object Codecs {
     * small, and `frame(k)` then serves from the buffer. The canvas
     * starts black (per-pixel luma of an untouched pixel is 0). */
   object GifDecoder extends VideoDecoder {
+    // SPI hoisted ONCE per JVM: per-row getImageReadersByFormatName /
+    // createImageInputStream scan the IIORegistry — the same per-row
+    // JDK-registry class the audio path's 29 s lock stall came from
+    // (SCALE.md r9); createReaderInstance per row is registry-free,
+    // and MemoryCacheImageInputStream skips the global file-cache
+    // machinery (and the ImageIO.setUseCache global mutation)
+    @transient private lazy val readerSpi = {
+      val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try r.getOriginatingProvider finally r.dispose()
+    }
+    // header-claimed geometry caps: a few-hundred-byte GIF can CLAIM a
+    // 65535x65535 screen (LZW is a decompression bomb) and an OOM is an
+    // Error the corrupt-payload catch would not convert to a flagged
+    // row — over-cap payloads are rejected up front instead
+    private val MaxPixels = 16L << 20      // canvas: 16 MP ≈ 64 MB RGB
+    private val MaxPlaneBytes = 512L << 20 // all buffered frame planes
+
     def decode(bytes: Array[Byte]): Option[VideoClip] = {
       if (bytes == null || bytes.length < 6) return None
       val magic = new String(bytes, 0, 6, "US-ASCII")
       if (magic != "GIF87a" && magic != "GIF89a") return None
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val reader = readerSpi.createReaderInstance()
       try {
-        javax.imageio.ImageIO.setUseCache(false)
-        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes)))
         val stream = reader.getStreamMetadata
           .getAsTree("javax_imageio_gif_stream_1.0")
@@ -273,11 +301,11 @@ object Codecs {
           .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
         val w = lsd.getAttribute("logicalScreenWidth").toInt
         val h = lsd.getAttribute("logicalScreenHeight").toInt
-        if (w <= 0 || h <= 0) return None
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
         // unlike AVI (where avih makes a zero-chunk container a valid
         // empty clip), a GIF with no image blocks is truncated garbage
         val n = reader.getNumImages(true)
-        if (n <= 0) return None
+        if (n <= 0 || n.toLong * w * h > MaxPlaneBytes) return None
         val canvas = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = canvas.createGraphics()
@@ -522,46 +550,59 @@ object Codecs {
       if (bytes == null || bytes.isEmpty) return None
       if (bytes.length >= 12 &&
           new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
-          new String(bytes, 8, 4, "US-ASCII") == "WAVE") {
-        // RIFF walk: fmt tag decides the route, lock-free
-        var fmtOff = -1; var dataOff = -1; var dataLen = 0
-        var p = 12
-        while (p + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
-          val id = new String(bytes, p, 4, "US-ASCII")
-          val len = LE.i32(bytes, p + 4)
-          if (len < 0 || p + 8 + len > bytes.length) return None
-          if (id == "fmt ") fmtOff = p + 8
-          else if (id == "data") { dataOff = p + 8; dataLen = len }
-          p += 8 + len + (len & 1)
-        }
-        if (fmtOff < 0 || dataOff < 0) return None
-        val tag = LE.u16(bytes, fmtOff)
-        val channels = LE.u16(bytes, fmtOff + 2)
-        val rate = LE.i32(bytes, fmtOff + 4)
-        val bits = LE.u16(bytes, fmtOff + 14)
-        if (tag == 1 && bits == 16 && channels >= 1 && rate > 0) {
-          // the overwhelmingly common shape: parse directly
-          val nFrames = dataLen / (2 * channels)
-          val mono = new Array[Double](nFrames)
-          var f = 0
-          while (f < nFrames) {
-            var acc = 0.0; var c = 0
-            while (c < channels) {
-              val off = dataOff + (f * channels + c) * 2
-              acc += ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort / 32768.0
-              c += 1
-            }
-            mono(f) = acc / channels; f += 1
-          }
-          return Some(AudioPcm(rate, channels, mono))
-        }
-        // tags AudioSystem can genuinely decode: float (3), A-law (6),
-        // µ-law (7), and other PCM widths under tag 1; anything else
-        // (ADPCM 0x11, MP3-in-WAV 0x55, extensible 0xFFFE …) would just
-        // burn the locked registry probe to throw — skip it
-        if (tag != 1 && tag != 3 && tag != 6 && tag != 7) return None
+          new String(bytes, 8, 4, "US-ASCII") == "WAVE")
+        // the fast path must keep the never-throw contract the
+        // AudioSystem path had: corrupt containers (review-caught: an
+        // int-overflowing chunk length, a truncated fmt) → None
+        try fastWav(bytes)
+        catch { case _: Exception => None }
+      else viaAudioSystem(bytes)
+    }
+
+    private def fastWav(bytes: Array[Byte]): Option[AudioPcm] = {
+      // RIFF walk: fmt tag decides the route, lock-free. Bounds in
+      // LONG — a crafted chunk length near Int.MaxValue must not wrap
+      // past the array check and size a giant allocation
+      var fmtOff = -1; var fmtLen = 0; var dataOff = -1; var dataLen = 0
+      var p = 12
+      while (p + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+        val id = new String(bytes, p, 4, "US-ASCII")
+        val len = LE.i32(bytes, p + 4)
+        if (len < 0 || p + 8L + len > bytes.length) return None
+        if (id == "fmt ") { fmtOff = p + 8; fmtLen = len }
+        else if (id == "data") { dataOff = p + 8; dataLen = len }
+        p += 8 + len + (len & 1)
       }
-      viaAudioSystem(bytes)
+      if (fmtOff < 0 || dataOff < 0 || fmtLen < 16) return None
+      val tag = LE.u16(bytes, fmtOff)
+      val channels = LE.u16(bytes, fmtOff + 2)
+      val rate = LE.i32(bytes, fmtOff + 4)
+      val bits = LE.u16(bytes, fmtOff + 14)
+      if (tag == 1 && bits == 16 && channels >= 1 && rate > 0) {
+        // the overwhelmingly common shape: parse directly
+        val nFrames = dataLen / (2 * channels)
+        val mono = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0; var c = 0
+          while (c < channels) {
+            val off = dataOff + (f * channels + c) * 2
+            acc += ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort / 32768.0
+            c += 1
+          }
+          mono(f) = acc / channels; f += 1
+        }
+        return Some(AudioPcm(rate, channels, mono))
+      }
+      // tags AudioSystem can genuinely decode: float (3), A-law (6),
+      // µ-law (7), WAVE_FORMAT_EXTENSIBLE (0xFFFE — the JDK's
+      // WaveExtensibleFileReader handles PCM-under-extensible, so it
+      // must NOT short-circuit), and other PCM widths under tag 1;
+      // anything else (ADPCM 0x11, MP3-in-WAV 0x55 …) would just burn
+      // the locked registry probe to throw — skip it
+      if (tag != 1 && tag != 3 && tag != 6 && tag != 7 && tag != 0xFFFE)
+        None
+      else viaAudioSystem(bytes)
     }
 
     private def viaAudioSystem(bytes: Array[Byte]): Option[AudioPcm] = {

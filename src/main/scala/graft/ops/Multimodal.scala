@@ -325,13 +325,26 @@ object Multimodal {
     * round-trips bit-exactly through encode+decode (MultimodalSpec pins
     * this for every fill value 0..255). Fixture plumbing only; output
     * bytes never appear in an oracle (twins use the closed-form fills). */
+  // writer SPIs hoisted once per JVM: ImageIO's by-format lookups scan
+  // the IIORegistry per call — the per-row JDK-registry hazard the r9
+  // audio fix documents in SCALE.md; these fixtures run per doc on
+  // executors inside the oracle entries
+  @transient private lazy val jpegWriterSpi = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    try w.getOriginatingProvider finally w.dispose()
+  }
+  @transient private lazy val gifWriterSpi = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try w.getOriginatingProvider finally w.dispose()
+  }
+
   private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val writer = jpegWriterSpi.createWriterInstance()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(1.0f)
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
@@ -518,14 +531,6 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Synthesize a mono 16-bit PCM WAV square wave (pure JDK) — fixture
-    * plumbing for the ORACLE-EXACT audio entry. A square wave at
-    * amplitude 16384/32768 = 0.5 survives 16-bit quantization EXACTLY
-    * (every sample is ±0.5, a dyadic rational), so rms/peak/mean-abs and
-    * all four quarter-RMS features are exactly 0.5 and the zero-crossing
-    * rate is the exact integer formula floor((n-1)/(P/2))/(n-1) — all
-    * closed forms a SQL twin can emit (a sine's features are poisoned by
-    * per-sample quantization error; a square's are not). */
   /** Hand-built mono 16-bit PCM RIFF/WAVE container. The fixtures
     * previously wrote through `AudioSystem.write`, whose provider
     * registry is GLOBALLY locked like the read side (see
@@ -544,6 +549,14 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Synthesize a mono 16-bit PCM WAV square wave — fixture plumbing
+    * for the ORACLE-EXACT audio entry. A square wave at amplitude
+    * 16384/32768 = 0.5 survives 16-bit quantization EXACTLY (every
+    * sample is ±0.5, a dyadic rational), so rms/peak/mean-abs and all
+    * four quarter-RMS features are exactly 0.5 and the zero-crossing
+    * rate is the exact integer formula floor((n-1)/(P/2))/(n-1) — all
+    * closed forms a SQL twin can emit (a sine's features are poisoned by
+    * per-sample quantization error; a square's are not). */
   def squareWav(periodSamples: Int, n: Int, sampleRate: Int): Array[Byte] = {
     require(periodSamples >= 2 && periodSamples % 2 == 0,
       s"period must be even and >= 2: $periodSamples")
@@ -596,9 +609,9 @@ object Multimodal {
   def gifAnimation(
       frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)]): Array[Byte] = {
     require(frames.nonEmpty, "need >= 1 frame")
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = gifWriterSpi.createWriterInstance()
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null) // logical screen = first frame
