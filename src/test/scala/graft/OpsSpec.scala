@@ -2227,6 +2227,71 @@ class MultimodalSpec extends SparkSuite {
     assert(plane.forall(b => math.abs((b & 0xFF) - luma) <= 3.0))
   }
 
+  test("WAV fast path: bit-equal to the source samples on random mono/stereo PCM; corrupt containers flag, never throw") {
+    import graft.ops.Codecs
+    val rnd = new scala.util.Random(20260815) // seeded: deterministic
+    // the lock-free PCM16 parser must reproduce the SOURCE samples
+    // bit-exactly (mono) / as the exact channel average (stereo) on
+    // arbitrary content — the equivalence the oracle square waves pin
+    // only at +/-0.5. Container written by javax.sound itself (the
+    // independent reference writer).
+    def viaAudioSystemWrite(pcm: Array[Byte], ch: Int, rate: Int): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / (2 * ch)),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    for (ch <- Seq(1, 2); trial <- 0 until 3) {
+      val n = 50 + rnd.nextInt(200)
+      val samples = Array.fill(n * ch)(rnd.nextInt(65536) - 32768)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xFF).toByte
+        pcm(2 * i + 1) = (samples(i) >> 8).toByte
+      }
+      val d = Codecs.JdkPcmDecoder.decode(
+        viaAudioSystemWrite(pcm, ch, 8000 + trial)).get
+      assert(d.sampleRate == 8000 + trial && d.channels == ch &&
+        d.mono.length == n)
+      for (f <- 0 until n) {
+        val expect = (0 until ch).map(c => samples(f * ch + c) / 32768.0)
+          .sum / ch
+        assert(d.mono(f) == expect, s"ch=$ch trial=$trial frame $f")
+      }
+    }
+    // crafted corruption must flag (None), never throw: an
+    // Int-overflowing data length, a truncated fmt chunk, fmt missing
+    def wav(chunks: Array[Byte]*): Array[Byte] = {
+      val body = "WAVE".getBytes("US-ASCII") ++ chunks.flatten
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      out.write(Array[Byte]((body.length & 0xFF).toByte,
+        ((body.length >> 8) & 0xFF).toByte, 0, 0))
+      out.write(body); out.toByteArray
+    }
+    def chunk(id: String, len: Int, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ Array[Byte]((len & 0xFF).toByte,
+        ((len >> 8) & 0xFF).toByte, ((len >> 16) & 0xFF).toByte,
+        ((len >> 24) & 0xFF).toByte) ++ payload
+    val goodFmt = chunk("fmt ", 16, Array[Byte](1, 0, 1, 0, 0x40, 0x1F, 0, 0,
+      0x80.toByte, 0x3E, 0, 0, 2, 0, 16, 0))
+    // data chunk CLAIMING ~Int.MaxValue bytes in a tiny buffer: the
+    // Long-bounds fix must reject it instead of wrapping into a
+    // multi-GB allocation / out-of-bounds read
+    assert(Codecs.JdkPcmDecoder.decode(
+      wav(goodFmt, chunk("data", 0x7FFFFFF0, Array[Byte](1, 2, 3, 4)))).isEmpty)
+    // fmt chunk shorter than 16 bytes: field reads must not run off the end
+    assert(Codecs.JdkPcmDecoder.decode(
+      wav(chunk("fmt ", 2, Array[Byte](1, 0)),
+        chunk("data", 4, Array[Byte](1, 2, 3, 4)))).isEmpty)
+    // no fmt chunk at all
+    assert(Codecs.JdkPcmDecoder.decode(
+      wav(chunk("data", 4, Array[Byte](1, 2, 3, 4)))).isEmpty)
+  }
+
   test("animated GIF: lossless round-trip, sub-rect compositing + disposal methods, corrupt flagged") {
     import graft.ops.Codecs
     // palette-lossless: EVERY gray 0..255 round-trips exactly through
