@@ -271,6 +271,9 @@ object Bench {
     // per-query maps. The full line above exceeded the driver's bounded
     // stdout-tail capture two rounds running (r5/r6 "parsed": null); this
     // one always fits, so the driver-side signal stands without the file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    // `calib` rides along (r10): the driver's tail truncation dropped it
+    // from BENCH_r09.json, so drift adjudication needed the local
+    // artifact — the compact line now carries the VM-speed probe too.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":${calibRuns.min},"sf":"$sfDir","n_queries":${results.size}}""")
   }
 }

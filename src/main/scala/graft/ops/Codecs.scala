@@ -107,21 +107,54 @@ object Codecs {
     private def fourcc(b: Array[Byte], off: Int): String =
       new String(b, off, 4, "US-ASCII")
 
-    /** (offset, length) of every video-stream chunk inside LIST movi
-      * (recursing through `rec ` groups), or None on a structurally
-      * corrupt container. */
+    /** Stream prefix ("00", "01", …) of the FIRST `vids` stream, from the
+      * hdrl `strl` order (streams are numbered by strl position; chunk
+      * ids carry the number as two hex digits per the Windows
+      * StreamFromFOURCC convention). None when no strh parses — the
+      * walk then falls back to stream 00, the universal default. */
+    private def vidsStreamPrefix(b: Array[Byte]): Option[String] = {
+      var streamNo = -1; var found = Option.empty[String]
+      def walk(start: Int, end: Int): Boolean = {
+        var p = start
+        while (p + 8 <= end && found.isEmpty) {
+          val id = fourcc(b, p); val len = le32(b, p + 4)
+          if (len < 0 || p + 8L + len > end) return false
+          if (id == "LIST" && len >= 4) {
+            val lt = fourcc(b, p + 8)
+            if (lt == "strl") streamNo += 1
+            if (!walk(p + 12, p + 8 + len)) return false
+          } else if (id == "strh" && len >= 4 && streamNo >= 0 &&
+              fourcc(b, p + 8) == "vids")
+            found = Some(f"$streamNo%02X")
+          p += 8 + len + (len & 1)
+        }
+        true
+      }
+      walk(12, b.length)
+      found
+    }
+
+    /** (offset, length) of every chunk of the FIRST `vids` stream inside
+      * LIST movi (recursing through `rec ` groups), or None on a
+      * structurally corrupt container. Restricting to one stream number
+      * keeps a multi-stream AVI (video + audio, or two video streams)
+      * from interleaving foreign chunks into the clip (review-caught:
+      * the r9 walk collected every `##dc`/`##db`). */
     private def frameChunks(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+      val prefix = vidsStreamPrefix(b).getOrElse("00")
       val out = Vector.newBuilder[(Int, Int)]
       def walk(start: Int, end: Int, inMovi: Boolean): Boolean = {
         var p = start
         while (p + 8 <= end) {
           val id = fourcc(b, p); val len = le32(b, p + 4)
-          if (len < 0 || p + 8 + len > end) return false
+          // LONG bounds: a crafted length near Int.MaxValue must not wrap
+          if (len < 0 || p + 8L + len > end) return false
           if (id == "LIST" && len >= 4) {
             val lt = fourcc(b, p + 8)
             if (!walk(p + 12, p + 8 + len, inMovi || lt == "movi" || lt == "rec "))
               return false
-          } else if (inMovi && (id.endsWith("dc") || id.endsWith("db")) && len > 0)
+          } else if (inMovi && id.startsWith(prefix) &&
+              (id.endsWith("dc") || id.endsWith("db")) && len > 0)
             out += ((p + 8, len))
           p += 8 + len + (len & 1) // RIFF chunks pad to even
         }
@@ -136,7 +169,7 @@ object Codecs {
         var p = start
         while (p + 8 <= end) {
           val id = fourcc(b, p); val len = le32(b, p + 4)
-          if (len < 0 || p + 8 + len > end) return None
+          if (len < 0 || p + 8L + len > end) return None
           if (id == "avih" && len >= 40)
             return Some((le32(b, p + 8 + 32), le32(b, p + 8 + 36)))
           if (id == "LIST" && len >= 4)
@@ -451,14 +484,16 @@ object Codecs {
       if (bytes == null || bytes.length < 12 ||
           new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
           new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
-      // chunk walk: find fmt + data
-      var fmtOff = -1; var dataOff = -1; var dataLen = 0
+      // chunk walk: find fmt + data. LONG bounds — a crafted chunk
+      // length near Int.MaxValue must not wrap past the array check
+      // (the fastWav discipline, applied here after the r9 advice)
+      var fmtOff = -1; var fmtLen = 0; var dataOff = -1; var dataLen = 0
       var p = 12
       while (p + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
         val id = new String(bytes, p, 4, "US-ASCII")
         val len = le32(bytes, p + 4)
-        if (len < 0 || p + 8 + len > bytes.length) return None
-        if (id == "fmt ") fmtOff = p + 8
+        if (len < 0 || p + 8L + len > bytes.length) return None
+        if (id == "fmt ") { fmtOff = p + 8; fmtLen = len }
         else if (id == "data") { dataOff = p + 8; dataLen = len }
         p += 8 + len + (len & 1)
       }
@@ -470,6 +505,18 @@ object Codecs {
       val bps = le16(bytes, fmtOff + 14)
       if (tag != 0x11 || bps != 4 || channels < 1 ||
           blockAlign < 4 * channels || rate <= 0) return None
+      // nibble capacity of a full block (header sample + data nibbles)
+      val capacity = (blockAlign - 4 * channels) * 2 / channels + 1
+      // wSamplesPerBlock from the fmt extension (cbSize >= 2): a
+      // spec-conforming encoder may pad blocks short of nibble capacity,
+      // and decoding the padding would emit trailing garbage samples
+      // (r9 advice). Out-of-range claims clamp to capacity — the
+      // no-extension default.
+      val samplesPerBlock =
+        if (fmtLen >= 20 && le16(bytes, fmtOff + 16) >= 2) {
+          val spb = le16(bytes, fmtOff + 18)
+          if (spb >= 1 && spb <= capacity) spb else capacity
+        } else capacity
       // decode block by block; the final block may be truncated
       val monoBuf = Array.newBuilder[Double]
       var blk = dataOff
@@ -488,13 +535,17 @@ object Codecs {
         var c = 0
         while (c < channels) { acc += pred(c) / 32768.0; c += 1 }
         monoBuf += acc / channels
+        var emitted = 1
         // 4-byte nibble groups, channel-interleaved: each group is 8
         // samples of ONE channel; emit frames once all channels have
-        // them. Allocation-free while loops — this is the per-byte hot
-        // path of the 100 TB corpus shape (millions of blobs/executor)
+        // them, stopping at wSamplesPerBlock (the rest is pad). The
+        // skipped pad nibbles need no state stepping — the next block's
+        // header resets predictor and index. Allocation-free while
+        // loops — this is the per-byte hot path of the 100 TB corpus
+        // shape (millions of blobs/executor)
         var g = blk + 4 * channels
         val frame = Array.ofDim[Double](channels, 8)
-        while (g + 4 * channels <= end) {
+        while (g + 4 * channels <= end && emitted < samplesPerBlock) {
           c = 0
           while (c < channels) {
             var b = 0
@@ -513,10 +564,11 @@ object Codecs {
             c += 1
           }
           var s = 0
-          while (s < 8) {
+          while (s < 8 && emitted < samplesPerBlock) {
             var sum = 0.0; c = 0
             while (c < channels) { sum += frame(c)(s); c += 1 }
             monoBuf += sum / channels
+            emitted += 1
             s += 1
           }
           g += 4 * channels

@@ -2504,4 +2504,90 @@ class MultimodalSpec extends SparkSuite {
     assert((4 to 7).forall(i => fa(i) == 0.5f))
     assert(fa(1) == ((799 / 8).toDouble / 799).toFloat) // zcr = floor((n-1)/(P/2))/(n-1)
   }
+
+  test("multi-stream AVI: only the first vids stream's chunks form the clip (r10 advice)") {
+    import graft.ops.Codecs
+    // hand-built container: stream 00 is AUDIO (strl 'auds'), stream 01
+    // is the video stream; movi interleaves an audio chunk, a rogue
+    // '00dc' chunk (garbage claiming to be video stream 00), and the
+    // real '01dc' JPEG frames. The pre-fix walk collected every ##dc —
+    // the garbage would poison JPEG validation and reject the whole
+    // container; the stream-scoped walk must serve the two real frames.
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if ((payload.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    def oneJpeg(v: Int): Array[Byte] = {
+      val full = Multimodal.mjpegAviVideo(4, 4, 1, _ => v)
+      val i = full.indexOfSlice(Seq(0xFF.toByte, 0xD8.toByte))
+      val len = (full(i - 4) & 0xFF) | ((full(i - 3) & 0xFF) << 8) |
+        ((full(i - 2) & 0xFF) << 16) | ((full(i - 1) & 0xFF) << 24)
+      full.slice(i, i + len)
+    }
+    val avih = chunk("avih",
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(2) ++
+        le32(0) ++ le32(2) ++ le32(0) ++ le32(4) ++ le32(4) ++
+        Array.fill[Byte](16)(0))
+    def strh(fccType: String): Array[Byte] = chunk("strh",
+      fccType.getBytes("US-ASCII") ++ Array.fill[Byte](48)(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh("auds")) ++
+      list("strl", strh("vids")))
+    val movi = list("movi",
+      chunk("00wb", Array.fill[Byte](32)(7)) ++
+        chunk("00dc", "garbage not jpeg".getBytes("US-ASCII")) ++
+        chunk("01dc", oneJpeg(40)) ++ chunk("01dc", oneJpeg(90)))
+    val bytes = "RIFF".getBytes("US-ASCII") ++
+      le32(4 + hdrl.length + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val clip = Codecs.MjpegAviDecoder.decode(bytes)
+    assert(clip.nonEmpty, "multi-stream AVI rejected")
+    assert(clip.get.nFrames == 2 && clip.get.width == 4 && clip.get.height == 4)
+    assert(clip.get.frame(0).toSeq == Seq.fill(16)(40.toByte))
+    assert(clip.get.frame(1).toSeq == Seq.fill(16)(90.toByte))
+    // single-stream containers (no strh at all in some dumps) keep the
+    // 00 default — the fixture path must be unaffected
+    val single = Codecs.MjpegAviDecoder.decode(
+      Multimodal.mjpegAviVideo(4, 4, 2, k => 10 + k)).get
+    assert(single.nFrames == 2 && single.frame(1).head == 11.toByte)
+  }
+
+  test("ADPCM bounds hardening: wSamplesPerBlock caps block output; overflowing chunk length rejects (r10 advice)") {
+    import graft.ops.Codecs
+    // 2 blocks x (1 header + 8 nibble samples), spb = capacity 9 by
+    // default. Patch the fmt extension's wSamplesPerBlock (offset 38:
+    // RIFF(12) + "fmt "+len(8) + 18 into the fmt payload) down to 5 —
+    // the decoder must emit 5 samples per block, not decode the pad.
+    val wav = Multimodal.imaAdpcmWav(8000,
+      (0 until 2).map(b => Seq((100 * b, 3, (0 until 8).map(j => (j + b) % 16)))))
+    assert(Codecs.ImaAdpcmDecoder.decode(wav).get.mono.length == 18)
+    val short = wav.clone()
+    assert(short(36) == 2.toByte && short(37) == 0.toByte, "cbSize moved")
+    assert(short(38) == 9.toByte && short(39) == 0.toByte, "spb field moved")
+    short(38) = 5
+    val d = Codecs.ImaAdpcmDecoder.decode(short).get
+    assert(d.mono.length == 10, s"spb cap ignored: ${d.mono.length}")
+    // the capped decode is a PREFIX of the full decode per block
+    val full = Codecs.ImaAdpcmDecoder.decode(wav).get.mono
+    assert(d.mono.toSeq == (full.slice(0, 5) ++ full.slice(9, 14)).toSeq)
+    // an out-of-range claim (spb > capacity) clamps to capacity
+    val over = wav.clone(); over(38) = 100
+    assert(Codecs.ImaAdpcmDecoder.decode(over).get.mono.length == 18)
+    // a data chunk CLAIMING ~Int.MaxValue bytes must reject (None), not
+    // wrap the int bounds check and return an empty decoded=true clip
+    def rawChunk(id: String, len: Int, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ Array[Byte]((len & 0xFF).toByte,
+        ((len >> 8) & 0xFF).toByte, ((len >> 16) & 0xFF).toByte,
+        ((len >> 24) & 0xFF).toByte) ++ payload
+    val fmtPayload = wav.slice(20, 40) // the real tag-0x11 fmt payload
+    val body = "WAVE".getBytes("US-ASCII") ++ rawChunk("fmt ", 20, fmtPayload) ++
+      rawChunk("data", 0x7FFFFFF0, Array[Byte](1, 2, 3, 4))
+    val crafted = "RIFF".getBytes("US-ASCII") ++ Array[Byte](
+      (body.length & 0xFF).toByte, ((body.length >> 8) & 0xFF).toByte, 0, 0) ++ body
+    assert(Codecs.ImaAdpcmDecoder.decode(crafted).isEmpty)
+  }
 }
