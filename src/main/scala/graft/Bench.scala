@@ -95,7 +95,7 @@ object Bench {
     "corpus_curate_stream", "corpus_chunk", "corpus_chunk_pack", "text_vocab",
     "multimodal_meta", "multimodal_features", "multimodal_audio",
     "multimodal_features_exact", "multimodal_audio_exact",
-    "multimodal_audio_adpcm",
+    "multimodal_audio_adpcm", "multimodal_audio_flac",
     "dedup_image_dhash", "dedup_image_keep", "multimodal_frames",
     "multimodal_frames_avi",
     "dedup_video_frames", "dedup_video_dhash")

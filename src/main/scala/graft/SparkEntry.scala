@@ -2107,6 +2107,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FLAC (r10): the crawl-modal LOSSLESS format through the real
+    // from-spec Codecs.FlacDecoder (frame sync, CRC-8/16, Rice-coded
+    // residuals — behind the orElse chain, proving mixed-column
+    // routing). Each doc's stream is three 64-sample frames whose
+    // contents are pure functions of doc_id: a CONSTANT subframe, a
+    // VERBATIM subframe, and a FIXED order-1 subframe with Rice-coded
+    // residuals in TWO partitions — so the decoded samples have the
+    // closed forms the DuckDB twin emits (constant, direct formula, and
+    // a window-cumsum for the order-1 recurrence), and losslessness
+    // plus integer-valued samples make the feature sums order-exact
+    "multimodal_audio_flac" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import Multimodal.{FlacConstant, FlacFixed, FlacVerbatim}
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val c = ((id * 131) % 4096 - 2048).toInt
+          val verb = (0 until 64).map(k => ((id * 7 + k * 13) % 4096 - 2048).toInt)
+          val w0 = ((id * 17) % 1024 - 512).toInt
+          val res = (0 until 63).map(j => ((id + 3 * j) % 7 - 3).toInt)
+          Row(id, Multimodal.flacBytes(8000, 16, 1, Seq(
+            (0, Seq(FlacConstant(c, 64))),
+            (0, Seq(FlacVerbatim(verb))),
+            (0, Seq(FlacFixed(1, Seq(w0), res, riceParam = 2, partOrder = 1))))))
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.decodeAudioFeatures(blobs,
+          decoder = Codecs.FlacDecoder.orElse(Codecs.JdkPcmDecoder))
+        .select(Seq(col("doc_id"), col("decoded"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("n_frames")) ++
+          (0 until Multimodal.FeatureDim).map(i =>
+            round(element_at(col("feature"), i + 1).cast("double"), 6).as(s"f$i")): _*)
+        .orderBy("doc_id")
+    }),
+
     // ============================================================
     // Corpus selection — the FINAL pipeline stage (what ships)
     // ============================================================
@@ -4114,6 +4153,56 @@ object SparkEntry {
         |  FROM sl GROUP BY doc_id)
         |SELECT doc_id, true AS decoded, 8000::BIGINT AS sample_rate,
         |  1::BIGINT AS channels, 18::BIGINT AS n_frames,
+        |  round(CAST(rms AS REAL)::DOUBLE, 6) AS f0,
+        |  round(CAST(zcr AS REAL)::DOUBLE, 6) AS f1,
+        |  round(CAST(peak AS REAL)::DOUBLE, 6) AS f2,
+        |  round(CAST(meanabs AS REAL)::DOUBLE, 6) AS f3,
+        |  round(CAST(r0 AS REAL)::DOUBLE, 6) AS f4,
+        |  round(CAST(r1 AS REAL)::DOUBLE, 6) AS f5,
+        |  round(CAST(r2 AS REAL)::DOUBLE, 6) AS f6,
+        |  round(CAST(r3 AS REAL)::DOUBLE, 6) AS f7
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the FLAC stream's decoded samples in closed form: frame 0 is the
+    // CONSTANT value, frame 1 the VERBATIM formula, frame 2 the FIXED
+    // order-1 recurrence s(i) = s(i-1) + r(i) — a cumulative window sum
+    // over the residual formula; then the identical feature math over
+    // the exact integer samples (lossless ⇒ order-exact double sums)
+    "multimodal_audio_flac" ->
+      """WITH base AS (
+        |  SELECT d.doc_id, t.i,
+        |    sum(CASE WHEN t.i < 128 THEN 0
+        |             WHEN t.i = 128 THEN (d.doc_id*17) % 1024 - 512
+        |             ELSE (d.doc_id + 3*(t.i - 129)) % 7 - 3 END)
+        |      OVER (PARTITION BY d.doc_id ORDER BY t.i
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fixcum
+        |  FROM documents d, generate_series(0, 191) AS t(i)),
+        |samp AS (
+        |  SELECT doc_id, i,
+        |    (CASE WHEN i < 64 THEN (doc_id*131) % 4096 - 2048
+        |          WHEN i < 128 THEN (doc_id*7 + (i-64)*13) % 4096 - 2048
+        |          ELSE fixcum END) / 32768.0 AS s
+        |  FROM base),
+        |sl AS (SELECT doc_id, i, s,
+        |         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS sp,
+        |         least(3, (i*4) // 192) AS q FROM samp),
+        |f AS (SELECT doc_id,
+        |    sqrt(sum(s*s) / 192) AS rms,
+        |    sum(CASE WHEN i > 0 AND ((s >= 0) <> (sp >= 0))
+        |        THEN 1 ELSE 0 END) / 191.0 AS zcr,
+        |    max(abs(s)) AS peak,
+        |    sum(abs(s)) / 192 AS meanabs,
+        |    sqrt(sum(CASE WHEN q = 0 THEN s*s END)
+        |         / sum(CASE WHEN q = 0 THEN 1 END)) AS r0,
+        |    sqrt(sum(CASE WHEN q = 1 THEN s*s END)
+        |         / sum(CASE WHEN q = 1 THEN 1 END)) AS r1,
+        |    sqrt(sum(CASE WHEN q = 2 THEN s*s END)
+        |         / sum(CASE WHEN q = 2 THEN 1 END)) AS r2,
+        |    sqrt(sum(CASE WHEN q = 3 THEN s*s END)
+        |         / sum(CASE WHEN q = 3 THEN 1 END)) AS r3
+        |  FROM sl GROUP BY doc_id)
+        |SELECT doc_id, true AS decoded, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS channels, 192::BIGINT AS n_frames,
         |  round(CAST(rms AS REAL)::DOUBLE, 6) AS f0,
         |  round(CAST(zcr AS REAL)::DOUBLE, 6) AS f1,
         |  round(CAST(peak AS REAL)::DOUBLE, 6) AS f2,

@@ -579,6 +579,361 @@ object Codecs {
     } catch { case _: Exception => None }
   }
 
+  /** FLAC (r10) — the first codec here chosen by CRAWL FREQUENCY, not
+    * oracle convenience: FLAC is the modal lossless audio format in
+    * web archives, and losslessness is what lets the hash-exact twin
+    * discipline keep working (decoded samples are exact integers, so a
+    * SQL twin can emit them in closed form). Implemented from the
+    * public format spec (RFC 9639) with zero new dependencies:
+    *
+    *  - `fLaC` magic → metadata blocks (STREAMINFO parsed for rate /
+    *    channels / bits-per-sample / total samples; others skipped);
+    *  - frames: 14-bit sync, blocking strategy, coded block size /
+    *    sample rate / channel assignment / sample size, UTF-8-coded
+    *    frame number, header CRC-8 and frame CRC-16 both VERIFIED (a
+    *    flipped bit demotes to the flagged row instead of emitting
+    *    garbage samples);
+    *  - subframes: CONSTANT, VERBATIM, FIXED orders 0-4, LPC orders
+    *    1-32 (quantized coefficients, 64-bit accumulator, arithmetic
+    *    shift), each with the wasted-bits-per-sample header;
+    *  - residuals: 4-bit (RICE) and 5-bit (RICE2) partitioned Rice
+    *    codes incl. the escape-to-raw encoding, zigzag-decoded;
+    *  - stereo decorrelation: left/side, right/side, mid/side (side
+    *    channel one bit wider, the spec's lossless trick).
+    *
+    * Output samples normalize by `2^(bps-1)` and average to mono per
+    * the [[AudioPcm]] contract. Decompression-bomb cap: total decoded
+    * samples bounded (a few-hundred-byte file of CONSTANT frames can
+    * claim gigabytes) — over-cap payloads reject up front, the
+    * [[GifDecoder]] discipline. Strict tail: bytes after the last
+    * frame that do not parse as a frame reject the payload (corrupt
+    * containers must flag, not truncate silently). */
+  object FlacDecoder extends AudioDecoder {
+    private val MaxSamples = 16L << 20 // 16M mono samples ≈ 128 MB doubles
+
+    private[ops] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0; var i = from
+      while (i < until) {
+        crc ^= b(i) & 0xFF
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF else (crc << 1) & 0xFF
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    private[ops] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0; var i = from
+      while (i < until) {
+        crc ^= (b(i) & 0xFF) << 8
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF
+                else (crc << 1) & 0xFFFF
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** MSB-first bit reader over the payload. Throws
+      * ArrayIndexOutOfBounds past the end — decode()'s catch-all turns
+      * any truncation into the flagged None. */
+    private final class BitReader(b: Array[Byte], var bytePos: Int) {
+      var bitPos = 0 // 0..7, bits consumed of current byte
+      def atByteBoundary: Boolean = bitPos == 0
+      def align(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+      def readBit(): Int = {
+        val v = (b(bytePos) >> (7 - bitPos)) & 1
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+        v
+      }
+      def readBits(n: Int): Long = {
+        var v = 0L; var k = 0
+        while (k < n) { v = (v << 1) | readBit(); k += 1 }
+        v
+      }
+      def readSigned(n: Int): Int = {
+        val v = readBits(n)
+        // sign-extend an n-bit two's-complement value
+        if (n == 0) 0
+        else if ((v & (1L << (n - 1))) != 0) (v - (1L << n)).toInt
+        else v.toInt
+      }
+      def readUnary(): Int = {
+        var q = 0
+        while (readBit() == 0) q += 1
+        q
+      }
+    }
+
+    /** One Rice-coded residual partition into `out[from until from+n]`. */
+    private def riceBlock(r: BitReader, param: Int, out: Array[Int],
+                          from: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        val q = r.readUnary()
+        val u = (q.toLong << param) | r.readBits(param)
+        out(from + i) = ((u >>> 1) ^ -(u & 1L)).toInt // zigzag
+        i += 1
+      }
+    }
+
+    /** Partitioned residual (both coding methods) for a subframe of
+      * `blockSize` samples with `predOrder` warm-ups already emitted. */
+    private def residual(r: BitReader, blockSize: Int, predOrder: Int,
+                         out: Array[Int]): Boolean = {
+      val method = r.readBits(2).toInt
+      if (method > 1) return false
+      val paramBits = if (method == 0) 4 else 5
+      val escape = (1 << paramBits) - 1
+      val po = r.readBits(4).toInt
+      val parts = 1 << po
+      if (blockSize % parts != 0) return false
+      val perPart = blockSize >> po
+      if (perPart <= predOrder && parts == 1) return false
+      var part = 0; var pos = predOrder
+      while (part < parts) {
+        val n = if (part == 0) perPart - predOrder else perPart
+        if (n < 0) return false
+        val param = r.readBits(paramBits).toInt
+        if (param == escape) {
+          val raw = r.readBits(5).toInt
+          var i = 0
+          while (i < n) { out(pos + i) = if (raw == 0) 0 else r.readSigned(raw); i += 1 }
+        } else riceBlock(r, param, out, pos, n)
+        pos += n
+        part += 1
+      }
+      true
+    }
+
+    /** One subframe into an Int array (final values incl. wasted-bit
+      * shift; side-channel callers pass bps+1). Null = invalid. */
+    private def subframe(r: BitReader, blockSize: Int, bps: Int): Array[Int] = {
+      if (r.readBit() != 0) return null // mandatory zero pad bit
+      val stype = r.readBits(6).toInt
+      val wasted =
+        if (r.readBit() == 1) r.readUnary() + 1 else 0
+      val eff = bps - wasted
+      if (eff <= 0 || eff > 33) return null
+      val out = new Array[Int](blockSize)
+      val ok =
+        if (stype == 0) { // CONSTANT
+          val v = r.readSigned(eff)
+          java.util.Arrays.fill(out, v); true
+        } else if (stype == 1) { // VERBATIM
+          var i = 0
+          while (i < blockSize) { out(i) = r.readSigned(eff); i += 1 }
+          true
+        } else if (stype >= 8 && stype <= 12) { // FIXED order 0-4
+          val order = stype - 8
+          if (order > blockSize) return null
+          var i = 0
+          while (i < order) { out(i) = r.readSigned(eff); i += 1 }
+          if (!residual(r, blockSize, order, out)) return null
+          // undo the fixed polynomial predictor (64-bit intermediates:
+          // order-4 coefficients reach ±6 on 17-bit side samples)
+          i = order
+          while (i < blockSize) {
+            val p: Long = order match {
+              case 0 => 0L
+              case 1 => out(i - 1).toLong
+              case 2 => 2L * out(i - 1) - out(i - 2)
+              case 3 => 3L * out(i - 1) - 3L * out(i - 2) + out(i - 3)
+              case _ => 4L * out(i - 1) - 6L * out(i - 2) +
+                4L * out(i - 3) - out(i - 4)
+            }
+            out(i) = (p + out(i)).toInt
+            i += 1
+          }
+          true
+        } else if (stype >= 32) { // LPC order 1-32
+          val order = (stype & 31) + 1
+          if (order > blockSize) return null
+          var i = 0
+          while (i < order) { out(i) = r.readSigned(eff); i += 1 }
+          val precM1 = r.readBits(4).toInt
+          if (precM1 == 15) return null
+          val precision = precM1 + 1
+          val shift = r.readSigned(5)
+          if (shift < 0) return null
+          val coefs = new Array[Int](order)
+          i = 0
+          while (i < order) { coefs(i) = r.readSigned(precision); i += 1 }
+          if (!residual(r, blockSize, order, out)) return null
+          i = order
+          while (i < blockSize) {
+            var acc = 0L; var j = 0
+            while (j < order) { acc += coefs(j).toLong * out(i - 1 - j); j += 1 }
+            out(i) = ((acc >> shift) + out(i)).toInt
+            i += 1
+          }
+          true
+        } else false
+      if (!ok) return null
+      if (wasted > 0) {
+        var i = 0
+        while (i < blockSize) { out(i) = out(i) << wasted; i += 1 }
+      }
+      out
+    }
+
+    def decode(bytes: Array[Byte]): Option[AudioPcm] = try {
+      if (bytes == null || bytes.length < 42 ||
+          bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' || bytes(3) != 'C')
+        return None
+      // ---- metadata blocks; STREAMINFO is mandatory first ----
+      var p = 4
+      var last = false
+      var sampleRate = 0; var channels = 0; var bps = 0; var totalSamples = 0L
+      var haveInfo = false
+      while (!last) {
+        if (p + 4 > bytes.length) return None
+        val hdr = bytes(p) & 0xFF
+        last = (hdr & 0x80) != 0
+        val btype = hdr & 0x7F
+        val len = ((bytes(p + 1) & 0xFF) << 16) | ((bytes(p + 2) & 0xFF) << 8) |
+          (bytes(p + 3) & 0xFF)
+        if (btype == 127 || p + 4L + len > bytes.length) return None
+        if (btype == 0) {
+          if (len < 34 || haveInfo) return None
+          val o = p + 4
+          // bytes o+10..o+17 pack rate(20) ch-1(3) bps-1(5) total(36)
+          var v = 0L; var i = 0
+          while (i < 8) { v = (v << 8) | (bytes(o + 10 + i) & 0xFF); i += 1 }
+          sampleRate = (v >>> 44).toInt
+          channels = ((v >>> 41) & 7).toInt + 1
+          bps = ((v >>> 36) & 31).toInt + 1
+          totalSamples = v & ((1L << 36) - 1)
+          haveInfo = true
+        }
+        p += 4 + len
+      }
+      if (!haveInfo || sampleRate <= 0) return None
+      if (totalSamples > MaxSamples) return None
+      // ---- frames ----
+      val mono = Array.newBuilder[Double]
+      var emitted = 0L
+      val norm = (1L << (bps - 1)).toDouble
+      while (p < bytes.length && (totalSamples == 0L || emitted < totalSamples)) {
+        val frameStart = p
+        val r = new BitReader(bytes, p)
+        if (r.readBits(14) != 0x3FFE || r.readBit() != 0) return None
+        r.readBit() // blocking strategy: fixed/variable frame numbering
+        val bsCode = r.readBits(4).toInt
+        val srCode = r.readBits(4).toInt
+        val chAsgn = r.readBits(4).toInt
+        val szCode = r.readBits(3).toInt
+        if (r.readBit() != 0) return None
+        // UTF-8-coded frame/sample number (value unused; validate shape)
+        val first = r.readBits(8).toInt
+        if (first >= 0x80) {
+          var cont = 0; var mask = 0x40
+          while ((first & mask) != 0) { cont += 1; mask >>= 1 }
+          if (cont < 1 || cont > 6) return None
+          var i = 0
+          while (i < cont) {
+            if ((r.readBits(8) & 0xC0) != 0x80) return None
+            i += 1
+          }
+        }
+        val blockSize = bsCode match {
+          case 0 => return None // reserved
+          case 1 => 192
+          case 6 => r.readBits(8).toInt + 1
+          case 7 => r.readBits(16).toInt + 1
+          case c if c <= 5 => 576 << (c - 2)
+          case c => 256 << (c - 8)
+        }
+        srCode match { // value only cross-checked, STREAMINFO governs
+          case 12 => r.readBits(8)
+          case 13 | 14 => r.readBits(16)
+          case 15 => return None
+          case _ => ()
+        }
+        val frameBps = szCode match {
+          case 0 => bps
+          case 1 => 8
+          case 2 => 12
+          case 3 => return None // reserved
+          case 4 => 16
+          case 5 => 20
+          case 6 => 24
+          case 7 => 32
+        }
+        if (crc8(bytes, frameStart, r.bytePos) != r.readBits(8).toInt)
+          return None
+        if (emitted + blockSize > MaxSamples) return None
+        val chs: Array[Array[Int]] =
+          if (chAsgn <= 7) {
+            val n = chAsgn + 1
+            val out = new Array[Array[Int]](n)
+            var c = 0
+            while (c < n) {
+              val s = subframe(r, blockSize, frameBps)
+              if (s == null) return None
+              out(c) = s; c += 1
+            }
+            out
+          } else if (chAsgn <= 10) {
+            // side channel is one bit wider — the lossless stereo trick
+            val bpsA = if (chAsgn == 9) frameBps + 1 else frameBps
+            val bpsB = if (chAsgn == 9) frameBps else frameBps + 1
+            val a = subframe(r, blockSize, bpsA)
+            if (a == null) return None
+            val b = subframe(r, blockSize, bpsB)
+            if (b == null) return None
+            var i = 0
+            chAsgn match {
+              case 8 => // left/side: right = left - side
+                while (i < blockSize) { b(i) = a(i) - b(i); i += 1 }
+              case 9 => // side/right: left = right + side
+                while (i < blockSize) { val s = a(i); a(i) = b(i) + s; i += 1 }
+              case _ => // mid/side
+                while (i < blockSize) {
+                  val side = b(i)
+                  val m = (a(i) << 1) | (side & 1)
+                  a(i) = (m + side) >> 1
+                  b(i) = (m - side) >> 1
+                  i += 1
+                }
+            }
+            Array(a, b)
+          } else return None
+          r.align()
+        if (crc16(bytes, frameStart, r.bytePos) !=
+            ((bytes(r.bytePos) & 0xFF) << 8 | (bytes(r.bytePos + 1) & 0xFF)))
+          return None
+        p = r.bytePos + 2
+        val nch = chs.length
+        // the last frame of a fixed-blocksize stream may overrun the
+        // STREAMINFO total — emit only the declared samples
+        val emit =
+          if (totalSamples == 0L) blockSize
+          else math.min(blockSize.toLong, totalSamples - emitted).toInt
+        var i = 0
+        while (i < emit) {
+          var acc = 0.0; var c = 0
+          while (c < nch) { acc += chs(c)(i) / norm; c += 1 }
+          mono += acc / nch
+          i += 1
+        }
+        emitted += emit
+      }
+      if (totalSamples != 0L && emitted < totalSamples) return None
+      // strict tail: bytes past the final frame are corruption, not
+      // padding — silently ignoring them would mask torn payloads
+      if (p < bytes.length) return None
+      Some(AudioPcm(sampleRate, channels, mono.result()))
+    } catch { case _: Exception => None } // truncated/corrupt → flagged
+  }
+
   /** The default audio decoder: WAV/AU/AIFF PCM (frames convert to
     * 16-bit signed, channels average to mono). Compressed formats
     * (MP3/OGG) return None here; an FFmpeg-backed [[AudioDecoder]]

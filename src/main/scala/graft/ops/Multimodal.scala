@@ -729,6 +729,244 @@ object Multimodal {
     imaAdpcmWav(sampleRate, blocks)
   }
 
+  /** Per-channel FLAC subframe content for [[flacBytes]] — explicit
+    * enough that a spec (or the oracle entry) controls every coded bit.
+    * `wasted` shifts the FINAL samples left by that many bits (the
+    * subframe codes `value >> wasted` and flags the shift). */
+  sealed trait FlacSub extends Serializable
+  /** `n` copies of `value`. */
+  final case class FlacConstant(value: Int, n: Int, wasted: Int = 0) extends FlacSub
+  final case class FlacVerbatim(samples: Seq[Int], wasted: Int = 0) extends FlacSub
+  /** FIXED-predictor subframe: `order` warm-up samples then Rice-coded
+    * residuals split into `2^partOrder` partitions, all with one
+    * `riceParam`; a NEGATIVE riceParam `-b` selects the escape-to-raw
+    * encoding with `b`-bit verbatim residuals instead (the decoder path
+    * real encoders use for incompressible partitions). Decoded output:
+    * warm-ups then `s(i) = fixedPredict(s, i) + residual(i)`. */
+  final case class FlacFixed(order: Int, warmup: Seq[Int], residual: Seq[Int],
+                             riceParam: Int, wasted: Int = 0,
+                             partOrder: Int = 0) extends FlacSub
+  /** LPC subframe: quantized coefficients + shift, Rice-coded residuals.
+    * Decoded: `s(i) = ((sum coefs(j)*s(i-1-j)) >> shift) + residual(i)`. */
+  final case class FlacLpc(warmup: Seq[Int], coefs: Seq[Int], precision: Int,
+                           shift: Int, residual: Seq[Int], riceParam: Int)
+      extends FlacSub
+
+  private def flacSubLen(s: FlacSub): Int = s match {
+    case FlacConstant(_, n, _) => n
+    case FlacVerbatim(v, _) => v.size
+    case FlacFixed(o, _, r, _, _, _) => o + r.size
+    case FlacLpc(w, _, _, _, r, _) => w.size + r.size
+  }
+
+  /** MSB-first bit writer for the FLAC fixture encoder. */
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0; private var nBits = 0
+    def putBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nBits += 1
+      if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+    }
+    def putBits(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { putBit(((v >>> k) & 1L).toInt); k -= 1 }
+    }
+    def putSigned(v: Int, n: Int): Unit =
+      putBits(if (v < 0) v + (1L << n) else v.toLong, n)
+    def putUnary(q: Int): Unit = { (0 until q).foreach(_ => putBit(0)); putBit(1) }
+    def align(): Unit = while (nBits != 0) putBit(0)
+    def bytes: Array[Byte] = { require(nBits == 0, "unaligned"); buf.toByteArray }
+  }
+
+  /** Build a complete FLAC stream from explicit per-frame subframe
+    * specs — fixture plumbing for the hash-exact FLAC entry and the
+    * decoder specs. `frames(f) = (channelAssignment, subframes)` where
+    * assignment 0-7 is `subframes.size - 1` independent channels, 8 =
+    * left/side, 9 = side/right, 10 = mid/side (side specs carry the
+    * SIDE channel's values; the decoder reconstructs L/R). CRC-8 and
+    * CRC-16 computed for real — the decoder verifies both. */
+  def flacBytes(sampleRate: Int, bps: Int, channels: Int,
+                frames: Seq[(Int, Seq[FlacSub])]): Array[Byte] = {
+    require(frames.nonEmpty, "need >= 1 frame")
+    val blockSizes = frames.map { case (_, subs) =>
+      val ns = subs.map(flacSubLen).distinct
+      require(ns.size == 1, s"subframe lengths disagree: $ns")
+      ns.head
+    }
+    val total = blockSizes.map(_.toLong).sum
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO (type 0, last-metadata flag set, 34 bytes)
+    out.write(Array[Byte](0x80.toByte, 0, 0, 34))
+    val si = new BitWriter
+    val minB = blockSizes.min; val maxB = blockSizes.max
+    si.putBits(minB, 16); si.putBits(maxB, 16)
+    si.putBits(0, 24); si.putBits(0, 24) // frame sizes unknown
+    si.putBits(sampleRate, 20)
+    si.putBits(channels - 1, 3)
+    si.putBits(bps - 1, 5)
+    si.putBits(total, 36)
+    (0 until 16).foreach(_ => si.putBits(0, 8)) // MD5 unset
+    out.write(si.bytes)
+    frames.zipWithIndex.foreach { case ((chAsgn, subs), f ) =>
+      val blockSize = blockSizes(f)
+      val w = new BitWriter
+      w.putBits(0x3FFE, 14); w.putBit(0); w.putBit(0) // sync, fixed-block
+      w.putBits(7, 4)  // block size: 16-bit value-1 follows
+      w.putBits(0, 4)  // sample rate: from STREAMINFO
+      w.putBits(chAsgn, 4)
+      w.putBits(bps match {
+        case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case 24 => 6
+        case _ => 0
+      }, 3)
+      w.putBit(0)
+      // UTF-8 frame number (fits 7 bits for the fixture frame counts)
+      require(f < 128, "fixture frame number exceeds 1-byte UTF-8")
+      w.putBits(f, 8)
+      w.putBits(blockSize - 1, 16)
+      val headerBytes = w.bytes // header is byte-aligned here
+      val crc8 = graft.ops.Codecs.FlacDecoder.crc8(headerBytes, 0, headerBytes.length)
+      val body = new BitWriter
+      subs.zipWithIndex.foreach { case (sub, c) =>
+        val effBps = chAsgn match {
+          case 8 => if (c == 1) bps + 1 else bps  // left/side
+          case 9 => if (c == 0) bps + 1 else bps  // side/right
+          case 10 => if (c == 1) bps + 1 else bps // mid/side
+          case _ => bps
+        }
+        writeSubframe(body, sub, effBps)
+      }
+      body.align()
+      val frameBytes = headerBytes ++ Array(crc8.toByte) ++ body.bytes
+      val crc16 = graft.ops.Codecs.FlacDecoder.crc16(frameBytes, 0, frameBytes.length)
+      out.write(frameBytes)
+      out.write((crc16 >> 8) & 0xFF); out.write(crc16 & 0xFF)
+    }
+    out.toByteArray
+  }
+
+  private def writeSubframe(w: BitWriter, sub: FlacSub, bps: Int): Unit = {
+    def header(stype: Int, wasted: Int): Int = {
+      w.putBit(0); w.putBits(stype, 6)
+      if (wasted > 0) { w.putBit(1); w.putUnary(wasted - 1) } else w.putBit(0)
+      bps - wasted
+    }
+    def rice(vals: Seq[Int], param: Int, partOrder: Int, predOrder: Int,
+             blockSize: Int): Unit = {
+      w.putBits(0, 2) // RICE (4-bit params) method
+      w.putBits(partOrder, 4)
+      val parts = 1 << partOrder
+      require(blockSize % parts == 0, "partition order must divide block size")
+      val perPart = blockSize / parts
+      var taken = 0
+      (0 until parts).foreach { part =>
+        val n = if (part == 0) perPart - predOrder else perPart
+        val slice = vals.slice(taken, taken + n); taken += n
+        if (param < 0) { // escape-to-raw with -param bits
+          w.putBits((1 << 4) - 1, 4); w.putBits(-param, 5)
+          slice.foreach(v => w.putSigned(v, -param))
+        } else {
+          w.putBits(param, 4)
+          slice.foreach { v =>
+            val u = (v.toLong << 1) ^ (v.toLong >> 63) // zigzag
+            w.putUnary((u >>> param).toInt); w.putBits(u & ((1L << param) - 1), param)
+          }
+        }
+      }
+      require(taken == vals.size, "residual count mismatch")
+    }
+    def shifted(v: Int, wasted: Int): Int = {
+      require((v >> wasted) << wasted == v, s"value $v not divisible by 2^$wasted")
+      v >> wasted
+    }
+    sub match {
+      case FlacConstant(v, _, wasted) =>
+        val eff = header(0, wasted)
+        w.putSigned(shifted(v, wasted), eff)
+      case FlacVerbatim(vals, wasted) =>
+        val eff = header(1, wasted)
+        vals.foreach(v => w.putSigned(shifted(v, wasted), eff))
+      case FlacFixed(order, warmup, residualVals, param, wasted, po) =>
+        require(order >= 0 && order <= 4 && warmup.size == order, "bad FIXED spec")
+        val eff = header(8 + order, wasted)
+        warmup.foreach(v => w.putSigned(shifted(v, wasted), eff))
+        rice(residualVals, param, po, order, order + residualVals.size)
+      case FlacLpc(warmup, coefs, precision, shift, residualVals, param) =>
+        require(coefs.nonEmpty && coefs.size == warmup.size && coefs.size <= 32 &&
+          precision >= 1 && precision <= 15 && shift >= 0 && shift <= 15, "bad LPC spec")
+        val eff = header(32 + coefs.size - 1, 0)
+        warmup.foreach(v => w.putSigned(v, eff))
+        w.putBits(precision - 1, 4)
+        w.putSigned(shift, 5)
+        coefs.foreach(c => w.putSigned(c, precision))
+        rice(residualVals, param, 0, coefs.size, coefs.size + residualVals.size)
+    }
+  }
+
+  /** A real adaptive FLAC ENCODER (fixed-predictor search per block,
+    * Rice parameter estimate, optional stereo decorrelation) — the
+    * independent-formulation counterpart for the round-trip spec:
+    * encode arbitrary samples, decode with [[Codecs.FlacDecoder]],
+    * require BIT-EXACT equality (losslessness is the invariant that
+    * validates both sides). `stereo`: "independent" | "leftside" |
+    * "rightside" | "midside" (2-channel input only). */
+  def flacEncodeAuto(chans: Array[Array[Int]], sampleRate: Int, bps: Int,
+                     blockSize: Int, stereo: String = "independent"): Array[Byte] = {
+    require(chans.nonEmpty && chans.forall(_.length == chans(0).length))
+    require(chans(0).length % blockSize == 0,
+      "sample count must fill whole blocks")
+    val maxMag = 1 << (bps - 1)
+    require(chans.forall(_.forall(v => v >= -maxMag && v < maxMag)),
+      s"samples exceed $bps bits")
+    def bestFixed(samples: Array[Int]): FlacSub = {
+      // pick the fixed order minimizing total residual magnitude
+      def residuals(o: Int): Array[Int] =
+        Array.tabulate(samples.length - o) { k =>
+          val i = k + o
+          val p: Long = o match {
+            case 0 => 0L
+            case 1 => samples(i - 1).toLong
+            case 2 => 2L * samples(i - 1) - samples(i - 2)
+            case 3 => 3L * samples(i - 1) - 3L * samples(i - 2) + samples(i - 3)
+            case _ => 4L * samples(i - 1) - 6L * samples(i - 2) +
+              4L * samples(i - 3) - samples(i - 4)
+          }
+          (samples(i) - p).toInt
+        }
+      if (samples.forall(_ == samples(0)))
+        FlacConstant(samples(0), samples.length)
+      else {
+        val cand = (0 to math.min(4, samples.length)).map(o => o -> residuals(o))
+        val (order, res) = cand.minBy { case (_, r) =>
+          r.map(v => math.abs(v.toLong)).sum
+        }
+        // Rice parameter from the mean magnitude (the classic estimate)
+        val mean = if (res.isEmpty) 0.0
+          else res.map(v => math.abs(v.toLong)).sum.toDouble / res.length
+        var param = 0
+        while (param < 14 && (1L << param) < mean) param += 1
+        FlacFixed(order, samples.take(order).toSeq, res.toSeq, param)
+      }
+    }
+    val nBlocks = chans(0).length / blockSize
+    val frames = (0 until nBlocks).map { b =>
+      val slices = chans.map(_.slice(b * blockSize, (b + 1) * blockSize))
+      if (chans.length == 2 && stereo != "independent") {
+        val l = slices(0); val r = slices(1)
+        val side = Array.tabulate(blockSize)(i => l(i) - r(i))
+        stereo match {
+          case "leftside" => (8, Seq(bestFixed(l), bestFixed(side)))
+          case "rightside" => (9, Seq(bestFixed(side), bestFixed(r)))
+          case "midside" =>
+            val mid = Array.tabulate(blockSize)(i => (l(i) + r(i)) >> 1)
+            (10, Seq(bestFixed(mid), bestFixed(side)))
+          case other => throw new IllegalArgumentException(other)
+        }
+      } else (chans.length - 1, slices.map(bestFixed).toSeq)
+    }
+    flacBytes(sampleRate, bps, chans.length, frames)
+  }
+
   /** VIDEO near-duplicate pairs by positional frame-signature voting over
     * a [[sampleFrames]] output: two clips are near-dups when at least
     * `minVotes` of their sampled frames carry the same signature at the

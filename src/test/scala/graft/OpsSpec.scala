@@ -2590,4 +2590,135 @@ class MultimodalSpec extends SparkSuite {
       (body.length & 0xFF).toByte, ((body.length >> 8) & 0xFF).toByte, 0, 0) ++ body
     assert(Codecs.ImaAdpcmDecoder.decode(crafted).isEmpty)
   }
+
+  test("FLAC: constant/verbatim/fixed/LPC subframes decode to the exact coded samples") {
+    import graft.ops.Codecs
+    import Multimodal.{FlacConstant, FlacVerbatim, FlacFixed, FlacLpc}
+    // CONSTANT + VERBATIM: the closed forms the oracle entry leans on
+    val f1 = Multimodal.flacBytes(8000, 16, 1, Seq(
+      (0, Seq(FlacConstant(-1234, 16))),
+      (0, Seq(FlacVerbatim((0 until 16).map(k => k * 100 - 800))))))
+    val d1 = Codecs.FlacDecoder.decode(f1).get
+    assert(d1.sampleRate == 8000 && d1.channels == 1 && d1.mono.length == 32)
+    assert(d1.mono.take(16).forall(_ == -1234 / 32768.0))
+    assert((0 until 16).forall(k => d1.mono(16 + k) == (k * 100 - 800) / 32768.0))
+
+    // FIXED order 2 with partition order 1: s(i) = 2s(i-1) - s(i-2) + r(i)
+    // — replayed by an INDEPENDENT recurrence here in the spec
+    val res = (0 until 14).map(k => (k * 37) % 11 - 5)
+    val f2 = Multimodal.flacBytes(8000, 16, 1, Seq(
+      (0, Seq(FlacFixed(2, Seq(100, 140), res, riceParam = 3, partOrder = 1)))))
+    val expect2 = {
+      val s = Array.fill(16)(0); s(0) = 100; s(1) = 140
+      (2 until 16).foreach(i => s(i) = 2 * s(i - 1) - s(i - 2) + res(i - 2))
+      s.toSeq
+    }
+    val d2 = Codecs.FlacDecoder.decode(f2).get
+    assert(d2.mono.map(v => math.round(v * 32768).toInt).toSeq == expect2)
+
+    // escape-to-raw residual partition (riceParam < 0 in the fixture
+    // writer): order-1 fixed, 9-bit raw residuals
+    val rawRes = (0 until 15).map(k => (k * 53) % 400 - 200)
+    val f3 = Multimodal.flacBytes(8000, 16, 1, Seq(
+      (0, Seq(FlacFixed(1, Seq(77), rawRes, riceParam = -9)))))
+    val expect3 = rawRes.scanLeft(77)(_ + _)
+    val d3 = Codecs.FlacDecoder.decode(f3).get
+    assert(d3.mono.map(v => math.round(v * 32768).toInt).toSeq == expect3)
+
+    // LPC order 2, coefs (3, -1), shift 1:
+    // s(i) = ((3*s(i-1) - s(i-2)) >> 1) + r(i) — independent replay
+    val lres = (0 until 14).map(k => (k * 29) % 9 - 4)
+    val f4 = Multimodal.flacBytes(8000, 16, 1, Seq(
+      (0, Seq(FlacLpc(Seq(500, 520), Seq(3, -1), precision = 4, shift = 1,
+        residual = lres, riceParam = 2)))))
+    val expect4 = {
+      val s = Array.fill(16)(0L); s(0) = 500; s(1) = 520
+      (2 until 16).foreach(i => s(i) = ((3 * s(i - 1) - s(i - 2)) >> 1) + lres(i - 2))
+      s.map(_.toInt).toSeq
+    }
+    val d4 = Codecs.FlacDecoder.decode(f4).get
+    assert(d4.mono.map(v => math.round(v * 32768).toInt).toSeq == expect4)
+
+    // wasted bits: coded values shift left by the flagged amount
+    val f5 = Multimodal.flacBytes(8000, 16, 1, Seq(
+      (0, Seq(FlacVerbatim((0 until 16).map(k => (k - 8) * 4), wasted = 2)))))
+    val d5 = Codecs.FlacDecoder.decode(f5).get
+    assert(d5.mono.map(v => math.round(v * 32768).toInt).toSeq ==
+      (0 until 16).map(k => (k - 8) * 4))
+  }
+
+  test("FLAC: stereo decorrelation modes reconstruct L/R losslessly; encoder round-trips bit-exactly") {
+    import graft.ops.Codecs
+    val rnd = new scala.util.Random(20260815)
+    // mono round-trip on random smooth-ish 16-bit content, multiple
+    // blocks: encode (adaptive fixed-order search) -> decode -> the
+    // samples must return BIT-EXACTLY (losslessness pins both sides)
+    val n = 256
+    val monoSrc = Array.tabulate(n)(i =>
+      (6000 * math.sin(i / 7.0)).toInt + rnd.nextInt(201) - 100)
+    val monoFlac = Multimodal.flacEncodeAuto(Array(monoSrc), 11025, 16, 64)
+    val md = Codecs.FlacDecoder.decode(monoFlac).get
+    assert(md.sampleRate == 11025 && md.channels == 1 && md.mono.length == n)
+    assert(md.mono.map(v => math.round(v * 32768).toInt).toSeq == monoSrc.toSeq)
+    // and FLAC actually compresses this signal
+    assert(monoFlac.length < n * 2, s"no compression: ${monoFlac.length}")
+
+    // stereo: all four decorrelation modes must reconstruct the same
+    // channel average (the AudioPcm contract) bit-exactly
+    val l = Array.tabulate(n)(i => (5000 * math.sin(i / 9.0)).toInt + rnd.nextInt(41))
+    val r = Array.tabulate(n)(i => l(i) - 300 + rnd.nextInt(21))
+    val expected = (0 until n).map(i => (l(i) / 32768.0 + r(i) / 32768.0) / 2)
+    for (mode <- Seq("independent", "leftside", "rightside", "midside")) {
+      val enc = Multimodal.flacEncodeAuto(Array(l, r), 8000, 16, 64, stereo = mode)
+      val dec = Codecs.FlacDecoder.decode(enc).get
+      assert(dec.channels == 2 && dec.mono.length == n, s"mode $mode")
+      (0 until n).foreach(i =>
+        assert(dec.mono(i) == expected(i), s"mode $mode sample $i"))
+    }
+
+    // 8-bit and 24-bit sample sizes normalize by their own 2^(bps-1)
+    val small = Array.tabulate(32)(i => i * 4 - 64)
+    val d8 = Codecs.FlacDecoder.decode(
+      Multimodal.flacEncodeAuto(Array(small), 8000, 8, 32)).get
+    assert((0 until 32).forall(i => d8.mono(i) == small(i) / 128.0))
+    val big = Array.tabulate(32)(i => i * 100000 - 1600000)
+    val d24 = Codecs.FlacDecoder.decode(
+      Multimodal.flacEncodeAuto(Array(big), 8000, 24, 32)).get
+    assert((0 until 32).forall(i => d24.mono(i) == big(i) / 8388608.0))
+  }
+
+  test("FLAC: corruption flags (CRC, truncation, bomb cap, trailing garbage); disjoint from other decoders") {
+    import graft.ops.Codecs
+    val good = Multimodal.flacEncodeAuto(
+      Array(Array.tabulate(128)(i => (2000 * math.sin(i / 5.0)).toInt)), 8000, 16, 64)
+    assert(Codecs.FlacDecoder.decode(good).nonEmpty)
+    // a flipped byte in the frame payload must be CAUGHT by CRC-16 (the
+    // bit flip lands mid-residual, producing plausible garbage samples
+    // a CRC-less decoder would silently emit)
+    val flipped = good.clone()
+    flipped(good.length - 20) = (flipped(good.length - 20) ^ 0x40).toByte
+    assert(Codecs.FlacDecoder.decode(flipped).isEmpty, "CRC did not catch a bit flip")
+    // truncation mid-frame: flagged, never a throw
+    assert(Codecs.FlacDecoder.decode(good.dropRight(7)).isEmpty)
+    // trailing garbage after the last frame: strict reject
+    assert(Codecs.FlacDecoder.decode(
+      good ++ "junk after stream".getBytes("UTF-8")).isEmpty)
+    // decompression bomb: STREAMINFO claiming 2^35 samples rejects up
+    // front (the GifDecoder cap discipline)
+    val bomb = good.clone()
+    // total-samples field: STREAMINFO bytes start at 8; rate/ch/bps/total
+    // pack bytes 18..25; zero the top nibble path and set a huge total
+    bomb(21) = (bomb(21) | 0x0F).toByte // top bits of the 36-bit total
+    bomb(22) = 0xFF.toByte; bomb(23) = 0xFF.toByte
+    bomb(24) = 0xFF.toByte; bomb(25) = 0xFF.toByte
+    assert(Codecs.FlacDecoder.decode(bomb).isEmpty, "bomb cap missing")
+    // non-FLAC payloads reject; other decoders reject FLAC
+    assert(Codecs.FlacDecoder.decode(Multimodal.squareWav(8, 80, 8000)).isEmpty)
+    assert(Codecs.JdkPcmDecoder.decode(good).isEmpty)
+    assert(Codecs.ImaAdpcmDecoder.decode(good).isEmpty)
+    // the orElse chain routes FLAC and WAV side by side
+    val chain = Codecs.FlacDecoder.orElse(Codecs.JdkPcmDecoder)
+    assert(chain.decode(good).exists(_.mono.length == 128))
+    assert(chain.decode(Multimodal.squareWav(8, 80, 8000)).exists(_.mono.length == 80))
+  }
 }
