@@ -1801,11 +1801,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // multimodal: REAL audio decode (JDK javax.sound.sampled, WAV PCM).
-    // No audio column in the fixtures → per-doc sine WAVs planted
-    // deterministically (the text_redact pattern); every payload must
-    // decode for real (decoded=true, correct rate/frames). Rows-only:
-    // per-sample DSP has no SQL twin.
+    // multimodal: REAL audio decode, now over FOUR container lanes
+    // (r10): WAV PCM sine, AU PCM16-BE sine, AIFF PCM16 sine, WAV µ-law
+    // — every lane served by JdkPcmDecoder's LOCK-FREE pure-byte paths
+    // (an AIFF/AU-heavy corpus previously resurrected the AudioSystem
+    // global-lock stall SCALE.md measured). No audio column in the
+    // fixtures → payloads planted deterministically (the text_redact
+    // pattern); every payload must decode for real. Rows-only:
+    // per-sample sine DSP has no SQL twin — the container lanes'
+    // hash-exact twin is multimodal_audio_containers below.
     "multimodal_audio" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -1813,7 +1817,19 @@ object SparkEntry {
       val blobs = s.createDataFrame(
         ids.rdd.map { r =>
           val id = r.getLong(0)
-          Row(id, Multimodal.sineWav(200.0 + (id % 20) * 20.0, 0.05, 8000))
+          val freq = 200.0 + (id % 20) * 20.0
+          def sine(n: Int): Seq[Int] = (0 until n).map(i =>
+            (math.sin(2 * math.Pi * freq * i / 8000) * 12000).toInt)
+          val blob = (id % 4) match {
+            case 0 => Multimodal.sineWav(freq, 0.05, 8000)
+            case 1 => Multimodal.auBytes(3, 8000, 1, Multimodal.pcm16be(sine(400)))
+            case 2 => Multimodal.aiffBytes(8000, 1, 16, Multimodal.pcm16be(sine(400)))
+            case _ =>
+              val b = (id % 127).toInt
+              Multimodal.g711Wav(alaw = false, 8000,
+                Array.tabulate(400)(i => (if (i % 2 == 0) b else b | 0x80).toByte))
+          }
+          Row(id, blob)
         },
         StructType(Seq(StructField("doc_id", LongType),
           StructField("blob", BinaryType))))
@@ -1823,6 +1839,51 @@ object SparkEntry {
           col("channels").cast("long").as("channels"), col("n_frames")) ++
           (0 until Multimodal.FeatureDim).map(i =>
             round(element_at(col("feature"), i + 1).cast("double"), 4).as(s"f$i")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // ORACLE-EXACT container-diversity entry (r10): the four lock-free
+    // containers with ALTERNATING-SIGN constant-magnitude payloads, so
+    // every feature has the closed form mag/32768 (all |s| equal; zcr
+    // exactly 1) and the G.711 lanes replay the CCITT expansion
+    // formulas (µ-law (((u&15)<<3)+132)<<exp − 132, A-law segment
+    // expansion) directly in SQL — the decode tables never appear as
+    // literals, the twin derives each doc's magnitude independently
+    "multimodal_audio_containers" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val blobs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val blob = (id % 4) match {
+            case 0 => // WAV µ-law: bytes B / B|0x80 → samples ∓(t-132)
+              val b = (id % 127).toInt
+              Multimodal.g711Wav(alaw = false, 8000,
+                Array.tabulate(160)(i => (if (i % 2 == 0) b else b | 0x80).toByte))
+            case 1 => // AU A-law: bytes A / A^0x80 → samples ±v
+              val a = (id % 256).toInt
+              Multimodal.auBytes(27, 8000, 1,
+                Array.tabulate(160)(i => (if (i % 2 == 0) a else a ^ 0x80).toByte))
+            case 2 => // AIFF PCM16 big-endian: ±v exact
+              val v = (1 + (id * 997) % 15000).toInt
+              Multimodal.aiffBytes(8000, 1, 16,
+                Multimodal.pcm16be((0 until 160).map(i => if (i % 2 == 0) v else -v)))
+            case _ => // AU PCM16 big-endian: ±v exact
+              val v = (1 + (id * 613) % 12000).toInt
+              Multimodal.auBytes(3, 8000, 1,
+                Multimodal.pcm16be((0 until 160).map(i => if (i % 2 == 0) v else -v)))
+          }
+          Row(id, blob)
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.decodeAudioFeatures(blobs)
+        .select(Seq(col("doc_id"), col("decoded"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("n_frames")) ++
+          (0 until Multimodal.FeatureDim).map(i =>
+            round(element_at(col("feature"), i + 1).cast("double"), 6).as(s"f$i")): _*)
         .orderBy("doc_id")
     }),
 
@@ -4212,6 +4273,38 @@ object SparkEntry {
         |  round(CAST(r2 AS REAL)::DOUBLE, 6) AS f6,
         |  round(CAST(r3 AS REAL)::DOUBLE, 6) AS f7
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // alternating-sign constant-magnitude payloads: every feature is
+    // mag/32768 except zcr = 1; the per-lane magnitude replays the
+    // G.711 expansion formulas (NOT the tables) or the PCM formula
+    "multimodal_audio_containers" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN
+        |        (((255 - doc_id % 127) % 16) * 8 + 132)
+        |          * (1 << (((255 - doc_id % 127) // 16) % 8)) - 132
+        |      WHEN 1 THEN
+        |        CASE WHEN ((xor(doc_id % 256, 85) // 16) % 8) > 1
+        |             THEN ((xor(doc_id % 256, 85) % 16) * 16 + 264)
+        |                  * (1 << (((xor(doc_id % 256, 85) // 16) % 8) - 1))
+        |             WHEN ((xor(doc_id % 256, 85) // 16) % 8) = 1
+        |             THEN (xor(doc_id % 256, 85) % 16) * 16 + 264
+        |             ELSE (xor(doc_id % 256, 85) % 16) * 16 + 8 END
+        |      WHEN 2 THEN 1 + (doc_id * 997) % 15000
+        |      ELSE 1 + (doc_id * 613) % 12000 END AS mag
+        |  FROM documents)
+        |SELECT doc_id, true AS decoded, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS channels, 160::BIGINT AS n_frames,
+        |  round(CAST(mag / 32768.0 AS REAL)::DOUBLE, 6) AS f0,
+        |  1.0::DOUBLE AS f1,
+        |  round(CAST(mag / 32768.0 AS REAL)::DOUBLE, 6) AS f2,
+        |  round(CAST(mag / 32768.0 AS REAL)::DOUBLE, 6) AS f3,
+        |  round(CAST(mag / 32768.0 AS REAL)::DOUBLE, 6) AS f4,
+        |  round(CAST(mag / 32768.0 AS REAL)::DOUBLE, 6) AS f5,
+        |  round(CAST(mag / 32768.0 AS REAL)::DOUBLE, 6) AS f6,
+        |  round(CAST(mag / 32768.0 AS REAL)::DOUBLE, 6) AS f7
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

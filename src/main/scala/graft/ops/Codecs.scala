@@ -953,17 +953,164 @@ object Codecs {
     * 8/24/32-bit PCM) still go through it. Same 50 k corpus after:
     * 1.5 s. */
   object JdkPcmDecoder extends AudioDecoder {
+    /** CCITT G.711 µ-law decode table — the formulation the JDK codec
+      * tabulates (sign handling via `132 - t` / `t - 132`), so the
+      * lock-free path is BIT-identical to the AudioSystem conversion
+      * (spec-pinned over all 256 bytes). */
+    private[ops] val UlawTable: Array[Short] = Array.tabulate(256) { i =>
+      val u = ~i & 0xFF
+      var t = ((u & 0x0F) << 3) + 132
+      t <<= (u & 0x70) >> 4
+      (if ((u & 0x80) != 0) 132 - t else t - 132).toShort
+    }
+
+    /** CCITT G.711 A-law decode table (even-bit inversion, segment
+      * expansion) — same bit-identity contract as [[UlawTable]]. */
+    private[ops] val AlawTable: Array[Short] = Array.tabulate(256) { i =>
+      val a = i ^ 0x55
+      var v = ((a & 0x0F) << 4) + 8
+      val seg = (a & 0x70) >> 4
+      if (seg >= 1) v += 0x100
+      if (seg > 1) v <<= seg - 1
+      (if ((a & 0x80) == 0) -v else v).toShort
+    }
+
     def decode(bytes: Array[Byte]): Option[AudioPcm] = {
-      if (bytes == null || bytes.isEmpty) return None
-      if (bytes.length >= 12 &&
-          new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
-          new String(bytes, 8, 4, "US-ASCII") == "WAVE")
-        // the fast path must keep the never-throw contract the
-        // AudioSystem path had: corrupt containers (review-caught: an
-        // int-overflowing chunk length, a truncated fmt) → None
+      if (bytes == null || bytes.length < 12) return None
+      // every fast path keeps the never-throw contract the AudioSystem
+      // path had: corrupt containers (review-caught: an int-overflowing
+      // chunk length, a truncated fmt) → None
+      val magic = new String(bytes, 0, 4, "US-ASCII")
+      if (magic == "RIFF" && new String(bytes, 8, 4, "US-ASCII") == "WAVE")
         try fastWav(bytes)
         catch { case _: Exception => None }
+      else if (magic == ".snd")
+        try fastAu(bytes)
+        catch { case _: Exception => None }
+      else if (magic == "FORM" && new String(bytes, 8, 4, "US-ASCII") == "AIFF")
+        try fastAiff(bytes)
+        catch { case _: Exception => None }
+      // AIFC (compressed AIFF) and anything else the registry may know
       else viaAudioSystem(bytes)
+    }
+
+    /** Sun/NeXT `.snd` container, lock-free: big-endian header
+      * (offset, size, encoding, rate, channels), then sample data.
+      * Encodings decoded pure-byte: 1 µ-law, 3 PCM16 big-endian, 27
+      * A-law — the shapes the crawl actually carries; rarer widths
+      * (8-bit, 24/32-bit, float) keep the registry fallback.
+      * Previously EVERY .snd payload took the globally-locked
+      * AudioSystem probe (SCALE.md's measured 28× pathology). */
+    private def fastAu(bytes: Array[Byte]): Option[AudioPcm] = {
+      def be32(o: Int): Int =
+        ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+          ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+      if (bytes.length < 24) return None
+      val dataOff = be32(4)
+      val claimed = be32(8) // 0xFFFFFFFF = unknown, stream until EOF
+      val enc = be32(12)
+      val rate = be32(16)
+      val channels = be32(20)
+      if (dataOff < 24 || dataOff > bytes.length || rate <= 0 ||
+          channels < 1 || channels > 64) return None
+      val avail = bytes.length - dataOff
+      val dataLen =
+        if (claimed < 0) avail else math.min(claimed.toLong, avail.toLong).toInt
+      enc match {
+        case 1 | 27 => // G.711 µ-law / A-law, one byte per sample
+          val table = if (enc == 1) UlawTable else AlawTable
+          val nFrames = dataLen / channels
+          val mono = new Array[Double](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0; var c = 0
+            while (c < channels) {
+              acc += table(bytes(dataOff + f * channels + c) & 0xFF) / 32768.0
+              c += 1
+            }
+            mono(f) = acc / channels; f += 1
+          }
+          Some(AudioPcm(rate, channels, mono))
+        case 3 => // 16-bit signed big-endian
+          val nFrames = dataLen / (2 * channels)
+          val mono = new Array[Double](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0; var c = 0
+            while (c < channels) {
+              val o = dataOff + (f * channels + c) * 2
+              acc += ((bytes(o) << 8) | (bytes(o + 1) & 0xFF)).toShort / 32768.0
+              c += 1
+            }
+            mono(f) = acc / channels; f += 1
+          }
+          Some(AudioPcm(rate, channels, mono))
+        // 8-bit (enc 2) stays on the registry: the JDK widens it through
+        // a FLOAT path (b/127 rescaled with truncation), not b<<8 —
+        // measured here, not assumed — and replicating float-conversion
+        // rounding is exactly the fragile bit-identity this fast path
+        // refuses to fake. 8-bit AU is rare; 24/32-bit and float too.
+        case _ => viaAudioSystem(bytes)
+      }
+    }
+
+    /** AIFF, lock-free: IFF `FORM`/`AIFF` big-endian chunk walk (even
+      * padding like RIFF), `COMM` (channels, frames, bits, 80-bit
+      * extended-float rate) + `SSND` (offset/blockSize prelude). PCM
+      * 16-bit decodes pure-byte; other widths keep the registry
+      * fallback. `AIFC` routes to the registry up front (see
+      * [[decode]]). */
+    private def fastAiff(bytes: Array[Byte]): Option[AudioPcm] = {
+      def be16(o: Int): Int = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+      def be32(o: Int): Int =
+        ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+          ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+      var channels = -1; var numFrames = 0; var bits = -1; var rate = -1
+      var soundOff = -1; var soundLen = 0
+      var p = 12
+      while (p + 8 <= bytes.length) {
+        val id = new String(bytes, p, 4, "US-ASCII")
+        val len = be32(p + 4)
+        if (len < 0 || p + 8L + len > bytes.length) return None
+        if (id == "COMM" && len >= 18) {
+          channels = be16(p + 8)
+          numFrames = be32(p + 10)
+          bits = be16(p + 14)
+          // 80-bit extended float sample rate: 15-bit exponent + 64-bit
+          // mantissa; audio rates are small integers, so double math is
+          // exact
+          val e = be16(p + 16) & 0x7FFF
+          var m = 0L; var i = 0
+          while (i < 8) { m = (m << 8) | (bytes(p + 18 + i) & 0xFF); i += 1 }
+          val r =
+            if (e == 0 && m == 0L) 0.0
+            else math.scalb((m >>> 11).toDouble, e - 16383 - 52)
+          rate = math.round(r).toInt
+        } else if (id == "SSND" && len >= 8) {
+          val off = be32(p + 8)
+          if (off < 0 || off > len - 8) return None
+          soundOff = p + 16 + off
+          soundLen = len - 8 - off
+        }
+        p += 8 + len + (len & 1)
+      }
+      if (channels < 1 || channels > 64 || rate <= 0 || soundOff < 0 ||
+          numFrames < 0) return None
+      if (bits == 16) {
+        val nFrames = math.min(numFrames.toLong, soundLen / (2L * channels)).toInt
+        val mono = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0; var c = 0
+          while (c < channels) {
+            val o = soundOff + (f * channels + c) * 2
+            acc += ((bytes(o) << 8) | (bytes(o + 1) & 0xFF)).toShort / 32768.0
+            c += 1
+          }
+          mono(f) = acc / channels; f += 1
+        }
+        Some(AudioPcm(rate, channels, mono))
+      } else viaAudioSystem(bytes) // 8-bit (JDK float widening), 24/32-bit
     }
 
     private def fastWav(bytes: Array[Byte]): Option[AudioPcm] = {
@@ -1001,12 +1148,31 @@ object Codecs {
         }
         return Some(AudioPcm(rate, channels, mono))
       }
-      // tags AudioSystem can genuinely decode: float (3), A-law (6),
-      // µ-law (7), WAVE_FORMAT_EXTENSIBLE (0xFFFE — the JDK's
+      if ((tag == 6 || tag == 7) && bits == 8 && channels >= 1 && rate > 0) {
+        // G.711 A-law / µ-law (r10): one table lookup per byte,
+        // lock-free — bit-identical to the AudioSystem conversion by
+        // the spec-pinned tables
+        val table = if (tag == 6) AlawTable else UlawTable
+        val nFrames = dataLen / channels
+        val mono = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0; var c = 0
+          while (c < channels) {
+            acc += table(bytes(dataOff + f * channels + c) & 0xFF) / 32768.0
+            c += 1
+          }
+          mono(f) = acc / channels; f += 1
+        }
+        return Some(AudioPcm(rate, channels, mono))
+      }
+      // tags AudioSystem can genuinely decode: float (3),
+      // WAVE_FORMAT_EXTENSIBLE (0xFFFE — the JDK's
       // WaveExtensibleFileReader handles PCM-under-extensible, so it
-      // must NOT short-circuit), and other PCM widths under tag 1;
-      // anything else (ADPCM 0x11, MP3-in-WAV 0x55 …) would just burn
-      // the locked registry probe to throw — skip it
+      // must NOT short-circuit), other PCM widths under tag 1, and
+      // odd-width G.711 under 6/7; anything else (ADPCM 0x11,
+      // MP3-in-WAV 0x55 …) would just burn the locked registry probe
+      // to throw — skip it
       if (tag != 1 && tag != 3 && tag != 6 && tag != 7 && tag != 0xFFFE)
         None
       else viaAudioSystem(bytes)

@@ -570,6 +570,80 @@ object Multimodal {
     pcm16Wav(pcm, sampleRate)
   }
 
+  /** Hand-built Sun/NeXT `.snd` (AU) container — fixture plumbing for
+    * the lock-free AU decode path: big-endian header (data offset 24,
+    * size, `encoding`, rate, channels) + raw payload bytes. */
+  def auBytes(encoding: Int, sampleRate: Int, channels: Int,
+              payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write((v >> 24) & 0xFF); out.write((v >> 16) & 0xFF)
+      out.write((v >> 8) & 0xFF); out.write(v & 0xFF)
+    }
+    out.write(".snd".getBytes("US-ASCII"))
+    w32(24); w32(payload.length); w32(encoding); w32(sampleRate); w32(channels)
+    out.write(payload)
+    out.toByteArray
+  }
+
+  /** Hand-built AIFF container (big-endian IFF): `COMM` with the 80-bit
+    * extended-float sample rate + `SSND` with zero offset/blockSize.
+    * `pcmBE` carries the interleaved big-endian signed samples. */
+  def aiffBytes(sampleRate: Int, channels: Int, bits: Int,
+                pcmBE: Array[Byte]): Array[Byte] = {
+    require(sampleRate > 0, s"rate must be positive: $sampleRate")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def w32(v: Int): Unit = { w16((v >> 16) & 0xFFFF); w16(v & 0xFFFF) }
+    val nFrames = pcmBE.length / (channels * (bits / 8))
+    val ssndLen = 8 + pcmBE.length
+    val commLen = 18
+    val formLen = 4 + (8 + commLen) + (8 + ssndLen) + (ssndLen & 1)
+    out.write("FORM".getBytes("US-ASCII")); w32(formLen)
+    out.write("AIFF".getBytes("US-ASCII"))
+    out.write("COMM".getBytes("US-ASCII")); w32(commLen)
+    w16(channels); w32(nFrames); w16(bits)
+    // 80-bit extended float: normalize the integer rate to a 64-bit
+    // mantissa with the top bit set
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    w16((16383 + k).toInt)
+    val m = sampleRate.toLong << (63 - k)
+    (0 until 8).foreach(i => out.write(((m >>> (56 - 8 * i)) & 0xFF).toInt))
+    out.write("SSND".getBytes("US-ASCII")); w32(ssndLen)
+    w32(0); w32(0) // offset, blockSize
+    out.write(pcmBE)
+    if ((ssndLen & 1) == 1) out.write(0) // IFF even padding
+    out.toByteArray
+  }
+
+  /** Hand-built G.711 WAV (format tag 6 = A-law, 7 = µ-law, 8 bits per
+    * sample) — fixture plumbing for the lock-free table-lookup path. */
+  def g711Wav(alaw: Boolean, sampleRate: Int, data: Array[Byte],
+              channels: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + data.length)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(if (alaw) 6 else 7); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels); w16(channels); w16(8)
+    out.write("data".getBytes("US-ASCII")); w32(data.length)
+    out.write(data)
+    out.toByteArray
+  }
+
+  /** Interleaved big-endian 16-bit PCM from samples — the AIFF/AU
+    * payload shape. */
+  def pcm16be(samples: Seq[Int]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      out(2 * i) = ((samples(i) >> 8) & 0xFF).toByte
+      out(2 * i + 1) = (samples(i) & 0xFF).toByte
+    }
+    out
+  }
+
   /** Synthesize a mono 16-bit PCM WAV sine (pure JDK) — fixture plumbing
     * for the audio entry and tests; the testdata has no audio column, so
     * payloads are planted deterministically (same pattern as the

@@ -2591,6 +2591,88 @@ class MultimodalSpec extends SparkSuite {
     assert(Codecs.ImaAdpcmDecoder.decode(crafted).isEmpty)
   }
 
+  test("AU/AIFF/A-law/mu-law lock-free paths: bit-equal to AudioSystem on randomized payloads (r10)") {
+    import graft.ops.Codecs
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    // the independent reference: the registry-locked AudioSystem decode
+    // (container probe + conversion to 16-bit signed), run HERE in the
+    // spec — the fast paths must reproduce it bit-for-bit, which is the
+    // exact claim that lets the default decoder skip the global lock
+    def viaRegistry(container: Array[Byte]): (Int, Int, Array[Double]) = {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(container))
+      try {
+        val fmt = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+          fmt.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        try {
+          val data = pcm.readAllBytes()
+          val ch = target.getChannels
+          val n = data.length / (2 * ch)
+          val mono = Array.tabulate(n) { f =>
+            (0 until ch).map { c =>
+              val o = (f * ch + c) * 2
+              ((data(o) & 0xFF) | (data(o + 1) << 8)).toShort / 32768.0
+            }.sum / ch
+          }
+          (fmt.getSampleRate.toInt, ch, mono)
+        } finally pcm.close()
+      } finally in.close()
+    }
+    def check(name: String, container: Array[Byte]): Unit = {
+      val (rate, ch, ref) = viaRegistry(container)
+      val d = Codecs.JdkPcmDecoder.decode(container).get
+      assert(d.sampleRate == rate && d.channels == ch, name)
+      assert(d.mono.length == ref.length, s"$name: ${d.mono.length} vs ${ref.length}")
+      ref.indices.foreach(i =>
+        assert(d.mono(i) == ref(i), s"$name sample $i: ${d.mono(i)} vs ${ref(i)}"))
+    }
+    val rnd = new scala.util.Random(20260815)
+    // ALL 256 G.711 bytes in both laws (the full table, not a sample)
+    val allBytes = Array.tabulate(256)(_.toByte)
+    check("wav ulaw table", Multimodal.g711Wav(alaw = false, 8000, allBytes))
+    check("wav alaw table", Multimodal.g711Wav(alaw = true, 8000, allBytes))
+    check("au ulaw table", Multimodal.auBytes(1, 8000, 1, allBytes))
+    check("au alaw table", Multimodal.auBytes(27, 8000, 1, allBytes))
+    for (ch <- Seq(1, 2); trial <- 0 until 3) {
+      val n = 40 + rnd.nextInt(100)
+      val lawBytes = Array.fill((n * ch))(rnd.nextInt(256).toByte)
+      check(s"wav ulaw ch$ch/$trial",
+        Multimodal.g711Wav(alaw = false, 8000 + trial, lawBytes, ch))
+      check(s"au alaw ch$ch/$trial",
+        Multimodal.auBytes(27, 11025, ch, lawBytes))
+      val samples = Seq.fill(n * ch)(rnd.nextInt(65536) - 32768)
+      check(s"au pcm16 ch$ch/$trial",
+        Multimodal.auBytes(3, 16000, ch, Multimodal.pcm16be(samples)))
+      check(s"aiff pcm16 ch$ch/$trial",
+        Multimodal.aiffBytes(22050, ch, 16, Multimodal.pcm16be(samples)))
+      // 8-bit PCM routes through the registry (the JDK widens it via a
+      // float path, not b<<8 — measured; the fast path refuses to fake
+      // that rounding) — so equality here is trivially exact, but the
+      // check still pins that the ROUTING returns the registry result
+      val pcm8 = Array.fill(n * ch)((rnd.nextInt(256) - 128).toByte)
+      check(s"au pcm8 ch$ch/$trial", Multimodal.auBytes(2, 8000, ch, pcm8))
+      check(s"aiff pcm8 ch$ch/$trial", Multimodal.aiffBytes(8000, ch, 8, pcm8))
+    }
+    // corrupt containers flag, never throw: truncated AU header, AIFF
+    // with an overflowing chunk length, SSND offset past the chunk
+    assert(Codecs.JdkPcmDecoder.decode(".snd1234".getBytes("US-ASCII")).isEmpty)
+    val aiff = Multimodal.aiffBytes(8000, 1, 16, Multimodal.pcm16be(Seq(1, 2, 3, 4)))
+    val badLen = aiff.clone()
+    // COMM length field at offset 16..19 (big-endian): claim ~Int.Max
+    badLen(16) = 0x7F.toByte; badLen(17) = 0xFF.toByte
+    badLen(18) = 0xFF.toByte; badLen(19) = 0xF0.toByte
+    assert(Codecs.JdkPcmDecoder.decode(badLen).isEmpty)
+    // unknown AU data size (claimed -1) streams to EOF
+    val au = Multimodal.auBytes(3, 8000, 1, Multimodal.pcm16be(Seq(100, -100)))
+    val unk = au.clone()
+    unk(8) = 0xFF.toByte; unk(9) = 0xFF.toByte
+    unk(10) = 0xFF.toByte; unk(11) = 0xFF.toByte
+    assert(Codecs.JdkPcmDecoder.decode(unk).exists(_.mono.length == 2))
+  }
+
   test("FLAC: constant/verbatim/fixed/LPC subframes decode to the exact coded samples") {
     import graft.ops.Codecs
     import Multimodal.{FlacConstant, FlacVerbatim, FlacFixed, FlacLpc}
