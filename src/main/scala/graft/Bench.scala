@@ -21,12 +21,14 @@ import org.apache.spark.sql.SparkSession
   *    tsdb_ingest_stream is also excluded: it re-ingests the events table
   *    per run, and ingest throughput is already measured by the dedicated
   *    tsdb_ingest benchmark below (fresh table, reference CI-bench shape).
-  *    multimodal_frames_gif follows the staging rule too: its timed body
-  *    is dominated by the inline ImageIO GIF ENCODE of 15k fixture
-  *    frames (7.4 s vs frames_avi's 1.6 s through the same sampleFrames
-  *    operator), so the headline number would measure fixture synthesis;
-  *    the video decode path's bench coverage is multimodal_frames +
-  *    multimodal_frames_avi — correctness-gated only.
+  *    multimodal_frames_gif / _avi / multimodal_audio_adpcm stage their
+  *    synthesized containers once per corpus fingerprint (r10,
+  *    SparkEntry.stagedBlobs — the trainOrLoadAdcIndex shape applied to
+  *    fixtures): the first touch per corpus version writes the blobs,
+  *    every timed round cold-reads them, so the benched numbers measure
+  *    DECODE. That retires the r9 exclusion of multimodal_frames_gif
+  *    (whose inline GIF encode of 15k fixtures dominated at 7.4 s) —
+  *    the one decoder serving real crawl payloads as-is is now benched.
   *    Entries that re-run the identical LSH+closure plan dedup_clusters
   *    already times (dedup_keep, dedup_keep_best, dedup_report,
   *    corpus_split_safe), and text_ppl_buckets_lang (the lm_score +
@@ -98,7 +100,7 @@ object Bench {
     "multimodal_audio_adpcm", "multimodal_audio_flac",
     "multimodal_audio_containers",
     "dedup_image_dhash", "dedup_image_keep", "multimodal_frames",
-    "multimodal_frames_avi",
+    "multimodal_frames_avi", "multimodal_frames_gif",
     "dedup_video_frames", "dedup_video_dhash")
 
   def main(args: Array[String]): Unit = {

@@ -139,6 +139,32 @@ object SparkEntry {
     s"${sys.props("java.io.tmpdir")}/graft_ivf/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + (dir.hashCode & 0x7fffffff)
 
+  /** Stage a synthesized blob corpus ONCE per corpus fingerprint (r10 —
+    * the `trainOrLoadAdcIndex` shape applied to fixtures): the first
+    * touch writes `build` to a fingerprint-stamped parquet dir, every
+    * later call — including every timed bench round — COLD-READS it.
+    * Codec entries then measure DECODE, not fixture encode (the GIF
+    * entry's inline ImageIO encode of 15k fixtures dominated its timed
+    * body at 7.4 s and kept it out of the headline bench; the AVI
+    * entry's benched number conflated per-run JPEG encode with decode).
+    * A regenerated corpus at the same path invalidates the stage via
+    * [[sourceFingerprint]], same as the ANN indexes. */
+  private def stagedBlobs(s: SparkSession, dir: String, kind: String)
+                         (build: => DataFrame): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      (dir.hashCode & 0x7fffffff) + "/" + kind
+    val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#$kind"
+    val vFile = new java.io.File(s"$path/_graft_version")
+    val fresh = vFile.exists &&
+      new String(java.nio.file.Files.readAllBytes(vFile.toPath), "UTF-8") == version
+    if (!fresh) {
+      build.write.mode("overwrite").parquet(path)
+      java.nio.file.Files.write(vFile.toPath, version.getBytes("UTF-8"))
+    }
+    s.read.parquet(path)
+  }
+
   /** The planted image-blob table shared by `dedup_image_dhash` and
     * `dedup_image_keep`: every doc's PNG encodes the 60-bit md5(doc_id)
     * prefix as its dHash ([[graft.ops.Multimodal.dhashPng]]); docs < 40
@@ -1990,15 +2016,19 @@ object SparkEntry {
     "multimodal_frames_avi" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
-      val blobs = s.createDataFrame(
-        ids.rdd.map { r =>
-          val id = r.getLong(0)
-          Row(id, Multimodal.mjpegAviVideo(8, 8, (2 + id % 4).toInt,
-            k => ((id * 37 + k * 11) % 256).toInt))
-        },
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("blob", BinaryType))))
+      // staged once per corpus fingerprint (r10): timed rounds cold-read
+      // the containers and measure DECODE, not per-run JPEG encode
+      val blobs = stagedBlobs(s, dir, "avi") {
+        val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        s.createDataFrame(
+          ids.rdd.map { r =>
+            val id = r.getLong(0)
+            Row(id, Multimodal.mjpegAviVideo(8, 8, (2 + id % 4).toInt,
+              k => ((id * 37 + k * 11) % 256).toInt))
+          },
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("blob", BinaryType))))
+      }
       Multimodal.sampleFrames(blobs, everyN = 2,
           decoder = Codecs.MjpegAviDecoder)
         .select(col("doc_id"), col("decoded"),
@@ -2019,15 +2049,21 @@ object SparkEntry {
     "multimodal_frames_gif" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
-      val blobs = s.createDataFrame(
-        ids.rdd.map { r =>
-          val id = r.getLong(0)
-          Row(id, Multimodal.gifVideo(6, 6, (2 + id % 3).toInt,
-            k => ((id * 41 + k * 13) % 256).toInt))
-        },
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("blob", BinaryType))))
+      // staged once per corpus fingerprint (r10): the inline ImageIO GIF
+      // ENCODE of 15k fixtures dominated this entry's timed body (7.4 s)
+      // and kept the one production-usable video decoder out of the
+      // headline bench — cold-reading the staged corpus retires that
+      val blobs = stagedBlobs(s, dir, "gif") {
+        val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        s.createDataFrame(
+          ids.rdd.map { r =>
+            val id = r.getLong(0)
+            Row(id, Multimodal.gifVideo(6, 6, (2 + id % 3).toInt,
+              k => ((id * 41 + k * 13) % 256).toInt))
+          },
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("blob", BinaryType))))
+      }
       Multimodal.sampleFrames(blobs, everyN = 2,
           decoder = Codecs.GifDecoder)
         .select(col("doc_id"), col("decoded"),
@@ -2145,19 +2181,21 @@ object SparkEntry {
     "multimodal_audio_adpcm" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
-      val blobs = s.createDataFrame(
-        ids.rdd.map { r =>
-          val id = r.getLong(0)
-          val blocks = (0 until 2).map { b =>
-            Seq(((((id * 131 + b * 17) % 2048) - 1024).toInt,
-              ((id + b * 7) % 89).toInt,
-              (0 until 8).map(j => ((id * 7 + b * 5 + j * 3) % 16).toInt)))
-          }
-          Row(id, Multimodal.imaAdpcmWav(8000, blocks))
-        },
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("blob", BinaryType))))
+      val blobs = stagedBlobs(s, dir, "adpcm") {
+        val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        s.createDataFrame(
+          ids.rdd.map { r =>
+            val id = r.getLong(0)
+            val blocks = (0 until 2).map { b =>
+              Seq(((((id * 131 + b * 17) % 2048) - 1024).toInt,
+                ((id + b * 7) % 89).toInt,
+                (0 until 8).map(j => ((id * 7 + b * 5 + j * 3) % 16).toInt)))
+            }
+            Row(id, Multimodal.imaAdpcmWav(8000, blocks))
+          },
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("blob", BinaryType))))
+      }
       Multimodal.decodeAudioFeatures(blobs,
           decoder = Codecs.ImaAdpcmDecoder.orElse(Codecs.JdkPcmDecoder))
         .select(Seq(col("doc_id"), col("decoded"),
