@@ -708,6 +708,50 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // CDC-DRIVEN INCREMENTAL REPLICA (r10 — the r9 verdict's #4 ask):
+    // the checkpointed ChangesFeed poll loop consumes the manifest's
+    // seq windows and maintains a per-day (count, sum) rollup replica
+    // PURELY from insert/update/update_preimage/delete rows — never
+    // reading the table itself. Window 1 delivers the initial corpus as
+    // inserts; window 2 delivers the same staged mutations as
+    // tsdb_changes (override +100, probe inserts, range delete) in one
+    // mixed batch. The twin recomputes the FINAL state from scratch in
+    // SQL — a hash match proves incremental maintenance converges to
+    // the recompute (the CdcReplicaSpec invariant, oracle-checked).
+    "tsdb_cdc_replica" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_replica")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            overrideOld = true))
+        val feed = new graft.streaming.ChangesStream.ChangesFeed(t, s"$tmp/ckpt")
+        val replica = new graft.streaming.ChangesStream.RollupReplica(
+          s, s"$tmp/replica", Day)
+        t.append(samples)
+        require(graft.streaming.ChangesStream.drain(feed)(replica.applyBatch) == 1,
+          "initial corpus must arrive as one CDC window")
+        val clicks = samples.filter(col("name") === "click")
+        t.append(
+          clicks.filter(col("time").between(F + 3 * Day, F + 7 * Day - 1))
+            .withColumn("value", col("value") + 100)
+            .unionByName(
+              clicks.filter(col("time") < F + 2 * Day)
+                .withColumn("name", lit("probe"))
+                .withColumn("value", col("value") * 2)))
+        t.delete(F + 10 * Day, F + 13 * Day - 1, metrics = Seq("click"))
+        require(graft.streaming.ChangesStream.drain(feed)(replica.applyBatch) == 1,
+          "the mixed mutations must arrive as one CDC window")
+        val res = replica.state()
+          .select(col("name"), col("labels_str"), col("t"),
+            col("count").cast("double").as("count"),
+            round(col("sum"), 6).as("sum"))
+          .orderBy("name", "labels_str", "t")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // RETENTION (S11, reference retentionDays config.go:198-200 +
     // partition-age deletion partmgr.go:330,357,390): a 10-day horizon
     // enforced at now=T drops partitions 0..19 whole (the horizon is
@@ -2975,6 +3019,25 @@ object SparkEntry {
          |  SELECT name, labels_str, tt, round(v, 6), 'delete'
          |  FROM s WHERE name = 'click' AND tt BETWEEN ${F + 10 * Day} AND ${F + 13 * Day - 1})
          |ORDER BY name, labels_str, time, _change_type""".stripMargin,
+
+    // the CDC-maintained replica's FINAL state recomputed from scratch:
+    // overrides applied, the deleted range gone, probe rows added, then
+    // the same per-day count/sum the replica maintains incrementally
+    "tsdb_cdc_replica" ->
+      s"""WITH s AS ($SamplesCte),
+         |m AS (SELECT name, labels_str, tt,
+         |        CASE WHEN name = 'click' AND tt BETWEEN ${F + 3 * Day} AND ${F + 7 * Day - 1}
+         |             THEN v + 100 ELSE v END AS v
+         |      FROM s
+         |      WHERE NOT (name = 'click' AND tt BETWEEN ${F + 10 * Day} AND ${F + 13 * Day - 1})),
+         |p AS (SELECT 'probe' AS name, labels_str, tt, v * 2 AS v FROM s
+         |      WHERE name = 'click' AND tt < ${F + 2 * Day}),
+         |u AS (SELECT name, labels_str, tt, v FROM m
+         |      UNION ALL SELECT name, labels_str, tt, v FROM p)
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum"
+         |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // a 10-day horizon at now=T keeps exactly the last 10 partition days
     "tsdb_retention" ->
