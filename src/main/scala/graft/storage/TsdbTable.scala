@@ -350,10 +350,46 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * take a delete+rename whose empty window readers survive via the
     * all-visible fallback in [[readCommits]] — and the rename must not
     * fail silently (a lost manifest would expose crashed mutations'
-    * orphans as live data through that fallback). */
-  private def publishCommits(c: Commits): Unit = {
+    * orphans as live data through that fallback).
+    *
+    * CROSS-JVM CAS (r10): `expected` is the manifest snapshot the
+    * caller's read-modify-write was computed FROM; the manifest is
+    * re-read immediately before the replace and a mismatch ABORTS the
+    * publish loudly. The writer lock already rejects a second writer,
+    * but its lease-break path has documented residual windows (a slow
+    * writer presumed dead can wake after its lock was broken) — without
+    * the CAS, that zombie's replace would silently DROP every seq the
+    * new writer committed in between (lost-update on the single-file
+    * manifest). With it, the zombie loses loudly and its batch files
+    * stay invisible orphans (the exact-set admission never saw their
+    * seqs), which vacuum later sweeps — never a torn or rolled-back
+    * manifest. The stat-to-rename window that remains is microseconds
+    * (was: the whole mutation duration); full closure needs a
+    * conditional-put KV, per the writer-lock scaladoc. */
+  /** Fault-injection seam for the CAS spec ONLY: runs once (self-
+    * clearing) immediately before the publish's re-read — the spec
+    * interleaves a second table instance's full append here, the
+    * zombie-writer timing that cannot be produced through the public
+    * API alone (the writer lock serializes it everywhere else). */
+  private[graft] var testHookBeforeCommitCas: Runnable = null
+
+  private def publishCommits(c: Commits,
+                             expected: Option[Option[Commits]] = None): Unit = {
+    val hook = testHookBeforeCommitCas
+    if (hook != null) { testHookBeforeCommitCas = null; hook.run() }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    expected.foreach { want =>
+      val now = readCommits(strict = true)
+      if (now != want)
+        throw new java.util.ConcurrentModificationException(
+          s"commit manifest CAS failed for $path: expected $want but found " +
+            s"$now — another writer published between this mutation's " +
+            "manifest read and its commit (writer-lock lease break or " +
+            "multi-writer misuse). This mutation is ABORTED; its files " +
+            "carry an uncommitted seq and remain invisible until vacuum " +
+            "sweeps them. TsdbTable is single-writer.")
+    }
     val tmp = new org.apache.hadoop.fs.Path(path, s".$commitsFile.tmp")
     val dst = new org.apache.hadoop.fs.Path(path, commitsFile)
     val body = (Seq(s"floor=${c.floor}", s"horizon=${c.horizon}") ++
@@ -388,11 +424,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * isin() literal list), the manifest is VACUUMED: orphan files are
     * physically deleted and the set collapses into the floor. */
   private def commitSeq(seq: Long, horizonTo: Long = 0L): Unit = {
-    val cur = readCommits(strict = true)
-      .getOrElse(Commits(math.max(0L, seq - 1), Set.empty))
+    val snapshot = readCommits(strict = true)
+    val cur = snapshot.getOrElse(Commits(math.max(0L, seq - 1), Set.empty))
     val merged = cur.copy(seqs = cur.seqs + seq,
       horizon = math.max(cur.horizon, horizonTo))
-    publishCommits(merged)
+    publishCommits(merged, expected = Some(snapshot))
     if (merged.seqs.size > TsdbTable.VacuumSetThreshold) vacuumCommits(merged)
   }
 
@@ -430,8 +466,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
       }
     }
     // orphans were never reader-visible at ANY seq, so vacuum moves no
-    // history fence — committed generations (and their snapshots) survive
-    publishCommits(Commits(cm.max, Set.empty, cm.horizon))
+    // history fence — committed generations (and their snapshots) survive.
+    // CAS against `cm`: the collapse was computed from it, and a foreign
+    // publish in between would be rolled back by an unguarded replace
+    publishCommits(Commits(cm.max, Set.empty, cm.horizon),
+      expected = Some(Some(cm)))
   }
 
   /** Manifest maintenance, callable directly (the same sweep
@@ -448,9 +487,11 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * (its visibility-filtered reads dropped the orphans and its deletes
     * removed their files), so the explicit set collapses. */
   private def advanceCommitsFloor(floor: Long): Unit = {
-    val cur = readCommits(strict = true).getOrElse(Commits(0L, Set.empty))
+    val snapshot = readCommits(strict = true)
+    val cur = snapshot.getOrElse(Commits(0L, Set.empty))
     val f = math.max(cur.floor, floor)
-    publishCommits(Commits(f, cur.seqs.filter(_ > f), cur.horizon))
+    publishCommits(Commits(f, cur.seqs.filter(_ > f), cur.horizon),
+      expected = Some(snapshot))
   }
 
   /** The visibility predicate for `cm` over a frame that CARRIES
