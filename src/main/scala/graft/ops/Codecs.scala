@@ -1203,7 +1203,13 @@ object Codecs {
               }
               mono(f) = acc / ch; f += 1
             }
-            Some(AudioPcm(fmt.getSampleRate.toInt, ch, mono))
+            // the JDK parses some corrupt headers PERMISSIVELY (fuzz-
+            // caught r10: a stomped WAV rate field decodes with a
+            // negative getSampleRate) — the contract here is a SANE
+            // result or None, so validate what the registry returned
+            val rate = fmt.getSampleRate.toInt
+            if (rate <= 0 || ch < 1) None
+            else Some(AudioPcm(rate, ch, mono))
           } finally pcm.close()
         } finally in.close()
       } catch { case _: Exception => None } // not audio / corrupt → fallback

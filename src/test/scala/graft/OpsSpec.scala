@@ -2804,3 +2804,128 @@ class MultimodalSpec extends SparkSuite {
     assert(chain.decode(Multimodal.squareWav(8, 80, 8000)).exists(_.mono.length == 80))
   }
 }
+
+/** Property-fuzz for every container parser (r10 — the r9 verdict's #7
+  * ask): structurally-valid payloads under seeded random mutations
+  * (truncation, byte corruption, 4-byte length-field stomps, garbage
+  * insertion) must decode to None, a contract-valid result, or — for
+  * lazily-decoded video only — CorruptPayload from frame(k). Never any
+  * other throw: the GIF bomb caps and the crafted-chunk-length Long
+  * bounds were both review-caught by hand; this generalizes the class.
+  * Seeded generators: every failure reproduces exactly. */
+class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.ops.{Codecs, Multimodal}
+
+  private def mutations(base: Array[Byte], seed: Long, n: Int): Seq[(String, Array[Byte])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          (s"trunc#$i", base.take(rnd.nextInt(base.length)))
+        case 1 =>
+          val b = base.clone; val o = rnd.nextInt(b.length)
+          b(o) = (b(o) ^ (1 + rnd.nextInt(255))).toByte
+          (s"flip#$i@$o", b)
+        case 2 => // length-field-shaped stomp: 4 random bytes anywhere
+          val b = base.clone; val o = rnd.nextInt(math.max(1, b.length - 4))
+          val v = rnd.nextInt()
+          (0 until 4).foreach(k => b(o + k) = (v >> (8 * k)).toByte)
+          (s"stomp#$i@$o", b)
+        case _ =>
+          val o = rnd.nextInt(base.length)
+          (s"insert#$i@$o", base.take(o) ++
+            Array.fill(1 + rnd.nextInt(8))(rnd.nextInt(256).toByte) ++ base.drop(o))
+      }
+    }
+  }
+
+  private def fuzzAudio(fmt: String, dec: Codecs.AudioDecoder,
+                        base: Array[Byte], seed: Long): Unit = {
+    assert(dec.decode(base).nonEmpty, s"$fmt: pristine payload must decode")
+    (mutations(base, seed, 60) :+ ("empty", Array.emptyByteArray) :+
+      ("null", null: Array[Byte])).foreach { case (tag, payload) =>
+      try dec.decode(payload).foreach { p =>
+        assert(p.sampleRate > 0 && p.channels >= 1 && p.mono != null,
+          s"$fmt/$tag: invalid decoded result")
+        // a mutated container must never fake more samples than its
+        // bytes could carry (allocation stays input-bounded)
+        assert(p.mono.length <= (if (payload == null) 0 else payload.length) * 8 + 64,
+          s"$fmt/$tag: ${p.mono.length} samples from ${payload.length} bytes")
+      } catch {
+        case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+          fail(s"$fmt/$tag: decoder threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  private def fuzzVideo(fmt: String, dec: Codecs.VideoDecoder,
+                        base: Array[Byte], seed: Long): Unit = {
+    assert(dec.decode(base).nonEmpty, s"$fmt: pristine payload must decode")
+    (mutations(base, seed, 60) :+ ("empty", Array.emptyByteArray) :+
+      ("null", null: Array[Byte])).foreach { case (tag, payload) =>
+      try dec.decode(payload).foreach { clip =>
+        assert(clip.nFrames >= 0 && clip.width > 0 && clip.height > 0,
+          s"$fmt/$tag: invalid clip geometry")
+        (0 until clip.nFrames).foreach { k =>
+          try {
+            val f = clip.frame(k)
+            assert(f != null && f.length == clip.width * clip.height,
+              s"$fmt/$tag: frame $k geometry violation")
+          } catch { case _: Codecs.CorruptPayload => () } // the one legal throw
+        }
+      } catch {
+        case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+          fail(s"$fmt/$tag: decoder threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("FUZZ WAV (PCM16 + G.711 lanes): flagged or valid, never a throw") {
+    fuzzAudio("wav-pcm", Codecs.JdkPcmDecoder,
+      Multimodal.squareWav(8, 200, 8000), seed = 101L)
+    fuzzAudio("wav-ulaw", Codecs.JdkPcmDecoder,
+      Multimodal.g711Wav(alaw = false, 8000, Array.tabulate(200)(_.toByte)),
+      seed = 102L)
+    fuzzAudio("wav-alaw", Codecs.JdkPcmDecoder,
+      Multimodal.g711Wav(alaw = true, 8000, Array.tabulate(200)(_.toByte)),
+      seed = 103L)
+  }
+
+  test("FUZZ AU and AIFF: flagged or valid, never a throw") {
+    fuzzAudio("au-pcm16", Codecs.JdkPcmDecoder,
+      Multimodal.auBytes(3, 8000, 1, Multimodal.pcm16be((0 until 100).map(_ * 300 - 15000))),
+      seed = 104L)
+    fuzzAudio("au-ulaw", Codecs.JdkPcmDecoder,
+      Multimodal.auBytes(1, 8000, 2, Array.tabulate(200)(_.toByte)), seed = 105L)
+    fuzzAudio("aiff-pcm16", Codecs.JdkPcmDecoder,
+      Multimodal.aiffBytes(8000, 1, 16, Multimodal.pcm16be((0 until 100).map(_ * 7 - 350))),
+      seed = 106L)
+  }
+
+  test("FUZZ IMA ADPCM: flagged or valid, never a throw") {
+    fuzzAudio("adpcm", Codecs.ImaAdpcmDecoder,
+      Multimodal.imaAdpcmWav(8000, (0 until 3).map(b =>
+        Seq((100 * b, b * 11, (0 until 16).map(j => (j * 5 + b) % 16))))),
+      seed = 107L)
+  }
+
+  test("FUZZ FLAC: flagged or valid, never a throw") {
+    fuzzAudio("flac", Codecs.FlacDecoder,
+      Multimodal.flacEncodeAuto(
+        Array(Array.tabulate(192)(i => (3000 * math.sin(i / 6.0)).toInt)),
+        8000, 16, 64),
+      seed = 108L)
+  }
+
+  test("FUZZ GFV1 and MJPEG-AVI: flagged, valid, or CorruptPayload — never another throw") {
+    fuzzVideo("gfv1", Codecs.Gfv1Decoder,
+      Multimodal.gfvVideo(6, 5, 4, k => 40 * k), seed = 109L)
+    fuzzVideo("avi", Codecs.MjpegAviDecoder,
+      Multimodal.mjpegAviVideo(8, 8, 3, k => 30 + 60 * k), seed = 110L)
+  }
+
+  test("FUZZ animated GIF: flagged, valid, or CorruptPayload — never another throw") {
+    fuzzVideo("gif", Codecs.GifDecoder,
+      Multimodal.gifVideo(6, 6, 3, k => 20 + 70 * k), seed = 111L)
+  }
+}
