@@ -721,7 +721,10 @@ object Codecs {
       val wasted =
         if (r.readBit() == 1) r.readUnary() + 1 else 0
       val eff = bps - wasted
-      if (eff <= 0 || eff > 33) return null
+      // 25 = 24-bit + the side channel's extra bit — the widest real
+      // FLAC; 32-bit samples (+1 side) would overflow the Int sample
+      // arrays silently, so they take the flagged fallback instead
+      if (eff <= 0 || eff > 25) return null
       val out = new Array[Int](blockSize)
       val ok =
         if (stype == 0) { // CONSTANT
@@ -865,7 +868,7 @@ object Codecs {
           case 4 => 16
           case 5 => 20
           case 6 => 24
-          case 7 => 32
+          case _ => return None // 32-bit: exceeds the Int sample width
         }
         if (crc8(bytes, frameStart, r.bytePos) != r.readBits(8).toInt)
           return None
@@ -934,7 +937,17 @@ object Codecs {
     } catch { case _: Exception => None } // truncated/corrupt → flagged
   }
 
-  /** The default audio decoder: WAV/AU/AIFF PCM (frames convert to
+  /** Every from-spec audio codec in one chain (r10) — the decoder a
+    * mixed crawl column actually wants: FLAC, IMA ADPCM, then the
+    * PCM/G.711 container paths. Magic probes order the chain cheapest-
+    * reject-first in practice (`fLaC` 4 bytes, RIFF tag check, then
+    * the full walk), so a payload pays only its own codec's cost.
+    * MP3/OGG/MP4 still return None (flagged fallback) — those need a
+    * real external codec, per the seam contract. */
+  lazy val DefaultAudio: AudioDecoder =
+    FlacDecoder.orElse(ImaAdpcmDecoder).orElse(JdkPcmDecoder)
+
+  /** WAV/AU/AIFF PCM + G.711 (frames convert to
     * 16-bit signed, channels average to mono). Compressed formats
     * (MP3/OGG) return None here; an FFmpeg-backed [[AudioDecoder]]
     * slots in with the same contract.

@@ -430,7 +430,7 @@ object Multimodal {
     * `decoded=false`. Same 100 TB shape as the image path: no shuffle,
     * partition-local decode. */
   def decodeAudioFeatures(blobs: DataFrame,
-                          decoder: Codecs.AudioDecoder = Codecs.JdkPcmDecoder): DataFrame = {
+                          decoder: Codecs.AudioDecoder = Codecs.DefaultAudio): DataFrame = {
     val spark = blobs.sparkSession
     val rows = blobs.select(col("doc_id").cast("long"), col("blob")).rdd
       .mapPartitions { it =>
