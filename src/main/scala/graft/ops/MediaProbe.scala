@@ -1,0 +1,264 @@
+package graft.ops
+
+/** Header-only media PROBES (r10) — "probe, don't decode".
+  *
+  * At 100 TB the first multimodal pipeline stage is not decode, it is
+  * TRIAGE: filter by duration / resolution / bitrate / codec before
+  * paying any per-sample work. That triage must also cover the formats
+  * this zero-dependency container cannot fully decode — a crawl's modal
+  * audio payload is MP3 and its modal video container is MP4, and both
+  * carry their pipeline-relevant metadata in plain headers:
+  *
+  *  - [[Mp3Probe]] walks EVERY MPEG audio frame header (sync, version,
+  *    layer, bitrate/samplerate indices, padding — the public
+  *    ISO 11172-3 / 13818-3 tables), hopping frame-to-frame by the
+  *    exact frame-length formula with NO payload inspection: exact
+  *    frame count, exact sample count (hence duration), true VBR
+  *    average bitrate, ID3v2 skipped by its syncsafe length, trailing
+  *    ID3v1 tolerated. Cost per blob: one header read per frame —
+  *    thousands of times cheaper than decode, and allocation-free.
+  *  - [[Mp4Probe]] walks the ISO BMFF box tree (size/type, 64-bit
+  *    largesize, nesting): `ftyp` major brand, `mvhd` timescale +
+  *    duration (v0/v1), first visual `tkhd` 16.16 fixed-point
+  *    width/height, first `stsd` sample-entry fourcc (the codec id —
+  *    avc1/hev1/mp4a/…).
+  *  - [[FlacProbe]] / [[WavProbe]] read STREAMINFO / `fmt ` only — the
+  *    duration of a FLAC stream costs 42 bytes, not a Rice decode.
+  *
+  * All probes share the [[Codecs]] discipline: pure byte walks, Long
+  * bounds against crafted lengths, never throw (None = not my format /
+  * corrupt), `orElse` chaining for mixed columns. The decode seam
+  * ([[Codecs.AudioDecoder]]/[[Codecs.VideoDecoder]]) is unchanged —
+  * probes answer "what is this and is it worth decoding", decoders
+  * answer "what does it contain".
+  */
+object MediaProbe {
+
+  /** Probed metadata: the fields a triage stage filters on. Unknown /
+    * not-applicable numeric fields are 0; `codec` is the innermost
+    * payload id (MP3 layer, WAV format tag name, MP4 sample-entry
+    * fourcc), `format` the container family. */
+  final case class MediaInfo(format: String, codec: String,
+                             durationMs: Long, sampleRate: Int, channels: Int,
+                             bitrateKbps: Int, width: Int, height: Int,
+                             frames: Long)
+
+  trait Probe extends Serializable {
+    def probe(bytes: Array[Byte]): Option[MediaInfo]
+    def orElse(other: Probe): Probe = {
+      val self = this
+      new Probe {
+        def probe(b: Array[Byte]): Option[MediaInfo] =
+          self.probe(b).orElse(other.probe(b))
+      }
+    }
+  }
+
+  /** Every probe in one chain — the mixed-column default. */
+  lazy val Default: Probe =
+    FlacProbe.orElse(WavProbe).orElse(Mp4Probe).orElse(Mp3Probe)
+
+  /** MPEG-1/2/2.5 audio (MP3 and friends): exact frame walk. */
+  object Mp3Probe extends Probe {
+    // bitrate tables in kbps, indexed [version-group][layer][idx 1..14]
+    private val V1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+    private val V1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    private val V1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val V2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+    private val V2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    private val RatesV1 = Array(44100, 48000, 32000)
+    private val RatesV2 = Array(22050, 24000, 16000)
+    private val RatesV25 = Array(11025, 12000, 8000)
+
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 4) return None
+      var p = 0
+      // ID3v2 prefix: "ID3" ver(2) flags(1) syncsafe size(4)
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+        val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+          ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+        val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+        val skip = 10L + size + footer
+        if (skip >= bytes.length) return None
+        p = skip.toInt
+      }
+      var frames = 0L
+      var samples = 0L
+      var brSum = 0L
+      var rate = 0; var ch = 0; var layerSeen = 0
+      while (p + 4 <= bytes.length) {
+        // trailing ID3v1 tag: exactly 128 bytes starting "TAG"
+        if (bytes.length - p == 128 && bytes(p) == 'T' && bytes(p + 1) == 'A' &&
+            bytes(p + 2) == 'G') {
+          p = bytes.length
+        } else {
+          val b1 = bytes(p) & 0xFF; val b2 = bytes(p + 1) & 0xFF
+          val b3 = bytes(p + 2) & 0xFF; val b4 = bytes(p + 3) & 0xFF
+          if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return None // lost sync
+          val version = (b2 >> 3) & 3 // 0=2.5, 2=MPEG2, 3=MPEG1
+          val layer = (b2 >> 1) & 3   // 1=L3, 2=L2, 3=L1
+          val brIdx = (b3 >> 4) & 0xF
+          val srIdx = (b3 >> 2) & 3
+          val padding = (b3 >> 1) & 1
+          if (version == 1 || layer == 0 || brIdx == 0 || brIdx == 15 ||
+              srIdx == 3) return None // reserved / free-format unsupported
+          val sr = (version match {
+            case 3 => RatesV1; case 2 => RatesV2; case _ => RatesV25
+          })(srIdx)
+          val br = (if (version == 3)
+            (if (layer == 3) V1L1 else if (layer == 2) V1L2 else V1L3)
+          else
+            (if (layer == 3) V2L1 else V2L23))(brIdx)
+          val spf =
+            if (layer == 3) 384
+            else if (layer == 2) 1152
+            else if (version == 3) 1152 else 576 // L3: MPEG1 vs 2/2.5
+          val frameLen =
+            if (layer == 3) (12 * br * 1000 / sr + padding) * 4
+            else if (layer == 2) 144 * br * 1000 / sr + padding
+            else (if (version == 3) 144 else 72) * br * 1000 / sr + padding
+          if (frameLen < 4 || p + frameLen.toLong > bytes.length)
+            return None // truncated mid-frame: corrupt, not shorter
+          if (rate == 0) { rate = sr; ch = if (((b4 >> 6) & 3) == 3) 1 else 2
+            layerSeen = layer }
+          else if (sr != rate) return None // rate switch mid-stream: corrupt
+          frames += 1; samples += spf; brSum += br
+          p += frameLen
+        }
+      }
+      if (frames == 0 || p != bytes.length) return None
+      Some(MediaInfo("mp3",
+        if (layerSeen == 1) "mpeg-layer3"
+        else if (layerSeen == 2) "mpeg-layer2" else "mpeg-layer1",
+        samples * 1000L / rate, rate, ch,
+        (brSum / frames).toInt, 0, 0, frames))
+    } catch { case _: Exception => None }
+  }
+
+  /** ISO BMFF (MP4/MOV/3GP …): box-tree walk. */
+  object Mp4Probe extends Probe {
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 16 || fourcc(bytes, 4) != "ftyp")
+        return None
+      var brand = ""
+      var durationMs = 0L
+      var width = 0; var height = 0
+      var codec = ""
+      // walk(start, end): top-level and nested box iteration. Long
+      // arithmetic throughout — box sizes are attacker-controlled.
+      def walk(start: Long, end: Long, depth: Int): Boolean = {
+        var p = start
+        while (p + 8 <= end) {
+          val size0 = be32(bytes, p.toInt)
+          val typ = fourcc(bytes, p.toInt + 4)
+          var hdr = 8L
+          val size =
+            if (size0 == 1L) {
+              if (p + 16 > end) return false
+              hdr = 16L; be64(bytes, p.toInt + 8)
+            } else if (size0 == 0L) end - p // box extends to end
+            else size0
+          if (size < hdr || p + size > end) return false
+          val body = p + hdr
+          typ match {
+            case "ftyp" if depth == 0 =>
+              if (size >= hdr + 4) brand = fourcc(bytes, body.toInt)
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              if (depth < 8 && !walk(body, p + size, depth + 1)) return false
+            case "mvhd" if size >= hdr + 4 =>
+              val v = bytes(body.toInt) & 0xFF
+              if (v == 1 && size >= hdr + 28) {
+                val ts = be32(bytes, body.toInt + 20)
+                val dur = be64(bytes, body.toInt + 24)
+                // dur is a 64-bit field an attacker controls: negative
+                // (top bit) or overflow-prone values must not produce a
+                // negative duration
+                if (ts > 0 && dur >= 0 && dur < Long.MaxValue / 1000)
+                  durationMs = dur * 1000L / ts
+              } else if (v == 0 && size >= hdr + 20) {
+                val ts = be32(bytes, body.toInt + 12)
+                val dur = be32(bytes, body.toInt + 16)
+                if (ts > 0) durationMs = dur * 1000L / ts
+              }
+            case "tkhd" =>
+              val v = bytes(body.toInt) & 0xFF
+              val wOff = if (v == 1) 4 + 84 else 4 + 72
+              if (size >= hdr + wOff + 8) {
+                // 16.16 fixed point; keep the FIRST track with nonzero dims
+                val w = (be32(bytes, body.toInt + wOff) >> 16).toInt
+                val h = (be32(bytes, body.toInt + wOff + 4) >> 16).toInt
+                if (width == 0 && w > 0 && h > 0) { width = w; height = h }
+              }
+            case "stsd" if size >= hdr + 16 =>
+              // FullBox(4) + entry_count(4) + first entry size(4)+fourcc(4)
+              if (codec.isEmpty) codec = fourcc(bytes, body.toInt + 12)
+            case _ => ()
+          }
+          p += size
+        }
+        true
+      }
+      if (!walk(0L, bytes.length.toLong, 0)) return None
+      if (brand.isEmpty) return None
+      Some(MediaInfo("mp4", codec, durationMs, 0, 0, 0, width, height, 0L))
+    } catch { case _: Exception => None }
+  }
+
+  /** FLAC STREAMINFO only — duration for 42 bytes of reading. */
+  object FlacProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 42 ||
+          bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' || bytes(3) != 'C')
+        return None
+      if ((bytes(4) & 0x7F) != 0) return None // STREAMINFO must be first
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (bytes(18 + i) & 0xFF); i += 1 }
+      val rate = (v >>> 44).toInt
+      val channels = ((v >>> 41) & 7).toInt + 1
+      val total = v & ((1L << 36) - 1)
+      if (rate <= 0) return None
+      Some(MediaInfo("flac", "flac", total * 1000L / rate, rate, channels,
+        0, 0, 0, total))
+    } catch { case _: Exception => None }
+  }
+
+  /** RIFF/WAVE `fmt ` + `data` headers only. */
+  object WavProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 12 ||
+          new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
+      var fmtOff = -1; var dataLen = -1L
+      var p = 12
+      while (p + 8 <= bytes.length && (fmtOff < 0 || dataLen < 0)) {
+        val id = new String(bytes, p, 4, "US-ASCII")
+        val len = Codecs.LE.i32(bytes, p + 4)
+        if (len < 0 || p + 8L + len > bytes.length) return None
+        if (id == "fmt ") fmtOff = p + 8
+        else if (id == "data") dataLen = len.toLong
+        p += 8 + len + (len & 1)
+      }
+      if (fmtOff < 0 || dataLen < 0) return None
+      val tag = Codecs.LE.u16(bytes, fmtOff)
+      val channels = Codecs.LE.u16(bytes, fmtOff + 2)
+      val rate = Codecs.LE.i32(bytes, fmtOff + 4)
+      val byteRate = Codecs.LE.i32(bytes, fmtOff + 8)
+      if (channels < 1 || rate <= 0 || byteRate <= 0) return None
+      val codec = tag match {
+        case 1 => "pcm"; case 3 => "pcm-float"; case 6 => "alaw"
+        case 7 => "ulaw"; case 0x11 => "ima-adpcm"; case 0x55 => "mp3"
+        case t => f"0x$t%04x"
+      }
+      Some(MediaInfo("wav", codec, dataLen * 1000L / byteRate, rate, channels,
+        byteRate * 8 / 1000, 0, 0, 0L))
+    } catch { case _: Exception => None }
+  }
+}

@@ -1041,6 +1041,121 @@ object Multimodal {
     flacBytes(sampleRate, bps, chans.length, frames)
   }
 
+  private val probeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("probed", BooleanType),
+    StructField("format", StringType),
+    StructField("codec", StringType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bitrate_kbps", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frames", LongType)))
+
+  /** Media TRIAGE (r10): header-only probes over a binary column — the
+    * stage that runs BEFORE decode at 100 TB (filter by duration /
+    * resolution / bitrate / codec, then decode the survivors), and the
+    * stage that serves the formats this container cannot fully decode:
+    * MP3 frame walks and MP4 box walks yield real typed metadata where
+    * decode can only flag. Partition-local, allocation-light (header
+    * reads only), no shuffle; unprobeable payloads emit one flagged
+    * `probed=false` row, the mixed-column contract of the decoders. */
+  def probeMedia(blobs: DataFrame,
+                 probe: MediaProbe.Probe = MediaProbe.Default): DataFrame = {
+    val spark = blobs.sparkSession
+    val rows = blobs.select(col("doc_id").cast("long"), col("blob")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = idOrNull(r)
+          probe.probe(r.getAs[Array[Byte]](1)) match {
+            case None =>
+              Row(id, false, "unknown", null, null, null, null, null, null, null, null)
+            case Some(m) =>
+              Row(id, true, m.format, m.codec, m.durationMs, m.sampleRate,
+                m.channels, m.bitrateKbps, m.width, m.height, m.frames)
+          }
+        }
+      }
+    spark.createDataFrame(rows, probeSchema)
+  }
+
+  /** Synthesize a valid MPEG audio (MP3) stream: `nFrames` frames of
+    * the given version/layer/bitrate/samplerate indices with zeroed
+    * payloads (a PROBE fixture — frame headers and lengths are real,
+    * audio content is silence the probe never reads). Optional ID3v2
+    * prefix padding and trailing ID3v1 tag exercise the skip paths. */
+  def mp3Bytes(nFrames: Int, versionBits: Int, layerBits: Int,
+               bitrateIdx: Int, srIdx: Int, mono: Boolean,
+               id3v2Pad: Int = 0, id3v1: Boolean = false): Array[Byte] = {
+    require(versionBits == 3 || versionBits == 2 || versionBits == 0, "bad version")
+    require(layerBits >= 1 && layerBits <= 3 && bitrateIdx >= 1 && bitrateIdx <= 14 &&
+      srIdx >= 0 && srIdx <= 2, "bad header indices")
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3v2Pad > 0) {
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(4); out.write(0); out.write(0) // v2.4, no flags
+      out.write((id3v2Pad >> 21) & 0x7F); out.write((id3v2Pad >> 14) & 0x7F)
+      out.write((id3v2Pad >> 7) & 0x7F); out.write(id3v2Pad & 0x7F)
+      (0 until id3v2Pad).foreach(_ => out.write(0))
+    }
+    val sr = (versionBits match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case _ => Array(11025, 12000, 8000)
+    })(srIdx)
+    val br = (if (versionBits == 3)
+      (if (layerBits == 3) Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+       else if (layerBits == 2) Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+       else Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+    else
+      (if (layerBits == 3) Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+       else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)))(bitrateIdx)
+    val frameLen =
+      if (layerBits == 3) (12 * br * 1000 / sr) * 4
+      else if (layerBits == 2) 144 * br * 1000 / sr
+      else (if (versionBits == 3) 144 else 72) * br * 1000 / sr
+    (0 until nFrames).foreach { _ =>
+      out.write(0xFF)
+      out.write(0xE0 | (versionBits << 3) | (layerBits << 1) | 1) // no CRC
+      out.write((bitrateIdx << 4) | (srIdx << 2)) // no padding
+      out.write(if (mono) 0xC0 else 0x00)
+      (4 until frameLen).foreach(_ => out.write(0))
+    }
+    if (id3v1) {
+      out.write("TAG".getBytes("US-ASCII"))
+      (3 until 128).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
+  /** Synthesize a minimal valid ISO BMFF (MP4) box tree: `ftyp` +
+    * `moov(mvhd + trak(tkhd + mdia(minf(stbl(stsd)))))` — a PROBE
+    * fixture carrying brand, timescale/duration, track dims, and the
+    * sample-entry fourcc; no media data. */
+  def mp4Bytes(brand: String, timescale: Int, durationTicks: Long,
+               w: Int, h: Int, codec: String): Array[Byte] = {
+    require(brand.length == 4 && codec.length == 4, "fourcc length")
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", be32(0) /* v0+flags */ ++ be32(0) ++ be32(0) ++
+      be32(timescale.toLong) ++ be32(durationTicks) ++
+      be32(0x00010000L) ++ Array.fill[Byte](2 + 10 + 36 + 24 + 4)(0))
+    val tkhd = box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++
+      be32(0) ++ be32(durationTicks) ++ Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      be32(16) ++ codec.getBytes("US-ASCII") ++ Array.fill[Byte](8)(0))
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsd))))
+    ftyp ++ box("moov", mvhd ++ trak)
+  }
+
   /** VIDEO near-duplicate pairs by positional frame-signature voting over
     * a [[sampleFrames]] output: two clips are near-dups when at least
     * `minVotes` of their sampled frames carry the same signature at the

@@ -2673,6 +2673,79 @@ class MultimodalSpec extends SparkSuite {
     assert(Codecs.JdkPcmDecoder.decode(unk).exists(_.mono.length == 2))
   }
 
+  test("media probes: MP3 frame walk, MP4 box walk, FLAC/WAV header reads — exact fields, flagged unknowns (r10)") {
+    import graft.ops.{Codecs, MediaProbe}
+    // MP3: MPEG1 Layer3, 128 kbps, 44100 Hz, 5 frames, stereo — exact
+    // duration 5*1152*1000/44100 = 130 ms; ID3v2 + ID3v1 both skipped
+    val mp3 = Multimodal.mp3Bytes(5, versionBits = 3, layerBits = 1,
+      bitrateIdx = 9, srIdx = 0, mono = false, id3v2Pad = 100, id3v1 = true)
+    val m = MediaProbe.Mp3Probe.probe(mp3).get
+    assert(m.format == "mp3" && m.codec == "mpeg-layer3")
+    assert(m.frames == 5 && m.sampleRate == 44100 && m.channels == 2)
+    assert(m.durationMs == 5L * 1152 * 1000 / 44100 && m.bitrateKbps == 128)
+    // MPEG2.5 Layer3 mono: 576 samples/frame, the other length formula
+    val m25 = MediaProbe.Mp3Probe.probe(Multimodal.mp3Bytes(
+      8, versionBits = 0, layerBits = 1, bitrateIdx = 4, srIdx = 2,
+      mono = true)).get
+    assert(m25.sampleRate == 8000 && m25.channels == 1 && m25.frames == 8)
+    assert(m25.durationMs == 8L * 576 * 1000 / 8000 && m25.bitrateKbps == 32)
+    // VBR: frames at different bitrates concatenate; average reported
+    val vbr = Multimodal.mp3Bytes(2, 3, 1, 9, 0, mono = false) ++
+      Multimodal.mp3Bytes(2, 3, 1, 14, 0, mono = false)
+    val mv = MediaProbe.Mp3Probe.probe(vbr).get
+    assert(mv.frames == 4 && mv.bitrateKbps == (128 + 128 + 320 + 320) / 4)
+    // truncated mid-frame and garbage-tailed streams reject
+    assert(MediaProbe.Mp3Probe.probe(mp3.dropRight(3)).isEmpty)
+    assert(MediaProbe.Mp3Probe.probe(
+      Multimodal.mp3Bytes(2, 3, 1, 9, 0, mono = false) ++
+        "junk".getBytes("US-ASCII")).isEmpty)
+
+    // MP4: brand/duration/dims/codec from the box tree (v0 boxes)
+    val mp4 = Multimodal.mp4Bytes("mp42", timescale = 1000,
+      durationTicks = 7500, w = 1920, h = 1080, codec = "avc1")
+    val v = MediaProbe.Mp4Probe.probe(mp4).get
+    assert(v.format == "mp4" && v.codec == "avc1")
+    assert(v.durationMs == 7500 && v.width == 1920 && v.height == 1080)
+    // crafted box length near Int.Max rejects instead of wrapping —
+    // the moov SIZE field sits at offset 20 (ftyp is 20 bytes)
+    val stomped = mp4.clone()
+    stomped(20) = 0x7F.toByte; stomped(21) = 0xFF.toByte
+    stomped(22) = 0xFF.toByte; stomped(23) = 0xF0.toByte
+    assert(MediaProbe.Mp4Probe.probe(stomped).isEmpty)
+
+    // FLAC / WAV: header-only reads agree with the full decoders
+    val flac = Multimodal.flacEncodeAuto(
+      Array(Array.tabulate(128)(i => i * 100 - 6400)), 8000, 16, 64)
+    val f = MediaProbe.FlacProbe.probe(flac).get
+    assert(f.format == "flac" && f.frames == 128 && f.sampleRate == 8000 &&
+      f.durationMs == 128L * 1000 / 8000)
+    assert(Codecs.FlacDecoder.decode(flac).get.mono.length == f.frames)
+    val wav = Multimodal.squareWav(8, 800, 8000)
+    val wv = MediaProbe.WavProbe.probe(wav).get
+    assert(wv.format == "wav" && wv.codec == "pcm" && wv.sampleRate == 8000 &&
+      wv.durationMs == 100 && wv.bitrateKbps == 128)
+    val adpcm = Multimodal.imaAdpcmWav(8000,
+      Seq(Seq((0, 0, (0 until 8).map(identity)))))
+    assert(MediaProbe.WavProbe.probe(adpcm).get.codec == "ima-adpcm")
+
+    // the Default chain routes each format; non-media flags
+    for ((b, fmt) <- Seq(mp3 -> "mp3", mp4 -> "mp4", flac -> "flac", wav -> "wav"))
+      assert(MediaProbe.Default.probe(b).get.format == fmt)
+    assert(MediaProbe.Default.probe("plain text".getBytes("UTF-8")).isEmpty)
+
+    // through the OPERATOR: typed rows + flagged unknown
+    val out = Multimodal.probeMedia(
+      Seq(1L -> mp3, 2L -> mp4, 3L -> "nope".getBytes("UTF-8"))
+        .toDF("doc_id", "blob"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && out(1L).getString(2) == "mp3" &&
+      out(1L).getLong(4) == 130)
+    assert(out(2L).getBoolean(1) && out(2L).getString(3) == "avc1" &&
+      out(2L).getInt(8) == 1920)
+    assert(!out(3L).getBoolean(1) && out(3L).getString(2) == "unknown" &&
+      out(3L).isNullAt(4))
+  }
+
   test("FLAC: constant/verbatim/fixed/LPC subframes decode to the exact coded samples") {
     import graft.ops.Codecs
     import Multimodal.{FlacConstant, FlacVerbatim, FlacFixed, FlacLpc}
@@ -2927,5 +3000,32 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("FUZZ animated GIF: flagged, valid, or CorruptPayload — never another throw") {
     fuzzVideo("gif", Codecs.GifDecoder,
       Multimodal.gifVideo(6, 6, 3, k => 20 + 70 * k), seed = 111L)
+  }
+
+  test("FUZZ media probes (MP3 frame walk, MP4 box walk): flagged or sane, never a throw") {
+    import graft.ops.MediaProbe
+    def fuzzProbe(fmt: String, p: MediaProbe.Probe, base: Array[Byte],
+                  seed: Long): Unit = {
+      assert(p.probe(base).nonEmpty, s"$fmt: pristine payload must probe")
+      (mutations(base, seed, 60) :+ ("empty", Array.emptyByteArray) :+
+        ("null", null: Array[Byte])).foreach { case (tag, payload) =>
+        try p.probe(payload).foreach { m =>
+          assert(m.format.nonEmpty && m.durationMs >= 0 && m.frames >= 0 &&
+            m.width >= 0 && m.height >= 0, s"$fmt/$tag: insane fields $m")
+        } catch {
+          case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+            fail(s"$fmt/$tag: probe threw ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+    }
+    fuzzProbe("mp3", MediaProbe.Mp3Probe,
+      Multimodal.mp3Bytes(6, 3, 1, 9, 0, mono = false, id3v2Pad = 30,
+        id3v1 = true), seed = 112L)
+    fuzzProbe("mp4", MediaProbe.Mp4Probe,
+      Multimodal.mp4Bytes("mp42", 1000, 4000, 640, 480, "avc1"), seed = 113L)
+    fuzzProbe("chain", MediaProbe.Default,
+      Multimodal.flacEncodeAuto(
+        Array(Array.tabulate(64)(i => i * 50 - 1600)), 8000, 16, 64),
+      seed = 114L)
   }
 }
