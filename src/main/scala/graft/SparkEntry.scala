@@ -2301,29 +2301,44 @@ object SparkEntry {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
       import Multimodal.FlacConstant
-      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
-      val blobs = s.createDataFrame(
-        ids.rdd.map { r =>
-          val id = r.getLong(0)
-          val blob = (id % 4) match {
-            case 0 => Multimodal.mp3Bytes((2 + id % 9).toInt, versionBits = 3,
-              layerBits = 1, bitrateIdx = (1 + id % 14).toInt, srIdx = 0,
-              mono = id % 2 == 0, id3v2Pad = (id % 50).toInt,
-              id3v1 = id % 3 == 0)
-            case 1 => Multimodal.mp4Bytes("mp42",
-              timescale = (600 + (id % 7) * 100).toInt,
-              durationTicks = 1000 + id % 9000,
-              w = (16 * (1 + id % 120)).toInt, h = (16 * (1 + id % 68)).toInt,
-              codec = "avc1")
-            case 2 => Multimodal.flacBytes(8000, 16, 1, Seq(
-              (0, Seq(FlacConstant(((id % 2000) - 1000).toInt,
-                (16 + id % 49).toInt)))))
-            case _ => Multimodal.squareWav(8, (100 + id % 400).toInt, 8000)
-          }
-          Row(id, blob)
-        },
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("blob", BinaryType))))
+      // EIGHT container lanes — every format the engine parses, probed
+      // through one chain; staged per corpus fingerprint so the benched
+      // number measures the PROBE (the AVI/GIF lanes pay ImageIO encode
+      // at synthesis)
+      val blobs = stagedBlobs(s, dir, "probe") {
+        val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        s.createDataFrame(
+          ids.rdd.map { r =>
+            val id = r.getLong(0)
+            val blob = (id % 8) match {
+              case 0 => Multimodal.mp3Bytes((2 + id % 9).toInt, versionBits = 3,
+                layerBits = 1, bitrateIdx = (1 + id % 14).toInt, srIdx = 0,
+                mono = id % 2 == 0, id3v2Pad = (id % 50).toInt,
+                id3v1 = id % 3 == 0)
+              case 1 => Multimodal.mp4Bytes("mp42",
+                timescale = (600 + (id % 7) * 100).toInt,
+                durationTicks = 1000 + id % 9000,
+                w = (16 * (1 + id % 120)).toInt, h = (16 * (1 + id % 68)).toInt,
+                codec = "avc1")
+              case 2 => Multimodal.flacBytes(8000, 16, 1, Seq(
+                (0, Seq(FlacConstant(((id % 2000) - 1000).toInt,
+                  (16 + id % 49).toInt)))))
+              case 3 => Multimodal.squareWav(8, (100 + id % 400).toInt, 8000)
+              case 4 => Multimodal.mjpegAviVideo(8, 8, (1 + id % 5).toInt,
+                k => ((id * 37 + k * 11) % 256).toInt)
+              case 5 => Multimodal.gifVideo(6, 6, (1 + id % 4).toInt,
+                k => ((id * 41 + k * 13) % 256).toInt)
+              case 6 => Multimodal.auBytes(1, 8000, 1,
+                Array.tabulate((160 + id % 80).toInt)(i => ((id + i) % 256).toByte))
+              case _ => Multimodal.aiffBytes(8000, 1, 16,
+                Multimodal.pcm16be((0 until (120 + id % 90).toInt)
+                  .map(i => ((id * 3 + i * 7) % 30000 - 15000).toInt)))
+            }
+            Row(id, blob)
+          },
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("blob", BinaryType))))
+      }
       Multimodal.probeMedia(blobs)
         .select(col("doc_id"), col("probed"), col("format"), col("codec"),
           col("duration_ms"), col("sample_rate").cast("long").as("sample_rate"),
@@ -4452,34 +4467,46 @@ object SparkEntry {
         |  round(CAST(mag / 32768.0 AS REAL)::DOUBLE, 6) AS f7
         |FROM m ORDER BY doc_id""".stripMargin,
 
-    // every probed field in closed form: MP3 duration = frames*1152
-    // samples at 44100 Hz (id%4==0 → id even → the mono lane always),
-    // MP4 duration = ticks*1000//timescale with 16.16 dims, FLAC from
-    // STREAMINFO, WAV from fmt byte-rate; the MPEG1-L3 bitrate table
-    // as a list literal
+    // every probed field in closed form across EIGHT container lanes:
+    // MP3 duration = frames*1152 samples at 44100 Hz (id%8==0 → id
+    // even → the mono lane always), MP4 ticks*1000//timescale with
+    // 16.16 dims, FLAC STREAMINFO, WAV fmt byte-rate, AVI
+    // frames*usPerFrame//1000, GIF per-frame 10 cs delays, AU/AIFF
+    // frame counts; the MPEG1-L3 bitrate table as a list literal
     "multimodal_probe" ->
       """SELECT doc_id, true AS probed,
-        |  CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4'
-        |    WHEN 2 THEN 'flac' ELSE 'wav' END AS format,
-        |  CASE doc_id % 4 WHEN 0 THEN 'mpeg-layer3' WHEN 1 THEN 'avc1'
-        |    WHEN 2 THEN 'flac' ELSE 'pcm' END AS codec,
-        |  CAST(CASE doc_id % 4
+        |  CASE doc_id % 8 WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4'
+        |    WHEN 2 THEN 'flac' WHEN 3 THEN 'wav' WHEN 4 THEN 'avi'
+        |    WHEN 5 THEN 'gif' WHEN 6 THEN 'au' ELSE 'aiff' END AS format,
+        |  CASE doc_id % 8 WHEN 0 THEN 'mpeg-layer3' WHEN 1 THEN 'avc1'
+        |    WHEN 2 THEN 'flac' WHEN 3 THEN 'pcm' WHEN 4 THEN 'MJPG'
+        |    WHEN 5 THEN 'gif-lzw' WHEN 6 THEN 'ulaw' ELSE 'pcm16' END AS codec,
+        |  CAST(CASE doc_id % 8
         |    WHEN 0 THEN (2 + doc_id % 9) * 1152 * 1000 // 44100
         |    WHEN 1 THEN (1000 + doc_id % 9000) * 1000 // (600 + (doc_id % 7) * 100)
         |    WHEN 2 THEN (16 + doc_id % 49) * 1000 // 8000
-        |    ELSE (100 + doc_id % 400) * 2 * 1000 // 16000 END AS BIGINT) AS duration_ms,
-        |  CAST(CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 0
+        |    WHEN 3 THEN (100 + doc_id % 400) * 2 * 1000 // 16000
+        |    WHEN 4 THEN (1 + doc_id % 5) * 33333 // 1000
+        |    WHEN 5 THEN (1 + doc_id % 4) * 100
+        |    WHEN 6 THEN (160 + doc_id % 80) * 1000 // 8000
+        |    ELSE (120 + doc_id % 90) * 1000 // 8000 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE doc_id % 8 WHEN 0 THEN 44100
+        |    WHEN 1 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 0
         |    ELSE 8000 END AS BIGINT) AS sample_rate,
-        |  CAST(CASE doc_id % 4 WHEN 1 THEN 0 ELSE 1 END AS BIGINT) AS channels,
-        |  CAST(CASE doc_id % 4
+        |  CAST(CASE doc_id % 8 WHEN 1 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 0
+        |    ELSE 1 END AS BIGINT) AS channels,
+        |  CAST(CASE doc_id % 8
         |    WHEN 0 THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320][(doc_id % 14) + 1]
-        |    WHEN 3 THEN 128 ELSE 0 END AS BIGINT) AS bitrate_kbps,
-        |  CAST(CASE doc_id % 4 WHEN 1 THEN 16 * (1 + doc_id % 120)
-        |    ELSE 0 END AS BIGINT) AS width,
-        |  CAST(CASE doc_id % 4 WHEN 1 THEN 16 * (1 + doc_id % 68)
-        |    ELSE 0 END AS BIGINT) AS height,
-        |  CAST(CASE doc_id % 4 WHEN 0 THEN 2 + doc_id % 9
-        |    WHEN 2 THEN 16 + doc_id % 49 ELSE 0 END AS BIGINT) AS frames
+        |    WHEN 3 THEN 128 WHEN 6 THEN 64 WHEN 7 THEN 128
+        |    ELSE 0 END AS BIGINT) AS bitrate_kbps,
+        |  CAST(CASE doc_id % 8 WHEN 1 THEN 16 * (1 + doc_id % 120)
+        |    WHEN 4 THEN 8 WHEN 5 THEN 6 ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE doc_id % 8 WHEN 1 THEN 16 * (1 + doc_id % 68)
+        |    WHEN 4 THEN 8 WHEN 5 THEN 6 ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE doc_id % 8 WHEN 0 THEN 2 + doc_id % 9
+        |    WHEN 2 THEN 16 + doc_id % 49 WHEN 4 THEN 1 + doc_id % 5
+        |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 160 + doc_id % 80
+        |    WHEN 7 THEN 120 + doc_id % 90 ELSE 0 END AS BIGINT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->

@@ -54,9 +54,13 @@ object MediaProbe {
     }
   }
 
-  /** Every probe in one chain — the mixed-column default. */
+  /** Every probe in one chain — the mixed-column default. MP3 last:
+    * it is the only one without a leading magic (any 0xFFE sync byte
+    * pair starts a candidate frame), so every other container must get
+    * its cheap magic check first. */
   lazy val Default: Probe =
-    FlacProbe.orElse(WavProbe).orElse(Mp4Probe).orElse(Mp3Probe)
+    FlacProbe.orElse(WavProbe).orElse(AviProbe).orElse(GifProbe)
+      .orElse(AuProbe).orElse(AiffProbe).orElse(Mp4Probe).orElse(Mp3Probe)
 
   /** MPEG-1/2/2.5 audio (MP3 and friends): exact frame walk. */
   object Mp3Probe extends Probe {
@@ -227,6 +231,150 @@ object MediaProbe {
       if (rate <= 0) return None
       Some(MediaInfo("flac", "flac", total * 1000L / rate, rate, channels,
         0, 0, 0, total))
+    } catch { case _: Exception => None }
+  }
+
+  /** RIFF/AVI `avih` + first `vids` `strh` — frame count, frame rate,
+    * dims, and the video codec fourcc, no chunk-data reads. */
+  object AviProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 12 ||
+          new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(bytes, 8, 4, "US-ASCII") != "AVI ") return None
+      var usPerFrame = 0L; var totalFrames = 0L
+      var width = 0; var height = 0; var handler = ""
+      var haveAvih = false
+      def walk(start: Int, end: Int): Boolean = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = new String(bytes, p, 4, "US-ASCII")
+          val len = Codecs.LE.i32(bytes, p + 4)
+          if (len < 0 || p + 8L + len > end) return false
+          if (id == "LIST" && len >= 4) {
+            val lt = new String(bytes, p + 8, 4, "US-ASCII")
+            // hdrl/strl only: walking movi would touch every data chunk
+            if ((lt == "hdrl" || lt == "strl") && !walk(p + 12, p + 8 + len))
+              return false
+          } else if (id == "avih" && len >= 40) {
+            usPerFrame = Codecs.LE.i32(bytes, p + 8) & 0xFFFFFFFFL
+            totalFrames = Codecs.LE.i32(bytes, p + 24) & 0xFFFFFFFFL
+            width = Codecs.LE.i32(bytes, p + 40)
+            height = Codecs.LE.i32(bytes, p + 44)
+            haveAvih = true
+          } else if (id == "strh" && len >= 8 && handler.isEmpty &&
+              new String(bytes, p + 8, 4, "US-ASCII") == "vids")
+            handler = new String(bytes, p + 12, 4, "US-ASCII").trim
+          p += 8 + len + (len & 1)
+        }
+        true
+      }
+      if (!walk(12, bytes.length) || !haveAvih) return None
+      if (width < 0 || height < 0) return None
+      Some(MediaInfo("avi", if (handler.isEmpty) "unknown" else handler,
+        totalFrames * usPerFrame / 1000L, 0, 0, 0, width, height, totalFrames))
+    } catch { case _: Exception => None }
+  }
+
+  /** GIF block walk — logical-screen dims, image count, and total
+    * animation duration from the Graphic Control Extension delays
+    * (centiseconds), WITHOUT LZW decode: color tables and pixel data
+    * sub-blocks are length-skipped. */
+  object GifProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 13) return None
+      val magic = new String(bytes, 0, 6, "US-ASCII")
+      if (magic != "GIF87a" && magic != "GIF89a") return None
+      val w = Codecs.LE.u16(bytes, 6); val h = Codecs.LE.u16(bytes, 8)
+      val packed = bytes(10) & 0xFF
+      var p = 13
+      if ((packed & 0x80) != 0) p += 3 * (1 << ((packed & 7) + 1)) // GCT
+      var frames = 0L; var delayCs = 0L
+      def skipSubBlocks(): Unit = {
+        while ((bytes(p) & 0xFF) != 0) p += 1 + (bytes(p) & 0xFF)
+        p += 1 // block terminator
+      }
+      var done = false
+      while (!done) {
+        (bytes(p) & 0xFF) match {
+          case 0x3B => done = true // trailer
+          case 0x21 => // extension: label + sub-blocks
+            val label = bytes(p + 1) & 0xFF
+            p += 2
+            if (label == 0xF9 && (bytes(p) & 0xFF) >= 4)
+              delayCs += Codecs.LE.u16(bytes, p + 2) // GCE delay field
+            skipSubBlocks()
+          case 0x2C => // image descriptor
+            val ipacked = bytes(p + 9) & 0xFF
+            p += 10
+            if ((ipacked & 0x80) != 0) p += 3 * (1 << ((ipacked & 7) + 1))
+            p += 1 // LZW min code size
+            skipSubBlocks()
+            frames += 1
+          case _ => return None // corrupt block stream
+        }
+      }
+      if (w <= 0 || h <= 0 || frames == 0) return None
+      Some(MediaInfo("gif", "gif-lzw", delayCs * 10L, 0, 0, 0, w, h, frames))
+    } catch { case _: Exception => None }
+  }
+
+  /** Sun/NeXT `.snd` header only. */
+  object AuProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 24 ||
+          new String(bytes, 0, 4, "US-ASCII") != ".snd") return None
+      def be32(o: Int): Int =
+        ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+          ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+      val dataOff = be32(4); val claimed = be32(8)
+      val enc = be32(12); val rate = be32(16); val ch = be32(20)
+      if (dataOff < 24 || dataOff > bytes.length || rate <= 0 ||
+          ch < 1 || ch > 64) return None
+      val (codec, bytesPer) = enc match {
+        case 1 => ("ulaw", 1); case 2 => ("pcm8", 1); case 3 => ("pcm16-be", 2)
+        case 4 => ("pcm24-be", 3); case 5 => ("pcm32-be", 4)
+        case 6 => ("float32-be", 4); case 27 => ("alaw", 1)
+        case _ => return None
+      }
+      val avail = bytes.length - dataOff
+      val dataLen = if (claimed < 0) avail
+        else math.min(claimed.toLong, avail.toLong).toInt
+      val frames = dataLen.toLong / (bytesPer * ch)
+      Some(MediaInfo("au", codec, frames * 1000L / rate, rate, ch,
+        bytesPer * ch * rate * 8 / 1000, 0, 0, frames))
+    } catch { case _: Exception => None }
+  }
+
+  /** AIFF `COMM` header only. */
+  object AiffProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 12 ||
+          new String(bytes, 0, 4, "US-ASCII") != "FORM" ||
+          new String(bytes, 8, 4, "US-ASCII") != "AIFF") return None
+      def be16(o: Int): Int = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+      def be32(o: Int): Int =
+        (be16(o) << 16) | be16(o + 2)
+      var p = 12
+      while (p + 8 <= bytes.length) {
+        val id = new String(bytes, p, 4, "US-ASCII")
+        val len = be32(p + 4)
+        if (len < 0 || p + 8L + len > bytes.length) return None
+        if (id == "COMM" && len >= 18) {
+          val ch = be16(p + 8); val frames = be32(p + 10)
+          val bits = be16(p + 14)
+          val e = be16(p + 16) & 0x7FFF
+          var m = 0L; var i = 0
+          while (i < 8) { m = (m << 8) | (bytes(p + 18 + i) & 0xFF); i += 1 }
+          val rate = math.round(
+            if (e == 0 && m == 0L) 0.0
+            else math.scalb((m >>> 11).toDouble, e - 16383 - 52)).toInt
+          if (ch < 1 || rate <= 0 || frames < 0) return None
+          return Some(MediaInfo("aiff", s"pcm$bits", frames.toLong * 1000L / rate,
+            rate, ch, bits * ch * rate / 1000, 0, 0, frames.toLong))
+        }
+        p += 8 + len + (len & 1)
+      }
+      None
     } catch { case _: Exception => None }
   }
 

@@ -2728,9 +2728,31 @@ class MultimodalSpec extends SparkSuite {
       Seq(Seq((0, 0, (0 until 8).map(identity)))))
     assert(MediaProbe.WavProbe.probe(adpcm).get.codec == "ima-adpcm")
 
+    // AVI: frames/dims/handler from avih + strh, no chunk-data reads
+    val avi = Multimodal.mjpegAviVideo(8, 8, 3, k => 50 * k)
+    val av = MediaProbe.AviProbe.probe(avi).get
+    assert(av.format == "avi" && av.codec == "MJPG" && av.frames == 3 &&
+      av.width == 8 && av.height == 8 && av.durationMs == 3L * 33333 / 1000)
+    // GIF: image count + summed GCE delays (10 cs/frame in the fixture)
+    val gif = Multimodal.gifVideo(6, 6, 4, k => 60 * k)
+    val gv = MediaProbe.GifProbe.probe(gif).get
+    assert(gv.format == "gif" && gv.frames == 4 && gv.width == 6 &&
+      gv.height == 6 && gv.durationMs == 400)
+    // AU / AIFF: header-only frame counts and durations
+    val au = Multimodal.auBytes(1, 8000, 2, Array.tabulate(320)(_.toByte))
+    val auv = MediaProbe.AuProbe.probe(au).get
+    assert(auv.codec == "ulaw" && auv.channels == 2 && auv.frames == 160 &&
+      auv.durationMs == 160L * 1000 / 8000)
+    val aiff = Multimodal.aiffBytes(22050, 1, 16, Multimodal.pcm16be(0 until 441))
+    val afv = MediaProbe.AiffProbe.probe(aiff).get
+    assert(afv.codec == "pcm16" && afv.sampleRate == 22050 && afv.frames == 441 &&
+      afv.durationMs == 441L * 1000 / 22050)
+
     // the Default chain routes each format; non-media flags
-    for ((b, fmt) <- Seq(mp3 -> "mp3", mp4 -> "mp4", flac -> "flac", wav -> "wav"))
-      assert(MediaProbe.Default.probe(b).get.format == fmt)
+    for ((b, fmt) <- Seq(mp3 -> "mp3", mp4 -> "mp4", flac -> "flac",
+        wav -> "wav", avi -> "avi", gif -> "gif", au -> "au", aiff -> "aiff"))
+      assert(MediaProbe.Default.probe(b).get.format == fmt,
+        s"chain misroutes $fmt")
     assert(MediaProbe.Default.probe("plain text".getBytes("UTF-8")).isEmpty)
 
     // through the OPERATOR: typed rows + flagged unknown
@@ -3027,5 +3049,14 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       Multimodal.flacEncodeAuto(
         Array(Array.tabulate(64)(i => i * 50 - 1600)), 8000, 16, 64),
       seed = 114L)
+    fuzzProbe("avi-probe", MediaProbe.AviProbe,
+      Multimodal.mjpegAviVideo(8, 8, 2, k => 40 + 30 * k), seed = 115L)
+    fuzzProbe("gif-probe", MediaProbe.GifProbe,
+      Multimodal.gifVideo(6, 6, 3, k => 10 + 50 * k), seed = 116L)
+    fuzzProbe("au-probe", MediaProbe.AuProbe,
+      Multimodal.auBytes(27, 8000, 1, Array.tabulate(100)(_.toByte)), seed = 117L)
+    fuzzProbe("aiff-probe", MediaProbe.AiffProbe,
+      Multimodal.aiffBytes(8000, 1, 16, Multimodal.pcm16be(0 until 80)),
+      seed = 118L)
   }
 }
