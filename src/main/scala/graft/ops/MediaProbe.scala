@@ -270,6 +270,11 @@ object MediaProbe {
       }
       if (!walk(12, bytes.length) || !haveAvih) return None
       if (width < 0 || height < 0) return None
+      // both factors are attacker-controlled 32-bit fields: the product
+      // can exceed Long (review-caught r10) — an overflowing claim is a
+      // corrupt header, not a 584-million-year video
+      if (totalFrames > 0 && usPerFrame > Long.MaxValue / totalFrames)
+        return None
       Some(MediaInfo("avi", if (handler.isEmpty) "unknown" else handler,
         totalFrames * usPerFrame / 1000L, 0, 0, 0, width, height, totalFrames))
     } catch { case _: Exception => None }
@@ -340,8 +345,12 @@ object MediaProbe {
       val dataLen = if (claimed < 0) avail
         else math.min(claimed.toLong, avail.toLong).toInt
       val frames = dataLen.toLong / (bytesPer * ch)
+      // bitrate in LONG: bytesPer·ch·rate·8 overflows Int for large
+      // (crafted) rates (review-caught r10)
+      val kbps = math.min(bytesPer.toLong * ch * rate * 8 / 1000,
+        Int.MaxValue.toLong).toInt
       Some(MediaInfo("au", codec, frames * 1000L / rate, rate, ch,
-        bytesPer * ch * rate * 8 / 1000, 0, 0, frames))
+        kbps, 0, 0, frames))
     } catch { case _: Exception => None }
   }
 
@@ -369,8 +378,10 @@ object MediaProbe {
             if (e == 0 && m == 0L) 0.0
             else math.scalb((m >>> 11).toDouble, e - 16383 - 52)).toInt
           if (ch < 1 || rate <= 0 || frames < 0) return None
+          val kbps = math.min(bits.toLong * ch * rate / 1000,
+            Int.MaxValue.toLong).toInt // Long: crafted fields overflow Int
           return Some(MediaInfo("aiff", s"pcm$bits", frames.toLong * 1000L / rate,
-            rate, ch, bits * ch * rate / 1000, 0, 0, frames.toLong))
+            rate, ch, kbps, 0, 0, frames.toLong))
         }
         p += 8 + len + (len & 1)
       }
@@ -406,7 +417,8 @@ object MediaProbe {
         case t => f"0x$t%04x"
       }
       Some(MediaInfo("wav", codec, dataLen * 1000L / byteRate, rate, channels,
-        byteRate * 8 / 1000, 0, 0, 0L))
+        math.min(byteRate.toLong * 8 / 1000, Int.MaxValue.toLong).toInt,
+        0, 0, 0L))
     } catch { case _: Exception => None }
   }
 }

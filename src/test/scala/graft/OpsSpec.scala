@@ -3033,7 +3033,8 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
         ("null", null: Array[Byte])).foreach { case (tag, payload) =>
         try p.probe(payload).foreach { m =>
           assert(m.format.nonEmpty && m.durationMs >= 0 && m.frames >= 0 &&
-            m.width >= 0 && m.height >= 0, s"$fmt/$tag: insane fields $m")
+            m.width >= 0 && m.height >= 0 && m.bitrateKbps >= 0 &&
+            m.sampleRate >= 0 && m.channels >= 0, s"$fmt/$tag: insane fields $m")
         } catch {
           case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
             fail(s"$fmt/$tag: probe threw ${e.getClass.getName}: ${e.getMessage}")
