@@ -165,6 +165,54 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** The staged EIGHT-lane probe fixture corpus — every container the
+    * engine parses, one lane per `doc_id % 8`, each field a closed form
+    * of doc_id. ONE definition shared by `multimodal_probe` (probe all)
+    * and `multimodal_triage` (probe → filter → decode survivors), so
+    * both entries and both twins assert the same planting by
+    * construction. Staged per corpus fingerprint: the AVI/GIF lanes pay
+    * ImageIO encode at synthesis, never in a timed round. */
+  private def probeFixtureBlobs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.ops.Multimodal
+    import Multimodal.FlacConstant
+    stagedBlobs(s, dir, "probe") {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val blob = (id % 8) match {
+            case 0 => Multimodal.mp3Bytes((2 + id % 9).toInt, versionBits = 3,
+              layerBits = 1, bitrateIdx = (1 + id % 14).toInt, srIdx = 0,
+              mono = id % 2 == 0, id3v2Pad = (id % 50).toInt,
+              id3v1 = id % 3 == 0)
+            case 1 => Multimodal.mp4Bytes("mp42",
+              timescale = (600 + (id % 7) * 100).toInt,
+              durationTicks = 1000 + id % 9000,
+              w = (16 * (1 + id % 120)).toInt, h = (16 * (1 + id % 68)).toInt,
+              codec = "avc1")
+            case 2 => Multimodal.flacBytes(8000, 16, 1, Seq(
+              (0, Seq(FlacConstant(((id % 2000) - 1000).toInt,
+                (16 + id % 49).toInt)))))
+            case 3 => Multimodal.squareWav(8, (100 + id % 400).toInt, 8000)
+            case 4 => Multimodal.mjpegAviVideo(8, 8, (1 + id % 5).toInt,
+              k => ((id * 37 + k * 11) % 256).toInt)
+            case 5 => Multimodal.gifVideo(6, 6, (1 + id % 4).toInt,
+              k => ((id * 41 + k * 13) % 256).toInt)
+            case 6 => Multimodal.auBytes(1, 8000, 1,
+              Array.tabulate((160 + id % 80).toInt)(i => ((id + i) % 256).toByte))
+            case _ => Multimodal.aiffBytes(8000, 1, 16,
+              Multimodal.pcm16be((0 until (120 + id % 90).toInt)
+                .map(i => ((id * 3 + i * 7) % 30000 - 15000).toInt)))
+          }
+          Row(id, blob)
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+    }
+  }
+
   /** The planted image-blob table shared by `dedup_image_dhash` and
     * `dedup_image_keep`: every doc's PNG encodes the 60-bit md5(doc_id)
     * prefix as its dHash ([[graft.ops.Multimodal.dhashPng]]); docs < 40
@@ -2297,55 +2345,37 @@ object SparkEntry {
     // paying decode. Every probed field is a pure closed form of
     // doc_id (frame-count arithmetic, 16.16 fixed-point dims, the
     // MPEG1-L3 bitrate table as a list literal), so the twin is exact.
-    "multimodal_probe" -> ((s, dir) => {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      import Multimodal.FlacConstant
-      // EIGHT container lanes — every format the engine parses, probed
-      // through one chain; staged per corpus fingerprint so the benched
-      // number measures the PROBE (the AVI/GIF lanes pay ImageIO encode
-      // at synthesis)
-      val blobs = stagedBlobs(s, dir, "probe") {
-        val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
-        s.createDataFrame(
-          ids.rdd.map { r =>
-            val id = r.getLong(0)
-            val blob = (id % 8) match {
-              case 0 => Multimodal.mp3Bytes((2 + id % 9).toInt, versionBits = 3,
-                layerBits = 1, bitrateIdx = (1 + id % 14).toInt, srIdx = 0,
-                mono = id % 2 == 0, id3v2Pad = (id % 50).toInt,
-                id3v1 = id % 3 == 0)
-              case 1 => Multimodal.mp4Bytes("mp42",
-                timescale = (600 + (id % 7) * 100).toInt,
-                durationTicks = 1000 + id % 9000,
-                w = (16 * (1 + id % 120)).toInt, h = (16 * (1 + id % 68)).toInt,
-                codec = "avc1")
-              case 2 => Multimodal.flacBytes(8000, 16, 1, Seq(
-                (0, Seq(FlacConstant(((id % 2000) - 1000).toInt,
-                  (16 + id % 49).toInt)))))
-              case 3 => Multimodal.squareWav(8, (100 + id % 400).toInt, 8000)
-              case 4 => Multimodal.mjpegAviVideo(8, 8, (1 + id % 5).toInt,
-                k => ((id * 37 + k * 11) % 256).toInt)
-              case 5 => Multimodal.gifVideo(6, 6, (1 + id % 4).toInt,
-                k => ((id * 41 + k * 13) % 256).toInt)
-              case 6 => Multimodal.auBytes(1, 8000, 1,
-                Array.tabulate((160 + id % 80).toInt)(i => ((id + i) % 256).toByte))
-              case _ => Multimodal.aiffBytes(8000, 1, 16,
-                Multimodal.pcm16be((0 until (120 + id % 90).toInt)
-                  .map(i => ((id * 3 + i * 7) % 30000 - 15000).toInt)))
-            }
-            Row(id, blob)
-          },
-          StructType(Seq(StructField("doc_id", LongType),
-            StructField("blob", BinaryType))))
-      }
-      Multimodal.probeMedia(blobs)
+    "multimodal_probe" -> ((s, dir) =>
+      Multimodal.probeMedia(probeFixtureBlobs(s, dir))
         .select(col("doc_id"), col("probed"), col("format"), col("codec"),
           col("duration_ms"), col("sample_rate").cast("long").as("sample_rate"),
           col("channels").cast("long").as("channels"),
           col("bitrate_kbps").cast("long").as("bitrate_kbps"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("frames"))
+        .orderBy("doc_id")),
+
+    // TRIAGE PIPELINE end-to-end (r10): probe → filter → decode the
+    // survivors — the composition the probes exist for. The audio
+    // lanes of the staged probe corpus are filtered by probed format +
+    // duration window (a pure metadata read), only the survivors pay
+    // decode, and the twin replays both the FILTER (closed-form
+    // durations) and the surviving lanes' exact samples (±0.5 squares
+    // for WAV, the direct PCM formula for AIFF). One broadcast-size
+    // keep join — the probe output is metadata, never blob bytes.
+    "multimodal_triage" -> ((s, dir) => {
+      val blobs = probeFixtureBlobs(s, dir)
+      val keep = Multimodal.probeMedia(blobs)
+        .filter(col("probed") && col("format").isin("wav", "aiff") &&
+          col("duration_ms").between(20, 45))
+        .select(col("doc_id"), col("format"), col("duration_ms"))
+      val features = Multimodal.decodeAudioFeatures(
+        blobs.join(keep, Seq("doc_id")).select("doc_id", "blob"))
+      features.join(keep, Seq("doc_id"))
+        .select(Seq(col("doc_id"), col("format"), col("duration_ms"),
+          col("decoded"), col("n_frames")) ++
+          (0 until Multimodal.FeatureDim).map(i =>
+            round(element_at(col("feature"), i + 1).cast("double"), 6).as(s"f$i")): _*)
         .orderBy("doc_id")
     }),
 
@@ -4508,6 +4538,58 @@ object SparkEntry {
         |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 160 + doc_id % 80
         |    WHEN 7 THEN 120 + doc_id % 90 ELSE 0 END AS BIGINT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the triage pipeline replayed: the probe FILTER in closed form
+    // (which lanes and which ids survive the format + duration window),
+    // then the survivors' exact samples (±0.5 squares / direct PCM
+    // formula) through the identical feature math
+    "multimodal_triage" ->
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 3 THEN 100 + doc_id % 400
+        |         ELSE 120 + doc_id % 90 END AS n
+        |  FROM documents
+        |  WHERE (doc_id % 8 = 3 AND (doc_id % 400) BETWEEN 60 AND 267)
+        |     OR (doc_id % 8 = 7 AND (doc_id % 90) >= 40)),
+        |samp AS (
+        |  SELECT ids.doc_id, ids.n, t.i,
+        |    CASE WHEN ids.doc_id % 8 = 3
+        |         THEN CASE WHEN (t.i % 8) < 4 THEN 0.5 ELSE -0.5 END
+        |         ELSE ((ids.doc_id*3 + t.i*7) % 30000 - 15000) / 32768.0 END AS s
+        |  FROM ids, generate_series(0, 498) AS t(i) WHERE t.i < ids.n),
+        |sl AS (SELECT doc_id, n, i, s,
+        |         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS sp,
+        |         least(3, (i*4) // n) AS q FROM samp),
+        |f AS (SELECT doc_id, n,
+        |    sqrt(sum(s*s) / n) AS rms,
+        |    sum(CASE WHEN i > 0 AND ((s >= 0) <> (sp >= 0))
+        |        THEN 1 ELSE 0 END) * 1.0 / (n - 1) AS zcr,
+        |    max(abs(s)) AS peak,
+        |    sum(abs(s)) / n AS meanabs,
+        |    sqrt(sum(CASE WHEN q = 0 THEN s*s END)
+        |         / sum(CASE WHEN q = 0 THEN 1 END)) AS r0,
+        |    sqrt(sum(CASE WHEN q = 1 THEN s*s END)
+        |         / sum(CASE WHEN q = 1 THEN 1 END)) AS r1,
+        |    sqrt(sum(CASE WHEN q = 2 THEN s*s END)
+        |         / sum(CASE WHEN q = 2 THEN 1 END)) AS r2,
+        |    sqrt(sum(CASE WHEN q = 3 THEN s*s END)
+        |         / sum(CASE WHEN q = 3 THEN 1 END)) AS r3
+        |  FROM sl GROUP BY doc_id, n)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 8 = 3 THEN 'wav' ELSE 'aiff' END AS format,
+        |  CAST(CASE WHEN doc_id % 8 = 3
+        |    THEN (100 + doc_id % 400) * 2 * 1000 // 16000
+        |    ELSE (120 + doc_id % 90) * 1000 // 8000 END AS BIGINT) AS duration_ms,
+        |  true AS decoded, CAST(n AS BIGINT) AS n_frames,
+        |  round(CAST(rms AS REAL)::DOUBLE, 6) AS f0,
+        |  round(CAST(zcr AS REAL)::DOUBLE, 6) AS f1,
+        |  round(CAST(peak AS REAL)::DOUBLE, 6) AS f2,
+        |  round(CAST(meanabs AS REAL)::DOUBLE, 6) AS f3,
+        |  round(CAST(r0 AS REAL)::DOUBLE, 6) AS f4,
+        |  round(CAST(r1 AS REAL)::DOUBLE, 6) AS f5,
+        |  round(CAST(r2 AS REAL)::DOUBLE, 6) AS f6,
+        |  round(CAST(r3 AS REAL)::DOUBLE, 6) AS f7
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -2864,6 +2864,79 @@ class MultimodalSpec extends SparkSuite {
     assert((0 until 32).forall(i => d24.mono(i) == big(i) / 8388608.0))
   }
 
+  test("FLAC PROPERTY: randomized subframe specs round-trip bit-exactly through writer + decoder (r10)") {
+    import graft.ops.Codecs
+    import Multimodal.{FlacConstant, FlacFixed, FlacSub, FlacVerbatim}
+    // seeded generator over the SPEC space (values, rice params incl.
+    // escape, partition orders, wasted bits, mixed frame shapes): the
+    // expected samples are evaluated INDEPENDENTLY from the spec here,
+    // then compared against writer→decoder output bit-for-bit — a much
+    // wider pin than the fixed examples above
+    val rnd = new scala.util.Random(20260815L)
+    def evalSub(s: FlacSub): Seq[Int] = s match {
+      case FlacConstant(v, n, _) => Seq.fill(n)(v) // spec carries FINAL values
+      case FlacVerbatim(vs, _) => vs
+      case FlacFixed(order, warm, res, _, _, _) =>
+        val out = scala.collection.mutable.ArrayBuffer(warm: _*)
+        res.foreach { r =>
+          val i = out.length
+          val p: Long = order match {
+            case 0 => 0L
+            case 1 => out(i - 1).toLong
+            case 2 => 2L * out(i - 1) - out(i - 2)
+            case 3 => 3L * out(i - 1) - 3L * out(i - 2) + out(i - 3)
+            case _ => 4L * out(i - 1) - 6L * out(i - 2) + 4L * out(i - 3) - out(i - 4)
+          }
+          out += (p + r).toInt
+        }
+        out.toSeq
+      case other => fail(s"generator does not emit $other")
+    }
+    for (trial <- 0 until 25) {
+      val blockSize = Seq(16, 32, 48, 64)(rnd.nextInt(4))
+      val nFrames = 1 + rnd.nextInt(3)
+      val frames = (0 until nFrames).map { _ =>
+        val sub: FlacSub = rnd.nextInt(3) match {
+          case 0 =>
+            val wasted = rnd.nextInt(3)
+            FlacConstant((rnd.nextInt(4000) - 2000) << wasted, blockSize, wasted)
+          case 1 =>
+            val wasted = rnd.nextInt(2)
+            FlacVerbatim(Seq.fill(blockSize)(
+              (rnd.nextInt(8000) - 4000) << wasted), wasted)
+          case _ =>
+            val order = rnd.nextInt(5)
+            // bounded-drift construction: ARITHMETIC warmups (the
+            // order-k predictor continues them exactly), residuals only
+            // for orders <= 2 (an order-3/4 residual is a third/fourth
+            // difference whose cumulative drift escapes 16 bits fast)
+            val w0 = rnd.nextInt(400) - 200
+            val d = rnd.nextInt(101) - 50
+            val warm = Seq.tabulate(order)(k => w0 + k * d)
+            val res =
+              if (order >= 3) Seq.fill(blockSize - order)(0)
+              else Seq.fill(blockSize - order)(rnd.nextInt(9) - 4)
+            val po = Seq(0, 1, 2)(rnd.nextInt(3))
+            val param = if (rnd.nextInt(4) == 0) -(6 + rnd.nextInt(8)) // escape
+              else rnd.nextInt(6)
+            FlacFixed(order, warm, res, param, 0, po)
+        }
+        (0, Seq(sub))
+      }
+      val expected = frames.flatMap { case (_, subs) => evalSub(subs.head) }
+      assert(expected.forall(v => v >= -32768 && v < 32768),
+        s"trial $trial: generator produced out-of-range samples")
+      val bytes = Multimodal.flacBytes(8000, 16, 1, frames)
+      val d = Codecs.FlacDecoder.decode(bytes)
+      assert(d.nonEmpty, s"trial $trial: decode failed")
+      assert(d.get.mono.length == expected.length, s"trial $trial: length")
+      expected.indices.foreach { i =>
+        assert(d.get.mono(i) == expected(i) / 32768.0,
+          s"trial $trial sample $i: ${d.get.mono(i)} vs ${expected(i) / 32768.0}")
+      }
+    }
+  }
+
   test("FLAC: corruption flags (CRC, truncation, bomb cap, trailing garbage); disjoint from other decoders") {
     import graft.ops.Codecs
     val good = Multimodal.flacEncodeAuto(
