@@ -167,10 +167,14 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * atomicity comes from a conditional-put layer. Lock creation is
     * atomic: O_CREAT|O_EXCL on the local fs, the filesystem's
     * no-overwrite create on HDFS/object stores (namenode serialization /
-    * conditional put). Residual races are documented at the CAS site —
-    * full closure needs a conditional-put KV (the reference's CAS,
-    * store.go:449-465); single-writer remains the supported deployment,
-    * the lock exists to make violations LOUD. */
+    * conditional put). The lock's own break path keeps documented
+    * residual races, but their correctness consequence is closed: the
+    * commit manifest is published through [[CommitLog]]'s conditional
+    * put (the reference's CAS, store.go:449-465, re-expressed as a
+    * versioned log), so two writers that slip past the lock can only
+    * lose LOUDLY at the commit — never lost-update the manifest.
+    * Single-writer remains the supported deployment; the lock exists to
+    * reject violations early, before files are written. */
   private def withWriterLock[A](op: String)(body: => A): A = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -208,10 +212,12 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           // with 3+ simultaneous breakers a create can land inside the
           // claim-restore gap (and the local-fs restore below would
           // replace it — POSIX rename clobbers an existing destination,
-          // hence the exists guard, itself check-then-rename). Full
-          // closure needs a conditional-put KV (the reference's CAS,
-          // store.go:449-465); single-writer remains the supported
-          // deployment — the lock exists to make violations LOUD.
+          // hence the exists guard, itself check-then-rename). These
+          // windows can no longer lose data: the manifest publish is a
+          // CommitLog conditional put, so whichever writer slips
+          // through here still loses LOUDLY at its commit. Single-
+          // writer remains the supported deployment — the lock exists
+          // to reject violations early.
           val casCapable = fs.getScheme == "file" || fs.getScheme == "hdfs"
           if (!casCapable ||
               fs.getFileStatus(claimed).getModificationTime == stale)
@@ -269,11 +275,12 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
   // every mutation stamps its rows with a batch `__seq`, and readers
   // admit only rows whose seq is COMMITTED — seq <= floor, or seq in
   // the explicit committed set (NULL = pre-manifest legacy files). The
-  // manifest is one tiny file replaced by atomic rename AFTER the
-  // batch's files are fully in place, so a reader racing an in-flight
-  // mutation sees the ENTIRE batch or none of it — never the torn
-  // prefix Spark's one-file-at-a-time job commit would expose through a
-  // mid-commit listing. The EXACT-SET admission (not a high watermark)
+  // manifest is a tiny versioned commit log ([[CommitLog]]): each
+  // publish atomically CREATES the next immutable full-state version
+  // AFTER the batch's files are fully in place, so a reader racing an
+  // in-flight mutation sees the ENTIRE batch or none of it — never the
+  // torn prefix Spark's one-file-at-a-time job commit would expose
+  // through a mid-commit listing. The EXACT-SET admission (not a high watermark)
   // is load-bearing for crash safety: a crashed mutation's orphan files
   // carry a seq that was never added to the set, so later commits can
   // never retroactively admit them — under a plain watermark, the next
@@ -301,113 +308,123 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     def max: Long = if (seqs.isEmpty) floor else math.max(floor, seqs.max)
   }
 
-  /** None = no manifest (legacy table, or the non-local replace
-    * window) → everything visible, i.e. the pre-manifest behavior,
-    * never an empty table. A bare-number file (the earlier watermark
-    * format) parses as a floor; an EMPTY file is corruption, not a
-    * manifest (parsing it as floor=0 would silently hide every stamped
-    * row). `strict` callers — the WRITE path — rethrow read/parse
-    * errors instead of degrading: a commit that misreads a transient
-    * error as "no manifest" would grandfather every extant orphan
-    * through the floor = seq-1 fallback, re-opening the resurrection
-    * hole this design closes. Readers stay LENIENT (None on any error —
-    * availability over precision, the documented fallback). */
-  private def readCommits(strict: Boolean = false): Option[Commits] =
+  /** Parse one manifest body — identical format for the legacy single
+    * file and every commit-log version. A bare-number body (the
+    * earliest watermark format) parses as a floor; an EMPTY body is
+    * corruption, not a manifest (parsing it as floor=0 would silently
+    * hide every stamped row). */
+  private def parseCommitsText(text: String, src: String): Commits = {
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    if (lines.isEmpty)
+      throw new java.io.IOException(s"empty commit manifest $src")
+    val floor = lines.collectFirst {
+      case l if l.startsWith("floor=") => l.stripPrefix("floor=").toLong
+    }.getOrElse(0L)
+    val horizon = lines.collectFirst {
+      case l if l.startsWith("horizon=") => l.stripPrefix("horizon=").toLong
+    }.getOrElse(0L)
+    // only the KNOWN key=value lines are metadata; anything else must
+    // parse as a seq or the manifest is corrupt — silently dropping a
+    // mangled committed-seq line would make that batch invisible (and
+    // vacuum-deletable), the exact loss the strict write path exists
+    // to refuse (review-caught: a filterNot(contains "=") swallowed it)
+    val bare = lines
+      .filterNot(l => l.startsWith("floor=") || l.startsWith("horizon="))
+      .map(_.toLong)
+    // legacy single-number file = a floor
+    if (floor == 0L && bare.length == 1 && lines.length == 1)
+      Commits(bare.head, Set.empty)
+    else Commits(floor, bare.toSet, horizon)
+  }
+
+  /** The manifest state plus the commit-log version it was read at —
+    * the CAS identity every publish is conditioned on. version 0 = no
+    * versioned log yet (a legacy single-file-manifest table, or no
+    * manifest at all); the next publish then attempts v1. */
+  private case class CommitsAt(version: Long, commits: Option[Commits])
+
+  /** commits = None ⇒ no manifest (legacy table) → everything visible,
+    * i.e. the pre-manifest behavior, never an empty table. `strict`
+    * callers — the WRITE path — rethrow read/parse errors instead of
+    * degrading: a commit that misreads a transient error as "no
+    * manifest" would grandfather every extant orphan through the
+    * floor = seq-1 fallback, re-opening the resurrection hole this
+    * design closes. Readers stay LENIENT (None on any error —
+    * availability over precision, the documented fallback). The
+    * versioned commit log is authoritative whenever it exists; the
+    * legacy `_commits` single file is read only for tables that
+    * predate it (and is deleted at their first versioned publish). */
+  private def readCommitsAt(strict: Boolean): CommitsAt =
     try {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(new org.apache.hadoop.fs.Path(path, commitsFile))
-      val lines =
-        try new String(in.readAllBytes(), "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty)
-        finally in.close()
-      if (lines.isEmpty)
-        throw new java.io.IOException(s"empty commit manifest $path/$commitsFile")
-      val floor = lines.collectFirst {
-        case l if l.startsWith("floor=") => l.stripPrefix("floor=").toLong
-      }.getOrElse(0L)
-      val horizon = lines.collectFirst {
-        case l if l.startsWith("horizon=") => l.stripPrefix("horizon=").toLong
-      }.getOrElse(0L)
-      // only the KNOWN key=value lines are metadata; anything else must
-      // parse as a seq or the manifest is corrupt — silently dropping a
-      // mangled committed-seq line would make that batch invisible (and
-      // vacuum-deletable), the exact loss the strict write path exists
-      // to refuse (review-caught: a filterNot(contains "=") swallowed it)
-      val bare = lines
-        .filterNot(l => l.startsWith("floor=") || l.startsWith("horizon="))
-        .map(_.toLong)
-      // legacy single-number file = a floor
-      if (floor == 0L && bare.length == 1 && lines.length == 1)
-        Some(Commits(bare.head, Set.empty))
-      else Some(Commits(floor, bare.toSet, horizon))
+      CommitLog.readLatest(fs, new org.apache.hadoop.fs.Path(path)) match {
+        case Some((v, body)) =>
+          CommitsAt(v, Some(parseCommitsText(body,
+            s"$path/${CommitLog.DirName}/${CommitLog.fileName(v)}")))
+        case None =>
+          val in = fs.open(new org.apache.hadoop.fs.Path(path, commitsFile))
+          val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          CommitsAt(0L, Some(parseCommitsText(body, s"$path/$commitsFile")))
+      }
     } catch {
-      case _: java.io.FileNotFoundException => None // genuinely no manifest
-      case e: Exception => if (strict) throw e else None
+      case _: java.io.FileNotFoundException =>
+        CommitsAt(0L, None) // genuinely no manifest
+      case e: Exception => if (strict) throw e else CommitsAt(0L, None)
     }
 
-  /** Atomically replace the manifest (single-writer: callers hold the
-    * writer lock). Local fs gets a true atomic replace; other stores
-    * take a delete+rename whose empty window readers survive via the
-    * all-visible fallback in [[readCommits]] — and the rename must not
-    * fail silently (a lost manifest would expose crashed mutations'
-    * orphans as live data through that fallback).
+  private def readCommits(strict: Boolean = false): Option[Commits] =
+    readCommitsAt(strict).commits
+
+  /** Publish the manifest as the NEXT commit-log version — one atomic
+    * create-if-absent ([[CommitLog.tryPublish]]).
     *
-    * CROSS-JVM CAS (r10): `expected` is the manifest snapshot the
-    * caller's read-modify-write was computed FROM; the manifest is
-    * re-read immediately before the replace and a mismatch ABORTS the
-    * publish loudly. The writer lock already rejects a second writer,
-    * but its lease-break path has documented residual windows (a slow
-    * writer presumed dead can wake after its lock was broken) — without
-    * the CAS, that zombie's replace would silently DROP every seq the
-    * new writer committed in between (lost-update on the single-file
-    * manifest). With it, the zombie loses loudly and its batch files
-    * stay invisible orphans (the exact-set admission never saw their
-    * seqs), which vacuum later sweeps — never a torn or rolled-back
-    * manifest. The stat-to-rename window that remains is microseconds
-    * (was: the whole mutation duration); full closure needs a
-    * conditional-put KV, per the writer-lock scaladoc. */
+    * CROSS-JVM CAS (r10; closed for good with the versioned log): `at`
+    * is the versioned snapshot this read-modify-write was computed
+    * FROM, and the publish attempts exactly version `at.version + 1`.
+    * The compare and the swap are the SAME filesystem primitive
+    * (POSIX link(2) locally, create-no-overwrite on HDFS-like stores),
+    * so the earlier re-read CAS's microsecond stat-to-rename window no
+    * longer exists: a zombie writer (lease broken while merely slow)
+    * and the live writer race for the same version file and the
+    * filesystem admits exactly one. The loser aborts LOUDLY and its
+    * batch files stay invisible orphans (the exact-set admission never
+    * saw their seqs) for vacuum to sweep — never a torn, rolled-back,
+    * or lost-update manifest. The old single-file replace's non-local
+    * delete+rename "empty manifest window" is gone too: versions are
+    * immutable, created whole, never replaced. */
   /** Fault-injection seam for the CAS spec ONLY: runs once (self-
-    * clearing) immediately before the publish's re-read — the spec
-    * interleaves a second table instance's full append here, the
+    * clearing) immediately before the publish's conditional put — the
+    * spec interleaves a second table instance's full append here, the
     * zombie-writer timing that cannot be produced through the public
     * API alone (the writer lock serializes it everywhere else). */
   private[graft] var testHookBeforeCommitCas: Runnable = null
 
-  private def publishCommits(c: Commits,
-                             expected: Option[Option[Commits]] = None): Unit = {
+  private def publishCommits(c: Commits, at: CommitsAt): Unit = {
     val hook = testHookBeforeCommitCas
     if (hook != null) { testHookBeforeCommitCas = null; hook.run() }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    expected.foreach { want =>
-      val now = readCommits(strict = true)
-      if (now != want)
-        throw new java.util.ConcurrentModificationException(
-          s"commit manifest CAS failed for $path: expected $want but found " +
-            s"$now — another writer published between this mutation's " +
-            "manifest read and its commit (writer-lock lease break or " +
-            "multi-writer misuse). This mutation is ABORTED; its files " +
-            "carry an uncommitted seq and remain invisible until vacuum " +
-            "sweeps them. TsdbTable is single-writer.")
-    }
-    val tmp = new org.apache.hadoop.fs.Path(path, s".$commitsFile.tmp")
-    val dst = new org.apache.hadoop.fs.Path(path, commitsFile)
     val body = (Seq(s"floor=${c.floor}", s"horizon=${c.horizon}") ++
       c.seqs.toSeq.sorted.map(_.toString))
       .mkString("", "\n", "\n")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (fs.getScheme == "file")
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(dst.toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else {
-      fs.delete(dst, false)
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"failed to publish commit manifest to $dst")
-    }
+    val next = at.version + 1
+    val tableDir = new org.apache.hadoop.fs.Path(path)
+    if (!CommitLog.tryPublish(fs, tableDir, next, body.getBytes("UTF-8")))
+      throw new java.util.ConcurrentModificationException(
+        s"commit manifest CAS failed for $path: log version $next already " +
+          s"exists — another writer published between this mutation's " +
+          s"manifest read (version ${at.version}) and its commit " +
+          "(writer-lock lease break or multi-writer misuse). This " +
+          "mutation is ABORTED; its files carry an uncommitted seq and " +
+          "remain invisible until vacuum sweeps them. TsdbTable is " +
+          "single-writer.")
+    // the legacy single-file manifest is shadowed by the log from v1 on;
+    // drop it so the table carries one source of truth (a crash before
+    // this delete leaves it harmlessly shadowed — readers prefer the log)
+    if (at.version == 0L)
+      fs.delete(new org.apache.hadoop.fs.Path(path, commitsFile), false)
+    CommitLog.gc(fs, tableDir, next)
   }
 
   /** Commit `seq`: add it to the manifest's explicit set. A MISSING
@@ -424,12 +441,13 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * isin() literal list), the manifest is VACUUMED: orphan files are
     * physically deleted and the set collapses into the floor. */
   private def commitSeq(seq: Long, horizonTo: Long = 0L): Unit = {
-    val snapshot = readCommits(strict = true)
-    val cur = snapshot.getOrElse(Commits(math.max(0L, seq - 1), Set.empty))
+    val at = readCommitsAt(strict = true)
+    val cur = at.commits.getOrElse(Commits(math.max(0L, seq - 1), Set.empty))
     val merged = cur.copy(seqs = cur.seqs + seq,
       horizon = math.max(cur.horizon, horizonTo))
-    publishCommits(merged, expected = Some(snapshot))
-    if (merged.seqs.size > TsdbTable.VacuumSetThreshold) vacuumCommits(merged)
+    publishCommits(merged, at)
+    if (merged.seqs.size > TsdbTable.VacuumSetThreshold)
+      vacuumCommits(CommitsAt(at.version + 1, Some(merged)))
   }
 
 
@@ -443,7 +461,8 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * an orphan's file name just before its deletion can hit the same
     * retryable read error documented at the compaction deletes — and
     * orphans were never visible to it anyway. */
-  private def vacuumCommits(cm: Commits): Unit = {
+  private def vacuumCommits(at: CommitsAt): Unit = {
+    val cm = at.commits.getOrElse(return)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(rawPath), spark.sparkContext.hadoopConfiguration)
     if (hasPartitions(rawPath)) {
@@ -467,10 +486,9 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     }
     // orphans were never reader-visible at ANY seq, so vacuum moves no
     // history fence — committed generations (and their snapshots) survive.
-    // CAS against `cm`: the collapse was computed from it, and a foreign
-    // publish in between would be rolled back by an unguarded replace
-    publishCommits(Commits(cm.max, Set.empty, cm.horizon),
-      expected = Some(Some(cm)))
+    // CAS at `at`: the collapse was computed from it, and a foreign
+    // publish in between must win the version race, not be rolled back
+    publishCommits(Commits(cm.max, Set.empty, cm.horizon), at)
   }
 
   /** Manifest maintenance, callable directly (the same sweep
@@ -479,7 +497,8 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * commit manifest to a bare floor. No-op on a manifest-less legacy
     * table. */
   def vacuum(): Unit = withWriterLock("vacuum") {
-    readCommits(strict = true).foreach(vacuumCommits)
+    val at = readCommitsAt(strict = true)
+    if (at.commits.nonEmpty) vacuumCommits(at)
   }
 
   /** Compaction's floor advance: every live file with seq <= `floor` is
@@ -487,11 +506,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * (its visibility-filtered reads dropped the orphans and its deletes
     * removed their files), so the explicit set collapses. */
   private def advanceCommitsFloor(floor: Long): Unit = {
-    val snapshot = readCommits(strict = true)
-    val cur = snapshot.getOrElse(Commits(0L, Set.empty))
+    val at = readCommitsAt(strict = true)
+    val cur = at.commits.getOrElse(Commits(0L, Set.empty))
     val f = math.max(cur.floor, floor)
-    publishCommits(Commits(f, cur.seqs.filter(_ > f), cur.horizon),
-      expected = Some(snapshot))
+    publishCommits(Commits(f, cur.seqs.filter(_ > f), cur.horizon), at)
   }
 
   /** The visibility predicate for `cm` over a frame that CARRIES

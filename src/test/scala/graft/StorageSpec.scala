@@ -24,6 +24,32 @@ class TsdbTableSpec extends SparkSuite {
     new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = rollupMs))
   }
 
+  // Manifest-state surgery for the crash simulations, through the
+  // versioned commit log: manifest STATE is the latest version's
+  // CONTENT, so "roll back to an earlier snapshot" = publish the old
+  // body as the NEXT version; "drop" = remove the log (and the legacy
+  // single file) entirely, aging the table into a manifest-less one.
+  private def hfs(dir: String) = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+  private def manifestBody(dir: String): Array[Byte] =
+    graft.storage.CommitLog
+      .readLatest(hfs(dir), new org.apache.hadoop.fs.Path(dir))
+      .map(_._2.getBytes("UTF-8"))
+      .getOrElse(fail(s"no commit log at $dir"))
+  private def manifestExists(dir: String): Boolean =
+    graft.storage.CommitLog
+      .readLatest(hfs(dir), new org.apache.hadoop.fs.Path(dir)).nonEmpty
+  private def setManifest(dir: String, body: Array[Byte]): Unit = {
+    val fs = hfs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val v = graft.storage.CommitLog.readLatest(fs, p).map(_._1).getOrElse(0L)
+    assert(graft.storage.CommitLog.tryPublish(fs, p, v + 1, body))
+  }
+  private def dropManifest(dir: String): Unit = {
+    graft.core.Fs.rmTree(new java.io.File(dir, "_commitlog"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "_commits"))
+  }
+
   test("append/read roundtrip with partition pruning") {
     val t = mkTable()
     t.append(samples(
@@ -588,17 +614,16 @@ class TsdbTableSpec extends SparkSuite {
     val dir = Files.createTempDirectory("tsdb_atomic").toString
     val t = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
     t.append(samples(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0)))
-    val commits = new java.io.File(dir, "_commits")
-    assert(commits.exists, "append must publish a commit watermark")
-    val wm1 = java.nio.file.Files.readAllBytes(commits.toPath)
+    assert(manifestExists(dir), "append must publish a commit watermark")
+    val wm1 = manifestBody(dir)
     t.append(samples(("cpu", "a", Base + 3000, 3.0), ("cpu", "a", Base + 4000, 4.0)))
     assert(t.countMetrics() == 4)
-    java.nio.file.Files.write(commits.toPath, wm1) // batch 2 "in flight"
+    setManifest(dir, wm1) // batch 2 "in flight"
     assert(t.countMetrics() == 2, "an uncommitted batch must be invisible in full")
     assert(t.readRaw(Base, Base + 10000).agg(max("time"))
       .collect().head.getLong(0) == Base + 2000)
-    // no watermark file at all (legacy table) → everything visible
-    assert(commits.delete())
+    // no manifest at all (legacy table) → everything visible
+    dropManifest(dir)
     assert(t.countMetrics() == 4)
     t.append(samples(("cpu", "a", Base + 5000, 5.0))) // restore a fresh watermark
     assert(t.countMetrics() == 5)
@@ -610,7 +635,7 @@ class TsdbTableSpec extends SparkSuite {
     // its batch commits below the watermark's max() and is permanently
     // invisible, and under LWW its rewrites would lose to older rows
     val future = (System.currentTimeMillis() + 10_000_000_000L).toString
-    java.nio.file.Files.write(commits.toPath, future.getBytes("UTF-8"))
+    setManifest(dir, future.getBytes("UTF-8")) // bare number = legacy floor
     val t2i = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
     t2i.append(samples(("cpu", "a", Base + 6000, 6.0)))
     assert(t2i.countMetrics() == 6,
@@ -640,14 +665,13 @@ class TsdbTableSpec extends SparkSuite {
     val t = new TsdbTable(spark, dir,
       TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
     t.append(samples(("cpu", "a", Base + 1000, 1.0), ("cpu", "a", Base + 2000, 2.0)))
-    val commits = java.nio.file.Paths.get(dir, "_commits")
-    val beforeB2 = java.nio.file.Files.readAllBytes(commits)
+    val beforeB2 = manifestBody(dir)
     t.append(samples(("cpu", "a", Base + 3000, 3.0), ("cpu", "a", Base + 4000, 4.0),
       ("cpu", "a", Base + 5000, 5.0)))
     assert(t.countMetrics() == 5)
     // simulate batch 2 CRASHING before its commit: its files are on disk
     // but its seq never entered the manifest
-    java.nio.file.Files.write(commits, beforeB2)
+    setManifest(dir, beforeB2)
     assert(t.countMetrics() == 2)
     // a LATER commit must NOT resurrect the orphans — under the earlier
     // high-watermark design, batch 3's higher mark re-admitted every
@@ -661,7 +685,7 @@ class TsdbTableSpec extends SparkSuite {
     t.compact()
     assert(t.countMetrics() == 3)
     assert(spark.read.parquet(s"$dir/raw").count() == 3)
-    val manifest = new String(java.nio.file.Files.readAllBytes(commits), "UTF-8")
+    val manifest = new String(manifestBody(dir), "UTF-8")
       .split("\n").map(_.trim).filter(_.nonEmpty)
     assert(manifest.head.startsWith("floor=") &&
       manifest.forall(l => l.startsWith("floor=") || l.startsWith("horizon=")),
@@ -670,19 +694,18 @@ class TsdbTableSpec extends SparkSuite {
 
   test("orphan seqs are never re-issued by a writer restart; vacuum() sweeps orphans and collapses the manifest") {
     val dir = Files.createTempDirectory("tsdb_seqreuse").toString
-    val commits = java.nio.file.Paths.get(dir, "_commits")
     val t1 = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
     t1.append(samples(("cpu", "a", Base + 1000, 1.0)))
     // drive the table's seqs AHEAD of the wall clock (a fast-clocked
     // writer life), so a restarted writer would re-issue them if it
     // seeded from the manifest alone
     val future = (System.currentTimeMillis() + 10_000_000_000L).toString
-    java.nio.file.Files.write(commits, ("floor=" + future).getBytes("UTF-8"))
-    val preOrphan = java.nio.file.Files.readAllBytes(commits)
+    setManifest(dir, ("floor=" + future).getBytes("UTF-8"))
+    val preOrphan = manifestBody(dir)
     val t2 = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
     t2.append(samples(("cpu", "a", Base + 2000, 2.0))) // seq = future+1
     // simulate that append CRASHING before its commit
-    java.nio.file.Files.write(commits, preOrphan)
+    setManifest(dir, preOrphan)
     assert(t2.countMetrics() == 1)
     // a THIRD writer life must seed past the orphan's STAMPED seq (the
     // manifest max is only `future`): if it re-issued future+1, this
@@ -699,7 +722,7 @@ class TsdbTableSpec extends SparkSuite {
     t3.vacuum()
     assert(spark.read.parquet(s"$dir/raw").count() == 2)
     assert(t3.countMetrics() == 2)
-    val manifest = new String(java.nio.file.Files.readAllBytes(commits), "UTF-8")
+    val manifest = new String(manifestBody(dir), "UTF-8")
       .split("\n").map(_.trim).filter(_.nonEmpty)
     assert(manifest.head.startsWith("floor=") &&
       manifest.forall(l => l.startsWith("floor=") || l.startsWith("horizon=")))
@@ -707,7 +730,6 @@ class TsdbTableSpec extends SparkSuite {
 
   test("vacuum on a many-file table: executor-side sweep deletes exactly the orphans, all committed files survive") {
     val dir = Files.createTempDirectory("tsdb_vacuum_many").toString
-    val commits = java.nio.file.Paths.get(dir, "_commits")
     val t = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
     // many committed generations -> many live files (one+ per append)
     for (i <- 0 until 12)
@@ -716,13 +738,13 @@ class TsdbTableSpec extends SparkSuite {
     assert(committedFiles >= 12)
     // TWO independent crashed appends (commit manifest rolled back after
     // each write), interleaved with one more committed generation
-    val snap1 = java.nio.file.Files.readAllBytes(commits)
+    val snap1 = manifestBody(dir)
     t.append(samples(("cpu", "a", Base + 100000L, 100.0)))
-    java.nio.file.Files.write(commits, snap1)
+    setManifest(dir, snap1)
     t.append(samples(("cpu", "a", Base + 12000L, 12.0))) // committed
-    val snap2 = java.nio.file.Files.readAllBytes(commits)
+    val snap2 = manifestBody(dir)
     t.append(samples(("cpu", "a", Base + 200000L, 200.0)))
-    java.nio.file.Files.write(commits, snap2)
+    setManifest(dir, snap2)
     assert(spark.read.parquet(s"$dir/raw").count() == committedFiles + 3)
     assert(t.countMetrics() == 13) // both orphans invisible
     t.vacuum()
@@ -732,7 +754,7 @@ class TsdbTableSpec extends SparkSuite {
     val live = t.readRaw(Base, Base + 600000000L).select("time").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(live == (0 to 12).map(i => Base + i * 1000L))
-    val manifest = new String(java.nio.file.Files.readAllBytes(commits), "UTF-8")
+    val manifest = new String(manifestBody(dir), "UTF-8")
       .split("\n").map(_.trim).filter(_.nonEmpty)
     assert(manifest.forall(l => l.startsWith("floor=") || l.startsWith("horizon=")))
   }
@@ -800,7 +822,7 @@ class TsdbTableSpec extends SparkSuite {
       .parquet(s"$dir/raw_legacy")
     graft.core.Fs.rmTree(new java.io.File(rawDir))
     assert(new java.io.File(s"$dir/raw_legacy").renameTo(new java.io.File(rawDir)))
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "_commits"))
+    dropManifest(dir)
     val t2 = new TsdbTable(spark, dir,
       TsdbConfig(rollupIntervalMs = 3600000L, disableClientAggregation = true))
     // step=1d > rollup=1h: disableClientAggr coerces the LIVE query down
@@ -1605,6 +1627,118 @@ class WriterFencingSpec extends SparkSuite {
     }
     a.append(samples(("cpu", "x", Base + 1000, 1.0))) // succeeds: B never published
     assert(a.countMetrics() == 1)
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+}
+
+/** The conditional-put commit log itself — the CAS primitive under
+  * [[WriterFencingSpec]]'s zombie scenario. The race here is REAL: no
+  * fault-injection seam, just threads attempting the same version;
+  * the primitive is small enough to race directly. */
+class CommitLogSpec extends SparkSuite {
+  import graft.storage.{CommitLog, TsdbConfig, TsdbTable}
+  import java.nio.file.Files
+  import scala.jdk.CollectionConverters._
+
+  private val Base = 1704067200000L
+
+  private def hfs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI("/tmp"), spark.sparkContext.hadoopConfiguration)
+
+  private def samples(rows: (String, Long, Double)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("name", "time", "value")
+      .select(col("name"), map(lit("host"), lit("x")).as("labels"),
+        col("time"), col("value"))
+  }
+
+  test("32 threads race one version: the filesystem admits exactly one, and its body is whole") {
+    val dir = Files.createTempDirectory("clog_race")
+    val p = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = hfs
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val barrier = new java.util.concurrent.CyclicBarrier(32)
+    val threads = (0 until 32).map { i =>
+      new Thread(() => {
+        barrier.await()
+        if (CommitLog.tryPublish(fs, p, 1L,
+            s"floor=$i\nhorizon=0\n".getBytes("UTF-8"))) wins.add(i)
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(wins.size == 1, s"conditional put admitted ${wins.size} writers: ${wins.asScala}")
+    val (v, body) = CommitLog.readLatest(fs, p).get
+    assert(v == 1L)
+    // the winner's content, complete — never a torn or foreign body
+    assert(body == s"floor=${wins.peek()}\nhorizon=0\n")
+    graft.core.Fs.rmTree(dir.toFile)
+  }
+
+  test("chained contention: every version has exactly one winner; losers see the new tip on re-read") {
+    val dir = Files.createTempDirectory("clog_chain")
+    val p = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = hfs
+    for (v <- 1L to 6L) {
+      val winners = new java.util.concurrent.atomic.AtomicInteger
+      val barrier = new java.util.concurrent.CyclicBarrier(8)
+      val threads = (0 until 8).map { i =>
+        new Thread(() => {
+          barrier.await()
+          if (CommitLog.tryPublish(fs, p, v, s"floor=$v\n".getBytes("UTF-8")))
+            winners.incrementAndGet()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(winners.get == 1, s"version $v had ${winners.get} winners")
+      // a loser's recovery path: re-read finds the tip it must rebase on
+      assert(CommitLog.readLatest(fs, p).get._1 == v)
+    }
+    graft.core.Fs.rmTree(dir.toFile)
+  }
+
+  test("GC keeps the list-to-open race buffer and drops the rest; readLatest serves the tip") {
+    val dir = Files.createTempDirectory("clog_gc")
+    val p = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = hfs
+    for (v <- 1L to 20L) {
+      assert(CommitLog.tryPublish(fs, p, v, s"floor=$v\n".getBytes("UTF-8")))
+      CommitLog.gc(fs, p, v)
+    }
+    val (v, body) = CommitLog.readLatest(fs, p).get
+    assert(v == 20L && body == "floor=20\n")
+    val kept = new java.io.File(dir.toFile, "_commitlog").list().sorted.toSeq
+    assert(kept == (13L to 20L).map(CommitLog.fileName),
+      s"GC must keep exactly the last ${CommitLog.Keep} versions: $kept")
+    graft.core.Fs.rmTree(dir.toFile)
+  }
+
+  test("legacy single-file manifest is honored, then migrated: first publish writes v1 and retires _commits") {
+    val dir = Files.createTempDirectory("clog_legacy").toString
+    val t = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
+    t.append(samples(("cpu", Base + 1000, 1.0), ("cpu", Base + 2000, 2.0)))
+    t.append(samples(("cpu", Base + 3000, 3.0)))
+    // age the table into a pre-log one: latest state into the legacy
+    // single file, log removed (the on-disk shape older tables have)
+    val fs = hfs
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val (_, body) = CommitLog.readLatest(fs, p).get
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_commits"),
+      body.getBytes("UTF-8"))
+    graft.core.Fs.rmTree(new java.io.File(dir, "_commitlog"))
+    // a fresh instance reads the legacy manifest as-is
+    val t2 = new TsdbTable(spark, dir, TsdbConfig(rollupIntervalMs = 3600000L))
+    assert(t2.countMetrics() == 3)
+    // its first publish migrates: v1 created, the shadowed file retired
+    t2.append(samples(("cpu", Base + 4000, 4.0)))
+    assert(CommitLog.readLatest(fs, p).get._1 == 1L)
+    assert(!new java.io.File(dir, "_commits").exists,
+      "the legacy manifest must be retired once the log owns the state")
+    assert(t2.countMetrics() == 4)
+    // the pre-migration commits stayed visible through the carried state
+    assert(t2.readRaw(Base, Base + 10000).select("time").collect()
+      .map(_.getLong(0)).toSet ==
+      Set(Base + 1000, Base + 2000, Base + 3000, Base + 4000))
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
 }
