@@ -800,6 +800,64 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // CDC MULTI-VIEW FAN-OUT (r10 cont.): ONE checkpointed feed
+    // maintains several views — here per-series moment stats
+    // (count/sum/sumsq: variance-capable and, unlike min/max,
+    // signed-maintainable EXACTLY under deletes) and a refcounted
+    // live-series registry with observed first/last insert watermarks.
+    // A mid-fan-out CRASH is staged between the two windows (stats
+    // folds window 2 alone, then the restarted maintainer drains the
+    // full fan-out — stats must SKIP the replay by its applied-tip),
+    // so the hash also pins exactly-once convergence, not just the
+    // algebra. The twin recomputes both views from scratch;
+    // refcount == live row count cross-checks registry against stats.
+    "tsdb_cdc_views" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_views")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            overrideOld = true))
+        val feed = new graft.streaming.ChangesStream.ChangesFeed(t, s"$tmp/ckpt")
+        val stats = new graft.streaming.ChangesStream.SeriesStatsReplica(
+          s, s"$tmp/stats")
+        val registry = new graft.streaming.ChangesStream.SeriesRegistryReplica(
+          s, s"$tmp/registry")
+        val mv = new graft.streaming.ChangesStream.MultiViewMaintainer(
+          feed, Seq(stats, registry))
+        t.append(samples)
+        require(mv.drainAll() == 1, "initial corpus must arrive as one window")
+        val clicks = samples.filter(col("name") === "click")
+        t.append(
+          clicks.filter(col("time").between(F + 3 * Day, F + 7 * Day - 1))
+            .withColumn("value", col("value") + 100)
+            .unionByName(
+              clicks.filter(col("time") < F + 2 * Day)
+                .withColumn("name", lit("probe"))
+                .withColumn("value", col("value") * 2)))
+        t.delete(F + 10 * Day, F + 13 * Day - 1, metrics = Seq("click"))
+        // crash mid-fan-out: stats folds window 2 alone (offset never
+        // committed), then the restart drains everything
+        val w = feed.poll().get
+        stats.applyBatch(w._3, w._2)
+        require(mv.drainAll() == 1,
+          "the mixed window must replay into the registry")
+        require(stats.appliedUntil == registry.appliedUntil,
+          "every view must converge to the same applied tip")
+        val res = stats.state().as("st")
+          .join(registry.state().as("rg"), Seq("name", "labels_str"))
+          .select(col("name"), col("labels_str"),
+            col("cnt").cast("double").as("cnt"),
+            round(col("sum"), 6).as("sum"),
+            round(col("sumsq"), 6).as("sumsq"),
+            col("refcount").cast("double").as("refs"),
+            col("first_t"), col("last_t"))
+          .orderBy("name", "labels_str")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // RETENTION (S11, reference retentionDays config.go:198-200 +
     // partition-age deletion partmgr.go:330,357,390): a 10-day horizon
     // enforced at now=T drops partitions 0..19 whole (the horizon is
@@ -3128,6 +3186,41 @@ object SparkEntry {
          |  CAST(count(v) AS DOUBLE) AS "count",
          |  round(sum(v), 6) AS "sum"
          |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // multi-view CDC fan-out recomputed from scratch: per-series moment
+    // stats over the FINAL live rows (m = overrides applied + delete
+    // range gone; p = probe rows), plus the registry's insert-monotone
+    // first/last watermarks over every EVER-INSERTED row (initial
+    // corpus + probe inserts + override post-images; deletes never
+    // lower a watermark — the declared semantics). refcount == live
+    // row count by construction (updates net 0, deletes −1).
+    "tsdb_cdc_views" ->
+      s"""WITH s AS ($SamplesCte),
+         |m AS (SELECT name, labels_str, tt,
+         |        CASE WHEN name = 'click' AND tt BETWEEN ${F + 3 * Day} AND ${F + 7 * Day - 1}
+         |             THEN v + 100 ELSE v END AS v
+         |      FROM s
+         |      WHERE NOT (name = 'click' AND tt BETWEEN ${F + 10 * Day} AND ${F + 13 * Day - 1})),
+         |p AS (SELECT 'probe' AS name, labels_str, tt, v * 2 AS v FROM s
+         |      WHERE name = 'click' AND tt < ${F + 2 * Day}),
+         |u AS (SELECT name, labels_str, tt, v FROM m
+         |      UNION ALL SELECT name, labels_str, tt, v FROM p),
+         |ins AS (SELECT name, labels_str, tt FROM s
+         |        UNION ALL SELECT 'probe' AS name, labels_str, tt FROM s
+         |          WHERE name = 'click' AND tt < ${F + 2 * Day}
+         |        UNION ALL SELECT name, labels_str, tt FROM s
+         |          WHERE name = 'click' AND tt BETWEEN ${F + 3 * Day} AND ${F + 7 * Day - 1}),
+         |w AS (SELECT name, labels_str, min(tt) AS first_t, max(tt) AS last_t
+         |      FROM ins GROUP BY 1, 2)
+         |SELECT u.name, u.labels_str,
+         |  CAST(count(*) AS DOUBLE) AS cnt,
+         |  round(sum(u.v), 6) AS "sum",
+         |  round(sum(u.v * u.v), 6) AS sumsq,
+         |  CAST(count(*) AS DOUBLE) AS refs,
+         |  w.first_t, w.last_t
+         |FROM u JOIN w ON u.name = w.name AND u.labels_str = w.labels_str
+         |GROUP BY u.name, u.labels_str, w.first_t, w.last_t
+         |ORDER BY 1, 2""".stripMargin,
 
     // a 10-day horizon at now=T keeps exactly the last 10 partition days
     "tsdb_retention" ->

@@ -2,12 +2,13 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.storage.TsdbTable
 
 /** CDC as a consumable stream (r10): the incremental-consumer loop the
-  * [[TsdbTable.changes]] feed advertises, plus a downstream
-  * materialization maintained PURELY from change rows.
+  * [[TsdbTable.changes]] feed advertises, plus downstream
+  * materializations maintained PURELY from change rows.
   *
   * The reference has no CDC surface at all (its TSDB is rebuild-or-rescan;
   * pkg/tsdb has no change feed) — this is the lakehouse-table side of the
@@ -25,18 +26,44 @@ import graft.storage.TsdbTable
   *    Structured-Streaming source wrapper would add scheduling without
   *    adding a consistency property the window doesn't already have.
   *
-  *  - [[RollupReplica]] — the downstream materialization: a bucketed
-  *    (count, sum) aggregate per (name, labels_str, bucket) maintained
-  *    incrementally from the four change types (`insert`/`update` add;
-  *    `delete`/`update_preimage` subtract — count+sum are the
-  *    self-maintainable aggregates under deletes, which min/max are
-  *    not). Each batch becomes ONE delta-aggregate (shuffle bounded by
-  *    touched keys), merged into the on-disk state by key and swapped
-  *    in via a versioned pointer — readers of the previous state are
-  *    never torn, the reader-atomicity discipline of the main table.
-  *    At 100 TB the state merge scales with |state| + |batch deltas|,
-  *    never with raw history: the replica is exactly the "incremental
+  *  - [[DeltaView]] — the shared versioned-state base every
+  *    materialization sits on: state lives at `path/v<N>` behind a
+  *    `_current` pointer that carries BOTH the version and the
+  *    APPLIED-UNTIL seq. The tip makes each view idempotent by window:
+  *    the feed's delivery is at-least-once (a crash between a view's
+  *    fold and the offset commit replays the window), and the tip
+  *    turns that into exactly-once STATE maintenance — a replayed
+  *    window is detected (`until <= appliedUntil`) and skipped, never
+  *    folded twice. The pointer swap is atomic, so readers of the
+  *    previous state are never torn (the reader-atomicity discipline
+  *    of the main table).
+  *
+  *  - [[RollupReplica]] — a bucketed (count, sum) aggregate per
+  *    (name, labels_str, bucket) maintained incrementally from the
+  *    four change types (`insert`/`update` add; `delete`/
+  *    `update_preimage` subtract — count+sum are self-maintainable
+  *    under deletes, which min/max are not). Each batch becomes ONE
+  *    delta-aggregate (shuffle bounded by touched keys) merged into
+  *    state by key. At 100 TB the merge scales with |state| + |batch
+  *    deltas|, never with raw history: exactly the "incremental
   *    materialized view over CDC" shape warehouse pipelines run.
+  *
+  *  - [[SeriesStatsReplica]] / [[SeriesRegistryReplica]] — further
+  *    views over the SAME feed: per-series count/sum/sum-of-squares
+  *    (variance-capable, all three signed-maintainable exactly) and a
+  *    refcounted live-series registry with observed first/last sample
+  *    watermarks (insert-monotone by declared design — exact min/max
+  *    are not incrementally maintainable under deletes, the classic
+  *    MV limitation, so the registry documents watermark semantics
+  *    instead of silently serving wrong extremes).
+  *
+  *  - [[MultiViewMaintainer]] — N views, ONE feed: each polled window
+  *    is cached once and folded into every view before the shared
+  *    offset advances, so the table's change plan executes once per
+  *    window however many views subscribe. A crash anywhere in the
+  *    fan-out self-heals on the replay: views that already folded the
+  *    window skip by their tip, views that missed it fold it —
+  *    convergence, never double-counting.
   */
 object ChangesStream {
 
@@ -65,7 +92,8 @@ object ChangesStream {
 
     /** Persist the consumed tip — atomic (temp + move), so a crash
       * between apply and commit replays the window (at-least-once into
-      * an idempotent-by-window consumer, the checkpointed-sink norm). */
+      * consumers; [[DeltaView]]'s applied-tip upgrades that to
+      * exactly-once state maintenance). */
     def commit(untilSeq: Long): Unit = {
       java.nio.file.Files.createDirectories(dir)
       val tmp = dir.resolve(s"offset.tmp${System.nanoTime()}")
@@ -78,87 +106,81 @@ object ChangesStream {
 
   /** Drain the feed into `apply` until the tip stops advancing; returns
     * the number of windows consumed. Each window is applied BEFORE its
-    * commit — the crash-replay story above. */
-  def drain(feed: ChangesFeed)(apply: DataFrame => Unit): Int = {
+    * commit — the crash-replay story above. The callback receives the
+    * window's until-seq so tip-tracking consumers can dedupe replays. */
+  def drain(feed: ChangesFeed)(apply: (DataFrame, Long) => Unit): Int = {
     var n = 0
     var more = true
     while (more) feed.poll() match {
-      case Some((_, until, batch)) => apply(batch); feed.commit(until); n += 1
+      case Some((_, until, batch)) => apply(batch, until); feed.commit(until); n += 1
       case None => more = false
     }
     n
   }
 
-  /** The incrementally-maintained bucketed aggregate replica. State
-    * lives at `path/v<N>` with a `_current` pointer — versioned swap,
-    * never an in-place overwrite of a directory a reader may hold. */
-  final class RollupReplica(spark: SparkSession, path: String, bucketMs: Long) {
-    require(bucketMs > 0, s"bucketMs must be positive: $bucketMs")
+  /** Versioned parquet state + applied-tip, shared by every CDC view.
+    * State lives at `path/v<N>` with a `_current` pointer holding
+    * `"<version> <appliedUntilSeq>"` — versioned swap, never an
+    * in-place overwrite of a directory a reader may hold. A window at
+    * or below the applied tip is a REPLAY (crash between this view's
+    * fold and the feed's offset commit, or between sibling views in a
+    * [[MultiViewMaintainer]] fan-out) and is skipped — fold-once per
+    * window, guaranteed by the tip, not by delivery. */
+  abstract class DeltaView(spark: SparkSession, path: String) {
     private val base = java.nio.file.Paths.get(path)
     private val pointer = base.resolve("_current")
 
-    private def currentVersion: Int =
-      if (java.nio.file.Files.exists(pointer))
-        new String(java.nio.file.Files.readAllBytes(pointer), "UTF-8").trim.toInt
-      else 0
+    /** (version, appliedUntilSeq); a legacy single-token pointer (the
+      * pre-tip format) parses with tip 0 — its next window re-folds,
+      * the documented at-least-once behavior it had. */
+    private def current: (Int, Long) =
+      if (!java.nio.file.Files.exists(pointer)) (0, 0L)
+      else {
+        val parts = new String(
+          java.nio.file.Files.readAllBytes(pointer), "UTF-8").trim.split("\\s+")
+        (parts(0).toInt, if (parts.length > 1) parts(1).toLong else 0L)
+      }
 
-    /** The replica view: (name, labels_str, t, count, sum). Empty state
-      * before the first applied batch. */
-    def state(): DataFrame = {
-      val v = currentVersion
+    /** The state schema before any window arrived. */
+    protected def emptySchema: StructType
+
+    /** Fold one change window into the previous state. Runs once per
+      * window; both frames arrive with their declared schemas. */
+    protected def fold(state: DataFrame, changes: DataFrame): DataFrame
+
+    /** The seq this view's state is current through (0 = empty). */
+    final def appliedUntil: Long = current._2
+
+    /** The replica view: empty (with schema) before the first window. */
+    final def state(): DataFrame = {
+      val v = current._1
       if (v == 0)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("name",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("labels_str",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("t",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("count",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("sum",
-              org.apache.spark.sql.types.DoubleType))))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
       else spark.read.parquet(base.resolve(s"v$v").toString)
     }
 
-    /** Fold one CDC window into the state: signed delta-aggregate over
-      * the change rows, key-merge with the previous state, write the
-      * next version, swap the pointer. Buckets whose count returns to 0
-      * drop out (a fully-deleted bucket must vanish, not linger as a
-      * 0-count row with FP residue in `sum`). */
-    def applyBatch(changes: DataFrame): Unit = {
+    /** Fold one CDC window ending at `untilSeq` into the state: write
+      * the next version, swap the pointer (version AND tip together —
+      * one atomic move), GC the version before last. Replayed windows
+      * (untilSeq <= appliedUntil) are skipped whole. */
+    final def applyBatch(changes: DataFrame, untilSeq: Long): Unit = {
+      require(untilSeq > 0, s"untilSeq must be positive: $untilSeq")
+      val (ver, tip) = current
+      if (untilSeq <= tip) return // replay — already folded
       // an unknown change type means a feed/consumer version skew —
-      // corrupting the replica silently is the one wrong response.
+      // corrupting the view silently is the one wrong response.
       // Checked batch-side (bounded by the window, never by state size).
       val unknown = changes.filter(!col("_change_type").isin(
           "insert", "update", "delete", "update_preimage"))
         .select("_change_type").limit(1).collect()
       require(unknown.isEmpty,
         s"unknown _change_type in CDC batch: ${unknown.headOption}")
-      val deltas = changes
-        .withColumn("__sign",
-          when(col("_change_type").isin("insert", "update"), lit(1L))
-            .otherwise(lit(-1L)))
-        .select(col("name"), col("labels_str"),
-          (floor(col("time") / bucketMs) * bucketMs).cast("long").as("t"),
-          col("__sign"), col("value"))
-        .groupBy("name", "labels_str", "t")
-        .agg(sum(col("__sign")).as("dcount"),
-          sum(col("__sign") * col("value")).as("dsum"))
-      val merged = state()
-        .select(col("name"), col("labels_str"), col("t"),
-          col("count").as("dcount"), col("sum").as("dsum"))
-        .unionByName(deltas)
-        .groupBy("name", "labels_str", "t")
-        .agg(sum("dcount").as("count"), sum("dsum").as("sum"))
-      val next = currentVersion + 1
-      merged.filter(col("count") =!= 0L)
-        .select("name", "labels_str", "t", "count", "sum")
+      val next = ver + 1
+      fold(state(), changes)
         .write.mode("overwrite").parquet(base.resolve(s"v$next").toString)
       val tmp = base.resolve(s"_current.tmp${System.nanoTime()}")
-      java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
+      java.nio.file.Files.write(tmp, s"$next $untilSeq".getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, pointer,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -167,6 +189,145 @@ object ChangesStream {
       val stale = base.resolve(s"v${next - 2}")
       if (next >= 3 && java.nio.file.Files.exists(stale))
         graft.core.Fs.rmTree(stale.toFile)
+    }
+
+    /** The signed delta sign: +1 for rows entering the live view,
+      * -1 for rows leaving it. */
+    protected final def signCol: org.apache.spark.sql.Column =
+      when(col("_change_type").isin("insert", "update"), lit(1L))
+        .otherwise(lit(-1L))
+  }
+
+  /** The incrementally-maintained bucketed aggregate replica:
+    * (name, labels_str, bucket) -> (count, sum). Buckets whose count
+    * returns to 0 drop out (a fully-deleted bucket must vanish, not
+    * linger as a 0-count row with FP residue in `sum`). */
+  final class RollupReplica(spark: SparkSession, path: String, bucketMs: Long)
+      extends DeltaView(spark, path) {
+    require(bucketMs > 0, s"bucketMs must be positive: $bucketMs")
+
+    protected def emptySchema: StructType = StructType(Seq(
+      StructField("name", StringType),
+      StructField("labels_str", StringType),
+      StructField("t", LongType),
+      StructField("count", LongType),
+      StructField("sum", DoubleType)))
+
+    protected def fold(state: DataFrame, changes: DataFrame): DataFrame = {
+      val deltas = changes
+        .withColumn("__sign", signCol)
+        .select(col("name"), col("labels_str"),
+          (floor(col("time") / bucketMs) * bucketMs).cast("long").as("t"),
+          col("__sign"), col("value"))
+        .groupBy("name", "labels_str", "t")
+        .agg(sum(col("__sign")).as("dcount"),
+          sum(col("__sign") * col("value")).as("dsum"))
+      state
+        .select(col("name"), col("labels_str"), col("t"),
+          col("count").as("dcount"), col("sum").as("dsum"))
+        .unionByName(deltas)
+        .groupBy("name", "labels_str", "t")
+        .agg(sum("dcount").as("count"), sum("dsum").as("sum"))
+        .filter(col("count") =!= 0L)
+        .select("name", "labels_str", "t", "count", "sum")
+    }
+  }
+
+  /** Per-series moment statistics: (name, labels_str) -> (cnt, sum,
+    * sumsq). All three are signed-maintainable EXACTLY under deletes
+    * (unlike min/max), and together they finalize to mean/variance —
+    * the aggregate set a monitoring replica actually needs. */
+  final class SeriesStatsReplica(spark: SparkSession, path: String)
+      extends DeltaView(spark, path) {
+
+    protected def emptySchema: StructType = StructType(Seq(
+      StructField("name", StringType),
+      StructField("labels_str", StringType),
+      StructField("cnt", LongType),
+      StructField("sum", DoubleType),
+      StructField("sumsq", DoubleType)))
+
+    protected def fold(state: DataFrame, changes: DataFrame): DataFrame = {
+      val deltas = changes
+        .withColumn("__sign", signCol)
+        .groupBy("name", "labels_str")
+        .agg(sum(col("__sign")).as("dcnt"),
+          sum(col("__sign") * col("value")).as("dsum"),
+          sum(col("__sign") * col("value") * col("value")).as("dsumsq"))
+      state
+        .select(col("name"), col("labels_str"), col("cnt").as("dcnt"),
+          col("sum").as("dsum"), col("sumsq").as("dsumsq"))
+        .unionByName(deltas)
+        .groupBy("name", "labels_str")
+        .agg(sum("dcnt").as("cnt"), sum("dsum").as("sum"),
+          sum("dsumsq").as("sumsq"))
+        .filter(col("cnt") =!= 0L)
+        .select("name", "labels_str", "cnt", "sum", "sumsq")
+    }
+  }
+
+  /** Refcounted live-series registry: (name, labels_str) -> refcount
+    * plus OBSERVED first/last sample-time watermarks. The refcount is
+    * exact (signed); a series whose refcount returns to 0 leaves the
+    * registry (and re-derives fresh watermarks if it ever returns).
+    * `first_t`/`last_t` are min/max over INSERTED rows only —
+    * insert-monotone watermarks, NOT delete-corrected extremes: exact
+    * min/max are not incrementally maintainable under deletes (the
+    * classic MV limitation), so the registry declares watermark
+    * semantics instead of silently serving wrong extremes. */
+  final class SeriesRegistryReplica(spark: SparkSession, path: String)
+      extends DeltaView(spark, path) {
+
+    protected def emptySchema: StructType = StructType(Seq(
+      StructField("name", StringType),
+      StructField("labels_str", StringType),
+      StructField("refcount", LongType),
+      StructField("first_t", LongType),
+      StructField("last_t", LongType)))
+
+    protected def fold(state: DataFrame, changes: DataFrame): DataFrame = {
+      val deltas = changes
+        .withColumn("__sign", signCol)
+        .groupBy("name", "labels_str")
+        .agg(sum(col("__sign")).as("drefs"),
+          min(when(col("__sign") > 0, col("time"))).as("dfirst"),
+          max(when(col("__sign") > 0, col("time"))).as("dlast"))
+      state
+        .select(col("name"), col("labels_str"), col("refcount").as("drefs"),
+          col("first_t").as("dfirst"), col("last_t").as("dlast"))
+        .unionByName(deltas)
+        .groupBy("name", "labels_str")
+        .agg(sum("drefs").as("refcount"), min("dfirst").as("first_t"),
+          max("dlast").as("last_t"))
+        .filter(col("refcount") =!= 0L)
+        .select("name", "labels_str", "refcount", "first_t", "last_t")
+    }
+  }
+
+  /** N views over ONE feed: each polled window is cached once and
+    * folded into every view, then the shared offset advances — the
+    * change plan executes once per window regardless of fan-out. The
+    * per-view applied-tips make the whole fan-out crash-convergent:
+    * a crash after view k's fold but before view k+1's replays the
+    * window on restart; views 1..k skip it by tip, views k+1..N fold
+    * it — every view ends exactly once, no coordination transaction
+    * needed. Returns the number of windows consumed. */
+  final class MultiViewMaintainer(feed: ChangesFeed, views: Seq[DeltaView]) {
+    require(views.nonEmpty, "MultiViewMaintainer needs at least one view")
+
+    def drainAll(): Int = {
+      var n = 0
+      var more = true
+      while (more) feed.poll() match {
+        case Some((_, until, batch)) =>
+          val cached = batch.cache()
+          try views.foreach(_.applyBatch(cached, until))
+          finally cached.unpersist()
+          feed.commit(until)
+          n += 1
+        case None => more = false
+      }
+      n
     }
   }
 }
