@@ -165,24 +165,29 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
-  /** The staged EIGHT-lane probe fixture corpus — every container the
-    * engine parses, one lane per `doc_id % 8`, each field a closed form
+  /** The staged TEN-lane probe fixture corpus — every container the
+    * engine parses, one lane per `doc_id % 10`, each field a closed form
     * of doc_id. ONE definition shared by `multimodal_probe` (probe all)
     * and `multimodal_triage` (probe → filter → decode survivors), so
     * both entries and both twins assert the same planting by
-    * construction. Staged per corpus fingerprint: the AVI/GIF lanes pay
-    * ImageIO encode at synthesis, never in a timed round. */
+    * construction. Staged per corpus fingerprint (the stage `kind`
+    * carries a definition version — lane changes must bump it or a
+    * stale staged corpus would silently serve the OLD lanes): the
+    * AVI/GIF lanes pay ImageIO encode at synthesis, never in a timed
+    * round. Lanes 8/9 (r10 cont.) cover the OPEN crawl formats: Ogg
+    * with both Vorbis and Opus identification headers, and
+    * Matroska/WebM with both DocTypes. */
   private def probeFixtureBlobs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import graft.ops.Multimodal
     import Multimodal.FlacConstant
-    stagedBlobs(s, dir, "probe") {
+    stagedBlobs(s, dir, "probe_v2") {
       val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
       s.createDataFrame(
         ids.rdd.map { r =>
           val id = r.getLong(0)
-          val blob = (id % 8) match {
+          val blob = (id % 10) match {
             case 0 => Multimodal.mp3Bytes((2 + id % 9).toInt, versionBits = 3,
               layerBits = 1, bitrateIdx = (1 + id % 14).toInt, srIdx = 0,
               mono = id % 2 == 0, id3v2Pad = (id % 50).toInt,
@@ -202,9 +207,26 @@ object SparkEntry {
               k => ((id * 41 + k * 13) % 256).toInt)
             case 6 => Multimodal.auBytes(1, 8000, 1,
               Array.tabulate((160 + id % 80).toInt)(i => ((id + i) % 256).toByte))
-            case _ => Multimodal.aiffBytes(8000, 1, 16,
+            case 7 => Multimodal.aiffBytes(8000, 1, 16,
               Multimodal.pcm16be((0 until (120 + id % 90).toInt)
                 .map(i => ((id * 3 + i * 7) % 30000 - 15000).toInt)))
+            case 8 =>
+              if ((id / 10) % 2 == 0)
+                Multimodal.oggVorbisBytes(8000, (1 + id % 2).toInt,
+                  800 + id % 1600, (32 + id % 96).toInt * 1000)
+              else
+                Multimodal.oggOpusBytes((1 + id % 2).toInt, preSkip = 312,
+                  inputRate = (16000 + (id % 4) * 8000).toInt,
+                  samples48k = 960L * (1 + id % 50))
+            case _ =>
+              if ((id / 10) % 2 == 0)
+                Multimodal.webmBytes("webm", 500 + id % 9000,
+                  (2 * (1 + id % 960)).toInt, (2 * (1 + id % 540)).toInt,
+                  "V_VP8")
+              else
+                Multimodal.webmBytes("matroska", 500 + id % 9000,
+                  (2 * (1 + id % 960)).toInt, (2 * (1 + id % 540)).toInt,
+                  "V_MPEG4/ISO/AVC")
           }
           Row(id, blob)
         },
@@ -2396,12 +2418,14 @@ object SparkEntry {
     }),
 
     // MEDIA TRIAGE (r10) — "probe, don't decode": header-only metadata
-    // over four container lanes, including the two crawl-modal formats
-    // this zero-dep container CANNOT fully decode (MP3 via an exact
-    // frame-header walk, MP4 via the ISO BMFF box tree) — at 100 TB
-    // the pipeline filters on duration/resolution/bitrate BEFORE
-    // paying decode. Every probed field is a pure closed form of
-    // doc_id (frame-count arithmetic, 16.16 fixed-point dims, the
+    // over TEN container lanes, including the crawl-modal formats this
+    // zero-dep container CANNOT fully decode (MP3 via an exact
+    // frame-header walk, MP4 via the ISO BMFF box tree, Ogg
+    // Vorbis/Opus via the page walk + identification headers,
+    // Matroska/WebM via the EBML walk) — at 100 TB the pipeline
+    // filters on duration/resolution/bitrate BEFORE paying decode.
+    // Every probed field is a pure closed form of doc_id (frame-count
+    // arithmetic, 16.16 fixed-point dims, Ogg granule math, the
     // MPEG1-L3 bitrate table as a list literal), so the twin is exact.
     "multimodal_probe" -> ((s, dir) =>
       Multimodal.probeMedia(probeFixtureBlobs(s, dir))
@@ -4590,21 +4614,29 @@ object SparkEntry {
         |  round(CAST(mag / 32768.0 AS REAL)::DOUBLE, 6) AS f7
         |FROM m ORDER BY doc_id""".stripMargin,
 
-    // every probed field in closed form across EIGHT container lanes:
-    // MP3 duration = frames*1152 samples at 44100 Hz (id%8==0 → id
+    // every probed field in closed form across TEN container lanes:
+    // MP3 duration = frames*1152 samples at 44100 Hz (id%10==0 → id
     // even → the mono lane always), MP4 ticks*1000//timescale with
     // 16.16 dims, FLAC STREAMINFO, WAV fmt byte-rate, AVI
     // frames*usPerFrame//1000, GIF per-frame 10 cs delays, AU/AIFF
-    // frame counts; the MPEG1-L3 bitrate table as a list literal
+    // frame counts, Ogg granule math (Vorbis samples at 8 kHz /
+    // Opus 48 kHz units less pre-skip), WebM Info duration at the 1 ms
+    // TimestampScale; the MPEG1-L3 bitrate table as a list literal
     "multimodal_probe" ->
       """SELECT doc_id, true AS probed,
-        |  CASE doc_id % 8 WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4'
+        |  CASE doc_id % 10 WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4'
         |    WHEN 2 THEN 'flac' WHEN 3 THEN 'wav' WHEN 4 THEN 'avi'
-        |    WHEN 5 THEN 'gif' WHEN 6 THEN 'au' ELSE 'aiff' END AS format,
-        |  CASE doc_id % 8 WHEN 0 THEN 'mpeg-layer3' WHEN 1 THEN 'avc1'
+        |    WHEN 5 THEN 'gif' WHEN 6 THEN 'au' WHEN 7 THEN 'aiff'
+        |    WHEN 8 THEN 'ogg'
+        |    ELSE CASE WHEN (doc_id // 10) % 2 = 0 THEN 'webm' ELSE 'matroska' END
+        |  END AS format,
+        |  CASE doc_id % 10 WHEN 0 THEN 'mpeg-layer3' WHEN 1 THEN 'avc1'
         |    WHEN 2 THEN 'flac' WHEN 3 THEN 'pcm' WHEN 4 THEN 'MJPG'
-        |    WHEN 5 THEN 'gif-lzw' WHEN 6 THEN 'ulaw' ELSE 'pcm16' END AS codec,
-        |  CAST(CASE doc_id % 8
+        |    WHEN 5 THEN 'gif-lzw' WHEN 6 THEN 'ulaw' WHEN 7 THEN 'pcm16'
+        |    WHEN 8 THEN CASE WHEN (doc_id // 10) % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+        |    ELSE CASE WHEN (doc_id // 10) % 2 = 0 THEN 'V_VP8' ELSE 'V_MPEG4/ISO/AVC' END
+        |  END AS codec,
+        |  CAST(CASE doc_id % 10
         |    WHEN 0 THEN (2 + doc_id % 9) * 1152 * 1000 // 44100
         |    WHEN 1 THEN (1000 + doc_id % 9000) * 1000 // (600 + (doc_id % 7) * 100)
         |    WHEN 2 THEN (16 + doc_id % 49) * 1000 // 8000
@@ -4612,24 +4644,38 @@ object SparkEntry {
         |    WHEN 4 THEN (1 + doc_id % 5) * 33333 // 1000
         |    WHEN 5 THEN (1 + doc_id % 4) * 100
         |    WHEN 6 THEN (160 + doc_id % 80) * 1000 // 8000
-        |    ELSE (120 + doc_id % 90) * 1000 // 8000 END AS BIGINT) AS duration_ms,
-        |  CAST(CASE doc_id % 8 WHEN 0 THEN 44100
-        |    WHEN 1 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 0
+        |    WHEN 7 THEN (120 + doc_id % 90) * 1000 // 8000
+        |    WHEN 8 THEN CASE WHEN (doc_id // 10) % 2 = 0
+        |      THEN (800 + doc_id % 1600) * 1000 // 8000
+        |      ELSE 20 * (1 + doc_id % 50) END
+        |    ELSE 500 + doc_id % 9000 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE doc_id % 10 WHEN 0 THEN 44100
+        |    WHEN 1 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 0 WHEN 9 THEN 0
+        |    WHEN 8 THEN CASE WHEN (doc_id // 10) % 2 = 0 THEN 8000
+        |      ELSE 16000 + (doc_id % 4) * 8000 END
         |    ELSE 8000 END AS BIGINT) AS sample_rate,
-        |  CAST(CASE doc_id % 8 WHEN 1 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 0
+        |  CAST(CASE doc_id % 10 WHEN 1 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 0
+        |    WHEN 9 THEN 0 WHEN 8 THEN 1 + doc_id % 2
         |    ELSE 1 END AS BIGINT) AS channels,
-        |  CAST(CASE doc_id % 8
+        |  CAST(CASE doc_id % 10
         |    WHEN 0 THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320][(doc_id % 14) + 1]
         |    WHEN 3 THEN 128 WHEN 6 THEN 64 WHEN 7 THEN 128
+        |    WHEN 8 THEN CASE WHEN (doc_id // 10) % 2 = 0
+        |      THEN 32 + doc_id % 96 ELSE 0 END
         |    ELSE 0 END AS BIGINT) AS bitrate_kbps,
-        |  CAST(CASE doc_id % 8 WHEN 1 THEN 16 * (1 + doc_id % 120)
-        |    WHEN 4 THEN 8 WHEN 5 THEN 6 ELSE 0 END AS BIGINT) AS width,
-        |  CAST(CASE doc_id % 8 WHEN 1 THEN 16 * (1 + doc_id % 68)
-        |    WHEN 4 THEN 8 WHEN 5 THEN 6 ELSE 0 END AS BIGINT) AS height,
-        |  CAST(CASE doc_id % 8 WHEN 0 THEN 2 + doc_id % 9
+        |  CAST(CASE doc_id % 10 WHEN 1 THEN 16 * (1 + doc_id % 120)
+        |    WHEN 4 THEN 8 WHEN 5 THEN 6
+        |    WHEN 9 THEN 2 * (1 + doc_id % 960) ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE doc_id % 10 WHEN 1 THEN 16 * (1 + doc_id % 68)
+        |    WHEN 4 THEN 8 WHEN 5 THEN 6
+        |    WHEN 9 THEN 2 * (1 + doc_id % 540) ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE doc_id % 10 WHEN 0 THEN 2 + doc_id % 9
         |    WHEN 2 THEN 16 + doc_id % 49 WHEN 4 THEN 1 + doc_id % 5
         |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 160 + doc_id % 80
-        |    WHEN 7 THEN 120 + doc_id % 90 ELSE 0 END AS BIGINT) AS frames
+        |    WHEN 7 THEN 120 + doc_id % 90
+        |    WHEN 8 THEN CASE WHEN (doc_id // 10) % 2 = 0
+        |      THEN 800 + doc_id % 1600 ELSE 960 * (1 + doc_id % 50) END
+        |    ELSE 0 END AS BIGINT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the triage pipeline replayed: the probe FILTER in closed form
@@ -4639,14 +4685,14 @@ object SparkEntry {
     "multimodal_triage" ->
       """WITH ids AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 8 = 3 THEN 100 + doc_id % 400
+        |    CASE WHEN doc_id % 10 = 3 THEN 100 + doc_id % 400
         |         ELSE 120 + doc_id % 90 END AS n
         |  FROM documents
-        |  WHERE (doc_id % 8 = 3 AND (doc_id % 400) BETWEEN 60 AND 267)
-        |     OR (doc_id % 8 = 7 AND (doc_id % 90) >= 40)),
+        |  WHERE (doc_id % 10 = 3 AND (doc_id % 400) BETWEEN 60 AND 267)
+        |     OR (doc_id % 10 = 7 AND (doc_id % 90) >= 40)),
         |samp AS (
         |  SELECT ids.doc_id, ids.n, t.i,
-        |    CASE WHEN ids.doc_id % 8 = 3
+        |    CASE WHEN ids.doc_id % 10 = 3
         |         THEN CASE WHEN (t.i % 8) < 4 THEN 0.5 ELSE -0.5 END
         |         ELSE ((ids.doc_id*3 + t.i*7) % 30000 - 15000) / 32768.0 END AS s
         |  FROM ids, generate_series(0, 498) AS t(i) WHERE t.i < ids.n),
@@ -4669,8 +4715,8 @@ object SparkEntry {
         |         / sum(CASE WHEN q = 3 THEN 1 END)) AS r3
         |  FROM sl GROUP BY doc_id, n)
         |SELECT doc_id,
-        |  CASE WHEN doc_id % 8 = 3 THEN 'wav' ELSE 'aiff' END AS format,
-        |  CAST(CASE WHEN doc_id % 8 = 3
+        |  CASE WHEN doc_id % 10 = 3 THEN 'wav' ELSE 'aiff' END AS format,
+        |  CAST(CASE WHEN doc_id % 10 = 3
         |    THEN (100 + doc_id % 400) * 2 * 1000 // 16000
         |    ELSE (120 + doc_id % 90) * 1000 // 8000 END AS BIGINT) AS duration_ms,
         |  true AS decoded, CAST(n AS BIGINT) AS n_frames,

@@ -60,7 +60,210 @@ object MediaProbe {
     * its cheap magic check first. */
   lazy val Default: Probe =
     FlacProbe.orElse(WavProbe).orElse(AviProbe).orElse(GifProbe)
-      .orElse(AuProbe).orElse(AiffProbe).orElse(Mp4Probe).orElse(Mp3Probe)
+      .orElse(AuProbe).orElse(AiffProbe).orElse(OggProbe).orElse(MkvProbe)
+      .orElse(Mp4Probe).orElse(Mp3Probe)
+
+  /** Ogg page walk (RFC 3533) + Vorbis/Opus identification headers —
+    * the open crawl audio formats. Duration comes from the LAST page's
+    * granule position of the first (BOS) logical stream: total PCM
+    * samples for Vorbis (RFC 5334 / Vorbis I spec), 48 kHz units minus
+    * pre-skip for Opus (RFC 7845 §4/§5.1) — no packet is ever parsed
+    * past the two fixed-layout ID headers. Page CRCs are deliberately
+    * NOT verified: triage reads headers, the decode stage owns
+    * integrity (the same split every probe here makes). */
+  object OggProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 28 ||
+          bytes(0) != 'O' || bytes(1) != 'g' || bytes(2) != 'g' ||
+          bytes(3) != 'S') return None
+      var p = 0L
+      var serial = 0L; var haveSerial = false
+      var codec = ""; var rate = 0; var ch = 0
+      var brNom = 0; var preSkip = 0
+      var lastGranule = -1L
+      while (p + 27 <= bytes.length) {
+        val o = p.toInt
+        if (bytes(o) != 'O' || bytes(o + 1) != 'g' || bytes(o + 2) != 'g' ||
+            bytes(o + 3) != 'S' || bytes(o + 4) != 0) return None // lost sync
+        val hdrType = bytes(o + 5) & 0xFF
+        var granule = 0L
+        var i = 7
+        while (i >= 0) { granule = (granule << 8) | (bytes(o + 6 + i) & 0xFF); i -= 1 }
+        val pageSerial = Codecs.LE.i32(bytes, o + 14) & 0xFFFFFFFFL
+        val nsegs = bytes(o + 26) & 0xFF
+        if (p + 27L + nsegs > bytes.length) return None
+        var payloadLen = 0L
+        var s = 0
+        while (s < nsegs) { payloadLen += (bytes(o + 27 + s) & 0xFF); s += 1 }
+        val body = p + 27L + nsegs
+        if (body + payloadLen > bytes.length) return None
+        if ((hdrType & 2) != 0 && !haveSerial) { // first BOS page: ID header
+          haveSerial = true; serial = pageSerial
+          val b = body.toInt
+          if (payloadLen >= 30 && bytes(b) == 1 &&
+              new String(bytes, b + 1, 6, "US-ASCII") == "vorbis") {
+            codec = "vorbis"
+            ch = bytes(b + 11) & 0xFF
+            rate = Codecs.LE.i32(bytes, b + 12)
+            brNom = Codecs.LE.i32(bytes, b + 20)
+          } else if (payloadLen >= 19 &&
+              new String(bytes, b, 8, "US-ASCII") == "OpusHead") {
+            codec = "opus"
+            ch = bytes(b + 9) & 0xFF
+            preSkip = Codecs.LE.u16(bytes, b + 10)
+            rate = Codecs.LE.i32(bytes, b + 12) // informational input rate
+          } else codec = "unknown"
+        }
+        // granule -1 = "no packet ends on this page" (skip for duration)
+        if (haveSerial && pageSerial == serial && granule != -1L &&
+            granule >= 0L) lastGranule = math.max(lastGranule, granule)
+        p = body + payloadLen
+      }
+      if (!haveSerial || p != bytes.length) return None // truncated tail
+      val samples = math.max(0L,
+        if (codec == "opus") (if (lastGranule < 0) 0L else lastGranule) - preSkip
+        else if (lastGranule < 0) 0L else lastGranule)
+      val durationMs = codec match {
+        case "vorbis" if rate > 0 && samples < Long.MaxValue / 1000 =>
+          samples * 1000L / rate
+        case "opus" if samples < Long.MaxValue / 1000 =>
+          samples * 1000L / 48000L
+        case _ => 0L
+      }
+      if (codec == "vorbis" && (rate <= 0 || ch < 1)) return None
+      if (codec == "opus" && ch < 1) return None
+      if (rate < 0) rate = 0 // Opus input rate is informational; crafted
+                             // negatives must not leak into the metadata
+      Some(MediaInfo("ogg", codec, durationMs, rate, ch,
+        if (codec == "vorbis" && brNom > 0) brNom / 1000 else 0,
+        0, 0, samples))
+    } catch { case _: Exception => None }
+  }
+
+  /** Matroska/WebM EBML walk (RFC 8794 + the public Matroska element
+    * registry): DocType, Segment→Info's TimestampScale + Duration
+    * (float, in scale units), first TrackEntry's CodecID, Video
+    * PixelWidth/Height, Audio SamplingFrequency/Channels. EBML vints
+    * are length-prefixed by their leading-one position; an all-ones
+    * size is "unknown" (streamed Segments) and extends to the buffer
+    * end — legal for MASTER elements only. */
+  object MkvProbe extends Probe {
+    private val Unknown = -1L
+
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 8 ||
+          (bytes(0) & 0xFF) != 0x1A || (bytes(1) & 0xFF) != 0x45 ||
+          (bytes(2) & 0xFF) != 0xDF || (bytes(3) & 0xFF) != 0xA3) return None
+      // (value, nextPos); id keeps its marker bits, size masks them.
+      // width 0 (first byte 0x00) is invalid EBML.
+      def vint(p: Long, mask: Boolean): Option[(Long, Long)] = {
+        if (p >= bytes.length) return None
+        val b0 = bytes(p.toInt) & 0xFF
+        if (b0 == 0) return None
+        val len = java.lang.Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+        if (p + len > bytes.length) return None
+        var v = if (mask) (b0 & (0xFF >>> len)).toLong else b0.toLong
+        var allOnes = mask && (b0 & (0xFF >>> len)) == (0xFF >>> len)
+        var i = 1
+        while (i < len) {
+          val b = bytes(p.toInt + i) & 0xFF
+          v = (v << 8) | b
+          allOnes &&= b == 0xFF
+          i += 1
+        }
+        Some((if (allOnes) Unknown else v, p + len))
+      }
+      def uintAt(p: Long, len: Long): Long = {
+        var v = 0L; var i = 0
+        while (i < len) { v = (v << 8) | (bytes(p.toInt + i) & 0xFF); i += 1 }
+        v
+      }
+      def floatAt(p: Long, len: Long): Double =
+        if (len == 4) java.lang.Float.intBitsToFloat(uintAt(p, 4).toInt).toDouble
+        else if (len == 8) java.lang.Double.longBitsToDouble(uintAt(p, 8))
+        else Double.NaN
+
+      var docType = "matroska" // the EBML default when DocType is absent
+      var scale = 1000000L     // TimestampScale default: 1 ms in ns
+      var durScaled = Double.NaN
+      var codec = ""; var width = 0; var height = 0
+      var rate = 0; var ch = 0
+
+      // master elements this probe descends into
+      val masters = Set(0x18538067L /*Segment*/, 0x1549A966L /*Info*/,
+        0x1654AE6BL /*Tracks*/, 0xAEL /*TrackEntry*/, 0xE0L /*Video*/,
+        0xE1L /*Audio*/)
+      def walk(start: Long, end: Long, depth: Int): Boolean = {
+        var p = start
+        while (p < end) {
+          val (id, afterId) = vint(p, mask = false) match {
+            case Some(x) => x; case None => return false
+          }
+          val (size0, body) = vint(afterId, mask = true) match {
+            case Some(x) => x; case None => return false
+          }
+          val size = if (size0 == Unknown) end - body else size0
+          if (size < 0 || body + size > end) return false
+          if (size0 == Unknown && !masters.contains(id) && id != 0x1A45DFA3L)
+            return false // unknown size is legal on masters only
+          id match {
+            case 0x1A45DFA3L => // EBML header: scan its children for DocType
+              if (!walkEbmlHeader(body, body + size)) return false
+            case m if masters.contains(m) =>
+              if (depth >= 8 || !walk(body, body + size, depth + 1)) return false
+            case 0x2AD7B1L if size >= 1 && size <= 8 => // TimestampScale
+              val v = uintAt(body, size); if (v > 0) scale = v
+            case 0x4489L => // Duration (float)
+              val d = floatAt(body, size)
+              if (!d.isNaN && d >= 0) durScaled = d
+            case 0x86L if size > 0 && size <= 64 => // CodecID
+              if (codec.isEmpty)
+                codec = new String(bytes, body.toInt, size.toInt, "US-ASCII")
+            case 0xB0L if size >= 1 && size <= 8 => // PixelWidth
+              if (width == 0) width = math.min(uintAt(body, size), Int.MaxValue).toInt
+            case 0xBAL if size >= 1 && size <= 8 => // PixelHeight
+              if (height == 0) height = math.min(uintAt(body, size), Int.MaxValue).toInt
+            case 0xB5L => // SamplingFrequency (float)
+              val f = floatAt(body, size)
+              if (rate == 0 && !f.isNaN && f > 0 && f <= Int.MaxValue)
+                rate = math.round(f).toInt
+            case 0x9FL if size >= 1 && size <= 8 => // Channels
+              if (ch == 0) ch = math.min(uintAt(body, size), Int.MaxValue).toInt
+            case _ => () // skip by size
+          }
+          p = body + size
+        }
+        true
+      }
+      def walkEbmlHeader(start: Long, end: Long): Boolean = {
+        var p = start
+        while (p < end) {
+          val (id, afterId) = vint(p, mask = false) match {
+            case Some(x) => x; case None => return false
+          }
+          val (size, body) = vint(afterId, mask = true) match {
+            case Some(x) => x; case None => return false
+          }
+          if (size == Unknown || size < 0 || body + size > end) return false
+          if (id == 0x4282L && size > 0 && size <= 64) // DocType
+            docType = new String(bytes, body.toInt, size.toInt, "US-ASCII")
+          p = body + size
+        }
+        true
+      }
+      if (!walk(0L, bytes.length.toLong, 0)) return None
+      if (docType != "matroska" && docType != "webm") return None
+      val durationMs =
+        if (durScaled.isNaN) 0L
+        else {
+          val ms = durScaled * scale / 1000000.0
+          if (ms < 0 || ms > Long.MaxValue / 2.0) return None
+          math.round(ms)
+        }
+      Some(MediaInfo(docType, if (codec.isEmpty) "unknown" else codec,
+        durationMs, rate, ch, 0, width, height, 0L))
+    } catch { case _: Exception => None }
+  }
 
   /** MPEG-1/2/2.5 audio (MP3 and friends): exact frame walk. */
   object Mp3Probe extends Probe {

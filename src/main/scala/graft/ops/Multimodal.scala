@@ -1156,6 +1156,157 @@ object Multimodal {
     ftyp ++ box("moov", mvhd ++ trak)
   }
 
+  /** Ogg page CRC (RFC 3533 §6): CRC-32 with polynomial 0x04C11DB7,
+    * MSB-first, init 0, no final xor — NOT the zlib reflected CRC. */
+  private def oggCrc(b: Array[Byte]): Int = {
+    var crc = 0
+    var i = 0
+    while (i < b.length) {
+      crc ^= (b(i) & 0xFF) << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7
+              else crc << 1
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** One Ogg page with real lacing and a real CRC. A payload that is a
+    * multiple of 255 gets the mandated trailing 0 lacing value. */
+  private def oggPage(hdrType: Int, granule: Long, serial: Int, seq: Int,
+                      payload: Array[Byte]): Array[Byte] = {
+    val full = payload.length / 255
+    val segs = Array.fill(full)(255.toByte) :+ (payload.length % 255).toByte
+    val page = new Array[Byte](27 + segs.length + payload.length)
+    page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+    page(4) = 0; page(5) = hdrType.toByte
+    var i = 0
+    while (i < 8) { page(6 + i) = ((granule >>> (8 * i)) & 0xFF).toByte; i += 1 }
+    i = 0
+    while (i < 4) {
+      page(14 + i) = ((serial >>> (8 * i)) & 0xFF).toByte
+      page(18 + i) = ((seq >>> (8 * i)) & 0xFF).toByte
+      i += 1
+    }
+    page(26) = segs.length.toByte
+    System.arraycopy(segs, 0, page, 27, segs.length)
+    System.arraycopy(payload, 0, page, 27 + segs.length, payload.length)
+    val crc = oggCrc(page) // CRC field is still zero here, as specified
+    i = 0
+    while (i < 4) { page(22 + i) = ((crc >>> (8 * i)) & 0xFF).toByte; i += 1 }
+    page
+  }
+
+  /** Synthesize a minimal valid Ogg Vorbis stream for the PROBE: a BOS
+    * page carrying the 30-byte Vorbis identification header and an EOS
+    * page whose granule position is the total-sample count (the Vorbis
+    * duration convention). The audio payload is opaque filler the
+    * probe never parses. */
+  def oggVorbisBytes(rate: Int, channels: Int, totalSamples: Long,
+                     nominalBps: Int, serial: Int = 0x1234): Array[Byte] = {
+    val id = new Array[Byte](30)
+    id(0) = 1
+    System.arraycopy("vorbis".getBytes("US-ASCII"), 0, id, 1, 6)
+    id(11) = channels.toByte
+    var i = 0
+    while (i < 4) {
+      id(12 + i) = ((rate >>> (8 * i)) & 0xFF).toByte
+      id(20 + i) = ((nominalBps >>> (8 * i)) & 0xFF).toByte
+      i += 1
+    }
+    id(28) = 0x88.toByte // blocksizes 256/256 (unread by the probe)
+    id(29) = 1           // framing bit
+    val audio = Array.tabulate(49)(k => (k * 7).toByte)
+    oggPage(0x02, 0L, serial, 0, id) ++
+      oggPage(0x04, totalSamples, serial, 1, audio)
+  }
+
+  /** Synthesize a minimal valid Ogg Opus stream for the PROBE (RFC
+    * 7845): BOS page with the 19-byte OpusHead, EOS page at granule
+    * preSkip + samples48k (granules are 48 kHz units; duration excludes
+    * the pre-skip). */
+  def oggOpusBytes(channels: Int, preSkip: Int, inputRate: Int,
+                   samples48k: Long, serial: Int = 0x5678): Array[Byte] = {
+    val id = new Array[Byte](19)
+    System.arraycopy("OpusHead".getBytes("US-ASCII"), 0, id, 0, 8)
+    id(8) = 1
+    id(9) = channels.toByte
+    id(10) = (preSkip & 0xFF).toByte; id(11) = ((preSkip >> 8) & 0xFF).toByte
+    var i = 0
+    while (i < 4) { id(12 + i) = ((inputRate >>> (8 * i)) & 0xFF).toByte; i += 1 }
+    val audio = Array.tabulate(37)(k => (k * 11).toByte)
+    oggPage(0x02, 0L, serial, 0, id) ++
+      oggPage(0x04, preSkip.toLong + samples48k, serial, 1, audio)
+  }
+
+  /** Synthesize a minimal Matroska/WebM EBML tree for the PROBE:
+    * EBML(DocType) + Segment(Info(TimestampScale=1ms, Duration as
+    * float64) + Tracks(TrackEntry(TrackType=video, CodecID,
+    * Video(PixelWidth, PixelHeight)))). Sizes use 2-byte vints
+    * (non-minimal lengths are legal EBML). */
+  def webmBytes(docType: String, durationMs: Long, w: Int, h: Int,
+                codec: String): Array[Byte] = {
+    def idBytes(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xFF).toByte)
+    }
+    def size2(n: Int): Array[Byte] = {
+      require(n < 0x3FFF, s"size2 overflow: $n")
+      Array((0x40 | (n >> 8)).toByte, (n & 0xFF).toByte)
+    }
+    def el(id: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ size2(body.length) ++ body
+    def uint(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xFF).toByte)
+    }
+    def f64(d: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      Array.tabulate(8)(i => ((bits >>> (8 * (7 - i))) & 0xFF).toByte)
+    }
+    val ebml = el(0x1A45DFA3L, el(0x4282L, docType.getBytes("US-ASCII")))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uint(1000000L)) ++ el(0x4489L, f64(durationMs.toDouble)))
+    val video = el(0xE0L, el(0xB0L, uint(w.toLong)) ++ el(0xBAL, uint(h.toLong)))
+    val track = el(0xAEL, el(0x83L, uint(1L)) ++
+      el(0x86L, codec.getBytes("US-ASCII")) ++ video)
+    ebml ++ el(0x18538067L, info ++ el(0x1654AE6BL, track))
+  }
+
+  /** [[webmBytes]] with an AUDIO TrackEntry instead of a video one:
+    * TrackType=audio, CodecID, Audio(SamplingFrequency as float64,
+    * Channels). */
+  def webmAudioBytes(docType: String, durationMs: Long, codec: String,
+                     rate: Int, channels: Int): Array[Byte] = {
+    def idBytes(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xFF).toByte)
+    }
+    def size2(n: Int): Array[Byte] =
+      Array((0x40 | (n >> 8)).toByte, (n & 0xFF).toByte)
+    def el(id: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ size2(body.length) ++ body
+    def uint(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xFF).toByte)
+    }
+    def f64(d: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      Array.tabulate(8)(i => ((bits >>> (8 * (7 - i))) & 0xFF).toByte)
+    }
+    val ebml = el(0x1A45DFA3L, el(0x4282L, docType.getBytes("US-ASCII")))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uint(1000000L)) ++ el(0x4489L, f64(durationMs.toDouble)))
+    val audio = el(0xE1L, el(0xB5L, f64(rate.toDouble)) ++
+      el(0x9FL, uint(channels.toLong)))
+    val track = el(0xAEL, el(0x83L, uint(2L)) ++
+      el(0x86L, codec.getBytes("US-ASCII")) ++ audio)
+    ebml ++ el(0x18538067L, info ++ el(0x1654AE6BL, track))
+  }
+
   /** VIDEO near-duplicate pairs by positional frame-signature voting over
     * a [[sampleFrames]] output: two clips are near-dups when at least
     * `minVotes` of their sampled frames carry the same signature at the

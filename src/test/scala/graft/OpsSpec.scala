@@ -2768,6 +2768,66 @@ class MultimodalSpec extends SparkSuite {
       out(3L).isNullAt(4))
   }
 
+  test("media probes: Ogg page walk (Vorbis/Opus) + Matroska/WebM EBML walk — exact fields, declared CRC/granule semantics (r10 cont.)") {
+    import graft.ops.MediaProbe
+    // Vorbis: duration = last-page granule (total samples) / rate;
+    // nominal bitrate surfaced from the identification header
+    val ov = MediaProbe.OggProbe.probe(
+      Multimodal.oggVorbisBytes(44100, 2, 44100L * 3 + 441, 160000)).get
+    assert(ov.format == "ogg" && ov.codec == "vorbis")
+    assert(ov.sampleRate == 44100 && ov.channels == 2 && ov.bitrateKbps == 160)
+    assert(ov.frames == 44100L * 3 + 441 &&
+      ov.durationMs == (44100L * 3 + 441) * 1000 / 44100)
+    // Opus: granules are 48 kHz units and the pre-skip is excluded
+    val oo = MediaProbe.OggProbe.probe(
+      Multimodal.oggOpusBytes(1, 312, 24000, 96000L)).get
+    assert(oo.codec == "opus" && oo.channels == 1 && oo.sampleRate == 24000)
+    assert(oo.frames == 96000L && oo.durationMs == 2000)
+    // page CRCs are deliberately NOT verified (triage reads headers,
+    // decode owns integrity): a stomped payload byte still probes
+    val stomped = Multimodal.oggVorbisBytes(8000, 1, 1600, 0)
+    stomped(stomped.length - 1) = (stomped.last ^ 0x55).toByte
+    assert(MediaProbe.OggProbe.probe(stomped).nonEmpty)
+    // granule -1 = "no packet ends on this page" and never poisons the
+    // duration: all-ones EOS granule falls back to the BOS page's 0
+    val g1 = Multimodal.oggVorbisBytes(8000, 1, 1600, 0)
+    for (i <- 0 until 8) g1(58 + 6 + i) = 0xFF.toByte // page 2 at 27+1+30
+    val gm = MediaProbe.OggProbe.probe(g1).get
+    assert(gm.durationMs == 0 && gm.frames == 0)
+    // truncated tail / trailing garbage reject (a short blob is corrupt,
+    // not shorter — the Mp3Probe strictness)
+    assert(MediaProbe.OggProbe.probe(g1.dropRight(3)).isEmpty)
+    assert(MediaProbe.OggProbe.probe(
+      Multimodal.oggVorbisBytes(8000, 1, 800, 0) ++
+        "x".getBytes("US-ASCII")).isEmpty)
+
+    // WebM/Matroska: DocType, Info duration at the 1 ms TimestampScale,
+    // first video track's dims + CodecID / audio track's rate + channels
+    val wm = MediaProbe.MkvProbe.probe(
+      Multimodal.webmBytes("webm", 12345, 1920, 1080, "V_VP9")).get
+    assert(wm.format == "webm" && wm.codec == "V_VP9" &&
+      wm.durationMs == 12345 && wm.width == 1920 && wm.height == 1080)
+    val mk = MediaProbe.MkvProbe.probe(
+      Multimodal.webmAudioBytes("matroska", 2500, "A_OPUS", 48000, 2)).get
+    assert(mk.format == "matroska" && mk.codec == "A_OPUS" &&
+      mk.durationMs == 2500 && mk.sampleRate == 48000 && mk.channels == 2)
+    // a foreign DocType is not this probe's format
+    assert(MediaProbe.MkvProbe.probe(
+      Multimodal.webmBytes("notmine", 1, 2, 2, "X")).isEmpty)
+    // unknown-size Segment (streamed files): splice the Segment's 2-byte
+    // size vint into the 1-byte all-ones form → extends to buffer end
+    val base = Multimodal.webmBytes("webm", 777, 640, 360, "V_VP8")
+    assert((base(14) & 0xFF) == 0x18, "Segment id expected at offset 14")
+    val spliced = base.take(18) ++ Array(0xFF.toByte) ++ base.drop(20)
+    val us = MediaProbe.MkvProbe.probe(spliced).get
+    assert(us.durationMs == 777 && us.width == 640)
+    // truncation rejects; the Default chain routes both formats
+    assert(MediaProbe.MkvProbe.probe(base.dropRight(5)).isEmpty)
+    assert(MediaProbe.Default.probe(
+      Multimodal.oggOpusBytes(2, 0, 48000, 960)).get.codec == "opus")
+    assert(MediaProbe.Default.probe(base).get.format == "webm")
+  }
+
   test("FLAC: constant/verbatim/fixed/LPC subframes decode to the exact coded samples") {
     import graft.ops.Codecs
     import Multimodal.{FlacConstant, FlacVerbatim, FlacFixed, FlacLpc}
@@ -3132,5 +3192,14 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
     fuzzProbe("aiff-probe", MediaProbe.AiffProbe,
       Multimodal.aiffBytes(8000, 1, 16, Multimodal.pcm16be(0 until 80)),
       seed = 118L)
+    fuzzProbe("ogg-vorbis", MediaProbe.OggProbe,
+      Multimodal.oggVorbisBytes(44100, 2, 44100 * 3, 128000), seed = 119L)
+    fuzzProbe("ogg-opus", MediaProbe.OggProbe,
+      Multimodal.oggOpusBytes(2, 312, 48000, 96000L), seed = 120L)
+    fuzzProbe("webm", MediaProbe.MkvProbe,
+      Multimodal.webmBytes("webm", 4000, 1280, 720, "V_VP9"), seed = 121L)
+    fuzzProbe("mkv-audio", MediaProbe.MkvProbe,
+      Multimodal.webmAudioBytes("matroska", 2500, "A_OPUS", 48000, 2),
+      seed = 122L)
   }
 }
