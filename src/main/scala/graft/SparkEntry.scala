@@ -235,6 +235,64 @@ object SparkEntry {
     }
   }
 
+  /** The staged WARC fixture segments (r10 cont.): FOUR files — two
+    * plain `.warc`, two `.warc.gz` with one gzip member PER RECORD,
+    * the Common Crawl layout — each opening with a `warcinfo` record,
+    * then per document (lane = doc_id % 4) a `request` record AND a
+    * `response` record whose HTTP body is a closed-form HTML wrapper
+    * of the document text. Staged once per corpus fingerprint;
+    * synthesis is fixture-scale driver work via toLocalIterator
+    * (streamed, never a full collect). */
+  private def stagedWarcDir(s: SparkSession, dir: String): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      (dir.hashCode & 0x7fffffff) + "/warc_v1"
+    val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#warc_v1"
+    val vFile = new java.io.File(s"$path/_graft_version")
+    val fresh = vFile.exists &&
+      new String(java.nio.file.Files.readAllBytes(vFile.toPath), "UTF-8") == version
+    if (!fresh) {
+      import graft.ingest.WarcSource
+      val d = new java.io.File(path)
+      rmTree(d); d.mkdirs()
+      val plain = (0 to 1).map(l => new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(s"$path/lane$l.warc"), 1 << 16))
+      val gz = (2 to 3).map(l => new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(s"$path/lane$l.warc.gz"), 1 << 16))
+      def record(lane: Int)(body: java.io.OutputStream => Unit): Unit =
+        if (lane <= 1) body(plain(lane))
+        else WarcSource.writeGzMember(gz(lane - 2))(body)
+      val info = "software: graft\r\n".getBytes("UTF-8")
+      (0 to 3).foreach(l => record(l)(WarcSource.writeRecord(_, "warcinfo",
+        Seq("Content-Type" -> "application/warc-fields"), info)))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").orderBy("doc_id")
+      val it = docs.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val id = r.getLong(0)
+        val lane = (id % 4).toInt
+        val uri = s"https://corpus.example/doc/$id"
+        record(lane)(WarcSource.writeRecord(_, "request",
+          Seq("WARC-Target-URI" -> uri,
+            "Content-Type" -> "application/http; msgtype=request"),
+          s"GET /doc/$id HTTP/1.1\r\nHost: corpus.example\r\n\r\n"
+            .getBytes("ISO-8859-1")))
+        val html = s"<html><body><p>${r.getString(1)}</p></body></html>"
+        record(lane)(WarcSource.writeRecord(_, "response",
+          Seq("WARC-Target-URI" -> uri,
+            "WARC-Date" -> "2024-01-01T00:00:00Z",
+            "WARC-Record-ID" -> s"<urn:uuid:doc-$id>",
+            "Content-Type" -> "application/http; msgtype=response"),
+          WarcSource.httpResponseBlock(200, "text/html; charset=utf-8",
+            html.getBytes("UTF-8"))))
+      }
+      (plain ++ gz).foreach(_.close())
+      java.nio.file.Files.write(vFile.toPath, version.getBytes("UTF-8"))
+    }
+    path
+  }
+
   /** The planted image-blob table shared by `dedup_image_dhash` and
     * `dedup_image_keep`: every doc's PNG encodes the 60-bit md5(doc_id)
     * prefix as its dHash ([[graft.ops.Multimodal.dhashPng]]); docs < 40
@@ -2603,6 +2661,26 @@ object SparkEntry {
         val rows = res.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       } finally rmTree(new java.io.File(tmp))
+    }),
+
+    // WARC corpus source (r10 cont. — where a 100 TB pipeline STARTS):
+    // the staged Common-Crawl-shaped segments (two plain .warc, two
+    // .warc.gz with one gzip member per record) stream through the
+    // constant-memory record iterator — warcinfo and request records
+    // parse and are FILTERED by type, response records surface their
+    // HTTP status/Content-Type and body. Output binds the full decode
+    // chain (uri → doc_id, status, HTTP header, exact UTF-8 body); the
+    // twin rebuilds the planted HTML wrapper from the documents table
+    "corpus_warc" -> ((s, dir) => {
+      val warc = graft.ingest.WarcSource.read(s, stagedWarcDir(s, dir) + "/*.warc*")
+      graft.ingest.WarcSource.responses(warc)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("http_status").cast("long").as("status"),
+          col("http_content_type").as("ctype"),
+          col("payload").cast("string").as("html"))
+        .orderBy("doc_id")
     }),
 
     // corpus snapshot diff (crawl-refresh receipts): new version = old
@@ -5093,6 +5171,16 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS receipt FROM documents
         |UNION ALL SELECT -1, '2'
         |ORDER BY doc_id""".stripMargin,
+
+    // WARC round-trip: every response record's HTTP body is the planted
+    // closed-form HTML wrapper of the document text, byte-exact through
+    // the gzip-member and plain lanes alike; request/warcinfo records
+    // were filtered by type
+    "corpus_warc" ->
+      """SELECT doc_id, CAST(200 AS BIGINT) AS status,
+        |  'text/html; charset=utf-8' AS ctype,
+        |  '<html><body><p>' || text || '</p></body></html>' AS html
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // same construction: edits flip the normalized-text md5, removals
     // and additions fall out of the full outer join

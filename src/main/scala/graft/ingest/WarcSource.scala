@@ -1,0 +1,265 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC corpus source — the web-crawl archive format (ISO 28500 /
+  * the public WARC 1.1 spec; Common Crawl's interchange layout). A
+  * 100 TB training-data pipeline STARTS here: crawls arrive as
+  * `.warc` / `.warc.gz` segments, and the first engine-side step is a
+  * distributed scan that turns records into typed rows without
+  * materializing a file in memory.
+  *
+  * Scale design:
+  *  - **file-granular parallelism**: Common Crawl ships ~100 k × ~1 GB
+  *    segments per crawl — one task per file saturates any cluster
+  *    without record-level splitting. `binaryFiles` hands each task a
+  *    STREAM ([[org.apache.spark.input.PortableDataStream]]), and the
+  *    record iterator below is single-pass, constant-memory: no whole
+  *    file, no whole record list, ever held at once.
+  *  - **per-record gzip members**: the Common Crawl `.warc.gz`
+  *    convention concatenates one gzip member per record;
+  *    `GZIPInputStream` reads concatenated members natively, so the
+  *    same sequential iterator serves both layouts. (Member-offset
+  *    indexes would enable record-level splits — the documented next
+  *    step if single files ever exceed task granularity.)
+  *  - **bomb cap**: `maxPayloadBytes` bounds the bytes RETAINED per
+  *    record (the remainder is skipped, not read into memory);
+  *    `content_length` keeps the full claimed size, so truncation is
+  *    derivable (`content_length > length(payload)`). The cap is the
+  *    same discipline as the codec decompression caps.
+  *  - **quarantine, not crash**: a malformed record emits ONE row with
+  *    `corrupt = true` (carrying the file and record ordinal for
+  *    receipts) and parsing of that file stops — resyncing inside a
+  *    broken gzip member or a torn length-prefixed stream is guesswork,
+  *    and a silent skip would hide corruption from the ingest receipts
+  *    (the [[JsonlSource]] quarantine stance).
+  *
+  * HTTP payloads: `response` records whose WARC Content-Type is
+  * `application/http` carry a full HTTP response in the block; the
+  * status code and Content-Type header are parsed out and the BODY
+  * becomes the payload. The body is the capture VERBATIM — chunked
+  * transfer encoding is not decoded here (a triage-stage consumer
+  * filters on status/type first; fidelity beats convenience at the
+  * ingest boundary).
+  */
+object WarcSource {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("warc_file", StringType),
+    StructField("record_ordinal", LongType),
+    StructField("warc_type", StringType),
+    StructField("record_id", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("content_type", StringType),
+    StructField("content_length", LongType),
+    StructField("http_status", IntegerType),
+    StructField("http_content_type", StringType),
+    StructField("payload", BinaryType),
+    StructField("corrupt", BooleanType)))
+
+  /** Read every WARC record under `pathGlob` (`.warc` plain or
+    * `.warc.gz` with concatenated per-record members). One row per
+    * record; `corrupt = true` rows are the quarantine stream. */
+  def read(spark: SparkSession, pathGlob: String,
+           maxPayloadBytes: Int = 8 << 20): DataFrame = {
+    require(maxPayloadBytes > 0, s"maxPayloadBytes must be positive: $maxPayloadBytes")
+    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap {
+      case (file, pds) => parseFile(file, pds.open(), maxPayloadBytes)
+    }
+    spark.createDataFrame(rows, Schema)
+  }
+
+  /** The `response`-record view most pipelines want: URI, HTTP status,
+    * HTTP Content-Type, body. Corrupt and non-response records drop. */
+  def responses(warc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    warc.filter(!col("corrupt") && col("warc_type") === "response" &&
+        col("http_status").isNotNull)
+      .select(col("target_uri"), col("warc_date"), col("http_status"),
+        col("http_content_type"), col("payload"))
+  }
+
+  // ----------------------------------------------------------- parsing
+
+  /** Streaming record iterator over one (possibly gzip'd) WARC file.
+    * Materialized as a Seq? NO — returns an Iterator so flatMap keeps
+    * the single-pass constant-memory property; the stream closes when
+    * the iterator drains (or aborts on corruption). */
+  private def parseFile(file: String, raw: java.io.InputStream,
+                        maxPayloadBytes: Int): Iterator[Row] = {
+    val in = new java.io.BufferedInputStream(
+      if (file.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else raw, 1 << 16)
+
+    new Iterator[Row] {
+      private var ordinal = 0L
+      private var nextRow: Row = null
+      private var done = false
+
+      private def close(): Unit = {
+        done = true
+        try in.close() catch { case _: java.io.IOException => () }
+      }
+
+      /** One header/status line, ISO-8859-1, CRLF or LF terminated;
+        * null at EOF. Bounded: a "line" past 64 KiB is corruption
+        * (header smuggling / a binary stream misidentified). */
+      private def readLine(): String = {
+        val buf = new java.lang.StringBuilder(64)
+        var c = in.read()
+        if (c < 0) return null
+        while (c >= 0 && c != '\n') {
+          buf.append(c.toChar)
+          if (buf.length > 65536) throw new java.io.IOException("header line > 64KiB")
+          c = in.read()
+        }
+        val s = buf.toString
+        if (s.endsWith("\r")) s.substring(0, s.length - 1) else s
+      }
+
+      private def corruptRow(): Row =
+        Row(file, ordinal, null, null, null, null, null, null, null, null,
+          null, true)
+
+      /** Parse the next record into [[nextRow]]; false at clean EOF.
+        * Throws on corruption (caught by advance). */
+      private def parseNext(): Boolean = {
+        // skip blank separator lines between records
+        var line = readLine()
+        while (line != null && line.isEmpty) line = readLine()
+        if (line == null) return false // clean EOF
+        if (!line.startsWith("WARC/"))
+          throw new java.io.IOException(s"bad WARC version line: $line")
+        // headers until the blank line; LWS continuations fold
+        val headers = scala.collection.mutable.LinkedHashMap[String, String]()
+        var last: String = null
+        var h = readLine()
+        while (h != null && h.nonEmpty) {
+          if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && last != null)
+            headers(last) = headers(last) + " " + h.trim
+          else {
+            val i = h.indexOf(':')
+            if (i <= 0) throw new java.io.IOException(s"bad WARC header: $h")
+            last = h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+            headers(last) = h.substring(i + 1).trim
+          }
+          h = readLine()
+        }
+        if (h == null) throw new java.io.IOException("EOF inside WARC headers")
+        val len = headers.getOrElse("content-length",
+          throw new java.io.IOException("missing Content-Length")).toLong
+        if (len < 0) throw new java.io.IOException(s"negative Content-Length: $len")
+        val keep = math.min(len, maxPayloadBytes.toLong).toInt
+        val block = in.readNBytes(keep)
+        if (block.length != keep)
+          throw new java.io.IOException("EOF inside WARC block")
+        var toSkip = len - keep
+        while (toSkip > 0) { // skipNBytes semantics without the JDK-17+ quirk
+          val s = in.skip(toSkip)
+          if (s <= 0) {
+            if (in.read() < 0) throw new java.io.IOException("EOF inside WARC block")
+            toSkip -= 1
+          } else toSkip -= s
+        }
+        val wtype = headers.getOrElse("warc-type", "")
+        val ctype = headers.getOrElse("content-type", null)
+        // HTTP response payload: status line + headers + CRLFCRLF + body
+        var status: Integer = null
+        var httpCt: String = null
+        var payload = block
+        if (wtype == "response" && ctype != null &&
+            ctype.toLowerCase(java.util.Locale.ROOT).startsWith("application/http")) {
+          val sep = indexOfDoubleCrlf(block)
+          val headEnd = if (sep >= 0) sep else block.length
+          val head = new String(block, 0, headEnd, "ISO-8859-1")
+          val lines = head.split("\r?\n")
+          if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
+            val parts = lines(0).split(" ")
+            if (parts.length >= 2 && parts(1).forall(_.isDigit) &&
+                parts(1).length <= 3)
+              status = Integer.valueOf(parts(1).toInt)
+            lines.drop(1).foreach { l =>
+              val i = l.indexOf(':')
+              if (i > 0 && l.substring(0, i).trim
+                  .equalsIgnoreCase("content-type") && httpCt == null)
+                httpCt = l.substring(i + 1).trim
+            }
+            if (sep >= 0 && status != null)
+              payload = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
+          }
+        }
+        nextRow = Row(file, ordinal, wtype,
+          headers.getOrElse("warc-record-id", null),
+          headers.getOrElse("warc-target-uri", null),
+          headers.getOrElse("warc-date", null),
+          ctype, len, status, httpCt, payload, false)
+        ordinal += 1
+        true
+      }
+
+      private def advance(): Unit =
+        if (!done && nextRow == null) {
+          try {
+            if (!parseNext()) close()
+          } catch {
+            case _: Exception => // quarantine + stop this file
+              nextRow = corruptRow()
+              close() // done=true; the pending corrupt row still serves
+          }
+        }
+
+      def hasNext: Boolean = { advance(); nextRow != null }
+      def next(): Row = {
+        advance()
+        if (nextRow == null) throw new NoSuchElementException
+        val r = nextRow; nextRow = null; r
+      }
+    }
+  }
+
+  private def indexOfDoubleCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  // ----------------------------------------------------- fixture writer
+
+  /** Write one WARC record to `out` (spec-shaped: version line, headers,
+    * Content-Length'd block, double-CRLF trailer). Fixture/test side —
+    * the parser never depends on it. */
+  def writeRecord(out: java.io.OutputStream, warcType: String,
+                  headers: Seq[(String, String)], block: Array[Byte]): Unit = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $warcType\r\n")
+    headers.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+    sb.append(s"Content-Length: ${block.length}\r\n\r\n")
+    out.write(sb.toString.getBytes("ISO-8859-1"))
+    out.write(block)
+    out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+  }
+
+  /** An HTTP-response block for [[writeRecord]]. */
+  def httpResponseBlock(status: Int, contentType: String,
+                        body: Array[Byte]): Array[Byte] = {
+    val head = s"HTTP/1.1 $status OK\r\nContent-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    head.getBytes("ISO-8859-1") ++ body
+  }
+
+  /** One record per gzip MEMBER (the Common Crawl `.warc.gz` layout):
+    * each call wraps `writeRecord` output in its own member. */
+  def writeGzMember(out: java.io.OutputStream)(body: java.io.OutputStream => Unit): Unit = {
+    val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+    body(gz)
+    gz.finish()
+  }
+}

@@ -261,3 +261,105 @@ class CliSpec extends SparkSuite {
     assert(out.contains("v3iotsdbspark"))
   }
 }
+
+/** WARC ingestion (r10 cont.): the Common Crawl interchange format
+  * through the constant-memory streaming record iterator — plain and
+  * per-record-gzip-member layouts, HTTP response extraction, the
+  * quarantine contract, and the bomb cap. */
+class WarcSourceSpec extends SparkSuite {
+  import graft.ingest.WarcSource
+  import java.nio.file.Files
+
+  private def writePlain(path: String)(recs: (java.io.OutputStream => Unit)*): Unit = {
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try recs.foreach(_(out)) finally out.close()
+  }
+  private def writeGz(path: String)(recs: (java.io.OutputStream => Unit)*): Unit = {
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try recs.foreach(r => WarcSource.writeGzMember(out)(r)) finally out.close()
+  }
+  private def response(uri: String, body: String): java.io.OutputStream => Unit =
+    WarcSource.writeRecord(_, "response",
+      Seq("WARC-Target-URI" -> uri, "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+      WarcSource.httpResponseBlock(200, "text/html", body.getBytes("UTF-8")))
+  private def request(uri: String): java.io.OutputStream => Unit =
+    WarcSource.writeRecord(_, "request",
+      Seq("WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=request"),
+      s"GET $uri HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1"))
+  private def warcinfo: java.io.OutputStream => Unit =
+    WarcSource.writeRecord(_, "warcinfo",
+      Seq("Content-Type" -> "application/warc-fields"),
+      "software: graft\r\n".getBytes("UTF-8"))
+
+  test("plain and gzip-member layouts round-trip; types filter; HTTP status/type/body extracted") {
+    val dir = Files.createTempDirectory("warc").toString
+    writePlain(s"$dir/a.warc")(warcinfo, request("https://x/1"),
+      response("https://x/1", "hello <b>one</b>"),
+      response("https://x/2", "two"))
+    writeGz(s"$dir/b.warc.gz")(warcinfo, request("https://x/3"),
+      response("https://x/3", "three ü"))
+    val all = WarcSource.read(spark, s"$dir/*.warc*")
+    assert(all.filter(col("corrupt")).count() == 0)
+    assert(all.filter(col("warc_type") === "warcinfo").count() == 2)
+    assert(all.filter(col("warc_type") === "request").count() == 2)
+    // request records carry no HTTP status (they are not responses)
+    assert(all.filter(col("warc_type") === "request" &&
+      col("http_status").isNotNull).count() == 0)
+    val resp = WarcSource.responses(all)
+      .select(col("target_uri"), col("http_status"),
+        col("http_content_type"), col("payload").cast("string"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getString(2), r.getString(3)))).toMap
+    assert(resp.keySet == Set("https://x/1", "https://x/2", "https://x/3"))
+    assert(resp("https://x/1") == ((200, "text/html", "hello <b>one</b>")))
+    assert(resp("https://x/3") == ((200, "text/html", "three ü"))) // UTF-8 exact
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+
+  test("quarantine: a torn record flags ONE corrupt row and stops the file; other files unaffected") {
+    val dir = Files.createTempDirectory("warc_bad").toString
+    // file A: one good record, then a record whose block is TRUNCATED
+    val buf = new java.io.ByteArrayOutputStream()
+    response("https://x/1", "good")(buf)
+    val full = buf.toByteArray
+    val out = new java.io.FileOutputStream(s"$dir/a.warc")
+    out.write(full); out.write(full, 0, full.length - 20); out.close()
+    // file B: clean
+    writePlain(s"$dir/b.warc")(response("https://x/2", "fine"))
+    val all = WarcSource.read(spark, s"$dir/*.warc")
+    val aRows = all.filter(col("warc_file").endsWith("a.warc")).collect()
+    assert(aRows.count(_.getBoolean(11)) == 1, "exactly one quarantine row")
+    assert(aRows.count(!_.getBoolean(11)) == 1, "the good record before the tear survives")
+    assert(WarcSource.responses(all).count() == 2) // x/1 (file A) + x/2 (file B)
+    // corruption variants: bad version line, negative length, garbage header
+    for (body <- Seq("NOTWARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
+        "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -5\r\n\r\n",
+        "WARC/1.0\r\nno colon here\r\n\r\n")) {
+      val f = s"$dir/c.warc"
+      java.nio.file.Files.write(java.nio.file.Paths.get(f), body.getBytes("ISO-8859-1"))
+      val rows = WarcSource.read(spark, f).collect()
+      assert(rows.length == 1 && rows(0).getBoolean(11), s"must quarantine: $body")
+    }
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+
+  test("bomb cap: payload retained up to maxPayloadBytes, content_length keeps the claim, the stream resyncs past the skip") {
+    val dir = Files.createTempDirectory("warc_cap").toString
+    val big = "x" * 10000
+    writePlain(s"$dir/a.warc")(
+      WarcSource.writeRecord(_, "resource",
+        Seq("WARC-Target-URI" -> "https://x/big"), big.getBytes("UTF-8")),
+      response("https://x/after", "small"))
+    val rows = WarcSource.read(spark, s"$dir/a.warc", maxPayloadBytes = 1000)
+      .orderBy("record_ordinal").collect()
+    assert(rows.length == 2 && rows.forall(!_.getBoolean(11)))
+    assert(rows(0).getLong(7) == 10000 && rows(0).getAs[Array[Byte]](10).length == 1000)
+    // the capped record's remainder was SKIPPED, not misparsed: the
+    // next record still parses whole
+    assert(rows(1).getString(2) == "response" &&
+      new String(rows(1).getAs[Array[Byte]](10), "UTF-8") == "small")
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+}
