@@ -49,7 +49,13 @@ import org.apache.spark.sql.SparkSession
   *    rule (snapshot and CDC reads are manifest-filter variants of the
   *    raw scan tsdb_raw already times; their staging dominates), as does
   *    the r9 tsdb_asof_rollup (its serving plan is the rollup scan
-  *    tsdb_storage_agg already times plus a pruned raw rebuild).
+  *    tsdb_storage_agg already times plus a pruned raw rebuild), and the
+  *    r10 tsdb_cdc_replica / tsdb_cdc_views (each re-ingests and
+  *    re-mutates a fresh table per run; the maintainer's fold costs are
+  *    measured by tools/CdcViewScale with receipts in SCALE.md).
+  *    corpus_warc IS benched: its segments stage once per corpus
+  *    fingerprint (stagedWarcDir), so the timed body is the streaming
+  *    record parse + HTTP extraction — the ingest-scan shape itself.
   *  - Every individual run's time is emitted under `"runs"` so a run
   *    poisoned by this VM's external freeze windows is visible in the
   *    artifact itself; `"queries"` carries the per-query min.
@@ -89,7 +95,7 @@ object Bench {
     "text_url_domains", "text_url_filter", "corpus_domain_cap",
     "corpus_sample", "corpus_split", "corpus_shuffle", "corpus_mix",
     "corpus_doremi", "corpus_interleave",
-    "corpus_epochs", "corpus_jsonl", "corpus_diff",
+    "corpus_epochs", "corpus_jsonl", "corpus_warc", "corpus_diff",
     "corpus_stats", "corpus_cube", "corpus_quality_gate",
     "text_dedup_lines",
     "sim_semdedup",

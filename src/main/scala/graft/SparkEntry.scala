@@ -235,19 +235,21 @@ object SparkEntry {
     }
   }
 
-  /** The staged WARC fixture segments (r10 cont.): FOUR files — two
-    * plain `.warc`, two `.warc.gz` with one gzip member PER RECORD,
-    * the Common Crawl layout — each opening with a `warcinfo` record,
-    * then per document (lane = doc_id % 4) a `request` record AND a
-    * `response` record whose HTTP body is a closed-form HTML wrapper
-    * of the document text. Staged once per corpus fingerprint;
-    * synthesis is fixture-scale driver work via toLocalIterator
-    * (streamed, never a full collect). */
+  /** The staged WARC fixture segments (r10 cont.): SIXTEEN files —
+    * eight plain `.warc`, eight `.warc.gz` with one gzip member PER
+    * RECORD, the Common Crawl many-segments layout (file-granular
+    * parallelism is the scan's scale axis, so the fixture must ship
+    * more segments than a handful) — each opening with a `warcinfo`
+    * record, then per document (lane = doc_id % 16) a `request`
+    * record AND a `response` record whose HTTP body is a closed-form
+    * HTML wrapper of the document text. Staged once per corpus
+    * fingerprint; synthesis is fixture-scale driver work via
+    * toLocalIterator (streamed, never a full collect). */
   private def stagedWarcDir(s: SparkSession, dir: String): String = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
-      (dir.hashCode & 0x7fffffff) + "/warc_v1"
-    val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#warc_v1"
+      (dir.hashCode & 0x7fffffff) + "/warc_v2"
+    val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#warc_v2"
     val vFile = new java.io.File(s"$path/_graft_version")
     val fresh = vFile.exists &&
       new String(java.nio.file.Files.readAllBytes(vFile.toPath), "UTF-8") == version
@@ -255,15 +257,15 @@ object SparkEntry {
       import graft.ingest.WarcSource
       val d = new java.io.File(path)
       rmTree(d); d.mkdirs()
-      val plain = (0 to 1).map(l => new java.io.BufferedOutputStream(
+      val plain = (0 to 7).map(l => new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(s"$path/lane$l.warc"), 1 << 16))
-      val gz = (2 to 3).map(l => new java.io.BufferedOutputStream(
+      val gz = (8 to 15).map(l => new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(s"$path/lane$l.warc.gz"), 1 << 16))
       def record(lane: Int)(body: java.io.OutputStream => Unit): Unit =
-        if (lane <= 1) body(plain(lane))
-        else WarcSource.writeGzMember(gz(lane - 2))(body)
+        if (lane <= 7) body(plain(lane))
+        else WarcSource.writeGzMember(gz(lane - 8))(body)
       val info = "software: graft\r\n".getBytes("UTF-8")
-      (0 to 3).foreach(l => record(l)(WarcSource.writeRecord(_, "warcinfo",
+      (0 to 15).foreach(l => record(l)(WarcSource.writeRecord(_, "warcinfo",
         Seq("Content-Type" -> "application/warc-fields"), info)))
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text").orderBy("doc_id")
@@ -271,7 +273,7 @@ object SparkEntry {
       while (it.hasNext) {
         val r = it.next()
         val id = r.getLong(0)
-        val lane = (id % 4).toInt
+        val lane = (id % 16).toInt
         val uri = s"https://corpus.example/doc/$id"
         record(lane)(WarcSource.writeRecord(_, "request",
           Seq("WARC-Target-URI" -> uri,

@@ -25,9 +25,10 @@ import org.apache.spark.sql.types._
   *    step if single files ever exceed task granularity.)
   *  - **bomb cap**: `maxPayloadBytes` bounds the bytes RETAINED per
   *    record (the remainder is skipped, not read into memory);
-  *    `content_length` keeps the full claimed size, so truncation is
-  *    derivable (`content_length > length(payload)`). The cap is the
-  *    same discipline as the codec decompression caps.
+  *    `truncated` marks capped records explicitly — it cannot be
+  *    derived from `content_length > length(payload)` because an HTTP
+  *    response's payload excludes its HTTP head (review-caught). The
+  *    cap is the same discipline as the codec decompression caps.
   *  - **quarantine, not crash**: a malformed record emits ONE row with
   *    `corrupt = true` (carrying the file and record ordinal for
   *    receipts) and parsing of that file stops — resyncing inside a
@@ -57,6 +58,7 @@ object WarcSource {
     StructField("http_status", IntegerType),
     StructField("http_content_type", StringType),
     StructField("payload", BinaryType),
+    StructField("truncated", BooleanType),
     StructField("corrupt", BooleanType)))
 
   /** Read every WARC record under `pathGlob` (`.warc` plain or
@@ -122,7 +124,7 @@ object WarcSource {
 
       private def corruptRow(): Row =
         Row(file, ordinal, null, null, null, null, null, null, null, null,
-          null, true)
+          null, null, true)
 
       /** Parse the next record into [[nextRow]]; false at clean EOF.
         * Throws on corruption (caught by advance). */
@@ -177,9 +179,11 @@ object WarcSource {
           val head = new String(block, 0, headEnd, "ISO-8859-1")
           val lines = head.split("\r?\n")
           if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
-            val parts = lines(0).split(" ")
-            if (parts.length >= 2 && parts(1).forall(_.isDigit) &&
-                parts(1).length <= 3)
+            // split on RUNS of spaces: "HTTP/1.1  200" (double space) must
+            // not yield an empty token whose toInt quarantines the record
+            val parts = lines(0).trim.split(" +")
+            if (parts.length >= 2 && parts(1).nonEmpty &&
+                parts(1).forall(_.isDigit) && parts(1).length <= 3)
               status = Integer.valueOf(parts(1).toInt)
             lines.drop(1).foreach { l =>
               val i = l.indexOf(':')
@@ -195,7 +199,7 @@ object WarcSource {
           headers.getOrElse("warc-record-id", null),
           headers.getOrElse("warc-target-uri", null),
           headers.getOrElse("warc-date", null),
-          ctype, len, status, httpCt, payload, false)
+          ctype, len, status, httpCt, payload, len > keep, false)
         ordinal += 1
         true
       }

@@ -315,6 +315,17 @@ class WarcSourceSpec extends SparkSuite {
     assert(resp.keySet == Set("https://x/1", "https://x/2", "https://x/3"))
     assert(resp("https://x/1") == ((200, "text/html", "hello <b>one</b>")))
     assert(resp("https://x/3") == ((200, "text/html", "three ü"))) // UTF-8 exact
+    // a double-space HTTP status line still parses (review-caught:
+    // split(" ") yielded an empty token whose toInt quarantined it)
+    val ds = Files.createTempDirectory("warc_ds").toString
+    writePlain(s"$ds/d.warc")(WarcSource.writeRecord(_, "response",
+      Seq("WARC-Target-URI" -> "https://x/ds",
+        "Content-Type" -> "application/http; msgtype=response"),
+      ("HTTP/1.1  204  No Content\r\n\r\n").getBytes("ISO-8859-1")))
+    val dsRows = WarcSource.read(spark, s"$ds/d.warc").collect()
+    assert(dsRows.length == 1 && !dsRows(0).getBoolean(12) &&
+      dsRows(0).getInt(8) == 204)
+    graft.core.Fs.rmTree(new java.io.File(ds))
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
 
@@ -330,8 +341,8 @@ class WarcSourceSpec extends SparkSuite {
     writePlain(s"$dir/b.warc")(response("https://x/2", "fine"))
     val all = WarcSource.read(spark, s"$dir/*.warc")
     val aRows = all.filter(col("warc_file").endsWith("a.warc")).collect()
-    assert(aRows.count(_.getBoolean(11)) == 1, "exactly one quarantine row")
-    assert(aRows.count(!_.getBoolean(11)) == 1, "the good record before the tear survives")
+    assert(aRows.count(_.getBoolean(12)) == 1, "exactly one quarantine row")
+    assert(aRows.count(!_.getBoolean(12)) == 1, "the good record before the tear survives")
     assert(WarcSource.responses(all).count() == 2) // x/1 (file A) + x/2 (file B)
     // corruption variants: bad version line, negative length, garbage header
     for (body <- Seq("NOTWARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
@@ -340,7 +351,7 @@ class WarcSourceSpec extends SparkSuite {
       val f = s"$dir/c.warc"
       java.nio.file.Files.write(java.nio.file.Paths.get(f), body.getBytes("ISO-8859-1"))
       val rows = WarcSource.read(spark, f).collect()
-      assert(rows.length == 1 && rows(0).getBoolean(11), s"must quarantine: $body")
+      assert(rows.length == 1 && rows(0).getBoolean(12), s"must quarantine: $body")
     }
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
@@ -354,8 +365,11 @@ class WarcSourceSpec extends SparkSuite {
       response("https://x/after", "small"))
     val rows = WarcSource.read(spark, s"$dir/a.warc", maxPayloadBytes = 1000)
       .orderBy("record_ordinal").collect()
-    assert(rows.length == 2 && rows.forall(!_.getBoolean(11)))
+    assert(rows.length == 2 && rows.forall(!_.getBoolean(12)))
     assert(rows(0).getLong(7) == 10000 && rows(0).getAs[Array[Byte]](10).length == 1000)
+    // the cap is flagged EXPLICITLY: an HTTP response's payload excludes
+    // its head, so content_length > length(payload) cannot derive it
+    assert(rows(0).getBoolean(11) && !rows(1).getBoolean(11))
     // the capped record's remainder was SKIPPED, not misparsed: the
     // next record still parses whole
     assert(rows(1).getString(2) == "response" &&
