@@ -1,0 +1,89 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental WARC ingestion: crawls arrive as segment FILES, and the
+  * exactly-once unit at the ingest boundary is the SEGMENT — a new
+  * crawl day drops thousands of new files next to millions of already-
+  * ingested ones, and re-listing is cheap where re-parsing history is
+  * the bug. The loop mirrors [[graft.streaming.ChangesStream.ChangesFeed]]:
+  * a checkpointed processed-set, `poll` = list the glob and diff
+  * against it, apply = the caller folds the NEW segments' records,
+  * `commit` = persist the processed set atomically (temp + move).
+  * Idempotent BY SEGMENT: a crash between apply and commit replays
+  * exactly the uncommitted segments — at-least-once delivery that a
+  * by-segment-idempotent consumer (e.g. a dedup keyed on record ids,
+  * or a [[graft.streaming.ChangesStream.DeltaView]]-shaped tip) turns
+  * into exactly-once ingestion.
+  *
+  * Segments are IMMUTABLE by convention (the Common Crawl contract):
+  * the checkpoint keys by file name, so a re-written segment is not
+  * re-ingested — corpus-refresh detection belongs to snapshotDiff
+  * receipts, not the ingest loop.
+  *
+  * Scale: `poll` costs one directory listing (namenode metadata, no
+  * data reads) plus a set diff bounded by segment count (~100 k names
+  * per crawl — a few MB of checkpoint, rewritten atomically per
+  * commit). The returned frame is [[WarcSource.read]] over ONLY the
+  * new files, so ingest work is proportional to the new data, never
+  * the archive.
+  */
+final class WarcIngest(spark: SparkSession, glob: String,
+                       checkpointDir: String,
+                       maxPayloadBytes: Int = 8 << 20) {
+  private val dir = java.nio.file.Paths.get(checkpointDir)
+  private val stateFile = dir.resolve("segments")
+
+  /** The committed processed-segment names (empty before the first
+    * commit). */
+  def processed: Set[String] =
+    if (java.nio.file.Files.exists(stateFile))
+      new String(java.nio.file.Files.readAllBytes(stateFile), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+    else Set.empty
+
+  private def listSegments(): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(glob), spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(new org.apache.hadoop.fs.Path(glob))
+    if (st == null) Seq.empty
+    else st.toSeq.filter(_.isFile).map(_.getPath.toString).sorted
+  }
+
+  /** One poll: the NEW segments and their records, or None when no new
+    * segment exists. The frame is the plan, not a collect — the caller
+    * decides materialization, then commits the same file list. */
+  def poll(): Option[(Seq[String], DataFrame)] = {
+    val seen = processed
+    val fresh = listSegments().filterNot(seen.contains)
+    if (fresh.isEmpty) None
+    else Some((fresh, WarcSource.read(spark, fresh.mkString(","), maxPayloadBytes)))
+  }
+
+  /** Persist `files` as processed — atomic (temp + move), the
+    * ChangesFeed offset discipline. Call AFTER the apply so a crash
+    * replays the window. */
+  def commit(files: Seq[String]): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    val merged = (processed ++ files).toSeq.sorted
+    val tmp = dir.resolve(s"segments.tmp${System.nanoTime()}")
+    java.nio.file.Files.write(tmp, merged.mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, stateFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object WarcIngest {
+  /** Drain: apply-then-commit each window of new segments until the
+    * listing stops producing them; returns windows consumed. */
+  def drain(ingest: WarcIngest)(apply: DataFrame => Unit): Int = {
+    var n = 0
+    var more = true
+    while (more) ingest.poll() match {
+      case Some((files, records)) => apply(records); ingest.commit(files); n += 1
+      case None => more = false
+    }
+    n
+  }
+}

@@ -377,3 +377,60 @@ class WarcSourceSpec extends SparkSuite {
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
 }
+
+/** Incremental segment-level WARC ingestion (r10 cont.): new-files-only
+  * polls, crash-replay by segment, restart resumption. */
+class WarcIngestSpec extends SparkSuite {
+  import graft.ingest.{WarcIngest, WarcSource}
+  import java.nio.file.Files
+
+  private def seg(path: String, uris: String*): Unit = {
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try uris.foreach { u =>
+      WarcSource.writeRecord(out, "response",
+        Seq("WARC-Target-URI" -> u,
+          "Content-Type" -> "application/http; msgtype=response"),
+        WarcSource.httpResponseBlock(200, "text/plain", u.getBytes("UTF-8")))
+    } finally out.close()
+  }
+
+  test("poll sees only NEW segments; crash between apply and commit replays exactly the window; restart resumes") {
+    val dir = Files.createTempDirectory("warc_inc").toString
+    val data = s"$dir/data"; new java.io.File(data).mkdirs()
+    val ingest = new WarcIngest(spark, s"$data/*.warc", s"$dir/ckpt")
+    seg(s"$data/day1-a.warc", "https://x/1", "https://x/2")
+    seg(s"$data/day1-b.warc", "https://x/3")
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    assert(WarcIngest.drain(ingest) { df =>
+      got ++= WarcSource.responses(df).select("target_uri")
+        .collect().map(_.getString(0))
+    } == 1)
+    assert(got.sorted == Seq("https://x/1", "https://x/2", "https://x/3"))
+    // nothing new -> no window
+    assert(WarcIngest.drain(ingest)(_ => fail("no new segments")) == 0)
+    // a new crawl day: ONLY its records arrive (ingest work tracks new
+    // data, never the archive)
+    seg(s"$data/day2-a.warc", "https://x/4")
+    got.clear()
+    assert(WarcIngest.drain(ingest) { df =>
+      got ++= WarcSource.responses(df).select("target_uri")
+        .collect().map(_.getString(0))
+    } == 1)
+    assert(got.toSeq == Seq("https://x/4"))
+    // crash-replay: poll + apply but NO commit -> a fresh loop (same
+    // checkpoint) replays exactly that window
+    seg(s"$data/day3-a.warc", "https://x/5")
+    val Some((files, _)) = ingest.poll(): @unchecked
+    assert(files.map(f => f.substring(f.lastIndexOf('/') + 1)) == Seq("day3-a.warc"))
+    val ingest2 = new WarcIngest(spark, s"$data/*.warc", s"$dir/ckpt")
+    val Some((files2, df2)) = ingest2.poll(): @unchecked
+    assert(files2 == files, "the uncommitted window must replay as-is")
+    assert(WarcSource.responses(df2).count() == 1)
+    ingest2.commit(files2)
+    assert(ingest2.poll().isEmpty)
+    // the checkpoint carries every committed segment
+    assert(new WarcIngest(spark, s"$data/*.warc", s"$dir/ckpt")
+      .processed.size == 4)
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+}
