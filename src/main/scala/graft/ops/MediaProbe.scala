@@ -220,15 +220,20 @@ object MediaProbe {
               if (codec.isEmpty)
                 codec = new String(bytes, body.toInt, size.toInt, "US-ASCII")
             case 0xB0L if size >= 1 && size <= 8 => // PixelWidth
-              if (width == 0) width = math.min(uintAt(body, size), Int.MaxValue).toInt
+              // an 8-byte value with the top bit set reads NEGATIVE —
+              // crafted dims must clamp to "unknown", never go negative
+              val w = uintAt(body, size)
+              if (width == 0 && w > 0) width = math.min(w, Int.MaxValue).toInt
             case 0xBAL if size >= 1 && size <= 8 => // PixelHeight
-              if (height == 0) height = math.min(uintAt(body, size), Int.MaxValue).toInt
+              val hh = uintAt(body, size)
+              if (height == 0 && hh > 0) height = math.min(hh, Int.MaxValue).toInt
             case 0xB5L => // SamplingFrequency (float)
               val f = floatAt(body, size)
               if (rate == 0 && !f.isNaN && f > 0 && f <= Int.MaxValue)
                 rate = math.round(f).toInt
             case 0x9FL if size >= 1 && size <= 8 => // Channels
-              if (ch == 0) ch = math.min(uintAt(body, size), Int.MaxValue).toInt
+              val c = uintAt(body, size)
+              if (ch == 0 && c > 0) ch = math.min(c, Int.MaxValue).toInt
             case _ => () // skip by size
           }
           p = body + size

@@ -2821,6 +2821,21 @@ class MultimodalSpec extends SparkSuite {
     val spliced = base.take(18) ++ Array(0xFF.toByte) ++ base.drop(20)
     val us = MediaProbe.MkvProbe.probe(spliced).get
     assert(us.durationMs == 777 && us.width == 640)
+    // a crafted 8-byte PixelWidth with the top bit set reads negative
+    // as a Long — it must clamp to "unknown" (0), never go negative
+    // (review-caught). Splice the 2-byte size+payload of PixelWidth
+    // (id 0xB0, written as "B0 40 04 <4 bytes>") into an 8-byte form.
+    val widx = {
+      var i = 0
+      while (!((base(i) & 0xFF) == 0xB0 && (base(i + 1) & 0xFF) == 0x40)) i += 1
+      i
+    }
+    val neg = base.take(widx + 1) ++
+      Array(0x40.toByte, 0x08.toByte) ++ Array.fill(8)(0xFF.toByte) ++
+      base.drop(widx + 3 + 4) // replace "40 04 <w:4>" with "40 08 <FF*8>"
+    // sizes upstream no longer match after the splice-in of 4 extra
+    // bytes, so the walk must reject — and NEVER emit negative dims
+    assert(MediaProbe.MkvProbe.probe(neg).forall(m => m.width >= 0 && m.height >= 0))
     // truncation rejects; the Default chain routes both formats
     assert(MediaProbe.MkvProbe.probe(base.dropRight(5)).isEmpty)
     assert(MediaProbe.Default.probe(
