@@ -95,7 +95,8 @@ object Bench {
     "text_url_domains", "text_url_filter", "corpus_domain_cap",
     "corpus_sample", "corpus_split", "corpus_shuffle", "corpus_mix",
     "corpus_doremi", "corpus_interleave",
-    "corpus_epochs", "corpus_jsonl", "corpus_warc", "corpus_diff",
+    "corpus_epochs", "corpus_jsonl", "corpus_warc", "corpus_warc_text",
+    "corpus_diff",
     "corpus_stats", "corpus_cube", "corpus_quality_gate",
     "text_dedup_lines",
     "sim_semdedup",

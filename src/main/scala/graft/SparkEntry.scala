@@ -2685,6 +2685,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CHARSET-AWARE payload text (r10 cont.): the same decoded string
+    // arrives over FOUR wire encodings — UTF-8, ISO-8859-1, quoted
+    // mixed-case windows-1252, and a charset-less default — and
+    // payloadText normalizes all of them into ONE text column (per-row
+    // charset resolved through a per-partition cache, never a JDK
+    // registry lookup per row — the measured hazard class). The twin's
+    // closed form is the decoded string itself plus the canonical
+    // charset name by lane: a hash match proves the decode is
+    // label-driven, not a blanket UTF-8 cast.
+    "corpus_warc_text" -> ((s, dir) => {
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").orderBy("doc_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_text")
+      try {
+        import graft.ingest.WarcSource
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(s"$tmp/seg.warc"), 1 << 16)
+        val it = ids.toLocalIterator()
+        while (it.hasNext) {
+          val id = it.next().getLong(0)
+          val text = s"döc $id: æøå ñ ü é"
+          val (cs, ct) = (id % 4) match {
+            case 0 => ("UTF-8", "text/plain; charset=utf-8")
+            case 1 => ("ISO-8859-1", "text/plain; charset=ISO-8859-1")
+            case 2 => ("windows-1252", "text/plain; Charset=\"windows-1252\"")
+            case _ => ("UTF-8", "text/plain")
+          }
+          WarcSource.writeRecord(out, "response",
+            Seq("WARC-Target-URI" -> s"https://corpus.example/doc/$id",
+              "Content-Type" -> "application/http; msgtype=response"),
+            WarcSource.httpResponseBlock(200, ct, text.getBytes(cs)))
+        }
+        out.close()
+        val res = WarcSource.payloadText(
+            WarcSource.responses(WarcSource.read(s, s"$tmp/seg.warc")))
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("text"), col("charset"))
+          .orderBy("doc_id")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // corpus snapshot diff (crawl-refresh receipts): new version = old
     // with ids % 10 == 7 edited, ids >= 450 dropped, and 20 fresh docs
     // appended at +10000 — the per-doc added/removed/changed/unchanged
@@ -5182,6 +5227,16 @@ object SparkEntry {
       """SELECT doc_id, CAST(200 AS BIGINT) AS status,
         |  'text/html; charset=utf-8' AS ctype,
         |  '<html><body><p>' || text || '</p></body></html>' AS html
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // four wire encodings, one decoded string: the text column is the
+    // SAME closed form for every lane, the charset column is the
+    // canonical name the label resolved to (default lane -> UTF-8)
+    "corpus_warc_text" ->
+      """SELECT doc_id,
+        |  'döc ' || doc_id || ': æøå ñ ü é' AS text,
+        |  CASE doc_id % 4 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'ISO-8859-1'
+        |    WHEN 2 THEN 'windows-1252' ELSE 'UTF-8' END AS charset
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // same construction: edits flip the normalized-text md5, removals

@@ -83,14 +83,72 @@ object WarcSource {
         col("http_content_type"), col("payload"))
   }
 
+  /** Charset-aware payload text over a [[responses]] frame: the HTTP
+    * Content-Type's `charset=` parameter decides the decode; absent or
+    * unknown charsets fall back to `defaultCharset` (UTF-8 — the
+    * crawl-modal reality; HTTP/1.1's ISO-8859-1 default predates it).
+    * Malformed byte sequences decode to U+FFFD (REPLACE — deterministic,
+    * and a crawl pipeline must not crash on a mislabeled body).
+    *
+    * Registry discipline: `Charset.forName` is a JDK registry lookup —
+    * the measured per-row-JDK-call hazard class — so charsets resolve
+    * through a per-partition cache keyed by the (few) distinct labels,
+    * never per row. */
+  def payloadText(responses: DataFrame,
+                  defaultCharset: String = "UTF-8"): DataFrame = {
+    val spark = responses.sparkSession
+    val inSchema = responses.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("text", StringType) :+ StructField("charset", StringType))
+    val ctIdx = inSchema.fieldIndex("http_content_type")
+    val payIdx = inSchema.fieldIndex("payload")
+    val charsetRe = java.util.regex.Pattern.compile(
+      "charset=\"?([A-Za-z0-9_\\-:.]+)\"?",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    val rows = responses.rdd.mapPartitions { it =>
+      val cache = new java.util.HashMap[String, java.nio.charset.Charset]()
+      def resolve(label: String): java.nio.charset.Charset = {
+        var cs = cache.get(label)
+        if (cs == null) {
+          cs = try java.nio.charset.Charset.forName(label)
+          catch { case _: Exception => java.nio.charset.Charset.forName(defaultCharset) }
+          cache.put(label, cs)
+        }
+        cs
+      }
+      it.map { r =>
+        val ct = if (r.isNullAt(ctIdx)) null else r.getString(ctIdx)
+        val label = {
+          if (ct == null) defaultCharset
+          else {
+            val m = charsetRe.matcher(ct)
+            if (m.find()) m.group(1) else defaultCharset
+          }
+        }
+        val cs = resolve(label)
+        val payload =
+          if (r.isNullAt(payIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](payIdx)
+        val dec = cs.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        val text = dec.decode(java.nio.ByteBuffer.wrap(payload)).toString
+        Row.fromSeq(r.toSeq :+ text :+ cs.name())
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   // ----------------------------------------------------------- parsing
 
   /** Streaming record iterator over one (possibly gzip'd) WARC file.
     * Materialized as a Seq? NO — returns an Iterator so flatMap keeps
     * the single-pass constant-memory property; the stream closes when
-    * the iterator drains (or aborts on corruption). */
-  private def parseFile(file: String, raw: java.io.InputStream,
-                        maxPayloadBytes: Int): Iterator[Row] = {
+    * the iterator drains (or aborts on corruption). private[graft] so
+    * the fuzz spec can drive the parser without a Spark job per
+    * mutation. */
+  private[graft] def parseFile(file: String, raw: java.io.InputStream,
+                               maxPayloadBytes: Int): Iterator[Row] = {
     val in = new java.io.BufferedInputStream(
       if (file.endsWith(".gz"))
         new java.util.zip.GZIPInputStream(raw, 1 << 16)

@@ -3217,4 +3217,40 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       Multimodal.webmAudioBytes("matroska", 2500, "A_OPUS", 48000, 2),
       seed = 122L)
   }
+
+  test("FUZZ WARC record stream: rows sane or corrupt-flagged, parse never throws past the iterator") {
+    import graft.ingest.WarcSource
+    val buf = new java.io.ByteArrayOutputStream()
+    WarcSource.writeRecord(buf, "response",
+      Seq("WARC-Target-URI" -> "https://x/1",
+        "Content-Type" -> "application/http; msgtype=response"),
+      WarcSource.httpResponseBlock(200, "text/html", "hello".getBytes("UTF-8")))
+    WarcSource.writeRecord(buf, "resource",
+      Seq("WARC-Target-URI" -> "https://x/2"),
+      Array.tabulate(300)(_.toByte))
+    val base = buf.toByteArray
+    (mutations(base, seed = 123L, 80) :+ ("empty", Array.emptyByteArray))
+      .foreach { case (tag, payload) =>
+        try {
+          val rows = WarcSource.parseFile("fuzz.warc",
+            new java.io.ByteArrayInputStream(payload), 1 << 20).toSeq
+          rows.foreach { r =>
+            if (!r.getBoolean(12)) { // sane non-corrupt row
+              assert(r.getString(2) != null && r.getLong(7) >= 0 &&
+                r.getAs[Array[Byte]](10) != null &&
+                r.getAs[Array[Byte]](10).length <= (1 << 20),
+                s"warc/$tag: insane row $r")
+            }
+          }
+          // at most ONE corrupt row per file, always the last
+          val flags = rows.map(_.getBoolean(12))
+          assert(flags.count(identity) <= 1 &&
+            (!flags.contains(true) || flags.last),
+            s"warc/$tag: quarantine contract violated: $flags")
+        } catch {
+          case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+            fail(s"warc/$tag: parser threw ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+  }
 }

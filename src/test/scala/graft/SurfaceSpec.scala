@@ -434,3 +434,45 @@ class WarcIngestSpec extends SparkSuite {
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
 }
+
+/** Charset-aware payload decode (r10 cont.). */
+class WarcPayloadTextSpec extends SparkSuite {
+  import graft.ingest.WarcSource
+  import java.nio.file.Files
+
+  test("charset labels drive the decode: quoted/mixed-case/unknown/missing labels, malformed bytes replace") {
+    val dir = Files.createTempDirectory("warc_cs").toString
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(s"$dir/seg.warc"))
+    def rec(uri: String, ct: String, body: Array[Byte]): Unit =
+      WarcSource.writeRecord(out, "response",
+        Seq("WARC-Target-URI" -> uri,
+          "Content-Type" -> "application/http; msgtype=response"),
+        WarcSource.httpResponseBlock(200, ct, body))
+    val t = "döc æøå ñ ü é"
+    rec("https://x/u8", "text/plain; charset=utf-8", t.getBytes("UTF-8"))
+    rec("https://x/l1", "text/plain; CHARSET=\"iso-8859-1\"", t.getBytes("ISO-8859-1"))
+    rec("https://x/cp", "text/plain; charset=windows-1252", t.getBytes("windows-1252"))
+    rec("https://x/none", "text/plain", t.getBytes("UTF-8"))
+    // unknown label falls back to the default (UTF-8)
+    rec("https://x/unk", "text/plain; charset=klingon-8", t.getBytes("UTF-8"))
+    // a latin-1 body MISLABELED utf-8: malformed sequences become U+FFFD,
+    // deterministically, never an exception
+    rec("https://x/bad", "text/plain; charset=utf-8", t.getBytes("ISO-8859-1"))
+    out.close()
+    val got = WarcSource.payloadText(
+        WarcSource.responses(WarcSource.read(spark, s"$dir/seg.warc")))
+      .select("target_uri", "text", "charset")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got("https://x/u8") == ((t, "UTF-8")))
+    assert(got("https://x/l1") == ((t, "ISO-8859-1")))
+    assert(got("https://x/cp") == ((t, "windows-1252")))
+    assert(got("https://x/none") == ((t, "UTF-8")))
+    assert(got("https://x/unk") == ((t, "UTF-8")))
+    val (badText, badCs) = got("https://x/bad")
+    assert(badCs == "UTF-8" && badText.contains('�') &&
+      badText.startsWith("d") && badText.contains("c "),
+      s"mislabeled body must decode with replacement: $badText")
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+}
