@@ -2730,6 +2730,32 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // CRAWL PIPELINE end-to-end (r10 cont. — the composition the WARC
+    // source exists for): staged Common-Crawl-shaped segments → HTTP
+    // response extraction → charset-aware text decode → HTML→text
+    // strip → whitespace token count → keep docs passing the length
+    // gate. The twin replays EVERY stage in SQL: the closed-form HTML
+    // wrapper, the full 11-regexp strip chain (the text_strip_html
+    // replay — document text may itself contain markup), the token
+    // count, and the gate. One hash pins the whole ingest→curation
+    // path.
+    "corpus_crawl_pipeline" -> ((s, dir) => {
+      val resp = graft.ingest.WarcSource.responses(
+        graft.ingest.WarcSource.read(s, stagedWarcDir(s, dir) + "/*.warc*"))
+      val txt = graft.ingest.WarcSource.payloadText(resp)
+      val clean = txt.select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        graft.ops.TextAnalysis.stripHtml(col("text")).as("clean"))
+      clean.select(col("doc_id"),
+          when(col("clean") === "", lit(0L))
+            .otherwise(size(split(col("clean"), " ")).cast("long"))
+            .as("n_tokens"),
+          md5(col("clean").cast("binary")).as("receipt"))
+        .filter(col("n_tokens") >= 5)
+        .orderBy("doc_id")
+    }),
+
     // corpus snapshot diff (crawl-refresh receipts): new version = old
     // with ids % 10 == 7 edited, ids >= 450 dropped, and 20 fresh docs
     // appended at +10000 — the per-doc added/removed/changed/unchanged
@@ -5228,6 +5254,42 @@ object SparkEntry {
         |  'text/html; charset=utf-8' AS ctype,
         |  '<html><body><p>' || text || '</p></body></html>' AS html
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the crawl pipeline replayed stage by stage: the planted wrapper,
+    // the full strip chain (document text may contain markup of its
+    // own), whitespace token count, and the >= 5 gate
+    "corpus_crawl_pipeline" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>' || text || '</p></body></html>' AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        h,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<', 'g'),
+        |        '&gt;', '>', 'g'),
+        |        '&quot;', '"', 'g'),
+        |        '&#39;', '''', 'g'),
+        |        '&nbsp;', ' ', 'g'),
+        |        '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM p),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN clean = '' THEN 0
+        |         ELSE len(string_split(clean, ' ')) END AS n_tokens,
+        |    md5(clean) AS receipt
+        |  FROM c)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, receipt
+        |FROM t WHERE n_tokens >= 5 ORDER BY doc_id""".stripMargin,
 
     // four wire encodings, one decoded string: the text column is the
     // SAME closed form for every lane, the charset column is the
