@@ -61,7 +61,7 @@ object MediaProbe {
   lazy val Default: Probe =
     FlacProbe.orElse(WavProbe).orElse(AviProbe).orElse(GifProbe)
       .orElse(AuProbe).orElse(AiffProbe).orElse(OggProbe).orElse(MkvProbe)
-      .orElse(Mp4Probe).orElse(Mp3Probe)
+      .orElse(ZipProbe).orElse(Mp4Probe).orElse(Mp3Probe)
 
   /** Ogg page walk (RFC 3533) + Vorbis/Opus identification headers —
     * the open crawl audio formats. Duration comes from the LAST page's
@@ -137,6 +137,71 @@ object MediaProbe {
       Some(MediaInfo("ogg", codec, durationMs, rate, ch,
         if (codec == "vorbis" && brNom > 0) brNom / 1000 else 0,
         0, 0, samples))
+    } catch { case _: Exception => None }
+  }
+
+  /** ZIP central-directory probe (the PKWARE APPNOTE layout): a crawl's
+    * office documents, EPUBs and JARs are ZIP containers, and their
+    * triage-relevant shape — entry count, payload method — sits in the
+    * end-of-central-directory record and the central directory, never
+    * in the entry data. Walk: scan the tail window for the EOCD magic
+    * (its variable-length comment means scanning, bounded by the spec's
+    * 64 KiB comment cap), require the comment length to close the file
+    * EXACTLY (a trailing-garbage reject, the Mp3Probe strictness), then
+    * walk the central directory verifying the entry count against the
+    * EOCD's claim. ZIP64 archives (0xFFFF/0xFFFFFFFF sentinel fields)
+    * are flagged as not-probed rather than misparsed. */
+  object ZipProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 22 ||
+          bytes(0) != 'P' || bytes(1) != 'K') return None
+      // EOCD: last 22..(22+65535) bytes; newest (last) magic wins
+      val scanFrom = math.max(0, bytes.length - 22 - 65535)
+      var eocd = -1
+      var i = bytes.length - 22
+      while (i >= scanFrom && eocd < 0) {
+        if (bytes(i) == 'P' && bytes(i + 1) == 'K' && bytes(i + 2) == 5 &&
+            bytes(i + 3) == 6) eocd = i
+        i -= 1
+      }
+      if (eocd < 0) return None
+      val commentLen = Codecs.LE.u16(bytes, eocd + 20)
+      if (eocd + 22L + commentLen != bytes.length)
+        return None // EOCD must close the file exactly
+      val totalEntries = Codecs.LE.u16(bytes, eocd + 10)
+      val cdSize = Codecs.LE.i32(bytes, eocd + 12) & 0xFFFFFFFFL
+      val cdOffset = Codecs.LE.i32(bytes, eocd + 16) & 0xFFFFFFFFL
+      if (totalEntries == 0xFFFF || cdOffset == 0xFFFFFFFFL ||
+          cdSize == 0xFFFFFFFFL) return None // ZIP64: flag, don't misparse
+      if (cdOffset + cdSize > eocd) return None
+      // central directory walk: count entries, first entry's method
+      var p = cdOffset
+      val end = cdOffset + cdSize
+      var n = 0L
+      var method = -1
+      while (p + 46 <= end) {
+        val o = p.toInt
+        if (bytes(o) != 'P' || bytes(o + 1) != 'K' || bytes(o + 2) != 1 ||
+            bytes(o + 3) != 2) return None
+        if (method < 0) method = Codecs.LE.u16(bytes, o + 10)
+        val nameLen = Codecs.LE.u16(bytes, o + 28)
+        val extraLen = Codecs.LE.u16(bytes, o + 30)
+        val cmtLen = Codecs.LE.u16(bytes, o + 32)
+        n += 1
+        p += 46L + nameLen + extraLen + cmtLen
+      }
+      if (p != end || n != totalEntries)
+        return None // torn directory or count mismatch with the EOCD
+      val codec = method match {
+        case -1 => "empty"
+        case 0 => "stored"
+        case 8 => "deflate"
+        case 12 => "bzip2"
+        case 14 => "lzma"
+        case 93 => "zstd"
+        case m => f"method-$m%d"
+      }
+      Some(MediaInfo("zip", codec, 0L, 0, 0, 0, 0, 0, n))
     } catch { case _: Exception => None }
   }
 

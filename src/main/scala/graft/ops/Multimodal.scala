@@ -1156,6 +1156,32 @@ object Multimodal {
     ftyp ++ box("moov", mvhd ++ trak)
   }
 
+  /** A ZIP archive via the JDK writer (PROBE fixture): `entries` are
+    * (name, content) pairs; `stored = true` writes method-0 entries
+    * (CRC precomputed, as STORED requires), else DEFLATE. */
+  def zipBytes(entries: Seq[(String, Array[Byte])],
+               stored: Boolean = false): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(buf)
+    entries.foreach { case (name, content) =>
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(1704067200000L) // fixed stamp: stable fixture bytes
+      if (stored) {
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(content.length)
+        e.setCompressedSize(content.length)
+        val crc = new java.util.zip.CRC32()
+        crc.update(content)
+        e.setCrc(crc.getValue)
+      }
+      z.putNextEntry(e)
+      z.write(content)
+      z.closeEntry()
+    }
+    z.close()
+    buf.toByteArray
+  }
+
   /** Ogg page CRC (RFC 3533 §6): CRC-32 with polynomial 0x04C11DB7,
     * MSB-first, init 0, no final xor — NOT the zlib reflected CRC. */
   private def oggCrc(b: Array[Byte]): Int = {

@@ -2843,6 +2843,39 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaProbe.Default.probe(base).get.format == "webm")
   }
 
+  test("media probes: ZIP central-directory walk — entry counts, methods, ZIP64 and trailing-garbage rejects (r10 cont.)") {
+    import graft.ops.MediaProbe
+    val entries = (0 until 7).map(i =>
+      s"doc/$i.txt" -> Array.tabulate(50 + i * 9)(k => ((i + k) % 90 + 32).toByte))
+    val deflated = Multimodal.zipBytes(entries)
+    val zd = MediaProbe.ZipProbe.probe(deflated).get
+    assert(zd.format == "zip" && zd.codec == "deflate" && zd.frames == 7)
+    val stored = Multimodal.zipBytes(entries.take(3), stored = true)
+    val zs = MediaProbe.ZipProbe.probe(stored).get
+    assert(zs.codec == "stored" && zs.frames == 3)
+    // an empty archive is a valid zip with zero entries
+    assert(MediaProbe.ZipProbe.probe(Multimodal.zipBytes(Seq.empty))
+      .exists(m => m.frames == 0 && m.codec == "empty"))
+    // trailing garbage / truncation reject (the EOCD must close the
+    // file exactly; a torn central directory must not half-count)
+    assert(MediaProbe.ZipProbe.probe(
+      deflated ++ "junk".getBytes("US-ASCII")).isEmpty)
+    assert(MediaProbe.ZipProbe.probe(deflated.dropRight(3)).isEmpty)
+    // a crafted EOCD entry-count that disagrees with the directory rejects
+    val lied = deflated.clone()
+    // EOCD sits at the tail (no comment): total-entries field at +10
+    val eocd = lied.length - 22
+    lied(eocd + 10) = 5; lied(eocd + 11) = 0
+    assert(MediaProbe.ZipProbe.probe(lied).isEmpty)
+    // ZIP64 sentinels flag as not-probed instead of misparsing
+    val z64 = deflated.clone()
+    z64(eocd + 16) = 0xFF.toByte; z64(eocd + 17) = 0xFF.toByte
+    z64(eocd + 18) = 0xFF.toByte; z64(eocd + 19) = 0xFF.toByte
+    assert(MediaProbe.ZipProbe.probe(z64).isEmpty)
+    // the Default chain routes zips (docx/epub/jar triage)
+    assert(MediaProbe.Default.probe(deflated).get.format == "zip")
+  }
+
   test("FLAC: constant/verbatim/fixed/LPC subframes decode to the exact coded samples") {
     import graft.ops.Codecs
     import Multimodal.{FlacConstant, FlacVerbatim, FlacFixed, FlacLpc}
@@ -3216,6 +3249,10 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
     fuzzProbe("mkv-audio", MediaProbe.MkvProbe,
       Multimodal.webmAudioBytes("matroska", 2500, "A_OPUS", 48000, 2),
       seed = 122L)
+    fuzzProbe("zip", MediaProbe.ZipProbe,
+      Multimodal.zipBytes((0 until 5).map(i =>
+        s"e$i" -> Array.tabulate(40 + i * 7)(k => (k * 3 + i).toByte))),
+      seed = 124L)
   }
 
   test("FUZZ WARC record stream: rows sane or corrupt-flagged, parse never throws past the iterator") {
