@@ -39,10 +39,12 @@ import org.apache.spark.sql.types._
   * HTTP payloads: `response` records whose WARC Content-Type is
   * `application/http` carry a full HTTP response in the block; the
   * status code and Content-Type header are parsed out and the BODY
-  * becomes the payload. The body is the capture VERBATIM — chunked
-  * transfer encoding is not decoded here (a triage-stage consumer
-  * filters on status/type first; fidelity beats convenience at the
-  * ingest boundary).
+  * becomes the payload. A `Transfer-Encoding: chunked` body is
+  * DE-CHUNKED (RFC 9112 §7.1: hex-length lines, per-chunk CRLFs,
+  * terminal 0-chunk, trailers dropped) — the chunk framing is
+  * transport plumbing, not content; a body whose framing does not
+  * parse (including one the bomb cap truncated mid-chunk) keeps the
+  * capture verbatim rather than guessing.
   */
 object WarcSource {
 
@@ -243,14 +245,23 @@ object WarcSource {
             if (parts.length >= 2 && parts(1).nonEmpty &&
                 parts(1).forall(_.isDigit) && parts(1).length <= 3)
               status = Integer.valueOf(parts(1).toInt)
+            var chunked = false
             lines.drop(1).foreach { l =>
               val i = l.indexOf(':')
-              if (i > 0 && l.substring(0, i).trim
-                  .equalsIgnoreCase("content-type") && httpCt == null)
-                httpCt = l.substring(i + 1).trim
+              if (i > 0) {
+                val k = l.substring(0, i).trim
+                if (k.equalsIgnoreCase("content-type") && httpCt == null)
+                  httpCt = l.substring(i + 1).trim
+                else if (k.equalsIgnoreCase("transfer-encoding") &&
+                    l.substring(i + 1).toLowerCase(java.util.Locale.ROOT)
+                      .contains("chunked"))
+                  chunked = true
+              }
             }
-            if (sep >= 0 && status != null)
+            if (sep >= 0 && status != null) {
               payload = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
+              if (chunked) dechunk(payload).foreach(payload = _)
+            }
           }
         }
         nextRow = Row(file, ordinal, wtype,
@@ -280,6 +291,45 @@ object WarcSource {
         val r = nextRow; nextRow = null; r
       }
     }
+  }
+
+  /** RFC 9112 §7.1 chunked-body decode: hex-size line (extensions after
+    * `;` ignored), chunk data, per-chunk CRLF, terminal 0-chunk
+    * (trailer fields dropped). None on any framing violation — the
+    * caller then keeps the capture verbatim. A size line claiming more
+    * than 8 hex digits (> 4 GiB in one chunk) is corruption, and total
+    * output is inherently input-bounded (every emitted byte exists in
+    * the input). */
+  private[graft] def dechunk(b: Array[Byte]): Option[Array[Byte]] = try {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
+    var p = 0
+    while (true) {
+      val lineEnd = indexOfCrlf(b, p)
+      if (lineEnd < 0) return None
+      val line = new String(b, p, lineEnd - p, "ISO-8859-1")
+      val hex = line.takeWhile(c => Character.digit(c, 16) >= 0)
+      if (hex.isEmpty || hex.length > 8) return None
+      if (line.length > hex.length && line.charAt(hex.length) != ';')
+        return None // garbage after the size that is not an extension
+      val n = java.lang.Long.parseLong(hex, 16)
+      p = lineEnd + 2
+      if (n == 0) return Some(out.toByteArray) // trailers (if any) dropped
+      if (n > b.length - p) return None
+      out.write(b, p, n.toInt)
+      p += n.toInt
+      if (p + 2 > b.length || b(p) != '\r' || b(p + 1) != '\n') return None
+      p += 2
+    }
+    None
+  } catch { case _: Exception => None }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
   }
 
   private def indexOfDoubleCrlf(b: Array[Byte]): Int = {

@@ -476,3 +476,58 @@ class WarcPayloadTextSpec extends SparkSuite {
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
 }
+
+/** Chunked transfer-encoding decode at the WARC ingest boundary. */
+class WarcChunkedSpec extends SparkSuite {
+  import graft.ingest.WarcSource
+  import java.nio.file.Files
+
+  private def chunkedBlock(status: Int, chunks: Seq[String],
+                           sizeLineSuffix: String = "",
+                           trailer: String = ""): Array[Byte] = {
+    val body = new StringBuilder
+    chunks.foreach { c =>
+      body.append(Integer.toHexString(c.getBytes("UTF-8").length))
+      body.append(sizeLineSuffix).append("\r\n").append(c).append("\r\n")
+    }
+    body.append("0\r\n").append(trailer).append("\r\n")
+    (s"HTTP/1.1 $status OK\r\nContent-Type: text/plain\r\n" +
+      s"Transfer-Encoding: chunked\r\n\r\n" + body.toString)
+      .getBytes("ISO-8859-1")
+  }
+
+  private def readOne(dir: String, block: Array[Byte]): org.apache.spark.sql.Row = {
+    val f = s"$dir/one.warc"
+    val out = new java.io.FileOutputStream(f)
+    try WarcSource.writeRecord(out, "response",
+      Seq("WARC-Target-URI" -> "https://x/c",
+        "Content-Type" -> "application/http; msgtype=response"), block)
+    finally out.close()
+    val rows = WarcSource.read(spark, f).collect()
+    assert(rows.length == 1 && !rows(0).getBoolean(12))
+    rows(0)
+  }
+
+  test("chunked bodies de-chunk (multi-chunk, extensions, trailers); broken framing keeps the capture verbatim") {
+    val dir = Files.createTempDirectory("warc_chunk").toString
+    // multi-chunk with a size-line extension and a trailer field
+    val r = readOne(dir, chunkedBlock(200, Seq("hello ", "chunked ", "world"),
+      sizeLineSuffix = ";ext=1", trailer = "X-Sum: 3\r\n"))
+    assert(new String(r.getAs[Array[Byte]](10), "UTF-8") == "hello chunked world")
+    assert(r.getInt(8) == 200)
+    // a single empty-content response: just the terminal chunk
+    val r0 = readOne(dir, chunkedBlock(204, Seq.empty))
+    assert(r0.getAs[Array[Byte]](10).length == 0)
+    // BROKEN framing (size lies past the buffer): the capture stays
+    // verbatim — never a guess, never a crash
+    val broken = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "ffff\r\nshort").getBytes("ISO-8859-1")
+    val rb = readOne(dir, broken)
+    assert(new String(rb.getAs[Array[Byte]](10), "ISO-8859-1") == "ffff\r\nshort")
+    // dechunk unit edges: > 8 hex digits, garbage after size, missing CRLF
+    assert(WarcSource.dechunk("fffffffff\r\nx\r\n0\r\n\r\n".getBytes("ISO-8859-1")).isEmpty)
+    assert(WarcSource.dechunk("3x\r\nabc\r\n0\r\n\r\n".getBytes("ISO-8859-1")).isEmpty)
+    assert(WarcSource.dechunk("3\r\nabcXY0\r\n\r\n".getBytes("ISO-8859-1")).isEmpty)
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+}
