@@ -17,9 +17,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * into exactly-once ingestion.
   *
   * Segments are IMMUTABLE by convention (the Common Crawl contract):
-  * the checkpoint keys by file name, so a re-written segment is not
-  * re-ingested — corpus-refresh detection belongs to snapshotDiff
-  * receipts, not the ingest loop.
+  * the checkpoint keys by fully-qualified path, so a re-written segment
+  * is not re-ingested — corpus-refresh detection belongs to
+  * snapshotDiff receipts, not the ingest loop.
   *
   * Scale: `poll` costs one directory listing (namenode metadata, no
   * data reads) plus a set diff bounded by segment count (~100 k names
@@ -43,9 +43,12 @@ final class WarcIngest(spark: SparkSession, glob: String,
     else Set.empty
 
   private def listSegments(): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(glob), spark.sparkContext.hadoopConfiguration)
-    val st = fs.globStatus(new org.apache.hadoop.fs.Path(glob))
+    // Path.getFileSystem, NOT FileSystem.get(new URI(glob)): characters
+    // legal in Hadoop globs ({}, spaces, brackets) are URI-illegal and
+    // would throw URISyntaxException at poll time (review-caught).
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(p)
     if (st == null) Seq.empty
     else st.toSeq.filter(_.isFile).map(_.getPath.toString).sorted
   }
@@ -56,8 +59,11 @@ final class WarcIngest(spark: SparkSession, glob: String,
   def poll(): Option[(Seq[String], DataFrame)] = {
     val seen = processed
     val fresh = listSegments().filterNot(seen.contains)
+    // readFiles takes the listed paths verbatim — a comma-joined glob
+    // string would split names containing commas and re-expand glob
+    // metacharacters (review-caught).
     if (fresh.isEmpty) None
-    else Some((fresh, WarcSource.read(spark, fresh.mkString(","), maxPayloadBytes)))
+    else Some((fresh, WarcSource.readFiles(spark, fresh, maxPayloadBytes)))
   }
 
   /** Persist `files` as processed — atomic (temp + move), the

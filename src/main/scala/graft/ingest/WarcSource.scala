@@ -75,6 +75,47 @@ object WarcSource {
     spark.createDataFrame(rows, Schema)
   }
 
+  /** Read an EXPLICIT list of segment files — names taken verbatim, so
+    * paths containing commas, spaces, or glob metacharacters (all legal
+    * on POSIX/HDFS) read correctly. `read`'s glob string can't carry
+    * such names (Hadoop's comma-separated input-path parse and glob
+    * expansion both re-interpret them), so the ingest loop — which
+    * already holds exact listed paths — comes through here: one task
+    * per file opened directly via its FileSystem, same streaming
+    * parser. */
+  def readFiles(spark: SparkSession, files: Seq[String],
+                maxPayloadBytes: Int = 8 << 20): DataFrame = {
+    require(maxPayloadBytes > 0, s"maxPayloadBytes must be positive: $maxPayloadBytes")
+    if (files.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], Schema)
+    val sc = spark.sparkContext
+    val conf = new SerializableHadoopConf(sc.hadoopConfiguration)
+    val rows = sc.parallelize(files, files.length)
+      .flatMap { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(conf.value)
+        parseFile(f, fs.open(p), maxPayloadBytes)
+      }
+    spark.createDataFrame(rows, Schema)
+  }
+
+  /** Hadoop Configuration is not java-serializable; ship it via its own
+    * write/readFields (the standard Spark-internal pattern, re-stated
+    * here because Spark's copy is private[spark]). */
+  private final class SerializableHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** The `response`-record view most pipelines want: URI, HTTP status,
     * HTTP Content-Type, body. Corrupt and non-response records drop. */
   def responses(warc: DataFrame): DataFrame = {
@@ -143,6 +184,10 @@ object WarcSource {
 
   // ----------------------------------------------------------- parsing
 
+  /** Cap on CUMULATIVE header bytes per record (1 MiB): real WARC headers
+    * are a few hundred bytes; past this is a header flood (quarantine). */
+  private[graft] val MaxHeaderBytes: Long = 1L << 20
+
   /** Streaming record iterator over one (possibly gzip'd) WARC file.
     * Materialized as a Seq? NO — returns an Iterator so flatMap keeps
     * the single-pass constant-memory property; the stream closes when
@@ -195,11 +240,19 @@ object WarcSource {
         if (line == null) return false // clean EOF
         if (!line.startsWith("WARC/"))
           throw new java.io.IOException(s"bad WARC version line: $line")
-        // headers until the blank line; LWS continuations fold
+        // headers until the blank line; LWS continuations fold. Cumulative
+        // header bytes are capped (mirroring maxPayloadBytes): each LINE is
+        // bounded at 64 KiB, but a record flooding millions of SHORT header
+        // lines would otherwise accumulate them all in the map before EOF
+        // throws — a gzip-expanded header flood must quarantine, not OOM.
         val headers = scala.collection.mutable.LinkedHashMap[String, String]()
+        var headerBytes = 0L
         var last: String = null
         var h = readLine()
         while (h != null && h.nonEmpty) {
+          headerBytes += h.length + 2
+          if (headerBytes > MaxHeaderBytes)
+            throw new java.io.IOException(s"WARC headers > $MaxHeaderBytes bytes")
           if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && last != null)
             headers(last) = headers(last) + " " + h.trim
           else {

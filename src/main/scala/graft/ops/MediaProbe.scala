@@ -61,7 +61,7 @@ object MediaProbe {
   lazy val Default: Probe =
     FlacProbe.orElse(WavProbe).orElse(AviProbe).orElse(GifProbe)
       .orElse(AuProbe).orElse(AiffProbe).orElse(OggProbe).orElse(MkvProbe)
-      .orElse(ZipProbe).orElse(Mp4Probe).orElse(Mp3Probe)
+      .orElse(ZipProbe).orElse(Pdf.Probe).orElse(Mp4Probe).orElse(Mp3Probe)
 
   /** Ogg page walk (RFC 3533) + Vorbis/Opus identification headers —
     * the open crawl audio formats. Duration comes from the LAST page's

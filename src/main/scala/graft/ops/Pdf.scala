@@ -1,0 +1,1221 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** PDF probe + bounded text extraction (r11) — the crawl-modal document
+  * format. A web crawl's single biggest non-HTML document source is
+  * plain PDF, and at 100 TB the pipeline needs the same two stages the
+  * media formats get: a header/xref PROBE (version, page count,
+  * encrypted flag — triage before any content work) and a bounded TEXT
+  * extractor for the supported subset (FlateDecode / ASCIIHex /
+  * uncompressed content streams, simple fonts, Tj/TJ/BT-ET operators).
+  *
+  * Everything derives from the public ISO 32000-1 (PDF 1.7) spec:
+  * cross-reference TABLES (§7.5.4) and STREAMS (§7.5.8, /W-column
+  * entries, PNG predictors), object streams (§7.5.7), the content
+  * stream text operators (§9.4), literal/hex string syntax (§7.3.4),
+  * and WinAnsiEncoding (Annex D). `java.util.zip.Inflater` makes
+  * FlateDecode zero-dependency.
+  *
+  * Out-of-scope constructs FLAG, never crash (the [[Codecs]]
+  * quarantine stance): encrypted documents emit one `ok=false` row
+  * (reason `encrypted`); composite (/Type0 CID) fonts skip their show
+  * ops and set `flagged`; unsupported filters (DCT, JBIG2, LZW)
+  * likewise. Every inflate is output-capped (`maxStreamBytes` — the
+  * codec bomb-cap discipline); object resolution is depth- and
+  * count-capped against reference cycles and object floods.
+  *
+  * Deterministic extraction rules (the fixture writer and the DuckDB
+  * twins mirror these EXACTLY):
+  *  - `Tj` and the string elements of `TJ` append the decoded string
+  *    (TJ kerning numbers ignored);
+  *  - `'` and `"` mean "next line and show": newline, then the string;
+  *  - `Td`, `TD`, `T*`, `Tm` append a newline unless the page text is
+  *    empty or already ends with one;
+  *  - pages are separate rows — no page separator character.
+  *
+  * Reference cross-ref: the reference engine has no document formats
+  * at all (`v3io-tsdb/pkg/formatter/` is query output formatting);
+  * this family exists for the training-data pipeline mandate.
+  */
+object Pdf {
+
+  // ------------------------------------------------------ object model
+
+  sealed trait Obj
+  final case class PNum(d: Double) extends Obj { def i: Int = d.toInt; def l: Long = d.toLong }
+  final case class PStr(bytes: Array[Byte]) extends Obj
+  final case class PName(n: String) extends Obj
+  final case class PBool(b: Boolean) extends Obj
+  case object PNull extends Obj
+  final case class PArr(items: Vector[Obj]) extends Obj
+  final case class PDict(m: Map[String, Obj]) extends Obj {
+    def get(k: String): Option[Obj] = m.get(k)
+  }
+  final case class PRef(num: Int, gen: Int) extends Obj
+  /** `raw` is the ENCODED stream body (filters not yet applied). */
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends Obj
+  /** Content-stream operator (only produced in content mode). */
+  private final case class POp(op: String) extends Obj
+
+  private final class PdfError(msg: String) extends Exception(msg)
+  private def fail(msg: String): Nothing = throw new PdfError(msg)
+
+  // ------------------------------------------------------------- lexer
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+    c == '{' || c == '}' || c == '/' || c == '%'
+  private def isRegular(c: Int): Boolean = !isWs(c) && !isDelim(c) && c >= 0
+
+  /** Recursive-descent PDF object reader over a byte window. In
+    * `content` mode bare keywords become [[POp]] operators (the
+    * content-stream language shares the object syntax); otherwise only
+    * true/false/null keywords are objects. */
+  private final class Lexer(b: Array[Byte], var p: Int, end: Int,
+                            content: Boolean) {
+    def this(b: Array[Byte], p: Int, content: Boolean) =
+      this(b, p, b.length, content)
+
+    private var depth = 0
+
+    def at(i: Int): Int = if (i >= 0 && i < end) b(i) & 0xFF else -1
+    def cur: Int = at(p)
+
+    def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        while (p < end && isWs(b(p) & 0xFF)) p += 1
+        if (p < end && b(p) == '%') { // comment to EOL
+          while (p < end && b(p) != '\n' && b(p) != '\r') p += 1
+        } else go = false
+      }
+    }
+
+    /** Next regular-character run (keyword / number token). */
+    private def token(): String = {
+      val s = p
+      while (p < end && isRegular(b(p) & 0xFF)) p += 1
+      if (p == s) fail(s"lexical error at $p (char ${cur})")
+      new String(b, s, p - s, "ISO-8859-1")
+    }
+
+    def expectKeyword(kw: String): Unit = {
+      skipWs()
+      val t = token()
+      if (t != kw) fail(s"expected '$kw', got '$t'")
+    }
+
+    /** Parse one object. At clean end-of-window returns null. Drains
+      * the one-token pushback first: the `N G R` lookahead may have
+      * consumed a second integer that turned out to be its own object
+      * (`0 0 obj`, `[1 2]`, `0 -14 Td` all hit this). */
+    def next(): Obj = {
+      if (pushback != null) {
+        val t = pushback; pushback = null
+        return parseNum(t)
+      }
+      nextCore()
+    }
+
+    private def nextCore(): Obj = {
+      skipWs()
+      if (p >= end) return null
+      depth += 1
+      if (depth > 64) fail("nesting too deep")
+      try {
+        cur match {
+          case '/' => parseName()
+          case '(' => parseLiteralString()
+          case '[' =>
+            p += 1
+            val items = Vector.newBuilder[Obj]
+            var o = nextUntil(']')
+            while (o != null) { items += o; o = nextUntil(']') }
+            PArr(items.result())
+          case '<' =>
+            if (at(p + 1) == '<') parseDictOrStream()
+            else parseHexString()
+          case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+            parseNumberOrRef()
+          case _ =>
+            val t = token()
+            t match {
+              case "true" => PBool(true)
+              case "false" => PBool(false)
+              case "null" => PNull
+              case kw if content => POp(kw)
+              case kw => fail(s"unexpected keyword '$kw'")
+            }
+        }
+      } finally depth -= 1
+    }
+
+    /** Object inside a bracketed scope; null when the closer is hit.
+      * A pending pushback token is an ITEM (`[0 0 612 792]` parks the
+      * final number there) — drain it before looking at raw chars, or
+      * the close check would leak it into the enclosing scope. */
+    private def nextUntil(closer: Char): Obj = {
+      if (pushback != null) return next()
+      skipWs()
+      if (p >= end) fail(s"EOF inside '$closer'-scope")
+      if (cur == closer) { p += 1; null } else next()
+    }
+
+    private def parseName(): PName = {
+      p += 1 // '/'
+      val sb = new java.lang.StringBuilder(16)
+      while (p < end && isRegular(b(p) & 0xFF)) {
+        val c = b(p) & 0xFF
+        if (c == '#' && p + 2 < end) {
+          val h = (Character.digit(b(p + 1), 16) << 4) | Character.digit(b(p + 2), 16)
+          if (h >= 0) { sb.append(h.toChar); p += 3 }
+          else { sb.append(c.toChar); p += 1 }
+        } else { sb.append(c.toChar); p += 1 }
+        if (sb.length > 4096) fail("name too long")
+      }
+      PName(sb.toString)
+    }
+
+    private def parseLiteralString(): PStr = {
+      p += 1 // '('
+      val out = new java.io.ByteArrayOutputStream(32)
+      var open = 1
+      while (open > 0) {
+        if (p >= end) fail("EOF in string")
+        val c = b(p) & 0xFF
+        p += 1
+        c match {
+          case '(' => open += 1; out.write(c)
+          case ')' => open -= 1; if (open > 0) out.write(c)
+          case '\\' =>
+            if (p >= end) fail("EOF in string escape")
+            val e = b(p) & 0xFF
+            p += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' | ')' | '\\' => out.write(e)
+              case '\r' => if (p < end && b(p) == '\n') p += 1 // line continuation
+              case '\n' => // line continuation
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && p < end && b(p) >= '0' && b(p) <= '7') {
+                  v = (v << 3) | (b(p) - '0'); p += 1; k += 1
+                }
+                out.write(v & 0xFF)
+              case other => out.write(other) // spec: backslash dropped
+            }
+          case _ => out.write(c)
+        }
+        if (out.size > (1 << 24)) fail("string too long")
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def parseHexString(): PStr = {
+      p += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream(32)
+      var hi = -1
+      var closed = false
+      while (!closed) {
+        if (p >= end) fail("EOF in hex string")
+        val c = b(p) & 0xFF
+        p += 1
+        if (c == '>') {
+          if (hi >= 0) out.write(hi << 4) // odd count: trailing 0 (§7.3.4.3)
+          closed = true
+        } else if (!isWs(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) fail(s"bad hex digit '$c'")
+          if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+        }
+        if (out.size > (1 << 24)) fail("hex string too long")
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def parseDictOrStream(): Obj = {
+      p += 2 // '<<'
+      val m = Map.newBuilder[String, Obj]
+      var done = false
+      while (!done) {
+        skipWs()
+        if (p >= end) fail("EOF in dict")
+        if (cur == '>' && at(p + 1) == '>') { p += 2; done = true }
+        else {
+          if (cur != '/') fail(s"dict key must be a name (at $p)")
+          val k = parseName().n
+          val v = next()
+          if (v == null) fail("EOF in dict value")
+          m += k -> v
+        }
+      }
+      val dict = PDict(m.result())
+      // `stream` keyword directly after? (object position only; content
+      // mode has no streams and a bare keyword there is an operator)
+      if (!content) {
+        val save = p
+        skipWs()
+        if (p + 6 <= end && b(p) == 's' && b(p + 1) == 't' && b(p + 2) == 'r' &&
+            b(p + 3) == 'e' && b(p + 4) == 'a' && b(p + 5) == 'm') {
+          p += 6
+          // EOL after `stream`: CRLF or LF (§7.3.8.1)
+          if (p < end && b(p) == '\r') p += 1
+          if (p < end && b(p) == '\n') p += 1
+          val start = p
+          val rawEnd = dict.get("Length") match {
+            case Some(PNum(n)) if n >= 0 && start + n.toLong <= end =>
+              start + n.toInt
+            case _ => // Length missing/ref/lying: scan for `endstream`
+              val i = indexOfKeyword(b, start, end, "endstream")
+              if (i < 0) fail("unterminated stream")
+              // back over the EOL that precedes endstream
+              var e = i
+              if (e > start && b(e - 1) == '\n') e -= 1
+              if (e > start && b(e - 1) == '\r') e -= 1
+              e
+          }
+          val raw = java.util.Arrays.copyOfRange(b, start, rawEnd)
+          p = rawEnd
+          expectKeyword("endstream")
+          return PStream(dict, raw)
+        }
+        p = save
+      }
+      dict
+    }
+
+    /** Number, or an `N G R` indirect reference (two-token lookahead). */
+    private def parseNumberOrRef(): Obj = {
+      val t1 = token()
+      val n1 = parseNum(t1)
+      if (t1.indexOf('.') < 0 && n1.d >= 0 && n1.d == math.floor(n1.d)) {
+        val save = p
+        skipWs()
+        if (p < end && b(p) >= '0' && b(p) <= '9') {
+          val t2 = token()
+          val save2 = p
+          skipWs()
+          if (p < end && b(p) == 'R' && !isRegular(at(p + 1))) {
+            p += 1
+            return PRef(n1.i, java.lang.Integer.parseInt(t2))
+          }
+          p = save2
+          pushback = t2 // second integer was a separate object
+          return n1
+        }
+        p = save
+      }
+      n1
+    }
+
+    // one-token pushback for the N-G-R lookahead (content streams put
+    // bare integer runs before operators: `0 -14 Td`)
+    private var pushback: String = null
+
+    private def parseNum(t: String): PNum =
+      try PNum(java.lang.Double.parseDouble(t))
+      catch { case _: NumberFormatException => fail(s"bad number '$t'") }
+  }
+
+  private def indexOfKeyword(b: Array[Byte], from: Int, end: Int,
+                             kw: String): Int = {
+    val k = kw.getBytes("ISO-8859-1")
+    var i = from
+    val last = end - k.length
+    while (i <= last) {
+      var j = 0
+      while (j < k.length && b(i + j) == k(j)) j += 1
+      if (j == k.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  // ----------------------------------------------------------- filters
+
+  /** Bounded FlateDecode: inflate `raw` capped at `max` output bytes —
+    * a 1 KB bomb must not allocate past the cap (the codec discipline). */
+  private[graft] def inflate(raw: Array[Byte], max: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream(math.min(max, raw.length * 4 + 64))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = try inf.inflate(buf)
+        catch { case e: java.util.zip.DataFormatException => fail(s"bad flate: ${e.getMessage}") }
+        if (n == 0 && !inf.finished()) {
+          if (inf.needsInput() || inf.needsDictionary()) fail("truncated flate stream")
+        }
+        out.write(buf, 0, n)
+        if (out.size > max) fail(s"flate output exceeds cap $max")
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` EOD,
+    * odd final digit padded with 0. */
+  private def asciiHexDecode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var eod = false
+    while (i < raw.length && !eod) {
+      val c = raw(i) & 0xFF
+      if (c == '>') eod = true
+      else if (!isWs(c)) {
+        val d = Character.digit(c, 16)
+        if (d < 0) fail(s"bad ASCIIHex digit '$c'")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** PNG predictors (RFC 2083 §6, referenced by §7.4.4.4): per-row
+    * filter tag + `columns` bytes; colors/bpc are 1/8 for every xref
+    * stream in practice (bpp = 1). TIFF predictor 2 and bpp > 1 are
+    * out of scope → fail (flagging, not misdecoding). */
+  private def unpredict(data: Array[Byte], predictor: Int, columns: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    if (predictor < 10) fail(s"unsupported predictor $predictor")
+    if (columns <= 0 || columns > (1 << 20)) fail(s"bad predictor columns $columns")
+    val rowLen = columns + 1
+    if (data.length % rowLen != 0) fail("predictor data not row-aligned")
+    val rows = data.length / rowLen
+    val out = new Array[Byte](rows * columns)
+    var r = 0
+    while (r < rows) {
+      val tag = data(r * rowLen) & 0xFF
+      val src = r * rowLen + 1
+      val dst = r * columns
+      val prev = dst - columns
+      var i = 0
+      while (i < columns) {
+        val x = data(src + i) & 0xFF
+        val a = if (i > 0) out(dst + i - 1) & 0xFF else 0        // left (bpp=1)
+        val b = if (r > 0) out(prev + i) & 0xFF else 0           // up
+        val c = if (r > 0 && i > 0) out(prev + i - 1) & 0xFF else 0
+        val v = tag match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case t => fail(s"bad PNG filter tag $t")
+        }
+        out(dst + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------------- document
+
+  /** One loaded document: xref map + trailer + a cycle-capped resolver.
+    * Throws [[PdfError]] on structural corruption — [[probe]] /
+    * [[extractText]] own the catch. */
+  private final class Doc(bytes: Array[Byte], maxStreamBytes: Int) {
+    /** objNum → positive: byte offset of `N G obj`;
+      * negative: -(objstm objNum) — position looked up in the stream.
+      * Boxed values: a primitive-Long map would unbox a missing key's
+      * null to 0L and silently resolve absent objects at offset 0. */
+    private val offsets = new java.util.HashMap[Int, java.lang.Long]()
+    /** objNum → index within its object stream (parallel to negative
+      * offsets). */
+    private val objStmIndex = new java.util.HashMap[Int, Int]()
+    var trailer: PDict = PDict(Map.empty)
+
+    locate()
+
+    private def locate(): Unit = {
+      // startxref: last 2 KiB
+      val tailFrom = math.max(0, bytes.length - 2048)
+      val sx = lastIndexOfKeyword(bytes, tailFrom, bytes.length, "startxref")
+      if (sx < 0) fail("no startxref")
+      val lx = new Lexer(bytes, sx + 9, content = false)
+      val off = lx.next() match {
+        case PNum(n) if n >= 0 && n < bytes.length => n.toLong
+        case _ => fail("bad startxref offset")
+      }
+      var next = off
+      var hops = 0
+      while (next >= 0) {
+        hops += 1
+        if (hops > 64) fail("xref /Prev chain too long")
+        next = loadXrefSection(next)
+      }
+    }
+
+    /** Load one xref section (table or stream); returns /Prev offset or
+      * -1. Earlier-loaded (newer) entries win. */
+    private def loadXrefSection(off: Long): Long = {
+      val lex = new Lexer(bytes, off.toInt, content = false)
+      lex.skipWs()
+      if (lex.p + 4 <= bytes.length && bytes(lex.p) == 'x' &&
+          bytes(lex.p + 1) == 'r' && bytes(lex.p + 2) == 'e' &&
+          bytes(lex.p + 3) == 'f') {
+        lex.p += 4
+        // classic table: subsections of `start count` then 20-byte rows
+        var done = false
+        while (!done) {
+          lex.skipWs()
+          if (lex.cur == 't') { // trailer
+            lex.expectKeyword("trailer")
+            val t = lex.next() match {
+              case d: PDict => d
+              case _ => fail("bad trailer")
+            }
+            mergeTrailer(t)
+            return t.get("Prev") match {
+              case Some(PNum(n)) if n >= 0 => n.toLong
+              case _ => -1L
+            }
+          }
+          val start = lex.next() match {
+            case PNum(n) if n >= 0 => n.toInt
+            case _ => fail("bad xref subsection start")
+          }
+          val count = lex.next() match {
+            case PNum(n) if n >= 0 && n <= 8388608 => n.toInt
+            case _ => fail("bad xref subsection count")
+          }
+          var i = 0
+          while (i < count) {
+            lex.skipWs()
+            val o10 = readDigits(lex)
+            lex.skipWs()
+            readDigits(lex) // generation (unused: newest-wins layout)
+            lex.skipWs()
+            val t = lex.cur
+            lex.p += 1
+            val num = start + i
+            if (t == 'n') {
+              if (!offsets.containsKey(num)) offsets.put(num, o10)
+            } else if (t != 'f') fail(s"bad xref entry type '$t'")
+            i += 1
+          }
+          done = false // loop back: next subsection or trailer
+        }
+        -1L
+      } else {
+        // xref STREAM: `N G obj << /Type /XRef ... >> stream`
+        val obj = parseIndirectAt(off.toInt)
+        val st = obj match {
+          case s: PStream => s
+          case _ => fail("xref offset is not a table or stream")
+        }
+        val data = decodeStream(st)
+        val w = st.dict.get("W") match {
+          case Some(PArr(items)) if items.length >= 3 =>
+            items.take(3).map { case PNum(n) if n >= 0 && n <= 8 => n.toInt
+                                case _ => fail("bad /W") }
+          case _ => fail("xref stream missing /W")
+        }
+        val size = st.dict.get("Size") match {
+          case Some(PNum(n)) if n > 0 => n.toInt
+          case _ => fail("xref stream missing /Size")
+        }
+        val index: Seq[(Int, Int)] = st.dict.get("Index") match {
+          case Some(PArr(items)) if items.length % 2 == 0 =>
+            items.grouped(2).map {
+              case Vector(PNum(a), PNum(b)) if a >= 0 && b >= 0 => (a.toInt, b.toInt)
+              case _ => fail("bad /Index")
+            }.toSeq
+          case None => Seq((0, size))
+          case _ => fail("bad /Index")
+        }
+        val rowLen = w.sum
+        if (rowLen <= 0) fail("zero-width xref rows")
+        var pos = 0
+        index.foreach { case (start, count) =>
+          var i = 0
+          while (i < count) {
+            if (pos + rowLen > data.length) fail("xref stream truncated")
+            var f = 0
+            val fields = new Array[Long](3)
+            while (f < 3) {
+              var v = 0L
+              var k = 0
+              while (k < w(f)) { v = (v << 8) | (data(pos) & 0xFF); pos += 1; k += 1 }
+              fields(f) = if (w(f) == 0 && f == 0) 1L else v // default type 1
+              f += 1
+            }
+            val num = start + i
+            fields(0) match {
+              case 0 => // free
+              case 1 => if (!offsets.containsKey(num)) offsets.put(num, fields(1))
+              case 2 =>
+                if (!offsets.containsKey(num)) {
+                  offsets.put(num, -fields(1))
+                  objStmIndex.put(num, fields(2).toInt)
+                }
+              case _ => // unknown type: spec says treat as null-ref
+            }
+            i += 1
+          }
+        }
+        mergeTrailer(st.dict)
+        st.dict.get("Prev") match {
+          case Some(PNum(n)) if n >= 0 => n.toLong
+          case _ => -1L
+        }
+      }
+    }
+
+    private def mergeTrailer(t: PDict): Unit =
+      // first (newest) section wins per key
+      trailer = PDict(t.m ++ trailer.m)
+
+    /** Digit run (spec says exactly 10/5 chars; short runs from sloppy
+      * writers parse too — strictness here only loses real documents). */
+    private def readDigits(lex: Lexer): Long = {
+      var v = 0L
+      var i = 0
+      while (lex.cur >= '0' && lex.cur <= '9') {
+        v = v * 10 + (lex.cur - '0')
+        lex.p += 1
+        i += 1
+        if (i > 10) fail("xref digit run too long")
+      }
+      if (i == 0) fail("bad xref digits")
+      v
+    }
+
+    /** Parse `N G obj <body> endobj` at a byte offset. */
+    private def parseIndirectAt(off: Int): Obj = {
+      if (off < 0 || off >= bytes.length) fail(s"object offset $off out of range")
+      val lex = new Lexer(bytes, off, content = false)
+      lex.next() match { case PNum(_) => case _ => fail("bad obj header") }
+      lex.next() match { case PNum(_) => case _ => fail("bad obj header") }
+      lex.expectKeyword("obj")
+      val o = lex.next()
+      if (o == null) fail("EOF in object body")
+      o
+    }
+
+    private var resolves = 0
+
+    /** Resolve references to their objects (depth/count capped). */
+    def resolve(o: Obj): Obj = resolve(o, 0)
+
+    private def resolve(o: Obj, depth: Int): Obj = o match {
+      case PRef(num, _) =>
+        if (depth > 32) fail("reference chain too deep")
+        resolves += 1
+        if (resolves > 200000) fail("object resolution flood")
+        val off = offsets.get(num)
+        if (off == null) PNull
+        else if (off >= 0) resolve(parseIndirectAt(off.toLong.toInt), depth + 1)
+        else resolve(fromObjStm(-off.toLong.toInt, num), depth + 1)
+      case other => other
+    }
+
+    /** Decoded object-stream cache: an ObjStm holding N objects must
+      * inflate once, not N times. */
+    private val objStmCache = new java.util.HashMap[Int, (Array[Byte], Int, Array[Int], Array[Int])]()
+
+    /** Object `num` out of object stream `stmNum` (§7.5.7: header of
+      * N (objnum, offset) pairs, bodies from /First). */
+    private def fromObjStm(stmNum: Int, num: Int): Obj = {
+      var entry = objStmCache.get(stmNum)
+      if (entry == null) {
+        val off = offsets.get(stmNum)
+        if (off == null || off < 0) fail(s"object stream $stmNum unresolvable")
+        val st = parseIndirectAt(off.toLong.toInt) match {
+          case s: PStream => s
+          case _ => fail(s"object $stmNum is not a stream")
+        }
+        val n = st.dict.get("N") match {
+          case Some(PNum(v)) if v >= 0 && v <= 65536 => v.toInt
+          case _ => fail("ObjStm missing /N")
+        }
+        val first = st.dict.get("First") match {
+          case Some(PNum(v)) if v >= 0 => v.toInt
+          case _ => fail("ObjStm missing /First")
+        }
+        val data = decodeStream(st)
+        val nums = new Array[Int](n)
+        val offs = new Array[Int](n)
+        val lex = new Lexer(data, 0, math.min(first, data.length), content = false)
+        var i = 0
+        while (i < n) {
+          lex.next() match { case PNum(v) => nums(i) = v.toInt; case _ => fail("bad ObjStm header") }
+          lex.next() match { case PNum(v) => offs(i) = v.toInt; case _ => fail("bad ObjStm header") }
+          i += 1
+        }
+        entry = (data, first, nums, offs)
+        objStmCache.put(stmNum, entry)
+        if (objStmCache.size > 1024) fail("object stream flood")
+      }
+      val (data, first, nums, offs) = entry
+      var i = 0
+      while (i < nums.length) {
+        if (nums(i) == num) {
+          val start = first + offs(i)
+          if (start < 0 || start >= data.length) fail("ObjStm offset out of range")
+          val lex = new Lexer(data, start, content = false)
+          val o = lex.next()
+          if (o == null) fail("EOF in ObjStm object")
+          return o
+        }
+        i += 1
+      }
+      PNull
+    }
+
+    /** Apply the stream's filter chain. Unsupported filters throw (the
+      * caller flags). */
+    def decodeStream(st: PStream): Array[Byte] = {
+      val filters: Seq[String] = resolve(st.dict.get("Filter").getOrElse(PNull)) match {
+        case PNull => Seq.empty
+        case PName(n) => Seq(n)
+        case PArr(items) => items.map {
+          case PName(n) => n
+          case o => resolve(o) match { case PName(n) => n; case _ => fail("bad /Filter") }
+        }
+        case _ => fail("bad /Filter")
+      }
+      val parms: Seq[Option[PDict]] = resolve(st.dict.get("DecodeParms").getOrElse(PNull)) match {
+        case PNull => Seq.fill(filters.length)(None)
+        case d: PDict => Some(d) +: Seq.fill(math.max(0, filters.length - 1))(None)
+        case PArr(items) => items.map(o => resolve(o) match {
+          case d: PDict => Some(d); case _ => None
+        }).padTo(filters.length, None)
+        case _ => Seq.fill(filters.length)(None)
+      }
+      var data = st.raw
+      filters.zip(parms).foreach { case (f, pm) =>
+        f match {
+          case "FlateDecode" | "Fl" =>
+            data = inflate(data, maxStreamBytes)
+            pm.foreach { d =>
+              val pred = d.get("Predictor").map(resolve) match {
+                case Some(PNum(n)) => n.toInt; case _ => 1
+              }
+              val cols = d.get("Columns").map(resolve) match {
+                case Some(PNum(n)) => n.toInt; case _ => 1
+              }
+              data = unpredict(data, pred, cols)
+            }
+          case "ASCIIHexDecode" | "AHx" => data = asciiHexDecode(data)
+          case other => fail(s"unsupported filter $other")
+        }
+      }
+      data
+    }
+  }
+
+  private def lastIndexOfKeyword(b: Array[Byte], from: Int, end: Int,
+                                 kw: String): Int = {
+    val k = kw.getBytes("ISO-8859-1")
+    var i = end - k.length
+    while (i >= from) {
+      var j = 0
+      while (j < k.length && b(i + j) == k(j)) j += 1
+      if (j == k.length) return i
+      i -= 1
+    }
+    -1
+  }
+
+  // -------------------------------------------------------- page walk
+
+  /** Page leaves in document order with inherited Resources/MediaBox
+    * (§7.7.3.4 inheritable attributes). Capped at `maxPages`. */
+  private def collectPages(doc: Doc, maxPages: Int): Vector[(PDict, Option[PDict], Option[PArr])] = {
+    val root = doc.resolve(doc.trailer.get("Root").getOrElse(fail("no /Root"))) match {
+      case d: PDict => d
+      case _ => fail("bad catalog")
+    }
+    val pagesRoot = doc.resolve(root.get("Pages").getOrElse(fail("no /Pages"))) match {
+      case d: PDict => d
+      case _ => fail("bad pages root")
+    }
+    val out = Vector.newBuilder[(PDict, Option[PDict], Option[PArr])]
+    var n = 0
+    def walk(node: PDict, res: Option[PDict], box: Option[PArr], depth: Int): Unit = {
+      if (depth > 64) fail("page tree too deep")
+      val myRes = node.get("Resources").map(doc.resolve) match {
+        case Some(d: PDict) => Some(d); case _ => res
+      }
+      val myBox = node.get("MediaBox").map(doc.resolve) match {
+        case Some(a: PArr) => Some(a); case _ => box
+      }
+      // leaf test: /Type /Page, or (lenient) no /Kids at all — sloppy
+      // writers omit /Type and strictness only loses real documents
+      val kids = node.get("Kids").map(doc.resolve)
+      val isLeaf = doc.resolve(node.get("Type").getOrElse(PNull)) match {
+        case PName("Page") => true
+        case PName("Pages") => false
+        case _ => kids.isEmpty
+      }
+      if (isLeaf) {
+        n += 1
+        if (n > maxPages) fail(s"page count exceeds cap $maxPages")
+        out += ((node, myRes, myBox))
+      } else kids match {
+        case Some(PArr(ks)) => ks.foreach { k =>
+          doc.resolve(k) match {
+            case d: PDict => walk(d, myRes, myBox, depth + 1)
+            case _ => fail("bad /Kids entry")
+          }
+        }
+        case _ => fail("pages node without /Kids")
+      }
+    }
+    walk(pagesRoot, None, None, 0)
+    out.result()
+  }
+
+  // --------------------------------------------------- text extraction
+
+  /** WinAnsiEncoding (Annex D.2): Latin-1 except 0x80–0x9F, which carry
+    * the cp1252 punctuation/symbol set. Unmapped codes drop. */
+  private val winAnsiHigh: Array[Char] = {
+    val a = new Array[Char](32)
+    java.util.Arrays.fill(a, ' ')
+    a(0x00) = '€'; a(0x02) = '‚'; a(0x03) = 'ƒ'
+    a(0x04) = '„'; a(0x05) = '…'; a(0x06) = '†'
+    a(0x07) = '‡'; a(0x08) = 'ˆ'; a(0x09) = '‰'
+    a(0x0A) = 'Š'; a(0x0B) = '‹'; a(0x0C) = 'Œ'
+    a(0x0E) = 'Ž'; a(0x11) = '‘'; a(0x12) = '’'
+    a(0x13) = '“'; a(0x14) = '”'; a(0x15) = '•'
+    a(0x16) = '–'; a(0x17) = '—'; a(0x18) = '˜'
+    a(0x19) = '™'; a(0x1A) = 'š'; a(0x1B) = '›'
+    a(0x1C) = 'œ'; a(0x1E) = 'ž'; a(0x1F) = 'Ÿ'
+    a
+  }
+
+  private def decodeWinAnsi(s: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s(i) & 0xFF
+      if (c >= 0x20 && c <= 0x7E) sb.append(c.toChar)
+      else if (c >= 0xA0) sb.append(c.toChar) // Latin-1 block
+      else if (c >= 0x80 && c <= 0x9F) {
+        val ch = winAnsiHigh(c - 0x80)
+        if (ch != ' ') sb.append(ch)
+      } else if (c == '\n' || c == '\r' || c == '\t') sb.append(c.toChar)
+      i += 1
+    }
+  }
+
+  /** Extraction result: one string per page; `flagged` = some content
+    * was skipped (composite font, unsupported filter) so the text is a
+    * supported-subset view, not a claim of completeness. */
+  final case class PdfText(ok: Boolean, nPages: Int, pages: Vector[String],
+                           flagged: Boolean, reason: String)
+
+  /** Extract page texts. Never throws: failures come back as
+    * `ok = false` with a reason (`not-pdf` / `encrypted` / `corrupt`). */
+  def extractText(bytes: Array[Byte], maxStreamBytes: Int = 16 << 20,
+                  maxPages: Int = 100000): PdfText = {
+    if (bytes == null || bytes.length < 8 ||
+        bytes(0) != '%' || bytes(1) != 'P' || bytes(2) != 'D' ||
+        bytes(3) != 'F' || bytes(4) != '-')
+      return PdfText(ok = false, 0, Vector.empty, flagged = false, "not-pdf")
+    try {
+      val doc = new Doc(bytes, maxStreamBytes)
+      if (doc.trailer.get("Encrypt").isDefined)
+        return PdfText(ok = false, 0, Vector.empty, flagged = true, "encrypted")
+      val pages = collectPages(doc, maxPages)
+      var flagged = false
+      val texts = pages.map { case (page, res, _) =>
+        // font support map for this page (name → simple font?)
+        val fonts: Map[String, Boolean] = res.flatMap(_.get("Font")).map(doc.resolve) match {
+          case Some(fd: PDict) => fd.m.map { case (name, fref) =>
+            val supported = doc.resolve(fref) match {
+              case f: PDict => doc.resolve(f.get("Subtype").getOrElse(PNull)) match {
+                case PName("Type0") => false // CID/composite: 2-byte codes
+                case _ => true
+              }
+              case _ => true
+            }
+            name -> supported
+          }
+          case _ => Map.empty[String, Boolean]
+        }
+        val content: Array[Byte] = doc.resolve(page.get("Contents").getOrElse(PNull)) match {
+          case st: PStream =>
+            try doc.decodeStream(st)
+            catch { case _: PdfError => flagged = true; Array.emptyByteArray }
+          case PArr(items) =>
+            val out = new java.io.ByteArrayOutputStream()
+            items.foreach { o =>
+              doc.resolve(o) match {
+                case st: PStream =>
+                  try { out.write(doc.decodeStream(st)); out.write('\n') }
+                  catch { case _: PdfError => flagged = true }
+                case _ => flagged = true
+              }
+              if (out.size > maxStreamBytes) fail("page content exceeds cap")
+            }
+            out.toByteArray
+          case PNull => Array.emptyByteArray
+          case _ => flagged = true; Array.emptyByteArray
+        }
+        val (text, pageFlagged) = extractFromContent(content, fonts)
+        flagged ||= pageFlagged
+        text
+      }
+      PdfText(ok = true, pages.length, texts, flagged, null)
+    } catch {
+      // recursion is depth-capped (64/32), so Exception covers every
+      // corruption path without swallowing VM Errors
+      case e: Exception =>
+        if (sys.props.contains("graft.pdf.debug")) e.printStackTrace()
+        PdfText(ok = false, 0, Vector.empty, flagged = false, "corrupt")
+    }
+  }
+
+  /** Run the documented text-op rules over one page's content bytes. */
+  private def extractFromContent(content: Array[Byte],
+                                 fonts: Map[String, Boolean]): (String, Boolean) = {
+    val sb = new java.lang.StringBuilder(256)
+    var flagged = false
+    var fontOk = true // current font supported? (default font: yes)
+    def newline(): Unit =
+      if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    def show(o: Obj): Unit = o match {
+      case PStr(s) => if (fontOk) decodeWinAnsi(s, sb) else flagged = true
+      case _ => ()
+    }
+    val lex = new Lexer(content, 0, content = true)
+    val operands = new scala.collection.mutable.ArrayBuffer[Obj](8)
+    var o: Obj = null
+    try {
+      o = lex.next()
+      while (o != null) {
+        o match {
+          case POp(op) =>
+            op match {
+              case "Tj" => if (operands.nonEmpty) show(operands.last)
+              case "TJ" => operands.lastOption.foreach {
+                case PArr(items) => items.foreach {
+                  case s: PStr => show(s)
+                  case _ => () // kerning number
+                }
+                case _ => ()
+              }
+              case "'" => newline(); if (operands.nonEmpty) show(operands.last)
+              case "\"" => newline(); if (operands.nonEmpty) show(operands.last)
+              case "Td" | "TD" | "T*" | "Tm" => newline()
+              case "Tf" =>
+                // operands: /FontName size
+                operands.headOption.foreach {
+                  case PName(n) => fontOk = fonts.getOrElse(n, true)
+                  case _ => ()
+                }
+              case "BT" | "ET" => ()
+              case _ => () // path/graphics ops: no text effect
+            }
+            operands.clear()
+          case other =>
+            operands += other
+            if (operands.length > 64) operands.remove(0) // runaway operand guard
+        }
+        o = lex.next()
+      }
+    } catch {
+      // torn content stream: keep what was extracted, flag the page
+      case _: PdfError => flagged = true
+    }
+    (sb.toString, flagged)
+  }
+
+  // ------------------------------------------------------------- probe
+
+  /** Header/xref probe (the [[MediaProbe]] discipline): version from
+    * the `%PDF-` header, page count + first-page MediaBox from the
+    * xref/catalog walk, encrypted flag. `codec` carries
+    * `<version>[/encrypted]`, `frames` the page count, width/height the
+    * MediaBox extent in points (rounded). No content stream is ever
+    * decoded (xref streams excepted — they ARE the index). */
+  object Probe extends MediaProbe.Probe {
+    def probe(bytes: Array[Byte]): Option[MediaProbe.MediaInfo] = {
+      if (bytes == null || bytes.length < 8 ||
+          bytes(0) != '%' || bytes(1) != 'P' || bytes(2) != 'D' ||
+          bytes(3) != 'F' || bytes(4) != '-') return None
+      // version: digits '.' digits directly after "%PDF-"
+      val vEnd = {
+        var i = 5
+        while (i < bytes.length && i < 16 &&
+          (bytes(i) == '.' || (bytes(i) >= '0' && bytes(i) <= '9'))) i += 1
+        i
+      }
+      if (vEnd == 5) return None
+      val version = new String(bytes, 5, vEnd - 5, "US-ASCII")
+      try {
+        val doc = new Doc(bytes, 4 << 20)
+        val encrypted = doc.trailer.get("Encrypt").isDefined
+        var pages = 0
+        var w = 0
+        var h = 0
+        if (!encrypted) {
+          // /Count on the pages root is authoritative and O(1); fall
+          // back to the leaf walk only to find the first MediaBox
+          val leaves = collectPages(doc, maxPages = 1000000)
+          pages = leaves.length
+          leaves.headOption.flatMap(_._3).foreach {
+            case PArr(Vector(PNum(x0), PNum(y0), PNum(x1), PNum(y1))) =>
+              w = math.round(math.abs(x1 - x0)).toInt
+              h = math.round(math.abs(y1 - y0)).toInt
+            case _ => ()
+          }
+        }
+        Some(MediaProbe.MediaInfo("pdf",
+          if (encrypted) s"$version/encrypted" else version,
+          0L, 0, 0, 0, w, h, pages.toLong))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  // --------------------------------------------------------- operators
+
+  private val textSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ok", BooleanType),
+    StructField("n_pages", IntegerType),
+    StructField("page", IntegerType),
+    StructField("text", StringType),
+    StructField("flagged", BooleanType),
+    StructField("reason", StringType)))
+
+  /** Page-level text extraction over a binary corpus: one row per page
+    * for extractable documents, one `ok=false` row (reason
+    * `not-pdf`/`encrypted`/`corrupt`) otherwise. Partition-local (no
+    * shuffle) — at 100 TB this is a scan-shaped map like the codec
+    * operators, and page rows give the downstream text pipeline its
+    * natural dedup/quality granularity. */
+  def pdfText(blobs: DataFrame, maxStreamBytes: Int = 16 << 20): DataFrame = {
+    val spark = blobs.sparkSession
+    val rows = blobs.select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+        org.apache.spark.sql.functions.col("blob")).rdd
+      .flatMap { r =>
+        val id: java.lang.Long = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        val t = extractText(r.getAs[Array[Byte]](1), maxStreamBytes)
+        if (!t.ok) Iterator.single(Row(id, false, 0, null, null, t.flagged, t.reason))
+        else t.pages.iterator.zipWithIndex.map { case (txt, i) =>
+          Row(id, true, t.nPages, i + 1, txt, t.flagged, null)
+        }
+      }
+    spark.createDataFrame(rows, textSchema)
+  }
+
+  // ------------------------------------------------------ fixture side
+
+  /** Build a complete single-font PDF from page text lines — the
+    * fixture/witness side (the parser never depends on it). Layout:
+    * classic xref table, one Helvetica Type1 font, one content stream
+    * per page showing each line via `Td`+`Tj` (first line positions
+    * without a preceding newline — exactly the documented extraction
+    * rules, so expected text is `lines.mkString("\n")` per page).
+    * `compress` wraps content streams in FlateDecode; `encrypted`
+    * plants a dummy /Encrypt ref (structure only — enough for the
+    * probe/extractor contract); `asciiHex` stacks ASCIIHexDecode over
+    * Flate on the first content stream. */
+  def pdfBytes(pages: Seq[Seq[String]], compress: Boolean = true,
+               encrypted: Boolean = false, asciiHex: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1024)
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n%âãÏÓ\n")
+    val nPages = pages.length
+    // object numbering: 1 catalog, 2 pages, 3 font, then per page
+    // (4+2i page, 5+2i content), optional encrypt last
+    val encNum = 4 + 2 * nPages
+    def obj(body: => Unit): Unit = {
+      offsets += out.size().toLong
+      val num = offsets.length
+      w(s"$num 0 obj\n"); body; w("\nendobj\n")
+    }
+    obj { w(s"<< /Type /Catalog /Pages 2 0 R >>") }
+    obj {
+      val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+      w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>")
+    }
+    obj { w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") }
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      obj {
+        w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * i} 0 R >>")
+      }
+      val body = {
+        val sb = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
+        lines.zipWithIndex.foreach { case (line, k) =>
+          if (k > 0) sb.append("0 -14 Td\n")
+          sb.append("(").append(escapeLiteral(line)).append(") Tj\n")
+        }
+        sb.append("ET")
+        sb.toString.getBytes("ISO-8859-1")
+      }
+      val (enc, filter) =
+        if (compress && asciiHex && i == 0) {
+          val fl = deflate(body)
+          val hex = fl.map(b => f"${b & 0xFF}%02x").mkString.getBytes("ISO-8859-1")
+          (hex :+ '>'.toByte, " /Filter [/ASCIIHexDecode /FlateDecode]")
+        } else if (compress) (deflate(body), " /Filter /FlateDecode")
+        else (body, "")
+      obj {
+        w(s"<< /Length ${enc.length}$filter >>\nstream\n")
+        out.write(enc)
+        w("\nendstream")
+      }
+    }
+    if (encrypted) obj { w("<< /Filter /Standard /V 1 /R 2 >>") }
+    val xrefOff = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R" +
+      (if (encrypted) s" /Encrypt $encNum 0 R" else "") +
+      s" >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The same document body published through a PDF 1.5 xref STREAM
+    * (FlateDecode + PNG Up predictor, /W [1 4 2]) with the font and
+    * page dicts packed into an object STREAM — the modern writer
+    * layout, exercising §7.5.7/§7.5.8 end to end. */
+  def pdfBytesXrefStream(pages: Seq[Seq[String]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n%âãÏÓ\n")
+    val nPages = pages.length
+    // numbering: 1 catalog, 2 pages root, 3 font, 4..3+n page dicts
+    // (ALL inside ObjStm), then content streams 4+n.., ObjStm, XRef
+    val contentBase = 4 + nPages
+    val objStmNum = contentBase + nPages
+    val xrefNum = objStmNum + 1
+    val offsets = new Array[Long](xrefNum + 1) // index by objNum
+    // --- content streams (top-level: streams cannot live in an ObjStm)
+    val contents = pages.map { lines =>
+      val sb = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
+      lines.zipWithIndex.foreach { case (line, k) =>
+        if (k > 0) sb.append("0 -14 Td\n")
+        sb.append("(").append(escapeLiteral(line)).append(") Tj\n")
+      }
+      sb.append("ET")
+      deflate(sb.toString.getBytes("ISO-8859-1"))
+    }
+    contents.zipWithIndex.foreach { case (enc, i) =>
+      val num = contentBase + i
+      offsets(num) = out.size().toLong
+      w(s"$num 0 obj\n<< /Length ${enc.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(enc)
+      w("\nendstream\nendobj\n")
+    }
+    // --- object stream with catalog, pages root, font, page dicts
+    val stmObjs: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> (s"<< /Type /Pages /Kids [" +
+          (0 until nPages).map(i => s"${4 + i} 0 R").mkString(" ") +
+          s"] /Count $nPages >>"),
+        3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+      (0 until nPages).map(i => (4 + i) ->
+        (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+         s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${contentBase + i} 0 R >>"))
+    val bodies = stmObjs.map(_._2.getBytes("ISO-8859-1"))
+    val header = {
+      val sb = new StringBuilder
+      var off = 0
+      stmObjs.zip(bodies).foreach { case ((num, _), b) =>
+        sb.append(num).append(' ').append(off).append(' ')
+        off += b.length + 1
+      }
+      sb.toString.getBytes("ISO-8859-1")
+    }
+    val stmData = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(header)
+      bodies.foreach { b => o.write(b); o.write('\n') }
+      o.toByteArray
+    }
+    val stmEnc = deflate(stmData)
+    offsets(objStmNum) = out.size().toLong
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${stmObjs.length} " +
+      s"/First ${header.length} /Length ${stmEnc.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(stmEnc)
+    w("\nendstream\nendobj\n")
+    // --- xref stream: /W [1 4 2], PNG Up predictor, entries 0..xrefNum
+    val xrefOff = out.size().toLong
+    offsets(xrefNum) = xrefOff
+    val cols = 7
+    val rows = new Array[Byte]((xrefNum + 1) * cols)
+    def put(num: Int, t: Int, f2: Long, f3: Int): Unit = {
+      val o = num * cols
+      rows(o) = t.toByte
+      rows(o + 1) = ((f2 >> 24) & 0xFF).toByte; rows(o + 2) = ((f2 >> 16) & 0xFF).toByte
+      rows(o + 3) = ((f2 >> 8) & 0xFF).toByte; rows(o + 4) = (f2 & 0xFF).toByte
+      rows(o + 5) = ((f3 >> 8) & 0xFF).toByte; rows(o + 6) = (f3 & 0xFF).toByte
+    }
+    put(0, 0, 0, 0xFFFF)
+    stmObjs.zipWithIndex.foreach { case ((num, _), i) => put(num, 2, objStmNum.toLong, i) }
+    (0 until nPages).foreach(i => put(contentBase + i, 1, offsets(contentBase + i), 0))
+    put(objStmNum, 1, offsets(objStmNum), 0)
+    put(xrefNum, 1, xrefOff, 0)
+    // PNG Up predictor rows
+    val pred = new java.io.ByteArrayOutputStream()
+    var r = 0
+    while (r <= xrefNum) {
+      pred.write(2) // Up
+      var c = 0
+      while (c < cols) {
+        val above = if (r > 0) rows((r - 1) * cols + c) & 0xFF else 0
+        pred.write((rows(r * cols + c) & 0xFF) - above)
+        c += 1
+      }
+      r += 1
+    }
+    val xrefEnc = deflate(pred.toByteArray)
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1} /W [1 4 2] " +
+      s"/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> " +
+      s"/Length ${xrefEnc.length} >>\nstream\n")
+    out.write(xrefEnc)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def escapeLiteral(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '(' => sb.append("\\(")
+      case ')' => sb.append("\\)")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[graft] def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+}

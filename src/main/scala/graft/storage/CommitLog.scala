@@ -108,20 +108,37 @@ private[graft] object CommitLog {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
-      // HDFS-semantics create-no-overwrite (atomic at the namenode).
-      // Object stores must NOT take this branch blindly — wire their
-      // conditional put here (the one-method seam, see class doc).
+      // HDFS-semantics create-no-overwrite (atomic at the namenode) —
+      // allowlisted schemes ONLY. Object stores (s3a, gs, abfs…) make
+      // create(overwrite=false) a non-atomic exists-then-put; silently
+      // taking this branch there would reintroduce the exact TOCTOU
+      // this class removes, so they fail loudly until their native
+      // conditional put (S3 If-None-Match / GCS generation-match) is
+      // wired into this seam.
+      if (!HdfsLikeSchemes.contains(fs.getScheme))
+        throw new UnsupportedOperationException(
+          s"CommitLog conditional put is not atomic on scheme '${fs.getScheme}' — " +
+          "wire the store's native conditional put (see CommitLog class doc)")
       try {
         val out = fs.create(dst, false)
         try out.write(body) finally out.close()
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // "already exists" specifically: a bare contains("exist") also
+        // matches "does not exist"/"parent directory doesn't exist" and
+        // would misreport infrastructure failures as lost CAS races
         case e: java.io.IOException
-            if e.getMessage != null && e.getMessage.contains("exist") => false
+            if e.getMessage != null && e.getMessage
+              .toLowerCase(java.util.Locale.ROOT).contains("already exist") => false
       }
     }
   }
+
+  /** Schemes where `create(path, overwrite=false)` is namenode-
+    * arbitrated atomic create-if-absent. */
+  private[graft] val HdfsLikeSchemes: Set[String] =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs")
 
   /** Publisher-side GC: drop versions more than [[Keep]] behind
     * `latest`. Best-effort — a failed delete is retried by whoever

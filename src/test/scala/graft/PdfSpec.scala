@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Pdf
+
+/** PDF probe + bounded text extraction (r11): fixture round-trips over
+  * both xref layouts, the documented text-op rules, flag-not-crash on
+  * encryption / composite fonts / bombs, and the probe contract. */
+class PdfSpec extends SparkSuite {
+
+  private val pages = Seq(
+    Seq("Hello, world!", "Second line (with parens) and back\\slash"),
+    Seq("Page two starts here", "mid", "and ends"),
+    Seq("lone"))
+
+  test("classic-xref round-trip: compressed and plain content streams extract lines.mkString(newline)") {
+    for (compress <- Seq(true, false)) {
+      val t = Pdf.extractText(Pdf.pdfBytes(pages, compress = compress))
+      assert(t.ok && !t.flagged && t.nPages == 3, s"compress=$compress: $t")
+      assert(t.pages == pages.map(_.mkString("\n")).toVector)
+    }
+  }
+
+  test("xref stream + object stream + PNG Up predictor: the modern writer layout extracts identically") {
+    val t = Pdf.extractText(Pdf.pdfBytesXrefStream(pages))
+    assert(t.ok && !t.flagged && t.nPages == 3, s"$t")
+    assert(t.pages == pages.map(_.mkString("\n")).toVector)
+  }
+
+  test("stacked filters: ASCIIHexDecode over FlateDecode decodes through the chain") {
+    val t = Pdf.extractText(Pdf.pdfBytes(pages, compress = true, asciiHex = true))
+    assert(t.ok && !t.flagged && t.pages == pages.map(_.mkString("\n")).toVector)
+  }
+
+  test("encrypted flags, never decrypts; non-PDF and torn files quarantine with their reasons") {
+    val enc = Pdf.extractText(Pdf.pdfBytes(pages, encrypted = true))
+    assert(!enc.ok && enc.reason == "encrypted" && enc.flagged)
+    val not = Pdf.extractText("plain text, no header".getBytes("UTF-8"))
+    assert(!not.ok && not.reason == "not-pdf")
+    val whole = Pdf.pdfBytes(pages)
+    for (cut <- Seq(10, whole.length / 2, whole.length - 30)) {
+      val torn = Pdf.extractText(java.util.Arrays.copyOf(whole, cut))
+      assert(!torn.ok && (torn.reason == "corrupt" || torn.reason == "not-pdf"),
+        s"cut=$cut -> $torn")
+    }
+  }
+
+  /** Hand-assembled one-page PDF whose content stream is given verbatim
+    * (uncompressed) — for exercising operator/string syntax the fixture
+    * writer doesn't emit. `fontSubtype` plants the font's /Subtype. */
+  private def handPdf(content: String, fontSubtype: String = "Type1"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val offs = scala.collection.mutable.ArrayBuffer[Long]()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    def obj(body: String): Unit = {
+      offs += out.size().toLong
+      w(s"${offs.length} 0 obj\n$body\nendobj\n")
+    }
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    obj(s"<< /Type /Font /Subtype /$fontSubtype /BaseFont /Helvetica >>")
+    obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    obj(s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    val x = out.size()
+    w(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n")
+    offs.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offs.length + 1} /Root 1 0 R >>\nstartxref\n$x\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("operator semantics: TJ kerning, hex strings, quote operators, escapes, octal") {
+    // TJ: strings concatenate, numbers ignored; hex string decodes;
+    // odd hex digit pads 0x_0 ('P' = 0x50 from digit '5')
+    val tj = Pdf.extractText(handPdf(
+      "BT /F1 12 Tf 72 50 Td [(A) -120 (B) 5 (C)] TJ <48656C6C6F> Tj ET"))
+    assert(tj.ok && tj.pages == Vector("ABCHello"), s"$tj")
+    val odd = Pdf.extractText(handPdf("BT 0 0 Td <5> Tj ET"))
+    assert(odd.ok && odd.pages == Vector("P"), s"$odd")
+    // ' and " are next-line-and-show; Td/T* newline unless empty or
+    // already newline-terminated (the trailing T* adds exactly one)
+    val q = Pdf.extractText(handPdf(
+      "BT 72 50 Td (first) Tj (quoted) ' 2 3 (dquoted) \" T* ET"))
+    assert(q.ok && q.pages == Vector("first\nquoted\ndquoted\n"), s"$q")
+    // literal-string escapes: \( \) \\ \n octal \101='A', nested parens
+    val esc = Pdf.extractText(handPdf(
+      "BT 0 0 Td (a\\(b\\)c\\\\d\\ne\\101(nested)f) Tj ET"))
+    assert(esc.ok && esc.pages == Vector("a(b)c\\d\neA(nested)f"), s"$esc")
+    // WinAnsi high range via octal: \223/\224 smart quotes (cp1252
+    // block), \351 e-acute (Latin-1 block)
+    val win = Pdf.extractText(handPdf("BT 0 0 Td (\\223caf\\351\\224) Tj ET"))
+    assert(win.ok && win.pages == Vector("\u201Ccaf\u00E9\u201D"), s"$win")
+  }
+
+  test("composite (Type0) fonts skip their show ops and flag; the rest of the page survives") {
+    val t = Pdf.extractText(handPdf("BT /F1 12 Tf 0 0 Td (cid text) Tj ET",
+      fontSubtype = "Type0"))
+    assert(t.ok && t.flagged && t.pages == Vector(""), s"$t")
+    // an UNKNOWN font name stays supported (default font assumption)
+    val u = Pdf.extractText(handPdf("BT /F9 12 Tf 0 0 Td (kept) Tj ET"))
+    assert(u.ok && u.pages == Vector("kept"))
+  }
+
+  test("bomb cap: a flate bomb trips maxStreamBytes and flags the page instead of allocating") {
+    val bomb = Pdf.deflate(new Array[Byte](32 << 20)) // 32 MiB of zeros -> ~32 KiB
+    val out = new java.io.ByteArrayOutputStream()
+    val offs = scala.collection.mutable.ArrayBuffer[Long]()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    def obj(body: => Unit): Unit = {
+      offs += out.size().toLong
+      w(s"${offs.length} 0 obj\n"); body; w("\nendobj\n")
+    }
+    obj { w("<< /Type /Catalog /Pages 2 0 R >>") }
+    obj { w("<< /Type /Pages /Kids [3 0 R] /Count 1 >>") }
+    obj { w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 10 10] /Contents 4 0 R >>") }
+    obj { w(s"<< /Length ${bomb.length} /Filter /FlateDecode >>\nstream\n")
+          out.write(bomb); w("\nendstream") }
+    val x = out.size()
+    w(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n")
+    offs.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offs.length + 1} /Root 1 0 R >>\nstartxref\n$x\n%%EOF\n")
+    val t = Pdf.extractText(out.toByteArray, maxStreamBytes = 1 << 20)
+    assert(t.ok && t.flagged && t.pages == Vector(""), s"bomb must flag, not allocate: $t")
+  }
+
+  test("probe: version + page count + MediaBox + encrypted flag; joins the Default chain") {
+    val p = Pdf.Probe.probe(Pdf.pdfBytes(pages)).get
+    assert(p.format == "pdf" && p.codec == "1.4" && p.frames == 3 &&
+      p.width == 612 && p.height == 792, s"$p")
+    val ps = Pdf.Probe.probe(Pdf.pdfBytesXrefStream(pages)).get
+    assert(ps.codec == "1.5" && ps.frames == 3, s"$ps")
+    val enc = Pdf.Probe.probe(Pdf.pdfBytes(pages, encrypted = true)).get
+    assert(enc.codec == "1.4/encrypted" && enc.frames == 0, s"$enc")
+    assert(Pdf.Probe.probe("nope".getBytes("UTF-8")).isEmpty)
+    // the Default chain resolves a PDF blob to the pdf lane
+    val viaChain = graft.ops.MediaProbe.Default.probe(Pdf.pdfBytes(pages)).get
+    assert(viaChain.format == "pdf" && viaChain.frames == 3)
+  }
+
+  test("pdfText operator: one row per page, quarantine rows for the rest, no shuffle in the plan") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Pdf.pdfBytes(Seq(Seq("alpha", "beta")))),
+      (2L, Pdf.pdfBytes(pages, encrypted = true)),
+      (3L, "not a pdf".getBytes("UTF-8")),
+      (4L, Pdf.pdfBytesXrefStream(Seq(Seq("x"), Seq("y"))))
+    ).toDF("doc_id", "blob")
+    val out = Pdf.pdfText(rows).orderBy("doc_id", "page").collect()
+    assert(out.length == 5)
+    assert(out(0).getLong(0) == 1L && out(0).getBoolean(1) &&
+      out(0).getInt(3) == 1 && out(0).getString(4) == "alpha\nbeta")
+    assert(out(1).getLong(0) == 2L && !out(1).getBoolean(1) &&
+      out(1).getString(6) == "encrypted")
+    assert(out(2).getLong(0) == 3L && out(2).getString(6) == "not-pdf")
+    assert(out(3).getString(4) == "x" && out(4).getString(4) == "y")
+    assert(out(3).getInt(2) == 2 && out(4).getInt(3) == 2)
+  }
+}

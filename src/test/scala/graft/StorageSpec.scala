@@ -1823,4 +1823,36 @@ class CommitLogSpec extends SparkSuite {
       Set(Base + 1000, Base + 2000, Base + 3000, Base + 4000))
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
+
+  test("non-atomic schemes are rejected loudly; a does-not-exist IOException is NOT a lost CAS") {
+    // an object-store scheme must never silently take the
+    // create(overwrite=false) branch (exists-then-put there = the TOCTOU
+    // this class removes); fake the scheme over a local FS to pin it
+    val dir = Files.createTempDirectory("clog_scheme")
+    val local = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "s3a"
+    }
+    local.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[UnsupportedOperationException] {
+      CommitLog.tryPublish(local, new org.apache.hadoop.fs.Path(dir.toString),
+        1L, "floor=1\n".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("s3a"))
+    // an hdfs-like scheme whose create fails with "does not exist" must
+    // PROPAGATE (infrastructure error), not report a lost CAS (false)
+    val failing = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "hdfs"
+      override def create(f: org.apache.hadoop.fs.Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException(s"Parent directory does not exist: $f")
+    }
+    failing.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    intercept[java.io.IOException] {
+      CommitLog.tryPublish(failing, new org.apache.hadoop.fs.Path(dir.toString),
+        2L, "floor=2\n".getBytes("UTF-8"))
+    }
+    graft.core.Fs.rmTree(dir.toFile)
+  }
 }

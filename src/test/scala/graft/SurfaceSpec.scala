@@ -376,6 +376,53 @@ class WarcSourceSpec extends SparkSuite {
       new String(rows(1).getAs[Array[Byte]](10), "UTF-8") == "small")
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
+
+  test("header flood quarantines: millions of short header lines hit the cumulative cap, not the heap") {
+    // each LINE is under the 64 KiB line bound, so only the cumulative
+    // cap stops the accumulation (advice-caught OOM vector); the cap
+    // must fire well before the flood is fully buffered
+    val dir = Files.createTempDirectory("warc_flood").toString
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(s"$dir/f.warc.gz"))
+    WarcSource.writeGzMember(out) { gz =>
+      gz.write("WARC/1.0\r\nWARC-Type: metadata\r\n".getBytes("ISO-8859-1"))
+      val line = ("X-Flood: " + "y" * 100 + "\r\n").getBytes("ISO-8859-1")
+      var written = 0L
+      while (written < WarcSource.MaxHeaderBytes * 4) {
+        gz.write(line); written += line.length
+      }
+      gz.write("Content-Length: 0\r\n\r\n\r\n\r\n".getBytes("ISO-8859-1"))
+    }
+    out.close()
+    val rows = WarcSource.read(spark, s"$dir/f.warc.gz").collect()
+    assert(rows.length == 1 && rows(0).getBoolean(12), "flood must quarantine")
+    // a normal record with MANY-but-bounded headers still parses
+    val ok = new java.io.ByteArrayOutputStream()
+    WarcSource.writeRecord(ok, "metadata",
+      (1 to 200).map(i => s"X-Meta-$i" -> ("v" * 50)), Array.emptyByteArray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/ok.warc"),
+      ok.toByteArray)
+    val okRows = WarcSource.read(spark, s"$dir/ok.warc").collect()
+    assert(okRows.length == 1 && !okRows(0).getBoolean(12))
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+
+  test("readFiles takes paths verbatim: commas, spaces, and glob metacharacters in names read correctly") {
+    val dir = Files.createTempDirectory("warc_names").toString
+    val names = Seq("seg,part-1.warc", "seg [2].warc", "seg {a,b}.warc",
+      "seg space.warc")
+    names.zipWithIndex.foreach { case (n, i) =>
+      writePlain(s"$dir/$n")(response(s"https://x/$i", s"body$i"))
+    }
+    val df = WarcSource.readFiles(spark, names.map(n => s"$dir/$n"))
+    assert(df.filter(col("corrupt")).count() == 0)
+    val uris = WarcSource.responses(df).select("target_uri")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(uris == names.indices.map(i => s"https://x/$i"))
+    // every input file produced its row (no silent glob-expansion loss)
+    assert(df.select("warc_file").distinct().count() == names.length)
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
 }
 
 /** Incremental segment-level WARC ingestion (r10 cont.): new-files-only
