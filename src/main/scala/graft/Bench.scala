@@ -96,7 +96,8 @@ object Bench {
     "corpus_sample", "corpus_split", "corpus_shuffle", "corpus_mix",
     "corpus_doremi", "corpus_interleave",
     "corpus_epochs", "corpus_jsonl", "corpus_warc", "corpus_warc_text",
-    "corpus_crawl_pipeline", "corpus_diff",
+    "corpus_crawl_pipeline", "corpus_pdf_text", "multimodal_probe_pdf",
+    "corpus_diff",
     "corpus_stats", "corpus_cube", "corpus_quality_gate",
     "text_dedup_lines",
     "sim_semdedup",

@@ -235,6 +235,42 @@ object SparkEntry {
     }
   }
 
+  /** The staged PDF fixture corpus (r11): one PDF per document, page
+    * texts a closed form of doc_id so the extraction twin is exact.
+    * Lanes: `id%13==0` encrypted (flag path), else `id%17==0` non-PDF
+    * garbage (quarantine path), else `id%7==0` the modern xref-stream
+    * + object-stream layout, else classic xref with FlateDecode on
+    * even ids and uncompressed on odd — every parser branch ships in
+    * the corpus the bench cold-reads. */
+  private def pdfFixtureBlobs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.ops.Pdf
+    stagedBlobs(s, dir, "pdf_v1") {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val blob =
+            if (id % 13 == 0) Pdf.pdfBytes(pdfFixturePages(id), encrypted = true)
+            else if (id % 17 == 0) s"GARBAGE $id — not a pdf".getBytes("UTF-8")
+            else if (id % 7 == 0) Pdf.pdfBytesXrefStream(pdfFixturePages(id))
+            else Pdf.pdfBytes(pdfFixturePages(id), compress = id % 2 == 0)
+          Row(id, blob)
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+    }
+  }
+
+  /** Closed-form page texts: `1 + id%3` pages, page p has
+    * `1 + (id+p)%3` lines `doc <id> (page <p>) line <k>` — parens
+    * exercise literal-string escaping on every document. */
+  private def pdfFixturePages(id: Long): Seq[Seq[String]] =
+    (1 to (1 + id % 3).toInt).map { p =>
+      (1 to (1 + ((id + p) % 3)).toInt).map(k => s"doc $id (page $p) line $k")
+    }
+
   /** The staged WARC fixture segments (r10 cont.): SIXTEEN files —
     * eight plain `.warc`, eight `.warc.gz` with one gzip member PER
     * RECORD, the Common Crawl many-segments layout (file-granular
@@ -2755,6 +2791,35 @@ object SparkEntry {
         .filter(col("n_tokens") >= 5)
         .orderBy("doc_id")
     }),
+
+    // PDF text extraction (r11): the crawl-modal document format —
+    // staged corpus covering classic + xref-stream layouts, Flate and
+    // plain content streams, encrypted and non-PDF lanes. One row per
+    // page for extractable docs (the downstream text pipeline's
+    // granularity), one quarantine row otherwise; the twin replays the
+    // closed-form page texts and both flag lanes in SQL, so the hash
+    // pins xref walk + inflate + content-stream tokenization + the
+    // documented text-op rules end to end.
+    "corpus_pdf_text" -> ((s, dir) =>
+      graft.ops.Pdf.pdfText(pdfFixtureBlobs(s, dir))
+        .select(col("doc_id"), col("ok"),
+          col("n_pages").cast("long").as("n_pages"),
+          col("page").cast("long").as("page"),
+          col("text"), col("flagged"), col("reason"))
+        .orderBy("doc_id", "page")),
+
+    // PDF probe lane (r11): the same staged corpus through the FULL
+    // MediaProbe.Default chain — version + page count + MediaBox dims
+    // + encrypted flag from the xref/catalog walk alone (no content
+    // stream is ever inflated on this path; triage cost is the index,
+    // not the document).
+    "multimodal_probe_pdf" -> ((s, dir) =>
+      Multimodal.probeMedia(pdfFixtureBlobs(s, dir))
+        .select(col("doc_id"), col("probed"), col("format"), col("codec"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("frames"))
+        .orderBy("doc_id")),
 
     // corpus snapshot diff (crawl-refresh receipts): new version = old
     // with ids % 10 == 7 edited, ids >= 450 dropped, and 20 fresh docs
@@ -5290,6 +5355,63 @@ object SparkEntry {
         |  FROM c)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, receipt
         |FROM t WHERE n_tokens >= 5 ORDER BY doc_id""".stripMargin,
+
+    // the PDF extraction replayed in SQL: closed-form page texts
+    // (string_agg over generate_series mirrors the Td/Tj line rules),
+    // encrypted lane -> one flagged quarantine row, garbage lane ->
+    // one not-pdf row; 13 beats 17 beats 7 in lane priority exactly
+    // as the fixture builds them
+    "corpus_pdf_text" ->
+      """WITH ok_ids AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0),
+        |pg AS (
+        |  SELECT o.doc_id, CAST(t.p AS BIGINT) AS page,
+        |    1 + CAST(o.doc_id % 3 AS BIGINT) AS n_pages
+        |  FROM ok_ids o, generate_series(1, 3) t(p)
+        |  WHERE t.p <= 1 + o.doc_id % 3),
+        |ln AS (
+        |  SELECT pg.doc_id, pg.page, pg.n_pages, t.k,
+        |    'doc ' || pg.doc_id || ' (page ' || pg.page || ') line ' || t.k AS line
+        |  FROM pg, generate_series(1, 3) t(k)
+        |  WHERE t.k <= 1 + (pg.doc_id + pg.page) % 3),
+        |tx AS (
+        |  SELECT doc_id, page, n_pages,
+        |    string_agg(line, chr(10) ORDER BY k) AS text
+        |  FROM ln GROUP BY doc_id, page, n_pages)
+        |SELECT doc_id, true AS ok, n_pages, page, text,
+        |  false AS flagged, CAST(NULL AS VARCHAR) AS reason FROM tx
+        |UNION ALL
+        |SELECT doc_id, false, CAST(0 AS BIGINT), NULL, NULL, true, 'encrypted'
+        |FROM documents WHERE doc_id % 13 = 0
+        |UNION ALL
+        |SELECT doc_id, false, CAST(0 AS BIGINT), NULL, NULL, false, 'not-pdf'
+        |FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 = 0
+        |ORDER BY doc_id, page""".stripMargin,
+
+    // probe fields in closed form: version by layout lane, encrypted
+    // flag folded into codec, frames = page count, MediaBox 612x792
+    // on every extractable lane; the garbage lane is the probe's
+    // unknown row (nulls, probed=false)
+    "multimodal_probe_pdf" ->
+      """SELECT doc_id,
+        |  (doc_id % 13 = 0 OR doc_id % 17 <> 0) AS probed,
+        |  CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 = 0 THEN 'unknown'
+        |       ELSE 'pdf' END AS format,
+        |  CASE WHEN doc_id % 13 = 0 THEN '1.4/encrypted'
+        |       WHEN doc_id % 17 = 0 THEN CAST(NULL AS VARCHAR)
+        |       WHEN doc_id % 7 = 0 THEN '1.5'
+        |       ELSE '1.4' END AS codec,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+        |       WHEN doc_id % 17 = 0 THEN NULL
+        |       ELSE 612 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+        |       WHEN doc_id % 17 = 0 THEN NULL
+        |       ELSE 792 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+        |       WHEN doc_id % 17 = 0 THEN NULL
+        |       ELSE 1 + doc_id % 3 END AS BIGINT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // four wire encodings, one decoded string: the text column is the
     // SAME closed form for every lane, the charset column is the

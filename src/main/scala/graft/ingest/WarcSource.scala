@@ -196,10 +196,19 @@ object WarcSource {
     * mutation. */
   private[graft] def parseFile(file: String, raw: java.io.InputStream,
                                maxPayloadBytes: Int): Iterator[Row] = {
-    val in = new java.io.BufferedInputStream(
+    // GZIPInputStream's CONSTRUCTOR eagerly reads the member header —
+    // an empty or header-torn .gz throws here, before any record, so
+    // the quarantine must wrap construction too (fuzz-caught)
+    val in = try new java.io.BufferedInputStream(
       if (file.endsWith(".gz"))
         new java.util.zip.GZIPInputStream(raw, 1 << 16)
       else raw, 1 << 16)
+    catch {
+      case _: Exception =>
+        try raw.close() catch { case _: java.io.IOException => () }
+        return Iterator.single(Row(file, 0L, null, null, null, null, null,
+          null, null, null, null, null, true))
+    }
 
     new Iterator[Row] {
       private var ordinal = 0L

@@ -3253,6 +3253,109 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       Multimodal.zipBytes((0 until 5).map(i =>
         s"e$i" -> Array.tabulate(40 + i * 7)(k => (k * 3 + i).toByte))),
       seed = 124L)
+    fuzzProbe("pdf", graft.ops.Pdf.Probe,
+      graft.ops.Pdf.pdfBytes(Seq(Seq("fuzz line one", "two"), Seq("p2"))),
+      seed = 125L)
+    fuzzProbe("pdf-xrefstream", graft.ops.Pdf.Probe,
+      graft.ops.Pdf.pdfBytesXrefStream(Seq(Seq("xs a", "xs b"))), seed = 126L)
+  }
+
+  test("FUZZ PDF text extraction: ok / flagged / quarantined with a reason, never a throw") {
+    import graft.ops.Pdf
+    for ((base, seed) <- Seq(
+        Pdf.pdfBytes(Seq(Seq("alpha (one)", "beta"), Seq("gamma"))) -> 127L,
+        Pdf.pdfBytesXrefStream(Seq(Seq("delta", "eps"), Seq("zeta"))) -> 128L)) {
+      assert(Pdf.extractText(base).ok, "pristine fixture must extract")
+      (mutations(base, seed, 80) :+ ("empty", Array.emptyByteArray) :+
+        ("null", null: Array[Byte])).foreach { case (tag, payload) =>
+        try {
+          val t = Pdf.extractText(payload, maxStreamBytes = 1 << 20)
+          if (t.ok) {
+            assert(t.nPages == t.pages.length && t.reason == null,
+              s"pdf/$tag: inconsistent ok result $t")
+            // extracted text stays input-bounded (no decompression blowup
+            // past the cap leaks into the result)
+            assert(t.pages.map(_.length.toLong).sum <= (1L << 21),
+              s"pdf/$tag: text beyond cap")
+          } else assert(Set("not-pdf", "encrypted", "corrupt")(t.reason),
+            s"pdf/$tag: unknown reason ${t.reason}")
+        } catch {
+          case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+            fail(s"pdf/$tag: extractor threw ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
+  test("FUZZ targeted lies: ZIP EOCD comment-length, EBML vint edges, Ogg segment tables") {
+    import graft.ops.MediaProbe
+    // EOCD whose comment-length claims past EOF, short of EOF, and 0xFFFF
+    val zip = Multimodal.zipBytes(Seq("a" -> Array[Byte](1, 2, 3)))
+    for (lie <- Seq(1, 40, 0xFFFF)) {
+      val b = zip.clone
+      b(b.length - 2) = (lie & 0xFF).toByte
+      b(b.length - 1) = ((lie >> 8) & 0xFF).toByte
+      val r = MediaProbe.ZipProbe.probe(b)
+      assert(r.isEmpty, s"comment-length lie $lie must not probe: $r")
+    }
+    // EBML vints: 0x00 lead byte (invalid), all-ones sizes on NON-master
+    // elements, truncated multi-byte vints
+    val webm = Multimodal.webmBytes("webm", 1000, 640, 360, "V_VP9")
+    for (o <- 4 until math.min(webm.length, 64)) {
+      val b = webm.clone
+      b(o) = 0x00
+      try MediaProbe.MkvProbe.probe(b).foreach { m =>
+        assert(m.durationMs >= 0 && m.width >= 0 && m.height >= 0)
+      } catch {
+        case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+          fail(s"ebml zero-byte@$o: threw ${e.getClass.getName}")
+      }
+      val c = webm.clone
+      c(o) = 0xFF.toByte
+      try MediaProbe.MkvProbe.probe(c).foreach { m =>
+        assert(m.durationMs >= 0 && m.width >= 0 && m.height >= 0)
+      } catch {
+        case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+          fail(s"ebml ones-byte@$o: threw ${e.getClass.getName}")
+      }
+    }
+    // Ogg: segment table nsegs lies (claims more lacing bytes than exist)
+    val ogg = Multimodal.oggVorbisBytes(8000, 1, 8000, 64000)
+    for (lie <- Seq(0x40, 0xFF)) {
+      val b = ogg.clone
+      b(26) = lie.toByte // first page nsegs
+      try assert(MediaProbe.OggProbe.probe(b).forall(m => m.durationMs >= 0))
+      catch {
+        case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+          fail(s"ogg nsegs lie $lie: threw ${e.getClass.getName}")
+      }
+    }
+  }
+
+  test("FUZZ torn gzip members: .warc.gz parse quarantines framing damage, never throws") {
+    import graft.ingest.WarcSource
+    val buf = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until 3) WarcSource.writeGzMember(buf) { gz =>
+      WarcSource.writeRecord(gz, "response",
+        Seq("WARC-Target-URI" -> s"https://x/$i",
+          "Content-Type" -> "application/http; msgtype=response"),
+        WarcSource.httpResponseBlock(200, "text/plain", s"body$i".getBytes("UTF-8")))
+    }
+    val base = buf.toByteArray
+    (mutations(base, seed = 129L, 80) :+ ("empty", Array.emptyByteArray))
+      .foreach { case (tag, payload) =>
+        try {
+          val rows = WarcSource.parseFile("fuzz.warc.gz",
+            new java.io.ByteArrayInputStream(payload), 1 << 20).toSeq
+          val flags = rows.map(_.getBoolean(12))
+          assert(flags.count(identity) <= 1 &&
+            (!flags.contains(true) || flags.last),
+            s"warc.gz/$tag: quarantine contract violated: $flags")
+        } catch {
+          case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+            fail(s"warc.gz/$tag: parser threw ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
   }
 
   test("FUZZ WARC record stream: rows sane or corrupt-flagged, parse never throws past the iterator") {
