@@ -102,7 +102,7 @@ object WarcSource {
   /** Hadoop Configuration is not java-serializable; ship it via its own
     * write/readFields (the standard Spark-internal pattern, re-stated
     * here because Spark's copy is private[spark]). */
-  private final class SerializableHadoopConf(
+  private[ingest] final class SerializableHadoopConf(
       @transient private var conf: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     def value: org.apache.hadoop.conf.Configuration = conf
@@ -195,7 +195,8 @@ object WarcSource {
     * the fuzz spec can drive the parser without a Spark job per
     * mutation. */
   private[graft] def parseFile(file: String, raw: java.io.InputStream,
-                               maxPayloadBytes: Int): Iterator[Row] = {
+                               maxPayloadBytes: Int,
+                               ordinalBase: Long = 0L): Iterator[Row] = {
     // GZIPInputStream's CONSTRUCTOR eagerly reads the member header —
     // an empty or header-torn .gz throws here, before any record, so
     // the quarantine must wrap construction too (fuzz-caught)
@@ -211,7 +212,7 @@ object WarcSource {
     }
 
     new Iterator[Row] {
-      private var ordinal = 0L
+      private var ordinal = ordinalBase
       private var nextRow: Row = null
       private var done = false
 

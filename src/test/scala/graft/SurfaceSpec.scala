@@ -407,6 +407,75 @@ class WarcSourceSpec extends SparkSuite {
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
 
+  test("gz record-offset sidecar: indexed split read == streaming read row-for-row; stale index refused") {
+    import graft.ingest.WarcGzIndex
+    val dir = Files.createTempDirectory("warc_gidx").toString
+    val f = s"$dir/big.warc.gz"
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+    // 40 members; every 5th member carries TWO records (the index must
+    // count records, not assume the 1:1 convention)
+    var expect = 0
+    for (m <- 0 until 40) {
+      WarcSource.writeGzMember(out) { gz =>
+        response(s"https://x/$expect", s"body $expect word " * (1 + m % 7))(gz)
+        expect += 1
+        if (m % 5 == 0) {
+          response(s"https://x/$expect", s"extra $expect")(gz)
+          expect += 1
+        }
+      }
+    }
+    out.close()
+    assert(WarcGzIndex.buildAll(spark, s"$dir/*.warc.gz") == 1L)
+    // idempotent: a current sidecar is not rebuilt
+    assert(WarcGzIndex.buildAll(spark, s"$dir/*.warc.gz") == 0L)
+    val streamed = WarcSource.read(spark, f)
+      .collect().map(r => (r.getLong(1), r.getString(4),
+        new String(r.getAs[Array[Byte]](10), "UTF-8"))).sortBy(_._1)
+    assert(streamed.length == expect)
+    for (splits <- Seq(1, 4, 16, 64)) {
+      val idxRead = WarcGzIndex.readIndexed(spark, f, splits)
+      val got = idxRead.collect().map(r => (r.getLong(1), r.getString(4),
+        new String(r.getAs[Array[Byte]](10), "UTF-8"))).sortBy(_._1)
+      assert(got.toSeq == streamed.toSeq,
+        s"splits=$splits must be row-identical (ordinals included)")
+      // the split count actually took effect (capped by member count)
+      assert(idxRead.rdd.getNumPartitions == math.min(splits, 40) ||
+        idxRead.rdd.getNumPartitions <= splits)
+    }
+    // stale sidecar: appending a member invalidates by length pin
+    val out2 = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f, true))
+    WarcSource.writeGzMember(out2)(response("https://x/late", "late")(_))
+    out2.close()
+    val e = intercept[java.io.IOException] { WarcGzIndex.readIndexed(spark, f, 4) }
+    assert(e.getMessage.contains("stale"))
+    // rebuild picks it up
+    assert(WarcGzIndex.buildAll(spark, s"$dir/*.warc.gz") == 1L)
+    assert(WarcGzIndex.readIndexed(spark, f, 8).count() == expect + 1)
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+
+  test("gz member walker verifies trailers: a corrupted member fails the BUILD, not the read") {
+    import graft.ingest.WarcGzIndex
+    val buf = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until 3) WarcSource.writeGzMember(buf) { gz =>
+      response(s"https://x/$i", s"data $i")(gz)
+    }
+    val clean = buf.toByteArray
+    assert(WarcGzIndex.build(new java.io.ByteArrayInputStream(clean))
+      .totalRecords == 3)
+    // flip one byte inside the middle member's deflate body: the CRC
+    // trailer must catch it even when the bytes still inflate
+    var caught = 0
+    for (o <- clean.length / 3 until clean.length / 3 + 40) {
+      val bad = clean.clone
+      bad(o) = (bad(o) ^ 0x41).toByte
+      try { WarcGzIndex.build(new java.io.ByteArrayInputStream(bad)); () }
+      catch { case _: java.io.IOException => caught += 1 }
+    }
+    assert(caught > 30, s"corruption must fail the build (caught $caught/40)")
+  }
+
   test("readFiles takes paths verbatim: commas, spaces, and glob metacharacters in names read correctly") {
     val dir = Files.createTempDirectory("warc_names").toString
     val names = Seq("seg,part-1.warc", "seg [2].warc", "seg {a,b}.warc",
