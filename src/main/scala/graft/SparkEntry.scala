@@ -918,6 +918,60 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // CDC THROUGH A REAL STREAMING QUERY (r11 — the r10 verdict's #3
+    // ask): the SAME replica maintenance as tsdb_cdc_replica, but the
+    // windows are delivered by Structured Streaming via
+    // `format("graft-cdc")` — the engine's checkpoint carries the seq
+    // offsets, Trigger.AvailableNow drains to the latched tip, and the
+    // second query is a genuine RESTART against the same checkpoint.
+    // Twin = the same from-scratch recompute: a hash match proves the
+    // stream-fed replica converges exactly as the hand-rolled feed.
+    "tsdb_cdc_source" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_source")
+      try {
+        val cfg = graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+          overrideOld = true)
+        graft.core.SchemaJson.write(s"$tmp/table", cfg) // self-describing:
+        // the source reads MOR-ness from the persisted schema
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table", cfg)
+        val replica = new graft.streaming.ChangesStream.RollupReplica(
+          s, s"$tmp/replica", Day)
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-cdc")
+            .option("path", s"$tmp/table").load()
+            .writeStream
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (df: DataFrame, id: Long) =>
+              replica.applyBatch(df, id + 1); ()
+            }
+            .start()
+          q.awaitTermination(300000L)
+          q.stop()
+        }
+        t.append(samples)
+        drain()
+        val clicks = samples.filter(col("name") === "click")
+        t.append(
+          clicks.filter(col("time").between(F + 3 * Day, F + 7 * Day - 1))
+            .withColumn("value", col("value") + 100)
+            .unionByName(
+              clicks.filter(col("time") < F + 2 * Day)
+                .withColumn("name", lit("probe"))
+                .withColumn("value", col("value") * 2)))
+        t.delete(F + 10 * Day, F + 13 * Day - 1, metrics = Seq("click"))
+        drain() // restart: resumes from the engine checkpoint
+        val res = replica.state()
+          .select(col("name"), col("labels_str"), col("t"),
+            col("count").cast("double").as("count"),
+            round(col("sum"), 6).as("sum"))
+          .orderBy("name", "labels_str", "t")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // CDC MULTI-VIEW FAN-OUT (r10 cont.): ONE checkpointed feed
     // maintains several views — here per-series moment stats
     // (count/sum/sumsq: variance-capable and, unlike min/max,
@@ -3412,6 +3466,23 @@ object SparkEntry {
     // overrides applied, the deleted range gone, probe rows added, then
     // the same per-day count/sum the replica maintains incrementally
     "tsdb_cdc_replica" ->
+      s"""WITH s AS ($SamplesCte),
+         |m AS (SELECT name, labels_str, tt,
+         |        CASE WHEN name = 'click' AND tt BETWEEN ${F + 3 * Day} AND ${F + 7 * Day - 1}
+         |             THEN v + 100 ELSE v END AS v
+         |      FROM s
+         |      WHERE NOT (name = 'click' AND tt BETWEEN ${F + 10 * Day} AND ${F + 13 * Day - 1})),
+         |p AS (SELECT 'probe' AS name, labels_str, tt, v * 2 AS v FROM s
+         |      WHERE name = 'click' AND tt < ${F + 2 * Day}),
+         |u AS (SELECT name, labels_str, tt, v FROM m
+         |      UNION ALL SELECT name, labels_str, tt, v FROM p)
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum"
+         |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the stream-fed replica converges to the identical recompute
+    "tsdb_cdc_source" ->
       s"""WITH s AS ($SamplesCte),
          |m AS (SELECT name, labels_str, tt,
          |        CASE WHEN name = 'click' AND tt BETWEEN ${F + 3 * Day} AND ${F + 7 * Day - 1}

@@ -20,12 +20,13 @@ object SchemaJson {
       .mkString("[", ",", "]")
     val json =
       s"""{
-         |  "version": 4,
+         |  "version": 5,
          |  "partitionIntervalMs": ${c.partitionIntervalMs},
          |  "rollupIntervalMs": ${c.rollupIntervalMs},
          |  "aggregates": ${c.aggregates.map(a => s""""$a"""").mkString("[", ",", "]")},
          |  "useServerAggregateCoefficient": ${c.useServerAggregateCoefficient},
          |  "lateArrivalMs": ${c.lateArrivalMs},
+         |  "overrideOld": ${c.overrideOld},
          |  "preAggregates": $preAgg
          |}""".stripMargin
     Files.createDirectories(Paths.get(tablePath))
@@ -71,6 +72,11 @@ object SchemaJson {
         .map(mm => strList(mm.group(1))).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     val d = TsdbConfig()
+    // v5 adds overrideOld (the table's MOR-ness is a TABLE property —
+    // the CDC streaming source must not guess it); absent in v<=4 files
+    // means the pre-MOR-aware default, false
+    val mor = s"""\"overrideOld\"\\s*:\\s*(true|false)""".r
+      .findFirstMatchIn(s).exists(_.group(1) == "true")
     Some(TsdbConfig(
       partitionIntervalMs = long("partitionIntervalMs", d.partitionIntervalMs),
       rollupIntervalMs = long("rollupIntervalMs", d.rollupIntervalMs),
@@ -78,6 +84,7 @@ object SchemaJson {
       useServerAggregateCoefficient = long("useServerAggregateCoefficient",
         d.useServerAggregateCoefficient).toInt,
       lateArrivalMs = long("lateArrivalMs", d.lateArrivalMs),
+      overrideOld = mor,
       preAggregates = preAgg))
   }
 }

@@ -983,6 +983,21 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * the 0 handle loudly). */
   def currentSeq(): Long = readCommits(strict = true).map(_.max).getOrElse(0L)
 
+  /** Up to `limit` commit boundaries above `afterSeq`, ascending — the
+    * CDC streaming source's rate-limit unit (seqs are wall-clock ms, so
+    * a seq DELTA is meaningless as a batch bound; a count of commits is
+    * the unit a commit-log source batches by). History below the
+    * vacuum floor has no per-commit identity anymore and surfaces as
+    * ONE boundary at the floor. */
+  private[graft] def commitBoundaries(afterSeq: Long, limit: Int): Seq[Long] =
+    readCommits(strict = true) match {
+      case None => Seq.empty
+      case Some(c) =>
+        val fl = if (c.floor > afterSeq) Seq(c.floor) else Seq.empty
+        val above = c.seqs.filter(s => s > afterSeq && s > c.floor).toSeq.sorted
+        (fl ++ above).take(math.max(1, limit))
+    }
+
   /** Materialize the table AS OF `seq` into a brand-new table at
     * `destPath` — the reproducible-snapshot EXPORT (training runs pin a
     * corpus state against later mutation and compaction; the deep-CLONE
