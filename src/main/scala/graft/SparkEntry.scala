@@ -972,6 +972,49 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // DELETION-EXACT EXTENTS VIEW (r11 — the r10 verdict's #5 ask):
+    // per-series (cnt, first_t, last_t) maintained incrementally with
+    // the bounded-synopsis fix (k=4 candidates behind an exclusive
+    // fence per side; exhaustion re-probes AS-OF the window). The
+    // staged deletes strip whole day-ranges off BOTH ends of the click
+    // series — far more than k distinct times — so the oracle hash pins
+    // the eviction AND re-probe paths, not just the happy path; the
+    // override rewrite pins that updates never disturb extents.
+    "tsdb_cdc_extents" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_extents")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            overrideOld = true))
+        val feed = new graft.streaming.ChangesStream.ChangesFeed(t, s"$tmp/ckpt")
+        val view = new graft.streaming.ChangesStream.SeriesExtentsReplica(
+          s, s"$tmp/ext", k = 4,
+          snapshotAt = seq => t.readRawAsOf(0L, Long.MaxValue, seq))
+        t.append(samples)
+        require(graft.streaming.ChangesStream.drain(feed)(view.applyBatch) == 1,
+          "initial corpus must arrive as one CDC window")
+        val clicks = samples.filter(col("name") === "click")
+        t.append(
+          clicks.filter(col("time").between(F + 3 * Day, F + 7 * Day - 1))
+            .withColumn("value", col("value") + 100) // update: extents untouched
+            .unionByName(
+              clicks.filter(col("time") < F + 2 * Day)
+                .withColumn("name", lit("probe"))
+                .withColumn("value", col("value") * 2)))
+        t.delete(F, F + Day - 1, metrics = Seq("click"))          // head range
+        t.delete(F + 10 * Day, F + 13 * Day - 1, metrics = Seq("click")) // tail-side range
+        require(graft.streaming.ChangesStream.drain(feed)(view.applyBatch) == 1,
+          "the mixed mutations must arrive as one CDC window")
+        val res = view.extents()
+          .select(col("name"), col("labels_str"), col("cnt"),
+            col("first_t"), col("last_t"))
+          .orderBy("name", "labels_str")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // CDC MULTI-VIEW FAN-OUT (r10 cont.): ONE checkpointed feed
     // maintains several views — here per-series moment stats
     // (count/sum/sumsq: variance-capable and, unlike min/max,
@@ -3480,6 +3523,22 @@ object SparkEntry {
          |  CAST(count(v) AS DOUBLE) AS "count",
          |  round(sum(v), 6) AS "sum"
          |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // extents recomputed from scratch over the FINAL live rows: the
+    // probes (inserted), the click day-ranges (deleted off both ends),
+    // the override (live, times unchanged)
+    "tsdb_cdc_extents" ->
+      s"""WITH s AS ($SamplesCte),
+         |m AS (SELECT name, labels_str, tt FROM s
+         |      WHERE NOT (name = 'click' AND tt < ${F + Day})
+         |        AND NOT (name = 'click' AND tt BETWEEN ${F + 10 * Day} AND ${F + 13 * Day - 1})),
+         |p AS (SELECT 'probe' AS name, labels_str, tt FROM s
+         |      WHERE name = 'click' AND tt < ${F + 2 * Day}),
+         |u AS (SELECT name, labels_str, tt FROM m
+         |      UNION ALL SELECT name, labels_str, tt FROM p)
+         |SELECT name, labels_str, CAST(count(*) AS BIGINT) AS cnt,
+         |  min(tt) AS first_t, max(tt) AS last_t
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the stream-fed replica converges to the identical recompute
     "tsdb_cdc_source" ->

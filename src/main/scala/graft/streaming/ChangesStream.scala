@@ -148,6 +148,13 @@ object ChangesStream {
       * window; both frames arrive with their declared schemas. */
     protected def fold(state: DataFrame, changes: DataFrame): DataFrame
 
+    /** The until-seq of the window currently being folded — set by
+      * [[applyBatch]] before `fold` runs, for views whose fold needs an
+      * AS-OF side read (the [[SeriesExtentsReplica]] re-probe must see
+      * the table at the window's end, not at whatever tip the table has
+      * advanced to since). */
+    protected var foldingUntilSeq: Long = 0L
+
     /** The seq this view's state is current through (0 = empty). */
     final def appliedUntil: Long = current._2
 
@@ -177,6 +184,7 @@ object ChangesStream {
       require(unknown.isEmpty,
         s"unknown _change_type in CDC batch: ${unknown.headOption}")
       val next = ver + 1
+      foldingUntilSeq = untilSeq
       fold(state(), changes)
         .write.mode("overwrite").parquet(base.resolve(s"v$next").toString)
       val tmp = base.resolve(s"_current.tmp${System.nanoTime()}")
@@ -301,6 +309,147 @@ object ChangesStream {
           max("dlast").as("last_t"))
         .filter(col("refcount") =!= 0L)
         .select("name", "labels_str", "refcount", "first_t", "last_t")
+    }
+  }
+
+  /** Candidate row of [[SeriesExtentsReplica]]'s state: per side a
+    * bounded synopsis + an exclusive fence. Invariants the fold
+    * preserves: `minCands == {live t : t < minFence}` (sorted, ≤ k) and
+    * `maxCands == {live t : t > maxFence}` — complete prefixes/suffixes
+    * of the live time set, so `min(minCands)` / `max(maxCands)` ARE the
+    * exact extremes whenever the side is nonempty. */
+  private[graft] final case class ExtentRow(
+      name: String, labels_str: String, cnt: Long,
+      min_cands: Seq[Long], min_fence: Long,
+      max_cands: Seq[Long], max_fence: Long)
+
+  /** Deletion-EXACT per-series time extents (r11 — closing
+    * [[SeriesRegistryReplica]]'s declared watermark narrowing):
+    * `(name, labels_str) -> (cnt, first_t, last_t)` where first/last
+    * are the true min/max over LIVE rows, exact under deletes.
+    *
+    * Min/max are not signed-maintainable, so this view keeps the
+    * standard bounded-synopsis fix: per key, the k smallest live times
+    * behind an exclusive fence (and mirrored for max). An insert below
+    * the fence enters the synopsis (evicting the largest and pulling
+    * the fence down when full — still a complete prefix); a delete
+    * below the fence removes its entry; everything at or beyond the
+    * fence only moves the refcount. Only when a synopsis EMPTIES while
+    * rows remain does the view RE-PROBE — one AS-OF-the-window snapshot
+    * read restricted to the exhausted keys (broadcast; bounded by the
+    * window's delete keys), rebuilding both sides and cross-checking
+    * the probed live count against the maintained refcount.
+    *
+    * Scale shape: the fold is one cogroup shuffle bounded by
+    * |state| + |window| keys with O(k) work per key; the re-probe is
+    * the documented rare escape hatch and scans only the exhausted
+    * keys' partitions of the snapshot. Updates never touch the
+    * synopsis at all — a rewrite keeps its (series, time) key, and the
+    * extent is over TIME. */
+  final class SeriesExtentsReplica(spark: SparkSession, path: String,
+                                   k: Int, snapshotAt: Long => DataFrame)
+      extends DeltaView(spark, path) {
+    require(k >= 2, s"synopsis size k must be >= 2: $k")
+
+    protected def emptySchema: StructType = StructType(Seq(
+      StructField("name", StringType),
+      StructField("labels_str", StringType),
+      StructField("cnt", LongType),
+      StructField("min_cands", ArrayType(LongType)),
+      StructField("min_fence", LongType),
+      StructField("max_cands", ArrayType(LongType)),
+      StructField("max_fence", LongType)))
+
+    /** The view most consumers read: exact live extents per series. */
+    def extents(): DataFrame =
+      state().select(col("name"), col("labels_str"), col("cnt"),
+        array_min(col("min_cands")).as("first_t"),
+        array_max(col("max_cands")).as("last_t"))
+
+    protected def fold(state: DataFrame, changes: DataFrame): DataFrame = {
+      import spark.implicits._
+      val kk = k
+      val deltas = changes
+        .filter(col("_change_type").isin("insert", "delete"))
+        .select(col("name"), col("labels_str"), col("time"),
+          when(col("_change_type") === "insert", 1).otherwise(-1).as("sign"))
+        .as[(String, String, Long, Int)]
+      val st = state.as[ExtentRow]
+      val folded = st.groupByKey(r => (r.name, r.labels_str))
+        .cogroup(deltas.groupByKey(d => (d._1, d._2))) {
+          case ((n, l), sIt, dIt) =>
+            val s = sIt.toSeq.headOption
+            var cnt = s.map(_.cnt).getOrElse(0L)
+            val minC = scala.collection.mutable.TreeSet.empty[Long]
+            val maxC = scala.collection.mutable.TreeSet.empty[Long]
+            s.foreach { r => minC ++= r.min_cands; maxC ++= r.max_cands }
+            var minF = s.map(_.min_fence).getOrElse(Long.MaxValue)
+            var maxF = s.map(_.max_fence).getOrElse(Long.MinValue)
+            dIt.foreach { case (_, _, t, sign) =>
+              cnt += sign
+              if (sign > 0) {
+                if (t < minF) {
+                  minC += t
+                  if (minC.size > kk) { val m = minC.last; minC -= m; minF = m }
+                }
+                if (t > maxF) {
+                  maxC += t
+                  if (maxC.size > kk) { val m = maxC.head; maxC -= m; maxF = m }
+                }
+              } else {
+                if (t < minF) minC -= t
+                if (t > maxF) maxC -= t
+              }
+            }
+            require(cnt >= 0, s"negative live count for ($n,$l): $cnt")
+            if (cnt == 0) Iterator.empty
+            else Iterator.single(ExtentRow(n, l, cnt,
+              minC.toSeq, minF, maxC.toSeq, maxF))
+        }.toDF()
+      val exhausted = col("cnt") > 0 &&
+        (size(col("min_cands")) === 0 || size(col("max_cands")) === 0)
+      val probeKeys = folded.filter(exhausted)
+        .select("name", "labels_str", "cnt")
+      if (probeKeys.isEmpty) return folded
+      // RE-PROBE: both synopses rebuilt from the AS-OF snapshot of the
+      // window being folded (a later tip could show times this fold has
+      // not delivered yet — the as-of read keeps the invariant exact)
+      val snap = snapshotAt(foldingUntilSeq)
+        .join(broadcast(probeKeys.select("name", "labels_str")),
+          Seq("name", "labels_str"))
+        .select("name", "labels_str", "time")
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy("name", "labels_str").orderBy(col("time").asc)
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy("name", "labels_str").orderBy(col("time").desc)
+      val rebuilt = snap
+        .withColumn("ra", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
+        .groupBy("name", "labels_str")
+        .agg(count(lit(1)).as("live"),
+          sort_array(collect_list(when(col("ra") <= k, col("time")))).as("lo"),
+          sort_array(collect_list(when(col("rd") <= k, col("time")))).as("hi"))
+        .withColumn("min_cands",
+          when(col("live") <= k, col("lo")).otherwise(slice(col("lo"), 1, k - 1)))
+        .withColumn("min_fence",
+          when(col("live") <= k, lit(Long.MaxValue))
+            .otherwise(element_at(col("lo"), k)))
+        .withColumn("max_cands",
+          when(col("live") <= k, col("hi")).otherwise(slice(col("hi"), 2, k - 1)))
+        .withColumn("max_fence",
+          when(col("live") <= k, lit(Long.MinValue))
+            .otherwise(element_at(col("hi"), 1)))
+      // exactness cross-check: the as-of probe must see exactly the
+      // maintained refcount (bounded by the probed key set)
+      val mismatch = rebuilt.join(probeKeys, Seq("name", "labels_str"))
+        .filter(col("live") =!= col("cnt"))
+        .select("name", "labels_str", "live", "cnt").limit(1).collect()
+      require(mismatch.isEmpty,
+        s"extent re-probe disagrees with maintained refcount: ${mismatch.headOption}")
+      folded.filter(!exhausted).unionByName(
+        rebuilt.select(col("name"), col("labels_str"),
+          col("live").as("cnt"), col("min_cands"), col("min_fence"),
+          col("max_cands"), col("max_fence")))
     }
   }
 

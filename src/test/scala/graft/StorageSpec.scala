@@ -1717,6 +1717,109 @@ class WriterFencingSpec extends SparkSuite {
   * [[WriterFencingSpec]]'s zombie scenario. The race here is REAL: no
   * fault-injection seam, just threads attempting the same version;
   * the primitive is small enough to race directly. */
+/** Deletion-exact min/max extents view (r11): the bounded-synopsis
+  * incremental fix — eviction keeps complete prefixes, deletes consume
+  * them, exhaustion re-probes as-of the window. */
+class CdcExtentsSpec extends SparkSuite {
+  import graft.streaming.ChangesStream
+  import graft.storage.{TsdbConfig, TsdbTable}
+  import java.nio.file.Files
+
+  private val Base = 1704067200000L
+
+  private def samples(rows: (String, Long, Double)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("name", "time", "value")
+      .select(col("name"), map(lit("host"), lit("x")).as("labels"),
+        col("time"), col("value"))
+  }
+
+  private def recompute(t: TsdbTable): Map[(String, String), (Long, Long, Long)] =
+    t.readRaw(0L, Long.MaxValue)
+      .groupBy("name", "labels_str")
+      .agg(count(lit(1)).as("cnt"), min("time").as("first_t"),
+        max("time").as("last_t"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  private def viewMap(v: ChangesStream.SeriesExtentsReplica): Map[(String, String), (Long, Long, Long)] =
+    v.extents().collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("extents stay exact under deletes: max eviction, synopsis exhaustion re-probe, full deletion, restart replay") {
+    val dir = Files.createTempDirectory("cdc_ext").toString
+    val t = new TsdbTable(spark, s"$dir/table",
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    val feed = new ChangesStream.ChangesFeed(t, s"$dir/ckpt")
+    val view = new ChangesStream.SeriesExtentsReplica(spark, s"$dir/ext",
+      k = 3, snapshotAt = seq => t.readRawAsOf(0L, Long.MaxValue, seq))
+
+    // window 1: 10 samples per series — beyond k, so fences engage
+    t.append(samples(
+      ((0 until 10).map(i => ("cpu", Base + i * 1000L, i.toDouble)) ++
+       (0 until 10).map(i => ("mem", Base + 500 + i * 2000L, i.toDouble))): _*))
+    assert(ChangesStream.drain(feed)(view.applyBatch) == 1)
+    assert(viewMap(view) == recompute(t))
+
+    // window 2: delete the CURRENT MAX of cpu (evicts from the max
+    // synopsis, k=3 absorbs it without a probe)
+    t.delete(Base + 9000, Base + 9000, metrics = Seq("cpu"))
+    assert(ChangesStream.drain(feed)(view.applyBatch) == 1)
+    assert(viewMap(view) == recompute(t))
+    assert(viewMap(view)(("cpu", "host=x"))._3 == Base + 8000,
+      "max must fall back to the next live time")
+
+    // window 3: delete MORE than k times off the top AND bottom in one
+    // window — both synopses exhaust, the as-of re-probe rebuilds them
+    t.delete(Base, Base + 4000, metrics = Seq("cpu"))     // times 0..4
+    t.delete(Base + 6000, Base + 8000, metrics = Seq("cpu")) // times 6..8
+    assert(ChangesStream.drain(feed)(view.applyBatch) >= 1)
+    assert(viewMap(view) == recompute(t))
+    assert(viewMap(view)(("cpu", "host=x")) == ((1L, Base + 5000L, Base + 5000L)),
+      "only time 5 survives")
+
+    // window 4: full deletion drops the row; the untouched series keeps
+    // exact extents; a returning series re-derives fresh ones
+    t.delete(Base + 5000, Base + 5000, metrics = Seq("cpu"))
+    t.append(samples(("cpu", Base + 777L, 42.0)))
+    assert(ChangesStream.drain(feed)(view.applyBatch) >= 1)
+    assert(viewMap(view) == recompute(t))
+    assert(viewMap(view)(("cpu", "host=x")) == ((1L, Base + 777L, Base + 777L)))
+
+    // replay absorption: re-folding the full history with the applied
+    // tip is a no-op (crash-between-fold-and-commit convergence)
+    val tip = view.appliedUntil
+    view.applyBatch(t.changes(0, t.currentSeq(), preImages = true), tip)
+    assert(viewMap(view) == recompute(t))
+
+    // inserts BELOW the fence after heavy deletion stay exact (the
+    // prefix-completeness invariant under mixed traffic)
+    t.append(samples(("mem", Base + 1L, 9.0), ("mem", Base + 100000L, 9.0)))
+    t.delete(Base + 500, Base + 500, metrics = Seq("mem"))
+    assert(ChangesStream.drain(feed)(view.applyBatch) >= 1)
+    assert(viewMap(view) == recompute(t))
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+
+  test("updates never disturb the synopsis: a MOR rewrite keeps extents and count") {
+    val dir = Files.createTempDirectory("cdc_ext_upd").toString
+    val t = new TsdbTable(spark, s"$dir/table",
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    val feed = new ChangesStream.ChangesFeed(t, s"$dir/ckpt")
+    val view = new ChangesStream.SeriesExtentsReplica(spark, s"$dir/ext",
+      k = 2, snapshotAt = seq => t.readRawAsOf(0L, Long.MaxValue, seq))
+    t.append(samples((0 until 6).map(i => ("cpu", Base + i * 1000L, 1.0)): _*))
+    assert(ChangesStream.drain(feed)(view.applyBatch) == 1)
+    t.append(samples(("cpu", Base + 2000L, 99.0))) // rewrite, same time
+    assert(ChangesStream.drain(feed)(view.applyBatch) == 1)
+    assert(viewMap(view) == recompute(t))
+    assert(viewMap(view)(("cpu", "host=x")) == ((6L, Base, Base + 5000L)))
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+}
+
 class CommitLogSpec extends SparkSuite {
   import graft.storage.{CommitLog, TsdbConfig, TsdbTable}
   import java.nio.file.Files
