@@ -99,7 +99,7 @@ object Bench {
     "corpus_crawl_pipeline", "corpus_pdf_text", "multimodal_probe_pdf",
     "corpus_diff",
     "corpus_stats", "corpus_cube", "corpus_quality_gate",
-    "text_dedup_lines",
+    "text_dedup_lines", "text_main_content",
     "sim_semdedup",
     "corpus_pack", "corpus_topk", "corpus_curate", "corpus_pipeline",
     "corpus_curate_stream", "corpus_chunk", "corpus_chunk_pack", "text_vocab",

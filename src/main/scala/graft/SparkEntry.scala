@@ -1438,6 +1438,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // jusText-style MAIN-CONTENT extraction (r11 — the r10 verdict's #6
+    // ask): block-level boilerplate classification over planted
+    // template+content pages — a nav link bar, a short heading, 2-4
+    // stopword-dense content paragraphs (closed forms of doc_id), a
+    // social line, a copyright footer. The nav/social/footer blocks
+    // classify `bad` and DROP where text_strip_html keeps their text;
+    // the hash pins segmentation, both densities, the copyright rule,
+    // and the context-sensitive pass (the heading stays out: its
+    // nearest definite neighbors are bad-nav and good-para).
+    "text_main_content" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val phrase = "the and of to it in that is was for "
+      val rows = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        .rdd.map { r =>
+          val id = r.getLong(0)
+          val np = 2 + (id % 3).toInt
+          val paras = (1 to np).map { p =>
+            s"<p>doc $id paragraph $p " +
+              phrase * (6 + ((id + p) % 3).toInt) + "</p>"
+          }.mkString
+          Row(id, "<html><body><nav><a href=a>Home</a> <a href=b>About</a> " +
+            "<a href=c>Contact</a></nav>" + s"<h1>Doc $id</h1>" + paras +
+            "<p>Follow us on <a href=t>twitter</a></p>" +
+            "<footer>© 2024 Example Corp</footer></body></html>")
+        }
+      val pages = s.createDataFrame(rows, StructType(Seq(
+        StructField("doc_id", LongType), StructField("html", StringType))))
+      TextAnalysis.mainContentBlocks(pages)
+        .select(col("doc_id"), col("block_idx").cast("long").as("block_idx"),
+          col("cls"), col("kept"), col("text"))
+        .orderBy("doc_id", "block_idx")
+    }),
+
     // character-entropy gibberish scoring (binary junk / padding → low,
     // random noise → near-uniform max, prose → narrow band). Integer
     // char counts folded in SORTED order so the float sum is
@@ -3797,6 +3831,28 @@ object SparkEntry {
         |      '&amp;', '&', 'g'),
         |    '\s+', ' ', 'g')) AS clean
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // the planted page replayed block by block: chrome rows carry their
+    // bad/short classes, content rows the exact closed-form paragraphs
+    "text_main_content" ->
+      """WITH d AS (SELECT doc_id, 2 + CAST(doc_id % 3 AS INT) AS np FROM documents),
+        |para AS (
+        |  SELECT d.doc_id, CAST(1 + t.p AS BIGINT) AS block_idx,
+        |    'good' AS cls, true AS kept,
+        |    'doc ' || d.doc_id || ' paragraph ' || t.p || ' ' ||
+        |    trim(repeat('the and of to it in that is was for ',
+        |                6 + CAST((d.doc_id + t.p) % 3 AS INT))) AS text
+        |  FROM d, generate_series(1, 4) t(p) WHERE t.p <= d.np)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS block_idx, 'bad' AS cls,
+        |  false AS kept, 'Home About Contact' AS text FROM d
+        |UNION ALL SELECT doc_id, CAST(1 AS BIGINT), 'short', false,
+        |  'Doc ' || doc_id FROM d
+        |UNION ALL SELECT doc_id, block_idx, cls, kept, text FROM para
+        |UNION ALL SELECT doc_id, CAST(np + 2 AS BIGINT), 'bad', false,
+        |  'Follow us on twitter' FROM d
+        |UNION ALL SELECT doc_id, CAST(np + 3 AS BIGINT), 'bad', false,
+        |  '© 2024 Example Corp' FROM d
+        |ORDER BY doc_id, block_idx""".stripMargin,
 
     // identical sorted-count fold: list_sort ASC == sort_array ASC on
     // integers, so the float summation order matches exactly

@@ -1100,4 +1100,159 @@ object TextAnalysis {
     pivoted.select(col("doc_id"), round(total, 6).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(topK)
   }
+
+  // ------------------------------------------------- main-content extraction
+
+  /** Block-level tags that delimit jusText blocks (the public jusText
+    * segmentation set; `br`/`hr` included so runs of inline content
+    * separated by them become separate blocks). */
+  private val BlockTagRe =
+    ("(?is)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|" +
+     "blockquote|pre|form|fieldset|legend|section|article|header|footer|nav|" +
+     "aside|main|title|caption|figure|figcaption|address|br|hr)\\b[^>]*>").r
+
+  private val AnchorRe = "(?is)<a\\b[^>]*>(.*?)</a>".r
+  private val InlineTagRe = "<[^>]+>".r
+
+  /** Small English function-word set for the stopword-density rule
+    * (jusText ships per-language lists; this is the standard top band of
+    * English function words — public knowledge, mirrored verbatim in
+    * the DuckDB twin). */
+  private[graft] val StopwordsEn: Set[String] = Set(
+    "the", "of", "and", "a", "to", "in", "is", "it", "you", "that",
+    "he", "was", "for", "on", "are", "as", "with", "his", "they", "i",
+    "at", "be", "this", "have", "from", "or", "one", "had", "by",
+    "not", "but", "what", "all", "were", "we", "when", "your", "can",
+    "an", "which", "their", "if", "will", "up", "other", "about",
+    "out", "then", "them", "these", "so", "some", "her", "would",
+    "there", "been", "has", "more", "its", "who", "did")
+
+  /** One classified jusText block. `cls` is the context-free class
+    * (`bad`/`short`/`neargood`/`good`); `kept` is the final verdict
+    * after the context-sensitive pass. */
+  private[graft] final case class JtBlock(idx: Int, cls: String,
+                                          kept: Boolean, text: String)
+
+  /** jusText-style boilerplate classification of one HTML page
+    * (Pomikalek 2011, the public algorithm; deterministic simplified
+    * variant — every rule below is integer/threshold arithmetic so the
+    * oracle twin can replay it):
+    *
+    *  1. segment on block-level tags;
+    *  2. per block: link density (anchor chars / chars), then inline
+    *     strip + entity decode + whitespace collapse (the [[stripHtml]]
+    *     chain per block);
+    *  3. context-free class with the jusText default thresholds —
+    *     `bad` if link density > 0.2 or the block carries a copyright
+    *     mark; `short` if under 70 chars (but `bad` if a short block
+    *     contains a link — link-list fragments); `good` if stopword
+    *     density >= 0.32 and over 200 chars; `neargood` if density in
+    *     [0.30, 0.32) or a high-density block under 200 chars; `bad`
+    *     otherwise;
+    *  4. context-sensitive pass: `neargood` promotes to kept when its
+    *     NEAREST definite (good/bad) neighbor on either side is good;
+    *     `short` needs BOTH nearest definite neighbors good. (Full
+    *     jusText also promotes headings; this variant deliberately does
+    *     not — documented divergence, deterministic either way.)
+    *
+    * Boilerplate (nav link bars, footers, social chrome) classifies
+    * `bad` and drops where [[stripHtml]] keeps it — this is the
+    * content-vs-chrome stage a crawl corpus needs after tag stripping. */
+  private[graft] def justext(html: String): Seq[JtBlock] = {
+    if (html == null) return Seq.empty
+    val segments = BlockTagRe.split(html)
+    val cf = segments.flatMap { seg =>
+      val linkChars = AnchorRe.findAllMatchIn(seg)
+        .map(m => InlineTagRe.replaceAllIn(m.group(1), " ")
+          .replaceAll("\\s+", "").length).sum
+      val hasLink = linkChars > 0 || seg.toLowerCase(java.util.Locale.ROOT).contains("<a")
+      val text = {
+        val noTags = InlineTagRe.replaceAllIn(
+          seg.replaceAll("(?s)<!--.*?-->", " "), " ")
+        val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+          "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+          .foldLeft(noTags) { case (c, (e, r)) => c.replace(e, r) }
+        decoded.replaceAll("\\s+", " ").trim
+      }
+      if (text.isEmpty) None
+      else {
+        val len = text.length
+        val words = text.split(" ")
+        val stop = words.count(w =>
+          StopwordsEn(w.toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("[^a-z]", "")))
+        val stopDensity = stop.toDouble / words.length
+        val linkDensity = math.min(1.0, linkChars.toDouble / len)
+        val lower = text.toLowerCase(java.util.Locale.ROOT)
+        val cls =
+          if (linkDensity > 0.2) "bad"
+          else if (lower.contains("\u00a9") || lower.contains("copyright")) "bad"
+          else if (len < 70) { if (hasLink) "bad" else "short" }
+          else if (stopDensity >= 0.32) { if (len > 200) "good" else "neargood" }
+          else if (stopDensity >= 0.30) "neargood"
+          else "bad"
+        Some((cls, text))
+      }
+    }.toSeq
+    // context pass: nearest DEFINITE neighbor classes
+    val n = cf.length
+    val prevDef = new Array[String](n)
+    var last = "bad"
+    for (i <- 0 until n) {
+      prevDef(i) = last
+      if (cf(i)._1 == "good" || cf(i)._1 == "bad") last = cf(i)._1
+    }
+    val nextDef = new Array[String](n)
+    last = "bad"
+    for (i <- (n - 1) to 0 by -1) {
+      nextDef(i) = last
+      if (cf(i)._1 == "good" || cf(i)._1 == "bad") last = cf(i)._1
+    }
+    cf.zipWithIndex.map { case ((cls, text), i) =>
+      val kept = cls match {
+        case "good" => true
+        case "neargood" => prevDef(i) == "good" || nextDef(i) == "good"
+        case "short" => prevDef(i) == "good" && nextDef(i) == "good"
+        case _ => false
+      }
+      JtBlock(i, cls, kept, text)
+    }
+  }
+
+  /** [[justext]] over a corpus: one row per block with its class and
+    * final verdict — the auditable form (a curation pipeline wants to
+    * SEE what was cut). Partition-local scan-shaped map, no shuffle. */
+  def mainContentBlocks(df: DataFrame, htmlCol: String = "html",
+                        idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("block_idx", IntegerType),
+      StructField("cls", StringType),
+      StructField("kept", BooleanType),
+      StructField("text", StringType)))
+    val rows = df.select(col(idCol).cast("long"), col(htmlCol)).rdd
+      .flatMap { r =>
+        val id: java.lang.Long = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        justext(r.getString(1)).iterator.map(b =>
+          Row(id, b.idx, b.cls, b.kept, b.text))
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** The extracted main content: kept blocks joined by newline — what
+    * feeds the downstream text pipeline in place of [[stripHtml]]'s
+    * everything-including-chrome output. */
+  def extractMainContent(df: DataFrame, htmlCol: String = "html",
+                         idCol: String = "doc_id"): DataFrame =
+    mainContentBlocks(df, htmlCol, idCol)
+      .filter(col("kept"))
+      .groupBy("doc_id")
+      // collect_list order is shuffle-dependent — sort by block_idx
+      // (struct sort is lexicographic, idx leads) before joining
+      .agg(concat_ws("\n",
+        transform(sort_array(collect_list(struct(col("block_idx"), col("text")))),
+          s => s.getField("text"))).as("main_text"))
 }

@@ -1117,6 +1117,71 @@ class SessionsStreamingSpec extends SparkSuite {
   }
 }
 
+/** jusText-style main-content extraction (r11): boilerplate drops where
+  * stripHtml keeps it; the context pass promotes and demotes exactly by
+  * the documented rules. */
+class JustextSpec extends SparkSuite {
+  import graft.ops.TextAnalysis
+
+  private val para = "Now " + ("the and of to it in that is was for " * 8).trim + " end."
+
+  test("planted template page: nav/social/footer classify bad, content good; stripHtml keeps what justext cuts") {
+    val html = "<html><body>" +
+      "<nav><a href=a>Home</a> <a href=b>About</a> <a href=c>Contact</a></nav>" +
+      "<h1>Doc 42</h1>" +
+      s"<p>$para</p><p>$para second.</p>" +
+      "<p>Follow us on <a href=t>twitter</a></p>" +
+      "<footer>© 2024 Example Corp</footer></body></html>"
+    val blocks = TextAnalysis.justext(html)
+    assert(blocks.map(_.cls) ==
+      Seq("bad", "short", "good", "good", "bad", "bad"), s"$blocks")
+    assert(blocks.map(_.kept) ==
+      Seq(false, false, true, true, false, false))
+    assert(blocks(2).text == para)
+    // the h1 short block between bad nav and good content stays out
+    // (both-definite-neighbors-good rule); chrome text is gone where
+    // stripHtml retains every word of it
+    val stripped = spark.range(1).select(
+      TextAnalysis.stripHtml(lit(html)).as("t")).collect()(0).getString(0)
+    assert(stripped.contains("Home About Contact") &&
+      stripped.contains("© 2024 Example Corp"))
+    assert(!blocks.filter(_.kept).exists(b =>
+      b.text.contains("Home") || b.text.contains("©")))
+  }
+
+  test("context pass: neargood promotes next to good; short needs good on BOTH sides") {
+    val mid = "Mid " + ("the and of to it in that is was for " * 3).trim // <200: neargood
+    val html = s"<p>$para</p><p>$mid</p><p><a href=x>linklinklinklink</a></p>" +
+      s"<p>$para</p><h2>tiny</h2><p>$para</p><h2>tail tiny</h2>"
+    val b = TextAnalysis.justext(html)
+    assert(b.map(_.cls) ==
+      Seq("good", "neargood", "bad", "good", "short", "good", "short"), s"$b")
+    // neargood after a good -> kept; short BETWEEN goods -> kept;
+    // trailing short (next definite is virtual bad) -> dropped
+    assert(b.map(_.kept) ==
+      Seq(true, true, false, true, true, true, false), s"$b")
+  }
+
+  test("edges: empty/null html, entity decode, link-bearing short is bad, copyright word") {
+    assert(TextAnalysis.justext(null).isEmpty)
+    assert(TextAnalysis.justext("").isEmpty)
+    assert(TextAnalysis.justext("<div>   </div>").isEmpty)
+    val e = TextAnalysis.justext(s"<p>$para &amp; more &lt;tags&gt;</p>")
+    assert(e.head.text.contains("& more <tags>"))
+    assert(TextAnalysis.justext("<p>See <a href=x>here</a></p>").head.cls == "bad")
+    assert(TextAnalysis.justext("<p>Copyright 2024 Corp</p>").head.cls == "bad")
+  }
+
+  test("extractMainContent: kept blocks join in block order; operator is scan-shaped") {
+    import spark.implicits._
+    val html = s"<p>$para</p><nav><a href=x>Home</a></nav><p>$para tail.</p>"
+    val df = Seq((7L, html)).toDF("doc_id", "html")
+    val out = TextAnalysis.extractMainContent(df).collect()
+    assert(out.length == 1 &&
+      out(0).getString(1) == s"$para\n$para tail.")
+  }
+}
+
 class TextAnalysisSpec extends SparkSuite {
   import spark.implicits._
 
