@@ -2952,6 +2952,47 @@ object SparkEntry {
           col("frames"))
         .orderBy("doc_id")),
 
+    // IMAGE probe lanes (r11): the crawl-modal image formats — JPEG
+    // marker walk to SOFn, PNG IHDR + APNG acTL chunk walk, all three
+    // WebP bitstream variants (hand-built container — no JDK encoder),
+    // BMP header — all through the full Default chain. Dims and frame
+    // counts are closed forms of doc_id; the JPEG/PNG/BMP fixtures are
+    // real JDK-encoded images, so the hash also pins that the probes
+    // parse what actual encoders emit.
+    "multimodal_probe_images" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val blobs = stagedBlobs(s, dir, "probe_img_v1") {
+        val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        s.createDataFrame(
+          ids.rdd.map { r =>
+            val id = r.getLong(0)
+            val w = (8 + id % 40).toInt
+            val h = (6 + id % 30).toInt
+            val blob = (id % 4) match {
+              case 0 => Multimodal.constantJpeg(w, h, (40 + id % 180).toInt)
+              case 1 => Multimodal.constantPng(w, h,
+                (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+              case 2 => (id / 4 % 3) match {
+                case 0 => Multimodal.webpBytes("vp8", w, h)
+                case 1 => Multimodal.webpBytes("vp8l", w, h)
+                case _ => Multimodal.webpBytes("vp8x", w, h,
+                  animFrames = (1 + id % 5).toInt)
+              }
+              case _ => Multimodal.constantBmp(w, h, (30 + id % 200).toInt)
+            }
+            Row(id, blob)
+          },
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("blob", BinaryType))))
+      }
+      Multimodal.probeMedia(blobs)
+        .select(col("doc_id"), col("probed"), col("format"), col("codec"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("frames"))
+        .orderBy("doc_id")
+    }),
+
     // corpus snapshot diff (crawl-refresh receipts): new version = old
     // with ids % 10 == 7 edited, ids >= 450 dropped, and 20 fresh docs
     // appended at +10000 — the per-doc added/removed/changed/unchanged
@@ -5597,6 +5638,24 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0
         |       WHEN doc_id % 17 = 0 THEN NULL
         |       ELSE 1 + doc_id % 3 END AS BIGINT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // image probe fields in closed form: dims by lane arithmetic, codec
+    // by encoder reality (JDK JPEG = baseline 3-component, JDK PNG on
+    // TYPE_INT_RGB = rgb8 non-interlaced, JDK BMP = 24bpp uncompressed),
+    // WebP variant by (doc_id // 4) % 3 with ANMF counts on the anim lane
+    "multimodal_probe_images" ->
+      """SELECT doc_id, true AS probed,
+        |  CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    WHEN 2 THEN 'webp' ELSE 'bmp' END AS format,
+        |  CASE doc_id % 4 WHEN 0 THEN 'baseline' WHEN 1 THEN 'rgb8'
+        |    WHEN 2 THEN CASE CAST(doc_id // 4 % 3 AS INT)
+        |      WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x-anim' END
+        |    ELSE 'rgb24' END AS codec,
+        |  CAST(8 + doc_id % 40 AS BIGINT) AS width,
+        |  CAST(6 + doc_id % 30 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 2 AND doc_id // 4 % 3 = 2
+        |       THEN 1 + doc_id % 5 ELSE 1 END AS BIGINT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // four wire encodings, one decoded string: the text column is the

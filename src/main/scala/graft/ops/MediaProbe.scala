@@ -61,7 +61,9 @@ object MediaProbe {
   lazy val Default: Probe =
     FlacProbe.orElse(WavProbe).orElse(AviProbe).orElse(GifProbe)
       .orElse(AuProbe).orElse(AiffProbe).orElse(OggProbe).orElse(MkvProbe)
-      .orElse(ZipProbe).orElse(Pdf.Probe).orElse(Mp4Probe).orElse(Mp3Probe)
+      .orElse(ZipProbe).orElse(Pdf.Probe)
+      .orElse(JpegProbe).orElse(PngProbe).orElse(WebpProbe).orElse(BmpProbe)
+      .orElse(Mp4Probe).orElse(Mp3Probe)
 
   /** Ogg page walk (RFC 3533) + Vorbis/Opus identification headers —
     * the open crawl audio formats. Duration comes from the LAST page's
@@ -593,6 +595,182 @@ object MediaProbe {
       }
       if (w <= 0 || h <= 0 || frames == 0) return None
       Some(MediaInfo("gif", "gif-lzw", delayCs * 10L, 0, 0, 0, w, h, frames))
+    } catch { case _: Exception => None }
+  }
+
+  /** JPEG marker walk (ITU-T T.81): FFD8, then marker segments with
+    * big-endian lengths until the first SOFn frame header carries the
+    * precision/height/width/components — the crawl-modal image format's
+    * triage fields without any entropy decode. Standalone markers
+    * (TEM, RSTn) have no length; the walk stops at SOS (past it is
+    * entropy-coded data) or EOI. */
+  object JpegProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 4 ||
+          (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+      var p = 2
+      while (p + 4 <= bytes.length) {
+        if ((bytes(p) & 0xFF) != 0xFF) return None // marker desync
+        var m = bytes(p + 1) & 0xFF
+        while (m == 0xFF && p + 2 < bytes.length) { p += 1; m = bytes(p + 1) & 0xFF } // fill bytes
+        if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { p += 2 }
+        else if (m == 0xD9 || m == 0xDA) return None // EOI/SOS before any SOF
+        else {
+          val len = ((bytes(p + 2) & 0xFF) << 8) | (bytes(p + 3) & 0xFF)
+          if (len < 2 || p + 2L + len > bytes.length) return None
+          val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (isSof) {
+            if (len < 8) return None
+            val h = ((bytes(p + 5) & 0xFF) << 8) | (bytes(p + 6) & 0xFF)
+            val w = ((bytes(p + 7) & 0xFF) << 8) | (bytes(p + 8) & 0xFF)
+            val comps = bytes(p + 9) & 0xFF
+            if (w <= 0 || h <= 0 || comps <= 0) return None
+            val codec = m match {
+              case 0xC0 => "baseline"
+              case 0xC1 => "extended-sequential"
+              case 0xC2 => "progressive"
+              case 0xC3 => "lossless"
+              case mm => f"sof${mm - 0xC0}%d"
+            }
+            return Some(MediaInfo("jpeg", codec, 0L, 0, comps, 0, w, h, 1L))
+          }
+          p += 2 + len
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** PNG chunk walk (RFC 2083 / the PNG spec): 8-byte signature, IHDR
+    * first (dims, bit depth, color type, interlace), then chunks to
+    * IEND; an `acTL` chunk before the first `IDAT` makes it APNG and
+    * carries the frame count. CRCs deliberately unverified (the probe
+    * split). */
+  object PngProbe extends Probe {
+    private val Sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 33) return None
+      var i = 0
+      while (i < 8) { if ((bytes(i) & 0xFF) != (Sig(i) & 0xFF)) return None; i += 1 }
+      def u32(o: Int): Long =
+        ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+      if (u32(8) != 13L || new String(bytes, 12, 4, "US-ASCII") != "IHDR") return None
+      val w = u32(16); val h = u32(20)
+      val bitDepth = bytes(24) & 0xFF
+      val colorType = bytes(25) & 0xFF
+      val interlace = bytes(28) & 0xFF
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+      val codec = (colorType match {
+        case 0 => "gray"
+        case 2 => "rgb"
+        case 3 => "indexed"
+        case 4 => "gray-alpha"
+        case 6 => "rgba"
+        case _ => return None
+      }) + s"$bitDepth" + (if (interlace == 1) "/adam7" else "")
+      // chunk walk: APNG acTL (before IDAT) carries num_frames
+      var frames = 1L
+      var p = 33L
+      var sawIdat = false
+      var done = false
+      while (!done && p + 8 <= bytes.length) {
+        val len = u32(p.toInt)
+        if (len > bytes.length) return None
+        val typ = new String(bytes, p.toInt + 4, 4, "US-ASCII")
+        typ match {
+          case "IEND" => done = true
+          case "IDAT" => sawIdat = true
+          case "acTL" if !sawIdat && len >= 8 =>
+            frames = math.max(1L, u32(p.toInt + 8))
+          case _ => ()
+        }
+        p += 12L + len // len + type + data + crc
+      }
+      Some(MediaInfo("png", codec, 0L, 0, 0, 0, w.toInt, h.toInt, frames))
+    } catch { case _: Exception => None }
+  }
+
+  /** WebP RIFF walk (the public WebP container + VP8/VP8L bitstream
+    * specs): `VP8 ` lossy (frame tag + 9D012A start code + 14-bit
+    * dims), `VP8L` lossless (0x2F + packed 14-bit dims-minus-one),
+    * `VP8X` extended (24-bit canvas dims-minus-one; the ANIM flag
+    * makes ANMF chunks countable frames). */
+  object WebpProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 20 ||
+          bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+          bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'E' ||
+          bytes(10) != 'B' || bytes(11) != 'P') return None
+      val fourcc = new String(bytes, 12, 4, "US-ASCII")
+      val chunkLen = Codecs.LE.i32(bytes, 16) & 0xFFFFFFFFL
+      if (20L + chunkLen > bytes.length + 1L) return None // +1: odd-length pad
+      fourcc match {
+        case "VP8 " =>
+          if (bytes.length < 30) return None
+          val tag = (bytes(20) & 0xFF) | ((bytes(21) & 0xFF) << 8) | ((bytes(22) & 0xFF) << 16)
+          if ((tag & 1) != 0) return None // not a key frame: no dims
+          if ((bytes(23) & 0xFF) != 0x9D || (bytes(24) & 0xFF) != 0x01 ||
+              (bytes(25) & 0xFF) != 0x2A) return None
+          val w = Codecs.LE.u16(bytes, 26) & 0x3FFF
+          val h = Codecs.LE.u16(bytes, 28) & 0x3FFF
+          if (w == 0 || h == 0) return None
+          Some(MediaInfo("webp", "vp8", 0L, 0, 0, 0, w, h, 1L))
+        case "VP8L" =>
+          if (bytes.length < 25 || (bytes(20) & 0xFF) != 0x2F) return None
+          val b = Codecs.LE.i32(bytes, 21)
+          val w = (b & 0x3FFF) + 1
+          val h = ((b >>> 14) & 0x3FFF) + 1
+          Some(MediaInfo("webp", "vp8l", 0L, 0, 0, 0, w, h, 1L))
+        case "VP8X" =>
+          if (bytes.length < 30 || chunkLen < 10) return None
+          val flags = bytes(20) & 0xFF
+          val w = ((bytes(24) & 0xFF) | ((bytes(25) & 0xFF) << 8) |
+                   ((bytes(26) & 0xFF) << 16)) + 1
+          val h = ((bytes(27) & 0xFF) | ((bytes(28) & 0xFF) << 8) |
+                   ((bytes(29) & 0xFF) << 16)) + 1
+          val anim = (flags & 0x02) != 0
+          var frames = if (anim) 0L else 1L
+          if (anim) { // count ANMF chunks
+            var p = 20L + chunkLen + (chunkLen & 1L)
+            while (p + 8 <= bytes.length) {
+              val cc = new String(bytes, p.toInt, 4, "US-ASCII")
+              val len = Codecs.LE.i32(bytes, p.toInt + 4) & 0xFFFFFFFFL
+              if (cc == "ANMF") frames += 1
+              p += 8L + len + (len & 1L)
+            }
+            if (frames == 0) return None
+          }
+          Some(MediaInfo("webp", if (anim) "vp8x-anim" else "vp8x",
+            0L, 0, 0, 0, w, h, frames))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** BMP header read (the public BITMAPINFOHEADER layout): dims are
+    * signed (negative height = top-down rows — reported absolute),
+    * compression id names the codec. */
+  object BmpProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 54 ||
+          bytes(0) != 'B' || bytes(1) != 'M') return None
+      val dibSize = Codecs.LE.i32(bytes, 14)
+      if (dibSize < 40) return None // BITMAPCOREHEADER not served
+      val w = Codecs.LE.i32(bytes, 18)
+      val h = Codecs.LE.i32(bytes, 22)
+      val bpp = Codecs.LE.u16(bytes, 28)
+      val comp = Codecs.LE.i32(bytes, 30)
+      if (w <= 0 || h == 0 || h == Int.MinValue || bpp == 0) return None
+      val codec = comp match {
+        case 0 => s"rgb$bpp"
+        case 1 => "rle8"
+        case 2 => "rle4"
+        case 3 => s"bitfields$bpp"
+        case c => s"comp-$c"
+      }
+      Some(MediaInfo("bmp", codec, 0L, 0, 0, 0, w, math.abs(h), 1L))
     } catch { case _: Exception => None }
   }
 

@@ -488,6 +488,85 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Constant-color JPEG / BMP via the hoisted JDK writers — probe
+    * fixtures (dims are the probed fields; content is irrelevant). */
+  def constantJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    jpegBytes(img)
+  }
+
+  def constantBmp(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Hand-built WebP container (no JDK encoder exists): spec-shaped
+    * headers for all three bitstream variants — `vp8` (lossy key-frame
+    * tag + 9D012A start code + 14-bit dims), `vp8l` (0x2F + packed
+    * dims-minus-one), `vp8x` (24-bit canvas dims; `animFrames > 0`
+    * sets the ANIM flag and appends that many minimal ANMF chunks).
+    * Probe fixtures: bodies are zero-filled — the probe's contract is
+    * the header walk, decode is out of scope for WebP. */
+  def webpBytes(variant: String, w: Int, h: Int, animFrames: Int = 0): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 0x3FFF && h <= 0x3FFF, s"dims out of range: ${w}x$h")
+    val body = new java.io.ByteArrayOutputStream()
+    def le32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+      o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF)
+    }
+    def chunk(cc: String, data: Array[Byte]): Unit = {
+      body.write(cc.getBytes("US-ASCII")); le32(body, data.length)
+      body.write(data)
+      if ((data.length & 1) != 0) body.write(0) // RIFF pad
+    }
+    variant match {
+      case "vp8" =>
+        val d = new java.io.ByteArrayOutputStream()
+        d.write(0x10); d.write(0); d.write(0) // frame tag: key frame, v0, show
+        d.write(0x9D); d.write(0x01); d.write(0x2A)
+        d.write(w & 0xFF); d.write((w >> 8) & 0x3F)
+        d.write(h & 0xFF); d.write((h >> 8) & 0x3F)
+        d.write(new Array[Byte](16)) // stub partition
+        chunk("VP8 ", d.toByteArray)
+      case "vp8l" =>
+        val d = new java.io.ByteArrayOutputStream()
+        d.write(0x2F)
+        val bits = (w - 1) | ((h - 1) << 14)
+        le32(d, bits) // alpha=0, version=0 in the top bits
+        d.write(new Array[Byte](8)) // stub stream
+        chunk("VP8L", d.toByteArray)
+      case "vp8x" =>
+        val d = new java.io.ByteArrayOutputStream()
+        d.write(if (animFrames > 0) 0x02 else 0x00) // flags: ANIM
+        d.write(0); d.write(0); d.write(0) // reserved
+        val cw = w - 1; val ch = h - 1
+        d.write(cw & 0xFF); d.write((cw >> 8) & 0xFF); d.write((cw >> 16) & 0xFF)
+        d.write(ch & 0xFF); d.write((ch >> 8) & 0xFF); d.write((ch >> 16) & 0xFF)
+        chunk("VP8X", d.toByteArray)
+        if (animFrames > 0) {
+          chunk("ANIM", new Array[Byte](6)) // bg color + loop count
+          (0 until animFrames).foreach(_ => chunk("ANMF", new Array[Byte](16)))
+        }
+      case other => throw new IllegalArgumentException(s"unknown webp variant $other")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(out, 4 + body.size())
+    out.write("WEBP".getBytes("US-ASCII"))
+    body.writeTo(out)
+    out.toByteArray
+  }
+
   /** Synthesize a grayscale PNG whose [[decodeImageDHash]] fingerprint is
     * EXACTLY `pattern` — fixture plumbing for the ORACLE-EXACT image
     * near-dup entry. Each dHash grid row walks gray values from `base`

@@ -1112,6 +1112,7 @@ object TextAnalysis {
      "aside|main|title|caption|figure|figcaption|address|br|hr)\\b[^>]*>").r
 
   private val AnchorRe = "(?is)<a\\b[^>]*>(.*?)</a>".r
+  private val AnchorOpenRe = "(?i)<a\\b".r
   private val InlineTagRe = "<[^>]+>".r
 
   /** Small English function-word set for the stopword-density rule
@@ -1165,7 +1166,9 @@ object TextAnalysis {
       val linkChars = AnchorRe.findAllMatchIn(seg)
         .map(m => InlineTagRe.replaceAllIn(m.group(1), " ")
           .replaceAll("\\s+", "").length).sum
-      val hasLink = linkChars > 0 || seg.toLowerCase(java.util.Locale.ROOT).contains("<a")
+      // word boundary: a bare contains("<a") would count <abbr>/<audio>
+      // as links (review-caught)
+      val hasLink = linkChars > 0 || AnchorOpenRe.findFirstIn(seg).isDefined
       val text = {
         val noTags = InlineTagRe.replaceAllIn(
           seg.replaceAll("(?s)<!--.*?-->", " "), " ")

@@ -351,6 +351,9 @@ object ChangesStream {
       extends DeltaView(spark, path) {
     require(k >= 2, s"synopsis size k must be >= 2: $k")
 
+    /** The previous fold's cached cogroup (released at the next fold). */
+    private var lastFold: Option[DataFrame] = None
+
     protected def emptySchema: StructType = StructType(Seq(
       StructField("name", StringType),
       StructField("labels_str", StringType),
@@ -406,11 +409,26 @@ object ChangesStream {
             else Iterator.single(ExtentRow(n, l, cnt,
               minC.toSeq, minF, maxC.toSeq, maxF))
         }.toDF()
+      // cache the cogroup: the exhausted-key probe and the final state
+      // write would otherwise each re-run the |state|+|window| shuffle.
+      // The previous window's cache is released here — applyBatch has
+      // long since persisted its output to the versioned state dir.
+      lastFold.foreach(_.unpersist())
+      val cached = folded.persist()
+      lastFold = Some(cached)
       val exhausted = col("cnt") > 0 &&
         (size(col("min_cands")) === 0 || size(col("max_cands")) === 0)
-      val probeKeys = folded.filter(exhausted)
-        .select("name", "labels_str", "cnt")
-      if (probeKeys.isEmpty) return folded
+      // exhausted keys as DRIVER LITERALS — bounded by the window's
+      // delete keys (the changes() touchedParts discipline), and the
+      // cross-check below then never re-evaluates the fold
+      val probeKeyRows = cached.filter(exhausted)
+        .select("name", "labels_str", "cnt").collect()
+      if (probeKeyRows.isEmpty) return cached
+      val probeKeys = spark.createDataFrame(
+        java.util.Arrays.asList(probeKeyRows: _*),
+        StructType(Seq(StructField("name", StringType),
+          StructField("labels_str", StringType),
+          StructField("cnt", LongType))))
       // RE-PROBE: both synopses rebuilt from the AS-OF snapshot of the
       // window being folded (a later tip could show times this fold has
       // not delivered yet — the as-of read keeps the invariant exact)
@@ -446,7 +464,7 @@ object ChangesStream {
         .select("name", "labels_str", "live", "cnt").limit(1).collect()
       require(mismatch.isEmpty,
         s"extent re-probe disagrees with maintained refcount: ${mismatch.headOption}")
-      folded.filter(!exhausted).unionByName(
+      cached.filter(!exhausted).unionByName(
         rebuilt.select(col("name"), col("labels_str"),
           col("live").as("cnt"), col("min_cands"), col("min_fence"),
           col("max_cands"), col("max_fence")))

@@ -1170,6 +1170,9 @@ class JustextSpec extends SparkSuite {
     assert(e.head.text.contains("& more <tags>"))
     assert(TextAnalysis.justext("<p>See <a href=x>here</a></p>").head.cls == "bad")
     assert(TextAnalysis.justext("<p>Copyright 2024 Corp</p>").head.cls == "bad")
+    // inline tags starting with 'a' are NOT links (review-caught:
+    // contains("<a") matched <abbr>)
+    assert(TextAnalysis.justext("<p>an <abbr>abbr</abbr> here</p>").head.cls == "short")
   }
 
   test("extractMainContent: kept blocks join in block order; operator is scan-shaped") {
@@ -2941,6 +2944,64 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaProbe.Default.probe(deflated).get.format == "zip")
   }
 
+  test("media probes: JPEG SOF walk, PNG IHDR/acTL, WebP three variants, BMP — exact fields (r11)") {
+    import graft.ops.MediaProbe
+    // JPEG through the real JDK encoder: baseline SOF0, 3 components
+    val j = MediaProbe.JpegProbe.probe(Multimodal.constantJpeg(37, 23, 90)).get
+    assert(j.format == "jpeg" && j.codec == "baseline" &&
+      j.width == 37 && j.height == 23 && j.channels == 3 && j.frames == 1)
+    // PNG: TYPE_INT_RGB encodes color type 2 depth 8, no interlace
+    val png = Multimodal.constantPng(29, 17, 1, 2, 3)
+    val p = MediaProbe.PngProbe.probe(png).get
+    assert(p.format == "png" && p.codec == "rgb8" &&
+      p.width == 29 && p.height == 17 && p.frames == 1)
+    // APNG: splice an acTL chunk (num_frames 7) after IHDR — CRCs are
+    // deliberately unverified, so zeros suffice
+    val acTL = Array[Byte](0, 0, 0, 8) ++ "acTL".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 7, 0, 0, 0, 0) ++ new Array[Byte](4)
+    val apng = png.take(33) ++ acTL ++ png.drop(33)
+    assert(MediaProbe.PngProbe.probe(apng).exists(m => m.frames == 7))
+    // an acTL AFTER the first IDAT must NOT count (spec: it is ignored)
+    val idat = {
+      var i = 8
+      var at = -1
+      while (at < 0 && i + 8 < png.length) {
+        if (new String(png, i + 4, 4, "US-ASCII") == "IDAT") at = i
+        else i += 12 + (((png(i) & 0xFF) << 24) | ((png(i + 1) & 0xFF) << 16) |
+          ((png(i + 2) & 0xFF) << 8) | (png(i + 3) & 0xFF))
+      }
+      at
+    }
+    val lateActl = png.take(idat) ++ png.slice(idat, png.length - 12) ++
+      acTL ++ png.takeRight(12)
+    assert(MediaProbe.PngProbe.probe(lateActl).exists(_.frames == 1))
+    // WebP: all three bitstream variants, hand-built container
+    val v8 = MediaProbe.WebpProbe.probe(Multimodal.webpBytes("vp8", 320, 240)).get
+    assert(v8.format == "webp" && v8.codec == "vp8" && v8.width == 320 && v8.height == 240)
+    val v8l = MediaProbe.WebpProbe.probe(Multimodal.webpBytes("vp8l", 61, 47)).get
+    assert(v8l.codec == "vp8l" && v8l.width == 61 && v8l.height == 47)
+    val v8x = MediaProbe.WebpProbe.probe(
+      Multimodal.webpBytes("vp8x", 1920, 1080, animFrames = 4)).get
+    assert(v8x.codec == "vp8x-anim" && v8x.width == 1920 &&
+      v8x.height == 1080 && v8x.frames == 4)
+    // BMP via the JDK writer: 24bpp uncompressed, bottom-up
+    val b = MediaProbe.BmpProbe.probe(Multimodal.constantBmp(44, 33, 77)).get
+    assert(b.format == "bmp" && b.codec == "rgb24" && b.width == 44 && b.height == 33)
+    // top-down BMP (negative height) reports absolute height
+    val bm = Multimodal.constantBmp(10, 8, 50)
+    val neg = bm.clone()
+    val hNeg = -8
+    neg(22) = (hNeg & 0xFF).toByte; neg(23) = ((hNeg >> 8) & 0xFF).toByte
+    neg(24) = ((hNeg >> 16) & 0xFF).toByte; neg(25) = ((hNeg >> 24) & 0xFF).toByte
+    assert(MediaProbe.BmpProbe.probe(neg).exists(m => m.height == 8))
+    // the Default chain routes each format to its lane
+    for ((blob, fmt) <- Seq(
+        Multimodal.constantJpeg(9, 9, 1) -> "jpeg", png -> "png",
+        Multimodal.webpBytes("vp8l", 5, 5) -> "webp",
+        Multimodal.constantBmp(9, 9, 1) -> "bmp"))
+      assert(MediaProbe.Default.probe(blob).get.format == fmt, fmt)
+  }
+
   test("FLAC: constant/verbatim/fixed/LPC subframes decode to the exact coded samples") {
     import graft.ops.Codecs
     import Multimodal.{FlacConstant, FlacVerbatim, FlacFixed, FlacLpc}
@@ -3323,6 +3384,18 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       seed = 125L)
     fuzzProbe("pdf-xrefstream", graft.ops.Pdf.Probe,
       graft.ops.Pdf.pdfBytesXrefStream(Seq(Seq("xs a", "xs b"))), seed = 126L)
+    fuzzProbe("jpeg", MediaProbe.JpegProbe,
+      Multimodal.constantJpeg(24, 18, 128), seed = 130L)
+    fuzzProbe("png", MediaProbe.PngProbe,
+      Multimodal.constantPng(20, 15, 10, 20, 30), seed = 131L)
+    fuzzProbe("webp-vp8", MediaProbe.WebpProbe,
+      Multimodal.webpBytes("vp8", 320, 240), seed = 132L)
+    fuzzProbe("webp-vp8l", MediaProbe.WebpProbe,
+      Multimodal.webpBytes("vp8l", 64, 48), seed = 133L)
+    fuzzProbe("webp-vp8x", MediaProbe.WebpProbe,
+      Multimodal.webpBytes("vp8x", 1280, 720, animFrames = 3), seed = 134L)
+    fuzzProbe("bmp", MediaProbe.BmpProbe,
+      Multimodal.constantBmp(16, 12, 99), seed = 135L)
   }
 
   test("FUZZ PDF text extraction: ok / flagged / quarantined with a reason, never a throw") {
