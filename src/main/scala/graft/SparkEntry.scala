@@ -331,6 +331,53 @@ object SparkEntry {
     path
   }
 
+  /** Staged WARC segments whose responses carry `application/pdf`
+    * bodies — the crawl-delivery form of the [[pdfFixtureBlobs]] corpus
+    * (same lanes: encrypted, non-PDF garbage, both xref layouts), for
+    * the end-to-end crawl→PDF→text pipeline entry. EIGHT segments,
+    * half `.warc.gz` per-record-member. */
+  private def stagedPdfWarcDir(s: SparkSession, dir: String): String = {
+    import graft.ingest.WarcSource
+    val path = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      (dir.hashCode & 0x7fffffff) + "/warc_pdf_v1"
+    val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#warc_pdf_v1"
+    val vFile = new java.io.File(s"$path/_graft_version")
+    val fresh = vFile.exists &&
+      new String(java.nio.file.Files.readAllBytes(vFile.toPath), "UTF-8") == version
+    if (!fresh) {
+      val d = new java.io.File(path)
+      rmTree(d); d.mkdirs()
+      val outs = (0 to 3).map(l => new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(s"$path/lane$l.warc"), 1 << 16)) ++
+        (4 to 7).map(l => new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(s"$path/lane$l.warc.gz"), 1 << 16))
+      def record(lane: Int)(body: java.io.OutputStream => Unit): Unit =
+        if (lane <= 3) body(outs(lane))
+        else WarcSource.writeGzMember(outs(lane))(body)
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").orderBy("doc_id")
+      val it = ids.toLocalIterator()
+      while (it.hasNext) {
+        val id = it.next().getLong(0)
+        import graft.ops.Pdf
+        val body =
+          if (id % 13 == 0) Pdf.pdfBytes(pdfFixturePages(id), encrypted = true)
+          else if (id % 17 == 0) s"GARBAGE $id — not a pdf".getBytes("UTF-8")
+          else if (id % 7 == 0) Pdf.pdfBytesXrefStream(pdfFixturePages(id))
+          else Pdf.pdfBytes(pdfFixturePages(id), compress = id % 2 == 0)
+        record((id % 8).toInt)(WarcSource.writeRecord(_, "response",
+          Seq("WARC-Target-URI" -> s"https://corpus.example/pdf/$id",
+            "WARC-Date" -> "2024-01-01T00:00:00Z",
+            "Content-Type" -> "application/http; msgtype=response"),
+          WarcSource.httpResponseBlock(200, "application/pdf", body)))
+      }
+      outs.foreach(_.close())
+      java.nio.file.Files.write(vFile.toPath, version.getBytes("UTF-8"))
+    }
+    path
+  }
+
   /** The planted image-blob table shared by `dedup_image_dhash` and
     * `dedup_image_keep`: every doc's PNG encodes the 60-bit md5(doc_id)
     * prefix as its dHash ([[graft.ops.Multimodal.dhashPng]]); docs < 40
@@ -2938,6 +2985,31 @@ object SparkEntry {
           col("page").cast("long").as("page"),
           col("text"), col("flagged"), col("reason"))
         .orderBy("doc_id", "page")),
+
+    // CRAWL→PDF→TEXT end-to-end (r11): the composition the PDF family
+    // exists for — WARC segments deliver application/pdf response
+    // bodies (same lanes as the blob corpus: encrypted, garbage, both
+    // xref layouts), the pipeline extracts page text and counts tokens,
+    // quarantine rows flow through TYPED (ok=false + reason), and the
+    // twin replays page/token arithmetic and both flag lanes. One hash
+    // pins WARC parse → HTTP extraction → xref walk → inflate →
+    // text ops → tokenization.
+    "corpus_pdf_pipeline" -> ((s, dir) => {
+      import graft.ingest.WarcSource
+      val resp = WarcSource.responses(
+          WarcSource.read(s, stagedPdfWarcDir(s, dir) + "/*.warc*"))
+        .filter(col("http_content_type") === "application/pdf")
+        .select(regexp_extract(col("target_uri"), "/pdf/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("payload").as("blob"))
+      graft.ops.Pdf.pdfText(resp)
+        .select(col("doc_id"), col("ok"),
+          col("n_pages").cast("long").as("n_pages"),
+          col("page").cast("long").as("page"),
+          when(col("ok"), size(split(col("text"), "\\s+")).cast("long"))
+            .as("n_tokens"),
+          col("flagged"), col("reason"))
+        .orderBy("doc_id", "page")
+    }),
 
     // PDF probe lane (r11): the same staged corpus through the FULL
     // MediaProbe.Default chain — version + page count + MediaBox dims
@@ -5608,6 +5680,28 @@ object SparkEntry {
         |  FROM ln GROUP BY doc_id, page, n_pages)
         |SELECT doc_id, true AS ok, n_pages, page, text,
         |  false AS flagged, CAST(NULL AS VARCHAR) AS reason FROM tx
+        |UNION ALL
+        |SELECT doc_id, false, CAST(0 AS BIGINT), NULL, NULL, true, 'encrypted'
+        |FROM documents WHERE doc_id % 13 = 0
+        |UNION ALL
+        |SELECT doc_id, false, CAST(0 AS BIGINT), NULL, NULL, false, 'not-pdf'
+        |FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 = 0
+        |ORDER BY doc_id, page""".stripMargin,
+
+    // page/token arithmetic replayed: each page has 1+(id+p)%3 lines of
+    // six whitespace tokens; quarantine lanes keep their typed reasons
+    "corpus_pdf_pipeline" ->
+      """WITH ok_ids AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0),
+        |pg AS (
+        |  SELECT o.doc_id, CAST(t.p AS BIGINT) AS page,
+        |    1 + CAST(o.doc_id % 3 AS BIGINT) AS n_pages,
+        |    CAST(6 * (1 + (o.doc_id + t.p) % 3) AS BIGINT) AS n_tokens
+        |  FROM ok_ids o, generate_series(1, 3) t(p)
+        |  WHERE t.p <= 1 + o.doc_id % 3)
+        |SELECT doc_id, true AS ok, n_pages, page, n_tokens,
+        |  false AS flagged, CAST(NULL AS VARCHAR) AS reason FROM pg
         |UNION ALL
         |SELECT doc_id, false, CAST(0 AS BIGINT), NULL, NULL, true, 'encrypted'
         |FROM documents WHERE doc_id % 13 = 0
