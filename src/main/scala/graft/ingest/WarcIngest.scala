@@ -30,7 +30,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class WarcIngest(spark: SparkSession, glob: String,
                        checkpointDir: String,
-                       maxPayloadBytes: Int = 8 << 20) {
+                       maxPayloadBytes: Int = 8 << 20,
+                       splitThresholdBytes: Long = 0L,
+                       splitsPerSegment: Int = 32) {
   private val dir = java.nio.file.Paths.get(checkpointDir)
   private val stateFile = dir.resolve("segments")
 
@@ -55,15 +57,53 @@ final class WarcIngest(spark: SparkSession, glob: String,
 
   /** One poll: the NEW segments and their records, or None when no new
     * segment exists. The frame is the plan, not a collect — the caller
-    * decides materialization, then commits the same file list. */
+    * decides materialization, then commits the same file list.
+    *
+    * With `splitThresholdBytes > 0`, `.warc.gz` segments at or above
+    * the threshold read RECORD-GRANULAR through the
+    * [[WarcGzIndex]] sidecar (built here on first encounter — the
+    * one-time sequential pass, then `splitsPerSegment` ranges per
+    * segment forever after) — the few-huge-segments delivery no longer
+    * pins a whole file to one task. Rows are identical either way
+    * (spec-pinned), so the threshold is purely a parallelism knob. */
   def poll(): Option[(Seq[String], DataFrame)] = {
     val seen = processed
     val fresh = listSegments().filterNot(seen.contains)
     // readFiles takes the listed paths verbatim — a comma-joined glob
     // string would split names containing commas and re-expand glob
     // metacharacters (review-caught).
-    if (fresh.isEmpty) None
-    else Some((fresh, WarcSource.readFiles(spark, fresh, maxPayloadBytes)))
+    if (fresh.isEmpty) return None
+    val df =
+      if (splitThresholdBytes <= 0L)
+        WarcSource.readFiles(spark, fresh, maxPayloadBytes)
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val (big, small) = fresh.partition { f =>
+          f.endsWith(".warc.gz") && {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(conf).getFileStatus(p).getLen >= splitThresholdBytes
+          }
+        }
+        val indexed = big.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val fs = p.getFileSystem(conf)
+          val side = new org.apache.hadoop.fs.Path(WarcGzIndex.sidecarPath(f))
+          val fresh = try WarcGzIndex.load(fs, side).fileLen ==
+            fs.getFileStatus(p).getLen catch { case _: Exception => false }
+          if (!fresh) {
+            val in = fs.open(p)
+            val idx = try WarcGzIndex.build(in) finally in.close()
+            WarcGzIndex.save(fs, side, idx)
+          }
+          WarcGzIndex.readIndexed(spark, f, splitsPerSegment, maxPayloadBytes)
+        }
+        val parts = indexed ++
+          (if (small.nonEmpty)
+             Seq(WarcSource.readFiles(spark, small, maxPayloadBytes))
+           else Seq.empty)
+        parts.reduce(_ union _)
+      }
+    Some((fresh, df))
   }
 
   /** Persist `files` as processed — atomic (temp + move), the

@@ -70,6 +70,34 @@ class PdfSpec extends SparkSuite {
     out.toByteArray
   }
 
+  test("incremental update: an appended xref section with /Prev serves the NEWEST object versions") {
+    // the wild's most common multi-xref shape: original document +
+    // appended update that REPLACES page 1's content stream (same
+    // object number, new offset, new xref section chaining back)
+    val base = Pdf.pdfBytes(Seq(Seq("original line")), compress = false)
+    val prevXref = {
+      val s = new String(base, "ISO-8859-1")
+      val i = s.lastIndexOf("startxref")
+      s.substring(i + 9, s.indexOf("%%EOF", i)).trim.toLong
+    }
+    // object 5 is page 1's content stream in the classic layout
+    val newContent = "BT /F1 12 Tf 72 720 Td (updated line) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    val objOff = out.size()
+    out.write((s"5 0 obj\n<< /Length ${newContent.length} >>\nstream\n" +
+      newContent + "\nendstream\nendobj\n").getBytes("ISO-8859-1"))
+    val xrefOff = out.size()
+    out.write((f"xref\n5 1\n$objOff%010d 00000 n \n" +
+      s"trailer\n<< /Size 6 /Root 1 0 R /Prev $prevXref >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n").getBytes("ISO-8859-1"))
+    val t = Pdf.extractText(out.toByteArray)
+    assert(t.ok && t.pages == Vector("updated line"),
+      s"newest xref section must win: $t")
+    // the un-updated original still reads its own version
+    assert(Pdf.extractText(base).pages == Vector("original line"))
+  }
+
   test("operator semantics: TJ kerning, hex strings, quote operators, escapes, octal") {
     // TJ: strings concatenate, numbers ignored; hex string decodes;
     // odd hex digit pads 0x_0 ('P' = 0x50 from digit '5')

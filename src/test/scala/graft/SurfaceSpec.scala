@@ -549,6 +549,51 @@ class WarcIngestSpec extends SparkSuite {
       .processed.size == 4)
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
+
+  test("splitThresholdBytes: large .warc.gz segments auto-index and read record-granular, rows identical") {
+    val dir = Files.createTempDirectory("warc_inc_split").toString
+    val data = s"$dir/data"; new java.io.File(data).mkdirs()
+    // one big gz segment (40 member-records), one small gz, one plain
+    val big = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(s"$data/big.warc.gz"))
+    for (i <- 0 until 40) WarcSource.writeGzMember(big) { gz =>
+      WarcSource.writeRecord(gz, "response",
+        Seq("WARC-Target-URI" -> s"https://x/big/$i",
+          "Content-Type" -> "application/http; msgtype=response"),
+        WarcSource.httpResponseBlock(200, "text/plain",
+          (s"payload $i " * 40).getBytes("UTF-8")))
+    }
+    big.close()
+    val small = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(s"$data/small.warc.gz"))
+    WarcSource.writeGzMember(small)(seg2 => WarcSource.writeRecord(seg2,
+      "response", Seq("WARC-Target-URI" -> "https://x/small",
+        "Content-Type" -> "application/http; msgtype=response"),
+      WarcSource.httpResponseBlock(200, "text/plain", "s".getBytes("UTF-8"))))
+    small.close()
+    seg(s"$data/plain.warc", "https://x/plain")
+    def collectAll(ingest: WarcIngest): (Seq[(String, Long, Int)], Int) = {
+      val Some((files, df)) = ingest.poll(): @unchecked
+      assert(files.length == 3)
+      val rows = WarcSource.responses(df)
+        .select("target_uri", "payload")
+        .collect().map(r => (r.getString(0), 0L, r.getAs[Array[Byte]](1).length))
+        .sortBy(_._1).toSeq
+      (rows, df.rdd.getNumPartitions)
+    }
+    val (plainRows, _) =
+      collectAll(new WarcIngest(spark, s"$data/*.warc*", s"$dir/ckptA"))
+    val (splitRows, parts) = collectAll(new WarcIngest(spark,
+      s"$data/*.warc*", s"$dir/ckptB",
+      splitThresholdBytes = 4096L, splitsPerSegment = 8))
+    assert(splitRows == plainRows, "auto-split read must be row-identical")
+    assert(parts > 4, s"the big segment must fan out past file granularity: $parts")
+    assert(new java.io.File(s"$data/big.warc.gz.gidx").exists,
+      "sidecar built on first encounter")
+    assert(!new java.io.File(s"$data/small.warc.gz.gidx").exists,
+      "below-threshold segments stay on the plain path")
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
 }
 
 /** Charset-aware payload decode (r10 cont.). */
