@@ -97,7 +97,7 @@ object Bench {
     "corpus_doremi", "corpus_interleave",
     "corpus_epochs", "corpus_jsonl", "corpus_warc", "corpus_warc_text",
     "corpus_crawl_pipeline", "corpus_pdf_text", "multimodal_probe_pdf",
-    "corpus_pdf_pipeline", "corpus_diff",
+    "corpus_pdf_pipeline", "corpus_pdf_cid", "corpus_diff",
     "corpus_stats", "corpus_cube", "corpus_quality_gate",
     "text_dedup_lines", "text_main_content",
     "sim_semdedup",

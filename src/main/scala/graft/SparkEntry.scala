@@ -3011,6 +3011,29 @@ object SparkEntry {
         .orderBy("doc_id", "page")
     }),
 
+    // CID/ToUnicode extraction (r11): every document rendered through a
+    // Type0 Identity-H font whose ToUnicode CMap maps the 2-byte codes
+    // — the modern PDF generator's layout, where text recovery flows
+    // through the CMap instead of a byte encoding. The page text is a
+    // closed form of doc_id, so the hash pins CMap parse (bfchar
+    // sections incl. >100-entry chunking on long ids) + 2-byte code
+    // decode end to end.
+    "corpus_pdf_cid" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val blobs = s.createDataFrame(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+          .rdd.map { r =>
+            val id = r.getLong(0)
+            Row(id, graft.ops.Pdf.pdfBytesCid(s"cid document $id has mapped text"))
+          },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      graft.ops.Pdf.pdfText(blobs)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // PDF probe lane (r11): the same staged corpus through the FULL
     // MediaProbe.Default chain — version + page count + MediaBox dims
     // + encrypted flag from the xref/catalog walk alone (no content
@@ -5687,6 +5710,11 @@ object SparkEntry {
         |SELECT doc_id, false, CAST(0 AS BIGINT), NULL, NULL, false, 'not-pdf'
         |FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 = 0
         |ORDER BY doc_id, page""".stripMargin,
+
+    // the CMap-mapped text is the closed form itself
+    "corpus_pdf_cid" ->
+      """SELECT doc_id, 'cid document ' || doc_id || ' has mapped text' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // page/token arithmetic replayed: each page has 1+(id+p)%3 lines of
     // six whitespace tokens; quarantine lanes keep their typed reasons

@@ -804,18 +804,18 @@ object Pdf {
     a
   }
 
+  private def appendWinAnsi(c: Int, sb: java.lang.StringBuilder): Unit = {
+    if (c >= 0x20 && c <= 0x7E) sb.append(c.toChar)
+    else if (c >= 0xA0) sb.append(c.toChar) // Latin-1 block
+    else if (c >= 0x80 && c <= 0x9F) {
+      val ch = winAnsiHigh(c - 0x80)
+      if (ch != ' ') sb.append(ch)
+    } else if (c == '\n' || c == '\r' || c == '\t') sb.append(c.toChar)
+  }
+
   private def decodeWinAnsi(s: Array[Byte], sb: java.lang.StringBuilder): Unit = {
     var i = 0
-    while (i < s.length) {
-      val c = s(i) & 0xFF
-      if (c >= 0x20 && c <= 0x7E) sb.append(c.toChar)
-      else if (c >= 0xA0) sb.append(c.toChar) // Latin-1 block
-      else if (c >= 0x80 && c <= 0x9F) {
-        val ch = winAnsiHigh(c - 0x80)
-        if (ch != ' ') sb.append(ch)
-      } else if (c == '\n' || c == '\r' || c == '\t') sb.append(c.toChar)
-      i += 1
-    }
+    while (i < s.length) { appendWinAnsi(s(i) & 0xFF, sb); i += 1 }
   }
 
   /** Extraction result: one string per page; `flagged` = some content
@@ -839,19 +839,36 @@ object Pdf {
       val pages = collectPages(doc, maxPages)
       var flagged = false
       val texts = pages.map { case (page, res, _) =>
-        // font support map for this page (name → simple font?)
-        val fonts: Map[String, Boolean] = res.flatMap(_.get("Font")).map(doc.resolve) match {
+        // per-font decode plan for this page: /ToUnicode CMaps (the
+        // modern generator's text-recovery channel, §9.10.3) decode
+        // both simple fonts and Identity-H/V composite (Type0/CID)
+        // fonts; a composite font WITHOUT one stays flagged
+        val fonts: Map[String, FontDec] = res.flatMap(_.get("Font")).map(doc.resolve) match {
           case Some(fd: PDict) => fd.m.map { case (name, fref) =>
-            val supported = doc.resolve(fref) match {
-              case f: PDict => doc.resolve(f.get("Subtype").getOrElse(PNull)) match {
-                case PName("Type0") => false // CID/composite: 2-byte codes
-                case _ => true
-              }
-              case _ => true
+            val dec = doc.resolve(fref) match {
+              case f: PDict =>
+                val toUni: Map[Int, String] = doc.resolve(f.get("ToUnicode").getOrElse(PNull)) match {
+                  case st: PStream =>
+                    try parseToUnicode(doc.decodeStream(st))
+                    catch { case _: PdfError => flagged = true; Map.empty }
+                  case _ => Map.empty
+                }
+                doc.resolve(f.get("Subtype").getOrElse(PNull)) match {
+                  case PName("Type0") =>
+                    val identity = doc.resolve(f.get("Encoding").getOrElse(PNull)) match {
+                      case PName(e) => e == "Identity-H" || e == "Identity-V"
+                      case _ => false
+                    }
+                    if (identity && toUni.nonEmpty)
+                      FontDec(supported = true, twoByte = true, toUni)
+                    else FontDec(supported = false, twoByte = true, Map.empty)
+                  case _ => FontDec(supported = true, twoByte = false, toUni)
+                }
+              case _ => DefaultFont
             }
-            name -> supported
+            name -> dec
           }
-          case _ => Map.empty[String, Boolean]
+          case _ => Map.empty[String, FontDec]
         }
         val content: Array[Byte] = doc.resolve(page.get("Contents").getOrElse(PNull)) match {
           case st: PStream =>
@@ -886,16 +903,112 @@ object Pdf {
     }
   }
 
+  /** Decode plan for one font: 1- or 2-byte codes, optional ToUnicode
+    * map (preferred; WinAnsi is the 1-byte fallback for unmapped
+    * codes). Unsupported = show ops skip and flag. */
+  private final case class FontDec(supported: Boolean, twoByte: Boolean,
+                                   toUni: Map[Int, String])
+  private val DefaultFont = FontDec(supported = true, twoByte = false, Map.empty)
+
+  /** ToUnicode CMap parse (§9.10.3 / the Adobe CMap text format): only
+    * the `beginbfchar`/`beginbfrange` sections carry mappings — src
+    * codes are hex strings (their byte length is the code width), dst
+    * is UTF-16BE text; a bfrange increments the LAST UTF-16 code unit
+    * across the range, or lists explicit dst strings in an array.
+    * Bounded: ranges cap at 65536 codes, the whole map at 1<<20
+    * entries (a crafted CMap must not allocate unboundedly). */
+  private[graft] def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+    val lex = new Lexer(data, 0, content = true)
+    val m = scala.collection.mutable.HashMap.empty[Int, String]
+    def codeOf(b: Array[Byte]): Int = {
+      if (b.length == 0 || b.length > 4) fail("bad CMap code width")
+      b.foldLeft(0)((a, x) => (a << 8) | (x & 0xFF))
+    }
+    def strOf(b: Array[Byte]): String = new String(b, "UTF-16BE")
+    def guard(): Unit = if (m.size > (1 << 20)) fail("CMap too large")
+    var o = lex.next()
+    while (o != null) {
+      o match {
+        case POp("beginbfchar") =>
+          var a = lex.next()
+          while (a != null && a != POp("endbfchar")) {
+            (a, lex.next()) match {
+              case (PStr(src), PStr(dst)) => m(codeOf(src)) = strOf(dst); guard()
+              case _ => fail("bad bfchar pair")
+            }
+            a = lex.next()
+          }
+        case POp("beginbfrange") =>
+          var a = lex.next()
+          while (a != null && a != POp("endbfrange")) {
+            (a, lex.next(), lex.next()) match {
+              case (PStr(lo), PStr(hi), PStr(dst0)) =>
+                val l = codeOf(lo); val h = codeOf(hi)
+                if (h < l || h - l >= 65536) fail("bad bfrange extent")
+                val base = strOf(dst0)
+                if (base.isEmpty) fail("empty bfrange dst")
+                var i = 0
+                while (i <= h - l) {
+                  if (i == 0) m(l) = base
+                  else {
+                    val cs = base.toCharArray
+                    cs(cs.length - 1) = (cs(cs.length - 1) + i).toChar
+                    m(l + i) = new String(cs)
+                  }
+                  i += 1
+                }
+                guard()
+              case (PStr(lo), _hi: PStr, PArr(items)) =>
+                val l = codeOf(lo)
+                items.zipWithIndex.foreach {
+                  case (PStr(d), i) => m(l + i) = strOf(d)
+                  case _ => fail("bad bfrange array entry")
+                }
+                guard()
+              case _ => fail("bad bfrange triple")
+            }
+            a = lex.next()
+          }
+        case _ => () // codespace ranges, cid ops, PostScript scaffolding
+      }
+      o = lex.next()
+    }
+    m.toMap
+  }
+
   /** Run the documented text-op rules over one page's content bytes. */
   private def extractFromContent(content: Array[Byte],
-                                 fonts: Map[String, Boolean]): (String, Boolean) = {
+                                 fonts: Map[String, FontDec]): (String, Boolean) = {
     val sb = new java.lang.StringBuilder(256)
     var flagged = false
-    var fontOk = true // current font supported? (default font: yes)
+    var font = DefaultFont
     def newline(): Unit =
       if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
     def show(o: Obj): Unit = o match {
-      case PStr(s) => if (fontOk) decodeWinAnsi(s, sb) else flagged = true
+      case PStr(s) =>
+        if (!font.supported) flagged = true
+        else if (font.twoByte) {
+          if (s.length % 2 != 0) flagged = true
+          var i = 0
+          while (i + 1 < s.length) {
+            val code = ((s(i) & 0xFF) << 8) | (s(i + 1) & 0xFF)
+            font.toUni.get(code) match {
+              case Some(t) => sb.append(t)
+              case None => flagged = true // unmapped CID: skip, never guess
+            }
+            i += 2
+          }
+        } else if (font.toUni.nonEmpty) {
+          var i = 0
+          while (i < s.length) {
+            val code = s(i) & 0xFF
+            font.toUni.get(code) match {
+              case Some(t) => sb.append(t)
+              case None => appendWinAnsi(code, sb) // unmapped: the fallback
+            }
+            i += 1
+          }
+        } else decodeWinAnsi(s, sb)
       case _ => ()
     }
     val lex = new Lexer(content, 0, content = true)
@@ -921,7 +1034,7 @@ object Pdf {
               case "Tf" =>
                 // operands: /FontName size
                 operands.headOption.foreach {
-                  case PName(n) => fontOk = fonts.getOrElse(n, true)
+                  case PName(n) => font = fonts.getOrElse(n, DefaultFont)
                   case _ => ()
                 }
               case "BT" | "ET" => ()
@@ -1192,6 +1305,57 @@ object Pdf {
       s"/Length ${xrefEnc.length} >>\nstream\n")
     out.write(xrefEnc)
     w(s"\nendstream\nendobj\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** One-page PDF whose text shows through a Type0 (CID) font with an
+    * Identity-H encoding and a ToUnicode CMap — the modern-generator
+    * layout [[extractText]]'s composite-font path exists for. Codes
+    * `1..text.length` map to the text's chars via bfchar sections
+    * (chunked at 100 entries, the CMap spec's section bound); the
+    * content stream shows one 2-byte-code hex string. */
+  def pdfBytesCid(text: String): Array[Byte] = {
+    require(text.nonEmpty && text.length < 0xFFFF, "cid text length out of range")
+    val toUni = {
+      val sb = new StringBuilder
+      sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+      sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+      text.zipWithIndex.grouped(100).foreach { grp =>
+        sb.append(s"${grp.length} beginbfchar\n")
+        grp.foreach { case (ch, i) =>
+          sb.append(f"<${i + 1}%04X> <${ch.toInt}%04X>\n")
+        }
+        sb.append("endbfchar\n")
+      }
+      sb.append("endcmap\nend\nend")
+      sb.toString.getBytes("ISO-8859-1")
+    }
+    val content = ("BT /F1 12 Tf 72 720 Td <" +
+      (1 to text.length).map(i => f"$i%04X").mkString +
+      "> Tj ET").getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    def obj(body: => Unit): Unit = {
+      offsets += out.size().toLong
+      w(s"${offsets.length} 0 obj\n"); body; w("\nendobj\n")
+    }
+    obj { w("<< /Type /Catalog /Pages 2 0 R >>") }
+    obj { w("<< /Type /Pages /Kids [4 0 R] /Count 1 >>") }
+    obj { w("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>") }
+    obj { w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>") }
+    obj { w(s"<< /Length ${content.length} >>\nstream\n")
+      out.write(content); w("\nendstream") }
+    obj { w(s"<< /Length ${toUni.length} >>\nstream\n")
+      out.write(toUni); w("\nendstream") }
+    val xrefOff = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 

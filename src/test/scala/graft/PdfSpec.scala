@@ -121,6 +121,60 @@ class PdfSpec extends SparkSuite {
     assert(win.ok && win.pages == Vector("\u201Ccaf\u00E9\u201D"), s"$win")
   }
 
+  test("CID fonts WITH ToUnicode decode: bfchar/bfrange maps, Identity-H two-byte codes, unmapped codes flag") {
+    // the fixture writer's bfchar path round-trips arbitrary text
+    // (incl. a >100-entry CMap exercising section chunking)
+    val long = ("CID text with punctuation, DIGITS 0123456789 and " +
+      "enough characters to cross the hundred-entry bfchar section bound!")
+    val t = Pdf.extractText(Pdf.pdfBytesCid(long))
+    assert(t.ok && !t.flagged && t.pages == Vector(long), s"$t")
+    // bfrange forms: contiguous increment AND explicit array, 2-char dst
+    val toUni = "begincmap\n" +
+      "2 beginbfchar\n<0001> <0048>\n<0002> <00E9>\nendbfchar\n" + // H, é
+      "1 beginbfrange\n<0010> <0013> <0041>\nendbfrange\n" +       // A-D
+      "1 beginbfrange\n<0020> <0021> [<0058> <006600660069>]\nendbfrange\n" + // X, ffi
+      "endcmap"
+    val content = "BT /F1 12 Tf 0 0 Td <000100020010001100120013002000210002> Tj ET"
+    val hand = cidHandPdf(content, toUni)
+    val t2 = Pdf.extractText(hand)
+    assert(t2.ok && !t2.flagged && t2.pages == Vector("HéABCDXffié"), s"$t2")
+    // an unmapped code skips and flags, never guesses
+    val t3 = Pdf.extractText(cidHandPdf(
+      "BT /F1 12 Tf 0 0 Td <00010099> Tj ET", toUni))
+    assert(t3.ok && t3.flagged && t3.pages == Vector("H"), s"$t3")
+    // a Type0 font WITHOUT ToUnicode still flags (no guessing)
+    val t4 = Pdf.extractText(cidHandPdf(
+      "BT /F1 12 Tf 0 0 Td <0001> Tj ET", toUnicode = null))
+    assert(t4.ok && t4.flagged && t4.pages == Vector(""), s"$t4")
+  }
+
+  /** Hand-built one-page CID PDF with an arbitrary ToUnicode body
+    * (null = no /ToUnicode at all). */
+  private def cidHandPdf(content: String, toUnicode: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val offs = scala.collection.mutable.ArrayBuffer[Long]()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    def obj(body: String): Unit = {
+      offs += out.size().toLong
+      w(s"${offs.length} 0 obj\n$body\nendobj\n")
+    }
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    obj("<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H" +
+      (if (toUnicode != null) " /ToUnicode 6 0 R" else "") + " >>")
+    obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    obj(s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    if (toUnicode != null)
+      obj(s"<< /Length ${toUnicode.length} >>\nstream\n$toUnicode\nendstream")
+    val x = out.size()
+    w(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n")
+    offs.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offs.length + 1} /Root 1 0 R >>\nstartxref\n$x\n%%EOF\n")
+    out.toByteArray
+  }
+
   test("composite (Type0) fonts skip their show ops and flag; the rest of the page survives") {
     val t = Pdf.extractText(handPdf("BT /F1 12 Tf 0 0 Td (cid text) Tj ET",
       fontSubtype = "Type0"))
