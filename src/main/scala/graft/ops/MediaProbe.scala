@@ -63,7 +63,7 @@ object MediaProbe {
       .orElse(AuProbe).orElse(AiffProbe).orElse(OggProbe).orElse(MkvProbe)
       .orElse(ZipProbe).orElse(Pdf.Probe)
       .orElse(JpegProbe).orElse(PngProbe).orElse(WebpProbe).orElse(BmpProbe)
-      .orElse(Mp4Probe).orElse(Mp3Probe)
+      .orElse(TiffProbe).orElse(Mp4Probe).orElse(Mp3Probe)
 
   /** Ogg page walk (RFC 3533) + Vorbis/Opus identification headers —
     * the open crawl audio formats. Duration comes from the LAST page's
@@ -771,6 +771,71 @@ object MediaProbe {
         case c => s"comp-$c"
       }
       Some(MediaInfo("bmp", codec, 0L, 0, 0, 0, w, math.abs(h), 1L))
+    } catch { case _: Exception => None }
+  }
+
+  /** TIFF IFD walk (the public TIFF 6.0 layout): byte-order header
+    * (II little / MM big endian), then the IFD chain — dims, bits per
+    * sample, compression id per IFD0, page count = IFD chain length
+    * (multi-page TIFF is the document-scan norm). Entry values read
+    * inline for SHORT/LONG types; chain bounded against loops. */
+  object TiffProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 8) return None
+      val le =
+        if (bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) true
+        else if (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42) false
+        else return None
+      def u16(o: Int): Int =
+        if (le) Codecs.LE.u16(bytes, o)
+        else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+      def u32(o: Int): Long =
+        if (le) Codecs.LE.i32(bytes, o) & 0xFFFFFFFFL
+        else ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+             ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+      var w = 0L; var h = 0L; var bits = 0L; var comp = 1L
+      var ifd = u32(4)
+      var pages = 0L
+      var first = true
+      while (ifd != 0L && pages < 65536) {
+        if (ifd + 2 > bytes.length || ifd < 8) return None
+        val n = u16(ifd.toInt)
+        if (ifd + 2 + n * 12L + 4 > bytes.length) return None
+        if (first) {
+          var i = 0
+          while (i < n) {
+            val e = (ifd + 2 + i * 12L).toInt
+            val tag = u16(e)
+            val typ = u16(e + 2)
+            // inline SHORT/LONG value (count 1): SHORT sits in the
+            // value field's FIRST two bytes in both byte orders
+            val v: Long =
+              if (typ == 3) u16(e + 8) else if (typ == 4) u32(e + 8) else -1L
+            if (v >= 0) tag match {
+              case 256 => w = v
+              case 257 => h = v
+              case 258 => bits = v
+              case 259 => comp = v
+              case _ => ()
+            }
+            i += 1
+          }
+          first = false
+        }
+        pages += 1
+        ifd = u32((ifd + 2 + n * 12L).toInt)
+      }
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+      val codec = comp match {
+        case 1 => s"none$bits"
+        case 2 | 3 | 4 => "ccitt"
+        case 5 => "lzw"
+        case 6 | 7 => "jpeg"
+        case 8 | 32946 => "deflate"
+        case 32773 => "packbits"
+        case c => s"comp-$c"
+      }
+      Some(MediaInfo("tiff", codec, 0L, 0, 0, 0, w.toInt, h.toInt, pages))
     } catch { case _: Exception => None }
   }
 

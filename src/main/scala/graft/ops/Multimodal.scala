@@ -567,6 +567,37 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Spec-shaped TIFF (6.0 layout, either byte order): one IFD per
+    * page carrying SHORT entries for width/height/bits/compression,
+    * chained by next-IFD pointers. Probe fixture — no pixel data. */
+  def tiffBytes(le: Boolean, pages: Seq[(Int, Int)],
+                compression: Int = 1, bits: Int = 8): Array[Byte] = {
+    require(pages.nonEmpty, "tiff needs at least one page")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (le) { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      else { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def w32(v: Long): Unit =
+      if (le) { out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+        out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt) }
+      else { out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+        out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt) }
+    if (le) { out.write('I'); out.write('I'); out.write(42); out.write(0) }
+    else { out.write('M'); out.write('M'); out.write(0); out.write(42) }
+    w32(8L) // first IFD directly after the header
+    val ifdSize = 2 + 4 * 12 + 4
+    pages.zipWithIndex.foreach { case ((pw, ph), i) =>
+      w16(4) // entry count
+      def entry(tag: Int, value: Int): Unit = {
+        w16(tag); w16(3); w32(1L) // SHORT, count 1
+        w16(value); w16(0) // value in the field's first two bytes
+      }
+      entry(256, pw); entry(257, ph); entry(258, bits); entry(259, compression)
+      w32(if (i == pages.length - 1) 0L else 8L + (i + 1).toLong * ifdSize)
+    }
+    out.toByteArray
+  }
+
   /** Synthesize a grayscale PNG whose [[decodeImageDHash]] fingerprint is
     * EXACTLY `pattern` — fixture plumbing for the ORACLE-EXACT image
     * near-dup entry. Each dHash grid row walks gray values from `base`

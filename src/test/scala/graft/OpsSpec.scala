@@ -2994,11 +2994,23 @@ class MultimodalSpec extends SparkSuite {
     neg(22) = (hNeg & 0xFF).toByte; neg(23) = ((hNeg >> 8) & 0xFF).toByte
     neg(24) = ((hNeg >> 16) & 0xFF).toByte; neg(25) = ((hNeg >> 24) & 0xFF).toByte
     assert(MediaProbe.BmpProbe.probe(neg).exists(m => m.height == 8))
+    // TIFF: both byte orders, multi-page chain, compression ids
+    val tl = MediaProbe.TiffProbe.probe(
+      Multimodal.tiffBytes(le = true, Seq((640, 480), (320, 240), (16, 16)),
+        compression = 5)).get
+    assert(tl.format == "tiff" && tl.codec == "lzw" &&
+      tl.width == 640 && tl.height == 480 && tl.frames == 3, s"$tl")
+    val tb = MediaProbe.TiffProbe.probe(
+      Multimodal.tiffBytes(le = false, Seq((100, 50)), compression = 1,
+        bits = 16)).get
+    assert(tb.codec == "none16" && tb.width == 100 && tb.height == 50 &&
+      tb.frames == 1, s"$tb")
     // the Default chain routes each format to its lane
     for ((blob, fmt) <- Seq(
         Multimodal.constantJpeg(9, 9, 1) -> "jpeg", png -> "png",
         Multimodal.webpBytes("vp8l", 5, 5) -> "webp",
-        Multimodal.constantBmp(9, 9, 1) -> "bmp"))
+        Multimodal.constantBmp(9, 9, 1) -> "bmp",
+        Multimodal.tiffBytes(le = true, Seq((7, 7))) -> "tiff"))
       assert(MediaProbe.Default.probe(blob).get.format == fmt, fmt)
   }
 
@@ -3396,6 +3408,11 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       Multimodal.webpBytes("vp8x", 1280, 720, animFrames = 3), seed = 134L)
     fuzzProbe("bmp", MediaProbe.BmpProbe,
       Multimodal.constantBmp(16, 12, 99), seed = 135L)
+    fuzzProbe("tiff-le", MediaProbe.TiffProbe,
+      Multimodal.tiffBytes(le = true, Seq((64, 48), (32, 24))), seed = 136L)
+    fuzzProbe("tiff-be", MediaProbe.TiffProbe,
+      Multimodal.tiffBytes(le = false, Seq((640, 480)), compression = 8),
+      seed = 137L)
   }
 
   test("FUZZ PDF text extraction: ok / flagged / quarantined with a reason, never a throw") {
