@@ -3057,30 +3057,35 @@ object SparkEntry {
     "multimodal_probe_images" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val blobs = stagedBlobs(s, dir, "probe_img_v2") {
+      val blobs = stagedBlobs(s, dir, "probe_img_v3") {
         val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
         s.createDataFrame(
           ids.rdd.map { r =>
             val id = r.getLong(0)
             val w = (8 + id % 40).toInt
             val h = (6 + id % 30).toInt
-            val blob = (id % 5) match {
+            val blob = (id % 6) match {
               case 0 => Multimodal.constantJpeg(w, h, (40 + id % 180).toInt)
               case 1 => Multimodal.constantPng(w, h,
                 (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
-              case 2 => (id / 5 % 3) match {
+              case 2 => (id / 6 % 3) match {
                 case 0 => Multimodal.webpBytes("vp8", w, h)
                 case 1 => Multimodal.webpBytes("vp8l", w, h)
                 case _ => Multimodal.webpBytes("vp8x", w, h,
                   animFrames = (1 + id % 5).toInt)
               }
               case 3 => Multimodal.constantBmp(w, h, (30 + id % 200).toInt)
-              case _ => Multimodal.tiffBytes(le = id % 2 == 0,
+              case 4 => Multimodal.tiffBytes(le = id % 2 == 0,
                 pages = (0 until (1 + id % 4).toInt).map(p =>
                   (w + p, h + p)),
-                compression = (id / 5 % 3) match {
+                compression = (id / 6 % 3) match {
                   case 0 => 1; case 1 => 5; case _ => 8
                 })
+              case _ =>
+                if (id % 2 == 0)
+                  Multimodal.heifBytes("avif", 16 * w, 16 * h, "av1C",
+                    thumbW = w, thumbH = h)
+                else Multimodal.heifBytes("heic", 16 * w, 16 * h, "hvcC")
             }
             Row(id, blob)
           },
@@ -5774,20 +5779,25 @@ object SparkEntry {
     // WebP variant by (doc_id // 4) % 3 with ANMF counts on the anim lane
     "multimodal_probe_images" ->
       """SELECT doc_id, true AS probed,
-        |  CASE doc_id % 5 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-        |    WHEN 2 THEN 'webp' WHEN 3 THEN 'bmp' ELSE 'tiff' END AS format,
-        |  CASE doc_id % 5 WHEN 0 THEN 'baseline' WHEN 1 THEN 'rgb8'
-        |    WHEN 2 THEN CASE CAST(doc_id // 5 % 3 AS INT)
+        |  CASE doc_id % 6 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    WHEN 2 THEN 'webp' WHEN 3 THEN 'bmp' WHEN 4 THEN 'tiff'
+        |    ELSE CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heif' END
+        |  END AS format,
+        |  CASE doc_id % 6 WHEN 0 THEN 'baseline' WHEN 1 THEN 'rgb8'
+        |    WHEN 2 THEN CASE CAST(doc_id // 6 % 3 AS INT)
         |      WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x-anim' END
         |    WHEN 3 THEN 'rgb24'
-        |    ELSE CASE CAST(doc_id // 5 % 3 AS INT)
+        |    WHEN 4 THEN CASE CAST(doc_id // 6 % 3 AS INT)
         |      WHEN 0 THEN 'none8' WHEN 1 THEN 'lzw' ELSE 'deflate' END
+        |    ELSE CASE WHEN doc_id % 2 = 0 THEN 'av01' ELSE 'hvc1' END
         |  END AS codec,
-        |  CAST(8 + doc_id % 40 AS BIGINT) AS width,
-        |  CAST(6 + doc_id % 30 AS BIGINT) AS height,
-        |  CAST(CASE WHEN doc_id % 5 = 2 AND doc_id // 5 % 3 = 2
+        |  CAST(CASE WHEN doc_id % 6 = 5 THEN 16 * (8 + doc_id % 40)
+        |       ELSE 8 + doc_id % 40 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 6 = 5 THEN 16 * (6 + doc_id % 30)
+        |       ELSE 6 + doc_id % 30 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 6 = 2 AND doc_id // 6 % 3 = 2
         |         THEN 1 + doc_id % 5
-        |       WHEN doc_id % 5 = 4 THEN 1 + doc_id % 4
+        |       WHEN doc_id % 6 = 4 THEN 1 + doc_id % 4
         |       ELSE 1 END AS BIGINT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -63,7 +63,7 @@ object MediaProbe {
       .orElse(AuProbe).orElse(AiffProbe).orElse(OggProbe).orElse(MkvProbe)
       .orElse(ZipProbe).orElse(Pdf.Probe)
       .orElse(JpegProbe).orElse(PngProbe).orElse(WebpProbe).orElse(BmpProbe)
-      .orElse(TiffProbe).orElse(Mp4Probe).orElse(Mp3Probe)
+      .orElse(TiffProbe).orElse(HeifProbe).orElse(Mp4Probe).orElse(Mp3Probe)
 
   /** Ogg page walk (RFC 3533) + Vorbis/Opus identification headers —
     * the open crawl audio formats. Duration comes from the LAST page's
@@ -488,6 +488,87 @@ object MediaProbe {
       if (!walk(0L, bytes.length.toLong, 0)) return None
       if (brand.isEmpty) return None
       Some(MediaInfo("mp4", codec, durationMs, 0, 0, 0, width, height, 0L))
+    } catch { case _: Exception => None }
+  }
+
+  /** HEIF/AVIF still-image probe (ISO/IEC 23008-12 over 14496-12 —
+    * the modern crawl image formats): keyed on the HEIF brand family
+    * in `ftyp` (major OR compatible — `mif1` majors usually carry
+    * `heic`/`avif` as compatibles), then a box walk into
+    * `meta`→`iprp`→`ipco` for `ispe` extents — `meta` is a FULL box
+    * (4 version/flags bytes before its children, the classic BMFF
+    * trap). Multiple `ispe` entries (thumbnails, auxiliaries) resolve
+    * to the LARGEST area (the primary image in practice; deterministic
+    * tie to first). Codec from the config box present in `ipco`
+    * (`av1C` → av01, `hvcC` → hvc1). Sequence brands (`avis`/`msf1`)
+    * surface as codec suffix `/seq` — their track walk is Mp4Probe
+    * territory. */
+  object HeifProbe extends Probe {
+    private val Brands = Set("heic", "heix", "heim", "heis", "hevc",
+      "hevx", "mif1", "msf1", "avif", "avis")
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 24 || fourcc(bytes, 4) != "ftyp")
+        return None
+      val ftypSize = be32(bytes, 0)
+      if (ftypSize < 16 || ftypSize > bytes.length) return None
+      val major = fourcc(bytes, 8)
+      val compat = (16L until ftypSize by 4)
+        .takeWhile(_ + 4 <= ftypSize).map(o => fourcc(bytes, o.toInt))
+      if (!Brands(major) && !compat.exists(Brands)) return None
+      var w = 0L; var h = 0L
+      var codec = ""
+      // walk(start, end, fullBox): fullBox skips the 4-byte version/
+      // flags prefix of the CONTAINER before its children
+      def walk(start: Long, end: Long, depth: Int): Boolean = {
+        var p = start
+        while (p + 8 <= end) {
+          val size0 = be32(bytes, p.toInt)
+          val typ = fourcc(bytes, p.toInt + 4)
+          var hdr = 8L
+          val size =
+            if (size0 == 1L) {
+              if (p + 16 > end) return false
+              hdr = 16L
+              (be32(bytes, p.toInt + 8) << 32) | be32(bytes, p.toInt + 12)
+            } else if (size0 == 0L) end - p
+            else size0
+          if (size < hdr || p + size > end) return false
+          val body = p + hdr
+          typ match {
+            case "meta" => // FULL box container
+              if (depth < 8 && size >= hdr + 4 &&
+                  !walk(body + 4, p + size, depth + 1)) return false
+            case "iprp" | "ipco" =>
+              if (depth < 8 && !walk(body, p + size, depth + 1)) return false
+            case "ispe" if size >= hdr + 12 =>
+              val iw = be32(bytes, body.toInt + 4)
+              val ih = be32(bytes, body.toInt + 8)
+              if (iw > 0 && ih > 0 && iw <= Int.MaxValue && ih <= Int.MaxValue &&
+                  iw * ih > w * h) { w = iw; h = ih }
+            case "av1C" => if (codec.isEmpty || codec == "hvc1") codec = "av01"
+            case "hvcC" => if (codec.isEmpty) codec = "hvc1"
+            case _ => ()
+          }
+          p += size
+        }
+        true
+      }
+      if (!walk(0L, bytes.length.toLong, 0)) return None
+      if (w <= 0 || h <= 0) return None
+      val seq = major == "avis" || major == "msf1" ||
+        compat.contains("avis") || compat.contains("msf1")
+      val fmt = if (major == "avif" || major == "avis" ||
+        compat.contains("avif") || compat.contains("avis")) "avif" else "heif"
+      Some(MediaInfo(fmt,
+        (if (codec.isEmpty) major else codec) + (if (seq) "/seq" else ""),
+        0L, 0, 0, 0, w.toInt, h.toInt, 1L))
     } catch { case _: Exception => None }
   }
 

@@ -598,6 +598,33 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Spec-shaped HEIF/AVIF container (ISO BMFF): ftyp with the major
+    * brand + `mif1` compatible, a `meta` FULL box holding hdlr('pict')
+    * and iprp→ipco with the main `ispe` extents, an optional smaller
+    * thumbnail `ispe` FIRST (the probe must pick the larger), and the
+    * codec config box (`av1C`/`hvcC`). Probe fixture — no coded data. */
+  def heifBytes(major: String, w: Int, h: Int, codecBox: String = "av1C",
+                thumbW: Int = 0, thumbH: Int = 0): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val full0 = be32(0L) // version 0, flags 0
+    def ispe(iw: Int, ih: Int): Array[Byte] =
+      box("ispe", full0 ++ be32(iw.toLong) ++ be32(ih.toLong))
+    val ipco = box("ipco",
+      (if (thumbW > 0) ispe(thumbW, thumbH) else Array.emptyByteArray) ++
+      ispe(w, h) ++
+      box(codecBox, Array[Byte](0x81.toByte, 0x04, 0x0C, 0x00)))
+    val hdlr = box("hdlr", full0 ++ be32(0L) ++
+      "pict".getBytes("US-ASCII") ++ new Array[Byte](12) :+ 0.toByte)
+    val meta = box("meta", full0 ++ hdlr ++ box("iprp", ipco))
+    val ftyp = box("ftyp", major.getBytes("US-ASCII") ++ be32(0L) ++
+      major.getBytes("US-ASCII") ++ "mif1".getBytes("US-ASCII"))
+    ftyp ++ meta ++ box("mdat", Array.emptyByteArray)
+  }
+
   /** Synthesize a grayscale PNG whose [[decodeImageDHash]] fingerprint is
     * EXACTLY `pattern` — fixture plumbing for the ORACLE-EXACT image
     * near-dup entry. Each dHash grid row walks gray values from `base`

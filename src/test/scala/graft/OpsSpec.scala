@@ -3005,12 +3005,31 @@ class MultimodalSpec extends SparkSuite {
         bits = 16)).get
     assert(tb.codec == "none16" && tb.width == 100 && tb.height == 50 &&
       tb.frames == 1, s"$tb")
-    // the Default chain routes each format to its lane
+    // HEIF/AVIF: meta full-box walk, largest-ispe selection (the
+    // thumbnail ispe comes FIRST in the fixture), codec config box
+    val av = MediaProbe.HeifProbe.probe(
+      Multimodal.heifBytes("avif", 1024, 768, "av1C",
+        thumbW = 160, thumbH = 120)).get
+    assert(av.format == "avif" && av.codec == "av01" &&
+      av.width == 1024 && av.height == 768, s"$av")
+    val he = MediaProbe.HeifProbe.probe(
+      Multimodal.heifBytes("heic", 4032, 3024, "hvcC")).get
+    assert(he.format == "heif" && he.codec == "hvc1" &&
+      he.width == 4032 && he.height == 3024, s"$he")
+    // mif1 major with avif compatible still routes to avif
+    val mif = MediaProbe.HeifProbe.probe(
+      Multimodal.heifBytes("mif1", 64, 64, "av1C"))
+    assert(mif.exists(_.format == "heif"), s"$mif")
+    // the Default chain routes each format to its lane — HEIF brands
+    // must NOT fall through to the generic mp4 lane
     for ((blob, fmt) <- Seq(
         Multimodal.constantJpeg(9, 9, 1) -> "jpeg", png -> "png",
         Multimodal.webpBytes("vp8l", 5, 5) -> "webp",
         Multimodal.constantBmp(9, 9, 1) -> "bmp",
-        Multimodal.tiffBytes(le = true, Seq((7, 7))) -> "tiff"))
+        Multimodal.tiffBytes(le = true, Seq((7, 7))) -> "tiff",
+        Multimodal.heifBytes("avif", 30, 20) -> "avif",
+        Multimodal.heifBytes("heic", 30, 20, "hvcC") -> "heif",
+        Multimodal.mp4Bytes("mp42", 600, 1200, 320, 240, "avc1") -> "mp4"))
       assert(MediaProbe.Default.probe(blob).get.format == fmt, fmt)
   }
 
@@ -3413,6 +3432,11 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
     fuzzProbe("tiff-be", MediaProbe.TiffProbe,
       Multimodal.tiffBytes(le = false, Seq((640, 480)), compression = 8),
       seed = 137L)
+    fuzzProbe("avif", MediaProbe.HeifProbe,
+      Multimodal.heifBytes("avif", 800, 600, "av1C", thumbW = 80, thumbH = 60),
+      seed = 138L)
+    fuzzProbe("heic", MediaProbe.HeifProbe,
+      Multimodal.heifBytes("heic", 4000, 3000, "hvcC"), seed = 139L)
   }
 
   test("FUZZ PDF text extraction: ok / flagged / quarantined with a reason, never a throw") {
