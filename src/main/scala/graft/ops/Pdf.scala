@@ -862,7 +862,42 @@ object Pdf {
                     if (identity && toUni.nonEmpty)
                       FontDec(supported = true, twoByte = true, toUni)
                     else FontDec(supported = false, twoByte = true, Map.empty)
-                  case _ => FontDec(supported = true, twoByte = false, toUni)
+                  case _ =>
+                    // simple font: /Encoding name or dict with
+                    // /BaseEncoding + /Differences (§9.6.5)
+                    var asciiOnly = false
+                    var diff = Map.empty[Int, String]
+                    var unknown = Set.empty[Int]
+                    def baseName(n: String): Unit =
+                      // MacRoman's high range is a spec table this
+                      // extractor does not fabricate — ASCII only there
+                      if (n == "MacRomanEncoding") asciiOnly = true
+                    doc.resolve(f.get("Encoding").getOrElse(PNull)) match {
+                      case PName(n) => baseName(n)
+                      case ed: PDict =>
+                        doc.resolve(ed.get("BaseEncoding").getOrElse(PNull)) match {
+                          case PName(n) => baseName(n)
+                          case _ => ()
+                        }
+                        doc.resolve(ed.get("Differences").getOrElse(PNull)) match {
+                          case PArr(items) =>
+                            var code = 0
+                            items.foreach {
+                              case PNum(n) => code = n.toInt
+                              case PName(g) =>
+                                AglSubset.get(g) match {
+                                  case Some(t) => diff += code -> t
+                                  case None => unknown += code
+                                }
+                                code += 1
+                              case _ => ()
+                            }
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                    FontDec(supported = true, twoByte = false, toUni,
+                      diff, unknown, asciiOnly)
                 }
               case _ => DefaultFont
             }
@@ -903,12 +938,62 @@ object Pdf {
     }
   }
 
-  /** Decode plan for one font: 1- or 2-byte codes, optional ToUnicode
-    * map (preferred; WinAnsi is the 1-byte fallback for unmapped
-    * codes). Unsupported = show ops skip and flag. */
+  /** Decode plan for one font: 1- or 2-byte codes; per-code priority is
+    * ToUnicode, then /Differences, then the base encoding (WinAnsi, or
+    * ASCII-only for a MacRoman base whose high range this extractor
+    * does not fabricate). `unknownCodes` are /Differences entries whose
+    * glyph name is outside the AGL subset — showing one flags.
+    * Unsupported = show ops skip and flag. */
   private final case class FontDec(supported: Boolean, twoByte: Boolean,
-                                   toUni: Map[Int, String])
+                                   toUni: Map[Int, String],
+                                   diff: Map[Int, String] = Map.empty,
+                                   unknownCodes: Set[Int] = Set.empty,
+                                   asciiOnlyBase: Boolean = false)
   private val DefaultFont = FontDec(supported = true, twoByte = false, Map.empty)
+
+  /** Adobe Glyph List subset (public AGL): the standard-encoding names
+    * a /Differences array uses in practice — ASCII, the common
+    * typographic set, and the frequent Latin accents. Names outside
+    * the subset flag rather than guess. */
+  private[graft] val AglSubset: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    Seq("space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
+      "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
+      "eight" -> "8", "nine" -> "9", "colon" -> ":", "semicolon" -> ";",
+      "less" -> "<", "equal" -> "=", "greater" -> ">", "question" -> "?",
+      "at" -> "@", "bracketleft" -> "[", "backslash" -> "\\",
+      "bracketright" -> "]", "asciicircum" -> "^", "underscore" -> "_",
+      "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~",
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+      "dagger" -> "†", "daggerdbl" -> "‡",
+      "ellipsis" -> "…", "fi" -> "ﬁ", "fl" -> "ﬂ",
+      "copyright" -> "©", "registered" -> "®",
+      "trademark" -> "™", "degree" -> "°",
+      "eacute" -> "é", "egrave" -> "è",
+      "ecircumflex" -> "ê", "agrave" -> "à",
+      "aacute" -> "á", "ccedilla" -> "ç", "ntilde" -> "ñ",
+      "adieresis" -> "ä", "odieresis" -> "ö",
+      "udieresis" -> "ü", "Adieresis" -> "Ä",
+      "Odieresis" -> "Ö", "Udieresis" -> "Ü",
+      "germandbls" -> "ß", "oslash" -> "ø", "aring" -> "å",
+      "ae" -> "æ", "oe" -> "œ", "Euro" -> "€",
+      "sterling" -> "£", "yen" -> "¥", "cent" -> "¢",
+      "section" -> "§", "paragraph" -> "¶",
+      "exclamdown" -> "¡", "questiondown" -> "¿",
+      "guillemotleft" -> "«", "guillemotright" -> "»")
+      .foreach(b += _)
+    ('A' to 'Z').foreach(c => b += c.toString -> c.toString)
+    ('a' to 'z').foreach(c => b += c.toString -> c.toString)
+    b.result()
+  }
 
   /** ToUnicode CMap parse (§9.10.3 / the Adobe CMap text format): only
     * the `beginbfchar`/`beginbfrange` sections carry mappings — src
@@ -998,17 +1083,24 @@ object Pdf {
             }
             i += 2
           }
-        } else if (font.toUni.nonEmpty) {
+        } else {
+          // 1-byte codes: ToUnicode > /Differences > base encoding
           var i = 0
           while (i < s.length) {
             val code = s(i) & 0xFF
             font.toUni.get(code) match {
               case Some(t) => sb.append(t)
-              case None => appendWinAnsi(code, sb) // unmapped: the fallback
+              case None => font.diff.get(code) match {
+                case Some(t) => sb.append(t)
+                case None =>
+                  if (font.unknownCodes(code)) flagged = true // AGL gap
+                  else if (font.asciiOnlyBase && code > 0x7E) flagged = true
+                  else appendWinAnsi(code, sb)
+              }
             }
             i += 1
           }
-        } else decodeWinAnsi(s, sb)
+        }
       case _ => ()
     }
     val lex = new Lexer(content, 0, content = true)

@@ -175,6 +175,48 @@ class PdfSpec extends SparkSuite {
     out.toByteArray
   }
 
+  test("/Encoding /Differences remaps codes through the AGL subset; MacRoman base is ASCII-only") {
+    def diffPdf(encoding: String, content: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val offs = scala.collection.mutable.ArrayBuffer[Long]()
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      w("%PDF-1.4\n")
+      def obj(body: String): Unit = {
+        offs += out.size().toLong
+        w(s"${offs.length} 0 obj\n$body\nendobj\n")
+      }
+      obj("<< /Type /Catalog /Pages 2 0 R >>")
+      obj("<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+      obj(s"<< /Type /Font /Subtype /Type1 /BaseFont /F /Encoding $encoding >>")
+      obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] " +
+        "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+      obj(s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+      val x = out.size()
+      w(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n")
+      offs.foreach(o => w(f"$o%010d 00000 n \n"))
+      w(s"trailer\n<< /Size ${offs.length + 1} /Root 1 0 R >>\nstartxref\n$x\n%%EOF\n")
+      out.toByteArray
+    }
+    // codes 65/66 remapped to eacute/emdash, 67 to an AGL-unknown name,
+    // consecutive names advance the code (68 -> bullet); unmapped
+    // codes fall through to WinAnsi
+    val enc = "<< /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 65 /eacute /unknowable /bullet 90 /Euro ] >>"
+    val t = Pdf.extractText(diffPdf(enc, "BT /F1 12 Tf 0 0 Td (ABCDEZa) Tj ET"))
+    // A(65)->é, B(66)->unknown (flag+skip), C(67)->•  D(68) unmapped->D,
+    // E(69) unmapped->E, Z(90)->€, a passthrough
+    assert(t.ok && t.flagged && t.pages == Vector("é•DE€a"), s"$t")
+    // MacRoman base: ASCII passes, high bytes flag instead of being
+    // fabricated from a table this extractor does not carry
+    val mac = Pdf.extractText(diffPdf("/MacRomanEncoding",
+      "BT /F1 12 Tf 0 0 Td (ok\\351) Tj ET"))
+    assert(mac.ok && mac.flagged && mac.pages == Vector("ok"), s"$mac")
+    // plain WinAnsi name encoding unchanged
+    val win = Pdf.extractText(diffPdf("/WinAnsiEncoding",
+      "BT /F1 12 Tf 0 0 Td (ok\\351) Tj ET"))
+    assert(win.ok && !win.flagged && win.pages == Vector("oké"), s"$win")
+  }
+
   test("composite (Type0) fonts skip their show ops and flag; the rest of the page survives") {
     val t = Pdf.extractText(handPdf("BT /F1 12 Tf 0 0 Td (cid text) Tj ET",
       fontSubtype = "Type0"))
