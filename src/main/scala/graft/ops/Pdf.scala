@@ -1218,6 +1218,8 @@ object Pdf {
         val id: java.lang.Long = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
         val t = extractText(r.getAs[Array[Byte]](1), maxStreamBytes)
         if (!t.ok) Iterator.single(Row(id, false, 0, null, null, t.flagged, t.reason))
+        else if (t.pages.isEmpty) // zero-page document: visible, not dropped
+          Iterator.single(Row(id, true, 0, null, null, t.flagged, null))
         else t.pages.iterator.zipWithIndex.map { case (txt, i) =>
           Row(id, true, t.nPages, i + 1, txt, t.flagged, null)
         }

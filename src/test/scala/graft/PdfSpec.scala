@@ -280,5 +280,23 @@ class PdfSpec extends SparkSuite {
     assert(out(2).getLong(0) == 3L && out(2).getString(6) == "not-pdf")
     assert(out(3).getString(4) == "x" && out(4).getString(4) == "y")
     assert(out(3).getInt(2) == 2 && out(4).getInt(3) == 2)
+    // a zero-page document stays VISIBLE (one ok row, n_pages 0) —
+    // a silent drop would hide it from ingest receipts (review-caught)
+    val zp = {
+      val o = new java.io.ByteArrayOutputStream()
+      val offs = scala.collection.mutable.ArrayBuffer[Long]()
+      def w(s: String): Unit = o.write(s.getBytes("ISO-8859-1"))
+      w("%PDF-1.4\n")
+      offs += o.size().toLong; w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      offs += o.size().toLong; w("2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n")
+      val x = o.size()
+      w(s"xref\n0 3\n0000000000 65535 f \n")
+      offs.foreach(v => w(f"$v%010d 00000 n \n"))
+      w(s"trailer\n<< /Size 3 /Root 1 0 R >>\nstartxref\n$x\n%%EOF\n")
+      o.toByteArray
+    }
+    val zrows = Pdf.pdfText(Seq((9L, zp)).toDF("doc_id", "blob")).collect()
+    assert(zrows.length == 1 && zrows(0).getBoolean(1) &&
+      zrows(0).getInt(2) == 0 && zrows(0).isNullAt(3), s"${zrows.toSeq}")
   }
 }
