@@ -552,6 +552,21 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     // window would report them as phantom changes) — a transient
     // manifest-read error must fail the snapshot, not corrupt it
     // (FileNotFound still means a genuinely manifest-less legacy table)
+    // FILE LISTING FIRST, manifest second (r11, race-caught by the
+    // compaction-vs-select spec returning an EMPTY view): relation
+    // creation pins the file list, so ordering decides what a read that
+    // straddles a compaction swap can observe. Manifest-first is torn —
+    // an OLD manifest paired with a post-swap listing filters the new
+    // generation out (its seq is not yet admitted) and serves empty.
+    // Listing-first closes it: an old listing pairs with any manifest
+    // correctly (old seqs stay under the monotone floor; deleted files
+    // at scan time are the documented retryable error), and a mid-swap
+    // listing implies the commit already happened, so the manifest read
+    // AFTER it always admits the new generation — both generations
+    // visible collapse to the new rows under LWW. Every interleaving is
+    // now correct-view-or-retryable-error, never silently empty/partial.
+    val listed =
+      spark.read.option("mergeSchema", config.overrideOld.toString).parquet(rawPath)
     val cm = readCommits(strict = strict || asOf.nonEmpty)
     asOf.foreach { s =>
       val h = cm.map(_.horizon).getOrElse(0L)
@@ -561,8 +576,7 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
           "physically removed the file generations this snapshot needs. " +
           "Time travel reaches back only to the most recent rewrite.")
     }
-    val df = applyVisibility(
-      spark.read.option("mergeSchema", config.overrideOld.toString).parquet(rawPath), cm)
+    val df = applyVisibility(listed, cm)
     asOf match {
       // committed-AND-at-most-asOf: later batches drop out, crashed
       // mutations' orphans stay out (exact-set admission), legacy NULL
@@ -1487,8 +1501,10 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
     * delayed deletes don't even see that. */
   /** Committed-only read of ONE partition dir (a whole-table rawFiles()
     * inside a per-partition maintenance loop would re-list and
-    * footer-merge every file in the table once per partition). Manifest
-    * read BEFORE the listing, like [[rawFiles]]; an all-legacy partition
+    * footer-merge every file in the table once per partition). Unlike
+    * [[rawFiles]], the manifest/listing order is immaterial here: this
+    * runs on the WRITER side under the single-writer lease, so no
+    * concurrent swap can interleave. An all-legacy partition
     * (no `__seq` column) passes through [[applyVisibility]] untouched. */
   private def visibleDir(dir: org.apache.hadoop.fs.Path): DataFrame = {
     val cm = readCommits()
