@@ -246,7 +246,7 @@ object SparkEntry {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import graft.ops.Pdf
-    stagedBlobs(s, dir, "pdf_v1") {
+    stagedBlobs(s, dir, "pdf_v2") {
       val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
       s.createDataFrame(
         ids.rdd.map { r =>
@@ -255,7 +255,8 @@ object SparkEntry {
             if (id % 13 == 0) Pdf.pdfBytes(pdfFixturePages(id), encrypted = true)
             else if (id % 17 == 0) s"GARBAGE $id — not a pdf".getBytes("UTF-8")
             else if (id % 7 == 0) Pdf.pdfBytesXrefStream(pdfFixturePages(id))
-            else Pdf.pdfBytes(pdfFixturePages(id), compress = id % 2 == 0)
+            else Pdf.pdfBytes(pdfFixturePages(id), compress = id % 2 == 0,
+              lzw = id % 19 == 0) // same text; the LZW filter path in the hash
           Row(id, blob)
         },
         StructType(Seq(StructField("doc_id", LongType),
@@ -340,8 +341,8 @@ object SparkEntry {
     import graft.ingest.WarcSource
     val path = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
-      (dir.hashCode & 0x7fffffff) + "/warc_pdf_v1"
-    val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#warc_pdf_v1"
+      (dir.hashCode & 0x7fffffff) + "/warc_pdf_v2"
+    val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#warc_pdf_v2"
     val vFile = new java.io.File(s"$path/_graft_version")
     val fresh = vFile.exists &&
       new String(java.nio.file.Files.readAllBytes(vFile.toPath), "UTF-8") == version
@@ -365,7 +366,8 @@ object SparkEntry {
           if (id % 13 == 0) Pdf.pdfBytes(pdfFixturePages(id), encrypted = true)
           else if (id % 17 == 0) s"GARBAGE $id — not a pdf".getBytes("UTF-8")
           else if (id % 7 == 0) Pdf.pdfBytesXrefStream(pdfFixturePages(id))
-          else Pdf.pdfBytes(pdfFixturePages(id), compress = id % 2 == 0)
+          else Pdf.pdfBytes(pdfFixturePages(id), compress = id % 2 == 0,
+            lzw = id % 19 == 0)
         record((id % 8).toInt)(WarcSource.writeRecord(_, "response",
           Seq("WARC-Target-URI" -> s"https://corpus.example/pdf/$id",
             "WARC-Date" -> "2024-01-01T00:00:00Z",

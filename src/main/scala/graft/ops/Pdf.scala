@@ -363,6 +363,121 @@ object Pdf {
     } finally inf.end()
   }
 
+  /** LZWDecode (§7.4.4.2 — the TIFF-variant LZW older PDFs carry):
+    * MSB-first codes, 9→12-bit widths growing `earlyChange` codes
+    * early (the Adobe default 1), 256 = clear-table, 257 = EOD,
+    * KwKwK case per the published algorithm. Output capped at `max`
+    * (the bomb discipline); a code beyond the table, EOF without EOD,
+    * or a full table without a clear all fail (the caller flags). */
+  private[graft] def lzwDecode(raw: Array[Byte], max: Int,
+                               earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(max, raw.length * 3 + 64))
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    def read(width: Int): Int = {
+      while (bitCnt < width) {
+        if (pos >= raw.length) fail("EOF in LZW stream (no EOD)")
+        bitBuf = (bitBuf << 8) | (raw(pos) & 0xFF); pos += 1; bitCnt += 8
+      }
+      bitCnt -= width
+      ((bitBuf >> bitCnt) & ((1L << width) - 1)).toInt
+    }
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    while (true) {
+      val c = read(width)
+      if (c == 257) return out.toByteArray
+      if (c == 256) { next = 258; width = 9; prev = null }
+      else {
+        val seq =
+          if (c < 256) table(c)
+          else if (c < next && c >= 258) table(c)
+          else if (c == next && prev != null) prev :+ prev(0) // KwKwK
+          else fail(s"LZW code $c beyond table (next=$next)")
+        out.write(seq, 0, seq.length)
+        if (out.size > max) fail(s"LZW output exceeds cap $max")
+        if (prev != null) {
+          if (next >= 4096) fail("LZW table overflow without a clear")
+          table(next) = prev :+ seq(0)
+          next += 1
+        }
+        if (width < 12 && next == (1 << width) - earlyChange) width += 1
+        prev = seq
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** LZW ENCODER — fixture/witness side only (the decoder never depends
+    * on it): standard (prefixCode, byte) dictionary build, with the
+    * code width tracked by SIMULATING the decoder's table state (the
+    * decoder assigns entries one code behind the encoder — exactly the
+    * off-by-one `earlyChange` exists to reconcile), so any compliant
+    * decoder reads each code at the width it was written. Emits a
+    * clear when the table fills. */
+  private[graft] def lzwEncode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    var bitBuf = 0L
+    var bitCnt = 0
+    def emit(code: Int, width: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        bitCnt -= 8
+        out.write(((bitBuf >> bitCnt) & 0xFF).toInt)
+      }
+    }
+    // decoder-state simulation: width at which the NEXT code is read
+    var simNext = 258
+    var simWidth = 9
+    var simPrev = false
+    def simEmit(code: Int): Unit = {
+      emit(code, simWidth)
+      if (code == 256) { simNext = 258; simWidth = 9; simPrev = false }
+      else if (code == 257) ()
+      else {
+        if (simPrev && simNext < 4096) simNext += 1
+        if (simWidth < 12 && simNext == (1 << simWidth) - earlyChange)
+          simWidth += 1
+        simPrev = true
+      }
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    simEmit(256) // leading clear (the Adobe writers' convention)
+    var cur = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xFF
+      if (cur < 0) cur = b
+      else {
+        val key = (cur.toLong << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          simEmit(cur)
+          if (next < 4096) { dict.put(key, next); next += 1 }
+          if (next >= 4096) { // table full: clear and restart
+            simEmit(256)
+            dict.clear()
+            next = 258
+          }
+          cur = b
+        }
+      }
+      i += 1
+    }
+    if (cur >= 0) simEmit(cur)
+    simEmit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
   /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` EOD,
     * odd final digit padded with 0. */
   private def asciiHexDecode(raw: Array[Byte]): Array[Byte] = {
@@ -716,6 +831,21 @@ object Pdf {
               data = unpredict(data, pred, cols)
             }
           case "ASCIIHexDecode" | "AHx" => data = asciiHexDecode(data)
+          case "LZWDecode" | "LZW" =>
+            val early = pm.flatMap(_.get("EarlyChange").map(resolve)) match {
+              case Some(PNum(n)) => n.toInt
+              case _ => 1
+            }
+            data = lzwDecode(data, maxStreamBytes, early)
+            pm.foreach { d =>
+              val pred = d.get("Predictor").map(resolve) match {
+                case Some(PNum(n)) => n.toInt; case _ => 1
+              }
+              val cols = d.get("Columns").map(resolve) match {
+                case Some(PNum(n)) => n.toInt; case _ => 1
+              }
+              data = unpredict(data, pred, cols)
+            }
           case other => fail(s"unsupported filter $other")
         }
       }
@@ -1240,7 +1370,8 @@ object Pdf {
     * probe/extractor contract); `asciiHex` stacks ASCIIHexDecode over
     * Flate on the first content stream. */
   def pdfBytes(pages: Seq[Seq[String]], compress: Boolean = true,
-               encrypted: Boolean = false, asciiHex: Boolean = false): Array[Byte] = {
+               encrypted: Boolean = false, asciiHex: Boolean = false,
+               lzw: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1024)
     val offsets = scala.collection.mutable.ArrayBuffer[Long]()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -1275,7 +1406,8 @@ object Pdf {
         sb.toString.getBytes("ISO-8859-1")
       }
       val (enc, filter) =
-        if (compress && asciiHex && i == 0) {
+        if (lzw) (lzwEncode(body), " /Filter /LZWDecode")
+        else if (compress && asciiHex && i == 0) {
           val fl = deflate(body)
           val hex = fl.map(b => f"${b & 0xFF}%02x").mkString.getBytes("ISO-8859-1")
           (hex :+ '>'.toByte, " /Filter [/ASCIIHexDecode /FlateDecode]")

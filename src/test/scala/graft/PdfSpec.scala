@@ -32,6 +32,30 @@ class PdfSpec extends SparkSuite {
     assert(t.ok && !t.flagged && t.pages == pages.map(_.mkString("\n")).toVector)
   }
 
+  test("LZWDecode: the TIFF-variant codes old PDFs carry — round-trips, KwKwK, width growth, table-full clear") {
+    def rt(data: Array[Byte], early: Int = 1): Unit = {
+      val dec = Pdf.lzwDecode(Pdf.lzwEncode(data, early), 64 << 20, early)
+      assert(java.util.Arrays.equals(dec, data),
+        s"round-trip failed at ${data.length} bytes (early=$early)")
+    }
+    rt(Array.emptyByteArray)
+    rt("a".getBytes)
+    rt(("ab" * 2000).getBytes)            // KwKwK-heavy repetition
+    rt(("the quick brown fox " * 500).getBytes) // width growth past 511/1023
+    val rnd = new scala.util.Random(7L)
+    rt(Array.fill(40000)(rnd.nextInt(256).toByte)) // forces mid-stream clear
+    rt(Array.fill(5000)(rnd.nextInt(4).toByte), early = 0) // EarlyChange=0
+    rt(Array.tabulate(3000)(i => (i % 251).toByte))
+    // whole-document path: an LZW content stream extracts identically
+    val t = Pdf.extractText(Pdf.pdfBytes(pages, lzw = true))
+    assert(t.ok && !t.flagged && t.pages == pages.map(_.mkString("\n")).toVector)
+    // torn stream / bomb cap fail, never crash
+    val enc = Pdf.lzwEncode("sample payload".getBytes)
+    intercept[Exception](Pdf.lzwDecode(enc.dropRight(2), 1 << 20))
+    intercept[Exception](Pdf.lzwDecode(
+      Pdf.lzwEncode(new Array[Byte](1 << 16)), 1024))
+  }
+
   test("encrypted flags, never decrypts; non-PDF and torn files quarantine with their reasons") {
     val enc = Pdf.extractText(Pdf.pdfBytes(pages, encrypted = true))
     assert(!enc.ok && enc.reason == "encrypted" && enc.flagged)

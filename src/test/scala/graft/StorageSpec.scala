@@ -1803,6 +1803,32 @@ class CdcExtentsSpec extends SparkSuite {
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
 
+  test("extents view rides the multi-view fan-out: crash mid-fan-out converges, siblings unaffected") {
+    val dir = Files.createTempDirectory("cdc_ext_mv").toString
+    val t = new TsdbTable(spark, s"$dir/table",
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    val feed = new ChangesStream.ChangesFeed(t, s"$dir/ckpt")
+    val ext = new ChangesStream.SeriesExtentsReplica(spark, s"$dir/ext",
+      k = 2, snapshotAt = seq => t.readRawAsOf(0L, Long.MaxValue, seq))
+    val stats = new ChangesStream.SeriesStatsReplica(spark, s"$dir/stats")
+    val mv = new ChangesStream.MultiViewMaintainer(feed, Seq(ext, stats))
+    t.append(samples((0 until 8).map(i => ("cpu", Base + i * 1000L, i.toDouble)): _*))
+    assert(mv.drainAll() == 1)
+    // crash mid-fan-out: extents folds window 2 alone (offset never
+    // committed), then the restarted maintainer drains the full fan-out
+    t.delete(Base + 6000, Base + 7000, metrics = Seq("cpu"))
+    val w = feed.poll().get
+    ext.applyBatch(w._3, w._2)
+    val mv2 = new ChangesStream.MultiViewMaintainer(
+      new ChangesStream.ChangesFeed(t, s"$dir/ckpt"), Seq(ext, stats))
+    assert(mv2.drainAll() >= 1)
+    assert(viewMap(ext) == recompute(t), "extents converge exactly once")
+    assert(viewMap(ext)(("cpu", "host=x"))._3 == Base + 5000L)
+    val st = stats.state().filter(col("name") === "cpu").collect()(0)
+    assert(st.getLong(2) == 6L, s"sibling stats view unaffected: $st")
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+
   test("updates never disturb the synopsis: a MOR rewrite keeps extents and count") {
     val dir = Files.createTempDirectory("cdc_ext_upd").toString
     val t = new TsdbTable(spark, s"$dir/table",
