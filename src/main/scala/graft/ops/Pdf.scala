@@ -478,6 +478,69 @@ object Pdf {
     out.toByteArray
   }
 
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` per 4 bytes base-85,
+    * `z` = four zero bytes (only between groups), whitespace ignored,
+    * `~>` EOD; a trailing partial group of n chars yields n-1 bytes
+    * (padded with `u` for the carry per the spec). */
+  private[graft] def ascii85Decode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(chars: Int): Unit = {
+      if (chars < 2) fail("ASCII85 group of one char")
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < chars) grp(i) else 84); i += 1 }
+      if (v > 0xFFFFFFFFL) fail("ASCII85 group overflows 32 bits")
+      var k = 0
+      while (k < chars - 1) { out.write(((v >> (24 - 8 * k)) & 0xFF).toInt); k += 1 }
+    }
+    var i = 0
+    var done = false
+    while (i < raw.length && !done) {
+      val c = raw(i) & 0xFF
+      if (c == '~') { // EOD
+        if (n > 0) flush(n)
+        done = true
+      } else if (c == 'z') {
+        if (n != 0) fail("ASCII85 'z' inside a group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!isWs(c)) {
+        if (c < '!' || c > 'u') fail(s"bad ASCII85 char $c")
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { flush(5); n = 0 }
+      }
+      i += 1
+    }
+    if (!done && n > 0) flush(n) // EOD-less tail tolerated
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte `l` — 0..127 copies the next
+    * l+1 bytes literally, 129..255 repeats the next byte 257−l times,
+    * 128 = EOD. */
+  private[graft] def runLengthDecode(raw: Array[Byte], max: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length * 2 + 16)
+    var i = 0
+    while (i < raw.length) {
+      val l = raw(i) & 0xFF
+      if (l == 128) return out.toByteArray
+      if (l < 128) {
+        if (i + 1 + l + 1 > raw.length) fail("RunLength literal past EOF")
+        out.write(raw, i + 1, l + 1)
+        i += 2 + l
+      } else {
+        if (i + 1 >= raw.length) fail("RunLength run past EOF")
+        var k = 0
+        while (k < 257 - l) { out.write(raw(i + 1)); k += 1 }
+        i += 2
+      }
+      if (out.size > max) fail(s"RunLength output exceeds cap $max")
+    }
+    out.toByteArray // EOD-less tail tolerated
+  }
+
   /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` EOD,
     * odd final digit padded with 0. */
   private def asciiHexDecode(raw: Array[Byte]): Array[Byte] = {
@@ -831,6 +894,9 @@ object Pdf {
               data = unpredict(data, pred, cols)
             }
           case "ASCIIHexDecode" | "AHx" => data = asciiHexDecode(data)
+          case "ASCII85Decode" | "A85" => data = ascii85Decode(data)
+          case "RunLengthDecode" | "RL" =>
+            data = runLengthDecode(data, maxStreamBytes)
           case "LZWDecode" | "LZW" =>
             val early = pm.flatMap(_.get("EarlyChange").map(resolve)) match {
               case Some(PNum(n)) => n.toInt

@@ -32,6 +32,39 @@ class PdfSpec extends SparkSuite {
     assert(t.ok && !t.flagged && t.pages == pages.map(_.mkString("\n")).toVector)
   }
 
+  test("ASCII85Decode and RunLengthDecode: the remaining text-stream filters") {
+    // A85: the spec's own properties — z groups, partial tails, ~> EOD
+    val z = Pdf.ascii85Decode("z~>".getBytes("ISO-8859-1"))
+    assert(z.length == 4 && z.forall(_ == 0), "z = four ZERO bytes")
+    // exhaustive-ish round property against a reference encoder
+    def enc85(data: Array[Byte]): String = {
+      val sb = new StringBuilder
+      data.grouped(4).foreach { g =>
+        var v = 0L
+        g.padTo(4, 0.toByte).foreach(b => v = (v << 8) | (b & 0xFF))
+        val cs = new Array[Char](5)
+        var i = 4
+        while (i >= 0) { cs(i) = ('!' + (v % 85)).toChar; v /= 85; i -= 1 }
+        sb.appendAll(cs, 0, if (g.length == 4) 5 else g.length + 1)
+      }
+      sb.append("~>").toString
+    }
+    val rnd = new scala.util.Random(11L)
+    for (len <- Seq(0, 1, 2, 3, 4, 5, 9, 1000)) {
+      val data = Array.fill(len)(rnd.nextInt(256).toByte)
+      assert(java.util.Arrays.equals(
+        Pdf.ascii85Decode(enc85(data).getBytes("ISO-8859-1")), data), s"len=$len")
+    }
+    intercept[Exception](Pdf.ascii85Decode("ÿ~>".getBytes("ISO-8859-1")))
+    // RunLength: literal runs, repeats, EOD, torn input
+    def rl(bytes: Int*): Array[Byte] =
+      Pdf.runLengthDecode(bytes.map(_.toByte).toArray, 1 << 20)
+    assert(new String(rl(2, 'a', 'b', 'c', 255, 'x', 128), "US-ASCII") == "abcxx")
+    assert(new String(rl(0, 'q', 129, 'r'), "US-ASCII") == "q" + "r" * 128)
+    intercept[Exception](rl(5, 'a'))
+    intercept[Exception](Pdf.runLengthDecode(Array[Byte](200.toByte), 1 << 20))
+  }
+
   test("LZWDecode: the TIFF-variant codes old PDFs carry — round-trips, KwKwK, width growth, table-full clear") {
     def rt(data: Array[Byte], early: Int = 1): Unit = {
       val dec = Pdf.lzwDecode(Pdf.lzwEncode(data, early), 64 << 20, early)
