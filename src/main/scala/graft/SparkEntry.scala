@@ -1494,8 +1494,8 @@ object SparkEntry {
     // social line, a copyright footer. The nav/social/footer blocks
     // classify `bad` and DROP where text_strip_html keeps their text;
     // the hash pins segmentation, both densities, the copyright rule,
-    // and the context-sensitive pass (the heading stays out: its
-    // nearest definite neighbors are bad-nav and good-para).
+    // and the context-sensitive pass INCLUDING the heading rule (the
+    // short h1 PROMOTES — it introduces the good content after it).
     "text_main_content" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -3994,7 +3994,7 @@ object SparkEntry {
         |  FROM d, generate_series(1, 4) t(p) WHERE t.p <= d.np)
         |SELECT doc_id, CAST(0 AS BIGINT) AS block_idx, 'bad' AS cls,
         |  false AS kept, 'Home About Contact' AS text FROM d
-        |UNION ALL SELECT doc_id, CAST(1 AS BIGINT), 'short', false,
+        |UNION ALL SELECT doc_id, CAST(1 AS BIGINT), 'short', true,
         |  'Doc ' || doc_id FROM d
         |UNION ALL SELECT doc_id, block_idx, cls, kept, text FROM para
         |UNION ALL SELECT doc_id, CAST(np + 2 AS BIGINT), 'bad', false,

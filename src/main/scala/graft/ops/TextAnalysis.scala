@@ -1112,6 +1112,7 @@ object TextAnalysis {
      "aside|main|title|caption|figure|figcaption|address|br|hr)\\b[^>]*>").r
 
   private val AnchorRe = "(?is)<a\\b[^>]*>(.*?)</a>".r
+  private val HeadingTagRe = "(?i)^<h[1-6]\\b".r
   private val AnchorOpenRe = "(?i)<a\\b".r
   private val InlineTagRe = "<[^>]+>".r
 
@@ -1152,17 +1153,33 @@ object TextAnalysis {
     *     otherwise;
     *  4. context-sensitive pass: `neargood` promotes to kept when its
     *     NEAREST definite (good/bad) neighbor on either side is good;
-    *     `short` needs BOTH nearest definite neighbors good. (Full
-    *     jusText also promotes headings; this variant deliberately does
-    *     not — documented divergence, deterministic either way.)
+    *     `short` needs BOTH nearest definite neighbors good —
+    *     EXCEPT short HEADINGS (blocks opened by an h1-h6 tag), which
+    *     promote when their NEXT definite neighbor is good (the
+    *     jusText heading rule: a title belongs to the content it
+    *     introduces, with the distance window simplified to
+    *     nearest-definite).
     *
     * Boilerplate (nav link bars, footers, social chrome) classifies
     * `bad` and drops where [[stripHtml]] keeps it — this is the
     * content-vs-chrome stage a crawl corpus needs after tag stripping. */
   private[graft] def justext(html: String): Seq[JtBlock] = {
     if (html == null) return Seq.empty
-    val segments = BlockTagRe.split(html)
-    val cf = segments.flatMap { seg =>
+    // tag-aware segmentation: each segment pairs with the block tag
+    // that OPENED it (the delimiter preceding it), so the heading rule
+    // can see h1-h6; the pre-first-delimiter prefix has no tag
+    val delims = BlockTagRe.findAllMatchIn(html).toVector
+    val segments: Seq[(String, String)] =
+      if (delims.isEmpty) Seq(("", html))
+      else {
+        val head = ("", html.substring(0, delims.head.start))
+        val rest = delims.zipWithIndex.map { case (m, i) =>
+          val end = if (i + 1 < delims.length) delims(i + 1).start else html.length
+          (m.matched, html.substring(m.end, end))
+        }
+        head +: rest
+      }
+    val cf = segments.flatMap { case (openTag, seg) =>
       val linkChars = AnchorRe.findAllMatchIn(seg)
         .map(m => InlineTagRe.replaceAllIn(m.group(1), " ")
           .replaceAll("\\s+", "").length).sum
@@ -1194,7 +1211,7 @@ object TextAnalysis {
           else if (stopDensity >= 0.32) { if (len > 200) "good" else "neargood" }
           else if (stopDensity >= 0.30) "neargood"
           else "bad"
-        Some((cls, text))
+        Some((cls, text, HeadingTagRe.findFirstIn(openTag).isDefined))
       }
     }.toSeq
     // context pass: nearest DEFINITE neighbor classes
@@ -1211,10 +1228,11 @@ object TextAnalysis {
       nextDef(i) = last
       if (cf(i)._1 == "good" || cf(i)._1 == "bad") last = cf(i)._1
     }
-    cf.zipWithIndex.map { case ((cls, text), i) =>
+    cf.zipWithIndex.map { case ((cls, text, heading), i) =>
       val kept = cls match {
         case "good" => true
         case "neargood" => prevDef(i) == "good" || nextDef(i) == "good"
+        case "short" if heading => nextDef(i) == "good" // the heading rule
         case "short" => prevDef(i) == "good" && nextDef(i) == "good"
         case _ => false
       }

@@ -1136,17 +1136,27 @@ class JustextSpec extends SparkSuite {
     assert(blocks.map(_.cls) ==
       Seq("bad", "short", "good", "good", "bad", "bad"), s"$blocks")
     assert(blocks.map(_.kept) ==
-      Seq(false, false, true, true, false, false))
+      Seq(false, true, true, true, false, false))
     assert(blocks(2).text == para)
-    // the h1 short block between bad nav and good content stays out
-    // (both-definite-neighbors-good rule); chrome text is gone where
-    // stripHtml retains every word of it
+    // the h1 short block PROMOTES (heading rule: its next definite
+    // neighbor is the good content it introduces); chrome text is gone
+    // where stripHtml retains every word of it
     val stripped = spark.range(1).select(
       TextAnalysis.stripHtml(lit(html)).as("t")).collect()(0).getString(0)
     assert(stripped.contains("Home About Contact") &&
       stripped.contains("© 2024 Example Corp"))
     assert(!blocks.filter(_.kept).exists(b =>
       b.text.contains("Home") || b.text.contains("©")))
+    // a heading introducing NOTHING good stays out; a non-heading short
+    // before good still needs good on both sides
+    val lonely = TextAnalysis.justext(
+      "<h1>Title</h1><nav><a href=a>Home</a> <a href=b>More</a> <a href=c>Nav</a></nav>")
+    assert(lonely.map(b => (b.cls, b.kept)) ==
+      Seq(("short", false), ("bad", false)), s"$lonely")
+    val shortDiv = TextAnalysis.justext(
+      s"<div>tiny lead</div><p>$para</p>")
+    assert(shortDiv.map(_.kept) == Seq(false, true),
+      "a non-heading short before good is NOT promoted")
   }
 
   test("context pass: neargood promotes next to good; short needs good on BOTH sides") {
