@@ -235,6 +235,52 @@ object SparkEntry {
     }
   }
 
+  /** The staged SIX-lane image-probe corpus (r11) — one definition
+    * shared by `multimodal_probe_images` (probe all) and
+    * `multimodal_triage_images` (probe → dims/format filter → decode
+    * survivors), so both entries and twins assert the same planting by
+    * construction. JPEG/PNG/BMP lanes are real JDK-encoder output;
+    * WebP/TIFF/HEIF are hand-built spec-shaped headers. */
+  private def imageProbeFixtureBlobs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    stagedBlobs(s, dir, "probe_img_v3") {
+        val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        s.createDataFrame(
+          ids.rdd.map { r =>
+            val id = r.getLong(0)
+            val w = (8 + id % 40).toInt
+            val h = (6 + id % 30).toInt
+            val blob = (id % 6) match {
+              case 0 => Multimodal.constantJpeg(w, h, (40 + id % 180).toInt)
+              case 1 => Multimodal.constantPng(w, h,
+                (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+              case 2 => (id / 6 % 3) match {
+                case 0 => Multimodal.webpBytes("vp8", w, h)
+                case 1 => Multimodal.webpBytes("vp8l", w, h)
+                case _ => Multimodal.webpBytes("vp8x", w, h,
+                  animFrames = (1 + id % 5).toInt)
+              }
+              case 3 => Multimodal.constantBmp(w, h, (30 + id % 200).toInt)
+              case 4 => Multimodal.tiffBytes(le = id % 2 == 0,
+                pages = (0 until (1 + id % 4).toInt).map(p =>
+                  (w + p, h + p)),
+                compression = (id / 6 % 3) match {
+                  case 0 => 1; case 1 => 5; case _ => 8
+                })
+              case _ =>
+                if (id % 2 == 0)
+                  Multimodal.heifBytes("avif", 16 * w, 16 * h, "av1C",
+                    thumbW = w, thumbH = h)
+                else Multimodal.heifBytes("heic", 16 * w, 16 * h, "hvcC")
+            }
+            Row(id, blob)
+          },
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("blob", BinaryType))))
+      }
+}
+
   /** The staged PDF fixture corpus (r11): one PDF per document, page
     * texts a closed form of doc_id so the extraction twin is exact.
     * Lanes: `id%13==0` encrypted (flag path), else `id%17==0` non-PDF
@@ -3056,48 +3102,33 @@ object SparkEntry {
     // counts are closed forms of doc_id; the JPEG/PNG/BMP fixtures are
     // real JDK-encoded images, so the hash also pins that the probes
     // parse what actual encoders emit.
-    "multimodal_probe_images" -> ((s, dir) => {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      val blobs = stagedBlobs(s, dir, "probe_img_v3") {
-        val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
-        s.createDataFrame(
-          ids.rdd.map { r =>
-            val id = r.getLong(0)
-            val w = (8 + id % 40).toInt
-            val h = (6 + id % 30).toInt
-            val blob = (id % 6) match {
-              case 0 => Multimodal.constantJpeg(w, h, (40 + id % 180).toInt)
-              case 1 => Multimodal.constantPng(w, h,
-                (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
-              case 2 => (id / 6 % 3) match {
-                case 0 => Multimodal.webpBytes("vp8", w, h)
-                case 1 => Multimodal.webpBytes("vp8l", w, h)
-                case _ => Multimodal.webpBytes("vp8x", w, h,
-                  animFrames = (1 + id % 5).toInt)
-              }
-              case 3 => Multimodal.constantBmp(w, h, (30 + id % 200).toInt)
-              case 4 => Multimodal.tiffBytes(le = id % 2 == 0,
-                pages = (0 until (1 + id % 4).toInt).map(p =>
-                  (w + p, h + p)),
-                compression = (id / 6 % 3) match {
-                  case 0 => 1; case 1 => 5; case _ => 8
-                })
-              case _ =>
-                if (id % 2 == 0)
-                  Multimodal.heifBytes("avif", 16 * w, 16 * h, "av1C",
-                    thumbW = w, thumbH = h)
-                else Multimodal.heifBytes("heic", 16 * w, 16 * h, "hvcC")
-            }
-            Row(id, blob)
-          },
-          StructType(Seq(StructField("doc_id", LongType),
-            StructField("blob", BinaryType))))
-      }
-      Multimodal.probeMedia(blobs)
+    "multimodal_probe_images" -> ((s, dir) =>
+      Multimodal.probeMedia(imageProbeFixtureBlobs(s, dir))
         .select(col("doc_id"), col("probed"), col("format"), col("codec"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("frames"))
+        .orderBy("doc_id")),
+
+    // IMAGE TRIAGE end-to-end (r11): probe → metadata filter (lossless
+    // formats in a dims window — the decision a 100 TB pipeline makes
+    // from headers alone) → decode ONLY the survivors. The twin replays
+    // the filter arithmetic and the survivors\u0027 exact constant-image
+    // features (PNG/BMP are lossless, so the planted channel constants
+    // come back bit-for-bit through the REAL decoder).
+    "multimodal_triage_images" -> ((s, dir) => {
+      val blobs = imageProbeFixtureBlobs(s, dir)
+      val keep = Multimodal.probeMedia(blobs)
+        .filter(col("probed") && col("format").isin("png", "bmp") &&
+          col("width").between(20, 40))
+        .select(col("doc_id"), col("format"))
+      Multimodal.decodeImageFeatures(
+          blobs.join(keep, Seq("doc_id")).select("doc_id", "blob"))
+        .join(keep, Seq("doc_id"))
+        .select(Seq(col("doc_id"), col("format"), col("decoded"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height")) ++
+          (0 until Multimodal.FeatureDim).map(i =>
+            round(element_at(col("feature"), i + 1).cast("double"), 6).as(s"f$i")): _*)
         .orderBy("doc_id")
     }),
 
@@ -5802,6 +5833,36 @@ object SparkEntry {
         |       WHEN doc_id % 6 = 4 THEN 1 + doc_id % 4
         |       ELSE 1 END AS BIGINT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the image triage replayed: the probe filter in closed form (which
+    // lanes and ids survive the lossless-format + dims window), then the
+    // survivors' exact constant-image features through the same channel
+    // arithmetic as multimodal_features_exact
+    "multimodal_triage_images" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 1 THEN 'png' ELSE 'bmp' END AS format,
+        |    8 + doc_id % 40 AS w, 6 + doc_id % 30 AS h,
+        |    CASE WHEN doc_id % 6 = 1 THEN doc_id % 256
+        |         ELSE 30 + doc_id % 200 END AS r,
+        |    CASE WHEN doc_id % 6 = 1 THEN (doc_id*7) % 256
+        |         ELSE 30 + doc_id % 200 END AS g,
+        |    CASE WHEN doc_id % 6 = 1 THEN (doc_id*13) % 256
+        |         ELSE 30 + doc_id % 200 END AS b
+        |  FROM documents
+        |  WHERE doc_id % 6 IN (1, 3) AND (doc_id % 40) BETWEEN 12 AND 32),
+        |l AS (SELECT *, 0.299*r + 0.587*g + 0.114*b AS luma FROM k)
+        |SELECT doc_id, format, true AS decoded,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  round(CAST(r/255.0 AS REAL)::DOUBLE, 6) AS f0,
+        |  round(CAST(g/255.0 AS REAL)::DOUBLE, 6) AS f1,
+        |  round(CAST(b/255.0 AS REAL)::DOUBLE, 6) AS f2,
+        |  0.0::DOUBLE AS f3,
+        |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f4,
+        |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f5,
+        |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f6,
+        |  round(CAST(luma/255.0 AS REAL)::DOUBLE, 6) AS f7
+        |FROM l ORDER BY doc_id""".stripMargin,
 
     // four wire encodings, one decoded string: the text column is the
     // SAME closed form for every lane, the charset column is the
