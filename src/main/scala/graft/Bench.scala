@@ -108,6 +108,7 @@ object Bench {
     "multimodal_audio_adpcm", "multimodal_audio_flac",
     "multimodal_audio_containers", "multimodal_probe", "multimodal_triage",
     "multimodal_probe_images", "multimodal_triage_images",
+    "multimodal_probe_archives",
     "dedup_image_dhash", "dedup_image_keep", "multimodal_frames",
     "multimodal_frames_avi", "multimodal_frames_gif",
     "dedup_video_frames", "dedup_video_dhash")

@@ -3132,6 +3132,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // COMPRESSED-PAYLOAD probes (r11): .gz/.zst/.xz/.bz2 — the non-media
+    // blobs a crawl meets constantly. `frames` carries the declared
+    // uncompressed size where the format states one (gzip trailer
+    // ISIZE on single-member files — the fixture's STORED deflate
+    // blocks make the member scan deterministic; zstd FCS across its
+    // field widths incl. the 2-byte size-minus-256 encoding); codec
+    // carries flag-level detail (xz check type, bzip2 level).
+    "multimodal_probe_archives" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val blobs = s.createDataFrame(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+          .rdd.map { r =>
+            val id = r.getLong(0)
+            val blob = (id % 4) match {
+              case 0 => Multimodal.gzipStoredBytes(
+                // pure-x content: a "doc <id>" prefix could exceed the
+                // target length for large ids and skew the ISIZE
+                Array.fill((10 + id % 90).toInt)('x'.toByte),
+                named = id % 3 == 0)
+              case 1 => (id / 4 % 3) match {
+                case 0 => Multimodal.zstdFrameBytes(id % 200, 0, singleSegment = true)
+                case 1 => Multimodal.zstdFrameBytes(256 + id % 500, 1,
+                  singleSegment = false, checksum = true)
+                case _ => Multimodal.zstdFrameBytes(100000 + id, 2,
+                  singleSegment = false)
+              }
+              case 2 => Multimodal.xzHeaderBytes(
+                Seq(0, 1, 4)((id % 3).toInt))
+              case _ => Multimodal.bzip2HeaderBytes((1 + id % 9).toInt)
+            }
+            Row(id, blob)
+          },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+      Multimodal.probeMedia(blobs)
+        .select(col("doc_id"), col("probed"), col("format"), col("codec"),
+          col("frames"))
+        .orderBy("doc_id")
+    }),
+
     // corpus snapshot diff (crawl-refresh receipts): new version = old
     // with ids % 10 == 7 edited, ids >= 450 dropped, and 20 fresh docs
     // appended at +10000 — the per-doc added/removed/changed/unchanged
@@ -5832,6 +5873,32 @@ object SparkEntry {
         |         THEN 1 + doc_id % 5
         |       WHEN doc_id % 6 = 4 THEN 1 + doc_id % 4
         |       ELSE 1 END AS BIGINT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // archive probe fields in closed form: gzip ISIZE = the padded
+    // content length, zstd FCS by field-width lane, xz check type,
+    // bzip2 level
+    "multimodal_probe_archives" ->
+      """SELECT doc_id, true AS probed,
+        |  CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
+        |    WHEN 2 THEN 'xz' ELSE 'bzip2' END AS format,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN CASE WHEN doc_id % 3 = 0 THEN 'deflate/named'
+        |                     ELSE 'deflate' END
+        |    WHEN 1 THEN CASE CAST(doc_id // 4 % 3 AS INT)
+        |      WHEN 0 THEN 'zstd/single-segment'
+        |      WHEN 1 THEN 'zstd/checksum' ELSE 'zstd' END
+        |    WHEN 2 THEN CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 'lzma2/none' WHEN 1 THEN 'lzma2/crc32'
+        |      ELSE 'lzma2/crc64' END
+        |    ELSE 'bwt' || (1 + doc_id % 9) END AS codec,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN 10 + doc_id % 90
+        |    WHEN 1 THEN CASE CAST(doc_id // 4 % 3 AS INT)
+        |      WHEN 0 THEN doc_id % 200
+        |      WHEN 1 THEN 256 + doc_id % 500
+        |      ELSE 100000 + doc_id END
+        |    ELSE 0 END AS BIGINT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the image triage replayed: the probe filter in closed form (which

@@ -63,7 +63,9 @@ object MediaProbe {
       .orElse(AuProbe).orElse(AiffProbe).orElse(OggProbe).orElse(MkvProbe)
       .orElse(ZipProbe).orElse(Pdf.Probe)
       .orElse(JpegProbe).orElse(PngProbe).orElse(WebpProbe).orElse(BmpProbe)
-      .orElse(TiffProbe).orElse(HeifProbe).orElse(Mp4Probe).orElse(Mp3Probe)
+      .orElse(TiffProbe).orElse(HeifProbe)
+      .orElse(GzipProbe).orElse(ZstdProbe).orElse(XzProbe).orElse(Bzip2Probe)
+      .orElse(Mp4Probe).orElse(Mp3Probe)
 
   /** Ogg page walk (RFC 3533) + Vorbis/Opus identification headers —
     * the open crawl audio formats. Duration comes from the LAST page's
@@ -488,6 +490,120 @@ object MediaProbe {
       if (!walk(0L, bytes.length.toLong, 0)) return None
       if (brand.isEmpty) return None
       Some(MediaInfo("mp4", codec, durationMs, 0, 0, 0, width, height, 0L))
+    } catch { case _: Exception => None }
+  }
+
+  /** Compressed-payload probes — the non-media blobs a crawl meets
+    * constantly (.gz/.zst/.xz/.bz2 sidecars and payloads). Header-only
+    * per the family discipline; `frames` carries the UNCOMPRESSED byte
+    * count where the format declares one (gzip's trailer ISIZE —
+    * mod 2³² and only trustworthy for single-member files, so it is
+    * reported only when exactly one member magic is plausible; zstd's
+    * frame-content-size field when present), else 0. `codec` carries
+    * the flag-level detail (zstd single-segment/checksum, xz stream
+    * flags' check type, bzip2 block size). */
+  object GzipProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 18 ||
+          (bytes(0) & 0xFF) != 0x1F || (bytes(1) & 0xFF) != 0x8B) return None
+      if (bytes(2) != 8) return None // deflate is the only defined method
+      val flg = bytes(3) & 0xFF
+      if ((flg & 0xE0) != 0) return None // reserved flags must be zero
+      // trailer ISIZE is per-MEMBER; meaningful only if this looks like
+      // a single member (no second 1F 8B 08 boundary candidate after a
+      // plausible member end — cheap heuristic: scan for the magic)
+      var members = 1
+      var i = 10
+      while (i + 2 < bytes.length - 8) {
+        if ((bytes(i) & 0xFF) == 0x1F && (bytes(i + 1) & 0xFF) == 0x8B &&
+            bytes(i + 2) == 8) members += 1
+        i += 1
+      }
+      val isize =
+        if (members == 1)
+          (bytes(bytes.length - 4) & 0xFFL) |
+          ((bytes(bytes.length - 3) & 0xFFL) << 8) |
+          ((bytes(bytes.length - 2) & 0xFFL) << 16) |
+          ((bytes(bytes.length - 1) & 0xFFL) << 24)
+        else 0L
+      val named = (flg & 8) != 0
+      Some(MediaInfo("gzip", if (named) "deflate/named" else "deflate",
+        0L, 0, 0, 0, 0, 0, isize))
+    } catch { case _: Exception => None }
+  }
+
+  /** Zstandard frame header (RFC 8878 §3.1.1): magic, frame header
+    * descriptor (FCS field size, single-segment, checksum, dictionary
+    * id), declared content size when present. */
+  object ZstdProbe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 6 ||
+          Codecs.LE.i32(bytes, 0) != 0xFD2FB528) return None
+      val fhd = bytes(4) & 0xFF
+      if ((fhd & 0x08) != 0) return None // reserved bit must be zero
+      val fcsFlag = fhd >>> 6
+      val single = (fhd & 0x20) != 0
+      val checksum = (fhd & 0x04) != 0
+      val dictFlag = fhd & 0x03
+      var p = 5
+      if (!single) p += 1 // window descriptor
+      p += (dictFlag match { case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4 })
+      val fcsLen = fcsFlag match {
+        case 0 => if (single) 1 else 0
+        case 1 => 2
+        case 2 => 4
+        case _ => 8
+      }
+      if (p + fcsLen > bytes.length) return None
+      var size = 0L
+      if (fcsLen > 0) {
+        var i = 0
+        while (i < fcsLen) { size |= (bytes(p + i) & 0xFFL) << (8 * i); i += 1 }
+        if (fcsLen == 2) size += 256 // RFC 8878: 2-byte field is value-256
+        if (size < 0) return None
+      }
+      val codec = "zstd" + (if (single) "/single-segment" else "") +
+        (if (checksum) "/checksum" else "")
+      Some(MediaInfo("zstd", codec, 0L, 0, 0, 0, 0, 0, size))
+    } catch { case _: Exception => None }
+  }
+
+  /** XZ stream header (the public .xz format spec): magic, stream
+    * flags with the integrity-check type, CRC32-protected (CRC not
+    * verified — the probe split). */
+  object XzProbe extends Probe {
+    private val Magic = Array(0xFD, '7', 'z', 'X', 'Z', 0x00)
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 12) return None
+      var i = 0
+      while (i < 6) { if ((bytes(i) & 0xFF) != (Magic(i) & 0xFF)) return None; i += 1 }
+      if (bytes(6) != 0) return None // first flags byte must be zero
+      val check = bytes(7) & 0xFF
+      if ((check & 0xF0) != 0) return None // reserved bits
+      val codec = check match {
+        case 0 => "lzma2/none"
+        case 1 => "lzma2/crc32"
+        case 4 => "lzma2/crc64"
+        case 10 => "lzma2/sha256"
+        case c => s"lzma2/check-$c"
+      }
+      Some(MediaInfo("xz", codec, 0L, 0, 0, 0, 0, 0, 0L))
+    } catch { case _: Exception => None }
+  }
+
+  /** bzip2 header: `BZh` + block-size digit + the first block's
+    * compressed magic (pi) or the empty-stream end magic (sqrt(pi)). */
+  object Bzip2Probe extends Probe {
+    def probe(bytes: Array[Byte]): Option[MediaInfo] = try {
+      if (bytes == null || bytes.length < 10 ||
+          bytes(0) != 'B' || bytes(1) != 'Z' || bytes(2) != 'h') return None
+      val level = bytes(3) - '0'
+      if (level < 1 || level > 9) return None
+      val m = (0 until 6).map(i => bytes(4 + i) & 0xFF)
+      val blockMagic = Seq(0x31, 0x41, 0x59, 0x26, 0x53, 0x59) // BCD pi
+      val endMagic = Seq(0x17, 0x72, 0x45, 0x38, 0x50, 0x90)   // BCD sqrt(pi)
+      if (m != blockMagic && m != endMagic) return None
+      Some(MediaInfo("bzip2", s"bwt$level", 0L, 0, 0, 0, 0, 0, 0L))
     } catch { case _: Exception => None }
   }
 

@@ -625,6 +625,75 @@ object Multimodal {
     ftyp ++ meta ++ box("mdat", Array.emptyByteArray)
   }
 
+  /** Spec-shaped gzip member whose deflate payload is a STORED block
+    * (RFC 1951 type 00) — every output byte is the input byte, so a
+    * fixture with ASCII content provably contains no spurious member
+    * magics and the probe's single-member ISIZE read is deterministic.
+    * Real CRC32/ISIZE trailer (GZIPInputStream round-trips it). */
+  def gzipStoredBytes(content: Array[Byte], named: Boolean = false): Array[Byte] = {
+    require(content.length <= 0xFFFF, "one stored block only")
+    val out = new java.io.ByteArrayOutputStream(content.length + 32)
+    out.write(0x1F); out.write(0x8B); out.write(8) // magic + deflate
+    out.write(if (named) 8 else 0) // FLG
+    (0 until 6).foreach(_ => out.write(0)) // MTIME + XFL + OS
+    if (named) { out.write("fixture.bin".getBytes("US-ASCII")); out.write(0) }
+    out.write(0x01) // BFINAL=1, BTYPE=00 (stored)
+    out.write(content.length & 0xFF); out.write((content.length >> 8) & 0xFF)
+    out.write(~content.length & 0xFF); out.write((~content.length >> 8) & 0xFF)
+    out.write(content)
+    val crc = new java.util.zip.CRC32(); crc.update(content)
+    var v = crc.getValue
+    (0 until 4).foreach { _ => out.write((v & 0xFF).toInt); v >>= 8 }
+    var n = content.length.toLong
+    (0 until 4).foreach { _ => out.write((n & 0xFF).toInt); n >>= 8 }
+    out.toByteArray
+  }
+
+  /** Zstandard frame header (RFC 8878) + one empty raw block — probe
+    * fixture covering the FCS field widths: `fcsFlag` 0 with
+    * `singleSegment` (1 byte), 1 (2 bytes, stores size−256), 2
+    * (4 bytes). */
+  def zstdFrameBytes(size: Long, fcsFlag: Int, singleSegment: Boolean,
+                     checksum: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(32)
+    out.write(0x28); out.write(0xB5); out.write(0x2F); out.write(0xFD)
+    var fhd = fcsFlag << 6
+    if (singleSegment) fhd |= 0x20
+    if (checksum) fhd |= 0x04
+    out.write(fhd)
+    if (!singleSegment) out.write(0x00) // window descriptor
+    val fcsLen = fcsFlag match {
+      case 0 => if (singleSegment) 1 else 0
+      case 1 => 2
+      case 2 => 4
+      case _ => 8
+    }
+    var v = if (fcsFlag == 1) size - 256 else size
+    (0 until fcsLen).foreach { _ => out.write((v & 0xFF).toInt); v >>= 8 }
+    out.write(0x01); out.write(0x00); out.write(0x00) // last raw block, size 0
+    if (checksum) (0 until 4).foreach(_ => out.write(0))
+    out.toByteArray
+  }
+
+  /** XZ stream header (magic + stream flags + their real CRC32). */
+  def xzHeaderBytes(checkType: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(16)
+    Seq(0xFD, '7'.toInt, 'z'.toInt, 'X'.toInt, 'Z'.toInt, 0x00).foreach(out.write)
+    out.write(0x00); out.write(checkType)
+    val crc = new java.util.zip.CRC32()
+    crc.update(Array(0x00.toByte, checkType.toByte))
+    var v = crc.getValue
+    (0 until 4).foreach { _ => out.write((v & 0xFF).toInt); v >>= 8 }
+    out.toByteArray
+  }
+
+  /** bzip2 header: `BZh<level>` + the first block's BCD-pi magic. */
+  def bzip2HeaderBytes(level: Int): Array[Byte] = {
+    require(level >= 1 && level <= 9, s"bad bzip2 level $level")
+    ("BZh" + level).getBytes("US-ASCII") ++
+      Array(0x31, 0x41, 0x59, 0x26, 0x53, 0x59).map(_.toByte)
+  }
+
   /** Synthesize a grayscale PNG whose [[decodeImageDHash]] fingerprint is
     * EXACTLY `pattern` — fixture plumbing for the ORACLE-EXACT image
     * near-dup entry. Each dHash grid row walks gray values from `base`

@@ -3447,6 +3447,48 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       seed = 138L)
     fuzzProbe("heic", MediaProbe.HeifProbe,
       Multimodal.heifBytes("heic", 4000, 3000, "hvcC"), seed = 139L)
+    fuzzProbe("gzip", MediaProbe.GzipProbe,
+      Multimodal.gzipStoredBytes(("payload " * 20).getBytes), seed = 140L)
+    fuzzProbe("zstd", MediaProbe.ZstdProbe,
+      Multimodal.zstdFrameBytes(12345, 2, singleSegment = false), seed = 141L)
+    fuzzProbe("xz", MediaProbe.XzProbe, Multimodal.xzHeaderBytes(1), seed = 142L)
+    fuzzProbe("bzip2", MediaProbe.Bzip2Probe,
+      Multimodal.bzip2HeaderBytes(9), seed = 143L)
+  }
+
+  test("archive probes: gzip stored-block ISIZE, zstd FCS widths, xz check types, bzip2 levels (r11)") {
+    import graft.ops.MediaProbe
+    // gzip: stored-block fixture round-trips through the REAL JDK
+    // reader, and the probe's single-member ISIZE is the content length
+    val content = ("the content " * 10).getBytes("US-ASCII")
+    val gz = Multimodal.gzipStoredBytes(content)
+    val back = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz)).readAllBytes()
+    assert(java.util.Arrays.equals(back, content), "stored block must decode")
+    val g = MediaProbe.GzipProbe.probe(gz).get
+    assert(g.format == "gzip" && g.codec == "deflate" &&
+      g.frames == content.length, s"$g")
+    assert(MediaProbe.GzipProbe.probe(
+      Multimodal.gzipStoredBytes(content, named = true)).get.codec == "deflate/named")
+    // two concatenated members: ISIZE is per-member, so frames reports 0
+    assert(MediaProbe.GzipProbe.probe(gz ++ gz).exists(_.frames == 0L))
+    // zstd: all three planted FCS widths, incl. the size-minus-256 field
+    assert(MediaProbe.ZstdProbe.probe(
+      Multimodal.zstdFrameBytes(77, 0, singleSegment = true)).get.frames == 77)
+    val z2 = MediaProbe.ZstdProbe.probe(
+      Multimodal.zstdFrameBytes(700, 1, singleSegment = false, checksum = true)).get
+    assert(z2.frames == 700 && z2.codec == "zstd/checksum", s"$z2")
+    assert(MediaProbe.ZstdProbe.probe(
+      Multimodal.zstdFrameBytes(1234567, 2, singleSegment = false)).get.frames == 1234567)
+    // xz + bzip2 flag detail
+    assert(MediaProbe.XzProbe.probe(Multimodal.xzHeaderBytes(4)).get.codec == "lzma2/crc64")
+    assert(MediaProbe.Bzip2Probe.probe(Multimodal.bzip2HeaderBytes(5)).get.codec == "bwt5")
+    // the Default chain routes all four
+    for ((blob, fmt) <- Seq(gz -> "gzip",
+        Multimodal.zstdFrameBytes(9, 0, singleSegment = true) -> "zstd",
+        Multimodal.xzHeaderBytes(1) -> "xz",
+        Multimodal.bzip2HeaderBytes(1) -> "bzip2"))
+      assert(MediaProbe.Default.probe(blob).get.format == fmt, fmt)
   }
 
   test("FUZZ PDF text extraction: ok / flagged / quarantined with a reason, never a throw") {
