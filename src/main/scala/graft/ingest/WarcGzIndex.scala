@@ -199,8 +199,8 @@ object WarcGzIndex {
 
   /** Reads at most `limit` bytes of `in`, then reports EOF; close
     * closes the underlying stream. */
-  private[ingest] final class BoundedInputStream(in: java.io.InputStream,
-                                                 private var limit: Long)
+  private[graft] final class BoundedInputStream(in: java.io.InputStream,
+                                                private var limit: Long)
       extends java.io.InputStream {
     override def read(): Int =
       if (limit <= 0) -1
@@ -211,6 +211,16 @@ object WarcGzIndex {
       if (n > 0) limit -= n
       n
     }
+    /** MUST be overridden (the default returns 0): `GZIPInputStream`
+      * advances to the next concatenated member only while
+      * `in.available() > 0` or the inflater holds > 26 leftover bytes.
+      * With a constant 0 here, a member boundary landing within 26
+      * bytes of an input-chunk refill would read as end-of-stream and
+      * silently drop the rest of the range (ADVICE r11). Report at
+      * least 1 while bytes remain within the bound. */
+    override def available(): Int =
+      if (limit <= 0) 0
+      else math.min(limit, math.max(in.available().toLong, 1L)).toInt
     override def close(): Unit = in.close()
   }
 

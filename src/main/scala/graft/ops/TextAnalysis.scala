@@ -1265,15 +1265,28 @@ object TextAnalysis {
 
   /** The extracted main content: kept blocks joined by newline — what
     * feeds the downstream text pipeline in place of [[stripHtml]]'s
-    * everything-including-chrome output. */
+    * everything-including-chrome output.
+    *
+    * EVERY input document yields a row (ADVICE r11): a page whose
+    * blocks all classify bad/unkept — or that segments to zero blocks —
+    * comes back with `main_text = ""`, never silently missing, so a
+    * downstream join can tell "no main content" from "document
+    * missing". Unkept blocks are dropped INSIDE the aggregate
+    * (`collect_list` skips the `when`'s nulls); the left join back to
+    * the input ids covers only the zero-block case. */
   def extractMainContent(df: DataFrame, htmlCol: String = "html",
-                         idCol: String = "doc_id"): DataFrame =
-    mainContentBlocks(df, htmlCol, idCol)
-      .filter(col("kept"))
+                         idCol: String = "doc_id"): DataFrame = {
+    val aggd = mainContentBlocks(df, htmlCol, idCol)
       .groupBy("doc_id")
       // collect_list order is shuffle-dependent — sort by block_idx
       // (struct sort is lexicographic, idx leads) before joining
       .agg(concat_ws("\n",
-        transform(sort_array(collect_list(struct(col("block_idx"), col("text")))),
+        transform(sort_array(collect_list(
+          when(col("kept"), struct(col("block_idx"), col("text"))))),
           s => s.getField("text"))).as("main_text"))
+    df.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(aggd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("main_text"), lit("")).as("main_text"))
+  }
 }

@@ -76,16 +76,33 @@ final class CdcSource(sqlContext: SQLContext, metadataPath: String,
     * checkpointed one — the engine would log the regressed offset and
     * the following window would replay already-delivered seqs. The
     * unbounded mode needs none of this (its end is always the manifest
-    * tip, which is monotone). */
+    * tip, which is monotone).
+    *
+    * `metadataPath` arrives as a Hadoop URI string (`file:/...`,
+    * `hdfs://...`, `s3a://...`) — it MUST be resolved through the
+    * Hadoop `Path`/[[CheckpointFileManager]] machinery, never
+    * `java.nio` (which treats `file:/tmp/x` as the literal relative
+    * directory `./file:/tmp/x` and, on a real cluster, would land the
+    * watermark on driver-local disk instead of the checkpoint FS —
+    * losing it on any restart). The manager's `createAtomic` is the
+    * same temp+rename discipline Spark's own offset log uses, on
+    * whatever filesystem the checkpoint lives on. */
   private var lastOffered: Option[Long] = None
-  private val watermarkFile =
-    java.nio.file.Paths.get(metadataPath).resolve("graft-cdc-offered")
+  private val watermarkPath =
+    new org.apache.hadoop.fs.Path(metadataPath, "graft-cdc-offered")
+  private lazy val checkpointFm =
+    org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
+      .create(new org.apache.hadoop.fs.Path(metadataPath),
+        sqlContext.sparkSession.sessionState.newHadoopConf())
 
   private def offeredBase: Long = lastOffered.getOrElse {
     val v =
-      if (java.nio.file.Files.exists(watermarkFile))
-        new String(java.nio.file.Files.readAllBytes(watermarkFile), "UTF-8").trim.toLong
-      else 0L
+      if (checkpointFm.exists(watermarkPath)) {
+        val in = checkpointFm.open(watermarkPath)
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+        finally in.close()
+      } else 0L
     lastOffered = Some(v)
     v
   }
@@ -94,12 +111,13 @@ final class CdcSource(sqlContext: SQLContext, metadataPath: String,
     if (seq > offeredBase) {
       lastOffered = Some(seq)
       if (maxCommitsPerBatch.isDefined) { // durable only where it matters
-        java.nio.file.Files.createDirectories(watermarkFile.getParent)
-        val tmp = watermarkFile.resolveSibling(s".offered.tmp${System.nanoTime()}")
-        java.nio.file.Files.write(tmp, seq.toString.getBytes("UTF-8"))
-        java.nio.file.Files.move(tmp, watermarkFile,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // the engine creates the source-private slot lazily — it may
+        // not exist yet at the first batch (mkdirs is idempotent)
+        checkpointFm.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+        val out = checkpointFm.createAtomic(watermarkPath,
+          overwriteIfPossible = true)
+        try { out.write(seq.toString.getBytes("UTF-8")); out.close() }
+        catch { case t: Throwable => out.cancel(); throw t }
       }
     }
 

@@ -388,7 +388,21 @@ object ChangesStream {
             s.foreach { r => minC ++= r.min_cands; maxC ++= r.max_cands }
             var minF = s.map(_.min_fence).getOrElse(Long.MaxValue)
             var maxF = s.map(_.max_fence).getOrElse(Long.MinValue)
+            // Net deltas per time BEFORE applying (ADVICE r11):
+            // changes() nets per (key, time) per window, but the
+            // cogroup iterator order is unspecified — if a window ever
+            // carried both a delete and a re-insert of the same time,
+            // delete-applied-after-insert would drop a live time from
+            // the synopsis. Netting makes the fold order-insensitive
+            // and the require pins the one-net-delta invariant the
+            // fold's correctness rests on.
+            val net = scala.collection.mutable.LongMap.empty[Int]
             dIt.foreach { case (_, _, t, sign) =>
+              net(t) = net.getOrElse(t, 0) + sign
+            }
+            net.foreach { case (t, sign) =>
+              require(sign >= -1 && sign <= 1,
+                s"duplicate same-direction delta for ($n,$l) at t=$t: net $sign")
               cnt += sign
               if (sign > 0) {
                 if (t < minF) {
@@ -399,10 +413,10 @@ object ChangesStream {
                   maxC += t
                   if (maxC.size > kk) { val m = maxC.head; maxC -= m; maxF = m }
                 }
-              } else {
+              } else if (sign < 0) {
                 if (t < minF) minC -= t
                 if (t > maxF) maxC -= t
-              }
+              } // net 0 (delete + re-insert of a live time): no-op
             }
             require(cnt >= 0, s"negative live count for ($n,$l): $cnt")
             if (cnt == 0) Iterator.empty

@@ -169,6 +169,15 @@ class CdcSourceSpec extends SparkSuite {
     assert(counts2.forall(_ == 1L) && rows.asScala.toSet ==
       (3 until 5).map(i => ("cpu", Base + i * 1000L)).toSet,
       s"restart must serve exactly the two new commits: $counts2 ${rows.asScala}")
+    // r12 (ADVICE r11): the durable offered-watermark must land inside
+    // the REAL checkpoint — the engine hands metadataPath to the source
+    // as a URI string (file:/...), and the old java.nio resolution wrote
+    // a literal './file:...' directory under the CWD instead (lost on
+    // any restart with a different CWD; driver-local on hdfs/s3a).
+    assert(new java.io.File(s"$dir/ckpt/sources/0/graft-cdc-offered").isFile,
+      "offered watermark must live under the checkpoint's sources/0 dir")
+    assert(!new java.io.File("file:").exists,
+      "no CWD-relative 'file:' junk tree may be created by the source")
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
 

@@ -1193,6 +1193,21 @@ class JustextSpec extends SparkSuite {
     assert(out.length == 1 &&
       out(0).getString(1) == s"$para\n$para tail.")
   }
+
+  test("extractMainContent keeps every document: all-bad pages and zero-block pages yield empty main_text (ADVICE r11)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, s"<p>$para</p>"),                        // has main content
+      (2L, "<p>Follow us on <a href=t>x</a></p>"),  // all blocks bad
+      (3L, "<div>   </div>"),                       // zero blocks
+      (4L, null: String)                            // null html
+    ).toDF("doc_id", "html")
+    val out = TextAnalysis.extractMainContent(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L),
+      "absence of main content must not read as absence of the document")
+    assert(out(1L) == para && out(2L) == "" && out(3L) == "" && out(4L) == "")
+  }
 }
 
 class TextAnalysisSpec extends SparkSuite {

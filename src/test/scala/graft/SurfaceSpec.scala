@@ -476,6 +476,48 @@ class WarcSourceSpec extends SparkSuite {
     assert(caught > 30, s"corruption must fail the build (caught $caught/40)")
   }
 
+  test("BoundedInputStream.available: a member boundary within 26 bytes of a refill is not EOF (ADVICE r11)") {
+    // GZIPInputStream advances to the next concatenated member only if
+    // in.available() > 0 or the inflater holds > 26 leftover bytes. An
+    // underlying stream that reports available()==0 (DFS reads often
+    // do) with a refill boundary 1 byte past a member trailer used to
+    // end the range read early, silently dropping the remaining
+    // records of the split.
+    def gzMember(payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(payload); gz.close(); bos.toByteArray
+    }
+    val m1 = gzMember("first".getBytes("UTF-8"))
+    val m2 = gzMember("second-payload".getBytes("UTF-8"))
+    val all = m1 ++ m2
+    // doles out bytes up to `cut` first, then the rest; available()==0
+    final class Chunked(data: Array[Byte], cut: Int) extends java.io.InputStream {
+      private var pos = 0
+      override def read(): Int =
+        if (pos >= data.length) -1 else { val v = data(pos) & 0xff; pos += 1; v }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (pos >= data.length) return -1
+        val lim = if (pos < cut) cut else data.length
+        val n = math.min(len, lim - pos)
+        System.arraycopy(data, pos, b, off, n); pos += n; n
+      }
+      override def available(): Int = 0
+    }
+    // refill boundary exactly 1 byte into member 2: at member 1's
+    // trailer the inflater holds 1 leftover byte (<= 26) and the old
+    // available()==0 default read as end-of-stream
+    val bounded = new graft.ingest.WarcGzIndex.BoundedInputStream(
+      new Chunked(all, m1.length + 1), all.length)
+    val gz = new java.util.zip.GZIPInputStream(bounded)
+    val outB = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    var n = gz.read(tmp)
+    while (n >= 0) { outB.write(tmp, 0, n); n = gz.read(tmp) }
+    assert(new String(outB.toByteArray, "UTF-8") == "firstsecond-payload",
+      "both members must decode across the refill boundary")
+  }
+
   test("readFiles takes paths verbatim: commas, spaces, and glob metacharacters in names read correctly") {
     val dir = Files.createTempDirectory("warc_names").toString
     val names = Seq("seg,part-1.warc", "seg [2].warc", "seg {a,b}.warc",
