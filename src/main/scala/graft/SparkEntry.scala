@@ -75,9 +75,12 @@ object SparkEntry {
   private def storedTable(s: SparkSession, dir: String): Tsdb =
     tables.getOrElseUpdate(dir, {
       val path = java.nio.file.Files.createTempDirectory("graft_tbl").toString
-      val t = new graft.storage.TsdbTable(s, path,
-        graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
-          preAggregates = Seq(Seq("user"))))
+      val cfg = graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+        preAggregates = Seq(Seq("user")))
+      // self-describing: the DSv2 batch source (tsdb_dsv2_read) reads
+      // the table's config from .schema, never from the caller
+      graft.core.SchemaJson.write(path, cfg)
+      val t = new graft.storage.TsdbTable(s, path, cfg)
       t.append(Samples.fromEvents(s, dir).drop("valueStr"))
       t
     })
@@ -481,6 +484,51 @@ object SparkEntry {
     "tsdb_raw" -> ((s, dir) => {
       QueryEngine.raw(Samples.fromEvents(s, dir),
         SelectParams(name = "click", filter = "labels['user'] = '7'", from = F, to = T))
+    }),
+
+    // DSv2 batch source (r12): `spark.read.format("graft")` serves the
+    // same merged raw view as readRaw with name/time/labels_str pushdown
+    // and part_start partition pruning — the batch complement of the
+    // graft-cdc streaming source (reference read surface
+    // pquerier/querier.go:80-140). The filter columns all push into the
+    // scan (GraftSourceSpec pins the plan); the oracle is the tsdb_raw
+    // twin, so a hash match proves the source serves the identical view.
+    "tsdb_dsv2_read" -> ((s, dir) => {
+      val t = storedTable(s, dir)
+      s.read.format("graft").load(t.path)
+        .filter(col("name") === "click" && col("labels_str") === "user=7" &&
+          col("time").between(F, T))
+        .select(col("name"), col("labels_str"), col("time").as("t"),
+          col("value").as("v"), col("valueStr").as("vstr"))
+        .orderBy("name", "labels_str", "t")
+    }),
+
+    // DSv2 over a MOR table (r12): rewrites + tombstone deletes must be
+    // served MERGED by the source's shuffle-free k-way merge (sorted
+    // (series_id, time) runs per file; LWW by __seq; tombstone winners
+    // drop). Staged private table: rewrite click values in the first 5
+    // days (+100), tombstone-delete purchase days 10-15, then aggregate
+    // through format("graft") — the DuckDB twin applies the same two
+    // mutations to the events CTE, so a hash match proves the merge.
+    "tsdb_dsv2_mor" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_mor")
+      try {
+        val cfg = graft.storage.TsdbConfig(overrideOld = true)
+        graft.core.SchemaJson.write(s"$tmp/table", cfg) // MOR-ness is a table property
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table", cfg)
+        t.append(samples)
+        t.append(samples
+          .filter(col("name") === "click" && col("time").between(F, F + 5 * Day - 1))
+          .withColumn("value", col("value") + 100))
+        t.delete(F + 10 * Day, F + 15 * Day - 1, metrics = Seq("purchase"))
+        val out = s.read.format("graft").load(t.path)
+          .groupBy("name")
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+          .orderBy("name")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(tmp.toFile)
     }),
 
     // ------------------------------------------------------------------- S4
@@ -3412,6 +3460,26 @@ object SparkEntry {
          |FROM s
          |WHERE name = 'click' AND labels_str = 'user=7' AND tt BETWEEN $F AND $T
          |ORDER BY name, labels_str, t""".stripMargin,
+
+    "tsdb_dsv2_read" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT name, labels_str, tt AS t, v, CAST(NULL AS VARCHAR) AS vstr
+         |FROM s
+         |WHERE name = 'click' AND labels_str = 'user=7' AND tt BETWEEN $F AND $T
+         |ORDER BY name, labels_str, t""".stripMargin,
+
+    "tsdb_dsv2_mor" ->
+      s"""WITH s AS ($SamplesCte),
+         |m AS (
+         |  SELECT name,
+         |    CASE WHEN name = 'click' AND tt BETWEEN $F AND ${F + 5 * Day - 1}
+         |         THEN v + 100 ELSE v END AS v
+         |  FROM s
+         |  WHERE NOT (name = 'purchase'
+         |             AND tt BETWEEN ${F + 10 * Day} AND ${F + 15 * Day - 1})
+         |)
+         |SELECT name, count(*) AS cnt, round(sum(v), 4) AS sum_v
+         |FROM m GROUP BY name ORDER BY name""".stripMargin,
 
     "tsdb_names" ->
       "SELECT DISTINCT event_type AS name FROM events ORDER BY name",

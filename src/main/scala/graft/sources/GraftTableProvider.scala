@@ -1,0 +1,546 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.SchemaJson
+import graft.storage.{TsdbConfig, TsdbTable}
+
+/** DSv2 batch read for graft tsdb tables: `spark.read.format("graft")
+  * .load(tableDir)` (and `CREATE TABLE ... USING graft OPTIONS (path ...)`)
+  * serves the same merged raw view as [[TsdbTable.readRaw]] — the
+  * Spark-native complement of the programmatic querier surface (reference
+  * read API `pkg/pquerier/querier.go:80-140`) and the batch twin of the
+  * `graft-cdc` streaming source.
+  *
+  * Semantics mirror the production read path exactly:
+  *  - committed-batch visibility: the commit manifest is read ONCE at
+  *    scan planning (lenient, like [[TsdbTable.rawFiles]] current-view
+  *    reads) and frozen into the reader factory, so one scan holds one
+  *    consistent snapshot; uncommitted/crashed-mutation orphans drop at
+  *    the row level before any merge;
+  *  - non-MOR tables (overrideOld=false) are served file-parallel with
+  *    byte-range splits (the standard parquet split protocol) — reads
+  *    are window-free, as in [[TsdbTable.mergeOnRead]];
+  *  - MOR tables are served MERGED: every data file is written sorted by
+  *    (series_id, time), so last-write-wins collapses to a streaming
+  *    k-way merge over the files of one time partition — no shuffle, no
+  *    per-key state beyond the current key. Parallelism inside a
+  *    partition comes from series_id striping (`morStripes` option,
+  *    default = shardingBuckets): each stripe pushes its series range
+  *    into the parquet row-group stats filter, which the sorted layout
+  *    turns into near-exact row-group pruning. Tombstone winners drop;
+  *    superseded versions lose by `__seq` (NULL — legacy rows — loses to
+  *    any stamped version, as in production `desc` nulls-last).
+  *
+  * Pushdown (all EXACTLY enforced row-level in the readers, so accepted
+  * filters are fully consumed, not re-applied):
+  *  - `time`/`part_start`/`series_id` comparisons and `name`/`labels_str`
+  *    equality/IN prune at three levels: partition directories (time
+  *    bounds clamp `part_start` exactly like [[TsdbTable.readRaw]]),
+  *    parquet row-group stats, then rows;
+  *  - filters on LWW-key-stable columns only are accepted — a `value`
+  *    predicate applied below the merge could resurrect a superseded
+  *    version, so value/valueStr filters stay residual (Spark applies
+  *    them post-scan = post-merge);
+  *  - column pruning reaches the parquet page level (unrequested columns
+  *    are never decoded).
+  */
+final class GraftTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: util.Map[String, String]): String = {
+    val p = options.get("path")
+    if (p == null || p.isEmpty) {
+      val many = options.get("paths")
+      if (many != null)
+        throw new IllegalArgumentException(
+          "graft source reads exactly one table directory; got multiple paths")
+      throw new IllegalArgumentException(
+        "graft source requires a table directory: spark.read.format(\"graft\").load(dir) " +
+          "or OPTION path")
+    }
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TsdbTable.RawSchema
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    Array(Expressions.identity("part_start"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftBatchTable(pathOf(properties), new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] final class GraftBatchTable(
+    tablePath: String, options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`$tablePath`"
+  override def schema(): StructType = TsdbTable.RawSchema
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity("part_start"))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(o)
+    new GraftScanBuilder(tablePath, new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[sources] final class GraftScanBuilder(
+    tablePath: String, options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  /** Columns whose value is identical across every LWW version of a
+    * (series, time) key — the only ones safe to filter below the MOR
+    * merge. `value`/`valueStr` differ between versions and must stay
+    * residual. */
+  private val KeyStable = Set("name", "labels_str", "time", "series_id", "part_start")
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = TsdbTable.RawSchema
+
+  private def acceptable(f: Filter): Boolean = f match {
+    case EqualTo(c, _: Long) => KeyStable(c)
+    case EqualTo(c, _: String) => c == "name" || c == "labels_str"
+    case In(c, vs) => (c == "name" || c == "labels_str") && vs.forall(_.isInstanceOf[String])
+    case GreaterThan(c, _: Long) => KeyStable(c)
+    case GreaterThanOrEqual(c, _: Long) => KeyStable(c)
+    case LessThan(c, _: Long) => KeyStable(c)
+    case LessThanOrEqual(c, _: Long) => KeyStable(c)
+    case IsNotNull(c) => KeyStable(c)
+    case And(l, r) => acceptable(l) && acceptable(r)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, rest) = filters.partition(acceptable)
+    pushed = acc
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftScan(tablePath, options, pushed, required)
+}
+
+/** One file split of a non-MOR table (window-free read). */
+private[sources] final case class GraftFileSplit(
+    file: String, start: Long, length: Long, partStart: Long) extends InputPartition
+
+/** One series-range stripe over ALL files of one MOR time partition —
+  * the unit of the shuffle-free merge. */
+private[sources] final case class GraftMorStripe(
+    files: Seq[String], partStart: Long,
+    seriesLo: Long, seriesHi: Long) extends InputPartition
+
+private[sources] final class GraftScan(
+    tablePath: String, options: CaseInsensitiveStringMap,
+    pushed: Array[Filter], required: StructType)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  private val spark = SparkSession.active
+  private val config: TsdbConfig =
+    SchemaJson.readCached(tablePath).getOrElse(TsdbConfig())
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan path=$tablePath, mor=${config.overrideOld}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  // ---- planning ----------------------------------------------------------
+
+  /** (lo, hi) bounds a pushed comparison set implies for long column `c`
+    * (inclusive), or the full range. */
+  private def boundsFor(c: String): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(`c`, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v)
+      case GreaterThan(`c`, v: Long) => if (v < Long.MaxValue) lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual(`c`, v: Long) => lo = math.max(lo, v)
+      case LessThan(`c`, v: Long) => if (v > Long.MinValue) hi = math.min(hi, v - 1)
+      case LessThanOrEqual(`c`, v: Long) => hi = math.min(hi, v)
+      case And(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    pushed.foreach(walk)
+    (lo, hi)
+  }
+
+  /** Partition dirs surviving pruning: explicit `part_start` bounds AND
+    * the production time→partition clamp (`readRawImpl`: partitions with
+    * `part_start` in [floor(timeLo/interval)*interval, timeHi]). */
+  private def prunedPartitions(fs: FileSystem): Seq[(Long, Path)] = {
+    val base = new Path(s"$tablePath/raw")
+    if (!fs.exists(base)) return Nil
+    val (tLo, tHi) = boundsFor("time")
+    val (pLoF, pHiF) = boundsFor("part_start")
+    val pLoTime =
+      if (tLo == Long.MinValue) Long.MinValue
+      else math.floorDiv(tLo, config.partitionIntervalMs) * config.partitionIntervalMs
+    val lo = math.max(pLoF, pLoTime)
+    val hi = math.min(pHiF, tHi)
+    fs.listStatus(base).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part_start="))
+      .map(p => p.getName.stripPrefix("part_start=").toLong -> p)
+      .filter { case (s, _) => s >= lo && s <= hi }
+      .sortBy(_._1)
+  }
+
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[(String, Long)] =
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+      })
+      .map(st => (st.getPath.toString, st.getLen))
+
+  private lazy val planned: (Array[InputPartition], Long) = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = prunedPartitions(fs)
+    var bytes = 0L
+    val out = ArrayBuffer.empty[InputPartition]
+    if (config.overrideOld) {
+      val stripes = math.max(1,
+        Option(options.get("morstripes")).map(_.toInt)
+          .getOrElse(config.shardingBuckets))
+      // series_id is xxhash64 → uniform over the full signed-long range;
+      // equal-width stripes balance load without any key statistics
+      val width = java.math.BigInteger.valueOf(2).pow(64)
+        .divide(java.math.BigInteger.valueOf(stripes.toLong))
+      def bound(i: Int): Long =
+        java.math.BigInteger.valueOf(Long.MinValue)
+          .add(width.multiply(java.math.BigInteger.valueOf(i.toLong))).longValueExact()
+      parts.foreach { case (start, dir) =>
+        val files = dataFiles(fs, dir)
+        bytes += files.map(_._2).sum
+        if (files.nonEmpty)
+          (0 until stripes).foreach { i =>
+            val lo = if (i == 0) Long.MinValue else bound(i)
+            val hi = if (i == stripes - 1) Long.MaxValue else bound(i + 1) - 1
+            out += GraftMorStripe(files.map(_._1), start, lo, hi)
+          }
+      }
+    } else {
+      val splitBytes = math.max(1L << 20,
+        spark.sessionState.conf.filesMaxPartitionBytes)
+      parts.foreach { case (start, dir) =>
+        dataFiles(fs, dir).foreach { case (f, len) =>
+          bytes += len
+          var off = 0L
+          while (off < len) {
+            val l = math.min(splitBytes, len - off)
+            out += GraftFileSplit(f, off, l, start)
+            off += l
+          }
+        }
+      }
+    }
+    (out.toArray, bytes)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = planned._1
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(planned._2)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // committed-visibility snapshot, frozen at planning like rawFiles():
+    // lenient read (current-view availability); None = legacy
+    // manifest-less table = everything visible
+    val commits = new TsdbTable(spark, tablePath, config).commitsSnapshot()
+    new GraftReaderFactory(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
+      required.fieldNames.toSeq, pushed, commits, config.overrideOld)
+  }
+}
+
+private[sources] final class GraftReaderFactory(
+    conf: SerializableHadoopConf,
+    requested: Seq[String],
+    pushed: Array[Filter],
+    commits: Option[(Long, Set[Long])],
+    mor: Boolean) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case s: GraftFileSplit => new GraftFileReader(conf.value, s, requested, pushed, commits)
+    case m: GraftMorStripe => new GraftMorReader(conf.value, m, requested, pushed, commits)
+  }
+}
+
+/** Shared reader mechanics: internal column set, parquet predicates, exact
+  * row-level filter evaluation, visibility, InternalRow emission. */
+private[sources] object GraftReaders {
+
+  /** Row-level evaluation of an accepted pushed filter over reader slots.
+    * `part_start` is constant per input partition and pre-satisfied at
+    * planning, so it always passes here. */
+  def eval(f: Filter, get: String => Any, partStart: Long): Boolean = {
+    def v(c: String): Any = if (c == "part_start") partStart else get(c)
+    def cmpLong(c: String, op: Long => Boolean): Boolean = v(c) match {
+      case l: Long => op(l)
+      case null => false
+      case other => op(other.asInstanceOf[Number].longValue())
+    }
+    f match {
+      case EqualTo(c, x: Long) => cmpLong(c, _ == x)
+      case EqualTo(c, x: String) => v(c) match {
+        case s: UTF8String => s.toString == x
+        case _ => false
+      }
+      case In(c, xs) => v(c) match {
+        case s: UTF8String => xs.exists(_ == s.toString)
+        case l: Long => xs.exists(x => x.isInstanceOf[Long] && x.asInstanceOf[Long] == l)
+        case _ => false
+      }
+      case GreaterThan(c, x: Long) => cmpLong(c, _ > x)
+      case GreaterThanOrEqual(c, x: Long) => cmpLong(c, _ >= x)
+      case LessThan(c, x: Long) => cmpLong(c, _ < x)
+      case LessThanOrEqual(c, x: Long) => cmpLong(c, _ <= x)
+      case IsNotNull(c) => v(c) != null
+      case And(l, r) => eval(l, get, partStart) && eval(r, get, partStart)
+      case _ => true // never accepted; defensive
+    }
+  }
+
+  /** Parquet row-group predicate for the pushed filters restricted to
+    * columns in `present` (a predicate naming a column absent from the
+    * footer fails parquet validation). IN and part_start are handled
+    * row-/planning-level only. */
+  def parquetPredicate(pushed: Array[Filter], present: Set[String],
+                       extraSeries: Option[(Long, Long)]): Option[FilterPredicate] = {
+    def conv(f: Filter): Option[FilterPredicate] = f match {
+      case EqualTo(c, x: Long) if present(c) && c != "part_start" =>
+        Some(FilterApi.eq(FilterApi.longColumn(c), java.lang.Long.valueOf(x)))
+      case EqualTo(c, x: String) if present(c) =>
+        Some(FilterApi.eq(FilterApi.binaryColumn(c), Binary.fromString(x)))
+      case GreaterThan(c, x: Long) if present(c) && c != "part_start" =>
+        Some(FilterApi.gt(FilterApi.longColumn(c), java.lang.Long.valueOf(x)))
+      case GreaterThanOrEqual(c, x: Long) if present(c) && c != "part_start" =>
+        Some(FilterApi.gtEq(FilterApi.longColumn(c), java.lang.Long.valueOf(x)))
+      case LessThan(c, x: Long) if present(c) && c != "part_start" =>
+        Some(FilterApi.lt(FilterApi.longColumn(c), java.lang.Long.valueOf(x)))
+      case LessThanOrEqual(c, x: Long) if present(c) && c != "part_start" =>
+        Some(FilterApi.ltEq(FilterApi.longColumn(c), java.lang.Long.valueOf(x)))
+      case And(l, r) => (conv(l), conv(r)) match {
+        case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      case _ => None
+    }
+    val parts = pushed.flatMap(conv) ++ extraSeries.toSeq.flatMap { case (lo, hi) =>
+      if (!present("series_id")) Nil
+      else Seq(
+        FilterApi.gtEq(FilterApi.longColumn("series_id"), java.lang.Long.valueOf(lo)),
+        FilterApi.ltEq(FilterApi.longColumn("series_id"), java.lang.Long.valueOf(hi)))
+    }
+    parts.reduceOption(FilterApi.and)
+  }
+
+  /** visibility: NULL `__seq` (legacy rows) and committed seqs pass —
+    * `TsdbTable.visibleSeqCond` exactly. */
+  def visible(seq: Any, commits: Option[(Long, Set[Long])]): Boolean = commits match {
+    case None => true
+    case Some((floor, seqs)) => seq match {
+      case null => true
+      case s: Long => s <= floor || seqs(s)
+      case s => val l = s.asInstanceOf[Number].longValue(); l <= floor || seqs(l)
+    }
+  }
+
+  def toRow(cols: Array[Any]): InternalRow = new GenericInternalRow(cols)
+}
+
+/** Window-free read of one byte-range split of one non-MOR file. */
+private[sources] final class GraftFileReader(
+    conf: org.apache.hadoop.conf.Configuration,
+    split: GraftFileSplit,
+    requested: Seq[String],
+    pushed: Array[Filter],
+    commits: Option[(Long, Set[Long])]) extends PartitionReader[InternalRow] {
+
+  private val filterCols =
+    pushed.flatMap(_.references).toSet.filter(_ != "part_start")
+  private val needSeq = commits.nonEmpty
+  // internal slot layout: requested columns first, then extras the
+  // reader itself needs (filter columns, __seq) not already requested
+  private val extras =
+    (filterCols ++ (if (needSeq) Set("__seq") else Set.empty) -- requested.toSet)
+      .toSeq.sorted
+  private val cols = requested.filterNot(_ == "part_start") ++ extras
+  private val idx: Map[String, Int] = cols.zipWithIndex.toMap
+  private val seqIdx = idx.getOrElse("__seq", -1)
+
+  private val reader = {
+    val present = GraftParquetReader.footerColumns(conf, split.file)
+    new GraftParquetReader(conf, split.file, cols,
+      GraftReaders.parquetPredicate(pushed, present, None),
+      Some((split.start, split.start + split.length)))
+  }
+
+  private var current: Array[Any] = _
+
+  override def next(): Boolean = {
+    while (reader.hasNext) {
+      val row = reader.next()
+      def get(c: String): Any = idx.get(c).map(row(_)).orNull
+      val vis = seqIdx < 0 || GraftReaders.visible(row(seqIdx), commits)
+      if (vis && pushed.forall(GraftReaders.eval(_, get, split.partStart))) {
+        current = emit(row)
+        return true
+      }
+    }
+    false
+  }
+
+  private def emit(row: Array[Any]): Array[Any] = {
+    val out = new Array[Any](requested.length)
+    var i = 0
+    requested.foreach { c =>
+      out(i) = if (c == "part_start") split.partStart else row(idx(c))
+      i += 1
+    }
+    out
+  }
+
+  override def get(): InternalRow = GraftReaders.toRow(current)
+  override def close(): Unit = reader.close()
+}
+
+/** Merged (last-write-wins) read of one series stripe of one MOR time
+  * partition: a streaming k-way merge over the partition's files, all of
+  * which are written sorted by (series_id, time) — append
+  * (`TsdbTable.append` sortWithinPartitions), compaction and tombstone
+  * deletes alike. Memory is O(files-in-partition); no shuffle. A file
+  * violating the sort contract fails loudly rather than merging wrong. */
+private[sources] final class GraftMorReader(
+    conf: org.apache.hadoop.conf.Configuration,
+    stripe: GraftMorStripe,
+    requested: Seq[String],
+    pushed: Array[Filter],
+    commits: Option[(Long, Set[Long])]) extends PartitionReader[InternalRow] {
+
+  private val filterCols =
+    pushed.flatMap(_.references).toSet.filter(_ != "part_start")
+  private val extras =
+    (filterCols ++ Set("series_id", "time", "__seq", "__del") -- requested.toSet)
+      .toSeq.sorted
+  private val cols = requested.filterNot(_ == "part_start") ++ extras
+  private val idx: Map[String, Int] = cols.zipWithIndex.toMap
+  private val sIdx = idx("series_id")
+  private val tIdx = idx("time")
+  private val seqIdx = idx("__seq")
+  private val delIdx = idx("__del")
+
+  /** Per-file cursor holding the next VISIBLE, filter-passing row. */
+  private final class Cursor(file: String) {
+    private val present = GraftParquetReader.footerColumns(conf, file)
+    private val r = new GraftParquetReader(conf, file, cols,
+      GraftReaders.parquetPredicate(pushed, present,
+        Some((stripe.seriesLo, stripe.seriesHi))))
+    var head: Array[Any] = _
+    private var lastS = Long.MinValue
+    private var lastT = Long.MinValue
+    advance()
+    def advance(): Unit = {
+      head = null
+      while (head == null && r.hasNext) {
+        val row = r.next()
+        val s = row(sIdx).asInstanceOf[Long]
+        val t = row(tIdx).asInstanceOf[Long]
+        if (s < lastS || (s == lastS && t < lastT))
+          throw new IllegalStateException(
+            s"$file is not sorted by (series_id, time) — MOR merge would be wrong")
+        lastS = s; lastT = t
+        def get(c: String): Any = idx.get(c).map(row(_)).orNull
+        if (s >= stripe.seriesLo && s <= stripe.seriesHi &&
+            GraftReaders.visible(row(seqIdx), commits) &&
+            pushed.forall(GraftReaders.eval(_, get, stripe.partStart)))
+          head = row
+      }
+    }
+    def close(): Unit = r.close()
+  }
+
+  private val cursors: Array[Cursor] = stripe.files.map(new Cursor(_)).toArray
+  private var current: Array[Any] = _
+
+  override def next(): Boolean = {
+    while (true) {
+      // min (series_id, time) among cursor heads
+      var ms = Long.MaxValue; var mt = Long.MaxValue; var any = false
+      cursors.foreach { c =>
+        if (c.head != null) {
+          val s = c.head(sIdx).asInstanceOf[Long]
+          val t = c.head(tIdx).asInstanceOf[Long]
+          if (!any || s < ms || (s == ms && t < mt)) { ms = s; mt = t }
+          any = true
+        }
+      }
+      if (!any) return false
+      // collect every version of the key; LWW winner = max __seq
+      // (NULL = legacy = MinValue, losing to any stamped version)
+      var winner: Array[Any] = null
+      var winSeq = Long.MinValue
+      var first = true
+      cursors.foreach { c =>
+        while (c.head != null &&
+               c.head(sIdx).asInstanceOf[Long] == ms &&
+               c.head(tIdx).asInstanceOf[Long] == mt) {
+          val sq = c.head(seqIdx) match {
+            case null => Long.MinValue
+            case l: Long => l
+          }
+          if (first || sq >= winSeq) { winner = c.head; winSeq = sq; first = false }
+          c.advance()
+        }
+      }
+      val del = winner(delIdx) match {
+        case b: Boolean => b
+        case _ => false
+      }
+      if (!del) {
+        val out = new Array[Any](requested.length)
+        var i = 0
+        requested.foreach { c =>
+          out(i) = if (c == "part_start") stripe.partStart else winner(idx(c))
+          i += 1
+        }
+        current = out
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = GraftReaders.toRow(current)
+  override def close(): Unit = cursors.foreach(_.close())
+}

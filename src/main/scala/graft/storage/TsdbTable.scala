@@ -108,7 +108,7 @@ object TsdbTable {
     StructField("part_start", LongType)))
 }
 
-class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = TsdbConfig()) {
+class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = TsdbConfig()) {
 
   private val rawPath = s"$path/raw"
   private val rollupPath = s"$path/rollup"
@@ -376,6 +376,13 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
   private def readCommits(strict: Boolean = false): Option[Commits] =
     readCommitsAt(strict).commits
 
+  /** Committed-visibility snapshot for external readers (the DSv2 batch
+    * source): `(floor, explicit committed seqs)`, or None on a
+    * manifest-less legacy table (everything visible). Lenient like every
+    * current-view read. */
+  private[graft] def commitsSnapshot(): Option[(Long, Set[Long])] =
+    readCommits(strict = false).map(c => (c.floor, c.seqs))
+
   /** Publish the manifest as the NEXT commit-log version — one atomic
     * create-if-absent ([[CommitLog.tryPublish]]).
     *
@@ -634,7 +641,17 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
         // while keeping any one (series, time) run inside one task
         .repartition(col("part_start"),
           pmod(col("series_id"), lit(config.shardingBuckets.toLong)))
-        .sortWithinPartitions("series_id", "time")
+        // part_start FIRST: the dynamic-partition writer requires rows
+        // ordered by the partition column and inserts its own (unstable)
+        // sort when the child ordering doesn't already satisfy it —
+        // which silently destroyed the (series_id, time) run inside each
+        // file (caught by the DSv2 MOR merge reader's sortedness guard).
+        // With the partition column as sort prefix the writer's
+        // requirement is satisfied, no re-sort happens, and every file
+        // really is one sorted (series_id, time) run — the property the
+        // row-group-skipping docs claim and the shuffle-free MOR merge
+        // relies on.
+        .sortWithinPartitions("part_start", "series_id", "time")
         .write.mode(SaveMode.Append).partitionBy("part_start").parquet(rawPath)
 
       // the batch becomes reader-visible HERE, atomically: before this
@@ -1678,7 +1695,12 @@ class TsdbTable(spark: SparkSession, path: String, val config: TsdbConfig = Tsdb
               .withColumn("__del", lit(true))
             val matched = tomb.count()
             if (matched > 0) {
-              stageIntoDir(tomb, dir, ".del_stage")
+              // sorted like every other raw write: (series_id, time) order
+              // per file is the MOR-merge contract (the DSv2 source's
+              // shuffle-free k-way merge relies on it) and buys row-group
+              // stats skipping on series predicates
+              stageIntoDir(tomb.sortWithinPartitions("series_id", "time"),
+                dir, ".del_stage")
               wroteTombstones = true
               // an emptied partition's rollup must not outlive its data —
               // dynamic overwrite can't clear a partition it writes no

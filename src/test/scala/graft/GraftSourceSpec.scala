@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.storage.{TsdbConfig, TsdbTable}
+
+/** `spark.read.format("graft")` — the DSv2 batch source (r12): the read
+  * view must be row-identical to the programmatic [[TsdbTable.readRaw]]
+  * on append-only, legacy, and MOR (rewrites + tombstones) tables; the
+  * plan must show the pushed filters and prune both partitions and
+  * columns. */
+class GraftSourceSpec extends SparkSuite {
+  import java.nio.file.Files
+
+  private val Base = 1704067200000L // 2024-01-01
+  private val Day = 86400000L
+
+  private def samples(rows: (String, String, Long, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("name", "host", "time", "value")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"),
+        col("time"), col("value"))
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.select("name", "labels_str", "time", "value", "valueStr",
+        "series_id", "part_start")
+      .collect().map(_.toString).sorted.toSeq
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan — not served by the DSv2 source"))
+
+  test("append-only table: DSv2 read == readRaw, and USING graft SQL works") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    t.append(samples(
+      ("cpu", "a", Base, 1.0), ("cpu", "b", Base + 1000, 2.0),
+      ("mem", "a", Base + Day, 3.0), ("cpu", "a", Base + 2 * Day, 4.0)))
+    t.append(samples(("cpu", "c", Base + 2 * Day + 5, 5.0)))
+
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+    assert(sortedRows(ds) == sortedRows(t.readRaw(0L, Long.MaxValue)))
+
+    // SQL surface: CREATE TABLE ... USING graft
+    spark.sql(s"CREATE TABLE graft_dsv2_t USING graft OPTIONS (path '$dir/tbl')")
+    try {
+      val viaSql = spark.sql(
+        "SELECT name, labels_str, time, value, valueStr, series_id, part_start " +
+          "FROM graft_dsv2_t")
+      assert(sortedRows(viaSql) == sortedRows(t.readRaw(0L, Long.MaxValue)))
+    } finally spark.sql("DROP TABLE graft_dsv2_t")
+  }
+
+  test("filters push down, prune partitions, and stay exact") {
+    val dir = Files.createTempDirectory("graft_dsv2_push").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    t.append(samples((0 until 40).map(i =>
+      (if (i % 2 == 0) "cpu" else "mem", s"h${i % 4}",
+        Base + i * (Day / 4), i.toDouble)): _*))
+
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+      .filter(col("name") === "cpu" &&
+        col("time").between(Base + 2 * Day, Base + 6 * Day))
+    val scan = scanOf(ds)
+    val desc = scan.scan.description()
+    assert(desc.contains("PushedFilters") && desc.contains("name") &&
+      desc.contains("time"), s"pushed filters missing from scan: $desc")
+    // partition pruning: only the part_start dirs intersecting the time
+    // range are planned
+    val planned = scan.scan.toBatch.planInputPartitions().length
+    val unpruned = scanOf(spark.read.format("graft").load(s"$dir/tbl"))
+      .scan.toBatch.planInputPartitions().length
+    assert(planned < unpruned, s"expected pruning: planned=$planned all=$unpruned")
+
+    // readRaw prunes PARTITIONS only; the DSv2 filter is exact row-level
+    val expected = t.readRaw(Base + 2 * Day, Base + 6 * Day)
+      .filter(col("name") === "cpu" &&
+        col("time").between(Base + 2 * Day, Base + 6 * Day))
+    assert(sortedRows(ds) == sortedRows(expected))
+
+    // column pruning reaches the scan schema
+    val narrow = spark.read.format("graft").load(s"$dir/tbl").select("name", "time")
+    assert(scanOf(narrow).scan.readSchema().fieldNames.toSet == Set("name", "time"))
+    assert(narrow.distinct().count() > 0)
+  }
+
+  test("MOR table: rewrites + tombstones served MERGED, identical to readRaw") {
+    val dir = Files.createTempDirectory("graft_dsv2_mor").toString
+    val cfg = TsdbConfig(overrideOld = true)
+    // MOR-ness is a TABLE property the source must not guess — declared
+    // by the .schema file, exactly like the graft-cdc streaming source
+    graft.core.SchemaJson.write(s"$dir/tbl", cfg)
+    val t = new TsdbTable(spark, s"$dir/tbl", cfg)
+    t.append(samples(
+      ("cpu", "a", Base, 1.0), ("cpu", "a", Base + 1000, 2.0),
+      ("cpu", "b", Base, 3.0), ("mem", "a", Base + Day, 4.0),
+      ("mem", "b", Base + Day + 500, 5.0)))
+    // rewrite two keys (LWW must serve the NEW values)
+    t.append(samples(("cpu", "a", Base, 10.0), ("mem", "a", Base + Day, 40.0)))
+    // tombstone-delete one key (MOR delete path)
+    t.delete(Base, Base, metrics = Seq("cpu"), filter = "labels['host'] = 'b'")
+
+    val expect = sortedRows(t.readRaw(0L, Long.MaxValue))
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+    assert(sortedRows(ds) == expect)
+    // values prove the merge: cpu/a@Base must be 10.0, cpu/b@Base gone
+    val vals = ds.filter(col("time") === Base).select("labels_str", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(vals == Map("host=a" -> 10.0))
+
+    // stripes compose: more stripes, same rows
+    val striped = spark.read.format("graft").option("morStripes", "7")
+      .load(s"$dir/tbl")
+    assert(sortedRows(striped) == expect)
+
+    // a value filter must NOT be pushed below the merge (it would
+    // resurrect the superseded cpu/a version) — Spark applies it residual
+    val low = spark.read.format("graft").load(s"$dir/tbl")
+      .filter(col("value") < 5.0)
+    val pushedPart = scanOf(low).scan.description()
+      .split("PushedFilters: ")(1).split("], ")(0)
+    assert(!pushedPart.contains("value"),
+      s"value filter must stay residual on a MOR table, got $pushedPart")
+    assert(low.filter(col("labels_str") === "host=a" && col("time") === Base).count() == 0)
+  }
+
+  test("uncommitted (crashed-mutation) files stay invisible") {
+    val dir = Files.createTempDirectory("graft_dsv2_vis").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    t.append(samples(("cpu", "a", Base, 1.0)))
+    // plant an orphan: a raw file stamped with a seq the manifest never
+    // committed (what a crash mid-append leaves behind)
+    val orphan = t.readRaw(0L, Long.MaxValue)
+      .withColumn("time", col("time") + 1)
+      .withColumn("value", lit(99.0))
+      .withColumn("__seq", lit(Long.MaxValue / 2))
+      .drop("part_start")
+    orphan.write.mode("append").parquet(s"$dir/tbl/raw/part_start=$Base")
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+    assert(ds.count() == 1 && ds.select("value").head().getDouble(0) == 1.0)
+    assert(sortedRows(ds) == sortedRows(t.readRaw(0L, Long.MaxValue)))
+  }
+
+  test("legacy manifest-less parquet-only table reads fully visible") {
+    val dir = Files.createTempDirectory("graft_dsv2_legacy").toString
+    // raw files without __seq/__del and no commit manifest at all
+    val t = new TsdbTable(spark, s"$dir/stage")
+    t.append(samples(("cpu", "a", Base, 1.0), ("mem", "b", Base + Day, 2.0)))
+    val legacy = s"$dir/tbl"
+    t.readRaw(0L, Long.MaxValue).withColumn("part_start",
+        (floor(col("time") / Day) * Day).cast("long"))
+      .write.partitionBy("part_start").parquet(s"$legacy/raw")
+    val ds = spark.read.format("graft").load(legacy)
+    assert(ds.count() == 2)
+    assert(ds.select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("cpu", "mem"))
+  }
+
+  test("empty and missing tables serve an empty frame with the raw schema") {
+    val dir = Files.createTempDirectory("graft_dsv2_empty").toString
+    val ds = spark.read.format("graft").load(s"$dir/nope")
+    assert(ds.schema == TsdbTable.RawSchema)
+    assert(ds.count() == 0)
+  }
+}
