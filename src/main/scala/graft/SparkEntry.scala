@@ -313,6 +313,32 @@ object SparkEntry {
     }
   }
 
+  /** Encrypted-PDF fixture corpus (r12): every document genuinely
+    * encrypted by the standard security handler with an EMPTY user
+    * password (owner restrictions only — the class every viewer opens
+    * credential-free): AES-128 `/V 4 /R 4 /AESV2` on even ids, RC4-128
+    * `/V 2 /R 3` on odd. The `id%11==0` lane carries a REAL user
+    * password and must stay quarantined. Page texts are the same closed
+    * form as [[pdfFixtureBlobs]], so the extraction twin is exact. */
+  private def pdfEncryptedBlobs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.ops.Pdf
+    stagedBlobs(s, dir, "pdf_enc_v1") {
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val blob = Pdf.pdfBytesEncrypted(pdfFixturePages(id),
+            aes = id % 2 == 0,
+            userPwd = if (id % 11 == 0) "secret" else "")
+          Row(id, blob)
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
+    }
+  }
+
   /** Closed-form page texts: `1 + id%3` pages, page p has
     * `1 + (id+p)%3` lines `doc <id> (page <p>) line <k>` — parens
     * exercise literal-string escaping on every document. */
@@ -3076,6 +3102,23 @@ object SparkEntry {
     // documented text-op rules end to end.
     "corpus_pdf_text" -> ((s, dir) =>
       graft.ops.Pdf.pdfText(pdfFixtureBlobs(s, dir))
+        .select(col("doc_id"), col("ok"),
+          col("n_pages").cast("long").as("n_pages"),
+          col("page").cast("long").as("page"),
+          col("text"), col("flagged"), col("reason"))
+        .orderBy("doc_id", "page")),
+
+    // PDF standard security handler (r12): the crawl-realistic
+    // owner-restrictions-only class — RC4-128 (/V 2 /R 3) and AES-128
+    // (/V 4 /R 4 /AESV2) documents with an EMPTY user password decrypt
+    // transparently and extract (ISO 32000-1 §7.6.3 Algorithms 1/2/5/6 +
+    // the AESV2 crypt filter, zero-dep via JDK MD5 + javax.crypto);
+    // genuinely password-protected documents stay quarantined. The twin
+    // replays the closed-form page texts for the decryptable lanes and
+    // the flag lane, so the hash pins key derivation + per-object keys +
+    // both ciphers end to end.
+    "corpus_pdf_encrypted" -> ((s, dir) =>
+      graft.ops.Pdf.pdfText(pdfEncryptedBlobs(s, dir))
         .select(col("doc_id"), col("ok"),
           col("n_pages").cast("long").as("n_pages"),
           col("page").cast("long").as("page"),
@@ -5862,6 +5905,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, false, CAST(0 AS BIGINT), NULL, NULL, false, 'not-pdf'
         |FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 = 0
+        |ORDER BY doc_id, page""".stripMargin,
+
+    // decryptable lanes replay the closed-form page texts; the
+    // password-protected lane keeps its quarantine row
+    "corpus_pdf_encrypted" ->
+      """WITH ok_ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 11 <> 0),
+        |pg AS (
+        |  SELECT o.doc_id, CAST(t.p AS BIGINT) AS page,
+        |    1 + CAST(o.doc_id % 3 AS BIGINT) AS n_pages
+        |  FROM ok_ids o, generate_series(1, 3) t(p)
+        |  WHERE t.p <= 1 + o.doc_id % 3),
+        |ln AS (
+        |  SELECT pg.doc_id, pg.page, pg.n_pages, t.k,
+        |    'doc ' || pg.doc_id || ' (page ' || pg.page || ') line ' || t.k AS line
+        |  FROM pg, generate_series(1, 3) t(k)
+        |  WHERE t.k <= 1 + (pg.doc_id + pg.page) % 3),
+        |tx AS (
+        |  SELECT doc_id, page, n_pages,
+        |    string_agg(line, chr(10) ORDER BY k) AS text
+        |  FROM ln GROUP BY doc_id, page, n_pages)
+        |SELECT doc_id, true AS ok, n_pages, page, text,
+        |  false AS flagged, CAST(NULL AS VARCHAR) AS reason FROM tx
+        |UNION ALL
+        |SELECT doc_id, false, CAST(0 AS BIGINT), NULL, NULL, true, 'encrypted'
+        |FROM documents WHERE doc_id % 11 = 0
         |ORDER BY doc_id, page""".stripMargin,
 
     // the CMap-mapped text is the closed form itself

@@ -605,6 +605,230 @@ object Pdf {
     out
   }
 
+  // ----------------------------------------------- encryption (§7.6)
+
+  /** Standard security handler password pad (ISO 32000-1 §7.6.3.3,
+    * the 32-byte string every password-derivation algorithm appends). */
+  private val PdfPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def padPassword(pwd: Array[Byte]): Array[Byte] =
+    (pwd.take(32) ++ PdfPad).take(32)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 stream cipher (§7.6.2 "RC4" — the algorithm is public and
+    * trivially small; both encrypt and decrypt are this one function). */
+  private def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xFF)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xFF
+      y = (y + s(x)) & 0xFF
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xFF)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** AES-128-CBC with the PDF layout: IV = first 16 bytes, PKCS#7 pad
+    * (§7.6.2 AESV2). JDK `javax.crypto` carries the primitive. */
+  private def aesCbcDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.length < 16 || (data.length - 16) % 16 != 0)
+      fail("bad AES stream length")
+    if (data.length == 16) return Array.empty[Byte]
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+    val plain = c.doFinal(data, 16, data.length - 16)
+    val pad = plain(plain.length - 1) & 0xFF
+    if (pad < 1 || pad > 16 || pad > plain.length) fail("bad AES padding")
+    java.util.Arrays.copyOf(plain, plain.length - pad)
+  }
+
+  private def aesCbcEncrypt(key: Array[Byte], iv: Array[Byte],
+                            data: Array[Byte]): Array[Byte] = {
+    val pad = 16 - (data.length % 16)
+    val padded = data ++ Array.fill(pad)(pad.toByte)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(padded)
+  }
+
+  /** Algorithm 2 (§7.6.3.3): the file encryption key from a (padded)
+    * password, /O, /P, the first /ID element and, for R4 with
+    * unencrypted metadata, 4×FF. */
+  private def baseKey(pwd: Array[Byte], o: Array[Byte], p: Int,
+                      id0: Array[Byte], r: Int, keyLen: Int,
+                      encryptMetadata: Boolean): Array[Byte] = {
+    val pLe = Array[Byte]((p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
+      ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte)
+    val extra =
+      if (r >= 4 && !encryptMetadata) Array.fill(4)(0xFF.toByte)
+      else Array.empty[Byte]
+    var h = md5(padPassword(pwd), o, pLe, id0, extra)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h.take(keyLen)); i += 1 }
+    }
+    h.take(keyLen)
+  }
+
+  /** Algorithm 3 (§7.6.3.4): the /O value from owner+user passwords. */
+  private def computeO(ownerPwd: Array[Byte], userPwd: Array[Byte],
+                       r: Int, keyLen: Int): Array[Byte] = {
+    var h = md5(padPassword(ownerPwd))
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h.take(keyLen)); i += 1 }
+    }
+    val k = h.take(keyLen)
+    var o = rc4(k, padPassword(userPwd))
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) {
+        o = rc4(k.map(b => (b ^ i).toByte), o)
+        i += 1
+      }
+    }
+    o
+  }
+
+  /** Algorithms 4/5 (§7.6.3.4): the /U value for a given file key. */
+  private def computeU(key: Array[Byte], r: Int, id0: Array[Byte]): Array[Byte] =
+    if (r == 2) rc4(key, PdfPad)
+    else {
+      var u = rc4(key, md5(PdfPad, id0))
+      var i = 1
+      while (i <= 19) {
+        u = rc4(key.map(b => (b ^ i).toByte), u)
+        i += 1
+      }
+      u ++ Array.fill(16)(0.toByte) // arbitrary 16-byte tail per spec
+    }
+
+  /** Algorithm 1 (§7.6.2): the per-object key — MD5 of the file key,
+    * the low object/generation bytes, and (AESV2) the `sAlT` suffix. */
+  private def objectKey(base: Array[Byte], num: Int, gen: Int,
+                        aes: Boolean): Array[Byte] = {
+    val ext = Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+      ((num >> 16) & 0xFF).toByte, (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte)
+    val salt =
+      if (aes) Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte)
+      else Array.empty[Byte]
+    md5(base, ext, salt).take(math.min(base.length + 5, 16))
+  }
+
+  /** Standard security handler (§7.6.3), /V 1–4 /R 2–4, EMPTY USER
+    * PASSWORD only — the owner-restrictions-only documents every viewer
+    * opens without credentials (a large share of real crawl PDFs).
+    * Construction FAILS with [[PdfError]] on anything else — a
+    * non-Standard handler, V5/R5–6 (AES-256), a custom crypt filter, or
+    * a real (non-empty) user password — and the callers keep flagging
+    * `encrypted`, preserving the quarantine stance. Only STREAMS are
+    * decrypted: the text extractor consumes no document-level strings
+    * (page text lives inside content streams, which decrypt whole;
+    * strings inside object streams are never separately encrypted,
+    * §7.5.7). */
+  private final class StdDecryptor(enc: PDict, id0: Array[Byte],
+                                   res: Obj => Obj) {
+    private def num(k: String, dflt: Int): Int =
+      res(enc.get(k).getOrElse(PNull)) match {
+        case PNum(n) => n.toLong.toInt
+        case PNull => dflt
+        case _ => fail(s"bad /Encrypt /$k")
+      }
+    private def str32(k: String): Array[Byte] =
+      res(enc.get(k).getOrElse(PNull)) match {
+        case PStr(b) if b.length >= 32 => b.take(32)
+        case _ => fail(s"bad /Encrypt /$k")
+      }
+    res(enc.get("Filter").getOrElse(PNull)) match {
+      case PName("Standard") => ()
+      case _ => fail("unsupported security handler")
+    }
+    private val v = num("V", 0)
+    private val r = num("R", 2)
+    if (v < 1 || v > 4 || r < 2 || r > 4)
+      fail(s"unsupported encryption V=$v R=$r")
+    /** (aes, identity): V4 routes streams through a named crypt filter —
+      * /StmF Identity means "not encrypted at this layer". */
+    private val (aes, identity) =
+      if (v < 4) (false, false)
+      else {
+        val stmF = res(enc.get("StmF").getOrElse(PNull)) match {
+          case PName(n) => n
+          case PNull => "Identity"
+          case _ => fail("bad /StmF")
+        }
+        if (stmF == "Identity") (false, true)
+        else {
+          val cfm = res(enc.get("CF").getOrElse(PNull)) match {
+            case cf: PDict => res(cf.get(stmF).getOrElse(PNull)) match {
+              case d: PDict => res(d.get("CFM").getOrElse(PNull)) match {
+                case PName(m) => m
+                case _ => fail("bad /CFM")
+              }
+              case _ => fail(s"crypt filter /$stmF missing")
+            }
+            case _ => fail("bad /CF")
+          }
+          cfm match {
+            case "AESV2" => (true, false)
+            case "V2" => (false, false)
+            case other => fail(s"unsupported crypt filter $other")
+          }
+        }
+      }
+    private val keyLen = {
+      val bits = num("Length", 40)
+      val n = if (r == 2) 5 else bits / 8
+      if (n < 5 || n > 16) fail(s"bad key length $bits")
+      n
+    }
+    private val oVal = str32("O")
+    private val uVal = str32("U")
+    private val p = num("P", -1)
+    private val encryptMetadata =
+      res(enc.get("EncryptMetadata").getOrElse(PNull)) match {
+        case PBool(b) => b
+        case _ => true
+      }
+    private val key =
+      baseKey(Array.empty, oVal, p, id0, r, keyLen, encryptMetadata)
+    // Algorithm 6: verify the EMPTY user password — anything else is a
+    // genuinely password-protected document and must keep flagging
+    private val uOk =
+      if (r == 2) java.util.Arrays.equals(computeU(key, r, id0), uVal)
+      else computeU(key, r, id0).take(16).sameElements(uVal.take(16))
+    if (!uOk) fail("user password required")
+
+    def decrypt(data: Array[Byte], objNum: Int, gen: Int): Array[Byte] =
+      if (identity) data
+      else if (aes) aesCbcDecrypt(objectKey(key, objNum, gen, aes = true), data)
+      else rc4(objectKey(key, objNum, gen, aes = false), data)
+  }
+
   // --------------------------------------------------------- document
 
   /** One loaded document: xref map + trailer + a cycle-capped resolver.
@@ -620,8 +844,45 @@ object Pdf {
       * offsets). */
     private val objStmIndex = new java.util.HashMap[Int, Int]()
     var trailer: PDict = PDict(Map.empty)
+    /** PStream → [objNum, gen] of the indirect object that carries it —
+      * per-object decryption keys need the owner's identity (§7.6.2
+      * Algorithm 1). Identity-keyed: streams are compared by instance. */
+    private val streamIds = new java.util.IdentityHashMap[PStream, Array[Int]]()
+    /** None = unencrypted. Some(Right) = standard handler, empty user
+      * password, streams decrypt transparently. Some(Left) = /Encrypt
+      * present but unreadable (password-protected / unsupported scheme)
+      * — callers flag `encrypted`. Declared BEFORE locate() runs so
+      * xref-stream decoding during the xref walk sees None: xref
+      * streams are never encrypted (§7.5.8.2) and the key derivation
+      * needs the fully merged trailer anyway. */
+    private var decryptor: Option[Either[String, StdDecryptor]] = None
 
     locate()
+    decryptor = trailer.get("Encrypt").map { e =>
+      try {
+        val encDict = resolve(e) match {
+          case d: PDict => d
+          case _ => fail("bad /Encrypt")
+        }
+        val id0 = resolve(trailer.get("ID").getOrElse(PNull)) match {
+          case PArr(items) if items.nonEmpty => resolve(items.head) match {
+            case PStr(b) => b
+            case _ => Array.empty[Byte]
+          }
+          case _ => Array.empty[Byte]
+        }
+        Right(new StdDecryptor(encDict, id0, resolve))
+      } catch {
+        // flag-never-crash: ANY failure (unsupported scheme, wrong
+        // password, malformed dict, crypto-layer error) degrades to the
+        // pre-r12 behavior — the document stays quarantined `encrypted`
+        case scala.util.control.NonFatal(_) => Left("encrypted")
+      }
+    }
+
+    /** /Encrypt present but not decryptable with the empty user
+      * password — the extractor's flag condition. */
+    def encryptedUnreadable: Boolean = decryptor.exists(_.isLeft)
 
     private def locate(): Unit = {
       // startxref: last 2 KiB
@@ -781,11 +1042,15 @@ object Pdf {
     private def parseIndirectAt(off: Int): Obj = {
       if (off < 0 || off >= bytes.length) fail(s"object offset $off out of range")
       val lex = new Lexer(bytes, off, content = false)
-      lex.next() match { case PNum(_) => case _ => fail("bad obj header") }
-      lex.next() match { case PNum(_) => case _ => fail("bad obj header") }
+      val n = lex.next() match { case PNum(x) => x.toInt; case _ => fail("bad obj header") }
+      val g = lex.next() match { case PNum(x) => x.toInt; case _ => fail("bad obj header") }
       lex.expectKeyword("obj")
       val o = lex.next()
       if (o == null) fail("EOF in object body")
+      o match {
+        case st: PStream => streamIds.put(st, Array(n, g))
+        case _ => ()
+      }
       o
     }
 
@@ -880,6 +1145,19 @@ object Pdf {
         case _ => Seq.fill(filters.length)(None)
       }
       var data = st.raw
+      // decrypt BEFORE the filter chain (§7.6.2: encryption applies to
+      // the stream bytes as stored). Xref streams are never encrypted
+      // (§7.5.8.2) — and decode during locate() anyway, before the
+      // decryptor exists. Objects INSIDE an object stream are not
+      // separately encrypted (§7.5.7): the ObjStm decrypts here, whole.
+      decryptor match {
+        case Some(Right(d))
+            if !st.dict.get("Type").map(resolve).contains(PName("XRef")) =>
+          val ids = streamIds.get(st)
+          if (ids == null) fail("encrypted stream with unknown object id")
+          data = d.decrypt(data, ids(0), ids(1))
+        case _ => ()
+      }
       filters.zip(parms).foreach { case (f, pm) =>
         f match {
           case "FlateDecode" | "Fl" =>
@@ -1030,7 +1308,10 @@ object Pdf {
       return PdfText(ok = false, 0, Vector.empty, flagged = false, "not-pdf")
     try {
       val doc = new Doc(bytes, maxStreamBytes)
-      if (doc.trailer.get("Encrypt").isDefined)
+      // standard-handler documents with an EMPTY user password (owner
+      // restrictions only) decrypt transparently and extract below;
+      // password-protected / unsupported schemes keep the quarantine flag
+      if (doc.encryptedUnreadable)
         return PdfText(ok = false, 0, Vector.empty, flagged = true, "encrypted")
       val pages = collectPages(doc, maxPages)
       var flagged = false
@@ -1493,6 +1774,95 @@ object Pdf {
     w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R" +
       (if (encrypted) s" /Encrypt $encNum 0 R" else "") +
       s" >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The classic-layout document of [[pdfBytes]], genuinely ENCRYPTED by
+    * the standard security handler (§7.6.3) with an EMPTY user password
+    * (owner restrictions only — the decryptable class): `aes=false` →
+    * /V 2 /R 3 RC4-128 (50-round key derivation + Algorithm 5 /U),
+    * `aes=true` → /V 4 /R 4 /AESV2 crypt filter (AES-128-CBC, PKCS#7).
+    * A non-empty `userPwd` yields a genuinely password-protected
+    * document the extractor must keep FLAGGING. Content streams are
+    * FlateDecode-compressed then encrypted (filters apply to plaintext,
+    * §7.6.2). Fully deterministic: /ID and AES IVs derive from content.
+    * Round-trip witness for [[StdDecryptor]] — writer and reader share
+    * only the public ISO algorithms, not code paths. */
+  def pdfBytesEncrypted(pages: Seq[Seq[String]], aes: Boolean = false,
+                        userPwd: String = ""): Array[Byte] = {
+    val r = if (aes) 4 else 3
+    val keyLen = 16
+    val perms = -44
+    val id0 = md5(pages.flatten.mkString("|").getBytes("UTF-8"),
+      Array[Byte](if (aes) 1 else 0))
+    val oVal = computeO("owner".getBytes("UTF-8"), userPwd.getBytes("UTF-8"),
+      r, keyLen)
+    val key = baseKey(userPwd.getBytes("UTF-8"), oVal, perms, id0, r, keyLen,
+      encryptMetadata = true)
+    val uVal = computeU(key, r, id0)
+    def hexStr(b: Array[Byte]): String =
+      "<" + b.map(x => f"${x & 0xFF}%02X").mkString + ">"
+    def encryptStream(num: Int, body: Array[Byte]): Array[Byte] =
+      if (aes)
+        aesCbcEncrypt(objectKey(key, num, 0, aes = true),
+          md5(id0, Array[Byte](num.toByte)).take(16), body)
+      else rc4(objectKey(key, num, 0, aes = false), body)
+
+    val out = new java.io.ByteArrayOutputStream(1024)
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.6\n%âãÏÓ\n")
+    val nPages = pages.length
+    val encNum = 4 + 2 * nPages
+    def obj(body: => Unit): Unit = {
+      offsets += out.size().toLong
+      val num = offsets.length
+      w(s"$num 0 obj\n"); body; w("\nendobj\n")
+    }
+    obj { w(s"<< /Type /Catalog /Pages 2 0 R >>") }
+    obj {
+      val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+      w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>")
+    }
+    obj { w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") }
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      obj {
+        w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * i} 0 R >>")
+      }
+      val body = {
+        val sb = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
+        lines.zipWithIndex.foreach { case (line, k) =>
+          if (k > 0) sb.append("0 -14 Td\n")
+          sb.append("(").append(escapeLiteral(line)).append(") Tj\n")
+        }
+        sb.append("ET")
+        sb.toString.getBytes("ISO-8859-1")
+      }
+      val enc = encryptStream(5 + 2 * i, deflate(body))
+      obj {
+        w(s"<< /Length ${enc.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(enc)
+        w("\nendstream")
+      }
+    }
+    obj {
+      if (aes)
+        w("<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+          "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+          "/StmF /StdCF /StrF /StdCF " +
+          s"/O ${hexStr(oVal)} /U ${hexStr(uVal)} /P $perms >>")
+      else
+        w("<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+          s"/O ${hexStr(oVal)} /U ${hexStr(uVal)} /P $perms >>")
+    }
+    val xrefOff = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R " +
+      s"/Encrypt $encNum 0 R /ID [${hexStr(id0)} ${hexStr(id0)}] " +
+      s">>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 

@@ -3510,7 +3510,13 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
     import graft.ops.Pdf
     for ((base, seed) <- Seq(
         Pdf.pdfBytes(Seq(Seq("alpha (one)", "beta"), Seq("gamma"))) -> 127L,
-        Pdf.pdfBytesXrefStream(Seq(Seq("delta", "eps"), Seq("zeta"))) -> 128L)) {
+        Pdf.pdfBytesXrefStream(Seq(Seq("delta", "eps"), Seq("zeta"))) -> 128L,
+        // r12: the encrypted lanes — mutations land in the /Encrypt
+        // dict, the O/U values and the ciphertext as well as the shared
+        // structure; decryption must flag or extract, never throw
+        Pdf.pdfBytesEncrypted(Seq(Seq("eta (enc)", "theta"), Seq("iota"))) -> 129L,
+        Pdf.pdfBytesEncrypted(Seq(Seq("kappa", "lambda"), Seq("mu")),
+          aes = true) -> 130L)) {
       assert(Pdf.extractText(base).ok, "pristine fixture must extract")
       (mutations(base, seed, 80) :+ ("empty", Array.emptyByteArray) :+
         ("null", null: Array[Byte])).foreach { case (tag, payload) =>

@@ -89,6 +89,37 @@ class PdfSpec extends SparkSuite {
       Pdf.lzwEncode(new Array[Byte](1 << 16)), 1024))
   }
 
+  test("standard security handler (r12): RC4-128 and AES-128 empty-user-password docs decrypt and extract; real passwords flag") {
+    for (aes <- Seq(false, true)) {
+      val enc = Pdf.pdfBytesEncrypted(pages, aes = aes)
+      // the fixture must really be encrypted on the wire: no plaintext
+      // marker survives (content is deflate(text) then cipher — a broken
+      // identity cipher would leak the flate magic 0x78 at stream starts)
+      val wire = new String(enc, "ISO-8859-1")
+      assert(!wire.contains("Hello, world!"), s"aes=$aes: plaintext leaked")
+      val t = Pdf.extractText(enc)
+      assert(t.ok && !t.flagged && t.nPages == 3, s"aes=$aes: $t")
+      assert(t.pages == pages.map(_.mkString("\n")).toVector, s"aes=$aes")
+    }
+    // genuinely password-protected: Algorithm 6 rejects the empty user
+    // password and the quarantine flag stands
+    for (aes <- Seq(false, true)) {
+      val pw = Pdf.extractText(Pdf.pdfBytesEncrypted(pages, aes = aes,
+        userPwd = "secret"))
+      assert(!pw.ok && pw.flagged && pw.reason == "encrypted", s"aes=$aes: $pw")
+    }
+    // unsupported revisions (V5/R6 AES-256) keep flagging, never throw
+    val enc = Pdf.pdfBytesEncrypted(pages)
+    val v5 = new String(enc, "ISO-8859-1").replace("/V 2 /R 3", "/V 5 /R 6")
+      .getBytes("ISO-8859-1")
+    val t5 = Pdf.extractText(v5)
+    assert(!t5.ok && t5.flagged && t5.reason == "encrypted", s"$t5")
+    // probe contract unchanged: encrypted (even decryptable) docs carry
+    // the /encrypted codec flag — triage stays content-free
+    val p = Pdf.Probe.probe(Pdf.pdfBytesEncrypted(pages, aes = true)).get
+    assert(p.codec.endsWith("/encrypted"), p.codec)
+  }
+
   test("encrypted flags, never decrypts; non-PDF and torn files quarantine with their reasons") {
     val enc = Pdf.extractText(Pdf.pdfBytes(pages, encrypted = true))
     assert(!enc.ok && enc.reason == "encrypted" && enc.flagged)
