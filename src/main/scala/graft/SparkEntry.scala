@@ -3042,16 +3042,30 @@ object SparkEntry {
         while (it.hasNext) {
           val id = it.next().getLong(0)
           val text = s"döc $id: æøå ñ ü é"
-          val (cs, ct) = (id % 4) match {
-            case 0 => ("UTF-8", "text/plain; charset=utf-8")
-            case 1 => ("ISO-8859-1", "text/plain; charset=ISO-8859-1")
-            case 2 => ("windows-1252", "text/plain; Charset=\"windows-1252\"")
-            case _ => ("UTF-8", "text/plain")
+          // lanes 0-3: header-labeled (+ the unlabeled UTF-8 fallback);
+          // lanes 4-7 (r12): the WHATWG sniff steps the header can't
+          // decide — meta charset, meta http-equiv, header-beats-meta,
+          // and a UTF-8 BOM (stripped from the text)
+          val metaWin = "<html><head><meta charset=\"windows-1252\">" +
+            s"</head><body>$text</body></html>"
+          val metaIso = "<html><head><meta http-equiv=\"Content-Type\" " +
+            "content=\"text/html; charset=ISO-8859-1\">" +
+            s"</head><body>$text</body></html>"
+          val (body, ct) = (id % 8) match {
+            case 0 => (text.getBytes("UTF-8"), "text/plain; charset=utf-8")
+            case 1 => (text.getBytes("ISO-8859-1"), "text/plain; charset=ISO-8859-1")
+            case 2 => (text.getBytes("windows-1252"), "text/plain; Charset=\"windows-1252\"")
+            case 3 => (text.getBytes("UTF-8"), "text/plain")
+            case 4 => (metaWin.getBytes("windows-1252"), "text/html")
+            case 5 => (metaIso.getBytes("ISO-8859-1"), "text/html")
+            case 6 => (metaWin.getBytes("UTF-8"), "text/html; charset=utf-8")
+            case _ => (Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+              text.getBytes("UTF-8"), "text/html")
           }
           WarcSource.writeRecord(out, "response",
             Seq("WARC-Target-URI" -> s"https://corpus.example/doc/$id",
               "Content-Type" -> "application/http; msgtype=response"),
-            WarcSource.httpResponseBlock(200, ct, text.getBytes(cs)))
+            WarcSource.httpResponseBlock(200, ct, body))
         }
         out.close()
         val res = WarcSource.payloadText(
@@ -6072,11 +6086,22 @@ object SparkEntry {
     // SAME closed form for every lane, the charset column is the
     // canonical name the label resolved to (default lane -> UTF-8)
     "corpus_warc_text" ->
-      """SELECT doc_id,
-        |  'döc ' || doc_id || ': æøå ñ ü é' AS text,
-        |  CASE doc_id % 4 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'ISO-8859-1'
-        |    WHEN 2 THEN 'windows-1252' ELSE 'UTF-8' END AS charset
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, 'döc ' || doc_id || ': æøå ñ ü é' AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE doc_id % 8
+        |    WHEN 4 THEN '<html><head><meta charset="windows-1252"></head><body>'
+        |      || txt || '</body></html>'
+        |    WHEN 6 THEN '<html><head><meta charset="windows-1252"></head><body>'
+        |      || txt || '</body></html>'
+        |    WHEN 5 THEN '<html><head><meta http-equiv="Content-Type" '
+        |      || 'content="text/html; charset=ISO-8859-1"></head><body>'
+        |      || txt || '</body></html>'
+        |    ELSE txt END AS text,
+        |  CASE doc_id % 8 WHEN 1 THEN 'ISO-8859-1' WHEN 2 THEN 'windows-1252'
+        |    WHEN 4 THEN 'windows-1252' WHEN 5 THEN 'ISO-8859-1'
+        |    ELSE 'UTF-8' END AS charset
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // same construction: edits flip the normalized-text md5, removals
     // and additions fall out of the full outer join

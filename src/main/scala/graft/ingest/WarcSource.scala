@@ -126,17 +126,29 @@ object WarcSource {
         col("http_content_type"), col("payload"))
   }
 
-  /** Charset-aware payload text over a [[responses]] frame: the HTTP
-    * Content-Type's `charset=` parameter decides the decode; absent or
-    * unknown charsets fall back to `defaultCharset` (UTF-8 — the
-    * crawl-modal reality; HTTP/1.1's ISO-8859-1 default predates it).
-    * Malformed byte sequences decode to U+FFFD (REPLACE — deterministic,
-    * and a crawl pipeline must not crash on a mislabeled body).
+  /** Charset-aware payload text over a [[responses]] frame, WHATWG
+    * encoding-sniff order (the HTML5 "determining the character
+    * encoding" steps C4/CCNet implement):
+    *
+    *  1. BOM (EF BB BF → UTF-8 with the BOM stripped; FE FF / FF FE →
+    *     UTF-16, the JDK charset consumes the mark) — the byte-level
+    *     truth outranks every label;
+    *  2. the HTTP Content-Type `charset=` parameter;
+    *  3. an HTML5 meta PRESCAN of the first 1024 bytes (r12): a
+    *     `<meta charset=...>` or `<meta http-equiv=... content="...;
+    *     charset=...">` inside the window — applied to html/text (or
+    *     untyped) bodies only, so binary payloads can't false-match;
+    *  4. `defaultCharset` (UTF-8 — the crawl-modal reality; HTTP/1.1's
+    *     ISO-8859-1 default predates it).
+    *
+    * Unknown labels fall back to `defaultCharset`; malformed byte
+    * sequences decode to U+FFFD (REPLACE — deterministic, and a crawl
+    * pipeline must not crash on a mislabeled body).
     *
     * Registry discipline: `Charset.forName` is a JDK registry lookup —
     * the measured per-row-JDK-call hazard class — so charsets resolve
     * through a per-partition cache keyed by the (few) distinct labels,
-    * never per row. */
+    * never per row. The prescan is one bounded regex over ≤1 KiB. */
   def payloadText(responses: DataFrame,
                   defaultCharset: String = "UTF-8"): DataFrame = {
     val spark = responses.sparkSession
@@ -147,6 +159,12 @@ object WarcSource {
     val payIdx = inSchema.fieldIndex("payload")
     val charsetRe = java.util.regex.Pattern.compile(
       "charset=\"?([A-Za-z0-9_\\-:.]+)\"?",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    // both HTML5 meta forms in one pattern: charset= must sit INSIDE a
+    // <meta ...> tag (bounded lookbehind via the tag prefix), so body
+    // prose mentioning "charset" never matches
+    val metaRe = java.util.regex.Pattern.compile(
+      "<meta[^>]{0,500}?charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-:.]+)",
       java.util.regex.Pattern.CASE_INSENSITIVE)
     val rows = responses.rdd.mapPartitions { it =>
       val cache = new java.util.HashMap[String, java.nio.charset.Charset]()
@@ -161,21 +179,42 @@ object WarcSource {
       }
       it.map { r =>
         val ct = if (r.isNullAt(ctIdx)) null else r.getString(ctIdx)
-        val label = {
-          if (ct == null) defaultCharset
-          else {
-            val m = charsetRe.matcher(ct)
-            if (m.find()) m.group(1) else defaultCharset
-          }
-        }
-        val cs = resolve(label)
         val payload =
           if (r.isNullAt(payIdx)) Array.emptyByteArray
           else r.getAs[Array[Byte]](payIdx)
+        val headerLabel: String =
+          if (ct == null) null
+          else {
+            val m = charsetRe.matcher(ct)
+            if (m.find()) m.group(1) else null
+          }
+        // sniff order: BOM > header > meta prescan > default
+        var skip = 0
+        val label: String =
+          if (payload.length >= 3 && payload(0) == 0xEF.toByte &&
+              payload(1) == 0xBB.toByte && payload(2) == 0xBF.toByte) {
+            skip = 3 // the UTF-8 decoder does NOT consume a BOM — strip it
+            "UTF-8"
+          } else if (payload.length >= 2 &&
+              ((payload(0) == 0xFE.toByte && payload(1) == 0xFF.toByte) ||
+               (payload(0) == 0xFF.toByte && payload(1) == 0xFE.toByte))) {
+            "UTF-16" // the JDK UTF-16 charset reads and consumes the BOM
+          } else if (headerLabel != null) headerLabel
+          else if (ct == null || ct.toLowerCase.contains("html") ||
+              ct.toLowerCase.startsWith("text/")) {
+            // HTML5 prescan: first 1024 bytes, byte-transparent window
+            val n = math.min(1024, payload.length)
+            val window = new String(payload, 0, n,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val m = metaRe.matcher(window)
+            if (m.find()) m.group(1) else defaultCharset
+          } else defaultCharset
+        val cs = resolve(label)
         val dec = cs.newDecoder()
           .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
           .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-        val text = dec.decode(java.nio.ByteBuffer.wrap(payload)).toString
+        val text = dec.decode(
+          java.nio.ByteBuffer.wrap(payload, skip, payload.length - skip)).toString
         Row.fromSeq(r.toSeq :+ text :+ cs.name())
       }
     }

@@ -678,6 +678,51 @@ class WarcPayloadTextSpec extends SparkSuite {
       s"mislabeled body must decode with replacement: $badText")
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
+
+  test("WHATWG sniff order (r12): BOM > header > HTML5 meta prescan > default") {
+    val dir = Files.createTempDirectory("warc_sniff").toString
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(s"$dir/seg.warc"))
+    def rec(uri: String, ct: String, body: Array[Byte]): Unit =
+      WarcSource.writeRecord(out, "response",
+        Seq("WARC-Target-URI" -> uri,
+          "Content-Type" -> "application/http; msgtype=response"),
+        WarcSource.httpResponseBlock(200, ct, body))
+    val t = "döc æøå ñ ü é"
+    val metaWin = s"""<html><head><meta charset="windows-1252"></head><body>$t</body></html>"""
+    val metaEquiv = "<html><head><meta http-equiv=\"Content-Type\" " +
+      s"""content="text/html; charset=ISO-8859-1"></head><body>$t</body></html>"""
+    // meta decides when the header is silent — both HTML5 forms
+    rec("https://x/meta", "text/html", metaWin.getBytes("windows-1252"))
+    rec("https://x/equiv", "text/html", metaEquiv.getBytes("ISO-8859-1"))
+    // header OUTRANKS meta when both are present
+    rec("https://x/both", "text/html; charset=utf-8", metaWin.getBytes("UTF-8"))
+    // BOM outranks everything and is stripped from the text
+    rec("https://x/bom", "text/html",
+      Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ t.getBytes("UTF-8"))
+    rec("https://x/bom16", "text/plain",
+      Array(0xFE.toByte, 0xFF.toByte) ++ t.getBytes("UTF-16BE"))
+    // binary content types are NOT prescanned (a fake meta inside an
+    // opaque payload must not hijack the decode)
+    rec("https://x/bin", "application/octet-stream",
+      metaWin.getBytes("windows-1252"))
+    // prescan window is 1024 bytes: a meta past it is invisible
+    rec("https://x/far", "text/html",
+      (" " * 1100 + metaWin).getBytes("windows-1252"))
+    out.close()
+    val got = WarcSource.payloadText(
+        WarcSource.responses(WarcSource.read(spark, s"$dir/seg.warc")))
+      .select("target_uri", "text", "charset")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got("https://x/meta") == ((metaWin, "windows-1252")))
+    assert(got("https://x/equiv") == ((metaEquiv, "ISO-8859-1")))
+    assert(got("https://x/both") == ((metaWin, "UTF-8")))
+    assert(got("https://x/bom") == ((t, "UTF-8")), s"${got("https://x/bom")}")
+    assert(got("https://x/bom16") == ((t, "UTF-16")))
+    assert(got("https://x/bin")._2 == "UTF-8")
+    assert(got("https://x/far")._2 == "UTF-8")
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
 }
 
 /** Chunked transfer-encoding decode at the WARC ingest boundary. */
