@@ -1184,6 +1184,43 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // CDC TOP-K VALUES VIEW (r12): the extents bounded-synopsis
+    // discipline generalized to an ordered top-k over VALUES — k=8
+    // synopses of (value, time) pairs per series, updates re-rank
+    // through pre-images, the delete range evicts candidates, and the
+    // emitted top-2 must equal the DuckDB recompute over the mutated
+    // events CTE (the view == recompute contract, hash-exact).
+    "tsdb_cdc_topk" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_topk")
+      try {
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table",
+          graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+            overrideOld = true))
+        val feed = new graft.streaming.ChangesStream.ChangesFeed(t, s"$tmp/ckpt")
+        val view = new graft.streaming.ChangesStream.SeriesTopKReplica(
+          s, s"$tmp/topk", k = 8,
+          snapshotAt = seq => t.readRawAsOf(0L, Long.MaxValue, seq))
+        t.append(samples)
+        require(graft.streaming.ChangesStream.drain(feed)(view.applyBatch) == 1,
+          "initial corpus must arrive as one CDC window")
+        val clicks = samples.filter(col("name") === "click")
+        // rewrites move rows UP the value order (+100 dominates);
+        // the range delete evicts whatever candidates it covers
+        t.append(clicks.filter(col("time").between(F + 3 * Day, F + 7 * Day - 1))
+          .withColumn("value", col("value") + 100))
+        t.delete(F + 10 * Day, F + 13 * Day - 1, metrics = Seq("click"))
+        require(graft.streaming.ChangesStream.drain(feed)(view.applyBatch) == 1,
+          "the mixed mutations must arrive as one CDC window")
+        val res = view.topK(2)
+          .select(col("name"), col("labels_str"), col("rank"),
+            col("value"), col("time"))
+          .orderBy("name", "labels_str", "rank")
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // CDC MULTI-VIEW FAN-OUT (r10 cont.): ONE checkpointed feed
     // maintains several views — here per-series moment stats
     // (count/sum/sumsq: variance-capable and, unlike min/max,
@@ -3919,6 +3956,25 @@ object SparkEntry {
          |SELECT name, labels_str, CAST(count(*) AS BIGINT) AS cnt,
          |  min(tt) AS first_t, max(tt) AS last_t
          |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // top-k recomputed from scratch over the FINAL live rows: rewrites
+    // applied (+100 in the window), the deleted range gone, then the
+    // top-2 (value, time) per series — the view == recompute contract
+    "tsdb_cdc_topk" ->
+      s"""WITH s AS ($SamplesCte),
+         |m AS (SELECT name, labels_str, tt,
+         |        CASE WHEN name = 'click' AND tt BETWEEN ${F + 3 * Day} AND ${F + 7 * Day - 1}
+         |             THEN v + 100 ELSE v END AS v
+         |      FROM s
+         |      WHERE NOT (name = 'click' AND tt BETWEEN ${F + 10 * Day} AND ${F + 13 * Day - 1})),
+         |r AS (SELECT name, labels_str, v, tt,
+         |        row_number() OVER (PARTITION BY name, labels_str
+         |                           ORDER BY v DESC, tt DESC) AS rk
+         |      FROM m)
+         |SELECT name, labels_str, CAST(rk AS INT) AS rank, v AS value,
+         |  tt AS time
+         |FROM r WHERE rk <= 2
+         |ORDER BY name, labels_str, rank""".stripMargin,
 
     // the stream-fed replica converges to the identical recompute
     "tsdb_cdc_source" ->

@@ -485,6 +485,196 @@ object ChangesStream {
     }
   }
 
+  private[graft] final case class TopKRow(
+      name: String, labels_str: String, cnt: Long,
+      cand_v: Seq[Double], cand_t: Seq[Long],
+      fence_v: Double, fence_t: Long)
+
+  /** Deletion-exact per-series TOP-K VALUES (r12 — the
+    * [[SeriesExtentsReplica]] bounded-synopsis discipline generalized
+    * from min/max-over-times to an ordered top-k over VALUES):
+    * `(name, labels_str) -> the k largest live (value, time) rows`.
+    *
+    * The ordered element is the PAIR (value, time), lexicographic —
+    * times are unique per series, so pairs are unique and the synopsis
+    * is a plain set with exact single-element eviction (a value-only
+    * synopsis would need multiset fences; ties at the fence would be
+    * ambiguous). Updates participate fully, unlike extents: a rewrite
+    * moves its row in value order, so the feed's pre-images
+    * (`update_preimage` rows carry the since-state value) drive the
+    * −old/+new pair as two deltas on the same time.
+    *
+    * Invariant (the extents contract, max-side only): `cands == { live
+    * (v,t) : (v,t) > fence }` — a complete SUFFIX of the live value
+    * order, ≤ k pairs, so the first j candidates ARE the exact top-j
+    * whenever |cands| ≥ j. Inserts above the fence enter (evicting the
+    * smallest pair and raising the fence when full); deletes above the
+    * fence remove their pair (presence is required — absence is an
+    * invariant violation, never silently ignored); everything at or
+    * below the fence moves only the refcount. Net deltas apply in
+    * DETERMINISTIC order (deletes ascending, then inserts ascending):
+    * the cogroup iterator order is unspecified, and an insert-evicts /
+    * delete-frees race would otherwise leave order-dependent fences.
+    * An EMPTIED synopsis with live rows re-probes — one as-of snapshot
+    * read restricted to the exhausted keys (broadcast, bounded by the
+    * window's delete keys), rebuilding candidates + fence and
+    * cross-checking the probed live count against the refcount.
+    *
+    * NULL values (variant/string samples) are outside the value order
+    * and are not counted — `cnt` is live NUMERIC rows.
+    *
+    * Scale shape: one cogroup shuffle bounded by |state| + |window|
+    * keys, O(k log k) per touched key; the re-probe is the rare escape
+    * hatch, partition-pruned by the snapshot read and key-bounded. */
+  final class SeriesTopKReplica(spark: SparkSession, path: String,
+                                k: Int, snapshotAt: Long => DataFrame)
+      extends DeltaView(spark, path) {
+    require(k >= 2, s"synopsis size k must be >= 2: $k")
+
+    private var lastFold: Option[DataFrame] = None
+
+    protected def emptySchema: StructType = StructType(Seq(
+      StructField("name", StringType),
+      StructField("labels_str", StringType),
+      StructField("cnt", LongType),
+      StructField("cand_v", ArrayType(DoubleType)),
+      StructField("cand_t", ArrayType(LongType)),
+      StructField("fence_v", DoubleType),
+      StructField("fence_t", LongType)))
+
+    /** Exact top-`j` live rows per series (`j <= k`), ranked by
+      * (value, time) descending; keys with fewer than j live rows
+      * return all of theirs. One bounded driver probe REFUSES to serve
+      * a thinned synopsis (eviction runs between rebuilds can shrink
+      * candidates below j) rather than returning a silent partial
+      * top-j. */
+    def topK(j: Int): DataFrame = {
+      require(j >= 1 && j <= k, s"j must be in [1, $k]: $j")
+      val st = state()
+      val short = st
+        .filter(col("cnt") >= j && size(col("cand_v")) < j)
+        .select("name", "labels_str", "cnt").limit(1).collect()
+      require(short.isEmpty,
+        s"top-$j underserved for ${short.headOption}: the synopsis thinned " +
+          s"below $j between rebuilds — widen k or fold another window")
+      st.select(col("name"), col("labels_str"),
+          posexplode(arrays_zip(col("cand_v"), col("cand_t"))).as(Seq("pos", "cand")))
+        .filter(col("pos") < j)
+        .select(col("name"), col("labels_str"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("cand.cand_v").as("value"), col("cand.cand_t").as("time"))
+    }
+
+    protected def fold(state: DataFrame, changes: DataFrame): DataFrame = {
+      import spark.implicits._
+      val kk = k
+      val pairOrd: Ordering[(Double, Long)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      val deltas = changes
+        .withColumn("__sign", signCol)
+        .filter(col("value").isNotNull)
+        .select(col("name"), col("labels_str"), col("time"), col("value"),
+          col("__sign"))
+        .as[(String, String, Long, Double, Long)]
+      val st = state.as[TopKRow]
+      val folded = st.groupByKey(r => (r.name, r.labels_str))
+        .cogroup(deltas.groupByKey(d => (d._1, d._2))) {
+          case ((n, l), sIt, dIt) =>
+            implicit val ord: Ordering[(Double, Long)] = pairOrd
+            val s = sIt.toSeq.headOption
+            var cnt = s.map(_.cnt).getOrElse(0L)
+            val cands = scala.collection.mutable.TreeSet.empty[(Double, Long)]
+            s.foreach(r => cands ++= r.cand_v.zip(r.cand_t))
+            var fence = s.map(r => (r.fence_v, r.fence_t))
+              .getOrElse((Double.NegativeInfinity, Long.MinValue))
+            // net per (value, time): an update emits −old/+new on the
+            // same time but different pairs; a rewrite to the SAME value
+            // nets to zero here instead of racing remove-vs-add
+            val net = scala.collection.mutable.HashMap.empty[(Double, Long), Long]
+            dIt.foreach { case (_, _, t, v, sign) =>
+              val key = (v, t)
+              val x = net.getOrElse(key, 0L) + sign
+              if (x == 0L) net.remove(key) else net.update(key, x)
+            }
+            val (dels, ins) = net.toSeq.partition(_._2 < 0)
+            (dels.sortBy(_._1) ++ ins.sortBy(_._1)).foreach { case (pair, sign) =>
+              require(sign >= -1 && sign <= 1,
+                s"duplicate same-direction value delta for ($n,$l) at $pair: net $sign")
+              cnt += sign
+              if (sign > 0) {
+                if (ord.gt(pair, fence)) {
+                  cands += pair
+                  if (cands.size > kk) {
+                    val m = cands.head
+                    cands -= m
+                    fence = m
+                  }
+                }
+              } else if (ord.gt(pair, fence)) {
+                require(cands.remove(pair),
+                  s"live pair $pair above the fence missing from the " +
+                    s"top-k synopsis of ($n,$l)")
+              }
+            }
+            require(cnt >= 0, s"negative live count for ($n,$l): $cnt")
+            if (cnt == 0) Iterator.empty
+            else {
+              val sorted = cands.toSeq.reverse // descending (value, time)
+              Iterator.single(TopKRow(n, l, cnt,
+                sorted.map(_._1), sorted.map(_._2), fence._1, fence._2))
+            }
+        }.toDF()
+      lastFold.foreach(_.unpersist())
+      val cached = folded.persist()
+      lastFold = Some(cached)
+      val exhausted = col("cnt") > 0 && size(col("cand_v")) === 0
+      val probeKeyRows = cached.filter(exhausted)
+        .select("name", "labels_str", "cnt").collect()
+      if (probeKeyRows.isEmpty) return cached
+      val probeKeys = spark.createDataFrame(
+        java.util.Arrays.asList(probeKeyRows: _*),
+        StructType(Seq(StructField("name", StringType),
+          StructField("labels_str", StringType),
+          StructField("cnt", LongType))))
+      // RE-PROBE at the window being folded (as-of — a later tip could
+      // show pairs this fold has not delivered yet), bounded per-key
+      // heap so a million-row series costs one streamed pass
+      val snap = snapshotAt(foldingUntilSeq)
+        .filter(col("value").isNotNull)
+        .join(broadcast(probeKeys.select("name", "labels_str")),
+          Seq("name", "labels_str"))
+        .select(col("name"), col("labels_str"), col("time"), col("value"))
+        .as[(String, String, Long, Double)]
+      val rebuilt = snap.groupByKey(r => (r._1, r._2))
+        .mapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+          val (n, l) = key
+          implicit val ord: Ordering[(Double, Long)] = pairOrd
+          val heap = scala.collection.mutable.TreeSet.empty[(Double, Long)]
+          var live = 0L
+          it.foreach { case (_, _, t, v) =>
+            live += 1
+            heap += ((v, t))
+            if (heap.size > kk) heap -= heap.head
+          }
+          val (keep, fence) =
+            if (live <= kk) (heap.toSeq, (Double.NegativeInfinity, Long.MinValue))
+            else (heap.toSeq.drop(1), heap.head) // k-1 cands, fence = k-th
+          val sorted = keep.reverse
+          TopKRow(n, l, live, sorted.map(_._1), sorted.map(_._2),
+            fence._1, fence._2)
+        }.toDF()
+      val bad = rebuilt.select(col("name"), col("labels_str"),
+          col("cnt").as("live"))
+        .join(probeKeys.withColumnRenamed("cnt", "maintained"),
+          Seq("name", "labels_str"))
+        .filter(col("live") =!= col("maintained"))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"top-k re-probe disagrees with maintained refcount: ${bad.headOption}")
+      cached.filter(!exhausted).unionByName(rebuilt)
+    }
+  }
+
   /** N views over ONE feed: each polled window is cached once and
     * folded into every view, then the shared offset advances — the
     * change plan executes once per window regardless of fan-out. The

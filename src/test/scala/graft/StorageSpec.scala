@@ -1846,6 +1846,152 @@ class CdcExtentsSpec extends SparkSuite {
   }
 }
 
+/** Deletion-exact per-series top-k VALUES view (r12): the extents
+  * bounded-synopsis discipline over the (value, time) order — updates
+  * move rows through pre-images, deletes evict past k, exhaustion
+  * re-probes as-of the window. */
+class CdcTopKSpec extends SparkSuite {
+  import graft.streaming.ChangesStream
+  import graft.storage.{TsdbConfig, TsdbTable}
+  import java.nio.file.Files
+
+  private val Base = 1704067200000L
+
+  private def samples(rows: (String, Long, Double)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("name", "time", "value")
+      .select(col("name"), map(lit("host"), lit("x")).as("labels"),
+        col("time"), col("value"))
+  }
+
+  /** Driver-side truth: top-j (value, time) pairs per key from the live
+    * table (tiny fixtures — a collect is the clearest oracle). */
+  private def recompute(t: TsdbTable, j: Int): Map[(String, String), Seq[(Double, Long)]] =
+    t.readRaw(0L, Long.MaxValue).filter(col("value").isNotNull)
+      .select("name", "labels_str", "value", "time").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getDouble(2), r.getLong(3)))
+          .sortBy(p => (-p._1, -p._2)).take(j).toSeq
+      }
+
+  private def viewTopK(v: ChangesStream.SeriesTopKReplica, j: Int): Map[(String, String), Seq[(Double, Long)]] =
+    v.topK(j).collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(2)).map(r => (r.getDouble(3), r.getLong(4))).toSeq
+      }
+
+  test("top-k stays exact: eviction, update re-ranking, exhaustion re-probe, full deletion, replay") {
+    val dir = Files.createTempDirectory("cdc_topk").toString
+    val t = new TsdbTable(spark, s"$dir/table",
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    val feed = new ChangesStream.ChangesFeed(t, s"$dir/ckpt")
+    val view = new ChangesStream.SeriesTopKReplica(spark, s"$dir/topk",
+      k = 3, snapshotAt = seq => t.readRawAsOf(0L, Long.MaxValue, seq))
+
+    // window 1: 10 ascending values per series — every insert past k
+    // evicts, so the fence engages immediately
+    t.append(samples(
+      ((0 until 10).map(i => ("cpu", Base + i * 1000L, i.toDouble)) ++
+       (0 until 10).map(i => ("mem", Base + 500 + i * 2000L, (i * 7 % 10).toDouble))): _*))
+    assert(ChangesStream.drain(feed)(view.applyBatch) == 1)
+    assert(viewTopK(view, 2) == recompute(t, 2))
+
+    // window 2: UPDATE the current max down below the fence — the
+    // pre-image −(9,t9) leaves the synopsis, the post-image (−1,t9)
+    // only counts; and update a mid row UP into the top
+    t.append(samples(("cpu", Base + 9000L, -1.0), ("cpu", Base + 2000L, 50.0)))
+    assert(ChangesStream.drain(feed)(view.applyBatch) == 1)
+    assert(viewTopK(view, 2) == recompute(t, 2))
+    assert(viewTopK(view, 2)(("cpu", "host=x")).head == ((50.0, Base + 2000L)))
+
+    // window 3: delete ALL current candidates in one window — the
+    // synopsis exhausts and the as-of re-probe rebuilds (k-1 cands)
+    t.delete(Base + 2000L, Base + 2000L, metrics = Seq("cpu")) // 50.0
+    t.delete(Base + 7000L, Base + 8000L, metrics = Seq("cpu")) // 7.0, 8.0
+    assert(ChangesStream.drain(feed)(view.applyBatch) >= 1)
+    assert(viewTopK(view, 2) == recompute(t, 2))
+    assert(viewTopK(view, 2)(("cpu", "host=x")).map(_._1) == Seq(6.0, 5.0))
+
+    // window 4: full deletion drops the key; a returning series
+    // re-derives; the untouched sibling never moved
+    t.delete(Base, Base + 10000L, metrics = Seq("cpu"))
+    t.append(samples(("cpu", Base + 777L, 42.0)))
+    assert(ChangesStream.drain(feed)(view.applyBatch) >= 1)
+    assert(viewTopK(view, 1) == recompute(t, 1))
+
+    // replay absorption: re-folding the whole history under the applied
+    // tip is a no-op
+    val before = viewTopK(view, 1)
+    view.applyBatch(t.changes(0, t.currentSeq(), preImages = true),
+      view.appliedUntil)
+    assert(viewTopK(view, 1) == before)
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+
+  test("duplicate values rank by time; null (variant) values stay outside the order") {
+    val dir = Files.createTempDirectory("cdc_topk_dup").toString
+    val t = new TsdbTable(spark, s"$dir/table",
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    val feed = new ChangesStream.ChangesFeed(t, s"$dir/ckpt")
+    val view = new ChangesStream.SeriesTopKReplica(spark, s"$dir/topk",
+      k = 4, snapshotAt = seq => t.readRawAsOf(0L, Long.MaxValue, seq))
+    // three rows share the top VALUE — (value, time) uniqueness carries
+    // the synopsis through; ties rank by time descending
+    t.append(samples(
+      ("cpu", Base, 5.0), ("cpu", Base + 1000, 5.0), ("cpu", Base + 2000, 5.0),
+      ("cpu", Base + 3000, 1.0), ("cpu", Base + 4000, 2.0)))
+    assert(ChangesStream.drain(feed)(view.applyBatch) == 1)
+    assert(viewTopK(view, 3) == recompute(t, 3))
+    assert(viewTopK(view, 3)(("cpu", "host=x")).map(_._2) ==
+      Seq(Base + 2000, Base + 1000, Base))
+    // delete the newest tie; the remaining equal values still rank
+    t.delete(Base + 2000, Base + 2000)
+    assert(ChangesStream.drain(feed)(view.applyBatch) == 1)
+    assert(viewTopK(view, 2) == recompute(t, 2))
+    // a null-value (variant) metric is not part of the value order:
+    // its rows neither rank nor count — the view carries no key for it
+    import spark.implicits._
+    val variant = Seq(("props", Base + 9000L)).toDF("name", "time")
+      .select(col("name"), map(lit("host"), lit("x")).as("labels"),
+        col("time"), lit(null).cast("double").as("value"),
+        lit("blob").as("valueStr"))
+    t.append(variant)
+    assert(ChangesStream.drain(feed)(view.applyBatch) == 1)
+    assert(viewTopK(view, 2) == recompute(t, 2))
+    assert(view.state().filter(col("name") === "props").count() == 0,
+      "variant-only series must not enter the top-k view")
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+
+  test("top-k rides the multi-view fan-out and refuses a thinned synopsis instead of serving a partial top-j") {
+    val dir = Files.createTempDirectory("cdc_topk_mv").toString
+    val t = new TsdbTable(spark, s"$dir/table",
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    val feed = new ChangesStream.ChangesFeed(t, s"$dir/ckpt")
+    val topk = new ChangesStream.SeriesTopKReplica(spark, s"$dir/topk",
+      k = 3, snapshotAt = seq => t.readRawAsOf(0L, Long.MaxValue, seq))
+    val stats = new ChangesStream.SeriesStatsReplica(spark, s"$dir/stats")
+    val mv = new ChangesStream.MultiViewMaintainer(feed, Seq(topk, stats))
+    t.append(samples((0 until 8).map(i => ("cpu", Base + i * 1000L, i.toDouble)): _*))
+    assert(mv.drainAll() == 1)
+    // crash mid-fan-out: top-k folds window 2 alone, restart converges
+    t.delete(Base + 7000, Base + 7000, metrics = Seq("cpu"))
+    val w = feed.poll().get
+    topk.applyBatch(w._3, w._2)
+    val mv2 = new ChangesStream.MultiViewMaintainer(
+      new ChangesStream.ChangesFeed(t, s"$dir/ckpt"), Seq(topk, stats))
+    assert(mv2.drainAll() >= 1)
+    assert(viewTopK(topk, 2) == recompute(t, 2))
+    // after deleting 7 the synopsis holds {6,5} (2 cands): top-2 serves,
+    // top-3 REFUSES loudly (cnt=7 >= 3 but only 2 candidates)
+    val e = intercept[IllegalArgumentException](topk.topK(3))
+    assert(e.getMessage.contains("underserved"), e.getMessage)
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+}
+
 class CommitLogSpec extends SparkSuite {
   import graft.storage.{CommitLog, TsdbConfig, TsdbTable}
   import java.nio.file.Files
