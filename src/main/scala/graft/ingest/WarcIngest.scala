@@ -78,13 +78,17 @@ final class WarcIngest(spark: SparkSession, glob: String,
         WarcSource.readFiles(spark, fresh, maxPayloadBytes)
       else {
         val conf = spark.sparkContext.hadoopConfiguration
-        val (big, small) = fresh.partition { f =>
-          f.endsWith(".warc.gz") && {
-            val p = new org.apache.hadoop.fs.Path(f)
-            p.getFileSystem(conf).getFileStatus(p).getLen >= splitThresholdBytes
-          }
+        def len(f: String): Long = {
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
         }
-        val indexed = big.map { f =>
+        val (bigGz, rest) = fresh.partition(f =>
+          f.endsWith(".warc.gz") && len(f) >= splitThresholdBytes)
+        // plain .warc splits need no sidecar (r12): record-aligned byte
+        // ranges with the header-hop scan + chain validation
+        val (bigPlain, small) = rest.partition(f =>
+          f.endsWith(".warc") && len(f) >= splitThresholdBytes)
+        val indexed = bigGz.map { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           val fs = p.getFileSystem(conf)
           val side = new org.apache.hadoop.fs.Path(WarcGzIndex.sidecarPath(f))
@@ -97,7 +101,9 @@ final class WarcIngest(spark: SparkSession, glob: String,
           }
           WarcGzIndex.readIndexed(spark, f, splitsPerSegment, maxPayloadBytes)
         }
-        val parts = indexed ++
+        val splitPlain = bigPlain.map(f =>
+          WarcPlainSplit.readSplit(spark, f, splitsPerSegment, maxPayloadBytes))
+        val parts = indexed ++ splitPlain ++
           (if (small.nonEmpty)
              Seq(WarcSource.readFiles(spark, small, maxPayloadBytes))
            else Seq.empty)

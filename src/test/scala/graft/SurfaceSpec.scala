@@ -636,6 +636,64 @@ class WarcIngestSpec extends SparkSuite {
       "below-threshold segments stay on the plain path")
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
+
+  test("plain .warc record-level splits (r12): sidecar-free, row-identical at several split counts, chain falls back on damage") {
+    import graft.ingest.WarcPlainSplit
+    val dir = Files.createTempDirectory("warc_plain_split").toString
+    val data = s"$dir/data"; new java.io.File(data).mkdirs()
+    val f = s"$data/seg.warc"
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+    WarcSource.writeRecord(out, "warcinfo",
+      Seq("Content-Type" -> "application/warc-fields"),
+      "software: graft\r\n".getBytes("UTF-8"))
+    for (i <- 0 until 37) {
+      WarcSource.writeRecord(out, "request",
+        Seq("WARC-Target-URI" -> s"https://x/$i",
+          "Content-Type" -> "application/http; msgtype=request"),
+        s"GET /$i HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1"))
+      // payloads vary in size AND one embeds a line-start "WARC/1.0"
+      // impostor — the chain validation must keep rows identical anyway
+      val body =
+        if (i == 17) "before\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nafter"
+        else s"payload $i " * (1 + 13 * i % 97)
+      WarcSource.writeRecord(out, "response",
+        Seq("WARC-Target-URI" -> s"https://x/$i",
+          "Content-Type" -> "application/http; msgtype=response"),
+        WarcSource.httpResponseBlock(200, "text/plain", body.getBytes("UTF-8")))
+    }
+    out.close()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map {
+        case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+        case x => String.valueOf(x)
+      }.mkString("|")).sorted.toSeq
+    val sequential = rows(WarcSource.read(spark, f))
+    assert(sequential.length == 75)
+    for (splits <- Seq(2, 3, 7, 16)) {
+      val split = WarcPlainSplit.readSplit(spark, f, splits)
+      assert(rows(split) == sequential,
+        s"splits=$splits must be row-identical (ordinals included)")
+    }
+    assert(WarcPlainSplit.readSplit(spark, f, 7).rdd.getNumPartitions > 1,
+      "a clean segment must fan out past file granularity")
+    // corruption falls back to the sequential path's quarantine row
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    val torn = s"$data/torn.warc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(torn),
+      java.util.Arrays.copyOf(all, all.length - 37))
+    assert(rows(WarcPlainSplit.readSplit(spark, torn, 5)) ==
+      rows(WarcSource.read(spark, torn)))
+    // the ingest loop auto-splits big plain segments with no sidecar
+    val ing = new graft.ingest.WarcIngest(spark, s"$data/seg.warc",
+      s"$dir/ckpt", splitThresholdBytes = 1024L, splitsPerSegment = 6)
+    val Some((files, df)) = ing.poll(): @unchecked
+    assert(files.map(x => x.substring(x.lastIndexOf('/') + 1)) == Seq("seg.warc"))
+    assert(rows(df) == sequential)
+    assert(df.rdd.getNumPartitions > 1)
+    assert(!new java.io.File(s"$data/seg.warc.gidx").exists,
+      "plain splits need no sidecar")
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
 }
 
 /** Charset-aware payload decode (r10 cont.). */
