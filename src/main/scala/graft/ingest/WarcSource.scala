@@ -157,15 +157,6 @@ object WarcSource {
       StructField("text", StringType) :+ StructField("charset", StringType))
     val ctIdx = inSchema.fieldIndex("http_content_type")
     val payIdx = inSchema.fieldIndex("payload")
-    val charsetRe = java.util.regex.Pattern.compile(
-      "charset=\"?([A-Za-z0-9_\\-:.]+)\"?",
-      java.util.regex.Pattern.CASE_INSENSITIVE)
-    // both HTML5 meta forms in one pattern: charset= must sit INSIDE a
-    // <meta ...> tag (bounded lookbehind via the tag prefix), so body
-    // prose mentioning "charset" never matches
-    val metaRe = java.util.regex.Pattern.compile(
-      "<meta[^>]{0,500}?charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-:.]+)",
-      java.util.regex.Pattern.CASE_INSENSITIVE)
     val rows = responses.rdd.mapPartitions { it =>
       val cache = new java.util.HashMap[String, java.nio.charset.Charset]()
       def resolve(label: String): java.nio.charset.Charset = {
@@ -182,33 +173,7 @@ object WarcSource {
         val payload =
           if (r.isNullAt(payIdx)) Array.emptyByteArray
           else r.getAs[Array[Byte]](payIdx)
-        val headerLabel: String =
-          if (ct == null) null
-          else {
-            val m = charsetRe.matcher(ct)
-            if (m.find()) m.group(1) else null
-          }
-        // sniff order: BOM > header > meta prescan > default
-        var skip = 0
-        val label: String =
-          if (payload.length >= 3 && payload(0) == 0xEF.toByte &&
-              payload(1) == 0xBB.toByte && payload(2) == 0xBF.toByte) {
-            skip = 3 // the UTF-8 decoder does NOT consume a BOM — strip it
-            "UTF-8"
-          } else if (payload.length >= 2 &&
-              ((payload(0) == 0xFE.toByte && payload(1) == 0xFF.toByte) ||
-               (payload(0) == 0xFF.toByte && payload(1) == 0xFE.toByte))) {
-            "UTF-16" // the JDK UTF-16 charset reads and consumes the BOM
-          } else if (headerLabel != null) headerLabel
-          else if (ct == null || ct.toLowerCase.contains("html") ||
-              ct.toLowerCase.startsWith("text/")) {
-            // HTML5 prescan: first 1024 bytes, byte-transparent window
-            val n = math.min(1024, payload.length)
-            val window = new String(payload, 0, n,
-              java.nio.charset.StandardCharsets.ISO_8859_1)
-            val m = metaRe.matcher(window)
-            if (m.find()) m.group(1) else defaultCharset
-          } else defaultCharset
+        val (skip, label) = sniffCharset(ct, payload, defaultCharset)
         val cs = resolve(label)
         val dec = cs.newDecoder()
           .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
@@ -219,6 +184,48 @@ object WarcSource {
       }
     }
     spark.createDataFrame(rows, outSchema)
+  }
+
+  private val CharsetRe = java.util.regex.Pattern.compile(
+    "charset=\"?([A-Za-z0-9_\\-:.]+)\"?",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+  // both HTML5 meta forms in one pattern: charset= must sit INSIDE a
+  // <meta ...> tag (bounded via the tag prefix), so body prose
+  // mentioning "charset" never matches
+  private val MetaRe = java.util.regex.Pattern.compile(
+    "<meta[^>]{0,500}?charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-:.]+)",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** The WHATWG sniff decision for one response: `(bytes to skip,
+    * charset label)`. Order: BOM > HTTP header charset > HTML5 meta
+    * prescan of the first 1024 bytes (html/text/untyped bodies only) >
+    * `defaultCharset`. Pure and total over arbitrary bytes — the fuzz
+    * matrix drives it directly. */
+  private[graft] def sniffCharset(ct: String, payload: Array[Byte],
+                                  defaultCharset: String): (Int, String) = {
+    val headerLabel: String =
+      if (ct == null) null
+      else {
+        val m = CharsetRe.matcher(ct)
+        if (m.find()) m.group(1) else null
+      }
+    if (payload.length >= 3 && payload(0) == 0xEF.toByte &&
+        payload(1) == 0xBB.toByte && payload(2) == 0xBF.toByte)
+      (3, "UTF-8") // the UTF-8 decoder does NOT consume a BOM — strip it
+    else if (payload.length >= 2 &&
+        ((payload(0) == 0xFE.toByte && payload(1) == 0xFF.toByte) ||
+         (payload(0) == 0xFF.toByte && payload(1) == 0xFE.toByte)))
+      (0, "UTF-16") // the JDK UTF-16 charset reads and consumes the BOM
+    else if (headerLabel != null) (0, headerLabel)
+    else if (ct == null || ct.toLowerCase.contains("html") ||
+        ct.toLowerCase.startsWith("text/")) {
+      // HTML5 prescan: first 1024 bytes, byte-transparent window
+      val n = math.min(1024, payload.length)
+      val window = new String(payload, 0, n,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val m = MetaRe.matcher(window)
+      (0, if (m.find()) m.group(1) else defaultCharset)
+    } else (0, defaultCharset)
   }
 
   // ----------------------------------------------------------- parsing

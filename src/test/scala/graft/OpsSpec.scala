@@ -3610,6 +3610,36 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       }
   }
 
+  test("FUZZ charset sniff (r12): arbitrary bytes + mangled content types — total, bounded skip, decodable label chain") {
+    import graft.ingest.WarcSource
+    val htmlBase = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\"></head><body>x</body></html>")
+      .getBytes("windows-1252")
+    val bomBase = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "text".getBytes("UTF-8")
+    val cts = Seq(null, "text/html", "text/html; charset=utf-8",
+      "text/html; charset=", "application/octet-stream", "TEXT/HTML;CHARSET='x",
+      "text/plain; charset= bad")
+    for ((base, seed) <- Seq(htmlBase -> 311L, bomBase -> 312L);
+         (tag, payload) <- mutations(base, seed, 60) :+
+           ("empty", Array.emptyByteArray);
+         ct <- cts) {
+      val (skip, label) = WarcSource.sniffCharset(ct, payload, "UTF-8")
+      assert(skip == 0 || skip == 3, s"sniff/$tag: skip $skip")
+      assert(skip <= payload.length, s"sniff/$tag: skip past payload")
+      assert(label != null && label.nonEmpty, s"sniff/$tag: empty label")
+      // the full decode path must be total over whatever label came out
+      val cs = try java.nio.charset.Charset.forName(label)
+      catch { case _: Exception => java.nio.charset.Charset.forName("UTF-8") }
+      val dec = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      val text = dec.decode(java.nio.ByteBuffer.wrap(
+        payload, skip, payload.length - skip)).toString
+      assert(text.length <= payload.length + 1, s"sniff/$tag: text blowup")
+    }
+  }
+
   test("FUZZ WARC record stream: rows sane or corrupt-flagged, parse never throws past the iterator") {
     import graft.ingest.WarcSource
     val buf = new java.io.ByteArrayOutputStream()
