@@ -1,6 +1,7 @@
 package graft.core
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 
 import graft.storage.TsdbConfig
 
@@ -13,7 +14,18 @@ object SchemaJson {
 
   val FileName = ".schema"
 
-  def write(tablePath: String, c: TsdbConfig): Unit = {
+  private def fsFor(tablePath: String, conf: Configuration) = {
+    val p = new Path(tablePath, FileName)
+    (p.getFileSystem(conf), p)
+  }
+
+  /** All IO goes through the Hadoop FileSystem (r12, review-caught): the
+    * old java.nio paths silently read DEFAULTS for any table addressed
+    * by URI (`file:`, `hdfs://`, `s3a://`) — on a cluster checkpoint the
+    * declared MOR-ness/intervals would simply not be seen. Callers with
+    * a SparkSession should pass its hadoopConfiguration. */
+  def write(tablePath: String, c: TsdbConfig,
+            conf: Configuration = new Configuration()): Unit = {
     c.validateForCreate() // creation-time-only rules (day-aligned granularity)
     val preAgg = c.preAggregates
       .map(_.map(l => s""""$l"""").mkString("[", ",", "]"))
@@ -29,9 +41,9 @@ object SchemaJson {
          |  "overrideOld": ${c.overrideOld},
          |  "preAggregates": $preAgg
          |}""".stripMargin
-    Files.createDirectories(Paths.get(tablePath))
-    Files.writeString(Paths.get(tablePath, FileName), json,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val (fs, p) = fsFor(tablePath, conf)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** Hot-reloading read (reference `ReadAndUpdateSchema`,
@@ -41,25 +53,31 @@ object SchemaJson {
     * re-parsing per call. A deleted schema file also drops the cache
     * entry (the table is gone, not frozen at its last config). */
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[String, ((java.nio.file.attribute.FileTime, Long), TsdbConfig)]
+    .empty[String, ((Long, Long), TsdbConfig)]
 
-  def readCached(tablePath: String): Option[TsdbConfig] = {
-    val p = Paths.get(tablePath, FileName)
-    if (!Files.exists(p)) { cache.remove(tablePath); return None }
+  def readCached(tablePath: String,
+                 conf: Configuration = new Configuration()): Option[TsdbConfig] = {
+    val (fs, p) = fsFor(tablePath, conf)
+    val st = try fs.getFileStatus(p)
+    catch { case _: java.io.FileNotFoundException =>
+      cache.remove(tablePath); return None }
     // (mtime, size): size catches rewrites inside one mtime tick on
     // coarse-granularity filesystems (same-length rewrites within one
     // tick still slip through, as in the reference's pure-mtime check)
-    val stamp = (Files.getLastModifiedTime(p), Files.size(p))
+    val stamp = (st.getModificationTime, st.getLen)
     cache.get(tablePath) match {
       case Some((s, c)) if s == stamp => Some(c)
-      case _ => read(tablePath).map { c => cache.put(tablePath, (stamp, c)); c }
+      case _ => read(tablePath, conf).map { c => cache.put(tablePath, (stamp, c)); c }
     }
   }
 
-  def read(tablePath: String): Option[TsdbConfig] = {
-    val p = Paths.get(tablePath, FileName)
-    if (!Files.exists(p)) return None
-    val s = Files.readString(p)
+  def read(tablePath: String,
+           conf: Configuration = new Configuration()): Option[TsdbConfig] = {
+    val (fs, p) = fsFor(tablePath, conf)
+    val s = try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } catch { case _: java.io.FileNotFoundException => return None }
     def long(k: String, dflt: Long): Long =
       s"""\"$k\"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(dflt)
     def strList(src: String): Seq[String] =

@@ -103,29 +103,38 @@ object WarcPlainSplit {
   }
 
   /** Header-hop one record whose version line was just consumed at
-    * `start`; returns after skipping its block. Mirrors
-    * [[WarcSource.parseFile]]'s framing rules (bounded lines, cumulative
-    * header cap, mandatory numeric Content-Length). */
+    * `start`; returns after skipping its block. Framing rules are
+    * BYTE-EXACT with [[WarcSource.parseFile]] (bounded lines, cumulative
+    * header cap, LWS continuation folding, colon rule, numeric
+    * Content-Length): any leniency here would let a record hop cleanly
+    * — the chain validates — yet quarantine in phase 2, silently
+    * under-delivering that range's quota (review-caught r12). */
   private def hopHeadersAndBlock(r: Hopper): Unit = {
     var headerBytes = 0L
-    var contentLength = -1L
+    var last: String = null
+    var clRaw: String = null
     var h = r.readLine()
     while (h != null && h.nonEmpty) {
       headerBytes += h.length + 2
       if (headerBytes > WarcSource.MaxHeaderBytes)
         throw new java.io.IOException("WARC headers too large")
-      val cont = h.charAt(0) == ' ' || h.charAt(0) == '\t'
-      if (!cont) {
+      if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && last != null) {
+        // continuation folds into the previous header's VALUE — a folded
+        // Content-Length must fail .toLong below exactly like parseFile
+        if (last == "content-length") clRaw = clRaw + " " + h.trim
+      } else {
         val i = h.indexOf(':')
         if (i <= 0) throw new java.io.IOException(s"bad WARC header: $h")
-        if (h.substring(0, i).trim.equalsIgnoreCase("content-length"))
-          contentLength = h.substring(i + 1).trim.toLong
+        last = h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+        if (last == "content-length") clRaw = h.substring(i + 1).trim
       }
       h = r.readLine()
     }
     if (h == null) throw new java.io.IOException("EOF inside WARC headers")
+    if (clRaw == null) throw new java.io.IOException("missing Content-Length")
+    val contentLength = clRaw.toLong // folded/garbled value throws, like parseFile
     if (contentLength < 0)
-      throw new java.io.IOException("missing/negative Content-Length")
+      throw new java.io.IOException(s"negative Content-Length: $contentLength")
     r.skipBytes(contentLength)
   }
 
@@ -184,7 +193,16 @@ object WarcPlainSplit {
           val p = r.position
           val line =
             try r.readLine()
-            catch { case _: java.io.IOException => "" } // binary over-long "line": keep scanning
+            catch {
+              // binary over-long "line" (the 64 KiB bound consumed bytes
+              // before throwing): keep scanning. A genuine read error
+              // leaves position unmoved — RETHROW it, or this loop would
+              // spin forever at the same offset (review-caught r12); the
+              // range then reports !ok and the sequential fallback
+              // surfaces the IO failure properly.
+              case e: java.io.IOException =>
+                if (r.position > p) "" else throw e
+            }
           // p > searchFrom (not >= start): a retry restarts AT the failed
           // candidate's own line start, which must be skipped or the
           // scan would re-elect it forever; on the first pass
@@ -266,6 +284,14 @@ object WarcPlainSplit {
           private var left = quota
           def hasNext: Boolean = {
             val h = left > 0 && it.hasNext
+            if (left > 0 && !h)
+              // the validated scan counted `quota` records here; a parse
+              // that ends early (or quarantines) after the chain
+              // validated is an invariant violation — fail LOUDLY, never
+              // silently under-deliver a range
+              throw new IllegalStateException(
+                s"$qfile: split range at $at delivered ${quota - left} of " +
+                  s"$quota scanned records")
             if (!h) { try in.close() catch { case _: java.io.IOException => () } }
             h
           }

@@ -99,22 +99,10 @@ object WarcSource {
     spark.createDataFrame(rows, Schema)
   }
 
-  /** Hadoop Configuration is not java-serializable; ship it via its own
-    * write/readFields (the standard Spark-internal pattern, re-stated
-    * here because Spark's copy is private[spark]). */
-  private[ingest] final class SerializableHadoopConf(
-      @transient private var conf: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    def value: org.apache.hadoop.conf.Configuration = conf
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject(); conf.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      conf = new org.apache.hadoop.conf.Configuration(false)
-      conf.readFields(in)
-    }
-  }
+  /** The ONE Writable-based Configuration shipper
+    * ([[graft.sources.SerializableHadoopConf]]) under its old ingest
+    * name — an alias, not a second copy. */
+  private[ingest] type SerializableHadoopConf = graft.sources.SerializableHadoopConf
 
   /** The `response`-record view most pipelines want: URI, HTTP status,
     * HTTP Content-Type, body. Corrupt and non-response records drop. */

@@ -1284,9 +1284,14 @@ object TextAnalysis {
         transform(sort_array(collect_list(
           when(col("kept"), struct(col("block_idx"), col("text"))))),
           s => s.getField("text"))).as("main_text"))
-    df.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .join(aggd, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    // NULL-SAFE join (review-caught r12): a null doc_id (or one that
+    // cast("long") nulled out) still groups and aggregates, but an
+    // equality join would never match null = null and its extracted
+    // text would silently collapse to "" — <=> keeps the null group's
+    // content flowing like any other key
+    val ids = df.select(col(idCol).cast("long").as("doc_id")).distinct()
+    ids.join(aggd, ids("doc_id") <=> aggd("doc_id"), "left")
+      .select(ids("doc_id"),
         coalesce(col("main_text"), lit("")).as("main_text"))
   }
 }

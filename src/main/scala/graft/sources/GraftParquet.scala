@@ -62,18 +62,21 @@ final class GraftParquetReader(
     conf: Configuration,
     filePath: String,
     columns: Seq[String],
-    predicate: Option[FilterPredicate],
+    predicateFor: Set[String] => Option[FilterPredicate],
     range: Option[(Long, Long)] = None)
   extends Iterator[Array[Any]] with AutoCloseable {
 
   private val hPath = new org.apache.hadoop.fs.Path(filePath)
+  /** ONE footer read per file: opened without a record filter (a
+    * predicate can only be validated against columns the footer proves
+    * present, and parquet applies ctor-time filters before the schema is
+    * visible), the row-group stats filter is applied explicitly below. */
   private val reader: ParquetFileReader = {
     val b = HadoopReadOptions.builder(conf, hPath)
       // we assemble records ourselves (no FilteringRecordMaterializer),
       // so page-level column-index filtering would desynchronize the
       // per-column readers — keep pruning at row-group granularity
       .useColumnIndexFilter(false)
-    predicate.foreach(p => b.withRecordFilter(FilterCompat.get(p)))
     range.foreach { case (s, e) => b.withRange(s, e) }
     new ParquetFileReader(HadoopInputFile.fromPath(hPath, conf), b.build())
   }
@@ -83,6 +86,21 @@ final class GraftParquetReader(
     var s = Set.empty[String]
     (0 until fileSchema.getFieldCount).foreach(i => s += fileSchema.getType(i).getName)
     s
+  }
+  /** Row groups surviving the stats filter (range pruning already
+    * happened in the constructor); identity-kept so the read loop can
+    * skip the dropped ones in file order. */
+  private val keptBlocks: java.util.IdentityHashMap[AnyRef, AnyRef] = {
+    val m = new java.util.IdentityHashMap[AnyRef, AnyRef]()
+    val blocks = reader.getRowGroups
+    predicateFor(presentNames) match {
+      case Some(p) =>
+        val kept = org.apache.parquet.filter2.compat.RowGroupFilter
+          .filterRowGroups(FilterCompat.get(p), blocks, fileSchema)
+        kept.forEach(b => m.put(b, b))
+      case None => blocks.forEach(b => m.put(b, b))
+    }
+    m
   }
   /** Columns of the projection that exist in this file, in FILE order. */
   private val projFields: Seq[Type] = {
@@ -165,19 +183,32 @@ final class GraftParquetReader(
     if (countOnly) null else new ColumnIOFactory().getColumnIO(projSchema)
 
   // ---- iteration ---------------------------------------------------------
+  private val blocksInOrder = reader.getRowGroups
+  private var blockIdx = 0
   private var recordReader: org.apache.parquet.io.RecordReader[Array[Any]] = _
   private var remainingInGroup = 0L
   private var countRemaining = // countOnly: total row count of surviving groups
     if (countOnly) {
-      val it = reader.getRowGroups.iterator()
       var n = 0L
-      while (it.hasNext) n += it.next().getRowCount
+      blocksInOrder.forEach(b => if (keptBlocks.containsKey(b)) n += b.getRowCount)
       n
     } else 0L
   private var exhausted = false
+  /** ALL projected slots null — what a record of a file missing every
+    * requested column reads as (sized to the projection, never empty:
+    * callers index into it by slot). */
+  private val allNullRow = new Array[Any](columns.length)
 
   private def advanceGroup(): Boolean = {
+    // honor the stats filter: dropped groups are skipped without IO
+    while (blockIdx < blocksInOrder.size() &&
+           !keptBlocks.containsKey(blocksInOrder.get(blockIdx))) {
+      reader.skipNextRowGroup()
+      blockIdx += 1
+    }
+    if (blockIdx >= blocksInOrder.size()) { exhausted = true; return false }
     val pages = reader.readNextRowGroup()
+    blockIdx += 1
     if (pages == null) { exhausted = true; false }
     else {
       recordReader = columnIO.getRecordReader(pages, materializer)
@@ -194,7 +225,7 @@ final class GraftParquetReader(
     }
 
   override def next(): Array[Any] =
-    if (countOnly) { countRemaining -= 1; GraftParquetReader.EmptyRow }
+    if (countOnly) { countRemaining -= 1; allNullRow.clone() }
     else {
       if (!hasNext) throw new NoSuchElementException(filePath)
       remainingInGroup -= 1
@@ -206,19 +237,4 @@ final class GraftParquetReader(
   def hasColumn(name: String): Boolean = presentNames(name)
 
   override def close(): Unit = reader.close()
-}
-
-object GraftParquetReader {
-  private val EmptyRow = new Array[Any](0)
-
-  /** Column names of `file`'s footer — planning-side schema probe used to
-    * decide which pushed predicates a file can take. */
-  def footerColumns(conf: Configuration, file: String): Set[String] = {
-    val r = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
-    try {
-      val s = r.getFooter.getFileMetaData.getSchema
-      (0 until s.getFieldCount).map(s.getType(_).getName).toSet
-    } finally r.close()
-  }
 }

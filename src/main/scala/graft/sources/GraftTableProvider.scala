@@ -164,7 +164,8 @@ private[sources] final class GraftScan(
 
   private val spark = SparkSession.active
   private val config: TsdbConfig =
-    SchemaJson.readCached(tablePath).getOrElse(TsdbConfig())
+    SchemaJson.readCached(tablePath, spark.sparkContext.hadoopConfiguration)
+      .getOrElse(TsdbConfig())
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -220,6 +221,10 @@ private[sources] final class GraftScan(
         !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
       })
       .map(st => (st.getPath.toString, st.getLen))
+      // sorted: listStatus order is fs-dependent, and the MOR merge
+      // breaks equal-__seq ties by cursor order — reads must be stable
+      // across scans, not at the mercy of directory enumeration
+      .sortBy(_._1)
 
   private lazy val planned: (Array[InputPartition], Long) = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -399,12 +404,11 @@ private[sources] final class GraftFileReader(
   private val idx: Map[String, Int] = cols.zipWithIndex.toMap
   private val seqIdx = idx.getOrElse("__seq", -1)
 
-  private val reader = {
-    val present = GraftParquetReader.footerColumns(conf, split.file)
-    new GraftParquetReader(conf, split.file, cols,
-      GraftReaders.parquetPredicate(pushed, present, None),
-      Some((split.start, split.start + split.length)))
-  }
+  // one footer read total: the predicate is built from the columns the
+  // open reader's own footer proves present
+  private val reader = new GraftParquetReader(conf, split.file, cols,
+    present => GraftReaders.parquetPredicate(pushed, present, None),
+    Some((split.start, split.start + split.length)))
 
   private var current: Array[Any] = _
 
@@ -462,9 +466,8 @@ private[sources] final class GraftMorReader(
 
   /** Per-file cursor holding the next VISIBLE, filter-passing row. */
   private final class Cursor(file: String) {
-    private val present = GraftParquetReader.footerColumns(conf, file)
     private val r = new GraftParquetReader(conf, file, cols,
-      GraftReaders.parquetPredicate(pushed, present,
+      present => GraftReaders.parquetPredicate(pushed, present,
         Some((stripe.seriesLo, stripe.seriesHi))))
     var head: Array[Any] = _
     private var lastS = Long.MinValue

@@ -612,6 +612,19 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     */
   def append(samples: DataFrame, incrementalRollup: Boolean = false): Unit =
     withWriterLock("append") {
+    // self-describing table (r12, review-caught): external readers — the
+    // DSv2 batch source, the graft-cdc streaming source — take the
+    // table's config from `.schema`, never from a caller, so a table
+    // whose creator skipped SchemaJson.write would be served with
+    // DEFAULTS (a MOR table unmerged — silently wrong). First append
+    // publishes this instance's config when no declaration exists yet.
+    // Best-effort: a config valid for an existing table but failing the
+    // CREATION rules (validateForCreate) must not break its appends.
+    try {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      if (graft.core.SchemaJson.read(path, hconf).isEmpty)
+        graft.core.SchemaJson.write(path, config, hconf)
+    } catch { case scala.util.control.NonFatal(_) => () }
     val seq = nextSeq()
     val enriched = samples
       .withColumn("valueStr",

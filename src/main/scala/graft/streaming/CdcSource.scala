@@ -67,7 +67,9 @@ final class CdcSource(sqlContext: SQLContext, metadataPath: String,
     extends Source {
 
   private val table = new TsdbTable(sqlContext.sparkSession, path,
-    SchemaJson.readCached(path).getOrElse(TsdbConfig()))
+    SchemaJson.readCached(path,
+      sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+      .getOrElse(TsdbConfig()))
 
   /** Highest seq already HANDED OUT as a batch end (not necessarily
     * committed) — the base the rate limit advances from. Durable under

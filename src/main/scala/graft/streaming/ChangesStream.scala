@@ -351,8 +351,9 @@ object ChangesStream {
       extends DeltaView(spark, path) {
     require(k >= 2, s"synopsis size k must be >= 2: $k")
 
-    /** The previous fold's cached cogroup (released at the next fold). */
-    private var lastFold: Option[DataFrame] = None
+    /** The previous fold's cached frames (the cogroup, and the re-probe
+      * rebuild when one ran) — released at the next fold. */
+    private var lastCaches: Seq[DataFrame] = Nil
 
     protected def emptySchema: StructType = StructType(Seq(
       StructField("name", StringType),
@@ -427,9 +428,10 @@ object ChangesStream {
       // write would otherwise each re-run the |state|+|window| shuffle.
       // The previous window's cache is released here — applyBatch has
       // long since persisted its output to the versioned state dir.
-      lastFold.foreach(_.unpersist())
+      lastCaches.foreach(_.unpersist())
+      lastCaches = Nil
       val cached = folded.persist()
-      lastFold = Some(cached)
+      lastCaches = Seq(cached)
       val exhausted = col("cnt") > 0 &&
         (size(col("min_cands")) === 0 || size(col("max_cands")) === 0)
       // exhausted keys as DRIVER LITERALS — bounded by the window's
@@ -454,7 +456,7 @@ object ChangesStream {
         .partitionBy("name", "labels_str").orderBy(col("time").asc)
       val wDesc = org.apache.spark.sql.expressions.Window
         .partitionBy("name", "labels_str").orderBy(col("time").desc)
-      val rebuilt = snap
+      val rebuilt0 = snap
         .withColumn("ra", row_number().over(wAsc))
         .withColumn("rd", row_number().over(wDesc))
         .groupBy("name", "labels_str")
@@ -471,10 +473,19 @@ object ChangesStream {
         .withColumn("max_fence",
           when(col("live") <= k, lit(Long.MinValue))
             .otherwise(element_at(col("hi"), 1)))
-      // exactness cross-check: the as-of probe must see exactly the
-      // maintained refcount (bounded by the probed key set)
-      val mismatch = rebuilt.join(probeKeys, Seq("name", "labels_str"))
-        .filter(col("live") =!= col("cnt"))
+      // persisted: the cross-check collect below and applyBatch's state
+      // write would otherwise each re-run the snapshot scan + windows
+      // (review-caught r12)
+      val rebuilt = rebuilt0.persist()
+      lastCaches = lastCaches :+ rebuilt
+      // exactness cross-check, FROM the probed keys (left join): a key
+      // the as-of probe cannot see at all (live 0 vs maintained cnt > 0)
+      // must trip this require, not silently vanish from the state
+      // (review-caught r12 — an inner join absorbed exactly the
+      // refcount-drift failure this check exists to catch)
+      val mismatch = probeKeys.join(rebuilt.select(col("name"),
+          col("labels_str"), col("live")), Seq("name", "labels_str"), "left")
+        .filter(coalesce(col("live"), lit(0L)) =!= col("cnt"))
         .select("name", "labels_str", "live", "cnt").limit(1).collect()
       require(mismatch.isEmpty,
         s"extent re-probe disagrees with maintained refcount: ${mismatch.headOption}")
@@ -531,7 +542,8 @@ object ChangesStream {
       extends DeltaView(spark, path) {
     require(k >= 2, s"synopsis size k must be >= 2: $k")
 
-    private var lastFold: Option[DataFrame] = None
+    /** The previous fold's cached frames (cogroup + re-probe rebuild). */
+    private var lastCaches: Seq[DataFrame] = Nil
 
     protected def emptySchema: StructType = StructType(Seq(
       StructField("name", StringType),
@@ -624,9 +636,10 @@ object ChangesStream {
                 sorted.map(_._1), sorted.map(_._2), fence._1, fence._2))
             }
         }.toDF()
-      lastFold.foreach(_.unpersist())
+      lastCaches.foreach(_.unpersist())
+      lastCaches = Nil
       val cached = folded.persist()
-      lastFold = Some(cached)
+      lastCaches = Seq(cached)
       val exhausted = col("cnt") > 0 && size(col("cand_v")) === 0
       val probeKeyRows = cached.filter(exhausted)
         .select("name", "labels_str", "cnt").collect()
@@ -645,7 +658,7 @@ object ChangesStream {
           Seq("name", "labels_str"))
         .select(col("name"), col("labels_str"), col("time"), col("value"))
         .as[(String, String, Long, Double)]
-      val rebuilt = snap.groupByKey(r => (r._1, r._2))
+      val rebuilt0 = snap.groupByKey(r => (r._1, r._2))
         .mapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
           val (n, l) = key
           implicit val ord: Ordering[(Double, Long)] = pairOrd
@@ -663,11 +676,15 @@ object ChangesStream {
           TopKRow(n, l, live, sorted.map(_._1), sorted.map(_._2),
             fence._1, fence._2)
         }.toDF()
-      val bad = rebuilt.select(col("name"), col("labels_str"),
-          col("cnt").as("live"))
-        .join(probeKeys.withColumnRenamed("cnt", "maintained"),
-          Seq("name", "labels_str"))
-        .filter(col("live") =!= col("maintained"))
+      // persisted: cross-check + state write run the plan once
+      val rebuilt = rebuilt0.persist()
+      lastCaches = lastCaches :+ rebuilt
+      // left join FROM the probed keys: a key the probe cannot see
+      // (live 0 vs cnt > 0) trips the require instead of vanishing
+      val bad = probeKeys.withColumnRenamed("cnt", "maintained")
+        .join(rebuilt.select(col("name"), col("labels_str"),
+          col("cnt").as("live")), Seq("name", "labels_str"), "left")
+        .filter(coalesce(col("live"), lit(0L)) =!= col("maintained"))
         .limit(1).collect()
       require(bad.isEmpty,
         s"top-k re-probe disagrees with maintained refcount: ${bad.headOption}")

@@ -90,9 +90,8 @@ class GraftSourceSpec extends SparkSuite {
   test("MOR table: rewrites + tombstones served MERGED, identical to readRaw") {
     val dir = Files.createTempDirectory("graft_dsv2_mor").toString
     val cfg = TsdbConfig(overrideOld = true)
-    // MOR-ness is a TABLE property the source must not guess — declared
-    // by the .schema file, exactly like the graft-cdc streaming source
-    graft.core.SchemaJson.write(s"$dir/tbl", cfg)
+    // NO explicit SchemaJson.write: the first append self-describes the
+    // table (r12) — the source must still see MOR-ness and merge
     val t = new TsdbTable(spark, s"$dir/tbl", cfg)
     t.append(samples(
       ("cpu", "a", Base, 1.0), ("cpu", "a", Base + 1000, 2.0),
@@ -142,6 +141,25 @@ class GraftSourceSpec extends SparkSuite {
     val ds = spark.read.format("graft").load(s"$dir/tbl")
     assert(ds.count() == 1 && ds.select("value").head().getDouble(0) == 1.0)
     assert(sortedRows(ds) == sortedRows(t.readRaw(0L, Long.MaxValue)))
+  }
+
+  test("count(*) and narrow projections survive a legacy file missing every internal column") {
+    val dir = Files.createTempDirectory("graft_dsv2_count").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    t.append(samples(("cpu", "a", Base, 1.0)))
+    // a legacy import: rows without __seq dropped into the partition dir
+    // (manifest exists, so the reader's internal set is {__seq} — which
+    // this file lacks entirely: the count-only path must emit sized
+    // all-null rows, not zero-length ones)
+    t.readRaw(0L, Long.MaxValue)
+      .withColumn("time", col("time") + 5)
+      .drop("part_start")
+      .write.mode("append").parquet(s"$dir/tbl/raw/part_start=$Base")
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+    assert(ds.count() == 2)
+    assert(ds.select("part_start").collect().map(_.getLong(0)).toSeq ==
+      Seq(Base, Base))
+    assert(ds.select("name", "time").count() == 2)
   }
 
   test("legacy manifest-less parquet-only table reads fully visible") {

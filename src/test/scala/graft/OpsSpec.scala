@@ -1208,6 +1208,20 @@ class JustextSpec extends SparkSuite {
       "absence of main content must not read as absence of the document")
     assert(out(1L) == para && out(2L) == "" && out(3L) == "" && out(4L) == "")
   }
+
+  test("extractMainContent: a NULL doc_id keeps its extracted text (null-safe join, review-caught r12)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(5L), s"<p>$para</p>"),
+      (None: Option[Long], s"<p>$para tail.</p>")
+    ).toDF("doc_id", "html")
+    val out = TextAnalysis.extractMainContent(df).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1))
+      .toMap
+    assert(out(5L) == para)
+    assert(out(-1L) == s"$para tail.",
+      "the null-id group's main content must not collapse to empty")
+  }
 }
 
 class TextAnalysisSpec extends SparkSuite {

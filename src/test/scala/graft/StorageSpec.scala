@@ -1965,6 +1965,28 @@ class CdcTopKSpec extends SparkSuite {
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
 
+  test("re-probe cross-check fires when the snapshot cannot see an exhausted key (left join, not inner)") {
+    val dir = Files.createTempDirectory("cdc_topk_probe").toString
+    val t = new TsdbTable(spark, s"$dir/table",
+      TsdbConfig(rollupIntervalMs = 3600000L, overrideOld = true))
+    val feed = new ChangesStream.ChangesFeed(t, s"$dir/ckpt")
+    // a BROKEN snapshot source: returns nothing — the exhausted key's
+    // rebuild produces NO row, which the left-join cross-check must
+    // surface as live=0 vs cnt>0, never silently drop (review-caught)
+    val view = new ChangesStream.SeriesTopKReplica(spark, s"$dir/topk",
+      k = 2, snapshotAt = seq =>
+        t.readRawAsOf(0L, Long.MaxValue, seq).filter(col("name") === "nope"))
+    t.append(samples((0 until 6).map(i => ("cpu", Base + i * 1000L, i.toDouble)): _*))
+    assert(ChangesStream.drain(feed)(view.applyBatch) == 1)
+    // delete both candidates {5,4} in one window -> synopsis exhausts
+    t.delete(Base + 4000, Base + 5000, metrics = Seq("cpu"))
+    val e = intercept[IllegalArgumentException] {
+      ChangesStream.drain(feed)(view.applyBatch)
+    }
+    assert(e.getMessage.contains("re-probe disagrees"), e.getMessage)
+    graft.core.Fs.rmTree(new java.io.File(dir))
+  }
+
   test("top-k rides the multi-view fan-out and refuses a thinned synopsis instead of serving a partial top-j") {
     val dir = Files.createTempDirectory("cdc_topk_mv").toString
     val t = new TsdbTable(spark, s"$dir/table",

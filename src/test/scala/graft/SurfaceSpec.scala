@@ -683,6 +683,24 @@ class WarcIngestSpec extends SparkSuite {
       java.util.Arrays.copyOf(all, all.length - 37))
     assert(rows(WarcPlainSplit.readSplit(spark, torn, 5)) ==
       rows(WarcSource.read(spark, torn)))
+    // a record whose Content-Length header carries an LWS CONTINUATION:
+    // parseFile folds it into the value and quarantines; the hop's
+    // framing is byte-exact with parseFile (review-caught r12), so the
+    // chain refuses and the split read equals the sequential one —
+    // corrupt row, early stop and all
+    val folded = s"$data/folded.warc"
+    val fo = new java.io.FileOutputStream(folded)
+    WarcSource.writeRecord(fo, "resource",
+      Seq("WARC-Target-URI" -> "https://x/good"), "ok".getBytes("UTF-8"))
+    fo.write(("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "Content-Length: 2\r\n 9\r\n\r\nxx\r\n\r\n").getBytes("ISO-8859-1"))
+    WarcSource.writeRecord(fo, "resource",
+      Seq("WARC-Target-URI" -> "https://x/after"), "zz".getBytes("UTF-8"))
+    fo.close()
+    assert(rows(WarcPlainSplit.readSplit(spark, folded, 3)) ==
+      rows(WarcSource.read(spark, folded)),
+      "folded Content-Length must fall back to sequential semantics")
+
     // the ingest loop auto-splits big plain segments with no sidecar
     val ing = new graft.ingest.WarcIngest(spark, s"$data/seg.warc",
       s"$dir/ckpt", splitThresholdBytes = 1024L, splitsPerSegment = 6)
