@@ -75,6 +75,12 @@ object Bench {
     "tsdb_overlap_windows", "tsdb_downsample", "tsdb_variant_last",
     "tsdb_sql", "tsdb_multi_agg", "tsdb_storage_agg", "tsdb_sliding_server",
     "tsdb_storage_preagg",
+    // r12: the DSv2 batch source — a genuinely new scan implementation
+    // (own parquet reader + pushdown), over the once-staged storedTable;
+    // tsdb_dsv2_mor and tsdb_cdc_topk stay correctness-gated (each
+    // re-stages and re-mutates a fresh table per run, the
+    // tsdb_delete/tsdb_cdc_views exclusion rule)
+    "tsdb_dsv2_read",
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",
@@ -97,7 +103,8 @@ object Bench {
     "corpus_doremi", "corpus_interleave",
     "corpus_epochs", "corpus_jsonl", "corpus_warc", "corpus_warc_text",
     "corpus_crawl_pipeline", "corpus_pdf_text", "multimodal_probe_pdf",
-    "corpus_pdf_pipeline", "corpus_pdf_cid", "corpus_diff",
+    "corpus_pdf_pipeline", "corpus_pdf_cid", "corpus_pdf_encrypted",
+    "corpus_diff",
     "corpus_stats", "corpus_cube", "corpus_quality_gate",
     "text_dedup_lines", "text_main_content",
     "sim_semdedup",
