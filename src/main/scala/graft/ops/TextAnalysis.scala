@@ -1271,27 +1271,35 @@ object TextAnalysis {
     * blocks all classify bad/unkept — or that segments to zero blocks —
     * comes back with `main_text = ""`, never silently missing, so a
     * downstream join can tell "no main content" from "document
-    * missing". Unkept blocks are dropped INSIDE the aggregate
-    * (`collect_list` skips the `when`'s nulls); the left join back to
-    * the input ids covers only the zero-block case. */
+    * missing" (null ids included — each input row maps to one output
+    * row, so nothing can drop).
+    *
+    * ZERO-SHUFFLE (r12, the r11 verdict's fast-path note): each input
+    * row IS one document, and [[justext]] emits its blocks in document
+    * order, so the joined text assembles inside the same partition-local
+    * pass that classifies — the old blocks→groupBy→join reassembly paid
+    * a full shuffle for an order the scan already had. Callers who need
+    * per-block audit rows keep [[mainContentBlocks]]. */
   def extractMainContent(df: DataFrame, htmlCol: String = "html",
                          idCol: String = "doc_id"): DataFrame = {
-    val aggd = mainContentBlocks(df, htmlCol, idCol)
-      .groupBy("doc_id")
-      // collect_list order is shuffle-dependent — sort by block_idx
-      // (struct sort is lexicographic, idx leads) before joining
-      .agg(concat_ws("\n",
-        transform(sort_array(collect_list(
-          when(col("kept"), struct(col("block_idx"), col("text"))))),
-          s => s.getField("text"))).as("main_text"))
-    // NULL-SAFE join (review-caught r12): a null doc_id (or one that
-    // cast("long") nulled out) still groups and aggregates, but an
-    // equality join would never match null = null and its extracted
-    // text would silently collapse to "" — <=> keeps the null group's
-    // content flowing like any other key
-    val ids = df.select(col(idCol).cast("long").as("doc_id")).distinct()
-    ids.join(aggd, ids("doc_id") <=> aggd("doc_id"), "left")
-      .select(ids("doc_id"),
-        coalesce(col("main_text"), lit("")).as("main_text"))
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("main_text", StringType)))
+    val rows = df.select(col(idCol).cast("long"), col(htmlCol)).rdd.map { r =>
+      val id: java.lang.Long =
+        if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+      val sb = new java.lang.StringBuilder
+      justext(if (r.isNullAt(1)) null else r.getString(1)).foreach { b =>
+        if (b.kept) {
+          if (sb.length > 0) sb.append('\n')
+          sb.append(b.text)
+        }
+      }
+      Row(id, sb.toString)
+    }
+    spark.createDataFrame(rows, schema)
   }
 }
