@@ -166,11 +166,16 @@ private[sources] final class GraftScan(
   private val config: TsdbConfig =
     SchemaJson.readCached(tablePath, spark.sparkContext.hadoopConfiguration)
       .getOrElse(TsdbConfig())
+  /** Snapshot handle (r12): `option("asOf", seq)` serves the table
+    * exactly as it stood at that committed seq — Delta `versionAsOf`
+    * shaped, same fence/handle rules as [[TsdbTable.readRawAsOf]]. */
+  private val asOf: Option[Long] = Option(options.get("asof")).map(_.toLong)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan path=$tablePath, mor=${config.overrideOld}, " +
+      asOf.map(s => s"asOf=$s, ").getOrElse("") +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
@@ -279,12 +284,17 @@ private[sources] final class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // committed-visibility snapshot, frozen at planning like rawFiles():
-    // lenient read (current-view availability); None = legacy
-    // manifest-less table = everything visible
-    val commits = new TsdbTable(spark, tablePath, config).commitsSnapshot()
+    // lenient read for the current view (availability); STRICT + horizon
+    // fence under asOf (a transient manifest error or a fenced handle
+    // must fail the snapshot loudly, never serve a torn/empty view)
+    val t = new TsdbTable(spark, tablePath, config)
+    val commits = asOf match {
+      case Some(seq) => t.commitsSnapshotAsOf(seq)
+      case None => t.commitsSnapshot()
+    }
     new GraftReaderFactory(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-      required.fieldNames.toSeq, pushed, commits, config.overrideOld)
+      required.fieldNames.toSeq, pushed, commits, config.overrideOld, asOf)
   }
 }
 
@@ -293,11 +303,12 @@ private[sources] final class GraftReaderFactory(
     requested: Seq[String],
     pushed: Array[Filter],
     commits: Option[(Long, Set[Long])],
-    mor: Boolean) extends PartitionReaderFactory {
+    mor: Boolean,
+    asOf: Option[Long]) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
-    case s: GraftFileSplit => new GraftFileReader(conf.value, s, requested, pushed, commits)
-    case m: GraftMorStripe => new GraftMorReader(conf.value, m, requested, pushed, commits)
+    case s: GraftFileSplit => new GraftFileReader(conf.value, s, requested, pushed, commits, asOf)
+    case m: GraftMorStripe => new GraftMorReader(conf.value, m, requested, pushed, commits, asOf)
   }
 }
 
@@ -371,14 +382,21 @@ private[sources] object GraftReaders {
   }
 
   /** visibility: NULL `__seq` (legacy rows) and committed seqs pass —
-    * `TsdbTable.visibleSeqCond` exactly. */
-  def visible(seq: Any, commits: Option[(Long, Set[Long])]): Boolean = commits match {
-    case None => true
-    case Some((floor, seqs)) => seq match {
-      case null => true
-      case s: Long => s <= floor || seqs(s)
-      case s => val l = s.asInstanceOf[Number].longValue(); l <= floor || seqs(l)
+    * `TsdbTable.visibleSeqCond` exactly; under a snapshot handle, also
+    * `seq <= asOf` (legacy NULL rows predate every seq and stay in —
+    * `readRawAsOf` semantics). */
+  def visible(seq: Any, commits: Option[(Long, Set[Long])],
+              asOf: Option[Long]): Boolean = {
+    val l: java.lang.Long = seq match {
+      case null => null
+      case s: Long => s
+      case s => s.asInstanceOf[Number].longValue()
     }
+    val committed = commits match {
+      case None => true
+      case Some((floor, seqs)) => l == null || l <= floor || seqs(l)
+    }
+    committed && (asOf.isEmpty || l == null || l <= asOf.get)
   }
 
   def toRow(cols: Array[Any]): InternalRow = new GenericInternalRow(cols)
@@ -390,11 +408,12 @@ private[sources] final class GraftFileReader(
     split: GraftFileSplit,
     requested: Seq[String],
     pushed: Array[Filter],
-    commits: Option[(Long, Set[Long])]) extends PartitionReader[InternalRow] {
+    commits: Option[(Long, Set[Long])],
+    asOf: Option[Long]) extends PartitionReader[InternalRow] {
 
   private val filterCols =
     pushed.flatMap(_.references).toSet.filter(_ != "part_start")
-  private val needSeq = commits.nonEmpty
+  private val needSeq = commits.nonEmpty || asOf.nonEmpty
   // internal slot layout: requested columns first, then extras the
   // reader itself needs (filter columns, __seq) not already requested
   private val extras =
@@ -416,7 +435,7 @@ private[sources] final class GraftFileReader(
     while (reader.hasNext) {
       val row = reader.next()
       def get(c: String): Any = idx.get(c).map(row(_)).orNull
-      val vis = seqIdx < 0 || GraftReaders.visible(row(seqIdx), commits)
+      val vis = seqIdx < 0 || GraftReaders.visible(row(seqIdx), commits, asOf)
       if (vis && pushed.forall(GraftReaders.eval(_, get, split.partStart))) {
         current = emit(row)
         return true
@@ -450,7 +469,8 @@ private[sources] final class GraftMorReader(
     stripe: GraftMorStripe,
     requested: Seq[String],
     pushed: Array[Filter],
-    commits: Option[(Long, Set[Long])]) extends PartitionReader[InternalRow] {
+    commits: Option[(Long, Set[Long])],
+    asOf: Option[Long]) extends PartitionReader[InternalRow] {
 
   private val filterCols =
     pushed.flatMap(_.references).toSet.filter(_ != "part_start")
@@ -485,7 +505,7 @@ private[sources] final class GraftMorReader(
         lastS = s; lastT = t
         def get(c: String): Any = idx.get(c).map(row(_)).orNull
         if (s >= stripe.seriesLo && s <= stripe.seriesHi &&
-            GraftReaders.visible(row(seqIdx), commits) &&
+            GraftReaders.visible(row(seqIdx), commits, asOf) &&
             pushed.forall(GraftReaders.eval(_, get, stripe.partStart)))
           head = row
       }

@@ -383,6 +383,24 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
   private[graft] def commitsSnapshot(): Option[(Long, Set[Long])] =
     readCommits(strict = false).map(c => (c.floor, c.seqs))
 
+  /** The snapshot-read variant for external readers: STRICT manifest
+    * (a transient read error must fail the snapshot, not corrupt it)
+    * plus the [[readRawAsOf]] horizon fence and handle validation. */
+  private[graft] def commitsSnapshotAsOf(asOfSeq: Long): Option[(Long, Set[Long])] = {
+    require(asOfSeq > 0,
+      s"asOf=$asOfSeq is not a snapshot handle: take one with currentSeq() " +
+        "(seqs are wall-clock ms — always positive)")
+    val c = readCommits(strict = true)
+    c.map(_.horizon).filter(_ > asOfSeq).foreach { h =>
+      throw new IllegalArgumentException(
+        s"snapshot seq=$asOfSeq predates the history-rewrite horizon=$h of $path: " +
+          "compaction / retention / a partition-drop or non-MOR delete has " +
+          "physically removed the file generations this snapshot needs. " +
+          "Time travel reaches back only to the most recent rewrite.")
+    }
+    c.map(x => (x.floor, x.seqs))
+  }
+
   /** Publish the manifest as the NEXT commit-log version — one atomic
     * create-if-absent ([[CommitLog.tryPublish]]).
     *

@@ -177,6 +177,39 @@ class GraftSourceSpec extends SparkSuite {
       Seq("cpu", "mem"))
   }
 
+  test("option(asOf): DSv2 snapshot reads == readRawAsOf, fences and bad handles throw (r12)") {
+    val dir = Files.createTempDirectory("graft_dsv2_asof").toString
+    val cfg = TsdbConfig(overrideOld = true)
+    val t = new TsdbTable(spark, s"$dir/tbl", cfg)
+    t.append(samples(("cpu", "a", Base, 1.0), ("mem", "b", Base + Day, 2.0)))
+    val snap = t.currentSeq()
+    // a rewrite AND a tombstone after the handle: the snapshot must show
+    // the old value and the later-deleted row
+    t.append(samples(("cpu", "a", Base, 10.0)))
+    t.delete(Base + Day, Base + Day, metrics = Seq("mem"))
+    def asOfDf = spark.read.format("graft").option("asOf", snap.toString)
+      .load(s"$dir/tbl")
+    assert(sortedRows(asOfDf) == sortedRows(t.readRawAsOf(0L, Long.MaxValue, snap)))
+    assert(asOfDf.filter(col("name") === "cpu").select("value")
+      .head().getDouble(0) == 1.0, "pre-rewrite value at the snapshot")
+    assert(asOfDf.filter(col("name") === "mem").count() == 1,
+      "the later-deleted row is live at the snapshot")
+    // current view unaffected
+    val cur = spark.read.format("graft").load(s"$dir/tbl")
+    assert(cur.filter(col("name") === "cpu").select("value")
+      .head().getDouble(0) == 10.0)
+    assert(cur.filter(col("name") === "mem").count() == 0)
+    // compaction fences history: the old handle now throws loudly
+    t.compact()
+    val e = intercept[Exception](asOfDf.count())
+    assert(e.getMessage != null && e.getMessage.contains("horizon"),
+      s"fenced snapshot must fail loudly: ${e.getMessage}")
+    // and a non-handle (asOf=0) is rejected
+    val e2 = intercept[Exception](
+      spark.read.format("graft").option("asOf", "0").load(s"$dir/tbl").count())
+    assert(e2.getMessage.contains("snapshot handle"), e2.getMessage)
+  }
+
   test("empty and missing tables serve an empty frame with the raw schema") {
     val dir = Files.createTempDirectory("graft_dsv2_empty").toString
     val ds = spark.read.format("graft").load(s"$dir/nope")
