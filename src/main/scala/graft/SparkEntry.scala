@@ -557,6 +557,27 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // DSv2 WRITE path (r12): df.write.format("graft").mode(append) runs
+    // the full append orchestration through the V1Write fallback (raw
+    // partitioned write + rollup + names + one atomic commit + .schema
+    // self-description); the written table is read back through the
+    // DSv2 source and aggregated — the twin recomputes from the events
+    // CTE, so a hash match proves the round trip end to end.
+    "tsdb_dsv2_write" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_write")
+      try {
+        samples.write.format("graft").mode("append").save(s"$tmp/table")
+        val out = s.read.format("graft").load(s"$tmp/table")
+          .filter(col("name") === "view")
+          .groupBy("labels_str")
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+          .orderBy("labels_str")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // ------------------------------------------------------------------- S4
     "tsdb_names" -> ((s, dir) => QueryEngine.names(Samples.fromEvents(s, dir))),
 
@@ -3574,6 +3595,12 @@ object SparkEntry {
          |)
          |SELECT name, count(*) AS cnt, round(sum(v), 4) AS sum_v
          |FROM m GROUP BY name ORDER BY name""".stripMargin,
+
+    "tsdb_dsv2_write" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT labels_str, count(*) AS cnt, round(sum(v), 4) AS sum_v
+         |FROM s WHERE name = 'view'
+         |GROUP BY labels_str ORDER BY labels_str""".stripMargin,
 
     "tsdb_names" ->
       "SELECT DISTINCT event_type AS name FROM events ORDER BY name",

@@ -92,19 +92,63 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
 
 private[sources] final class GraftBatchTable(
     tablePath: String, options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft.`$tablePath`"
   override def schema(): StructType = TsdbTable.RawSchema
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity("part_start"))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      // writes go through the V1 InsertableRelation fallback: an append
+      // is a driver-side ORCHESTRATION (partitioned raw write + rollup
+      // fold + names merge + one atomic commit), not a per-task row
+      // sink — exactly the seam V1_BATCH_WRITE exists for
+      // (DataFrameWriter's capability gate checks BATCH_WRITE; the
+      // planner then picks the V1 exec from the Write being a V1Write).
+      // Input is the SAMPLE schema (name/labels/time/value[, valueStr]),
+      // a subset of the read schema, hence ACCEPT_ANY_SCHEMA + our own
+      // validation in newWriteBuilder.
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
     merged.putAll(o)
     new GraftScanBuilder(tablePath, new CaseInsensitiveStringMap(merged))
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val in = info.schema()
+    val required = Seq("name", "labels", "time", "value")
+    val missing = required.filterNot(in.fieldNames.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft sink takes the sample schema (name, labels, time, value" +
+          s"[, valueStr]); input is missing ${missing.mkString(", ")}")
+    val cols = required ++
+      (if (in.fieldNames.contains("valueStr")) Seq("valueStr") else Nil)
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            (df: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              if (overwrite)
+                throw new UnsupportedOperationException(
+                  "graft sink appends only — deletes/retention/compaction " +
+                    "are table maintenance operations, not write modes")
+              val spark = df.sparkSession
+              val cfg = SchemaJson
+                .readCached(tablePath, spark.sparkContext.hadoopConfiguration)
+                .getOrElse(TsdbConfig())
+              new TsdbTable(spark, tablePath, cfg)
+                .append(df.selectExpr(cols: _*))
+            }
+        }
+    }
   }
 }
 

@@ -210,6 +210,35 @@ class GraftSourceSpec extends SparkSuite {
     assert(e2.getMessage.contains("snapshot handle"), e2.getMessage)
   }
 
+  test("write path (r12): df.write.format(\"graft\").mode(append) runs the full table machinery; overwrite and bad schemas reject") {
+    val dir = Files.createTempDirectory("graft_dsv2_write").toString
+    val df1 = samples(("cpu", "a", Base, 1.0), ("mem", "b", Base + Day, 2.0))
+    df1.write.format("graft").mode("append").save(s"$dir/tbl")
+    // the sink ran the real append orchestration: manifest committed,
+    // .schema self-described, rollup + names materialized
+    assert(new java.io.File(s"$dir/tbl/.schema").exists)
+    assert(new java.io.File(s"$dir/tbl/rollup").exists)
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    assert(t.currentSeq() > 0, "the write must commit a batch seq")
+    assert(sortedRows(spark.read.format("graft").load(s"$dir/tbl")) ==
+      sortedRows(t.readRaw(0L, Long.MaxValue)))
+    // a second append accumulates
+    samples(("cpu", "c", Base + 2 * Day, 3.0))
+      .write.format("graft").mode("append").save(s"$dir/tbl")
+    assert(spark.read.format("graft").load(s"$dir/tbl").count() == 3)
+    // overwrite is NOT a write mode here
+    val e = intercept[Exception](df1.write.format("graft")
+      .mode("overwrite").save(s"$dir/tbl"))
+    assert(e.getMessage != null, e.toString)
+    // a frame missing the sample schema rejects loudly
+    import spark.implicits._
+    val bad = Seq((1L, 2.0)).toDF("time", "value")
+    val e2 = intercept[Exception](bad.write.format("graft")
+      .mode("append").save(s"$dir/tbl"))
+    assert(e2.getMessage.contains("sample schema") ||
+      e2.getCause != null, e2.getMessage)
+  }
+
   test("empty and missing tables serve an empty frame with the raw schema") {
     val dir = Files.createTempDirectory("graft_dsv2_empty").toString
     val ds = spark.read.format("graft").load(s"$dir/nope")
