@@ -61,9 +61,38 @@ import graft.storage.{TsdbConfig, TsdbTable}
   *  - column pruning reaches the parquet page level (unrequested columns
   *    are never decoded).
   */
-final class GraftTableProvider extends TableProvider with DataSourceRegister {
+final class GraftTableProvider extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
   override def supportsExternalMetadata(): Boolean = true
+
+  /** `df.writeStream.format("graft").option("path", tableDir)` — the
+    * streaming INGEST sink under the same name (r12), completing the
+    * surface matrix with the batch read/write and the `graft-cdc`
+    * source. Each micro-batch runs the shared [[graft.streaming.IngestJob]]
+    * batch body (per-batch key collapse; MOR tables rely on LWW) with
+    * RECOMPUTE rollups — a bare sink cannot see the upstream watermark,
+    * so the incremental-merge disjointness the full [[IngestJob.start]]
+    * pipeline proves is not assumed here. EXACTLY-ONCE by a batch-tip
+    * file in the table dir (`_stream_tip`, atomic temp+rename): a batch
+    * replayed after a crash between addBatch and the engine's commit is
+    * detected and skipped — valid under the table's single-writer
+    * contract (one stream per table, like every other mutation). For
+    * watermarked cross-batch dedup + incremental rollups, use
+    * `IngestJob.start`. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft streaming sink requires option(\"path\", tableDir)"))
+    if (outputMode != org.apache.spark.sql.streaming.OutputMode.Append())
+      throw new IllegalArgumentException(
+        s"graft streaming sink is append-only, got $outputMode")
+    new GraftStreamSink(sqlContext.sparkSession, path)
+  }
 
   private def pathOf(options: util.Map[String, String]): String = {
     val p = options.get("path")
@@ -610,4 +639,110 @@ private[sources] final class GraftMorReader(
 
   override def get(): InternalRow = GraftReaders.toRow(current)
   override def close(): Unit = cursors.foreach(_.close())
+}
+
+/** The streaming ingest sink behind `writeStream.format("graft")` — see
+  * [[GraftTableProvider.createSink]]. The replay guard is the DeltaView
+  * applied-tip discipline on a `_stream_tip` file beside the table:
+  * batchIds are monotone per checkpoint, the table is single-writer, so
+  * `batchId <= tip` is exactly "this batch already appended". */
+private[graft] final class GraftStreamSink(
+    spark: SparkSession, tablePath: String)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private def fs = new Path(tablePath)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def tipPath = new Path(tablePath, "_stream_tip")
+
+  private def readTip(): Long =
+    try {
+      val in = fs.open(tipPath)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => -1L }
+
+  private def writeTip(batchId: Long): Unit = {
+    val tmp = new Path(tablePath, s"._stream_tip.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, tipPath)) {
+      fs.delete(tipPath, false)
+      if (!fs.rename(tmp, tipPath))
+        throw new java.io.IOException(s"cannot publish $tipPath")
+    }
+  }
+
+  /** InternalRow → external Row for the sample-schema types the sink
+    * accepts (atomics, strings, string→string maps; arrays/structs for
+    * completeness). The engine's batch frame is streaming-flagged —
+    * `.write`/`.rdd` re-analyze and refuse — but its EXISTING
+    * `queryExecution.toRdd` executes the planned incremental batch
+    * directly, and converting eagerly per row is safe against the
+    * UnsafeRow-reuse iterator contract. */
+  private def toRowRdd(data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val schema = data.schema
+    def convert(v: Any, dt: org.apache.spark.sql.types.DataType): Any = dt match {
+      case _ if v == null => null
+      case _: org.apache.spark.sql.types.StringType => v.toString
+      case m: org.apache.spark.sql.types.MapType =>
+        val md = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ks = md.keyArray().toArray[Any](m.keyType)
+        val vs = md.valueArray().toArray[Any](m.valueType)
+        ks.zip(vs).map { case (k, x) =>
+          convert(k, m.keyType) -> convert(x, m.valueType)
+        }.toMap
+      case a: org.apache.spark.sql.types.ArrayType =>
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[Any](a.elementType).map(convert(_, a.elementType)).toSeq
+      case st: org.apache.spark.sql.types.StructType =>
+        val ir = v.asInstanceOf[InternalRow]
+        org.apache.spark.sql.Row.fromSeq(st.fields.zipWithIndex.map {
+          case (f, i) =>
+            if (ir.isNullAt(i)) null else convert(ir.get(i, f.dataType), f.dataType)
+        }.toSeq)
+      case _ => v // atomics pass through (long/double/int/boolean/binary)
+    }
+    data.queryExecution.toRdd.mapPartitions { it =>
+      it.map { ir =>
+        org.apache.spark.sql.Row.fromSeq(schema.fields.zipWithIndex.map {
+          case (f, i) =>
+            if (ir.isNullAt(i)) null else convert(ir.get(i, f.dataType), f.dataType)
+        }.toSeq)
+      }
+    }
+  }
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    if (batchId <= readTip()) return // replay after a crash: already in
+    val required = Seq("name", "labels", "time", "value")
+    val missing = required.filterNot(data.schema.fieldNames.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft streaming sink takes the sample schema (name, labels, time, " +
+          s"value[, valueStr]); input is missing ${missing.mkString(", ")}")
+    val cols = required ++
+      (if (data.schema.fieldNames.contains("valueStr")) Seq("valueStr") else Nil)
+    val cfg = SchemaJson
+      .readCached(tablePath, spark.sparkContext.hadoopConfiguration)
+      .getOrElse(TsdbConfig())
+    val t = new TsdbTable(spark, tablePath, cfg)
+    // Append consumes its input several times (raw write + rollup +
+    // names) while the engine's batch plan is one-shot — STAGE the batch
+    // to parquet beside the table (dot-dir: invisible to its listings)
+    // and re-read it as a plain frame: bounded memory at any batch size
+    // (a driver collect would cap backfill batches); a crashed batch
+    // leaves only an ignored stage.
+    val stage = new Path(tablePath, s".sink_stage_$batchId")
+    spark.createDataFrame(toRowRdd(data), data.schema)
+      .selectExpr(cols: _*)
+      .write.mode("overwrite").parquet(stage.toString)
+    try {
+      val batch = spark.read.parquet(stage.toString)
+      graft.streaming.IngestJob.appendBatch(t, batch, inWatermarkDeduped = false)
+      writeTip(batchId)
+    } finally fs.delete(stage, true)
+  }
+
+  override def toString: String = s"GraftStreamSink[$tablePath]"
 }

@@ -57,23 +57,38 @@ object IngestJob {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // overrideOld resolves duplicates ACROSS batches by __seq, but
-        // rows replayed into the SAME micro-batch (at-least-once sources,
-        // unioned inputs) share one __seq and would tie nondeterministically
-        // in the merge-on-read — collapse them here, keeping one arbitrary
-        // row per (series, time) as the reference's per-sample UpdateItem
-        // ordering would
-        val b =
-          if (!overrideOld) batch
-          else batch
-            .withColumn("__series", graft.core.Labels.seriesId(col("name"), col("labels")))
-            .dropDuplicates("__series", "time")
-            .drop("__series")
-        // incremental merge requires batch ∩ existing-raw = ∅ — guaranteed
-        // by the in-watermark dedup, which overrideOld DISABLES; rewrites
-        // must recompute the touched partitions from raw instead
-        if (!b.isEmpty) table.append(b, incrementalRollup = !overrideOld)
+        appendBatch(table, batch, inWatermarkDeduped = true)
       }
       .start()
+  }
+
+  /** One micro-batch into the table — the foreachBatch body, shared with
+    * the `format("graft")` streaming sink.
+    *
+    * @param inWatermarkDeduped the caller ran the cross-batch
+    *        in-watermark dedup (the [[start]] pipeline), so non-MOR
+    *        batches satisfy batch ∩ existing-raw = ∅ and the INCREMENTAL
+    *        rollup merge is safe; a bare sink cannot guarantee that and
+    *        must recompute touched partitions instead. */
+  private[graft] def appendBatch(table: TsdbTable, batch: DataFrame,
+                                 inWatermarkDeduped: Boolean): Unit = {
+    val overrideOld = table.config.overrideOld
+    // overrideOld resolves duplicates ACROSS batches by __seq, but
+    // rows replayed into the SAME micro-batch (at-least-once sources,
+    // unioned inputs) share one __seq and would tie nondeterministically
+    // in the merge-on-read — collapse them here, keeping one arbitrary
+    // row per (series, time) as the reference's per-sample UpdateItem
+    // ordering would
+    val b =
+      if (!overrideOld) batch
+      else batch
+        .withColumn("__series", graft.core.Labels.seriesId(col("name"), col("labels")))
+        .dropDuplicates("__series", "time")
+        .drop("__series")
+    // incremental merge requires batch ∩ existing-raw = ∅ — guaranteed
+    // by the in-watermark dedup, which overrideOld DISABLES; rewrites
+    // must recompute the touched partitions from raw instead
+    if (!b.isEmpty)
+      table.append(b, incrementalRollup = !overrideOld && inWatermarkDeduped)
   }
 }
