@@ -3,6 +3,7 @@ package graft.sources
 import java.util
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
@@ -73,11 +74,14 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
     * batch body (per-batch key collapse; MOR tables rely on LWW) with
     * RECOMPUTE rollups — a bare sink cannot see the upstream watermark,
     * so the incremental-merge disjointness the full [[IngestJob.start]]
-    * pipeline proves is not assumed here. EXACTLY-ONCE by a batch-tip
-    * file in the table dir (`_stream_tip`, atomic temp+rename): a batch
-    * replayed after a crash between addBatch and the engine's commit is
-    * detected and skipped — valid under the table's single-writer
-    * contract (one stream per table, like every other mutation). For
+    * pipeline proves is not assumed here. EXACTLY-ONCE by a
+    * writer-transaction tag INSIDE the table's atomic manifest commit
+    * (the Delta txnAppId/version shape, keyed by the query's checkpoint
+    * location): the batch's data and its replay marker publish in ONE
+    * atomic filesystem operation, so a crash at any point either left
+    * both or neither — a replayed batch is detected exactly, and a NEW
+    * query (fresh checkpoint) gets its own tag instead of silently
+    * losing its first batches to another query's counter. For
     * watermarked cross-batch dedup + incremental rollups, use
     * `IngestJob.start`. */
   override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
@@ -85,13 +89,14 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
                           partitionColumns: Seq[String],
                           outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    val path = parameters.getOrElse("path",
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = params.getOrElse("path",
       throw new IllegalArgumentException(
         "graft streaming sink requires option(\"path\", tableDir)"))
     if (outputMode != org.apache.spark.sql.streaming.OutputMode.Append())
       throw new IllegalArgumentException(
         s"graft streaming sink is append-only, got $outputMode")
-    new GraftStreamSink(sqlContext.sparkSession, path)
+    new GraftStreamSink(sqlContext.sparkSession, path, params)
   }
 
   private def pathOf(options: util.Map[String, String]): String = {
@@ -151,15 +156,9 @@ private[sources] final class GraftBatchTable(
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    val in = info.schema()
-    val required = Seq("name", "labels", "time", "value")
-    val missing = required.filterNot(in.fieldNames.contains)
-    if (missing.nonEmpty)
-      throw new IllegalArgumentException(
-        s"graft sink takes the sample schema (name, labels, time, value" +
-          s"[, valueStr]); input is missing ${missing.mkString(", ")}")
-    val cols = required ++
-      (if (in.fieldNames.contains("valueStr")) Seq("valueStr") else Nil)
+    val cols = GraftWrites.sampleColumns(info.schema(), "graft sink")
+    val writeOpts = options.asCaseSensitiveMap().asScala
+      .map { case (k, v) => k.toLowerCase -> v }.toMap
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -170,9 +169,7 @@ private[sources] final class GraftBatchTable(
                   "graft sink appends only — deletes/retention/compaction " +
                     "are table maintenance operations, not write modes")
               val spark = df.sparkSession
-              val cfg = SchemaJson
-                .readCached(tablePath, spark.sparkContext.hadoopConfiguration)
-                .getOrElse(TsdbConfig())
+              val cfg = GraftWrites.configFor(spark, tablePath, writeOpts)
               new TsdbTable(spark, tablePath, cfg)
                 .append(df.selectExpr(cols: _*))
             }
@@ -218,6 +215,54 @@ private[sources] final class GraftScanBuilder(
     required = requiredSchema
 
   override def build(): Scan = new GraftScan(tablePath, options, pushed, required)
+}
+
+/** Writer-side plumbing shared by the batch write and the streaming
+  * sink. */
+private[sources] object GraftWrites {
+
+  /** The sample-schema projection, validated: name/labels/time/value
+    * required, valueStr optional. ONE definition so the two writers can
+    * never drift. */
+  def sampleColumns(schema: StructType, who: String): Seq[String] = {
+    val required = Seq("name", "labels", "time", "value")
+    val missing = required.filterNot(schema.fieldNames.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$who takes the sample schema (name, labels, time, value" +
+          s"[, valueStr]); input is missing ${missing.mkString(", ")}")
+    required ++
+      (if (schema.fieldNames.contains("valueStr")) Seq("valueStr") else Nil)
+  }
+
+  /** Resolve the table config for a write (review-caught r12: writer
+    * options were silently dropped). An EXISTING declaration (.schema)
+    * is authoritative — conflicting writer options reject loudly; a
+    * FRESH table honors the recognized config options (they become the
+    * table's .schema at first append). */
+  def configFor(spark: SparkSession, tablePath: String,
+                options: Map[String, String]): TsdbConfig = {
+    val existing = SchemaJson
+      .readCached(tablePath, spark.sparkContext.hadoopConfiguration)
+    val base = existing.getOrElse(TsdbConfig())
+    def long(k: String, cur: Long): Long = options.get(k).map(_.toLong).getOrElse(cur)
+    val wanted = base.copy(
+      overrideOld = options.get("overrideold").map(_.toBoolean)
+        .getOrElse(base.overrideOld),
+      partitionIntervalMs = long("partitionintervalms", base.partitionIntervalMs),
+      rollupIntervalMs = long("rollupintervalms", base.rollupIntervalMs),
+      lateArrivalMs = long("latearrivalms", base.lateArrivalMs),
+      shardingBuckets = options.get("shardingbuckets").map(_.toInt)
+        .getOrElse(base.shardingBuckets))
+    existing.foreach { cfg =>
+      if (wanted != cfg)
+        throw new IllegalArgumentException(
+          s"write options conflict with $tablePath/.schema — the table's " +
+            "declared config is authoritative; change it with the schema " +
+            "tooling, not a writer option")
+    }
+    wanted
+  }
 }
 
 /** One file split of a non-MOR table (window-free read). */
@@ -642,34 +687,31 @@ private[sources] final class GraftMorReader(
 }
 
 /** The streaming ingest sink behind `writeStream.format("graft")` — see
-  * [[GraftTableProvider.createSink]]. The replay guard is the DeltaView
-  * applied-tip discipline on a `_stream_tip` file beside the table:
-  * batchIds are monotone per checkpoint, the table is single-writer, so
-  * `batchId <= tip` is exactly "this batch already appended". */
+  * [[GraftTableProvider.createSink]]. Replay detection is a
+  * writer-transaction tag in the commit manifest
+  * ([[TsdbTable.txnVersion]]): `txn=sink-<md5(checkpoint)>:<batchId>`
+  * publishes in the SAME atomic manifest write that commits the batch's
+  * seq, so the data and its marker can never disagree (a tip file
+  * written before or after the append would reopen a replay/loss window
+  * on either side — review-caught r12); and keying by checkpoint means
+  * a NEW query over an existing table starts its own counter instead of
+  * silently dropping batches 0..tip. */
 private[graft] final class GraftStreamSink(
-    spark: SparkSession, tablePath: String)
+    spark: SparkSession, tablePath: String,
+    parameters: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   private def fs = new Path(tablePath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def tipPath = new Path(tablePath, "_stream_tip")
 
-  private def readTip(): Long =
-    try {
-      val in = fs.open(tipPath)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    } catch { case _: java.io.FileNotFoundException => -1L }
-
-  private def writeTip(batchId: Long): Unit = {
-    val tmp = new Path(tablePath, s"._stream_tip.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, tipPath)) {
-      fs.delete(tipPath, false)
-      if (!fs.rename(tmp, tipPath))
-        throw new java.io.IOException(s"cannot publish $tipPath")
-    }
+  /** Writer identity: the checkpoint location (every restart of the
+    * same query shares it; a different query has a different one), or a
+    * caller-chosen `txnAppId` option. */
+  private[graft] val txnId: String = {
+    val raw = parameters.getOrElse("txnappid",
+      parameters.getOrElse("checkpointlocation", "default"))
+    "sink-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   /** InternalRow → external Row for the sample-schema types the sink
@@ -714,19 +756,10 @@ private[graft] final class GraftStreamSink(
   }
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
-    if (batchId <= readTip()) return // replay after a crash: already in
-    val required = Seq("name", "labels", "time", "value")
-    val missing = required.filterNot(data.schema.fieldNames.contains)
-    if (missing.nonEmpty)
-      throw new IllegalArgumentException(
-        s"graft streaming sink takes the sample schema (name, labels, time, " +
-          s"value[, valueStr]); input is missing ${missing.mkString(", ")}")
-    val cols = required ++
-      (if (data.schema.fieldNames.contains("valueStr")) Seq("valueStr") else Nil)
-    val cfg = SchemaJson
-      .readCached(tablePath, spark.sparkContext.hadoopConfiguration)
-      .getOrElse(TsdbConfig())
+    val cols = GraftWrites.sampleColumns(data.schema, "graft streaming sink")
+    val cfg = GraftWrites.configFor(spark, tablePath, parameters)
     val t = new TsdbTable(spark, tablePath, cfg)
+    if (batchId <= t.txnVersion(txnId)) return // replay after a crash: already in
     // Append consumes its input several times (raw write + rollup +
     // names) while the engine's batch plan is one-shot — STAGE the batch
     // to parquet beside the table (dot-dir: invisible to its listings)
@@ -739,8 +772,8 @@ private[graft] final class GraftStreamSink(
       .write.mode("overwrite").parquet(stage.toString)
     try {
       val batch = spark.read.parquet(stage.toString)
-      graft.streaming.IngestJob.appendBatch(t, batch, inWatermarkDeduped = false)
-      writeTip(batchId)
+      graft.streaming.IngestJob.appendBatch(t, batch,
+        inWatermarkDeduped = false, txn = Some((txnId, batchId)))
     } finally fs.delete(stage, true)
   }
 

@@ -304,7 +304,8 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     * MOR mutations (append, tombstone delete) keep every superseded
     * version on disk and never move the horizon — the Delta/Iceberg
     * shape, where VACUUM/OPTIMIZE bound time travel, not writes. */
-  private case class Commits(floor: Long, seqs: Set[Long], horizon: Long = 0L) {
+  private case class Commits(floor: Long, seqs: Set[Long], horizon: Long = 0L,
+                             txns: Map[String, Long] = Map.empty) {
     def max: Long = if (seqs.isEmpty) floor else math.max(floor, seqs.max)
   }
 
@@ -323,18 +324,30 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     val horizon = lines.collectFirst {
       case l if l.startsWith("horizon=") => l.stripPrefix("horizon=").toLong
     }.getOrElse(0L)
+    // writer-transaction tags (r12, the Delta txnAppId/version shape):
+    // `txn=<id>:<batchId>` records the LAST batch a named idempotent
+    // writer (the streaming sink, keyed by checkpoint) committed — in
+    // the SAME atomic publish as the data's seq, so replay detection
+    // can never disagree with what was actually appended
+    val txns = lines.filter(_.startsWith("txn=")).map { l =>
+      val body = l.stripPrefix("txn=")
+      val i = body.lastIndexOf(':')
+      if (i <= 0) throw new java.io.IOException(s"bad txn line in $src: $l")
+      body.substring(0, i) -> body.substring(i + 1).toLong
+    }.toMap
     // only the KNOWN key=value lines are metadata; anything else must
     // parse as a seq or the manifest is corrupt — silently dropping a
     // mangled committed-seq line would make that batch invisible (and
     // vacuum-deletable), the exact loss the strict write path exists
     // to refuse (review-caught: a filterNot(contains "=") swallowed it)
     val bare = lines
-      .filterNot(l => l.startsWith("floor=") || l.startsWith("horizon="))
+      .filterNot(l => l.startsWith("floor=") || l.startsWith("horizon=") ||
+        l.startsWith("txn="))
       .map(_.toLong)
     // legacy single-number file = a floor
     if (floor == 0L && bare.length == 1 && lines.length == 1)
       Commits(bare.head, Set.empty)
-    else Commits(floor, bare.toSet, horizon)
+    else Commits(floor, bare.toSet, horizon, txns)
   }
 
   /** The manifest state plus the commit-log version it was read at —
@@ -382,6 +395,13 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     * current-view read. */
   private[graft] def commitsSnapshot(): Option[(Long, Set[Long])] =
     readCommits(strict = false).map(c => (c.floor, c.seqs))
+
+  /** The last batch a named idempotent writer committed (its `txn=`
+    * manifest tag), or -1 if it never wrote — the Delta
+    * txnAppId/version replay guard. STRICT: a replay decision must not
+    * be made off a transient misread. */
+  private[graft] def txnVersion(id: String): Long =
+    readCommits(strict = true).flatMap(_.txns.get(id)).getOrElse(-1L)
 
   /** The snapshot-read variant for external readers: STRICT manifest
     * (a transient read error must fail the snapshot, not corrupt it)
@@ -431,6 +451,7 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val body = (Seq(s"floor=${c.floor}", s"horizon=${c.horizon}") ++
+      c.txns.toSeq.sortBy(_._1).map { case (id, b) => s"txn=$id:$b" } ++
       c.seqs.toSeq.sorted.map(_.toString))
       .mkString("", "\n", "\n")
     val next = at.version + 1
@@ -465,11 +486,13 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     * grow it by one seq per batch forever, bloating every reader's
     * isin() literal list), the manifest is VACUUMED: orphan files are
     * physically deleted and the set collapses into the floor. */
-  private def commitSeq(seq: Long, horizonTo: Long = 0L): Unit = {
+  private def commitSeq(seq: Long, horizonTo: Long = 0L,
+                        txn: Option[(String, Long)] = None): Unit = {
     val at = readCommitsAt(strict = true)
     val cur = at.commits.getOrElse(Commits(math.max(0L, seq - 1), Set.empty))
     val merged = cur.copy(seqs = cur.seqs + seq,
-      horizon = math.max(cur.horizon, horizonTo))
+      horizon = math.max(cur.horizon, horizonTo),
+      txns = cur.txns ++ txn)
     publishCommits(merged, at)
     if (merged.seqs.size > TsdbTable.VacuumSetThreshold)
       vacuumCommits(CommitsAt(at.version + 1, Some(merged)))
@@ -513,7 +536,7 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     // history fence — committed generations (and their snapshots) survive.
     // CAS at `at`: the collapse was computed from it, and a foreign
     // publish in between must win the version race, not be rolled back
-    publishCommits(Commits(cm.max, Set.empty, cm.horizon), at)
+    publishCommits(Commits(cm.max, Set.empty, cm.horizon, cm.txns), at)
   }
 
   /** Manifest maintenance, callable directly (the same sweep
@@ -534,7 +557,7 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     val at = readCommitsAt(strict = true)
     val cur = at.commits.getOrElse(Commits(0L, Set.empty))
     val f = math.max(cur.floor, floor)
-    publishCommits(Commits(f, cur.seqs.filter(_ > f), cur.horizon), at)
+    publishCommits(Commits(f, cur.seqs.filter(_ > f), cur.horizon, cur.txns), at)
   }
 
   /** The visibility predicate for `cm` over a frame that CARRIES
@@ -628,7 +651,8 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     *        deletes). Incremental assumes batch∩existing-raw is disjoint —
     *        exactly what the streaming dedup guarantees.
     */
-  def append(samples: DataFrame, incrementalRollup: Boolean = false): Unit =
+  def append(samples: DataFrame, incrementalRollup: Boolean = false,
+             txn: Option[(String, Long)] = None): Unit =
     withWriterLock("append") {
     // self-describing table (r12, review-caught): external readers — the
     // DSv2 batch source, the graft-cdc streaming source — take the
@@ -691,7 +715,7 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
       // invisible garbage, purged by the next compaction); after it the
       // whole batch is in. Committed before the rollup refresh so the
       // refresh's own raw read sees the rows it is rolling up.
-      commitSeq(seq)
+      commitSeq(seq, txn = txn)
 
       // record AFTER the raw write: a failed append must not pin types of
       // series that never landed (next attempt re-detects them as new)

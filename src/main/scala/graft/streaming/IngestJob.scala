@@ -71,7 +71,8 @@ object IngestJob {
     *        rollup merge is safe; a bare sink cannot guarantee that and
     *        must recompute touched partitions instead. */
   private[graft] def appendBatch(table: TsdbTable, batch: DataFrame,
-                                 inWatermarkDeduped: Boolean): Unit = {
+                                 inWatermarkDeduped: Boolean,
+                                 txn: Option[(String, Long)] = None): Unit = {
     val overrideOld = table.config.overrideOld
     // overrideOld resolves duplicates ACROSS batches by __seq, but
     // rows replayed into the SAME micro-batch (at-least-once sources,
@@ -89,6 +90,7 @@ object IngestJob {
     // by the in-watermark dedup, which overrideOld DISABLES; rewrites
     // must recompute the touched partitions from raw instead
     if (!b.isEmpty)
-      table.append(b, incrementalRollup = !overrideOld && inWatermarkDeduped)
+      table.append(b, incrementalRollup = !overrideOld && inWatermarkDeduped,
+        txn = txn)
   }
 }

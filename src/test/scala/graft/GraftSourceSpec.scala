@@ -263,14 +263,45 @@ class GraftSourceSpec extends SparkSuite {
     assert(t.readRaw(0L, Long.MaxValue).count() == 3)
     assert(sortedRows(spark.read.format("graft").load(s"$dir/tbl")) ==
       sortedRows(t.readRaw(0L, Long.MaxValue)))
-    // replay guard: re-delivering an already-committed batchId is a no-op
-    val sink = new graft.sources.GraftStreamSink(spark, s"$dir/tbl")
+    // replay guard rides the manifest txn tag (same checkpoint identity
+    // as the engine's runs): re-delivering a committed batchId is a no-op
+    val sink = new graft.sources.GraftStreamSink(spark, s"$dir/tbl",
+      Map("checkpointlocation" -> s"$dir/ckpt"))
     sink.addBatch(0L, samples(("cpu", "a", Base, 99.0)))
     assert(t.readRaw(0L, Long.MaxValue).count() == 3,
       "a replayed batch must not re-append")
+    // a DIFFERENT query (fresh checkpoint) has its own counter — its
+    // batch 0 is new data, never silently dropped (review-caught r12)
+    val sink2 = new graft.sources.GraftStreamSink(spark, s"$dir/tbl",
+      Map("checkpointlocation" -> s"$dir/ckpt2"))
+    sink2.addBatch(0L, samples(("probe", "x", Base + 3 * Day, 7.0)))
+    assert(t.readRaw(0L, Long.MaxValue).count() == 4,
+      "a new query's first batch is data, not a replay")
     // and the table is fully formed (rollup + manifest + .schema)
     assert(new java.io.File(s"$dir/tbl/.schema").exists)
     assert(t.currentSeq() > 0)
+    // writer options: an option conflicting with the table's declared
+    // .schema rejects loudly instead of being silently dropped
+    val e = intercept[IllegalArgumentException] {
+      new graft.sources.GraftStreamSink(spark, s"$dir/tbl",
+        Map("checkpointlocation" -> s"$dir/ckpt3", "overrideold" -> "true"))
+        .addBatch(0L, samples(("cpu", "z", Base, 1.0)))
+    }
+    assert(e.getMessage.contains(".schema"), e.getMessage)
+  }
+
+  test("writer config options (r12): a fresh table honors overrideOld; batch write too") {
+    val dir = Files.createTempDirectory("graft_dsv2_wopts").toString
+    samples(("cpu", "a", Base, 1.0))
+      .write.format("graft").option("overrideOld", "true")
+      .mode("append").save(s"$dir/tbl")
+    // the declared table IS MOR: a rewrite LWW-merges on read
+    samples(("cpu", "a", Base, 10.0))
+      .write.format("graft").mode("append").save(s"$dir/tbl")
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+    assert(ds.count() == 1 && ds.select("value").head().getDouble(0) == 10.0,
+      "option(overrideOld) must shape the created table")
+    assert(graft.core.SchemaJson.read(s"$dir/tbl").exists(_.overrideOld))
   }
 
   test("empty and missing tables serve an empty frame with the raw schema") {

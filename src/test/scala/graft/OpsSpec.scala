@@ -1222,6 +1222,18 @@ class JustextSpec extends SparkSuite {
     assert(out(-1L) == s"$para tail.",
       "the null-id group's main content must not collapse to empty")
   }
+
+  test("extractMainContent contract: ONE output row per INPUT row — duplicate ids stay separate documents") {
+    import spark.implicits._
+    // two fetches of the same doc_id are two documents (re-crawl), not
+    // one merged block soup — the r12 zero-shuffle contract, pinned
+    val df = Seq((9L, s"<p>$para</p>"), (9L, s"<p>$para tail.</p>"))
+      .toDF("doc_id", "html")
+    val texts = TextAnalysis.extractMainContent(df).collect()
+      .map(_.getString(1)).sorted
+    assert(texts.toSeq == Seq(para, s"$para tail."),
+      "each input row keeps its own main_text")
+  }
 }
 
 class TextAnalysisSpec extends SparkSuite {
