@@ -159,6 +159,17 @@ private[sources] final class GraftBatchTable(
     val cols = GraftWrites.sampleColumns(info.schema(), "graft sink")
     val writeOpts = options.asCaseSensitiveMap().asScala
       .map { case (k, v) => k.toLowerCase -> v }.toMap
+    // idempotent batch writes (the Delta txnAppId/txnVersion surface,
+    // r12): a retried job re-running the same write is detected by the
+    // manifest's writer-transaction tag — published in the same atomic
+    // commit as the data, so the retry can never double-append
+    val txn: Option[(String, Long)] =
+      (writeOpts.get("txnappid"), writeOpts.get("txnversion")) match {
+        case (Some(id), Some(v)) => Some(("app-" + id, v.toLong))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "txnAppId and txnVersion must be set together")
+      }
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -170,8 +181,9 @@ private[sources] final class GraftBatchTable(
                     "are table maintenance operations, not write modes")
               val spark = df.sparkSession
               val cfg = GraftWrites.configFor(spark, tablePath, writeOpts)
-              new TsdbTable(spark, tablePath, cfg)
-                .append(df.selectExpr(cols: _*))
+              val t = new TsdbTable(spark, tablePath, cfg)
+              val replayed = txn.exists { case (id, v) => v <= t.txnVersion(id) }
+              if (!replayed) t.append(df.selectExpr(cols: _*), txn = txn)
             }
         }
     }

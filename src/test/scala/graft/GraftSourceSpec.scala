@@ -290,6 +290,27 @@ class GraftSourceSpec extends SparkSuite {
     assert(e.getMessage.contains(".schema"), e.getMessage)
   }
 
+  test("idempotent batch writes (r12): txnAppId/txnVersion dedupe a retried job") {
+    val dir = Files.createTempDirectory("graft_dsv2_txn").toString
+    def write(v: Long, value: Double): Unit =
+      samples(("cpu", "a", Base + v, value))
+        .write.format("graft")
+        .option("txnAppId", "loader").option("txnVersion", v.toString)
+        .mode("append").save(s"$dir/tbl")
+    write(1L, 1.0)
+    write(1L, 99.0) // the retry: same version, must be a no-op
+    write(2L, 2.0)
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+    assert(ds.count() == 2, "a retried txnVersion must not double-append")
+    assert(ds.select("value").collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(1.0, 2.0))
+    // half-set options reject
+    val e = intercept[Exception](samples(("cpu", "b", Base, 1.0))
+      .write.format("graft").option("txnAppId", "loader")
+      .mode("append").save(s"$dir/tbl"))
+    assert(e.getMessage != null)
+  }
+
   test("writer config options (r12): a fresh table honors overrideOld; batch write too") {
     val dir = Files.createTempDirectory("graft_dsv2_wopts").toString
     samples(("cpu", "a", Base, 1.0))
