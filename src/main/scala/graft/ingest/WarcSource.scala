@@ -186,9 +186,11 @@ object WarcSource {
 
   /** The WHATWG sniff decision for one response: `(bytes to skip,
     * charset label)`. Order: BOM > HTTP header charset > HTML5 meta
-    * prescan of the first 1024 bytes (html/text/untyped bodies only) >
-    * `defaultCharset`. Pure and total over arbitrary bytes — the fuzz
-    * matrix drives it directly. */
+    * prescan of the first 1024 bytes (html or UNTYPED bodies only — the
+    * WHATWG prescan is specified for HTML; a text/plain document whose
+    * prose quotes a `<meta charset=…>` tag must NOT be re-labeled by
+    * it, r12 review) > `defaultCharset`. Pure and total over arbitrary
+    * bytes — the fuzz matrix drives it directly. */
   private[graft] def sniffCharset(ct: String, payload: Array[Byte],
                                   defaultCharset: String): (Int, String) = {
     val headerLabel: String =
@@ -205,8 +207,7 @@ object WarcSource {
          (payload(0) == 0xFF.toByte && payload(1) == 0xFE.toByte)))
       (0, "UTF-16") // the JDK UTF-16 charset reads and consumes the BOM
     else if (headerLabel != null) (0, headerLabel)
-    else if (ct == null || ct.toLowerCase.contains("html") ||
-        ct.toLowerCase.startsWith("text/")) {
+    else if (ct == null || ct.toLowerCase.contains("html")) {
       // HTML5 prescan: first 1024 bytes, byte-transparent window
       val n = math.min(1024, payload.length)
       val window = new String(payload, 0, n,

@@ -63,9 +63,32 @@ import graft.storage.{TsdbConfig, TsdbTable}
   *    are never decoded).
   */
 final class GraftTableProvider extends TableProvider with DataSourceRegister
-  with org.apache.spark.sql.sources.StreamSinkProvider {
+  with org.apache.spark.sql.sources.StreamSinkProvider
+  with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graft"
   override def supportsExternalMetadata(): Boolean = true
+
+  /** `spark.readStream.format("graft").load(tableDir)` — the CDC change
+    * feed under the SAME format name as the batch read/write and the
+    * streaming sink (r12 verdict: the one name carries the full
+    * matrix). Delegates to the [[graft.streaming.CdcSourceProvider]]
+    * V1 source verbatim; `format("graft-cdc")` stays registered for
+    * back-compat. (DataStreamReader falls back to the V1
+    * StreamSourceProvider because [[GraftBatchTable]] advertises no
+    * MICRO_BATCH_READ capability — the batch scan's planning-frozen
+    * snapshot is the wrong shape for an unbounded feed.) */
+  private val cdc = new graft.streaming.CdcSourceProvider
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    cdc.sourceSchema(sqlContext, schema, providerName, parameters)
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String, schema: Option[StructType],
+                            providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    cdc.createSource(sqlContext, metadataPath, schema, providerName, parameters)
 
   /** `df.writeStream.format("graft").option("path", tableDir)` — the
     * streaming INGEST sink under the same name (r12), completing the
@@ -182,8 +205,15 @@ private[sources] final class GraftBatchTable(
               val spark = df.sparkSession
               val cfg = GraftWrites.configFor(spark, tablePath, writeOpts)
               val t = new TsdbTable(spark, tablePath, cfg)
+              // fast-path replay skip only; the authoritative check runs
+              // inside append, under the writer lock and again on the
+              // commit's own CAS basis (r12 review: TOCTOU — a check
+              // that ran only here could race a concurrent retry)
               val replayed = txn.exists { case (id, v) => v <= t.txnVersion(id) }
-              if (!replayed) t.append(df.selectExpr(cols: _*), txn = txn)
+              if (!replayed)
+                t.append(df.selectExpr(
+                  GraftWrites.sampleProjection(df.schema, "graft sink"): _*),
+                  txn = txn)
             }
         }
     }
@@ -247,6 +277,19 @@ private[sources] object GraftWrites {
       (if (schema.fieldNames.contains("valueStr")) Seq("valueStr") else Nil)
   }
 
+  private val SampleTypes = Map(
+    "name" -> "string", "labels" -> "map<string,string>",
+    "time" -> "bigint", "value" -> "double", "valueStr" -> "string")
+
+  /** [[sampleColumns]] with the declared sample TYPES enforced by cast:
+    * SQL `INSERT INTO ... VALUES` (and permissive callers) deliver
+    * int/decimal literals where the table stores long/double — written
+    * verbatim they would drift the parquet file schema under the table
+    * (r13). An un-castable column still fails analysis loudly. */
+  def sampleProjection(schema: StructType, who: String): Seq[String] =
+    sampleColumns(schema, who)
+      .map(c => s"CAST(`$c` AS ${SampleTypes(c)}) AS `$c`")
+
   /** Resolve the table config for a write (review-caught r12: writer
     * options were silently dropped). An EXISTING declaration (.schema)
     * is authoritative — conflicting writer options reject loudly; a
@@ -293,9 +336,14 @@ private[sources] final class GraftScan(
   extends Scan with Batch with SupportsReportStatistics {
 
   private val spark = SparkSession.active
-  private val config: TsdbConfig =
+  /** The table's DECLARED config (`.schema`), kept separate from the
+    * defaulted fallback: a pre-declaration legacy table (created before
+    * self-describing tables, no append since) must not be served with
+    * silently-assumed interval/MOR settings where that could DROP data
+    * (see [[prunedPartitions]], r12 review). */
+  private val declared: Option[TsdbConfig] =
     SchemaJson.readCached(tablePath, spark.sparkContext.hadoopConfiguration)
-      .getOrElse(TsdbConfig())
+  private val config: TsdbConfig = declared.getOrElse(TsdbConfig())
   /** Snapshot handle (r12): `option("asOf", seq)` serves the table
     * exactly as it stood at that committed seq — Delta `versionAsOf`
     * shaped, same fence/handle rules as [[TsdbTable.readRawAsOf]]. */
@@ -337,8 +385,17 @@ private[sources] final class GraftScan(
     if (!fs.exists(base)) return Nil
     val (tLo, tHi) = boundsFor("time")
     val (pLoF, pHiF) = boundsFor("part_start")
+    // the time→partition LOWER clamp floors timeLo to a partition
+    // boundary — correct only under the table's TRUE interval. Without
+    // a `.schema` declaration (legacy table, no append since), flooring
+    // with the assumed default could land ABOVE the real partition
+    // start and silently prune partitions that hold matching rows
+    // (r12 review) — so an undeclared table skips the derived lower
+    // clamp and prunes on explicit `part_start` bounds plus the upper
+    // clamp only (`part_start <= timeHi` holds under ANY interval:
+    // a partition starting after timeHi cannot contain time <= timeHi).
     val pLoTime =
-      if (tLo == Long.MinValue) Long.MinValue
+      if (tLo == Long.MinValue || declared.isEmpty) Long.MinValue
       else math.floorDiv(tLo, config.partitionIntervalMs) * config.partitionIntervalMs
     val lo = math.max(pLoF, pLoTime)
     val hi = math.min(pHiF, tHi)
@@ -361,7 +418,20 @@ private[sources] final class GraftScan(
       // across scans, not at the mercy of directory enumeration
       .sortBy(_._1)
 
-  private lazy val planned: (Array[InputPartition], Long) = {
+  /** Splits, total bytes, AND the committed-visibility snapshot — ONE
+    * frozen planning product. The snapshot is read immediately AFTER the
+    * file listing, back-to-back (the production `rawFiles` order: under
+    * a compaction swap, listing-first means a mid-swap listing is
+    * followed by a manifest that already admits the new generation —
+    * never a silently-empty view). Freezing the manifest HERE rather
+    * than per `createReaderFactory` call (r12 review) closes the torn
+    * window that per-action reads reopened: `planned` is pinned once at
+    * planning, so a re-executed/cached scan used to pair that old
+    * listing with a NEWER manifest — a batch in flight during listing
+    * that committed later was then served as its listed SUBSET. One
+    * scan now holds one consistent (listing, manifest) pair. */
+  private lazy val planned
+      : (Array[InputPartition], Long, Option[(Long, Set[Long])]) = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = prunedPartitions(fs)
     var bytes = 0L
@@ -402,7 +472,17 @@ private[sources] final class GraftScan(
         }
       }
     }
-    (out.toArray, bytes)
+    // committed-visibility snapshot, immediately after the listing:
+    // lenient read for the current view (availability, like rawFiles'
+    // current-view reads); STRICT + horizon fence under asOf (a
+    // transient manifest error or a fenced handle must fail the
+    // snapshot loudly, never serve a torn/empty view)
+    val t = new TsdbTable(spark, tablePath, config)
+    val commits = asOf match {
+      case Some(seq) => t.commitsSnapshotAsOf(seq)
+      case None => t.commitsSnapshot()
+    }
+    (out.toArray, bytes, commits)
   }
 
   override def planInputPartitions(): Array[InputPartition] = planned._1
@@ -412,20 +492,10 @@ private[sources] final class GraftScan(
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // committed-visibility snapshot, frozen at planning like rawFiles():
-    // lenient read for the current view (availability); STRICT + horizon
-    // fence under asOf (a transient manifest error or a fenced handle
-    // must fail the snapshot loudly, never serve a torn/empty view)
-    val t = new TsdbTable(spark, tablePath, config)
-    val commits = asOf match {
-      case Some(seq) => t.commitsSnapshotAsOf(seq)
-      case None => t.commitsSnapshot()
-    }
+  override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-      required.fieldNames.toSeq, pushed, commits, config.overrideOld, asOf)
-  }
+      required.fieldNames.toSeq, pushed, planned._3, config.overrideOld, asOf)
 }
 
 private[sources] final class GraftReaderFactory(
@@ -718,10 +788,23 @@ private[graft] final class GraftStreamSink(
 
   /** Writer identity: the checkpoint location (every restart of the
     * same query shares it; a different query has a different one), or a
-    * caller-chosen `txnAppId` option. */
+    * caller-chosen `txnAppId` option. NO silent default (r12 review):
+    * Spark does not forward a checkpoint dir resolved from the
+    * `spark.sql.streaming.checkpointLocation` conf into the sink's
+    * options, so a fallback constant would silently SHARE one replay
+    * counter across every such query on the table — a second pipeline
+    * (or a fresh-checkpoint restart) would then drop all batches below
+    * the other query's tip via the replay early-return, the exact loss
+    * the tag exists to prevent. Absent identity fails at sink creation,
+    * before any batch runs. */
   private[graft] val txnId: String = {
     val raw = parameters.getOrElse("txnappid",
-      parameters.getOrElse("checkpointlocation", "default"))
+      parameters.getOrElse("checkpointlocation",
+        throw new IllegalArgumentException(
+          "graft streaming sink needs a writer identity for exactly-once " +
+            "replay detection: set .option(\"checkpointLocation\", dir) on " +
+            "the writer (the session-conf checkpoint root is NOT visible " +
+            "to the sink), or a stable .option(\"txnAppId\", id)")))
     "sink-" + java.security.MessageDigest.getInstance("MD5")
       .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -767,8 +850,15 @@ private[graft] final class GraftStreamSink(
     }
   }
 
+  /** Fault-injection seam for the stage-collision spec ONLY: runs once
+    * (self-clearing) between this sink's stage write and its re-read —
+    * the spec interleaves a SECOND query's full addBatch here, the
+    * concurrent-sink timing that cannot be produced deterministically
+    * through the public API. */
+  private[graft] var testHookAfterStage: Runnable = null
+
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
-    val cols = GraftWrites.sampleColumns(data.schema, "graft streaming sink")
+    val cols = GraftWrites.sampleProjection(data.schema, "graft streaming sink")
     val cfg = GraftWrites.configFor(spark, tablePath, parameters)
     val t = new TsdbTable(spark, tablePath, cfg)
     if (batchId <= t.txnVersion(txnId)) return // replay after a crash: already in
@@ -778,10 +868,18 @@ private[graft] final class GraftStreamSink(
     // and re-read it as a plain frame: bounded memory at any batch size
     // (a driver collect would cap backfill batches); a crashed batch
     // leaves only an ignored stage.
-    val stage = new Path(tablePath, s".sink_stage_$batchId")
+    // stage path namespaced by WRITER + batch (r12 review): keyed by
+    // batchId alone, two queries sinking into one table both at batch N
+    // would share the stage — the overwrite could swap one query's rows
+    // under the other's txn tag BEFORE the single-writer lease rejects
+    // the loser. With the txnId in the path each query stages privately;
+    // the lease/CAS still rejects the concurrent append loudly.
+    val stage = new Path(tablePath, s".sink_stage_${txnId}_$batchId")
     spark.createDataFrame(toRowRdd(data), data.schema)
       .selectExpr(cols: _*)
       .write.mode("overwrite").parquet(stage.toString)
+    val hook = testHookAfterStage
+    if (hook != null) { testHookAfterStage = null; hook.run() }
     try {
       val batch = spark.read.parquet(stage.toString)
       graft.streaming.IngestJob.appendBatch(t, batch,

@@ -487,15 +487,26 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     * isin() literal list), the manifest is VACUUMED: orphan files are
     * physically deleted and the set collapses into the floor. */
   private def commitSeq(seq: Long, horizonTo: Long = 0L,
-                        txn: Option[(String, Long)] = None): Unit = {
+                        txn: Option[(String, Long)] = None): Boolean = {
     val at = readCommitsAt(strict = true)
     val cur = at.commits.getOrElse(Commits(math.max(0L, seq - 1), Set.empty))
+    // idempotent-writer TOCTOU guard (r12 review): the caller's replay
+    // pre-check ran before this mutation's writes — a concurrent/zombie
+    // retry of the SAME (txnAppId, txnVersion) may have committed in
+    // between. Re-verify against the exact manifest snapshot this
+    // publish is CAS'd on: already satisfied ⇒ the batch is in, this
+    // attempt's files stay invisible orphans (vacuum sweeps them), and
+    // the caller skips its post-commit work. Delta performs the same
+    // check inside the transaction commit.
+    if (txn.exists { case (id, v) => cur.txns.get(id).exists(_ >= v) })
+      return false
     val merged = cur.copy(seqs = cur.seqs + seq,
       horizon = math.max(cur.horizon, horizonTo),
       txns = cur.txns ++ txn)
     publishCommits(merged, at)
     if (merged.seqs.size > TsdbTable.VacuumSetThreshold)
       vacuumCommits(CommitsAt(at.version + 1, Some(merged)))
+    true
   }
 
 
@@ -654,6 +665,18 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
   def append(samples: DataFrame, incrementalRollup: Boolean = false,
              txn: Option[(String, Long)] = None): Unit =
     withWriterLock("append") {
+    // idempotent-writer fast path, now UNDER the writer lock (r12
+    // review: the callers' pre-checks run before the lock and can race
+    // a concurrent retry of the same tag — TOCTOU). With the lock held,
+    // lock-respecting duplicates serialize here before any file is
+    // written; a lease-breaking zombie is caught by the second check
+    // inside [[commitSeq]], on the CAS basis itself.
+    if (txn.exists { case (id, v) => v <= txnVersion(id) }) ()
+    else appendBody(samples, incrementalRollup, txn)
+  }
+
+  private def appendBody(samples: DataFrame, incrementalRollup: Boolean,
+                         txn: Option[(String, Long)]): Unit = {
     // self-describing table (r12, review-caught): external readers — the
     // DSv2 batch source, the graft-cdc streaming source — take the
     // table's config from `.schema`, never from a caller, so a table
@@ -714,20 +737,25 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
       // watermark filter excludes them (a crashed append leaves only
       // invisible garbage, purged by the next compaction); after it the
       // whole batch is in. Committed before the rollup refresh so the
-      // refresh's own raw read sees the rows it is rolling up.
-      commitSeq(seq, txn = txn)
+      // refresh's own raw read sees the rows it is rolling up. `false`
+      // = a concurrent retry of the same idempotent-writer tag beat us
+      // to the commit (TOCTOU window the commitSeq re-check closes):
+      // the batch IS in the table — just not via this attempt's files,
+      // which stay invisible orphans — so post-commit bookkeeping
+      // (types, rollups, names) already happened and must not re-run.
+      if (commitSeq(seq, txn = txn)) {
+        // record AFTER the raw write: a failed append must not pin types of
+        // series that never landed (next attempt re-detects them as new)
+        newSeriesEnc.foreach(recordSeriesTypes)
 
-      // record AFTER the raw write: a failed append must not pin types of
-      // series that never landed (next attempt re-detects them as new)
-      newSeriesEnc.foreach(recordSeriesTypes)
-
-      // incremental merge requires batch ∩ existing = ∅, which overrideOld
-      // rewrites violate by design — force the recompute (MOR read) path
-      if (incrementalRollup && !config.overrideOld) mergeRollup(enriched, touched)
-      else refreshRollup(touched)
-      // names is a tiny dimension: merge the BATCH's names driver-side
-      // instead of rescanning the whole raw table per micro-batch
-      mergeNames(batchNames)
+        // incremental merge requires batch ∩ existing = ∅, which overrideOld
+        // rewrites violate by design — force the recompute (MOR read) path
+        if (incrementalRollup && !config.overrideOld) mergeRollup(enriched, touched)
+        else refreshRollup(touched)
+        // names is a tiny dimension: merge the BATCH's names driver-side
+        // instead of rescanning the whole raw table per micro-batch
+        mergeNames(batchNames)
+      }
     } finally enriched.unpersist()
   }
 

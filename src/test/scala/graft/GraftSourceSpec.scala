@@ -331,4 +331,114 @@ class GraftSourceSpec extends SparkSuite {
     assert(ds.schema == TsdbTable.RawSchema)
     assert(ds.count() == 0)
   }
+
+  test("sink identity (r13): missing txnAppId/checkpointLocation fails at creation, never a shared counter") {
+    val dir = Files.createTempDirectory("graft_dsv2_noid").toString
+    // direct construction: no identity option at all
+    val e = intercept[IllegalArgumentException](
+      new graft.sources.GraftStreamSink(spark, s"$dir/tbl"))
+    assert(e.getMessage.contains("txnAppId"), e.getMessage)
+    // the real regression: the SESSION-CONF checkpoint root resolves a
+    // per-query dir but Spark does NOT forward it into createSink's
+    // options — before r13 every such query silently shared one "default"
+    // replay counter. Must fail at query start, loudly.
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = s"$dir/staged"
+    val in = samples(("cpu", "a", Base, 1.0))
+    in.coalesce(1).write.parquet(staged)
+    spark.conf.set("spark.sql.streaming.checkpointLocation", s"$dir/ckroot")
+    try {
+      val q = spark.readStream.schema(in.schema).parquet(staged)
+        .writeStream.format("graft").option("path", s"$dir/tbl")
+        .trigger(Trigger.AvailableNow())
+      val thrown = intercept[Exception](q.start().awaitTermination())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(thrown).exists(c =>
+          c.getMessage != null && c.getMessage.contains("txnAppId")),
+        s"conf-resolved checkpoint must not silently share a txn counter: $thrown")
+      // an explicit txnAppId makes the same shape work
+      val ok = spark.readStream.schema(in.schema).parquet(staged)
+        .writeStream.format("graft").option("path", s"$dir/tbl")
+        .option("txnAppId", "pipeline-a")
+        .trigger(Trigger.AvailableNow()).start()
+      ok.awaitTermination()
+      assert(spark.read.format("graft").load(s"$dir/tbl").count() == 1)
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
+  test("two sinks, one table (r13): staged batches are writer-private — no cross-query row swap") {
+    val dir = Files.createTempDirectory("graft_dsv2_twosinks").toString
+    val tbl = s"$dir/tbl"
+    val rowsA = samples(("qa", "a", Base, 1.0), ("qa", "b", Base + 1000, 2.0))
+    val rowsB = samples(("qb", "x", Base + Day, 10.0))
+    val sinkA = new graft.sources.GraftStreamSink(spark, tbl,
+      Map("checkpointlocation" -> s"$dir/ckptA"))
+    val sinkB = new graft.sources.GraftStreamSink(spark, tbl,
+      Map("checkpointlocation" -> s"$dir/ckptB"))
+    // interleave B's ENTIRE batch-0 between A's stage write and A's
+    // re-read — the exact timing where the r12 batchId-keyed stage let B
+    // overwrite A's staged rows, committing B's data under A's txn tag
+    // (and A's own batch silently lost). Writer-private stages make both
+    // commits land with each query's OWN rows.
+    sinkA.testHookAfterStage = () => sinkB.addBatch(0L, rowsB)
+    sinkA.addBatch(0L, rowsA)
+    val t = new TsdbTable(spark, tbl)
+    val got = t.readRaw(0L, Long.MaxValue)
+    assert(got.count() == 3)
+    assert(got.filter(col("name") === "qa").count() == 2,
+      "query A's committed rows must be A's own input — not swapped for B's")
+    assert(got.filter(col("name") === "qb").count() == 1)
+    // both replay counters advanced independently: each query's batch 0
+    // is now a no-op replay for ITSELF, while the other's tag is untouched
+    sinkA.addBatch(0L, rowsA)
+    sinkB.addBatch(0L, rowsB)
+    assert(t.readRaw(0L, Long.MaxValue).count() == 3,
+      "replays after the interleave must be no-ops for both queries")
+  }
+
+  test("unified streaming read (r13): readStream.format(\"graft\") serves the CDC feed") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_unified_read").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    t.append(samples(("cpu", "a", Base, 1.0), ("mem", "b", Base + Day, 2.0)))
+    // schema parity with the graft-cdc name
+    assert(spark.readStream.format("graft").option("path", s"$dir/tbl")
+      .load().schema == graft.streaming.CdcSource.ChangeSchema)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("graft").option("path", s"$dir/tbl").load()
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("name", "_change_type").collect()
+          .foreach(r => out.add(s"${r.getString(0)}:${r.getString(1)}"))
+        ()
+      }.start()
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(out.asScala.toSeq.sorted == Seq("cpu:insert", "mem:insert"))
+  }
+
+  test("SQL INSERT INTO a USING graft table (r13) runs the V1Write append") {
+    val dir = Files.createTempDirectory("graft_sql_insert").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    t.append(samples(("cpu", "a", Base, 1.0)))
+    spark.sql(s"CREATE TABLE graft_ins_t USING graft OPTIONS (path '$dir/tbl')")
+    try {
+      spark.sql("INSERT INTO graft_ins_t (name, labels, time, value) " +
+        s"VALUES ('mem', map('host','b'), ${Base + Day}L, 2.0)")
+      spark.sql("INSERT INTO graft_ins_t (name, labels, time, value) " +
+        s"SELECT 'disk', map('host','c'), ${Base + 2 * Day}L, 3.0")
+      val got = t.readRaw(0L, Long.MaxValue)
+      assert(got.count() == 3)
+      assert(sortedRows(spark.read.format("graft").load(s"$dir/tbl")) ==
+        sortedRows(got))
+      // the inserted rows went through the FULL append machinery, not a
+      // bare file drop: rollups and names reflect them
+      assert(t.names().collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("cpu", "disk", "mem"))
+    } finally spark.sql("DROP TABLE graft_ins_t")
+  }
 }

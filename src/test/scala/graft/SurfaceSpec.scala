@@ -785,6 +785,12 @@ class WarcPayloadTextSpec extends SparkSuite {
     // prescan window is 1024 bytes: a meta past it is invisible
     rec("https://x/far", "text/html",
       (" " * 1100 + metaWin).getBytes("windows-1252"))
+    // the WHATWG prescan is HTML-only (r13): a text/plain document whose
+    // PROSE quotes a meta tag (an HTML tutorial served as text/plain)
+    // keeps the default, matching browsers
+    rec("https://x/plainprose", "text/plain",
+      s"""To set the encoding write <meta charset="windows-1252"> in head"""
+        .getBytes("UTF-8"))
     out.close()
     val got = WarcSource.payloadText(
         WarcSource.responses(WarcSource.read(spark, s"$dir/seg.warc")))
@@ -797,6 +803,8 @@ class WarcPayloadTextSpec extends SparkSuite {
     assert(got("https://x/bom16") == ((t, "UTF-16")))
     assert(got("https://x/bin")._2 == "UTF-8")
     assert(got("https://x/far")._2 == "UTF-8")
+    assert(got("https://x/plainprose")._2 == "UTF-8",
+      "text/* prose mentioning a meta tag must not be re-labeled")
     graft.core.Fs.rmTree(new java.io.File(dir))
   }
 }
