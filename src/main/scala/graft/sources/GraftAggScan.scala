@@ -1,0 +1,335 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.HadoopReadOptions
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.{BlockMetaData, ColumnChunkMetaData}
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-group classification from parquet FOOTER stats — the shared
+  * brain of the aggregate pushdown ([[GraftAggReader]]) and the
+  * columnar reader's visibility fast path ([[GraftColumnarReader]]).
+  * Everything here is conservative: a chunk with missing/untyped stats
+  * classifies as [[SomeRows]] (inconclusive) and the caller falls back
+  * to reading rows — footer stats ACCELERATE, they never decide what
+  * they cannot prove. */
+private[sources] object GraftFooterStats {
+  sealed trait Tri
+  /** Every row of the group satisfies the condition. */
+  case object AllRows extends Tri
+  /** No row does — the group is skippable without IO. */
+  case object NoRows extends Tri
+  /** Undecidable from stats — read the rows. */
+  case object SomeRows extends Tri
+
+  private def and(a: Tri, b: Tri): Tri =
+    if (a == NoRows || b == NoRows) NoRows
+    else if (a == AllRows && b == AllRows) AllRows
+    else SomeRows
+
+  def chunk(b: BlockMetaData, col: String): Option[ColumnChunkMetaData] =
+    b.getColumns.asScala.find(c =>
+      c.getPath.size == 1 && c.getPath.toDotString == col)
+
+  /** (min, max, numNulls, valueCount) of a chunk's stats when fully
+    * trustworthy for LONG comparisons. */
+  private def longStats(c: ColumnChunkMetaData): Option[(Long, Long, Long)] = {
+    val s = c.getStatistics
+    if (s == null || !s.isNumNullsSet) None
+    else if (s.getNumNulls == c.getValueCount) Some((Long.MaxValue, Long.MinValue, s.getNumNulls))
+    else if (!s.hasNonNullValue) None
+    else (s.genericGetMin, s.genericGetMax) match {
+      case (mn: java.lang.Long, mx: java.lang.Long) =>
+        Some((mn.longValue(), mx.longValue(), s.getNumNulls))
+      case _ => None
+    }
+  }
+
+  /** Does every/no row of the group satisfy committed-batch visibility?
+    * `__seq` is constant per file in practice (one stamp per append
+    * batch), so min==max decides exactly; anything else is
+    * inconclusive, never assumed. */
+  def seqVisibility(b: BlockMetaData, commits: Option[(Long, Set[Long])],
+                    asOf: Option[Long], needSeq: Boolean): Tri = {
+    if (!needSeq) return AllRows
+    chunk(b, "__seq") match {
+      case None => AllRows // legacy file: NULL __seq is always visible
+      case Some(c) =>
+        longStats(c) match {
+          case Some((_, _, nulls)) if nulls == c.getValueCount => AllRows
+          case Some((mn, mx, nulls)) if mn == mx =>
+            val stampedVisible = GraftReaders.visible(mn, commits, asOf)
+            if (stampedVisible) AllRows // nulls (if any) pass too
+            else if (nulls == 0L) NoRows
+            else SomeRows // visible legacy nulls mixed with an invisible stamp
+          case _ => SomeRows
+        }
+    }
+  }
+
+  /** Classification of one pushed filter against one group's stats.
+    * `part_start` is planning-satisfied (constant per split/partition)
+    * and always [[AllRows]]. */
+  def classify(f: Filter, b: BlockMetaData): Tri = f match {
+    case And(l, r) => and(classify(l, b), classify(r, b))
+    case IsNotNull("part_start") => AllRows
+    case IsNotNull(c) => chunk(b, c) match {
+      case None => NoRows // absent column = all null
+      case Some(ch) =>
+        val s = ch.getStatistics
+        if (s == null || !s.isNumNullsSet) SomeRows
+        else if (s.getNumNulls == 0L) AllRows
+        else if (s.getNumNulls == ch.getValueCount) NoRows
+        else SomeRows
+    }
+    case EqualTo("part_start", _) | GreaterThan("part_start", _) |
+         GreaterThanOrEqual("part_start", _) | LessThan("part_start", _) |
+         LessThanOrEqual("part_start", _) | In("part_start", _) => AllRows
+    case EqualTo(c, v: Long) => longRange(b, c, lo = v, hi = v)
+    case GreaterThan(c, v: Long) =>
+      if (v == Long.MaxValue) noneUnlessNullable(b, c)
+      else longRange(b, c, lo = v + 1, hi = Long.MaxValue)
+    case GreaterThanOrEqual(c, v: Long) => longRange(b, c, lo = v, hi = Long.MaxValue)
+    case LessThan(c, v: Long) =>
+      if (v == Long.MinValue) noneUnlessNullable(b, c)
+      else longRange(b, c, lo = Long.MinValue, hi = v - 1)
+    case LessThanOrEqual(c, v: Long) => longRange(b, c, lo = Long.MinValue, hi = v)
+    case EqualTo(c, v: String) => stringEq(b, c, Set(v))
+    case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
+      stringEq(b, c, vs.map(_.asInstanceOf[String]).toSet)
+    case _ => SomeRows
+  }
+
+  private def noneUnlessNullable(b: BlockMetaData, c: String): Tri = NoRows
+
+  /** Is every/no value of long column `c` within [lo, hi]? NULL rows
+    * never satisfy a comparison, so a group with nulls can be NoRows
+    * but not AllRows. */
+  private def longRange(b: BlockMetaData, c: String, lo: Long, hi: Long): Tri =
+    chunk(b, c) match {
+      case None => NoRows // absent column: null never matches a comparison
+      case Some(ch) => longStats(ch) match {
+        case Some((_, _, nulls)) if nulls == ch.getValueCount => NoRows
+        case Some((mn, mx, nulls)) =>
+          if (mx < lo || mn > hi) NoRows
+          else if (mn >= lo && mx <= hi && nulls == 0L) AllRows
+          else SomeRows
+        case None => SomeRows
+      }
+    }
+
+  /** String equality/IN against binary stats. Parquet writers may
+    * truncate or drop binary min/max, and byte order vs UTF-16 String
+    * order differ beyond ASCII — so only the airtight cases decide:
+    * a constant chunk (min == max), or values provably outside a
+    * trusted range is NOT attempted. Everything else reads rows. */
+  private def stringEq(b: BlockMetaData, c: String, vs: Set[String]): Tri =
+    chunk(b, c) match {
+      case None => NoRows
+      case Some(ch) =>
+        val s = ch.getStatistics
+        if (s == null || !s.isNumNullsSet || !s.hasNonNullValue) SomeRows
+        else (s.genericGetMin, s.genericGetMax) match {
+          case (mn: Binary, mx: Binary) if mn == mx =>
+            val v = new String(mn.getBytes, java.nio.charset.StandardCharsets.UTF_8)
+            if (vs(v)) { if (s.getNumNulls == 0L) AllRows else SomeRows }
+            else NoRows
+          case _ => SomeRows
+        }
+    }
+}
+
+// ------------------------------------------------------------ aggregation
+
+/** One pushed aggregate: `op` ∈ count_star | count | min | max. */
+private[sources] final case class GraftAggSpec(op: String, col: String)
+
+/** One bundle of `(file, partStart)` pairs of an aggregate-pushdown
+  * scan — a footer walk is ~ms per file, so files PACK into a bounded
+  * number of splits instead of paying one task per file (hundreds of
+  * near-empty tasks dominated a pushed COUNT(*) otherwise). An empty
+  * bundle is the zero-files sentinel emitting the count=0 partial. */
+private[sources] final case class GraftAggSplit(files: Seq[(String, Long)])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Partial-aggregate reader: emits exactly ONE row of partials for its
+  * file bundle — `count(*)`/`count(col)` as longs, `min`/`max` as values —
+  * which Spark's rewritten final aggregate then merges (count → SUM,
+  * min → MIN, max → MAX). The interesting property: a clean row group
+  * contributes from FOOTER STATS alone (no page IO — `count(*)` over a
+  * table is a footer walk), and only groups the stats cannot decide
+  * (mixed visibility, inconclusive filter bounds, missing stats) are
+  * row-read, through the same exact row filter as the normal scan. */
+private[sources] final class GraftAggReader(
+    conf: Configuration,
+    split: GraftAggSplit,
+    specs: Seq[GraftAggSpec],
+    pushed: Array[Filter],
+    commits: Option[(Long, Set[Long])],
+    asOf: Option[Long])
+  extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+
+  private var done = false
+  private var row: InternalRow = _
+
+  private val needSeq = commits.nonEmpty || asOf.nonEmpty
+
+  // partial state
+  private val counts = new Array[Long](specs.length)
+  private val exts = new Array[Any](specs.length) // running min/max (catalyst values)
+
+  private def mergeExt(i: Int, v: Any, isMin: Boolean): Unit = {
+    if (v == null) return
+    val cur = exts(i)
+    if (cur == null) { exts(i) = v; return }
+    val cmp = (cur, v) match {
+      case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+      case (a: UTF8String, b: UTF8String) => a.compareTo(b)
+      case _ => throw new IllegalStateException(s"mixed extremum types: $cur / $v")
+    }
+    if (if (isMin) cmp > 0 else cmp < 0) exts(i) = v
+  }
+
+  /** Can + does the group contribute through stats alone? False = the
+    * caller must row-read it. Never partially applies: either every
+    * spec accepts the group's stats or none do. */
+  private def tryStats(b: BlockMetaData, partStart: Long): Boolean = {
+    val staged = new Array[Any](specs.length) // null = count-type slot
+    val stagedCounts = new Array[Long](specs.length)
+    val ok = specs.zipWithIndex.forall { case (s, i) =>
+      s.op match {
+        case "count_star" => stagedCounts(i) = b.getRowCount; true
+        case "count" =>
+          if (s.col == "part_start") { stagedCounts(i) = b.getRowCount; true }
+          else GraftFooterStats.chunk(b, s.col) match {
+            case None => stagedCounts(i) = 0L; true // absent = all null
+            case Some(ch) =>
+              val st = ch.getStatistics
+              if (st == null || !st.isNumNullsSet) false
+              else { stagedCounts(i) = b.getRowCount - st.getNumNulls; true }
+          }
+        case "min" | "max" =>
+          if (s.col == "part_start") { staged(i) = partStart; true }
+          else GraftFooterStats.chunk(b, s.col) match {
+            case None => true // absent = all null: contributes nothing
+            case Some(ch) =>
+              val st = ch.getStatistics
+              if (st == null || !st.isNumNullsSet) false
+              else if (st.getNumNulls == ch.getValueCount) true // all null
+              else if (!st.hasNonNullValue) false
+              else {
+                val v = if (s.op == "min") st.genericGetMin else st.genericGetMax
+                v match {
+                  case l: java.lang.Long => staged(i) = l.longValue(); true
+                  case bin: Binary =>
+                    staged(i) = UTF8String.fromBytes(bin.getBytes)
+                    // binary min/max may be TRUNCATED by the writer —
+                    // only trust a constant chunk, else row-read
+                    st.genericGetMin == st.genericGetMax
+                  case _ => false
+                }
+              }
+          }
+        case other => throw new IllegalStateException(s"bad agg op $other")
+      }
+    }
+    if (ok) specs.zipWithIndex.foreach { case (s, i) =>
+      s.op match {
+        case "count_star" | "count" => counts(i) += stagedCounts(i)
+        case "min" => mergeExt(i, staged(i), isMin = true)
+        case "max" => mergeExt(i, staged(i), isMin = false)
+      }
+    }
+    ok
+  }
+
+  private def accumulateRow(get: String => Any, partStart: Long): Unit = {
+    specs.zipWithIndex.foreach { case (s, i) =>
+      s.op match {
+        case "count_star" => counts(i) += 1
+        case "count" =>
+          val v = if (s.col == "part_start") partStart else get(s.col)
+          if (v != null) counts(i) += 1
+        case "min" | "max" =>
+          val v = if (s.col == "part_start") partStart else get(s.col)
+          mergeExt(i, v, isMin = s.op == "min")
+      }
+    }
+  }
+
+  private def computeFile(f: String, partStart: Long): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(f)
+    val fallback = scala.collection.mutable.Set.empty[Long] // block start offsets
+    val footer = new ParquetFileReader(
+      HadoopInputFile.fromPath(hPath, conf),
+      HadoopReadOptions.builder(conf, hPath).build())
+    try {
+      footer.getRowGroups.forEach { b =>
+        val vis = GraftFooterStats.seqVisibility(b, commits, asOf, needSeq)
+        val filt =
+          if (pushed.isEmpty) GraftFooterStats.AllRows
+          else pushed.map(GraftFooterStats.classify(_, b))
+            .foldLeft(GraftFooterStats.AllRows: GraftFooterStats.Tri) { (a, x) =>
+              if (a == GraftFooterStats.NoRows || x == GraftFooterStats.NoRows)
+                GraftFooterStats.NoRows
+              else if (a == GraftFooterStats.AllRows && x == GraftFooterStats.AllRows)
+                GraftFooterStats.AllRows
+              else GraftFooterStats.SomeRows
+            }
+        if (vis != GraftFooterStats.NoRows && filt != GraftFooterStats.NoRows) {
+          val clean = vis == GraftFooterStats.AllRows &&
+            filt == GraftFooterStats.AllRows && tryStats(b, partStart)
+          if (!clean) fallback += b.getStartingPos
+        }
+      }
+    } finally footer.close()
+
+    if (fallback.nonEmpty) {
+      // row-read only the undecidable groups, with the scan's exact
+      // row-level semantics (visibility + filters)
+      val filterCols = pushed.flatMap(_.references).toSet.filter(_ != "part_start")
+      val aggCols = specs.map(_.col).filter(c => c.nonEmpty && c != "part_start").toSet
+      val cols = (aggCols ++ filterCols ++
+        (if (needSeq) Set("__seq") else Set.empty[String])).toSeq.sorted
+      val idx = cols.zipWithIndex.toMap
+      val seqIdx = idx.getOrElse("__seq", -1)
+      val r = new GraftParquetReader(conf, f, cols, _ => None,
+        blockKeep = b => fallback.contains(b.getStartingPos))
+      try {
+        while (r.hasNext) {
+          val rowArr = r.next()
+          def get(c: String): Any = idx.get(c).map(rowArr(_)).orNull
+          val vis = seqIdx < 0 ||
+            GraftReaders.visible(rowArr(seqIdx), commits, asOf)
+          if (vis && pushed.forall(GraftReaders.eval(_, get, partStart)))
+            accumulateRow(get, partStart)
+        }
+      } finally r.close()
+    }
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    split.files.foreach { case (f, partStart) => computeFile(f, partStart) }
+    val out = new Array[Any](specs.length)
+    specs.zipWithIndex.foreach { case (s, i) =>
+      out(i) = s.op match {
+        case "count_star" | "count" => counts(i)
+        case _ => exts(i)
+      }
+    }
+    row = new GenericInternalRow(out)
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

@@ -63,7 +63,8 @@ final class GraftParquetReader(
     filePath: String,
     columns: Seq[String],
     predicateFor: Set[String] => Option[FilterPredicate],
-    range: Option[(Long, Long)] = None)
+    range: Option[(Long, Long)] = None,
+    blockKeep: org.apache.parquet.hadoop.metadata.BlockMetaData => Boolean = _ => true)
   extends Iterator[Array[Any]] with AutoCloseable {
 
   private val hPath = new org.apache.hadoop.fs.Path(filePath)
@@ -97,8 +98,8 @@ final class GraftParquetReader(
       case Some(p) =>
         val kept = org.apache.parquet.filter2.compat.RowGroupFilter
           .filterRowGroups(FilterCompat.get(p), blocks, fileSchema)
-        kept.forEach(b => m.put(b, b))
-      case None => blocks.forEach(b => m.put(b, b))
+        kept.forEach(b => if (blockKeep(b)) m.put(b, b))
+      case None => blocks.forEach(b => if (blockKeep(b)) m.put(b, b))
     }
     m
   }

@@ -222,7 +222,8 @@ private[sources] final class GraftBatchTable(
 
 private[sources] final class GraftScanBuilder(
     tablePath: String, options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   /** Columns whose value is identical across every LWW version of a
     * (series, time) key — the only ones safe to filter below the MOR
@@ -232,6 +233,50 @@ private[sources] final class GraftScanBuilder(
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TsdbTable.RawSchema
+  private var aggPushed: Option[Seq[GraftAggSpec]] = None
+  private var limit: Option[Int] = None
+
+  /** Aggregate pushdown (r13): global COUNT(*) / COUNT(col) / MIN /
+    * MAX collapse to a parquet FOOTER walk — each file contributes one
+    * partial row, row groups the stats fully decide contribute without
+    * page IO, undecidable ones fall back to exact row reads inside the
+    * same reader ([[GraftAggReader]]). Spark re-merges the partials
+    * (count → SUM), so correctness never depends on the stats.
+    * Rejected (Spark then aggregates the normal scan): group-bys,
+    * DISTINCT, MOR tables (counts/extrema are post-merge properties),
+    * and MIN/MAX over `value`/`valueStr` (double extrema meet NaN
+    * stats-trust issues; valueStr differs across LWW versions —
+    * value-shaped columns stay above the storage layer). */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty) return false
+    val mor = SchemaJson.readCached(tablePath,
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      .exists(_.overrideOld)
+    if (mor) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val MinMaxable = Set("name", "labels_str", "time", "series_id", "part_start")
+    val specs: Array[Option[GraftAggSpec]] = agg.aggregateExpressions.map {
+      case _: CountStar => Some(GraftAggSpec("count_star", ""))
+      case c: Count if !c.isDistinct => colOf(c.column).map(GraftAggSpec("count", _))
+      case m: Min => colOf(m.column).filter(MinMaxable).map(GraftAggSpec("min", _))
+      case m: Max => colOf(m.column).filter(MinMaxable).map(GraftAggSpec("max", _))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) false
+    else { aggPushed = Some(specs.flatten.toSeq); true }
+  }
+
+  /** Partial limit (r13): each split stops after `n` rows that pass the
+    * exact pushed filters (post-merge on MOR stripes); Spark applies
+    * the global limit over the partials. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = true
 
   private def acceptable(f: Filter): Boolean = f match {
     case EqualTo(c, _: Long) => KeyStable(c)
@@ -256,7 +301,8 @@ private[sources] final class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(tablePath, options, pushed, required)
+  override def build(): Scan =
+    new GraftScan(tablePath, options, pushed, required, aggPushed, limit)
 }
 
 /** Writer-side plumbing shared by the batch write and the streaming
@@ -332,7 +378,8 @@ private[sources] final case class GraftMorStripe(
 
 private[sources] final class GraftScan(
     tablePath: String, options: CaseInsensitiveStringMap,
-    pushed: Array[Filter], required: StructType)
+    pushed: Array[Filter], required: StructType,
+    agg: Option[Seq[GraftAggSpec]] = None, limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   private val spark = SparkSession.active
@@ -349,13 +396,34 @@ private[sources] final class GraftScan(
     * shaped, same fence/handle rules as [[TsdbTable.readRawAsOf]]. */
   private val asOf: Option[Long] = Option(options.get("asof")).map(_.toLong)
 
-  override def readSchema(): StructType = required
+  /** The partial-aggregate output schema Spark's rewritten final
+    * aggregate consumes positionally: counts are longs, extrema carry
+    * the column's raw type. */
+  private def aggSchema(specs: Seq[GraftAggSpec]): StructType = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    StructType(specs.map { s =>
+      s.op match {
+        case "count_star" => StructField("count(*)", LongType, nullable = false)
+        case "count" => StructField(s"count(${s.col})", LongType, nullable = false)
+        case op => StructField(s"$op(${s.col})",
+          TsdbTable.RawSchema(TsdbTable.RawSchema.fieldIndex(s.col)).dataType)
+      }
+    })
+  }
+
+  override def readSchema(): StructType =
+    agg.map(aggSchema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan path=$tablePath, mor=${config.overrideOld}, " +
       asOf.map(s => s"asOf=$s, ").getOrElse("") +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      agg.map(a => s"PushedAggregates: [${a.map(s =>
+        if (s.op == "count_star") "COUNT(*)"
+        else s"${s.op.toUpperCase}(${s.col})").mkString(", ")}], ")
+        .getOrElse("") +
+      limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
+      s"ReadSchema: ${readSchema().catalogString}"
 
   // ---- planning ----------------------------------------------------------
 
@@ -436,7 +504,25 @@ private[sources] final class GraftScan(
     val parts = prunedPartitions(fs)
     var bytes = 0L
     val out = ArrayBuffer.empty[InputPartition]
-    if (config.overrideOld) {
+    if (agg.isDefined) {
+      // aggregate pushdown (builder guarantees non-MOR): a footer walk,
+      // not a data scan — byte-splitting buys nothing and one task per
+      // file pays hundreds of near-empty tasks, so files PACK into at
+      // most ~2× the session parallelism. ALWAYS at least one split:
+      // a zero-file table must still emit its count=0 partial (the
+      // final SUM over an empty scan would be NULL where COUNT is 0).
+      val files = ArrayBuffer.empty[(String, Long)]
+      parts.foreach { case (start, dir) =>
+        dataFiles(fs, dir).foreach { case (f, len) =>
+          bytes += len
+          files += ((f, start))
+        }
+      }
+      val slots = math.max(1, 2 * spark.sparkContext.defaultParallelism)
+      val per = math.max(1, (files.length + slots - 1) / slots)
+      if (files.isEmpty) out += GraftAggSplit(Nil)
+      else files.grouped(per).foreach(g => out += GraftAggSplit(g.toSeq))
+    } else if (config.overrideOld) {
       val stripes = math.max(1,
         Option(options.get("morstripes")).map(_.toInt)
           .getOrElse(config.shardingBuckets))
@@ -492,10 +578,17 @@ private[sources] final class GraftScan(
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // columnar scope (see GraftColumnar): non-MOR byte-range splits, no
+    // filters (exact enforcement is row-shaped), no limit, projection
+    // without the labels map
+    val columnarOk = !config.overrideOld && agg.isEmpty && limit.isEmpty &&
+      pushed.isEmpty && GraftColumnar.supports(required.fieldNames.toSeq)
     new GraftReaderFactory(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-      required.fieldNames.toSeq, pushed, planned._3, config.overrideOld, asOf)
+      required.fieldNames.toSeq, pushed, planned._3, config.overrideOld, asOf,
+      agg, limit, columnarOk)
+  }
 }
 
 private[sources] final class GraftReaderFactory(
@@ -504,12 +597,44 @@ private[sources] final class GraftReaderFactory(
     pushed: Array[Filter],
     commits: Option[(Long, Set[Long])],
     mor: Boolean,
-    asOf: Option[Long]) extends PartitionReaderFactory {
+    asOf: Option[Long],
+    agg: Option[Seq[GraftAggSpec]] = None,
+    limit: Option[Int] = None,
+    columnarOk: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
-    case s: GraftFileSplit => new GraftFileReader(conf.value, s, requested, pushed, commits, asOf)
-    case m: GraftMorStripe => new GraftMorReader(conf.value, m, requested, pushed, commits, asOf)
+    case a: GraftAggSplit =>
+      new GraftAggReader(conf.value, a, agg.get, pushed, commits, asOf)
+    case s: GraftFileSplit =>
+      limited(new GraftFileReader(conf.value, s, requested, pushed, commits, asOf))
+    case m: GraftMorStripe =>
+      limited(new GraftMorReader(conf.value, m, requested, pushed, commits, asOf))
   }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnarOk && p.isInstanceOf[GraftFileSplit]
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
+    case s: GraftFileSplit =>
+      new GraftColumnarReader(conf.value, s, requested, commits, asOf)
+    case other => throw new IllegalStateException(s"no columnar reader for $other")
+  }
+
+  /** Partial pushed limit: stop a split's reader after `n` emitted rows
+    * (rows that already passed filters/merge — Spark's global limit
+    * runs above the partials). */
+  private def limited(r: PartitionReader[InternalRow]): PartitionReader[InternalRow] =
+    limit match {
+      case None => r
+      case Some(n) => new PartitionReader[InternalRow] {
+        private var emitted = 0
+        override def next(): Boolean =
+          emitted < n && r.next() && { emitted += 1; true }
+        override def get(): InternalRow = r.get()
+        override def close(): Unit = r.close()
+      }
+    }
 }
 
 /** Shared reader mechanics: internal column set, parquet predicates, exact

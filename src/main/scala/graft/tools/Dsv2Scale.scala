@@ -79,11 +79,22 @@ object Dsv2Scale {
       val dsv2Filt = best(force(spark.read.format("graft").load(s"$dir/table")
         .filter(col("name") === "click" && col("time").between(F, T))))
       val readraw = best(force(t.readRaw(0L, Long.MaxValue)))
+      // r13 aggregate pushdown receipt: COUNT(*) through the DSv2
+      // source is a footer walk (no page IO) on an append-only table —
+      // compare against Spark's parquet count over the same files
+      // (itself footer-stat served) and the full-scan time above
+      val dsv2Count = best {
+        require(spark.read.format("graft").load(s"$dir/table").count() > 0)
+      }
+      val nativeCount = best {
+        require(spark.read.parquet(s"$dir/table/raw").count() > 0)
+      }
 
       println(s"""{"tool":"Dsv2Scale","rows":$rows,"factor":$factor,"mor":$mor,""" +
         s""""native_sec":${f"$native%.3f"},"dsv2_full_sec":${f"$dsv2Full%.3f"},""" +
         s""""dsv2_filtered_sec":${f"$dsv2Filt%.3f"},"readraw_sec":${f"$readraw%.3f"},""" +
-        s""""filter_ratio":${f"${dsv2Filt / dsv2Full}%.3f"}}""")
+        s""""filter_ratio":${f"${dsv2Filt / dsv2Full}%.3f"},""" +
+        s""""dsv2_count_sec":${f"$dsv2Count%.3f"},"native_count_sec":${f"$nativeCount%.3f"}}""")
     } finally {
       graft.core.Fs.rmTree(dir.toFile)
       spark.stop()

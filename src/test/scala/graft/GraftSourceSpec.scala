@@ -29,9 +29,18 @@ class GraftSourceSpec extends SparkSuite {
         "series_id", "part_start")
       .collect().map(_.toString).sorted.toSeq
 
-  private def scanOf(df: DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // aggregate/limit plans come back AQE-wrapped (they carry an
+    // exchange) — descend through the adaptive wrapper to the scan
+    def find(p: SparkPlan): Option[BatchScanExec] =
+      p.collectFirst { case b: BatchScanExec => b }.orElse(
+        p.collectFirst { case a: AdaptiveSparkPlanExec => a }
+          .flatMap(a => find(a.executedPlan)))
+    find(df.queryExecution.executedPlan)
       .getOrElse(fail("no BatchScanExec in plan — not served by the DSv2 source"))
+  }
 
   test("append-only table: DSv2 read == readRaw, and USING graft SQL works") {
     val dir = Files.createTempDirectory("graft_dsv2").toString
@@ -330,6 +339,122 @@ class GraftSourceSpec extends SparkSuite {
     val ds = spark.read.format("graft").load(s"$dir/nope")
     assert(ds.schema == TsdbTable.RawSchema)
     assert(ds.count() == 0)
+  }
+
+  test("aggregate pushdown (r13): COUNT/MIN/MAX serve from footer stats, exactly") {
+    val dir = Files.createTempDirectory("graft_dsv2_agg").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    t.append(samples((0 until 40).map(i =>
+      (if (i % 2 == 0) "cpu" else "mem", s"h${i % 4}",
+        Base + i * (Day / 4), i.toDouble)): _*))
+    t.append(samples(("cpu", "z", Base + 11 * Day, 99.0)))
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+
+    // plan pin: the scan itself carries the aggregates
+    val counted = ds.agg(count(lit(1)).as("n"), min("time").as("lo"),
+      max("time").as("hi"))
+    val desc = scanOf(counted).scan.description()
+    assert(desc.contains("PushedAggregates") && desc.contains("COUNT(*)") &&
+      desc.contains("MIN(time)") && desc.contains("MAX(time)"), desc)
+    val row = counted.collect()(0)
+    val raw = t.readRaw(0L, Long.MaxValue)
+    assert(row.getLong(0) == raw.count())
+    assert(row.getLong(1) == raw.agg(min("time")).head().getLong(0))
+    assert(row.getLong(2) == raw.agg(max("time")).head().getLong(0))
+
+    // count(col) uses footer null counts; count over a filtered scan
+    // stays exact through the row fallback on undecidable groups
+    assert(ds.agg(count(col("valueStr"))).head().getLong(0) == 0L)
+    val filtered = ds.filter(col("name") === "cpu" &&
+      col("time") >= Base + 3 * Day)
+    val fdesc = scanOf(filtered.agg(count(lit(1)))).scan.description()
+    assert(fdesc.contains("PushedAggregates"), fdesc)
+    assert(filtered.agg(count(lit(1))).head().getLong(0) ==
+      raw.filter(col("name") === "cpu" && col("time") >= Base + 3 * Day).count())
+
+    // min/max over value (double) must NOT push — NaN-hostile stats
+    val vdesc = scanOf(ds.agg(min("value"))).scan.description()
+    assert(!vdesc.contains("PushedAggregates"), vdesc)
+    assert(ds.agg(min("value")).head().getDouble(0) ==
+      raw.agg(min("value")).head().getDouble(0))
+
+    // group-bys do not push and stay correct
+    val grouped = ds.groupBy("name").agg(count(lit(1)).as("n"))
+    assert(!scanOf(grouped).scan.description().contains("PushedAggregates"))
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      raw.groupBy("name").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+    // a MOR table never pushes aggregates (post-merge properties)
+    val mdir = Files.createTempDirectory("graft_dsv2_agg_mor").toString
+    val mt = new TsdbTable(spark, s"$mdir/tbl", TsdbConfig(overrideOld = true))
+    mt.append(samples(("cpu", "a", Base, 1.0), ("cpu", "b", Base, 2.0)))
+    mt.append(samples(("cpu", "a", Base, 10.0))) // rewrite
+    val mds = spark.read.format("graft").load(s"$mdir/tbl")
+    assert(!scanOf(mds.agg(count(lit(1)))).scan.description()
+      .contains("PushedAggregates"))
+    assert(mds.agg(count(lit(1))).head().getLong(0) == 2L,
+      "MOR count is the MERGED count")
+
+    // an empty table's pushed COUNT(*) is 0, not null
+    val edir = Files.createTempDirectory("graft_dsv2_agg_empty").toString
+    new TsdbTable(spark, s"$edir/tbl").append(samples(("cpu", "a", Base, 1.0)))
+    val eds = spark.read.format("graft").load(s"$edir/tbl")
+      .filter(col("part_start") > Base + 400 * Day)
+    assert(eds.agg(count(lit(1))).head().getLong(0) == 0L)
+  }
+
+  test("limit pushdown (r13): splits stop early, results stay a correct prefix") {
+    val dir = Files.createTempDirectory("graft_dsv2_limit").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    t.append(samples((0 until 30).map(i =>
+      ("cpu", s"h$i", Base + i * 1000L, i.toDouble)): _*))
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+    val lim = ds.limit(5)
+    assert(scanOf(lim).scan.description().contains("PushedLimit: 5"),
+      scanOf(lim).scan.description())
+    assert(lim.collect().length == 5)
+    // limited rows are real table rows
+    val all = sortedRows(ds).toSet
+    assert(sortedRows(lim).forall(all.contains))
+  }
+
+  test("columnar read path (r13): unfiltered narrow projections vectorize, rows identical") {
+    val dir = Files.createTempDirectory("graft_dsv2_columnar").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    t.append(samples((0 until 50).map(i =>
+      (if (i % 3 == 0) "cpu" else "mem", s"h${i % 5}",
+        Base + i * (Day / 8), i.toDouble)): _*))
+    t.append(samples(("cpu", "x", Base + 9 * Day, -1.0)))
+
+    def narrow = spark.read.format("graft").load(s"$dir/tbl")
+      .select("name", "time", "value", "valueStr", "series_id", "part_start")
+    assert(scanOf(narrow).supportsColumnar,
+      "no-filter narrow projection must take the columnar path")
+    val viaColumnar = narrow.collect()
+      .map(_.toString).sorted.toSeq
+    val viaRaw = t.readRaw(0L, Long.MaxValue)
+      .select("name", "time", "value", "valueStr", "series_id", "part_start")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaColumnar == viaRaw)
+
+    // labels (map) keeps the row path; filters keep the row path
+    val withMap = spark.read.format("graft").load(s"$dir/tbl")
+    assert(!scanOf(withMap).supportsColumnar)
+    val filtered = narrow.filter(col("name") === "cpu")
+    assert(!scanOf(filtered).supportsColumnar)
+    assert(filtered.count() ==
+      t.readRaw(0L, Long.MaxValue).filter(col("name") === "cpu").count())
+
+    // uncommitted (crashed-mutation) files stay invisible in columnar
+    // mode too: footer __seq stats classify the whole group out
+    val fs = new java.io.File(s"$dir/tbl/raw")
+    val partDir = fs.listFiles().filter(_.getName.startsWith("part_start=")).head
+    val victim = spark.read.parquet(partDir.toString)
+    val orphan = victim.withColumn("__seq", lit(victim.head().getAs[Long]("__seq") + 999999L))
+    orphan.write.mode("append").parquet(partDir.toString)
+    assert(narrow.count() == viaRaw.length,
+      "an uncommitted orphan file must not leak into the columnar read")
   }
 
   test("sink identity (r13): missing txnAppId/checkpointLocation fails at creation, never a shared counter") {
