@@ -313,25 +313,32 @@ object SparkEntry {
     }
   }
 
-  /** Encrypted-PDF fixture corpus (r12): every document genuinely
-    * encrypted by the standard security handler with an EMPTY user
-    * password (owner restrictions only — the class every viewer opens
-    * credential-free): AES-128 `/V 4 /R 4 /AESV2` on even ids, RC4-128
-    * `/V 2 /R 3` on odd. The `id%11==0` lane carries a REAL user
-    * password and must stay quarantined. Page texts are the same closed
-    * form as [[pdfFixtureBlobs]], so the extraction twin is exact. */
+  /** Encrypted-PDF fixture corpus (r12, V5 lanes r13): every document
+    * genuinely encrypted by the standard security handler with an EMPTY
+    * user password (owner restrictions only — the class every viewer
+    * opens credential-free): AES-256 `/V 5 /R 6 /AESV3` on id%3==0,
+    * else AES-128 `/V 4 /R 4 /AESV2` on even ids / RC4-128 `/V 2 /R 3`
+    * on odd. The `id%11==0` lane carries a REAL user password (classic
+    * AND V5 sub-lanes) and must stay quarantined. Page texts are the
+    * same closed form as [[pdfFixtureBlobs]], so the extraction twin is
+    * exact. */
   private def pdfEncryptedBlobs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import graft.ops.Pdf
-    stagedBlobs(s, dir, "pdf_enc_v1") {
+    stagedBlobs(s, dir, "pdf_enc_v2") {
       val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
       s.createDataFrame(
         ids.rdd.map { r =>
           val id = r.getLong(0)
+          // r13 lane split: id%3==0 → /V 5 /R 6 AES-256; the rest keep
+          // the r12 mix (/V 4 /R 4 AESV2 on even ids, /V 2 /R 3 RC4 on
+          // odd). The password lane (id%11==0) now also alternates
+          // classic/V5, so BOTH quarantine paths stay pinned.
           val blob = Pdf.pdfBytesEncrypted(pdfFixturePages(id),
             aes = id % 2 == 0,
-            userPwd = if (id % 11 == 0) "secret" else "")
+            userPwd = if (id % 11 == 0) "secret" else "",
+            rev = if (id % 3 == 0) 6 else 0)
           Row(id, blob)
         },
         StructType(Seq(StructField("doc_id", LongType),
@@ -3180,11 +3187,12 @@ object SparkEntry {
           col("text"), col("flagged"), col("reason"))
         .orderBy("doc_id", "page")),
 
-    // PDF standard security handler (r12): the crawl-realistic
-    // owner-restrictions-only class — RC4-128 (/V 2 /R 3) and AES-128
-    // (/V 4 /R 4 /AESV2) documents with an EMPTY user password decrypt
-    // transparently and extract (ISO 32000-1 §7.6.3 Algorithms 1/2/5/6 +
-    // the AESV2 crypt filter, zero-dep via JDK MD5 + javax.crypto);
+    // PDF standard security handler (r12; AES-256 r13): the
+    // crawl-realistic owner-restrictions-only class — RC4-128
+    // (/V 2 /R 3), AES-128 (/V 4 /R 4 /AESV2) and AES-256
+    // (/V 5 /R 6 /AESV3, ISO 32000-2 §7.6.4 Algorithm 2.B) documents
+    // with an EMPTY user password decrypt transparently and extract
+    // (zero-dep via JDK MD5/SHA-2 + javax.crypto);
     // genuinely password-protected documents stay quarantined. The twin
     // replays the closed-form page texts for the decryptable lanes and
     // the flag lane, so the hash pins key derivation + per-object keys +

@@ -675,6 +675,68 @@ object Pdf {
     iv ++ c.doFinal(padded)
   }
 
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** AES-CBC with an explicit zero IV and NO padding — the V5 key-wrap
+    * primitive (§7.6.4.3.3: /UE and /OE hold the 32-byte file key
+    * encrypted with the intermediate key, no padding, zero IV). */
+  private def aesNoPadZeroIv(key: Array[Byte], data: Array[Byte],
+                             encrypt: Boolean): Array[Byte] = {
+    if (data.length % 16 != 0) fail("bad AES key-wrap length")
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+           else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(data)
+  }
+
+  /** The V5 password hash. /R 5 (the deprecated Adobe ExtensionLevel 3
+    * scheme): a single SHA-256 over (password ‖ salt ‖ udata). /R 6
+    * (ISO 32000-2 §7.6.4.3.4 Algorithm 2.B): SHA-256 seeded, then ≥64
+    * rounds of AES-128-CBC(K[0..16), iv=K[16..32)) over 64 repetitions
+    * of (password ‖ K ‖ udata), the digest rotating among
+    * SHA-256/384/512 by E's leading 16 bytes mod 3 — computed as the
+    * BYTE SUM mod 3, identical because 256 ≡ 1 (mod 3) — until past
+    * round 64 the last byte of E is ≤ round − 32. `udata` is empty for
+    * the user-password hashes and the 48-byte /U for the owner ones. */
+  private[graft] def hashV5(pwd: Array[Byte], salt: Array[Byte],
+                            udata: Array[Byte], r: Int): Array[Byte] = {
+    var k = sha("SHA-256", pwd, salt, udata)
+    if (r == 5) return k
+    var round = 0
+    var lastE: Array[Byte] = null
+    while (round < 64 || (lastE(lastE.length - 1) & 0xFF) > round - 32) {
+      val unit = pwd ++ k ++ udata
+      val k1 = new Array[Byte](unit.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(unit, 0, k1, i * unit.length, unit.length)
+        i += 1
+      }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(k, 16, 16))
+      val e = c.doFinal(k1)
+      var sum = 0
+      i = 0
+      while (i < 16) { sum += e(i) & 0xFF; i += 1 }
+      k = (sum % 3) match {
+        case 0 => sha("SHA-256", e)
+        case 1 => sha("SHA-384", e)
+        case _ => sha("SHA-512", e)
+      }
+      lastE = e
+      round += 1
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+
   /** Algorithm 2 (§7.6.3.3): the file encryption key from a (padded)
     * password, /O, /P, the first /ID element and, for R4 with
     * unencrypted metadata, 4×FF. */
@@ -769,10 +831,13 @@ object Pdf {
     }
     private val v = num("V", 0)
     private val r = num("R", 2)
-    if (v < 1 || v > 4 || r < 2 || r > 4)
+    if (!((v >= 1 && v <= 4 && r >= 2 && r <= 4) ||
+          (v == 5 && (r == 5 || r == 6))))
       fail(s"unsupported encryption V=$v R=$r")
-    /** (aes, identity): V4 routes streams through a named crypt filter —
-      * /StmF Identity means "not encrypted at this layer". */
+    /** (aes, identity): V4/V5 route streams through a named crypt
+      * filter — /StmF Identity means "not encrypted at this layer".
+      * V4 admits AESV2 (AES-128) or V2 (RC4); V5 admits AESV3
+      * (AES-256) only, per ISO 32000-2 Table 27. */
     private val (aes, identity) =
       if (v < 4) (false, false)
       else {
@@ -793,38 +858,83 @@ object Pdf {
             }
             case _ => fail("bad /CF")
           }
-          cfm match {
-            case "AESV2" => (true, false)
-            case "V2" => (false, false)
+          (cfm, v) match {
+            case ("AESV2", 4) => (true, false)
+            case ("V2", 4) => (false, false)
+            case ("AESV3", 5) => (true, false)
             case other => fail(s"unsupported crypt filter $other")
           }
         }
       }
-    private val keyLen = {
-      val bits = num("Length", 40)
-      val n = if (r == 2) 5 else bits / 8
-      if (n < 5 || n > 16) fail(s"bad key length $bits")
-      n
-    }
-    private val oVal = str32("O")
-    private val uVal = str32("U")
-    private val p = num("P", -1)
-    private val encryptMetadata =
-      res(enc.get("EncryptMetadata").getOrElse(PNull)) match {
-        case PBool(b) => b
-        case _ => true
+
+    /** The file encryption key. V1–4: Algorithm 2 from the padded EMPTY
+      * user password, verified via Algorithm 6 against /U. V5 (/R 5–6,
+      * r13): §7.6.4.3.3 — validate hash(pwd, validation salt) against
+      * U[0..32), derive the intermediate key from the KEY salt, unwrap
+      * the 32-byte file key from /UE (AES-256-CBC, zero IV, no pad),
+      * then check the /Perms integrity seal ("adb" at bytes 9–11 under
+      * AES-256-ECB) so a torn /Encrypt can't silently half-decrypt. */
+    private val key: Array[Byte] =
+      if (v == 5) {
+        val uVal = str32("U") // hash half; salts read below from the full value
+        val uFull = res(enc.get("U").getOrElse(PNull)) match {
+          case PStr(b) if b.length >= 48 => b
+          case _ => fail("bad /Encrypt /U for V5")
+        }
+        val ue = res(enc.get("UE").getOrElse(PNull)) match {
+          case PStr(b) if b.length >= 32 => b.take(32)
+          case _ => fail("bad /Encrypt /UE")
+        }
+        val vSalt = java.util.Arrays.copyOfRange(uFull, 32, 40)
+        val kSalt = java.util.Arrays.copyOfRange(uFull, 40, 48)
+        val empty = Array.empty[Byte]
+        // empty USER password only, as for V1-4 — anything else flags
+        if (!java.util.Arrays.equals(hashV5(empty, vSalt, empty, r), uVal))
+          fail("user password required")
+        val iKey = hashV5(empty, kSalt, empty, r)
+        val fileKey = aesNoPadZeroIv(iKey, ue, encrypt = false)
+        res(enc.get("Perms").getOrElse(PNull)) match {
+          case PStr(perms) if perms.length >= 16 =>
+            val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+            c.init(javax.crypto.Cipher.DECRYPT_MODE,
+              new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+            val plain = c.doFinal(perms.take(16))
+            if (plain(9) != 'a' || plain(10) != 'd' || plain(11) != 'b')
+              fail("bad /Perms seal")
+          case PNull => () // absent: tolerated (the key already verified via /U)
+          case _ => fail("bad /Perms")
+        }
+        fileKey
+      } else {
+        val keyLen = {
+          val bits = num("Length", 40)
+          val n = if (r == 2) 5 else bits / 8
+          if (n < 5 || n > 16) fail(s"bad key length $bits")
+          n
+        }
+        val oVal = str32("O")
+        val uVal = str32("U")
+        val p = num("P", -1)
+        val encryptMetadata =
+          res(enc.get("EncryptMetadata").getOrElse(PNull)) match {
+            case PBool(b) => b
+            case _ => true
+          }
+        val k = baseKey(Array.empty, oVal, p, id0, r, keyLen, encryptMetadata)
+        // Algorithm 6: verify the EMPTY user password — anything else is
+        // a genuinely password-protected document and must keep flagging
+        val uOk =
+          if (r == 2) java.util.Arrays.equals(computeU(k, r, id0), uVal)
+          else computeU(k, r, id0).take(16).sameElements(uVal.take(16))
+        if (!uOk) fail("user password required")
+        k
       }
-    private val key =
-      baseKey(Array.empty, oVal, p, id0, r, keyLen, encryptMetadata)
-    // Algorithm 6: verify the EMPTY user password — anything else is a
-    // genuinely password-protected document and must keep flagging
-    private val uOk =
-      if (r == 2) java.util.Arrays.equals(computeU(key, r, id0), uVal)
-      else computeU(key, r, id0).take(16).sameElements(uVal.take(16))
-    if (!uOk) fail("user password required")
 
     def decrypt(data: Array[Byte], objNum: Int, gen: Int): Array[Byte] =
       if (identity) data
+      // V5: the FILE key encrypts every stream directly — no per-object
+      // key derivation (§7.6.4: "the file encryption key is used")
+      else if (v == 5) aesCbcDecrypt(key, data)
       else if (aes) aesCbcDecrypt(objectKey(key, objNum, gen, aes = true), data)
       else rc4(objectKey(key, objNum, gen, aes = false), data)
   }
@@ -1789,21 +1899,52 @@ object Pdf {
     * Round-trip witness for [[StdDecryptor]] — writer and reader share
     * only the public ISO algorithms, not code paths. */
   def pdfBytesEncrypted(pages: Seq[Seq[String]], aes: Boolean = false,
-                        userPwd: String = ""): Array[Byte] = {
-    val r = if (aes) 4 else 3
+                        userPwd: String = "", rev: Int = 0): Array[Byte] = {
+    require(rev == 0 || rev == 5 || rev == 6, s"rev=$rev")
+    val v5 = rev == 5 || rev == 6
+    val r = if (v5) rev else if (aes) 4 else 3
     val keyLen = 16
     val perms = -44
     val id0 = md5(pages.flatten.mkString("|").getBytes("UTF-8"),
-      Array[Byte](if (aes) 1 else 0))
-    val oVal = computeO("owner".getBytes("UTF-8"), userPwd.getBytes("UTF-8"),
-      r, keyLen)
-    val key = baseKey(userPwd.getBytes("UTF-8"), oVal, perms, id0, r, keyLen,
-      encryptMetadata = true)
-    val uVal = computeU(key, r, id0)
+      Array[Byte]((if (aes) 1 else 0).toByte, rev.toByte))
+    val pwdB = userPwd.getBytes("UTF-8")
+    // ---- V5 (/R 5-6) material: random-free, derived from content so the
+    // fixture is deterministic; writer and reader share only the public
+    // ISO algorithms (hashV5 is the spec's Algorithm 2.B both ways)
+    val fileKeyV5 = sha("SHA-256", "graft-v5-filekey".getBytes("UTF-8"), id0)
+    val vSaltU = sha("SHA-256", "vU".getBytes("UTF-8"), id0).take(8)
+    val kSaltU = sha("SHA-256", "kU".getBytes("UTF-8"), id0).take(8)
+    val vSaltO = sha("SHA-256", "vO".getBytes("UTF-8"), id0).take(8)
+    val kSaltO = sha("SHA-256", "kO".getBytes("UTF-8"), id0).take(8)
+    val uValV5 = hashV5(pwdB, vSaltU, Array.empty, r) ++ vSaltU ++ kSaltU
+    val ueVal = aesNoPadZeroIv(hashV5(pwdB, kSaltU, Array.empty, r),
+      fileKeyV5, encrypt = true)
+    val ownB = "owner".getBytes("UTF-8")
+    val oValV5 = hashV5(ownB, vSaltO, uValV5, r) ++ vSaltO ++ kSaltO
+    val oeVal = aesNoPadZeroIv(hashV5(ownB, kSaltO, uValV5, r),
+      fileKeyV5, encrypt = true)
+    val permsVal = {
+      val plain = Array[Byte]((perms & 0xFF).toByte, ((perms >> 8) & 0xFF).toByte,
+        ((perms >> 16) & 0xFF).toByte, ((perms >> 24) & 0xFF).toByte,
+        0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+        'T', 'a', 'd', 'b', 'g', 'r', 'f', 't')
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fileKeyV5, "AES"))
+      c.doFinal(plain)
+    }
+    // ---- classic (/R 2-4) material
+    val oVal = computeO("owner".getBytes("UTF-8"), pwdB, r, keyLen)
+    val key =
+      if (v5) fileKeyV5
+      else baseKey(pwdB, oVal, perms, id0, r, keyLen, encryptMetadata = true)
+    val uVal = if (v5) uValV5 else computeU(key, r, id0)
     def hexStr(b: Array[Byte]): String =
       "<" + b.map(x => f"${x & 0xFF}%02X").mkString + ">"
     def encryptStream(num: Int, body: Array[Byte]): Array[Byte] =
-      if (aes)
+      if (v5)
+        aesCbcEncrypt(key, md5(id0, Array[Byte](num.toByte)).take(16), body)
+      else if (aes)
         aesCbcEncrypt(objectKey(key, num, 0, aes = true),
           md5(id0, Array[Byte](num.toByte)).take(16), body)
       else rc4(objectKey(key, num, 0, aes = false), body)
@@ -1847,7 +1988,14 @@ object Pdf {
       }
     }
     obj {
-      if (aes)
+      if (v5)
+        w(s"<< /Filter /Standard /V 5 /R $r /Length 256 " +
+          "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+          "/StmF /StdCF /StrF /StdCF " +
+          s"/O ${hexStr(oValV5)} /U ${hexStr(uValV5)} " +
+          s"/OE ${hexStr(oeVal)} /UE ${hexStr(ueVal)} " +
+          s"/Perms ${hexStr(permsVal)} /P $perms >>")
+      else if (aes)
         w("<< /Filter /Standard /V 4 /R 4 /Length 128 " +
           "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
           "/StmF /StdCF /StrF /StdCF " +

@@ -3542,7 +3542,13 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
         // structure; decryption must flag or extract, never throw
         Pdf.pdfBytesEncrypted(Seq(Seq("eta (enc)", "theta"), Seq("iota"))) -> 129L,
         Pdf.pdfBytesEncrypted(Seq(Seq("kappa", "lambda"), Seq("mu")),
-          aes = true) -> 130L)) {
+          aes = true) -> 130L,
+        // r13: the V5 (AES-256) lanes — mutations hit /UE, /Perms, the
+        // 2.B hash inputs and the AESV3 crypt filter shapes
+        Pdf.pdfBytesEncrypted(Seq(Seq("nu (r6)", "xi"), Seq("omicron")),
+          rev = 6) -> 131L,
+        Pdf.pdfBytesEncrypted(Seq(Seq("pi", "rho (r5)")),
+          rev = 5) -> 132L)) {
       assert(Pdf.extractText(base).ok, "pristine fixture must extract")
       (mutations(base, seed, 80) :+ ("empty", Array.emptyByteArray) :+
         ("null", null: Array[Byte])).foreach { case (tag, payload) =>

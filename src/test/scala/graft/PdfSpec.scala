@@ -108,7 +108,8 @@ class PdfSpec extends SparkSuite {
         userPwd = "secret"))
       assert(!pw.ok && pw.flagged && pw.reason == "encrypted", s"aes=$aes: $pw")
     }
-    // unsupported revisions (V5/R6 AES-256) keep flagging, never throw
+    // a doc merely CLAIMING V5 over classic 32-byte /O //U material is
+    // malformed (no /UE, short /U) — flags, never throws or half-reads
     val enc = Pdf.pdfBytesEncrypted(pages)
     val v5 = new String(enc, "ISO-8859-1").replace("/V 2 /R 3", "/V 5 /R 6")
       .getBytes("ISO-8859-1")
@@ -118,6 +119,36 @@ class PdfSpec extends SparkSuite {
     // the /encrypted codec flag — triage stays content-free
     val p = Pdf.Probe.probe(Pdf.pdfBytesEncrypted(pages, aes = true)).get
     assert(p.codec.endsWith("/encrypted"), p.codec)
+  }
+
+  test("AES-256 (r13): /V 5 /R 6 and /R 5 empty-user-password docs decrypt and extract; real passwords flag") {
+    for (rev <- Seq(5, 6)) {
+      val enc = Pdf.pdfBytesEncrypted(pages, rev = rev)
+      val wire = new String(enc, "ISO-8859-1")
+      assert(!wire.contains("Hello, world!"), s"r$rev: plaintext leaked")
+      assert(wire.contains("/AESV3") && wire.contains("/UE"), s"r$rev: shape")
+      val t = Pdf.extractText(enc)
+      assert(t.ok && !t.flagged && t.nPages == 3, s"r$rev: $t")
+      assert(t.pages == pages.map(_.mkString("\n")).toVector, s"r$rev")
+      // a genuinely password-protected V5 doc keeps flagging: the 2.B
+      // validation hash of the empty password cannot match
+      val pw = Pdf.extractText(Pdf.pdfBytesEncrypted(pages, rev = rev,
+        userPwd = "secret"))
+      assert(!pw.ok && pw.flagged && pw.reason == "encrypted", s"r$rev: $pw")
+    }
+    // a tampered /Perms seal flags (the key must not silently half-work)
+    val good = new String(Pdf.pdfBytesEncrypted(pages, rev = 6), "ISO-8859-1")
+    val permsAt = good.indexOf("/Perms <") + "/Perms <".length
+    val bad = good.substring(0, permsAt) +
+      (if (good.charAt(permsAt) == '0') "1" else "0") + good.substring(permsAt + 1)
+    val tp = Pdf.extractText(bad.getBytes("ISO-8859-1"))
+    assert(!tp.ok && tp.flagged && tp.reason == "encrypted", s"$tp")
+    // Algorithm 2.B self-check: the round count really extends past 64
+    // (a hash that stopped at 64 unconditionally decrypts nothing real) —
+    // pin a known property: output is 32 bytes and differs across salts
+    val h1 = Pdf.hashV5(Array.empty, Array.fill(8)(1.toByte), Array.empty, 6)
+    val h2 = Pdf.hashV5(Array.empty, Array.fill(8)(2.toByte), Array.empty, 6)
+    assert(h1.length == 32 && h2.length == 32 && !h1.sameElements(h2))
   }
 
   test("encrypted flags, never decrypts; non-PDF and torn files quarantine with their reasons") {
