@@ -708,6 +708,12 @@ object Pdf {
                             udata: Array[Byte], r: Int): Array[Byte] = {
     var k = sha("SHA-256", pwd, salt, udata)
     if (r == 5) return k
+    // one Cipher + three digests REUSED across the ~64-250 rounds
+    // (init/reset are cheap; getInstance is a provider lookup that
+    // multiplied into whole seconds across a corpus — bench-caught r13)
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    val digests = Array("SHA-256", "SHA-384", "SHA-512")
+      .map(java.security.MessageDigest.getInstance(_))
     var round = 0
     var lastE: Array[Byte] = null
     while (round < 64 || (lastE(lastE.length - 1) & 0xFF) > round - 32) {
@@ -718,19 +724,16 @@ object Pdf {
         System.arraycopy(unit, 0, k1, i * unit.length, unit.length)
         i += 1
       }
-      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
         new javax.crypto.spec.IvParameterSpec(k, 16, 16))
-      val e = c.doFinal(k1)
+      val e = cipher.doFinal(k1)
       var sum = 0
       i = 0
       while (i < 16) { sum += e(i) & 0xFF; i += 1 }
-      k = (sum % 3) match {
-        case 0 => sha("SHA-256", e)
-        case 1 => sha("SHA-384", e)
-        case _ => sha("SHA-512", e)
-      }
+      val d = digests(sum % 3)
+      d.reset()
+      k = d.digest(e)
       lastE = e
       round += 1
     }
@@ -1796,11 +1799,22 @@ object Pdf {
     * `not-pdf`/`encrypted`/`corrupt`) otherwise. Partition-local (no
     * shuffle) — at 100 TB this is a scan-shaped map like the codec
     * operators, and page rows give the downstream text pipeline its
-    * natural dedup/quality granularity. */
+    * natural dedup/quality granularity. One caveat (bench-caught r13):
+    * Spark sizes scan partitions by BYTES, while this map's cost is
+    * per-document CPU (an AES-256 document pays ~3 ms of Algorithm 2.B
+    * before parsing) — a few-MB corpus arrives as ONE partition and
+    * serializes the whole decrypt. When input parallelism is below the
+    * session's, rebalance first; at real corpus sizes partitions ≥
+    * cores and this is a no-op, preserving the scan shape. */
   def pdfText(blobs: DataFrame, maxStreamBytes: Int = 16 << 20): DataFrame = {
     val spark = blobs.sparkSession
-    val rows = blobs.select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+    val base = blobs.select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
         org.apache.spark.sql.functions.col("blob")).rdd
+    val balanced =
+      if (base.getNumPartitions < spark.sparkContext.defaultParallelism)
+        base.repartition(spark.sparkContext.defaultParallelism)
+      else base
+    val rows = balanced
       .flatMap { r =>
         val id: java.lang.Long = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
         val t = extractText(r.getAs[Array[Byte]](1), maxStreamBytes)
