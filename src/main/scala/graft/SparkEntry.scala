@@ -585,6 +585,23 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // DSv2 aggregate pushdown (r13): global COUNT(*)/COUNT(col)/MIN/MAX
+    // collapse to a parquet FOOTER walk inside the source
+    // (SupportsPushDownAggregates — GraftSourceSpec pins the
+    // PushedAggregates plan and the stats/row-fallback split); the twin
+    // recomputes the same aggregates from the events CTE, so a hash
+    // match proves the stats-served partials merge to the exact answer
+    // (count(valueStr) exercises the footer NULL-count lane: the stored
+    // table's valueStr chunks are all-null).
+    "tsdb_dsv2_agg" -> ((s, dir) => {
+      val t = storedTable(s, dir)
+      s.read.format("graft").load(t.path)
+        .agg(count(lit(1)).as("cnt"),
+          count(col("valueStr")).as("cnt_vstr"),
+          min("time").as("min_t"), max("time").as("max_t"),
+          min("name").as("min_name"), max("name").as("max_name"))
+    }),
+
     // ------------------------------------------------------------------- S4
     "tsdb_names" -> ((s, dir) => QueryEngine.names(Samples.fromEvents(s, dir))),
 
@@ -3609,6 +3626,15 @@ object SparkEntry {
          |SELECT labels_str, count(*) AS cnt, round(sum(v), 4) AS sum_v
          |FROM s WHERE name = 'view'
          |GROUP BY labels_str ORDER BY labels_str""".stripMargin,
+
+    // the stored table carries no string samples: count over the
+    // all-null valueStr chunks is the footer NULL-count lane
+    "tsdb_dsv2_agg" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT count(*) AS cnt, CAST(0 AS BIGINT) AS cnt_vstr,
+         |  min(tt) AS min_t, max(tt) AS max_t,
+         |  min(name) AS min_name, max(name) AS max_name
+         |FROM s""".stripMargin,
 
     "tsdb_names" ->
       "SELECT DISTINCT event_type AS name FROM events ORDER BY name",

@@ -457,6 +457,62 @@ class GraftSourceSpec extends SparkSuite {
       "an uncommitted orphan file must not leak into the columnar read")
   }
 
+  test("FUZZ agg/columnar equivalence (r13): seeded random tables + filters — pushed plans match readRaw exactly") {
+    val rnd = new scala.util.Random(1313L)
+    val dir = Files.createTempDirectory("graft_dsv2_fuzz").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    import spark.implicits._
+    def batch(n: Int): DataFrame =
+      (0 until n).map { _ =>
+        val name = s"m${rnd.nextInt(4)}"
+        val host = s"h${rnd.nextInt(3)}"
+        val time = Base + rnd.nextInt(20) * (Day / 2)
+        // variant-ness is a SERIES property (m3 = the string metric):
+        // the type-enforcement sidecar rejects a series that mixes
+        val (v, vs) =
+          if (name == "m3") (Double.NaN, Some(s"s${rnd.nextInt(9)}"))
+          else (rnd.nextDouble() * 100 - 50, None)
+        (name, host, time, v, vs)
+      }.toDF("name", "host", "time", "value", "valueStr")
+        .select(col("name"), map(lit("host"), col("host")).as("labels"),
+          col("time"), col("value"), col("valueStr"))
+    (1 to 3).foreach(_ => t.append(batch(150)))
+    // an uncommitted orphan: stats-level visibility must hold under fuzz
+    val partDir = new java.io.File(s"$dir/tbl/raw").listFiles()
+      .filter(_.getName.startsWith("part_start=")).head
+    spark.read.parquet(partDir.toString)
+      .withColumn("__seq", lit(System.currentTimeMillis() + 999999L))
+      .write.mode("append").parquet(partDir.toString)
+
+    val raw = t.readRaw(0L, Long.MaxValue).cache()
+    val rawCount = raw.count()
+    def ds = spark.read.format("graft").load(s"$dir/tbl")
+    val filters: Seq[Option[org.apache.spark.sql.Column]] = Seq(
+      None,
+      Some(col("name") === "m1"),
+      Some(col("time") >= Base + 5 * Day),
+      Some(col("name").isin("m0", "m2") && col("time") < Base + 8 * Day),
+      Some(col("valueStr").isNotNull),
+      Some(col("series_id") > 0L))
+    for (f <- filters) {
+      def app(df: DataFrame) = f.map(df.filter).getOrElse(df)
+      // aggregate equivalence: count(*), count(valueStr), min/max(time)
+      val got = app(ds).agg(count(lit(1)), count(col("valueStr")),
+        min("time"), max("time")).collect()(0)
+      val want = app(raw).agg(count(lit(1)), count(col("valueStr")),
+        min("time"), max("time")).collect()(0)
+      assert(got == want, s"agg mismatch under filter $f: $got vs $want")
+      // row/columnar equivalence on a narrow projection
+      val a = app(ds).select("name", "time", "value", "valueStr")
+        .collect().map(_.toString).sorted.toSeq
+      val b = app(raw).select("name", "time", "value", "valueStr")
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"row set mismatch under filter $f")
+    }
+    assert(ds.count() == rawCount)
+    raw.unpersist()
+  }
+
   test("sink identity (r13): missing txnAppId/checkpointLocation fails at creation, never a shared counter") {
     val dir = Files.createTempDirectory("graft_dsv2_noid").toString
     // direct construction: no identity option at all
