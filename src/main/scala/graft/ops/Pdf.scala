@@ -1785,6 +1785,12 @@ object Pdf {
 
   // --------------------------------------------------------- operators
 
+  /** Byte ceiling for [[pdfText]]'s small-input rebalance: up to here a
+    * one-off shuffle of the blobs is cheaper than serial decryption;
+    * beyond it the input has enough bytes that Spark's own byte-sized
+    * partitioning is the right parallelism. */
+  private val PdfRebalanceMaxBytes = 4L << 30
+
   private val textSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("ok", BooleanType),
@@ -1804,14 +1810,21 @@ object Pdf {
     * per-document CPU (an AES-256 document pays ~3 ms of Algorithm 2.B
     * before parsing) — a few-MB corpus arrives as ONE partition and
     * serializes the whole decrypt. When input parallelism is below the
-    * session's, rebalance first; at real corpus sizes partitions ≥
-    * cores and this is a no-op, preserving the scan shape. */
+    * session's AND the input is genuinely small (plan-stat bytes under
+    * [[PdfRebalanceMaxBytes]] — rebalancing is a full shuffle of the
+    * blob bytes, which must never be paid by a large corpus that
+    * happens to have fewer splits than cores; review-caught r13),
+    * rebalance first. At real corpus sizes partitions ≥ cores or the
+    * byte gate trips, and the operator stays scan-shaped. */
   def pdfText(blobs: DataFrame, maxStreamBytes: Int = 16 << 20): DataFrame = {
     val spark = blobs.sparkSession
     val base = blobs.select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
         org.apache.spark.sql.functions.col("blob")).rdd
+    val smallInput =
+      blobs.queryExecution.optimizedPlan.stats.sizeInBytes <= PdfRebalanceMaxBytes
     val balanced =
-      if (base.getNumPartitions < spark.sparkContext.defaultParallelism)
+      if (smallInput &&
+          base.getNumPartitions < spark.sparkContext.defaultParallelism)
         base.repartition(spark.sparkContext.defaultParallelism)
       else base
     val rows = balanced

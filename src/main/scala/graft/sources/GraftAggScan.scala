@@ -29,7 +29,7 @@ private[sources] object GraftFooterStats {
   /** Undecidable from stats — read the rows. */
   case object SomeRows extends Tri
 
-  private def and(a: Tri, b: Tri): Tri =
+  def and(a: Tri, b: Tri): Tri =
     if (a == NoRows || b == NoRows) NoRows
     else if (a == AllRows && b == AllRows) AllRows
     else SomeRows
@@ -89,25 +89,26 @@ private[sources] object GraftFooterStats {
         else if (s.getNumNulls == ch.getValueCount) NoRows
         else SomeRows
     }
+    // the two impossible strict bounds first: NOTHING is > MaxValue or
+    // < MinValue — including part_start, whose planning clamp silently
+    // ignores them (boundsFor can't represent lo = MaxValue + 1), so
+    // classifying them AllRows would stats-count the whole table where
+    // the row path correctly returns zero (review-caught r13)
+    case GreaterThan(_, v: Long) if v == Long.MaxValue => NoRows
+    case LessThan(_, v: Long) if v == Long.MinValue => NoRows
     case EqualTo("part_start", _) | GreaterThan("part_start", _) |
          GreaterThanOrEqual("part_start", _) | LessThan("part_start", _) |
-         LessThanOrEqual("part_start", _) | In("part_start", _) => AllRows
+         LessThanOrEqual("part_start", _) => AllRows
     case EqualTo(c, v: Long) => longRange(b, c, lo = v, hi = v)
-    case GreaterThan(c, v: Long) =>
-      if (v == Long.MaxValue) noneUnlessNullable(b, c)
-      else longRange(b, c, lo = v + 1, hi = Long.MaxValue)
+    case GreaterThan(c, v: Long) => longRange(b, c, lo = v + 1, hi = Long.MaxValue)
     case GreaterThanOrEqual(c, v: Long) => longRange(b, c, lo = v, hi = Long.MaxValue)
-    case LessThan(c, v: Long) =>
-      if (v == Long.MinValue) noneUnlessNullable(b, c)
-      else longRange(b, c, lo = Long.MinValue, hi = v - 1)
+    case LessThan(c, v: Long) => longRange(b, c, lo = Long.MinValue, hi = v - 1)
     case LessThanOrEqual(c, v: Long) => longRange(b, c, lo = Long.MinValue, hi = v)
     case EqualTo(c, v: String) => stringEq(b, c, Set(v))
     case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
       stringEq(b, c, vs.map(_.asInstanceOf[String]).toSet)
     case _ => SomeRows
   }
-
-  private def noneUnlessNullable(b: BlockMetaData, c: String): Tri = NoRows
 
   /** Is every/no value of long column `c` within [lo, hi]? NULL rows
     * never satisfy a comparison, so a group with nulls can be NoRows
@@ -273,16 +274,9 @@ private[sources] final class GraftAggReader(
     try {
       footer.getRowGroups.forEach { b =>
         val vis = GraftFooterStats.seqVisibility(b, commits, asOf, needSeq)
-        val filt =
-          if (pushed.isEmpty) GraftFooterStats.AllRows
-          else pushed.map(GraftFooterStats.classify(_, b))
-            .foldLeft(GraftFooterStats.AllRows: GraftFooterStats.Tri) { (a, x) =>
-              if (a == GraftFooterStats.NoRows || x == GraftFooterStats.NoRows)
-                GraftFooterStats.NoRows
-              else if (a == GraftFooterStats.AllRows && x == GraftFooterStats.AllRows)
-                GraftFooterStats.AllRows
-              else GraftFooterStats.SomeRows
-            }
+        val filt = pushed.map(GraftFooterStats.classify(_, b))
+          .foldLeft(GraftFooterStats.AllRows: GraftFooterStats.Tri)(
+            GraftFooterStats.and)
         if (vis != GraftFooterStats.NoRows && filt != GraftFooterStats.NoRows) {
           val clean = vis == GraftFooterStats.AllRows &&
             filt == GraftFooterStats.AllRows && tryStats(b, partStart)

@@ -52,10 +52,6 @@ private[sources] object GraftColumnar {
     "name" -> StringType, "time" -> LongType, "value" -> DoubleType,
     "valueStr" -> StringType, "labels_str" -> StringType,
     "series_id" -> LongType)
-
-  import graft.storage.TsdbTable
-  private def rawType(c: String): DataType =
-    TsdbTable.RawSchema(TsdbTable.RawSchema.fieldIndex(c)).dataType
 }
 
 // ---------------------------------------------------------------- vectors

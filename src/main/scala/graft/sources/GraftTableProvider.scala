@@ -261,9 +261,15 @@ private[sources] final class GraftScanBuilder(
         case _ => None
       }
     val MinMaxable = Set("name", "labels_str", "time", "series_id", "part_start")
+    // COUNT(col) needs the column's parquet NULL counts, which exist
+    // only for FLAT leaf columns — the `labels` map's physical leaves
+    // are labels.key_value.*, so footer lookup by top-level name would
+    // silently read it as "absent = all null" (review-caught r13)
+    val Countable = MinMaxable ++ Set("value", "valueStr")
     val specs: Array[Option[GraftAggSpec]] = agg.aggregateExpressions.map {
       case _: CountStar => Some(GraftAggSpec("count_star", ""))
-      case c: Count if !c.isDistinct => colOf(c.column).map(GraftAggSpec("count", _))
+      case c: Count if !c.isDistinct =>
+        colOf(c.column).filter(Countable).map(GraftAggSpec("count", _))
       case m: Min => colOf(m.column).filter(MinMaxable).map(GraftAggSpec("min", _))
       case m: Max => colOf(m.column).filter(MinMaxable).map(GraftAggSpec("max", _))
       case _ => None
@@ -331,10 +337,31 @@ private[sources] object GraftWrites {
     * SQL `INSERT INTO ... VALUES` (and permissive callers) deliver
     * int/decimal literals where the table stores long/double — written
     * verbatim they would drift the parquet file schema under the table
-    * (r13). An un-castable column still fails analysis loudly. */
-  def sampleProjection(schema: StructType, who: String): Seq[String] =
-    sampleColumns(schema, who)
-      .map(c => s"CAST(`$c` AS ${SampleTypes(c)}) AS `$c`")
+    * (r13). The cast is gated by a type ALLOWLIST, not left to CAST's
+    * own tolerance (review-caught r13): a TimestampType `time` would
+    * cast to epoch SECONDS (silently 1000× off the table's millisecond
+    * convention) and non-ANSI string→number casts null out bad rows —
+    * both reject loudly here instead. */
+  def sampleProjection(schema: StructType, who: String): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def ok(c: String, dt: DataType): Boolean = (c, dt) match {
+      case (_, NullType) => true // a bare NULL literal casts losslessly
+      case ("name" | "valueStr", StringType) => true
+      case ("labels", MapType(StringType, StringType, _)) => true
+      case ("time", ByteType | ShortType | IntegerType | LongType) => true
+      case ("value", _: NumericType) => true
+      case _ => false
+    }
+    sampleColumns(schema, who).map { c =>
+      val dt = schema(schema.fieldIndex(c)).dataType
+      if (!ok(c, dt))
+        throw new IllegalArgumentException(
+          s"$who: column `$c` has type ${dt.catalogString}, expected " +
+            s"${SampleTypes(c)} (or a losslessly-castable narrower type) — " +
+            "refusing a silent coercion")
+      s"CAST(`$c` AS ${SampleTypes(c)}) AS `$c`"
+    }
+  }
 
   /** Resolve the table config for a write (review-caught r12: writer
     * options were silently dropped). An EXISTING declaration (.schema)

@@ -378,6 +378,21 @@ class GraftSourceSpec extends SparkSuite {
     assert(ds.agg(min("value")).head().getDouble(0) ==
       raw.agg(min("value")).head().getDouble(0))
 
+    // count over the labels MAP must not push (its parquet leaves are
+    // labels.key_value.* — footer lookup by top-level name would read
+    // "absent = all null" and answer 0; review-caught r13)
+    val ldesc = scanOf(ds.agg(count(col("labels")))).scan.description()
+    assert(!ldesc.contains("PushedAggregates"), ldesc)
+    assert(ds.agg(count(col("labels"))).head().getLong(0) == raw.count())
+
+    // impossible strict bounds: the planning clamp can't represent
+    // lo = MaxValue + 1, so the pushed path must classify NoRows
+    // (review-caught r13: it stats-counted the whole table)
+    assert(ds.filter(col("part_start") > Long.MaxValue)
+      .agg(count(lit(1))).head().getLong(0) == 0L)
+    assert(ds.filter(col("time") < Long.MinValue)
+      .agg(count(lit(1))).head().getLong(0) == 0L)
+
     // group-bys do not push and stay correct
     val grouped = ds.groupBy("name").agg(count(lit(1)).as("n"))
     assert(!scanOf(grouped).scan.description().contains("PushedAggregates"))
