@@ -81,6 +81,7 @@ object Bench {
     // re-stages and re-mutates a fresh table per run, the
     // tsdb_delete/tsdb_cdc_views exclusion rule)
     "tsdb_dsv2_read",
+    "tsdb_dsv2_agg",
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",

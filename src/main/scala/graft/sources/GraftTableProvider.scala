@@ -407,7 +407,8 @@ private[sources] final class GraftScan(
     tablePath: String, options: CaseInsensitiveStringMap,
     pushed: Array[Filter], required: StructType,
     agg: Option[Seq[GraftAggSpec]] = None, limit: Option[Int] = None)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
 
   private val spark = SparkSession.active
   /** The table's DECLARED config (`.schema`), kept separate from the
@@ -598,7 +599,82 @@ private[sources] final class GraftScan(
     (out.toArray, bytes, commits)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = planned._1
+  // ---- runtime (join-driven) pruning --------------------------------------
+  // Dynamic partition pruning, Spark-native (r13): when the table joins
+  // a dimension on `part_start` or `series_id`, Spark evaluates the
+  // build side first and hands the scan the resulting IN-set — splits
+  // whose partition (or series stripe) provably misses it drop before
+  // any IO. Best-effort by contract (the join re-filters rows), so
+  // unknown filter shapes conservatively KEEP; a 100 TB time-partition
+  // join then scans only the matched days instead of the whole table.
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns the SCAN OUTPUTS: Spark's PartitionPruning resolves
+    // these against readSchema and throws on anything pruned away
+    // (so an aggregate-pushdown scan advertises none)
+    Seq("part_start", "series_id")
+      .filter(readSchema().fieldNames.contains)
+      .map(Expressions.column)
+      .toArray[org.apache.spark.sql.connector.expressions.NamedReference]
+
+  override def filter(filters: Array[Filter]): Unit = { runtime = filters }
+
+  /** Does a split with this `part_start` (and series range, for MOR
+    * stripes) possibly satisfy `f`? Conservative: unknown shapes keep. */
+  private def survives(f: Filter, partStart: Long,
+                       series: Option[(Long, Long)]): Boolean = {
+    def longOf(a: Any): Option[Long] = a match {
+      case l: Long => Some(l)
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    f match {
+      case EqualTo("part_start", v) => longOf(v).forall(_ == partStart)
+      case In("part_start", vs) => vs.exists(longOf(_).forall(_ == partStart))
+      case GreaterThan("part_start", v) => longOf(v).forall(partStart > _)
+      case GreaterThanOrEqual("part_start", v) => longOf(v).forall(partStart >= _)
+      case LessThan("part_start", v) => longOf(v).forall(partStart < _)
+      case LessThanOrEqual("part_start", v) => longOf(v).forall(partStart <= _)
+      case EqualTo("series_id", v) => series.forall { case (lo, hi) =>
+        longOf(v).forall(l => l >= lo && l <= hi)
+      }
+      case In("series_id", vs) => series.forall { case (lo, hi) =>
+        vs.exists(longOf(_).forall(l => l >= lo && l <= hi))
+      }
+      case And(l, r) =>
+        survives(l, partStart, series) && survives(r, partStart, series)
+      case Or(l, r) =>
+        survives(l, partStart, series) || survives(r, partStart, series)
+      case _ => true
+    }
+  }
+
+  private def applyRuntime(parts: Array[InputPartition]): Array[InputPartition] =
+    if (runtime.isEmpty) parts
+    else {
+      val kept = parts.flatMap {
+        case s: GraftFileSplit =>
+          if (runtime.forall(survives(_, s.partStart, None))) Some(s) else None
+        case m: GraftMorStripe =>
+          if (runtime.forall(survives(_, m.partStart,
+            Some((m.seriesLo, m.seriesHi))))) Some(m) else None
+        case a: GraftAggSplit =>
+          val files = a.files.filter { case (_, ps) =>
+            runtime.forall(survives(_, ps, None))
+          }
+          if (files.nonEmpty) Some(GraftAggSplit(files)) else None
+        case other => Some(other)
+      }
+      // an aggregate scan must still emit its zero partial when pruning
+      // empties it (SUM over an empty scan is NULL where COUNT is 0)
+      if (kept.isEmpty && agg.isDefined)
+        Array[InputPartition](GraftAggSplit(Nil))
+      else kept
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    applyRuntime(planned._1)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(planned._2)

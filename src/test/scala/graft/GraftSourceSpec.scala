@@ -472,6 +472,57 @@ class GraftSourceSpec extends SparkSuite {
       "an uncommitted orphan file must not leak into the columnar read")
   }
 
+  test("runtime filtering (r13): join-driven IN-sets drop splits before IO, conservatively") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.{EqualTo => SEq, In => SIn}
+    val dir = Files.createTempDirectory("graft_dsv2_dpp").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    t.append(samples((0 until 10).flatMap(d =>
+      Seq(("cpu", "a", Base + d * Day, d.toDouble),
+        ("mem", "b", Base + d * Day + 1, d + 0.5))): _*))
+    val partOf = new TsdbTable(spark, s"$dir/tbl")
+      .readRaw(0L, Long.MaxValue).select("part_start")
+      .distinct().collect().map(_.getLong(0)).sorted
+
+    val scan = scanOf(spark.read.format("graft").load(s"$dir/tbl")).scan
+    val batch = scan.toBatch
+    val all = batch.planInputPartitions().length
+    val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.fieldNames()(0)).toSet ==
+      Set("part_start", "series_id"))
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      SIn("part_start", Array(partOf(0), partOf(1)))))
+    val pruned = batch.planInputPartitions().length
+    assert(pruned < all && pruned > 0, s"pruned=$pruned all=$all")
+    // unknown shapes keep everything (pruning is best-effort; the join
+    // re-filters rows, so dropping on a guess would be a wrong result)
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](SEq("name", "cpu")))
+    assert(batch.planInputPartitions().length == all)
+
+    // MOR stripes prune on the series range too
+    val mdir = Files.createTempDirectory("graft_dsv2_dpp_mor").toString
+    val mt = new TsdbTable(spark, s"$mdir/tbl", TsdbConfig(overrideOld = true))
+    mt.append(samples(("cpu", "a", Base, 1.0), ("mem", "b", Base + 1000, 2.0)))
+    val sid = mt.readRaw(0L, Long.MaxValue).select("series_id")
+      .head().getLong(0)
+    val mscan = scanOf(spark.read.format("graft").load(s"$mdir/tbl")).scan
+    val mbatch = mscan.toBatch
+    val mAll = mbatch.planInputPartitions().length
+    mscan.asInstanceOf[SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](SIn("series_id", Array(sid))))
+    val mPruned = mbatch.planInputPartitions().length
+    assert(mPruned < mAll && mPruned > 0, s"mor pruned=$mPruned all=$mAll")
+
+    // e2e: a real join on part_start stays correct under the pruning
+    import spark.implicits._
+    val dim = Seq(partOf(2), partOf(3)).toDF("ps")
+    val joined = spark.read.format("graft").load(s"$dir/tbl")
+      .join(dim, col("part_start") === col("ps"))
+    assert(joined.count() ==
+      t.readRaw(0L, Long.MaxValue)
+        .filter(col("part_start").isin(partOf(2), partOf(3))).count())
+  }
+
   test("FUZZ agg/columnar equivalence (r13): seeded random tables + filters — pushed plans match readRaw exactly") {
     val rnd = new scala.util.Random(1313L)
     val dir = Files.createTempDirectory("graft_dsv2_fuzz").toString
