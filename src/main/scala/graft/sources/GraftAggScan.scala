@@ -160,42 +160,57 @@ private[sources] final case class GraftAggSpec(op: String, col: String)
 private[sources] final case class GraftAggSplit(files: Seq[(String, Long)])
   extends org.apache.spark.sql.connector.read.InputPartition
 
-/** Partial-aggregate reader: emits exactly ONE row of partials for its
-  * file bundle — `count(*)`/`count(col)` as longs, `min`/`max` as values —
-  * which Spark's rewritten final aggregate then merges (count → SUM,
-  * min → MIN, max → MAX). The interesting property: a clean row group
-  * contributes from FOOTER STATS alone (no page IO — `count(*)` over a
-  * table is a footer walk), and only groups the stats cannot decide
-  * (mixed visibility, inconclusive filter bounds, missing stats) are
-  * row-read, through the same exact row filter as the normal scan. */
+/** Partial-aggregate reader: emits ONE row of partials for its file
+  * bundle — `count(*)`/`count(col)` as longs, `min`/`max` as values —
+  * or, when `groupByPart` (GROUP BY part_start, the one group-by the
+  * storage layout answers for free), one row PER time partition in the
+  * bundle. Spark's rewritten final aggregate merges the partials
+  * (count → SUM, min → MIN, max → MAX), re-grouping when grouped. The
+  * interesting property: a clean row group contributes from FOOTER
+  * STATS alone (no page IO — `count(*)` over a table is a footer
+  * walk), and only groups the stats cannot decide (mixed visibility,
+  * inconclusive filter bounds, missing stats) are row-read, through
+  * the same exact row filter as the normal scan. */
 private[sources] final class GraftAggReader(
     conf: Configuration,
     split: GraftAggSplit,
     specs: Seq[GraftAggSpec],
     pushed: Array[Filter],
     commits: Option[(Long, Set[Long])],
-    asOf: Option[Long])
+    asOf: Option[Long],
+    groupByPart: Boolean = false)
   extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
 
-  private var done = false
+  private var out: Iterator[InternalRow] = _
   private var row: InternalRow = _
 
   private val needSeq = commits.nonEmpty || asOf.nonEmpty
 
-  // partial state
-  private val counts = new Array[Long](specs.length)
-  private val exts = new Array[Any](specs.length) // running min/max (catalyst values)
+  /** Partial state — one per output row (global: exactly one; grouped:
+    * one per part_start, created on first touch so empty partitions
+    * emit no group, matching GROUP BY semantics). */
+  private final class Acc {
+    val counts = new Array[Long](specs.length)
+    val exts = new Array[Any](specs.length) // running min/max (catalyst values)
+  }
+  private val accs = new java.util.TreeMap[Long, Acc]()
+  private def accFor(partStart: Long): Acc = {
+    val key = if (groupByPart) partStart else 0L
+    var a = accs.get(key)
+    if (a == null) { a = new Acc; accs.put(key, a) }
+    a
+  }
 
-  private def mergeExt(i: Int, v: Any, isMin: Boolean): Unit = {
+  private def mergeExt(acc: Acc, i: Int, v: Any, isMin: Boolean): Unit = {
     if (v == null) return
-    val cur = exts(i)
-    if (cur == null) { exts(i) = v; return }
+    val cur = acc.exts(i)
+    if (cur == null) { acc.exts(i) = v; return }
     val cmp = (cur, v) match {
       case (a: Long, b: Long) => java.lang.Long.compare(a, b)
       case (a: UTF8String, b: UTF8String) => a.compareTo(b)
       case _ => throw new IllegalStateException(s"mixed extremum types: $cur / $v")
     }
-    if (if (isMin) cmp > 0 else cmp < 0) exts(i) = v
+    if (if (isMin) cmp > 0 else cmp < 0) acc.exts(i) = v
   }
 
   /** Can + does the group contribute through stats alone? False = the
@@ -241,26 +256,30 @@ private[sources] final class GraftAggReader(
         case other => throw new IllegalStateException(s"bad agg op $other")
       }
     }
-    if (ok) specs.zipWithIndex.foreach { case (s, i) =>
-      s.op match {
-        case "count_star" | "count" => counts(i) += stagedCounts(i)
-        case "min" => mergeExt(i, staged(i), isMin = true)
-        case "max" => mergeExt(i, staged(i), isMin = false)
+    if (ok) {
+      val acc = accFor(partStart)
+      specs.zipWithIndex.foreach { case (s, i) =>
+        s.op match {
+          case "count_star" | "count" => acc.counts(i) += stagedCounts(i)
+          case "min" => mergeExt(acc, i, staged(i), isMin = true)
+          case "max" => mergeExt(acc, i, staged(i), isMin = false)
+        }
       }
     }
     ok
   }
 
   private def accumulateRow(get: String => Any, partStart: Long): Unit = {
+    val acc = accFor(partStart)
     specs.zipWithIndex.foreach { case (s, i) =>
       s.op match {
-        case "count_star" => counts(i) += 1
+        case "count_star" => acc.counts(i) += 1
         case "count" =>
           val v = if (s.col == "part_start") partStart else get(s.col)
-          if (v != null) counts(i) += 1
+          if (v != null) acc.counts(i) += 1
         case "min" | "max" =>
           val v = if (s.col == "part_start") partStart else get(s.col)
-          mergeExt(i, v, isMin = s.op == "min")
+          mergeExt(acc, i, v, isMin = s.op == "min")
       }
     }
   }
@@ -310,18 +329,29 @@ private[sources] final class GraftAggReader(
   }
 
   override def next(): Boolean = {
-    if (done) return false
-    split.files.foreach { case (f, partStart) => computeFile(f, partStart) }
-    val out = new Array[Any](specs.length)
-    specs.zipWithIndex.foreach { case (s, i) =>
-      out(i) = s.op match {
-        case "count_star" | "count" => counts(i)
-        case _ => exts(i)
+    if (out == null) {
+      split.files.foreach { case (f, partStart) => computeFile(f, partStart) }
+      // a GLOBAL aggregate always emits its partial (count 0 / null
+      // extrema on an empty bundle — SUM over an empty scan would be
+      // NULL where COUNT must be 0); a GROUPED one emits only touched
+      // partitions (GROUP BY over empty = no groups)
+      if (!groupByPart && accs.isEmpty) accs.put(0L, new Acc)
+      import scala.jdk.CollectionConverters._
+      out = accs.entrySet().iterator().asScala.map { e =>
+        val acc = e.getValue
+        val lead = if (groupByPart) 1 else 0
+        val cells = new Array[Any](lead + specs.length)
+        if (groupByPart) cells(0) = e.getKey.longValue()
+        specs.zipWithIndex.foreach { case (s, i) =>
+          cells(lead + i) = s.op match {
+            case "count_star" | "count" => acc.counts(i)
+            case _ => acc.exts(i)
+          }
+        }
+        new GenericInternalRow(cells): InternalRow
       }
     }
-    row = new GenericInternalRow(out)
-    done = true
-    true
+    if (out.hasNext) { row = out.next(); true } else false
   }
 
   override def get(): InternalRow = row

@@ -234,6 +234,7 @@ private[sources] final class GraftScanBuilder(
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TsdbTable.RawSchema
   private var aggPushed: Option[Seq[GraftAggSpec]] = None
+  private var aggGroupByPart: Boolean = false
   private var limit: Option[Int] = None
 
   /** Aggregate pushdown (r13): global COUNT(*) / COUNT(col) / MIN /
@@ -242,7 +243,10 @@ private[sources] final class GraftScanBuilder(
     * page IO, undecidable ones fall back to exact row reads inside the
     * same reader ([[GraftAggReader]]). Spark re-merges the partials
     * (count → SUM), so correctness never depends on the stats.
-    * Rejected (Spark then aggregates the normal scan): group-bys,
+    * GROUP BY part_start ALSO pushes — the one grouping the storage
+    * layout answers for free (part_start is the split identity, so
+    * per-partition partials need no extra IO). Rejected (Spark then
+    * aggregates the normal scan): any other group-by,
     * DISTINCT, MOR tables (counts/extrema are post-merge properties),
     * and MIN/MAX over `value`/`valueStr` (double extrema meet NaN
     * stats-trust issues; valueStr differs across LWW versions —
@@ -250,16 +254,23 @@ private[sources] final class GraftScanBuilder(
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (agg.groupByExpressions.nonEmpty) return false
-    val mor = SchemaJson.readCached(tablePath,
-        SparkSession.active.sparkContext.hadoopConfiguration)
-      .exists(_.overrideOld)
-    if (mor) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
         case _ => None
       }
+    // the ONE group-by the storage layout answers for free: part_start
+    // is the split identity, so per-partition partials group without
+    // reading a single page. Any other grouping falls back to Spark.
+    val byPart = agg.groupByExpressions.toSeq.map(colOf) match {
+      case Nil => false
+      case Seq(Some("part_start")) => true
+      case _ => return false
+    }
+    val mor = SchemaJson.readCached(tablePath,
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      .exists(_.overrideOld)
+    if (mor) return false
     val MinMaxable = Set("name", "labels_str", "time", "series_id", "part_start")
     // COUNT(col) needs the column's parquet NULL counts, which exist
     // only for FLAT leaf columns — the `labels` map's physical leaves
@@ -275,7 +286,11 @@ private[sources] final class GraftScanBuilder(
       case _ => None
     }
     if (specs.exists(_.isEmpty)) false
-    else { aggPushed = Some(specs.flatten.toSeq); true }
+    else {
+      aggPushed = Some(specs.flatten.toSeq)
+      aggGroupByPart = byPart
+      true
+    }
   }
 
   /** Partial limit (r13): each split stops after `n` rows that pass the
@@ -308,7 +323,8 @@ private[sources] final class GraftScanBuilder(
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(tablePath, options, pushed, required, aggPushed, limit)
+    new GraftScan(tablePath, options, pushed, required, aggPushed, limit,
+      aggGroupByPart)
 }
 
 /** Writer-side plumbing shared by the batch write and the streaming
@@ -406,7 +422,8 @@ private[sources] final case class GraftMorStripe(
 private[sources] final class GraftScan(
     tablePath: String, options: CaseInsensitiveStringMap,
     pushed: Array[Filter], required: StructType,
-    agg: Option[Seq[GraftAggSpec]] = None, limit: Option[Int] = None)
+    agg: Option[Seq[GraftAggSpec]] = None, limit: Option[Int] = None,
+    aggGroupByPart: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
@@ -429,7 +446,10 @@ private[sources] final class GraftScan(
     * the column's raw type. */
   private def aggSchema(specs: Seq[GraftAggSpec]): StructType = {
     import org.apache.spark.sql.types.{LongType, StructField}
-    StructType(specs.map { s =>
+    val group =
+      if (aggGroupByPart) Seq(StructField("part_start", LongType, nullable = false))
+      else Nil
+    StructType(group ++ specs.map { s =>
       s.op match {
         case "count_star" => StructField("count(*)", LongType, nullable = false)
         case "count" => StructField(s"count(${s.col})", LongType, nullable = false)
@@ -448,7 +468,8 @@ private[sources] final class GraftScan(
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       agg.map(a => s"PushedAggregates: [${a.map(s =>
         if (s.op == "count_star") "COUNT(*)"
-        else s"${s.op.toUpperCase}(${s.col})").mkString(", ")}], ")
+        else s"${s.op.toUpperCase}(${s.col})").mkString(", ")}]" +
+        (if (aggGroupByPart) ", PushedGroupBy: [part_start]" else "") + ", ")
         .getOrElse("") +
       limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
       s"ReadSchema: ${readSchema().catalogString}"
@@ -690,7 +711,7 @@ private[sources] final class GraftScan(
     new GraftReaderFactory(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
       required.fieldNames.toSeq, pushed, planned._3, config.overrideOld, asOf,
-      agg, limit, columnarOk)
+      agg, limit, columnarOk, aggGroupByPart)
   }
 }
 
@@ -703,11 +724,13 @@ private[sources] final class GraftReaderFactory(
     asOf: Option[Long],
     agg: Option[Seq[GraftAggSpec]] = None,
     limit: Option[Int] = None,
-    columnarOk: Boolean = false) extends PartitionReaderFactory {
+    columnarOk: Boolean = false,
+    aggGroupByPart: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case a: GraftAggSplit =>
-      new GraftAggReader(conf.value, a, agg.get, pushed, commits, asOf)
+      new GraftAggReader(conf.value, a, agg.get, pushed, commits, asOf,
+        aggGroupByPart)
     case s: GraftFileSplit =>
       limited(new GraftFileReader(conf.value, s, requested, pushed, commits, asOf))
     case m: GraftMorStripe =>

@@ -393,12 +393,28 @@ class GraftSourceSpec extends SparkSuite {
     assert(ds.filter(col("time") < Long.MinValue)
       .agg(count(lit(1))).head().getLong(0) == 0L)
 
-    // group-bys do not push and stay correct
+    // group-bys on anything but part_start do not push, and stay correct
     val grouped = ds.groupBy("name").agg(count(lit(1)).as("n"))
     assert(!scanOf(grouped).scan.description().contains("PushedAggregates"))
     assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       raw.groupBy("name").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+    // GROUP BY part_start pushes (r13): per-partition partials straight
+    // from footers, one output row per touched partition
+    val byPart = ds.groupBy("part_start")
+      .agg(count(lit(1)).as("n"), min("time").as("lo"))
+    val bdesc = scanOf(byPart).scan.description()
+    assert(bdesc.contains("PushedGroupBy: [part_start]"), bdesc)
+    assert(byPart.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap ==
+      raw.groupBy("part_start").agg(count(lit(1)), min("time")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
+    // grouped + filter stays exact through the row fallback
+    val byPartF = ds.filter(col("name") === "cpu").groupBy("part_start")
+      .agg(count(lit(1)).as("n"))
+    assert(byPartF.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      raw.filter(col("name") === "cpu").groupBy("part_start").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
 
     // a MOR table never pushes aggregates (post-merge properties)
     val mdir = Files.createTempDirectory("graft_dsv2_agg_mor").toString
