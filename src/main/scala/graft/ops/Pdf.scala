@@ -1820,8 +1820,19 @@ object Pdf {
     val spark = blobs.sparkSession
     val base = blobs.select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
         org.apache.spark.sql.functions.col("blob")).rdd
+    // plan-stat bytes when the source reports them; an RDD-backed frame
+    // reports the defaultSizeInBytes SENTINEL (review-caught r13: the
+    // gate read it as "huge" and silently kept the serialization trap
+    // for exactly the inputs most likely to be single-partition). For
+    // stat-less inputs a SINGLE-partition frame still rebalances — one
+    // task already holds all its bytes, so the shuffle costs one extra
+    // pass at worst; multi-partition stat-less inputs stay untouched.
+    val statBytes = blobs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val statKnown =
+      statBytes < spark.sessionState.conf.defaultSizeInBytes
     val smallInput =
-      blobs.queryExecution.optimizedPlan.stats.sizeInBytes <= PdfRebalanceMaxBytes
+      if (statKnown) statBytes <= PdfRebalanceMaxBytes
+      else base.getNumPartitions == 1
     val balanced =
       if (smallInput &&
           base.getNumPartitions < spark.sparkContext.defaultParallelism)

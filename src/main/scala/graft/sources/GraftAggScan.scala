@@ -336,7 +336,6 @@ private[sources] final class GraftAggReader(
       // NULL where COUNT must be 0); a GROUPED one emits only touched
       // partitions (GROUP BY over empty = no groups)
       if (!groupByPart && accs.isEmpty) accs.put(0L, new Acc)
-      import scala.jdk.CollectionConverters._
       out = accs.entrySet().iterator().asScala.map { e =>
         val acc = e.getValue
         val lead = if (groupByPart) 1 else 0

@@ -360,16 +360,25 @@ private[sources] object GraftWrites {
     * both reject loudly here instead. */
   def sampleProjection(schema: StructType, who: String): Seq[String] = {
     import org.apache.spark.sql.types._
+    // atomics cast to string losslessly (their text form is exact)
+    def stringable(dt: DataType): Boolean = dt match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+           LongType | _: DecimalType => true
+      case _ => false
+    }
     def ok(c: String, dt: DataType): Boolean = (c, dt) match {
       case (_, NullType) => true // a bare NULL literal casts losslessly
       case ("name" | "valueStr", StringType) => true
-      case ("labels", MapType(StringType, StringType, _)) => true
+      case ("labels", MapType(k, v, _)) => stringable(k) && stringable(v)
       case ("time", ByteType | ShortType | IntegerType | LongType) => true
+      // scale-0 decimals are integral; ANSI decimal→bigint overflows
+      // LOUDLY (common shape of SQL sum()/literal arithmetic)
+      case ("time", d: DecimalType) => d.scale == 0
       case ("value", _: NumericType) => true
       case _ => false
     }
     sampleColumns(schema, who).map { c =>
-      val dt = schema(schema.fieldIndex(c)).dataType
+      val dt = schema(c).dataType
       if (!ok(c, dt))
         throw new IllegalArgumentException(
           s"$who: column `$c` has type ${dt.catalogString}, expected " +
@@ -631,28 +640,62 @@ private[sources] final class GraftScan(
   private var runtime: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // only columns the SCAN OUTPUTS: Spark's PartitionPruning resolves
-    // these against readSchema and throws on anything pruned away
-    // (so an aggregate-pushdown scan advertises none)
+    // only columns the SCAN OUTPUTS (Spark's PartitionPruning resolves
+    // these against readSchema and throws on anything pruned away) AND
+    // that this scan's splits can actually prune on: series_id prunes
+    // MOR stripes only — advertising it on file splits would buy the
+    // query DPP subquery machinery that can never drop anything. A
+    // GROUP-BY-part_start aggregate scan still outputs part_start and
+    // its per-file bundles do prune on it.
     Seq("part_start", "series_id")
+      .filter(c => c != "series_id" || config.overrideOld)
       .filter(readSchema().fieldNames.contains)
       .map(Expressions.column)
       .toArray[org.apache.spark.sql.connector.expressions.NamedReference]
 
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
 
+  private def longOf(a: Any): Option[Long] = a match {
+    case l: Long => Some(l)
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** IN-sets hoisted to hash sets ONCE per pruning pass (identity-keyed
+    * per In node): a DPP build side can hand back tens of thousands of
+    * matched keys, and a linear rescan per split would make PLANNING
+    * quadratic at exactly the scale pruning matters (review-caught
+    * r13). `None` = the set contains a non-long (can't prune on it —
+    * the membership test must conservatively pass). */
+  private def hoistInSets(fs: Array[Filter])
+      : java.util.IdentityHashMap[In, Option[java.util.HashSet[Long]]] = {
+    val m = new java.util.IdentityHashMap[In, Option[java.util.HashSet[Long]]]()
+    def walk(f: Filter): Unit = f match {
+      case i @ In("part_start" | "series_id", vs) =>
+        val set = new java.util.HashSet[Long](vs.length * 2)
+        val allLong = vs.forall(v => longOf(v) match {
+          case Some(l) => set.add(l); true
+          case None => false
+        })
+        m.put(i, if (allLong) Some(set) else None)
+      case And(l, r) => walk(l); walk(r)
+      case Or(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    fs.foreach(walk)
+    m
+  }
+
   /** Does a split with this `part_start` (and series range, for MOR
     * stripes) possibly satisfy `f`? Conservative: unknown shapes keep. */
   private def survives(f: Filter, partStart: Long,
-                       series: Option[(Long, Long)]): Boolean = {
-    def longOf(a: Any): Option[Long] = a match {
-      case l: Long => Some(l)
-      case n: java.lang.Number => Some(n.longValue())
-      case _ => None
-    }
+                       series: Option[(Long, Long)],
+                       inSets: java.util.IdentityHashMap[In, Option[java.util.HashSet[Long]]])
+      : Boolean =
     f match {
       case EqualTo("part_start", v) => longOf(v).forall(_ == partStart)
-      case In("part_start", vs) => vs.exists(longOf(_).forall(_ == partStart))
+      case i @ In("part_start", _) =>
+        Option(inSets.get(i)).flatten.forall(_.contains(partStart))
       case GreaterThan("part_start", v) => longOf(v).forall(partStart > _)
       case GreaterThanOrEqual("part_start", v) => longOf(v).forall(partStart >= _)
       case LessThan("part_start", v) => longOf(v).forall(partStart < _)
@@ -660,29 +703,38 @@ private[sources] final class GraftScan(
       case EqualTo("series_id", v) => series.forall { case (lo, hi) =>
         longOf(v).forall(l => l >= lo && l <= hi)
       }
-      case In("series_id", vs) => series.forall { case (lo, hi) =>
-        vs.exists(longOf(_).forall(l => l >= lo && l <= hi))
+      case i @ In("series_id", _) => series.forall { case (lo, hi) =>
+        Option(inSets.get(i)).flatten match {
+          // a stripe is a RANGE — iterate the set against [lo, hi]
+          case Some(set) =>
+            val it = set.iterator()
+            var hit = false
+            while (!hit && it.hasNext) { val l = it.next(); hit = l >= lo && l <= hi }
+            hit
+          case None => true
+        }
       }
       case And(l, r) =>
-        survives(l, partStart, series) && survives(r, partStart, series)
+        survives(l, partStart, series, inSets) && survives(r, partStart, series, inSets)
       case Or(l, r) =>
-        survives(l, partStart, series) || survives(r, partStart, series)
+        survives(l, partStart, series, inSets) || survives(r, partStart, series, inSets)
       case _ => true
     }
-  }
 
   private def applyRuntime(parts: Array[InputPartition]): Array[InputPartition] =
     if (runtime.isEmpty) parts
     else {
+      val inSets = hoistInSets(runtime)
       val kept = parts.flatMap {
         case s: GraftFileSplit =>
-          if (runtime.forall(survives(_, s.partStart, None))) Some(s) else None
+          if (runtime.forall(survives(_, s.partStart, None, inSets))) Some(s)
+          else None
         case m: GraftMorStripe =>
           if (runtime.forall(survives(_, m.partStart,
-            Some((m.seriesLo, m.seriesHi))))) Some(m) else None
+            Some((m.seriesLo, m.seriesHi)), inSets))) Some(m) else None
         case a: GraftAggSplit =>
           val files = a.files.filter { case (_, ps) =>
-            runtime.forall(survives(_, ps, None))
+            runtime.forall(survives(_, ps, None, inSets))
           }
           if (files.nonEmpty) Some(GraftAggSplit(files)) else None
         case other => Some(other)

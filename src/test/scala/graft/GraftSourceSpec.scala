@@ -504,8 +504,11 @@ class GraftSourceSpec extends SparkSuite {
     val batch = scan.toBatch
     val all = batch.planInputPartitions().length
     val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    // non-MOR: file splits carry no series range — only part_start is
+    // advertised (advertising series_id would buy DPP machinery that
+    // can never prune; review-caught r13)
     assert(rf.filterAttributes().map(_.fieldNames()(0)).toSet ==
-      Set("part_start", "series_id"))
+      Set("part_start"))
     rf.filter(Array[org.apache.spark.sql.sources.Filter](
       SIn("part_start", Array(partOf(0), partOf(1)))))
     val pruned = batch.planInputPartitions().length
@@ -522,6 +525,9 @@ class GraftSourceSpec extends SparkSuite {
     val sid = mt.readRaw(0L, Long.MaxValue).select("series_id")
       .head().getLong(0)
     val mscan = scanOf(spark.read.format("graft").load(s"$mdir/tbl")).scan
+    assert(mscan.asInstanceOf[SupportsRuntimeFiltering]
+      .filterAttributes().map(_.fieldNames()(0)).toSet ==
+      Set("part_start", "series_id"), "MOR stripes prune on series too")
     val mbatch = mscan.toBatch
     val mAll = mbatch.planInputPartitions().length
     mscan.asInstanceOf[SupportsRuntimeFiltering]
