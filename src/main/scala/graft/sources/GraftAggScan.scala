@@ -313,6 +313,7 @@ private[sources] final class GraftAggReader(
         (if (needSeq) Set("__seq") else Set.empty[String])).toSeq.sorted
       val idx = cols.zipWithIndex.toMap
       val seqIdx = idx.getOrElse("__seq", -1)
+      val prepared = GraftReaders.prepare(pushed)
       val r = new GraftParquetReader(conf, f, cols, _ => None,
         blockKeep = b => fallback.contains(b.getStartingPos))
       try {
@@ -321,7 +322,7 @@ private[sources] final class GraftAggReader(
           def get(c: String): Any = idx.get(c).map(rowArr(_)).orNull
           val vis = seqIdx < 0 ||
             GraftReaders.visible(rowArr(seqIdx), commits, asOf)
-          if (vis && pushed.forall(GraftReaders.eval(_, get, partStart)))
+          if (vis && prepared.forall(GraftReaders.eval(_, get, partStart)))
             accumulateRow(get, partStart)
         }
       } finally r.close()

@@ -7,15 +7,16 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
 import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Columnar (vectorized) read path for NON-MOR, unfiltered scans of the
-  * DSv2 batch source — the case the r12 Dsv2Scale receipt showed paying
-  * ~1.7× over Spark's vectorized parquet reader for row-at-a-time
-  * assembly. Columns decode straight into flat value arrays through the
-  * public parquet-column cursor API (`ColumnReadStoreImpl` — page
+/** Columnar (vectorized) read path for NON-MOR scans of the DSv2 batch
+  * source — the case the r12 Dsv2Scale receipt showed paying ~1.7× over
+  * Spark's vectorized parquet reader for row-at-a-time assembly.
+  * Columns decode straight into flat value arrays through the public
+  * parquet-column cursor API (`ColumnReadStoreImpl` — page
   * decompression, dictionary decode and definition levels handled by the
   * library), wrapped as Spark [[ColumnVector]]s: no per-row object, no
   * boxing, no `InternalRow` until Spark's own ColumnarToRow (which
@@ -23,18 +24,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scope is deliberate (the row reader keeps every other case):
   *  - non-MOR tables only — the k-way LWW merge is row-shaped;
-  *  - no pushed filters — exact filter enforcement is row-shaped
-  *    (filtered scans already read less by pruning, and the pushdown
-  *    contract "accepted = fully consumed" must hold);
   *  - projections without the `labels` map — map assembly is the one
   *    genuinely record-shaped column.
+  *
+  * PUSHED FILTERS ride the columnar path too (r13 cont.): every
+  * accepted filter references a flat key-stable column, so row groups
+  * first classify against footer stats ([[GraftFooterStats.classify]] —
+  * no-match groups skip without IO, all-match groups serve whole), and
+  * only the undecidable groups evaluate rows — against the DECODED
+  * VECTORS, folded into the same selection indirection the visibility
+  * path uses. "Accepted = fully consumed" holds exactly.
   *
   * Committed-batch visibility stays EXACT: `__seq` is constant per file
   * (stamped per append batch, RLE'd), so each row group classifies from
   * its footer stats as all-visible / all-invisible / mixed; mixed groups
   * (a mid-chunk seq change — never produced by the writer, but the
-  * reader must not trust that) decode `__seq` too and compact through a
-  * selection indirection, never serving an uncommitted row.
+  * reader must not trust that) decode `__seq` too and compact through
+  * the selection, never serving an uncommitted row.
   */
 private[sources] object GraftColumnar {
   /** Rows per emitted [[ColumnarBatch]]: big enough to amortize the
@@ -182,6 +188,7 @@ private[sources] final class GraftColumnarReader(
     conf: Configuration,
     split: GraftFileSplit,
     requested: Seq[String],
+    pushed: Array[Filter],
     commits: Option[(Long, Set[Long])],
     asOf: Option[Long])
   extends org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
@@ -196,9 +203,13 @@ private[sources] final class GraftColumnarReader(
   private val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
   private val createdBy: String = reader.getFooter.getFileMetaData.getCreatedBy
   private val needSeq = commits.nonEmpty || asOf.nonEmpty
+  private val filterCols: Seq[String] =
+    pushed.flatMap(_.references).distinct.filterNot(_ == "part_start").toSeq
+  private val prepared = GraftReaders.prepare(pushed)
 
-  /** decode set = requested physical columns; `__seq` joins per-group
-    * only when that group's visibility is mixed. */
+  /** decode set = requested physical columns; `__seq` and the filter
+    * columns join per-group only when that group needs row-level
+    * evaluation (mixed visibility / inconclusive filter stats). */
   private val physCols: Seq[String] = requested.filterNot(_ == "part_start")
 
   // ---- per-group state ---------------------------------------------------
@@ -211,6 +222,7 @@ private[sources] final class GraftColumnarReader(
     * arrays are built together). */
   private var decodeCols: Seq[String] = _
   private var groupMixed = false
+  private var groupFiltered = false
   private var seqReaderIdx = -1
 
   private var current: ColumnarBatch = _
@@ -221,7 +233,10 @@ private[sources] final class GraftColumnarReader(
     while (blockIdx < blocks.size()) {
       val block = blocks.get(blockIdx)
       val vis = GraftFooterStats.seqVisibility(block, commits, asOf, needSeq)
-      if (vis == GraftFooterStats.NoRows) {
+      val filt = pushed.map(GraftFooterStats.classify(_, block))
+        .foldLeft(GraftFooterStats.AllRows: GraftFooterStats.Tri)(
+          GraftFooterStats.and)
+      if (vis == GraftFooterStats.NoRows || filt == GraftFooterStats.NoRows) {
         reader.skipNextRowGroup()
         blockIdx += 1
       } else {
@@ -229,9 +244,10 @@ private[sources] final class GraftColumnarReader(
         blockIdx += 1
         if (pages == null) return false
         groupMixed = vis == GraftFooterStats.SomeRows
-        decodeCols =
-          if (groupMixed && !physCols.contains("__seq")) physCols :+ "__seq"
-          else physCols
+        groupFiltered = filt != GraftFooterStats.AllRows
+        decodeCols = (physCols ++
+          (if (groupMixed) Seq("__seq") else Nil) ++
+          (if (groupFiltered) filterCols else Nil)).distinct
         val wanted = decodeCols.toSet
         val fields = (0 until fileSchema.getFieldCount)
           .map(fileSchema.getType).filter(t => wanted(t.getName))
@@ -332,20 +348,36 @@ private[sources] final class GraftColumnarReader(
       case "part_start" => new GraftConstLongVec(split.partStart)
       case c => byName.get(c)
     }.toArray
-    if (!groupMixed) {
+    if (!groupMixed && !groupFiltered) {
       val b = new ColumnarBatch(base)
       b.setNumRows(n)
       b
     } else {
-      // mixed visibility: keep rows whose __seq passes (legacy NULL rows
-      // always pass — they predate every manifest)
+      // row-level residue: visibility (mixed __seq — legacy NULL rows
+      // always pass) and/or filters the group's stats couldn't decide,
+      // evaluated against the decoded vectors and folded into ONE
+      // selection indirection
+      def cell(c: String, i: Int): Any = {
+        if (c == "part_start") return split.partStart
+        val v = byName.get(c)
+        if (v == null || v.isNullAt(i)) null
+        else v.dataType match {
+          case LongType => java.lang.Long.valueOf(v.getLong(i))
+          case DoubleType => java.lang.Double.valueOf(v.getDouble(i))
+          case BooleanType => java.lang.Boolean.valueOf(v.getBoolean(i))
+          case _ => v.getUTF8String(i)
+        }
+      }
       val sel = new Array[Int](n)
       var k = 0
       var i = 0
       while (i < n) {
         val seq: Any =
           if (seqVals == null || seqNulls(i)) null else seqVals(i)
-        if (GraftReaders.visible(seq, commits, asOf)) { sel(k) = i; k += 1 }
+        val visOk = !groupMixed || GraftReaders.visible(seq, commits, asOf)
+        val keep = visOk && (!groupFiltered ||
+          prepared.forall(GraftReaders.eval(_, cell(_, i), split.partStart)))
+        if (keep) { sel(k) = i; k += 1 }
         i += 1
       }
       val trimmed = java.util.Arrays.copyOf(sel, k)

@@ -756,10 +756,14 @@ private[sources] final class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // columnar scope (see GraftColumnar): non-MOR byte-range splits, no
-    // filters (exact enforcement is row-shaped), no limit, projection
-    // without the labels map
+    // limit, projection without the labels map. Pushed filters ride the
+    // columnar path (r13 cont.) as long as every referenced column is
+    // itself vector-decodable — true for the whole accepted filter
+    // surface (key-stable flat columns), checked defensively anyway.
     val columnarOk = !config.overrideOld && agg.isEmpty && limit.isEmpty &&
-      pushed.isEmpty && GraftColumnar.supports(required.fieldNames.toSeq)
+      GraftColumnar.supports(required.fieldNames.toSeq) &&
+      pushed.flatMap(_.references).forall(c =>
+        GraftColumnar.TsdbColumnarTypes.contains(c) || c == "part_start")
     new GraftReaderFactory(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
       required.fieldNames.toSeq, pushed, planned._3, config.overrideOld, asOf,
@@ -795,7 +799,7 @@ private[sources] final class GraftReaderFactory(
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
     case s: GraftFileSplit =>
-      new GraftColumnarReader(conf.value, s, requested, commits, asOf)
+      new GraftColumnarReader(conf.value, s, requested, pushed, commits, asOf)
     case other => throw new IllegalStateException(s"no columnar reader for $other")
   }
 
@@ -819,7 +823,29 @@ private[sources] final class GraftReaderFactory(
   * row-level filter evaluation, visibility, InternalRow emission. */
 private[sources] object GraftReaders {
 
-  /** Row-level evaluation of an accepted pushed filter over reader slots.
+  /** Pre-bind string literals inside accepted filters to [[UTF8String]]
+    * (Filter values are `Any`, so the rebuilt tree is still a legal
+    * Filter): [[eval]] then compares UTF8String-to-UTF8String with ZERO
+    * per-row allocation — the naive `s.toString == x` allocated one
+    * String per row per string filter, millions of times per scan
+    * (review-caught r13). Call once per reader, never per row. */
+  def prepare(fs: Array[Filter]): Array[Filter] = {
+    def prep(f: Filter): Filter = f match {
+      case EqualTo(c, x: String) => EqualTo(c, UTF8String.fromString(x))
+      case In(c, xs) =>
+        In(c, xs.map {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        })
+      case And(l, r) => And(prep(l), prep(r))
+      case other => other
+    }
+    fs.map(prep)
+  }
+
+  /** Row-level evaluation of an accepted PREPARED pushed filter over
+    * reader slots ([[prepare]] rebinds string literals; raw String
+    * literals still evaluate correctly, one allocation per row).
     * `part_start` is constant per input partition and pre-satisfied at
     * planning, so it always passes here. */
   def eval(f: Filter, get: String => Any, partStart: Long): Boolean = {
@@ -831,12 +857,18 @@ private[sources] object GraftReaders {
     }
     f match {
       case EqualTo(c, x: Long) => cmpLong(c, _ == x)
+      case EqualTo(c, x: UTF8String) => v(c) match {
+        case s: UTF8String => s.equals(x)
+        case _ => false
+      }
       case EqualTo(c, x: String) => v(c) match {
         case s: UTF8String => s.toString == x
         case _ => false
       }
       case In(c, xs) => v(c) match {
-        case s: UTF8String => xs.exists(_ == s.toString)
+        case s: UTF8String =>
+          xs.exists(x => x.isInstanceOf[UTF8String] && s.equals(x) ||
+            x.isInstanceOf[String] && s.toString == x)
         case l: Long => xs.exists(x => x.isInstanceOf[Long] && x.asInstanceOf[Long] == l)
         case _ => false
       }
@@ -916,6 +948,7 @@ private[sources] final class GraftFileReader(
 
   private val filterCols =
     pushed.flatMap(_.references).toSet.filter(_ != "part_start")
+  private val prepared = GraftReaders.prepare(pushed)
   private val needSeq = commits.nonEmpty || asOf.nonEmpty
   // internal slot layout: requested columns first, then extras the
   // reader itself needs (filter columns, __seq) not already requested
@@ -939,7 +972,7 @@ private[sources] final class GraftFileReader(
       val row = reader.next()
       def get(c: String): Any = idx.get(c).map(row(_)).orNull
       val vis = seqIdx < 0 || GraftReaders.visible(row(seqIdx), commits, asOf)
-      if (vis && pushed.forall(GraftReaders.eval(_, get, split.partStart))) {
+      if (vis && prepared.forall(GraftReaders.eval(_, get, split.partStart))) {
         current = emit(row)
         return true
       }
@@ -977,6 +1010,7 @@ private[sources] final class GraftMorReader(
 
   private val filterCols =
     pushed.flatMap(_.references).toSet.filter(_ != "part_start")
+  private val prepared = GraftReaders.prepare(pushed)
   private val extras =
     (filterCols ++ Set("series_id", "time", "__seq", "__del") -- requested.toSet)
       .toSeq.sorted
@@ -1009,7 +1043,7 @@ private[sources] final class GraftMorReader(
         def get(c: String): Any = idx.get(c).map(row(_)).orNull
         if (s >= stripe.seriesLo && s <= stripe.seriesHi &&
             GraftReaders.visible(row(seqIdx), commits, asOf) &&
-            pushed.forall(GraftReaders.eval(_, get, stripe.partStart)))
+            prepared.forall(GraftReaders.eval(_, get, stripe.partStart)))
           head = row
       }
     }

@@ -469,13 +469,21 @@ class GraftSourceSpec extends SparkSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(viaColumnar == viaRaw)
 
-    // labels (map) keeps the row path; filters keep the row path
+    // labels (map) keeps the row path
     val withMap = spark.read.format("graft").load(s"$dir/tbl")
     assert(!scanOf(withMap).supportsColumnar)
-    val filtered = narrow.filter(col("name") === "cpu")
-    assert(!scanOf(filtered).supportsColumnar)
-    assert(filtered.count() ==
-      t.readRaw(0L, Long.MaxValue).filter(col("name") === "cpu").count())
+    // pushed FILTERS ride the columnar path (r13 cont.) and stay exact:
+    // stats-decided groups skip/serve whole, residue evaluates against
+    // the decoded vectors through the selection indirection
+    val filtered = narrow.filter(col("name") === "cpu" &&
+      col("time") >= Base + 2 * Day)
+    assert(scanOf(filtered).supportsColumnar,
+      "filtered non-MOR narrow projections must stay columnar")
+    assert(filtered.collect().map(_.toString).sorted.toSeq ==
+      t.readRaw(0L, Long.MaxValue)
+        .filter(col("name") === "cpu" && col("time") >= Base + 2 * Day)
+        .select("name", "time", "value", "valueStr", "series_id", "part_start")
+        .collect().map(_.toString).sorted.toSeq)
 
     // uncommitted (crashed-mutation) files stay invisible in columnar
     // mode too: footer __seq stats classify the whole group out
