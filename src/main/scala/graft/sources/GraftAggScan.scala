@@ -185,6 +185,7 @@ private[sources] final class GraftAggReader(
   private var row: InternalRow = _
 
   private val needSeq = commits.nonEmpty || asOf.nonEmpty
+  private val prepared = GraftReaders.prepare(pushed)
 
   /** Partial state — one per output row (global: exactly one; grouped:
     * one per part_start, created on first touch so empty partitions
@@ -313,7 +314,6 @@ private[sources] final class GraftAggReader(
         (if (needSeq) Set("__seq") else Set.empty[String])).toSeq.sorted
       val idx = cols.zipWithIndex.toMap
       val seqIdx = idx.getOrElse("__seq", -1)
-      val prepared = GraftReaders.prepare(pushed)
       val r = new GraftParquetReader(conf, f, cols, _ => None,
         blockKeep = b => fallback.contains(b.getStartingPos))
       try {

@@ -48,11 +48,16 @@ private[sources] object GraftColumnar {
     * vectors stay a few MB even with wide string columns. */
   val BatchRows = 32768
 
-  /** Can `requested` be served columnar? (`part_start` is virtual —
-    * constant per split; `labels` is the map column.) */
+  /** Is one column vector-decodable? (`part_start` is virtual —
+    * constant per split; `labels` is the map column.) ONE predicate
+    * for both the projection gate and the pushed-filter-reference
+    * gate, so the two can never diverge. */
+  def columnarName(c: String): Boolean =
+    TsdbColumnarTypes.contains(c) || c == "part_start"
+
+  /** Can `requested` be served columnar? */
   def supports(requested: Seq[String]): Boolean =
-    requested.nonEmpty && requested.forall(c =>
-      TsdbColumnarTypes.contains(c) || c == "part_start")
+    requested.nonEmpty && requested.forall(columnarName)
 
   private[sources] val TsdbColumnarTypes: Map[String, DataType] = Map(
     "name" -> StringType, "time" -> LongType, "value" -> DoubleType,
@@ -223,7 +228,10 @@ private[sources] final class GraftColumnarReader(
   private var decodeCols: Seq[String] = _
   private var groupMixed = false
   private var groupFiltered = false
-  private var seqReaderIdx = -1
+  /** prepared filters the group's stats could NOT decide — the only
+    * ones the residue loop must evaluate (AllRows-classified filters
+    * hold for every row of the group by construction). */
+  private var groupResidue: Array[Filter] = Array.empty
 
   private var current: ColumnarBatch = _
 
@@ -233,10 +241,9 @@ private[sources] final class GraftColumnarReader(
     while (blockIdx < blocks.size()) {
       val block = blocks.get(blockIdx)
       val vis = GraftFooterStats.seqVisibility(block, commits, asOf, needSeq)
-      val filt = pushed.map(GraftFooterStats.classify(_, block))
-        .foldLeft(GraftFooterStats.AllRows: GraftFooterStats.Tri)(
-          GraftFooterStats.and)
-      if (vis == GraftFooterStats.NoRows || filt == GraftFooterStats.NoRows) {
+      val tris = pushed.map(GraftFooterStats.classify(_, block))
+      if (vis == GraftFooterStats.NoRows ||
+          tris.contains(GraftFooterStats.NoRows)) {
         reader.skipNextRowGroup()
         blockIdx += 1
       } else {
@@ -244,10 +251,18 @@ private[sources] final class GraftColumnarReader(
         blockIdx += 1
         if (pages == null) return false
         groupMixed = vis == GraftFooterStats.SomeRows
-        groupFiltered = filt != GraftFooterStats.AllRows
+        // only the filters the stats could not prove for the WHOLE
+        // group need row evaluation (review-caught r13: re-evaluating
+        // AllRows filters burned a redundant compare per row each)
+        groupResidue = prepared.zip(tris).collect {
+          case (f, GraftFooterStats.SomeRows) => f
+        }
+        groupFiltered = groupResidue.nonEmpty
+        val residueCols = groupResidue.flatMap(_.references).distinct
+          .filterNot(_ == "part_start").toSeq
         decodeCols = (physCols ++
           (if (groupMixed) Seq("__seq") else Nil) ++
-          (if (groupFiltered) filterCols else Nil)).distinct
+          residueCols).distinct
         val wanted = decodeCols.toSet
         val fields = (0 until fileSchema.getFieldCount)
           .map(fileSchema.getType).filter(t => wanted(t.getName))
@@ -271,8 +286,6 @@ private[sources] final class GraftColumnarReader(
         }
         // map decode column name -> reader index (or -1 = absent in file)
         readerIdx = decodeCols.map(c => colOfDesc.indexOf(c)).toArray
-        seqReaderIdx =
-          if (groupMixed) readerIdx(decodeCols.indexOf("__seq")) else -1
         groupRemaining = pages.getRowCount
         if (groupRemaining > 0) return true
       }
@@ -357,26 +370,30 @@ private[sources] final class GraftColumnarReader(
       // always pass) and/or filters the group's stats couldn't decide,
       // evaluated against the decoded vectors and folded into ONE
       // selection indirection
-      def cell(c: String, i: Int): Any = {
-        if (c == "part_start") return split.partStart
-        val v = byName.get(c)
-        if (v == null || v.isNullAt(i)) null
-        else v.dataType match {
-          case LongType => java.lang.Long.valueOf(v.getLong(i))
-          case DoubleType => java.lang.Double.valueOf(v.getDouble(i))
-          case BooleanType => java.lang.Boolean.valueOf(v.getBoolean(i))
-          case _ => v.getUTF8String(i)
+      var curRow = 0
+      val getter: String => Any = { c =>
+        if (c == "part_start") split.partStart
+        else {
+          val v = byName.get(c)
+          if (v == null || v.isNullAt(curRow)) null
+          else v.dataType match {
+            case LongType => java.lang.Long.valueOf(v.getLong(curRow))
+            case DoubleType => java.lang.Double.valueOf(v.getDouble(curRow))
+            case BooleanType => java.lang.Boolean.valueOf(v.getBoolean(curRow))
+            case _ => v.getUTF8String(curRow)
+          }
         }
       }
       val sel = new Array[Int](n)
       var k = 0
       var i = 0
       while (i < n) {
+        curRow = i
         val seq: Any =
           if (seqVals == null || seqNulls(i)) null else seqVals(i)
         val visOk = !groupMixed || GraftReaders.visible(seq, commits, asOf)
         val keep = visOk && (!groupFiltered ||
-          prepared.forall(GraftReaders.eval(_, cell(_, i), split.partStart)))
+          groupResidue.forall(GraftReaders.eval(_, getter, split.partStart)))
         if (keep) { sel(k) = i; k += 1 }
         i += 1
       }

@@ -762,8 +762,7 @@ private[sources] final class GraftScan(
     // surface (key-stable flat columns), checked defensively anyway.
     val columnarOk = !config.overrideOld && agg.isEmpty && limit.isEmpty &&
       GraftColumnar.supports(required.fieldNames.toSeq) &&
-      pushed.flatMap(_.references).forall(c =>
-        GraftColumnar.TsdbColumnarTypes.contains(c) || c == "part_start")
+      pushed.flatMap(_.references).forall(GraftColumnar.columnarName)
     new GraftReaderFactory(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
       required.fieldNames.toSeq, pushed, planned._3, config.overrideOld, asOf,

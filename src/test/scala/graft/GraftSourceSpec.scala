@@ -494,6 +494,32 @@ class GraftSourceSpec extends SparkSuite {
     orphan.write.mode("append").parquet(partDir.toString)
     assert(narrow.count() == viaRaw.length,
       "an uncommitted orphan file must not leak into the columnar read")
+
+    // the COMBINED residue branch (r13 review): ONE row group holding a
+    // committed-seq row AND an uncommitted-seq row (the writer never
+    // produces this; a hand-crafted/crashed file can), read under a
+    // pushed filter — visibility and filter must fold into one
+    // selection, keeping exactly the visible matching row
+    val committedSeq = victim.select("__seq").head().getLong(0)
+    val one = victim.limit(1)
+    val mixed = one.withColumn("__seq", lit(committedSeq))
+      .withColumn("name", lit("mixkeep"))
+      .union(one.withColumn("__seq", lit(committedSeq + 777777L))
+        .withColumn("name", lit("mixdrop")))
+      .union(one.withColumn("__seq", lit(committedSeq))
+        .withColumn("name", lit("mixother")))
+    mixed.coalesce(1).write.mode("append").parquet(partDir.toString)
+    val probe = spark.read.format("graft").load(s"$dir/tbl")
+      .select("name", "time", "value")
+      .filter(col("name").isin("mixkeep", "mixdrop", "mixother"))
+    assert(scanOf(probe).supportsColumnar)
+    assert(probe.select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("mixkeep", "mixother"),
+      "mixed-visibility group under a filter must keep exactly the " +
+        "visible matching rows")
+    val probe2 = spark.read.format("graft").load(s"$dir/tbl")
+      .select("name").filter(col("name") === "mixdrop")
+    assert(probe2.count() == 0, "the uncommitted row must never surface")
   }
 
   test("runtime filtering (r13): join-driven IN-sets drop splits before IO, conservatively") {
