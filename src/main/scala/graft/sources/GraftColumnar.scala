@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.HadoopReadOptions
 import org.apache.parquet.column.impl.ColumnReadStoreImpl
@@ -24,8 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scope is deliberate (the row reader keeps every other case):
   *  - non-MOR tables only — the k-way LWW merge is row-shaped;
-  *  - projections without the `labels` map — map assembly is the one
-  *    genuinely record-shaped column.
+  *  - every RawSchema column vectorizes, including the `labels` MAP
+  *    (late r13): its two leaf cursors reassemble per-row entry runs
+  *    from repetition/definition levels into flat key/value vectors +
+  *    row offsets — the standard columnar map layout — so a plain
+  *    `SELECT *` is columnar too.
   *
   * PUSHED FILTERS ride the columnar path too (r13 cont.): every
   * accepted filter references a flat key-stable column, so row groups
@@ -62,7 +67,8 @@ private[sources] object GraftColumnar {
   private[sources] val TsdbColumnarTypes: Map[String, DataType] = Map(
     "name" -> StringType, "time" -> LongType, "value" -> DoubleType,
     "valueStr" -> StringType, "labels_str" -> StringType,
-    "series_id" -> LongType)
+    "series_id" -> LongType,
+    "labels" -> MapType(StringType, StringType))
 }
 
 // ---------------------------------------------------------------- vectors
@@ -148,6 +154,19 @@ private[sources] final class GraftNullVec(dt: DataType)
   override def hasNull: Boolean = true
   override def numNulls(): Int = -1 // callers use isNullAt
   override def isNullAt(i: Int): Boolean = true
+}
+
+/** The `labels` map column: per-batch entry arrays + row offsets, the
+  * standard columnar map layout ([[org.apache.spark.sql.vectorized.ColumnarMap]]
+  * views a [offset, offset+len) slice of the flat key/value vectors).
+  * `nulls` distinguishes a NULL map from an EMPTY one. */
+private[sources] final class GraftMapVec(
+    offsets: Array[Int], nulls: Array[Boolean],
+    keys: ColumnVector, vals: ColumnVector, n: Int)
+  extends GraftVec(MapType(StringType, StringType), nulls, n) {
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    new org.apache.spark.sql.vectorized.ColumnarMap(
+      keys, vals, offsets(i), offsets(i + 1) - offsets(i))
 }
 
 /** Selection indirection for mixed-visibility groups: O(1) wrap, no
@@ -267,25 +286,52 @@ private[sources] final class GraftColumnarReader(
         val fields = (0 until fileSchema.getFieldCount)
           .map(fileSchema.getType).filter(t => wanted(t.getName))
         val proj = new MessageType(fileSchema.getName, fields: _*)
-        val dummy = new GroupConverter {
-          private val prim = new PrimitiveConverter {}
-          override def getConverter(i: Int): Converter = prim
-          override def start(): Unit = ()
-          override def end(): Unit = ()
+        // the store walks the schema tree to find each leaf's converter,
+        // so the dummy must MIRROR the tree (a flat group was enough
+        // before the labels map joined; its nested path needs group
+        // converters at every inner level)
+        def dummyFor(t: org.apache.parquet.schema.Type): Converter = t match {
+          case g: org.apache.parquet.schema.GroupType =>
+            new GroupConverter {
+              private val kids =
+                (0 until g.getFieldCount).map(i => dummyFor(g.getType(i))).toArray
+              override def getConverter(i: Int): Converter = kids(i)
+              override def start(): Unit = ()
+              override def end(): Unit = ()
+            }
+          case _ => new PrimitiveConverter {}
         }
+        val dummy = dummyFor(proj).asGroupConverter()
         val store = new ColumnReadStoreImpl(pages, dummy, proj, createdBy)
         val descs = proj.getColumns
-        readers = new Array(descs.size())
-        maxDefs = new Array(descs.size())
-        val colOfDesc = new Array[String](descs.size())
-        (0 until descs.size()).foreach { i =>
-          val d = descs.get(i)
+        // FLAT leaves decode directly; the labels MAP contributes two
+        // nested leaves (key_value.key / .value) handled by their own
+        // lockstep cursor pair below
+        val flat = (0 until descs.size()).map(descs.get)
+          .filter(_.getPath.length == 1)
+        readers = new Array(flat.size)
+        maxDefs = new Array(flat.size)
+        val colOfDesc = new Array[String](flat.size)
+        flat.zipWithIndex.foreach { case (d, i) =>
           readers(i) = store.getColumnReader(d)
           maxDefs(i) = d.getMaxDefinitionLevel
           colOfDesc(i) = d.getPath()(0)
         }
         // map decode column name -> reader index (or -1 = absent in file)
         readerIdx = decodeCols.map(c => colOfDesc.indexOf(c)).toArray
+        mapKeyR = null; mapValR = null; mapConsumed = 0L; mapTotal = 0L
+        (0 until descs.size()).map(descs.get)
+          .filter(d => d.getPath.length == 3 && d.getPath()(0) == "labels")
+          .foreach { d =>
+            if (d.getPath()(2) == "key") {
+              mapKeyR = store.getColumnReader(d)
+              mapKeyDef = d.getMaxDefinitionLevel
+              mapTotal = mapKeyR.getTotalValueCount
+            } else {
+              mapValR = store.getColumnReader(d)
+              mapValDef = d.getMaxDefinitionLevel
+            }
+          }
         groupRemaining = pages.getRowCount
         if (groupRemaining > 0) return true
       }
@@ -293,6 +339,47 @@ private[sources] final class GraftColumnarReader(
     false
   }
   private var readerIdx: Array[Int] = _
+  // labels-map cursor pair: key/value leaves advance in LOCKSTEP (the
+  // MAP group guarantees identical slot structure; only the value's
+  // definition ceiling differs by its optionality)
+  private var mapKeyR: org.apache.parquet.column.ColumnReader = _
+  private var mapValR: org.apache.parquet.column.ColumnReader = _
+  private var mapKeyDef = 0
+  private var mapValDef = 0
+  private var mapConsumed = 0L
+  private var mapTotal = 0L
+
+  /** Decode the next `n` rows of the labels map into a [[GraftMapVec]].
+    * Definition levels: 0 = NULL map, 1 = empty map, maxDef = an entry;
+    * a repetition level > 0 continues the current row's entry run. */
+  private def decodeMap(n: Int): ColumnVector = {
+    val offsets = new Array[Int](n + 1)
+    val nulls = new Array[Boolean](n)
+    val keys = ArrayBuffer.empty[UTF8String]
+    val vals = ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < n) {
+      val d = mapKeyR.getCurrentDefinitionLevel
+      if (d < mapKeyDef) {
+        if (d == 0) nulls(i) = true // def 1 = present-but-empty map
+        mapKeyR.consume(); mapValR.consume(); mapConsumed += 1
+      } else {
+        var more = true
+        while (more) {
+          keys += UTF8String.fromBytes(mapKeyR.getBinary.getBytesUnsafe)
+          vals += (if (mapValR.getCurrentDefinitionLevel == mapValDef)
+            UTF8String.fromBytes(mapValR.getBinary.getBytesUnsafe) else null)
+          mapKeyR.consume(); mapValR.consume(); mapConsumed += 1
+          more = mapConsumed < mapTotal && mapKeyR.getCurrentRepetitionLevel > 0
+        }
+      }
+      offsets(i + 1) = keys.length
+      i += 1
+    }
+    new GraftMapVec(offsets, nulls,
+      new GraftStringVec(keys.toArray, keys.length),
+      new GraftStringVec(vals.toArray, vals.length), n)
+  }
 
   private def decodeBatch(): ColumnarBatch = {
     val n = math.min(groupRemaining, GraftColumnar.BatchRows.toLong).toInt
@@ -303,7 +390,9 @@ private[sources] final class GraftColumnarReader(
     var seqNulls: Array[Boolean] = null
     decodeCols.zipWithIndex.foreach { case (c, ci) =>
       val ri = readerIdx(ci)
-      if (ri < 0) {
+      if (c == "labels" && mapKeyR != null) {
+        byName.put(c, decodeMap(n))
+      } else if (ri < 0) {
         byName.put(c, new GraftNullVec(
           GraftColumnar.TsdbColumnarTypes.getOrElse(c, LongType)))
       } else {

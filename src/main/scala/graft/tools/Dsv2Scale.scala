@@ -89,12 +89,31 @@ object Dsv2Scale {
       val nativeCount = best {
         require(spark.read.parquet(s"$dir/table/raw").count() > 0)
       }
+      // r13 columnar receipts: the WIDE projection (six columns, two of
+      // them strings) is where row-at-a-time assembly used to pay; the
+      // MAP lane reads the labels column through the nested-leaf cursor
+      def forceWide(df: org.apache.spark.sql.DataFrame): Unit = {
+        val r = df.agg(count(lit(1)), sum("value"),
+          sum(col("time") % 997), sum(abs(col("series_id")) % 997),
+          sum(length(col("name"))), sum(length(col("labels_str")))).collect()(0)
+        require(r.getLong(0) > 0)
+      }
+      def forceMap(df: org.apache.spark.sql.DataFrame): Unit = {
+        val r = df.agg(count(lit(1)), sum(size(col("labels")))).collect()(0)
+        require(r.getLong(0) > 0)
+      }
+      val nativeWide = best(forceWide(spark.read.parquet(s"$dir/table/raw")))
+      val dsv2Wide = best(forceWide(spark.read.format("graft").load(s"$dir/table")))
+      val nativeMap = best(forceMap(spark.read.parquet(s"$dir/table/raw")))
+      val dsv2Map = best(forceMap(spark.read.format("graft").load(s"$dir/table")))
 
       println(s"""{"tool":"Dsv2Scale","rows":$rows,"factor":$factor,"mor":$mor,""" +
         s""""native_sec":${f"$native%.3f"},"dsv2_full_sec":${f"$dsv2Full%.3f"},""" +
         s""""dsv2_filtered_sec":${f"$dsv2Filt%.3f"},"readraw_sec":${f"$readraw%.3f"},""" +
         s""""filter_ratio":${f"${dsv2Filt / dsv2Full}%.3f"},""" +
-        s""""dsv2_count_sec":${f"$dsv2Count%.3f"},"native_count_sec":${f"$nativeCount%.3f"}}""")
+        s""""dsv2_count_sec":${f"$dsv2Count%.3f"},"native_count_sec":${f"$nativeCount%.3f"},""" +
+        s""""wide_native_sec":${f"$nativeWide%.3f"},"wide_dsv2_sec":${f"$dsv2Wide%.3f"},""" +
+        s""""map_native_sec":${f"$nativeMap%.3f"},"map_dsv2_sec":${f"$dsv2Map%.3f"}}""")
     } finally {
       graft.core.Fs.rmTree(dir.toFile)
       spark.stop()

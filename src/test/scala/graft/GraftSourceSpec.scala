@@ -469,9 +469,19 @@ class GraftSourceSpec extends SparkSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(viaColumnar == viaRaw)
 
-    // labels (map) keeps the row path
+    // the labels MAP vectorizes too (late r13): SELECT * is columnar,
+    // and entries survive the rep/def reassembly exactly
     val withMap = spark.read.format("graft").load(s"$dir/tbl")
-    assert(!scanOf(withMap).supportsColumnar)
+    assert(scanOf(withMap).supportsColumnar,
+      "full-schema (SELECT *) reads must be columnar")
+    val viaMap = withMap
+      .select(col("name"), col("time"), col("labels")("host").as("h"),
+        size(col("labels")).as("sz"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaMap == t.readRaw(0L, Long.MaxValue)
+      .select(col("name"), col("time"), col("labels")("host").as("h"),
+        size(col("labels")).as("sz"))
+      .collect().map(_.toString).sorted.toSeq)
     // pushed FILTERS ride the columnar path (r13 cont.) and stay exact:
     // stats-decided groups skip/serve whole, residue evaluates against
     // the decoded vectors through the selection indirection
