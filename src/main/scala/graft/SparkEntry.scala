@@ -602,6 +602,41 @@ object SparkEntry {
           min("name").as("min_name"), max("name").as("max_name"))
     }),
 
+    // SQL DELETE FROM a USING graft table (r14, SupportsDelete): the
+    // same three staged deletes as tsdb_delete, issued as relational
+    // DELETE statements — each translates EXACTLY onto the engine
+    // delete path (whole-partition drops, boundary rewrites, rollup
+    // rebuilds), so the final rollup-served aggregate must hash-match
+    // the tsdb_delete twin's oracle. The labels predicate uses the
+    // pushable labels_str shape (single-label corpus: labels_str
+    // 'user=42' ≡ labels['user']='42').
+    "tsdb_dsv2_delete" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_del")
+      try {
+        val cfg = graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour)
+        graft.core.SchemaJson.write(s"$tmp/table", cfg)
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table", cfg)
+        t.append(samples)
+        val tbl = s"graft_sql_del_${System.nanoTime()}"
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$tmp/table')")
+        try {
+          s.sql(s"DELETE FROM $tbl WHERE time BETWEEN ${F + 10 * Day + 6 * Hour} " +
+            s"AND ${F + 13 * Day + 6 * Hour}")
+          s.sql(s"DELETE FROM $tbl WHERE name = 'click' " +
+            s"AND time BETWEEN ${F + 5 * Day} AND ${F + 6 * Day - 1}")
+          s.sql(s"DELETE FROM $tbl WHERE labels_str = 'user=42' " +
+            s"AND time BETWEEN ${F + 20 * Day} AND ${F + 22 * Day - 1}")
+        } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = SelectParams(functions = "count,sum,min,max",
+          from = F, to = T, step = Day)
+        require(t.canServerAggregate(p), "entry must exercise the rebuilt rollup")
+        val res = r6(t.select(p), Seq("sum", "min", "max"))
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // ------------------------------------------------------------------- S4
     "tsdb_names" -> ((s, dir) => QueryEngine.names(Samples.fromEvents(s, dir))),
 
@@ -3912,6 +3947,23 @@ object SparkEntry {
     // relational DELETE is the twin of the engine's three staged deletes:
     // same inclusive time bounds, same metric/label predicates
     "tsdb_delete" ->
+      s"""WITH s AS ($SamplesCte),
+         |d AS (SELECT * FROM s
+         |      WHERE NOT (tt BETWEEN ${F + 10 * Day + 6 * Hour} AND ${F + 13 * Day + 6 * Hour})
+         |        AND NOT (name = 'click' AND tt BETWEEN ${F + 5 * Day} AND ${F + 6 * Day - 1})
+         |        AND NOT (labels_str = 'user=42' AND tt BETWEEN ${F + 20 * Day} AND ${F + 22 * Day - 1}))
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum",
+         |  round(min(v), 6) AS "min",
+         |  round(max(v), 6) AS "max"
+         |FROM d WHERE tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the SQL DELETE FROM path must land on the identical survivors —
+    // same twin as tsdb_delete (whose third predicate labels['user']='42'
+    // is this corpus's labels_str = 'user=42')
+    "tsdb_dsv2_delete" ->
       s"""WITH s AS ($SamplesCte),
          |d AS (SELECT * FROM s
          |      WHERE NOT (tt BETWEEN ${F + 10 * Day + 6 * Hour} AND ${F + 13 * Day + 6 * Hour})

@@ -150,9 +150,46 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
 private[sources] final class GraftBatchTable(
     tablePath: String, options: CaseInsensitiveStringMap)
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft.`$tablePath`"
+
+  /** SQL `DELETE FROM ... WHERE ...` (r14): filter-shaped deletes —
+    * conjunctions over `time` / `part_start` bounds, `name` /
+    * `labels_str` equality/IN, IsNotNull — translate EXACTLY onto the
+    * engine delete surface ([[TsdbTable.delete]], the reference S11
+    * delete semantics: whole in-range partitions drop metadata-only,
+    * boundary/predicated partitions rewrite or tombstone, touched
+    * rollups rebuild). Anything untranslatable rejects loudly via
+    * [[canDeleteWhere]] — a DELETE must remove exactly the matching
+    * rows or fail, never approximate. Requires the table's declared
+    * `.schema`: an assumed default partition interval could drop a
+    * partition that extends past the requested range (the same
+    * undeclared-legacy-table guard the scan's partition clamp applies). */
+  private def declaredCfg: Option[TsdbConfig] =
+    SchemaJson.readCached(tablePath,
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    declaredCfg.exists(cfg =>
+      GraftDeletes.translate(filters, cfg.partitionIntervalMs).isRight)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val cfg = declaredCfg.getOrElse(throw new UnsupportedOperationException(
+      s"DELETE FROM needs the table's declared .schema; $tablePath has " +
+        "none (pre-declaration legacy table) — delete through the " +
+        "TsdbTable API with an explicit config instead"))
+    GraftDeletes.translate(filters, cfg.partitionIntervalMs) match {
+      case Left(why) => throw new UnsupportedOperationException(
+        s"DELETE WHERE is not translatable to the graft delete surface: $why")
+      case Right(None) => () // provably zero matching rows — a valid no-op
+      case Right(Some(t)) =>
+        new TsdbTable(spark, tablePath, cfg)
+          .delete(t.fromMs, t.toMs, filter = t.filter)
+    }
+  }
   override def schema(): StructType = TsdbTable.RawSchema
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity("part_start"))
@@ -415,6 +452,103 @@ private[sources] object GraftWrites {
             "tooling, not a writer option")
     }
     wanted
+  }
+}
+
+/** EXACT translation of a SQL `DELETE FROM ... WHERE` conjunction onto
+  * the engine delete surface `TsdbTable.delete(fromMs, toMs, filter)`
+  * (reference S11, `pkg/tsdb/v3iotsdb.go:272-477`). The accepted set is
+  * the delete-shaped subset of the scan's pushdown surface: `time`
+  * comparisons fold into the inclusive [fromMs, toMs] range;
+  * `part_start` comparisons fold into the SAME range via the declared
+  * partition interval (a partition covers [p, p+interval-1], so
+  * `part_start >= v` ⟺ `time >= align_up(v)` — exact, never a
+  * superset); `name`/`labels_str` equality/IN and IsNotNull become the
+  * delete's SQL predicate string. Everything else is Left — the caller
+  * must reject, because SupportsDelete's contract is delete-exactly-or-
+  * fail. A provably-empty conjunction (impossible bounds, empty IN,
+  * unaligned part_start equality) is Right(None): deleting zero rows
+  * exactly. */
+private[graft] object GraftDeletes {
+  final case class Translated(fromMs: Long, toMs: Long, filter: String)
+
+  private def esc(s: String): String = s.replace("'", "''")
+
+  def translate(filters: Array[Filter], intervalMs: Long)
+      : Either[String, Option[Translated]] = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var impossible = false
+    var err: String = null
+    val preds = ArrayBuffer.empty[String]
+    val I = intervalMs
+
+    def timeLo(v: Long): Unit = lo = math.max(lo, v)
+    def timeHi(v: Long): Unit = hi = math.min(hi, v)
+    // part_start >= w  ⟺  time >= (smallest aligned multiple of I >= w)
+    def partLo(w: Long): Unit = {
+      val q = math.floorDiv(w, I)
+      val a = q * I
+      if (a >= w) timeLo(a)
+      else if (q + 1 > Long.MaxValue / I) impossible = true // no aligned value left
+      else timeLo((q + 1) * I)
+    }
+    // part_start <= w  ⟺  time <= (largest aligned <= w) + I - 1
+    def partHi(w: Long): Unit = {
+      val b = math.floorDiv(w, I) * I
+      timeHi(if (b > Long.MaxValue - (I - 1)) Long.MaxValue else b + I - 1)
+    }
+    def strPred(c: String, vs: Seq[String]): Unit =
+      if (vs.isEmpty) impossible = true
+      else if (vs.length == 1) preds += s"`$c` = '${esc(vs.head)}'"
+      else preds += s"`$c` IN (${vs.map(v => s"'${esc(v)}'").mkString(", ")})"
+
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+
+    filters.flatMap(conjuncts).foreach {
+      case EqualTo("time", v: Long) => timeLo(v); timeHi(v)
+      case GreaterThan("time", v: Long) =>
+        if (v == Long.MaxValue) impossible = true else timeLo(v + 1)
+      case GreaterThanOrEqual("time", v: Long) => timeLo(v)
+      case LessThan("time", v: Long) =>
+        if (v == Long.MinValue) impossible = true else timeHi(v - 1)
+      case LessThanOrEqual("time", v: Long) => timeHi(v)
+      case EqualTo("part_start", v: Long) =>
+        if (math.floorMod(v, I) != 0L) impossible = true // unaligned = matches nothing
+        else { timeLo(v); partHi(v) }
+      case GreaterThan("part_start", v: Long) =>
+        if (v == Long.MaxValue) impossible = true else partLo(v + 1)
+      case GreaterThanOrEqual("part_start", v: Long) => partLo(v)
+      case LessThan("part_start", v: Long) =>
+        if (v == Long.MinValue) impossible = true else partHi(v - 1)
+      case LessThanOrEqual("part_start", v: Long) => partHi(v)
+      case In("time", vs) if vs.forall(_.isInstanceOf[Long]) =>
+        if (vs.isEmpty) impossible = true
+        else {
+          val ls = vs.map(_.asInstanceOf[Long])
+          timeLo(ls.min); timeHi(ls.max) // narrows the partition fast path
+          preds += s"`time` IN (${ls.mkString(", ")})"
+        }
+      case EqualTo(c @ ("name" | "labels_str"), v: String) => strPred(c, Seq(v))
+      case In(c @ ("name" | "labels_str"), vs) if vs.forall(_.isInstanceOf[String]) =>
+        strPred(c, vs.map(_.asInstanceOf[String]).toSeq)
+      // part_start is derived from time — never null for a stored row
+      case IsNotNull("part_start") => ()
+      case IsNotNull(c) if TsdbTable.RawSchema.fieldNames.contains(c) =>
+        preds += s"`$c` IS NOT NULL"
+      case _: AlwaysTrue => ()
+      case _: AlwaysFalse => impossible = true
+      case other =>
+        err = s"unsupported predicate $other (accepted: conjunctions of " +
+          "time/part_start comparisons, name/labels_str equality or IN, " +
+          "IS NOT NULL)"
+    }
+    if (err != null) Left(err)
+    else if (impossible || lo > hi) Right(None)
+    else Right(Some(Translated(lo, hi, preds.mkString(" AND "))))
   }
 }
 

@@ -754,4 +754,116 @@ class GraftSourceSpec extends SparkSuite {
         Seq("cpu", "disk", "mem"))
     } finally spark.sql("DROP TABLE graft_ins_t")
   }
+
+  test("SQL DELETE FROM (r14): filter-shaped deletes run the engine delete path exactly") {
+    val dir = Files.createTempDirectory("graft_sql_del").toString
+    val rows = (0 until 40).map(i =>
+      (if (i % 2 == 0) "cpu" else "mem", s"h${i % 4}",
+        Base + i * (Day / 4), i.toDouble))
+    // twin tables over the same corpus: one deleted through SQL, one
+    // through the engine API — every step must stay row-identical
+    val sqlT = new TsdbTable(spark, s"$dir/sql")
+    sqlT.append(samples(rows: _*))
+    val engT = new TsdbTable(spark, s"$dir/eng")
+    engT.append(samples(rows: _*))
+    def sqlView = spark.read.format("graft").load(s"$dir/sql")
+    def engView = engT.readRaw(0L, Long.MaxValue)
+
+    spark.sql(s"CREATE TABLE graft_del_t USING graft OPTIONS (path '$dir/sql')")
+    try {
+      // 1) pure time range spanning whole partitions + a boundary
+      //    (metadata-only drops inside, rewrite at the edge)
+      spark.sql(s"DELETE FROM graft_del_t WHERE time >= ${Base + 2 * Day} " +
+        s"AND time < ${Base + 4 * Day + Day / 2}")
+      engT.delete(Base + 2 * Day, Base + 4 * Day + Day / 2 - 1)
+      assert(sortedRows(sqlView) == sortedRows(engView), "time-range delete parity")
+
+      // 2) predicated delete: name + labels_str + upper time bound
+      spark.sql("DELETE FROM graft_del_t WHERE name = 'cpu' " +
+        s"AND labels_str = 'host=h2' AND time <= ${Base + 8 * Day}")
+      engT.delete(Long.MinValue, Base + 8 * Day,
+        filter = "name = 'cpu' AND labels_str = 'host=h2'")
+      assert(sortedRows(sqlView) == sortedRows(engView), "predicated delete parity")
+
+      // 3) part_start equality (aligned) = exactly one whole partition
+      spark.sql(s"DELETE FROM graft_del_t WHERE part_start = ${Base + 7 * Day}")
+      engT.delete(Base + 7 * Day, Base + 8 * Day - 1)
+      assert(sortedRows(sqlView) == sortedRows(engView), "part_start delete parity")
+      assert(!sqlView.select("part_start").distinct().collect()
+        .map(_.getLong(0)).contains(Base + 7 * Day))
+
+      // 4) provably-empty conjunctions are exact no-ops, not errors
+      val before = sqlView.count()
+      spark.sql(s"DELETE FROM graft_del_t WHERE part_start = ${Base + 6 * Day + 123}")
+      spark.sql("DELETE FROM graft_del_t WHERE time > 100 AND time < 50")
+      spark.sql("DELETE FROM graft_del_t WHERE name = 'cpu' AND name = 'nope' " +
+        "AND name IN ('cpu')")
+      assert(sqlView.count() == before, "no-op deletes must delete nothing")
+
+      // 5) untranslatable predicates reject LOUDLY and leave the table whole
+      //    (value is below-the-merge unstable; LIKE has no delete shape)
+      intercept[Exception] {
+        spark.sql("DELETE FROM graft_del_t WHERE value > 3.0") }
+      intercept[Exception] {
+        spark.sql("DELETE FROM graft_del_t WHERE name LIKE 'c%'") }
+      assert(sqlView.count() == before, "rejected deletes must not run")
+
+      // 6) the delete ran the FULL maintenance path: rollups rebuilt
+      //    (no rollup row for the dropped partition, sums match raw)
+      val sqlT2 = new TsdbTable(spark, s"$dir/sql")
+      val roll = spark.read.parquet(s"$dir/sql/rollup")
+      assert(!roll.select("part_start").distinct().collect()
+        .map(_.getLong(0)).contains(Base + 7 * Day),
+        "rollup must not outlive its deleted raw partition")
+      assert(math.abs(roll.agg(sum("__p_sum")).head().getDouble(0) -
+        sqlT2.readRaw(0L, Long.MaxValue).agg(sum("value")).head().getDouble(0)) < 1e-9,
+        "rebuilt rollup must match the surviving raw rows")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_del_t")
+  }
+
+  test("SQL DELETE FROM a MOR table tombstones; translate() edge shapes") {
+    val dir = Files.createTempDirectory("graft_sql_del_mor").toString
+    val cfg = TsdbConfig(overrideOld = true)
+    val t = new TsdbTable(spark, s"$dir/tbl", cfg)
+    t.append(samples(
+      ("cpu", "a", Base, 1.0), ("cpu", "b", Base + 1000, 2.0),
+      ("mem", "a", Base + Day, 3.0), ("cpu", "a", Base + 2 * Day, 4.0)))
+    val physBefore = spark.read.parquet(s"$dir/tbl/raw").count()
+    spark.sql(s"CREATE TABLE graft_del_mor_t USING graft OPTIONS (path '$dir/tbl')")
+    try {
+      spark.sql(s"DELETE FROM graft_del_mor_t WHERE name = 'cpu' AND time <= ${Base + 1000}")
+      assert(spark.read.parquet(s"$dir/tbl/raw").count() > physBefore,
+        "predicated MOR delete must be tombstone-additive")
+      assert(sortedRows(spark.read.format("graft").load(s"$dir/tbl")) ==
+        sortedRows(t.readRaw(0L, Long.MaxValue)))
+      assert(t.readRaw(0L, Long.MaxValue).count() == 2)
+    } finally spark.sql("DROP TABLE graft_del_mor_t")
+
+    // translate(): part_start alignment math at the edges
+    import org.apache.spark.sql.sources._
+    import graft.sources.GraftDeletes
+    val I = 86400000L
+    def tr(fs: Filter*) = GraftDeletes.translate(fs.toArray, I)
+    // GT on part_start rounds UP to the next aligned boundary
+    assert(tr(GreaterThan("part_start", Base)) ==
+      Right(Some(GraftDeletes.Translated(Base + I, Long.MaxValue, ""))))
+    assert(tr(GreaterThanOrEqual("part_start", Base - 1)) ==
+      Right(Some(GraftDeletes.Translated(Base, Long.MaxValue, ""))))
+    // LTE covers the whole last partition
+    assert(tr(LessThanOrEqual("part_start", Base)) ==
+      Right(Some(GraftDeletes.Translated(Long.MinValue, Base + I - 1, ""))))
+    // unaligned equality provably matches nothing
+    assert(tr(EqualTo("part_start", Base + 5L)) == Right(None))
+    // saturating edges never overflow
+    assert(tr(GreaterThan("part_start", Long.MaxValue)) == Right(None))
+    assert(tr(GreaterThanOrEqual("part_start", Long.MaxValue - 3)) == Right(None))
+    assert(tr(LessThanOrEqual("part_start", Long.MaxValue)).isRight)
+    assert(tr(GreaterThan("time", Long.MaxValue)) == Right(None))
+    // strings escape
+    assert(tr(EqualTo("name", "o'brien")) ==
+      Right(Some(GraftDeletes.Translated(Long.MinValue, Long.MaxValue,
+        "`name` = 'o''brien'"))))
+    assert(tr(In("labels_str", Array.empty[Any])) == Right(None))
+    assert(tr(EqualTo("value", 3.0)).isLeft)
+  }
 }
