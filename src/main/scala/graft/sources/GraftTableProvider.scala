@@ -552,15 +552,24 @@ private[graft] object GraftDeletes {
   }
 }
 
-/** One file split of a non-MOR table (window-free read). */
+/** One file split of a non-MOR table (window-free read). Carries its
+  * `part_start` as a partition key so a scan that reports
+  * KeyGroupedPartitioning can be split-grouped by Spark (r14). */
 private[sources] final case class GraftFileSplit(
-    file: String, start: Long, length: Long, partStart: Long) extends InputPartition
+    file: String, start: Long, length: Long, partStart: Long)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](partStart))
+}
 
 /** One series-range stripe over ALL files of one MOR time partition —
   * the unit of the shuffle-free merge. */
 private[sources] final case class GraftMorStripe(
     files: Seq[String], partStart: Long,
-    seriesLo: Long, seriesHi: Long) extends InputPartition
+    seriesLo: Long, seriesHi: Long) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](partStart))
+}
 
 private[sources] final class GraftScan(
     tablePath: String, options: CaseInsensitiveStringMap,
@@ -568,7 +577,7 @@ private[sources] final class GraftScan(
     agg: Option[Seq[GraftAggSpec]] = None, limit: Option[Int] = None,
     aggGroupByPart: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeFiltering {
+  with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   private val spark = SparkSession.active
   /** The table's DECLARED config (`.schema`), kept separate from the
@@ -882,6 +891,42 @@ private[sources] final class GraftScan(
 
   override def planInputPartitions(): Array[InputPartition] =
     applyRuntime(planned._1)
+
+  /** Report the storage clustering (r14): splits are `part_start`-pure,
+    * so a consumer that needs ClusteredDistribution(part_start) —
+    * GROUP BY part_start aggregations beyond the pushed COUNT/MIN/MAX
+    * set, storage-partitioned joins — can skip its exchange entirely.
+    * Spark 4 honors a reported KeyGroupedPartitioning by GROUPING the
+    * scan's splits per key (`spark.sql.sources.v2.bucketing.enabled`,
+    * default on), for EVERY consumer: a plain SELECT over a table with
+    * many splits per partition would collapse to one task per day. So
+    * the scan reports only when honoring it provably cannot reduce
+    * parallelism — one split per partition already (the shape
+    * compaction leaves, and every one-append partition) — or when the
+    * caller opts in with `.option("keyGroupedScan", true)` because the
+    * query IS part_start-clustered (the 100 TB GROUP BY day over
+    * byte-split files: one task per day is exactly the right trade
+    * against shuffling the table). Aggregate-pushdown scans never
+    * report: their bundles pack files across partitions. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val splits = planned._1
+    val optIn = Option(options.get("keygroupedscan")).exists(_.toBoolean)
+    lazy val groups = splits.collect {
+      case f: GraftFileSplit => f.partStart
+      case m: GraftMorStripe => m.partStart
+    }.distinct.length
+    val reportable = agg.isEmpty && splits.nonEmpty &&
+      readSchema().fieldNames.contains("part_start") &&
+      splits.forall(_.isInstanceOf[HasPartitionKey]) &&
+      (optIn || groups == splits.length)
+    if (reportable)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity("part_start")), groups)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        splits.length)
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(planned._2)

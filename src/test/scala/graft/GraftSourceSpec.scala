@@ -755,6 +755,73 @@ class GraftSourceSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE graft_ins_t")
   }
 
+  test("SupportsReportPartitioning (r14): GROUP BY part_start skips the exchange") {
+    val dir = Files.createTempDirectory("graft_kgp").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    // 6 day-partitions, one append = one file = one split each
+    t.append(samples((0 until 48).map(i =>
+      ("cpu", s"h${i % 6}", Base + i * (Day / 8), i.toDouble)): _*))
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+
+    // the scan reports the storage clustering (one split per partition)
+    import org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    val rep = scanOf(ds.select("part_start", "value")).scan
+      .asInstanceOf[SupportsReportPartitioning].outputPartitioning()
+    assert(rep.isInstanceOf[KeyGroupedPartitioning],
+      s"one-split-per-partition scan must report its clustering, got $rep")
+
+    // sum(value * 2) is not a bare-column aggregate, so it can never
+    // ride the aggregate pushdown — this pins the REPORTED partitioning
+    def plan(): org.apache.spark.sql.DataFrame =
+      ds.groupBy("part_start")
+        .agg(round(sum(col("value") * 2), 6).as("s2"), count(lit(1)).as("n"))
+    def ranPlanString(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val grouped = plan()
+    val got = grouped.collect().map(_.toString).sorted.toSeq
+    val s = ranPlanString(plan())
+    assert(!s.contains("Exchange"),
+      s"GROUP BY part_start must not shuffle a key-grouped scan:\n$s")
+
+    // identical results through the exchange plan (reporting ignored)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val shuffled = plan()
+      assert(ranPlanString(shuffled).contains("Exchange"),
+        "control plan must shuffle with v2 bucketing disabled")
+      assert(shuffled.collect().map(_.toString).sorted.toSeq == got)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+
+    // a MOR table stripes each partition (morStripes > 1): reporting
+    // would let Spark SERIALIZE the stripes into one task per day, so
+    // by default it must NOT report...
+    val mdir = Files.createTempDirectory("graft_kgp_mor").toString
+    val mt = new TsdbTable(spark, s"$mdir/tbl", TsdbConfig(overrideOld = true))
+    mt.append(samples(
+      ("cpu", "a", Base, 1.0), ("cpu", "b", Base + 5, 2.0),
+      ("mem", "a", Base + Day, 3.0)))
+    val mds = spark.read.format("graft").load(s"$mdir/tbl")
+    val mrep = scanOf(mds.select("part_start", "value")).scan
+      .asInstanceOf[SupportsReportPartitioning].outputPartitioning()
+    assert(mrep.isInstanceOf[UnknownPartitioning],
+      s"multi-stripe MOR scan must not report by default, got $mrep")
+    // ...but the part_start-clustered consumer can OPT IN, and the
+    // grouped merge stays exact
+    val optIn = spark.read.format("graft").option("keyGroupedScan", "true")
+      .load(s"$mdir/tbl")
+    val orep = scanOf(optIn.select("part_start", "value")).scan
+      .asInstanceOf[SupportsReportPartitioning].outputPartitioning()
+    assert(orep.isInstanceOf[KeyGroupedPartitioning])
+    val og = optIn.groupBy("part_start").agg(round(sum(col("value") * 2), 6).as("s2"))
+    assert(!ranPlanString(og).contains("Exchange"))
+    assert(og.collect().map(_.toString).sorted.toSeq ==
+      mds.groupBy("part_start").agg(round(sum(col("value") * 2), 6).as("s2"))
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("SQL DELETE FROM (r14): filter-shaped deletes run the engine delete path exactly") {
     val dir = Files.createTempDirectory("graft_sql_del").toString
     val rows = (0 until 40).map(i =>
