@@ -4,10 +4,8 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.HadoopReadOptions
-import org.apache.parquet.column.impl.ColumnReadStoreImpl
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
 import org.apache.parquet.schema.{MessageType, PrimitiveType}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
@@ -225,7 +223,6 @@ private[sources] final class GraftColumnarReader(
     new ParquetFileReader(HadoopInputFile.fromPath(hPath, conf), b.build())
   }
   private val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
-  private val createdBy: String = reader.getFooter.getFileMetaData.getCreatedBy
   private val needSeq = commits.nonEmpty || asOf.nonEmpty
   private val filterCols: Seq[String] =
     pushed.flatMap(_.references).distinct.filterNot(_ == "part_start").toSeq
@@ -236,12 +233,26 @@ private[sources] final class GraftColumnarReader(
     * evaluation (mixed visibility / inconclusive filter stats). */
   private val physCols: Seq[String] = requested.filterNot(_ == "part_start")
 
+  // ONE requested-schema projection for the whole split — the UNION of
+  // everything any group can need (projection + __seq + filter
+  // columns): readNextRowGroup then does chunk IO for these columns
+  // ONLY. (r14 — the cursor-era reader never projected the reader
+  // itself, so a narrow scan still paid raw reads for every column.)
+  private val unionCols: Set[String] =
+    (physCols ++ (if (needSeq) Seq("__seq") else Nil) ++ filterCols).toSet
+  locally {
+    val fields = (0 until fileSchema.getFieldCount)
+      .map(fileSchema.getType).filter(t => unionCols(t.getName))
+    if (fields.nonEmpty)
+      reader.setRequestedSchema(new MessageType(fileSchema.getName, fields: _*))
+  }
+
   // ---- per-group state ---------------------------------------------------
   private val blocks = reader.getRowGroups
   private var blockIdx = 0
   private var groupRemaining = 0L
-  private var readers: Array[org.apache.parquet.column.ColumnReader] = _
-  private var maxDefs: Array[Int] = _
+  private var readers: Array[GraftPageCursor] = _
+  private var kinds: Array[PrimitiveType.PrimitiveTypeName] = _
   /** slot in `decodeCols` per reader; -1 entries never happen (parallel
     * arrays are built together). */
   private var decodeCols: Seq[String] = _
@@ -255,7 +266,8 @@ private[sources] final class GraftColumnarReader(
   private var current: ColumnarBatch = _
 
   /** Advance to the next row group that contributes rows; prepares the
-    * per-column cursors. False when the split is exhausted. */
+    * per-column page cursors ([[GraftPageCursor]] — whole-page bulk
+    * decode, r14). False when the split is exhausted. */
   private def advanceGroup(): Boolean = {
     while (blockIdx < blocks.size()) {
       val block = blocks.get(blockIdx)
@@ -283,55 +295,36 @@ private[sources] final class GraftColumnarReader(
           (if (groupMixed) Seq("__seq") else Nil) ++
           residueCols).distinct
         val wanted = decodeCols.toSet
-        val fields = (0 until fileSchema.getFieldCount)
-          .map(fileSchema.getType).filter(t => wanted(t.getName))
-        val proj = new MessageType(fileSchema.getName, fields: _*)
-        // the store walks the schema tree to find each leaf's converter,
-        // so the dummy must MIRROR the tree (a flat group was enough
-        // before the labels map joined; its nested path needs group
-        // converters at every inner level)
-        def dummyFor(t: org.apache.parquet.schema.Type): Converter = t match {
-          case g: org.apache.parquet.schema.GroupType =>
-            new GroupConverter {
-              private val kids =
-                (0 until g.getFieldCount).map(i => dummyFor(g.getType(i))).toArray
-              override def getConverter(i: Int): Converter = kids(i)
-              override def start(): Unit = ()
-              override def end(): Unit = ()
-            }
-          case _ => new PrimitiveConverter {}
-        }
-        val dummy = dummyFor(proj).asGroupConverter()
-        val store = new ColumnReadStoreImpl(pages, dummy, proj, createdBy)
-        val descs = proj.getColumns
         // FLAT leaves decode directly; the labels MAP contributes two
         // nested leaves (key_value.key / .value) handled by their own
-        // lockstep cursor pair below
+        // lockstep cursor pair below. Descriptors come from the FILE
+        // schema; the page store holds the setRequestedSchema union.
+        val descs = fileSchema.getColumns
         val flat = (0 until descs.size()).map(descs.get)
-          .filter(_.getPath.length == 1)
+          .filter(d => d.getPath.length == 1 && wanted(d.getPath()(0)))
         readers = new Array(flat.size)
-        maxDefs = new Array(flat.size)
+        kinds = new Array(flat.size)
         val colOfDesc = new Array[String](flat.size)
         flat.zipWithIndex.foreach { case (d, i) =>
-          readers(i) = store.getColumnReader(d)
-          maxDefs(i) = d.getMaxDefinitionLevel
+          readers(i) = new GraftPageCursor(d, pages.getPageReader(d))
+          kinds(i) = d.getPrimitiveType.getPrimitiveTypeName
           colOfDesc(i) = d.getPath()(0)
         }
         // map decode column name -> reader index (or -1 = absent in file)
         readerIdx = decodeCols.map(c => colOfDesc.indexOf(c)).toArray
-        mapKeyR = null; mapValR = null; mapConsumed = 0L; mapTotal = 0L
-        (0 until descs.size()).map(descs.get)
-          .filter(d => d.getPath.length == 3 && d.getPath()(0) == "labels")
-          .foreach { d =>
-            if (d.getPath()(2) == "key") {
-              mapKeyR = store.getColumnReader(d)
-              mapKeyDef = d.getMaxDefinitionLevel
-              mapTotal = mapKeyR.getTotalValueCount
-            } else {
-              mapValR = store.getColumnReader(d)
-              mapValDef = d.getMaxDefinitionLevel
+        mapKeyC = null; mapValC = null
+        if (wanted("labels"))
+          (0 until descs.size()).map(descs.get)
+            .filter(d => d.getPath.length == 3 && d.getPath()(0) == "labels")
+            .foreach { d =>
+              if (d.getPath()(2) == "key") {
+                mapKeyC = new GraftPageCursor(d, pages.getPageReader(d))
+                mapKeyDef = d.getMaxDefinitionLevel
+              } else {
+                mapValC = new GraftPageCursor(d, pages.getPageReader(d))
+                mapValDef = d.getMaxDefinitionLevel
+              }
             }
-          }
         groupRemaining = pages.getRowCount
         if (groupRemaining > 0) return true
       }
@@ -342,12 +335,10 @@ private[sources] final class GraftColumnarReader(
   // labels-map cursor pair: key/value leaves advance in LOCKSTEP (the
   // MAP group guarantees identical slot structure; only the value's
   // definition ceiling differs by its optionality)
-  private var mapKeyR: org.apache.parquet.column.ColumnReader = _
-  private var mapValR: org.apache.parquet.column.ColumnReader = _
+  private var mapKeyC: GraftPageCursor = _
+  private var mapValC: GraftPageCursor = _
   private var mapKeyDef = 0
   private var mapValDef = 0
-  private var mapConsumed = 0L
-  private var mapTotal = 0L
 
   /** Decode the next `n` rows of the labels map into a [[GraftMapVec]].
     * Definition levels: 0 = NULL map, 1 = empty map, maxDef = an entry;
@@ -359,18 +350,19 @@ private[sources] final class GraftColumnarReader(
     val vals = ArrayBuffer.empty[UTF8String]
     var i = 0
     while (i < n) {
-      val d = mapKeyR.getCurrentDefinitionLevel
+      val d = mapKeyC.peekDef()
       if (d < mapKeyDef) {
         if (d == 0) nulls(i) = true // def 1 = present-but-empty map
-        mapKeyR.consume(); mapValR.consume(); mapConsumed += 1
+        mapKeyC.skipEntry(); mapValC.skipEntry()
       } else {
         var more = true
         while (more) {
-          keys += UTF8String.fromBytes(mapKeyR.getBinary.getBytesUnsafe)
-          vals += (if (mapValR.getCurrentDefinitionLevel == mapValDef)
-            UTF8String.fromBytes(mapValR.getBinary.getBytesUnsafe) else null)
-          mapKeyR.consume(); mapValR.consume(); mapConsumed += 1
-          more = mapConsumed < mapTotal && mapKeyR.getCurrentRepetitionLevel > 0
+          // consume the VALUE leaf first: its def level must be read
+          // before the lockstep pair advances
+          vals += (if (mapValC.peekDef() == mapValDef) mapValC.readStringEntry()
+            else { mapValC.skipEntry(); null })
+          keys += mapKeyC.readStringEntry()
+          more = mapKeyC.hasMore && mapKeyC.peekRep() > 0
         }
       }
       offsets(i + 1) = keys.length
@@ -390,55 +382,33 @@ private[sources] final class GraftColumnarReader(
     var seqNulls: Array[Boolean] = null
     decodeCols.zipWithIndex.foreach { case (c, ci) =>
       val ri = readerIdx(ci)
-      if (c == "labels" && mapKeyR != null) {
+      if (c == "labels" && mapKeyC != null) {
         byName.put(c, decodeMap(n))
       } else if (ri < 0) {
         byName.put(c, new GraftNullVec(
           GraftColumnar.TsdbColumnarTypes.getOrElse(c, LongType)))
       } else {
         val r = readers(ri)
-        val maxDef = maxDefs(ri)
-        val desc = r.getDescriptor
-        desc.getPrimitiveType.getPrimitiveTypeName match {
+        kinds(ri) match {
           case PrimitiveType.PrimitiveTypeName.INT64 =>
             val vals = new Array[Long](n)
             val nulls = new Array[Boolean](n)
-            var i = 0
-            while (i < n) {
-              if (r.getCurrentDefinitionLevel == maxDef) vals(i) = r.getLong
-              else nulls(i) = true
-              r.consume(); i += 1
-            }
+            r.readLongs(n, vals, nulls, 0)
             if (c == "__seq") { seqVals = vals; seqNulls = nulls }
             byName.put(c, new GraftLongVec(vals, nulls, n))
           case PrimitiveType.PrimitiveTypeName.DOUBLE =>
             val vals = new Array[Double](n)
             val nulls = new Array[Boolean](n)
-            var i = 0
-            while (i < n) {
-              if (r.getCurrentDefinitionLevel == maxDef) vals(i) = r.getDouble
-              else nulls(i) = true
-              r.consume(); i += 1
-            }
+            r.readDoubles(n, vals, nulls, 0)
             byName.put(c, new GraftDoubleVec(vals, nulls, n))
           case PrimitiveType.PrimitiveTypeName.BOOLEAN =>
             val vals = new Array[Boolean](n)
             val nulls = new Array[Boolean](n)
-            var i = 0
-            while (i < n) {
-              if (r.getCurrentDefinitionLevel == maxDef) vals(i) = r.getBoolean
-              else nulls(i) = true
-              r.consume(); i += 1
-            }
+            r.readBooleans(n, vals, nulls, 0)
             byName.put(c, new GraftBoolVec(vals, nulls, n))
           case PrimitiveType.PrimitiveTypeName.BINARY =>
             val vals = new Array[UTF8String](n)
-            var i = 0
-            while (i < n) {
-              if (r.getCurrentDefinitionLevel == maxDef)
-                vals(i) = UTF8String.fromBytes(r.getBinary.getBytesUnsafe)
-              r.consume(); i += 1
-            }
+            r.readStrings(n, vals, 0)
             byName.put(c, new GraftStringVec(vals, n))
           case other =>
             throw new IllegalStateException(

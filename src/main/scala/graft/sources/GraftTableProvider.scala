@@ -5,6 +5,7 @@ import java.util
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
 import org.apache.parquet.io.api.Binary
@@ -942,15 +943,24 @@ private[sources] final class GraftScan(
     val columnarOk = !config.overrideOld && agg.isEmpty && limit.isEmpty &&
       GraftColumnar.supports(required.fieldNames.toSeq) &&
       pushed.flatMap(_.references).forall(GraftColumnar.columnarName)
+    // the Hadoop conf rides a BROADCAST, not the task closure (r14): a
+    // factory serialized into the task binary java-deserializes PER
+    // TASK — profiling showed the whole-Configuration readFields (plus
+    // its ObjectInputStream/classloader churn) dominating short scan
+    // tasks. A broadcast value deserializes once per executor JVM and
+    // is shared read-only by every task (the same pattern Spark's own
+    // parquet source uses; it even skips native's per-task
+    // `new Configuration(copy)` — the readers never mutate it).
     new GraftReaderFactory(
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
+      spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)),
       required.fieldNames.toSeq, pushed, planned._3, config.overrideOld, asOf,
       agg, limit, columnarOk, aggGroupByPart)
   }
 }
 
 private[sources] final class GraftReaderFactory(
-    conf: SerializableHadoopConf,
+    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
     requested: Seq[String],
     pushed: Array[Filter],
     commits: Option[(Long, Set[Long])],
@@ -961,14 +971,17 @@ private[sources] final class GraftReaderFactory(
     columnarOk: Boolean = false,
     aggGroupByPart: Boolean = false) extends PartitionReaderFactory {
 
+  // read-only shared Configuration (broadcast-cached per executor JVM)
+  private def hconf: Configuration = conf.value.value
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case a: GraftAggSplit =>
-      new GraftAggReader(conf.value, a, agg.get, pushed, commits, asOf,
+      new GraftAggReader(hconf, a, agg.get, pushed, commits, asOf,
         aggGroupByPart)
     case s: GraftFileSplit =>
-      limited(new GraftFileReader(conf.value, s, requested, pushed, commits, asOf))
+      limited(new GraftFileReader(hconf, s, requested, pushed, commits, asOf))
     case m: GraftMorStripe =>
-      limited(new GraftMorReader(conf.value, m, requested, pushed, commits, asOf))
+      limited(new GraftMorReader(hconf, m, requested, pushed, commits, asOf))
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean =
@@ -977,7 +990,7 @@ private[sources] final class GraftReaderFactory(
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
     case s: GraftFileSplit =>
-      new GraftColumnarReader(conf.value, s, requested, pushed, commits, asOf)
+      new GraftColumnarReader(hconf, s, requested, pushed, commits, asOf)
     case other => throw new IllegalStateException(s"no columnar reader for $other")
   }
 

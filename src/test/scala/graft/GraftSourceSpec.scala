@@ -645,6 +645,111 @@ class GraftSourceSpec extends SparkSuite {
     raw.unpersist()
   }
 
+  test("FUZZ page-decoder shapes (r14): tiny pages, multi-group, no-dict, dict-overflow, v2 pages, wide maps") {
+    // the r14 bulk decoder dispatches per PAGE on (encoding, type) — this
+    // forces every lane: many small pages (batch boundaries never align
+    // with page boundaries, map rows split across pages), several row
+    // groups per file, PLAIN-only chunks, dictionary chunks that
+    // OVERFLOW mid-chunk (dict pages then PLAIN pages in one chunk), and
+    // the V2 page format (bare-RLE levels + DELTA_* value encodings
+    // through the generic ValuesReader fallback)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val keys = Seq("parquet.page.size", "parquet.block.size",
+      "parquet.page.row.count.limit", "parquet.enable.dictionary",
+      "parquet.dictionary.page.size", "parquet.writer.version")
+    val saved = keys.map(k => k -> Option(hc.get(k)))
+    def set(kvs: Seq[(String, String)]): Unit = {
+      keys.foreach(hc.unset)
+      kvs.foreach { case (k, v) => hc.set(k, v) }
+    }
+    try {
+      val rnd = new scala.util.Random(1414L)
+      val shapes = Seq(
+        "tiny-pages-multigroup" -> Seq(
+          "parquet.page.row.count.limit" -> "64", "parquet.block.size" -> "4096"),
+        "no-dict" -> Seq("parquet.enable.dictionary" -> "false",
+          "parquet.page.row.count.limit" -> "100"),
+        "dict-overflow" -> Seq("parquet.dictionary.page.size" -> "512",
+          "parquet.page.row.count.limit" -> "128"),
+        "v2-pages" -> Seq("parquet.writer.version" -> "v2"),
+        "v2-tiny" -> Seq("parquet.writer.version" -> "v2",
+          "parquet.page.row.count.limit" -> "64", "parquet.block.size" -> "4096"))
+      for ((label, conf) <- shapes) {
+        set(conf)
+        val dir = Files.createTempDirectory(s"graft_pgfuzz_$label").toString
+        val t = new TsdbTable(spark, s"$dir/tbl")
+        import spark.implicits._
+        val df = (0 until 1200).map { i =>
+          val name = s"m${i % 3}"
+          val time = Base + (i % 3) * Day + i
+          val v = rnd.nextDouble() * 100 - 50
+          // valueStr mixes nulls, repeats, and high-cardinality strings
+          val vs = if (i % 3 == 0) Some(s"u${rnd.nextInt(1000)}_${"x" * (i % 17)}")
+            else None
+          (name, time, v, vs, i % 7) // 0..6 label entries (0 = EMPTY map)
+        }.toDF("name", "time", "value", "valueStr", "nk")
+          .withColumn("labels", expr(
+            "map_from_arrays(transform(sequence(1, nk), x -> concat('k', x)), " +
+              "transform(sequence(1, nk), x -> concat('v', x, '_', time % 97)))"))
+          .drop("nk")
+          .select(col("name"), col("labels"), col("time"), col("value"),
+            col("valueStr"))
+        t.append(df)
+        t.append(df.withColumn("time", col("time") + 7 * Day)) // second file set
+        // prove the shape knobs actually produced the shape under test
+        // (a silently-ignored writer option would make this lane vacuous)
+        locally {
+          import scala.jdk.CollectionConverters._
+          val files = new java.io.File(s"$dir/tbl/raw").listFiles()
+            .filter(_.getName.startsWith("part_start=")).flatMap(_.listFiles())
+            .filter(_.getName.endsWith(".parquet"))
+          val footers = files.toSeq.map { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.toString), hc))
+            try r.getFooter finally r.close()
+          }
+          val encs = footers.flatMap(_.getBlocks.asScala)
+            .flatMap(_.getColumns.asScala).flatMap(_.getEncodings.asScala)
+            .map(_.name).toSet
+          label match {
+            case "tiny-pages-multigroup" =>
+              assert(footers.exists(_.getBlocks.size() >= 2),
+                s"[$label] expected multi-row-group files")
+            case "no-dict" =>
+              assert(!encs.exists(_.contains("DICTIONARY")),
+                s"[$label] expected no dictionary encoding, got $encs")
+            case "dict-overflow" =>
+              assert(encs.exists(_.contains("DICTIONARY")) && encs.contains("PLAIN"),
+                s"[$label] expected dict + plain fallback in one table, got $encs")
+            case _ =>
+              assert(encs.exists(_.startsWith("DELTA")),
+                s"[$label] expected v2 DELTA encodings, got $encs")
+          }
+        }
+        val raw = t.readRaw(0L, Long.MaxValue)
+        val ds = spark.read.format("graft").load(s"$dir/tbl")
+        def rows(d: DataFrame) = d.collect().map(_.toString).sorted.toSeq
+        // full SELECT * including the map column
+        assert(rows(ds) == rows(raw), s"[$label] full row set diverged")
+        // filtered columnar path (stats classify per group, residue rows)
+        val f = col("name") === "m1" && col("time") < Base + 8 * Day
+        assert(rows(ds.filter(f)) == rows(raw.filter(f)),
+          s"[$label] filtered row set diverged")
+        // pushed aggregates across the same page shapes
+        val got = ds.agg(count(lit(1)), count(col("valueStr")),
+          min("time"), max("time"), min("name"), max("name")).head()
+        val want = raw.agg(count(lit(1)), count(col("valueStr")),
+          min("time"), max("time"), min("name"), max("name")).head()
+        assert(got == want, s"[$label] aggregates diverged: $got vs $want")
+        graft.core.Fs.rmTree(new java.io.File(dir))
+      }
+    } finally {
+      keys.foreach(hc.unset)
+      saved.foreach { case (k, vo) => vo.foreach(hc.set(k, _)) }
+    }
+  }
+
   test("sink identity (r13): missing txnAppId/checkpointLocation fails at creation, never a shared counter") {
     val dir = Files.createTempDirectory("graft_dsv2_noid").toString
     // direct construction: no identity option at all
