@@ -82,6 +82,9 @@ object Bench {
     // tsdb_delete/tsdb_cdc_views exclusion rule)
     "tsdb_dsv2_read",
     "tsdb_dsv2_agg",
+    // r14: SUM/AVG pushdown — per-partition partials from a single-
+    // column page walk (no batch pipeline), over the same storedTable
+    "tsdb_dsv2_sum",
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",

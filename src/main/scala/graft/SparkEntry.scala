@@ -602,6 +602,22 @@ object SparkEntry {
           min("name").as("min_name"), max("name").as("max_name"))
     }),
 
+    // DSv2 SUM/AVG pushdown (r14): sums have no footer form, so the agg
+    // reader PAGE-DECODES just the agg columns and emits per-partition
+    // partials — `GROUP BY part_start` with sum/avg is a single-column
+    // page walk with no batch pipeline and a one-row-per-partition
+    // exchange. avg(time) arrives as Spark's partial SUM+COUNT rewrite;
+    // sum(time)/avg(time) are exact integer lanes (hash-exact vs
+    // DuckDB), sum(value) rounds to absorb partial-order FP noise.
+    "tsdb_dsv2_sum" -> ((s, dir) => {
+      val t = storedTable(s, dir)
+      s.read.format("graft").load(t.path)
+        .groupBy("part_start")
+        .agg(sum("time").as("sum_t"), avg("time").as("avg_t"),
+          count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+        .orderBy("part_start")
+    }),
+
     // SQL DELETE FROM a USING graft table (r14, SupportsDelete): the
     // same three staged deletes as tsdb_delete, issued as relational
     // DELETE statements — each translates EXACTLY onto the engine
@@ -3959,6 +3975,16 @@ object SparkEntry {
          |  round(max(v), 6) AS "max"
          |FROM d WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // part_start = the storage partition (default 1d interval); DuckDB
+    // sums bigints as HUGEINT, so cast back; avg over exact integer
+    // sums is bit-deterministic on both sides
+    "tsdb_dsv2_sum" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT tt // $Day * $Day AS part_start,
+         |  CAST(sum(tt) AS BIGINT) AS sum_t, avg(tt) AS avg_t,
+         |  count(*) AS cnt, round(sum(v), 4) AS sum_v
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the SQL DELETE FROM path must land on the identical survivors —
     // same twin as tsdb_delete (whose third predicate labels['user']='42'

@@ -149,7 +149,7 @@ private[sources] object GraftFooterStats {
 
 // ------------------------------------------------------------ aggregation
 
-/** One pushed aggregate: `op` ∈ count_star | count | min | max. */
+/** One pushed aggregate: `op` ∈ count_star | count | min | max | sum. */
 private[sources] final case class GraftAggSpec(op: String, col: String)
 
 /** One bundle of `(file, partStart)` pairs of an aggregate-pushdown
@@ -193,6 +193,7 @@ private[sources] final class GraftAggReader(
   private final class Acc {
     val counts = new Array[Long](specs.length)
     val exts = new Array[Any](specs.length) // running min/max (catalyst values)
+    val sums = new Array[Any](specs.length) // running sum (null until a value)
   }
   private val accs = new java.util.TreeMap[Long, Acc]()
   private def accFor(partStart: Long): Acc = {
@@ -214,61 +215,86 @@ private[sources] final class GraftAggReader(
     if (if (isMin) cmp > 0 else cmp < 0) acc.exts(i) = v
   }
 
-  /** Can + does the group contribute through stats alone? False = the
-    * caller must row-read it. Never partially applies: either every
-    * spec accepts the group's stats or none do. */
-  private def tryStats(b: BlockMetaData, partStart: Long): Boolean = {
-    val staged = new Array[Any](specs.length) // null = count-type slot
-    val stagedCounts = new Array[Long](specs.length)
-    val ok = specs.zipWithIndex.forall { case (s, i) =>
-      s.op match {
-        case "count_star" => stagedCounts(i) = b.getRowCount; true
-        case "count" =>
-          if (s.col == "part_start") { stagedCounts(i) = b.getRowCount; true }
-          else GraftFooterStats.chunk(b, s.col) match {
-            case None => stagedCounts(i) = 0L; true // absent = all null
-            case Some(ch) =>
-              val st = ch.getStatistics
-              if (st == null || !st.isNumNullsSet) false
-              else { stagedCounts(i) = b.getRowCount - st.getNumNulls; true }
-          }
-        case "min" | "max" =>
-          if (s.col == "part_start") { staged(i) = partStart; true }
-          else GraftFooterStats.chunk(b, s.col) match {
-            case None => true // absent = all null: contributes nothing
-            case Some(ch) =>
-              val st = ch.getStatistics
-              if (st == null || !st.isNumNullsSet) false
-              else if (st.getNumNulls == ch.getValueCount) true // all null
-              else if (!st.hasNonNullValue) false
-              else {
-                val v = if (s.op == "min") st.genericGetMin else st.genericGetMax
-                v match {
-                  case l: java.lang.Long => staged(i) = l.longValue(); true
-                  case bin: Binary =>
-                    staged(i) = UTF8String.fromBytes(bin.getBytes)
-                    // binary min/max may be TRUNCATED by the writer —
-                    // only trust a constant chunk, else row-read
-                    st.genericGetMin == st.genericGetMax
-                  case _ => false
-                }
-              }
-          }
-        case other => throw new IllegalStateException(s"bad agg op $other")
-      }
+  /** SUM accumulation: long sums overflow-check (ANSI mode — the engine
+    * must throw where Spark's own Sum would, never wrap silently);
+    * double sums add in split order (the same order-nondeterminism
+    * class as Spark's partial aggregation). */
+  private def mergeSum(acc: Acc, i: Int, v: Any): Unit = v match {
+    case null => ()
+    case l: Long => acc.sums(i) = acc.sums(i) match {
+      case null => l
+      case p: java.lang.Long => Math.addExact(p.longValue(), l)
+      case other => throw new IllegalStateException(s"mixed sum types: $other / $l")
     }
-    if (ok) {
-      val acc = accFor(partStart)
-      specs.zipWithIndex.foreach { case (s, i) =>
-        s.op match {
-          case "count_star" | "count" => acc.counts(i) += stagedCounts(i)
-          case "min" => mergeExt(acc, i, staged(i), isMin = true)
-          case "max" => mergeExt(acc, i, staged(i), isMin = false)
-        }
-      }
+    case d: Double => acc.sums(i) = acc.sums(i) match {
+      case null => d
+      case p: java.lang.Double => p.doubleValue() + d
+      case other => throw new IllegalStateException(s"mixed sum types: $other / $d")
     }
-    ok
+    case other => throw new IllegalStateException(s"unsummable value $other")
   }
+
+  /** Footer-stats staging for ONE spec over one CLEAN (all-visible,
+    * all-filter-matching) group: Some(contribution) when the stats
+    * fully serve it — counts as Long, min/max/sum as values (null =
+    * contributes nothing) — None when the spec needs the group's
+    * pages/rows. */
+  private def stageSpec(s: GraftAggSpec, b: BlockMetaData,
+                        partStart: Long): Option[Any] = s.op match {
+    case "count_star" => Some(b.getRowCount)
+    case "count" =>
+      if (s.col == "part_start") Some(b.getRowCount)
+      else GraftFooterStats.chunk(b, s.col) match {
+        case None => Some(0L) // absent = all null
+        case Some(ch) =>
+          val st = ch.getStatistics
+          if (st == null || !st.isNumNullsSet) None
+          else Some(b.getRowCount - st.getNumNulls)
+      }
+    case "min" | "max" =>
+      if (s.col == "part_start") Some(partStart)
+      else GraftFooterStats.chunk(b, s.col) match {
+        case None => Some(null) // absent = all null: contributes nothing
+        case Some(ch) =>
+          val st = ch.getStatistics
+          if (st == null || !st.isNumNullsSet) None
+          else if (st.getNumNulls == ch.getValueCount) Some(null) // all null
+          else if (!st.hasNonNullValue) None
+          else {
+            val v = if (s.op == "min") st.genericGetMin else st.genericGetMax
+            v match {
+              case l: java.lang.Long => Some(l.longValue())
+              case bin: Binary =>
+                // binary min/max may be TRUNCATED by the writer —
+                // only trust a constant chunk, else read the pages
+                if (st.genericGetMin == st.genericGetMax)
+                  Some(UTF8String.fromBytes(bin.getBytes))
+                else None
+              case _ => None
+            }
+          }
+      }
+    case "sum" =>
+      if (s.col == "part_start")
+        Some(Math.multiplyExact(partStart, b.getRowCount))
+      else GraftFooterStats.chunk(b, s.col) match {
+        case None => Some(null) // absent = all null: SUM contributes nothing
+        case Some(ch) =>
+          val st = ch.getStatistics
+          if (st != null && st.isNumNullsSet && st.getNumNulls == ch.getValueCount)
+            Some(null) // all-null chunk
+          else None // sums have no footer form — decode the pages
+      }
+    case other => throw new IllegalStateException(s"bad agg op $other")
+  }
+
+  private def applyStaged(acc: Acc, i: Int, s: GraftAggSpec, v: Any): Unit =
+    s.op match {
+      case "count_star" | "count" => acc.counts(i) += v.asInstanceOf[Long]
+      case "min" => mergeExt(acc, i, v, isMin = true)
+      case "max" => mergeExt(acc, i, v, isMin = false)
+      case "sum" => mergeSum(acc, i, v)
+    }
 
   private def accumulateRow(get: String => Any, partStart: Long): Unit = {
     val acc = accFor(partStart)
@@ -281,29 +307,187 @@ private[sources] final class GraftAggReader(
         case "min" | "max" =>
           val v = if (s.col == "part_start") partStart else get(s.col)
           mergeExt(acc, i, v, isMin = s.op == "min")
+        case "sum" =>
+          val v = if (s.col == "part_start") partStart else get(s.col)
+          mergeSum(acc, i, v)
       }
     }
+  }
+
+  /** Columnar accumulate (r14): a clean group whose stats cannot serve
+    * every spec (SUM always; truncated binary extrema; missing null
+    * counts) decodes JUST the needed flat columns through
+    * [[GraftPageCursor]] and folds them straight into the partials —
+    * no ColumnarBatch, no row pipeline. Returns false when a needed
+    * column's shape has no bulk path (caller row-reads instead). */
+  private def tryColumnar(pages: org.apache.parquet.column.page.PageReadStore,
+                          schema: org.apache.parquet.schema.MessageType,
+                          needed: Seq[(GraftAggSpec, Int)],
+                          staged: Array[Option[Any]],
+                          partStart: Long): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val cols = needed.map(_._1.col).distinct
+    val descs = schema.getColumns
+    val byCol = cols.map { c =>
+      val d = (0 until descs.size()).map(descs.get)
+        .find(d => d.getPath.length == 1 && d.getPath()(0) == c)
+      c -> d
+    }.toMap
+    if (byCol.exists { case (_, d) =>
+      d.isEmpty || !Seq(INT64, DOUBLE, BINARY).contains(
+        d.get.getPrimitiveType.getPrimitiveTypeName)
+    }) return false
+
+    val acc = accFor(partStart)
+    val cursors = byCol.map { case (c, d) =>
+      c -> (new GraftPageCursor(d.get, pages.getPageReader(d.get)),
+        d.get.getPrimitiveType.getPrimitiveTypeName)
+    }
+    var remaining = pages.getRowCount
+    val batch = 32768
+    val longBuf = scala.collection.mutable.Map.empty[String, (Array[Long], Array[Boolean])]
+    val dblBuf = scala.collection.mutable.Map.empty[String, (Array[Double], Array[Boolean])]
+    val strBuf = scala.collection.mutable.Map.empty[String, Array[UTF8String]]
+    while (remaining > 0) {
+      val k = math.min(remaining, batch.toLong).toInt
+      longBuf.clear(); dblBuf.clear(); strBuf.clear()
+      cursors.foreach { case (c, (cur, t)) =>
+        t match {
+          case INT64 =>
+            val vals = new Array[Long](k); val nulls = new Array[Boolean](k)
+            cur.readLongs(k, vals, nulls, 0); longBuf(c) = (vals, nulls)
+          case DOUBLE =>
+            val vals = new Array[Double](k); val nulls = new Array[Boolean](k)
+            cur.readDoubles(k, vals, nulls, 0); dblBuf(c) = (vals, nulls)
+          case BINARY =>
+            val vals = new Array[UTF8String](k)
+            cur.readStrings(k, vals, 0); strBuf(c) = vals
+          case _ => throw new IllegalStateException("unreachable: gated above")
+        }
+      }
+      needed.foreach { case (s, i) =>
+        if (longBuf.contains(s.col)) {
+          val (vals, nulls) = longBuf(s.col)
+          s.op match {
+            case "sum" =>
+              var t = 0L; var any = false; var j = 0
+              while (j < k) { if (!nulls(j)) { t = Math.addExact(t, vals(j)); any = true }; j += 1 }
+              if (any) mergeSum(acc, i, t)
+            case "min" | "max" =>
+              val isMin = s.op == "min"
+              var ext = 0L; var any = false; var j = 0
+              while (j < k) {
+                if (!nulls(j) && (!any || (if (isMin) vals(j) < ext else vals(j) > ext))) {
+                  ext = vals(j); any = true
+                }
+                j += 1
+              }
+              if (any) mergeExt(acc, i, ext, isMin)
+            case "count" =>
+              var c = 0L; var j = 0
+              while (j < k) { if (!nulls(j)) c += 1; j += 1 }
+              acc.counts(i) += c
+            case _ => throw new IllegalStateException(s"bad long agg ${s.op}")
+          }
+        } else if (dblBuf.contains(s.col)) {
+          val (vals, nulls) = dblBuf(s.col)
+          s.op match {
+            case "sum" =>
+              var t = 0.0; var any = false; var j = 0
+              while (j < k) { if (!nulls(j)) { t += vals(j); any = true }; j += 1 }
+              if (any) mergeSum(acc, i, t)
+            case "count" =>
+              var c = 0L; var j = 0
+              while (j < k) { if (!nulls(j)) c += 1; j += 1 }
+              acc.counts(i) += c
+            case other => throw new IllegalStateException(s"bad double agg $other")
+          }
+        } else {
+          val vals = strBuf(s.col)
+          s.op match {
+            case "min" | "max" =>
+              val isMin = s.op == "min"
+              var ext: UTF8String = null; var j = 0
+              while (j < k) {
+                val v = vals(j)
+                if (v != null && (ext == null ||
+                    (if (isMin) v.compareTo(ext) < 0 else v.compareTo(ext) > 0)))
+                  ext = v
+                j += 1
+              }
+              if (ext != null) mergeExt(acc, i, ext, isMin)
+            case "count" =>
+              var c = 0L; var j = 0
+              while (j < k) { if (vals(j) != null) c += 1; j += 1 }
+              acc.counts(i) += c
+            case other => throw new IllegalStateException(s"bad string agg $other")
+          }
+        }
+      }
+      remaining -= k
+    }
+    // the stats-served specs of this group fold in only after the
+    // decode succeeded (a false return must leave the acc untouched)
+    specs.zipWithIndex.foreach { case (s, i) =>
+      staged(i).foreach(applyStaged(acc, i, s, _))
+    }
+    true
   }
 
   private def computeFile(f: String, partStart: Long): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(f)
     val fallback = scala.collection.mutable.Set.empty[Long] // block start offsets
-    val footer = new ParquetFileReader(
+    val reader = new ParquetFileReader(
       HadoopInputFile.fromPath(hPath, conf),
       HadoopReadOptions.builder(conf, hPath).build())
     try {
-      footer.getRowGroups.forEach { b =>
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      // page IO for the columnar-accumulate path covers exactly the agg
+      // columns (stats-served groups and row-fallback groups never
+      // touch this reader's pages)
+      locally {
+        val aggCols = specs.map(_.col)
+          .filter(c => c.nonEmpty && c != "part_start").toSet
+        val fields = (0 until schema.getFieldCount)
+          .map(schema.getType).filter(t => aggCols(t.getName))
+        if (fields.nonEmpty)
+          reader.setRequestedSchema(
+            new org.apache.parquet.schema.MessageType(schema.getName, fields: _*))
+      }
+      val blocks = reader.getRowGroups
+      var bi = 0
+      while (bi < blocks.size()) {
+        val b = blocks.get(bi)
         val vis = GraftFooterStats.seqVisibility(b, commits, asOf, needSeq)
         val filt = pushed.map(GraftFooterStats.classify(_, b))
           .foldLeft(GraftFooterStats.AllRows: GraftFooterStats.Tri)(
             GraftFooterStats.and)
-        if (vis != GraftFooterStats.NoRows && filt != GraftFooterStats.NoRows) {
-          val clean = vis == GraftFooterStats.AllRows &&
-            filt == GraftFooterStats.AllRows && tryStats(b, partStart)
-          if (!clean) fallback += b.getStartingPos
+        if (vis == GraftFooterStats.NoRows || filt == GraftFooterStats.NoRows) {
+          reader.skipNextRowGroup()
+        } else if (vis == GraftFooterStats.AllRows &&
+            filt == GraftFooterStats.AllRows) {
+          val staged = specs.map(stageSpec(_, b, partStart)).toArray
+          if (staged.forall(_.isDefined)) {
+            // the whole group folds in from footer stats — zero page IO
+            val acc = accFor(partStart)
+            specs.zipWithIndex.foreach { case (s, i) =>
+              applyStaged(acc, i, s, staged(i).get)
+            }
+            reader.skipNextRowGroup()
+          } else {
+            val needed = specs.zipWithIndex.filter { case (_, i) => staged(i).isEmpty }
+            val pages = reader.readNextRowGroup()
+            if (pages == null || !tryColumnar(pages, schema, needed.toSeq,
+                staged, partStart))
+              fallback += b.getStartingPos
+          }
+        } else {
+          reader.skipNextRowGroup()
+          fallback += b.getStartingPos
         }
+        bi += 1
       }
-    } finally footer.close()
+    } finally reader.close()
 
     if (fallback.nonEmpty) {
       // row-read only the undecidable groups, with the scan's exact
@@ -345,6 +529,7 @@ private[sources] final class GraftAggReader(
         specs.zipWithIndex.foreach { case (s, i) =>
           cells(lead + i) = s.op match {
             case "count_star" | "count" => acc.counts(i)
+            case "sum" => acc.sums(i)
             case _ => acc.exts(i)
           }
         }

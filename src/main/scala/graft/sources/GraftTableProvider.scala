@@ -315,12 +315,21 @@ private[sources] final class GraftScanBuilder(
     // are labels.key_value.*, so footer lookup by top-level name would
     // silently read it as "absent = all null" (review-caught r13)
     val Countable = MinMaxable ++ Set("value", "valueStr")
+    // SUM (r14) has no footer form, but the agg reader page-decodes the
+    // column and emits one partial per split — `SELECT sum(value)`
+    // becomes a single-column page walk with no batch pipeline and no
+    // wide exchange. Spark rewrites a partial AVG to SUM+COUNT itself.
+    // Long sums accumulate with addExact (ANSI: overflow must throw,
+    // never wrap silently).
+    val Summable = Set("time", "series_id", "part_start", "value")
     val specs: Array[Option[GraftAggSpec]] = agg.aggregateExpressions.map {
       case _: CountStar => Some(GraftAggSpec("count_star", ""))
       case c: Count if !c.isDistinct =>
         colOf(c.column).filter(Countable).map(GraftAggSpec("count", _))
       case m: Min => colOf(m.column).filter(MinMaxable).map(GraftAggSpec("min", _))
       case m: Max => colOf(m.column).filter(MinMaxable).map(GraftAggSpec("max", _))
+      case s: Sum if !s.isDistinct =>
+        colOf(s.column).filter(Summable).map(GraftAggSpec("sum", _))
       case _ => None
     }
     if (specs.exists(_.isEmpty)) false

@@ -67,8 +67,10 @@ object Dsv2Scale {
         (System.nanoTime() - t0) / 1e9
       }
       def best(body: => Unit): Double = math.min(time(body), time(body))
+      // sum over an EXPRESSION (abs) so the r14 SUM pushdown can never
+      // hijack the lane — these lanes measure the COLUMNAR SCAN path
       def force(df: org.apache.spark.sql.DataFrame): Unit = {
-        val r = df.agg(count(lit(1)), sum("value")).collect()(0)
+        val r = df.agg(count(lit(1)), sum(abs(col("value")))).collect()(0)
         require(r.getLong(0) > 0, "scan produced no rows")
       }
 
@@ -88,6 +90,19 @@ object Dsv2Scale {
       }
       val nativeCount = best {
         require(spark.read.parquet(s"$dir/table/raw").count() > 0)
+      }
+      // r14 pushed SUM receipt: a bare-column sum rides the aggregate
+      // pushdown (single-column page walk, one partial per split) —
+      // against the same aggregation through Spark's own scan
+      val dsv2SumPushed = best {
+        val r = spark.read.format("graft").load(s"$dir/table")
+          .agg(count(lit(1)), sum("value")).collect()(0)
+        require(r.getLong(0) > 0)
+      }
+      val nativeSum = best {
+        val r = spark.read.parquet(s"$dir/table/raw")
+          .agg(count(lit(1)), sum("value")).collect()(0)
+        require(r.getLong(0) > 0)
       }
       // r13 columnar receipts: the WIDE projection (six columns, two of
       // them strings) is where row-at-a-time assembly used to pay; the
@@ -112,6 +127,7 @@ object Dsv2Scale {
         s""""dsv2_filtered_sec":${f"$dsv2Filt%.3f"},"readraw_sec":${f"$readraw%.3f"},""" +
         s""""filter_ratio":${f"${dsv2Filt / dsv2Full}%.3f"},""" +
         s""""dsv2_count_sec":${f"$dsv2Count%.3f"},"native_count_sec":${f"$nativeCount%.3f"},""" +
+        s""""dsv2_sum_pushed_sec":${f"$dsv2SumPushed%.3f"},"native_sum_sec":${f"$nativeSum%.3f"},""" +
         s""""wide_native_sec":${f"$nativeWide%.3f"},"wide_dsv2_sec":${f"$dsv2Wide%.3f"},""" +
         s""""map_native_sec":${f"$nativeMap%.3f"},"map_dsv2_sec":${f"$dsv2Map%.3f"}}""")
     } finally {

@@ -435,6 +435,89 @@ class GraftSourceSpec extends SparkSuite {
     assert(eds.agg(count(lit(1))).head().getLong(0) == 0L)
   }
 
+  test("SUM/AVG aggregate pushdown (r14): page-walk partials, ANSI-exact") {
+    val dir = Files.createTempDirectory("graft_dsv2_sum").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    t.append(samples((0 until 40).map(i =>
+      (if (i % 2 == 0) "cpu" else "mem", s"h${i % 4}",
+        Base + i * (Day / 4), i.toDouble * 1.5)): _*))
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+    val raw = t.readRaw(0L, Long.MaxValue)
+
+    // plan pin: SUM pushes; a partial AVG arrives as Spark's own
+    // SUM+COUNT rewrite and divides above the partials
+    val q = ds.agg(sum("time").as("st"), sum("value").as("sv"),
+      avg("time").as("at"))
+    val d = scanOf(q).scan.description()
+    assert(d.contains("PushedAggregates") && d.contains("SUM(time)") &&
+      d.contains("SUM(value)"), d)
+    val got = q.head()
+    val want = raw.agg(sum("time"), sum("value"), avg("time")).head()
+    assert(got.getLong(0) == want.getLong(0), "sum(long) must be exact")
+    assert(math.abs(got.getDouble(1) - want.getDouble(1)) <=
+      1e-12 * math.abs(want.getDouble(1)),
+      "sum(double) within partial-order tolerance")
+    assert(got.getDouble(2) == want.getDouble(2),
+      "avg over exact integer partials must be bit-equal")
+
+    // grouped: one partial per partition
+    val g = ds.groupBy("part_start").agg(sum("time").as("st"),
+      count(lit(1)).as("n"))
+    assert(scanOf(g).scan.description().contains("PushedGroupBy: [part_start]"))
+    assert(g.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap ==
+      raw.groupBy("part_start").agg(sum("time"), count(lit(1))).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
+
+    // filtered: stats-decided groups fold from footers, the boundary
+    // group row-reads — the sum must stay exact either way
+    val pred = col("name") === "cpu" && col("time") >= Base + 3 * Day
+    val f = ds.filter(pred).agg(sum("time").as("st"), count(lit(1)).as("n"))
+    assert(scanOf(f).scan.description().contains("PushedAggregates"))
+    assert(f.head() == raw.filter(pred)
+      .agg(sum("time"), count(lit(1))).head())
+
+    // sum over an EXPRESSION is not a bare column — must not push
+    assert(!scanOf(ds.agg(sum(col("value") * 2))).scan.description()
+      .contains("PushedAggregates"))
+
+    // mixed with footer-served specs: counts/extrema still come from
+    // stats while the sum page-walks (one query, both paths)
+    val mixed = ds.agg(count(lit(1)).as("n"), min("time").as("lo"),
+      max("name").as("hi"), sum("value").as("sv"))
+    val mrow = mixed.head()
+    assert(mrow.getLong(0) == raw.count())
+    assert(mrow.getLong(1) == raw.agg(min("time")).head().getLong(0))
+    assert(mrow.getString(2) == raw.agg(max("name")).head().getString(0))
+
+    // ANSI: a pushed long SUM that overflows must THROW, never wrap.
+    // append clamps times to the sane window (TimeUtil.MaxTimeMs), so
+    // the overflow rows are PLANTED into the committed file directly —
+    // same __seq, same schema, adversarial times
+    val odir = Files.createTempDirectory("graft_dsv2_sum_ovf").toString
+    val ot = new TsdbTable(spark, s"$odir/tbl")
+    ot.append(samples(("cpu", "a", Base, 1.0), ("cpu", "b", Base + 1000, 2.0)))
+    val pdir = new java.io.File(s"$odir/tbl/raw").listFiles()
+      .filter(_.getName.startsWith("part_start=")).head
+    val planted = spark.read.parquet(pdir.toString)
+      .withColumn("time", when(col("value") === 1.0, lit(Long.MaxValue / 2 + 1))
+        .otherwise(lit(Long.MaxValue / 2 + 2)))
+      .collect()
+    val pschema = spark.read.parquet(pdir.toString).schema
+    pdir.listFiles().filter(f => f.getName.endsWith(".parquet") ||
+      f.getName.endsWith(".crc")).foreach(_.delete())
+    spark.createDataFrame(java.util.Arrays.asList(planted: _*), pschema)
+      .coalesce(1).write.mode("append").parquet(pdir.toString)
+    val ods = spark.read.format("graft").load(s"$odir/tbl")
+    val oq = ods.agg(sum("time"))
+    assert(scanOf(oq).scan.description().contains("SUM(time)"))
+    val ex = intercept[Exception](oq.head())
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[ArithmeticException] ||
+      String.valueOf(c.getMessage).toLowerCase.contains("overflow")),
+      s"expected overflow failure, got $ex")
+  }
+
   test("limit pushdown (r13): splits stop early, results stay a correct prefix") {
     val dir = Files.createTempDirectory("graft_dsv2_limit").toString
     val t = new TsdbTable(spark, s"$dir/tbl")
@@ -628,12 +711,24 @@ class GraftSourceSpec extends SparkSuite {
       Some(col("series_id") > 0L))
     for (f <- filters) {
       def app(df: DataFrame) = f.map(df.filter).getOrElse(df)
-      // aggregate equivalence: count(*), count(valueStr), min/max(time)
+      // aggregate equivalence: count(*), count(valueStr), min/max(time),
+      // sum(time) (r14 — exact long partials through stats+page paths)
       val got = app(ds).agg(count(lit(1)), count(col("valueStr")),
-        min("time"), max("time")).collect()(0)
+        min("time"), max("time"), sum("time")).collect()(0)
       val want = app(raw).agg(count(lit(1)), count(col("valueStr")),
-        min("time"), max("time")).collect()(0)
+        min("time"), max("time"), sum("time")).collect()(0)
       assert(got == want, s"agg mismatch under filter $f: $got vs $want")
+      // double sums agree within partial-order tolerance (r14)
+      val gs = app(ds).agg(sum("value")).head()
+      val ws = app(raw).agg(sum("value")).head()
+      assert((gs.isNullAt(0) && ws.isNullAt(0)) || (!gs.isNullAt(0) &&
+        !ws.isNullAt(0) && {
+          val (a, b) = (gs.getDouble(0), ws.getDouble(0))
+          // NaN must propagate identically through both paths
+          java.lang.Double.compare(a, b) == 0 ||
+            math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+        }),
+        s"sum(value) diverged under filter $f: $gs vs $ws")
       // row/columnar equivalence on a narrow projection
       val a = app(ds).select("name", "time", "value", "valueStr")
         .collect().map(_.toString).sorted.toSeq
@@ -736,11 +831,12 @@ class GraftSourceSpec extends SparkSuite {
         val f = col("name") === "m1" && col("time") < Base + 8 * Day
         assert(rows(ds.filter(f)) == rows(raw.filter(f)),
           s"[$label] filtered row set diverged")
-        // pushed aggregates across the same page shapes
+        // pushed aggregates across the same page shapes (sum(time) rides
+        // the r14 columnar-accumulate path over every encoding lane)
         val got = ds.agg(count(lit(1)), count(col("valueStr")),
-          min("time"), max("time"), min("name"), max("name")).head()
+          min("time"), max("time"), min("name"), max("name"), sum("time")).head()
         val want = raw.agg(count(lit(1)), count(col("valueStr")),
-          min("time"), max("time"), min("name"), max("name")).head()
+          min("time"), max("time"), min("name"), max("name"), sum("time")).head()
         assert(got == want, s"[$label] aggregates diverged: $got vs $want")
         graft.core.Fs.rmTree(new java.io.File(dir))
       }
