@@ -178,8 +178,17 @@ private[sources] final class GraftAggReader(
     pushed: Array[Filter],
     commits: Option[(Long, Set[Long])],
     asOf: Option[Long],
-    groupByPart: Boolean = false)
+    groupByPart: Boolean = false,
+    ansiSum: Boolean = true)
   extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+
+  /** Long-sum arithmetic matching the session's Sum semantics: ANSI
+    * throws on overflow, legacy wraps — the pushed plan must never
+    * succeed-or-fail differently from the unpushed one. */
+  private def addLong(a: Long, b: Long): Long =
+    if (ansiSum) Math.addExact(a, b) else a + b
+  private def mulLong(a: Long, b: Long): Long =
+    if (ansiSum) Math.multiplyExact(a, b) else a * b
 
   private var out: Iterator[InternalRow] = _
   private var row: InternalRow = _
@@ -215,15 +224,14 @@ private[sources] final class GraftAggReader(
     if (if (isMin) cmp > 0 else cmp < 0) acc.exts(i) = v
   }
 
-  /** SUM accumulation: long sums overflow-check (ANSI mode — the engine
-    * must throw where Spark's own Sum would, never wrap silently);
-    * double sums add in split order (the same order-nondeterminism
-    * class as Spark's partial aggregation). */
+  /** SUM accumulation: long sums follow the session's overflow
+    * semantics ([[addLong]]); double sums add in split order (the same
+    * order-nondeterminism class as Spark's partial aggregation). */
   private def mergeSum(acc: Acc, i: Int, v: Any): Unit = v match {
     case null => ()
     case l: Long => acc.sums(i) = acc.sums(i) match {
       case null => l
-      case p: java.lang.Long => Math.addExact(p.longValue(), l)
+      case p: java.lang.Long => addLong(p.longValue(), l)
       case other => throw new IllegalStateException(s"mixed sum types: $other / $l")
     }
     case d: Double => acc.sums(i) = acc.sums(i) match {
@@ -276,7 +284,7 @@ private[sources] final class GraftAggReader(
       }
     case "sum" =>
       if (s.col == "part_start")
-        Some(Math.multiplyExact(partStart, b.getRowCount))
+        Some(mulLong(partStart, b.getRowCount))
       else GraftFooterStats.chunk(b, s.col) match {
         case None => Some(null) // absent = all null: SUM contributes nothing
         case Some(ch) =>
@@ -345,23 +353,36 @@ private[sources] final class GraftAggReader(
     }
     var remaining = pages.getRowCount
     val batch = 32768
-    val longBuf = scala.collection.mutable.Map.empty[String, (Array[Long], Array[Boolean])]
-    val dblBuf = scala.collection.mutable.Map.empty[String, (Array[Double], Array[Boolean])]
-    val strBuf = scala.collection.mutable.Map.empty[String, Array[UTF8String]]
+    // chunk-lifetime buffers, allocated once at the fixed batch size
+    // (review-caught r14: per-iteration allocation churned the exact
+    // hot path this reader exists to speed up); the per-batch loops
+    // below only ever touch the first k entries, so value arrays need
+    // no reset — nulls/strings do (a read leaves null slots untouched)
+    val longBuf = cursors.collect { case (c, (_, INT64)) =>
+      c -> ((new Array[Long](batch), new Array[Boolean](batch)))
+    }
+    val dblBuf = cursors.collect { case (c, (_, DOUBLE)) =>
+      c -> ((new Array[Double](batch), new Array[Boolean](batch)))
+    }
+    val strBuf = cursors.collect { case (c, (_, BINARY)) =>
+      c -> new Array[UTF8String](batch)
+    }
     while (remaining > 0) {
       val k = math.min(remaining, batch.toLong).toInt
-      longBuf.clear(); dblBuf.clear(); strBuf.clear()
       cursors.foreach { case (c, (cur, t)) =>
         t match {
           case INT64 =>
-            val vals = new Array[Long](k); val nulls = new Array[Boolean](k)
-            cur.readLongs(k, vals, nulls, 0); longBuf(c) = (vals, nulls)
+            val (vals, nulls) = longBuf(c)
+            java.util.Arrays.fill(nulls, 0, k, false)
+            cur.readLongs(k, vals, nulls, 0)
           case DOUBLE =>
-            val vals = new Array[Double](k); val nulls = new Array[Boolean](k)
-            cur.readDoubles(k, vals, nulls, 0); dblBuf(c) = (vals, nulls)
+            val (vals, nulls) = dblBuf(c)
+            java.util.Arrays.fill(nulls, 0, k, false)
+            cur.readDoubles(k, vals, nulls, 0)
           case BINARY =>
-            val vals = new Array[UTF8String](k)
-            cur.readStrings(k, vals, 0); strBuf(c) = vals
+            val vals = strBuf(c)
+            java.util.Arrays.fill(vals.asInstanceOf[Array[AnyRef]], 0, k, null)
+            cur.readStrings(k, vals, 0)
           case _ => throw new IllegalStateException("unreachable: gated above")
         }
       }
@@ -371,7 +392,7 @@ private[sources] final class GraftAggReader(
           s.op match {
             case "sum" =>
               var t = 0L; var any = false; var j = 0
-              while (j < k) { if (!nulls(j)) { t = Math.addExact(t, vals(j)); any = true }; j += 1 }
+              while (j < k) { if (!nulls(j)) { t = addLong(t, vals(j)); any = true }; j += 1 }
               if (any) mergeSum(acc, i, t)
             case "min" | "max" =>
               val isMin = s.op == "min"

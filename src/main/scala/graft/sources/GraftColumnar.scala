@@ -352,7 +352,14 @@ private[sources] final class GraftColumnarReader(
     while (i < n) {
       val d = mapKeyC.peekDef()
       if (d < mapKeyDef) {
-        if (d == 0) nulls(i) = true // def 1 = present-but-empty map
+        // def maxDef-1 = present-but-EMPTY map; anything below = NULL
+        // map. The empty level is maxDef-1, NOT a fixed 1: a
+        // non-nullable labels column writes a REQUIRED map group whose
+        // key leaf has maxDef 1, where def 0 means EMPTY — the old
+        // `d == 0 ⇒ null` read every empty map of a required column as
+        // NULL (latent since r13; caught when the r14 fuzz gained a
+        // genuinely-empty-map lane)
+        if (d < mapKeyDef - 1) nulls(i) = true
         mapKeyC.skipEntry(); mapValC.skipEntry()
       } else {
         var more = true

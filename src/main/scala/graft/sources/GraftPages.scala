@@ -312,11 +312,17 @@ private[sources] final class GraftPageCursor(
   def peekDef(): Int = { ensurePage(); if (defs == null) maxDef else defs(pos) }
   def peekRep(): Int = { ensurePage(); if (reps == null) 0 else reps(pos) }
 
-  /** Consume one entry that carries no value (def < maxDef). */
-  def skipEntry(): Unit = { pos += 1; consumed += 1 }
+  /** Consume one entry that carries no value (def < maxDef). Loads the
+    * next page first when the current one is exhausted — the map KEY
+    * and VALUE chunks page-break independently, so the caller's peek on
+    * one cursor proves nothing about the other (review-caught r14: a
+    * skip exactly at a value-page boundary walked past the page end). */
+  def skipEntry(): Unit = { ensurePage(); pos += 1; consumed += 1 }
 
-  /** Consume one entry carrying a value (caller checked def == maxDef). */
+  /** Consume one entry carrying a value (caller checked def == maxDef
+    * on THIS cursor, which also loaded the page). */
   def readStringEntry(): UTF8String = {
+    ensurePage()
     val s = nextString()
     pos += 1; consumed += 1
     s

@@ -495,18 +495,31 @@ private[graft] object GraftDeletes {
 
     def timeLo(v: Long): Unit = lo = math.max(lo, v)
     def timeHi(v: Long): Unit = hi = math.min(hi, v)
+    // alignment arithmetic in BigInt: near either Long extreme the
+    // aligned neighbor is unrepresentable, and a wrapped q*I would
+    // silently flip a match-nothing DELETE into delete-everything (or
+    // vice versa) — review-caught r14; the MaxValue side alone was
+    // guarded before
+    val bigI = BigInt(I)
+    /** Largest multiple of I that is <= w (floorDiv semantics). */
+    def floorAlign(w: BigInt): BigInt = {
+      val (q, r) = w /% bigI
+      (if (r.signum < 0) q - 1 else q) * bigI
+    }
     // part_start >= w  ⟺  time >= (smallest aligned multiple of I >= w)
     def partLo(w: Long): Unit = {
-      val q = math.floorDiv(w, I)
-      val a = q * I
-      if (a >= w) timeLo(a)
-      else if (q + 1 > Long.MaxValue / I) impossible = true // no aligned value left
-      else timeLo((q + 1) * I)
+      val f = floorAlign(BigInt(w))
+      val a = if (f == BigInt(w)) f else f + bigI // ceil-align
+      if (a > BigInt(Long.MaxValue)) impossible = true // no aligned value left
+      else if (a >= BigInt(Long.MinValue)) timeLo(a.toLong)
+      // a below the long range: every representable time qualifies
     }
     // part_start <= w  ⟺  time <= (largest aligned <= w) + I - 1
     def partHi(w: Long): Unit = {
-      val b = math.floorDiv(w, I) * I
-      timeHi(if (b > Long.MaxValue - (I - 1)) Long.MaxValue else b + I - 1)
+      val h = floorAlign(BigInt(w)) + bigI - 1
+      if (h < BigInt(Long.MinValue)) impossible = true // below every time
+      else if (h <= BigInt(Long.MaxValue)) timeHi(h.toLong)
+      // h above the long range: no constraint
     }
     def strPred(c: String, vs: Seq[String]): Unit =
       if (vs.isEmpty) impossible = true
@@ -964,7 +977,12 @@ private[sources] final class GraftScan(
       spark.sparkContext.broadcast(
         new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)),
       required.fieldNames.toSeq, pushed, planned._3, config.overrideOld, asOf,
-      agg, limit, columnarOk, aggGroupByPart)
+      agg, limit, columnarOk, aggGroupByPart,
+      // pushed long SUMs must fail-or-wrap exactly as the session's Sum
+      // would (ANSI throws on overflow; legacy wraps) — review-caught
+      // r14: unconditional addExact threw where a non-ANSI session's
+      // unpushed plan would have wrapped
+      ansiSum = spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
   }
 }
 
@@ -978,7 +996,8 @@ private[sources] final class GraftReaderFactory(
     agg: Option[Seq[GraftAggSpec]] = None,
     limit: Option[Int] = None,
     columnarOk: Boolean = false,
-    aggGroupByPart: Boolean = false) extends PartitionReaderFactory {
+    aggGroupByPart: Boolean = false,
+    ansiSum: Boolean = true) extends PartitionReaderFactory {
 
   // read-only shared Configuration (broadcast-cached per executor JVM)
   private def hconf: Configuration = conf.value.value
@@ -986,7 +1005,7 @@ private[sources] final class GraftReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case a: GraftAggSplit =>
       new GraftAggReader(hconf, a, agg.get, pushed, commits, asOf,
-        aggGroupByPart)
+        aggGroupByPart, ansiSum)
     case s: GraftFileSplit =>
       limited(new GraftFileReader(hconf, s, requested, pushed, commits, asOf))
     case m: GraftMorStripe =>

@@ -39,11 +39,16 @@ object ColProfile {
       t.append(samples)
 
       def body(): Unit = lane match {
+        // abs() keeps the narrow lanes on the COLUMNAR SCAN path — a
+        // bare-column sum would ride the r14 aggregate pushdown instead
         case "narrow" =>
           spark.read.format("graft").load(s"$dir/table")
-            .agg(count(lit(1)), sum("value")).collect()
+            .agg(count(lit(1)), sum(abs(col("value")))).collect()
         case "native" =>
           spark.read.parquet(s"$dir/table/raw")
+            .agg(count(lit(1)), sum(abs(col("value")))).collect()
+        case "sum" => // the pushed-aggregate page walk
+          spark.read.format("graft").load(s"$dir/table")
             .agg(count(lit(1)), sum("value")).collect()
         case "map" =>
           spark.read.format("graft").load(s"$dir/table")

@@ -516,6 +516,15 @@ class GraftSourceSpec extends SparkSuite {
     assert(causes(ex).exists(c => c.isInstanceOf[ArithmeticException] ||
       String.valueOf(c.getMessage).toLowerCase.contains("overflow")),
       s"expected overflow failure, got $ex")
+    // ...and a NON-ANSI session wraps, exactly like Spark's own Sum —
+    // the pushed plan must never succeed-or-fail differently from the
+    // unpushed one (review-caught r14)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val wrapped = spark.read.format("graft").load(s"$odir/tbl")
+        .agg(sum("time")).head().getLong(0)
+      assert(wrapped == Long.MinValue + 1, s"expected legacy wrap, got $wrapped")
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
   }
 
   test("limit pushdown (r13): splits stop early, results stay a correct prefix") {
@@ -783,9 +792,14 @@ class GraftSourceSpec extends SparkSuite {
             else None
           (name, time, v, vs, i % 7) // 0..6 label entries (0 = EMPTY map)
         }.toDF("name", "time", "value", "valueStr", "nk")
+          // slice(.., 1, 0) is genuinely empty — sequence(1, 0) is NOT
+          // (Spark infers step -1 and yields [1, 0]; review-caught r14:
+          // the empty-map decode lane was vacuous, which hid a map
+          // value-cursor page-boundary skip bug)
           .withColumn("labels", expr(
-            "map_from_arrays(transform(sequence(1, nk), x -> concat('k', x)), " +
-              "transform(sequence(1, nk), x -> concat('v', x, '_', time % 97)))"))
+            "map_from_arrays(" +
+              "slice(transform(sequence(1, 6), x -> concat('k', x)), 1, nk), " +
+              "slice(transform(sequence(1, 6), x -> concat('v', x, '_', time % 97)), 1, nk))"))
           .drop("nk")
           .select(col("name"), col("labels"), col("time"), col("value"),
             col("valueStr"))
