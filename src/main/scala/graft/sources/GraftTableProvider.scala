@@ -600,7 +600,8 @@ private[sources] final class GraftScan(
     agg: Option[Seq[GraftAggSpec]] = None, limit: Option[Int] = None,
     aggGroupByPart: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsRuntimeFiltering with SupportsReportPartitioning {
+  with SupportsRuntimeFiltering with SupportsReportPartitioning
+  with SupportsReportOrdering {
 
   private val spark = SparkSession.active
   /** The table's DECLARED config (`.schema`), kept separate from the
@@ -949,6 +950,29 @@ private[sources] final class GraftScan(
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         splits.length)
+  }
+
+  /** Report the MOR merge's row order (r14): every stripe emits
+    * (series_id ASC, time ASC) — the k-way merge's own output contract,
+    * enforced LOUDLY per input file (`GraftMorReader` throws on a
+    * sort-contract violation), so the report can never be a lie. With
+    * it, `sortWithinPartitions(series_id, time)`, sort-merge-join local
+    * sorts, and window locals over series keys elide their SortExec.
+    * Non-MOR file splits are also written sorted, but nothing ENFORCES
+    * it at read time (a hand-planted unsorted file would silently
+    * corrupt a merge join), so only the enforced path reports — the
+    * same honesty line the MOR reader draws. Spark itself drops the
+    * ordering when split-grouping merges multiple stripes into one
+    * task. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val ok = config.overrideOld && agg.isEmpty &&
+      Seq("series_id", "time").forall(readSchema().fieldNames.contains)
+    if (!ok) Array.empty
+    else Array(
+      Expressions.sort(Expressions.column("series_id"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("time"), SortDirection.ASCENDING))
   }
 
   override def estimateStatistics(): Statistics = new Statistics {

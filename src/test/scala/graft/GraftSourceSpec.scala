@@ -1037,6 +1037,53 @@ class GraftSourceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("SupportsReportOrdering (r14): the MOR merge order elides local sorts") {
+    val dir = Files.createTempDirectory("graft_order").toString
+    val t = new TsdbTable(spark, s"$dir/tbl", TsdbConfig(overrideOld = true))
+    t.append(samples((0 until 40).map(i =>
+      (if (i % 2 == 0) "cpu" else "mem", s"h${i % 5}",
+        Base + (i / 5) * (Day / 2), i.toDouble)): _*))
+    t.append(samples(("cpu", "h0", Base, 100.0))) // a rewrite: real merge work
+    val mds = spark.read.format("graft").load(s"$dir/tbl")
+
+    def hasSort(df: DataFrame): Boolean = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.contains("Sort ")
+    }
+    // the merge's own (series_id, time) output order is reported: a
+    // local sort on it (or its prefix) plans away entirely
+    val q = mds.select("series_id", "time", "value")
+      .sortWithinPartitions("series_id", "time")
+    assert(!hasSort(q), q.queryExecution.executedPlan.toString)
+    val pre = mds.select("series_id", "time", "value")
+      .sortWithinPartitions("series_id")
+    assert(!hasSort(pre), "a prefix of the reported order must also elide")
+    // and each emitted partition really IS ordered (the claim, verified
+    // against the data, not the plan)
+    val violations = q.rdd.mapPartitions { it =>
+      var last = (Long.MinValue, Long.MinValue)
+      var bad = 0
+      it.foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        if (k._1 < last._1 || (k._1 == last._1 && k._2 < last._2)) bad += 1
+        last = k
+      }
+      Iterator.single(bad)
+    }.collect().sum
+    assert(violations == 0, s"$violations out-of-order rows in 'sorted' partitions")
+    assert(sortedRows(mds) == sortedRows(t.readRaw(0L, Long.MaxValue)))
+
+    // non-MOR scans do NOT report (file order is unenforced at read
+    // time): the same local sort stays in the plan
+    val ndir = Files.createTempDirectory("graft_order_n").toString
+    val nt = new TsdbTable(spark, s"$ndir/tbl")
+    nt.append(samples(("cpu", "a", Base, 1.0), ("cpu", "b", Base + 5, 2.0)))
+    val nds = spark.read.format("graft").load(s"$ndir/tbl")
+      .select("series_id", "time", "value")
+      .sortWithinPartitions("series_id", "time")
+    assert(hasSort(nds), "non-MOR scans must not claim an unenforced order")
+  }
+
   test("SQL DELETE FROM (r14): filter-shaped deletes run the engine delete path exactly") {
     val dir = Files.createTempDirectory("graft_sql_del").toString
     val rows = (0 until 40).map(i =>
