@@ -599,7 +599,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           count(col("valueStr")).as("cnt_vstr"),
           min("time").as("min_t"), max("time").as("max_t"),
-          min("name").as("min_name"), max("name").as("max_name"))
+          min("name").as("min_name"), max("name").as("max_name"),
+          // r14: double extrema push through the page-decode path
+          // (footer double stats stay untrusted); exact values, no
+          // FP arithmetic — hash-exact vs DuckDB
+          min("value").as("min_v"), max("value").as("max_v"))
     }),
 
     // DSv2 SUM/AVG pushdown (r14): sums have no footer form, so the agg
@@ -3684,7 +3688,8 @@ object SparkEntry {
       s"""WITH s AS ($SamplesCte)
          |SELECT count(*) AS cnt, CAST(0 AS BIGINT) AS cnt_vstr,
          |  min(tt) AS min_t, max(tt) AS max_t,
-         |  min(name) AS min_name, max(name) AS max_name
+         |  min(name) AS min_name, max(name) AS max_name,
+         |  min(v) AS min_v, max(v) AS max_v
          |FROM s""".stripMargin,
 
     "tsdb_names" ->

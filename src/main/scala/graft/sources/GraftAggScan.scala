@@ -218,6 +218,9 @@ private[sources] final class GraftAggReader(
     if (cur == null) { acc.exts(i) = v; return }
     val cmp = (cur, v) match {
       case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+      // Double.compare IS Spark's aggregate ordering for doubles:
+      // NaN greatest, -0.0 < 0.0
+      case (a: Double, b: Double) => java.lang.Double.compare(a, b)
       case (a: UTF8String, b: UTF8String) => a.compareTo(b)
       case _ => throw new IllegalStateException(s"mixed extremum types: $cur / $v")
     }
@@ -417,6 +420,18 @@ private[sources] final class GraftAggReader(
               var t = 0.0; var any = false; var j = 0
               while (j < k) { if (!nulls(j)) { t += vals(j); any = true }; j += 1 }
               if (any) mergeSum(acc, i, t)
+            case "min" | "max" =>
+              val isMin = s.op == "min"
+              var ext = 0.0; var any = false; var j = 0
+              while (j < k) {
+                if (!nulls(j) && (!any ||
+                    (if (isMin) java.lang.Double.compare(vals(j), ext) < 0
+                     else java.lang.Double.compare(vals(j), ext) > 0))) {
+                  ext = vals(j); any = true
+                }
+                j += 1
+              }
+              if (any) mergeExt(acc, i, ext, isMin)
             case "count" =>
               var c = 0L; var j = 0
               while (j < k) { if (!nulls(j)) c += 1; j += 1 }

@@ -309,7 +309,13 @@ private[sources] final class GraftScanBuilder(
         SparkSession.active.sparkContext.hadoopConfiguration)
       .exists(_.overrideOld)
     if (mor) return false
-    val MinMaxable = Set("name", "labels_str", "time", "series_id", "part_start")
+    // value/valueStr extrema push since r14 — NOT from footer stats
+    // (double stats are NaN-hostile and binary stats truncate; the
+    // stats stager refuses both shapes), but through the columnar-
+    // accumulate page walk, which applies Spark's exact double
+    // ordering (NaN greatest, -0.0 < 0.0) per decoded value
+    val MinMaxable = Set("name", "labels_str", "time", "series_id", "part_start",
+      "value", "valueStr")
     // COUNT(col) needs the column's parquet NULL counts, which exist
     // only for FLAT leaf columns — the `labels` map's physical leaves
     // are labels.key_value.*, so footer lookup by top-level name would

@@ -372,11 +372,12 @@ class GraftSourceSpec extends SparkSuite {
     assert(filtered.agg(count(lit(1))).head().getLong(0) ==
       raw.filter(col("name") === "cpu" && col("time") >= Base + 3 * Day).count())
 
-    // min/max over value (double) must NOT push — NaN-hostile stats
+    // min/max over value (double) pushes since r14 — but through the
+    // page-decode path, never the NaN-hostile footer stats
     val vdesc = scanOf(ds.agg(min("value"))).scan.description()
-    assert(!vdesc.contains("PushedAggregates"), vdesc)
-    assert(ds.agg(min("value")).head().getDouble(0) ==
-      raw.agg(min("value")).head().getDouble(0))
+    assert(vdesc.contains("PushedAggregates") && vdesc.contains("MIN(value)"), vdesc)
+    assert(ds.agg(min("value"), max("value")).head() ==
+      raw.agg(min("value"), max("value")).head())
 
     // count over the labels MAP must not push (its parquet leaves are
     // labels.key_value.* — footer lookup by top-level name would read
@@ -723,10 +724,15 @@ class GraftSourceSpec extends SparkSuite {
       // aggregate equivalence: count(*), count(valueStr), min/max(time),
       // sum(time) (r14 — exact long partials through stats+page paths)
       val got = app(ds).agg(count(lit(1)), count(col("valueStr")),
-        min("time"), max("time"), sum("time")).collect()(0)
+        min("time"), max("time"), sum("time"),
+        min("value"), max("value")).collect()(0)
       val want = app(raw).agg(count(lit(1)), count(col("valueStr")),
-        min("time"), max("time"), sum("time")).collect()(0)
-      assert(got == want, s"agg mismatch under filter $f: $got vs $want")
+        min("time"), max("time"), sum("time"),
+        min("value"), max("value")).collect()(0)
+      // min/max(value) meet REAL NaNs here (m3 is the variant metric):
+      // the pushed double ordering must match Spark's exactly
+      assert(got.toString == want.toString,
+        s"agg mismatch under filter $f: $got vs $want")
       // double sums agree within partial-order tolerance (r14)
       val gs = app(ds).agg(sum("value")).head()
       val ws = app(raw).agg(sum("value")).head()
