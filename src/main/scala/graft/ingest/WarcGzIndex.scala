@@ -126,11 +126,14 @@ object WarcGzIndex {
       else st.toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".warc.gz"))
         .map(s => (s.getPath.toString, s.getLen))
     if (files.isEmpty) return 0L
-    val conf = new WarcSource.SerializableHadoopConf(
-      spark.sparkContext.hadoopConfiguration)
+    // broadcast, not closure-captured (r14: per-task Configuration
+    // deserialization tax — see the DSv2 profiling finding)
+    val conf = spark.sparkContext.broadcast(
+      new WarcSource.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
     spark.sparkContext.parallelize(files, files.length).map { case (f, len) =>
       val path = new org.apache.hadoop.fs.Path(f)
-      val lfs = path.getFileSystem(conf.value)
+      val lfs = path.getFileSystem(conf.value.value)
       val side = new org.apache.hadoop.fs.Path(sidecarPath(f))
       val fresh =
         try load(lfs, side).fileLen == len
@@ -181,12 +184,15 @@ object WarcGzIndex {
       ranges += ((start, end, base))
       i = j
     }
-    val conf = new WarcSource.SerializableHadoopConf(
-      spark.sparkContext.hadoopConfiguration)
+    // broadcast, not closure-captured (r14: per-task Configuration
+    // deserialization tax — see the DSv2 profiling finding)
+    val conf = spark.sparkContext.broadcast(
+      new WarcSource.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
     val rows = spark.sparkContext
       .parallelize(ranges.toSeq, ranges.length)
       .flatMap { case (start, end, base) =>
-        val lfs = new org.apache.hadoop.fs.Path(file).getFileSystem(conf.value)
+        val lfs = new org.apache.hadoop.fs.Path(file).getFileSystem(conf.value.value)
         val in = lfs.open(new org.apache.hadoop.fs.Path(file))
         in.seek(start)
         // bound the stream to the range: members are whole, so the

@@ -234,8 +234,11 @@ object WarcPlainSplit {
   def readSplit(spark: SparkSession, file: String, splits: Int,
                 maxPayloadBytes: Int = 8 << 20): DataFrame = {
     require(splits > 0, s"splits must be positive: $splits")
-    val conf = new WarcSource.SerializableHadoopConf(
-      spark.sparkContext.hadoopConfiguration)
+    // broadcast, not closure-captured (r14: per-task Configuration
+    // deserialization tax — see the DSv2 profiling finding)
+    val conf = spark.sparkContext.broadcast(
+      new WarcSource.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
     val path0 = new org.apache.hadoop.fs.Path(file)
     val fs = path0.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // fully-qualified name in rows, like every directory-listing read
@@ -251,7 +254,7 @@ object WarcPlainSplit {
     // phase 1: parallel header-hop scan
     val scans = spark.sparkContext.parallelize(bounds, bounds.length)
       .map { case (s, e) =>
-        val lfs = new org.apache.hadoop.fs.Path(qfile).getFileSystem(conf.value)
+        val lfs = new org.apache.hadoop.fs.Path(qfile).getFileSystem(conf.value.value)
         val in = lfs.open(new org.apache.hadoop.fs.Path(qfile))
         try (s, scanRange(in, fileLen, s, e)) finally in.close()
       }.collect().sortBy(_._1).map(_._2)
@@ -275,7 +278,7 @@ object WarcPlainSplit {
     // phase 2: exact-count parse per range through the ordinary parser
     val rows = spark.sparkContext.parallelize(work, work.length)
       .flatMap { case (at, quota, base) =>
-        val lfs = new org.apache.hadoop.fs.Path(qfile).getFileSystem(conf.value)
+        val lfs = new org.apache.hadoop.fs.Path(qfile).getFileSystem(conf.value.value)
         val in = lfs.open(new org.apache.hadoop.fs.Path(qfile))
         in.seek(at)
         val it = WarcSource.parseFile(qfile, in, maxPayloadBytes,
