@@ -126,11 +126,7 @@ object WarcGzIndex {
       else st.toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".warc.gz"))
         .map(s => (s.getPath.toString, s.getLen))
     if (files.isEmpty) return 0L
-    // broadcast, not closure-captured (r14: per-task Configuration
-    // deserialization tax — see the DSv2 profiling finding)
-    val conf = spark.sparkContext.broadcast(
-      new WarcSource.SerializableHadoopConf(
-        spark.sparkContext.hadoopConfiguration))
+    val conf = WarcSource.broadcastConf(spark.sparkContext)
     spark.sparkContext.parallelize(files, files.length).map { case (f, len) =>
       val path = new org.apache.hadoop.fs.Path(f)
       val lfs = path.getFileSystem(conf.value.value)
@@ -184,11 +180,7 @@ object WarcGzIndex {
       ranges += ((start, end, base))
       i = j
     }
-    // broadcast, not closure-captured (r14: per-task Configuration
-    // deserialization tax — see the DSv2 profiling finding)
-    val conf = spark.sparkContext.broadcast(
-      new WarcSource.SerializableHadoopConf(
-        spark.sparkContext.hadoopConfiguration))
+    val conf = WarcSource.broadcastConf(spark.sparkContext)
     val rows = spark.sparkContext
       .parallelize(ranges.toSeq, ranges.length)
       .flatMap { case (start, end, base) =>

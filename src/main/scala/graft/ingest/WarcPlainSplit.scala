@@ -234,11 +234,7 @@ object WarcPlainSplit {
   def readSplit(spark: SparkSession, file: String, splits: Int,
                 maxPayloadBytes: Int = 8 << 20): DataFrame = {
     require(splits > 0, s"splits must be positive: $splits")
-    // broadcast, not closure-captured (r14: per-task Configuration
-    // deserialization tax — see the DSv2 profiling finding)
-    val conf = spark.sparkContext.broadcast(
-      new WarcSource.SerializableHadoopConf(
-        spark.sparkContext.hadoopConfiguration))
+    val conf = WarcSource.broadcastConf(spark.sparkContext)
     val path0 = new org.apache.hadoop.fs.Path(file)
     val fs = path0.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // fully-qualified name in rows, like every directory-listing read

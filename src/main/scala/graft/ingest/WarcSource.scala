@@ -89,10 +89,7 @@ object WarcSource {
     if (files.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], Schema)
     val sc = spark.sparkContext
-    // BROADCAST, not closure-captured: a closure-borne Configuration
-    // java-deserializes per task (r14 profiling finding on the DSv2
-    // scan — the same ~20 ms tax applies to every WARC segment task)
-    val conf = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    val conf = broadcastConf(sc)
     val rows = sc.parallelize(files, files.length)
       .flatMap { f =>
         val p = new org.apache.hadoop.fs.Path(f)
@@ -106,6 +103,14 @@ object WarcSource {
     * ([[graft.sources.SerializableHadoopConf]]) under its old ingest
     * name — an alias, not a second copy. */
   private[ingest] type SerializableHadoopConf = graft.sources.SerializableHadoopConf
+
+  /** The ONE way a WARC reader ships the Hadoop conf to tasks: as a
+    * BROADCAST, never closure-captured — a closure-borne Configuration
+    * java-deserializes per task (~20 ms each; the r14 DSv2 profiling
+    * finding). Unwrap with `.value.value`. */
+  private[ingest] def broadcastConf(sc: org.apache.spark.SparkContext)
+      : org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] =
+    sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
 
   /** The `response`-record view most pipelines want: URI, HTTP status,
     * HTTP Content-Type, body. Corrupt and non-response records drop. */

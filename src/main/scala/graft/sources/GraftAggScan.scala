@@ -218,14 +218,24 @@ private[sources] final class GraftAggReader(
     if (cur == null) { acc.exts(i) = v; return }
     val cmp = (cur, v) match {
       case (a: Long, b: Long) => java.lang.Long.compare(a, b)
-      // Double.compare IS Spark's aggregate ordering for doubles:
-      // NaN greatest, -0.0 < 0.0
-      case (a: Double, b: Double) => java.lang.Double.compare(a, b)
+      case (a: Double, b: Double) => cmpDouble(a, b)
       case (a: UTF8String, b: UTF8String) => a.compareTo(b)
       case _ => throw new IllegalStateException(s"mixed extremum types: $cur / $v")
     }
     if (if (isMin) cmp > 0 else cmp < 0) acc.exts(i) = v
   }
+
+  /** Spark's SQL double ordering (SQLOrderingUtil.compareDoubles):
+    * primitive comparisons — so -0.0 == 0.0, ties keep the incumbent —
+    * with NaN greatest. NOT java.lang.Double.compare, which orders
+    * -0.0 < 0.0 and would let the pushed plan return a differently-
+    * signed zero than the unpushed one (review-caught r14). */
+  private def cmpDouble(a: Double, b: Double): Int =
+    if (a < b) -1
+    else if (a > b) 1
+    else if (a == b) 0
+    else if (java.lang.Double.isNaN(a)) { if (java.lang.Double.isNaN(b)) 0 else 1 }
+    else -1
 
   /** SUM accumulation: long sums follow the session's overflow
     * semantics ([[addLong]]); double sums add in split order (the same
@@ -425,8 +435,8 @@ private[sources] final class GraftAggReader(
               var ext = 0.0; var any = false; var j = 0
               while (j < k) {
                 if (!nulls(j) && (!any ||
-                    (if (isMin) java.lang.Double.compare(vals(j), ext) < 0
-                     else java.lang.Double.compare(vals(j), ext) > 0))) {
+                    (if (isMin) cmpDouble(vals(j), ext) < 0
+                     else cmpDouble(vals(j), ext) > 0))) {
                   ext = vals(j); any = true
                 }
                 j += 1

@@ -283,12 +283,13 @@ private[sources] final class GraftScanBuilder(
     * (count → SUM), so correctness never depends on the stats.
     * GROUP BY part_start ALSO pushes — the one grouping the storage
     * layout answers for free (part_start is the split identity, so
-    * per-partition partials need no extra IO). Rejected (Spark then
-    * aggregates the normal scan): any other group-by,
-    * DISTINCT, MOR tables (counts/extrema are post-merge properties),
-    * and MIN/MAX over `value`/`valueStr` (double extrema meet NaN
-    * stats-trust issues; valueStr differs across LWW versions —
-    * value-shaped columns stay above the storage layer). */
+    * per-partition partials need no extra IO). SUM (r14) and MIN/MAX
+    * over value/valueStr (r14) push too, served by the columnar-
+    * accumulate page walk — their footer stats are never trusted
+    * (double stats are NaN-hostile, binary stats truncate). Rejected
+    * (Spark then aggregates the normal scan): any other group-by,
+    * DISTINCT, expression arguments, and MOR tables (counts/extrema
+    * are post-merge properties). */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
@@ -319,8 +320,10 @@ private[sources] final class GraftScanBuilder(
     // COUNT(col) needs the column's parquet NULL counts, which exist
     // only for FLAT leaf columns — the `labels` map's physical leaves
     // are labels.key_value.*, so footer lookup by top-level name would
-    // silently read it as "absent = all null" (review-caught r13)
-    val Countable = MinMaxable ++ Set("value", "valueStr")
+    // silently read it as "absent = all null" (review-caught r13).
+    // Since value/valueStr extrema joined MinMaxable (r14) the two
+    // surfaces coincide: every flat column counts and min/maxes.
+    val Countable = MinMaxable
     // SUM (r14) has no footer form, but the agg reader page-decodes the
     // column and emits one partial per split — `SELECT sum(value)`
     // becomes a single-column page walk with no batch pipeline and no
