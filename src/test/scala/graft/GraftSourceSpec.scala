@@ -378,6 +378,21 @@ class GraftSourceSpec extends SparkSuite {
     assert(vdesc.contains("PushedAggregates") && vdesc.contains("MIN(value)"), vdesc)
     assert(ds.agg(min("value"), max("value")).head() ==
       raw.agg(min("value"), max("value")).head())
+    // signed zeros: Spark's SQL double ordering treats -0.0 == 0.0 and
+    // keeps the incumbent on ties — the pushed plan must agree (the
+    // naive Double.compare orders -0.0 < 0.0 and returned the OTHER
+    // zero; review-caught r14)
+    locally {
+      val zdir = Files.createTempDirectory("graft_dsv2_zeros").toString
+      val zt = new TsdbTable(spark, s"$zdir/tbl")
+      zt.append(samples(("cpu", "a", Base, 0.0), ("cpu", "b", Base + 1, -0.0)))
+      val zds = spark.read.format("graft").load(s"$zdir/tbl")
+      val zq = zds.agg(min("value"), max("value"))
+      assert(scanOf(zq).scan.description().contains("MIN(value)"))
+      val zraw = zt.readRaw(0L, Long.MaxValue).agg(min("value"), max("value")).head()
+      assert(zq.head().toString == zraw.toString,
+        s"signed-zero extrema diverged: ${zq.head()} vs $zraw")
+    }
 
     // count over the labels MAP must not push (its parquet leaves are
     // labels.key_value.* — footer lookup by top-level name would read
@@ -1134,6 +1149,20 @@ class GraftSourceSpec extends SparkSuite {
       spark.sql("DELETE FROM graft_del_t WHERE name = 'cpu' AND name = 'nope' " +
         "AND name IN ('cpu')")
       assert(sqlView.count() == before, "no-op deletes must delete nothing")
+
+      // 4b) TRUNCATE TABLE rides SupportsDelete's deleteWhere(true) —
+      //     but prove it on a THROWAWAY twin, not this staged table
+      locally {
+        val tdir = Files.createTempDirectory("graft_sql_trunc").toString
+        val tt = new TsdbTable(spark, s"$tdir/tbl")
+        tt.append(samples(("cpu", "a", Base, 1.0), ("mem", "b", Base + Day, 2.0)))
+        spark.sql(s"CREATE TABLE graft_trunc_t USING graft OPTIONS (path '$tdir/tbl')")
+        try {
+          spark.sql("TRUNCATE TABLE graft_trunc_t")
+          assert(spark.read.format("graft").load(s"$tdir/tbl").count() == 0L,
+            "TRUNCATE must empty the table")
+        } finally spark.sql("DROP TABLE graft_trunc_t")
+      }
 
       // 5) untranslatable predicates reject LOUDLY and leave the table whole
       //    (value is below-the-merge unstable; LIKE has no delete shape)
