@@ -14,6 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * r14 replacement for the one-value-per-virtual-call cursor API
   * (`ColumnReadStoreImpl`) that left the columnar scan's narrow/map
   * lanes at ~1.5× of Spark's vectorized reader (SCALE.md r13).
+  * (Reference analog: the projected chunk scans behind S1,
+  * `v3io-tsdb/pkg/pquerier/select.go:583-595` — the WHAT; the HOW here
+  * is the public parquet format, decoded through parquet-column's
+  * exported page/values API.)
   *
   * Everything here is the PUBLIC parquet-column surface (the format is
   * ISO-standardized; the classes are exported API):
