@@ -314,7 +314,7 @@ private[sources] final class GraftScanBuilder(
     // (double stats are NaN-hostile and binary stats truncate; the
     // stats stager refuses both shapes), but through the columnar-
     // accumulate page walk, which applies Spark's exact double
-    // ordering (NaN greatest, -0.0 < 0.0) per decoded value
+    // ordering (NaN greatest, -0.0 == 0.0) per decoded value
     val MinMaxable = Set("name", "labels_str", "time", "series_id", "part_start",
       "value", "valueStr")
     // COUNT(col) needs the column's parquet NULL counts, which exist
@@ -491,7 +491,14 @@ private[sources] object GraftWrites {
 private[graft] object GraftDeletes {
   final case class Translated(fromMs: Long, toMs: Long, filter: String)
 
-  private def esc(s: String): String = s.replace("'", "''")
+  /** Escape a string literal for the expr()-parsed delete predicate.
+    * Backslashes must escape too (advisor-caught r14): with Spark's
+    * default escapedStringLiterals=false the SQL parser processes
+    * backslash escapes inside single-quoted literals — an unescaped
+    * `\b` would silently become a backspace (deleting the wrong rows,
+    * usually none) and a trailing `\` would swallow the closing quote. */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   def translate(filters: Array[Filter], intervalMs: Long)
       : Either[String, Option[Translated]] = {

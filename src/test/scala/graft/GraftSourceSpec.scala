@@ -1227,7 +1227,37 @@ class GraftSourceSpec extends SparkSuite {
     assert(tr(EqualTo("name", "o'brien")) ==
       Right(Some(GraftDeletes.Translated(Long.MinValue, Long.MaxValue,
         "`name` = 'o''brien'"))))
+    // backslashes escape too (advisor-caught r14): expr() parses
+    // backslash escapes inside single-quoted literals, so an unescaped
+    // value would silently predicate on the WRONG string (or throw on a
+    // trailing backslash)
+    assert(tr(EqualTo("labels_str", "host=c:\\tmp")) ==
+      Right(Some(GraftDeletes.Translated(Long.MinValue, Long.MaxValue,
+        "`labels_str` = 'host=c:\\\\tmp'"))))
     assert(tr(In("labels_str", Array.empty[Any])) == Right(None))
     assert(tr(EqualTo("value", 3.0)).isLeft)
+  }
+
+  test("SQL DELETE with backslash-bearing values deletes exactly (advisor r14)") {
+    val dir = Files.createTempDirectory("graft_sql_del_bs").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    // labels_str 'host=c:\tmp' — one row matches, one shares the prefix,
+    // one ends with a lone backslash (the parse-exception shape)
+    t.append(samples(
+      ("disk", "c:\\tmp", Base, 1.0),
+      ("disk", "c:\\tmp2", Base + 1000, 2.0),
+      ("disk", "c:\\", Base + 2000, 3.0)))
+    spark.sql(s"CREATE TABLE graft_del_bs_t USING graft OPTIONS (path '$dir/tbl')")
+    try {
+      spark.sql("DELETE FROM graft_del_bs_t WHERE labels_str = 'host=c:\\\\tmp'")
+      val left = spark.read.format("graft").load(s"$dir/tbl")
+        .select("labels_str").collect().map(_.getString(0)).sorted.toSeq
+      assert(left == Seq("host=c:\\", "host=c:\\tmp2"),
+        s"exactly the matching row must go, got survivors $left")
+      // trailing backslash: must also delete exactly (not throw, not miss)
+      spark.sql("DELETE FROM graft_del_bs_t WHERE labels_str = 'host=c:\\\\'")
+      assert(spark.read.format("graft").load(s"$dir/tbl")
+        .select("labels_str").collect().map(_.getString(0)).toSeq == Seq("host=c:\\tmp2"))
+    } finally spark.sql("DROP TABLE graft_del_bs_t")
   }
 }
