@@ -657,6 +657,99 @@ object SparkEntry {
       } finally rmTree(tmp.toFile)
     }),
 
+    // SQL UPDATE on a USING graft MOR table (r15,
+    // SupportsRowLevelOperations + SupportsDelta): a key-stable UPDATE
+    // (SET value) is an LWW re-append — the new version out-seqs the
+    // old; a key-moving UPDATE (SET time) tombstones the old key and
+    // re-appends under the new one, REPLACING any pre-existing sample
+    // at the target key by the same LWW rule. Both must be additive
+    // (never a rewrite), and the final aggregate is served from the
+    // post-update rollup rebuild. The DuckDB twin applies the same two
+    // mutations to the events CTE and resolves target-key collisions
+    // with the same updated-row-wins rule (QUALIFY over upd DESC).
+    "tsdb_dsv2_update" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_upd")
+      try {
+        val cfg = graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+          overrideOld = true)
+        graft.core.SchemaJson.write(s"$tmp/table", cfg)
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table", cfg)
+        t.append(samples)
+        val physBefore = s.read.parquet(s"$tmp/table/raw").count()
+        val tbl = s"graft_sql_upd_${System.nanoTime()}"
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$tmp/table')")
+        try {
+          s.sql(s"UPDATE $tbl SET value = value * 2 WHERE name = 'view' " +
+            s"AND time BETWEEN ${F + 3 * Day} AND ${F + 5 * Day - 1}")
+          s.sql(s"UPDATE $tbl SET time = time + $Hour WHERE name = 'click' " +
+            s"AND time BETWEEN ${F + 10 * Day} AND ${F + 11 * Day - 1}")
+        } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+        require(s.read.parquet(s"$tmp/table/raw").count() > physBefore,
+          "SQL UPDATE must re-append LWW versions, never rewrite files")
+        val p = SelectParams(functions = "count,sum,min,max",
+          from = F, to = T, step = Day)
+        require(t.canServerAggregate(p), "entry must exercise the rebuilt rollup")
+        val res = r6(t.select(p), Seq("sum", "min", "max"))
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
+    // SQL MERGE INTO (r15): all three branches — matched-delete
+    // (tombstones), matched-update (LWW re-append), not-matched-insert
+    // (plain append) — land under ONE commit seq. Source = the staged
+    // table's own 'purchase' slice (even users delete, odd users scale
+    // 3x) plus ten brand-new samples for an unseen user; the twin
+    // replays the same relational mutation on the events CTE.
+    "tsdb_dsv2_merge" -> ((s, dir) => {
+      val samples = Samples.fromEvents(s, dir).drop("valueStr")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2_mrg")
+      try {
+        val cfg = graft.storage.TsdbConfig(rollupIntervalMs = 6 * Hour,
+          overrideOld = true)
+        graft.core.SchemaJson.write(s"$tmp/table", cfg)
+        val t = new graft.storage.TsdbTable(s, s"$tmp/table", cfg)
+        t.append(samples)
+        val srcA = samples
+          .filter(col("name") === "purchase" &&
+            col("time").between(F + 7 * Day, F + 8 * Day - 1))
+          .select(col("name"), col("labels"), col("time"), col("value"),
+            concat(lit("user="), element_at(col("labels"), "user")).as("lstr"),
+            (element_at(col("labels"), "user").cast("long") % 2).as("m2"))
+        val srcB = s.range(10).select(
+          lit("purchase").as("name"),
+          map(lit("user"), lit("999999")).as("labels"),
+          (lit(F + 25 * Day) + col("id") * Hour).as("time"),
+          col("id").cast("double").as("value"),
+          lit("user=999999").as("lstr"),
+          lit(null).cast("long").as("m2"))
+        val view = s"graft_mrg_src_${System.nanoTime()}"
+        srcA.unionByName(srcB).createOrReplaceTempView(view)
+        val tbl = s"graft_sql_mrg_${System.nanoTime()}"
+        s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$tmp/table')")
+        try {
+          s.sql(
+            s"""MERGE INTO $tbl tgt USING $view src
+               |ON tgt.name = src.name AND tgt.labels_str = src.lstr
+               |   AND tgt.time = src.time
+               |WHEN MATCHED AND src.m2 = 0 THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET value = src.value * 3
+               |WHEN NOT MATCHED THEN INSERT (name, labels, time, value)
+               |  VALUES (src.name, src.labels, src.time, src.value)
+               |""".stripMargin)
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          s.catalog.dropTempView(view)
+        }
+        val p = SelectParams(functions = "count,sum", from = F, to = T, step = Day)
+        require(t.canServerAggregate(p), "entry must exercise the rebuilt rollup")
+        val res = r6(t.select(p), Seq("sum"))
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally rmTree(tmp.toFile)
+    }),
+
     // ------------------------------------------------------------------- S4
     "tsdb_names" -> ((s, dir) => QueryEngine.names(Samples.fromEvents(s, dir))),
 
@@ -4005,6 +4098,54 @@ object SparkEntry {
          |  round(sum(v), 6) AS "sum",
          |  round(min(v), 6) AS "min",
          |  round(max(v), 6) AS "max"
+         |FROM d WHERE tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // SQL UPDATE twin: the same two mutations applied relationally —
+    // value*2 on the view slice, time+1h on the click slice — with
+    // target-key collisions resolved updated-row-wins (the engine's LWW
+    // rule: the moved row carries the newer seq)
+    "tsdb_dsv2_update" ->
+      s"""WITH s AS ($SamplesCte),
+         |u AS (SELECT name, labels_str,
+         |        CASE WHEN name = 'click' AND tt BETWEEN ${F + 10 * Day} AND ${F + 11 * Day - 1}
+         |             THEN tt + $Hour ELSE tt END AS tt,
+         |        CASE WHEN name = 'view' AND tt BETWEEN ${F + 3 * Day} AND ${F + 5 * Day - 1}
+         |             THEN v * 2 ELSE v END AS v,
+         |        CASE WHEN name = 'click' AND tt BETWEEN ${F + 10 * Day} AND ${F + 11 * Day - 1}
+         |             THEN 1 ELSE 0 END AS upd
+         |      FROM s),
+         |d AS (SELECT name, labels_str, tt, v FROM u
+         |      QUALIFY row_number() OVER (PARTITION BY name, labels_str, tt ORDER BY upd DESC) = 1)
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum",
+         |  round(min(v), 6) AS "min",
+         |  round(max(v), 6) AS "max"
+         |FROM d WHERE tt BETWEEN $F AND $T
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // MERGE twin: matched-even-user purchases in the week-7 slice drop,
+    // matched-odd ones scale 3x, and ten user=999999 samples insert
+    "tsdb_dsv2_merge" ->
+      s"""WITH s AS ($SamplesCte),
+         |a AS (SELECT name, labels_str, tt, v,
+         |        CAST(SUBSTR(labels_str, 6) AS BIGINT) % 2 AS m2
+         |      FROM s WHERE name = 'purchase'
+         |        AND tt BETWEEN ${F + 7 * Day} AND ${F + 8 * Day - 1}),
+         |upd AS (SELECT s.name, s.labels_str, s.tt,
+         |          CASE WHEN a.tt IS NOT NULL THEN a.v * 3 ELSE s.v END AS v
+         |        FROM s LEFT JOIN a ON s.name = a.name
+         |          AND s.labels_str = a.labels_str AND s.tt = a.tt AND a.m2 = 1
+         |        WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.name = s.name
+         |          AND a.labels_str = s.labels_str AND a.tt = s.tt AND a.m2 = 0)),
+         |ins AS (SELECT 'purchase' AS name, 'user=999999' AS labels_str,
+         |          ${F + 25 * Day} + k * $Hour AS tt, CAST(k AS DOUBLE) AS v
+         |        FROM generate_series(0, 9) t(k)),
+         |d AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         |SELECT name, labels_str, $F + (tt - $F) // $Day * $Day AS t,
+         |  CAST(count(v) AS DOUBLE) AS "count",
+         |  round(sum(v), 6) AS "sum"
          |FROM d WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 

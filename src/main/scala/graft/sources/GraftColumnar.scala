@@ -201,6 +201,83 @@ private[sources] final class GraftSelVec(base: ColumnVector, sel: Array[Int])
   override def getChild(i: Int): ColumnVector = base.getChild(i)
 }
 
+// ------------------------------------------------------------ bulk decode
+
+/** Shared page→vector decode (r15): one definition for the non-MOR
+  * columnar reader and the MOR columnar merge, so the two paths can
+  * never drift on levels/dictionary/page-shape handling. */
+private[sources] object GraftDecode {
+
+  /** A decoded flat column: the wrapping vector plus raw primitive
+    * arrays (set only for the matching type) for consumers that need
+    * scalar access without per-row virtual calls — the MOR merge keys. */
+  final case class Flat(vec: ColumnVector, longs: Array[Long],
+                        bools: Array[Boolean], nulls: Array[Boolean])
+
+  def flat(r: GraftPageCursor, kind: PrimitiveType.PrimitiveTypeName,
+           n: Int, col: String, file: String): Flat = kind match {
+    case PrimitiveType.PrimitiveTypeName.INT64 =>
+      val vals = new Array[Long](n)
+      val nulls = new Array[Boolean](n)
+      r.readLongs(n, vals, nulls, 0)
+      Flat(new GraftLongVec(vals, nulls, n), vals, null, nulls)
+    case PrimitiveType.PrimitiveTypeName.DOUBLE =>
+      val vals = new Array[Double](n)
+      val nulls = new Array[Boolean](n)
+      r.readDoubles(n, vals, nulls, 0)
+      Flat(new GraftDoubleVec(vals, nulls, n), null, null, nulls)
+    case PrimitiveType.PrimitiveTypeName.BOOLEAN =>
+      val vals = new Array[Boolean](n)
+      val nulls = new Array[Boolean](n)
+      r.readBooleans(n, vals, nulls, 0)
+      Flat(new GraftBoolVec(vals, nulls, n), null, vals, nulls)
+    case PrimitiveType.PrimitiveTypeName.BINARY =>
+      val vals = new Array[UTF8String](n)
+      r.readStrings(n, vals, 0)
+      Flat(new GraftStringVec(vals, n), null, null, null)
+    case other =>
+      throw new IllegalStateException(
+        s"unexpected parquet type $other for column $col in $file")
+  }
+
+  /** Decode the next `n` rows of the labels map into a [[GraftMapVec]].
+    * Definition levels: maxDef = an entry, maxDef-1 = present-but-EMPTY
+    * map, below = NULL map (maxDef-relative, NOT absolute — a REQUIRED
+    * map's key leaf has maxDef 1 where def 0 means EMPTY; the r14 fuzz
+    * caught the absolute version reading empty maps as NULL). A
+    * repetition level > 0 continues the current row's entry run. */
+  def map(keyC: GraftPageCursor, valC: GraftPageCursor,
+          keyMaxDef: Int, valMaxDef: Int, n: Int): ColumnVector = {
+    val offsets = new Array[Int](n + 1)
+    val nulls = new Array[Boolean](n)
+    val keys = ArrayBuffer.empty[UTF8String]
+    val vals = ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < n) {
+      val d = keyC.peekDef()
+      if (d < keyMaxDef) {
+        if (d < keyMaxDef - 1) nulls(i) = true
+        keyC.skipEntry(); valC.skipEntry()
+      } else {
+        var more = true
+        while (more) {
+          // consume the VALUE leaf first: its def level must be read
+          // before the lockstep pair advances
+          vals += (if (valC.peekDef() == valMaxDef) valC.readStringEntry()
+            else { valC.skipEntry(); null })
+          keys += keyC.readStringEntry()
+          more = keyC.hasMore && keyC.peekRep() > 0
+        }
+      }
+      offsets(i + 1) = keys.length
+      i += 1
+    }
+    new GraftMapVec(offsets, nulls,
+      new GraftStringVec(keys.toArray, keys.length),
+      new GraftStringVec(vals.toArray, vals.length), n)
+  }
+}
+
 // ----------------------------------------------------------------- reader
 
 /** One byte-range split of one non-MOR file, emitted as
@@ -340,46 +417,6 @@ private[sources] final class GraftColumnarReader(
   private var mapKeyDef = 0
   private var mapValDef = 0
 
-  /** Decode the next `n` rows of the labels map into a [[GraftMapVec]].
-    * Definition levels: 0 = NULL map, 1 = empty map, maxDef = an entry;
-    * a repetition level > 0 continues the current row's entry run. */
-  private def decodeMap(n: Int): ColumnVector = {
-    val offsets = new Array[Int](n + 1)
-    val nulls = new Array[Boolean](n)
-    val keys = ArrayBuffer.empty[UTF8String]
-    val vals = ArrayBuffer.empty[UTF8String]
-    var i = 0
-    while (i < n) {
-      val d = mapKeyC.peekDef()
-      if (d < mapKeyDef) {
-        // def maxDef-1 = present-but-EMPTY map; anything below = NULL
-        // map. The empty level is maxDef-1, NOT a fixed 1: a
-        // non-nullable labels column writes a REQUIRED map group whose
-        // key leaf has maxDef 1, where def 0 means EMPTY — the old
-        // `d == 0 ⇒ null` read every empty map of a required column as
-        // NULL (latent since r13; caught when the r14 fuzz gained a
-        // genuinely-empty-map lane)
-        if (d < mapKeyDef - 1) nulls(i) = true
-        mapKeyC.skipEntry(); mapValC.skipEntry()
-      } else {
-        var more = true
-        while (more) {
-          // consume the VALUE leaf first: its def level must be read
-          // before the lockstep pair advances
-          vals += (if (mapValC.peekDef() == mapValDef) mapValC.readStringEntry()
-            else { mapValC.skipEntry(); null })
-          keys += mapKeyC.readStringEntry()
-          more = mapKeyC.hasMore && mapKeyC.peekRep() > 0
-        }
-      }
-      offsets(i + 1) = keys.length
-      i += 1
-    }
-    new GraftMapVec(offsets, nulls,
-      new GraftStringVec(keys.toArray, keys.length),
-      new GraftStringVec(vals.toArray, vals.length), n)
-  }
-
   private def decodeBatch(): ColumnarBatch = {
     val n = math.min(groupRemaining, GraftColumnar.BatchRows.toLong).toInt
     groupRemaining -= n
@@ -390,37 +427,14 @@ private[sources] final class GraftColumnarReader(
     decodeCols.zipWithIndex.foreach { case (c, ci) =>
       val ri = readerIdx(ci)
       if (c == "labels" && mapKeyC != null) {
-        byName.put(c, decodeMap(n))
+        byName.put(c, GraftDecode.map(mapKeyC, mapValC, mapKeyDef, mapValDef, n))
       } else if (ri < 0) {
         byName.put(c, new GraftNullVec(
           GraftColumnar.TsdbColumnarTypes.getOrElse(c, LongType)))
       } else {
-        val r = readers(ri)
-        kinds(ri) match {
-          case PrimitiveType.PrimitiveTypeName.INT64 =>
-            val vals = new Array[Long](n)
-            val nulls = new Array[Boolean](n)
-            r.readLongs(n, vals, nulls, 0)
-            if (c == "__seq") { seqVals = vals; seqNulls = nulls }
-            byName.put(c, new GraftLongVec(vals, nulls, n))
-          case PrimitiveType.PrimitiveTypeName.DOUBLE =>
-            val vals = new Array[Double](n)
-            val nulls = new Array[Boolean](n)
-            r.readDoubles(n, vals, nulls, 0)
-            byName.put(c, new GraftDoubleVec(vals, nulls, n))
-          case PrimitiveType.PrimitiveTypeName.BOOLEAN =>
-            val vals = new Array[Boolean](n)
-            val nulls = new Array[Boolean](n)
-            r.readBooleans(n, vals, nulls, 0)
-            byName.put(c, new GraftBoolVec(vals, nulls, n))
-          case PrimitiveType.PrimitiveTypeName.BINARY =>
-            val vals = new Array[UTF8String](n)
-            r.readStrings(n, vals, 0)
-            byName.put(c, new GraftStringVec(vals, n))
-          case other =>
-            throw new IllegalStateException(
-              s"unexpected parquet type $other for column $c in ${split.file}")
-        }
+        val f = GraftDecode.flat(readers(ri), kinds(ri), n, c, split.file)
+        if (c == "__seq") { seqVals = f.longs; seqNulls = f.nulls }
+        byName.put(c, f.vec)
       }
     }
     val base: Array[ColumnVector] = requested.map {

@@ -152,9 +152,28 @@ private[sources] final class GraftBatchTable(
     tablePath: String, options: CaseInsensitiveStringMap)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"graft.`$tablePath`"
+
+  /** Row-identity metadata columns ([[GraftMeta]]) — the non-nullable
+    * row ID surface for SQL UPDATE/MERGE (r15). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftMeta.columns
+
+  /** SQL UPDATE / MERGE INTO / untranslatable DELETE (r15): delta-based
+    * row-level operations on the MOR LWW machinery — see
+    * [[GraftRowLevelOperation]]. Translatable DELETEs keep riding the
+    * metadata-only [[deleteWhere]] path (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable prefers it when
+    * [[canDeleteWhere]] accepts). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(tablePath, options, info.command, declaredCfg)
 
   /** SQL `DELETE FROM ... WHERE ...` (r14): filter-shaped deletes —
     * conjunctions over `time` / `part_start` bounds, `name` /
@@ -205,8 +224,7 @@ private[sources] final class GraftBatchTable(
       // Input is the SAMPLE schema (name/labels/time/value[, valueStr]),
       // a subset of the read schema, hence ACCEPT_ANY_SCHEMA + our own
       // validation in newWriteBuilder.
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
@@ -275,6 +293,12 @@ private[sources] final class GraftScanBuilder(
   private var aggGroupByPart: Boolean = false
   private var limit: Option[Int] = None
 
+  /** Label-equality scan options (r15): `.option("label.<key>", "<value>")`
+    * — the scan serves only rows whose labels map has that exact entry.
+    * See [[GraftLabels]]. Gates aggregate pushdown off (footer partials
+    * can't see label filters). */
+  private val labelEq = GraftLabels.fromOptions(options)
+
   /** Aggregate pushdown (r13): global COUNT(*) / COUNT(col) / MIN /
     * MAX collapse to a parquet FOOTER walk — each file contributes one
     * partial row, row groups the stats fully decide contribute without
@@ -309,7 +333,7 @@ private[sources] final class GraftScanBuilder(
     val mor = SchemaJson.readCached(tablePath,
         SparkSession.active.sparkContext.hadoopConfiguration)
       .exists(_.overrideOld)
-    if (mor) return false
+    if (mor || labelEq.nonEmpty) return false
     // value/valueStr extrema push since r14 — NOT from footer stats
     // (double stats are NaN-hostile and binary stats truncate; the
     // stats stager refuses both shapes), but through the columnar-
@@ -358,7 +382,13 @@ private[sources] final class GraftScanBuilder(
   private def acceptable(f: Filter): Boolean = f match {
     case EqualTo(c, _: Long) => KeyStable(c)
     case EqualTo(c, _: String) => c == "name" || c == "labels_str"
-    case In(c, vs) => (c == "name" || c == "labels_str") && vs.forall(_.isInstanceOf[String])
+    case In(c, vs) => vs.nonEmpty &&
+      ((c == "name" || c == "labels_str") && vs.forall(_.isInstanceOf[String]) ||
+        // long IN-lists (r15): time/series_id/part_start — the day-list
+        // and series-list scan shapes; part_start IN prunes whole
+        // partition dirs, the rest prune row groups via stats
+        KeyStable(c) && c != "name" && c != "labels_str" &&
+          vs.forall(_.isInstanceOf[Long]))
     case GreaterThan(c, _: Long) => KeyStable(c)
     case GreaterThanOrEqual(c, _: Long) => KeyStable(c)
     case LessThan(c, _: Long) => KeyStable(c)
@@ -591,6 +621,45 @@ private[graft] object GraftDeletes {
   }
 }
 
+/** Label-equality scan pruning (r15) — the engine-level answer to the
+  * reference's filter-to-sharding-key scans (P1/P2,
+  * `pkg/partmgr/partmgr.go:459-468`, `pkg/pquerier/select.go:598`).
+  *
+  * Spark itself cannot deliver a `labels['k'] = 'v'` predicate to a
+  * DSv2 source: v1 `Filter`s have no map-access shape, and the v2
+  * predicate translator (`V2ExpressionBuilder`, verified against the
+  * shipped Spark 4.1.2 bytecode) handles `GetArrayItem` but not
+  * `GetMapValue`/`ElementAt` — so `SupportsPushDownV2Filters` would
+  * never see the predicate either; it stays a post-scan residual. The
+  * scan therefore accepts the filter as OPTIONS:
+  * `.option("label.<key>", "<value>")` (repeatable; conjunctive; key
+  * case preserved via the case-sensitive option view).
+  *
+  * Semantics: the scan emits exactly the rows whose labels map contains
+  * every given entry — enforced row-level (exact map lookup, never the
+  * escape-ambiguous labels_str), so correctness NEVER depends on the
+  * index. Performance comes from the series registry
+  * ([[graft.storage.TsdbTable.seriesRegistry]]): at planning the labels
+  * resolve to a series_id set, which (a) drops MOR stripes whose series
+  * range misses the set, (b) drops everything when no series matches,
+  * (c) skips row groups via a parquet series_id IN predicate (files are
+  * sorted by series_id, so groups are near-contiguous series runs), and
+  * (d) cheapens the row filter to a hash-set membership test. Beyond
+  * [[MaxSeries]] matches (or on a registry-less legacy table) the scan
+  * falls back to the exact row-level map filter alone. */
+private[sources] object GraftLabels {
+  /** Series-set resolution cap: past this, pruning buys little (the
+    * filter is unselective) and the IN predicate/stripe intersection
+    * would dominate planning. */
+  val MaxSeries = 10000
+
+  def fromOptions(options: CaseInsensitiveStringMap): Seq[(String, String)] =
+    options.asCaseSensitiveMap().asScala.toSeq.collect {
+      case (k, v) if k.length > 6 && k.substring(0, 6).equalsIgnoreCase("label.") =>
+        (k.substring(6), v)
+    }.sortBy(_._1)
+}
+
 /** One file split of a non-MOR table (window-free read). Carries its
   * `part_start` as a partition key so a scan that reports
   * KeyGroupedPartitioning can be split-grouped by Spark (r14). */
@@ -633,6 +702,50 @@ private[sources] final class GraftScan(
     * shaped, same fence/handle rules as [[TsdbTable.readRawAsOf]]. */
   private val asOf: Option[Long] = Option(options.get("asof")).map(_.toLong)
 
+  /** Label-equality scan filter (r15): see [[GraftLabels]]. */
+  private val labelEq: Seq[(String, String)] = GraftLabels.fromOptions(options)
+
+  /** The label filter resolved to a series_id set through the series
+    * registry at planning — None when no registry (legacy sidecar), no
+    * label filter, or more than [[GraftLabels.MaxSeries]] matches (then
+    * the exact row-level map filter carries alone). */
+  private lazy val labelSeries: Option[java.util.HashSet[Long]] =
+    if (labelEq.isEmpty) None
+    else new TsdbTable(spark, tablePath, config).seriesRegistry().flatMap { reg =>
+      import org.apache.spark.sql.functions.{col => fcol, element_at, lit => flit}
+      val cond = labelEq.map { case (k, v) =>
+        element_at(fcol("labels"), flit(k)) === flit(v)
+      }.reduce(_ && _)
+      val rows = reg.filter(cond).select("series_id")
+        .limit(GraftLabels.MaxSeries + 1).collect()
+      if (rows.length > GraftLabels.MaxSeries) None
+      else {
+        val set = new java.util.HashSet[Long](math.max(4, rows.length * 2))
+        rows.foreach(r => set.add(r.getLong(0)))
+        Some(set)
+      }
+    }
+
+  /** Drop splits the resolved series set proves empty: MOR stripes whose
+    * series range misses every matched series; ALL file splits when no
+    * series matches at all (a no-match label scan reads zero bytes). */
+  private def applyLabelPrune(parts: Array[InputPartition]): Array[InputPartition] =
+    labelSeries match {
+      case None => parts
+      case Some(set) => parts.flatMap {
+        case m: GraftMorStripe =>
+          val it = set.iterator()
+          var hit = false
+          while (!hit && it.hasNext) {
+            val l = it.next()
+            hit = l >= m.seriesLo && l <= m.seriesHi
+          }
+          if (hit) Some(m) else None
+        case s: GraftFileSplit => if (set.isEmpty) None else Some(s)
+        case other => Some(other)
+      }
+    }
+
   /** The partial-aggregate output schema Spark's rewritten final
     * aggregate consumes positionally: counts are longs, extrema carry
     * the column's raw type. */
@@ -657,6 +770,8 @@ private[sources] final class GraftScan(
   override def description(): String =
     s"GraftScan path=$tablePath, mor=${config.overrideOld}, " +
       asOf.map(s => s"asOf=$s, ").getOrElse("") +
+      (if (labelEq.isEmpty) ""
+       else s"LabelFilters: [${labelEq.map { case (k, v) => s"$k=$v" }.mkString(", ")}], ") +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       agg.map(a => s"PushedAggregates: [${a.map(s =>
         if (s.op == "count_star") "COUNT(*)"
@@ -669,7 +784,7 @@ private[sources] final class GraftScan(
   // ---- planning ----------------------------------------------------------
 
   /** (lo, hi) bounds a pushed comparison set implies for long column `c`
-    * (inclusive), or the full range. */
+    * (inclusive), or the full range. An IN-list implies [min, max]. */
   private def boundsFor(c: String): (Long, Long) = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
@@ -679,11 +794,29 @@ private[sources] final class GraftScan(
       case GreaterThanOrEqual(`c`, v: Long) => lo = math.max(lo, v)
       case LessThan(`c`, v: Long) => if (v > Long.MinValue) hi = math.min(hi, v - 1)
       case LessThanOrEqual(`c`, v: Long) => hi = math.min(hi, v)
+      case In(`c`, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+        val ls = vs.map(_.asInstanceOf[Long])
+        lo = math.max(lo, ls.min); hi = math.min(hi, ls.max)
       case And(l, r) => walk(l); walk(r)
       case _ => ()
     }
     pushed.foreach(walk)
     (lo, hi)
+  }
+
+  /** Exact part_start IN-sets among the pushed conjuncts: a partition
+    * dir survives only if it is in EVERY set (r15 — the day-list scan
+    * shape prunes whole directories, not just row groups). */
+  private def partStartInSets(): Seq[Set[Long]] = {
+    val out = ArrayBuffer.empty[Set[Long]]
+    def walk(f: Filter): Unit = f match {
+      case In("part_start", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+        out += vs.map(_.asInstanceOf[Long]).toSet
+      case And(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    pushed.foreach(walk)
+    out.toSeq
   }
 
   /** Partition dirs surviving pruning: explicit `part_start` bounds AND
@@ -708,10 +841,11 @@ private[sources] final class GraftScan(
       else math.floorDiv(tLo, config.partitionIntervalMs) * config.partitionIntervalMs
     val lo = math.max(pLoF, pLoTime)
     val hi = math.min(pHiF, tHi)
+    val inSets = partStartInSets()
     fs.listStatus(base).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("part_start="))
       .map(p => p.getName.stripPrefix("part_start=").toLong -> p)
-      .filter { case (s, _) => s >= lo && s <= hi }
+      .filter { case (s, _) => s >= lo && s <= hi && inSets.forall(_.contains(s)) }
       .sortBy(_._1)
   }
 
@@ -764,19 +898,31 @@ private[sources] final class GraftScan(
       if (files.isEmpty) out += GraftAggSplit(Nil)
       else files.grouped(per).foreach(g => out += GraftAggSplit(g.toSeq))
     } else if (config.overrideOld) {
-      val stripes = math.max(1,
-        Option(options.get("morstripes")).map(_.toInt)
-          .getOrElse(config.shardingBuckets))
-      // series_id is xxhash64 → uniform over the full signed-long range;
-      // equal-width stripes balance load without any key statistics
-      val width = java.math.BigInteger.valueOf(2).pow(64)
-        .divide(java.math.BigInteger.valueOf(stripes.toLong))
-      def bound(i: Int): Long =
-        java.math.BigInteger.valueOf(Long.MinValue)
-          .add(width.multiply(java.math.BigInteger.valueOf(i.toLong))).longValueExact()
+      val askedStripes = Option(options.get("morstripes")).map(_.toInt)
       parts.foreach { case (start, dir) =>
         val files = dataFiles(fs, dir)
         bytes += files.map(_._2).sum
+        // stripe count is SIZE-AWARE (r15, profile-led): a stripe can
+        // skip only whole ROW GROUPS (footer stats), so striping finer
+        // than the partition's largest file has groups just re-decodes
+        // the same groups per stripe — at 8 stripes over one-group
+        // files that was an 8× decode amplification for zero pruning.
+        // Default: one stripe per ~48 MB of the largest file (≈ one
+        // compressed row group), capped at shardingBuckets; an explicit
+        // `morstripes` option is honored verbatim (the knob for
+        // higher-parallelism scans of few-partition tables).
+        val stripes = math.max(1, askedStripes.getOrElse {
+          val maxLen = if (files.isEmpty) 0L else files.map(_._2).max
+          math.min(config.shardingBuckets.toLong,
+            math.max(1L, maxLen / (48L << 20))).toInt
+        })
+        // series_id is xxhash64 → uniform over the full signed-long
+        // range; equal-width stripes balance load without key statistics
+        val width = java.math.BigInteger.valueOf(2).pow(64)
+          .divide(java.math.BigInteger.valueOf(stripes.toLong))
+        def bound(i: Int): Long =
+          java.math.BigInteger.valueOf(Long.MinValue)
+            .add(width.multiply(java.math.BigInteger.valueOf(i.toLong))).longValueExact()
         if (files.nonEmpty)
           (0 until stripes).foreach { i =>
             val lo = if (i == 0) Long.MinValue else bound(i)
@@ -930,7 +1076,7 @@ private[sources] final class GraftScan(
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    applyRuntime(planned._1)
+    applyRuntime(applyLabelPrune(planned._1))
 
   /** Report the storage clustering (r14): splits are `part_start`-pure,
     * so a consumer that needs ClusteredDistribution(part_start) —
@@ -1003,6 +1149,15 @@ private[sources] final class GraftScan(
     // itself vector-decodable — true for the whole accepted filter
     // surface (key-stable flat columns), checked defensively anyway.
     val columnarOk = !config.overrideOld && agg.isEmpty && limit.isEmpty &&
+      labelEq.isEmpty && // label filters evaluate row-level (r15)
+      GraftColumnar.supports(required.fieldNames.toSeq) &&
+      pushed.flatMap(_.references).forall(GraftColumnar.columnarName)
+    // MOR stripes go columnar too (r15): page-bulk decode + primitive-
+    // key merge + gather ([[GraftMorColumnarReader]]). A label filter
+    // rides along only in its resolved-series-set form (a cheap long
+    // membership test); the map-equality fallback stays row-shaped.
+    val columnarMorOk = config.overrideOld && agg.isEmpty && limit.isEmpty &&
+      (labelEq.isEmpty || labelSeries.isDefined) &&
       GraftColumnar.supports(required.fieldNames.toSeq) &&
       pushed.flatMap(_.references).forall(GraftColumnar.columnarName)
     // the Hadoop conf rides a BROADCAST, not the task closure (r14): a
@@ -1022,7 +1177,9 @@ private[sources] final class GraftScan(
       // would (ANSI throws on overflow; legacy wraps) — review-caught
       // r14: unconditional addExact threw where a non-ANSI session's
       // unpushed plan would have wrapped
-      ansiSum = spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
+      ansiSum = spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean,
+      labelEq = labelEq, labelSeries = labelSeries,
+      columnarMorOk = columnarMorOk)
   }
 }
 
@@ -1037,7 +1194,11 @@ private[sources] final class GraftReaderFactory(
     limit: Option[Int] = None,
     columnarOk: Boolean = false,
     aggGroupByPart: Boolean = false,
-    ansiSum: Boolean = true) extends PartitionReaderFactory {
+    ansiSum: Boolean = true,
+    labelEq: Seq[(String, String)] = Nil,
+    labelSeries: Option[java.util.HashSet[Long]] = None,
+    columnarMorOk: Boolean = false)
+  extends PartitionReaderFactory {
 
   // read-only shared Configuration (broadcast-cached per executor JVM)
   private def hconf: Configuration = conf.value.value
@@ -1047,18 +1208,26 @@ private[sources] final class GraftReaderFactory(
       new GraftAggReader(hconf, a, agg.get, pushed, commits, asOf,
         aggGroupByPart, ansiSum)
     case s: GraftFileSplit =>
-      limited(new GraftFileReader(hconf, s, requested, pushed, commits, asOf))
+      limited(new GraftFileReader(hconf, s, requested, pushed, commits, asOf,
+        labelEq, labelSeries))
     case m: GraftMorStripe =>
-      limited(new GraftMorReader(hconf, m, requested, pushed, commits, asOf))
+      limited(new GraftMorReader(hconf, m, requested, pushed, commits, asOf,
+        labelEq, labelSeries))
   }
 
-  override def supportColumnarReads(p: InputPartition): Boolean =
-    columnarOk && p.isInstanceOf[GraftFileSplit]
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: GraftFileSplit => columnarOk
+    case _: GraftMorStripe => columnarMorOk
+    case _ => false
+  }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
     case s: GraftFileSplit =>
       new GraftColumnarReader(hconf, s, requested, pushed, commits, asOf)
+    case m: GraftMorStripe =>
+      new GraftMorColumnarReader(hconf, m, requested, pushed, commits, asOf,
+        labelSeries)
     case other => throw new IllegalStateException(s"no columnar reader for $other")
   }
 
@@ -1141,17 +1310,64 @@ private[sources] object GraftReaders {
     }
   }
 
+  /** Prepared (UTF8String-bound) label-equality pairs — bind once per
+    * reader, never per row. */
+  def prepareLabelEq(eq: Seq[(String, String)]): Array[(UTF8String, UTF8String)] =
+    eq.map { case (k, v) =>
+      (UTF8String.fromString(k), UTF8String.fromString(v))
+    }.toArray
+
+  /** Exact label-map filter: every (k, v) pair must be present verbatim
+    * in the row's labels map. Null / non-map labels match nothing. */
+  def labelsMatch(labels: Any,
+                  eq: Array[(UTF8String, UTF8String)]): Boolean = labels match {
+    case m: org.apache.spark.sql.catalyst.util.MapData =>
+      val ks = m.keyArray()
+      val vs = m.valueArray()
+      val n = m.numElements()
+      var p = 0
+      while (p < eq.length) {
+        val (k, v) = eq(p)
+        var i = 0
+        var ok = false
+        while (!ok && i < n) {
+          if (ks.getUTF8String(i).equals(k))
+            ok = !vs.isNullAt(i) && vs.getUTF8String(i).equals(v)
+          i += 1
+        }
+        if (!ok) return false
+        p += 1
+      }
+      true
+    case _ => false
+  }
+
   /** Parquet row-group predicate for the pushed filters restricted to
     * columns in `present` (a predicate naming a column absent from the
-    * footer fails parquet validation). IN and part_start are handled
-    * row-/planning-level only. */
+    * footer fails parquet validation). part_start is handled
+    * planning-level only; `seriesIn` is the label filter's resolved
+    * series set (r15). */
   def parquetPredicate(pushed: Array[Filter], present: Set[String],
-                       extraSeries: Option[(Long, Long)]): Option[FilterPredicate] = {
+                       extraSeries: Option[(Long, Long)],
+                       seriesIn: Option[java.util.HashSet[Long]] = None)
+      : Option[FilterPredicate] = {
     def conv(f: Filter): Option[FilterPredicate] = f match {
       case EqualTo(c, x: Long) if present(c) && c != "part_start" =>
         Some(FilterApi.eq(FilterApi.longColumn(c), java.lang.Long.valueOf(x)))
       case EqualTo(c, x: String) if present(c) =>
         Some(FilterApi.eq(FilterApi.binaryColumn(c), Binary.fromString(x)))
+      // IN-lists (r15): row-group stats + dictionary filtering both
+      // understand FilterApi.in — the day-list / series-list shapes
+      case In(c, vs) if present(c) && c != "part_start" && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Long]) =>
+        val set = new java.util.HashSet[java.lang.Long](vs.length * 2)
+        vs.foreach(v => set.add(v.asInstanceOf[Long]))
+        Some(FilterApi.in(FilterApi.longColumn(c), set))
+      case In(c, vs) if present(c) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        val set = new java.util.HashSet[Binary](vs.length * 2)
+        vs.foreach(v => set.add(Binary.fromString(v.asInstanceOf[String])))
+        Some(FilterApi.in(FilterApi.binaryColumn(c), set))
       case GreaterThan(c, x: Long) if present(c) && c != "part_start" =>
         Some(FilterApi.gt(FilterApi.longColumn(c), java.lang.Long.valueOf(x)))
       case GreaterThanOrEqual(c, x: Long) if present(c) && c != "part_start" =>
@@ -1171,6 +1387,14 @@ private[sources] object GraftReaders {
       else Seq(
         FilterApi.gtEq(FilterApi.longColumn("series_id"), java.lang.Long.valueOf(lo)),
         FilterApi.ltEq(FilterApi.longColumn("series_id"), java.lang.Long.valueOf(hi)))
+    } ++ seriesIn.toSeq.flatMap { set =>
+      if (!present("series_id") || set.isEmpty) Nil
+      else {
+        val js = new java.util.HashSet[java.lang.Long](set.size() * 2)
+        val it = set.iterator()
+        while (it.hasNext) js.add(it.next())
+        Seq(FilterApi.in(FilterApi.longColumn("series_id"), js))
+      }
     }
     parts.reduceOption(FilterApi.and)
   }
@@ -1203,35 +1427,62 @@ private[sources] final class GraftFileReader(
     requested: Seq[String],
     pushed: Array[Filter],
     commits: Option[(Long, Set[Long])],
-    asOf: Option[Long]) extends PartitionReader[InternalRow] {
+    asOf: Option[Long],
+    labelEq: Seq[(String, String)] = Nil,
+    labelSeries: Option[java.util.HashSet[Long]] = None)
+  extends PartitionReader[InternalRow] {
 
   private val filterCols =
     pushed.flatMap(_.references).toSet.filter(_ != "part_start")
   private val prepared = GraftReaders.prepare(pushed)
+  private val preparedEq = GraftReaders.prepareLabelEq(labelEq)
   private val needSeq = commits.nonEmpty || asOf.nonEmpty
-  // internal slot layout: requested columns first, then extras the
+  // label filter (r15): with a resolved series set the row test is a
+  // hash lookup on series_id; without one it is the exact map filter
+  // (which needs the labels column read internally)
+  private val labelCols: Set[String] =
+    if (labelEq.isEmpty) Set.empty
+    else if (labelSeries.isDefined) Set("series_id") else Set("labels")
+  // requested metadata columns (_key_*) read their underlying physical
+  // column — an alias, never extra IO
+  private val phys = requested.map(GraftMeta.physical)
+  // internal slot layout: physical requested columns first (deduped —
+  // a column and its metadata alias share one slot), then extras the
   // reader itself needs (filter columns, __seq) not already requested
   private val extras =
-    (filterCols ++ (if (needSeq) Set("__seq") else Set.empty) -- requested.toSet)
+    (filterCols ++ labelCols ++
+      (if (needSeq) Set("__seq") else Set.empty) -- phys.toSet)
       .toSeq.sorted
-  private val cols = requested.filterNot(_ == "part_start") ++ extras
+  private val cols = phys.filterNot(_ == "part_start").distinct ++ extras
   private val idx: Map[String, Int] = cols.zipWithIndex.toMap
   private val seqIdx = idx.getOrElse("__seq", -1)
+  private val labSidIdx = if (labelSeries.isDefined) idx("series_id") else -1
+  private val labMapIdx =
+    if (labelEq.nonEmpty && labelSeries.isEmpty) idx("labels") else -1
 
   // one footer read total: the predicate is built from the columns the
   // open reader's own footer proves present
   private val reader = new GraftParquetReader(conf, split.file, cols,
-    present => GraftReaders.parquetPredicate(pushed, present, None),
+    present => GraftReaders.parquetPredicate(pushed, present, None, labelSeries),
     Some((split.start, split.start + split.length)))
 
   private var current: Array[Any] = _
+
+  private def labelOk(row: Array[Any]): Boolean =
+    labelEq.isEmpty ||
+      (if (labSidIdx >= 0) row(labSidIdx) match {
+        case l: Long => labelSeries.get.contains(l)
+        case _ => false
+      }
+      else GraftReaders.labelsMatch(row(labMapIdx), preparedEq))
 
   override def next(): Boolean = {
     while (reader.hasNext) {
       val row = reader.next()
       def get(c: String): Any = idx.get(c).map(row(_)).orNull
       val vis = seqIdx < 0 || GraftReaders.visible(row(seqIdx), commits, asOf)
-      if (vis && prepared.forall(GraftReaders.eval(_, get, split.partStart))) {
+      if (vis && labelOk(row) &&
+          prepared.forall(GraftReaders.eval(_, get, split.partStart))) {
         current = emit(row)
         return true
       }
@@ -1242,8 +1493,9 @@ private[sources] final class GraftFileReader(
   private def emit(row: Array[Any]): Array[Any] = {
     val out = new Array[Any](requested.length)
     var i = 0
-    requested.foreach { c =>
-      out(i) = if (c == "part_start") split.partStart else row(idx(c))
+    while (i < out.length) {
+      val p = phys(i)
+      out(i) = if (p == "part_start") split.partStart else row(idx(p))
       i += 1
     }
     out
@@ -1265,26 +1517,46 @@ private[sources] final class GraftMorReader(
     requested: Seq[String],
     pushed: Array[Filter],
     commits: Option[(Long, Set[Long])],
-    asOf: Option[Long]) extends PartitionReader[InternalRow] {
+    asOf: Option[Long],
+    labelEq: Seq[(String, String)] = Nil,
+    labelSeries: Option[java.util.HashSet[Long]] = None)
+  extends PartitionReader[InternalRow] {
 
   private val filterCols =
     pushed.flatMap(_.references).toSet.filter(_ != "part_start")
   private val prepared = GraftReaders.prepare(pushed)
+  private val preparedEq = GraftReaders.prepareLabelEq(labelEq)
+  // label filter (r15): series identity is LWW-key-stable, so it is
+  // safe (and cheapest) to apply BELOW the merge, like name filters
+  private val labelCols: Set[String] =
+    if (labelEq.nonEmpty && labelSeries.isEmpty) Set("labels") else Set.empty
+  // metadata aliases (_key_*) share their physical column's slot
+  private val phys = requested.map(GraftMeta.physical)
   private val extras =
-    (filterCols ++ Set("series_id", "time", "__seq", "__del") -- requested.toSet)
+    (filterCols ++ labelCols ++
+      Set("series_id", "time", "__seq", "__del") -- phys.toSet)
       .toSeq.sorted
-  private val cols = requested.filterNot(_ == "part_start") ++ extras
+  private val cols = phys.filterNot(_ == "part_start").distinct ++ extras
   private val idx: Map[String, Int] = cols.zipWithIndex.toMap
   private val sIdx = idx("series_id")
   private val tIdx = idx("time")
   private val seqIdx = idx("__seq")
   private val delIdx = idx("__del")
+  private val labMapIdx =
+    if (labelEq.nonEmpty && labelSeries.isEmpty) idx("labels") else -1
+
+  private def labelOk(row: Array[Any], s: Long): Boolean =
+    labelEq.isEmpty ||
+      (labelSeries match {
+        case Some(set) => set.contains(s)
+        case None => GraftReaders.labelsMatch(row(labMapIdx), preparedEq)
+      })
 
   /** Per-file cursor holding the next VISIBLE, filter-passing row. */
   private final class Cursor(file: String) {
     private val r = new GraftParquetReader(conf, file, cols,
       present => GraftReaders.parquetPredicate(pushed, present,
-        Some((stripe.seriesLo, stripe.seriesHi))))
+        Some((stripe.seriesLo, stripe.seriesHi)), labelSeries))
     var head: Array[Any] = _
     private var lastS = Long.MinValue
     private var lastT = Long.MinValue
@@ -1302,6 +1574,7 @@ private[sources] final class GraftMorReader(
         def get(c: String): Any = idx.get(c).map(row(_)).orNull
         if (s >= stripe.seriesLo && s <= stripe.seriesHi &&
             GraftReaders.visible(row(seqIdx), commits, asOf) &&
+            labelOk(row, s) &&
             prepared.forall(GraftReaders.eval(_, get, stripe.partStart)))
           head = row
       }
@@ -1349,8 +1622,9 @@ private[sources] final class GraftMorReader(
       if (!del) {
         val out = new Array[Any](requested.length)
         var i = 0
-        requested.foreach { c =>
-          out(i) = if (c == "part_start") stripe.partStart else winner(idx(c))
+        while (i < out.length) {
+          val p = phys(i)
+          out(i) = if (p == "part_start") stripe.partStart else winner(idx(p))
           i += 1
         }
         current = out

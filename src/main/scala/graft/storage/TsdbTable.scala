@@ -704,7 +704,15 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
       // reference (one UpdateItem per sample — later batches win, not
       // later rows)
       .withColumn("__seq", lit(seq))
-      .filter(col("time").between(graft.core.TimeUtil.MinTimeMs, graft.core.TimeUtil.MaxTimeMs))
+      // NULL time rejects loudly (r15): since the DSv2 write resolves
+      // by name (no ACCEPT_ANY_SCHEMA), a frame missing `time` arrives
+      // null-filled — and the range clamp below would silently drop
+      // EVERY row of it. Out-of-range non-null times keep the silent
+      // clamp (reference parity). assert_true returns NULL on pass.
+      .filter(assert_true(col("time").isNotNull,
+          lit("graft append: NULL time — the sample schema requires " +
+            "non-null (name, labels, time)")).isNull &&
+        col("time").between(graft.core.TimeUtil.MinTimeMs, graft.core.TimeUtil.MaxTimeMs))
       // the batch is consumed three times (raw write, touched-partition
       // scan, rollup build) — evaluate the upstream plan once
       .persist()
@@ -783,8 +791,14 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     val batchEnc = batch
       .groupBy("series_id")
       .agg(first("name").as("name"),
+        first("labels_str").as("labels_str"),
+        first("labels").as("labels"),
         max(col("valueStr").isNotNull).as("has_var"),
         max(col("valueStr").isNull).as("has_num"),
+        // null-identity detection (r15): with by-name write resolution a
+        // frame missing name/labels arrives null-filled — those rows
+        // must reject loudly, not land as unreadable garbage series
+        max(col("name").isNull || col("labels").isNull).as("has_null_key"),
         collect_set("part_start").as("parts"))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(seriesEncPath), spark.sparkContext.hadoopConfiguration)
@@ -813,7 +827,13 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
       max(when(flipCond, struct(col("name"), col("has_var")))).as("flip"),
       coalesce(sum(when(col("old_variant").isNull, 1L)), lit(0L)).as("new_cnt"),
       array_distinct(flatten(collect_set(col("parts")))).as("touched"),
-      collect_set(col("name")).as("names")).head()
+      collect_set(col("name")).as("names"),
+      coalesce(max(col("has_null_key")), lit(false)).as("any_null_key")).head()
+    if (s.getBoolean(5))
+      throw new IllegalArgumentException(
+        "graft append: NULL name or labels — the sample schema requires " +
+          "non-null (name, labels, time); a frame missing those columns " +
+          "arrives null-filled and must be fixed at the source")
     if (s.getString(0) != null)
       throw new IllegalArgumentException(
         s"series type mismatch: batch mixes numeric and string samples for metric '${s.getString(0)}'")
@@ -826,10 +846,47 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     }
     val newEnc =
       if (s.getLong(2) > 0)
+        // name + labels_str ride along (r15): the sidecar doubles as the
+        // SERIES REGISTRY — the reference's series-to-sharding-key index
+        // (`pkg/partmgr/partmgr.go:459-468`) that lets label predicates
+        // resolve to a series_id set at query planning
         Some(joined.filter(col("old_variant").isNull)
-          .select(col("series_id"), col("has_var").as("variant")))
+          .select(col("series_id"), col("has_var").as("variant"),
+            col("name"), col("labels_str"),
+            // the REAL map too: labels_str is canonical but not
+            // escape-safe (a value containing ','/'=' doesn't parse
+            // back) — registry matching must use exact map semantics
+            col("labels")))
       else None
     (newEnc, s.getSeq[Long](3), s.getSeq[String](4).toSet)
+  }
+
+  /** The series registry (r15): series_id → (name, labels_str) for every
+    * series the table has ever ingested — the query-planning index that
+    * resolves label predicates to a series_id set (reference P1/P2
+    * filter-to-sharding-key scan, `pkg/partmgr/partmgr.go:459-468`,
+    * `pkg/pquerier/select.go:598`). Piggybacks on the `series_enc`
+    * sidecar, so it costs nothing beyond the type-safety pass the append
+    * path already runs. None when the registry cannot prune SAFELY: a
+    * sidecar written (wholly or partly) before the registry columns
+    * existed is incomplete, and pruning on an incomplete index would
+    * silently drop the unindexed series' rows — callers must fall back
+    * to unpruned exact filtering. Deleted series linger (superset
+    * semantics — safe for pruning, like the reference's cached items). */
+  private[graft] def seriesRegistry(): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(seriesEncPath), spark.sparkContext.hadoopConfiguration)
+    recoverSeriesEnc(fs)
+    val dirPath = new org.apache.hadoop.fs.Path(seriesEncPath)
+    if (!fs.exists(dirPath) ||
+        !fs.listStatus(dirPath).exists(_.getPath.getName.endsWith(".parquet")))
+      return None
+    val df = spark.read.option("mergeSchema", "true").parquet(seriesEncPath)
+    if (!Seq("labels_str", "name", "labels").forall(df.columns.contains))
+      return None
+    // completeness gate: any pre-registry row poisons the whole index
+    if (!df.filter(col("labels_str").isNull || col("name").isNull).isEmpty) None
+    else Some(df.select("series_id", "name", "labels_str", "labels"))
   }
 
   /** Record new series encodings (one small appended file per batch that
@@ -854,7 +911,10 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     val tmp = new org.apache.hadoop.fs.Path(seriesEncPath + ".tmp")
     val old = new org.apache.hadoop.fs.Path(seriesEncPath + ".old")
     if (fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet")) > 64) {
-      val all = spark.read.parquet(seriesEncPath)
+      // mergeSchema: a mixed legacy/registry sidecar (2-col + 4-col
+      // files) must compact to the UNION schema, not a sampled one —
+      // silently dropping name/labels_str would wipe registry rows
+      val all = spark.read.option("mergeSchema", "true").parquet(seriesEncPath)
       all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(seriesEncPath + ".tmp")
       fs.delete(old, true) // stale leftover from a long-ago crash, if any
       fs.rename(dir, old)
@@ -1702,6 +1762,119 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
   def delete(fromMs: Long, toMs: Long, metrics: Seq[String] = Nil,
              filter: String = ""): Unit =
     withWriterLock("delete")(deleteImpl(fromMs, toMs, metrics, filter))
+
+  /** Drop one partition's rollup (and pre-aggregate) dirs — used when a
+    * partition's last live rows die: dynamic overwrite cannot clear a
+    * partition it writes no rows for, so the stale dirs must go
+    * explicitly. */
+  private def dropRollupPartitionAt(start: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rollupPath), spark.sparkContext.hadoopConfiguration)
+    (rollupPath +: config.preAggregates.map(preAggPath)).foreach { base =>
+      val r = new org.apache.hadoop.fs.Path(base, s"part_start=$start")
+      if (fs.exists(r)) fs.delete(r, true)
+    }
+  }
+
+  /** Apply a row-level-operation delta (r15 — SQL UPDATE / MERGE INTO /
+    * predicated DELETE, [[graft.sources.GraftTableProvider]]'s
+    * SupportsDelta surface): `stagedFiles` are parquet files of
+    * `(op, name, labels, time, value, valueStr, labels_str)` records —
+    * op 3 = insert/re-append (the sample columns are authoritative;
+    * derived identity columns recompute here exactly as in [[append]]),
+    * op 1 = delete (name/labels_str/time identify the LWW key; the
+    * tombstone rebuilds every key-stable column so pushed filters below
+    * the MOR merge can never skip it and resurrect what it shadows).
+    *
+    * The WHOLE delta lands under ONE seq in ONE atomic manifest commit
+    * (the r7 cross-partition atomicity discipline of the predicated MOR
+    * delete): readers see all of the mutation or none of it. Inserts
+    * pass the same series type-safety gate as appends; touched rollup
+    * partitions rebuild from the merged view; a partition whose last
+    * live rows died drops its rollup dirs like the delete path. MOR
+    * tables only — the caller gates, this rechecks. */
+  private[graft] def applyDelta(stagedFiles: Seq[String]): Unit =
+    withWriterLock("rowLevelDelta") {
+      require(config.overrideOld,
+        "row-level deltas need a merge-on-read table (overrideOld=true)")
+      val delta = spark.read.parquet(stagedFiles: _*).persist()
+      try {
+        // loud rejection of unwritable inserts (null identity columns —
+        // e.g. a MERGE insert action that left name/labels/time
+        // unassigned — or out-of-range times): silently dropping an
+        // UPDATE's re-append half would turn the update into a delete
+        val ins0 = delta.filter(col("op") === 3)
+          .select(col("name"), col("labels"), col("time"),
+            col("value"), col("valueStr"))
+        val bad = ins0.filter(col("name").isNull || col("labels").isNull ||
+          col("time").isNull ||
+          !col("time").between(graft.core.TimeUtil.MinTimeMs,
+            graft.core.TimeUtil.MaxTimeMs)).count()
+        if (bad > 0)
+          throw new IllegalArgumentException(
+            s"row-level operation produced $bad row(s) with NULL or " +
+              "out-of-range identity columns (name/labels/time are " +
+              "required for every inserted or updated row)")
+        val seq = nextSeq()
+        val inserts = ins0
+          .withColumn("labels_str", Labels.canonical(col("labels")))
+          .withColumn("series_id", Labels.seriesId(col("name"), col("labels")))
+          .withColumn("part_start", partStart(col("time")))
+          .withColumn("__seq", lit(seq))
+          .withColumn("__del", lit(false))
+        // tombstones: labels_str IS the stored canonical serialization,
+        // so series identity derives from it directly (seriesId =
+        // xxhash64(name, canonical(labels))); the parsed labels map is
+        // best-effort schema-completeness (post-merge nobody reads a
+        // dropped winner's labels)
+        val tombs = delta.filter(col("op") === 1)
+          .select(col("name"),
+            when(col("labels_str") === "",
+              map().cast("map<string,string>"))
+              .otherwise(Labels.parse(col("labels_str"))).as("labels"),
+            col("time"),
+            lit(null).cast("double").as("value"),
+            lit(null).cast("string").as("valueStr"),
+            col("labels_str"),
+            xxhash64(col("name"), col("labels_str")).as("series_id"))
+          .withColumn("part_start", partStart(col("time")))
+          .withColumn("__seq", lit(seq))
+          .withColumn("__del", lit(true))
+        // type-safety gate on INSERTS ONLY (a tombstone's null valueStr
+        // must not read as "numeric sample" for a variant series); the
+        // same single-pass aggregate yields touched partitions + names
+        val (newEnc, touchedIns, insNames) = enforceSeriesTypes(inserts)
+        val tombSummary = tombs
+          .agg(collect_set("part_start"), count(lit(1))).head()
+        val touchedTomb = tombSummary.getSeq[Long](0)
+        val nTombs = tombSummary.getLong(1)
+        val touched = (touchedIns ++ touchedTomb).distinct
+        if (touched.nonEmpty) {
+          inserts.unionByName(tombs)
+            .repartition(col("part_start"),
+              pmod(col("series_id"), lit(config.shardingBuckets.toLong)))
+            .sortWithinPartitions("part_start", "series_id", "time")
+            .write.mode(SaveMode.Append).partitionBy("part_start").parquet(rawPath)
+          // the whole delta becomes reader-visible HERE, atomically
+          // (false = a concurrent writer won the commit race; our files
+          // stay invisible orphans and bookkeeping must not run)
+          if (commitSeq(seq)) {
+            newEnc.foreach(recordSeriesTypes)
+            val liveParts =
+              if (nTombs == 0) touched
+              else mergeOnRead(rawFiles()
+                  .filter(col("part_start").isin(touched: _*)))
+                .select("part_start").distinct()
+                .collect().map(_.getLong(0)).toSeq
+            (touched.toSet -- liveParts.toSet).foreach(dropRollupPartitionAt)
+            refreshRollup(liveParts)
+            // a delete branch may have killed a name's last rows — the
+            // names dimension rebuilds from the merged view then
+            if (nTombs > 0) refreshNames() else mergeNames(insNames)
+          }
+        }
+      } finally delta.unpersist()
+    }
 
   private def deleteImpl(fromMs: Long, toMs: Long, metrics: Seq[String],
                          filter: String): Unit = {

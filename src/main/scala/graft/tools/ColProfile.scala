@@ -16,6 +16,7 @@ object ColProfile {
     val sfDir = args(0)
     val factor = args(1).toInt
     val lane = args(2)
+    val mor = args.length > 3 && args(3).toBoolean
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.SparkTuning.freezeTolerant(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,8 +36,11 @@ object ColProfile {
             map(lit("user"), concat(col("labels")("user"), lit("_"), col("k"))))
           .drop("k")
       val t = new graft.storage.TsdbTable(spark, s"$dir/table",
-        graft.storage.TsdbConfig())
+        graft.storage.TsdbConfig(overrideOld = mor))
       t.append(samples)
+      if (mor) // the Dsv2Scale rewrite burst: real merge work
+        t.append(samples.filter(col("name") === "click")
+          .withColumn("value", col("value") + 1))
 
       def body(): Unit = lane match {
         // abs() keeps the narrow lanes on the COLUMNAR SCAN path — a

@@ -676,7 +676,10 @@ class GraftSourceSpec extends SparkSuite {
     mt.append(samples(("cpu", "a", Base, 1.0), ("mem", "b", Base + 1000, 2.0)))
     val sid = mt.readRaw(0L, Long.MaxValue).select("series_id")
       .head().getLong(0)
-    val mscan = scanOf(spark.read.format("graft").load(s"$mdir/tbl")).scan
+    // pin multi-stripe partitions: the r15 size heuristic gives tiny
+    // test files one stripe, and this test observes STRIPE pruning
+    val mscan = scanOf(spark.read.format("graft").option("morStripes", "4")
+      .load(s"$mdir/tbl")).scan
     assert(mscan.asInstanceOf[SupportsRuntimeFiltering]
       .filterAttributes().map(_.fieldNames()(0)).toSet ==
       Set("part_start", "series_id"), "MOR stripes prune on series too")
@@ -1039,7 +1042,10 @@ class GraftSourceSpec extends SparkSuite {
     mt.append(samples(
       ("cpu", "a", Base, 1.0), ("cpu", "b", Base + 5, 2.0),
       ("mem", "a", Base + Day, 3.0)))
-    val mds = spark.read.format("graft").load(s"$mdir/tbl")
+    // explicit multi-stripe (the r15 size heuristic would give these
+    // tiny files one stripe per partition, which DOES report)
+    val mds = spark.read.format("graft").option("morStripes", "3")
+      .load(s"$mdir/tbl")
     val mrep = scanOf(mds.select("part_start", "value")).scan
       .asInstanceOf[SupportsReportPartitioning].outputPartitioning()
     assert(mrep.isInstanceOf[UnknownPartitioning],
@@ -1236,6 +1242,244 @@ class GraftSourceSpec extends SparkSuite {
         "`labels_str` = 'host=c:\\\\tmp'"))))
     assert(tr(In("labels_str", Array.empty[Any])) == Right(None))
     assert(tr(EqualTo("value", 3.0)).isLeft)
+  }
+
+  test("CTAS (r15): CREATE TABLE ... USING graft AS SELECT runs the full append") {
+    val dir = Files.createTempDirectory("graft_ctas").toString
+    samples(("cpu", "a", Base, 1.0), ("mem", "b", Base + Day, 2.0))
+      .createOrReplaceTempView("graft_ctas_src")
+    spark.sql(s"CREATE TABLE graft_ctas_t USING graft OPTIONS (path '$dir/tbl') " +
+      "AS SELECT * FROM graft_ctas_src")
+    try {
+      // the write ran the real append orchestration: self-described
+      // .schema, committed manifest, rollup + names materialized
+      assert(new java.io.File(s"$dir/tbl/.schema").exists)
+      assert(new java.io.File(s"$dir/tbl/rollup").exists)
+      val t = new TsdbTable(spark, s"$dir/tbl")
+      assert(t.currentSeq() > 0, "CTAS must commit a batch seq")
+      assert(t.names().collect().map(_.getString(0)).sorted.toSeq == Seq("cpu", "mem"))
+      // read-back through BOTH surfaces is row-identical
+      assert(sortedRows(spark.read.format("graft").load(s"$dir/tbl")) ==
+        sortedRows(t.readRaw(0L, Long.MaxValue)))
+      assert(spark.sql("SELECT count(*) FROM graft_ctas_t").head().getLong(0) == 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ctas_t")
+
+    // writer options flow through CTAS: a fresh MOR table honors
+    // overrideOld and merges a later rewrite
+    spark.sql(s"CREATE TABLE graft_ctas_m USING graft " +
+      s"OPTIONS (path '$dir/mor', overrideOld 'true') " +
+      "AS SELECT * FROM graft_ctas_src")
+    try {
+      spark.sql("INSERT INTO graft_ctas_m (name, labels, time, value) " +
+        s"VALUES ('cpu', map('host', 'a'), $Base, 9.0)")
+      val got = spark.sql(s"SELECT value FROM graft_ctas_m WHERE time = $Base")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(got == Seq(9.0), s"CTAS MOR table must LWW-merge, got $got")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ctas_m")
+
+    // conflicting options against an EXISTING declaration reject like
+    // the write path (the declared config is authoritative)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_ctas_c USING graft " +
+        s"OPTIONS (path '$dir/tbl', overrideOld 'true') " +
+        "AS SELECT * FROM graft_ctas_src")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_ctas_c")
+  }
+
+  test("columnar MOR merge (r15): batch-shaped LWW == row-shaped LWW == readRaw") {
+    val dir = Files.createTempDirectory("graft_mor_col").toString
+    val cfg = TsdbConfig(overrideOld = true, shardingBuckets = 4)
+    val t = new TsdbTable(spark, s"$dir/tbl", cfg)
+    // three generations: base, rewrite burst (LWW supersede), late keys
+    val base = (0 until 500).map(i =>
+      (if (i % 3 == 0) "cpu" else "mem", s"h${i % 7}",
+        Base + (i / 7) * 60000L, i.toDouble))
+    t.append(samples(base: _*))
+    t.append(samples(base.filter(_._1 == "cpu")
+      .map { case (n, h, tt, v) => (n, h, tt, v + 1000) }: _*))
+    t.append(samples(("disk", "z", Base + 3 * Day, 7.0)))
+    // a tombstone delete so the merge sees __del winners
+    t.delete(Base, Base + 30 * 60000L, metrics = Seq("mem"))
+
+    // the scan IS columnar (plan-pinned), wide + map projections
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+    assert(scanOf(ds).supportsColumnar,
+      "MOR scans must serve ColumnarBatches since r15")
+    assert(sortedRows(ds) == sortedRows(t.readRaw(0L, Long.MaxValue)))
+    val mapAgg = ds.agg(count(lit(1)), sum(size(col("labels")))).head()
+    val rawAgg = t.readRaw(0L, Long.MaxValue)
+      .agg(count(lit(1)), sum(size(col("labels")))).head()
+    assert(mapAgg == rawAgg, "map projection through the gather must match")
+
+    // pushed filters stay exact below the batch merge
+    val f = ds.filter(col("name") === "cpu" && col("time") >= Base + 60000L)
+    val g = t.readRaw(0L, Long.MaxValue)
+      .filter(col("name") === "cpu" && col("time") >= Base + 60000L)
+    assert(sortedRows(f) == sortedRows(g))
+
+    // snapshot reads ride the same columnar merge
+    val seq1 = t.currentSeq()
+    t.append(samples(("cpu", "h1", Base + 9 * Day, 1.0)))
+    val snap = spark.read.format("graft").option("asOf", seq1.toString)
+      .load(s"$dir/tbl")
+    assert(scanOf(snap).supportsColumnar)
+    assert(sortedRows(snap) == sortedRows(t.readRawAsOf(0L, Long.MaxValue, seq1)))
+
+    // limit keeps the row-shaped path (prefix semantics live there)
+    val lim = spark.read.format("graft").load(s"$dir/tbl").limit(5)
+    assert(lim.count() == 5)
+  }
+
+  test("FUZZ columnar MOR merge (r15): seeded random LWW tables match readRaw exactly") {
+    val rnd = new scala.util.Random(20250816L)
+    (0 until 6).foreach { round =>
+      val dir = Files.createTempDirectory(s"graft_mor_fuzz$round").toString
+      val cfg = TsdbConfig(overrideOld = true,
+        shardingBuckets = 1 + rnd.nextInt(5))
+      val t = new TsdbTable(spark, s"$dir/tbl", cfg)
+      val names = Seq("cpu", "mem", "disk")
+      def batch(n: Int) = {
+        import spark.implicits._
+        val rows = (0 until n).map { _ =>
+          val nm = names(rnd.nextInt(names.length))
+          val hosts = rnd.nextInt(3) // 0 = EMPTY labels (the r14 bug's lane)
+          val labels = (0 until hosts).map(j => s"k$j" -> s"v${rnd.nextInt(4)}").toMap
+          val time = Base + rnd.nextInt(4) * Day + rnd.nextInt(50) * 60000L
+          val vStr = if (nm == "disk") Some(s"s${rnd.nextInt(9)}") else None
+          (nm, labels, time, if (vStr.isDefined) None else Some(rnd.nextDouble()),
+            vStr)
+        }
+        // IN-batch key ties are the caller's bug (same __seq — even the
+        // engine window merge resolves them arbitrarily); keep last per
+        // key so only CROSS-batch LWW is exercised
+        rows.groupBy(r => (r._1, r._2.toSeq.sorted, r._3)).map(_._2.last).toSeq
+          .toDF("name", "labels", "time", "value", "valueStr")
+      }
+      val appends = 2 + rnd.nextInt(3)
+      (0 until appends).foreach(_ => t.append(batch(30 + rnd.nextInt(120))))
+      if (rnd.nextBoolean())
+        t.delete(Base, Base + rnd.nextInt(2) * Day + 3600000L,
+          metrics = Seq(names(rnd.nextInt(names.length))))
+
+      val ds = spark.read.format("graft").load(s"$dir/tbl")
+      assert(scanOf(ds).supportsColumnar, s"round $round must go columnar")
+      assert(sortedRows(ds) == sortedRows(t.readRaw(0L, Long.MaxValue)),
+        s"fuzz round $round diverged")
+      // one random pushed-filter shape per round
+      val flt = rnd.nextInt(3) match {
+        case 0 => col("name") === names(rnd.nextInt(names.length))
+        case 1 => col("time").between(Base + Day, Base + 3 * Day)
+        case _ => col("series_id") > 0L
+      }
+      assert(sortedRows(ds.filter(flt)) ==
+        sortedRows(t.readRaw(0L, Long.MaxValue).filter(flt)),
+        s"fuzz round $round filtered diverged")
+    }
+  }
+
+  test("label scan options (r15): exact filtering + series-registry pruning") {
+    import org.apache.spark.sql.functions.element_at
+    val dir = Files.createTempDirectory("graft_label").toString
+    // MOR table: stripes prune by the resolved series set
+    val t = new TsdbTable(spark, s"$dir/tbl",
+      TsdbConfig(overrideOld = true, shardingBuckets = 8))
+    val rows = (0 until 64).map(i =>
+      ("cpu", s"h${i % 16}", Base + i * 1000L, i.toDouble))
+    t.append(samples(rows: _*))
+
+    // morStripes pinned: the r15 size heuristic gives tiny files one
+    // stripe, and this test observes SERIES-SET stripe pruning
+    def labeled(host: String) = spark.read.format("graft")
+      .option("morStripes", "8")
+      .option(s"label.host", host).load(s"$dir/tbl")
+    val expected = sortedRows(t.readRaw(0L, Long.MaxValue)
+      .filter(element_at(col("labels"), "host") === "h3"))
+    assert(sortedRows(labeled("h3")) == expected, "label filter must be exact")
+
+    // plan is pinned: the label filter shows in the scan description and
+    // the resolved series set prunes stripes (1 series can span at most
+    // a couple of the 8 stripes; unfiltered = all 8)
+    val scan = scanOf(labeled("h3"))
+    assert(scan.scan.description().contains("LabelFilters: [host=h3]"))
+    val all = scanOf(spark.read.format("graft").option("morStripes", "8")
+      .load(s"$dir/tbl")).inputRDD.getNumPartitions
+    val pruned = scanOf(labeled("h3")).inputRDD.getNumPartitions
+    assert(pruned < all, s"series-set stripe pruning must drop stripes ($pruned vs $all)")
+
+    // no-match label: zero splits planned, zero rows
+    assert(scanOf(labeled("nope")).inputRDD.getNumPartitions == 0)
+    assert(labeled("nope").count() == 0)
+
+    // conjunctive options; key case is preserved
+    val two = spark.read.format("graft")
+      .option("label.host", "h3").option("label.dc", "x").load(s"$dir/tbl")
+    assert(two.count() == 0, "host=h3 AND dc=x matches nothing")
+
+    // non-MOR table + escape-hostile label value (',' and '=' inside):
+    // exact map semantics, where a labels_str parse would mis-split
+    val nt = new TsdbTable(spark, s"$dir/plain")
+    val weird = spark.range(1).select(
+      lit("disk").as("name"),
+      map(lit("host"), lit("a,b=c")).as("labels"),
+      lit(Base).as("time"), lit(1.0).as("value"))
+    nt.append(weird.unionByName(samples(("disk", "a", Base + 1000, 2.0))
+      .select("name", "labels", "time", "value")))
+    val got = spark.read.format("graft").option("label.host", "a,b=c")
+      .load(s"$dir/plain")
+    assert(got.count() == 1 && got.select("value").head().getDouble(0) == 1.0,
+      "escape-hostile label values must match exactly")
+
+    // legacy sidecar (pre-registry): pruning unavailable, results still exact
+    val lt = new TsdbTable(spark, s"$dir/legacy")
+    lt.append(samples(("cpu", "a", Base, 1.0), ("cpu", "b", Base + 1, 2.0)))
+    // strip the registry columns in place (simulates a pre-r15 sidecar)
+    val enc = spark.read.parquet(s"$dir/legacy/series_enc")
+      .select("series_id", "variant").collect()
+    val encDf = spark.createDataFrame(java.util.Arrays.asList(enc: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("series_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("variant",
+          org.apache.spark.sql.types.BooleanType))))
+    encDf.write.mode("overwrite").parquet(s"$dir/legacy/series_enc")
+    assert(new TsdbTable(spark, s"$dir/legacy").seriesRegistry().isEmpty,
+      "a pre-registry sidecar must not serve as a pruning index")
+    val lres = spark.read.format("graft").option("label.host", "a")
+      .load(s"$dir/legacy")
+    assert(lres.count() == 1 && lres.select("value").head().getDouble(0) == 1.0)
+  }
+
+  test("long IN-list pushdown (r15): part_start IN prunes dirs, rows stay exact") {
+    val dir = Files.createTempDirectory("graft_inlist").toString
+    val t = new TsdbTable(spark, s"$dir/tbl")
+    val rows = (0 until 8).map(i => ("cpu", s"h$i", Base + i * Day, i.toDouble))
+    t.append(samples(rows: _*))
+    val ds = spark.read.format("graft").load(s"$dir/tbl")
+      .filter(col("part_start").isin(Base, Base + 2 * Day, Base + 5 * Day))
+    // pushed (shows in PushedFilters), dirs pruned, and exact
+    val scan = scanOf(ds)
+    assert(scan.scan.description().contains("In(part_start"),
+      scan.scan.description())
+    assert(scan.inputRDD.getNumPartitions == 3,
+      "part_start IN must prune partition dirs at planning")
+    assert(ds.select("value").collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(0.0, 2.0, 5.0))
+    // time IN: pushed + partition-clamped by [min, max] of the list
+    val dt = spark.read.format("graft").load(s"$dir/tbl")
+      .filter(col("time").isin(Base + 2 * Day, Base + 3 * Day))
+    assert(scanOf(dt).inputRDD.getNumPartitions == 2,
+      "time IN must clamp the partition range")
+    assert(dt.select("value").collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(2.0, 3.0))
+    // series_id IN: pushed, exact
+    val sid = t.readRaw(0L, Long.MaxValue)
+      .filter(col("name") === "cpu" && col("value") === 4.0)
+      .select("series_id").head().getLong(0)
+    val dsid = spark.read.format("graft").load(s"$dir/tbl")
+      .filter(col("series_id").isin(sid, sid + 12345))
+    assert(scanOf(dsid).scan.description().contains("In(series_id"))
+    assert(dsid.select("value").collect().map(_.getDouble(0)).toSeq == Seq(4.0))
   }
 
   test("SQL DELETE with backslash-bearing values deletes exactly (advisor r14)") {
