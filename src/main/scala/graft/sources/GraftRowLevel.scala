@@ -99,7 +99,8 @@ private[sources] object GraftMeta {
 
 private[sources] final class GraftRowLevelOperation(
     tablePath: String, tableOptions: CaseInsensitiveStringMap,
-    cmd: RowLevelOperation.Command, cfg: Option[TsdbConfig])
+    cmd: RowLevelOperation.Command, cfg: Option[TsdbConfig],
+    tableSchema: StructType)
   extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -118,7 +119,8 @@ private[sources] final class GraftRowLevelOperation(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](tableOptions)
     merged.putAll(options)
-    new GraftScanBuilder(tablePath, new CaseInsensitiveStringMap(merged))
+    new GraftScanBuilder(tablePath, new CaseInsensitiveStringMap(merged),
+      tableSchema)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =

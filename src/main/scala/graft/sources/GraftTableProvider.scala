@@ -143,13 +143,44 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
     Array(Expressions.identity("part_start"))
 
+  /** An externally-declared schema (CTAS stores its query schema in the
+    * catalog; `CREATE TABLE t (cols) USING graft` declares one) is
+    * accepted when it is a RawSchema-typed subset carrying the sample
+    * columns — the table then SERVES that projection (Spark's loadTable
+    * verifies the returned schema against the catalog's, so echoing is
+    * required, not a choice). Anything else rejects loudly here, at
+    * analysis, instead of staging a table whose writes can never
+    * succeed. A schema-less declaration serves the full raw view. */
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new GraftBatchTable(pathOf(properties), new CaseInsensitiveStringMap(properties))
+                        properties: util.Map[String, String]): Table = {
+    val effective =
+      // catalogString ignores nullability — exact for the raw schema's
+      // narrow type space (string/long/double/map<string,string>)
+      if (schema == null || schema.isEmpty ||
+          schema.catalogString == TsdbTable.RawSchema.catalogString)
+        TsdbTable.RawSchema
+      else {
+        GraftWrites.sampleColumns(schema, "graft declared schema")
+        schema.fields.foreach { f =>
+          val ref = TsdbTable.RawSchema.fields.find(_.name == f.name)
+          if (!ref.exists(_.dataType.catalogString == f.dataType.catalogString))
+            throw new IllegalArgumentException(
+              s"graft declared schema: column `${f.name}` " +
+                (if (ref.isEmpty) "is not a graft table column"
+                 else s"has type ${f.dataType.catalogString}, expected " +
+                   ref.get.dataType.catalogString) +
+                s" — declarable columns: ${TsdbTable.RawSchema.catalogString}")
+        }
+        schema
+      }
+    new GraftBatchTable(pathOf(properties),
+      new CaseInsensitiveStringMap(properties), effective)
+  }
 }
 
 private[sources] final class GraftBatchTable(
-    tablePath: String, options: CaseInsensitiveStringMap)
+    tablePath: String, options: CaseInsensitiveStringMap,
+    tableSchema: StructType = TsdbTable.RawSchema)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -173,7 +204,8 @@ private[sources] final class GraftBatchTable(
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(tablePath, options, info.command, declaredCfg)
+    () => new GraftRowLevelOperation(tablePath, options, info.command,
+      declaredCfg, tableSchema)
 
   /** SQL `DELETE FROM ... WHERE ...` (r14): filter-shaped deletes —
     * conjunctions over `time` / `part_start` bounds, `name` /
@@ -210,7 +242,7 @@ private[sources] final class GraftBatchTable(
           .delete(t.fromMs, t.toMs, filter = t.filter)
     }
   }
-  override def schema(): StructType = TsdbTable.RawSchema
+  override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity("part_start"))
   override def capabilities(): util.Set[TableCapability] =
@@ -229,7 +261,8 @@ private[sources] final class GraftBatchTable(
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
     merged.putAll(o)
-    new GraftScanBuilder(tablePath, new CaseInsensitiveStringMap(merged))
+    new GraftScanBuilder(tablePath, new CaseInsensitiveStringMap(merged),
+      tableSchema)
   }
 
   override def newWriteBuilder(
@@ -277,7 +310,8 @@ private[sources] final class GraftBatchTable(
 }
 
 private[sources] final class GraftScanBuilder(
-    tablePath: String, options: CaseInsensitiveStringMap)
+    tablePath: String, options: CaseInsensitiveStringMap,
+    tableSchema: StructType = TsdbTable.RawSchema)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -288,7 +322,7 @@ private[sources] final class GraftScanBuilder(
   private val KeyStable = Set("name", "labels_str", "time", "series_id", "part_start")
 
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = TsdbTable.RawSchema
+  private var required: StructType = tableSchema
   private var aggPushed: Option[Seq[GraftAggSpec]] = None
   private var aggGroupByPart: Boolean = false
   private var limit: Option[Int] = None
