@@ -85,6 +85,9 @@ object Bench {
     // r14: SUM/AVG pushdown — per-partition partials from a single-
     // column page walk (no batch pipeline), over the same storedTable
     "tsdb_dsv2_sum",
+    // r15: label-predicate scan through the series registry (pruned
+    // stripes/row groups + hash-set row test), same storedTable
+    "tsdb_dsv2_label",
     "tsdb_frame_pivot", "tsdb_frame_mixed", "tsdb_seriesset", "tsdb_seriesset_prom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_incremental", "dedup_incremental_indexed",

@@ -622,6 +622,28 @@ object SparkEntry {
         .orderBy("part_start")
     }),
 
+    // Label-predicate scan (r15): `.option("label.user", ...)` resolves
+    // through the series REGISTRY at planning (series_id set → stripe/
+    // row-group pruning + hash-set row test; the exact row-level map
+    // filter carries when the registry can't) — the engine-level answer
+    // to the reference's filter-to-sharding-key scans (P1/P2,
+    // partmgr.go:459-468), since Spark cannot deliver labels['k']='v'
+    // to a DSv2 source. For this single-label corpus the twin is the
+    // labels_str equality; a second pruned read over a label that
+    // matches nothing must contribute zero rows (unioned as a
+    // guard-band: count 0 breaks rows_match if pruning over-prunes).
+    "tsdb_dsv2_label" -> ((s, dir) => {
+      val t = storedTable(s, dir)
+      val hit = s.read.format("graft").option("label.user", "42").load(t.path)
+        .groupBy("name")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+      val miss = s.read.format("graft")
+        .option("label.user", "no_such_user").load(t.path)
+        .groupBy("name")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+      hit.unionByName(miss).orderBy("name")
+    }),
+
     // SQL DELETE FROM a USING graft table (r14, SupportsDelete): the
     // same three staged deletes as tsdb_delete, issued as relational
     // DELETE statements — each translates EXACTLY onto the engine
@@ -4100,6 +4122,14 @@ object SparkEntry {
          |  round(max(v), 6) AS "max"
          |FROM d WHERE tt BETWEEN $F AND $T
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // label scan twin: the option is user=42 equality on this corpus;
+    // the no-match read contributes nothing
+    "tsdb_dsv2_label" ->
+      s"""WITH s AS ($SamplesCte)
+         |SELECT name, count(*) AS cnt, round(sum(v), 4) AS sum_v
+         |FROM s WHERE labels_str = 'user=42'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // SQL UPDATE twin: the same two mutations applied relationally —
     // value*2 on the view slice, time+1h on the click slice — with

@@ -105,8 +105,17 @@ private[sources] object GraftFooterStats {
     case LessThan(c, v: Long) => longRange(b, c, lo = Long.MinValue, hi = v - 1)
     case LessThanOrEqual(c, v: Long) => longRange(b, c, lo = Long.MinValue, hi = v)
     case EqualTo(c, v: String) => stringEq(b, c, Set(v))
-    case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
       stringEq(b, c, vs.map(_.asInstanceOf[String]).toSet)
+    // part_start IN was already satisfied by planning's dir pruning
+    case In("part_start", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+      AllRows
+    // long IN (r15): skippable when NO listed value falls in the
+    // chunk's [min, max]; a contained value proves nothing per-row
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+      val rs = vs.map(v =>
+        longRange(b, c, v.asInstanceOf[Long], v.asInstanceOf[Long]))
+      if (rs.forall(_ == NoRows)) NoRows else SomeRows
     case _ => SomeRows
   }
 

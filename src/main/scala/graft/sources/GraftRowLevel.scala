@@ -2,6 +2,8 @@ package graft.sources
 
 import java.util
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
@@ -242,22 +244,25 @@ private[sources] final class GraftDeltaWriter(
 
   /** Canonical label serialization of the row's map slot — MUST match
     * [[graft.core.Labels.canonical]] (sorted `k1=v1,k2=v2`) because the
-    * key-change test compares it against the stored `labels_str`. */
+    * key-change test compares it against the stored `labels_str`.
+    * Null-VALUED entries are dropped, exactly like canonical's
+    * array_join (which skips the null concat results) — emitting `k=`
+    * here would misread a key-stable update as a key move (benignly —
+    * an extra tombstone — but wrongly). */
   private def canonicalOf(row: InternalRow): String = {
     if (row.isNullAt(rLabels)) return null
     val m = row.getMap(rLabels)
     val n = m.numElements()
     val ks = m.keyArray()
     val vs = m.valueArray()
-    val pairs = new Array[(String, String)](n)
+    val pairs = ArrayBuffer.empty[(String, String)]
     var i = 0
     while (i < n) {
-      pairs(i) = (ks.getUTF8String(i).toString,
-        if (vs.isNullAt(i)) null else vs.getUTF8String(i).toString)
+      if (!vs.isNullAt(i))
+        pairs += ((ks.getUTF8String(i).toString, vs.getUTF8String(i).toString))
       i += 1
     }
-    java.util.Arrays.sort(pairs, Ordering.by((p: (String, String)) => p._1))
-    pairs.map { case (k, v) => s"$k=${if (v == null) "" else v}" }.mkString(",")
+    pairs.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
   }
 
   private def writeInsert(row: InternalRow): Unit = {
