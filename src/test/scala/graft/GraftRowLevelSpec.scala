@@ -138,6 +138,29 @@ class GraftRowLevelSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE graft_rlo_d")
   }
 
+  test("UPDATE composes with a narrow CTAS-declared schema") {
+    val dir = Files.createTempDirectory("graft_rlo_ctas").toString
+    samples(("cpu", "a", Base, 1.0), ("cpu", "b", Base + 1000, 2.0))
+      .createOrReplaceTempView("graft_rlo_ctas_src")
+    // CTAS stores the 4-col query schema; the table serves that
+    // projection and row-level ops must still resolve the row ID
+    // through the metadata columns
+    spark.sql("CREATE TABLE graft_rlo_ctas_t USING graft " +
+      s"OPTIONS (path '$dir/tbl', overrideOld 'true') " +
+      "AS SELECT * FROM graft_rlo_ctas_src")
+    try {
+      spark.sql(s"UPDATE graft_rlo_ctas_t SET value = 7.0 WHERE time = $Base")
+      val got = spark.sql("SELECT time, value FROM graft_rlo_ctas_t ORDER BY time")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((Base, 7.0), (Base + 1000, 2.0)))
+      // the full raw view agrees through the path-based read
+      val t = new TsdbTable(spark, s"$dir/tbl",
+        TsdbConfig(overrideOld = true))
+      assert(sortedRows(spark.read.format("graft").load(s"$dir/tbl")) ==
+        sortedRows(t.readRaw(0L, Long.MaxValue)))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_rlo_ctas_t")
+  }
+
   test("FUZZ row-level ops (r15): random UPDATE/MERGE/DELETE/append sequences match a model") {
     val rnd = new scala.util.Random(20250815L)
     val Hour = 3600000L
