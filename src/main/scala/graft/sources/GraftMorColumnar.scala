@@ -66,7 +66,11 @@ private[sources] final class GraftMorColumnarReader(
 
   /** Stripe series bounds as classifiable filters — lets footer stats
     * skip row groups entirely outside the stripe (files are sorted by
-    * series_id, so most groups are). */
+    * series_id, so most groups are). A resolved label series SET
+    * (`labelSeries`) filters rows and prunes stripes at planning but is
+    * not yet folded into group classification here — the row MOR path's
+    * FilterApi.in row-group skip is the shape to port if profiles ever
+    * show label-selective MOR scans decoding dead groups. */
   private val rangeFilters: Array[Filter] = {
     val b = ArrayBuffer.empty[Filter]
     if (stripe.seriesLo != Long.MinValue)

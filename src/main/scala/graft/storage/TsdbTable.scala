@@ -96,6 +96,43 @@ object TsdbTable {
     * streaming ingest commits one seq per micro-batch). */
   val VacuumSetThreshold: Int = 256
 
+  /** Cap on a registry-resolved series IN-list (see labelPruned):
+    * beyond it the filter is unselective and pruning stops paying. */
+  val MaxPruneSeries: Int = 10000
+
+  /** Top-level AND conjuncts of the exact `labels['k'] = 'v'` shape in a
+    * filter string (the form [[graft.sql.TsdbSql.translateFilter]]
+    * emits), parsed from the UNRESOLVED expression tree — `labels` is an
+    * UnresolvedAttribute and the subscript an UnresolvedExtractValue at
+    * this stage. Conjuncts of any other shape are simply not collected
+    * (pruning stays a superset); a filter that fails to parse yields
+    * Nil (the caller's expr() will surface the real error). */
+  private[graft] def labelEqConjuncts(filter: String): Seq[(String, String)] = {
+    if (filter == null || filter.isEmpty) return Nil
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression, Literal}
+    def labelKey(e: Expression): Option[String] = e match {
+      case UnresolvedExtractValue(a: UnresolvedAttribute, Literal(k, StringType))
+          if a.nameParts == Seq("labels") && k != null => Some(k.toString)
+      case _ => None
+    }
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, String)] = e match {
+      case CAnd(l, r) => walk(l) ++ walk(r)
+      case CEq(l, r) =>
+        (for {k <- labelKey(l); v <- strLit(r)} yield (k, v))
+          .orElse(for {k <- labelKey(r); v <- strLit(l)} yield (k, v))
+          .toSeq
+      case _ => Nil
+    }
+    try walk(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(filter))
+    catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
   /** Enriched raw-table schema (sample model + derived identity columns). */
   val RawSchema: StructType = StructType(Seq(
     StructField("name", StringType),
@@ -1329,7 +1366,39 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
       //    which can sit up to step-1 BELOW from, minus wins.max*step
       //  - downsample/cross-series: prev/linear interpolation donors within
       //    the tolerance
-      QueryEngine.select(readRaw(rawSelectLo(p), p.to), p)
+      QueryEngine.select(labelPruned(readRaw(rawSelectLo(p), p.to), p.filter), p)
+    }
+  }
+
+  /** Raw-scan series pruning (r15): label-equality conjuncts in the
+    * query filter resolve through the series registry
+    * ([[seriesRegistry]]) into a `series_id IN` predicate that Spark
+    * pushes to the parquet scan — row-group stats then skip non-matching
+    * series runs (files are sorted by series_id), the reference's
+    * filter-to-sharding-key scan (P1, `pkg/pquerier/select.go:598`,
+    * `partmgr.go:459-468`) on the programmatic/SQL query path. Pruning
+    * is strictly a SUPERSET reduction: only top-level AND conjuncts of
+    * the exact `labels['k'] = 'v'` shape participate (a row matching the
+    * full filter necessarily matches each such conjunct, so its series
+    * is in the resolved set); the original filter still applies
+    * row-level afterwards. Falls back untouched when the registry is
+    * unavailable (legacy sidecar), the filter has no such conjuncts, or
+    * the match set exceeds [[TsdbTable.MaxPruneSeries]] (unselective —
+    * the IN-list would cost more than it saves). A provably-empty match
+    * short-circuits to an empty scan. */
+  private def labelPruned(raw: DataFrame, filter: String): DataFrame = {
+    val conj = TsdbTable.labelEqConjuncts(filter)
+    if (conj.isEmpty) return raw
+    seriesRegistry() match {
+      case None => raw
+      case Some(reg) =>
+        val cond = conj.map { case (k, v) =>
+          element_at(col("labels"), lit(k)) === lit(v) }.reduce(_ && _)
+        val ids = reg.filter(cond).select("series_id")
+          .limit(TsdbTable.MaxPruneSeries + 1).collect()
+        if (ids.length > TsdbTable.MaxPruneSeries) raw
+        else if (ids.isEmpty) raw.filter(lit(false))
+        else raw.filter(col("series_id").isin(ids.map(_.getLong(0)).toSeq: _*))
     }
   }
 
@@ -1404,7 +1473,11 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     // the coerced step would return the wrong output granularity
     // (review finding r9)
     fast.getOrElse(
-      QueryEngine.select(readRawAsOf(rawSelectLo(p0), p0.to, asOfSeq), p0))
+      // registry pruning is snapshot-safe: the registry is a SUPERSET
+      // across time (series are only ever added), so the resolved set
+      // covers every series live at any earlier seq
+      QueryEngine.select(
+        labelPruned(readRawAsOf(rawSelectLo(p0), p0.to, asOfSeq), p0.filter), p0))
   }
 
   /** Enumerate the data files under `base` RIGHT NOW and build a reader

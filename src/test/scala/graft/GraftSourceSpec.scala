@@ -246,6 +246,26 @@ class GraftSourceSpec extends SparkSuite {
       .mode("append").save(s"$dir/tbl"))
     assert(e2.getMessage.contains("sample schema") ||
       e2.getCause != null, e2.getMessage)
+    // a frame missing `time` entirely rejects at ANALYSIS (getTable's
+    // declared-schema validation, r15)
+    val noTime = Seq(("cpu", "a", 3.0)).toDF("name", "host", "value")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"),
+        col("value"))
+    val e3 = intercept[Exception](noTime.write.format("graft")
+      .mode("append").save(s"$dir/tbl"))
+    assert(e3.getMessage.contains("missing time"), e3.getMessage.take(200))
+    // ...while a null-filled time VALUE (INSERT INTO with a column
+    // list) is caught at runtime by the append's assert_true lane —
+    // the range clamp would otherwise silently drop the row
+    spark.sql(s"CREATE TABLE graft_ins_nt USING graft OPTIONS (path '$dir/tbl')")
+    try {
+      val e4 = intercept[Exception](
+        spark.sql("INSERT INTO graft_ins_nt (name, labels, value) " +
+          "VALUES ('cpu', map('host', 'x'), 4.0)"))
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+      assert(msgs(e4).contains("NULL time"), msgs(e4).take(300))
+    } finally spark.sql("DROP TABLE graft_ins_nt")
   }
 
   test("streaming sink (r12): writeStream.format(\"graft\") ingests micro-batches exactly once") {

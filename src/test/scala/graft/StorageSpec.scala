@@ -1166,6 +1166,54 @@ class TsdbTableSpec extends SparkSuite {
     assert(t.readRawAsOf(Base, Base + 3 * day, t.currentSeq()).count() ==
       t.readRaw(Base, Base + 3 * day).count())
   }
+
+  test("label-filtered selects prune through the series registry (r15)") {
+    val day = 86400000L
+    val t = mkTable()
+    t.append(samples((0 until 60).map(i =>
+      ("cpu", s"h${i % 10}", Base + (i / 10) * day + (i % 10) * 1000L,
+        i.toDouble)): _*))
+    val p = SelectParams(filter = "labels['host'] = 'h3'",
+      from = Base, to = Base + 7 * day)
+    // conjunct parsing is exact
+    assert(TsdbTable.labelEqConjuncts("labels['host'] = 'h3'") ==
+      Seq(("host", "h3")))
+    val got = t.select(p)
+    // the registry-resolved series set is pushed into the parquet scan
+    // (a single matched series optimizes isin to an equality)
+    val plan = got.queryExecution.executedPlan.toString
+    assert("series_id#\\d+L? (=|IN) ".r.findFirstIn(plan).isDefined,
+      s"expected a pushed series_id predicate in:\n${plan.take(1500)}")
+    assert(TsdbTable.labelEqConjuncts(
+      "labels['a'] = 'x' AND time > 5 AND 'y' = labels['b']").toSet ==
+      Set(("a", "x"), ("b", "y")))
+    // an OR must NOT contribute conjuncts (pruning would drop rows)
+    assert(TsdbTable.labelEqConjuncts(
+      "labels['a'] = 'x' OR labels['b'] = 'y'").isEmpty)
+    assert(TsdbTable.labelEqConjuncts("name = 'cpu'").isEmpty)
+    // pruned result == the unpruned row-level filter (6 rows: one h3
+    // sample per day over 6 days)
+    val expect = t.readRaw(Base, Base + 7 * day)
+      .filter(expr("labels['host'] = 'h3'")).count()
+    assert(expect == 6L && got.count() == expect)
+    // provably-empty label match short-circuits to an empty scan
+    assert(t.select(p.copy(filter = "labels['host'] = 'nope'")).count() == 0)
+    // non-equality / OR shapes fall back to the unpruned exact filter
+    assert(t.select(p.copy(
+      filter = "labels['host'] = 'h3' OR labels['host'] = 'h4'")).count() == 12)
+    // registry-less legacy sidecar: same answers, no pruned plan
+    val enc = spark.read.parquet(s"${t.path}/series_enc")
+      .select("series_id", "variant")
+    val legacy = enc.collect()
+    spark.createDataFrame(java.util.Arrays.asList(legacy: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("series_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("variant",
+            org.apache.spark.sql.types.BooleanType))))
+      .write.mode("overwrite").parquet(s"${t.path}/series_enc")
+    assert(t.select(p).count() == 6)
+  }
 }
 
 class TsdbSqlSpec extends SparkSuite {
