@@ -106,8 +106,28 @@ object SparkEntry {
     finally { release(); pairs.unpersist() }
   }
 
+  /** Spread a small scan across the cluster BEFORE per-row
+    * compute-heavy projections (r15, guide §2.5 "input skew: one huge
+    * unsplittable file — repartition immediately after the read"): the
+    * fixture tables are single-file single-row-group parquet, so a
+    * scan-speed operator (regex stacks, codecs, model feature
+    * extraction) otherwise runs its ENTIRE per-row compute on one task
+    * — profiled at 1-2 s single-threaded with 31 idle cores on the
+    * quality-gate and jusText entries. Hash-repartition on the id
+    * (deterministic placement — NOT round-robin, which pays a local
+    * sort and reshuffles under retry rules) to the cluster's
+    * parallelism, but ONLY when the scan is narrower than that: a
+    * production multi-split scan never pays the extra exchange. The
+    * partition-count probe inspects the planned RDD of the bare scan —
+    * no exchange below it, so nothing executes. */
+  private def spreadSmallScan(df: DataFrame, key: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, col(key)) else df
+  }
+
   private def curatedDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val docs = spreadSmallScan(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id")
     val gated = docs
       .select(col("doc_id"), col("text"),
         TextAnalysis.tokens(col("text")).as("__w"),
@@ -157,12 +177,26 @@ object SparkEntry {
     val path = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
       (dir.hashCode & 0x7fffffff) + "/" + kind
-    val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#$kind"
+    // "#mf1": r15 layout bump — staged corpora now write MULTI-FILE (see
+    // below), and a pre-r15 single-file stage at the same path must
+    // regenerate rather than keep serving one-task scans
+    val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#$kind#mf1"
     val vFile = new java.io.File(s"$path/_graft_version")
     val fresh = vFile.exists &&
       new String(java.nio.file.Files.readAllBytes(vFile.toPath), "UTF-8") == version
     if (!fresh) {
-      build.write.mode("overwrite").parquet(path)
+      // Stage MULTI-FILE (r15, guide §6 file layout): the builders
+      // synthesize from a single-file fixture scan, so an as-is write
+      // produced ONE parquet file — and every timed decode round then
+      // ran the whole codec path on ONE task (profiled: the GIF lane at
+      // 1.4 s single-threaded with 31 idle cores). Hash-repartitioning
+      // on doc_id at staging time (untimed, once per corpus version)
+      // gives the timed scans file-granular parallelism — the layout a
+      // real blob corpus has anyway. Deterministic placement (no
+      // round-robin): a doc's file follows from its id alone.
+      val par = s.sparkContext.defaultParallelism
+      build.repartition(par, col("doc_id"))
+        .write.mode("overwrite").parquet(path)
       java.nio.file.Files.write(vFile.toPath, version.getBytes("UTF-8"))
     }
     s.read.parquet(path)
@@ -467,27 +501,37 @@ object SparkEntry {
     * prefix as its dHash ([[graft.ops.Multimodal.dhashPng]]); docs < 40
     * get a near-dup copy at +1000000 with bits 0 and 2 flipped. ONE
     * definition so the pair entry and the keep entry assert the same
-    * planting by construction. */
+    * planting by construction.
+    *
+    * STAGED per corpus fingerprint (r15 — the r10 `stagedBlobs`
+    * rationale applied here too): the inline form re-ran ImageIO PNG
+    * ENCODE of every fixture blob inside each timed round, on one task
+    * (the synthesis rdd inherits the single-file scan's partitioning) —
+    * profiled at ~5 s of task runtime across the two image-dedup
+    * entries. The entries exist to measure PNG DECODE + dHash + banding,
+    * which is exactly what the cold read of the staged table times. */
   private def plantedDHashBlobs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    def pat(id: Long): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 15)
-      java.lang.Long.parseLong(hex, 16)
+    stagedBlobs(s, dir, "dhash_v1") {
+      def pat(id: Long): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      s.createDataFrame(
+        ids.rdd.flatMap { r =>
+          val id = r.getLong(0)
+          val q = pat(id)
+          val base = Row(id, Multimodal.dhashPng(q))
+          if (id < 40) Seq(base, Row(id + 1000000L, Multimodal.dhashPng(q ^ 5L)))
+          else Seq(base)
+        },
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("blob", BinaryType))))
     }
-    val ids = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
-    s.createDataFrame(
-      ids.rdd.flatMap { r =>
-        val id = r.getLong(0)
-        val q = pat(id)
-        val base = Row(id, Multimodal.dhashPng(q))
-        if (id < 40) Seq(base, Row(id + 1000000L, Multimodal.dhashPng(q ^ 5L)))
-        else Seq(base)
-      },
-      StructType(Seq(StructField("doc_id", LongType),
-        StructField("blob", BinaryType))))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -1649,7 +1693,7 @@ object SparkEntry {
     // against an independent rank-sequential reference implementation
     // (the well-ordered merge table makes the two provably equivalent)
     "text_tokens_bpe" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      spreadSmallScan(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         .select(col("doc_id"),
           TextAnalysis.bpeTokenCountReal(s, col("text")).as("bpe_tokens_real"),
           TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens_regex"))
@@ -1703,7 +1747,7 @@ object SparkEntry {
     // Tokenize ONCE in a projection — interpreted HOFs re-evaluate their
     // argument subtrees per use (see TextAnalysis scaladoc)
     "text_quality" -> ((s, dir) => {
-      s.read.parquet(s"$dir/documents.parquet")
+      spreadSmallScan(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         .select(col("doc_id"), col("text"),
           TextAnalysis.tokens(col("text")).as("__w"),
           TextAnalysis.tokens(lower(col("text"))).as("__wl"))
@@ -1747,7 +1791,8 @@ object SparkEntry {
       def pick(m: Seq[String]) =
         LangIdFixture.indices.foldRight(lit(null).cast("string")) { (i, e) =>
           when((col("doc_id") % 5).cast("int") === i, lit(m(i))).otherwise(e) }
-      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val docs = spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id"), "doc_id")
       def planted(sents: Seq[String], shorts: Option[Seq[String]] = None) =
         docs.select(col("doc_id"),
           pick(LangIdFixture.map(_._1)).as("lang"), {
@@ -1781,7 +1826,8 @@ object SparkEntry {
       val goodScore = "their lazy dog jumps over the quick brown fox with the things"
       val badTrain = "zq wx vk jq bz qx kz xv jw qz vx zk qj wv xq"
       val badScore = "vx zk qj wv xq zq wx vk jq bz qx kz xv jw qz"
-      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val docs = spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id"), "doc_id")
       def pick(a: String, b: String) =
         when(col("doc_id") % 2 === 0, lit(a)).otherwise(lit(b))
       def planted(g: String, b: String) = docs.select(col("doc_id"),
@@ -1823,7 +1869,8 @@ object SparkEntry {
     // symbol runs) on deterministic doc_id strata — identically in the
     // oracle
     "text_gopher_rules" -> ((s, dir) => {
-      val planted = s.read.parquet(s"$dir/documents.parquet")
+      val planted = spreadSmallScan(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         .select(col("doc_id"), concat(col("text"),
           when(col("doc_id") % 4 === 0,
             lit("\n- bullet one\n- bullet two\n* bullet three")).otherwise(lit("")),
@@ -1846,7 +1893,8 @@ object SparkEntry {
     // payloads, entities (incl. the &amp;lt; double-decode trap) and a
     // comment — identically in the oracle
     "text_strip_html" -> ((s, dir) => {
-      val planted = s.read.parquet(s"$dir/documents.parquet")
+      val planted = spreadSmallScan(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         .select(col("doc_id"), concat(
           lit("<html><head><style>body { color: red; }</style>"),
           lit("<script type=\"text/javascript\">var x = 1 < 2 && y > 0;</script></head>"),
@@ -1872,7 +1920,8 @@ object SparkEntry {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
       val phrase = "the and of to it in that is was for "
-      val rows = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val rows = spreadSmallScan(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id"), "doc_id")
         .rdd.map { r =>
           val id = r.getLong(0)
           val np = 2 + (id % 3).toInt
@@ -1909,7 +1958,8 @@ object SparkEntry {
     // (N+1)/(df+1): integer-derived operands + correctly-rounded IEEE
     // ops make Spark and DuckDB agree bit-exactly, ranking included
     "text_tfidf" -> ((s, dir) =>
-      TextAnalysis.tfIdfTopTerms(s.read.parquet(s"$dir/documents.parquet"),
+      TextAnalysis.tfIdfTopTerms(
+        spreadSmallScan(s.read.parquet(s"$dir/documents.parquet"), "doc_id"),
         "doc_id", "text", k = 5)),
 
     // PII scrubbing: emails / IPv4s / phone-like runs → tags. The fixture
@@ -1988,7 +2038,7 @@ object SparkEntry {
     // intra-doc repetition (Gopher/RefinedWeb-style quality rule):
     // duplicated 3-gram ratio. Grams projected ONCE (HOF re-eval trap)
     "text_repetition" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
+      spreadSmallScan(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         .select(col("doc_id"), TextAnalysis.wordNgramsFast(col("text"), 3).as("__g"))
         .select(col("doc_id") +: TextAnalysis.repetitionColumnsFrom(col("__g")): _*)
         .orderBy("doc_id")),
@@ -1998,7 +2048,8 @@ object SparkEntry {
     // benchmark grams — the corpus side never shuffles; self-pairs are the
     // stand-in artifact and excluded here, not in the operator
     "text_decontaminate" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       TextAnalysis.benchmarkOverlap(docs,
           docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", k = 4)
         .filter(col("doc_id") =!= col("bench_id"))
@@ -2015,7 +2066,8 @@ object SparkEntry {
     // makes the LSH output an exact subset; banding makes a miss at 0.5
     // ~5e-10)
     "text_decontaminate_fuzzy" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       Dedup.crossMinHashLshPairs(docs,
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           k = 3, threshold = 0.5, maxBucketSize = 1000)
@@ -2029,7 +2081,8 @@ object SparkEntry {
     // ROUNDED score, so the DuckDB twin replays the identical IEEE
     // expression tree and a libm-ulp ln difference cannot flip the top-K
     "text_bm25" -> ((s, dir) =>
-      TextAnalysis.bm25TopK(s.read.parquet(s"$dir/documents.parquet"),
+      TextAnalysis.bm25TopK(
+        spreadSmallScan(s.read.parquet(s"$dir/documents.parquet"), "doc_id"),
         "doc_id", "text", Seq("dup", "join", "window"), topK = 20)),
 
     // bigram-LM perplexity scoring (CCNet-style model-based quality
@@ -2039,7 +2092,8 @@ object SparkEntry {
     // position-sorted array, so the float sum never depends on
     // partitioning and the twin replays the identical ordered fold
     "text_lm_score" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       TextAnalysis.lmScore(docs, docs, "doc_id", "text")
     }),
 
@@ -2047,7 +2101,8 @@ object SparkEntry {
     // the exact tertiles (integer micro-unit thresholds broadcast back —
     // no corpus-wide sort/ntile). Short docs keep an 'na'-bucket row
     "text_ppl_buckets" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       // scoped: the scored stream feeds the threshold aggregate AND the
       // output — caching it runs the lmScore pipeline once, not twice
       val scored = TextAnalysis.lmScore(docs, docs, "doc_id", "text")
@@ -2063,7 +2118,8 @@ object SparkEntry {
     // The twin replays BOTH LMs with the lm_score CTE discipline and the
     // same quantile cut.
     "corpus_dsir" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       val w = TextAnalysis.dsirWeights(docs,
         docs.filter(col("lang") === "en"), "doc_id", "text")
       ops.Caching.scoped(w)(
@@ -2087,7 +2143,8 @@ object SparkEntry {
     // verbatim in >= 2 distinct docs, merged into maximal per-doc spans
     // (the exact-substring dedup step document-level dedup can't see)
     "text_dup_spans" -> ((s, dir) =>
-      Dedup.dupSpans(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.dupSpans(
+        spreadSmallScan(s.read.parquet(s"$dir/documents.parquet"), "doc_id"),
         "doc_id", "text", k = 8)),
 
     // the SURGERY half of text_dup_spans (Lee et al. 2022): duplicated
@@ -2095,7 +2152,8 @@ object SparkEntry {
     // the span's first 8-gram); untouched docs keep their text verbatim.
     // The twin replays islands + ownership + anti-join rebuild in SQL
     "text_dup_spans_drop" -> ((s, dir) =>
-      Dedup.removeDupSpans(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.removeDupSpans(
+        spreadSmallScan(s.read.parquet(s"$dir/documents.parquet"), "doc_id"),
         "doc_id", "text", k = 8).orderBy("doc_id")),
 
     // document fingerprinting (normalized md5)
@@ -2121,7 +2179,8 @@ object SparkEntry {
     // cannot bind on the fixtures (≤ corpus size), so the entry stays
     // oracle-exact
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.minHashLshPairs(
+        spreadSmallScan(s.read.parquet(s"$dir/documents.parquet"), "doc_id"),
         "doc_id", "text", k = 3, threshold = 0.5, maxBucketSize = 1000)),
 
     // near-dup CLUSTERING: verified LSH pairs → connected components →
@@ -2133,12 +2192,14 @@ object SparkEntry {
     // no separate count pass; intermediates and the pairs cache released
     // once it returns
     "dedup_clusters" -> ((s, dir) =>
-      docClusters(s.read.parquet(s"$dir/documents.parquet"))),
+      docClusters(spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id"))),
 
     // dedup END PRODUCT: the corpus keep-list after dropping non-canonical
     // near-dup members (anti-join against the clustered pair graph)
     "dedup_keep" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       Dedup.dropNearDuplicates(docs.select("doc_id"), "doc_id",
           docClusters(docs))
         .orderBy("doc_id")
@@ -2150,7 +2211,8 @@ object SparkEntry {
     // curation actually wants. Integer score, so the keep decision is
     // bit-stable cross-engine
     "dedup_keep_best" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       Dedup.dropNearDuplicatesKeepBest(docs.select("doc_id", "text"),
           "doc_id", docClusters(docs),
           size(TextAnalysis.tokens(col("text"))).cast("long"))
@@ -2162,7 +2224,8 @@ object SparkEntry {
     // only if it is no near-dup of ANY existing doc. Cross-LSH pairs with
     // the big side mega-bucket-guarded; oracle = brute cross Jaccard
     "dedup_incremental" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       Dedup.incrementalDedupKeep(
           docs.filter(col("doc_id") >= 400).select("doc_id", "text"),
           docs.filter(col("doc_id") < 400),
@@ -2179,7 +2242,8 @@ object SparkEntry {
     // the recompute-everything dedup_incremental, and the twin IS that
     // entry's brute cross-Jaccard
     "dedup_incremental_indexed" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = spreadSmallScan(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
       val hist = docs.filter(col("doc_id") < 400).select("doc_id", "text")
       val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#k3h64b32"
       // Path is keyed by the VERSION fingerprint, not just the fixture
@@ -2260,13 +2324,15 @@ object SparkEntry {
 
     "dedup_report" -> ((s, dir) =>
       Dedup.clusterSizeHistogram(
-        docClusters(s.read.parquet(s"$dir/documents.parquet")))),
+        docClusters(spreadSmallScan(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")))),
 
     // near-dup, SimHash Hamming-banding (no SQL twin: hash-dependent).
     // maxDist=3 keeps the 4x16-bit banding COMPLETE (pigeonhole) so the
     // output is the exact hamming<=3 pair set, deterministically.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.simHashPairs(
+        spreadSmallScan(s.read.parquet(s"$dir/documents.parquet"), "doc_id"),
         "doc_id", "text", maxDist = 3)),
 
     // ORACLE-CHECKABLE SimHash: the identical vote/banding/hamming
@@ -2276,7 +2342,8 @@ object SparkEntry {
     // fingerprints and therefore the pair set match hash-exactly.
     // dedup_simhash above (xxhash64, codegen'd) stays the production path
     "dedup_simhash_md5" -> ((s, dir) =>
-      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.simHashPairs(
+          spreadSmallScan(s.read.parquet(s"$dir/documents.parquet"), "doc_id"),
           "doc_id", "text", maxDist = 3,
           tokenHash = w => conv(substring(md5(w.cast("binary")), 1, 15),
             16, 10).cast("long"))
@@ -2300,7 +2367,8 @@ object SparkEntry {
     // output EQUALS its brute-force pair set under the production
     // defaults (256 bits / 32 bands)
     "dedup_embedding_srp" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = spreadSmallScan(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id")
         .select("vec_id", "embedding")
       val planted = base.filter(col("vec_id") < 40)
         .select((col("vec_id") + 1000000L).as("vec_id"),
@@ -2320,7 +2388,8 @@ object SparkEntry {
     // source's component); the oracle derives that from scratch via
     // brute-force pairs + recursive closure + anti-join
     "sim_semdedup" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = spreadSmallScan(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id")
         .select("vec_id", "embedding")
       def shifted(ids: Long, offset: Long, delta: Double) =
         base.filter(col("vec_id") < ids)
@@ -2377,8 +2446,8 @@ object SparkEntry {
     // sim_ann_ivf_recall
     "sim_knn_graph_ivf" -> ((s, dir) =>
       Similarity.knnGraphIvf(
-        s.read.parquet(s"$dir/embeddings.parquet"), k = 3,
-        nCentroids = 16, nProbe = 4, trainIters = 0)),
+        spreadSmallScan(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id"),
+        k = 3, nCentroids = 16, nProbe = 4, trainIters = 0)),
 
     // per-dimension embedding profile (normalization/whitening receipts,
     // drift monitoring). Integer-scaled decimal sums make the float
@@ -3138,7 +3207,8 @@ object SparkEntry {
     // by quality_score — thresholds from one per-source percentile
     // aggregate broadcast back, then a scan-speed filter (no sort/window)
     "corpus_quality_gate" -> ((s, dir) => {
-      val scored = s.read.parquet(s"$dir/documents.parquet")
+      val scored = spreadSmallScan(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         .select(col("doc_id"), col("source"), col("text"),
           TextAnalysis.tokens(col("text")).as("__w"),
           TextAnalysis.tokens(lower(col("text"))).as("__wl"))
@@ -3689,7 +3759,8 @@ object SparkEntry {
     // planted as a NON-monotone function of doc_id so the keep rule is
     // genuinely exercised, not equivalent to doc_id order
     "corpus_curate_stream" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = spreadSmallScan(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         .withColumn("__et",
           timestamp_millis((col("doc_id") * 37 % 1000) * 1000))
       ops.Corpus.streamingCurate(docs, "doc_id", "text", "__et",

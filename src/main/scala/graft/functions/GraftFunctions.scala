@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WordNgrams.info, WordNgrams.builder))
     ext.injectFunction((FunctionIdentifier(CharNgrams.Name),
       CharNgrams.info, CharNgrams.builder))
+    ext.injectFunction((FunctionIdentifier(CharNgramCounts.Name),
+      CharNgramCounts.info, CharNgramCounts.builder))
     ext.injectFunction((FunctionIdentifier(PqAdc.Name),
       PqAdc.info, PqAdc.builder))
   }
@@ -80,6 +82,8 @@ object GraftFunctions {
         WordNgrams.Name, WordNgrams.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         CharNgrams.Name, CharNgrams.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        CharNgramCounts.Name, CharNgramCounts.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         PqAdc.Name, PqAdc.builder, "built-in")
       registered.put(spark, java.lang.Boolean.TRUE)

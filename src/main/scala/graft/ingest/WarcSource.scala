@@ -65,13 +65,23 @@ object WarcSource {
 
   /** Read every WARC record under `pathGlob` (`.warc` plain or
     * `.warc.gz` with concatenated per-record members). One row per
-    * record; `corrupt = true` rows are the quarantine stream. */
+    * record; `corrupt = true` rows are the quarantine stream.
+    *
+    * `minPartitions = defaultParallelism` (r15, guide §2.5 input skew /
+    * §6 split size): `binaryFiles`' default min is 2, which PACKS a
+    * small segment set into a couple of multi-file partitions — the
+    * whole record parse + HTTP decode then runs on 2-3 cores while the
+    * rest idle. Passing the cluster's parallelism as the FLOOR only
+    * changes how many files share a partition (a file is never split —
+    * the record iterator is sequential by design), so at crawl scale
+    * (files ≫ cores) it is a no-op, while a small corpus parses
+    * file-granular. */
   def read(spark: SparkSession, pathGlob: String,
            maxPayloadBytes: Int = 8 << 20): DataFrame = {
     require(maxPayloadBytes > 0, s"maxPayloadBytes must be positive: $maxPayloadBytes")
-    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap {
-      case (file, pds) => parseFile(file, pds.open(), maxPayloadBytes)
-    }
+    val rows = spark.sparkContext
+      .binaryFiles(pathGlob, spark.sparkContext.defaultParallelism)
+      .flatMap { case (file, pds) => parseFile(file, pds.open(), maxPayloadBytes) }
     spark.createDataFrame(rows, Schema)
   }
 

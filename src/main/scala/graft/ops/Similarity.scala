@@ -713,14 +713,20 @@ object Similarity {
     * ||cw||² (the encode-time norm ingredient). */
   def pqCodebooks(data: DataFrame, m: Int, ksub: Int, iters: Int): DataFrame = {
     val sp = data.sparkSession
-    val dim = data.select(size(col("embedding"))).head().getInt(0)
-    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(ksub > 0, s"ksub must be > 0: $ksub")
+    // seed: the first ksub vectors' subvectors, code_id = rank by vec_id.
+    // ONE probe job: the seed rows also carry the dimensionality, so the
+    // separate size() head() job is folded into the seed collect (r15,
+    // guide §1.2 — every .head()/collect() is a whole job; the PQ
+    // entries string several together and the constants add up)
+    val seedRows = data.select(col("vec_id"), size(col("embedding")).as("__d"))
+      .orderBy("vec_id").limit(ksub).collect()
+    require(seedRows.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = seedRows.head.getInt(1)
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val subs = subVectors(data, m, dsub)
-    // seed: the first ksub vectors' subvectors, code_id = rank by vec_id
-    val seedIds = data.select("vec_id").orderBy("vec_id").limit(ksub)
-      .collect().map(_.getLong(0)).zipWithIndex
+    val seedIds = seedRows.map(_.getLong(0)).zipWithIndex
     import sp.implicits._
     val seedMap = broadcast(seedIds.toSeq.toDF("vec_id", "code_id"))
     var cbs = subs.join(seedMap, "vec_id")
@@ -771,8 +777,13 @@ object Similarity {
     * (vector, sub); output is the m-byte-per-vector index artifact. */
   def pqEncode(data: DataFrame, codebooks: DataFrame): DataFrame = {
     val sp = data.sparkSession
-    val m = codebooks.agg(max("sub")).head().getInt(0) + 1
-    val dsub = codebooks.select(size(col("cw"))).head().getInt(0)
+    // ONE scalar-probe job, not two (r15 guide §1.2 per-task work: each
+    // .head() is a full job re-executing the codebook plan; merged they
+    // halve the orchestration constant of every PQ entry). cw lengths
+    // are uniform by construction, so max(size) == the dsub of any row.
+    val md = codebooks.agg(max("sub"), max(size(col("cw")))).head()
+    val m = md.getInt(0) + 1
+    val dsub = md.getInt(1)
     val bc = broadcast(codebooks)
     subVectors(data, m, dsub).join(bc, Seq("sub"))
       .withColumn("__score",
@@ -822,8 +833,10 @@ object Similarity {
     require(refine >= k, s"refine must be >= k: refine=$refine, k=$k")
     val sp = data.sparkSession
     graft.functions.GraftFunctions.register(sp)
-    val ksub = codebooks.agg(max("code_id")).head().getInt(0) + 1
-    val dsub = codebooks.select(size(col("cw"))).head().getInt(0)
+    // merged scalar probe (one job, not two — the pqEncode rationale)
+    val kd = codebooks.agg(max("code_id"), max(size(col("cw")))).head()
+    val ksub = kd.getInt(0) + 1
+    val dsub = kd.getInt(1)
     val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
     val queriesN = queries.withColumn("__qn", nativeNorm(sp, col("q_vec")))
     val lut = adcLut(sp, queriesN, codebooks, dsub)
@@ -898,8 +911,10 @@ object Similarity {
                            codebooks: DataFrame,
                            residuals: Option[DataFrame] = None): DataFrame = {
     val sp = data.sparkSession
-    val m = codebooks.agg(max("sub")).head().getInt(0) + 1
-    val dsub = codebooks.select(size(col("cw"))).head().getInt(0)
+    // merged scalar probe (one job, not two — the pqEncode rationale)
+    val md = codebooks.agg(max("sub"), max(size(col("cw")))).head()
+    val m = md.getInt(0) + 1
+    val dsub = md.getInt(1)
     val bc = broadcast(codebooks)
     val cross = broadcast(centroids
       .select(col("c_id").as("cluster"),
@@ -952,8 +967,10 @@ object Similarity {
     require(refine >= k, s"refine must be >= k: refine=$refine, k=$k")
     val sp = data.sparkSession
     graft.functions.GraftFunctions.register(sp)
-    val ksub = codebooks.agg(max("code_id")).head().getInt(0) + 1
-    val dsub = codebooks.select(size(col("cw"))).head().getInt(0)
+    // merged scalar probe (one job, not two — the pqEncode rationale)
+    val kd = codebooks.agg(max("code_id"), max(size(col("cw")))).head()
+    val ksub = kd.getInt(0) + 1
+    val dsub = kd.getInt(1)
     val cents = broadcast(centroids.withColumn("__cn", nativeNorm(sp, col("c_vec"))))
     val queriesN = queries.withColumn("__qn", nativeNorm(sp, col("q_vec")))
     val lut = adcLut(sp, queriesN, codebooks, dsub)

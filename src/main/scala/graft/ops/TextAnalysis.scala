@@ -915,6 +915,30 @@ object TextAnalysis {
   /** Character bigrams of a TEXT column — [[charNgramsFast]] at n = 2. */
   def charBigramsFast(text: Column): Column = charNgramsFast(text, 2)
 
+  /** Per-row character-n-gram COUNTS (`array<struct<gram, cnt>>`, one
+    * entry per distinct gram, first-occurrence order) through the
+    * codegen'd one-pass kernel [[graft.functions.CharNgramCounts]] — the
+    * in-row form of `explode(charNgramsFast) → groupBy → count` (r15,
+    * guide §2.3 "aggregate before you shuffle" taken to the row): the
+    * model scorers need per-(doc, gram) counts, and counting inside the
+    * row removes the corpus-sized occurrence explode + hash aggregate
+    * that profiling showed dominating both model entries' CPU. Falls
+    * back to the interpreted HOF formulation (array_distinct preserves
+    * first-occurrence order; per-gram filter count) when no session is
+    * active — same result, reference speed; OpsSpec pins the two paths
+    * and the Σcnt == occurrence-count identity. */
+  def charNgramCountsFast(text: Column, n: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(sp) =>
+        graft.functions.GraftFunctions.register(sp)
+        call_function(graft.functions.CharNgramCounts.Name,
+          coalesce(text, lit("")), lit(n))
+      case None =>
+        val g = charNgramsFrom(chars(coalesce(text, lit(""))), n)
+        transform(array_distinct(g), x => struct(x.as("gram"),
+          size(filter(g, y => y === x)).cast("long").as("cnt")))
+    }
+
   /** Train a character-n-gram language-ID model: per-(language, n, gram)
     * counts from a LABELED corpus, one scan per gram size + one
     * vocab-bounded shuffle. This is the public fastText/CCNet-shaped
@@ -934,11 +958,16 @@ object TextAnalysis {
     require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
       s"ns must be non-empty, distinct, >= 1: $ns")
     graft.functions.GraftFunctions.register(train.sparkSession)
+    // in-row gram counting (r15): the aggregate's input shrinks from
+    // every gram OCCURRENCE to distinct-grams-per-doc, and Σcnt over
+    // those equals the old occurrence count exactly (guide §2.3)
     ns.map { n =>
       train.select(col(langCol).as("lang"), lit(n).as("n"),
-        explode(charNgramsFast(lower(col(textCol)), n)).as("gram"))
+        explode(charNgramCountsFast(lower(col(textCol)), n)).as("gc"))
     }.reduce(_ unionByName _)
-      .groupBy("lang", "n", "gram").agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("n"), col("gc").getField("gram").as("gram"),
+        col("gc").getField("cnt").as("cnt"))
+      .groupBy("lang", "n", "gram").agg(sum("cnt").as("c"))
   }
 
   /** Score documents against a [[langIdModelTrain]] model: predicted
@@ -998,11 +1027,16 @@ object TextAnalysis {
           Seq("lang", "n"), "left")
         .withColumn("tot", coalesce(col("tot"), lit(0L)))
       val vocab = model.groupBy("n").agg(count_distinct(col("gram")).as("v"))
+      // per-(doc, n, gram) counts computed IN the row (r15, guide §2.3):
+      // no shuffle, no hash aggregate — the kernel's struct array
+      // explodes straight into the (broadcast) model joins. Row values
+      // identical to the old explode→groupBy→count by the Σcnt identity.
       val tg = ns.map { n =>
         target.select(col(idCol).as("doc_id"), lit(n).as("n"),
-          explode(charNgramsFast(lower(col(textCol)), n)).as("gram"))
+          explode(charNgramCountsFast(lower(col(textCol)), n)).as("gc"))
       }.reduce(_ unionByName _)
-        .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"), col("n"), col("gc").getField("gram").as("gram"),
+          col("gc").getField("cnt").as("cnt"))
       val perLang = tg
         .join(broadcast(langTot), Seq("n"))
         .join(broadcast(model), Seq("lang", "n", "gram"), "left")

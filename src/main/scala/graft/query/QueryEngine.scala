@@ -374,7 +374,21 @@ object QueryEngine {
       .withColumn("__isPoint", lit(0))
     val pts = df.select(keys :+ col("time") :+ col("value").as("__v"): _*)
       .withColumn("__isPoint", lit(1))
-    val u = grid.unionByName(pts)
+    // Explicit series-keyed repartition ahead of the window passes (r15,
+    // guide §2.5): the interpolation windows are COMPUTE-heavy per byte
+    // (two ordered passes of interpreted struct/when expressions —
+    // WindowExec does not codegen), and AQE's byte-based coalescing
+    // folded the tiny shuffle into 1-4 partitions, serializing ~2 s of
+    // window CPU on a 32-core driver (profiled: 7 tasks total). A
+    // user-specified partition count is exempt from AQE coalescing, and
+    // the window's required ClusteredDistribution(keys) is satisfied by
+    // it, so no second exchange appears. Scale note: parallelism-floored
+    // at the configured shuffle partitions, so a production session that
+    // sizes shuffle.partitions for its data keeps its setting.
+    val sess = df.sparkSession
+    val nPart = math.max(sess.sparkContext.defaultParallelism,
+      sess.sessionState.conf.numShufflePartitions)
+    val u = grid.unionByName(pts).repartition(nPart, keys: _*)
 
     val ord = Window.partitionBy(keys: _*).orderBy(col("time"), col("__isPoint"))
     val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)

@@ -1687,6 +1687,30 @@ class TextAnalysisSpec extends SparkSuite {
       .collect().map(_.getSeq[String](0).toSeq).toSeq
     assert(kern == hof, s"kernel $kern != HOF $hof")
 
+    // the r15 in-row COUNTS kernel: on every divergence-prone shape,
+    // (a) the counts kernel == the HOF counts formulation (incl.
+    // first-occurrence order), and (b) exploding it and summing cnt
+    // reproduces the occurrence multiset the old explode→groupBy→count
+    // produced — the identity that makes the model-scorer rewrite an
+    // optimization, not a semantics change. "abab" pins cnt > 1.
+    val tricky2 = tricky.union(Seq("abab").toDF("text"))
+    def cntRows(c: org.apache.spark.sql.Column) = tricky2
+      .select(explode(c).as("gc"))
+      .select(col("gc.gram"), col("gc.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val kc = cntRows(TextAnalysis.charNgramCountsFast(col("text"), 2))
+    val hc = cntRows({
+      val g = TextAnalysis.charNgramsFrom(
+        TextAnalysis.chars(coalesce(col("text"), lit(""))), 2)
+      transform(array_distinct(g), x => struct(x.as("gram"),
+        size(filter(g, y => y === x)).cast("long").as("cnt")))
+    })
+    assert(kc == hc, s"counts kernel $kc != HOF $hc")
+    val occ = tricky2.select(explode(TextAnalysis.charBigramsFast(col("text"))).as("gram"))
+      .groupBy("gram").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val summed = kc.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sum }
+    assert(summed == occ, s"Σcnt $summed != occurrence counts $occ")
+
     val train = Seq(
       ("en", "the quick brown fox jumps over the lazy dog"),
       ("en", "all their things were with the other dogs"),
