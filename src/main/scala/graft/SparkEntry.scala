@@ -177,10 +177,10 @@ object SparkEntry {
     val path = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
       (dir.hashCode & 0x7fffffff) + "/" + kind
-    // "#mf1": r15 layout bump — staged corpora now write MULTI-FILE (see
-    // below), and a pre-r15 single-file stage at the same path must
-    // regenerate rather than keep serving one-task scans
-    val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#$kind#mf1"
+    // "#mf2": r15 layout bump — staged corpora now write MULTI-FILE (see
+    // below), and a stage written under an older layout at the same path
+    // must regenerate rather than keep serving a mismatched file count
+    val version = s"$dir@${sourceFingerprint(dir, "documents.parquet")}#$kind#mf2"
     val vFile = new java.io.File(s"$path/_graft_version")
     val fresh = vFile.exists &&
       new String(java.nio.file.Files.readAllBytes(vFile.toPath), "UTF-8") == version
@@ -193,8 +193,13 @@ object SparkEntry {
       // on doc_id at staging time (untimed, once per corpus version)
       // gives the timed scans file-granular parallelism — the layout a
       // real blob corpus has anyway. Deterministic placement (no
-      // round-robin): a doc's file follows from its id alone.
-      val par = s.sparkContext.defaultParallelism
+      // round-robin): a doc's file follows from its id alone. File
+      // count: a quarter of the cores (min 8) — enough that the heavy
+      // decode lanes (GIF/AVI/PDF) keep all cores busy at ≤0.2 s/task,
+      // without taxing the CHEAP probe lanes with per-file listing +
+      // scheduling overhead (measured +0.25 s each at one file per
+      // core).
+      val par = math.max(8, s.sparkContext.defaultParallelism / 4)
       build.repartition(par, col("doc_id"))
         .write.mode("overwrite").parquet(path)
       java.nio.file.Files.write(vFile.toPath, version.getBytes("UTF-8"))
@@ -2366,9 +2371,14 @@ object SparkEntry {
     // same construction (the text_redact discipline), and the verified
     // output EQUALS its brute-force pair set under the production
     // defaults (256 bits / 32 bands)
+    // (r15: NO spreadSmallScan here or on sim_semdedup — measured: SRP
+    // hashing is cheap per row, and the spread propagated 32-partition
+    // tables into the iterative connected-components loop over ~1k-row
+    // data, costing more in per-iteration task overhead than the scan
+    // parallelism bought: bench +0.2/+0.9 s. knnGraphIvf keeps it — its
+    // probe-scan compute dominates.)
     "dedup_embedding_srp" -> ((s, dir) => {
-      val base = spreadSmallScan(
-        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id")
+      val base = s.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "embedding")
       val planted = base.filter(col("vec_id") < 40)
         .select((col("vec_id") + 1000000L).as("vec_id"),
@@ -2388,8 +2398,7 @@ object SparkEntry {
     // source's component); the oracle derives that from scratch via
     // brute-force pairs + recursive closure + anti-join
     "sim_semdedup" -> ((s, dir) => {
-      val base = spreadSmallScan(
-        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id")
+      val base = s.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "embedding")
       def shifted(ids: Long, offset: Long, delta: Double) =
         base.filter(col("vec_id") < ids)
@@ -3758,9 +3767,12 @@ object SparkEntry {
     // (event time, doc_id)-minimum per fingerprint. Event time is
     // planted as a NON-monotone function of doc_id so the keep rule is
     // genuinely exercised, not equivalent to doc_id order
+    // (r15: no spreadSmallScan — measured +0.5 s: the fp-dedup window
+    // already reshuffles the text by fingerprint immediately, so the
+    // spread exchange is a second full-text shuffle with no compute
+    // stage of its own to parallelize.)
     "corpus_curate_stream" -> ((s, dir) => {
-      val docs = spreadSmallScan(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
         .withColumn("__et",
           timestamp_millis((col("doc_id") * 37 % 1000) * 1000))
       ops.Corpus.streamingCurate(docs, "doc_id", "text", "__et",

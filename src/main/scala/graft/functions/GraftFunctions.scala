@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CharNgrams.info, CharNgrams.builder))
     ext.injectFunction((FunctionIdentifier(CharNgramCounts.Name),
       CharNgramCounts.info, CharNgramCounts.builder))
+    ext.injectFunction((FunctionIdentifier(PosSortedSums.Name),
+      PosSortedSums.info, PosSortedSums.builder))
     ext.injectFunction((FunctionIdentifier(PqAdc.Name),
       PqAdc.info, PqAdc.builder))
   }
@@ -84,6 +86,8 @@ object GraftFunctions {
         CharNgrams.Name, CharNgrams.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         CharNgramCounts.Name, CharNgramCounts.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        PosSortedSums.Name, PosSortedSums.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         PqAdc.Name, PqAdc.builder, "built-in")
       registered.put(spark, java.lang.Boolean.TRUE)

@@ -67,22 +67,27 @@ object WarcSource {
     * `.warc.gz` with concatenated per-record members). One row per
     * record; `corrupt = true` rows are the quarantine stream.
     *
-    * `minPartitions = defaultParallelism` (r15, guide §2.5 input skew /
-    * §6 split size): `binaryFiles`' default min is 2, which PACKS a
-    * small segment set into a couple of multi-file partitions — the
-    * whole record parse + HTTP decode then runs on 2-3 cores while the
-    * rest idle. Passing the cluster's parallelism as the FLOOR only
-    * changes how many files share a partition (a file is never split —
-    * the record iterator is sequential by design), so at crawl scale
-    * (files ≫ cores) it is a no-op, while a small corpus parses
-    * file-granular. */
+    * FILE-granular partitioning (r15, guide §2.5 input skew / §6 split
+    * size): this used to go through `sc.binaryFiles`, whose
+    * CombineFileInputFormat packs small files into
+    * `max(openCostInBytes, bytes/cores)`-sized splits — a small segment
+    * set (16 staged lanes here) collapsed to 2-3 partitions and the
+    * whole record parse + HTTP decode ran on 2-3 cores while the rest
+    * idled; even an explicit `minPartitions` floor is defeated by the
+    * 4 MB open-cost clamp. A WARC file is never split anyway (the
+    * record iterator is sequential by design), so the natural unit IS
+    * the file: expand the glob driver-side and read one task per file
+    * via [[readFiles]] — at crawl scale (~1 GB segments) that is
+    * exactly what binaryFiles produced, and below it every file parses
+    * in parallel. */
   def read(spark: SparkSession, pathGlob: String,
            maxPayloadBytes: Int = 8 << 20): DataFrame = {
     require(maxPayloadBytes > 0, s"maxPayloadBytes must be positive: $maxPayloadBytes")
-    val rows = spark.sparkContext
-      .binaryFiles(pathGlob, spark.sparkContext.defaultParallelism)
-      .flatMap { case (file, pds) => parseFile(file, pds.open(), maxPayloadBytes) }
-    spark.createDataFrame(rows, Schema)
+    val p = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile).map(_.getPath.toString).sorted
+    readFiles(spark, files, maxPayloadBytes)
   }
 
   /** Read an EXPLICIT list of segment files — names taken verbatim, so

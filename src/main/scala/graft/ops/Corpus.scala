@@ -559,8 +559,19 @@ object Corpus {
     val deduped =
       if (stamped.isStreaming) stamped.dropDuplicatesWithinWatermark("fp")
       else {
+        // explicit fp-keyed repartition (r15, the QueryEngine.resample
+        // rationale): every langid/quality expression evaluates ABOVE
+        // this window, and AQE's byte-based coalescing folded the tiny
+        // fp shuffle to ~1 partition — serializing the whole scoring
+        // stage. A user-specified count is exempt from coalescing and
+        // satisfies the window's ClusteredDistribution(fp); floored at
+        // the configured shuffle partitions so production sizing wins.
+        val sess = stamped.sparkSession
+        val n = math.max(sess.sparkContext.defaultParallelism,
+          sess.sessionState.conf.numShufflePartitions)
         val w = Window.partitionBy("fp").orderBy(col(eventTimeCol), col(idCol))
-        stamped.withColumn("__rn", row_number().over(w))
+        stamped.repartition(n, col("fp"))
+          .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
     deduped

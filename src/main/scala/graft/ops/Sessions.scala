@@ -39,7 +39,22 @@ object Sessions {
     val isTs = df.select(time).schema.head.dataType ==
       org.apache.spark.sql.types.TimestampType
     val eventTime = if (isTs) time else timestamp_millis(time)
-    val sessions = df.groupBy(key.as("key"),
+    // BATCH path: explicit key-keyed repartition ahead of the session
+    // aggregate (r15, the QueryEngine.resample rationale): session-window
+    // merge is sort-based, compute-heavy per byte, and AQE's byte-based
+    // coalescing serialized it on small shuffles; a user-specified count
+    // satisfies the aggregate's ClusteredDistribution(key), adds no
+    // second exchange, and is floored at the configured shuffle
+    // partitions so production sizing wins at scale. Streaming inputs
+    // keep Spark's own stateful partitioning untouched.
+    val in =
+      if (df.isStreaming) df
+      else {
+        val sess = df.sparkSession
+        df.repartition(math.max(sess.sparkContext.defaultParallelism,
+          sess.sessionState.conf.numShufflePartitions), key)
+      }
+    val sessions = in.groupBy(key.as("key"),
         session_window(eventTime, s"$gapMs milliseconds").as("__w"))
       .agg(count(lit(1)).as("n_events"), sum(value).as("sum_v"))
       .select(col("key"),

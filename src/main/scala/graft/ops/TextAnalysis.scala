@@ -683,10 +683,15 @@ object TextAnalysis {
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("lp", addKLogProb("", addK))
+    // position-sorted fold through the codegen'd one-pass kernel (r15,
+    // [[graft.functions.PosSortedSums]]): pos is unique per doc, so
+    // sorting by it alone reproduces sort_array's full-struct order and
+    // the left-to-right double adds are bit-equal to the interpreted
+    // aggregate-lambda fold this replaces (spec-pinned)
     val perDoc = lp.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
-      aggregate(sort_array(collect_list(struct(col("pos"), col("lp")))),
-        lit(0.0), (acc, x) => acc + x.getField("lp")).as("__total"))
+      call_function(graft.functions.PosSortedSums.Name,
+        collect_list(struct(col("pos"), col("lp")))).getItem(0).as("__total"))
     target.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -832,16 +837,15 @@ object TextAnalysis {
       .join(rBig, Seq("g"), "left").join(rUni, Seq("w1"), "left")
       .crossJoin(broadcast(tVocab)).crossJoin(broadcast(rVocab))
       .withColumn("__tlp", lp("t")).withColumn("__rlp", lp("r"))
+    // both models' folds in ONE pos-sorted kernel pass (r15 — the
+    // lmScore rationale; element order and add order bit-equal to the
+    // interpreted two-field struct fold this replaces)
     val perDoc = scoredPos.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
-      aggregate(
-        sort_array(collect_list(struct(col("pos"), col("__tlp"), col("__rlp")))),
-        struct(lit(0.0).as("t"), lit(0.0).as("r")),
-        (a, x) => struct(
-          (a.getField("t") + x.getField("__tlp")).as("t"),
-          (a.getField("r") + x.getField("__rlp")).as("r"))).as("__tot"))
-    val tAvg = round(col("__tot").getField("t") / col("n_bigrams"), 6)
-    val rAvg = round(col("__tot").getField("r") / col("n_bigrams"), 6)
+      call_function(graft.functions.PosSortedSums.Name,
+        collect_list(struct(col("pos"), col("__tlp"), col("__rlp")))).as("__tot"))
+    val tAvg = round(col("__tot").getItem(0) / col("n_bigrams"), 6)
+    val rAvg = round(col("__tot").getItem(1) / col("n_bigrams"), 6)
     raw.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
