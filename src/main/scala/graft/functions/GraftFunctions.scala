@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CharNgramCounts.info, CharNgramCounts.builder))
     ext.injectFunction((FunctionIdentifier(PosSortedSums.Name),
       PosSortedSums.info, PosSortedSums.builder))
+    ext.injectFunction((FunctionIdentifier(MinHashSig.Name),
+      MinHashSig.info, MinHashSig.builder))
     ext.injectFunction((FunctionIdentifier(PqAdc.Name),
       PqAdc.info, PqAdc.builder))
   }
@@ -88,6 +90,8 @@ object GraftFunctions {
         CharNgramCounts.Name, CharNgramCounts.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         PosSortedSums.Name, PosSortedSums.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        MinHashSig.Name, MinHashSig.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         PqAdc.Name, PqAdc.builder, "built-in")
       registered.put(spark, java.lang.Boolean.TRUE)

@@ -154,13 +154,21 @@ object Dedup {
     * aggregation). */
   private def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     GraftFunctions.register(sh.sparkSession)
-    sh.select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("__h", xxhash64(col("s")))
-      .groupBy("id")
-      .agg(
-        min(call_function(SeededXxHash64Long.Name, col("__h"), lit(0))).as("h0"),
-        (1 until numHashes).map(j =>
-          min(call_function(SeededXxHash64Long.Name, col("__h"), lit(j))).as(s"h$j")): _*)
+    // IN-ROW signatures (r15, guide §2.4 remove shuffles outright): the
+    // shingle table already has one row per doc, so the old
+    // explode → shuffle-on-id → 64-column min HashAggregate existed only
+    // to undo its own explode. [[graft.functions.MinHashSig]] computes
+    // the same per-permutation minima (same base xxhash64, same
+    // SeededXxHash64Long arithmetic — bit-equal, DedupSpec-pinned) in
+    // one codegen'd array pass; NULL (empty shingles) rows drop exactly
+    // like explode emitted nothing. One exchange fewer in EVERY LSH
+    // consumer — pairs, cross-pairs, the persisted index build.
+    sh.select(col("id"),
+        call_function(graft.functions.MinHashSig.Name,
+          col("sh"), lit(numHashes)).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("id") +:
+        (0 until numHashes).map(j => col("__sig").getItem(j).as(s"h$j")): _*)
   }
 
   /** Signature rows → `(id, band, bucket)` rows: hash each band's run of

@@ -18,6 +18,28 @@ class DedupSpec extends SparkSuite {
     assert(sh(3L) == Seq("x x x")) // distinct
   }
 
+  test("MinHashSig kernel == explode+groupBy min formulation, bit-exact; empty → no row") {
+    graft.functions.GraftFunctions.register(spark)
+    val n = 8
+    val sh = docs((1L, "a b c d e"), (2L, "a b"), (3L, "x y z w v u"),
+      (4L, "好的 吗 好的 吗 再见"))
+      .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val kern = sh.select(col("id"),
+        call_function(graft.functions.MinHashSig.Name, col("sh"), lit(n)).as("s"))
+      .filter(col("s").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val agg = sh.select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("__h", xxhash64(col("s")))
+      .groupBy("id")
+      .agg(min(call_function(graft.functions.SeededXxHash64Long.Name,
+          col("__h"), lit(0))).as("h0"),
+        (1 until n).map(j => min(call_function(
+          graft.functions.SeededXxHash64Long.Name, col("__h"), lit(j))).as(s"h$j")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to n).map(r.getLong).toSeq).toMap
+    assert(kern == agg, s"kernel $kern != aggregate $agg")
+    assert(!kern.contains(2L)) // shingle-less doc: NULL filtered == no aggregate row
+  }
+
   test("exact groups: same normalized text collapses, keep min id") {
     val g = Dedup.exactGroups(
       docs((5L, "Hello  world"), (3L, "hello world"), (9L, "different")),
