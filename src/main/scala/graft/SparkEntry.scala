@@ -2096,9 +2096,12 @@ object SparkEntry {
     // docs (<2 tokens) keep a NULL-score row. The per-doc total folds a
     // position-sorted array, so the float sum never depends on
     // partitioning and the twin replays the identical ordered fold
+    // (r15: NO spreadSmallScan — A/B'd twice at matched calib: the extra
+    // exchange costs lmScore's train-side aggregates more map-side-combine
+    // efficiency than the target-side explode gains; ppl_buckets/dsir keep
+    // theirs — their heavier two-model position streams net positive.)
     "text_lm_score" -> ((s, dir) => {
-      val docs = spreadSmallScan(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.lmScore(docs, docs, "doc_id", "text")
     }),
 
