@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CharNgramCounts.info, CharNgramCounts.builder))
     ext.injectFunction((FunctionIdentifier(PosSortedSums.Name),
       PosSortedSums.info, PosSortedSums.builder))
+    ext.injectFunction((FunctionIdentifier(BigramLmFold.Name),
+      BigramLmFold.info, BigramLmFold.builder))
+    ext.injectFunction((FunctionIdentifier(NgramLmScores.Name),
+      NgramLmScores.info, NgramLmScores.builder))
+    ext.injectFunction((FunctionIdentifier(LmArgmax.Name),
+      LmArgmax.info, LmArgmax.builder))
     ext.injectFunction((FunctionIdentifier(MinHashSig.Name),
       MinHashSig.info, MinHashSig.builder))
     ext.injectFunction((FunctionIdentifier(PqAdc.Name),
@@ -90,6 +96,12 @@ object GraftFunctions {
         CharNgramCounts.Name, CharNgramCounts.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         PosSortedSums.Name, PosSortedSums.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        BigramLmFold.Name, BigramLmFold.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        NgramLmScores.Name, NgramLmScores.builder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        LmArgmax.Name, LmArgmax.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         MinHashSig.Name, MinHashSig.builder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -566,9 +566,7 @@ object Corpus {
         // stage. A user-specified count is exempt from coalescing and
         // satisfies the window's ClusteredDistribution(fp); floored at
         // the configured shuffle partitions so production sizing wins.
-        val sess = stamped.sparkSession
-        val n = math.max(sess.sparkContext.defaultParallelism,
-          sess.sessionState.conf.numShufflePartitions)
+        val n = graft.core.SparkTuning.windowPartitions(stamped.sparkSession)
         val w = Window.partitionBy("fp").orderBy(col(eventTimeCol), col(idCol))
         stamped.repartition(n, col("fp"))
           .withColumn("__rn", row_number().over(w))

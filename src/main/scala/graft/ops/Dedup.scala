@@ -289,6 +289,13 @@ object Dedup {
   private def verifyJaccardBetween(cand: DataFrame, shA: DataFrame, shB: DataFrame,
                                    aCol: String, bCol: String,
                                    threshold: Double): DataFrame = {
+    // r16 note (measured, REJECTED): pre-filtering the shingle tables to
+    // candidate ids (semi-join before the explodes) A/B'd at +30-70% on
+    // every LSH entry — the un-cached candidate plan re-executed once per
+    // consumer (3x the band self-join), and caching it measured worse
+    // still (cache-build contention on the bench's small tables). The
+    // explode-then-join shape below keeps ONE candidate evaluation and
+    // stays inside whole-stage codegen.
     val inter = cand
       .join(shA.select(col("id").as(aCol), explode(col("sh")).as("s")), aCol)
       .join(shB.select(col("id").as(bCol), explode(col("sh")).as("s")), Seq(bCol, "s"))
@@ -347,17 +354,22 @@ object Dedup {
         val viaLabel = labels.as("l1")
           .join(labels.as("l2"), col("l1.cluster_id") === col("l2.doc_id"))
           .select(col("l1.doc_id").as("doc_id"), col("l2.cluster_id").as("__ll"))
-        // keep the previous label in the SAME row: the convergence check
-        // is then a filter+count on the checkpointed result, not another
-        // join against the previous round
+        // keep the previous label in the SAME row; the convergence count
+        // rides on the checkpoint action itself via observe() (r16,
+        // guide §1.2): each round used to pay a SECOND job (filter+count
+        // over the checkpointed result) just for the loop condition —
+        // the observed metric folds it into the materialization pass
+        val obs = new org.apache.spark.sql.Observation()
         val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
           .join(viaLabel, Seq("doc_id"), "left")
           .select(col("doc_id"), col("cluster_id").as("__old"),
             least(col("cluster_id"),
               least(coalesce(col("__nb"), col("cluster_id")),
                 coalesce(col("__ll"), col("cluster_id")))).as("cluster_id"))
+          .observe(obs, sum(when(col("cluster_id") =!= col("__old"), 1L)
+            .otherwise(0L)).as("changed"))
           .localCheckpoint(true)
-        changed = next.filter(col("cluster_id") =!= col("__old")).count()
+        changed = obs.get("changed").asInstanceOf[Long]
         cp.unpersist()
         cp = next
         labels = next.select("doc_id", "cluster_id")
@@ -898,13 +910,15 @@ object Dedup {
     * spaces; untouched documents keep their original text VERBATIM (no
     * whitespace normalization).
     *
-    * Distributed shape (the 100 TB path): [[dupGramHits]] is one gram
-    * shuffle; owners are a #dup-grams-row aggregate; covered positions
-    * explode k× the HIT volume (duplicated windows only, not the
-    * corpus); the surgery then runs ONLY on touched docs — word
-    * positions anti-joined against the drop set and one per-doc sorted
-    * fold. Untouched docs are never retokenized. `hits` and `drops` each
-    * feed multiple consumers — scoped-cached for the single
+    * Distributed shape (the 100 TB path): one gram shuffle for the
+    * df-filter aggregate, which also resolves each duplicated gram's
+    * min-id owner (it is already grouped by gram — r16); hit windows
+    * come back through that gram join; covered positions explode k× the
+    * HIT volume (duplicated windows only, not the corpus) into one
+    * grouped arbitration pass; the surgery then runs ONLY on touched
+    * docs — word positions anti-joined against the drop set and one
+    * per-doc sorted fold. Untouched docs are never retokenized. `drops`
+    * feeds three consumers — scoped-cached for the single
     * materialization, released before return.
     *
     * @return (doc_id, text, removed_tokens) for EVERY input doc;
@@ -912,16 +926,34 @@ object Dedup {
     *         long-lived callers should unpersist it when done */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int, minDocs: Long = 2): DataFrame = {
-    val hits = dupGramHits(docs, idCol, textCol, k, minDocs)
-    val owners = hits.groupBy("gram").agg(min("doc_id").as("__owner"))
-    val covered = hits.join(owners, Seq("gram"))
+    // r16 (guide §2.4 remove shuffles): ownership resolution used to be a
+    // separate `groupBy(gram).min(doc_id)` over the hit stream plus a
+    // join back onto it — but the df-filter aggregate ALREADY groups the
+    // distinct (doc, gram) pairs by gram, so the min-id owner rides along
+    // in that same aggregate and the hit semi-join becomes the inner join
+    // that delivers it (one row per gram, no row multiplication). The
+    // drop-set arbitration then collapses from two DISTINCTs + an
+    // anti-join — which executed the covered-position explode TWICE — to
+    // ONE grouped pass: a position is dropped iff its covering-window
+    // group has no owned member (`!max(__own)`), the exact anti-join set.
+    // Three exchanges and a second explode pass gone; `hits` now has a
+    // single consumer, so only the (still multi-consumer) drop set caches.
+    GraftFunctions.register(docs.sparkSession)
+    require(k >= 2, s"k must be >= 2: $k")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val grams = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.wordNgramsFast(col(textCol), k)).as(Seq("pos", "gram")))
+    val dup = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("__df"), min("doc_id").as("__owner"))
+      .filter(col("__df") >= minDocs).select("gram", "__owner")
+    val covered = grams.join(dup, Seq("gram"))
       .select(col("doc_id"),
         (col("doc_id") === col("__owner")).as("__own"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
-    val drops = covered.filter(!col("__own")).select("doc_id", "pos").distinct()
-      .join(covered.filter(col("__own")).select("doc_id", "pos").distinct(),
-        Seq("doc_id", "pos"), "left_anti")
-    Caching.scoped(hits, drops) {
+    val drops = covered.groupBy("doc_id", "pos")
+      .agg(max(col("__own")).as("__has_own"))
+      .filter(!col("__has_own")).select("doc_id", "pos")
+    Caching.scoped(drops) {
       val touched = drops.select("doc_id").distinct()
       // the SAME word indexing the gram positions came from: split of the
       // 0x20-trimmed text with phantom empties kept (the WordNgrams kernel

@@ -49,11 +49,8 @@ object Sessions {
     // keep Spark's own stateful partitioning untouched.
     val in =
       if (df.isStreaming) df
-      else {
-        val sess = df.sparkSession
-        df.repartition(math.max(sess.sparkContext.defaultParallelism,
-          sess.sessionState.conf.numShufflePartitions), key)
-      }
+      else df.repartition(
+        graft.core.SparkTuning.windowPartitions(df.sparkSession), key)
     val sessions = in.groupBy(key.as("key"),
         session_window(eventTime, s"$gapMs milliseconds").as("__w"))
       .agg(count(lit(1)).as("n_events"), sum(value).as("sum_v"))

@@ -674,30 +674,29 @@ object TextAnalysis {
               textCol: String, addK: Double = 0.5,
               minCount: Long = 1L): DataFrame = {
     require(addK > 0, s"addK must be > 0: $addK")
-    val (uni, big, vocab) = bigramModel(train, textCol, "", minCount)
-    val pos = target.select(col(idCol).as("doc_id"),
-        posexplode(wordNgramsFast(lower(col(textCol)), 2)).as(Seq("pos", "g")))
-      .withColumn("w1", split(col("g"), " ").getItem(0))
-    val lp = pos
-      .join(big, Seq("g"), "left")
-      .join(uni, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .withColumn("lp", addKLogProb("", addK))
-    // position-sorted fold through the codegen'd one-pass kernel (r15,
-    // [[graft.functions.PosSortedSums]]): pos is unique per doc, so
-    // sorting by it alone reproduces sort_array's full-struct order and
-    // the left-to-right double adds are bit-equal to the interpreted
-    // aggregate-lambda fold this replaces (spec-pinned)
-    val perDoc = lp.groupBy("doc_id").agg(
-      count(lit(1)).as("n_bigrams"),
-      call_function(graft.functions.PosSortedSums.Name,
-        collect_list(struct(col("pos"), col("lp")))).getItem(0).as("__total"))
-    target.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(col("__total") / col("n_bigrams"), 6).as("avg_logprob"),
-        round(exp(-(col("__total") / col("n_bigrams"))), 6).as("perplexity"))
+    // r16 (guide §2.4 remove shuffles): the per-position pipeline
+    // (posexplode → count-table joins → addKLogProb → pos-sorted fold)
+    // is collapsed into ONE in-row kernel pass per document
+    // ([[graft.functions.BigramLmFold]] — bit-parity argument there).
+    // The corpus-sized position stream never materializes: no explode,
+    // no per-position join rows, no doc-keyed fold shuffle. The count
+    // tables — vocab-bounded, exactly what the join formulation already
+    // broadcast — ride in as one broadcast row of sorted lookup arrays.
+    // One doc id = one input row = one output row (the id-uniqueness
+    // contract every caller already holds).
+    val model = modelArraysRow(train, textCol, "", minCount)
+    val res = target.select(col(idCol).as("doc_id"),
+        wordNgramsFast(lower(col(textCol)), 2).as("__g"))
+      .crossJoin(broadcast(model))
+      .withColumn("__r", call_function(graft.functions.BigramLmFold.Name,
+        col("__g"), col("__bk"), col("__bc"), col("__uk"), col("__uc"),
+        lit(addK)))
+    val n = col("__r").getField("n_bigrams")
+    val total = col("__r").getField("total")
+    res.select(col("doc_id"),
+        n.as("n_bigrams"),
+        round(total / n, 6).as("avg_logprob"),
+        round(exp(-(total / n)), 6).as("perplexity"))
       .orderBy("doc_id")
   }
 
@@ -791,6 +790,30 @@ object TextAnalysis {
     (uni, big, uni.agg(count(lit(1)).as(p + "v")))
   }
 
+  /** [[bigramModel]] collapsed to ONE row of sorted lookup arrays for the
+    * in-row [[graft.functions.BigramLmFold]] kernel:
+    * `(<p>__bk, <p>__bc, <p>__uk, <p>__uc)` — bigram keys/counts and
+    * unigram keys/counts, each key array ascending in Spark's
+    * UTF8_BINARY order (`sort_array` over unique keys) to match the
+    * kernel's binary search. The vocab size V is `size(<p>__uk)` — the
+    * same `count(*)` over the unigram table [[bigramModel]] returns.
+    * Memory: these are the vocab-bounded count tables the join
+    * formulation already broadcast, gathered once (two single-row
+    * aggregates) instead of hash-relation builds per join. */
+  private def modelArraysRow(train: DataFrame, textCol: String, p: String,
+                             minCount: Long): DataFrame = {
+    val (uni, big, _) = bigramModel(train, textCol, p, minCount)
+    val u = uni
+      .agg(sort_array(collect_list(struct(col("w1"), col(p + "c1")))).as("__s"))
+      .select(col("__s").getField("w1").as(p + "__uk"),
+        col("__s").getField(p + "c1").as(p + "__uc"))
+    val b = big
+      .agg(sort_array(collect_list(struct(col("g"), col(p + "c12")))).as("__s"))
+      .select(col("__s").getField("g").as(p + "__bk"),
+        col("__s").getField(p + "c12").as(p + "__bc"))
+    b.crossJoin(u)
+  }
+
   /** The shared add-k log-probability over a joined [[bigramModel]] row:
     * `ln((c12 + k) / (c1 + k·V))` with absent counts as 0. */
   private def addKLogProb(p: String, addK: Double): Column = log(
@@ -826,32 +849,30 @@ object TextAnalysis {
                   minCount: Long = 1L): DataFrame = {
     require(addK > 0, s"addK must be > 0: $addK")
     graft.functions.GraftFunctions.register(raw.sparkSession)
-    val (tUni, tBig, tVocab) = bigramModel(target, textCol, "t", minCount)
-    val (rUni, rBig, rVocab) = bigramModel(raw, textCol, "r", minCount)
-    def lp(p: String) = addKLogProb(p, addK)
-    val scoredPos = raw
-      .select(col(idCol).as("doc_id"),
-        posexplode(wordNgramsFast(lower(col(textCol)), 2)).as(Seq("pos", "g")))
-      .withColumn("w1", split(col("g"), " ").getItem(0))
-      .join(tBig, Seq("g"), "left").join(tUni, Seq("w1"), "left")
-      .join(rBig, Seq("g"), "left").join(rUni, Seq("w1"), "left")
-      .crossJoin(broadcast(tVocab)).crossJoin(broadcast(rVocab))
-      .withColumn("__tlp", lp("t")).withColumn("__rlp", lp("r"))
-    // both models' folds in ONE pos-sorted kernel pass (r15 — the
-    // lmScore rationale; element order and add order bit-equal to the
-    // interpreted two-field struct fold this replaces)
-    val perDoc = scoredPos.groupBy("doc_id").agg(
-      count(lit(1)).as("n_bigrams"),
-      call_function(graft.functions.PosSortedSums.Name,
-        collect_list(struct(col("pos"), col("__tlp"), col("__rlp")))).as("__tot"))
-    val tAvg = round(col("__tot").getItem(0) / col("n_bigrams"), 6)
-    val rAvg = round(col("__tot").getItem(1) / col("n_bigrams"), 6)
-    raw.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        tAvg.as("target_lp"), rAvg.as("raw_lp"),
-        round(tAvg - rAvg, 6).as("dsir_weight"))
+    // r16: both models' per-position pipelines collapsed into two in-row
+    // kernel passes over ONE gram array per document (the lmScore
+    // rationale — [[graft.functions.BigramLmFold]]): no posexplode, no
+    // 4-way per-position join, no doc-keyed fold shuffle. Each model's
+    // count tables ride in as sorted lookup arrays in one broadcast row;
+    // add order per model is the array (= pos) order, bit-equal to the
+    // two-field pos-sorted fold this replaces.
+    val models = modelArraysRow(target, textCol, "t", minCount)
+      .crossJoin(modelArraysRow(raw, textCol, "r", minCount))
+    def kernel(p: String) = call_function(graft.functions.BigramLmFold.Name,
+      col("__g"), col(p + "__bk"), col(p + "__bc"), col(p + "__uk"),
+      col(p + "__uc"), lit(addK))
+    val res = raw.select(col(idCol).as("doc_id"),
+        wordNgramsFast(lower(col(textCol)), 2).as("__g"))
+      .crossJoin(broadcast(models))
+      .withColumn("__rt", kernel("t"))
+      .withColumn("__rr", kernel("r"))
+    val n = col("__rt").getField("n_bigrams")
+    val tAvg = round(col("__rt").getField("total") / n, 6)
+    val rAvg = round(col("__rr").getField("total") / n, 6)
+    res.select(col("doc_id"),
+      n.as("n_bigrams"),
+      tAvg.as("target_lp"), rAvg.as("raw_lp"),
+      round(tAvg - rAvg, 6).as("dsir_weight"))
   }
 
   /** Select the top `keepFraction` of documents by [[dsirWeights]]: the
@@ -1019,46 +1040,67 @@ object TextAnalysis {
     Caching.scoped(model) {
       val ns = model.select("n").distinct().collect().map(_.getInt(0)).sorted.toSeq
       require(ns.nonEmpty, "langIdModelScore: model has no gram sizes (empty model)")
-      // COMPLETE the (lang, n) grid: a language with no training rows at
-      // some gram size (e.g. trained only on 2-char docs → no trigrams)
-      // must still pay the smoothed penalty cnt·ln(addK/(0 + addK·V_n)) =
-      // cnt·ln(1/V_n) for that size — an inner join on its actual totals
-      // would silently skip those (all-negative) terms and hand the
-      // gram-poor language an argmax win purely for being under-trained
-      val langTot = model.select("lang").distinct()
-        .crossJoin(model.select("n").distinct())
-        .join(model.groupBy("lang", "n").agg(sum("c").as("tot")),
-          Seq("lang", "n"), "left")
-        .withColumn("tot", coalesce(col("tot"), lit(0L)))
-      val vocab = model.groupBy("n").agg(count_distinct(col("gram")).as("v"))
-      // per-(doc, n, gram) counts computed IN the row (r15, guide §2.3):
-      // no shuffle, no hash aggregate — the kernel's struct array
-      // explodes straight into the (broadcast) model joins. Row values
-      // identical to the old explode→groupBy→count by the Σcnt identity.
-      val tg = ns.map { n =>
-        target.select(col(idCol).as("doc_id"), lit(n).as("n"),
-          explode(charNgramCountsFast(lower(col(textCol)), n)).as("gc"))
-      }.reduce(_ unionByName _)
-        .select(col("doc_id"), col("n"), col("gc").getField("gram").as("gram"),
-          col("gc").getField("cnt").as("cnt"))
-      val perLang = tg
-        .join(broadcast(langTot), Seq("n"))
-        .join(broadcast(model), Seq("lang", "n", "gram"), "left")
-        .join(broadcast(vocab), Seq("n"))
-        .withColumn("__lp_micro", round(lit(1e6) *
-          col("cnt").cast("double") * log(
-            (coalesce(col("c"), lit(0L)).cast("double") + lit(addK)) /
-              (col("tot").cast("double") + lit(addK) * col("v").cast("double"))))
-          .cast("long"))
-        .groupBy("doc_id", "lang")
-        .agg(sum("__lp_micro").as("__micro"))
-      val best = perLang.groupBy("doc_id")
-        .agg(max(struct(col("__micro"), col("lang"))).as("__m"))
-      target.select(col(idCol).as("doc_id"))
-        .join(best, Seq("doc_id"), "left")
+      // r16 (guide §2.4, the BigramLmFold rationale scaled up): the old
+      // scoring stream exploded every (doc, n, gram) count row, CROSSED
+      // it with every language (the langTot join — #langs× row
+      // amplification), ran two broadcast joins per row, then shuffled
+      // the (doc, lang) micro-sums twice (fold + argmax). All of that
+      // collapses into per-row kernels: `graft_ngram_lm_scores` walks
+      // the doc's in-row gram counts once per language against the
+      // model's sorted lookup arrays — including the COMPLETED (lang, n)
+      // grid: a language with no training rows at some gram size still
+      // pays the smoothed penalty cnt·ln(addK/(0+addK·V_n)) via its
+      // empty key array and zero total, exactly like the old
+      // grid-completing left join — and `graft_lm_argmax` adds the
+      // per-size micro sums (long addition, order-free) and replicates
+      // `max(struct(micro, lang))` tie-breaking. Terms are the same
+      // multiset through the same IEEE tree and the same per-term
+      // micro-unit rounding (kernel scaladoc), so scores and argmax are
+      // bit-identical (spec- and oracle-pinned). The model rides in as
+      // ONE broadcast row of per-size arrays — the same vocab-bounded
+      // payload the old path broadcast three ways.
+      val langsRow = model.select("lang").distinct()
+        .agg(sort_array(collect_list(col("lang"))).as("__langs"))
+      val emptyK = array().cast("array<string>")
+      val emptyC = array().cast("array<bigint>")
+      val modelRow = ns.map { n =>
+        val atN = model.filter(col("n") === n)
+        val byLang = atN.groupBy("lang")
+          .agg(sort_array(collect_list(struct(col("gram"), col("c")))).as("__kc"),
+            sum("c").as("__tot"))
+          .select(col("lang"), col("__kc").getField("gram").as("__k"),
+            col("__kc").getField("c").as("__c"), col("__tot"))
+        val grid = model.select("lang").distinct()
+          .join(byLang, Seq("lang"), "left")
+          .select(col("lang"), coalesce(col("__k"), emptyK).as("__k"),
+            coalesce(col("__c"), emptyC).as("__c"),
+            coalesce(col("__tot"), lit(0L)).as("__tot"))
+        val packed = grid
+          .agg(sort_array(collect_list(struct(col("lang"), col("__k"),
+            col("__c"), col("__tot")))).as("__g"))
+          .select(col("__g").getField("__k").as(s"__k$n"),
+            col("__g").getField("__c").as(s"__c$n"),
+            col("__g").getField("__tot").as(s"__t$n"))
+        val vN = atN.agg(count_distinct(col("gram")).as(s"__v$n"))
+        packed.crossJoin(vN)
+      }.foldLeft(langsRow)(_ crossJoin _)
+      val base = target.select(col(idCol).as("doc_id") +:
+        ns.map(n => charNgramCountsFast(lower(col(textCol)), n).as(s"__gc$n")): _*)
+      val scoreArrs = ns.map(n => call_function(graft.functions.NgramLmScores.Name,
+        col(s"__gc$n"), col(s"__k$n"), col(s"__c$n"), col(s"__t$n"),
+        col(s"__v$n"), lit(addK)))
+      val hasGrams = ns.map(n => size(col(s"__gc$n")) > 0).reduce(_ || _)
+      // gate BEFORE the argmax: a doc with no grams at any size produced
+      // no scoring rows in the join formulation (→ NULL best → unknown),
+      // while the kernels would hand it an all-zero argmax
+      val best = when(hasGrams,
+        call_function(graft.functions.LmArgmax.Name,
+          array(scoreArrs: _*), col("__langs")))
+      base.crossJoin(broadcast(modelRow))
+        .withColumn("__m", best)
         .select(col("doc_id"),
           coalesce(col("__m").getField("lang"), lit("unknown")).as(outCol),
-          round(col("__m").getField("__micro") / 1e6, 6).as("score"))
+          round(col("__m").getField("micro") / 1e6, 6).as("score"))
     }
   }
 

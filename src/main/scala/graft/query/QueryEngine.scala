@@ -129,7 +129,90 @@ object QueryEngine {
     * aligns them — k metrics cost k parallel aggregations + one merge, not
     * k-1 pairwise joins. */
   private[query] def multiAggregate(samples: DataFrame, p: SelectParams): DataFrame =
-    multiAggregateVia(p, sub => select(samples, sub))
+    if (canFuseMultiAggregate(p)) multiAggregateFused(samples, p)
+    else multiAggregateVia(p, sub => select(samples, sub))
+
+  /** The raw-samples multi-metric path can fuse (r16) when every
+    * per-metric sub-query would take the plain tumbling-bucket
+    * [[clientAggregate]] shape: same grid, same filters, only the name
+    * predicate differs. Rollup-serving callers ([[graft.storage.TsdbTable]])
+    * keep [[multiAggregateVia]] — their per-metric planner choice is the
+    * point. */
+  private def canFuseMultiAggregate(p: SelectParams): Boolean =
+    !p.isCrossSeries && p.windows.isEmpty && p.aggregationWindow <= 0 &&
+      p.requestedColumns.forall(c =>
+        Aggregates.All.contains(SelectParams.stripAll(c.function.toLowerCase)))
+
+  /** [[multiAggregate]] in ONE scan + ONE shuffle (guide §2.3/§2.4):
+    * instead of k per-metric aggregation sub-plans (k scans of the
+    * sample source) melted and re-shuffled through a pivot on
+    * `(keys, t)`, aggregate once over `name IN (metrics)` grouped by
+    * `(keys, t)` with per-metric CONDITIONAL partials
+    * (`when(name = m, v)` — rows of other metrics contribute NULL, which
+    * every partial skips). Row set is identical: a `(keys, t)` pivot row
+    * exists iff any selected metric has a sample there, which is exactly
+    * when the fused group exists; per-metric NULLs match because
+    * [[Aggregates.finalExpr]]'s `count > 0` gate nulls a metric with no
+    * rows in the group — precisely the pivot's missing-row NULL. `rate`'s
+    * adjacent-bucket lag is unchanged by the extra rows other metrics
+    * contribute: every bucket sits on the shared `from + k*step` grid, so
+    * the lagged row either IS the metric's previous grid bucket or has a
+    * NULL `last` partial, and both finalize exactly as the unfused lag. */
+  private def multiAggregateFused(samples: DataFrame, p: SelectParams): DataFrame = {
+    val cols = p.requestedColumns
+    def outName(c: RequestedColumn): String =
+      if (c.alias.nonEmpty) c.alias
+      else s"${SelectParams.stripAll(c.function.toLowerCase)}(${c.metric})"
+    val outNames = cols.map(outName)
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate output columns in select list: ${outNames.mkString(", ")}")
+    val step = p.effectiveStep
+    val metrics = cols.map(_.metric).distinct
+    var df = samples.filter(col("name").isin(metrics: _*))
+    if (p.filter.nonEmpty) df = df.filter(expr(p.filter))
+    df = df.filter(col("time").between(p.from, p.to))
+      .withColumn("labels_str", Labels.canonical(col("labels")))
+    // the non-cross group keys MINUS the constant-per-metric name column
+    // (the melted path's pivot never keyed on name either)
+    val keyCols: Seq[(String, Column)] =
+      if (p.groupByLabels.nonEmpty) p.groupByLabels.map(k => k ->
+        coalesce(col("labels").getItem(k),
+          raise_error(concat(lit(s"series missing groupBy label '$k': "), col("labels_str")))))
+      else Seq("labels_str" -> col("labels_str"))
+    val keyNames = keyCols.map(_._1)
+    val bucket = bucketExpr(col("time"), p.from, step).as("t")
+    val byMetric = cols.groupBy(_.metric).toSeq
+    val mi = byMetric.map(_._1).zipWithIndex.toMap
+    val aggExprs = byMetric.flatMap { case (metric, mcols) =>
+      val v = cleanValue(when(col("name") === metric, col("value")))
+      val fns = mcols.map(c => SelectParams.stripAll(c.function.toLowerCase))
+      Aggregates.requiredPartials(fns).map(f =>
+        Aggregates.partialExpr(f, v, col("time")).as(s"__p_${mi(metric)}_$f"))
+    }
+    val grouped = df
+      .groupBy(keyCols.map { case (n, c) => c.as(n) } :+ bucket: _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val outCols = cols.map { c =>
+      val partial: String => Column = f => col(s"__p_${mi(c.metric)}_$f")
+      val fin = SelectParams.stripAll(c.function.toLowerCase) match {
+        case "rate" =>
+          val w = Window.partitionBy(keyNames.map(col): _*).orderBy("t")
+          val prevLast = lag(partial("last"), 1).over(w)
+          val prevT = lag(col("t"), 1).over(w)
+          val stepSec = step / 1000L
+          val value =
+            if (stepSec == 0) lit(null).cast("double")
+            else (partial("last") - prevLast) / lit(stepSec.toDouble)
+          when(prevT === col("t") - step && prevLast.isNotNull && partial("last").isNotNull,
+            value)
+        case f => Aggregates.finalExpr(f, partial)
+      }
+      fin.as(outName(c))
+    }
+    grouped
+      .select((keyNames.map(col) :+ col("t")) ++ outCols: _*)
+      .orderBy(keyNames.map(col) :+ col("t"): _*)
+  }
 
   /** [[multiAggregate]] with the per-metric sub-query pluggable:
     * [[graft.storage.TsdbTable.select]] passes its own planner so each
@@ -385,9 +468,7 @@ object QueryEngine {
     // it, so no second exchange appears. Scale note: parallelism-floored
     // at the configured shuffle partitions, so a production session that
     // sizes shuffle.partitions for its data keeps its setting.
-    val sess = df.sparkSession
-    val nPart = math.max(sess.sparkContext.defaultParallelism,
-      sess.sessionState.conf.numShufflePartitions)
+    val nPart = graft.core.SparkTuning.windowPartitions(df.sparkSession)
     val u = grid.unionByName(pts).repartition(nPart, keys: _*)
 
     val ord = Window.partitionBy(keys: _*).orderBy(col("time"), col("__isPoint"))

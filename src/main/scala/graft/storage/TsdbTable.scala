@@ -757,7 +757,8 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
       // ONE pass over the cached batch yields the type-enforcement verdict
       // AND the touched-partition/name summaries (they used to be two full
       // scans — per-micro-batch cost on the streaming path)
-      val (newSeriesEnc, touched, batchNames) = enforceSeriesTypes(enriched)
+      val (newSeriesEnc, touched, batchNames, releaseEnc) = enforceSeriesTypes(enriched)
+      try {
       enriched
         // shuffle on (time partition, series shard): parallel writes into
         // each partition dir (the reference's sharding-key scans, P2)
@@ -789,18 +790,42 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
       // which stay invisible orphans — so post-commit bookkeeping
       // (types, rollups, names) already happened and must not re-run.
       if (commitSeq(seq, txn = txn)) {
-        // record AFTER the raw write: a failed append must not pin types of
-        // series that never landed (next attempt re-detects them as new)
-        newSeriesEnc.foreach(recordSeriesTypes)
-
-        // incremental merge requires batch ∩ existing = ∅, which overrideOld
-        // rewrites violate by design — force the recompute (MOR read) path
-        if (incrementalRollup && !config.overrideOld) mergeRollup(enriched, touched)
-        else refreshRollup(touched)
-        // names is a tiny dimension: merge the BATCH's names driver-side
-        // instead of rescanning the whole raw table per micro-batch
-        mergeNames(batchNames)
+        // Post-commit bookkeeping — all three AFTER the commit (readers
+        // must never see rollup/registry state for uncommitted raw rows;
+        // a failed append must not pin types of series that never
+        // landed), but independent of EACH OTHER (disjoint outputs:
+        // series_enc/, rollup/, names/), so they run concurrently
+        // (guide §2.6 overlap independent jobs): each is a small
+        // driver-planned action whose tasks nowhere near fill the
+        // cluster, and the append path pays their wall-clock on every
+        // batch. Each was already individually crash-tolerated
+        // (self-healing overwrite / repair paths), so one failing while
+        // the others complete leaves the same states a crash between
+        // the old sequential steps could. First failure rethrows.
+        val tasks = Seq[(String, () => Unit)](
+          // record AFTER the raw write: a failed append must not pin
+          // types of series that never landed (re-detected as new)
+          "series_enc" -> (() => newSeriesEnc.foreach(recordSeriesTypes)),
+          // incremental merge requires batch ∩ existing = ∅, which
+          // overrideOld rewrites violate by design — force the
+          // recompute (MOR read) path
+          "rollup" -> (() =>
+            if (incrementalRollup && !config.overrideOld) mergeRollup(enriched, touched)
+            else refreshRollup(touched)),
+          // names is a tiny dimension: merge the BATCH's names
+          // driver-side instead of rescanning raw per micro-batch
+          "names" -> (() => mergeNames(batchNames)))
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = tasks.map { case (n, f) =>
+          val t = new Thread(() =>
+            try f() catch { case e: Throwable => errs.add(e) },
+            s"graft-append-$n")
+          t.start(); t
+        }
+        threads.foreach(_.join())
+        if (!errs.isEmpty) throw errs.peek()
       }
+      } finally releaseEnc()
     } finally enriched.unpersist()
   }
 
@@ -822,9 +847,12 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
     * AFTER the raw write succeeds — recording first would pin the type of
     * series whose data never landed — plus the touched time partitions and
     * metric names, which ride along in the same per-series aggregate so the
-    * append path scans the batch once, not once per summary. */
+    * append path scans the batch once, not once per summary. The last
+    * element is the RELEASE handle for the cached per-series frame the
+    * new-series rows read from — the caller invokes it once the sidecar
+    * write (or the failure path) no longer needs them. */
   private def enforceSeriesTypes(
-      batch: DataFrame): (Option[DataFrame], Seq[Long], Set[String]) = {
+      batch: DataFrame): (Option[DataFrame], Seq[Long], Set[String], () => Unit) = {
     val batchEnc = batch
       .groupBy("series_id")
       .agg(first("name").as("name"),
@@ -852,10 +880,17 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
       else if (!fs.listStatus(dirPath).exists(_.getPath.getName.endsWith(".parquet"))) None
       else Some(spark.read.parquet(seriesEncPath)
         .select(col("series_id"), col("variant").as("old_variant")))
-    val joined = existing match {
+    val joined = (existing match {
       case Some(e) => batchEnc.join(e, Seq("series_id"), "left")
       case None    => batchEnc.withColumn("old_variant", lit(null).cast("boolean"))
-    }
+    })
+      // r16 (guide §1.2/§2.3): this frame — the per-series aggregate over
+      // the whole cached batch, now carrying the registry's name/
+      // labels_str/labels columns — used to be executed TWICE per append:
+      // once for the summary probe below and again when the caller wrote
+      // the new-series rows. It is series-cardinality-sized (tiny next to
+      // the batch), so cache it and run the wide batch aggregate once.
+      .persist()
     val flipCond = col("old_variant").isNotNull && (col("old_variant") =!= col("has_var"))
     // flip name and direction must come from the SAME row (two series
     // flipping in opposite directions would otherwise mix pairings)
@@ -866,36 +901,43 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
       array_distinct(flatten(collect_set(col("parts")))).as("touched"),
       collect_set(col("name")).as("names"),
       coalesce(max(col("has_null_key")), lit(false)).as("any_null_key")).head()
-    if (s.getBoolean(5))
-      throw new IllegalArgumentException(
-        "graft append: NULL name or labels — the sample schema requires " +
-          "non-null (name, labels, time); a frame missing those columns " +
-          "arrives null-filled and must be fixed at the source")
-    if (s.getString(0) != null)
-      throw new IllegalArgumentException(
-        s"series type mismatch: batch mixes numeric and string samples for metric '${s.getString(0)}'")
-    if (!s.isNullAt(1)) {
-      val flip = s.getStruct(1)
-      val (newT, oldT) =
-        if (flip.getBoolean(1)) ("string", "numeric") else ("numeric", "string")
-      throw new IllegalArgumentException(
-        s"Cannot append $newT type metric to $oldT type metric ('${flip.getString(0)}').")
+    try {
+      if (s.getBoolean(5))
+        throw new IllegalArgumentException(
+          "graft append: NULL name or labels — the sample schema requires " +
+            "non-null (name, labels, time); a frame missing those columns " +
+            "arrives null-filled and must be fixed at the source")
+      if (s.getString(0) != null)
+        throw new IllegalArgumentException(
+          s"series type mismatch: batch mixes numeric and string samples for metric '${s.getString(0)}'")
+      if (!s.isNullAt(1)) {
+        val flip = s.getStruct(1)
+        val (newT, oldT) =
+          if (flip.getBoolean(1)) ("string", "numeric") else ("numeric", "string")
+        throw new IllegalArgumentException(
+          s"Cannot append $newT type metric to $oldT type metric ('${flip.getString(0)}').")
+      }
+      val newEnc =
+        if (s.getLong(2) > 0)
+          // name + labels_str ride along (r15): the sidecar doubles as the
+          // SERIES REGISTRY — the reference's series-to-sharding-key index
+          // (`pkg/partmgr/partmgr.go:459-468`) that lets label predicates
+          // resolve to a series_id set at query planning. Reads the
+          // cached frame — the caller's post-commit sidecar write replays
+          // nothing and holds the release handle that unpersists it
+          Some(joined.filter(col("old_variant").isNull)
+            .select(col("series_id"), col("has_var").as("variant"),
+              col("name"), col("labels_str"),
+              // the REAL map too: labels_str is canonical but not
+              // escape-safe (a value containing ','/'=' doesn't parse
+              // back) — registry matching must use exact map semantics
+              col("labels")))
+        else None
+      (newEnc, s.getSeq[Long](3), s.getSeq[String](4).toSet,
+        () => { joined.unpersist(); () })
+    } catch {
+      case t: Throwable => joined.unpersist(); throw t
     }
-    val newEnc =
-      if (s.getLong(2) > 0)
-        // name + labels_str ride along (r15): the sidecar doubles as the
-        // SERIES REGISTRY — the reference's series-to-sharding-key index
-        // (`pkg/partmgr/partmgr.go:459-468`) that lets label predicates
-        // resolve to a series_id set at query planning
-        Some(joined.filter(col("old_variant").isNull)
-          .select(col("series_id"), col("has_var").as("variant"),
-            col("name"), col("labels_str"),
-            // the REAL map too: labels_str is canonical but not
-            // escape-safe (a value containing ','/'=' doesn't parse
-            // back) — registry matching must use exact map semantics
-            col("labels")))
-      else None
-    (newEnc, s.getSeq[Long](3), s.getSeq[String](4).toSet)
   }
 
   /** The series registry (r15): series_id → (name, labels_str) for every
@@ -1916,7 +1958,8 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
         // type-safety gate on INSERTS ONLY (a tombstone's null valueStr
         // must not read as "numeric sample" for a variant series); the
         // same single-pass aggregate yields touched partitions + names
-        val (newEnc, touchedIns, insNames) = enforceSeriesTypes(inserts)
+        val (newEnc, touchedIns, insNames, releaseEnc) = enforceSeriesTypes(inserts)
+        try {
         val tombSummary = tombs
           .agg(collect_set("part_start"), count(lit(1))).head()
         val touchedTomb = tombSummary.getSeq[Long](0)
@@ -1946,6 +1989,7 @@ class TsdbTable(spark: SparkSession, val path: String, val config: TsdbConfig = 
             if (nTombs > 0) refreshNames() else mergeNames(insNames)
           }
         }
+        } finally releaseEnc()
       } finally delta.unpersist()
     }
 

@@ -160,3 +160,37 @@ class ContractWiringSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"exemptions that are no longer oracle-less: $stale")
   }
 }
+
+/** r16 guard (VERDICT item 8): the explicit repartition counts placed
+  * ahead of the non-codegen window operators (QueryEngine.resample,
+  * Sessions.byGap, Corpus.streamingCurate) must never fall below the
+  * session's configured shuffle partitions — the production-sizing floor
+  * claimed at those call sites. A refactor that drops the
+  * `max(defaultParallelism, shuffle.partitions)` would silently turn the
+  * local-parallelism fix into a scale regression; this pins it. */
+class WindowPartitionsSpec extends SparkSuite {
+  test("windowPartitions floors at shuffle.partitions AND defaultParallelism") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", 97)
+    assert(graft.core.SparkTuning.windowPartitions(s2) >= 97)
+    assert(graft.core.SparkTuning.windowPartitions(s2) >=
+      s2.sparkContext.defaultParallelism)
+    s2.conf.set("spark.sql.shuffle.partitions", 1)
+    assert(graft.core.SparkTuning.windowPartitions(s2) ==
+      s2.sparkContext.defaultParallelism)
+  }
+  test("the batch session-window shuffle carries the floored explicit count") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", 9)
+    val df = s2.range(100).select((col("id") % 4).as("k"),
+      (col("id") * 1000).as("t"), lit(1.0).as("v"))
+    val out = graft.ops.Sessions.byGap(df, col("k"), col("t"), col("v"), 5000)
+    val counts = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+          if r.optNumPartitions.isDefined => r.optNumPartitions.get
+    }
+    assert(counts.nonEmpty, "expected an explicit user-specified repartition in the plan")
+    assert(counts.forall(_ >= 9), s"explicit counts below the configured floor: $counts")
+  }
+}

@@ -1806,6 +1806,62 @@ class TextAnalysisSpec extends SparkSuite {
     assert(preds == Map(1L -> "good", 2L -> "bad", 3L -> "unknown"))
   }
 
+  test("modelScore kernels == the join formulation (r16): per-term micro " +
+      "rounding, grid completion, argmax ties, gramless docs") {
+    // randomized-but-seeded corpus over 3 langs; lang 'cc' trains only
+    // 2-char docs (NO trigrams → the (lang, n) grid-completion penalty
+    // path); target includes held-out text, a 1-char doc (gramless at
+    // both sizes), a 2-char doc (gramless at n=3 only) and NULL text
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val train = (Seq.tabulate(30)(i =>
+        (if (i % 2 == 0) "aa" else "bb", word(3 + rnd.nextInt(8)))) ++
+      Seq.tabulate(5)(_ => ("cc", word(2)))).toDF("lang", "text")
+    val target = (Seq.tabulate(40)(i => (i.toLong, word(1 + rnd.nextInt(9)))) :+
+      (98L -> null.asInstanceOf[String]) :+ (99L -> "")).toDF("doc_id", "text")
+    val model = TextAnalysis.langIdModelTrain(train, "text", "lang")
+    val kernelDf = TextAnalysis.langIdModelScore(model, target, "doc_id", "text")
+    val kernel = kernelDf.orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    kernelDf.unpersist(blocking = false)
+    // the pre-r16 join formulation, verbatim
+    val addK = 0.5
+    val ns = Seq(2, 3)
+    val langTot = model.select("lang").distinct()
+      .crossJoin(model.select("n").distinct())
+      .join(model.groupBy("lang", "n").agg(sum("c").as("tot")),
+        Seq("lang", "n"), "left")
+      .withColumn("tot", coalesce(col("tot"), lit(0L)))
+    val vocab = model.groupBy("n").agg(count_distinct(col("gram")).as("v"))
+    val tg = ns.map { n =>
+      target.select(col("doc_id"), lit(n).as("n"),
+        explode(TextAnalysis.charNgramCountsFast(lower(col("text")), n)).as("gc"))
+    }.reduce(_ unionByName _)
+      .select(col("doc_id"), col("n"), col("gc").getField("gram").as("gram"),
+        col("gc").getField("cnt").as("cnt"))
+    val perLang = tg
+      .join(broadcast(langTot), Seq("n"))
+      .join(broadcast(model), Seq("lang", "n", "gram"), "left")
+      .join(broadcast(vocab), Seq("n"))
+      .withColumn("__lp_micro", round(lit(1e6) *
+        col("cnt").cast("double") * log(
+          (coalesce(col("c"), lit(0L)).cast("double") + lit(addK)) /
+            (col("tot").cast("double") + lit(addK) * col("v").cast("double"))))
+        .cast("long"))
+      .groupBy("doc_id", "lang").agg(sum("__lp_micro").as("__micro"))
+    val best = perLang.groupBy("doc_id")
+      .agg(max(struct(col("__micro"), col("lang"))).as("__m"))
+    val oldForm = target.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__m").getField("lang"), lit("unknown")).as("pred_lang"),
+        round(col("__m").getField("__micro") / 1e6, 6).as("score"))
+      .orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(kernel.toSeq == oldForm.toSeq)
+  }
+
   test("tf-idf top terms: rational idf, rank order, term tiebreak") {
     val docs = Seq(
       (1L, "apple banana apple"),
