@@ -290,9 +290,15 @@ object Bench {
     // Also persist the artifact to a file: the driver captures only a
     // bounded stdout tail, which truncated (and lost) the r5 JSON line —
     // the on-disk copy can never depend on tail length.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_out.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_out.json: $e") }
+    // per-cpu-count copy too (r16): the driver runs the bench at TWO core
+    // counts and each run overwrote BENCH_out.json, losing the first run's
+    // per-query map (PERF_r15 had an empty scaling block for exactly this
+    // reason) — a name keyed on the core count lets both artifacts survive
+    Seq("BENCH_out.json", s"BENCH_out_${cpus}.json").foreach { f =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] $f: $e") }
+    }
     spark.stop()
     // LAST stdout line, after spark.stop(): a COMPACT summary with no
     // per-query maps. The full line above exceeded the driver's bounded

@@ -85,6 +85,18 @@ object PosSortedSums {
     val boxed = order.map(Integer.valueOf)
     java.util.Arrays.sort(boxed, (x: Integer, y: Integer) =>
       java.lang.Long.compare(pos(x), pos(y)))
+    // enforce the uniqueness contract instead of documenting it (ADVICE
+    // r15): with duplicate pos the sort_array fold this kernel mirrors
+    // would tie-break on the DOUBLE fields, and the two formulations
+    // could silently add in different orders — fail loudly instead
+    var d = 1
+    while (d < n) {
+      if (pos(boxed(d - 1).intValue()) == pos(boxed(d).intValue()))
+        throw new IllegalArgumentException(
+          s"$Name: duplicate pos ${pos(boxed(d).intValue())} — pos must be " +
+            "unique within the array (the posexplode contract)")
+      d += 1
+    }
     val out = new Array[Any](nSums)
     var f = 0
     while (f < nSums) {

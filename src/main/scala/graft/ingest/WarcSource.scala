@@ -85,8 +85,17 @@ object WarcSource {
     require(maxPayloadBytes > 0, s"maxPayloadBytes must be positive: $maxPayloadBytes")
     val p = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // binaryFiles-parity contract (ADVICE r15): a DIRECTORY argument (or
+    // a glob matching directories) expands to the files inside it, and a
+    // glob matching NOTHING fails loudly — binaryFiles threw
+    // InvalidInputException there, and silently returning an empty frame
+    // would turn a typo'd path into empty output downstream
     val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+      }
       .filter(_.isFile).map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"WarcSource.read: no WARC files match '$pathGlob'")
     readFiles(spark, files, maxPayloadBytes)
   }
 

@@ -98,9 +98,11 @@ object QueryProfile {
         catch { case e: Throwable => System.err.println(s"[prof] $n: $e") }
         (System.nanoTime() - t0) / 1e9
       }
-      // listener events race task end; give the bus a beat to drain
+      // listener events race task end; give the bus a beat to drain.
+      // walls.last (not min): the counters are reset each pass, so the
+      // printed wall must come from the same pass as the shape numbers
       Thread.sleep(200)
-      println(f"$n%-28s ${walls.min}%7.3f ${m.jobs.get}%5d ${m.stages.get}%6d ${m.tasks.get}%6d ${m.cpuNs.get / 1e9}%7.2f ${m.runNs.get / 1e9}%7.2f ${m.shufRead.get / 1e6}%7.1f ${m.shufWrite.get / 1e6}%7.1f ${m.input.get / 1e6}%7.1f ${m.gcMs.get}%6d")
+      println(f"$n%-28s ${walls.last}%7.3f ${m.jobs.get}%5d ${m.stages.get}%6d ${m.tasks.get}%6d ${m.cpuNs.get / 1e9}%7.2f ${m.runNs.get / 1e9}%7.2f ${m.shufRead.get / 1e6}%7.1f ${m.shufWrite.get / 1e6}%7.1f ${m.input.get / 1e6}%7.1f ${m.gcMs.get}%6d")
     }
     spark.stop()
   }
