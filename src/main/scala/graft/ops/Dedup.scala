@@ -330,6 +330,10 @@ object Dedup {
     // previous round's TWICE (via the neighbor join), doubling the logical
     // plan per iteration — caching alone keeps the data but not the
     // lineage, and Catalyst planning/explain blows up exponentially
+    // r16 A/B note (measured, rejected): disabling AQE around the loop
+    // (fewer per-iteration stage-jobs, fixed-count shuffles instead) was
+    // flat-to-worse at matched calib — the orchestration latency AQE adds
+    // on these tiny tables is smaller than its small-task coalescing buys.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
